@@ -1,0 +1,45 @@
+"""Query registry: every operator family from SURVEY.md §2 as a
+(spark, sf_dir) -> DataFrame builder plus (where SQL-expressible) a
+DuckDB oracle twin with IDENTICAL column names and deterministic
+values.
+
+Determinism rules used throughout (see SURVEY.md §7.4 risks):
+
+- Money/quantity sums: the inputs are fixed-decimal values, so the
+  true sum is an exact multiple of 10^-k; ``round(sum(x), k)`` is
+  therefore bit-identical across engines regardless of summation
+  order.
+- Averages: ``round(round(sum(x), k) / count, 6)`` — both engines
+  divide *identical* doubles, so the quotient (and its rounding) is
+  bit-identical. Never use bare ``avg`` over doubles.
+- Top-k: always a deterministic tie-break column in the ORDER BY.
+- Timestamps: session TZ pinned to UTC; parquet naive timestamps read
+  as TIMESTAMP_NTZ on the Spark side to match DuckDB's naive
+  TIMESTAMP.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def all_queries() -> dict[str, QueryFn]:
+    from . import events, relational, similarity, text
+
+    out: dict[str, QueryFn] = {}
+    for mod in (relational, events, text, similarity):
+        out.update(mod.QUERIES)
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    from . import events, relational, similarity, text
+
+    out: dict[str, str] = {}
+    for mod in (relational, events, text, similarity):
+        out.update(mod.ORACLES)
+    return out

@@ -1,0 +1,427 @@
+"""Core relational queries — the reference's KPI/ETL query shapes
+(SURVEY.md §2.2-§2.8) transposed onto the driver testdata tables.
+
+Shape provenance (reference file:line in /root/reference):
+
+- multi-agg group-by            sql/service_provider_kpis:2-9 (A1/A2)
+- monthly revenue bucket        sql/service_provider_kpis:20-27 (A3, F8)
+- conditional %-of-total        sql/service_provider_kpis:31-36 (A4, F9, F10)
+- 4-way join + count + top-k    sql/admin_kip_script:26-36 (A5, J8, T2)
+- top-k ORDER BY ... LIMIT 5    sql/admin_kip_script:10-23 (T1/T2)
+- range predicate on week       sql/admin_kip_script:8 (P8)
+- distinct projection           glue gold_data_curation_script.py:176-183 (A7)
+- date-dimension generator      glue gold_data_curation_script.py:96-110 (F5/F6)
+- window top-k per group        README.md:125-128 Power BI implicit windows (§2.5)
+- FK orphan check               README.md:55 documented-but-missing (V3)
+
+Scale notes: every join here is either broadcast-able (nation,
+region, supplier at ≤100k rows even at sf1000) — hinted explicitly —
+or a large-large equi join that AQE handles with skew-join splitting.
+Aggregations are partial+final (map-side combine) automatically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- q01: pricing summary (TPC-H Q1 shape; multi-agg group-by, A1-A3) ------
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") < F.lit("1998-09-02").cast("timestamp_ntz"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn("avg_qty", F.round(F.col("sum_qty") / F.col("count_order"), 6))
+        .withColumn("avg_price", F.round(F.col("sum_base_price") / F.col("count_order"), 6))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_Q01 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                              AS sum_qty,
+       round(sum(l_extendedprice), 2)                         AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4)      AS sum_disc_price,
+       count(*)                                               AS count_order,
+       round(round(sum(l_quantity), 2) / count(*), 6)         AS avg_qty,
+       round(round(sum(l_extendedprice), 2) / count(*), 6)    AS avg_price
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --- q02: top-5 suppliers by lineitem count (flagship; J5 + A1 + T2) -------
+
+def q02_top5_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey, "inner")
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("n_lineitems"))
+        .orderBy(F.desc("n_lineitems"), F.asc("s_name"))
+        .limit(5)
+    )
+
+
+ORACLE_Q02 = """
+SELECT s_name, count(*) AS n_lineitems
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+ORDER BY n_lineitems DESC, s_name ASC
+LIMIT 5
+"""
+
+
+# --- q03: avg account balance per nation (J2-style join + A2 avg) ----------
+
+def q03_avg_acctbal_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey, "inner")
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+        .withColumn("avg_acctbal", F.round(F.col("sum_acctbal") / F.col("n_customers"), 6))
+        .orderBy("n_name")
+    )
+
+
+ORACLE_Q03 = """
+SELECT n_name,
+       round(sum(c_acctbal), 2)                               AS sum_acctbal,
+       count(*)                                               AS n_customers,
+       round(round(sum(c_acctbal), 2) / count(*), 6)          AS avg_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+# --- q04: monthly revenue (A3: DATE_TRUNC bucket + SUM) --------------------
+
+def q04_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("month")
+    )
+
+
+ORACLE_Q04 = """
+SELECT date_trunc('month', o_orderdate)  AS month,
+       round(sum(o_totalprice), 2)       AS revenue,
+       count(*)                          AS n_orders
+FROM orders
+GROUP BY 1
+ORDER BY month
+"""
+
+
+# --- q05: conditional % of total per group (A4) ----------------------------
+
+def q05_status_pct_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_finished"),
+        )
+        .withColumn("pct_finished", F.round(100.0 * F.col("n_finished") / F.col("n_orders"), 2))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_Q05 = """
+SELECT o_orderpriority,
+       count(*)                                                       AS n_orders,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+       round(100.0 * sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) / count(*), 2) AS pct_finished
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# --- q06: two-key group count over 3-way join (A1 + J5) --------------------
+
+def q06_lineitems_by_nation_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name", "l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .orderBy("n_name", "l_returnflag")
+    )
+
+
+ORACLE_Q06 = """
+SELECT n_name, l_returnflag, count(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY n_name, l_returnflag
+ORDER BY n_name, l_returnflag
+"""
+
+
+# --- q07: 4-way join, filtered count, top-5 (A5 + J8 + T2) -----------------
+
+def q07_top5_suppliers_by_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("n_returned"))
+        .orderBy(F.desc("n_returned"), F.asc("s_name"))
+        .limit(5)
+    )
+
+
+ORACLE_Q07 = """
+SELECT s_name, count(*) AS n_returned
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE l_returnflag = 'R'
+GROUP BY s_name
+ORDER BY n_returned DESC, s_name ASC
+LIMIT 5
+"""
+
+
+# --- q08: window top-k per group (§2.5 extension) --------------------------
+
+def q08_top3_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("c_mktsegment", "rn")
+    )
+
+
+ORACLE_Q08 = """
+SELECT c_mktsegment, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn
+FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+WHERE rn <= 3
+ORDER BY c_mktsegment, rn
+"""
+
+
+# --- q09: date-dimension generator (F5/F6 sequence+explode) ----------------
+
+def q09_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    days = spark.sql(
+        "SELECT explode(sequence(to_date('2024-01-01'), to_date('2024-12-31'), interval 1 day)) AS d"
+    )
+    return days.select(
+        F.date_format("d", "yyyyMMdd").cast("int").alias("date_key"),
+        # timestamp_ntz (not DATE) so toPandas dtype matches the oracle
+        F.col("d").cast("timestamp_ntz").alias("full_date"),
+        F.year("d").alias("year"),
+        F.quarter("d").alias("quarter"),
+        F.month("d").alias("month"),
+        F.dayofmonth("d").alias("day_of_month"),
+        F.dayofweek("d").alias("day_of_week"),
+        F.date_format("d", "MMMM").alias("month_name"),
+        F.date_format("d", "EEEE").alias("day_name"),
+        F.dayofweek("d").isin([1, 7]).alias("is_weekend"),
+    ).orderBy("date_key")
+
+
+ORACLE_Q09 = """
+SELECT CAST(strftime(d, '%Y%m%d') AS INTEGER)  AS date_key,
+       d                                       AS full_date,
+       CAST(year(d) AS INTEGER)                AS year,
+       CAST(quarter(d) AS INTEGER)             AS quarter,
+       CAST(month(d) AS INTEGER)               AS month,
+       CAST(dayofmonth(d) AS INTEGER)          AS day_of_month,
+       CAST(dayofweek(d) + 1 AS INTEGER)       AS day_of_week,
+       monthname(d)                            AS month_name,
+       dayname(d)                              AS day_name,
+       dayofweek(d) IN (0, 6)                  AS is_weekend
+FROM generate_series(DATE '2024-01-01', DATE '2024-12-31', INTERVAL 1 DAY) t(d)
+ORDER BY date_key
+"""
+
+
+# --- q10: distinct projection (A7 dim_location shape) ----------------------
+
+def q10_distinct_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    return (
+        nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("r_name", "n_name")
+        .distinct()
+        .orderBy("r_name", "n_name")
+    )
+
+
+ORACLE_Q10 = """
+SELECT DISTINCT r_name, n_name
+FROM nation JOIN region ON n_regionkey = r_regionkey
+ORDER BY r_name, n_name
+"""
+
+
+# --- q11: FK orphan check (V3 — left-anti join) ----------------------------
+
+def q11_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    orphans = li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+    return orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+
+
+ORACLE_Q11 = """
+SELECT count(*) AS n_orphans
+FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+"""
+
+
+# --- q12: pivot-style conditional aggregation ------------------------------
+
+def q12_segment_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_f"),
+            F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("n_o"),
+            F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)).alias("n_p"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_Q12 = """
+SELECT c_mktsegment,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+# --- q13: set operation (union distinct of active nations, §2.7) -----------
+
+def q13_active_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    c_nations = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey).select("n_name")
+    s_nations = sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey).select("n_name")
+    return c_nations.union(s_nations).distinct().orderBy("n_name")
+
+
+ORACLE_Q13 = """
+SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+UNION
+SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+ORDER BY n_name
+"""
+
+
+# --- q14: range predicate on a week bucket (P8, fixed anchor) --------------
+
+def q14_orders_since_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    anchor = F.date_trunc("week", F.lit("1997-06-15").cast("timestamp_ntz"))
+    return (
+        orders.filter(F.col("o_orderdate") >= anchor)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderstatus")
+    )
+
+
+ORACLE_Q14 = """
+SELECT o_orderstatus, count(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= date_trunc('week', TIMESTAMP '1997-06-15')
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_top5_suppliers": q02_top5_suppliers,
+    "q03_avg_acctbal_by_nation": q03_avg_acctbal_by_nation,
+    "q04_monthly_revenue": q04_monthly_revenue,
+    "q05_status_pct_by_priority": q05_status_pct_by_priority,
+    "q06_lineitems_by_nation_flag": q06_lineitems_by_nation_flag,
+    "q07_top5_suppliers_by_returns": q07_top5_suppliers_by_returns,
+    "q08_top3_orders_per_segment": q08_top3_orders_per_segment,
+    "q09_date_dim": q09_date_dim,
+    "q10_distinct_nation_region": q10_distinct_nation_region,
+    "q11_fk_orphans": q11_fk_orphans,
+    "q12_segment_status_matrix": q12_segment_status_matrix,
+    "q13_active_nations": q13_active_nations,
+    "q14_orders_since_week": q14_orders_since_week,
+}
+
+ORACLES = {
+    "q01_pricing_summary": ORACLE_Q01,
+    "q02_top5_suppliers": ORACLE_Q02,
+    "q03_avg_acctbal_by_nation": ORACLE_Q03,
+    "q04_monthly_revenue": ORACLE_Q04,
+    "q05_status_pct_by_priority": ORACLE_Q05,
+    "q06_lineitems_by_nation_flag": ORACLE_Q06,
+    "q07_top5_suppliers_by_returns": ORACLE_Q07,
+    "q08_top3_orders_per_segment": ORACLE_Q08,
+    "q09_date_dim": ORACLE_Q09,
+    "q10_distinct_nation_region": ORACLE_Q10,
+    "q11_fk_orphans": ORACLE_Q11,
+    "q12_segment_status_matrix": ORACLE_Q12,
+    "q13_active_nations": ORACLE_Q13,
+    "q14_orders_since_week": ORACLE_Q14,
+}

@@ -1,0 +1,57 @@
+"""SparkSession factory.
+
+Plays the role of the reference's Glue job bootstrap
+(reference: glue_scripts/gold_data_curation_script.py:26-30) but
+tuned for open-source Spark:
+
+- AQE on (runtime re-plan, skew-join handling, partition coalescing)
+- Arrow on (fast Pandas UDF / toPandas transfer)
+- UTC session timezone (deterministic oracle comparison vs DuckDB)
+- shuffle partitions sized to the machine, not the 200 default
+
+At cluster scale the same factory applies — only ``master`` and the
+memory/shuffle-partition knobs change (pass ``extra_conf``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "prox_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the SparkSession with scale-aware defaults."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = DEFAULT_SHUFFLE_PARTITIONS
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        # naive parquet timestamps (pandas-written testdata) -> TIMESTAMP_NTZ,
+        # matching DuckDB's naive TIMESTAMP for oracle parity
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
