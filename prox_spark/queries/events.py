@@ -1,2 +1,245 @@
-QUERIES = {}
-ORACLES = {}
+"""Event-stream analytics — batch twins of the streaming surface
+(SURVEY.md §2.10 extension; the reference is batch-only, so these
+extend PROX's capabilities onto the driver `events` table).
+
+Each query here is the *batch-mode* twin of a structured-streaming
+operator in prox_spark/streaming.py, so DuckDB can oracle-check the
+windowed semantics (watermark-dependent behavior is covered by
+rows-only checks on the streaming side).
+
+Scale notes: tumbling windows are plain group-bys on a derived
+bucket column (partial+final agg, no extra shuffle). Sessionization
+and rolling stats shuffle once on user_id — the natural key — and
+window frames are bounded (no unbounded state). All float outputs
+follow the determinism rules in queries/__init__.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read events.parquet, normalizing its ns-precision timestamp.
+
+    The testdata writes ``ts`` as INT64 TIMESTAMP(NANOS) which Spark 4
+    refuses to read natively; read it as a long and truncate to
+    microseconds (exactly what DuckDB's TIMESTAMP coercion does), as a
+    session-TZ-naive timestamp.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+        )
+    return df
+
+
+# --- q20: tumbling-window aggregation (F.window batch twin) ----------------
+
+def q20_hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+ORACLE_Q20 = """
+SELECT date_trunc('hour', ts)      AS hour_start,
+       event_type,
+       count(*)                    AS n_events,
+       round(sum(value), 2)        AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY hour_start, event_type
+"""
+
+
+# --- q21: sessionization (lag + gap + cumulative sum) ----------------------
+
+SESSION_GAP_MIN = 30
+
+
+def q21_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # compare gaps in exact integer microseconds (matches DuckDB epoch_us)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(order)
+    is_new = F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60 * 1_000_000), 1).otherwise(0)
+    with_session = ev.withColumn(
+        "session_id",
+        F.sum(is_new).over(order.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return (
+        with_session.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+ORACLE_Q21 = f"""
+WITH ordered AS (
+  SELECT *,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN gap IS NULL OR gap > {SESSION_GAP_MIN * 60 * 1_000_000} THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+), sessions AS (
+  SELECT *,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       count(*)             AS n_events,
+       min(ts)              AS session_start,
+       max(ts)              AS session_end,
+       round(sum(value), 2) AS sum_value
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+# --- q22: rolling average over a bounded frame -----------------------------
+
+def q22_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 10)
+    frame = (
+        W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, 0)
+    )
+    return (
+        ev.withColumn("win_sum", F.round(F.sum("value").over(frame), 2))
+        .withColumn("win_n", F.count(F.lit(1)).over(frame))
+        .withColumn("rolling_avg", F.round(F.col("win_sum") / F.col("win_n"), 6))
+        .select("user_id", "event_id", "value", "win_n", "rolling_avg")
+        .orderBy("user_id", "event_id")
+    )
+
+
+ORACLE_Q22 = """
+SELECT user_id, event_id, value,
+       win_n,
+       round(win_sum / win_n, 6) AS rolling_avg
+FROM (
+  SELECT user_id, event_id, value,
+         round(sum(value) OVER w, 2) AS win_sum,
+         count(*) OVER w             AS win_n
+  FROM events
+  WHERE user_id < 10
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+)
+ORDER BY user_id, event_id
+"""
+
+
+# --- q23: streaming-dedup batch twin (first event per key) -----------------
+
+def q23_first_event_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            F.min("ts").alias("first_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+ORACLE_Q23 = """
+SELECT user_id, event_type, min(ts) AS first_ts, count(*) AS n_events
+FROM events
+GROUP BY user_id, event_type
+ORDER BY user_id, event_type
+"""
+
+
+# --- q24: share-of-total per event type (window over aggregate) ------------
+
+def q24_event_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    total = W.partitionBy()
+    return (
+        counts.withColumn("pct", F.round(100.0 * F.col("n_events") / F.sum("n_events").over(total), 2))
+        .orderBy("event_type")
+    )
+
+
+ORACLE_Q24 = """
+SELECT event_type, n_events,
+       round(100.0 * n_events / sum(n_events) OVER (), 2) AS pct
+FROM (SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type)
+ORDER BY event_type
+"""
+
+
+# --- q25: JSON property extraction (F.get_json_object; props column) -------
+
+def q25_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_Q25 = """
+SELECT event_type,
+       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+       count(*)                                      AS n,
+       min(CAST(props->>'$.k' AS BIGINT))            AS min_k,
+       max(CAST(props->>'$.k' AS BIGINT))            AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+QUERIES = {
+    "q20_hourly_event_stats": q20_hourly_event_stats,
+    "q21_sessionize": q21_sessionize,
+    "q22_rolling_avg": q22_rolling_avg,
+    "q23_first_event_per_key": q23_first_event_per_key,
+    "q24_event_type_share": q24_event_type_share,
+    "q25_json_props": q25_json_props,
+}
+
+ORACLES = {
+    "q20_hourly_event_stats": ORACLE_Q20,
+    "q21_sessionize": ORACLE_Q21,
+    "q22_rolling_avg": ORACLE_Q22,
+    "q23_first_event_per_key": ORACLE_Q23,
+    "q24_event_type_share": ORACLE_Q24,
+    "q25_json_props": ORACLE_Q25,
+}

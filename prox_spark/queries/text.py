@@ -1,2 +1,502 @@
-QUERIES = {}
-ORACLES = {}
+"""Text analysis & deduplication over the `documents` table —
+LLM-training-data-pipeline operators (north star in BASELINE.json;
+the reference's only text processing is the externally-produced
+feedback_sentiment table, reference transformations_script.py:130-135).
+
+All operators are pure `pyspark.sql.functions` compositions (JVM-side,
+whole-stage codegen) — no Python UDFs — and each has an exact DuckDB
+oracle. Hashing uses md5 (identical lowercase hex in both engines),
+so even MinHash-LSH and SimHash are bit-reproducible cross-engine.
+
+Scale notes (100 TB / billions of docs):
+- exact dedup: single hash shuffle on a 32-char digest, not the full
+  text (group on md5, not the document body).
+- MinHash-LSH: shingle explosion is map-side; signatures are one
+  shuffle keyed by (doc, seed); candidate generation shuffles on
+  (band, band_signature) so only colliding buckets meet — the
+  classic sub-quadratic near-dup join. Band width trades recall vs
+  candidate volume.
+- n-gram Jaccard self-join is the quadratic-ish verifier — at scale
+  run it only on LSH candidates (q36 does exactly that).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# --- shared token / shingle fragments (Spark SQL expr + DuckDB SQL) --------
+
+TOKENS_SPARK = r"split(lower(trim(text)), '\\s+')"
+TOKENS_DUCK = r"string_split_regex(lower(trim(text)), '\s+')"
+
+SHINGLES_SPARK = (
+    "CASE WHEN size(tokens) < 3 THEN array(concat_ws(' ', tokens)) "
+    "ELSE transform(sequence(1, size(tokens)-2), i -> concat_ws(' ', slice(tokens, i, 3))) END"
+)
+SHINGLES_DUCK = (
+    "CASE WHEN len(tokens) < 3 THEN [array_to_string(tokens, ' ')] "
+    "ELSE list_transform(range(1, len(tokens)-1), i -> array_to_string(list_slice(tokens, i, i+2), ' ')) END"
+)
+
+DUCK_SHINGLE_CTE = f"""
+WITH toks AS (
+  SELECT doc_id, {TOKENS_DUCK} AS tokens FROM documents
+), shingled AS (
+  SELECT doc_id, {SHINGLES_DUCK} AS shingles FROM toks
+), shingles AS (
+  SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM shingled
+), sizes AS (
+  SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY doc_id
+)
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) distinct pairs — shared by q35/q36."""
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("tokens", F.expr(TOKENS_SPARK))
+        .withColumn("shingles", F.expr(SHINGLES_SPARK))
+        .select("doc_id", F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+
+
+# --- q30: exact deduplication (hash-groupBy on digest) ---------------------
+
+def q30_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.withColumn("digest", F.md5(F.col("text")))
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("doc_id", "n_copies")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_Q30 = """
+SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+ORDER BY doc_id
+"""
+
+
+# --- q31: per-document text statistics -------------------------------------
+
+def q31_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn("tokens", F.expr(TOKENS_SPARK))
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_calc"),
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.expr("aggregate(transform(tokens, t -> length(t)), 0, (a, x) -> a + x)")
+        .cast("long")
+        .alias("sum_token_len"),
+    ).withColumn(
+        "avg_token_len",
+        F.round(F.col("sum_token_len") / F.col("n_tokens"), 6),
+    ).orderBy("doc_id")
+
+
+ORACLE_Q31 = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT)            AS n_chars_calc,
+       CAST(len(tokens) AS BIGINT)             AS n_tokens,
+       CAST(list_sum(list_transform(tokens, t -> length(t))) AS BIGINT) AS sum_token_len,
+       round(CAST(list_sum(list_transform(tokens, t -> length(t))) AS BIGINT)
+             / CAST(len(tokens) AS BIGINT), 6) AS avg_token_len
+FROM (SELECT doc_id, text, {TOKENS_DUCK} AS tokens FROM documents)
+ORDER BY doc_id
+"""
+
+
+# --- q32: BPE-ish regex token counting -------------------------------------
+
+TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def q32_regex_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+ORACLE_Q32 = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# --- q33: quality scoring (length + stopword-ratio heuristic) --------------
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "for", "on", "with")
+_STOP_SPARK = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def q33_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn("tokens", F.expr(TOKENS_SPARK))
+    n_stop = F.expr(
+        f"size(filter(tokens, t -> array_contains(array({_STOP_SPARK}), t)))"
+    ).cast("long")
+    n_tokens = F.size("tokens").cast("long")
+    stop_ratio = F.round(n_stop / n_tokens, 6)
+    len_score = F.round(F.least(n_tokens, F.lit(50)) / 50.0, 6)
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        stop_ratio.alias("stop_ratio"),
+        len_score.alias("len_score"),
+        F.round(0.5 * len_score + 0.5 * (1.0 - stop_ratio), 6).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+ORACLE_Q33 = f"""
+SELECT doc_id, n_tokens, n_stopwords,
+       round(n_stopwords / n_tokens, 6)                              AS stop_ratio,
+       round(least(n_tokens, 50) / 50.0, 6)                          AS len_score,
+       round(0.5 * round(least(n_tokens, 50) / 50.0, 6)
+             + 0.5 * (1.0 - round(n_stopwords / n_tokens, 6)), 6)    AS quality_score
+FROM (
+  SELECT doc_id,
+         CAST(len(tokens) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(tokens, t -> list_contains([{_STOP_SPARK}], t))) AS BIGINT) AS n_stopwords
+  FROM (SELECT doc_id, {TOKENS_DUCK} AS tokens FROM documents)
+)
+ORDER BY doc_id
+"""
+
+
+# --- q34: content fingerprint ----------------------------------------------
+
+def q34_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+ORACLE_Q34 = """
+SELECT doc_id, md5(lower(trim(text))) AS fingerprint
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# --- q35: n-gram Jaccard near-dup pairs (exact, quadratic verifier) --------
+
+JACCARD_THRESHOLD = 0.5
+
+
+def q35_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("doc1") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc2") == F.col("sb.doc_id"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc1", "doc2", "jaccard")
+        .orderBy("doc1", "doc2")
+    )
+
+
+ORACLE_Q35 = f"""
+{DUCK_SHINGLE_CTE},
+inter AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_inter
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc1, doc2,
+       round(n_inter / (sa.n_shingles + sb.n_shingles - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON doc1 = sa.doc_id
+JOIN sizes sb ON doc2 = sb.doc_id
+WHERE round(n_inter / (sa.n_shingles + sb.n_shingles - n_inter), 6) >= {JACCARD_THRESHOLD}
+ORDER BY doc1, doc2
+"""
+
+
+# --- q36: MinHash + LSH near-dup detection (sub-quadratic scale path) ------
+
+MINHASH_K = 16          # signature length
+LSH_BAND_ROWS = 4       # rows per band -> 4 bands; s-curve threshold ~0.71
+
+
+def q36_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    # minhash signature: for each seed, min md5("<seed>|<shingle>")
+    sig = (
+        sh.withColumn("seed", F.explode(F.sequence(F.lit(0), F.lit(MINHASH_K - 1))))
+        .withColumn("h", F.md5(F.concat_ws("|", F.col("seed"), F.col("shingle"))))
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minh"))
+    )
+    # band signature: concat of the band's minhashes in seed order
+    bands = (
+        sig.withColumn("band", F.expr(f"seed div {LSH_BAND_ROWS}"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(struct(seed, minh))), x -> x.minh)"),
+                ",",
+            ).alias("band_sig")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+    )
+    # exact-Jaccard verification, restricted to LSH candidates
+    s1 = sh.alias("s1")
+    s2 = sh.alias("s2")
+    inter = (
+        candidates.join(s1, F.col("doc1") == F.col("s1.doc_id"))
+        .join(s2, (F.col("doc2") == F.col("s2.doc_id")) & (F.col("s1.shingle") == F.col("s2.shingle")))
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("doc1") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc2") == F.col("sb.doc_id"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc1", "doc2", "jaccard")
+        .orderBy("doc1", "doc2")
+    )
+
+
+ORACLE_Q36 = f"""
+{DUCK_SHINGLE_CTE},
+sig AS (
+  SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || shingle)) AS minh
+  FROM shingles CROSS JOIN range({MINHASH_K}) t(seed)
+  GROUP BY doc_id, seed
+), bands AS (
+  SELECT doc_id, seed // {LSH_BAND_ROWS} AS band,
+         string_agg(minh, ',' ORDER BY seed) AS band_sig
+  FROM sig GROUP BY 1, 2
+), candidates AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+), inter AS (
+  SELECT doc1, doc2, count(*) AS n_inter
+  FROM candidates
+  JOIN shingles s1 ON doc1 = s1.doc_id
+  JOIN shingles s2 ON doc2 = s2.doc_id AND s1.shingle = s2.shingle
+  GROUP BY doc1, doc2
+)
+SELECT doc1, doc2,
+       round(n_inter / (sa.n_shingles + sb.n_shingles - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON doc1 = sa.doc_id
+JOIN sizes sb ON doc2 = sb.doc_id
+WHERE round(n_inter / (sa.n_shingles + sb.n_shingles - n_inter), 6) >= {JACCARD_THRESHOLD}
+ORDER BY doc1, doc2
+"""
+
+
+# --- q37: language identification (stopword-profile scoring) ---------------
+
+LANG_PROFILES = {
+    "de": ("der", "die", "und", "das", "ist"),
+    "en": ("the", "a", "is", "of", "and"),
+    "es": ("el", "la", "de", "y", "que"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "zh": ("的", "是", "不", "了", "在"),
+}
+
+
+def q37_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn("tokens", F.expr(TOKENS_SPARK))
+    score_cols = {}
+    for lang, words in LANG_PROFILES.items():
+        arr = ", ".join(f"'{w}'" for w in words)
+        score_cols[lang] = F.expr(
+            f"size(filter(tokens, t -> array_contains(array({arr}), t)))"
+        ).cast("long")
+    scored = docs.select(
+        "doc_id", *[score_cols[lang].alias(f"s_{lang}") for lang in LANG_PROFILES]
+    )
+    # argmax with deterministic first-wins tie-break in profile order
+    pred = None
+    langs = list(LANG_PROFILES)
+    for lang in langs:
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            c = F.col(f"s_{lang}") >= F.col(f"s_{other}")
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+    return scored.withColumn("pred_lang", pred.otherwise(langs[0])).orderBy("doc_id")
+
+
+def _langid_oracle() -> str:
+    langs = list(LANG_PROFILES)
+    score_sql = ",\n         ".join(
+        "CAST(len(list_filter(tokens, t -> list_contains(["
+        + ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+        + f"], t))) AS BIGINT) AS s_{lang}"
+        for lang in langs
+    )
+    cases = []
+    for lang in langs:
+        conds = " AND ".join(
+            f"s_{lang} >= s_{other}" for other in langs if other != lang
+        )
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + f" ELSE '{langs[0]}' END"
+    return f"""
+SELECT doc_id, {', '.join(f's_{lang}' for lang in langs)},
+       {case_sql} AS pred_lang
+FROM (
+  SELECT doc_id,
+         {score_sql}
+  FROM (SELECT doc_id, {TOKENS_DUCK} AS tokens FROM documents)
+)
+ORDER BY doc_id
+"""
+
+
+ORACLE_Q37 = _langid_oracle()
+
+
+# --- q38: SimHash (16-bit, md5-derived token hashes) -----------------------
+
+SIMHASH_BITS = 16
+_HEXV_SPARK = "locate(substring(m, {i}, 1), '0123456789abcdef') - 1"
+_HEXV_DUCK = "strpos('0123456789abcdef', substring(m, {i}, 1)) - 1"
+
+
+def q38_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn("tokens", F.expr(TOKENS_SPARK))
+    toks = docs.select(
+        "doc_id", F.explode_outer(F.array_distinct("tokens")).alias("tok")
+    ).withColumn("m", F.md5("tok"))
+    # 16-bit token hash from the first 4 hex chars of md5
+    hx = " + ".join(
+        f"({_HEXV_SPARK.format(i=i + 1)}) * {16 ** (3 - i)}" for i in range(4)
+    )
+    toks = toks.withColumn("h", F.expr(hx).cast("long"))
+    bit_sums = [
+        F.sum(
+            F.when(F.expr(f"(h div {1 << j}) % 2") == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    simhash = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, 1 << j).otherwise(0)
+        simhash = term if simhash is None else simhash + term
+    return agg.select("doc_id", simhash.cast("long").alias("simhash")).orderBy("doc_id")
+
+
+def _simhash_oracle() -> str:
+    hx = " + ".join(
+        f"({_HEXV_DUCK.format(i=i + 1)}) * {16 ** (3 - i)}" for i in range(4)
+    )
+    bit_sums = ",\n         ".join(
+        f"sum(CASE WHEN (h // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    simhash = " + ".join(
+        f"CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(SIMHASH_BITS)
+    )
+    return f"""
+SELECT doc_id, CAST({simhash} AS BIGINT) AS simhash
+FROM (
+  SELECT doc_id,
+         {bit_sums}
+  FROM (
+    SELECT doc_id, md5(tok) AS m,
+           CAST({hx} AS BIGINT) AS h
+    FROM (
+      SELECT doc_id, unnest(list_distinct(tokens)) AS tok
+      FROM (SELECT doc_id, {TOKENS_DUCK} AS tokens FROM documents)
+    ) raw
+  ) hashed
+  GROUP BY doc_id
+)
+ORDER BY doc_id
+"""
+
+
+ORACLE_Q38 = _simhash_oracle()
+
+
+QUERIES = {
+    "q30_exact_dedup": q30_exact_dedup,
+    "q31_text_stats": q31_text_stats,
+    "q32_regex_token_count": q32_regex_token_count,
+    "q33_quality_score": q33_quality_score,
+    "q34_fingerprint": q34_fingerprint,
+    "q35_jaccard_pairs": q35_jaccard_pairs,
+    "q36_minhash_lsh": q36_minhash_lsh,
+    "q37_langid": q37_langid,
+    "q38_simhash": q38_simhash,
+}
+
+ORACLES = {
+    "q30_exact_dedup": ORACLE_Q30,
+    "q31_text_stats": ORACLE_Q31,
+    "q32_regex_token_count": ORACLE_Q32,
+    "q33_quality_score": ORACLE_Q33,
+    "q34_fingerprint": ORACLE_Q34,
+    "q35_jaccard_pairs": ORACLE_Q35,
+    "q36_minhash_lsh": ORACLE_Q36,
+    "q37_langid": ORACLE_Q37,
+    "q38_simhash": ORACLE_Q38,
+}

@@ -46,6 +46,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         # naive parquet timestamps (pandas-written testdata) -> TIMESTAMP_NTZ,
         # matching DuckDB's naive TIMESTAMP for oracle parity
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
