@@ -36,8 +36,10 @@ LSH_BITS = 8
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from prox_spark.queries.text import _spread
+
     return (
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
         .withColumn("dd", F.expr("cast(embedding as array<double>)"))
     )
 

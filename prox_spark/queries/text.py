@@ -30,9 +30,11 @@ from pyspark.sql import functions as F
 TOKENS_SPARK = r"split(lower(trim(text)), '\\s+')"
 TOKENS_DUCK = r"string_split_regex(lower(trim(text)), '\s+')"
 
+# For size(tokens) < 3, sequence(1, 1) -> slice(tokens, 1, 3) == tokens,
+# i.e. the single whole-text shingle — branch-free equivalent of the
+# "short doc" CASE, and much cheaper for codegen to compile.
 SHINGLES_SPARK = (
-    "CASE WHEN size(tokens) < 3 THEN array(concat_ws(' ', tokens)) "
-    "ELSE transform(sequence(1, size(tokens)-2), i -> concat_ws(' ', slice(tokens, i, 3))) END"
+    "transform(sequence(1, greatest(size(tokens)-2, 1)), i -> concat_ws(' ', slice(tokens, i, 3)))"
 )
 SHINGLES_DUCK = (
     "CASE WHEN len(tokens) < 3 THEN [array_to_string(tokens, ' ')] "
@@ -52,18 +54,34 @@ WITH toks AS (
 """
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Raise partition count to cluster parallelism when the source scan
+    gives fewer (a small parquet file arrives as ONE partition, which
+    would serialize all per-document compute onto a single core). At
+    real scale inputs already have >= parallelism partitions and this is
+    a no-op — the shuffle only fires for pathological file layouts."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
-def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) distinct pairs — shared by q35/q36."""
+def _doc_shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingles array<string> DISTINCT, n_shingles) — one row per
+    document, computed entirely map-side (no shuffle). q35/q36 derive
+    everything from this narrow frame; keeping shingles as an array
+    instead of exploded rows is what makes minhash signatures a pure
+    projection and the verify step an ``array_intersect`` instead of an
+    explode → join → re-aggregate chain."""
     return (
         _docs(spark, sf_dir)
         .withColumn("tokens", F.expr(TOKENS_SPARK))
-        .withColumn("shingles", F.expr(SHINGLES_SPARK))
-        .select("doc_id", F.explode("shingles").alias("shingle"))
-        .distinct()
+        .withColumn("shingles", F.array_distinct(F.expr(SHINGLES_SPARK)))
+        .select("doc_id", "shingles", F.size("shingles").alias("n_shingles"))
     )
 
 
@@ -202,8 +220,12 @@ JACCARD_THRESHOLD = 0.5
 
 
 def q35_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _doc_shingles(spark, sf_dir).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    """Inverted-index pair generation: docs meet only on shared shingles
+    (never an all-pairs cross join), then one pair-count shuffle and two
+    broadcast size joins. At 100 TB the exploded (shingle, doc) postings
+    would be bucketed by shingle hash; the plan shape is unchanged."""
+    arr = _doc_shingle_arrays(spark, sf_dir).cache()
+    sh = arr.select("doc_id", F.explode("shingles").alias("shingle"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -211,18 +233,14 @@ def q35_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
+    sa = arr.select(F.col("doc_id").alias("doc1"), F.col("n_shingles").alias("n1"))
+    sb = arr.select(F.col("doc_id").alias("doc2"), F.col("n_shingles").alias("n2"))
     return (
-        inter.join(sa, F.col("doc1") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc2") == F.col("sb.doc_id"))
+        inter.join(F.broadcast(sa), "doc1")
+        .join(F.broadcast(sb), "doc2")
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("n_inter")
-                / (F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_inter")),
-                6,
-            ),
+            F.round(F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter")), 6),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc1", "doc2", "jaccard")
@@ -255,60 +273,59 @@ LSH_BAND_ROWS = 4       # rows per band -> 4 bands; s-curve threshold ~0.71
 
 
 def q36_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _doc_shingles(spark, sf_dir).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    """MinHash signatures as a pure projection (no shuffle): per doc,
+    ``sig[s] = array_min(transform(shingles, x -> md5(s || '|' || x)))``.
+    Bands are slices of the signature array; candidate pairs come from
+    one small equi-join on (band, band_sig); exact-Jaccard verification
+    is ``size(array_intersect(...))`` over the two shingle arrays joined
+    back by doc_id — no exploded postings, no re-aggregation.
 
-    # minhash signature: for each seed, min md5("<seed>|<shingle>")
-    sig = (
-        sh.withColumn("seed", F.explode(F.sequence(F.lit(0), F.lit(MINHASH_K - 1))))
-        .withColumn("h", F.md5(F.concat_ws("|", F.col("seed"), F.col("shingle"))))
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minh"))
+    Scale path: the only wide shuffle is on band_sig (short strings,
+    uniformly distributed md5s — no skew); verify joins are proportional
+    to the candidate count, which the band width tunes."""
+    arr = _doc_shingle_arrays(spark, sf_dir).cache()
+    sig_expr = (
+        f"transform(sequence(0, {MINHASH_K - 1}), "
+        "s -> array_min(transform(shingles, x -> md5(concat(cast(s as string), '|', x)))))"
     )
-    # band signature: concat of the band's minhashes in seed order
+    n_bands = MINHASH_K // LSH_BAND_ROWS
+    bands_expr = (
+        f"transform(sequence(0, {n_bands - 1}), "
+        f"b -> named_struct('band', b, 'band_sig', array_join(slice(sig, b * {LSH_BAND_ROWS} + 1, {LSH_BAND_ROWS}), ',')))"
+    )
+    # materialize the signature/band table: it is tiny (n_docs * n_bands
+    # short rows) and caching prevents the optimizer from inlining the
+    # md5 minhash fold into every downstream consumer (which would
+    # re-evaluate it once per band per use — measured 10-50x slowdowns)
     bands = (
-        sig.withColumn("band", F.expr(f"seed div {LSH_BAND_ROWS}"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.expr("transform(array_sort(collect_list(struct(seed, minh))), x -> x.minh)"),
-                ",",
-            ).alias("band_sig")
-        )
+        arr.withColumn("sig", F.expr(sig_expr))
+        .select("doc_id", F.explode(F.expr(bands_expr)).alias("bb"))
+        .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_sig").alias("band_sig"))
+        .cache()
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
+    # enumerate pairs within each bucket (single shuffle keyed by the
+    # bucket — no self-join, no second scan of the corpus)
+    pairs_expr = (
+        "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds)), "
+        "y -> named_struct('doc1', least(x, y), 'doc2', greatest(x, y)))))"
+    )
     candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        bands.groupBy("band", "band_sig")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .filter(F.size("ds") > 1)
+        .select(F.explode(F.expr(pairs_expr)).alias("p"))
+        .select("p.doc1", "p.doc2")
         .distinct()
     )
-    # exact-Jaccard verification, restricted to LSH candidates
-    s1 = sh.alias("s1")
-    s2 = sh.alias("s2")
-    inter = (
-        candidates.join(s1, F.col("doc1") == F.col("s1.doc_id"))
-        .join(s2, (F.col("doc2") == F.col("s2.doc_id")) & (F.col("s1.shingle") == F.col("s2.shingle")))
-        .groupBy("doc1", "doc2")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
+    pa = arr.select(F.col("doc_id").alias("doc1"), F.col("shingles").alias("sh1"), F.col("n_shingles").alias("n1"))
+    pb = arr.select(F.col("doc_id").alias("doc2"), F.col("shingles").alias("sh2"), F.col("n_shingles").alias("n2"))
     return (
-        inter.join(sa, F.col("doc1") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc2") == F.col("sb.doc_id"))
+        candidates.join(F.broadcast(pa), "doc1")
+        .join(F.broadcast(pb), "doc2")
+        .withColumn("n_inter", F.size(F.array_intersect("sh1", "sh2")))
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("n_inter")
-                / (F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_inter")),
-                6,
-            ),
+            F.round(F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter")), 6),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc1", "doc2", "jaccard")
