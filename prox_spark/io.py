@@ -1,0 +1,106 @@
+"""Sources and sinks (SURVEY.md §2.1 S1-S9) as thin, scale-aware
+wrappers over stock Spark readers/writers.
+
+Differences from the reference, by design (§4.2 anti-patterns):
+
+- JDBC reads take partitioning options (partitionColumn/num
+  Partitions) — the reference reads every table on a single task
+  (reference glue_scripts/bronze_ingestion_script.py:46-57);
+- JDBC writes run their pre-DDL through a plain JDBC connection
+  (OSS replacement for Glue's Redshift ``preactions``;
+  reference glue_scripts/s3_to_redshift_script.py:145-162);
+- CSV reads always carry an explicit schema + multiLine/escape
+  (the reference's seed CSVs embed quoted JSON and newlines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None,
+                  mode: str = "overwrite") -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """S9: seed-CSV reader (quoted multiline text, embedded JSON)."""
+    return (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .csv(path)
+    )
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    user: str,
+    password: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 8,
+) -> DataFrame:
+    """S1 with parallel range partitioning (fixes the reference's
+    single-partition scan)."""
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("user", user)
+        .option("password", password)
+    )
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound or 0))
+            .option("upperBound", str(upper_bound or 1_000_000))
+            .option("numPartitions", str(num_partitions))
+        )
+    return reader.load()
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    user: str,
+    password: str,
+    pre_ddl: str | None = None,
+    mode: str = "append",
+    batch_size: int = 10_000,
+) -> None:
+    """S8: JDBC sink with optional pre-DDL (CREATE TABLE IF NOT
+    EXISTS …), executed through the JVM's DriverManager — the OSS
+    equivalent of Glue's ``preactions``."""
+    if pre_ddl:
+        jvm = df.sparkSession._jvm  # noqa: SLF001 - py4j DDL side channel
+        conn = jvm.java.sql.DriverManager.getConnection(url, user, password)
+        try:
+            stmt = conn.createStatement()
+            stmt.execute(pre_ddl)
+            stmt.close()
+        finally:
+            conn.close()
+    (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("user", user)
+        .option("password", password)
+        .option("batchsize", str(batch_size))
+        .mode(mode)
+        .save()
+    )
