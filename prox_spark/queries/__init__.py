@@ -28,18 +28,18 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def all_queries() -> dict[str, QueryFn]:
-    from . import events, relational, similarity, text
+    from . import events, multimodal, relational, similarity, text
 
     out: dict[str, QueryFn] = {}
-    for mod in (relational, events, text, similarity):
+    for mod in (relational, events, text, similarity, multimodal):
         out.update(mod.QUERIES)
     return out
 
 
 def all_oracles() -> dict[str, str]:
-    from . import events, relational, similarity, text
+    from . import events, multimodal, relational, similarity, text
 
     out: dict[str, str] = {}
-    for mod in (relational, events, text, similarity):
+    for mod in (relational, events, text, similarity, multimodal):
         out.update(mod.ORACLES)
     return out

@@ -189,12 +189,126 @@ ORDER BY query_id, rank
 ORACLE_Q41 = _oracle_q41()
 
 
+# --- q42: embedding-cosine near-dup (multi-table LSH blocking) -------------
+
+NEARDUP_COS = 0.42
+ND_TABLES = 4   # L hash tables ...
+ND_BITS = 5     # ... of b bits each: recall = 1 - (1 - p^b)^L
+
+_ND_PLANES = [
+    [
+        [
+            1 if int(hashlib.md5(f"ndplane:{t}:{b}:{i}".encode()).hexdigest()[:2], 16) % 2 == 0 else -1
+            for i in range(EMB_DIM)
+        ]
+        for b in range(ND_BITS)
+    ]
+    for t in range(ND_TABLES)
+]
+
+
+def _nd_bucket_spark(vec: str, table: int) -> str:
+    terms = []
+    for b, row in enumerate(_ND_PLANES[table]):
+        arr = "array(" + ", ".join(f"{v}.0D" for v in row) + ")"
+        terms.append(f"CASE WHEN {DOT_SPARK.format(a=vec, b=arr)} > 0 THEN {1 << b} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _nd_bucket_duck(vec: str, table: int) -> str:
+    terms = []
+    for b, row in enumerate(_ND_PLANES[table]):
+        arr = "[" + ", ".join(f"{v}.0" for v in row) + "]::DOUBLE[]"
+        terms.append(f"CASE WHEN {DOT_DUCK.format(a=vec, b=arr)} > 0 THEN {1 << b} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+def q42_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate detection over embeddings — the vector-space
+    counterpart of q36's MinHash-LSH: L=4 independent hyperplane tables
+    of b=5 bits block the corpus; only same-bucket pairs (union over
+    tables, distinct) get the exact cosine verification. Sub-quadratic
+    where the brute-force all-pairs join is O(N^2): at 100 TB the bucket
+    equi-join shuffles on a 5-bit key per table and candidate volume is
+    ~N^2 * 2^-b per table — tunable recall/cost, no cross join anywhere.
+    """
+    # norm precomputed ONCE per vector: each candidate pair then costs a
+    # single dot fold (vs 3 folds for inline cosine) — at N^2*2^-b
+    # candidate volume this is the dominant term
+    emb = _emb(spark, sf_dir).withColumn(
+        "nrm", F.expr(f"sqrt({DOT_SPARK.format(a='dd', b='dd')})")
+    )
+    buckets_expr = "array(" + ", ".join(
+        f"named_struct('t', {t}, 'bkt', {_nd_bucket_spark('dd', t)})" for t in range(ND_TABLES)
+    ) + ")"
+    tagged = (
+        emb.select("vec_id", F.explode(F.expr(buckets_expr)).alias("tb"))
+        .select("vec_id", F.col("tb.t").alias("t"), F.col("tb.bkt").alias("bkt"))
+    )
+    a = tagged.alias("a")
+    b = tagged.alias("b")
+    # candidate ids only (narrow shuffle), distinct BEFORE vectors rejoin
+    cand = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id1"), F.col("b.vec_id").alias("id2"))
+        .distinct()
+    )
+    e1 = emb.select(F.col("vec_id").alias("id1"), F.col("dd").alias("v1"), F.col("nrm").alias("n1"))
+    e2 = emb.select(F.col("vec_id").alias("id2"), F.col("dd").alias("v2"), F.col("nrm").alias("n2"))
+    return (
+        cand.join(F.broadcast(e1), "id1")
+        .join(F.broadcast(e2), "id2")
+        .withColumn(
+            "cosine",
+            F.expr(f"{DOT_SPARK.format(a='v1', b='v2')} / (n1 * n2)"),
+        )
+        .filter(F.col("cosine") >= NEARDUP_COS)
+        .select("id1", "id2", "cosine")
+        .orderBy("id1", "id2")
+    )
+
+
+# DuckDB side: express the L tables as a UNION ALL (same candidate
+# semantics as the Spark explode over per-table buckets).
+_ND_TAGGED_DUCK = " UNION ALL ".join(
+    f"SELECT vec_id, dd, {t} AS t, {_nd_bucket_duck('dd', t)} AS bkt FROM e"
+    for t in range(ND_TABLES)
+)
+
+_ND_DOT = DOT_DUCK.format(a="e1.dd", b="e2.dd")
+
+ORACLE_Q42 = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS dd,
+         sqrt({DOT_DUCK.format(a='embedding::DOUBLE[]', b='embedding::DOUBLE[]')}) AS nrm
+  FROM embeddings
+),
+tagged AS ({_ND_TAGGED_DUCK}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+  FROM tagged a JOIN tagged b
+    ON a.t = b.t AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+)
+SELECT id1, id2, {_ND_DOT} / (e1.nrm * e2.nrm) AS cosine
+FROM cand JOIN e e1 ON id1 = e1.vec_id JOIN e e2 ON id2 = e2.vec_id
+WHERE {_ND_DOT} / (e1.nrm * e2.nrm) >= {NEARDUP_COS}
+ORDER BY id1, id2
+"""
+
+
 QUERIES = {
     "q40_cosine_topk": q40_cosine_topk,
     "q41_lsh_ann": q41_lsh_ann,
+    "q42_embed_neardup": q42_embed_neardup,
 }
 
 ORACLES = {
     "q40_cosine_topk": ORACLE_Q40,
     "q41_lsh_ann": ORACLE_Q41,
+    "q42_embed_neardup": ORACLE_Q42,
 }

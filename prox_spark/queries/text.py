@@ -66,6 +66,23 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
+def _spread_py(df: DataFrame, cap: int = 8) -> DataFrame:
+    """Partition spread for Arrow/Python UDF stages, capped at ``cap``
+    concurrent workers per JVM. Production executors run 4-8 cores, so
+    <=8 Python workers per JVM is the real-cluster shape; in local[32]
+    a 32-worker fork storm inside one huge JVM is also measurably
+    pathological on virtualized kernels (page-fault/fork syscalls cost
+    3-10x bare metal — observed 10x wall-time regressions). Override
+    via SPARK_GRAFT_PY_PARTITIONS."""
+    import os
+
+    target = min(
+        int(os.environ.get("SPARK_GRAFT_PY_PARTITIONS", cap)),
+        df.sparkSession.sparkContext.defaultParallelism,
+    )
+    return df.repartition(target)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
@@ -494,6 +511,69 @@ ORDER BY doc_id
 ORACLE_Q38 = _simhash_oracle()
 
 
+# --- q39: sentiment scoring (vectorized pandas_udf) ------------------------
+
+POS_WORDS = ("fast", "big", "merge", "join")
+NEG_WORDS = ("slow", "small", "filter", "scan")
+
+
+def q39_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentiment scoring via an Arrow-batched scalar pandas_udf.
+
+    The engine's stand-in for the reference's externally-produced
+    ``feedback_sentiment`` table (reference transformations_script.py:130-135;
+    sql/table_creation_2:232-237) — the one capability PROX consumes but
+    never computes. Counting happens in Python (the lexicon lookup is the
+    "model"), but only *integer counts* cross the Arrow boundary; the
+    score arithmetic/rounding stays JVM-side so it is bit-identical to the
+    DuckDB oracle. At 100 TB this is the correct split: the UDF is a
+    map-only pass (no shuffle), Arrow-batched, and emits 24 bytes/doc.
+    """
+    from prox_spark.queries._udfs import sentiment_counts_udf
+
+    docs = _spread_py(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    counts = sentiment_counts_udf(POS_WORDS, NEG_WORDS)
+    c = docs.select("doc_id", counts(F.col("text")).alias("c"))
+    score = F.round((F.col("c.n_pos") - F.col("c.n_neg")) / F.col("c.n_tokens"), 6)
+    return (
+        c.select(
+            "doc_id",
+            F.col("c.n_pos").alias("n_pos"),
+            F.col("c.n_neg").alias("n_neg"),
+            score.alias("sentiment_score"),
+        )
+        .withColumn(
+            "sentiment_label",
+            F.when(F.col("sentiment_score") > 0, "POSITIVE")
+            .when(F.col("sentiment_score") < 0, "NEGATIVE")
+            .otherwise("NEUTRAL"),
+        )
+        .withColumn("is_suspicious", F.abs("sentiment_score") >= 0.2)
+        .orderBy("doc_id")
+    )
+
+
+_POS_SQL = ", ".join(f"'{w}'" for w in POS_WORDS)
+_NEG_SQL = ", ".join(f"'{w}'" for w in NEG_WORDS)
+
+ORACLE_Q39 = f"""
+SELECT doc_id, n_pos, n_neg,
+       round((n_pos - n_neg) / n_tokens, 6) AS sentiment_score,
+       CASE WHEN round((n_pos - n_neg) / n_tokens, 6) > 0 THEN 'POSITIVE'
+            WHEN round((n_pos - n_neg) / n_tokens, 6) < 0 THEN 'NEGATIVE'
+            ELSE 'NEUTRAL' END AS sentiment_label,
+       abs(round((n_pos - n_neg) / n_tokens, 6)) >= 0.2 AS is_suspicious
+FROM (
+  SELECT doc_id,
+         CAST(len(tokens) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(tokens, t -> list_contains([{_POS_SQL}], t))) AS BIGINT) AS n_pos,
+         CAST(len(list_filter(tokens, t -> list_contains([{_NEG_SQL}], t))) AS BIGINT) AS n_neg
+  FROM (SELECT doc_id, {TOKENS_DUCK} AS tokens FROM documents)
+)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q30_exact_dedup": q30_exact_dedup,
     "q31_text_stats": q31_text_stats,
@@ -504,9 +584,11 @@ QUERIES = {
     "q36_minhash_lsh": q36_minhash_lsh,
     "q37_langid": q37_langid,
     "q38_simhash": q38_simhash,
+    "q39_sentiment": q39_sentiment,
 }
 
 ORACLES = {
+    "q39_sentiment": ORACLE_Q39,
     "q30_exact_dedup": ORACLE_Q30,
     "q31_text_stats": ORACLE_Q31,
     "q32_regex_token_count": ORACLE_Q32,

@@ -1,0 +1,106 @@
+"""Structured Streaming surface over the `events` table
+(SURVEY.md §2.10; the reference is batch-only — its pipeline runs on
+a Step Functions schedule — so this is the capability extension that
+turns the same declarative builders into a continuous pipeline).
+
+Design: every streaming operator shares its builder with a batch twin
+in prox_spark/queries/events.py, so the DuckDB oracle checks the
+windowed *semantics* in batch mode, and the streaming tests check the
+incremental execution (watermarks, state cleanup, exactly-once file
+sinks) on the same data.
+
+Scale notes (1000-executor / 100 TB-day):
+- tumbling/session windows keyed by (window, type) / (user, window):
+  state is per-key+window and bounded by the watermark — late data
+  past ``DELAY`` is dropped, state for closed windows is evicted.
+- ``dropDuplicatesWithinWatermark`` keeps only event_ids younger than
+  the watermark — bounded state for at-least-once upstreams, vs. the
+  unbounded state of plain streaming ``dropDuplicates``.
+- file sources scale by partition count of the arriving files;
+  ``maxFilesPerTrigger`` paces backfills.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+DEFAULT_WATERMARK = "2 hours"
+SESSION_GAP = "30 minutes"
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    schema,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a directory of event parquet files."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
+
+
+def hourly_stats(events: DataFrame, watermark: str | None = None) -> DataFrame:
+    """Tumbling 1-hour window stats — twin of q20_hourly_event_stats;
+    identical output schema so batch/stream results are comparable."""
+    ev = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"), "event_type", "n_events", "sum_value"
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Exactly-once event feed from an at-least-once upstream: state
+    holds only ids within the watermark horizon (bounded), unlike plain
+    streaming dropDuplicates whose state grows forever."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def session_stats(events: DataFrame, gap: str = SESSION_GAP, watermark: str | None = None) -> DataFrame:
+    """Native session windows (F.session_window): gap-based sessions as
+    a single stateful aggregation — the declarative form of q21's
+    lag+cumsum sessionization, and the only form that runs incrementally
+    under a watermark."""
+    ev = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_to_memory(
+    sdf: DataFrame, name: str, output_mode: str = "append", timeout_s: int = 120
+) -> DataFrame:
+    """Drain a stream into an in-memory table with an availableNow
+    trigger (test/verification helper) and return the result as a
+    batch DataFrame."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        q.stop()
+    return sdf.sparkSession.table(name)

@@ -1,0 +1,98 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from prox_spark.streaming import (
+    dedup_within_watermark,
+    hourly_stats,
+    read_event_stream,
+    run_to_memory,
+    session_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, tmp_path_factory):
+    """Batch-normalized sf0.001 events written as a 4-file directory —
+    the arriving-files layout a file-source stream consumes."""
+    from prox_spark.queries.events import _events
+
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    # watermarks require TIMESTAMP (not NTZ) event time; session TZ is
+    # UTC so the cast is value-preserving
+    _events(spark, "/root/testdata/sf0.001").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).repartition(4).write.mode("overwrite").parquet(path)
+    return path
+
+
+@pytest.fixture(scope="module")
+def event_batch(spark, event_dir):
+    return spark.read.parquet(event_dir)
+
+
+def _rows(df, *order):
+    return [tuple(r) for r in df.orderBy(*order).collect()]
+
+
+def test_hourly_stats_stream_matches_batch(spark, event_dir, event_batch):
+    stream = read_event_stream(spark, event_dir, event_batch.schema, max_files_per_trigger=2)
+    got = run_to_memory(
+        hourly_stats(stream, watermark="2 hours"), "hourly_mem", output_mode="complete"
+    )
+    want = hourly_stats(event_batch)
+    assert _rows(got, "hour_start", "event_type") == _rows(want, "hour_start", "event_type")
+
+
+def test_dedup_within_watermark_bounds_duplicates(spark, event_batch, tmp_path):
+    dup_dir = str(tmp_path / "dup")
+    # at-least-once upstream: every file delivered twice
+    event_batch.limit(200).write.mode("overwrite").parquet(dup_dir)
+    event_batch.limit(200).write.mode("append").parquet(dup_dir)
+    dup_batch = spark.read.parquet(dup_dir)
+    assert dup_batch.count() == 400
+
+    stream = read_event_stream(spark, dup_dir, event_batch.schema)
+    got = run_to_memory(dedup_within_watermark(stream), "dedup_mem", output_mode="append")
+    assert got.count() == got.select("event_id").distinct().count()
+    assert got.count() == 200
+
+
+def test_session_stats_stream_matches_batch(spark, event_dir, event_batch):
+    stream = read_event_stream(spark, event_dir, event_batch.schema)
+    got = run_to_memory(
+        session_stats(stream, watermark="2 hours"), "session_mem", output_mode="complete"
+    )
+    want = session_stats(event_batch)
+    assert _rows(got, "user_id", "session_start") == _rows(want, "user_id", "session_start")
+    # sessions are disjoint per user and each covers >= 1 event
+    bad = got.filter(F.col("session_end") < F.col("session_start")).count()
+    assert bad == 0
+
+
+def test_session_stats_agrees_with_lag_sessionization(spark, event_batch):
+    """Native session_window must produce the same session boundaries as
+    q21's lag+cumsum formulation (same 30-min gap)."""
+    from prox_spark.queries.events import SESSION_GAP_MIN
+
+    native = session_stats(event_batch, gap=f"{SESSION_GAP_MIN} minutes")
+    # q21 reads from sf_dir itself; rebuild its lag+cumsum sessionization
+    # from the same frame (session_end differs by design: session_window
+    # ends at last_event + gap, the lag form at max(ts) — compare starts)
+    from pyspark.sql import Window as W
+
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(order)
+    is_new = F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60 * 1_000_000), 1).otherwise(0)
+    sess = event_batch.withColumn(
+        "session_id", F.sum(is_new).over(order.rowsBetween(W.unboundedPreceding, 0))
+    ).groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    a = {(r.user_id, r.session_start, r.n_events) for r in native.collect()}
+    b = {(r.user_id, r.session_start, r.n_events) for r in sess.collect()}
+    assert a == b
