@@ -28,18 +28,18 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def all_queries() -> dict[str, QueryFn]:
-    from . import events, multimodal, relational, similarity, text
+    from . import events, multimodal, relational, similarity, streaming_q, text
 
     out: dict[str, QueryFn] = {}
-    for mod in (relational, events, text, similarity, multimodal):
+    for mod in (relational, events, text, similarity, multimodal, streaming_q):
         out.update(mod.QUERIES)
     return out
 
 
 def all_oracles() -> dict[str, str]:
-    from . import events, multimodal, relational, similarity, text
+    from . import events, multimodal, relational, similarity, streaming_q, text
 
     out: dict[str, str] = {}
-    for mod in (relational, events, text, similarity, multimodal):
+    for mod in (relational, events, text, similarity, multimodal, streaming_q):
         out.update(mod.ORACLES)
     return out

@@ -392,6 +392,136 @@ ORDER BY o_orderstatus
 """
 
 
+# --- q15: rollup (grouping-sets family; extension beyond SURVEY §2.4) ------
+
+def q15_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals region -> nation -> grand total via
+    ``rollup`` — one shuffle, Catalyst expands the grouping sets; the
+    reference's BI layer derives these subtotals in Power BI instead
+    (reference README.md:125-128)."""
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    joined = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+ORACLE_Q15 = """
+SELECT r_name, n_name,
+       count(*)                 AS n_customers,
+       round(sum(c_acctbal), 2) AS sum_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY r_name, n_name
+"""
+
+
+# --- q16: set operations (SURVEY §2.7 — absent in reference, added) --------
+
+SETOP_BAL = -900.0
+
+
+def q16_nation_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set semantics over two sparse nation sets
+    (nations having a deeply-negative-balance customer vs supplier)."""
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    cn = (
+        cust.filter(F.col("c_acctbal") < SETOP_BAL)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .select("n_name")
+        .distinct()
+    )
+    sn = (
+        sup.filter(F.col("s_acctbal") < SETOP_BAL)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .select("n_name")
+        .distinct()
+    )
+    both = cn.intersect(sn).select(F.lit("both").alias("tag"), "n_name")
+    cust_only = cn.exceptAll(sn).select(F.lit("cust_only").alias("tag"), "n_name")
+    supp_only = sn.exceptAll(cn).select(F.lit("supp_only").alias("tag"), "n_name")
+    return both.unionAll(cust_only).unionAll(supp_only).orderBy("tag", "n_name")
+
+
+ORACLE_Q16 = f"""
+WITH cn AS (
+  SELECT DISTINCT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+  WHERE c_acctbal < {SETOP_BAL}
+), sn AS (
+  SELECT DISTINCT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE s_acctbal < {SETOP_BAL}
+)
+SELECT 'both' AS tag, n_name FROM (SELECT n_name FROM cn INTERSECT SELECT n_name FROM sn)
+UNION ALL
+SELECT 'cust_only', n_name FROM (SELECT n_name FROM cn EXCEPT SELECT n_name FROM sn)
+UNION ALL
+SELECT 'supp_only', n_name FROM (SELECT n_name FROM sn EXCEPT SELECT n_name FROM cn)
+ORDER BY tag, n_name
+"""
+
+
+# --- q17: semi/anti joins (SURVEY §2.3 — out of reference scope, added) ----
+
+def q17_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi / left_anti existence joins per nation. Scale: both are
+    shuffle joins on c_custkey/o_custkey where only the key column of
+    orders crosses the wire (semi/anti never materialize the payload);
+    the nation attach is broadcast."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    nat = _t(spark, sf_dir, "nation")
+    with_orders = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_with_orders"))
+    )
+    without_orders = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_without_orders"))
+    )
+    return (
+        with_orders.join(without_orders, "n_name", "full_outer")
+        .select(
+            "n_name",
+            F.coalesce("n_with_orders", F.lit(0)).alias("n_with_orders"),
+            F.coalesce("n_without_orders", F.lit(0)).alias("n_without_orders"),
+        )
+        .orderBy("n_name")
+    )
+
+
+ORACLE_Q17 = """
+SELECT n_name,
+       CAST(sum(CASE WHEN has_order THEN 1 ELSE 0 END) AS BIGINT)     AS n_with_orders,
+       CAST(sum(CASE WHEN has_order THEN 0 ELSE 1 END) AS BIGINT)     AS n_without_orders
+FROM (
+  SELECT c_nationkey,
+         EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_order
+  FROM customer
+) c
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top5_suppliers": q02_top5_suppliers,
@@ -407,9 +537,15 @@ QUERIES = {
     "q12_segment_status_matrix": q12_segment_status_matrix,
     "q13_active_nations": q13_active_nations,
     "q14_orders_since_week": q14_orders_since_week,
+    "q15_rollup": q15_rollup,
+    "q16_nation_setops": q16_nation_setops,
+    "q17_customers_without_orders": q17_customers_without_orders,
 }
 
 ORACLES = {
+    "q15_rollup": ORACLE_Q15,
+    "q16_nation_setops": ORACLE_Q16,
+    "q17_customers_without_orders": ORACLE_Q17,
     "q01_pricing_summary": ORACLE_Q01,
     "q02_top5_suppliers": ORACLE_Q02,
     "q03_avg_acctbal_by_nation": ORACLE_Q03,

@@ -301,14 +301,110 @@ ORDER BY id1, id2
 """
 
 
+# --- q45: IVF-style ANN (coarse quantizer + cluster probe) -----------------
+
+IVF_K = 8        # centroids (deterministic: the first K vectors by vec_id)
+IVF_NPROBE = 2   # clusters probed per query
+
+
+def q45_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-file ANN: a coarse quantizer (K fixed centroid vectors)
+    partitions the corpus into cluster lists; each query probes only its
+    NPROBE nearest clusters and scores those lists exactly.
+
+    The scale path complementary to q41's LSH: assignment is one
+    broadcast pass over the corpus (K tiny), the probe join is an
+    equi-join on cluster id — candidate volume ~ NPROBE/K of the corpus
+    per query. At 100 TB the cluster lists become the physical
+    partitioning (write bucketed by cid) so a probe reads only its
+    buckets. Centroids here are the first K vectors by vec_id —
+    deterministic stand-ins for trained k-means centroids (training is
+    an offline job; the serving plan is identical either way)."""
+    emb = _emb(spark, sf_dir).withColumn(
+        "nrm", F.expr(f"sqrt({DOT_SPARK.format(a='dd', b='dd')})")
+    )
+    cent = emb.filter(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("dd").alias("cdd"), F.col("nrm").alias("cnrm")
+    )
+    sim = F.expr(f"{DOT_SPARK.format(a='dd', b='cdd')} / (nrm * cnrm)")
+    ranked = (
+        emb.crossJoin(F.broadcast(cent))
+        .withColumn("csim", sim)
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
+            ),
+        )
+    )
+    assign = ranked.filter(F.col("crank") == 1).select("vec_id", "cid", "dd", "nrm")
+    probes = (
+        ranked.filter((F.col("vec_id") < N_QUERIES) & (F.col("crank") <= IVF_NPROBE))
+        .select(F.col("vec_id").alias("query_id"), "cid",
+                F.col("dd").alias("qv"), F.col("nrm").alias("qn"))
+    )
+    scored = (
+        assign.join(F.broadcast(probes), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", F.expr(f"{DOT_SPARK.format(a='qv', b='dd')} / (qn * nrm)"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "rank", "cosine")
+        .orderBy("query_id", "rank")
+    )
+
+
+ORACLE_Q45 = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS dd,
+         sqrt({DOT_DUCK.format(a='embedding::DOUBLE[]', b='embedding::DOUBLE[]')}) AS nrm
+  FROM embeddings
+),
+cent AS (SELECT vec_id AS cid, dd AS cdd, nrm AS cnrm FROM e WHERE vec_id < {IVF_K}),
+ranked AS (
+  SELECT e.vec_id, e.dd, e.nrm, cent.cid,
+         {DOT_DUCK.format(a='e.dd', b='cent.cdd')} / (e.nrm * cent.cnrm) AS csim,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {DOT_DUCK.format(a='e.dd', b='cent.cdd')} / (e.nrm * cent.cnrm) DESC, cent.cid ASC
+         ) AS crank
+  FROM e CROSS JOIN cent
+),
+assign AS (SELECT vec_id, cid, dd, nrm FROM ranked WHERE crank = 1),
+probes AS (
+  SELECT vec_id AS query_id, cid, dd AS qv, nrm AS qn
+  FROM ranked WHERE vec_id < {N_QUERIES} AND crank <= {IVF_NPROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         {DOT_DUCK.format(a='p.qv', b='a.dd')} / (p.qn * a.nrm) AS cosine
+  FROM assign a JOIN probes p ON a.cid = p.cid
+  WHERE a.vec_id <> p.query_id
+),
+final AS (
+  SELECT query_id, vec_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, rank, cosine
+FROM final WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
     "q40_cosine_topk": q40_cosine_topk,
     "q41_lsh_ann": q41_lsh_ann,
     "q42_embed_neardup": q42_embed_neardup,
+    "q45_ivf_ann": q45_ivf_ann,
 }
 
 ORACLES = {
     "q40_cosine_topk": ORACLE_Q40,
     "q41_lsh_ann": ORACLE_Q41,
     "q42_embed_neardup": ORACLE_Q42,
+    "q45_ivf_ann": ORACLE_Q45,
 }

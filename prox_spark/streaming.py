@@ -86,6 +86,39 @@ def session_stats(events: DataFrame, gap: str = SESSION_GAP, watermark: str | No
     )
 
 
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (n_events, sum_value) kept in explicit group state across
+    micro-batches — the escape hatch for stateful logic Spark's built-in
+    windowed aggs can't express (per-key custom accumulators, ML feature
+    state, cross-batch counters).
+
+    Scale: state is (long, double) per user, hash-partitioned by
+    user_id across executors and checkpointed by the state store; each
+    micro-batch touches only the users present in the batch. Output
+    mode "update" emits one row per touched user per batch."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update_totals(key, pdfs, state):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value_raw": [s]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update_totals,
+        outputStructType="user_id long, n_events long, sum_value_raw double",
+        stateStructType="n long, s double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(
     sdf: DataFrame, name: str, output_mode: str = "append", timeout_s: int = 120
 ) -> DataFrame:
