@@ -65,6 +65,9 @@ class Catalog:
 
 def testdata_catalog(spark: SparkSession, sf_dir: str) -> Catalog:
     """Catalog over the driver-generated testdata directory."""
+    # events.parquet carries INT64 TIMESTAMP(NANOS) which Spark 4 only
+    # reads with the legacy long mapping (queries/events.py normalizes)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     cat = Catalog(spark)
     cat.register_dir(sf_dir)
     return cat
