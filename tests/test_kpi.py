@@ -158,3 +158,28 @@ def test_topk_plan_is_take_ordered(silver):
         )._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_sql_entry_point_matches_builder(spark, silver):
+    """SURVEY.md §3.3: the same KPI expressed as SQL text over temp
+    views must agree with the DataFrame builder — SQL and DataFrame
+    APIs produce the same logical plan IR."""
+    from prox_spark.kpi import top5_providers_by_bookings
+
+    for name in ("bookings", "services", "service_providers"):
+        silver[name].createOrReplaceTempView(name)
+    via_sql = spark.sql(
+        """
+        SELECT s.provider_id, sp.business_name, COUNT(*) AS total_bookings
+        FROM bookings b
+        JOIN services s ON b.service_id = s.service_id
+        JOIN service_providers sp ON s.provider_id = sp.provider_id
+        GROUP BY s.provider_id, sp.business_name
+        ORDER BY total_bookings DESC, s.provider_id
+        LIMIT 5
+        """
+    ).collect()
+    via_df = top5_providers_by_bookings(
+        silver["bookings"], silver["services"], silver["service_providers"]
+    ).collect()
+    assert [tuple(r) for r in via_sql] == [tuple(r) for r in via_df]
