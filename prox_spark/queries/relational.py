@@ -522,6 +522,63 @@ ORDER BY n_name
 """
 
 
+# --- q18: pivot (wide conditional aggregation) -----------------------------
+
+ORDER_STATUSES = ("F", "O", "P")
+
+
+def q18_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``groupBy().pivot()`` with an explicit value list — Catalyst
+    compiles it to one pass of conditional aggregates (same single
+    shuffle as a plain group-by; never give pivot an unbounded value
+    set at scale, it widens the schema per value)."""
+    orders = _t(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", list(ORDER_STATUSES))
+        .count()
+    )
+    return out.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(s) for s in ORDER_STATUSES],
+    ).orderBy("o_orderpriority")
+
+
+ORACLE_Q18 = """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# --- q19: HLL sketch (approx_count_distinct; rows-only check) --------------
+
+def q19_approx_distinct_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-count sketch per nation — the constant-
+    memory scale path for cardinality (exact distinct shuffles every
+    key; the sketch is a few KB per group regardless of input size).
+    Sketch values are engine-specific, so there is deliberately NO
+    DuckDB oracle — the driver records the weaker rows-only check; the
+    exact-distinct twin is asserted in tests/test_sketches.py."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custkeys"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("n_name")
+    )
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top5_suppliers": q02_top5_suppliers,
@@ -540,9 +597,12 @@ QUERIES = {
     "q15_rollup": q15_rollup,
     "q16_nation_setops": q16_nation_setops,
     "q17_customers_without_orders": q17_customers_without_orders,
+    "q18_pivot_status": q18_pivot_status,
+    "q19_approx_distinct_custkeys": q19_approx_distinct_custkeys,
 }
 
 ORACLES = {
+    "q18_pivot_status": ORACLE_Q18,
     "q15_rollup": ORACLE_Q15,
     "q16_nation_setops": ORACLE_Q16,
     "q17_customers_without_orders": ORACLE_Q17,
