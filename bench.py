@@ -51,8 +51,13 @@ def main() -> None:
         fn(spark, sf_dir).collect()
         timings[name] = round(time.monotonic() - t0, 3)
         # queries are self-contained: drop any cache a query pinned so
-        # storage pressure never accumulates across the suite
+        # storage pressure never accumulates across the suite, and drop
+        # Python-side plan refs so the ContextCleaner (weak-ref based)
+        # can reclaim shuffle files between queries
         spark.catalog.clearCache()
+        import gc
+
+        gc.collect()
 
     total = round(sum(timings.values()), 3)
     print(
