@@ -130,11 +130,18 @@ def _hyperplanes(bits: int = LSH_BITS, dim: int = EMB_DIM) -> list[list[int]]:
 _PLANES = _hyperplanes()
 
 
-def _plane_buckets(emb: DataFrame, plane_rows: list[tuple[int, int, list[float]]]) -> DataFrame:
-    """(vec_id, t, bkt) via a broadcast plane TABLE + one uniform dot
-    fold per (vector, plane) row, bits assembled by a partial-aggregated
-    groupBy — the codegen-friendly form of hyperplane signatures (the
-    inline-literal megamethod form stalls the JIT; see _emb_n note)."""
+def _plane_buckets(
+    emb: DataFrame,
+    plane_rows: list[tuple[int, int, list[float]]],
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """(vec_id, t, bkt [, carry...]) via a broadcast plane TABLE + one
+    uniform dot fold per (vector, plane) row, bits assembled by a
+    partial-aggregated groupBy — the codegen-friendly form of hyperplane
+    signatures (the inline-literal megamethod form stalls the JIT; see
+    _emb_n note). ``carry`` columns ride through the groupBy as
+    ``first()`` (identical within a group), saving the join-back shuffle
+    a consumer would otherwise pay to re-attach vectors."""
     spark = emb.sparkSession
     planes = spark.createDataFrame(plane_rows, "t int, b int, plane array<double>")
     return (
@@ -144,7 +151,8 @@ def _plane_buckets(emb: DataFrame, plane_rows: list[tuple[int, int, list[float]]
         .agg(
             F.sum(
                 F.when(F.col("dot") > 0, F.expr("shiftleft(1L, b)")).otherwise(0)
-            ).cast("long").alias("bkt")
+            ).cast("long").alias("bkt"),
+            *[F.first(c).alias(c) for c in carry],
         )
     )
 
@@ -170,8 +178,7 @@ _TAGGED_DUCK = _TAGGED_DUCK_TMPL.format(dot=DOT_DUCK.format(a="dd", b="plane"))
 
 def q41_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb_n(spark, sf_dir)
-    buckets = _plane_buckets(emb, _Q41_PLANE_ROWS).select("vec_id", "bkt")
-    tagged = emb.join(buckets, "vec_id")
+    tagged = _plane_buckets(emb, _Q41_PLANE_ROWS, carry=("dd", "nrm"))
     queries = tagged.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("dd").alias("qv"),
         F.col("nrm").alias("qn"), F.col("bkt").alias("qb"),
