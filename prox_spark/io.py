@@ -31,6 +31,28 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
     w.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    path: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed + sorted parquet table (hash co-location). Two tables
+    bucketed on the same key with the same bucket count join WITHOUT any
+    shuffle exchange (asserted in tests/test_io_catalog.py) — the
+    pre-partitioning strategy for repeated large-large joins at 100 TB:
+    pay the shuffle once at write time, never again at read time."""
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .option("path", path)
+        .saveAsTable(name)
+    )
+
+
 def read_csv(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     """S9: seed-CSV reader (quoted multiline text, embedded JSON)."""
     return (

@@ -579,6 +579,47 @@ def q19_approx_distinct_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q27: unpivot / melt (wide -> long reshape) ----------------------------
+
+def q27_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.unpivot`` — the inverse of q18's pivot: wide measure
+    columns melt into (measure, value) rows. Map-side only (a generator
+    expression per row, no shuffle beyond the feeding aggregation)."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum("l_discount"), 2).alias("sum_discount"),
+    )
+    return (
+        wide.unpivot(
+            ["l_returnflag"],
+            ["sum_qty", "sum_base_price", "sum_discount"],
+            "measure",
+            "value",
+        )
+        .orderBy("l_returnflag", "measure")
+    )
+
+
+ORACLE_Q27 = """
+WITH wide AS (
+  SELECT l_returnflag,
+         round(sum(l_quantity), 2)      AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_discount), 2)      AS sum_discount
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
+UNION ALL
+SELECT l_returnflag, 'sum_base_price', sum_base_price FROM wide
+UNION ALL
+SELECT l_returnflag, 'sum_discount', sum_discount FROM wide
+ORDER BY l_returnflag, measure
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top5_suppliers": q02_top5_suppliers,
@@ -599,9 +640,11 @@ QUERIES = {
     "q17_customers_without_orders": q17_customers_without_orders,
     "q18_pivot_status": q18_pivot_status,
     "q19_approx_distinct_custkeys": q19_approx_distinct_custkeys,
+    "q27_unpivot_measures": q27_unpivot_measures,
 }
 
 ORACLES = {
+    "q27_unpivot_measures": ORACLE_Q27,
     "q18_pivot_status": ORACLE_Q18,
     "q15_rollup": ORACLE_Q15,
     "q16_nation_setops": ORACLE_Q16,

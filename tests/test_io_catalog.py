@@ -80,3 +80,34 @@ def test_catalog_unknown_table_raises(spark):
         assert "ghost" in str(e)
     else:
         raise AssertionError("expected KeyError")
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Same-key/same-count bucketed tables must SortMergeJoin with ZERO
+    exchanges — the pay-once co-location strategy for repeated joins."""
+    from prox_spark.io import write_bucketed
+
+    a = spark.range(5000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v1"))
+    b = spark.range(5000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("v2"))
+    write_bucketed(a, "bt_a", str(tmp_path / "bt_a"), ["k"], n_buckets=4)
+    write_bucketed(b, "bt_b", str(tmp_path / "bt_b"), ["k"], n_buckets=4)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("bt_a").join(spark.table("bt_b"), "k")
+        import contextlib
+        import io as _io
+
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "Exchange" not in plan  # co-located: no shuffle at all
+        assert plan.count("Bucketed: true") == 2
+        assert j.count() == 5000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bt_a")
+        spark.sql("DROP TABLE IF EXISTS bt_b")
