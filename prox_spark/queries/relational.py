@@ -620,6 +620,69 @@ ORDER BY l_returnflag, measure
 """
 
 
+# --- q28: cube (all grouping-set combinations) -----------------------------
+
+def q28_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``cube`` — every combination of (status, priority) incl. both
+    subtotal axes and the grand total; like rollup, one shuffle with
+    Catalyst expanding the grouping sets."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+ORACLE_Q28 = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*)                  AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+# --- q29: ntile quartiles (rank-family window) -----------------------------
+
+def q29_acctbal_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ntile(4)`` per nation over a deterministic order (balance with
+    custkey tie-break), aggregated to quartile boundaries."""
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    w = W.partitionBy("n_name").orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("n_name", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.min("c_acctbal"), 2).alias("lo"),
+            F.round(F.max("c_acctbal"), 2).alias("hi"),
+        )
+        .orderBy("n_name", "quartile")
+    )
+
+
+ORACLE_Q29 = """
+SELECT n_name, quartile,
+       count(*)                AS n_customers,
+       round(min(c_acctbal), 2) AS lo,
+       round(max(c_acctbal), 2) AS hi
+FROM (
+  SELECT n_name, c_acctbal,
+         CAST(ntile(4) OVER (PARTITION BY n_name ORDER BY c_acctbal, c_custkey) AS INTEGER) AS quartile
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+)
+GROUP BY n_name, quartile
+ORDER BY n_name, quartile
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top5_suppliers": q02_top5_suppliers,
@@ -641,10 +704,14 @@ QUERIES = {
     "q18_pivot_status": q18_pivot_status,
     "q19_approx_distinct_custkeys": q19_approx_distinct_custkeys,
     "q27_unpivot_measures": q27_unpivot_measures,
+    "q28_cube_status_priority": q28_cube_status_priority,
+    "q29_acctbal_quartiles": q29_acctbal_quartiles,
 }
 
 ORACLES = {
     "q27_unpivot_measures": ORACLE_Q27,
+    "q28_cube_status_priority": ORACLE_Q28,
+    "q29_acctbal_quartiles": ORACLE_Q29,
     "q18_pivot_status": ORACLE_Q18,
     "q15_rollup": ORACLE_Q15,
     "q16_nation_setops": ORACLE_Q16,
