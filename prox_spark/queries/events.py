@@ -276,9 +276,131 @@ ORDER BY p.event_id
 """
 
 
+# --- q46: sliding-window aggregation (overlapping hop windows) -------------
+
+def q46_sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``F.window(ts, '1 hour', '30 minutes')`` — each event lands in 2
+    overlapping epoch-aligned windows; the window generator is map-side
+    (explodes 2 rows/event), then one grouped aggregation. Streaming twin
+    is the same builder with a watermark (prox_spark/streaming.py
+    hourly_stats generalizes)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"), "event_type", "n_events", "sum_value"
+        )
+        .orderBy("win_start", "event_type")
+    )
+
+
+# DuckDB twin: an event at ts belongs to windows starting at the two
+# 30-minute marks in (ts - 1h, ts]: floor(epoch/1800)*1800 and that
+# minus 1800 (epoch-aligned, duration 1h, slide 30m).
+ORACLE_Q46 = """
+WITH hopped AS (
+  SELECT e.*, to_timestamp(t.s)::TIMESTAMP AS win_start
+  FROM events e,
+       LATERAL (SELECT unnest([
+         (epoch_us(e.ts) // 1800000000) * 1800,
+         (epoch_us(e.ts) // 1800000000) * 1800 - 1800
+       ])) t(s)
+)
+SELECT win_start, event_type,
+       count(*)             AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM hopped
+GROUP BY win_start, event_type
+ORDER BY win_start, event_type
+"""
+
+
+# --- q47: funnel analysis (ordered event-sequence match) -------------------
+
+FUNNEL_BOUND = "2024-01-02 00:00:00"
+
+
+def q47_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel view -> click -> purchase per user: stage 1 =
+    viewed, 2 = clicked AFTER first view, 3 = purchased AFTER that
+    click. One shuffle on user_id; the three stage timestamps are
+    cascaded window minima (each conditioned on the previous), then a
+    tiny stage histogram. Bounded to day one so the histogram spans all
+    stages (unbounded, every user completes the funnel)."""
+    ev = _events(spark, sf_dir).filter(
+        F.col("ts") < F.lit(FUNNEL_BOUND).cast("timestamp_ntz")
+    )
+    w = W.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "v", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "c",
+            F.min(
+                F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("v")), F.col("ts"))
+            ).over(w),
+        )
+        .withColumn(
+            "p",
+            F.min(
+                F.when((F.col("event_type") == "purchase") & (F.col("ts") > F.col("c")), F.col("ts"))
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.first("v").alias("v"), F.first("c").alias("c"), F.first("p").alias("p")
+    )
+    stage = (
+        F.when(F.col("p").isNotNull(), 3)
+        .when(F.col("c").isNotNull(), 2)
+        .when(F.col("v").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        per_user.withColumn("stage", stage.cast("int"))
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("stage")
+    )
+
+
+ORACLE_Q47 = f"""
+WITH ev AS (SELECT * FROM events WHERE ts < TIMESTAMP '{FUNNEL_BOUND}'),
+v AS (
+  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS v
+  FROM ev GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS c
+  FROM ev e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.v
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS p
+  FROM ev e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.c
+  GROUP BY e.user_id
+)
+SELECT CAST(CASE WHEN p.p IS NOT NULL THEN 3
+            WHEN c.c IS NOT NULL THEN 2
+            WHEN v.v IS NOT NULL THEN 1
+            ELSE 0 END AS INTEGER) AS stage,
+       count(*) AS n_users
+FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+GROUP BY stage
+ORDER BY stage
+"""
+
+
 QUERIES = {
     "q20_hourly_event_stats": q20_hourly_event_stats,
     "q26_asof_click_to_purchase": q26_asof_click_to_purchase,
+    "q46_sliding_window_stats": q46_sliding_window_stats,
+    "q47_event_funnel": q47_event_funnel,
     "q21_sessionize": q21_sessionize,
     "q22_rolling_avg": q22_rolling_avg,
     "q23_first_event_per_key": q23_first_event_per_key,
@@ -289,6 +411,8 @@ QUERIES = {
 ORACLES = {
     "q20_hourly_event_stats": ORACLE_Q20,
     "q26_asof_click_to_purchase": ORACLE_Q26,
+    "q46_sliding_window_stats": ORACLE_Q46,
+    "q47_event_funnel": ORACLE_Q47,
     "q21_sessionize": ORACLE_Q21,
     "q22_rolling_avg": ORACLE_Q22,
     "q23_first_event_per_key": ORACLE_Q23,
