@@ -555,28 +555,64 @@ ORDER BY o_orderpriority
 """
 
 
-# --- q19: HLL sketch (approx_count_distinct; rows-only check) --------------
+# --- q19: HLL sketch (approx_count_distinct + exact twin, hash-gated) ------
+
+# Band: |approx - exact| <= max(2, 5% of exact). The absolute floor
+# covers tiny groups — Spark's HLL++ has no sparse representation, so
+# single-digit cardinalities can already be off by one.
+HLL_BAND = 0.05
+HLL_ABS_FLOOR = 2
+
 
 def q19_approx_distinct_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct-count sketch per nation — the constant-
     memory scale path for cardinality (exact distinct shuffles every
     key; the sketch is a few KB per group regardless of input size).
-    Sketch values are engine-specific, so there is deliberately NO
-    DuckDB oracle — the driver records the weaker rows-only check; the
-    exact-distinct twin is asserted in tests/test_sketches.py."""
+
+    Raw sketch values are engine-specific, so the hashable surface is
+    the exact-distinct twin plus ``approx_ok`` — the 5%-band assertion
+    computed Spark-side (deterministic: HLL++ is deterministic for
+    fixed input). The DuckDB oracle emits literal TRUE, so a sketch
+    drifting out of band fails the hash gate. Raw estimate values are
+    additionally band-tested in tests/test_sketches.py."""
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     nat = _t(spark, sf_dir, "nation")
-    return (
+    agg = (
         orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .groupBy("n_name")
         .agg(
+            F.countDistinct("o_custkey").alias("exact_custkeys"),
             F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custkeys"),
             F.count(F.lit(1)).alias("n_orders"),
         )
+    )
+    return (
+        agg.select(
+            "n_name",
+            "exact_custkeys",
+            (
+                F.abs(F.col("approx_custkeys") - F.col("exact_custkeys"))
+                <= F.greatest(F.lit(HLL_ABS_FLOOR), HLL_BAND * F.col("exact_custkeys"))
+            ).alias("approx_ok"),
+            "n_orders",
+        )
         .orderBy("n_name")
     )
+
+
+ORACLE_Q19 = """
+SELECT n_name,
+       count(DISTINCT o_custkey) AS exact_custkeys,
+       TRUE                      AS approx_ok,
+       count(*)                  AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
 
 
 # --- q27: unpivot / melt (wide -> long reshape) ----------------------------
@@ -683,6 +719,140 @@ ORDER BY n_name, quartile
 """
 
 
+# --- q48: promo revenue share per month (TPC-H Q14 shape; part⨝lineitem) ---
+
+def q48_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly share of promo-part revenue — the part⨝lineitem large-dim
+    join family (the reference's service/category dimension resolution,
+    reference sql/admin_kip_script:6-7, at TPC-H shape).
+
+    Scale: the join is deliberately UN-hinted — real TPC-H ``part`` is
+    SF×200k rows (tens of billions at 100 TB), too big to pin to a
+    driver broadcast; AQE broadcasts while it fits and falls back to a
+    shuffle equi-join beyond that. Aggregation is partial+final on the
+    month bucket. Determinism: both sums rounded to cents first, then
+    one division of identical doubles (rules in queries/__init__.py)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = (
+        li.select("l_partkey", "l_shipdate", rev.alias("rev"))
+        .join(part.select("p_partkey", "p_type"), li.l_partkey == part.p_partkey)
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("month"))
+        .agg(
+            F.round(F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev")).otherwise(0.0)), 2)
+            .alias("promo_revenue"),
+            F.round(F.sum("rev"), 2).alias("total_revenue"),
+        )
+    )
+    return (
+        agg.withColumn(
+            "promo_share_pct",
+            F.round(100.0 * F.col("promo_revenue") / F.col("total_revenue"), 6),
+        )
+        .orderBy("month")
+    )
+
+
+ORACLE_Q48 = """
+SELECT month,
+       promo_revenue,
+       total_revenue,
+       round(100.0 * promo_revenue / total_revenue, 6) AS promo_share_pct
+FROM (
+  SELECT date_trunc('month', l_shipdate) AS month,
+         round(sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 2) AS promo_revenue,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1
+)
+ORDER BY month
+"""
+
+
+# --- q49: small-quantity revenue per brand (TPC-H Q17 shape) ---------------
+
+def q49_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from lineitems whose quantity is below 20% of that part's
+    average quantity — TPC-H Q17's correlated-subquery shape as the
+    idiomatic Spark self-aggregation: one groupBy(l_partkey) computes the
+    per-part threshold, an equi-join re-attaches it (no correlated
+    re-scan), then the brand dimension resolves via part.
+
+    Scale: the threshold table is keyed by partkey (same key as the
+    join) — AQE co-locates both shuffles; quantities are integer-valued
+    so sum/count and the 0.2×avg threshold are exact in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    thr = (
+        li.groupBy("l_partkey")
+        .agg((F.lit(0.2) * F.sum("l_quantity") / F.count(F.lit(1))).alias("qty_thr"))
+    )
+    small = (
+        li.select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(thr, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_thr"))
+    )
+    return (
+        small.join(part.select("p_partkey", "p_brand"), small.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_small_lineitems"),
+            F.round(F.sum("l_extendedprice"), 2).alias("small_revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+ORACLE_Q49 = """
+WITH thr AS (
+  SELECT l_partkey, 0.2 * sum(l_quantity) / count(*) AS qty_thr
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p_brand,
+       count(*)                       AS n_small_lineitems,
+       round(sum(l_extendedprice), 2) AS small_revenue
+FROM lineitem
+JOIN thr  USING (l_partkey)
+JOIN part ON l_partkey = p_partkey
+WHERE l_quantity < qty_thr
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+# --- q50: part-type revenue by year (part⨝lineitem rollforward) ------------
+
+def q50_parttype_yearly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yearly revenue and volume per part type — the wide-scan variant
+    of the part join family (every lineitem row flows through; column
+    pruning keeps the scan at 4 columns)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.select("l_partkey", "l_extendedprice", "l_discount", F.year("l_shipdate").alias("year"))
+        .join(part.select("p_partkey", "p_type"), li.l_partkey == part.p_partkey)
+        .groupBy("p_type", "year")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"),
+        )
+        .orderBy("p_type", "year")
+    )
+
+
+ORACLE_Q50 = """
+SELECT p_type,
+       CAST(year(l_shipdate) AS INTEGER) AS year,
+       count(*) AS n_lineitems,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_type, year
+ORDER BY p_type, year
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top5_suppliers": q02_top5_suppliers,
@@ -706,9 +876,16 @@ QUERIES = {
     "q27_unpivot_measures": q27_unpivot_measures,
     "q28_cube_status_priority": q28_cube_status_priority,
     "q29_acctbal_quartiles": q29_acctbal_quartiles,
+    "q48_promo_revenue": q48_promo_revenue,
+    "q49_small_qty_revenue": q49_small_qty_revenue,
+    "q50_parttype_yearly_revenue": q50_parttype_yearly_revenue,
 }
 
 ORACLES = {
+    "q19_approx_distinct_custkeys": ORACLE_Q19,
+    "q48_promo_revenue": ORACLE_Q48,
+    "q49_small_qty_revenue": ORACLE_Q49,
+    "q50_parttype_yearly_revenue": ORACLE_Q50,
     "q27_unpivot_measures": ORACLE_Q27,
     "q28_cube_status_priority": ORACLE_Q28,
     "q29_acctbal_quartiles": ORACLE_Q29,

@@ -275,9 +275,14 @@ def q42_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e1 = emb.select(F.col("vec_id").alias("id1"), F.col("dd").alias("v1"), F.col("nrm").alias("n1"))
     e2 = emb.select(F.col("vec_id").alias("id2"), F.col("dd").alias("v2"), F.col("nrm").alias("n2"))
+    # vector attach is UN-hinted: e1/e2 are the whole embedding corpus
+    # (O(N) dense vectors), which must never be pinned to a driver
+    # broadcast. Candidates are narrow (id1, id2) rows, so the equi-join
+    # shuffles ids + vectors hash-partitioned by vec_id; AQE broadcasts
+    # only when the corpus genuinely fits
     return (
-        cand.join(F.broadcast(e1), "id1")
-        .join(F.broadcast(e2), "id2")
+        cand.join(e1, "id1")
+        .join(e2, "id2")
         .withColumn(
             "cosine",
             F.expr(f"{DOT_SPARK.format(a='v1', b='v2')} / (n1 * n2)"),
@@ -331,24 +336,35 @@ def q45_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic stand-ins for trained k-means centroids (training is
     an offline job; the serving plan is identical either way)."""
     emb = _emb_n(spark, sf_dir)
-    cent = emb.filter(F.col("vec_id") < IVF_K).select(
-        F.col("vec_id").alias("cid"), F.col("dd").alias("cdd"), F.col("nrm").alias("cnrm")
+    # centroids as ONE broadcast row holding an array of K (cid, vec,
+    # norm) structs: ranking the K centroid sims then happens entirely
+    # map-side (transform + array_sort over K=8 elements per row) — no
+    # crossJoin row explosion, no window, no full-corpus shuffle on
+    # vec_id before the probe join. array_sort on (negsim, cid) structs
+    # gives sim DESC, cid ASC — the same deterministic order the window
+    # version (and the DuckDB oracle) uses.
+    cent_arr = (
+        emb.filter(F.col("vec_id") < IVF_K)
+        .select(F.struct(F.col("vec_id").alias("cid"), F.col("dd").alias("cdd"),
+                         F.col("nrm").alias("cnrm")).alias("c"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list("c")).alias("cents"))
     )
-    sim = F.expr(f"{DOT_SPARK.format(a='dd', b='cdd')} / (nrm * cnrm)")
-    ranked = (
-        emb.crossJoin(F.broadcast(cent))
-        .withColumn("csim", sim)
+    csim = DOT_SPARK.format(a="dd", b="c.cdd") + " / (nrm * c.cnrm)"
+    tagged = (
+        emb.crossJoin(F.broadcast(cent_arr))
         .withColumn(
-            "crank",
-            F.row_number().over(
-                W.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
+            "sims",
+            F.expr(
+                f"array_sort(transform(cents, c -> named_struct('negsim', -({csim}), 'cid', c.cid)))"
             ),
         )
     )
-    assign = ranked.filter(F.col("crank") == 1).select("vec_id", "cid", "dd", "nrm")
+    assign = tagged.select("vec_id", "dd", "nrm", F.expr("sims[0].cid").alias("cid"))
     probes = (
-        ranked.filter((F.col("vec_id") < N_QUERIES) & (F.col("crank") <= IVF_NPROBE))
-        .select(F.col("vec_id").alias("query_id"), "cid",
+        tagged.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"),
+                F.explode(F.expr(f"transform(slice(sims, 1, {IVF_NPROBE}), s -> s.cid)")).alias("cid"),
                 F.col("dd").alias("qv"), F.col("nrm").alias("qn"))
     )
     scored = (

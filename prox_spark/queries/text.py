@@ -252,9 +252,12 @@ def q35_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = arr.select(F.col("doc_id").alias("doc1"), F.col("n_shingles").alias("n1"))
     sb = arr.select(F.col("doc_id").alias("doc2"), F.col("n_shingles").alias("n2"))
+    # size-table joins carry NO broadcast hint: the per-doc size table is
+    # O(N) (12 bytes/doc but billions of docs = GBs on the driver), so we
+    # let AQE pick broadcast at small scale and shuffle join at 100 TB
     return (
-        inter.join(F.broadcast(sa), "doc1")
-        .join(F.broadcast(sb), "doc2")
+        inter.join(sa, "doc1")
+        .join(sb, "doc2")
         .withColumn(
             "jaccard",
             F.round(F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter")), 6),
@@ -336,9 +339,14 @@ def q36_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pa = arr.select(F.col("doc_id").alias("doc1"), F.col("shingles").alias("sh1"), F.col("n_shingles").alias("n1"))
     pb = arr.select(F.col("doc_id").alias("doc2"), F.col("shingles").alias("sh2"), F.col("n_shingles").alias("n2"))
+    # payload attach is deliberately UN-hinted: pa/pb are the full shingle
+    # corpus (O(N) full text-derived arrays — never driver-broadcastable at
+    # billions of docs). The candidate set is narrow ids, so the doc_id
+    # equi-join shuffles candidates + corpus once; AQE still broadcasts
+    # when the corpus actually fits (small scale) without the OOM cliff
     return (
-        candidates.join(F.broadcast(pa), "doc1")
-        .join(F.broadcast(pb), "doc2")
+        candidates.join(pa, "doc1")
+        .join(pb, "doc2")
         .withColumn("n_inter", F.size(F.array_intersect("sh1", "sh2")))
         .withColumn(
             "jaccard",
