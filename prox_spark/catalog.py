@@ -37,13 +37,21 @@ TESTDATA_TABLES = (
 
 @dataclass
 class Catalog:
-    """name -> parquet path registry with lazy reads."""
+    """name -> parquet path registry with lazy reads.
+
+    ``schemas`` holds optional per-table read schemas (DDL strings) for
+    files whose parquet logical types Spark cannot infer natively —
+    e.g. INT64 TIMESTAMP(NANOS) requested as BIGINT — so reads stay
+    free of session-conf side effects."""
 
     spark: SparkSession
     paths: dict[str, str] = field(default_factory=dict)
+    schemas: dict[str, str] = field(default_factory=dict)
 
-    def register(self, name: str, path: str) -> None:
+    def register(self, name: str, path: str, schema: str | None = None) -> None:
         self.paths[name] = path
+        if schema is not None:
+            self.schemas[name] = schema
 
     def register_dir(self, directory: str, tables: tuple[str, ...] = TESTDATA_TABLES) -> None:
         """Register every ``<dir>/<table>.parquet`` that exists."""
@@ -55,7 +63,10 @@ class Catalog:
     def table(self, name: str) -> DataFrame:
         if name not in self.paths:
             raise KeyError(f"table not registered: {name!r} (have {sorted(self.paths)})")
-        return self.spark.read.parquet(self.paths[name])
+        reader = self.spark.read
+        if name in self.schemas:
+            reader = reader.schema(self.schemas[name])
+        return reader.parquet(self.paths[name])
 
     def create_views(self) -> None:
         """Expose every registered table as a temp view for spark.sql."""
@@ -65,9 +76,13 @@ class Catalog:
 
 def testdata_catalog(spark: SparkSession, sf_dir: str) -> Catalog:
     """Catalog over the driver-generated testdata directory."""
-    # events.parquet carries INT64 TIMESTAMP(NANOS) which Spark 4 only
-    # reads with the legacy long mapping (queries/events.py normalizes)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from prox_spark.queries.events import EVENTS_RAW_SCHEMA
+
     cat = Catalog(spark)
     cat.register_dir(sf_dir)
+    if "events" in cat.paths:
+        # events.parquet carries INT64 TIMESTAMP(NANOS), readable without
+        # session-conf side effects only via an explicit BIGINT schema
+        # (queries/events.py normalizes to timestamp_ntz)
+        cat.schemas["events"] = EVENTS_RAW_SCHEMA
     return cat

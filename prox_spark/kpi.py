@@ -79,12 +79,17 @@ def pct_ai_generated(service_providers: DataFrame) -> DataFrame:
 
 
 def top5_booked_categories_this_week(bookings: DataFrame, services: DataFrame,
-                                     categories: DataFrame) -> DataFrame:
+                                     categories: DataFrame,
+                                     anchor: str | None = None) -> DataFrame:
     """J7/P8/T2 (reference sql/admin_kip_script:1-11): bookings since
-    the start of the current ISO week, top-5 categories."""
+    the start of the ISO week containing ``anchor`` (default: today —
+    the reference's CURRENT_DATE semantics), top-5 categories. The
+    anchor parameter makes the KPI testable against fixed fixtures
+    (mirrors q14_orders_since_week)."""
+    anchor_col = F.lit(anchor).cast("date") if anchor is not None else F.current_date()
     return (
         bookings.filter(
-            F.col("scheduled_date") >= F.date_trunc("week", F.current_date())
+            F.col("scheduled_date") >= F.date_trunc("week", anchor_col)
         )
         .select("booking_id", "service_id")
         .join(F.broadcast(services.select("service_id", "category_id")), "service_id")

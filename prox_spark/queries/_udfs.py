@@ -20,7 +20,10 @@ def sentiment_counts_udf(pos_words, neg_words):
     @pandas_udf("n_tokens long, n_pos long, n_neg long")
     def counts(text: pd.Series) -> pd.DataFrame:
         def one(t):
-            toks = re.split(r"\s+", t.strip().lower())
+            # ASCII-pinned \s: Python's default \s matches Unicode
+            # whitespace (e.g.  ) while Java's does not — pin both
+            # engines to the same whitespace class for oracle parity
+            toks = re.split(r"\s+", t.strip().lower(), flags=re.ASCII)
             return (
                 len(toks),
                 sum(tok in pos for tok in toks),

@@ -21,21 +21,24 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
-def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Read events.parquet, normalizing its ns-precision timestamp.
+# the testdata writes ``ts`` as INT64 TIMESTAMP(NANOS), which Spark 4
+# refuses to read natively; requesting it as BIGINT via an explicit
+# schema makes the vectorized reader hand over the raw int64 — no
+# session-wide legacy conf needed (the old approach mutated
+# spark.sql.legacy.parquet.nanosAsLong as a side effect)
+EVENTS_RAW_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+)
 
-    The testdata writes ``ts`` as INT64 TIMESTAMP(NANOS) which Spark 4
-    refuses to read natively; read it as a long and truncate to
-    microseconds (exactly what DuckDB's TIMESTAMP coercion does), as a
-    session-TZ-naive timestamp.
-    """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn(
-            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
-        )
-    return df
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read events.parquet, normalizing its ns-precision timestamp to a
+    microsecond session-TZ-naive timestamp (exactly what DuckDB's
+    TIMESTAMP coercion does)."""
+    df = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn(
+        "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+    )
 
 
 # --- q20: tumbling-window aggregation (F.window batch twin) ----------------

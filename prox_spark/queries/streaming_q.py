@@ -12,6 +12,8 @@ against multi-file directories.
 
 from __future__ import annotations
 
+import os
+import shutil
 import tempfile
 import uuid
 
@@ -26,37 +28,49 @@ def q44_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prox_spark.queries.events import _events
     from prox_spark.streaming import read_event_stream, run_to_memory, stateful_user_totals
 
-    ev = _events(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp"))
     stage_dir = tempfile.mkdtemp(prefix="prox_spark_q44_")
-    ev.coalesce(4).write.mode("overwrite").parquet(stage_dir)
-    batch_schema = spark.read.parquet(stage_dir).schema
-
-    stream = read_event_stream(spark, stage_dir, batch_schema)
-    totals = stateful_user_totals(stream)
-    # the stateful stage fans out one Python worker per shuffle
-    # partition; cap like every Python stage (queries/text.py
-    # _spread_py) — streams pin the conf at start, so set/restore
-    import os
-
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions",
-        os.environ.get("SPARK_GRAFT_PY_PARTITIONS", "8"),
-    )
     try:
-        drained = run_to_memory(
-            totals, f"q44_mem_{uuid.uuid4().hex[:8]}", output_mode="update"
+        ev = _events(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp"))
+        ev.coalesce(4).write.mode("overwrite").parquet(stage_dir)
+        batch_schema = spark.read.parquet(stage_dir).schema
+
+        stream = read_event_stream(spark, stage_dir, batch_schema)
+        totals = stateful_user_totals(stream)
+        # the stateful stage fans out one Python worker per shuffle
+        # partition; cap like every Python stage (queries/text.py
+        # _spread_py) — streams pin the conf at start, so set/restore
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_PY_PARTITIONS", "8"),
+        )
+        try:
+            drained = run_to_memory(
+                totals, f"q44_mem_{uuid.uuid4().hex[:8]}", output_mode="update"
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        # update-mode memory sink appends every micro-batch's updated
+        # rows; a user touched in N batches yields N rows, of which the
+        # LAST (largest running n_events — strictly monotone per user)
+        # is the final state. Reduce instead of assuming one batch, so
+        # maxFilesPerTrigger / file-batching changes can't break this.
+        final = drained.groupBy("user_id").agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("sum_value_raw", "n_events").alias("sum_value_raw"),
+        )
+        return (
+            final.select(
+                "user_id",
+                "n_events",
+                F.round("sum_value_raw", 2).alias("sum_value"),
+            )
+            .orderBy("user_id")
         )
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return (
-        drained.select(
-            "user_id",
-            "n_events",
-            F.round("sum_value_raw", 2).alias("sum_value"),
-        )
-        .orderBy("user_id")
-    )
+        # the memory sink holds the drained rows; the parquet staging
+        # dir is no longer referenced once the stream has terminated
+        shutil.rmtree(stage_dir, ignore_errors=True)
 
 
 ORACLE_Q44 = """

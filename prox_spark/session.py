@@ -34,6 +34,10 @@ def get_spark(
         master = f"local[{cpus}]" if cpus else "local[*]"
     if shuffle_partitions is None:
         shuffle_partitions = DEFAULT_SHUFFLE_PARTITIONS
+    # copy before popping: never mutate the caller's dict (a reused
+    # extra_conf would otherwise silently lose extraJavaOptions)
+    conf = dict(extra_conf or {})
+    extra_java = conf.pop("spark.driver.extraJavaOptions", "")
 
     builder = (
         SparkSession.builder.master(master)
@@ -50,17 +54,14 @@ def get_spark(
         # rare, multi-second pauses that also stall the Py4J command
         # channel). 8g + ParallelGC gives frequent sub-10ms pauses.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .config(
-            "spark.driver.extraJavaOptions",
-            "-XX:+UseParallelGC " + (extra_conf or {}).pop("spark.driver.extraJavaOptions", ""),
-        )
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC " + extra_java)
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         # naive parquet timestamps (pandas-written testdata) -> TIMESTAMP_NTZ,
         # matching DuckDB's naive TIMESTAMP for oracle parity
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
     )
-    for k, v in (extra_conf or {}).items():
+    for k, v in conf.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -25,7 +25,7 @@ def to_silver(bronze: dict[str, DataFrame]) -> dict[str, DataFrame]:
         if schema is None:  # passthrough for non-domain tables
             out[name] = df
             continue
-        conformed = enforce_schema(df, schema)
+        conformed = enforce_schema(df, schema, check=True)
         deduped = dedup_by_key(conformed, PRIMARY_KEYS.get(name, [c for c in df.columns]))
         assert_schema(deduped, schema)
         out[name] = deduped

@@ -28,13 +28,26 @@ class SchemaMismatch(Exception):
     """Raised when a frame cannot be conformed to its declared schema."""
 
 
-def enforce_schema(df: DataFrame, schema: StructType, *, strict_extra: bool = False) -> DataFrame:
-    """Conform ``df`` to ``schema`` by casting column-by-column.
+def enforce_schema(
+    df: DataFrame,
+    schema: StructType,
+    *,
+    strict_extra: bool = False,
+    check: bool = False,
+) -> DataFrame:
+    """Conform ``df`` to ``schema`` by try_cast-ing column-by-column.
 
     - missing column -> SchemaMismatch (matches the reference's
       presence check, transformations_script.py:160-162)
     - extra columns are dropped (or rejected with ``strict_extra``)
     - output column order == declared order
+    - ``check=True`` additionally runs :func:`audit_conformance` — one
+      aggregation pass over the source — and fails if any cast silently
+      nulled a malformed value or a ``nullable=False`` column would
+      carry nulls. (A bare non-ANSI cast turns e.g. ``"abc"`` in a
+      LongType column into NULL and calls it validated; the audit makes
+      that loud.) try_cast keeps the same value semantics under ANSI
+      mode, so enforcement behaves identically on ANSI clusters.
     """
     have = {f.name for f in df.schema.fields}
     want = [f.name for f in schema.fields]
@@ -44,7 +57,38 @@ def enforce_schema(df: DataFrame, schema: StructType, *, strict_extra: bool = Fa
     extra = sorted(have - set(want))
     if extra and strict_extra:
         raise SchemaMismatch(f"unexpected columns: {extra}")
-    return df.select([F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields])
+    if check:
+        problems = audit_conformance(df, schema)
+        if problems:
+            raise SchemaMismatch(f"conformance audit failed: {problems}")
+    return df.select([F.col(f.name).try_cast(f.dataType).alias(f.name) for f in schema.fields])
+
+
+def audit_conformance(df: DataFrame, schema: StructType) -> dict[str, int]:
+    """One-pass cast/nullability audit: returns ``{finding: row_count}``
+    for (a) values a cast to the declared type would silently null
+    (``badcast[col]``) and (b) post-cast nulls in columns declared
+    ``nullable=False`` (``null[col]``, e.g. primary keys).
+
+    All findings come from a single map-side-combinable aggregation
+    over the source frame (one scan regardless of column count), so the
+    audit stays a constant-factor cost at 100 TB — the price of an
+    actual validation gate rather than a silent-NULL pass-through."""
+    aggs = []
+    for f in schema.fields:
+        if f.name not in df.columns:
+            continue
+        src = F.col(f.name)
+        casted = src.try_cast(f.dataType)
+        aggs.append(
+            F.sum((src.isNotNull() & casted.isNull()).cast("long")).alias(f"badcast[{f.name}]")
+        )
+        if not f.nullable:
+            aggs.append(F.sum(casted.isNull().cast("long")).alias(f"null[{f.name}]"))
+    if not aggs:
+        return {}
+    row = df.agg(*aggs).first()
+    return {k: v for k, v in row.asDict().items() if v}
 
 
 def assert_schema(df: DataFrame, schema: StructType) -> None:

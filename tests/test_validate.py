@@ -38,6 +38,36 @@ def test_enforce_schema_strict_extra(spark):
         enforce_schema(df, SCHEMA, strict_extra=True)
 
 
+def test_enforce_schema_check_catches_badcast(spark):
+    # "abc" can't become bigint: a bare cast silently nulls it; the
+    # check=True audit must refuse instead
+    df = spark.createDataFrame([("1", "a"), ("abc", "b")], ["id", "name"])
+    with pytest.raises(SchemaMismatch, match=r"badcast\[id\]"):
+        enforce_schema(df, SCHEMA, check=True)
+
+
+def test_enforce_schema_check_catches_null_pk(spark):
+    df = spark.createDataFrame([(None, "a"), ("2", "b")], ["id", "name"])
+    with pytest.raises(SchemaMismatch, match=r"null\[id\]"):
+        enforce_schema(df, SCHEMA, check=True)
+
+
+def test_enforce_schema_check_passes_clean(spark):
+    df = spark.createDataFrame([("1", "a"), ("2", None)], ["id", "name"])
+    out = enforce_schema(df, SCHEMA, check=True)
+    assert out.count() == 2
+
+
+def test_audit_conformance_counts(spark):
+    from prox_spark.validate import audit_conformance
+
+    df = spark.createDataFrame(
+        [("1", "a"), ("abc", "b"), ("xyz", "c"), (None, "d")], ["id", "name"]
+    )
+    audit = audit_conformance(df, SCHEMA)
+    assert audit == {"badcast[id]": 2, "null[id]": 3}
+
+
 def test_assert_schema_type_mismatch(spark):
     df = spark.createDataFrame([("1", "a")], ["id", "name"])  # id is string
     with pytest.raises(SchemaMismatch, match="expected bigint"):
