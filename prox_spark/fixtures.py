@@ -34,15 +34,20 @@ def _ts(rng: random.Random, days: int = 365) -> dt.datetime:
     return EPOCH + dt.timedelta(seconds=rng.randrange(days * 86400))
 
 
-def make_fixtures(
-    spark: SparkSession,
+def fixture_rows(
     n_users: int = 60,
     n_providers: int = 20,
     n_categories: int = 6,
     n_services: int = 50,
     n_bookings: int = 80,
     seed: int = 42,
-) -> dict[str, DataFrame]:
+) -> dict[str, list]:
+    """Pure-Python row synthesis (no Spark dependency) so the same
+    deterministic rows can back both in-memory DataFrames (tests) and
+    the parquet fixture store the driver's DuckDB oracle reads
+    (prox_spark/fixture_store.py). Includes the ~2% exact-duplicate
+    injection — identical trailing rng consumption keeps values
+    byte-stable against the pre-refactor generator."""
     rng = random.Random(seed)
     users = [
         (
@@ -158,9 +163,24 @@ def make_fixtures(
         "dispute_requests": disputes,
         "feedback_sentiment": sentiments,
     }
-    out: dict[str, DataFrame] = {}
+    out: dict[str, list] = {}
     for name, rows in data.items():
         # ~2% exact duplicates (dedup fodder)
         dups = [r for r in rows if rng.random() < 0.02]
-        out[name] = spark.createDataFrame(rows + dups, SILVER_SCHEMAS[name])
+        out[name] = rows + dups
     return out
+
+
+def make_fixtures(
+    spark: SparkSession,
+    n_users: int = 60,
+    n_providers: int = 20,
+    n_categories: int = 6,
+    n_services: int = 50,
+    n_bookings: int = 80,
+    seed: int = 42,
+) -> dict[str, DataFrame]:
+    rows = fixture_rows(n_users, n_providers, n_categories, n_services, n_bookings, seed)
+    return {
+        name: spark.createDataFrame(rows[name], SILVER_SCHEMAS[name]) for name in rows
+    }

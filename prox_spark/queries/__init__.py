@@ -28,18 +28,21 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def all_queries() -> dict[str, QueryFn]:
-    from . import events, multimodal, relational, similarity, streaming_q, text
+    from . import events, kpi_q, multimodal, relational, similarity, streaming_q, text
 
     out: dict[str, QueryFn] = {}
-    for mod in (relational, events, text, similarity, multimodal, streaming_q):
+    for mod in (relational, events, text, similarity, multimodal, streaming_q, kpi_q):
         out.update(mod.QUERIES)
     return out
 
 
 def all_oracles() -> dict[str, str]:
-    from . import events, multimodal, relational, similarity, streaming_q, text
+    from . import events, kpi_q, multimodal, relational, similarity, streaming_q, text
 
     out: dict[str, str] = {}
     for mod in (relational, events, text, similarity, multimodal, streaming_q):
         out.update(mod.ORACLES)
+    # kpi_q oracles are built lazily: building them stages the parquet
+    # fixture store both engines read
+    out.update(kpi_q.oracles())
     return out
