@@ -3,11 +3,15 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": sf}.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_CPUS (default all cores).
+     SPARK_GRAFT_CPUS (default all cores),
+     SPARK_GRAFT_BENCH_REPS (default 3).
 
-Each query is executed via a count-style action that forces full
-computation of the result (collect on the final, already-small
-output), after a warm-up that triggers JVM/codegen init.
+Each query runs REPS times (VM timing variance is 2-3x, so a single
+sample is noise); ``queries``/``value`` report per-query MEDIANS,
+``queries_min`` the per-query minimum. Round-over-round comparisons
+should use the medians. Each run forces full computation (collect on
+the final, already-small output) after a warm-up that triggers
+JVM/codegen init.
 """
 
 from __future__ import annotations
@@ -15,6 +19,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -45,28 +50,33 @@ def main() -> None:
     warm = sentiment_counts_udf(("x",), ("y",))
     spark.range(0, n_py, 1, n_py).select(warm(F.lit("a b"))).collect()
 
-    timings: dict[str, float] = {}
-    for name, fn in qs.items():
-        t0 = time.monotonic()
-        fn(spark, sf_dir).collect()
-        timings[name] = round(time.monotonic() - t0, 3)
-        # queries are self-contained: drop any cache a query pinned so
-        # storage pressure never accumulates across the suite, and drop
-        # Python-side plan refs so the ContextCleaner (weak-ref based)
-        # can reclaim shuffle files between queries
-        spark.catalog.clearCache()
-        import gc
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    samples: dict[str, list[float]] = {name: [] for name in qs}
+    import gc
 
-        gc.collect()
+    for _ in range(reps):
+        for name, fn in qs.items():
+            t0 = time.monotonic()
+            fn(spark, sf_dir).collect()
+            samples[name].append(time.monotonic() - t0)
+            # queries are self-contained: drop any cache a query pinned
+            # so storage pressure never accumulates across the suite,
+            # and drop Python-side plan refs so the ContextCleaner
+            # (weak-ref based) can reclaim shuffle files between queries
+            spark.catalog.clearCache()
+            gc.collect()
 
-    total = round(sum(timings.values()), 3)
+    medians = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
+    mins = {name: round(min(ts), 3) for name, ts in samples.items()}
     print(
         json.dumps(
             {
                 "metric": "total_query_set_wall_sec",
-                "value": total,
+                "value": round(sum(medians.values()), 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": medians,
+                "queries_min": mins,
+                "reps": reps,
                 "sf": sf,
             }
         )

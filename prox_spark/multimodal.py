@@ -68,16 +68,43 @@ def documents_as_media(spark, sf_dir: str) -> DataFrame:
     )
 
 
-def decode_media(payload: bytes, mime: str, mode: str = "fake") -> dict:
-    """Codec stub. ``real`` would dispatch to PIL/ffmpeg/soundfile by
-    mime type — not available in this container. ``fake`` derives
-    deterministic pseudo dimensions/frame counts from the byte length,
-    keeping every downstream contract (types, ranges) realistic."""
-    if mode == "real":
+def _decode_image_real(payload: bytes) -> tuple[int, int, int]:
+    """Pillow-backed image decode, gated on import availability (the
+    default container ships no media libraries). Returns
+    (width, height, n_frames)."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError as exc:  # pragma: no cover - environment-dependent
         raise NotImplementedError(
-            f"no codec for {mime!r} in this environment; use mode='fake'"
-        )
+            "mode='real' needs Pillow for image/* payloads; not installed"
+        ) from exc
+    with Image.open(io.BytesIO(payload)) as img:
+        return img.width, img.height, int(getattr(img, "n_frames", 1))
+
+
+def decode_media(payload: bytes, mime: str, mode: str = "fake") -> dict:
+    """Codec dispatch. ``real`` decodes ``image/*`` via Pillow when the
+    library is importable (NotImplementedError otherwise — audio/video
+    would dispatch to soundfile/ffmpeg the same way). ``fake`` derives
+    deterministic pseudo dimensions/frame counts from the byte length,
+    keeping every downstream contract (types, ranges) realistic without
+    any codec dependency."""
     n = len(payload)
+    if mode == "real":
+        if mime.startswith("image/"):
+            width, height, n_frames = _decode_image_real(payload)
+            return {
+                "n_bytes": n,
+                "digest": hashlib.md5(payload).hexdigest(),
+                "width": width,
+                "height": height,
+                "n_frames": n_frames,
+            }
+        raise NotImplementedError(
+            f"no real codec for {mime!r} in this environment; use mode='fake'"
+        )
     return {
         "n_bytes": n,
         "digest": hashlib.md5(payload).hexdigest(),

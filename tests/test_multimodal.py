@@ -47,6 +47,30 @@ def test_extract_features_fake_decode(spark):
         )
 
 
-def test_real_decode_is_stubbed():
-    with pytest.raises(NotImplementedError, match="no codec"):
-        decode_media(b"\x89PNG", "image/png", mode="real")
+def test_real_decode_unsupported_mime():
+    # non-image media has no real codec wired up in any environment
+    with pytest.raises(NotImplementedError, match="no real codec"):
+        decode_media(b"hello", "text/plain", mode="real")
+
+
+def test_real_decode_image_without_pillow():
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            decode_media(b"\x89PNG", "image/png", mode="real")
+    else:
+        pytest.skip("Pillow installed; covered by test_real_decode_image")
+
+
+def test_real_decode_image():
+    PIL = pytest.importorskip("PIL")  # noqa: N806
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (3, 2)).save(buf, format="PNG")
+    out = decode_media(buf.getvalue(), "image/png", mode="real")
+    assert (out["width"], out["height"], out["n_frames"]) == (3, 2, 1)
+    assert out["n_bytes"] == len(buf.getvalue())
