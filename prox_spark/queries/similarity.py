@@ -135,25 +135,34 @@ def _plane_buckets(
     plane_rows: list[tuple[int, int, list[float]]],
     carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(vec_id, t, bkt [, carry...]) via a broadcast plane TABLE + one
-    uniform dot fold per (vector, plane) row, bits assembled by a
-    partial-aggregated groupBy — the codegen-friendly form of hyperplane
-    signatures (the inline-literal megamethod form stalls the JIT; see
-    _emb_n note). ``carry`` columns ride through the groupBy as
-    ``first()`` (identical within a group), saving the join-back shuffle
-    a consumer would otherwise pay to re-attach vectors."""
+    """(vec_id, t, bkt [, carry...]) computed FULLY map-side: the whole
+    plane set rides in as ONE broadcast row holding all (t, b, plane)
+    structs, and each vector assembles its per-table bucket ids with an
+    in-row fold before a T-way explode. Round 1 crossJoined the corpus
+    against the plane TABLE (x T*B row explosion) and re-assembled bits
+    with a (vec_id, t) groupBy — a full-corpus shuffle this version
+    eliminates entirely; at 100 TB the only shuffle left in a bucketed
+    LSH consumer is the candidate equi-join itself. Plane data stays a
+    broadcast column, not inline literals, so generated code is small
+    and uniform (literal megamethods measured seconds of JIT stall; see
+    _emb_n note). ``carry`` columns simply stay on the row — there is
+    no aggregation to survive anymore."""
     spark = emb.sparkSession
+    n_tables = max(t for t, _, _ in plane_rows) + 1
     planes = spark.createDataFrame(plane_rows, "t int, b int, plane array<double>")
+    plane_arr = planes.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("t", "b", "plane"))).alias("pl")
+    )
+    dot = DOT_SPARK.format(a="dd", b="p.plane")
+    bkts = (
+        f"transform(sequence(0, {n_tables - 1}), t -> named_struct('t', t, 'bkt', "
+        f"aggregate(filter(pl, p -> p.t = t), cast(0 as bigint), "
+        f"(acc, p) -> acc + if(({dot}) > 0, shiftleft(1L, p.b), cast(0 as bigint)))))"
+    )
     return (
-        emb.crossJoin(F.broadcast(planes))
-        .withColumn("dot", F.expr(DOT_SPARK.format(a="dd", b="plane")))
-        .groupBy("vec_id", "t")
-        .agg(
-            F.sum(
-                F.when(F.col("dot") > 0, F.expr("shiftleft(1L, b)")).otherwise(0)
-            ).cast("long").alias("bkt"),
-            *[F.first(c).alias(c) for c in carry],
-        )
+        emb.crossJoin(F.broadcast(plane_arr))
+        .withColumn("tb", F.explode(F.expr(bkts)))
+        .select("vec_id", *carry, F.col("tb.t").alias("t"), F.col("tb.bkt").alias("bkt"))
     )
 
 

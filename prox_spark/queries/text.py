@@ -582,6 +582,140 @@ ORDER BY doc_id
 """
 
 
+# --- q65: deterministic train/val/test split (hash bucketing) --------------
+
+SPLIT_TRAIN, SPLIT_VAL = 80, 90  # bucket < 80 train, < 90 val, else test
+
+
+def q65_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic eval-split assignment: bucket = first 4 hex chars
+    of md5(doc_id) mod 100 — the standard reproducible alternative to
+    rand()-based sampling (stable across engines, runs, partitionings;
+    adding documents never reassigns existing ones). Pure projection:
+    at 100 TB this is map-only, no shuffle at all."""
+    hx = " + ".join(
+        f"({_HEXV_SPARK.format(i=i + 1)}) * {16 ** (3 - i)}" for i in range(4)
+    )
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.withColumn("m", F.md5(F.col("doc_id").cast("string")))
+        .withColumn("bucket", F.expr(hx).cast("long") % 100)
+        .select(
+            "doc_id",
+            "bucket",
+            F.when(F.col("bucket") < SPLIT_TRAIN, "train")
+            .when(F.col("bucket") < SPLIT_VAL, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _hash_split_oracle() -> str:
+    hx = " + ".join(
+        f"({_HEXV_DUCK.format(i=i + 1)}) * {16 ** (3 - i)}" for i in range(4)
+    )
+    return f"""
+SELECT doc_id, bucket,
+       CASE WHEN bucket < {SPLIT_TRAIN} THEN 'train'
+            WHEN bucket < {SPLIT_VAL} THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, CAST({hx} AS BIGINT) % 100 AS bucket
+  FROM (SELECT doc_id, md5(doc_id::VARCHAR) AS m FROM documents)
+)
+ORDER BY doc_id
+"""
+
+
+ORACLE_Q65 = _hash_split_oracle()
+
+
+# --- q66: weighted source mixture (deterministic downsampling) -------------
+
+# per-source keep probability: even-numbered sources 90%, odd 40% —
+# the "dataset mixing" knob of a training pipeline
+MIX_EVEN_PCT, MIX_ODD_PCT = 90, 40
+
+
+def q66_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted per-source downsampling with a deterministic hash gate
+    (md5('mix|' || doc_id) bucket < per-source keep %) — how a 100 TB
+    corpus is re-weighted across sources without rand() (reproducible,
+    partitioning-independent) and without a shuffle (the gate is a
+    map-side filter; only the per-source audit count aggregates)."""
+    hx = " + ".join(
+        f"({_HEXV_SPARK.format(i=i + 1)}) * {16 ** (3 - i)}" for i in range(4)
+    )
+    docs = _docs(spark, sf_dir)
+    keep_pct = F.when(
+        F.substring("source", 4, 10).cast("long") % 2 == 0, MIX_EVEN_PCT
+    ).otherwise(MIX_ODD_PCT)
+    return (
+        docs.withColumn("m", F.md5(F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))))
+        .withColumn("bucket", F.expr(hx).cast("long") % 100)
+        .filter(F.col("bucket") < keep_pct)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("source")
+    )
+
+
+def _source_mixture_oracle() -> str:
+    hx = " + ".join(
+        f"({_HEXV_DUCK.format(i=i + 1)}) * {16 ** (3 - i)}" for i in range(4)
+    )
+    return f"""
+SELECT source, count(*) AS n_kept
+FROM (
+  SELECT source, CAST({hx} AS BIGINT) % 100 AS bucket
+  FROM (SELECT doc_id, source, md5('mix|' || doc_id::VARCHAR) AS m FROM documents)
+)
+WHERE bucket < CASE WHEN CAST(substring(source, 4) AS BIGINT) % 2 = 0
+                    THEN {MIX_EVEN_PCT} ELSE {MIX_ODD_PCT} END
+GROUP BY source
+ORDER BY source
+"""
+
+
+ORACLE_Q66 = _source_mixture_oracle()
+
+
+# --- q67: decontamination scan (benchmark-phrase substring match) ----------
+
+CONTAM_PHRASES = ("merge sort", "broadcast join", "shuffle partition")
+
+
+def q67_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: flag documents containing any of a
+    (small, broadcast) phrase list via substring match — the eval-set
+    decontamination pass of a training pipeline. The phrase table
+    broadcasts (it is genuinely tiny — eval phrases, not a corpus), so
+    the scan is one map-side pass over documents; output is the narrow
+    (doc, phrase) hit list."""
+    phrases = spark.createDataFrame(
+        [(p,) for p in CONTAM_PHRASES], "phrase string"
+    )
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.crossJoin(F.broadcast(phrases))
+        .filter(F.expr("contains(lower(text), phrase)"))
+        .select("doc_id", "phrase")
+        .orderBy("doc_id", "phrase")
+    )
+
+
+_PHRASE_VALUES = ", ".join(f"('{p}')" for p in CONTAM_PHRASES)
+
+ORACLE_Q67 = f"""
+SELECT doc_id, phrase
+FROM documents, (VALUES {_PHRASE_VALUES}) phrases(phrase)
+WHERE contains(lower(text), phrase)
+ORDER BY doc_id, phrase
+"""
+
+
 QUERIES = {
     "q30_exact_dedup": q30_exact_dedup,
     "q31_text_stats": q31_text_stats,
@@ -593,10 +727,16 @@ QUERIES = {
     "q37_langid": q37_langid,
     "q38_simhash": q38_simhash,
     "q39_sentiment": q39_sentiment,
+    "q65_hash_split": q65_hash_split,
+    "q66_source_mixture": q66_source_mixture,
+    "q67_decontaminate": q67_decontaminate,
 }
 
 ORACLES = {
     "q39_sentiment": ORACLE_Q39,
+    "q65_hash_split": ORACLE_Q65,
+    "q66_source_mixture": ORACLE_Q66,
+    "q67_decontaminate": ORACLE_Q67,
     "q30_exact_dedup": ORACLE_Q30,
     "q31_text_stats": ORACLE_Q31,
     "q32_regex_token_count": ORACLE_Q32,
