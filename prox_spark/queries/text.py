@@ -463,27 +463,34 @@ _HEXV_DUCK = "strpos('0123456789abcdef', substring(m, {i}, 1)) - 1"
 
 
 def q38_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir).withColumn("tokens", F.expr(TOKENS_SPARK))
-    toks = docs.select(
-        "doc_id", F.explode_outer(F.array_distinct("tokens")).alias("tok")
-    ).withColumn("m", F.md5("tok"))
-    # 16-bit token hash from the first 4 hex chars of md5
-    hx = " + ".join(
+    """SimHash computed FULLY map-side: per document, hash the distinct
+    tokens with one transform, then fold each of the 16 bit counters
+    over that in-row array. Round 1 exploded tokens into (doc, token)
+    rows and re-assembled bits with a groupBy(doc_id) — a full-corpus
+    shuffle of every distinct token; this version shuffles nothing (the
+    trailing orderBy exists only for the deterministic gate). Same
+    md5-derived 16-bit token hashes, bit-identical output."""
+    hxm = " + ".join(
         f"({_HEXV_SPARK.format(i=i + 1)}) * {16 ** (3 - i)}" for i in range(4)
     )
-    toks = toks.withColumn("h", F.expr(hx).cast("long"))
-    bit_sums = [
-        F.sum(
-            F.when(F.expr(f"(h div {1 << j}) % 2") == 1, 1).otherwise(-1)
-        ).alias(f"b{j}")
+    docs = _docs(spark, sf_dir).withColumn("tokens", F.expr(TOKENS_SPARK))
+    docs = docs.withColumn(
+        "hs",
+        # inner transform binds lambda var `m` (the token md5) that the
+        # shared _HEXV_SPARK fragment references
+        F.expr(
+            f"transform(transform(array_distinct(tokens), tok -> md5(tok)), "
+            f"m -> cast({hxm} as bigint))"
+        ),
+    )
+    bit_terms = " + ".join(
+        f"(case when aggregate(hs, 0, (acc, h) -> acc + if((h div {1 << j}) % 2 = 1, 1, -1)) > 0 "
+        f"then {1 << j} else 0 end)"
         for j in range(SIMHASH_BITS)
-    ]
-    agg = toks.groupBy("doc_id").agg(*bit_sums)
-    simhash = None
-    for j in range(SIMHASH_BITS):
-        term = F.when(F.col(f"b{j}") > 0, 1 << j).otherwise(0)
-        simhash = term if simhash is None else simhash + term
-    return agg.select("doc_id", simhash.cast("long").alias("simhash")).orderBy("doc_id")
+    )
+    return docs.select(
+        "doc_id", F.expr(f"cast({bit_terms} as bigint)").alias("simhash")
+    ).orderBy("doc_id")
 
 
 def _simhash_oracle() -> str:
