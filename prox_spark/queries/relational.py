@@ -853,6 +853,48 @@ ORDER BY p_type, year
 """
 
 
+# --- q68: salted skew-join (explicit hot-key scatter; J-family hardening) --
+
+def q68_salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per market segment through ``salted_join`` — the
+    explicit plan-time skew mitigation (prox_spark/joins.py): orders
+    rows scatter across 8 salt buckets (xxhash64 of the order key), the
+    customer dim replicates per salt, and the join runs on
+    (custkey, salt). Results are identical to the plain equi-join — the
+    oracle IS the plain join — which is exactly the operator's
+    contract: same answer, no hot-key straggler at 100 TB."""
+    from prox_spark.joins import salted_join
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    joined = salted_join(
+        orders, cust, "custkey",
+        salt_buckets=8, salt_from=F.xxhash64(F.col("o_orderkey")),
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_Q68 = """
+SELECT c_mktsegment,
+       count(*)                    AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top5_suppliers": q02_top5_suppliers,
@@ -879,9 +921,11 @@ QUERIES = {
     "q48_promo_revenue": q48_promo_revenue,
     "q49_small_qty_revenue": q49_small_qty_revenue,
     "q50_parttype_yearly_revenue": q50_parttype_yearly_revenue,
+    "q68_salted_segment_revenue": q68_salted_segment_revenue,
 }
 
 ORACLES = {
+    "q68_salted_segment_revenue": ORACLE_Q68,
     "q19_approx_distinct_custkeys": ORACLE_Q19,
     "q48_promo_revenue": ORACLE_Q48,
     "q49_small_qty_revenue": ORACLE_Q49,

@@ -126,6 +126,20 @@ def test_q45_single_window(spark):
     assert plan.count("Window (") == 1
 
 
+def test_q38_simhash_is_map_side(spark):
+    """SimHash assembles bits with in-row folds — no token explode, no
+    groupBy: the only exchange left is the deterministic output sort."""
+    from prox_spark.queries.text import q38_simhash
+
+    plan = _plan(q38_simhash(spark, SF_DIR))
+    assert "HashAggregate" not in plan  # bits fold in-row, no groupBy
+    assert "Generate" not in plan       # no token explode
+    # exchanges: the output sort + (locally) the _spread repartition,
+    # which is a no-op on real multi-partition inputs ("Exchange ("
+    # matches tree nodes once; the details section prints "(n) Exchange")
+    assert plan.count("Exchange (") <= 2
+
+
 def test_q17_semi_anti_operators(spark):
     from prox_spark.queries.relational import q17_customers_without_orders
 
