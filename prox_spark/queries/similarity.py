@@ -428,6 +428,67 @@ ORDER BY query_id, rank
 """
 
 
+# --- k-means training (iterative; serves the IVF coarse quantizer) ---------
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = IVF_K,
+    max_iters: int = 5,
+    dim: int = EMB_DIM,
+) -> list[tuple[int, list[float]]]:
+    """Lloyd's k-means over the embedding corpus — the offline training
+    job q45's IVF serving plan assumes (its docstring: "training is an
+    offline job"). Iterative algorithms don't fit one SQL expression,
+    so this is the driver-coordinated loop done the scale-correct way:
+
+    - per iteration, ONLY the k centroids (k x dim doubles) cross the
+      driver boundary — the corpus never does (no collect of data);
+    - assignment is the same map-side pattern as q45: centroids ride in
+      as one broadcast array row, argmin computed with an in-row fold;
+    - centroid update is one explode + (cid, pos) partial+final avg —
+      the canonical distributed mean of vectors (never a per-cluster
+      collect_list, which would materialize whole clusters in memory).
+
+    Deterministic: init = first k vectors by vec_id, squared-L2
+    assignment with lowest-cid tie-break. Returns [(cid, centroid)].
+    Verified in tests/test_kmeans.py against a NumPy reference.
+    """
+    spark = emb.sparkSession
+    cents: list[tuple[int, list[float]]] = [
+        (int(r["vec_id"]), [float(x) for x in r["dd"]])
+        for r in emb.filter(F.col("vec_id") < k).select("vec_id", "dd").collect()
+    ]
+    for _ in range(max_iters):
+        cent_arr = spark.createDataFrame(
+            [(sorted(cents),)], "cents array<struct<cid:int, cdd:array<double>>>"
+        )
+        # squared L2 distance fold; argmin via array_sort on (dist, cid)
+        d2 = "aggregate(zip_with(dd, c.cdd, (x, y) -> (x - y) * (x - y)), cast(0.0 as double), (acc, x) -> acc + x)"
+        assign = (
+            emb.crossJoin(F.broadcast(cent_arr))
+            .withColumn(
+                "cid",
+                F.expr(
+                    f"array_sort(transform(cents, c -> named_struct('d2', {d2}, 'cid', c.cid)))[0].cid"
+                ),
+            )
+            .select("cid", "dd")
+        )
+        new_rows = (
+            assign.select("cid", F.posexplode("dd").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(F.expr("transform(array_sort(collect_list(struct(pos, m))), p -> p.m)").alias("cdd"))
+            .collect()
+        )
+        new = {int(r["cid"]): [float(x) for x in r["cdd"]] for r in new_rows}
+        # an emptied cluster keeps its previous centroid (standard
+        # Lloyd's fallback; keeps k stable)
+        cents = [(cid, new.get(cid, old)) for cid, old in cents]
+    return sorted(cents)
+
+
 QUERIES = {
     "q40_cosine_topk": q40_cosine_topk,
     "q41_lsh_ann": q41_lsh_ann,

@@ -73,6 +73,51 @@ def q44_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(stage_dir, ignore_errors=True)
 
 
+def q69_streaming_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation run as a REAL stream
+    (file source -> withWatermark + window groupBy -> memory sink,
+    availableNow): the streaming twin of q20, gated against the same
+    batch SQL. In a single availableNow pass the watermark cannot drop
+    anything (it only advances between micro-batches), so stream output
+    == batch aggregation — exactly the equivalence this query pins;
+    multi-batch incremental behavior (late-data drops, state eviction)
+    is covered by tests/test_streaming.py."""
+    from prox_spark.queries.events import _events
+    from prox_spark.streaming import hourly_stats, read_event_stream, run_to_memory
+
+    stage_dir = tempfile.mkdtemp(prefix="prox_spark_q69_")
+    try:
+        ev = _events(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp"))
+        ev.coalesce(4).write.mode("overwrite").parquet(stage_dir)
+        batch_schema = spark.read.parquet(stage_dir).schema
+
+        stream = read_event_stream(spark, stage_dir, batch_schema)
+        windowed = hourly_stats(stream, watermark="2 hours")
+        drained = run_to_memory(
+            windowed, f"q69_mem_{uuid.uuid4().hex[:8]}", output_mode="update"
+        )
+        # update-mode drain: last emission per (window, type) wins
+        # (n_events is strictly monotone per key across batches)
+        final = drained.groupBy("hour_start", "event_type").agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("sum_value", "n_events").alias("sum_value"),
+        )
+        return final.orderBy("hour_start", "event_type")
+    finally:
+        shutil.rmtree(stage_dir, ignore_errors=True)
+
+
+ORACLE_Q69 = """
+SELECT date_trunc('hour', ts)      AS hour_start,
+       event_type,
+       count(*)                    AS n_events,
+       round(sum(value), 2)        AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY hour_start, event_type
+"""
+
+
 ORACLE_Q44 = """
 SELECT user_id,
        count(*)             AS n_events,
@@ -82,5 +127,11 @@ GROUP BY user_id
 ORDER BY user_id
 """
 
-QUERIES = {"q44_stateful_user_totals": q44_stateful_user_totals}
-ORACLES = {"q44_stateful_user_totals": ORACLE_Q44}
+QUERIES = {
+    "q44_stateful_user_totals": q44_stateful_user_totals,
+    "q69_streaming_hourly_stats": q69_streaming_hourly_stats,
+}
+ORACLES = {
+    "q44_stateful_user_totals": ORACLE_Q44,
+    "q69_streaming_hourly_stats": ORACLE_Q69,
+}

@@ -111,3 +111,21 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bt_a")
         spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    from prox_spark.io import compact_parquet
+
+    src = str(tmp_path / "shattered")
+    dst = str(tmp_path / "compacted")
+    # 64 tiny files
+    spark.range(0, 10_000).repartition(64).write.parquet(src)
+    import os
+
+    n_src = sum(f.endswith(".parquet") for f in os.listdir(src))
+    assert n_src >= 32
+    n_dst = compact_parquet(spark, src, dst, target_file_mb=128)
+    assert n_dst == 1  # tiny data -> single right-sized file
+    assert spark.read.parquet(dst).count() == 10_000
+    got = {r[0] for r in spark.read.parquet(dst).collect()}
+    assert got == set(range(10_000))
