@@ -93,6 +93,21 @@ def compact_parquet(
     )
 
 
+def read_jsonl(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """JSON-lines source with a REQUIRED explicit schema: schema
+    inference over JSONL costs a full extra pass of the data (fatal at
+    100 TB) and silently widens types; corrupt lines land in
+    ``_corrupt_record`` when the schema declares it instead of failing
+    the job (PERMISSIVE mode default)."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink — the interchange format of most LLM-corpus
+    tooling; compression and file sizing follow the writer conf."""
+    df.write.mode(mode).json(path)
+
+
 def read_csv(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     """S9: seed-CSV reader (quoted multiline text, embedded JSON)."""
     return (

@@ -129,3 +129,47 @@ def test_compact_parquet_reduces_files(spark, tmp_path):
     assert spark.read.parquet(dst).count() == 10_000
     got = {r[0] for r in spark.read.parquet(dst).collect()}
     assert got == set(range(10_000))
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    from prox_spark.io import read_jsonl, write_jsonl
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, path)
+    back = read_jsonl(spark, path, docs.schema)
+    assert back.count() == docs.count()
+    a = sorted(docs.collect(), key=lambda r: r.doc_id)
+    b = sorted(back.collect(), key=lambda r: r.doc_id)
+    assert a == b
+
+
+def test_upsert_parquet_merges_by_key(spark, tmp_path):
+    from prox_spark.upsert import upsert_parquet
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id long, name string, v long"
+    )
+    upsert_parquet(spark, path, base, ["id"])          # create
+    updates = spark.createDataFrame(
+        [(2, "B", 200), (4, "d", 40)], "id long, name string, v long"
+    )
+    upsert_parquet(spark, path, updates, ["id"])       # merge
+    got = {r.id: (r.name, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a", 10), 2: ("B", 200), 3: ("c", 30), 4: ("d", 40)}
+    # idempotent re-apply
+    upsert_parquet(spark, path, updates, ["id"])
+    assert spark.read.parquet(path).count() == 4
+
+
+def test_upsert_rejects_schema_drift(spark, tmp_path):
+    import pytest
+
+    from prox_spark.upsert import upsert_parquet
+
+    path = str(tmp_path / "tbl2")
+    upsert_parquet(spark, path, spark.createDataFrame([(1, "a")], "id long, name string"), ["id"])
+    bad = spark.createDataFrame([(1, 5.0)], "id long, score double")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        upsert_parquet(spark, path, bad, ["id"])

@@ -1,0 +1,89 @@
+"""Physical-plan audit across the whole query surface: counts the
+operators that matter at 100 TB (shuffles, join strategies, Python
+stages, cartesian products) per query, so scale regressions show up as
+a diff in numbers rather than an anecdote.
+
+Usage: python tools/plan_audit.py [sf_dir] [--markdown]
+
+Streaming queries (q44, q69) execute a real stream when built, so they
+are audited on their BATCH twin semantics and skipped here.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+SKIP = {"q44_stateful_user_totals", "q69_streaming_hourly_stats"}
+
+# node names as they appear at the head of a tree line (join nodes are
+# followed by "Inner BuildRight" etc., so match on the bare name)
+MARKERS = {
+    "exchanges": "Exchange",
+    "bhj": "BroadcastHashJoin",
+    "smj": "SortMergeJoin",
+    "shj": "ShuffledHashJoin",
+    "bnlj": "BroadcastNestedLoopJoin",
+    "cartesian": "CartesianProduct",
+    "window": "Window",
+    "arrow_py": "ArrowEvalPython",
+    "map_py": "MapInPandas",
+    "topk": "TakeOrderedAndProject",
+}
+
+
+def _tree_counts(plan: str) -> dict[str, int]:
+    """Count operator nodes in the tree section only (each node also
+    reappears in the details section, which would double-count)."""
+    counts = dict.fromkeys(MARKERS, 0)
+    for line in plan.splitlines():
+        if not line.strip():
+            break  # end of tree section
+        head = line.replace("+-", " ").replace(":-", " ").replace(":", " ").split()
+        if not head:
+            continue
+        for key, node in MARKERS.items():
+            if head[0] == node:
+                counts[key] += 1
+    return counts
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("-") else "/root/testdata/sf0.001"
+    markdown = "--markdown" in sys.argv
+
+    import __spark_entry__ as e
+    from prox_spark.session import get_spark
+
+    spark = get_spark("plan-audit")
+    rows = []
+    for name, fn in e.queries().items():
+        if name in SKIP:
+            continue
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            fn(spark, sf_dir).explain("formatted")
+        plan = buf.getvalue()
+        rows.append((name, _tree_counts(plan)))
+        spark.catalog.clearCache()
+
+    cols = list(MARKERS)
+    if markdown:
+        print("| query | " + " | ".join(cols) + " |")
+        print("|" + "---|" * (len(cols) + 1))
+        for name, c in rows:
+            print(f"| {name} | " + " | ".join(str(c[k]) for k in cols) + " |")
+    else:
+        print(f"{'query':45s} " + " ".join(f"{k:>9s}" for k in cols))
+        for name, c in rows:
+            print(f"{name:45s} " + " ".join(f"{c[k]:9d}" for k in cols))
+    bad = [name for name, c in rows if c["cartesian"]]
+    print()
+    print("cartesian products:", bad or "none")
+
+
+if __name__ == "__main__":
+    main()
