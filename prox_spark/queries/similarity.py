@@ -428,6 +428,47 @@ ORDER BY query_id, rank
 """
 
 
+# --- IVF index materialization (cluster-partitioned layout) ----------------
+
+def build_ivf_index(
+    emb: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    path: str,
+) -> None:
+    """Materialize the IVF inverted lists as a cluster-partitioned
+    parquet layout (``path/cid=<k>/``): each vector is assigned to its
+    nearest centroid (same map-side argmin as kmeans_fit/q45) and
+    written under that cluster's partition directory.
+
+    This turns q45's "at 100 TB the cluster lists become the physical
+    partitioning" note into an actual layout: a probe that filters
+    ``cid IN (<nprobe ids>)`` partition-prunes to exactly those
+    directories — the scan never touches the other (K - nprobe)/K of
+    the corpus (asserted in tests/test_kmeans.py)."""
+    spark = emb.sparkSession
+    cent_arr = spark.createDataFrame(
+        [(sorted(cents),)], "cents array<struct<cid:int, cdd:array<double>>>"
+    )
+    d2 = "aggregate(zip_with(dd, c.cdd, (x, y) -> (x - y) * (x - y)), cast(0.0 as double), (acc, x) -> acc + x)"
+    assigned = (
+        emb.crossJoin(F.broadcast(cent_arr))
+        .withColumn(
+            "cid",
+            F.expr(
+                f"array_sort(transform(cents, c -> named_struct('d2', {d2}, 'cid', c.cid)))[0].cid"
+            ),
+        )
+        .select("vec_id", "dd", "nrm", "cid")
+    )
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(path)
+
+
+def probe_ivf_index(spark: SparkSession, path: str, probe_cids: list[int]) -> DataFrame:
+    """Read ONLY the probed cluster lists (partition pruning does the
+    work — no other directory is opened)."""
+    return spark.read.parquet(path).filter(F.col("cid").isin(probe_cids))
+
+
 # --- k-means training (iterative; serves the IVF coarse quantizer) ---------
 
 def kmeans_fit(

@@ -54,3 +54,38 @@ def test_kmeans_reduces_sse(spark):
     c3 = kmeans_fit(emb, k=K, max_iters=3)
     assert sse(c1) <= sse(c0)
     assert sse(c3) <= sse(c1) + 1e-9
+
+
+def test_ivf_index_partition_prunes(spark, tmp_path):
+    import contextlib
+    import io
+
+    from prox_spark.queries.similarity import (
+        _emb_n,
+        build_ivf_index,
+        kmeans_fit,
+        probe_ivf_index,
+    )
+
+    emb = _emb_n(spark, SF_DIR)
+    cents = kmeans_fit(emb, k=K, max_iters=1)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, cents, path)
+
+    import os
+
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("cid="))
+    assert len(dirs) == K  # every cluster materialized
+
+    probed = probe_ivf_index(spark, path, [0, 2])
+    got_cids = {r.cid for r in probed.select("cid").distinct().collect()}
+    assert got_cids == {0, 2}
+    # the filter must prune at planning time, not post-scan
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probed.explain("formatted")
+    plan = buf.getvalue()
+    line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "cid" in line
+    # total rows across all clusters == corpus
+    assert spark.read.parquet(path).count() == emb.count()
