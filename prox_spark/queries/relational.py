@@ -895,6 +895,74 @@ ORDER BY c_mktsegment
 """
 
 
+# --- q70: approx median sketch + exact twin (quantile family) --------------
+
+def q70_median_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation account-balance median two ways: the
+    ``percentile_approx`` sketch (constant memory — the quantile analog
+    of q19's HLL) and an EXACT median computed from row_number/count
+    windows with fully deterministic arithmetic ((a+b)/2 of the middle
+    elements — identical in both engines, unlike interpolated
+    percentile built-ins whose fp association differs).
+
+    The sketch's guarantee is RANK accuracy (default accuracy 10000 →
+    ≤ max(1, n/10000) ranks), not value distance — adjacent balances
+    can be hundreds apart — so ``approx_ok`` asserts the estimate lands
+    within the VALUE RANGE of the middle ranks ±1, which that rank
+    bound implies for n ≤ 10000 per group. The oracle pins it to TRUE:
+    a sketch sliding further off-rank fails the hash gate."""
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    j = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+    w = W.partitionBy("n_name")
+    ranked = (
+        j.withColumn("rn", F.row_number().over(w.orderBy("c_acctbal", "c_custkey")))
+        .withColumn("cnt", F.count(F.lit(1)).over(w))
+    )
+    exact = (
+        ranked.filter(F.expr("rn = (cnt + 1) div 2 or rn = (cnt + 2) div 2"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum("c_acctbal") / F.count(F.lit(1)), 6).alias("exact_median"))
+    )
+    band = (
+        ranked.filter(
+            F.expr("rn between (cnt + 1) div 2 - 1 and (cnt + 2) div 2 + 1")
+        )
+        .groupBy("n_name")
+        .agg(F.min("c_acctbal").alias("lo"), F.max("c_acctbal").alias("hi"))
+    )
+    approx = j.groupBy("n_name").agg(
+        F.percentile_approx("c_acctbal", 0.5).alias("approx_median")
+    )
+    return (
+        exact.join(band, "n_name")
+        .join(approx, "n_name")
+        .select(
+            "n_name",
+            "exact_median",
+            F.col("approx_median").between(F.col("lo"), F.col("hi")).alias("approx_ok"),
+        )
+        .orderBy("n_name")
+    )
+
+
+ORACLE_Q70 = """
+WITH r AS (
+  SELECT n_name, c_acctbal,
+         row_number() OVER (PARTITION BY n_name ORDER BY c_acctbal, c_custkey) AS rn,
+         count(*)    OVER (PARTITION BY n_name)                                AS cnt
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT n_name,
+       round(sum(c_acctbal) / count(*), 6) AS exact_median,
+       TRUE                                AS approx_ok
+FROM r
+WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top5_suppliers": q02_top5_suppliers,
@@ -922,10 +990,12 @@ QUERIES = {
     "q49_small_qty_revenue": q49_small_qty_revenue,
     "q50_parttype_yearly_revenue": q50_parttype_yearly_revenue,
     "q68_salted_segment_revenue": q68_salted_segment_revenue,
+    "q70_median_acctbal": q70_median_acctbal,
 }
 
 ORACLES = {
     "q68_salted_segment_revenue": ORACLE_Q68,
+    "q70_median_acctbal": ORACLE_Q70,
     "q19_approx_distinct_custkeys": ORACLE_Q19,
     "q48_promo_revenue": ORACLE_Q48,
     "q49_small_qty_revenue": ORACLE_Q49,
