@@ -399,9 +399,65 @@ ORDER BY stage
 """
 
 
+# --- q71: range join (equi key + time-interval predicate) ------------------
+
+RANGE_JOIN_WINDOW_MIN = 10
+
+
+def q71_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per purchase, the number of same-user clicks in the preceding
+    10 minutes — the equi+range join family (interval containment).
+
+    The join condition is ``user_id equal AND ts in [p.ts - 10min,
+    p.ts)``: Catalyst plans the EQUI part as the join key (hash/SMJ
+    shuffle on user_id — never a cartesian; asserted in
+    tests/test_plans.py) and evaluates the range as a post-join filter
+    within each key group. That is the scale-correct shape: candidate
+    volume is bounded by per-user event counts, not corpus².
+    Purchases with zero preceding clicks survive via left join +
+    zero-fill, so the output is exactly one row per purchase."""
+    ev = _events(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    joined = p.join(
+        c,
+        (p.user_id == c.c_user)
+        & (c.c_ts >= F.expr(f"p_ts - interval {RANGE_JOIN_WINDOW_MIN} minutes"))
+        & (c.c_ts < F.col("p_ts")),
+        "left",
+    )
+    return (
+        joined.groupBy("event_id", "user_id", "p_ts")
+        .agg(F.count("c_ts").alias("n_recent_clicks"))
+        .select("event_id", "user_id", F.col("p_ts").alias("purchase_ts"), "n_recent_clicks")
+        .orderBy("event_id")
+    )
+
+
+ORACLE_Q71 = f"""
+WITH p AS (
+  SELECT event_id, user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id AS c_user, ts AS c_ts FROM events WHERE event_type = 'click'
+)
+SELECT event_id, user_id, p_ts AS purchase_ts, count(c_ts) AS n_recent_clicks
+FROM p LEFT JOIN c
+  ON user_id = c_user
+ AND c_ts >= p_ts - INTERVAL {RANGE_JOIN_WINDOW_MIN} MINUTE
+ AND c_ts < p_ts
+GROUP BY event_id, user_id, p_ts
+ORDER BY event_id
+"""
+
+
 QUERIES = {
     "q20_hourly_event_stats": q20_hourly_event_stats,
     "q26_asof_click_to_purchase": q26_asof_click_to_purchase,
+    "q71_clicks_before_purchase": q71_clicks_before_purchase,
     "q46_sliding_window_stats": q46_sliding_window_stats,
     "q47_event_funnel": q47_event_funnel,
     "q21_sessionize": q21_sessionize,
@@ -414,6 +470,7 @@ QUERIES = {
 ORACLES = {
     "q20_hourly_event_stats": ORACLE_Q20,
     "q26_asof_click_to_purchase": ORACLE_Q26,
+    "q71_clicks_before_purchase": ORACLE_Q71,
     "q46_sliding_window_stats": ORACLE_Q46,
     "q47_event_funnel": ORACLE_Q47,
     "q21_sessionize": ORACLE_Q21,

@@ -140,6 +140,20 @@ def test_q38_simhash_is_map_side(spark):
     assert plan.count("Exchange (") <= 2
 
 
+def test_q71_range_join_is_keyed(spark):
+    """The equi part (user_id) must drive the join; the time-range
+    predicate rides as an in-key filter — never a cartesian/BNLJ."""
+    from prox_spark.queries.events import q71_clicks_before_purchase
+
+    plan = _plan(q71_clicks_before_purchase(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert any(
+        f"{op} LeftOuter" in plan
+        for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+
+
 def test_q17_semi_anti_operators(spark):
     from prox_spark.queries.relational import q17_customers_without_orders
 
