@@ -12,6 +12,7 @@ against multi-file directories.
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import tempfile
@@ -19,58 +20,67 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+# staged event parquet per sf_dir, shared by q44/q69 (staging writes the
+# full event table — do it once per process, not once per query run);
+# removed at interpreter exit
+_STAGE_CACHE: dict[str, str] = {}
+
+
+def _staged_events(spark: SparkSession, sf_dir: str) -> str:
+    from prox_spark.queries.events import _events
+
+    if sf_dir not in _STAGE_CACHE:
+        stage_dir = tempfile.mkdtemp(prefix="prox_spark_stream_stage_")
+        ev = _events(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp"))
+        ev.coalesce(4).write.mode("overwrite").parquet(stage_dir)
+        _STAGE_CACHE[sf_dir] = stage_dir
+        atexit.register(shutil.rmtree, stage_dir, ignore_errors=True)
+    return _STAGE_CACHE[sf_dir]
+
 
 def q44_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user running totals via applyInPandasWithState (custom group
     state), drained with an availableNow trigger. Raw double sums from
     the state are rounded JVM-side (determinism rules,
     queries/__init__.py)."""
-    from prox_spark.queries.events import _events
     from prox_spark.streaming import read_event_stream, run_to_memory, stateful_user_totals
 
-    stage_dir = tempfile.mkdtemp(prefix="prox_spark_q44_")
-    try:
-        ev = _events(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp"))
-        ev.coalesce(4).write.mode("overwrite").parquet(stage_dir)
-        batch_schema = spark.read.parquet(stage_dir).schema
+    stage_dir = _staged_events(spark, sf_dir)
+    batch_schema = spark.read.parquet(stage_dir).schema
 
-        stream = read_event_stream(spark, stage_dir, batch_schema)
-        totals = stateful_user_totals(stream)
-        # the stateful stage fans out one Python worker per shuffle
-        # partition; cap like every Python stage (queries/text.py
-        # _spread_py) — streams pin the conf at start, so set/restore
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set(
-            "spark.sql.shuffle.partitions",
-            os.environ.get("SPARK_GRAFT_PY_PARTITIONS", "8"),
-        )
-        try:
-            drained = run_to_memory(
-                totals, f"q44_mem_{uuid.uuid4().hex[:8]}", output_mode="update"
-            )
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
-        # update-mode memory sink appends every micro-batch's updated
-        # rows; a user touched in N batches yields N rows, of which the
-        # LAST (largest running n_events — strictly monotone per user)
-        # is the final state. Reduce instead of assuming one batch, so
-        # maxFilesPerTrigger / file-batching changes can't break this.
-        final = drained.groupBy("user_id").agg(
-            F.max("n_events").alias("n_events"),
-            F.max_by("sum_value_raw", "n_events").alias("sum_value_raw"),
-        )
-        return (
-            final.select(
-                "user_id",
-                "n_events",
-                F.round("sum_value_raw", 2).alias("sum_value"),
-            )
-            .orderBy("user_id")
+    stream = read_event_stream(spark, stage_dir, batch_schema)
+    totals = stateful_user_totals(stream)
+    # the stateful stage fans out one Python worker per shuffle
+    # partition; cap like every Python stage (queries/text.py
+    # _spread_py) — streams pin the conf at start, so set/restore
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_PY_PARTITIONS", "8"),
+    )
+    try:
+        drained = run_to_memory(
+            totals, f"q44_mem_{uuid.uuid4().hex[:8]}", output_mode="update"
         )
     finally:
-        # the memory sink holds the drained rows; the parquet staging
-        # dir is no longer referenced once the stream has terminated
-        shutil.rmtree(stage_dir, ignore_errors=True)
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # update-mode memory sink appends every micro-batch's updated
+    # rows; a user touched in N batches yields N rows, of which the
+    # LAST (largest running n_events — strictly monotone per user)
+    # is the final state. Reduce instead of assuming one batch, so
+    # maxFilesPerTrigger / file-batching changes can't break this.
+    final = drained.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("sum_value_raw", "n_events").alias("sum_value_raw"),
+    )
+    return (
+        final.select(
+            "user_id",
+            "n_events",
+            F.round("sum_value_raw", 2).alias("sum_value"),
+        )
+        .orderBy("user_id")
+    )
 
 
 def q69_streaming_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -82,29 +92,23 @@ def q69_streaming_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     == batch aggregation — exactly the equivalence this query pins;
     multi-batch incremental behavior (late-data drops, state eviction)
     is covered by tests/test_streaming.py."""
-    from prox_spark.queries.events import _events
     from prox_spark.streaming import hourly_stats, read_event_stream, run_to_memory
 
-    stage_dir = tempfile.mkdtemp(prefix="prox_spark_q69_")
-    try:
-        ev = _events(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp"))
-        ev.coalesce(4).write.mode("overwrite").parquet(stage_dir)
-        batch_schema = spark.read.parquet(stage_dir).schema
+    stage_dir = _staged_events(spark, sf_dir)
+    batch_schema = spark.read.parquet(stage_dir).schema
 
-        stream = read_event_stream(spark, stage_dir, batch_schema)
-        windowed = hourly_stats(stream, watermark="2 hours")
-        drained = run_to_memory(
-            windowed, f"q69_mem_{uuid.uuid4().hex[:8]}", output_mode="update"
-        )
-        # update-mode drain: last emission per (window, type) wins
-        # (n_events is strictly monotone per key across batches)
-        final = drained.groupBy("hour_start", "event_type").agg(
-            F.max("n_events").alias("n_events"),
-            F.max_by("sum_value", "n_events").alias("sum_value"),
-        )
-        return final.orderBy("hour_start", "event_type")
-    finally:
-        shutil.rmtree(stage_dir, ignore_errors=True)
+    stream = read_event_stream(spark, stage_dir, batch_schema)
+    windowed = hourly_stats(stream, watermark="2 hours")
+    drained = run_to_memory(
+        windowed, f"q69_mem_{uuid.uuid4().hex[:8]}", output_mode="update"
+    )
+    # update-mode drain: last emission per (window, type) wins
+    # (n_events is strictly monotone per key across batches)
+    final = drained.groupBy("hour_start", "event_type").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("sum_value", "n_events").alias("sum_value"),
+    )
+    return final.orderBy("hour_start", "event_type")
 
 
 ORACLE_Q69 = """
