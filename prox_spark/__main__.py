@@ -1,0 +1,71 @@
+"""CLI entrypoints: ``python -m prox_spark <command>``.
+
+Commands:
+  medallion --bronze DIR --out DIR   run the full bronze->silver->gold->KPI job
+            [--fixtures]             stage the seeded PROX fixtures as bronze first
+  compact   --src DIR --dst DIR      small-file compaction
+            [--target-mb N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="prox_spark")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_med = sub.add_parser("medallion", help="run the end-to-end medallion job")
+    p_med.add_argument("--bronze", help="dir of <table>.parquet bronze inputs")
+    p_med.add_argument("--out", required=True, help="output dir for gold/ and kpis/")
+    p_med.add_argument(
+        "--fixtures", action="store_true",
+        help="stage the deterministic PROX fixtures as the bronze input",
+    )
+
+    p_cmp = sub.add_parser("compact", help="compact a parquet directory")
+    p_cmp.add_argument("--src", required=True)
+    p_cmp.add_argument("--dst", required=True)
+    p_cmp.add_argument("--target-mb", type=int, default=128)
+
+    args = parser.parse_args(argv)
+
+    from prox_spark.session import get_spark
+
+    spark = get_spark(f"prox-{args.cmd}")
+
+    if args.cmd == "medallion":
+        bronze = args.bronze
+        if args.fixtures:
+            import os
+
+            from prox_spark.fixture_store import stage_fixtures
+
+            bronze = os.path.dirname(next(iter(stage_fixtures().values())))
+        elif not bronze:
+            parser.error("medallion needs --bronze DIR or --fixtures")
+        from prox_spark.jobs import run_medallion
+
+        results = run_medallion(spark, bronze, args.out)
+        width = max(len(n) for n in results)
+        failed = False
+        for name, res in results.items():
+            print(f"{name:{width}s}  {res.status:9s} attempts={res.attempts} "
+                  f"{res.duration_s:.2f}s{'  ' + res.error if res.error else ''}")
+            failed = failed or res.status != "succeeded"
+        return 1 if failed else 0
+
+    if args.cmd == "compact":
+        from prox_spark.io import compact_parquet
+
+        n = compact_parquet(spark, args.src, args.dst, target_file_mb=args.target_mb)
+        print(f"compacted {args.src} -> {args.dst} ({n} files)")
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())
