@@ -589,6 +589,106 @@ ORDER BY doc_id
 """
 
 
+# --- q72: duplicate-cluster resolution (connected components) --------------
+
+CC_MAX_ITERS = 15
+
+
+def q72_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolve near-duplicate PAIRS (q36's MinHash-LSH output) into
+    duplicate CLUSTERS: each document gets the minimum doc_id of its
+    connected component — the step a dedup pipeline actually needs
+    (keep one representative per cluster, not per pair).
+
+    Spark has no recursive CTE, so connectivity is iterative min-label
+    propagation: per round, every node adopts the smallest label among
+    itself and its neighbors; converged when no label changes. Rounds
+    needed = component diameter (near-dup clusters are tiny — chains
+    longer than ~10 docs are pathological), capped at CC_MAX_ITERS.
+    Per round: one groupBy over the edge list + one left join over the
+    (narrow) label frame; the only driver-side value is the converged?
+    count — the corpus never leaves the executors. The DuckDB oracle is
+    the same fixpoint via WITH RECURSIVE min-reachability."""
+    pairs = q36_minhash_lsh(spark, sf_dir).select("doc1", "doc2")
+    edges = pairs.union(
+        pairs.select(F.col("doc2").alias("doc1"), F.col("doc1").alias("doc2"))
+    ).cache()
+    labels = (
+        edges.select(F.col("doc1").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .cache()
+    )
+    for _ in range(CC_MAX_ITERS):
+        nbr_min = (
+            edges.join(labels, edges.doc1 == labels.doc_id)
+            .groupBy(F.col("doc2").alias("doc_id"))
+            .agg(F.min("label").alias("nbr"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce(F.col("nbr"), F.col("label"))).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") < F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id")).orderBy("doc_id")
+
+
+ORACLE_Q72 = f"""
+WITH RECURSIVE
+{DUCK_SHINGLE_CTE.strip().removeprefix("WITH ")},
+sig AS (
+  SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || shingle)) AS minh
+  FROM shingles CROSS JOIN range({MINHASH_K}) t(seed)
+  GROUP BY doc_id, seed
+), bands AS (
+  SELECT doc_id, seed // {LSH_BAND_ROWS} AS band,
+         string_agg(minh, ',' ORDER BY seed) AS band_sig
+  FROM sig GROUP BY 1, 2
+), candidates AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+), inter AS (
+  SELECT doc1, doc2, count(*) AS n_inter
+  FROM candidates
+  JOIN shingles s1 ON doc1 = s1.doc_id
+  JOIN shingles s2 ON doc2 = s2.doc_id AND s1.shingle = s2.shingle
+  GROUP BY doc1, doc2
+), pairs AS (
+  SELECT doc1, doc2
+  FROM inter
+  JOIN sizes sa ON doc1 = sa.doc_id
+  JOIN sizes sb ON doc2 = sb.doc_id
+  WHERE round(n_inter / (sa.n_shingles + sb.n_shingles - n_inter), 6) >= {JACCARD_THRESHOLD}
+), edges AS (
+  SELECT doc1 AS src, doc2 AS dst FROM pairs
+  UNION
+  SELECT doc2, doc1 FROM pairs
+), reach(root, node) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT r.root, e.dst FROM reach r JOIN edges e ON r.node = e.src
+)
+SELECT root AS doc_id, min(node) AS cluster_id
+FROM reach
+GROUP BY root
+ORDER BY doc_id
+"""
+
+
 # --- q65: deterministic train/val/test split (hash bucketing) --------------
 
 SPLIT_TRAIN, SPLIT_VAL = 80, 90  # bucket < 80 train, < 90 val, else test
@@ -737,9 +837,11 @@ QUERIES = {
     "q65_hash_split": q65_hash_split,
     "q66_source_mixture": q66_source_mixture,
     "q67_decontaminate": q67_decontaminate,
+    "q72_dup_clusters": q72_dup_clusters,
 }
 
 ORACLES = {
+    "q72_dup_clusters": ORACLE_Q72,
     "q39_sentiment": ORACLE_Q39,
     "q65_hash_split": ORACLE_Q65,
     "q66_source_mixture": ORACLE_Q66,
