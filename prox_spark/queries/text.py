@@ -625,22 +625,21 @@ def q72_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("doc2").alias("doc_id"))
             .agg(F.min("label").alias("nbr"))
         )
+        # carry the previous label through the update so convergence is
+        # read off the SAME materialization — one job per round, not a
+        # second change-detection join
         new_labels = (
             labels.join(nbr_min, "doc_id", "left")
             .select(
                 "doc_id",
+                F.col("label").alias("old"),
                 F.least(F.col("label"), F.coalesce(F.col("nbr"), F.col("label"))).alias("label"),
             )
             .cache()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") < F.col("o.label"))
-            .count()
-        )
+        changed = new_labels.filter(F.col("label") < F.col("old")).count()
         labels.unpersist()
-        labels = new_labels
+        labels = new_labels.drop("old")
         if changed == 0:
             break
     return labels.select("doc_id", F.col("label").alias("cluster_id")).orderBy("doc_id")
