@@ -68,19 +68,28 @@ def main() -> None:
 
     medians = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
     mins = {name: round(min(ts), 3) for name, ts in samples.items()}
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_set_wall_sec",
-                "value": round(sum(medians.values()), 3),
-                "unit": "sec",
-                "queries": medians,
-                "queries_min": mins,
-                "reps": reps,
-                "sf": sf,
-            }
+    out = {
+        "metric": "total_query_set_wall_sec",
+        "value": round(sum(medians.values()), 3),
+        "unit": "sec",
+        "queries": medians,
+        "queries_min": mins,
+        "reps": reps,
+        "sf": sf,
+    }
+    # like-for-like subtotal vs round 1: the query set grows every
+    # round, so the comparable number is the sum over r1's 47 queries,
+    # not the whole-suite total
+    r1_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r01.json")
+    if os.path.exists(r1_path):
+        with open(r1_path) as f:
+            r1 = json.load(f)
+        # the driver wraps our line under "parsed"
+        r1_queries = set((r1.get("parsed") or r1).get("queries", {}))
+        out["value_r1_subset"] = round(
+            sum(v for k, v in medians.items() if k in r1_queries), 3
         )
-    )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
