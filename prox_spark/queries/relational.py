@@ -963,6 +963,178 @@ ORDER BY n_name
 """
 
 
+# --- q73: per-group interpolated percentiles (exact, deterministic) --------
+
+def q73_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation p25/p50/p75 of account balance, EXACT linear
+    interpolation (the percentile_cont contract) with fully
+    deterministic cross-engine arithmetic: for p = k/4 the 0-based
+    index is k*(n-1)/4, so lo/rem come from INTEGER div/mod and the
+    only float op is ``v_lo + ((v_hi - v_lo) * rem) / 4.0`` — written
+    identically in both engines (built-in interpolated percentiles
+    differ in fp association across engines, so they can't be
+    hash-gated; this formulation can).
+
+    Scale shape: one window shuffle on the group key (rank + count),
+    then a partial+final agg picking the two bracketing ranks per p —
+    no per-group arrays ever materialize, so million-row groups cost
+    the same two passes as ten-row groups."""
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    j = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+    w = W.partitionBy("n_name")
+    ranked = (
+        j.withColumn("rn", F.row_number().over(w.orderBy("c_acctbal", "c_custkey")))
+        .withColumn("cnt", F.count(F.lit(1)).over(w))
+    )
+    aggs = []
+    for k in (1, 2, 3):
+        lo = F.expr(f"({k} * (cnt - 1)) div 4")
+        rem = F.expr(f"({k} * (cnt - 1)) % 4")
+        aggs += [
+            F.max(F.when(F.col("rn") == lo + 1, F.col("c_acctbal"))).alias(f"v_lo_{k}"),
+            F.max(
+                F.when(F.col("rn") == F.least(lo + 2, F.col("cnt")), F.col("c_acctbal"))
+            ).alias(f"v_hi_{k}"),
+            F.max(rem).alias(f"rem_{k}"),
+        ]
+    g = ranked.groupBy("n_name").agg(*aggs)
+    out = g.select(
+        "n_name",
+        *[
+            F.round(
+                F.col(f"v_lo_{k}")
+                + ((F.col(f"v_hi_{k}") - F.col(f"v_lo_{k}")) * F.col(f"rem_{k}")) / 4.0,
+                6,
+            ).alias(f"p{k * 25}")
+            for k in (1, 2, 3)
+        ],
+    )
+    return out.orderBy("n_name")
+
+
+def _q73_oracle() -> str:
+    cols = ",\n       ".join(
+        f"round(v_lo_{k} + ((v_hi_{k} - v_lo_{k}) * rem_{k}) / 4.0, 6) AS p{k * 25}"
+        for k in (1, 2, 3)
+    )
+    aggs = ",\n         ".join(
+        f"max(CASE WHEN rn = ({k} * (cnt - 1)) // 4 + 1 THEN c_acctbal END) AS v_lo_{k},\n"
+        f"         max(CASE WHEN rn = least(({k} * (cnt - 1)) // 4 + 2, cnt) THEN c_acctbal END) AS v_hi_{k},\n"
+        f"         max(({k} * (cnt - 1)) % 4) AS rem_{k}"
+        for k in (1, 2, 3)
+    )
+    return f"""
+WITH r AS (
+  SELECT n_name, c_acctbal,
+         row_number() OVER (PARTITION BY n_name ORDER BY c_acctbal, c_custkey) AS rn,
+         count(*)    OVER (PARTITION BY n_name)                                AS cnt
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+), g AS (
+  SELECT n_name,
+         {aggs}
+  FROM r GROUP BY n_name
+)
+SELECT n_name,
+       {cols}
+FROM g
+ORDER BY n_name
+"""
+
+
+ORACLE_Q73 = _q73_oracle()
+
+
+# --- q74: arg-max per group via struct-max (map-side, no window) -----------
+
+def q74_top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation top customer by account balance — the arg-max family
+    (`max(struct)` + `max_by`), tie-broken by custkey so the answer is
+    deterministic.
+
+    Scale shape: this is the MAP-SIDE way to answer "row with the max
+    per group" — a partial+final aggregate carrying one struct per
+    group per partition. The window formulation (rank-then-filter, as
+    q08 does for top-K>1) shuffles EVERY row to rank it; for k=1 that
+    whole shuffle is replaced by a combiner, which at 100 TB is the
+    difference between a full-corpus exchange and a few KB per
+    partition."""
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    j = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+    key = F.struct(F.col("c_acctbal"), F.col("c_custkey"))
+    g = j.groupBy("n_name").agg(
+        F.max(key).alias("s"),
+        F.max_by("c_name", key).alias("top_name"),
+    )
+    return (
+        g.select(
+            "n_name",
+            F.col("s.c_acctbal").alias("top_acctbal"),
+            F.col("s.c_custkey").alias("top_custkey"),
+            "top_name",
+        )
+        .orderBy("n_name")
+    )
+
+
+ORACLE_Q74 = """
+SELECT n_name, c_acctbal AS top_acctbal, c_custkey AS top_custkey, c_name AS top_name
+FROM (
+  SELECT n_name, c_acctbal, c_custkey, c_name,
+         row_number() OVER (PARTITION BY n_name
+                            ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+)
+WHERE rn = 1
+ORDER BY n_name
+"""
+
+
+# --- q79: GROUPING SETS + grouping() via the SQL entry point ---------------
+
+def q79_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS lattice (the general form behind q15's
+    ROLLUP / q28's CUBE) through ``spark.sql`` — segment×priority
+    detail, per-segment subtotal, and grand total in ONE pass, with
+    ``grouping()`` flags disambiguating real NULLs from subtotal rows.
+    Catalyst expands the sets into a single Expand + hash-agg, so the
+    fact side is scanned once regardless of how many sets are listed."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).createOrReplaceTempView(
+        "q79_base"
+    )
+    return spark.sql(
+        """
+        SELECT coalesce(c_mktsegment, 'ALL')    AS segment,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               cast(grouping(c_mktsegment) AS bigint)    AS is_seg_total,
+               cast(grouping(o_orderpriority) AS bigint) AS is_pri_total,
+               count(*)                         AS n_orders,
+               round(sum(o_totalprice), 2)      AS revenue
+        FROM q79_base
+        GROUP BY GROUPING SETS ((c_mktsegment, o_orderpriority), (c_mktsegment), ())
+        ORDER BY segment, priority
+        """
+    )
+
+
+ORACLE_Q79 = """
+SELECT coalesce(c_mktsegment, 'ALL')    AS segment,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       CAST(grouping(c_mktsegment) AS BIGINT)    AS is_seg_total,
+       CAST(grouping(o_orderpriority) AS BIGINT) AS is_pri_total,
+       count(*)                         AS n_orders,
+       round(sum(o_totalprice), 2)      AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY GROUPING SETS ((c_mktsegment, o_orderpriority), (c_mktsegment), ())
+ORDER BY segment, priority
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top5_suppliers": q02_top5_suppliers,
@@ -991,11 +1163,17 @@ QUERIES = {
     "q50_parttype_yearly_revenue": q50_parttype_yearly_revenue,
     "q68_salted_segment_revenue": q68_salted_segment_revenue,
     "q70_median_acctbal": q70_median_acctbal,
+    "q73_group_percentiles": q73_group_percentiles,
+    "q74_top_customer_per_nation": q74_top_customer_per_nation,
+    "q79_grouping_sets": q79_grouping_sets,
 }
 
 ORACLES = {
     "q68_salted_segment_revenue": ORACLE_Q68,
     "q70_median_acctbal": ORACLE_Q70,
+    "q73_group_percentiles": ORACLE_Q73,
+    "q74_top_customer_per_nation": ORACLE_Q74,
+    "q79_grouping_sets": ORACLE_Q79,
     "q19_approx_distinct_custkeys": ORACLE_Q19,
     "q48_promo_revenue": ORACLE_Q48,
     "q49_small_qty_revenue": ORACLE_Q49,
