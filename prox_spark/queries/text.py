@@ -822,6 +822,149 @@ ORDER BY doc_id, phrase
 """
 
 
+# --- q75: TF-IDF top terms per document ------------------------------------
+
+TFIDF_TOP_K = 3
+
+
+def q75_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by TF-IDF. The IDF uses
+    the LINEAR rarity ratio n_docs/df instead of log(n_docs/df):
+    ranking is invariant under the monotone log, and dropping the
+    transcendental keeps every float op (two int/int divisions and one
+    multiply, identical IEEE ops in both engines) bit-reproducible —
+    logs differ in the last ulp across libm implementations, which
+    would break the hash gate.
+
+    Scale shape: term-frequency is one groupBy on (doc, term); document
+    frequency is a second groupBy on term REUSING the tf frame (no
+    second corpus scan); n_docs joins in as a broadcast one-row frame;
+    the final per-doc top-k is a window over the (doc, term) frame —
+    all shuffles are on short keys, never full text."""
+    from pyspark.sql import Window as W
+
+    docs = (
+        _docs(spark, sf_dir)
+        .withColumn("tokens", F.expr(TOKENS_SPARK))
+        .select("doc_id", F.size("tokens").cast("long").alias("n_tokens"), "tokens")
+    )
+    tf = (
+        docs.select("doc_id", "n_tokens", F.explode("tokens").alias("term"))
+        .groupBy("doc_id", "n_tokens", "term")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                (F.col("n_occ") / F.col("n_tokens")) * (F.col("n_docs") / F.col("df")),
+                6,
+            ),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TFIDF_TOP_K)
+        .select("doc_id", "rnk", "term", "n_occ", "df", "tfidf")
+        .orderBy("doc_id", "rnk")
+    )
+
+
+ORACLE_Q75 = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens, tokens
+  FROM (SELECT doc_id, {TOKENS_DUCK} AS tokens FROM documents)
+), tf AS (
+  SELECT doc_id, n_tokens, term, count(*) AS n_occ
+  FROM (SELECT doc_id, n_tokens, unnest(tokens) AS term FROM t)
+  GROUP BY doc_id, n_tokens, term
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), nd AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT doc_id, term, n_occ, df,
+         round((n_occ / n_tokens) * (n_docs / df), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+), ranked AS (
+  SELECT doc_id, term, n_occ, df, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+  FROM scored
+)
+SELECT doc_id, rnk, term, n_occ, df, tfidf
+FROM ranked
+WHERE rnk <= {TFIDF_TOP_K}
+ORDER BY doc_id, rnk
+"""
+
+
+# --- q76: n-gram-overlap decontamination (eval-set shingle join) -----------
+
+# pseudo-benchmark eval documents: fixed word sequences over the corpus
+# vocabulary, shingled with the SAME 3-gram tokenizer as the corpus
+EVAL_DOCS = (
+    ("eval0", "the fast join scan table window merge batch part value hash key line sort order data"),
+    ("eval1", "big data stream group filter small vector column query customer slow agg spark row value the"),
+)
+
+
+def q76_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination the way large corpora actually do it:
+    token-level n-gram OVERLAP between each training document and the
+    eval set (q67's substring scan catches only verbatim phrases; this
+    catches shared 3-gram spans regardless of surrounding text). Both
+    sides run the identical shingle pipeline; contamination is an
+    equi-join on the shingle — at 100 TB the eval side is a few
+    thousand benchmark docs, so its distinct-shingle table genuinely
+    broadcasts and the corpus pass stays map-side (no corpus shuffle
+    at all). Output: per contaminated doc, how many distinct eval
+    shingles it shares and how many eval docs it touches."""
+    ev = spark.createDataFrame(list(EVAL_DOCS), "eval_id string, text string")
+    ev_shingles = (
+        ev.withColumn("tokens", F.expr(TOKENS_SPARK))
+        .withColumn("shingles", F.array_distinct(F.expr(SHINGLES_SPARK)))
+        .select("eval_id", F.explode("shingles").alias("shingle"))
+    )
+    doc_shingles = _doc_shingle_arrays(spark, sf_dir).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    return (
+        doc_shingles.join(F.broadcast(ev_shingles), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_hit_shingles"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_EVAL_VALUES = ", ".join(f"('{i}', '{t}')" for i, t in EVAL_DOCS)
+
+ORACLE_Q76 = f"""
+{DUCK_SHINGLE_CTE},
+ev(eval_id, etext) AS (VALUES {_EVAL_VALUES}),
+etoks AS (
+  SELECT eval_id, string_split_regex(lower(trim(etext)), '\\s+') AS tokens FROM ev
+), eshingled AS (
+  SELECT eval_id, {SHINGLES_DUCK} AS shingles FROM etoks
+), eshingles AS (
+  SELECT DISTINCT eval_id, unnest(shingles) AS shingle FROM eshingled
+)
+SELECT doc_id,
+       count(DISTINCT s.shingle) AS n_hit_shingles,
+       count(DISTINCT e.eval_id) AS n_eval_docs
+FROM shingles s JOIN eshingles e USING (shingle)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q30_exact_dedup": q30_exact_dedup,
     "q31_text_stats": q31_text_stats,
@@ -837,10 +980,14 @@ QUERIES = {
     "q66_source_mixture": q66_source_mixture,
     "q67_decontaminate": q67_decontaminate,
     "q72_dup_clusters": q72_dup_clusters,
+    "q75_tfidf_top_terms": q75_tfidf_top_terms,
+    "q76_ngram_decontaminate": q76_ngram_decontaminate,
 }
 
 ORACLES = {
     "q72_dup_clusters": ORACLE_Q72,
+    "q75_tfidf_top_terms": ORACLE_Q75,
+    "q76_ngram_decontaminate": ORACLE_Q76,
     "q39_sentiment": ORACLE_Q39,
     "q65_hash_split": ORACLE_Q65,
     "q66_source_mixture": ORACLE_Q66,
