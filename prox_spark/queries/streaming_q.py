@@ -111,6 +111,100 @@ def q69_streaming_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.orderBy("hour_start", "event_type")
 
 
+def q77_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join run as a REAL stream: the event
+    stream joins a batch dimension (event_type -> weight, derived
+    deterministically so the oracle can re-derive it) and aggregates a
+    weighted value per type. The static side needs no watermark and no
+    state — per micro-batch it is a broadcast hash join; only the
+    downstream agg keeps state."""
+    from prox_spark.streaming import enrich_with_dim, read_event_stream, run_to_memory
+
+    stage_dir = _staged_events(spark, sf_dir)
+    batch_schema = spark.read.parquet(stage_dir).schema
+
+    dim = (
+        spark.read.parquet(stage_dir)
+        .select("event_type")
+        .distinct()
+        .withColumn("weight", F.length("event_type").cast("long"))
+    )
+    stream = read_event_stream(spark, stage_dir, batch_schema)
+    enriched = enrich_with_dim(stream, dim)
+    agg = enriched.groupBy("event_type", "weight").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value") * F.col("weight")), 2).alias("weighted_value"),
+    )
+    drained = run_to_memory(
+        agg, f"q77_mem_{uuid.uuid4().hex[:8]}", output_mode="update"
+    )
+    # update-mode drain: last emission per key wins (n_events monotone)
+    final = drained.groupBy("event_type", "weight").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("weighted_value", "n_events").alias("weighted_value"),
+    )
+    return final.orderBy("event_type")
+
+
+ORACLE_Q77 = """
+SELECT event_type,
+       CAST(length(event_type) AS BIGINT)        AS weight,
+       count(*)                                  AS n_events,
+       round(sum(value * length(event_type)), 2) AS weighted_value
+FROM events
+GROUP BY 1, 2
+ORDER BY event_type
+"""
+
+
+def q78_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join run as a REAL stream: click and
+    purchase streams (two readers over the same staged directory) join
+    on user within a 30-minute attribution window; the drained pair
+    stream is then batch-reduced to clicks-per-purchase. In a single
+    availableNow pass the watermark drops nothing, so the result equals
+    the batch interval join the oracle runs; incremental state eviction
+    is covered by tests/test_streaming.py."""
+    from prox_spark.streaming import clicks_before_purchases, read_event_stream, run_to_memory
+
+    stage_dir = _staged_events(spark, sf_dir)
+    batch_schema = spark.read.parquet(stage_dir).schema
+
+    clicks = read_event_stream(spark, stage_dir, batch_schema).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = read_event_stream(spark, stage_dir, batch_schema).filter(
+        F.col("event_type") == "purchase"
+    )
+    pairs = clicks_before_purchases(clicks, purchases, lookback="30 minutes")
+    drained = run_to_memory(pairs, f"q78_mem_{uuid.uuid4().hex[:8]}")
+    return (
+        drained.groupBy(
+            "purchase_id",
+            F.col("p_user_id").alias("user_id"),
+            "purchase_ts",
+        )
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+        .orderBy("purchase_id")
+    )
+
+
+ORACLE_Q78 = """
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       p.ts       AS purchase_ts,
+       count(*)   AS n_clicks
+FROM events p
+JOIN events c
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND c.ts BETWEEN p.ts - INTERVAL '30 minutes' AND p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY 1, 2, 3
+ORDER BY purchase_id
+"""
+
+
 ORACLE_Q69 = """
 SELECT date_trunc('hour', ts)      AS hour_start,
        event_type,
@@ -134,8 +228,12 @@ ORDER BY user_id
 QUERIES = {
     "q44_stateful_user_totals": q44_stateful_user_totals,
     "q69_streaming_hourly_stats": q69_streaming_hourly_stats,
+    "q77_stream_static_enrich": q77_stream_static_enrich,
+    "q78_stream_stream_join": q78_stream_stream_join,
 }
 ORACLES = {
     "q44_stateful_user_totals": ORACLE_Q44,
     "q69_streaming_hourly_stats": ORACLE_Q69,
+    "q77_stream_static_enrich": ORACLE_Q77,
+    "q78_stream_stream_join": ORACLE_Q78,
 }

@@ -119,6 +119,49 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def enrich_with_dim(events: DataFrame, dim: DataFrame, key: str = "event_type") -> DataFrame:
+    """Stream-static join: enrich a stream with a (small) batch
+    dimension table. Spark re-plans the static side per micro-batch, so
+    the dim may even be updated between batches; with a broadcast-sized
+    dim the join is map-side per batch — no streaming state at all
+    (unlike stream-stream joins, a static join needs no watermark)."""
+    return events.join(F.broadcast(dim), key)
+
+
+def clicks_before_purchases(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    lookback: str = "30 minutes",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Stream-stream interval join: every (purchase, click) pair for
+    the same user where the click lands within ``lookback`` before the
+    purchase — the attribution join, fully incremental.
+
+    Scale: both sides are watermarked, and the join condition bounds
+    click_ts to [purchase_ts - lookback, purchase_ts], so each side's
+    state store holds only rows inside watermark + lookback; older
+    state is evicted. State is hash-partitioned by user_id (the equi
+    key) across executors."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    ).withWatermark("purchase_ts", watermark)
+    return p.join(
+        c,
+        F.expr(
+            "c_user_id = p_user_id AND "
+            f"click_ts BETWEEN purchase_ts - INTERVAL {lookback} AND purchase_ts"
+        ),
+    )
+
+
 def run_to_memory(
     sdf: DataFrame, name: str, output_mode: str = "append", timeout_s: int = 120
 ) -> DataFrame:

@@ -4,7 +4,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from prox_spark.streaming import (
+    clicks_before_purchases,
     dedup_within_watermark,
+    enrich_with_dim,
     hourly_stats,
     read_event_stream,
     run_to_memory,
@@ -69,6 +71,54 @@ def test_session_stats_stream_matches_batch(spark, event_dir, event_batch):
     # sessions are disjoint per user and each covers >= 1 event
     bad = got.filter(F.col("session_end") < F.col("session_start")).count()
     assert bad == 0
+
+
+def test_stream_static_enrich_incremental(spark, event_dir, event_batch):
+    """Stream-static join over a multi-batch stream: every streamed row
+    picks up its dim attribute, none are lost, and the join needs no
+    watermark (static side is re-planned per micro-batch)."""
+    dim = (
+        event_batch.select("event_type")
+        .distinct()
+        .withColumn("weight", F.length("event_type").cast("long"))
+    )
+    stream = read_event_stream(spark, event_dir, event_batch.schema, max_files_per_trigger=2)
+    got = run_to_memory(enrich_with_dim(stream, dim), "enrich_mem", output_mode="append")
+    assert got.count() == event_batch.count()
+    assert got.filter(F.col("weight") != F.length("event_type")).count() == 0
+
+
+def test_stream_stream_join_matches_batch(spark, event_dir, event_batch):
+    """Stream-stream interval join (multi-batch) equals the batch
+    interval join: availableNow drains everything, and both sides'
+    state retains rows long enough for every qualifying pair."""
+    clicks_s = read_event_stream(
+        spark, event_dir, event_batch.schema, max_files_per_trigger=2
+    ).filter(F.col("event_type") == "click")
+    purch_s = read_event_stream(
+        spark, event_dir, event_batch.schema, max_files_per_trigger=2
+    ).filter(F.col("event_type") == "purchase")
+    got = run_to_memory(
+        clicks_before_purchases(clicks_s, purch_s), "ssjoin_mem", output_mode="append"
+    )
+    want = (
+        event_batch.filter(F.col("event_type") == "purchase")
+        .alias("p")
+        .join(
+            event_batch.filter(F.col("event_type") == "click").alias("c"),
+            F.expr(
+                "c.user_id = p.user_id AND "
+                "c.ts BETWEEN p.ts - INTERVAL 30 minutes AND p.ts"
+            ),
+        )
+        .select(
+            F.col("p.event_id").alias("purchase_id"),
+            F.col("c.event_id").alias("click_id"),
+        )
+    )
+    a = {(r.purchase_id, r.click_id) for r in got.collect()}
+    b = {(r.purchase_id, r.click_id) for r in want.collect()}
+    assert a == b and len(a) > 0
 
 
 def test_session_stats_agrees_with_lag_sessionization(spark, event_batch):
