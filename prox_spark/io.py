@@ -108,6 +108,23 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source (columnar sibling of parquet, common in Hive-era
+    lakes). Spark's native vectorized ORC reader supports the same
+    predicate pushdown / column pruning as parquet, so migrating a
+    query between the two formats changes no plan shape."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None,
+              mode: str = "overwrite") -> None:
+    """ORC sink, partition-layout compatible with :func:`write_parquet`."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def read_csv(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     """S9: seed-CSV reader (quoted multiline text, embedded JSON)."""
     return (

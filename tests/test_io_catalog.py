@@ -61,6 +61,32 @@ def test_partitioned_parquet_roundtrip_prunes(spark, tmp_path):
     assert "PartitionFilters" in buf.getvalue()
 
 
+def test_orc_roundtrip_pushdown_and_partition_pruning(spark, tmp_path):
+    """ORC source/sink: values roundtrip, predicate pushdown reaches the
+    ORC scan, and partitioned layouts prune like parquet."""
+    from prox_spark.io import read_orc, write_orc
+
+    df = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") % 3).alias("year"),
+        (F.col("id") * 2).alias("v"),
+    )
+    out = str(tmp_path / "orc")
+    write_orc(df, out, partition_by=["year"])
+    back = read_orc(spark, out).filter((F.col("year") == 1) & (F.col("v") > 50))
+    assert back.count() == sum(1 for i in range(100) if i % 3 == 1 and i * 2 > 50)
+
+    import contextlib
+    import io as _io
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "PushedFilters: [IsNotNull(v), GreaterThan(v,50)]" in plan
+
+
 def test_catalog_register_views_and_sql(spark):
     cat = make_testdata_catalog(spark, SF_DIR)
     assert set(cat.paths) >= {"region", "nation", "lineitem", "documents"}
