@@ -982,10 +982,18 @@ def q73_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     nat = _t(spark, sf_dir, "nation")
     j = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
-    w = W.partitionBy("n_name")
+    # rn and cnt share ONE window spec (same partition + order; cnt just
+    # widens the frame), so Catalyst plans a single Window node over a
+    # single exchange on the group key
+    w = W.partitionBy("n_name").orderBy("c_acctbal", "c_custkey")
     ranked = (
-        j.withColumn("rn", F.row_number().over(w.orderBy("c_acctbal", "c_custkey")))
-        .withColumn("cnt", F.count(F.lit(1)).over(w))
+        j.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "cnt",
+            F.count(F.lit(1)).over(
+                w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+            ),
+        )
     )
     aggs = []
     for k in (1, 2, 3):

@@ -177,7 +177,20 @@ def q78_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type") == "purchase"
     )
     pairs = clicks_before_purchases(clicks, purchases, lookback="30 minutes")
-    drained = run_to_memory(pairs, f"q78_mem_{uuid.uuid4().hex[:8]}")
+    # stream-stream join state is per-shuffle-partition: each partition
+    # gets its own state-store instance + checkpoint dir per micro-batch,
+    # so 32 partitions over a tiny batch is pure setup overhead (measured
+    # 8s -> ~2s at sf0.1 with 8). On a real cluster this knob is sized to
+    # executor count; streams pin the conf at start, so set/restore.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_PY_PARTITIONS", "8"),
+    )
+    try:
+        drained = run_to_memory(pairs, f"q78_mem_{uuid.uuid4().hex[:8]}")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return (
         drained.groupBy(
             "purchase_id",

@@ -965,6 +965,129 @@ ORDER BY doc_id
 """
 
 
+# --- q80: PII redaction (regex scrub) --------------------------------------
+
+EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+
+
+def q80_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass every training corpus runs
+    before the tokenizer. The synthetic corpus carries no PII, so the
+    query first plants a deterministic email on every 10th document
+    (both engines plant the identical string), then redacts with one
+    regexp_replace and reports the per-doc redaction count plus the
+    fingerprint of the cleaned text — proving the scrub actually
+    removed what it counted. The regex sticks to character-class +
+    repetition constructs that mean the same thing in Java regex
+    (Spark) and RE2 (DuckDB). Map-only: at 100 TB this pass costs one
+    scan, no shuffle (the trailing sort is the gate's determinism)."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "text2",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(F.col("text"), F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com")),
+        ).otherwise(F.col("text")),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text2"), F.lit(EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.md5(F.regexp_replace(F.col("text2"), EMAIL_RE, "<EMAIL>")).alias("clean_fingerprint"),
+    ).orderBy("doc_id")
+
+
+ORACLE_Q80 = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text2, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+       md5(regexp_replace(text2, '{EMAIL_RE}', '<EMAIL>', 'g'))     AS clean_fingerprint
+FROM (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0
+              THEN text || ' contact user' || doc_id::VARCHAR || '@example.com'
+              ELSE text END AS text2
+  FROM documents
+)
+ORDER BY doc_id
+"""
+
+
+# --- q81: repetition / boilerplate statistics (Gopher-style filters) -------
+
+def q81_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals used by quality filters
+    (Gopher/C4-style): distinct-token fraction, the share of the most
+    frequent token, and the duplicate-shingle ratio. Token/shingle
+    distinctness is computed in-row (array_distinct — map-side); only
+    the top-token share aggregates, and it shuffles (doc_id, token)
+    counts — short keys, never text. Documents dominated by one token
+    or by repeated 3-gram spans are the ones these ratios flag."""
+    docs = (
+        _docs(spark, sf_dir)
+        .withColumn("tokens", F.expr(TOKENS_SPARK))
+        .withColumn("shingles", F.expr(SHINGLES_SPARK))
+        .select(
+            "doc_id",
+            "tokens",
+            F.size("tokens").cast("long").alias("n_tokens"),
+            F.size(F.array_distinct("tokens")).cast("long").alias("n_distinct_tokens"),
+            F.size("shingles").cast("long").alias("n_shingles"),
+            F.size(F.array_distinct("shingles")).cast("long").alias("n_distinct_shingles"),
+        )
+    )
+    top = (
+        docs.select("doc_id", F.explode("tokens").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_token_count"))
+    )
+    return (
+        docs.drop("tokens")
+        .join(top, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct_tokens",
+            F.round(F.col("n_distinct_tokens") / F.col("n_tokens"), 6).alias("distinct_ratio"),
+            F.round(F.col("top_token_count") / F.col("n_tokens"), 6).alias("top_token_share"),
+            F.round(
+                (F.col("n_shingles") - F.col("n_distinct_shingles")) / F.col("n_shingles"), 6
+            ).alias("dup_shingle_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_Q81 = f"""
+WITH t AS (
+  SELECT doc_id, tokens, {SHINGLES_DUCK} AS shingles
+  FROM (SELECT doc_id, {TOKENS_DUCK} AS tokens FROM documents)
+), base AS (
+  SELECT doc_id,
+         CAST(len(tokens) AS BIGINT)                 AS n_tokens,
+         CAST(len(list_distinct(tokens)) AS BIGINT)  AS n_distinct_tokens,
+         CAST(len(shingles) AS BIGINT)               AS n_shingles,
+         CAST(len(list_distinct(shingles)) AS BIGINT) AS n_distinct_shingles
+  FROM t
+), top AS (
+  SELECT doc_id, max(c) AS top_token_count
+  FROM (
+    SELECT doc_id, tok, count(*) AS c
+    FROM (SELECT doc_id, unnest(tokens) AS tok FROM t)
+    GROUP BY doc_id, tok
+  )
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct_tokens,
+       round(n_distinct_tokens / n_tokens, 6)                    AS distinct_ratio,
+       round(top_token_count / n_tokens, 6)                      AS top_token_share,
+       round((n_shingles - n_distinct_shingles) / n_shingles, 6) AS dup_shingle_ratio
+FROM base JOIN top USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q30_exact_dedup": q30_exact_dedup,
     "q31_text_stats": q31_text_stats,
@@ -982,12 +1105,16 @@ QUERIES = {
     "q72_dup_clusters": q72_dup_clusters,
     "q75_tfidf_top_terms": q75_tfidf_top_terms,
     "q76_ngram_decontaminate": q76_ngram_decontaminate,
+    "q80_pii_redact": q80_pii_redact,
+    "q81_repetition_stats": q81_repetition_stats,
 }
 
 ORACLES = {
     "q72_dup_clusters": ORACLE_Q72,
     "q75_tfidf_top_terms": ORACLE_Q75,
     "q76_ngram_decontaminate": ORACLE_Q76,
+    "q80_pii_redact": ORACLE_Q80,
+    "q81_repetition_stats": ORACLE_Q81,
     "q39_sentiment": ORACLE_Q39,
     "q65_hash_split": ORACLE_Q65,
     "q66_source_mixture": ORACLE_Q66,

@@ -154,6 +154,42 @@ def test_q71_range_join_is_keyed(spark):
     )
 
 
+def test_q74_argmax_has_no_window(spark):
+    """arg-max per group runs as a partial+final aggregate (struct-max /
+    max_by combiners) — the window formulation would shuffle every row
+    to rank it; for k=1 the plan must not contain a Window at all."""
+    from prox_spark.queries.relational import q74_top_customer_per_nation
+
+    plan = _plan(q74_top_customer_per_nation(spark, SF_DIR))
+    assert "Window (" not in plan
+    assert "partial_max" in plan  # map-side combine is actually happening
+
+
+def test_q73_percentiles_single_window_pass(spark):
+    """p25/p50/p75 come from ONE rank/count window over the group key —
+    not one window per percentile, and never a per-group array."""
+    from prox_spark.queries.relational import q73_group_percentiles
+
+    plan = _plan(q73_group_percentiles(spark, SF_DIR))
+    assert plan.count("Window (") == 1
+    assert "collect_list" not in plan
+
+
+def test_q76_broadcasts_only_eval_side(spark):
+    """Decontamination must broadcast the (tiny) eval shingle table and
+    keep the corpus pass map-side: with auto-broadcast off, the only
+    BroadcastExchange is the hinted eval side (an in-memory relation,
+    never a parquet scan), and no exchange shuffles the corpus —
+    everything between scan and final agg is map-side."""
+    from prox_spark.queries.text import q76_ngram_decontaminate
+
+    with _no_auto_broadcast(spark):
+        plan = _plan(q76_ngram_decontaminate(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    # one node each ("formatted" prints every node twice: tree + detail)
+    assert plan.count("BroadcastExchange") == plan.count("Scan ExistingRDD") == 2
+
+
 def test_q17_semi_anti_operators(spark):
     from prox_spark.queries.relational import q17_customers_without_orders
 
