@@ -11,6 +11,42 @@ import pandas as pd
 from pyspark.sql.functions import pandas_udf
 
 
+CHUNK_TOKENS = 10
+
+
+def make_chunk_udtf():
+    """Python UDTF (Spark 4 table function): split a document's token
+    stream into fixed-size training chunks — one input row fans out to
+    N output rows through a LATERAL join. Tokenization matches the
+    corpus-wide ASCII-pinned whitespace split (q39 rationale above)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx bigint, chunk_text string, n_chunk_tokens bigint")
+    class ChunkDoc:
+        def eval(self, text: str):
+            toks = re.split(r"\s+", text.strip().lower(), flags=re.ASCII)
+            for i in range(0, (len(toks) + CHUNK_TOKENS - 1) // CHUNK_TOKENS):
+                part = toks[i * CHUNK_TOKENS : (i + 1) * CHUNK_TOKENS]
+                yield i, " ".join(part), len(part)
+
+    return ChunkDoc
+
+
+def make_pandas_sum_long():
+    """Grouped-aggregate pandas UDF (the UDAF surface): Arrow hands the
+    whole group's column to Python, one scalar comes back. Integer sum,
+    so the result is order-independent and bit-identical to SQL. Built
+    lazily (a factory, like the others) because pandas_udf parses its
+    DDL return type against the ACTIVE session — decorating at module
+    import would require a SparkContext before any session exists."""
+
+    @pandas_udf("long")
+    def pandas_sum_long(v: pd.Series) -> int:
+        return int(v.sum())
+
+    return pandas_sum_long
+
+
 def sentiment_counts_udf(pos_words, neg_words):
     """Per-doc lexicon counts (see queries/text.py q39 for the design
     rationale: only integer counts cross the Arrow boundary; score

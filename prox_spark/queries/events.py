@@ -454,6 +454,50 @@ ORDER BY event_id
 """
 
 
+# --- q84: per-user running totals via applyInPandas (grouped map) ----------
+
+def q84_user_running_totals_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running (count, value) totals through ``applyInPandas``
+    — the batch grouped-MAP Python surface (whole group in, whole group
+    out), for per-key logic too imperative for window functions. The
+    pandas cumsum accumulates left-to-right over the same (ts,
+    event_id) order the oracle's window uses, so doubles agree and
+    round(2) gates exactly.
+
+    Scale: one shuffle on user_id; each group crosses Arrow once. AQE
+    coalesces the post-shuffle partitions at small volume, which also
+    keeps the Python-worker fan-out bounded (the batch analog of the
+    _spread_py cap)."""
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "ts", "value")
+
+    def running(pdf):
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        pdf["rn"] = range(1, len(pdf) + 1)
+        pdf["running_value"] = pdf["value"].cumsum()
+        return pdf[["user_id", "event_id", "rn", "running_value"]]
+
+    out = ev.groupBy("user_id").applyInPandas(
+        running, "user_id long, event_id long, rn long, running_value double"
+    )
+    return (
+        out.select(
+            "user_id", "event_id", "rn", F.round("running_value", 2).alias("running_value")
+        )
+        .orderBy("user_id", "rn")
+    )
+
+
+ORACLE_Q84 = """
+SELECT user_id, event_id,
+       row_number() OVER w AS rn,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, rn
+"""
+
+
 QUERIES = {
     "q20_hourly_event_stats": q20_hourly_event_stats,
     "q26_asof_click_to_purchase": q26_asof_click_to_purchase,
@@ -465,6 +509,7 @@ QUERIES = {
     "q23_first_event_per_key": q23_first_event_per_key,
     "q24_event_type_share": q24_event_type_share,
     "q25_json_props": q25_json_props,
+    "q84_user_running_totals_pandas": q84_user_running_totals_pandas,
 }
 
 ORACLES = {
@@ -478,4 +523,5 @@ ORACLES = {
     "q23_first_event_per_key": ORACLE_Q23,
     "q24_event_type_share": ORACLE_Q24,
     "q25_json_props": ORACLE_Q25,
+    "q84_user_running_totals_pandas": ORACLE_Q84,
 }

@@ -965,6 +965,86 @@ ORDER BY doc_id
 """
 
 
+# --- q82: training-chunk split via Python UDTF -----------------------------
+
+def q82_chunk_split_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence chunking for training — each document's token stream
+    split into fixed 10-token chunks through a Python UDTF in a LATERAL
+    join (the §2.11 table-function surface: one row in, N rows out,
+    schema declared by the UDTF). The UDTF stage is a map-only fan-out
+    (no shuffle; chunking never sees other documents), so at 100 TB it
+    scales like any projection; the Python cost is bounded by
+    _spread_py's worker cap."""
+    from prox_spark.queries._udfs import make_chunk_udtf
+
+    spark.udtf.register("prox_chunk_doc", make_chunk_udtf())
+    _spread_py(spark.read.parquet(f"{sf_dir}/documents.parquet")).createOrReplaceTempView(
+        "q82_docs"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_chunk_tokens
+        FROM q82_docs d, LATERAL prox_chunk_doc(d.text) c
+        ORDER BY d.doc_id, c.chunk_idx
+        """
+    )
+
+
+from prox_spark.queries._udfs import CHUNK_TOKENS as _CHUNK  # noqa: E402
+
+ORACLE_Q82 = f"""
+WITH t AS (
+  SELECT doc_id, {TOKENS_DUCK} AS tokens FROM documents
+), c AS (
+  SELECT doc_id,
+         list_transform(
+           range((len(tokens) + {_CHUNK} - 1) // {_CHUNK}),
+           i -> struct_pack(
+             chunk_idx := CAST(i AS BIGINT),
+             chunk_text := array_to_string(list_slice(tokens, i * {_CHUNK} + 1, (i + 1) * {_CHUNK}), ' '),
+             n_chunk_tokens := CAST(len(list_slice(tokens, i * {_CHUNK} + 1, (i + 1) * {_CHUNK})) AS BIGINT)
+           )
+         ) AS chunks
+  FROM t
+)
+SELECT doc_id, u.chunk_idx AS chunk_idx, u.chunk_text AS chunk_text,
+       u.n_chunk_tokens AS n_chunk_tokens
+FROM (SELECT doc_id, unnest(chunks) AS u FROM c)
+ORDER BY doc_id, chunk_idx
+"""
+
+
+# --- q83: per-source token totals via grouped-agg pandas UDF (UDAF) --------
+
+def q83_source_token_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus size accounting with the grouped-aggregate
+    pandas UDF surface (a custom UDAF): token counts are computed
+    JVM-side (cheap, codegen), and the AGGREGATION itself runs in
+    Python over Arrow — the pattern for custom reducers Spark lacks
+    (here an integer sum, so the oracle is exact). Partial aggregation
+    doesn't apply to pandas UDAFs, so the shuffle carries one long per
+    doc — narrow enough that the missing combiner doesn't matter."""
+    from prox_spark.queries._udfs import make_pandas_sum_long
+
+    docs = _spread_py(_docs(spark, sf_dir)).withColumn("tokens", F.expr(TOKENS_SPARK))
+    per_doc = docs.select(
+        "source", F.size("tokens").cast("long").alias("n_tokens")
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(make_pandas_sum_long()("n_tokens").alias("total_tokens"))
+        .orderBy("source")
+    )
+
+
+ORACLE_Q83 = f"""
+SELECT source, CAST(sum(len(tokens)) AS BIGINT) AS total_tokens
+FROM (SELECT source, {TOKENS_DUCK} AS tokens FROM documents)
+GROUP BY source
+ORDER BY source
+"""
+
+
 # --- q80: PII redaction (regex scrub) --------------------------------------
 
 EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
@@ -1106,6 +1186,8 @@ QUERIES = {
     "q75_tfidf_top_terms": q75_tfidf_top_terms,
     "q76_ngram_decontaminate": q76_ngram_decontaminate,
     "q80_pii_redact": q80_pii_redact,
+    "q82_chunk_split_udtf": q82_chunk_split_udtf,
+    "q83_source_token_totals": q83_source_token_totals,
     "q81_repetition_stats": q81_repetition_stats,
 }
 
@@ -1114,6 +1196,8 @@ ORACLES = {
     "q75_tfidf_top_terms": ORACLE_Q75,
     "q76_ngram_decontaminate": ORACLE_Q76,
     "q80_pii_redact": ORACLE_Q80,
+    "q82_chunk_split_udtf": ORACLE_Q82,
+    "q83_source_token_totals": ORACLE_Q83,
     "q81_repetition_stats": ORACLE_Q81,
     "q39_sentiment": ORACLE_Q39,
     "q65_hash_split": ORACLE_Q65,

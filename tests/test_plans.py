@@ -190,6 +190,21 @@ def test_q76_broadcasts_only_eval_side(spark):
     assert plan.count("BroadcastExchange") == plan.count("Scan ExistingRDD") == 2
 
 
+def test_python_surface_single_stage_each(spark):
+    """Each Python-API query crosses the Arrow boundary exactly once:
+    one UDTF eval / one grouped-agg / one grouped-map node — Python
+    never re-enters the plan for post-processing (that stays JVM-side)."""
+    from prox_spark.queries.events import q84_user_running_totals_pandas
+    from prox_spark.queries.text import q82_chunk_split_udtf, q83_source_token_totals
+
+    plan = _plan(q82_chunk_split_udtf(spark, SF_DIR))
+    assert plan.count("BatchEvalPythonUDTF (") == 1
+    plan = _plan(q83_source_token_totals(spark, SF_DIR))
+    assert plan.count("ArrowAggregatePython (") == 1
+    plan = _plan(q84_user_running_totals_pandas(spark, SF_DIR))
+    assert plan.count("FlatMapGroupsInPandas (") == 1
+
+
 def test_q17_semi_anti_operators(spark):
     from prox_spark.queries.relational import q17_customers_without_orders
 
