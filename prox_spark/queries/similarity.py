@@ -530,11 +530,55 @@ def kmeans_fit(
     return sorted(cents)
 
 
+# --- q85: per-label centroids (embedding aggregation) ----------------------
+
+def q85_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding space — the domain-centroid
+    computation a curation pipeline runs to characterize sources /
+    measure drift (and the aggregation inside every k-means round,
+    here in its one-shot declarative form). posexplode to (label, dim)
+    and aggregate: the shuffle carries (label, pos, partial double
+    sums) — never whole vectors — and the partial agg means each
+    executor contributes one row per (label, dim), so the exchange is
+    O(labels × dim × executors) regardless of corpus size. Mean
+    follows the determinism rules (round the sum, divide identical
+    doubles, round the quotient)."""
+    emb = _emb(spark, sf_dir)
+    ex = emb.select("label", F.posexplode("dd").alias("pos", "x")).withColumn(
+        "pos", F.col("pos").cast("long")
+    )
+    return (
+        ex.groupBy("label", "pos")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.sum("x"), 6).alias("dim_sum"),
+        )
+        .withColumn("centroid", F.round(F.col("dim_sum") / F.col("n_vecs"), 6))
+        .select("label", "pos", "n_vecs", "centroid")
+        .orderBy("label", "pos")
+    )
+
+
+ORACLE_Q85 = """
+SELECT label, pos, count(*) AS n_vecs,
+       round(round(sum(x), 6) / count(*), 6) AS centroid
+FROM (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1          AS pos,
+         unnest(CAST(embedding AS DOUBLE[]))            AS x
+  FROM embeddings
+)
+GROUP BY label, pos
+ORDER BY label, pos
+"""
+
+
 QUERIES = {
     "q40_cosine_topk": q40_cosine_topk,
     "q41_lsh_ann": q41_lsh_ann,
     "q42_embed_neardup": q42_embed_neardup,
     "q45_ivf_ann": q45_ivf_ann,
+    "q85_label_centroids": q85_label_centroids,
 }
 
 ORACLES = {
@@ -542,4 +586,5 @@ ORACLES = {
     "q41_lsh_ann": ORACLE_Q41,
     "q42_embed_neardup": ORACLE_Q42,
     "q45_ivf_ann": ORACLE_Q45,
+    "q85_label_centroids": ORACLE_Q85,
 }

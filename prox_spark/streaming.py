@@ -162,6 +162,38 @@ def clicks_before_purchases(
     )
 
 
+def run_stream_upsert_latest(
+    stream: DataFrame,
+    table_path: str,
+    keys: tuple[str, ...] = ("user_id",),
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    timeout_s: int = 120,
+) -> None:
+    """foreachBatch sink: maintain a latest-row-per-key parquet table
+    from a stream. Each micro-batch merges through
+    :func:`prox_spark.upsert.upsert_keep_max`, whose greatest-tuple-wins
+    semantics make the table independent of file/batch arrival order and
+    safe under replays (exactly-once effect from an at-least-once
+    source) — the foreachBatch escape hatch is exactly for sinks Spark
+    lacks natively (here: a keyed parquet MERGE)."""
+    from prox_spark.upsert import upsert_keep_max
+
+    def _merge(batch_df: DataFrame, _batch_id: int) -> None:
+        upsert_keep_max(
+            batch_df.sparkSession, table_path, batch_df, list(keys), list(order_cols)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_merge)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        q.stop()
+
+
 def run_to_memory(
     sdf: DataFrame, name: str, output_mode: str = "append", timeout_s: int = 120
 ) -> DataFrame:

@@ -189,6 +189,59 @@ def test_upsert_parquet_merges_by_key(spark, tmp_path):
     assert spark.read.parquet(path).count() == 4
 
 
+def test_upsert_scd2_keeps_history(spark, tmp_path):
+    from prox_spark.upsert import upsert_scd2
+
+    path = str(tmp_path / "dim")
+    t = lambda s: f"{s} 00:00:00"  # noqa: E731
+    v1 = spark.createDataFrame(
+        [(1, "bronze", t("2024-01-01")), (2, "silver", t("2024-01-01"))],
+        "id long, tier string, eff string",
+    )
+    upsert_scd2(spark, path, v1, ["id"], "eff")
+    # key 1 changes tier on Feb 1; key 2 untouched
+    v2 = spark.createDataFrame([(1, "gold", t("2024-02-01"))], "id long, tier string, eff string")
+    upsert_scd2(spark, path, v2, ["id"], "eff")
+    rows = {
+        (r.id, r.tier): (str(r.valid_from), str(r.valid_to), r.is_current)
+        for r in spark.read.parquet(path).collect()
+    }
+    assert rows[(1, "bronze")] == ("2024-01-01 00:00:00", "2024-02-01 00:00:00", False)
+    assert rows[(1, "gold")] == ("2024-02-01 00:00:00", "9999-12-31 00:00:00", True)
+    assert rows[(2, "silver")][2] is True
+    # point-in-time join: as of Jan 15 key 1 is still bronze
+    asof = (
+        spark.read.parquet(path)
+        .filter(
+            (F.col("valid_from") <= "2024-01-15") & (F.col("valid_to") > "2024-01-15")
+        )
+        .filter(F.col("id") == 1)
+        .collect()
+    )
+    assert [r.tier for r in asof] == ["bronze"]
+    # a third version closes gold, history now 3 rows for key 1
+    v3 = spark.createDataFrame([(1, "plat", t("2024-03-01"))], "id long, tier string, eff string")
+    upsert_scd2(spark, path, v3, ["id"], "eff")
+    hist = spark.read.parquet(path).filter(F.col("id") == 1)
+    assert hist.count() == 3
+    assert hist.filter(F.col("is_current")).count() == 1
+
+
+def test_upsert_keep_max_is_order_independent(spark, tmp_path):
+    from prox_spark.upsert import upsert_keep_max
+
+    schema = "id long, ts long, v string"
+    newer = spark.createDataFrame([(1, 20, "new"), (2, 5, "x")], schema)
+    older = spark.createDataFrame([(1, 10, "old")], schema)
+    a, b = str(tmp_path / "ab"), str(tmp_path / "ba")
+    for path, batches in ((a, (newer, older)), (b, (older, newer))):
+        for batch in batches:
+            upsert_keep_max(spark, path, batch, ["id"], ["ts"])
+    got_a = {(r.id, r.ts, r.v) for r in spark.read.parquet(a).collect()}
+    got_b = {(r.id, r.ts, r.v) for r in spark.read.parquet(b).collect()}
+    assert got_a == got_b == {(1, 20, "new"), (2, 5, "x")}
+
+
 def test_upsert_rejects_schema_drift(spark, tmp_path):
     import pytest
 

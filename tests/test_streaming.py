@@ -121,6 +121,28 @@ def test_stream_stream_join_matches_batch(spark, event_dir, event_batch):
     assert a == b and len(a) > 0
 
 
+def test_foreachbatch_upsert_latest_matches_batch(spark, event_dir, event_batch, tmp_path):
+    """foreachBatch parquet-merge sink over a multi-batch stream: the
+    maintained latest-event-per-user table equals the batch argmax,
+    regardless of micro-batch arrival order (keep-max merge)."""
+    from prox_spark.streaming import run_stream_upsert_latest
+
+    table = str(tmp_path / "latest")
+    stream = read_event_stream(spark, event_dir, event_batch.schema, max_files_per_trigger=1)
+    run_stream_upsert_latest(stream, table)
+
+    want = (
+        event_batch.groupBy("user_id")
+        .agg(F.max(F.struct("ts", "event_id")).alias("s"))
+        .select("user_id", "s.event_id")
+    )
+    got = spark.read.parquet(table)
+    assert got.count() == want.count()
+    a = {(r.user_id, r.event_id) for r in got.select("user_id", "event_id").collect()}
+    b = {(r.user_id, r.event_id) for r in want.collect()}
+    assert a == b
+
+
 def test_session_stats_agrees_with_lag_sessionization(spark, event_batch):
     """Native session_window must produce the same session boundaries as
     q21's lag+cumsum formulation (same 30-min gap)."""
