@@ -498,6 +498,89 @@ ORDER BY user_id, rn
 """
 
 
+# --- q86: SCD-2 merge semantics under the hash gate ------------------------
+
+SCD2_OPEN_END = "9999-12-31 00:00:00"
+
+
+def q86_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 dimension built by the engine's own merge operator, gated
+    against an independent derivation: users' latest event_type per
+    week is a change feed; three+ weekly batches stream through
+    ``upsert_scd2`` (close the open version, append the new one) into
+    a real parquet table, and the oracle re-derives the same history
+    in one shot with lead()-windows over the compacted feed. If the
+    merge closed the wrong version, wrote overlapping validity windows,
+    or dropped history, the hash gate fails — this checks the OPERATOR,
+    not just a query plan.
+
+    Scale: each batch merge is one key equi-join (broadcast-able batch)
+    + rewrite — the copy-on-write floor; batches here are weeks of the
+    driver testdata."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from prox_spark.upsert import upsert_scd2
+
+    ev = _events(spark, sf_dir)
+    # change feed: one state row per (user, week) = the user's LAST
+    # event that week (deterministic argmax by ts, event_id)
+    weekly = (
+        ev.withColumn("week", F.date_trunc("week", "ts"))
+        .groupBy("user_id", "week")
+        .agg(F.max(F.struct("ts", "event_id", "event_type")).alias("s"))
+        .select(
+            "user_id",
+            F.col("s.event_type").alias("state"),
+            F.col("s.ts").alias("eff"),
+            "week",
+        )
+    )
+    weeks = [r["week"] for r in weekly.select("week").distinct().orderBy("week").collect()]
+    stage = tempfile.mkdtemp(prefix="prox_spark_scd2_")
+    atexit.register(shutil.rmtree, stage, ignore_errors=True)
+    table = stage + "/dim_user_state"
+    for wk in weeks:
+        batch = weekly.filter(F.col("week") == wk).drop("week")
+        upsert_scd2(spark, table, batch, ["user_id"], "eff")
+    return (
+        spark.read.parquet(table)
+        .select(
+            "user_id",
+            "state",
+            "valid_from",
+            # the open-ended 9999 sentinel overflows ns-precision
+            # timestamps in the comparison harness; gate it as a string
+            F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+            "is_current",
+        )
+        .orderBy("user_id", "valid_from")
+    )
+
+
+ORACLE_Q86 = f"""
+WITH compacted AS (
+  SELECT user_id, state, eff
+  FROM (
+    SELECT user_id, event_type AS state, ts AS eff,
+           row_number() OVER (PARTITION BY user_id, date_trunc('week', ts)
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  )
+  WHERE rn = 1
+)
+SELECT user_id, state,
+       eff AS valid_from,
+       strftime(coalesce(lead(eff) OVER w, TIMESTAMP '{SCD2_OPEN_END}'),
+                '%Y-%m-%d %H:%M:%S') AS valid_to,
+       lead(eff) OVER w IS NULL AS is_current
+FROM compacted
+WINDOW w AS (PARTITION BY user_id ORDER BY eff)
+ORDER BY user_id, valid_from
+"""
+
+
 QUERIES = {
     "q20_hourly_event_stats": q20_hourly_event_stats,
     "q26_asof_click_to_purchase": q26_asof_click_to_purchase,
@@ -510,6 +593,7 @@ QUERIES = {
     "q24_event_type_share": q24_event_type_share,
     "q25_json_props": q25_json_props,
     "q84_user_running_totals_pandas": q84_user_running_totals_pandas,
+    "q86_scd2_user_state": q86_scd2_user_state,
 }
 
 ORACLES = {
@@ -524,4 +608,5 @@ ORACLES = {
     "q24_event_type_share": ORACLE_Q24,
     "q25_json_props": ORACLE_Q25,
     "q84_user_running_totals_pandas": ORACLE_Q84,
+    "q86_scd2_user_state": ORACLE_Q86,
 }
