@@ -1099,6 +1099,43 @@ ORDER BY n_name
 """
 
 
+# --- q89: rank-function family (percent_rank / cume_dist / lag / lead) ----
+
+def q89_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining §2.5 rank-window functions in one pass:
+    percent_rank ((rank-1)/(n-1) — int division of identical ints, so
+    bit-exact cross-engine), cume_dist, and lag/lead neighbors, all
+    over ONE window spec (single exchange + sort on the group key).
+    Restricted to 5 nations to keep the gate output bounded."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_nationkey") < 5)
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.select(
+            "c_nationkey",
+            "c_custkey",
+            "c_acctbal",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.lag("c_acctbal").over(w).alias("prev_bal"),
+            F.lead("c_acctbal").over(w).alias("next_bal"),
+        )
+        .orderBy("c_nationkey", "c_custkey")
+    )
+
+
+ORACLE_Q89 = """
+SELECT c_nationkey, c_custkey, c_acctbal,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6)    AS cume,
+       lag(c_acctbal) OVER w           AS prev_bal,
+       lead(c_acctbal) OVER w          AS next_bal
+FROM customer
+WHERE c_nationkey < 5
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+ORDER BY c_nationkey, c_custkey
+"""
+
+
 # --- q79: GROUPING SETS + grouping() via the SQL entry point ---------------
 
 def q79_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1174,6 +1211,7 @@ QUERIES = {
     "q73_group_percentiles": q73_group_percentiles,
     "q74_top_customer_per_nation": q74_top_customer_per_nation,
     "q79_grouping_sets": q79_grouping_sets,
+    "q89_rank_functions": q89_rank_functions,
 }
 
 ORACLES = {
@@ -1182,6 +1220,7 @@ ORACLES = {
     "q73_group_percentiles": ORACLE_Q73,
     "q74_top_customer_per_nation": ORACLE_Q74,
     "q79_grouping_sets": ORACLE_Q79,
+    "q89_rank_functions": ORACLE_Q89,
     "q19_approx_distinct_custkeys": ORACLE_Q19,
     "q48_promo_revenue": ORACLE_Q48,
     "q49_small_qty_revenue": ORACLE_Q49,

@@ -573,12 +573,47 @@ ORDER BY label, pos
 """
 
 
+# --- q88: per-vector stats via higher-order array functions ----------------
+
+def q88_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding hygiene stats computed entirely with higher-order
+    array functions (filter / exists / aggregate / array_position) —
+    the in-row compute surface that keeps vector ops inside whole-stage
+    codegen instead of exploding 64 rows per vector: positive-dim
+    count, L1 norm (left fold, bit-identical to DuckDB's list_reduce),
+    extreme-value flag, and the argmax dimension. Map-only; the
+    sort exists only for the deterministic gate."""
+    emb = _emb(spark, sf_dir)
+    return emb.select(
+        "vec_id",
+        F.expr("cast(size(filter(dd, x -> x > 0)) as bigint)").alias("n_pos_dims"),
+        F.round(
+            F.expr("aggregate(dd, cast(0.0 as double), (acc, x) -> acc + abs(x))"), 6
+        ).alias("l1_norm"),
+        F.expr("exists(dd, x -> abs(x) > 0.5)").alias("has_extreme"),
+        F.expr("cast(array_position(dd, array_max(dd)) as bigint)").alias("top_dim"),
+    ).orderBy("vec_id")
+
+
+ORACLE_Q88 = """
+SELECT vec_id,
+       CAST(len(list_filter(dd, x -> x > 0)) AS BIGINT)                    AS n_pos_dims,
+       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(dd, x -> abs(x))),
+                         (acc, x) -> acc + x), 6)                          AS l1_norm,
+       len(list_filter(dd, x -> abs(x) > 0.5)) > 0                         AS has_extreme,
+       CAST(list_position(dd, list_max(dd)) AS BIGINT)                     AS top_dim
+FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dd FROM embeddings)
+ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "q40_cosine_topk": q40_cosine_topk,
     "q41_lsh_ann": q41_lsh_ann,
     "q42_embed_neardup": q42_embed_neardup,
     "q45_ivf_ann": q45_ivf_ann,
     "q85_label_centroids": q85_label_centroids,
+    "q88_vector_stats": q88_vector_stats,
 }
 
 ORACLES = {
@@ -587,4 +622,5 @@ ORACLES = {
     "q42_embed_neardup": ORACLE_Q42,
     "q45_ivf_ann": ORACLE_Q45,
     "q85_label_centroids": ORACLE_Q85,
+    "q88_vector_stats": ORACLE_Q88,
 }

@@ -1045,6 +1045,75 @@ ORDER BY source
 """
 
 
+# --- q87: fuzzy near-dup verification via edit distance --------------------
+
+FUZZY_PREFIX_CHARS = 40
+
+
+def q87_fuzzy_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification over the MinHash-LSH candidate pairs:
+    levenshtein on the documents' 40-char prefixes — the fuzzy-match
+    family (typo-level duplicates that token-level Jaccard can miss,
+    e.g. OCR noise). Runs ONLY on LSH candidates, never all pairs, so
+    the quadratic distance stays bounded by the bucket collisions; the
+    payload attach is the same un-hinted doc_id equi-join as q36
+    (AQE broadcasts at small scale, shuffles at 100 TB)."""
+    pairs = q36_minhash_lsh(spark, sf_dir).select("doc1", "doc2")
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.substring("text", 1, FUZZY_PREFIX_CHARS).alias("prefix")
+    )
+    p1 = docs.select(F.col("doc_id").alias("doc1"), F.col("prefix").alias("pfx1"))
+    p2 = docs.select(F.col("doc_id").alias("doc2"), F.col("prefix").alias("pfx2"))
+    return (
+        pairs.join(p1, "doc1")
+        .join(p2, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            F.levenshtein("pfx1", "pfx2").cast("long").alias("edit_distance"),
+        )
+        .withColumn("is_fuzzy_dup", F.col("edit_distance") <= FUZZY_PREFIX_CHARS // 4)
+        .orderBy("doc1", "doc2")
+    )
+
+
+ORACLE_Q87 = f"""
+{DUCK_SHINGLE_CTE},
+sig AS (
+  SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || shingle)) AS minh
+  FROM shingles CROSS JOIN range({MINHASH_K}) t(seed)
+  GROUP BY doc_id, seed
+), bands AS (
+  SELECT doc_id, seed // {LSH_BAND_ROWS} AS band,
+         string_agg(minh, ',' ORDER BY seed) AS band_sig
+  FROM sig GROUP BY 1, 2
+), candidates AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+), inter AS (
+  SELECT doc1, doc2, count(*) AS n_inter
+  FROM candidates
+  JOIN shingles s1 ON doc1 = s1.doc_id
+  JOIN shingles s2 ON doc2 = s2.doc_id AND s1.shingle = s2.shingle
+  GROUP BY doc1, doc2
+), pairs AS (
+  SELECT doc1, doc2
+  FROM inter
+  JOIN sizes sa ON doc1 = sa.doc_id
+  JOIN sizes sb ON doc2 = sb.doc_id
+  WHERE round(n_inter / (sa.n_shingles + sb.n_shingles - n_inter), 6) >= {JACCARD_THRESHOLD}
+)
+SELECT doc1, doc2,
+       CAST(levenshtein(d1.pfx, d2.pfx) AS BIGINT) AS edit_distance,
+       levenshtein(d1.pfx, d2.pfx) <= {FUZZY_PREFIX_CHARS // 4} AS is_fuzzy_dup
+FROM pairs
+JOIN (SELECT doc_id, substring(text, 1, {FUZZY_PREFIX_CHARS}) AS pfx FROM documents) d1 ON doc1 = d1.doc_id
+JOIN (SELECT doc_id, substring(text, 1, {FUZZY_PREFIX_CHARS}) AS pfx FROM documents) d2 ON doc2 = d2.doc_id
+ORDER BY doc1, doc2
+"""
+
+
 # --- q80: PII redaction (regex scrub) --------------------------------------
 
 EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
@@ -1189,6 +1258,7 @@ QUERIES = {
     "q82_chunk_split_udtf": q82_chunk_split_udtf,
     "q83_source_token_totals": q83_source_token_totals,
     "q81_repetition_stats": q81_repetition_stats,
+    "q87_fuzzy_verify": q87_fuzzy_verify,
 }
 
 ORACLES = {
@@ -1199,6 +1269,7 @@ ORACLES = {
     "q82_chunk_split_udtf": ORACLE_Q82,
     "q83_source_token_totals": ORACLE_Q83,
     "q81_repetition_stats": ORACLE_Q81,
+    "q87_fuzzy_verify": ORACLE_Q87,
     "q39_sentiment": ORACLE_Q39,
     "q65_hash_split": ORACLE_Q65,
     "q66_source_mixture": ORACLE_Q66,
