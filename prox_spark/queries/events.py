@@ -595,6 +595,53 @@ ORDER BY user_id, valid_from
 """
 
 
+# --- q92: weekly cohort retention matrix -----------------------------------
+
+def q92_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort analysis: bucket each user into the week of their first
+    event (the cohort), then count distinct active users per
+    (cohort_week, weeks-since-cohort) cell — the retention matrix
+    every product-analytics stack derives from an event log.
+
+    Scale shape: one shuffle on ``user_id`` for the first-seen agg,
+    one co-keyed shuffle to attach the cohort back to the activity
+    rows (both sides hash-partition on user_id — at 100 TB this is
+    the natural key and AQE splits any hot user), then a partial+final
+    count-distinct on the tiny (cohort, offset) lattice. The distinct
+    set per cell is user_ids, which Spark expands map-side; no row
+    ever carries more than (user_id, 2 timestamps)."""
+    ev = _events(spark, sf_dir)
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    act = ev.select("user_id", F.date_trunc("week", F.col("ts")).alias("week"))
+    return (
+        act.join(first, "user_id")
+        .withColumn(
+            "week_offset",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7).cast("long"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+ORACLE_Q92 = """
+WITH first AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, date_trunc('week', ts)) / 7 AS BIGINT)
+         AS week_offset,
+       count(DISTINCT e.user_id) AS n_active
+FROM events e JOIN first f ON e.user_id = f.user_id
+GROUP BY 1, 2
+ORDER BY cohort_week, week_offset
+"""
+
+
 QUERIES = {
     "q20_hourly_event_stats": q20_hourly_event_stats,
     "q26_asof_click_to_purchase": q26_asof_click_to_purchase,
@@ -608,9 +655,11 @@ QUERIES = {
     "q25_json_props": q25_json_props,
     "q84_user_running_totals_pandas": q84_user_running_totals_pandas,
     "q86_scd2_user_state": q86_scd2_user_state,
+    "q92_cohort_retention": q92_cohort_retention,
 }
 
 ORACLES = {
+    "q92_cohort_retention": ORACLE_Q92,
     "q20_hourly_event_stats": ORACLE_Q20,
     "q26_asof_click_to_purchase": ORACLE_Q26,
     "q71_clicks_before_purchase": ORACLE_Q71,

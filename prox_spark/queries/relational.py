@@ -1180,6 +1180,98 @@ ORDER BY segment, priority
 """
 
 
+# --- q90: late-order priority count (TPC-H Q4 shape; correlated EXISTS) ----
+
+def q90_late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-EXISTS family: orders in a half-year window that had
+    at least one lineitem shipped >60 days after the order date,
+    counted per priority. The EXISTS decorrelates to a LEFT SEMI
+    equi-join on ``l_orderkey`` with the cross-table date predicate as
+    a residual join condition — no dedup pass, no subquery re-scan.
+    At 100 TB both sides shuffle once on the order key (AQE handles
+    skew); the post-semi-join agg is partial+final on 5 groups."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_Q90 = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# --- q91: dormant high-balance customers (TPC-H Q22 shape) -----------------
+
+def q91_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery + NOT-EXISTS family: customers whose balance
+    exceeds the global positive-balance average and who placed no
+    order since 1999, rolled up by market segment. The scalar average
+    is a 1-row aggregate attached via a broadcast nested-loop join
+    (exactly how Catalyst executes an uncorrelated scalar subquery —
+    one row crosses the cluster, never the corpus); the NOT EXISTS is
+    a LEFT ANTI equi-join against the date-pruned orders scan.
+    Average derived as round(round(sum,2)/count,6) for cross-engine
+    bit-identity (module docstring)."""
+    cust = _t(spark, sf_dir, "customer")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            F.round(F.sum("c_acctbal"), 2).alias("s"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .select(F.round(F.col("s") / F.col("c"), 6).alias("avg_bal"))
+    )
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp_ntz")
+    ).select("o_custkey")
+    rich = cust.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("avg_bal"), "inner")
+    dormant = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    return (
+        dormant.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_Q91 = """
+WITH ab AS (
+  SELECT round(round(sum(c_acctbal), 2) / count(*), 6) AS avg_bal
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment, count(*) AS n_custs, round(sum(c_acctbal), 2) AS total_bal
+FROM customer c, ab
+WHERE c_acctbal > ab.avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top5_suppliers": q02_top5_suppliers,
@@ -1212,9 +1304,13 @@ QUERIES = {
     "q74_top_customer_per_nation": q74_top_customer_per_nation,
     "q79_grouping_sets": q79_grouping_sets,
     "q89_rank_functions": q89_rank_functions,
+    "q90_late_order_priority": q90_late_order_priority,
+    "q91_dormant_rich_customers": q91_dormant_rich_customers,
 }
 
 ORACLES = {
+    "q90_late_order_priority": ORACLE_Q90,
+    "q91_dormant_rich_customers": ORACLE_Q91,
     "q68_salted_segment_revenue": ORACLE_Q68,
     "q70_median_acctbal": ORACLE_Q70,
     "q73_group_percentiles": ORACLE_Q73,

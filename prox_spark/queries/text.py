@@ -1237,6 +1237,59 @@ ORDER BY doc_id
 """
 
 
+# --- q93: byte-level corpus stats via mapInArrow ---------------------------
+
+def q93_arrow_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last Python execution surface (§2.11): ``mapInArrow`` —
+    zero-copy Arrow RecordBatches in and out, no pandas
+    materialization at all. The kernel computes byte-exact corpus
+    stats (UTF-8 bytes, codepoints, ASCII-uppercase count, non-ASCII
+    byte overhead) with vectorized ``pyarrow.compute`` calls, the
+    shape a byte-level tokenizer-prep pass takes when pandas object
+    boxing would dominate.
+
+    Scale: map-only — one Python stage, no shuffle before it; the
+    text column never crosses as Python objects, only Arrow buffers.
+    All outputs are exact integers, so the hash gate is airtight."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def kernel(batches):
+        for batch in batches:
+            doc_id = batch.column("doc_id")
+            text = batch.column("text")
+            i64 = lambda arr: pc.cast(arr, pa.int64())  # noqa: E731
+            n_bytes = i64(pc.binary_length(text))
+            n_cp = i64(pc.utf8_length(text))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    doc_id,
+                    n_bytes,
+                    n_cp,
+                    i64(pc.count_substring_regex(text, "[A-Z]")),
+                    pc.subtract(n_bytes, n_cp),
+                ],
+                ["doc_id", "n_bytes", "n_codepoints", "n_upper", "n_nonascii"],
+            )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    out_schema = (
+        "doc_id long, n_bytes long, n_codepoints long, n_upper long, n_nonascii long"
+    )
+    return docs.mapInArrow(kernel, out_schema).orderBy("doc_id")
+
+
+ORACLE_Q93 = """
+SELECT doc_id,
+       strlen(text)                                        AS n_bytes,
+       length(text)                                        AS n_codepoints,
+       length(regexp_replace(text, '[^A-Z]', '', 'g'))     AS n_upper,
+       strlen(text) - length(text)                         AS n_nonascii
+FROM documents
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q30_exact_dedup": q30_exact_dedup,
     "q31_text_stats": q31_text_stats,
@@ -1259,9 +1312,11 @@ QUERIES = {
     "q83_source_token_totals": q83_source_token_totals,
     "q81_repetition_stats": q81_repetition_stats,
     "q87_fuzzy_verify": q87_fuzzy_verify,
+    "q93_arrow_byte_stats": q93_arrow_byte_stats,
 }
 
 ORACLES = {
+    "q93_arrow_byte_stats": ORACLE_Q93,
     "q72_dup_clusters": ORACLE_Q72,
     "q75_tfidf_top_terms": ORACLE_Q75,
     "q76_ngram_decontaminate": ORACLE_Q76,
