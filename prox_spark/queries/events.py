@@ -642,6 +642,68 @@ ORDER BY cohort_week, week_offset
 """
 
 
+# --- q97: time-grid gap fill + last-observation-carried-forward ------------
+
+def q97_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling: a dense 5-minute grid between the
+    corpus min/max timestamp, empty buckets zero-filled, and the
+    bucket-average value carried forward across gaps (LOCF) — the
+    standard prep before feeding sensor/metric streams to a model.
+
+    Scale shape: bucketing is map-side integer division on the raw
+    int64 nanosecond column (no timestamp parsing); the per-bucket agg
+    is one corpus shuffle onto the bucket key; the grid itself comes
+    from a 1-row min/max agg exploded into one row per bucket — its
+    size is time-span/5min (a year ≈ 105k rows) regardless of corpus
+    size, so the LOCF window's single-partition sort is over the tiny
+    grid, never the data."""
+    raw = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+    BUCKET_NS = 300 * 10**9
+    b = raw.withColumn("bkt", F.expr(f"ts div {BUCKET_NS}")).select("bkt", "value")
+    per_bucket = b.groupBy("bkt").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("_s"),
+    ).select(
+        "bkt",
+        "n_events",
+        F.round(F.col("_s") / F.col("n_events"), 6).alias("avg_value"),
+    )
+    bounds = b.agg(F.min("bkt").alias("b0"), F.max("bkt").alias("b1"))
+    grid = bounds.select(F.explode(F.sequence("b0", "b1")).alias("bkt"))
+    w = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        grid.join(per_bucket, "bkt", "left")
+        .withColumn("locf_avg_value", F.last("avg_value", ignorenulls=True).over(w))
+        .select(
+            F.expr("cast(timestamp_micros(bkt * 300000000) as timestamp_ntz)").alias(
+                "bucket_start"
+            ),
+            F.coalesce(F.col("n_events"), F.lit(0).cast("long")).alias("n_events"),
+            "locf_avg_value",
+        )
+        .orderBy("bucket_start")
+    )
+
+
+ORACLE_Q97 = """
+WITH b AS (
+  SELECT epoch_ns(ts) // 300000000000 AS bkt, value FROM events
+), per_bucket AS (
+  SELECT bkt, count(*) AS n_events,
+         round(round(sum(value), 2) / count(*), 6) AS avg_value
+  FROM b GROUP BY bkt
+), bounds AS (SELECT min(bkt) AS b0, max(bkt) AS b1 FROM b),
+grid AS (SELECT unnest(generate_series(b0, b1)) AS bkt FROM bounds)
+SELECT make_timestamp(g.bkt * 300000000) AS bucket_start,
+       coalesce(p.n_events, 0) AS n_events,
+       last_value(p.avg_value IGNORE NULLS)
+         OVER (ORDER BY g.bkt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS locf_avg_value
+FROM grid g LEFT JOIN per_bucket p USING (bkt)
+ORDER BY bucket_start
+"""
+
+
 QUERIES = {
     "q20_hourly_event_stats": q20_hourly_event_stats,
     "q26_asof_click_to_purchase": q26_asof_click_to_purchase,
@@ -656,10 +718,12 @@ QUERIES = {
     "q84_user_running_totals_pandas": q84_user_running_totals_pandas,
     "q86_scd2_user_state": q86_scd2_user_state,
     "q92_cohort_retention": q92_cohort_retention,
+    "q97_gap_fill_locf": q97_gap_fill_locf,
 }
 
 ORACLES = {
     "q92_cohort_retention": ORACLE_Q92,
+    "q97_gap_fill_locf": ORACLE_Q97,
     "q20_hourly_event_stats": ORACLE_Q20,
     "q26_asof_click_to_purchase": ORACLE_Q26,
     "q71_clicks_before_purchase": ORACLE_Q71,

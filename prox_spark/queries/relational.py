@@ -1272,6 +1272,182 @@ ORDER BY c_mktsegment
 """
 
 
+# --- q94: nation revenue share vs global scalar (TPC-H Q11 HAVING shape) ---
+
+def q94_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING-against-a-global-scalar family: nations whose order
+    revenue exceeds 4.2% of global revenue, with their share. The
+    global total is NOT a second corpus scan — it re-aggregates the
+    25-row per-nation frame, so the scalar costs one tiny agg over
+    already-shuffled data and attaches as a 1-row broadcast (the same
+    decorrelation Catalyst applies to ``HAVING sum() > (SELECT ...)``).
+    One corpus shuffle total at any scale."""
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    nation_rev = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    global_rev = nation_rev.agg(F.round(F.sum("rev"), 2).alias("global_rev"))
+    return (
+        nation_rev.crossJoin(F.broadcast(global_rev))
+        .filter(F.col("rev") > 0.042 * F.col("global_rev"))
+        .select("n_name", "rev", F.round(F.col("rev") / F.col("global_rev"), 6).alias("share"))
+        .orderBy(F.desc("rev"), "n_name")
+    )
+
+
+ORACLE_Q94 = """
+WITH nr AS (
+  SELECT n_name, round(sum(o_totalprice), 2) AS rev
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY n_name
+), g AS (SELECT round(sum(rev), 2) AS global_rev FROM nr)
+SELECT n_name, rev, round(rev / global_rev, 6) AS share
+FROM nr, g
+WHERE rev > 0.042 * global_rev
+ORDER BY rev DESC, n_name
+"""
+
+
+# --- q95: suppliers per brand w/ NOT-IN exclusion (TPC-H Q16 shape) --------
+
+def q95_brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT-IN-subquery family: distinct suppliers per part brand for
+    selected sizes, excluding suppliers in bad standing. The NOT IN
+    rewrites to a LEFT ANTI equi-join (safe here: ``l_suppkey`` is
+    non-null, so NOT IN == anti-join); the exclusion list is a scan-
+    filtered sliver that AQE broadcasts. part joins un-hinted —
+    a dim table this size broadcasts at small SF and shuffle-joins at
+    100 TB, both correct. count_distinct expands map-side."""
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_size").isin(1, 5, 10, 15, 20, 25)
+    ).select("p_partkey", "p_brand")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand")
+        .agg(F.count_distinct("l_suppkey").alias("n_suppliers"))
+        .orderBy(F.desc("n_suppliers"), "p_brand")
+    )
+
+
+ORACLE_Q95 = """
+SELECT p_brand, count(DISTINCT l_suppkey) AS n_suppliers
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_size IN (1, 5, 10, 15, 20, 25)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand
+ORDER BY n_suppliers DESC, p_brand
+"""
+
+
+# --- q96: large-quantity orders (TPC-H Q18 IN-over-HAVING shape) -----------
+
+def q96_large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-(subquery-with-HAVING) family: orders whose total lineitem
+    quantity exceeds 300, with their customer. The IN-list subquery
+    becomes an aggregate (one lineitem shuffle on the order key) whose
+    surviving keys inner-join orders — at 100 TB the HAVING filter
+    collapses the join input to a sliver BEFORE the join, which AQE
+    then broadcasts; no semi-join dedup pass is needed because
+    l_orderkey is the aggregation key (already distinct)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_name", "o_orderkey", "o_orderdate", "total_qty")
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+    )
+
+
+ORACLE_Q96 = """
+SELECT c_name, o_orderkey, o_orderdate, total_qty
+FROM orders
+JOIN (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING total_qty > 300) big
+  ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey
+"""
+
+
+# --- q98: mergeable HLL sketch rollup (partial sketches -> union) ----------
+
+def q98_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable-sketch rollup — THE pattern that makes sketches
+    matter at 100 TB: per-group Datasketches HLL sketches built in one
+    pass, then *merged* (``hll_union_agg``) into the global sketch
+    without ever revisiting the data. Exactly how a 1000-executor
+    cluster maintains distinct counts per partition AND globally from
+    one shuffle of kilobyte sketches.
+
+    Hash surface follows q19: exact-distinct twins + in-band booleans
+    the oracle pins to TRUE (sketch bytes are engine-specific)."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderpriority", "o_custkey")
+    per_group = orders.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.count_distinct("o_custkey").alias("exact_custkeys"),
+    )
+    est = per_group.select(
+        "o_orderpriority",
+        "exact_custkeys",
+        F.hll_sketch_estimate("sk").alias("approx"),
+        "sk",
+    )
+    glob = est.agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("g_approx"))
+    g_exact = orders.agg(F.count_distinct("o_custkey").alias("g_exact"))
+
+    def band(approx, exact):
+        return F.abs(approx - exact) <= F.greatest(
+            F.lit(HLL_ABS_FLOOR), HLL_BAND * exact
+        )
+    return (
+        est.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(g_exact))
+        .select(
+            "o_orderpriority",
+            "exact_custkeys",
+            band(F.col("approx"), F.col("exact_custkeys")).alias("approx_ok"),
+            "g_exact",
+            band(F.col("g_approx"), F.col("g_exact")).alias("union_ok"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_Q98 = """
+WITH g AS (SELECT count(DISTINCT o_custkey) AS g_exact FROM orders)
+SELECT o_orderpriority,
+       count(DISTINCT o_custkey) AS exact_custkeys,
+       TRUE                      AS approx_ok,
+       g_exact,
+       TRUE                      AS union_ok
+FROM orders, g
+GROUP BY o_orderpriority, g_exact
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top5_suppliers": q02_top5_suppliers,
@@ -1306,11 +1482,19 @@ QUERIES = {
     "q89_rank_functions": q89_rank_functions,
     "q90_late_order_priority": q90_late_order_priority,
     "q91_dormant_rich_customers": q91_dormant_rich_customers,
+    "q94_nation_revenue_share": q94_nation_revenue_share,
+    "q95_brand_supplier_counts": q95_brand_supplier_counts,
+    "q96_large_quantity_orders": q96_large_quantity_orders,
+    "q98_hll_rollup": q98_hll_rollup,
 }
 
 ORACLES = {
     "q90_late_order_priority": ORACLE_Q90,
     "q91_dormant_rich_customers": ORACLE_Q91,
+    "q94_nation_revenue_share": ORACLE_Q94,
+    "q95_brand_supplier_counts": ORACLE_Q95,
+    "q96_large_quantity_orders": ORACLE_Q96,
+    "q98_hll_rollup": ORACLE_Q98,
     "q68_salted_segment_revenue": ORACLE_Q68,
     "q70_median_acctbal": ORACLE_Q70,
     "q73_group_percentiles": ORACLE_Q73,

@@ -1290,6 +1290,62 @@ ORDER BY doc_id
 """
 
 
+# --- q99: quality-filter funnel (per-source retention through stages) ------
+
+# the three gates a C4/Gopher-style cleaning pass applies, expressed
+# identically in Spark SQL and DuckDB so the funnel is hash-gateable
+FUNNEL_LEN_MIN = 200                  # n_chars floor
+FUNNEL_LANGS = ("en", "fr")           # language allowlist
+FUNNEL_TOK_MIN = 30                   # whitespace-token floor
+
+
+def q99_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source retention funnel through a cleaning pipeline: how
+    many documents survive the length gate, then +language gate, then
+    +token-count gate — the acceptance report every corpus-cleaning
+    run emits. One map-side pass (all gates are row-local conditional
+    aggregations over the source key); no filter is materialized, so
+    the corpus is scanned exactly once regardless of stage count."""
+    docs = _docs(spark, sf_dir)
+    langs = ", ".join(f"'{l}'" for l in FUNNEL_LANGS)
+    p_len = F.col("n_chars") >= FUNNEL_LEN_MIN
+    p_lang = F.expr(f"lang IN ({langs})")
+    p_tok = F.size(F.expr(TOKENS_SPARK)) >= FUNNEL_TOK_MIN
+    cnt = lambda p: F.sum(F.when(p, 1).otherwise(0))  # noqa: E731
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            cnt(p_len).alias("n_pass_len"),
+            cnt(p_len & p_lang).alias("n_pass_lang"),
+            cnt(p_len & p_lang & p_tok).alias("n_pass_all"),
+        )
+        .withColumn(
+            "retention", F.round(F.col("n_pass_all") / F.col("n_docs"), 6)
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_Q99 = f"""
+SELECT source,
+       count(*) AS n_docs,
+       count(*) FILTER (WHERE n_chars >= {FUNNEL_LEN_MIN}) AS n_pass_len,
+       count(*) FILTER (WHERE n_chars >= {FUNNEL_LEN_MIN}
+                          AND lang IN ('en', 'fr')) AS n_pass_lang,
+       count(*) FILTER (WHERE n_chars >= {FUNNEL_LEN_MIN}
+                          AND lang IN ('en', 'fr')
+                          AND len({TOKENS_DUCK}) >= {FUNNEL_TOK_MIN}) AS n_pass_all,
+       round(count(*) FILTER (WHERE n_chars >= {FUNNEL_LEN_MIN}
+                                AND lang IN ('en', 'fr')
+                                AND len({TOKENS_DUCK}) >= {FUNNEL_TOK_MIN})
+             / count(*), 6) AS retention
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "q30_exact_dedup": q30_exact_dedup,
     "q31_text_stats": q31_text_stats,
@@ -1313,10 +1369,12 @@ QUERIES = {
     "q81_repetition_stats": q81_repetition_stats,
     "q87_fuzzy_verify": q87_fuzzy_verify,
     "q93_arrow_byte_stats": q93_arrow_byte_stats,
+    "q99_filter_funnel": q99_filter_funnel,
 }
 
 ORACLES = {
     "q93_arrow_byte_stats": ORACLE_Q93,
+    "q99_filter_funnel": ORACLE_Q99,
     "q72_dup_clusters": ORACLE_Q72,
     "q75_tfidf_top_terms": ORACLE_Q75,
     "q76_ngram_decontaminate": ORACLE_Q76,
