@@ -238,13 +238,135 @@ GROUP BY user_id
 ORDER BY user_id
 """
 
+# staged dir holding every event TWICE — the at-least-once upstream
+# q100's dedup has to repair; cached per sf_dir like _STAGE_CACHE
+_DUP_STAGE_CACHE: dict[str, str] = {}
+
+
+def _staged_events_with_dups(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir not in _DUP_STAGE_CACHE:
+        base = _staged_events(spark, sf_dir)
+        stage_dir = tempfile.mkdtemp(prefix="prox_spark_stream_dup_")
+        ev = spark.read.parquet(base)
+        ev.coalesce(4).write.mode("append").parquet(stage_dir)
+        ev.coalesce(4).write.mode("append").parquet(stage_dir)
+        _DUP_STAGE_CACHE[sf_dir] = stage_dir
+        atexit.register(shutil.rmtree, stage_dir, ignore_errors=True)
+    return _DUP_STAGE_CACHE[sf_dir]
+
+
+def q100_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` as a REAL stream run: the
+    source directory holds every event twice (an at-least-once
+    upstream), the dedup operator must emit each event_id exactly
+    once, and the drained feed is batch-reduced to per-type counts the
+    oracle recomputes from the clean table. State is bounded by the
+    watermark horizon — the horizon is set beyond the staged span so
+    a single availableNow pass can never evict-then-readmit an id
+    (incremental eviction is covered in tests/test_streaming.py)."""
+    from prox_spark.streaming import dedup_within_watermark, read_event_stream, run_to_memory
+
+    stage_dir = _staged_events_with_dups(spark, sf_dir)
+    batch_schema = spark.read.parquet(stage_dir).schema
+
+    stream = read_event_stream(spark, stage_dir, batch_schema)
+    deduped = dedup_within_watermark(stream, watermark="35 days")
+    drained = run_to_memory(deduped, f"q100_mem_{uuid.uuid4().hex[:8]}")
+    return (
+        drained.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_Q100 = """
+SELECT event_type,
+       count(*)             AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def q101_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (``F.session_window``) as a REAL stream
+    run: gap-based sessions maintained as mergeable streaming state —
+    the declarative, incremental form of q21's lag+cumsum
+    sessionization. Session-window aggregations only support APPEND
+    mode, which emits a session when the watermark passes its end; with
+    a 0-second delay the final watermark is the corpus max event time,
+    so every session except the still-open tail flushes in one
+    availableNow pass. The oracle re-derives the same sessions via the
+    island method with the session-window break rule (a gap of exactly
+    the window size starts a NEW session — window end is exclusive) in
+    exact integer microseconds, keeping only sessions the watermark
+    closed (``session_end <= max(ts)``; Spark floors the watermark to
+    milliseconds, a measure-zero boundary on microsecond-random data)."""
+    from prox_spark.streaming import read_event_stream, run_to_memory, session_stats
+
+    stage_dir = _staged_events(spark, sf_dir)
+    batch_schema = spark.read.parquet(stage_dir).schema
+
+    stream = read_event_stream(spark, stage_dir, batch_schema)
+    sess = session_stats(stream, watermark="0 seconds")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_PY_PARTITIONS", "8"),
+    )
+    try:
+        drained = run_to_memory(
+            sess, f"q101_mem_{uuid.uuid4().hex[:8]}", output_mode="append"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return drained.select(
+        "user_id", "session_start", "session_end", "n_events", "sum_value"
+    ).orderBy("user_id", "session_start")
+
+
+ORACLE_Q101 = """
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts) AS gap
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN gap IS NULL OR gap >= 30 * 60 * 1000000
+                 THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+), sessions AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       min(ts)                       AS session_start,
+       max(ts) + INTERVAL 30 MINUTE  AS session_end,
+       count(*)                      AS n_events,
+       round(sum(value), 2)          AS sum_value
+FROM sessions
+GROUP BY user_id, sid
+HAVING max(ts) + INTERVAL 30 MINUTE <= (SELECT max(ts) FROM events)
+ORDER BY user_id, session_start
+"""
+
+
 QUERIES = {
     "q44_stateful_user_totals": q44_stateful_user_totals,
     "q69_streaming_hourly_stats": q69_streaming_hourly_stats,
     "q77_stream_static_enrich": q77_stream_static_enrich,
     "q78_stream_stream_join": q78_stream_stream_join,
+    "q100_streaming_dedup": q100_streaming_dedup,
+    "q101_streaming_sessions": q101_streaming_sessions,
 }
 ORACLES = {
+    "q100_streaming_dedup": ORACLE_Q100,
+    "q101_streaming_sessions": ORACLE_Q101,
     "q44_stateful_user_totals": ORACLE_Q44,
     "q69_streaming_hourly_stats": ORACLE_Q69,
     "q77_stream_static_enrich": ORACLE_Q77,
