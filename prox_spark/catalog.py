@@ -81,8 +81,13 @@ def testdata_catalog(spark: SparkSession, sf_dir: str) -> Catalog:
     cat = Catalog(spark)
     cat.register_dir(sf_dir)
     if "events" in cat.paths:
-        # events.parquet carries INT64 TIMESTAMP(NANOS), readable without
-        # session-conf side effects only via an explicit BIGINT schema
-        # (queries/events.py normalizes to timestamp_ntz)
-        cat.schemas["events"] = EVENTS_RAW_SCHEMA
+        # some testdata generations write events.ts as INT64
+        # TIMESTAMP(NANOS), which Spark 4 cannot read natively; if the
+        # plain footer read fails, fall back to an explicit BIGINT
+        # schema (queries/events.py normalizes to timestamp_ntz).
+        # TIMESTAMP_MICROS generations read as-is.
+        try:
+            spark.read.parquet(cat.paths["events"]).schema
+        except Exception:
+            cat.schemas["events"] = EVENTS_RAW_SCHEMA
     return cat

@@ -53,6 +53,31 @@ def write_bucketed(
     )
 
 
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered sorted parquet: ``repartitionByRange`` assigns
+    each output file a disjoint key range, ``sortWithinPartitions``
+    orders rows inside it. Parquet footers then carry tight,
+    non-overlapping min/max stats per file, so a later
+    ``WHERE sort_col BETWEEN a AND b`` scan skips every file whose
+    range misses the predicate — the linear-clustering ("z-order with
+    one dimension") layout that turns a 100 TB full scan into a read
+    of only the matching key ranges. Disjointness is asserted in
+    tests/test_io_catalog.py.
+
+    ``repartitionByRange`` samples the key distribution, so file
+    sizes stay balanced under skew (unlike hash bucketing, which
+    needs uniform keys)."""
+    part = df.repartitionByRange(n_files, *sort_cols) if n_files \
+        else df.repartitionByRange(*sort_cols)
+    part.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)
+
+
 def compact_parquet(
     spark: SparkSession,
     src: str,

@@ -21,21 +21,43 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
-# the testdata writes ``ts`` as INT64 TIMESTAMP(NANOS), which Spark 4
-# refuses to read natively; requesting it as BIGINT via an explicit
-# schema makes the vectorized reader hand over the raw int64 — no
-# session-wide legacy conf needed (the old approach mutated
-# spark.sql.legacy.parquet.nanosAsLong as a side effect)
+# some driver-generated testdata writes ``ts`` as INT64
+# TIMESTAMP(NANOS), which Spark 4 refuses to read natively; requesting
+# it as BIGINT via an explicit schema makes the vectorized reader hand
+# over the raw int64 — no session-wide legacy conf needed (the old
+# approach mutated spark.sql.legacy.parquet.nanosAsLong as a side
+# effect). Other generations write plain TIMESTAMP_MICROS; _events
+# sniffs the footer and handles both.
 EVENTS_RAW_SCHEMA = (
     "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
 )
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Read events.parquet, normalizing its ns-precision timestamp to a
-    microsecond session-TZ-naive timestamp (exactly what DuckDB's
-    TIMESTAMP coercion does)."""
-    df = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+    """Read events.parquet, normalizing ``ts`` to a microsecond
+    session-TZ-naive timestamp (exactly what DuckDB's TIMESTAMP
+    coercion does) whatever the file's physical type:
+
+    - TIMESTAMP_MICROS naive → TIMESTAMP_NTZ directly (container
+      default ``inferTimestampNTZ``) or TIMESTAMP under a plain
+      session — cast to NTZ (identity under the UTC container TZ);
+    - INT64 TIMESTAMP(NANOS) → plain read raises (Spark 4 has no
+      native nanos type), so re-read with a forced BIGINT schema and
+      convert ns→µs explicitly.
+    """
+    path = f"{sf_dir}/events.parquet"
+    try:
+        df = spark.read.parquet(path)
+        kind = df.schema["ts"].dataType.typeName()
+    except Exception:  # Illegal Parquet type: INT64 (TIMESTAMP(NANOS,...))
+        kind = "nanos"
+    if kind == "timestamp_ntz":
+        return df
+    if kind == "timestamp":
+        return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    # raw int64 nanos (either sniffed LongType under a nanosAsLong
+    # session, or the plain read raised): force BIGINT and convert
+    df = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(path)
     return df.withColumn(
         "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
     )
@@ -650,16 +672,18 @@ def q97_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket-average value carried forward across gaps (LOCF) — the
     standard prep before feeding sensor/metric streams to a model.
 
-    Scale shape: bucketing is map-side integer division on the raw
-    int64 nanosecond column (no timestamp parsing); the per-bucket agg
+    Scale shape: bucketing is map-side integer division on the epoch
+    microsecond value (no string parsing); the per-bucket agg
     is one corpus shuffle onto the bucket key; the grid itself comes
     from a 1-row min/max agg exploded into one row per bucket — its
     size is time-span/5min (a year ≈ 105k rows) regardless of corpus
     size, so the LOCF window's single-partition sort is over the tiny
     grid, never the data."""
-    raw = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events.parquet")
-    BUCKET_NS = 300 * 10**9
-    b = raw.withColumn("bkt", F.expr(f"ts div {BUCKET_NS}")).select("bkt", "value")
+    ev = _events(spark, sf_dir)
+    BUCKET_US = 300 * 10**6  # 5 min of epoch-µs; == the oracle's epoch_ns//300e9
+    b = ev.withColumn(
+        "bkt", F.expr(f"unix_micros(cast(ts as timestamp)) div {BUCKET_US}")
+    ).select("bkt", "value")
     per_bucket = b.groupBy("bkt").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("_s"),

@@ -1448,6 +1448,158 @@ ORDER BY o_orderpriority
 """
 
 
+# --- q102: deterministic stratified sampling -------------------------------
+
+def q102_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with per-stratum rates — the train-set
+    downsampling primitive (e.g. keep 50% of rare 'P' orders, 12.5% of
+    'O', 6.25% of 'F'). Unlike ``df.sampleBy`` (seeded RNG, engine-
+    specific), membership is a DETERMINISTIC hash test both engines
+    agree on: the first 4 hex chars of ``md5(key)`` land uniformly in
+    a 16-bit space, and a row is kept when they fall below the
+    stratum's threshold. Reproducible across runs, engines, and
+    cluster sizes — resampling with a different rate keeps a superset/
+    subset (thresholds nest), which is what curriculum-style data
+    mixes need.
+
+    Scale: one corpus scan, map-side hash + conditional partial agg,
+    single ~3-row shuffle. No RNG state, no second scan for the
+    denominator (conditional aggregation folds sampled and total
+    counts into one pass).
+    """
+    orders = _t(spark, sf_dir, "orders").select("o_orderstatus", "o_orderkey", "o_totalprice")
+    bucket = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4)
+    thresh = (
+        F.when(F.col("o_orderstatus") == "P", F.lit("8000"))
+        .when(F.col("o_orderstatus") == "O", F.lit("2000"))
+        .otherwise(F.lit("1000"))
+    )
+    keep = bucket < thresh
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count(F.when(keep, 1)).alias("n_sampled"),
+            F.round(F.sum(F.when(keep, F.col("o_totalprice"))), 2).alias("sampled_revenue"),
+        )
+        .withColumn("sample_rate", F.round(F.col("n_sampled") / F.col("n_total"), 6))
+        .orderBy("o_orderstatus")
+    )
+
+
+ORACLE_Q102 = """
+SELECT o_orderstatus,
+       count(*) AS n_total,
+       count(CASE WHEN substr(md5(cast(o_orderkey AS varchar)), 1, 4) <
+                       (CASE o_orderstatus WHEN 'P' THEN '8000'
+                                           WHEN 'O' THEN '2000'
+                                           ELSE '1000' END)
+                  THEN 1 END) AS n_sampled,
+       round(sum(CASE WHEN substr(md5(cast(o_orderkey AS varchar)), 1, 4) <
+                           (CASE o_orderstatus WHEN 'P' THEN '8000'
+                                               WHEN 'O' THEN '2000'
+                                               ELSE '1000' END)
+                      THEN o_totalprice END), 2) AS sampled_revenue,
+       round(count(CASE WHEN substr(md5(cast(o_orderkey AS varchar)), 1, 4) <
+                             (CASE o_orderstatus WHEN 'P' THEN '8000'
+                                                 WHEN 'O' THEN '2000'
+                                                 ELSE '1000' END)
+                        THEN 1 END) * 1.0 / count(*), 6) AS sample_rate
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+# --- q103: fixed-width histogram --------------------------------------------
+
+def q103_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order value: bin = floor(price/25k).
+    The profiling primitive behind data-quality dashboards and skew
+    detection. Binning is pure map-side arithmetic feeding a partial
+    agg, so the shuffle carries ~20 bin rows per task regardless of
+    corpus size — the histogram of a 100 TB table costs one scan."""
+    orders = _t(spark, sf_dir, "orders").select("o_totalprice")
+    bin_col = F.floor(F.col("o_totalprice") / 25000).cast("int")
+    return (
+        orders.groupBy(bin_col.alias("price_bin"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("bin_revenue"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("price_bin")
+    )
+
+
+ORACLE_Q103 = """
+SELECT cast(floor(o_totalprice / 25000) AS int) AS price_bin,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS bin_revenue,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM orders
+GROUP BY 1
+ORDER BY price_bin
+"""
+
+
+# --- q104: full-outer reconciliation ----------------------------------------
+
+def q104_rich_accounts_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join family — the reconciliation shape (compare two
+    independently-derived per-key aggregates where either side may
+    miss keys): nations' high-balance customers vs high-balance
+    suppliers. Both sides pre-aggregate to ≤25 rows BEFORE the outer
+    join, so the full-outer is tiny however large the inputs; the
+    nation name attaches via broadcast to the coalesced key."""
+    cust = _t(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
+    supp = _t(spark, sf_dir, "supplier").select("s_nationkey", "s_acctbal")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rich_c = (
+        cust.filter(F.col("c_acctbal") > 9000)
+        .groupBy("c_nationkey").agg(F.count("*").alias("rich_cust"))
+    )
+    rich_s = (
+        supp.filter(F.col("s_acctbal") > 9000)
+        .groupBy("s_nationkey").agg(F.count("*").alias("rich_supp"))
+    )
+    merged = rich_c.join(rich_s, rich_c.c_nationkey == rich_s.s_nationkey, "full_outer")
+    key = F.coalesce(F.col("c_nationkey"), F.col("s_nationkey"))
+    return (
+        merged.select(
+            key.alias("nationkey"),
+            F.coalesce(F.col("rich_cust"), F.lit(0)).alias("rich_cust"),
+            F.coalesce(F.col("rich_supp"), F.lit(0)).alias("rich_supp"),
+        )
+        .join(F.broadcast(nat), F.col("nationkey") == nat.n_nationkey)
+        .select(
+            "n_name", "rich_cust", "rich_supp",
+            (F.col("rich_cust") - F.col("rich_supp")).alias("cust_minus_supp"),
+        )
+        .orderBy("n_name")
+    )
+
+
+ORACLE_Q104 = """
+WITH rc AS (
+  SELECT c_nationkey, count(*) AS rich_cust FROM customer
+  WHERE c_acctbal > 9000 GROUP BY c_nationkey
+), rs AS (
+  SELECT s_nationkey, count(*) AS rich_supp FROM supplier
+  WHERE s_acctbal > 9000 GROUP BY s_nationkey
+)
+SELECT n_name,
+       coalesce(rich_cust, 0) AS rich_cust,
+       coalesce(rich_supp, 0) AS rich_supp,
+       coalesce(rich_cust, 0) - coalesce(rich_supp, 0) AS cust_minus_supp
+FROM rc FULL OUTER JOIN rs ON c_nationkey = s_nationkey
+JOIN nation ON coalesce(c_nationkey, s_nationkey) = n_nationkey
+ORDER BY n_name
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top5_suppliers": q02_top5_suppliers,
@@ -1486,9 +1638,15 @@ QUERIES = {
     "q95_brand_supplier_counts": q95_brand_supplier_counts,
     "q96_large_quantity_orders": q96_large_quantity_orders,
     "q98_hll_rollup": q98_hll_rollup,
+    "q102_stratified_sample": q102_stratified_sample,
+    "q103_price_histogram": q103_price_histogram,
+    "q104_rich_accounts_reconcile": q104_rich_accounts_reconcile,
 }
 
 ORACLES = {
+    "q102_stratified_sample": ORACLE_Q102,
+    "q103_price_histogram": ORACLE_Q103,
+    "q104_rich_accounts_reconcile": ORACLE_Q104,
     "q90_late_order_priority": ORACLE_Q90,
     "q91_dormant_rich_customers": ORACLE_Q91,
     "q94_nation_revenue_share": ORACLE_Q94,

@@ -252,3 +252,29 @@ def test_upsert_rejects_schema_drift(spark, tmp_path):
     bad = spark.createDataFrame([(1, 5.0)], "id long, score double")
     with pytest.raises(ValueError, match="schema mismatch"):
         upsert_parquet(spark, path, bad, ["id"])
+
+
+def test_write_sorted_files_have_disjoint_ranges(spark, tmp_path):
+    """write_sorted must produce range-clustered files: per-file
+    [min, max] key intervals are pairwise disjoint, so parquet footer
+    stats let a range predicate skip non-matching files entirely."""
+    from prox_spark.io import write_sorted
+
+    df = spark.range(10_000).select(
+        (F.col("id") * 7919 % 10_000).alias("k"),  # shuffled keys
+        F.col("id").alias("v"),
+    )
+    out = str(tmp_path / "sorted")
+    write_sorted(df, out, ["k"], n_files=8)
+
+    back = read_parquet(spark, out)
+    assert back.count() == 10_000
+    ranges = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
+        .collect()
+    )
+    assert len(ranges) == 8
+    spans = sorted((r.lo, r.hi) for r in ranges)
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev < lo_next, f"overlapping file ranges: {spans}"
