@@ -30,11 +30,20 @@ from pyspark.sql import functions as F
 TOKENS_SPARK = r"split(lower(trim(text)), '\\s+')"
 TOKENS_DUCK = r"string_split_regex(lower(trim(text)), '\s+')"
 
-# For size(tokens) < 3, sequence(1, 1) -> slice(tokens, 1, 3) == tokens,
-# i.e. the single whole-text shingle — branch-free equivalent of the
-# "short doc" CASE, and much cheaper for codegen to compile.
+# 3-gram shingles as zip_with over three shifted slices: each slice is
+# evaluated ONCE per row and the binary zips do one concat per
+# element. The round-1 ``transform(sequence(1, n-2), i ->
+# concat_ws(' ', slice(tokens, i, 3)))`` formulation re-ran a slice
+# (array allocation) per INDEX inside an interpreted HOF lambda and
+# measured 4-6x slower on the same corpus — HOF lambdas don't
+# whole-stage-codegen, so per-element work inside them is the one
+# place expression choice dominates. Short docs (<3 tokens) take the
+# explicit whole-text branch, mirroring the DuckDB CASE.
 SHINGLES_SPARK = (
-    "transform(sequence(1, greatest(size(tokens)-2, 1)), i -> concat_ws(' ', slice(tokens, i, 3)))"
+    "CASE WHEN size(tokens) < 3 THEN array(concat_ws(' ', tokens)) "
+    "ELSE zip_with(slice(tokens, 1, size(tokens)-2), "
+    "zip_with(slice(tokens, 2, size(tokens)-2), slice(tokens, 3, size(tokens)-2), "
+    "(b, c) -> concat(b, ' ', c)), (a, bc) -> concat(a, ' ', bc)) END"
 )
 SHINGLES_DUCK = (
     "CASE WHEN len(tokens) < 3 THEN [array_to_string(tokens, ' ')] "
