@@ -471,14 +471,10 @@ _HEXV_SPARK = "locate(substring(m, {i}, 1), '0123456789abcdef') - 1"
 _HEXV_DUCK = "strpos('0123456789abcdef', substring(m, {i}, 1)) - 1"
 
 
-def q38_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash computed FULLY map-side: per document, hash the distinct
-    tokens with one transform, then fold each of the 16 bit counters
-    over that in-row array. Round 1 exploded tokens into (doc, token)
-    rows and re-assembled bits with a groupBy(doc_id) — a full-corpus
-    shuffle of every distinct token; this version shuffles nothing (the
-    trailing orderBy exists only for the deterministic gate). Same
-    md5-derived 16-bit token hashes, bit-identical output."""
+def _simhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) computed FULLY map-side: per document, hash
+    the distinct tokens with one transform, then fold each of the 16
+    bit counters over that in-row array — no shuffle (see q38)."""
     hxm = " + ".join(
         f"({_HEXV_SPARK.format(i=i + 1)}) * {16 ** (3 - i)}" for i in range(4)
     )
@@ -497,9 +493,17 @@ def q38_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"then {1 << j} else 0 end)"
         for j in range(SIMHASH_BITS)
     )
-    return docs.select(
-        "doc_id", F.expr(f"cast({bit_terms} as bigint)").alias("simhash")
-    ).orderBy("doc_id")
+    return docs.select("doc_id", F.expr(f"cast({bit_terms} as bigint)").alias("simhash"))
+
+
+def q38_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash per document (see :func:`_simhash_frame`). Round 1
+    exploded tokens into (doc, token) rows and re-assembled bits with a
+    groupBy(doc_id) — a full-corpus shuffle of every distinct token;
+    this version shuffles nothing (the trailing orderBy exists only for
+    the deterministic gate). Same md5-derived 16-bit token hashes,
+    bit-identical output."""
+    return _simhash_frame(spark, sf_dir).orderBy("doc_id")
 
 
 def _simhash_oracle() -> str:
@@ -528,11 +532,10 @@ FROM (
   ) hashed
   GROUP BY doc_id
 )
-ORDER BY doc_id
 """
 
 
-ORACLE_Q38 = _simhash_oracle()
+ORACLE_Q38 = _simhash_oracle() + "ORDER BY doc_id"
 
 
 # --- q39: sentiment scoring (vectorized pandas_udf) ------------------------
@@ -1355,6 +1358,83 @@ ORDER BY source
 """
 
 
+# --- q105: SimHash near-dup pairs (hamming band blocking) -------------------
+
+SIMHASH_BAND_BITS = 4
+SIMHASH_N_BANDS = SIMHASH_BITS // SIMHASH_BAND_BITS  # 4 bands of 4 bits
+SIMHASH_HAM_MAX = 1
+
+
+def q105_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate detection: block by 4-bit bands of the
+    16-bit fingerprint (a pair collides if ANY band agrees), verify
+    candidates with an exact hamming distance (``bit_count(a ^ b)``)
+    ≤ 1, and report per-document neighbor stats. By pigeonhole the
+    blocking is EXACT up to radius 3 (≤3 differing bits can dirty at
+    most 3 of the 4 bands), so recall at radius 1 is 1.0 by
+    construction — no all-pairs scan.
+
+    Output is one bounded row per document (neighbor count + smallest
+    neighbor id) rather than raw pairs: the demo fingerprint is 16
+    bits for oracle-parity economy, which on a small shared-vocabulary
+    corpus makes raw pair output quadratic; production would use
+    64-bit fingerprints with the identical plan.
+
+    Scale shape: fingerprints are map-side (no shuffle,
+    :func:`_simhash_frame`); the band table is 4 narrow rows per doc;
+    candidates come from one equi-join on (band, val); the verify is
+    an integer XOR on the joined row — the canonical
+    blocking-not-crossing dedup plan (same family as q36's MinHash
+    bands, here over bit-bands of one integer).
+    """
+    s = _simhash_frame(spark, sf_dir)
+    band = F.explode(
+        F.expr(
+            f"transform(sequence(0, {SIMHASH_N_BANDS - 1}), b -> named_struct("
+            f"'band', b, 'val', (simhash div shiftleft(1L, b * {SIMHASH_BAND_BITS})) % {1 << SIMHASH_BAND_BITS}))"
+        )
+    ).alias("bv")
+    bands = s.select("doc_id", "simhash", band).select(
+        "doc_id", "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val")
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_id"), F.col("simhash").alias("h1"), "band", "val"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("nbr"), F.col("simhash").alias("h2"), "band", "val"
+    )
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("doc_id") != F.col("nbr"))
+        .select("doc_id", "nbr", F.expr("bit_count(h1 ^ h2)").cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH_HAM_MAX)
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("nbr").alias("n_neighbors"),
+            F.min("nbr").alias("min_neighbor"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_Q105 = f"""
+WITH s AS ({_simhash_oracle()}),
+bands AS (
+  SELECT doc_id, simhash, b.b AS band,
+         (simhash // (1 << (b.b * {SIMHASH_BAND_BITS}))) % {1 << SIMHASH_BAND_BITS} AS val
+  FROM s CROSS JOIN (SELECT unnest(range(0, {SIMHASH_N_BANDS})) AS b) b
+)
+SELECT a.doc_id AS doc_id,
+       count(DISTINCT b.doc_id) AS n_neighbors,
+       min(b.doc_id) AS min_neighbor
+FROM bands a JOIN bands b ON a.band = b.band AND a.val = b.val
+WHERE a.doc_id <> b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAM_MAX}
+GROUP BY a.doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q30_exact_dedup": q30_exact_dedup,
     "q31_text_stats": q31_text_stats,
@@ -1365,6 +1445,7 @@ QUERIES = {
     "q36_minhash_lsh": q36_minhash_lsh,
     "q37_langid": q37_langid,
     "q38_simhash": q38_simhash,
+    "q105_simhash_neardup": q105_simhash_neardup,
     "q39_sentiment": q39_sentiment,
     "q65_hash_split": q65_hash_split,
     "q66_source_mixture": q66_source_mixture,
@@ -1405,4 +1486,5 @@ ORACLES = {
     "q36_minhash_lsh": ORACLE_Q36,
     "q37_langid": ORACLE_Q37,
     "q38_simhash": ORACLE_Q38,
+    "q105_simhash_neardup": ORACLE_Q105,
 }
