@@ -1448,6 +1448,108 @@ ORDER BY o_orderpriority
 """
 
 
+# --- q106: 6-table join-reordering stress (TPC-H Q5 shape) ------------------
+
+def q106_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — the canonical join-REORDERING stress: six
+    tables (region→nation→customer→orders→lineitem→supplier) with the
+    'local supplier' constraint (customer and supplier share a
+    nation), a region filter, and a one-year date window. Declared as
+    plain equi-joins; Catalyst + AQE pick the order and broadcast the
+    three dim tables, and the date filter reaches the orders scan
+    (PushedFilters). The only big-big shuffle is orders⨝lineitem on
+    the order key — exactly the plan a 100 TB run wants."""
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            sup,
+            (li.l_suppkey == sup.s_suppkey) & (cust.c_nationkey == sup.s_nationkey),
+        )
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+ORACLE_Q106 = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+# --- q107: disjunctive multi-column predicate (TPC-H Q19 shape) -------------
+
+def q107_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — OR-of-ANDs across two tables: three
+    (brand, quantity-band, size-band) triples, any of which qualifies
+    a lineitem. The per-table halves of the disjunction
+    (brand-or-brand-or-brand, size ≤ max) are pushed to the part scan
+    by Catalyst's predicate simplification even though the full
+    predicate spans the join — the optimizer-stress half of the
+    family; q48/q50 cover the conjunctive shapes."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("l_quantity").between(1, 11) & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#23") & F.col("l_quantity").between(10, 20) & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#34") & F.col("l_quantity").between(20, 30) & F.col("p_size").between(1, 15))
+    )
+    return (
+        j.filter(cond)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+ORACLE_Q107 = """
+SELECT p_brand,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
 # --- q102: deterministic stratified sampling -------------------------------
 
 def q102_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1641,12 +1743,16 @@ QUERIES = {
     "q102_stratified_sample": q102_stratified_sample,
     "q103_price_histogram": q103_price_histogram,
     "q104_rich_accounts_reconcile": q104_rich_accounts_reconcile,
+    "q106_local_supplier_revenue": q106_local_supplier_revenue,
+    "q107_disjunctive_revenue": q107_disjunctive_revenue,
 }
 
 ORACLES = {
     "q102_stratified_sample": ORACLE_Q102,
     "q103_price_histogram": ORACLE_Q103,
     "q104_rich_accounts_reconcile": ORACLE_Q104,
+    "q106_local_supplier_revenue": ORACLE_Q106,
+    "q107_disjunctive_revenue": ORACLE_Q107,
     "q90_late_order_priority": ORACLE_Q90,
     "q91_dormant_rich_customers": ORACLE_Q91,
     "q94_nation_revenue_share": ORACLE_Q94,

@@ -625,6 +625,15 @@ def q72_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.union(
         pairs.select(F.col("doc2").alias("doc1"), F.col("doc1").alias("doc2"))
     ).cache()
+    # size the fixpoint's shuffle width to the EDGE count, not the
+    # corpus: near-dup edge lists are a tiny fraction of the input
+    # (here hundreds of rows; at 100 TB maybe billions). Caching
+    # already forces a job, so the count is free, and running a
+    # 500-row fixpoint at cluster-wide width would pay ~P tasks of
+    # pure scheduling overhead per round for no parallelism gain.
+    n_edges = edges.count()
+    width = max(1, min(spark.sparkContext.defaultParallelism, n_edges // 50_000 + 1))
+    edges = edges.repartition(width, "doc1")
     labels = (
         edges.select(F.col("doc1").alias("doc_id"))
         .distinct()
