@@ -728,8 +728,42 @@ ORDER BY bucket_start
 """
 
 
+# --- q108: time-RANGE window frame ------------------------------------------
+
+def q108_trailing_30min_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (vs q22's ROWS frame): per event, the sum
+    and count of the same user's events in the trailing 30 minutes of
+    EVENT TIME — the frame is defined by a value range over epoch
+    seconds, so ties and irregular spacing are handled by semantics,
+    not row position. One shuffle on user_id (the window partition
+    key); frames are bounded so state never exceeds the 30-minute
+    span per user."""
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 10)
+    ev = ev.withColumn("ts_s", F.expr("unix_micros(cast(ts as timestamp)) div 1000000"))
+    frame = W.partitionBy("user_id").orderBy("ts_s").rangeBetween(-1800, 0)
+    return (
+        ev.withColumn("win_sum", F.round(F.sum("value").over(frame), 2))
+        .withColumn("win_n", F.count(F.lit(1)).over(frame))
+        .select("user_id", "event_id", "win_n", "win_sum")
+        .orderBy("user_id", "event_id")
+    )
+
+
+ORACLE_Q108 = """
+SELECT user_id, event_id,
+       count(*) OVER w AS win_n,
+       round(sum(value) OVER w, 2) AS win_sum
+FROM (SELECT user_id, event_id, value, epoch(ts)::BIGINT AS ts_s
+      FROM events WHERE user_id < 10)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+             RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+"""
+
+
 QUERIES = {
     "q20_hourly_event_stats": q20_hourly_event_stats,
+    "q108_trailing_30min_stats": q108_trailing_30min_stats,
     "q26_asof_click_to_purchase": q26_asof_click_to_purchase,
     "q71_clicks_before_purchase": q71_clicks_before_purchase,
     "q46_sliding_window_stats": q46_sliding_window_stats,
@@ -746,6 +780,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q108_trailing_30min_stats": ORACLE_Q108,
     "q92_cohort_retention": ORACLE_Q92,
     "q97_gap_fill_locf": ORACLE_Q97,
     "q20_hourly_event_stats": ORACLE_Q20,

@@ -257,3 +257,45 @@ def test_q93_single_arrow_stage(spark):
     tree = plan.split("\n\n", 1)[0]
     scan_side = tree.split("MapInArrow", 1)[-1]
     assert scan_side.count("Exchange") <= 1  # just the worker spread
+
+
+def test_q106_pushdown_and_no_cartesian(spark):
+    from prox_spark.queries.relational import q106_local_supplier_revenue
+
+    plan = _plan(q106_local_supplier_revenue(spark, SF_DIR))
+    # the one-year window reaches the orders scan; the 6-way join
+    # needs no cartesian despite the two-column supplier condition
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "LessThan(o_orderdate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q107_disjunction_pushed_to_part_scan(spark):
+    from prox_spark.queries.relational import q107_disjunctive_revenue
+
+    plan = _plan(q107_disjunctive_revenue(spark, SF_DIR))
+    # the per-table half of the OR-of-ANDs (brand disjunction) is
+    # extracted and pushed below the join into the part scan
+    part_scans = [l for l in plan.splitlines() if "PushedFilters" in l and "p_brand" in l]
+    assert part_scans and any("Or(" in l for l in part_scans)
+
+
+def test_q105_band_join_no_cartesian(spark):
+    from prox_spark.queries.text import q105_simhash_neardup
+
+    plan = _plan(q105_simhash_neardup(spark, SF_DIR))
+    assert "CartesianProduct" not in plan  # blocking, not all-pairs
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q102_single_pass_aggregation(spark):
+    from prox_spark.queries.relational import q102_stratified_sample
+
+    plan = _plan(q102_stratified_sample(spark, SF_DIR))
+    # sampled + total metrics fold into ONE aggregation over ONE scan
+    # (no second scan for the denominator); the only exchanges are the
+    # 3-row agg and the final sort
+    import re
+
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
