@@ -149,3 +149,31 @@ def check_foreign_keys(
             if n:
                 out.append(FKViolation(child_table, child_col, parent_table, parent_col, n))
     return out
+
+
+def observed_write(
+    df: DataFrame,
+    path: str,
+    qc_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> dict[str, int]:
+    """Write parquet while collecting QC metrics (row count + per-column
+    null counts) from the SAME pass via ``Observation`` — the write job
+    itself carries the accumulators, so the quality numbers a pipeline
+    records after every stage cost ZERO extra scans. The alternative —
+    ``write`` then ``count``/null-audit — reads the full output back,
+    which at 100 TB doubles the stage's I/O.
+
+    Returns ``{"rows": n, "nulls[col]": n, ...}``.
+    """
+    from pyspark.sql import Observation
+
+    cols = qc_cols if qc_cols is not None else df.columns
+    metrics = [F.count(F.lit(1)).alias("rows")]
+    metrics += [
+        F.sum(F.col(c).isNull().cast("long")).alias(f"nulls[{c}]") for c in cols
+    ]
+    obs = Observation("qc")
+    df.observe(obs, *metrics).write.mode(mode).parquet(path)
+    got = obs.get
+    return {k: int(v) for k, v in got.items()}

@@ -299,3 +299,46 @@ def test_q102_single_pass_aggregation(spark):
 
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """100 TB knob check: with a selective dim-side predicate and a
+    shuffle join, Spark injects a bloom-filter runtime filter
+    (`might_contain`) on the probe side, pruning shuffle input the
+    way a cluster-size run needs. Thresholds are conf-driven; the
+    creation side must be UNDER creationSideThreshold and the probe
+    scan OVER applicationSideScanSizeThreshold."""
+    from pyspark.sql import functions as F
+
+    keep = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": None,
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": None,
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": None,
+        "spark.sql.autoBroadcastJoinThreshold": None,
+    }
+    for k in keep:
+        keep[k] = spark.conf.get(k, None)
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1g")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+            F.col("o_totalprice") > 400000
+        )
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        optimized = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in optimized.lower()
+    finally:
+        for k, v in keep.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -112,3 +112,17 @@ def test_silver_dedup_and_schema(silver):
         keys = PRIMARY_KEYS[name]
         assert df.groupBy(*keys).count().filter(F.col("count") > 1).count() == 0, name
         assert_schema(df, SILVER_SCHEMAS[name])
+
+
+def test_observed_write_metrics_without_second_scan(spark, tmp_path):
+    """observed_write must report row/null counts from the write pass
+    itself and the written data must round-trip."""
+    from prox_spark.validate import observed_write
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, None)], "id long, name string"
+    )
+    out = str(tmp_path / "obs")
+    metrics = observed_write(df, out, qc_cols=["name"])
+    assert metrics == {"rows": 4, "nulls[name]": 2}
+    assert spark.read.parquet(out).count() == 4
