@@ -53,6 +53,16 @@ def write_bucketed(
     )
 
 
+def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read: union the schemas of every file in the
+    table (``mergeSchema``), so batches appended after a column was
+    added read alongside old files (missing columns become NULL).
+    Costs a footer read per file at planning time — at 100 TB leave it
+    off hot paths and use it only on tables that actually evolve (or
+    compact old files to the new schema once, `compact_parquet`)."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 def write_sorted(
     df: DataFrame,
     path: str,

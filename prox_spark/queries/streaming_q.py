@@ -356,8 +356,99 @@ ORDER BY user_id, session_start
 """
 
 
+# --- q109: streaming dedup against a persistent digest store ----------------
+
+_DOC_DUP_STAGE_CACHE: dict[str, str] = {}
+
+
+def _staged_docs_with_dups(spark: SparkSession, sf_dir: str) -> str:
+    """documents.parquet staged as a multi-file dir with every file
+    delivered twice — the at-least-once crawl feed q109 dedups."""
+    if sf_dir not in _DOC_DUP_STAGE_CACHE:
+        stage_dir = tempfile.mkdtemp(prefix="prox_spark_doc_dup_")
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs.coalesce(2).write.mode("append").parquet(stage_dir)
+        docs.coalesce(2).write.mode("append").parquet(stage_dir)
+        _DOC_DUP_STAGE_CACHE[sf_dir] = stage_dir
+        atexit.register(shutil.rmtree, stage_dir, ignore_errors=True)
+    return _DOC_DUP_STAGE_CACHE[sf_dir]
+
+
+def q109_streaming_dedup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch exact dedup against a PERSISTENT digest store — the
+    100 TB crawl pattern q100 can't express: watermark dedup bounds
+    state by TIME, but deduping a new crawl against ALL history needs
+    a store that outlives the stream. Each micro-batch foreachBatch-
+    merges (digest → representative doc) into a parquet store via the
+    order-independent keep-max upsert, so replays and batch order
+    cannot change the converged store (exactly-once EFFECT from an
+    at-least-once feed; the staged dir delivers every file twice).
+
+    At scale the store is a digest-keyed parquet table (32-char md5 +
+    two narrow columns per unique doc); each merge shuffles one
+    struct-max aggregate over batch ∪ store. The gate reads the final
+    store and aggregates per source; the oracle recomputes the same
+    arg-max representative set from the clean table."""
+    from prox_spark.upsert import upsert_keep_max
+
+    stage_dir = _staged_docs_with_dups(spark, sf_dir)
+    batch_schema = spark.read.parquet(stage_dir).schema
+    run = uuid.uuid4().hex[:8]
+    store = tempfile.mkdtemp(prefix=f"prox_spark_dedup_store_{run}_") + "/store"
+    ckpt = tempfile.mkdtemp(prefix=f"prox_spark_dedup_ckpt_{run}_")
+    atexit.register(shutil.rmtree, os.path.dirname(store), ignore_errors=True)
+    atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
+
+    def _merge(batch_df: DataFrame, _batch_id: int) -> None:
+        b = batch_df.select(
+            F.md5(F.col("text")).alias("digest"), "doc_id", "source"
+        )
+        upsert_keep_max(batch_df.sparkSession, store, b, ["digest"], ["doc_id"])
+
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(stage_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+
+    return (
+        spark.read.parquet(store)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_unique"),
+            F.max("doc_id").alias("max_rep"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_Q109 = """
+SELECT source, count(*) AS n_unique, max(doc_id) AS max_rep
+FROM (
+  SELECT md5(text) AS digest,
+         arg_max(source, doc_id) AS source,
+         max(doc_id) AS doc_id
+  FROM documents
+  GROUP BY digest
+)
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "q44_stateful_user_totals": q44_stateful_user_totals,
+    "q109_streaming_dedup_store": q109_streaming_dedup_store,
     "q69_streaming_hourly_stats": q69_streaming_hourly_stats,
     "q77_stream_static_enrich": q77_stream_static_enrich,
     "q78_stream_stream_join": q78_stream_stream_join,
@@ -365,6 +456,7 @@ QUERIES = {
     "q101_streaming_sessions": q101_streaming_sessions,
 }
 ORACLES = {
+    "q109_streaming_dedup_store": ORACLE_Q109,
     "q100_streaming_dedup": ORACLE_Q100,
     "q101_streaming_sessions": ORACLE_Q101,
     "q44_stateful_user_totals": ORACLE_Q44,

@@ -278,3 +278,22 @@ def test_write_sorted_files_have_disjoint_ranges(spark, tmp_path):
     spans = sorted((r.lo, r.hi) for r in ranges)
     for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
         assert hi_prev < lo_next, f"overlapping file ranges: {spans}"
+
+
+def test_read_parquet_evolved_merges_appended_schema(spark, tmp_path):
+    """A column added mid-table must be readable across old+new files:
+    old rows surface NULL for the new column, new rows keep it."""
+    from prox_spark.io import read_parquet_evolved
+
+    out = str(tmp_path / "evolve")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.mode(
+        "overwrite"
+    ).parquet(out)
+    spark.createDataFrame(
+        [(2, "b", 0.5)], "id long, name string, score double"
+    ).write.mode("append").parquet(out)
+
+    df = read_parquet_evolved(spark, out)
+    assert set(df.columns) == {"id", "name", "score"}
+    rows = {r.id: r.score for r in df.collect()}
+    assert rows == {1: None, 2: 0.5}
