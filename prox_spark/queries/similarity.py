@@ -649,6 +649,112 @@ ORDER BY vec_id
 """
 
 
+# --- q110: product-quantization encode (PQ codebook assign) -----------------
+
+PQ_M = 4        # subspaces
+PQ_K = 4        # centroids per subspace
+PQ_DSUB = EMB_DIM // PQ_M
+
+SQDIST_SPARK = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+    "cast(0.0 as double), (acc, x) -> acc + x)"
+)
+SQDIST_DUCK = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "x -> (x[1] - x[2]) * (x[1] - x[2])), (acc, x) -> acc + x)"
+)
+
+
+def _pq_codebook() -> list[tuple[int, int, list[float]]]:
+    """Deterministic md5-derived codebook (same constants on both
+    engines), values in [-1, 1] at 4 decimals: (m, k, centroid)."""
+    rows = []
+    for m in range(PQ_M):
+        for k in range(PQ_K):
+            vec = []
+            for i in range(PQ_DSUB):
+                h = hashlib.md5(f"pq:{m}:{k}:{i}".encode()).hexdigest()
+                vec.append(round((int(h[:2], 16) / 255.0) * 2 - 1, 4))
+            rows.append((m, k, vec))
+    return rows
+
+
+_PQ_ROWS = _pq_codebook()
+
+
+def q110_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode — the compression half of a
+    vector index (IVF-PQ): split each 64-dim vector into 4 subspaces,
+    assign each to its nearest of 4 codebook centroids, pack the
+    assignments into one base-4 code, and report the total
+    quantization error. Completes the ANN family: q45 gives the
+    coarse (IVF) routing, this gives the in-cell compression a 100 TB
+    vector store needs (8 bits/vector here vs 512 bytes raw).
+
+    Scale shape: the codebook rides in as ONE broadcast row of
+    (m, k, centroid) structs (the q41 plane-table pattern) and the
+    whole encode is in-row HOF folds — a map-only pass, no shuffle,
+    regardless of corpus size. Ties break to the lowest k on both
+    engines (first index of the min distance)."""
+    emb = _emb(spark, sf_dir)
+    cb = spark.createDataFrame(_PQ_ROWS, "m int, k int, cvec array<double>")
+    cb_arr = cb.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("m", "k", "cvec"))).alias("cb")
+    )
+    sub = f"slice(dd, m * {PQ_DSUB} + 1, {PQ_DSUB})"
+    ds = (
+        f"transform(sequence(0, {PQ_M - 1}), m -> named_struct('ds', "
+        f"transform(filter(cb, p -> p.m = m), p -> "
+        f"{SQDIST_SPARK.format(a=sub, b='p.cvec')})))"
+    )
+    return (
+        emb.crossJoin(F.broadcast(cb_arr))
+        .withColumn("ms", F.expr(ds))
+        .select(
+            "vec_id",
+            F.expr(
+                f"aggregate(ms, cast(0 as bigint), (acc, s) -> "
+                f"acc * {PQ_K} + (array_position(s.ds, array_min(s.ds)) - 1))"
+            ).alias("pq_code"),
+            F.expr(
+                "round(aggregate(ms, cast(0.0 as double), (acc, s) -> acc + array_min(s.ds)), 6)"
+            ).alias("quant_err"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _pq_values_duck() -> str:
+    return ",\n    ".join(
+        f"({m}, {k}, [{', '.join(f'{v}' for v in vec)}]::DOUBLE[])"
+        for m, k, vec in _PQ_ROWS
+    )
+
+
+ORACLE_Q110 = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS dd FROM embeddings),
+cb(m, k, cvec) AS (VALUES
+    {_pq_values_duck()}
+),
+dists AS (
+  SELECT e.vec_id, cb.m, cb.k,
+         {SQDIST_DUCK.format(a=f'e.dd[cb.m * {PQ_DSUB} + 1 : cb.m * {PQ_DSUB} + {PQ_DSUB}]', b='cb.cvec')} AS d
+  FROM e CROSS JOIN cb
+),
+best AS (
+  SELECT vec_id, m, k, d,
+         row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
+  FROM dists
+)
+SELECT vec_id,
+       CAST(sum(k * power({PQ_K}, {PQ_M - 1} - m)) AS BIGINT) AS pq_code,
+       round(sum(d), 6) AS quant_err
+FROM best WHERE rn = 1
+GROUP BY vec_id
+ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "q40_cosine_topk": q40_cosine_topk,
     "q41_lsh_ann": q41_lsh_ann,
@@ -656,6 +762,7 @@ QUERIES = {
     "q45_ivf_ann": q45_ivf_ann,
     "q85_label_centroids": q85_label_centroids,
     "q88_vector_stats": q88_vector_stats,
+    "q110_pq_encode": q110_pq_encode,
 }
 
 ORACLES = {
@@ -665,4 +772,5 @@ ORACLES = {
     "q45_ivf_ann": ORACLE_Q45,
     "q85_label_centroids": ORACLE_Q85,
     "q88_vector_stats": ORACLE_Q88,
+    "q110_pq_encode": ORACLE_Q110,
 }
