@@ -682,6 +682,24 @@ def _pq_codebook() -> list[tuple[int, int, list[float]]]:
 _PQ_ROWS = _pq_codebook()
 
 
+def _pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, ms) with ms[m].ds = squared distances of subspace m to
+    each of the K codebook centroids — in-row folds over one broadcast
+    codebook row; map-only at any corpus size."""
+    emb = _emb(spark, sf_dir)
+    cb = spark.createDataFrame(_PQ_ROWS, "m int, k int, cvec array<double>")
+    cb_arr = cb.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("m", "k", "cvec"))).alias("cb")
+    )
+    sub = f"slice(dd, m * {PQ_DSUB} + 1, {PQ_DSUB})"
+    ds = (
+        f"transform(sequence(0, {PQ_M - 1}), m -> named_struct('ds', "
+        f"transform(filter(cb, p -> p.m = m), p -> "
+        f"{SQDIST_SPARK.format(a=sub, b='p.cvec')})))"
+    )
+    return emb.crossJoin(F.broadcast(cb_arr)).withColumn("ms", F.expr(ds))
+
+
 def q110_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encode — the compression half of a
     vector index (IVF-PQ): split each 64-dim vector into 4 subspaces,
@@ -696,20 +714,8 @@ def q110_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole encode is in-row HOF folds — a map-only pass, no shuffle,
     regardless of corpus size. Ties break to the lowest k on both
     engines (first index of the min distance)."""
-    emb = _emb(spark, sf_dir)
-    cb = spark.createDataFrame(_PQ_ROWS, "m int, k int, cvec array<double>")
-    cb_arr = cb.groupBy().agg(
-        F.array_sort(F.collect_list(F.struct("m", "k", "cvec"))).alias("cb")
-    )
-    sub = f"slice(dd, m * {PQ_DSUB} + 1, {PQ_DSUB})"
-    ds = (
-        f"transform(sequence(0, {PQ_M - 1}), m -> named_struct('ds', "
-        f"transform(filter(cb, p -> p.m = m), p -> "
-        f"{SQDIST_SPARK.format(a=sub, b='p.cvec')})))"
-    )
     return (
-        emb.crossJoin(F.broadcast(cb_arr))
-        .withColumn("ms", F.expr(ds))
+        _pq_assign(spark, sf_dir)
         .select(
             "vec_id",
             F.expr(
