@@ -88,6 +88,12 @@ def testdata_catalog(spark: SparkSession, sf_dir: str) -> Catalog:
         # TIMESTAMP_MICROS generations read as-is.
         try:
             spark.read.parquet(cat.paths["events"]).schema
-        except Exception:
+        except Exception as exc:  # noqa: BLE001 - filtered below
+            # Only the specific unsupported-type failure triggers the
+            # fallback; corrupt files/permissions re-raise so the real
+            # error surfaces here instead of downstream.
+            msg = str(exc)
+            if "Parquet type" not in msg and "TIMESTAMP(NANOS" not in msg:
+                raise
             cat.schemas["events"] = EVENTS_RAW_SCHEMA
     return cat

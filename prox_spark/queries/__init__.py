@@ -28,10 +28,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def all_queries() -> dict[str, QueryFn]:
+    # Registry order matters: the correctness driver checks the first ~50
+    # entries per round. The PROX KPI/gold parity surface (kpi_q), streaming,
+    # multimodal, similarity, and text/dedup operators go first so they sit
+    # inside that hard gate; the relational/events suite (green in rounds 1-2)
+    # rotates to the tail.
     from . import events, kpi_q, multimodal, relational, similarity, streaming_q, text
 
     out: dict[str, QueryFn] = {}
-    for mod in (relational, events, text, similarity, multimodal, streaming_q, kpi_q):
+    for mod in (kpi_q, streaming_q, multimodal, similarity, text, events, relational):
         out.update(mod.QUERIES)
     return out
 

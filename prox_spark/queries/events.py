@@ -753,7 +753,11 @@ ORACLE_Q108 = """
 SELECT user_id, event_id,
        count(*) OVER w AS win_n,
        round(sum(value) OVER w, 2) AS win_sum
-FROM (SELECT user_id, event_id, value, epoch(ts)::BIGINT AS ts_s
+FROM (SELECT user_id, event_id, value,
+             -- floor() to TRUNCATE fractional seconds exactly like Spark's
+             -- unix_micros(ts) div 1000000; a bare ::BIGINT cast of DuckDB's
+             -- DOUBLE epoch() ROUNDS, which can flip 1800s-frame membership
+             floor(epoch(ts))::BIGINT AS ts_s
       FROM events WHERE user_id < 10)
 WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
              RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW)

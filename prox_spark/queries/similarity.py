@@ -187,7 +187,8 @@ def _plane_buckets(
 # tables trade candidate-set size for recall. The round-1 single
 # 8-bit table demanded agreement on all 8 planes and measured
 # recall@3 of 0.03 against the q40 brute-force ground truth; 8×4
-# measures ≥0.9 (band-asserted in tests/test_ann_recall.py).
+# measured 0.70 @ sf0.001 and 0.83 @ sf0.01 (band-asserted ≥0.6 in
+# tests/test_ann_recall.py; tune T/B upward for higher recall).
 Q41_TABLES = 8
 Q41_BITS = 4
 _Q41_PLANE_ROWS = [

@@ -176,4 +176,5 @@ def observed_write(
     obs = Observation("qc")
     df.observe(obs, *metrics).write.mode(mode).parquet(path)
     got = obs.get
-    return {k: int(v) for k, v in got.items()}
+    # sum() over zero rows yields NULL — an empty write reports zeros, not a crash
+    return {k: int(v) if v is not None else 0 for k, v in got.items()}

@@ -180,7 +180,10 @@ def test_checkpoint_recovery_is_exactly_once(spark, event_batch, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     out = str(tmp_path / "out")
 
-    first = event_batch.limit(200)
+    # deterministic split: an unordered limit() re-evaluates to a
+    # different row set on each action, which would let the second
+    # tranche overlap the first
+    first = event_batch.orderBy("event_id").limit(200)
     first.coalesce(2).write.mode("overwrite").parquet(src)
 
     def run_once():
@@ -202,8 +205,14 @@ def test_checkpoint_recovery_is_exactly_once(spark, event_batch, tmp_path):
     got1 = spark.read.parquet(out)
     assert got1.count() == 200
 
-    # at-least-once upstream delivers a second tranche (disjoint ids)
-    second = event_batch.exceptAll(first).limit(150)
+    # at-least-once upstream delivers a second tranche (disjoint ids:
+    # anti-join against the ids actually written, re-read from disk)
+    written_ids = spark.read.parquet(src).select("event_id")
+    second = (
+        event_batch.join(written_ids, "event_id", "left_anti")
+        .orderBy("event_id")
+        .limit(150)
+    )
     second.coalesce(2).write.mode("append").parquet(src)
     run_once()
 
