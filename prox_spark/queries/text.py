@@ -604,24 +604,32 @@ ORDER BY doc_id
 # --- q72: duplicate-cluster resolution (connected components) --------------
 
 CC_MAX_ITERS = 15
+# truncate the label frame's lineage every N fixpoint rounds. Each round
+# references the previous label frame TWICE (the propagate join's input
+# and the update join's left side), so the logical-plan TREE doubles per
+# round: un-truncated, a 15-round run carries 2^16-2 ≈ 65k join nodes and
+# plan analysis itself becomes the bottleneck (measured: 2/6/14 joins
+# after 1/2/3 rounds). localCheckpoint rebases the plan on the
+# materialized partitions, bounding the tree at 2^(N+1)-2 joins and
+# releasing prior rounds' shuffle files.
+CC_CHECKPOINT_EVERY = 3
 
 
-def q72_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resolve near-duplicate PAIRS (q36's MinHash-LSH output) into
-    duplicate CLUSTERS: each document gets the minimum doc_id of its
-    connected component — the step a dedup pipeline actually needs
-    (keep one representative per cluster, not per pair).
+def min_label_clusters(pairs: DataFrame, max_iters: int = CC_MAX_ITERS) -> DataFrame:
+    """Connected components over an undirected pair list: every node
+    gets the minimum doc_id of its component, as ``(doc_id, label)``.
 
     Spark has no recursive CTE, so connectivity is iterative min-label
     propagation: per round, every node adopts the smallest label among
     itself and its neighbors; converged when no label changes. Rounds
     needed = component diameter (near-dup clusters are tiny — chains
-    longer than ~10 docs are pathological), capped at CC_MAX_ITERS.
+    longer than ~10 docs are pathological), capped at ``max_iters``.
     Per round: one groupBy over the edge list + one left join over the
-    (narrow) label frame; the only driver-side value is the converged?
-    count — the corpus never leaves the executors. The DuckDB oracle is
-    the same fixpoint via WITH RECURSIVE min-reachability."""
-    pairs = q36_minhash_lsh(spark, sf_dir).select("doc1", "doc2")
+    (narrow) label frame; the only driver-side values are the converged?
+    count — the corpus never leaves the executors. Lineage is rebased
+    via eager localCheckpoint every CC_CHECKPOINT_EVERY rounds (see
+    constant note)."""
+    spark = pairs.sparkSession
     edges = pairs.union(
         pairs.select(F.col("doc2").alias("doc1"), F.col("doc1").alias("doc2"))
     ).cache()
@@ -640,7 +648,7 @@ def q72_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
         .cache()
     )
-    for _ in range(CC_MAX_ITERS):
+    for i in range(max_iters):
         nbr_min = (
             edges.join(labels, edges.doc1 == labels.doc_id)
             .groupBy(F.col("doc2").alias("doc_id"))
@@ -663,6 +671,22 @@ def q72_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels.drop("old")
         if changed == 0:
             break
+        if (i + 1) % CC_CHECKPOINT_EVERY == 0:
+            checkpointed = labels.localCheckpoint(eager=True)
+            new_labels.unpersist()
+            labels = checkpointed
+    return labels
+
+
+def q72_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolve near-duplicate PAIRS (q36's MinHash-LSH output) into
+    duplicate CLUSTERS: each document gets the minimum doc_id of its
+    connected component — the step a dedup pipeline actually needs
+    (keep one representative per cluster, not per pair). Fixpoint in
+    :func:`min_label_clusters`; the DuckDB oracle is the same fixpoint
+    via WITH RECURSIVE min-reachability."""
+    pairs = q36_minhash_lsh(spark, sf_dir).select("doc1", "doc2")
+    labels = min_label_clusters(pairs)
     return labels.select("doc_id", F.col("label").alias("cluster_id")).orderBy("doc_id")
 
 
