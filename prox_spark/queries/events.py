@@ -580,8 +580,10 @@ def q86_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     for wk in weeks:
         batch = weekly.filter(F.col("week") == wk).drop("week")
         upsert_scd2(spark, table, batch, ["user_id"], "eff")
+    from prox_spark.table import read_table
+
     return (
-        spark.read.parquet(table)
+        read_table(spark, table)
         .select(
             "user_id",
             "state",

@@ -441,8 +441,10 @@ def q109_streaming_dedup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q.stop()
 
+    from prox_spark.table import read_table
+
     return (
-        spark.read.parquet(store)
+        read_table(spark, store)
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_unique"),

@@ -1,4 +1,5 @@
-"""Key-based upsert (SCD-1 merge) for parquet tables.
+"""Key-based upserts (SCD-1 / keep-max / SCD-2 merges) over the
+manifest-log table format (prox_spark/table.py).
 
 The reference's load step truncates and reloads whole Redshift tables
 (full refresh, reference glue_scripts/s3_to_redshift_script.py
@@ -15,14 +16,67 @@ small — the common case — via AQE), so the cost is one scan of the
 current table + rewriting it, the same floor Delta's copy-on-write
 MERGE pays without matched-file pruning.
 
-Writes are two-phase (write to a staging dir, then swap via Hadoop FS
-rename) so a failed job never leaves the table half-written, and the
-read of the current table is never concurrent with deleting it.
+Every merge publishes through :func:`prox_spark.table.commit_snapshot`:
+the new snapshot is fully written before a single atomic manifest
+rename makes it current, so a concurrent reader sees the previous
+version or the new one — never a mix (the round-2 directory swap had a
+window where a mid-rename listing caught a half-published table), and
+old versions stay readable (time travel) until vacuumed.
+
+Pre-manifest plain-parquet targets are migrated on first merge: their
+rows become the ``current`` side and the merged result is committed as
+version 1; the legacy root files are then removed (single-writer
+assumption, as for all merges here).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from prox_spark.table import commit_snapshot, is_manifest_table, read_table
+
+
+def _current(spark: SparkSession, table_path: str) -> DataFrame | None:
+    """The table's current snapshot, or None if the table is absent."""
+    if is_manifest_table(spark, table_path):
+        return read_table(spark, table_path)
+    jvm = spark._jvm  # noqa: SLF001 - hadoop FS side channel
+    path = jvm.org.apache.hadoop.fs.Path(table_path)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    if not fs.exists(path):
+        return None
+    return spark.read.parquet(table_path)  # legacy plain dir
+
+
+def _drop_legacy_files(spark: SparkSession, table_path: str) -> None:
+    """After migrating a plain parquet dir to manifest format, remove
+    the now-shadowed root data files (everything except the manifest
+    log and snapshot dirs)."""
+    from prox_spark.table import DATA_DIR, MANIFEST_DIR
+
+    jvm = spark._jvm  # noqa: SLF001
+    path = jvm.org.apache.hadoop.fs.Path(table_path)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    for st in fs.listStatus(path):
+        if st.getPath().getName() not in (DATA_DIR, MANIFEST_DIR):
+            fs.delete(st.getPath(), True)
+
+
+def _check_schema(current: DataFrame, updates: DataFrame, what: str) -> None:
+    if set(current.columns) != set(updates.columns):
+        raise ValueError(
+            f"{what} schema mismatch: table has {sorted(current.columns)}, "
+            f"updates have {sorted(updates.columns)}"
+        )
+
+
+def _commit(spark: SparkSession, table_path: str, df: DataFrame, migrated: bool) -> None:
+    # the copy-on-write self-reference is safe: committing executes the
+    # merge plan (which reads the current snapshot) BEFORE anything is
+    # deleted — commits never delete, and legacy cleanup runs after
+    commit_snapshot(spark, table_path, df)
+    if migrated:
+        _drop_legacy_files(spark, table_path)
 
 
 def upsert_parquet(
@@ -31,51 +85,17 @@ def upsert_parquet(
     updates: DataFrame,
     keys: list[str],
 ) -> None:
-    """Merge ``updates`` into the parquet table at ``table_path`` by
-    ``keys`` (update rows win; new keys append). Creates the table if
-    absent. Columns must match the existing table's schema."""
-    jvm = spark._jvm  # noqa: SLF001 - hadoop FS side channel
-    hconf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
-    path = jvm.org.apache.hadoop.fs.Path(table_path)
-    fs = path.getFileSystem(hconf)
-
-    if not fs.exists(path):
-        updates.write.mode("overwrite").parquet(table_path)
+    """Merge ``updates`` into the table at ``table_path`` by ``keys``
+    (update rows win; new keys append). Creates the table if absent.
+    Columns must match the existing table's schema."""
+    current = _current(spark, table_path)
+    if current is None:
+        commit_snapshot(spark, table_path, updates)
         return
-
-    current = spark.read.parquet(table_path)
-    if set(current.columns) != set(updates.columns):
-        raise ValueError(
-            f"upsert schema mismatch: table has {sorted(current.columns)}, "
-            f"updates have {sorted(updates.columns)}"
-        )
+    _check_schema(current, updates, "upsert")
     survivors = current.join(updates.select(*keys).distinct(), keys, "left_anti")
     merged = updates.select(*current.columns).unionByName(survivors)
-
-    _publish(spark, merged, table_path)
-
-
-def _publish(spark: SparkSession, df: DataFrame, table_path: str) -> None:
-    """Two-phase parquet publish: write to staging, swap via FS rename."""
-    jvm = spark._jvm  # noqa: SLF001 - hadoop FS side channel
-    hconf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
-    path = jvm.org.apache.hadoop.fs.Path(table_path)
-    fs = path.getFileSystem(hconf)
-
-    staging = jvm.org.apache.hadoop.fs.Path(table_path + "._staging")
-    retired = jvm.org.apache.hadoop.fs.Path(table_path + "._retired")
-    if fs.exists(staging):
-        fs.delete(staging, True)
-    df.write.mode("overwrite").parquet(staging.toString())
-    # swap: current -> retired, staging -> current, drop retired
-    if fs.exists(retired):
-        fs.delete(retired, True)
-    if not fs.rename(path, retired):
-        raise OSError(f"could not retire {table_path}")
-    if not fs.rename(staging, path):
-        fs.rename(retired, path)  # roll back
-        raise OSError(f"could not publish staged upsert for {table_path}")
-    fs.delete(retired, True)
+    _commit(spark, table_path, merged, migrated=not is_manifest_table(spark, table_path))
 
 
 def upsert_keep_max(
@@ -94,26 +114,19 @@ def upsert_keep_max(
     same table (idempotent). Implementation is one struct-max
     aggregate over current ∪ updates — partial aggregation means the
     shuffle carries one row per key per partition."""
-    jvm = spark._jvm  # noqa: SLF001 - hadoop FS side channel
-    hconf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
-    path = jvm.org.apache.hadoop.fs.Path(table_path)
-    fs = path.getFileSystem(hconf)
 
     def _reduce(df: DataFrame) -> DataFrame:
         rest = [c for c in df.columns if c not in keys and c not in order_cols]
         s = F.max(F.struct(*[F.col(c) for c in [*order_cols, *rest]])).alias("_s")
         return df.groupBy(*keys).agg(s).select(*keys, "_s.*").select(*df.columns)
 
-    if not fs.exists(path):
-        _reduce(updates).write.mode("overwrite").parquet(table_path)
+    current = _current(spark, table_path)
+    if current is None:
+        commit_snapshot(spark, table_path, _reduce(updates))
         return
-    current = spark.read.parquet(table_path)
-    if set(current.columns) != set(updates.columns):
-        raise ValueError(
-            f"upsert schema mismatch: table has {sorted(current.columns)}, "
-            f"updates have {sorted(updates.columns)}"
-        )
-    _publish(spark, _reduce(current.unionByName(updates)), table_path)
+    _check_schema(current, updates, "upsert")
+    merged = _reduce(current.unionByName(updates))
+    _commit(spark, table_path, merged, migrated=not is_manifest_table(spark, table_path))
 
 
 SCD2_COLS = ("valid_from", "valid_to", "is_current")
@@ -139,12 +152,7 @@ def upsert_scd2(
     through untouched; the only join is one key equi-join against the
     (small) update batch — same merge floor as SCD-1, so the 100 TB
     story is unchanged: one scan + rewrite, broadcast-able update
-    side, two-phase swap publish."""
-    jvm = spark._jvm  # noqa: SLF001 - hadoop FS side channel
-    hconf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
-    path = jvm.org.apache.hadoop.fs.Path(table_path)
-    fs = path.getFileSystem(hconf)
-
+    side, atomic manifest commit."""
     open_ended = F.lit("9999-12-31 00:00:00").cast("timestamp_ntz")
     fresh = (
         updates.withColumn("valid_from", F.col(effective_col).cast("timestamp_ntz"))
@@ -152,16 +160,11 @@ def upsert_scd2(
         .withColumn("is_current", F.lit(True))
         .drop(effective_col)
     )
-    if not fs.exists(path):
-        fresh.write.mode("overwrite").parquet(table_path)
+    current = _current(spark, table_path)
+    if current is None:
+        commit_snapshot(spark, table_path, fresh)
         return
-
-    current = spark.read.parquet(table_path)
-    if set(current.columns) != set(fresh.columns):
-        raise ValueError(
-            f"scd2 schema mismatch: table has {sorted(current.columns)}, "
-            f"updates produce {sorted(fresh.columns)}"
-        )
+    _check_schema(current, fresh, "scd2")
     eff = updates.groupBy(*keys).agg(
         F.min(F.col(effective_col).cast("timestamp_ntz")).alias("_eff")
     )
@@ -182,4 +185,4 @@ def upsert_scd2(
         .drop("_eff")
     )
     merged = closed.unionByName(fresh.select(*current.columns))
-    _publish(spark, merged, table_path)
+    _commit(spark, table_path, merged, migrated=not is_manifest_table(spark, table_path))

@@ -11,6 +11,7 @@ from pyspark.sql.types import (
 from prox_spark.catalog import Catalog
 from prox_spark.catalog import testdata_catalog as make_testdata_catalog
 from prox_spark.io import read_csv, read_parquet, write_parquet
+from prox_spark.table import read_table
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -182,11 +183,11 @@ def test_upsert_parquet_merges_by_key(spark, tmp_path):
         [(2, "B", 200), (4, "d", 40)], "id long, name string, v long"
     )
     upsert_parquet(spark, path, updates, ["id"])       # merge
-    got = {r.id: (r.name, r.v) for r in spark.read.parquet(path).collect()}
+    got = {r.id: (r.name, r.v) for r in read_table(spark, path).collect()}
     assert got == {1: ("a", 10), 2: ("B", 200), 3: ("c", 30), 4: ("d", 40)}
     # idempotent re-apply
     upsert_parquet(spark, path, updates, ["id"])
-    assert spark.read.parquet(path).count() == 4
+    assert read_table(spark, path).count() == 4
 
 
 def test_upsert_scd2_keeps_history(spark, tmp_path):
@@ -204,14 +205,14 @@ def test_upsert_scd2_keeps_history(spark, tmp_path):
     upsert_scd2(spark, path, v2, ["id"], "eff")
     rows = {
         (r.id, r.tier): (str(r.valid_from), str(r.valid_to), r.is_current)
-        for r in spark.read.parquet(path).collect()
+        for r in read_table(spark, path).collect()
     }
     assert rows[(1, "bronze")] == ("2024-01-01 00:00:00", "2024-02-01 00:00:00", False)
     assert rows[(1, "gold")] == ("2024-02-01 00:00:00", "9999-12-31 00:00:00", True)
     assert rows[(2, "silver")][2] is True
     # point-in-time join: as of Jan 15 key 1 is still bronze
     asof = (
-        spark.read.parquet(path)
+        read_table(spark, path)
         .filter(
             (F.col("valid_from") <= "2024-01-15") & (F.col("valid_to") > "2024-01-15")
         )
@@ -222,7 +223,7 @@ def test_upsert_scd2_keeps_history(spark, tmp_path):
     # a third version closes gold, history now 3 rows for key 1
     v3 = spark.createDataFrame([(1, "plat", t("2024-03-01"))], "id long, tier string, eff string")
     upsert_scd2(spark, path, v3, ["id"], "eff")
-    hist = spark.read.parquet(path).filter(F.col("id") == 1)
+    hist = read_table(spark, path).filter(F.col("id") == 1)
     assert hist.count() == 3
     assert hist.filter(F.col("is_current")).count() == 1
 
@@ -237,8 +238,8 @@ def test_upsert_keep_max_is_order_independent(spark, tmp_path):
     for path, batches in ((a, (newer, older)), (b, (older, newer))):
         for batch in batches:
             upsert_keep_max(spark, path, batch, ["id"], ["ts"])
-    got_a = {(r.id, r.ts, r.v) for r in spark.read.parquet(a).collect()}
-    got_b = {(r.id, r.ts, r.v) for r in spark.read.parquet(b).collect()}
+    got_a = {(r.id, r.ts, r.v) for r in read_table(spark, a).collect()}
+    got_b = {(r.id, r.ts, r.v) for r in read_table(spark, b).collect()}
     assert got_a == got_b == {(1, 20, "new"), (2, 5, "x")}
 
 

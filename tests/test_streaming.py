@@ -136,7 +136,9 @@ def test_foreachbatch_upsert_latest_matches_batch(spark, event_dir, event_batch,
         .agg(F.max(F.struct("ts", "event_id")).alias("s"))
         .select("user_id", "s.event_id")
     )
-    got = spark.read.parquet(table)
+    from prox_spark.table import read_table
+
+    got = read_table(spark, table)
     assert got.count() == want.count()
     a = {(r.user_id, r.event_id) for r in got.select("user_id", "event_id").collect()}
     b = {(r.user_id, r.event_id) for r in want.collect()}

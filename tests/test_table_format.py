@@ -1,0 +1,109 @@
+"""Manifest-log table format (prox_spark/table.py): atomic commits,
+snapshot isolation for concurrent readers, time travel, vacuum, and
+legacy-directory migration through the upsert operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from prox_spark.table import (
+    commit_snapshot,
+    is_manifest_table,
+    read_table,
+    table_versions,
+    vacuum,
+)
+from prox_spark.upsert import upsert_parquet
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, v string")
+
+
+def test_commit_and_read_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "t")
+    v = commit_snapshot(spark, path, _df(spark, [(1, "a"), (2, "b")]))
+    assert v == 1 and is_manifest_table(spark, path)
+    assert {(r.id, r.v) for r in read_table(spark, path).collect()} == {
+        (1, "a"),
+        (2, "b"),
+    }
+
+
+def test_reader_pinned_before_commit_sees_old_version_never_a_mix(spark, tmp_path):
+    """The concurrent-reader guarantee: a DataFrame planned against
+    version N returns exactly N's rows even if N+1 commits before the
+    action runs — the old snapshot's files are immutable and a manifest
+    names exactly one snapshot dir, so a mixed read is impossible."""
+    path = str(tmp_path / "t")
+    commit_snapshot(spark, path, _df(spark, [(i, "old") for i in range(100)]))
+    pinned = read_table(spark, path)  # resolves manifest-1 at plan time
+
+    upsert_parquet(spark, path, _df(spark, [(i, "new") for i in range(50)]), ["id"])
+
+    got = pinned.select("v").distinct().collect()
+    assert [r.v for r in got] == ["old"], "pinned reader saw writer's rows"
+    assert pinned.count() == 100
+    # a FRESH read resolves the new manifest: all 100 rows, 50 updated
+    fresh = read_table(spark, path)
+    assert fresh.count() == 100
+    assert fresh.filter(F.col("v") == "new").count() == 50
+
+
+def test_time_travel_and_versions(spark, tmp_path):
+    path = str(tmp_path / "t")
+    commit_snapshot(spark, path, _df(spark, [(1, "v1")]))
+    commit_snapshot(spark, path, _df(spark, [(1, "v2"), (2, "v2")]))
+    assert table_versions(spark, path) == [1, 2]
+    assert read_table(spark, path, version=1).count() == 1
+    assert read_table(spark, path).count() == 2
+    with pytest.raises(ValueError, match="not in"):
+        read_table(spark, path, version=9)
+
+
+def test_vacuum_drops_old_versions_keeps_latest(spark, tmp_path):
+    path = str(tmp_path / "t")
+    for i in range(4):
+        commit_snapshot(spark, path, _df(spark, [(i, f"v{i + 1}")]))
+    dropped = vacuum(spark, path, keep_last=2)
+    assert dropped == [1, 2]
+    assert table_versions(spark, path) == [3, 4]
+    assert [r.v for r in read_table(spark, path).collect()] == ["v4"]
+    assert [r.v for r in read_table(spark, path, version=3).collect()] == ["v3"]
+    with pytest.raises(ValueError, match="not in"):
+        read_table(spark, path, version=1)
+
+
+def test_legacy_plain_dir_migrates_on_first_merge(spark, tmp_path):
+    """A pre-manifest plain parquet dir: first upsert merges its rows,
+    commits version 1, and removes the shadowed root files."""
+    path = str(tmp_path / "legacy")
+    _df(spark, [(1, "a"), (2, "b")]).write.parquet(path)
+    assert not is_manifest_table(spark, path)
+
+    upsert_parquet(spark, path, _df(spark, [(2, "B")]), ["id"])
+    assert is_manifest_table(spark, path)
+    got = {(r.id, r.v) for r in read_table(spark, path).collect()}
+    assert got == {(1, "a"), (2, "B")}
+    # root holds only the manifest log + snapshots now
+    import os
+
+    assert sorted(os.listdir(path)) == ["_manifests", "data"]
+
+
+def test_failed_commit_leaves_table_readable(spark, tmp_path):
+    """A crash between snapshot write and manifest publish must leave
+    the previous version current; vacuum sweeps the orphan dir."""
+    import os
+
+    path = str(tmp_path / "t")
+    commit_snapshot(spark, path, _df(spark, [(1, "good")]))
+    # simulate the crash: a snapshot dir with no manifest
+    orphan = f"{path}/data/snap-00000002-deadbeef"
+    _df(spark, [(9, "half-written")]).write.parquet(orphan)
+
+    assert [r.v for r in read_table(spark, path).collect()] == ["good"]
+    vacuum(spark, path, keep_last=1)
+    assert not os.path.exists(orphan)
+    assert [r.v for r in read_table(spark, path).collect()] == ["good"]
