@@ -9,11 +9,14 @@ relational operators (dedup, similarity joins) consume.
 
 The reference has no media processing (PROX is relational ETL only);
 this module is part of the LLM-data-pipeline extension mandated by
-BASELINE.json's north star. The actual codec step is STUBBED — the
-container ships no image/audio libraries — behind ``decode_media``:
-``mode="real"`` raises NotImplementedError; ``mode="fake"`` derives
+BASELINE.json's north star. ``decode_media(mode="real")`` ships
+stdlib-only decoders for the uncompressed formats (BMP, PPM, WAV), so
+the real path runs in any environment; compressed formats (PNG/JPEG,
+MP3, video) dispatch to Pillow/soundfile/ffmpeg when importable and
+raise NotImplementedError otherwise. ``mode="fake"`` derives
 deterministic pseudo-features from the payload bytes so the Spark-side
-plumbing (schema, batching, partitioning) is fully real and testable.
+plumbing (schema, batching, partitioning) stays testable with zero
+codec assumptions.
 """
 
 from __future__ import annotations
@@ -68,6 +71,69 @@ def documents_as_media(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def _decode_bmp(payload: bytes) -> tuple[int, int, int]:
+    """Pure-stdlib decode of an uncompressed (BI_RGB) .bmp: 14-byte
+    file header ('BM', pixel-array offset) + BITMAPINFOHEADER (width,
+    height, bpp, compression). Validates that the pixel array the
+    header promises actually fits in the payload — a truncated blob
+    fails here, not downstream."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pixel_off = struct.unpack_from("<I", payload, 10)[0]
+    header_size = struct.unpack_from("<I", payload, 14)[0]
+    if header_size < 40:
+        raise ValueError(f"unsupported BMP header size {header_size}")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0:
+        raise ValueError(f"only uncompressed BI_RGB supported, got {compression}")
+    height = abs(height)  # negative = top-down row order
+    row_bytes = (width * bpp + 31) // 32 * 4  # rows pad to 4 bytes
+    if len(payload) < pixel_off + row_bytes * height:
+        raise ValueError("BMP pixel array truncated")
+    return width, height, 1
+
+
+def _decode_ppm(payload: bytes) -> tuple[int, int, int]:
+    """Pure-stdlib decode of a binary PPM (P6): ASCII header of
+    magic/width/height/maxval with '#' comments, then maxval-scaled
+    raw RGB triples. Validates the pixel payload length."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval, then raw pixels
+    width, height, maxval = fields
+    bytes_per_sample = 1 if maxval < 256 else 2
+    if len(payload) < pos + width * height * 3 * bytes_per_sample:
+        raise ValueError("PPM pixel data truncated")
+    return width, height, 1
+
+
+def _decode_wav(payload: bytes) -> tuple[int, int, int]:
+    """Stdlib ``wave`` decode of uncompressed PCM: returns
+    (n_channels, sample_rate_khz, n_frames) mapped onto the
+    (width, height, n_frames) feature slots."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as w:
+        return w.getnchannels(), w.getframerate() // 1000, w.getnframes()
+
+
 def _decode_image_real(payload: bytes) -> tuple[int, int, int]:
     """Pillow-backed image decode, gated on import availability (the
     default container ships no media libraries). Returns
@@ -84,17 +150,31 @@ def _decode_image_real(payload: bytes) -> tuple[int, int, int]:
         return img.width, img.height, int(getattr(img, "n_frames", 1))
 
 
+_STDLIB_CODECS = {
+    "image/bmp": _decode_bmp,
+    "image/x-portable-pixmap": _decode_ppm,
+    "image/x-ppm": _decode_ppm,
+    "audio/wav": _decode_wav,
+    "audio/x-wav": _decode_wav,
+}
+
+
 def decode_media(payload: bytes, mime: str, mode: str = "fake") -> dict:
-    """Codec dispatch. ``real`` decodes ``image/*`` via Pillow when the
-    library is importable (NotImplementedError otherwise — audio/video
-    would dispatch to soundfile/ffmpeg the same way). ``fake`` derives
+    """Codec dispatch. ``real`` decodes the uncompressed formats (BMP,
+    binary PPM, PCM WAV) with pure stdlib in any environment; other
+    ``image/*`` mimes go through Pillow when importable
+    (NotImplementedError otherwise — compressed audio/video would
+    dispatch to soundfile/ffmpeg the same way). ``fake`` derives
     deterministic pseudo dimensions/frame counts from the byte length,
     keeping every downstream contract (types, ranges) realistic without
     any codec dependency."""
     n = len(payload)
     if mode == "real":
-        if mime.startswith("image/"):
-            width, height, n_frames = _decode_image_real(payload)
+        codec = _STDLIB_CODECS.get(mime)
+        if codec is None and mime.startswith("image/"):
+            codec = _decode_image_real
+        if codec is not None:
+            width, height, n_frames = codec(payload)
             return {
                 "n_bytes": n,
                 "digest": hashlib.md5(payload).hexdigest(),

@@ -31,5 +31,74 @@ FROM documents
 ORDER BY media_id
 """
 
-QUERIES = {"q43_media_features": q43_media_features}
-ORACLES = {"q43_media_features": ORACLE_Q43}
+def q112_media_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec decode through the full Spark plumbing: synthesize an
+    uncompressed BMP per document (dims derived from n_chars), then
+    decode it with ``mode="real"`` — the stdlib BMP parser reads the
+    actual header + validates the pixel array, so a wrong encoder, a
+    truncated payload, or a broken decoder all fail the gate. The
+    oracle recomputes the dims from n_chars arithmetically; the decoded
+    values must round-trip through the real binary format to match.
+
+    Scale shape: encode and decode run in ONE mapInPandas pass each —
+    payloads live and die inside the task, only (id, dims) columns
+    emerge; no shuffle until the final presentation sort."""
+    from prox_spark.multimodal import FEATURE_SCHEMA, extract_features
+    from prox_spark.queries.text import _spread_py
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    docs = _spread_py(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "n_chars")
+    )
+
+    def encode(batches):
+        import struct
+
+        for pdf in batches:
+            payloads = []
+            for n in pdf["n_chars"]:
+                w, h = int(16 + n % 48), int(8 + n % 32)
+                row = (w * 24 + 31) // 32 * 4
+                pixels = bytes(row * h)
+                header = struct.pack("<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54)
+                info = struct.pack(
+                    "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+                )
+                payloads.append(header + info + pixels)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].values,
+                    "payload": payloads,
+                    "meta": [
+                        {"mime": "image/bmp", "source": "synth", "n_chars": int(n)}
+                        for n in pdf["n_chars"]
+                    ],
+                }
+            )
+
+    from prox_spark.multimodal import MEDIA_SCHEMA
+
+    media = docs.mapInPandas(encode, schema=MEDIA_SCHEMA)
+    feats = extract_features(media, mode="real")
+    return feats.select("media_id", "width", "height", "n_frames").orderBy("media_id")
+
+
+ORACLE_Q112 = """
+SELECT doc_id AS media_id,
+       CAST(16 + n_chars % 48 AS INTEGER) AS width,
+       CAST(8 + n_chars % 32 AS INTEGER)  AS height,
+       CAST(1 AS INTEGER)                 AS n_frames
+FROM documents
+ORDER BY media_id
+"""
+
+QUERIES = {
+    "q43_media_features": q43_media_features,
+    "q112_media_real_decode": q112_media_real_decode,
+}
+ORACLES = {
+    "q43_media_features": ORACLE_Q43,
+    "q112_media_real_decode": ORACLE_Q112,
+}

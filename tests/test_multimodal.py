@@ -47,8 +47,68 @@ def test_extract_features_fake_decode(spark):
         )
 
 
+def _bmp_bytes(width: int, height: int) -> bytes:
+    """Minimal uncompressed 24bpp bottom-up BMP."""
+    import struct
+
+    row = (width * 24 + 31) // 32 * 4
+    pixels = bytes(row * height)
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    return header + info + pixels
+
+
+def _ppm_bytes(width: int, height: int) -> bytes:
+    return b"P6\n# comment\n%d %d\n255\n" % (width, height) + bytes(width * height * 3)
+
+
+def _wav_bytes(n_frames: int) -> bytes:
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(bytes(n_frames * 2 * 2))
+    return buf.getvalue()
+
+
+def test_real_decode_bmp_stdlib():
+    out = decode_media(_bmp_bytes(5, 3), "image/bmp", mode="real")
+    assert (out["width"], out["height"], out["n_frames"]) == (5, 3, 1)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_media(_bmp_bytes(5, 3)[:-4], "image/bmp", mode="real")
+
+
+def test_real_decode_ppm_stdlib():
+    out = decode_media(_ppm_bytes(4, 7), "image/x-portable-pixmap", mode="real")
+    assert (out["width"], out["height"], out["n_frames"]) == (4, 7, 1)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_media(_ppm_bytes(4, 7)[:-2], "image/x-portable-pixmap", mode="real")
+
+
+def test_real_decode_wav_stdlib():
+    out = decode_media(_wav_bytes(123), "audio/wav", mode="real")
+    # (channels, kHz, frames) in the (width, height, n_frames) slots
+    assert (out["width"], out["height"], out["n_frames"]) == (2, 16, 123)
+
+
+def test_extract_features_real_decode_end_to_end(spark):
+    """mode='real' through the actual mapInPandas pass — runs in any
+    environment via the stdlib BMP codec."""
+    import pyspark.sql.functions as F
+
+    rows = [(i, _bmp_bytes(16 + i, 9 + 2 * i), ("image/bmp", "synth", 0)) for i in range(6)]
+    media = spark.createDataFrame(rows, "media_id long, payload binary, meta struct<mime:string,source:string,n_chars:long>")
+    got = {r.media_id: (r.width, r.height) for r in extract_features(media, mode="real").collect()}
+    assert got == {i: (16 + i, 9 + 2 * i) for i in range(6)}
+    assert extract_features(media, mode="real").filter(F.col("n_frames") != 1).count() == 0
+
+
 def test_real_decode_unsupported_mime():
-    # non-image media has no real codec wired up in any environment
+    # non-media mimes have no real codec wired up in any environment
     with pytest.raises(NotImplementedError, match="no real codec"):
         decode_media(b"hello", "text/plain", mode="real")
 
