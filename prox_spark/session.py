@@ -48,6 +48,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python UDTFs evaluate row-at-a-time by default; Arrow batching
+        # moves them onto the same vectorized transfer path as pandas
+        # UDFs (q82's chunker is the in-repo consumer)
+        .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         # Right-sized heap + throughput GC: an oversized (48g) G1 heap
         # measured 27s of stop-the-world G1CollectForAllocation pauses
         # over a 2-minute workload (young-gen sized to tens of GB ->

@@ -198,7 +198,7 @@ def test_python_surface_single_stage_each(spark):
     from prox_spark.queries.text import q82_chunk_split_udtf, q83_source_token_totals
 
     plan = _plan(q82_chunk_split_udtf(spark, SF_DIR))
-    assert plan.count("BatchEvalPythonUDTF (") == 1
+    assert plan.count("ArrowEvalPythonUDTF (") == 1
     plan = _plan(q83_source_token_totals(spark, SF_DIR))
     assert plan.count("ArrowAggregatePython (") == 1
     plan = _plan(q84_user_running_totals_pandas(spark, SF_DIR))
@@ -342,3 +342,14 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q82_udtf_is_arrow_batched(spark):
+    """The session factory enables Arrow evaluation for Python UDTFs;
+    q82's chunker must show the vectorized node, not the row-at-a-time
+    BatchEvalPythonUDTF."""
+    from prox_spark.queries.text import q82_chunk_split_udtf
+
+    plan = q82_chunk_split_udtf(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPythonUDTF" in plan
+    assert "BatchEvalPythonUDTF" not in plan
