@@ -940,6 +940,268 @@ ORDER BY query_id, rank
 """
 
 
+# --- q113: IVF-PQ combined search (coarse routing + ADC in probed cells) ---
+
+IVFPQ_K = 8       # coarse cells (first-K-by-vec_id sampling, as q45)
+IVFPQ_NPROBE = 3  # cells probed per query
+IVFPQ_R = 50      # ADC shortlist depth within the probed cells
+
+
+def q113_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: the two ANN halves composed into the serving index a
+    100 TB vector store actually runs — IVF coarse routing (q45) picks
+    NPROBE cells per query, PQ asymmetric distance (q111) scans ONLY
+    those cells' quantized codes, and the ADC top-R shortlist is
+    re-ranked exactly. Reference has no vector search; this extends
+    the north-star ANN family (BASELINE.json) to its production
+    layout.
+
+    Scale shape: per-query work is (NPROBE/K of the corpus) * M
+    lookups + R exact folds, vs q111's full-corpus ADC scan and q40's
+    full-corpus exact scan. The cell assignment doubles as the
+    physical layout (build_ivf_index writes cid-partitioned lists, so
+    a probe partition-prunes to its cells). Everything up to the
+    shortlist window is map-side: centroids and codebook ride in as
+    broadcast rows, assignment/encoding are in-row HOF folds, and the
+    probe join is an equi-join on cid. Classical IVF-PQ encodes
+    residuals (vector minus cell centroid); this encodes raw vectors
+    so the codebook stays shared across cells and the oracle stays
+    exact — the plan shape is identical either way.
+
+    Determinism: squared-L2 cell ranking ties break on cid; ADC sums
+    are identical left folds in subspace order on both engines; the
+    re-ranked dist rounds after the fold; ranks tie-break on vec_id."""
+    emb = _emb(spark, sf_dir)
+    with_ms = _subspace_dists_df(emb, _adc_codebook_df(emb), ADC_M, ADC_DSUB)
+    cent_arr = (
+        emb.filter(F.col("vec_id") < IVFPQ_K)
+        .select(F.struct(F.col("vec_id").alias("cid"), F.col("dd").alias("cdd")).alias("c"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list("c")).alias("cents"))
+    )
+    d2 = SQDIST_SPARK.format(a="dd", b="c.cdd")
+    tagged = with_ms.crossJoin(F.broadcast(cent_arr)).withColumn(
+        "cells",
+        F.expr(f"array_sort(transform(cents, c -> named_struct('d2', {d2}, 'cid', c.cid)))"),
+    )
+    corpus = tagged.select(
+        "vec_id",
+        F.expr("cells[0].cid").alias("cid"),
+        F.expr(
+            "transform(ms, s -> cast(array_position(s.ds, array_min(s.ds)) - 1 as int))"
+        ).alias("codes"),
+    )
+    probes = (
+        tagged.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(
+                F.expr(f"transform(slice(cells, 1, {IVFPQ_NPROBE}), s -> s.cid)")
+            ).alias("cid"),
+            F.expr("transform(ms, s -> s.ds)").alias("luts"),
+        )
+    )
+    adc = (
+        corpus.join(F.broadcast(probes), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "adc",
+            F.expr(
+                "aggregate(zip_with(codes, luts, (c, lut) -> element_at(lut, c + 1)), "
+                "cast(0.0 as double), (acc, x) -> acc + x)"
+            ),
+        )
+    )
+    wa = W.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    shortlist = (
+        adc.withColumn("arank", F.row_number().over(wa))
+        .filter(F.col("arank") <= IVFPQ_R)
+        .select("query_id", "vec_id")
+    )
+    qv = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("dd").alias("qv")
+    )
+    rer = (
+        shortlist.join(emb.select("vec_id", "dd"), "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("dist", F.round(F.expr(SQDIST_SPARK.format(a="qv", b="dd")), 6))
+    )
+    wr = W.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("vec_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "rank", "dist")
+        .orderBy("query_id", "rank")
+    )
+
+
+ORACLE_Q113 = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS dd FROM embeddings),
+cb AS (
+  SELECT CAST((vec_id - {ADC_CB_BASE}) % {ADC_M} AS INTEGER) AS m,
+         CAST((vec_id - {ADC_CB_BASE}) // {ADC_M} AS INTEGER) AS k,
+         dd[((vec_id - {ADC_CB_BASE}) % {ADC_M}) * {ADC_DSUB} + 1
+            : ((vec_id - {ADC_CB_BASE}) % {ADC_M}) * {ADC_DSUB} + {ADC_DSUB}] AS cvec
+  FROM e
+  WHERE vec_id >= {ADC_CB_BASE} AND vec_id < {ADC_CB_BASE} + {ADC_M * ADC_K}
+),
+dists AS (
+  SELECT e.vec_id, cb.m, cb.k,
+         {SQDIST_DUCK.format(a=f'e.dd[cb.m * {ADC_DSUB} + 1 : cb.m * {ADC_DSUB} + {ADC_DSUB}]', b='cb.cvec')} AS d
+  FROM e CROSS JOIN cb
+),
+codes AS (
+  SELECT vec_id, m, k AS code FROM (
+    SELECT vec_id, m, k,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+lut AS (SELECT vec_id AS query_id, m, k, d FROM dists WHERE vec_id < {N_QUERIES}),
+cent AS (SELECT vec_id AS cid, dd AS cdd FROM e WHERE vec_id < {IVFPQ_K}),
+cells AS (
+  SELECT e.vec_id, cent.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {SQDIST_DUCK.format(a='e.dd', b='cent.cdd')}, cent.cid
+         ) AS crank
+  FROM e CROSS JOIN cent
+),
+assign AS (SELECT vec_id, cid FROM cells WHERE crank = 1),
+probes AS (
+  SELECT vec_id AS query_id, cid FROM cells
+  WHERE vec_id < {N_QUERIES} AND crank <= {IVFPQ_NPROBE}
+),
+pairs AS (
+  SELECT p.query_id, a.vec_id
+  FROM assign a JOIN probes p ON a.cid = p.cid
+  WHERE a.vec_id <> p.query_id
+),
+adc AS (
+  SELECT pr.query_id, pr.vec_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(l.d ORDER BY l.m)),
+                     (acc, x) -> acc + x) AS adc
+  FROM pairs pr
+  JOIN codes c ON c.vec_id = pr.vec_id
+  JOIN lut l ON l.query_id = pr.query_id AND c.m = l.m AND c.code = l.k
+  GROUP BY 1, 2
+),
+shortlist AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS arank
+    FROM adc
+  ) WHERE arank <= {IVFPQ_R}
+),
+rer AS (
+  SELECT s.query_id, s.vec_id,
+         round({SQDIST_DUCK.format(a='q.dd', b='e.dd')}, 6) AS dist
+  FROM shortlist s
+  JOIN e ON s.vec_id = e.vec_id
+  JOIN e q ON s.query_id = q.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, dist,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS INTEGER) AS rank
+  FROM rer
+)
+SELECT query_id, vec_id, rank, dist
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+# --- q117: int8 scalar quantization (corpus-calibrated) ---------------------
+
+SQ_EPS = "1e-12"  # scale floor — identical literal in both engines
+
+
+def q117_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-calibrated int8 scalar quantization — the 4x embedding
+    compression every large vector store applies before (or instead
+    of) PQ: per-dimension absmax scales are calibrated over the whole
+    corpus, each value maps to round(x * 127 / scale), and the query
+    reports the per-vector code checksum, saturation count, and
+    reconstruction MSE (the quality numbers that decide whether int8
+    serving is acceptable).
+
+    Scale shape: calibration is a posexplode + (pos) max agg — the
+    shuffle carries one row per (dim, executor) partial, O(dim)
+    total, never vectors — and the 64-double scale array rides back
+    in as ONE broadcast row; quantize + error folds are then in-row
+    HOF map work, so the whole pass is calibration-agg + map at any
+    corpus size. Rounding is floor(x + 0.5) (identical on both
+    engines, unlike round()'s half-up/half-even ambiguity); folds are
+    index-ordered left folds, so the doubles are bit-identical."""
+    emb = _emb(spark, sf_dir)
+    scales = (
+        emb.select(F.posexplode("dd").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.max(F.abs(F.col("x"))).alias("s"))
+        .groupBy()
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, s))), p -> p.s)"
+            ).alias("scales")
+        )
+    )
+    qcodes = (
+        f"zip_with(dd, scales, (x, s) -> "
+        f"cast(floor(x * 127.0 / greatest(s, {SQ_EPS}) + 0.5) as int))"
+    )
+    recon = "zip_with(codes, scales, (c, s) -> (c * s) / 127.0)"
+    errs = "zip_with(recon, dd, (r, x) -> (x - r) * (x - r))"
+    return (
+        emb.crossJoin(F.broadcast(scales))
+        .withColumn("codes", F.expr(qcodes))
+        .withColumn("recon", F.expr(recon))
+        .select(
+            "vec_id",
+            F.expr("aggregate(codes, cast(0 as bigint), (a, c) -> a + c)").alias(
+                "code_sum"
+            ),
+            F.expr("cast(size(filter(codes, c -> abs(c) >= 127)) as bigint)").alias(
+                "n_saturated"
+            ),
+            F.round(
+                F.expr(f"aggregate({errs}, cast(0.0 as double), (a, x) -> a + x)")
+                / EMB_DIM,
+                6,
+            ).alias("mse"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+ORACLE_Q117 = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS dd FROM embeddings),
+dims AS (
+  SELECT generate_subscripts(dd, 1) - 1 AS pos, unnest(dd) AS x FROM e
+),
+scal AS (SELECT pos, max(abs(x)) AS s FROM dims GROUP BY pos),
+sarr AS (SELECT list(s ORDER BY pos) AS scales FROM scal),
+q AS (
+  SELECT vec_id, dd, scales,
+         list_transform(list_zip(dd, scales), p ->
+           CAST(floor(p[1] * 127.0 / greatest(p[2], {SQ_EPS}) + 0.5) AS INTEGER)) AS codes
+  FROM e CROSS JOIN sarr
+),
+r AS (
+  SELECT vec_id, dd, codes,
+         list_transform(list_zip(codes, scales), p -> (p[1] * p[2]) / 127.0) AS recon
+  FROM q
+)
+SELECT vec_id,
+       CAST(list_sum(codes) AS BIGINT) AS code_sum,
+       CAST(len(list_filter(codes, c -> abs(c) >= 127)) AS BIGINT) AS n_saturated,
+       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(list_zip(recon, dd), p -> (p[2] - p[1]) * (p[2] - p[1]))),
+             (a, x) -> a + x) / {EMB_DIM}, 6) AS mse
+FROM r
+ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "q40_cosine_topk": q40_cosine_topk,
     "q41_lsh_ann": q41_lsh_ann,
@@ -949,6 +1211,8 @@ QUERIES = {
     "q88_vector_stats": q88_vector_stats,
     "q110_pq_encode": q110_pq_encode,
     "q111_pq_adc_search": q111_pq_adc_search,
+    "q113_ivfpq_search": q113_ivfpq_search,
+    "q117_int8_quantize": q117_int8_quantize,
 }
 
 ORACLES = {
@@ -960,4 +1224,6 @@ ORACLES = {
     "q88_vector_stats": ORACLE_Q88,
     "q110_pq_encode": ORACLE_Q110,
     "q111_pq_adc_search": ORACLE_Q111,
+    "q113_ivfpq_search": ORACLE_Q113,
+    "q117_int8_quantize": ORACLE_Q117,
 }

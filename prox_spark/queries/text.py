@@ -23,6 +23,7 @@ Scale notes (100 TB / billions of docs):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 # --- shared token / shingle fragments (Spark SQL expr + DuckDB SQL) --------
@@ -1468,6 +1469,194 @@ ORDER BY doc_id
 """
 
 
+# --- q115: segment-level boilerplate dedup (CCNet-style line dedup) --------
+
+SEG_LEN = 3       # tokens per segment (the "line" unit; testdata has no \n)
+SEG_DUP_DOCS = 2  # a segment seen in >= this many DISTINCT docs is boilerplate
+
+
+def q115_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup, the CCNet/RefinedWeb 'line-level' pass:
+    hash every segment, count how many DISTINCT documents each hash
+    appears in, and strip segments above the duplication threshold
+    (headers/footers/boilerplate survive exact- and near-dup doc
+    filters because the *documents* differ — only segment-level
+    frequency catches them). The testdata corpus has no newlines, so
+    the segment unit is a fixed 3-token span; on real corpora the
+    splitter is `split(text, '\\n')` and everything downstream is
+    identical. Complements q30 (whole-doc exact) and q36/q105
+    (whole-doc near): this is the third dedup granularity a training
+    pipeline runs.
+
+    Scale shape: segmenting is map-side (in-row transform + one
+    posexplode); the frequency agg and the mark-join both key on the
+    16-byte md5 of the segment, never the segment text, so the
+    shuffle is O(segments x 16B). The boilerplate set (freq >= T) is
+    a tiny fraction of distinct segments (1413/7460 here, and far
+    sparser on real data) — AQE broadcasts it into the mark-join
+    un-hinted. Per-doc re-aggregation restores document grain with
+    kept-token counts and an md5 fingerprint of the surviving text
+    (order-preserving: segments re-join in position order)."""
+    docs = _docs(spark, sf_dir).withColumn("tokens", F.expr(TOKENS_SPARK))
+    segs = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(tokens) / {SEG_LEN}.0) as int) - 1), "
+                f"i -> array_join(slice(tokens, i * {SEG_LEN} + 1, {SEG_LEN}), ' '))"
+            )
+        ).alias("pos", "seg"),
+    ).withColumn("h", F.md5("seg"))
+    common = (
+        segs.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= SEG_DUP_DOCS)
+        .select(F.col("h").alias("ch"))
+    )
+    marked = segs.join(common, segs.h == common.ch, "left").withColumn(
+        "kept", F.col("ch").isNull()
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segs"),
+            F.sum(F.when(~F.col("kept"), 1).otherwise(0)).cast("long").alias("n_dropped"),
+            F.sum(F.when(F.col("kept"), F.size(F.split(F.col("seg"), " "))).otherwise(0))
+            .cast("long")
+            .alias("kept_tokens"),
+            F.md5(
+                F.array_join(
+                    F.expr(
+                        "transform(array_sort(collect_list(CASE WHEN kept THEN "
+                        "named_struct('pos', pos, 'seg', seg) END)), s -> s.seg)"
+                    ),
+                    " ",
+                )
+            ).alias("kept_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_Q115 = f"""
+WITH toks AS (SELECT doc_id, {TOKENS_DUCK} AS tokens FROM documents),
+segs AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+         array_to_string(list_slice(tokens, i * {SEG_LEN} + 1, i * {SEG_LEN} + {SEG_LEN}), ' ') AS seg
+  FROM toks, unnest(range(0, CAST(ceil(len(tokens) / {SEG_LEN}.0) AS BIGINT))) AS t(i)
+),
+common AS (
+  SELECT md5(seg) AS ch FROM segs
+  GROUP BY md5(seg) HAVING count(DISTINCT doc_id) >= {SEG_DUP_DOCS}
+),
+marked AS (
+  SELECT s.doc_id, s.pos, s.seg, (c.ch IS NULL) AS kept
+  FROM segs s LEFT JOIN common c ON md5(s.seg) = c.ch
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_segs,
+       CAST(count(*) FILTER (WHERE NOT kept) AS BIGINT) AS n_dropped,
+       CAST(coalesce(sum(len(string_split(seg, ' '))) FILTER (WHERE kept), 0) AS BIGINT) AS kept_tokens,
+       md5(coalesce(string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE kept), '')) AS kept_fp
+FROM marked
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# --- q116: training-sequence packing (concatenate-and-cut) -----------------
+
+PACK_BUDGET = 256  # tokens per training sequence (context length)
+
+
+def q116_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the last hop of a training-data pipeline:
+    concatenate each source's token stream in a deterministic order
+    (doc_id) and cut it into fixed-budget training sequences, the
+    GPT-style packing that wastes no context. A document whose span
+    crosses a cut contributes its head to one sequence and its tail
+    to the next (``n_carryover`` counts those continuations per
+    sequence). Output is the packing manifest: per (source, seq_id)
+    the doc count, token count, and fill ratio a shard-writer needs
+    to emit the actual training shards.
+
+    Scale shape: one window per source computes the running token
+    prefix (the only shuffle, keyed on source — at 100 TB the unit
+    would be (source, shard) to bound partition width); the doc→
+    sequence expansion is a map-side ``sequence()`` explode whose
+    fan-out is ~n_tok/BUDGET per doc (≈1); the final agg keys on
+    (source, seq_id). No driver loop, no collect: the classic greedy
+    bin-packing loop is re-expressed as pure prefix-sum arithmetic,
+    which is what makes it distributable at all. Integer-division
+    bucketing (`div`) keeps both engines in exact int64 math."""
+    b = PACK_BUDGET
+    docs = _docs(spark, sf_dir).withColumn(
+        "n_tok", F.size(F.expr(TOKENS_SPARK)).cast("long")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spans = (
+        docs.select("source", "doc_id", "n_tok")
+        .withColumn("cum_end", F.sum("n_tok").over(w))
+        .withColumn("cum_start", F.col("cum_end") - F.col("n_tok"))
+    )
+    ex = spans.select(
+        "source",
+        "cum_start",
+        "cum_end",
+        F.explode(F.expr(f"sequence(cum_start div {b}, (cum_end - 1) div {b})")).alias(
+            "seq_id"
+        ),
+    )
+    toks_in_seq = F.least(F.col("cum_end"), (F.col("seq_id") + 1) * b) - F.greatest(
+        F.col("cum_start"), F.col("seq_id") * b
+    )
+    return (
+        ex.groupBy("source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(toks_in_seq).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("cum_start") < F.col("seq_id") * b, 1).otherwise(0))
+            .cast("long")
+            .alias("n_carryover"),
+        )
+        .withColumn("fill_pct", F.round(F.col("n_tokens") * 100.0 / b, 2))
+        .orderBy("source", "seq_id")
+    )
+
+
+ORACLE_Q116 = f"""
+WITH toks AS (
+  SELECT doc_id, source, CAST(len({TOKENS_DUCK}) AS BIGINT) AS n_tok FROM documents
+),
+spans AS (
+  SELECT source, doc_id, n_tok,
+         CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end
+  FROM toks
+),
+spans2 AS (SELECT *, cum_end - n_tok AS cum_start FROM spans),
+ex AS (
+  SELECT source, cum_start, cum_end, CAST(s AS BIGINT) AS seq_id
+  FROM spans2, unnest(generate_series(cum_start // {PACK_BUDGET},
+                                      (cum_end - 1) // {PACK_BUDGET})) AS t(s)
+)
+SELECT source, seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(least(cum_end, (seq_id + 1) * {PACK_BUDGET})
+              - greatest(cum_start, seq_id * {PACK_BUDGET})) AS BIGINT) AS n_tokens,
+       CAST(count(*) FILTER (WHERE cum_start < seq_id * {PACK_BUDGET}) AS BIGINT) AS n_carryover,
+       round(CAST(sum(least(cum_end, (seq_id + 1) * {PACK_BUDGET})
+              - greatest(cum_start, seq_id * {PACK_BUDGET})) AS BIGINT) * 100.0 / {PACK_BUDGET}, 2) AS fill_pct
+FROM ex
+GROUP BY source, seq_id
+ORDER BY source, seq_id
+"""
+
+
 QUERIES = {
     "q30_exact_dedup": q30_exact_dedup,
     "q31_text_stats": q31_text_stats,
@@ -1493,6 +1682,8 @@ QUERIES = {
     "q87_fuzzy_verify": q87_fuzzy_verify,
     "q93_arrow_byte_stats": q93_arrow_byte_stats,
     "q99_filter_funnel": q99_filter_funnel,
+    "q115_segment_dedup": q115_segment_dedup,
+    "q116_sequence_packing": q116_sequence_packing,
 }
 
 ORACLES = {
@@ -1520,4 +1711,6 @@ ORACLES = {
     "q37_langid": ORACLE_Q37,
     "q38_simhash": ORACLE_Q38,
     "q105_simhash_neardup": ORACLE_Q105,
+    "q115_segment_dedup": ORACLE_Q115,
+    "q116_sequence_packing": ORACLE_Q116,
 }

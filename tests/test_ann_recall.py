@@ -41,22 +41,14 @@ def test_ivf_ann_recall_band(spark, ground_truth):
     assert recall >= 0.7, f"IVF recall@3 collapsed: {recall:.3f}"
 
 
-def test_pq_adc_recall_band(spark):
-    """q111's ADC-shortlist + exact-re-rank vs exact L2 top-3 (ADC
-    approximates Euclidean distance, so the ground truth here is L2,
-    not q40's cosine). Measured 0.97 @ sf0.001 and sf0.01 with the
-    data-sampled 16x16 codebook; a distribution-blind random codebook
-    measured 0.03 — the failure mode this band exists to catch."""
+@pytest.fixture(scope="module")
+def l2_ground_truth(spark):
+    """Exact L2 top-3 (the PQ family approximates Euclidean distance,
+    so its ground truth is L2, not q40's cosine)."""
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
-    from prox_spark.queries.similarity import (
-        N_QUERIES,
-        SQDIST_SPARK,
-        TOP_K,
-        _emb,
-        q111_pq_adc_search,
-    )
+    from prox_spark.queries.similarity import N_QUERIES, SQDIST_SPARK, TOP_K, _emb
 
     emb = _emb(spark, SF_DIR)
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
@@ -69,9 +61,30 @@ def test_pq_adc_recall_band(spark):
         .withColumn("d2", F.expr(SQDIST_SPARK.format(a="qv", b="dd")))
     )
     w = W.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("vec_id"))
-    gt = _pairs(
+    return _pairs(
         scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= TOP_K)
     )
+
+
+def test_pq_adc_recall_band(spark, l2_ground_truth):
+    """q111's ADC-shortlist + exact-re-rank vs exact L2 top-3.
+    Measured 0.97 @ sf0.001 and sf0.01 with the data-sampled 16x16
+    codebook; a distribution-blind random codebook measured 0.03 —
+    the failure mode this band exists to catch."""
+    from prox_spark.queries.similarity import q111_pq_adc_search
+
     got = _pairs(q111_pq_adc_search(spark, SF_DIR))
-    recall = len(gt & got) / len(gt)
+    recall = len(l2_ground_truth & got) / len(l2_ground_truth)
     assert recall >= 0.7, f"PQ-ADC recall@3 collapsed: {recall:.3f}"
+
+
+def test_ivfpq_recall_band(spark, l2_ground_truth):
+    """q113's IVF-routed ADC search vs exact L2 top-3. Strictly harder
+    than q111 (a true neighbor outside the NPROBE probed cells is
+    unreachable); band sits under the measured value so the gate
+    catches collapse (broken routing or codebook), not noise."""
+    from prox_spark.queries.similarity import q113_ivfpq_search
+
+    got = _pairs(q113_ivfpq_search(spark, SF_DIR))
+    recall = len(l2_ground_truth & got) / len(l2_ground_truth)
+    assert recall >= 0.6, f"IVF-PQ recall@3 collapsed: {recall:.3f}"
