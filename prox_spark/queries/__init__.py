@@ -33,21 +33,49 @@ def all_queries() -> dict[str, QueryFn]:
     # multimodal, similarity, and text/dedup operators go first so they sit
     # inside that hard gate; the relational/events suite (green in rounds 1-2)
     # rotates to the tail.
-    from . import events, kpi_q, multimodal, relational, similarity, streaming_q, text
+    from . import (
+        events,
+        kpi_q,
+        multimodal,
+        relational,
+        similarity,
+        streaming_q,
+        table_q,
+        text,
+    )
 
     out: dict[str, QueryFn] = {}
-    for mod in (kpi_q, streaming_q, multimodal, similarity, text, events, relational):
+    for mod in (
+        kpi_q,
+        streaming_q,
+        multimodal,
+        table_q,
+        similarity,
+        text,
+        events,
+        relational,
+    ):
         out.update(mod.QUERIES)
     return out
 
 
 def all_oracles() -> dict[str, str]:
-    from . import events, kpi_q, multimodal, relational, similarity, streaming_q, text
+    from . import (
+        events,
+        kpi_q,
+        multimodal,
+        relational,
+        similarity,
+        streaming_q,
+        table_q,
+        text,
+    )
 
     out: dict[str, str] = {}
     for mod in (relational, events, text, similarity, multimodal, streaming_q):
         out.update(mod.ORACLES)
-    # kpi_q oracles are built lazily: building them stages the parquet
-    # fixture store both engines read
+    # kpi_q/table_q oracles are built lazily: building them stages the
+    # parquet fixtures / table snapshots both engines read
     out.update(kpi_q.oracles())
+    out.update(table_q.oracles())
     return out

@@ -1,0 +1,167 @@
+"""Change-data-capture over the manifest-log table format
+(prox_spark/table.py): version-diff a table's committed snapshots to
+produce the row-level change feed downstream incremental jobs consume.
+
+The reference pipeline full-refreshes every layer (all writes are
+mode("overwrite"), reference glue_scripts/gold_data_curation_script.py
+:83-84) — at 100 TB a refresh reprocesses everything, so a real
+pipeline runs incrementally instead: readers ask "what changed between
+version N-1 and N" and touch only those rows. The manifest log makes
+that question well-posed (snapshots are immutable and atomically
+published; a diff of two pinned versions is consistent by
+construction — no torn reads while a writer commits version N+1).
+
+Both engines read the SAME staged snapshot bytes: Spark resolves them
+through the real ``read_table(version=...)`` manifest reader (time
+travel is the query's input path, not a mock), and the DuckDB oracle
+reads the snapshot parquet directories the manifests name.
+
+Staging is Spark-free (pyarrow), deterministic (content derived from
+md5 of row ids, fixed snapshot-dir suffixes), idempotent (temp file +
+os.replace, existing files reused) — the fixture_store recipe, so
+whichever of queries()/oracle_sql() runs first sees a complete table.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CDC_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".fixtures",
+    "cdc_docs",
+)
+
+N_CDC_DOCS = 200
+
+
+def _cdc_versions() -> dict[int, list[tuple[int, str, str]]]:
+    """Two deterministic snapshot row sets (doc_id, source, text).
+
+    v1: ids with id % 10 != 7 at revision 0.
+    v2: ids with id % 10 != 4; ids divisible by 3 move to revision 1.
+    => inserts (id % 10 == 7), deletes (id % 10 == 4), updates
+    (surviving ids % 3 == 0), and a majority of unchanged rows the
+    diff must NOT emit."""
+    def row(i: int, rev: int) -> tuple[int, str, str]:
+        filler = hashlib.md5(f"cdc:{i}".encode()).hexdigest()
+        return (i, f"src{i % 5}", f"cdc doc {i} rev{rev} {filler}")
+
+    v1 = [row(i, 0) for i in range(N_CDC_DOCS) if i % 10 != 7]
+    v2 = [row(i, 1 if i % 3 == 0 else 0) for i in range(N_CDC_DOCS) if i % 10 != 4]
+    return {1: v1, 2: v2}
+
+
+def stage_cdc_table(root: str = CDC_ROOT) -> tuple[str, dict[int, str]]:
+    """Materialize the 2-version manifest table on disk (no-op when
+    already staged). Returns (table_path, {version: abs snapshot dir}).
+
+    The on-disk shape is exactly what table.commit_snapshot produces
+    (data/snap-<v>-<suffix>/ + _manifests/manifest-<v>.json) so
+    table.read_table resolves it natively; the write path itself is
+    commit-protocol-tested in tests/test_table_format.py — this stager
+    only needs the bytes, Spark-free, for the oracle side."""
+    snaps: dict[int, str] = {}
+    for v, rows in sorted(_cdc_versions().items()):
+        suffix = hashlib.md5(f"cdc-snap:{v}".encode()).hexdigest()[:8]
+        snap_rel = f"data/snap-{v:08d}-{suffix}"
+        snap_dir = os.path.join(root, snap_rel)
+        data_file = os.path.join(snap_dir, "part-00000.parquet")
+        snaps[v] = snap_dir
+        mdir = os.path.join(root, "_manifests")
+        mpath = os.path.join(mdir, f"manifest-{v:08d}.json")
+        if os.path.exists(data_file) and os.path.exists(mpath):
+            continue
+        os.makedirs(snap_dir, exist_ok=True)
+        os.makedirs(mdir, exist_ok=True)
+        table = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "source": pa.array([r[1] for r in rows], pa.string()),
+                "text": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+        tmp = data_file + ".tmp"
+        pq.write_table(table, tmp)
+        os.replace(tmp, data_file)
+        mtmp = mpath + ".tmp"
+        with open(mtmp, "w") as f:
+            json.dump({"version": v, "data": snap_rel}, f)
+        os.replace(mtmp, mpath)
+    return root, snaps
+
+
+def q114_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level change feed between two committed versions: full-outer
+    join the pinned snapshots on the primary key and classify each key
+    as insert / delete / update (fingerprint mismatch), dropping the
+    unchanged majority. ``sf_dir`` is ignored by design — the CDC
+    table is its own deterministic dataset (kpi_q pattern).
+
+    Scale shape: the diff is one key-keyed full-outer join between two
+    immutable snapshots — at 100 TB both sides are bucketed by the
+    key so the join co-locates without a shuffle, and rows compare by
+    md5 fingerprint, never by the wide payload. Snapshot isolation
+    (atomic manifest publish) is what makes the result exact while
+    writers keep committing: both inputs are pinned versions, so the
+    feed can be replayed or resumed byte-identically."""
+    path, _ = stage_cdc_table()
+    from prox_spark.table import read_table
+
+    v1 = read_table(spark, path, version=1).select(
+        "doc_id", F.md5("text").alias("old_fp")
+    )
+    v2 = read_table(spark, path, version=2).select(
+        "doc_id", F.md5("text").alias("new_fp")
+    )
+    j = v1.join(v2, "doc_id", "full_outer")
+    return (
+        j.withColumn(
+            "change",
+            F.when(F.col("old_fp").isNull(), F.lit("insert"))
+            .when(F.col("new_fp").isNull(), F.lit("delete"))
+            .when(F.col("old_fp") != F.col("new_fp"), F.lit("update")),
+        )
+        .filter(F.col("change").isNotNull())
+        .select("doc_id", "change", "old_fp", "new_fp")
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_q114() -> str:
+    _, snaps = stage_cdc_table()
+    return f"""
+WITH v1 AS (SELECT doc_id, md5(text) AS old_fp FROM read_parquet('{snaps[1]}/*.parquet')),
+v2 AS (SELECT doc_id, md5(text) AS new_fp FROM read_parquet('{snaps[2]}/*.parquet')),
+j AS (
+  SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id, v1.old_fp, v2.new_fp
+  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+)
+SELECT doc_id,
+       CASE WHEN old_fp IS NULL THEN 'insert'
+            WHEN new_fp IS NULL THEN 'delete'
+            WHEN old_fp <> new_fp THEN 'update' END AS change,
+       old_fp, new_fp
+FROM j
+WHERE old_fp IS NULL OR new_fp IS NULL OR old_fp <> new_fp
+ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "q114_snapshot_diff": q114_snapshot_diff,
+}
+
+
+def oracles() -> dict[str, str]:
+    """Built lazily: building the SQL stages the snapshot bytes both
+    engines read (fixture_store/kpi_q pattern)."""
+    return {"q114_snapshot_diff": _oracle_q114()}
