@@ -156,12 +156,100 @@ ORDER BY doc_id
 """
 
 
+def q118_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance — the consumer of q114's
+    change feed: a per-source (n_docs, total_chars) aggregate
+    maintained by applying the v1→v2 delta to the v1 aggregate,
+    instead of re-aggregating v2 from scratch. The oracle computes
+    the v2 aggregate directly, so the hash gate proves the
+    incremental path reproduces the full recompute exactly — the
+    correctness property that lets a 100 TB pipeline process only the
+    changed keys per commit (work ∝ |delta|, not |table|).
+
+    Scale shape: the base aggregate is one groupBy over the OLD
+    snapshot (in production it's the previously-materialized result,
+    read back, no scan of v1 at all); the delta aggregate touches
+    only changed rows from the version diff; the merge is a
+    full-outer join on the group key between two already-aggregated
+    (tiny) frames. count/sum are the self-maintainable aggregates;
+    min/max would need the per-key recompute fallback on deletes."""
+    path, _ = stage_cdc_table()
+    from prox_spark.table import read_table
+
+    v1 = read_table(spark, path, version=1).select(
+        "doc_id", "source", F.length("text").cast("long").alias("chars")
+    )
+    v2 = read_table(spark, path, version=2).select(
+        "doc_id", "source", F.length("text").cast("long").alias("chars")
+    )
+    base = v1.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("chars").alias("total_chars")
+    )
+    diff = (
+        v1.select("doc_id", F.col("source").alias("old_src"), F.col("chars").alias("old_chars"))
+        .join(
+            v2.select("doc_id", F.col("source").alias("new_src"), F.col("chars").alias("new_chars")),
+            "doc_id",
+            "full_outer",
+        )
+        .filter(
+            F.col("old_src").isNull()
+            | F.col("new_src").isNull()
+            | (F.col("old_chars") != F.col("new_chars"))
+        )
+    )
+    delta = (
+        diff.select(
+            F.coalesce("new_src", "old_src").alias("source"),
+            (
+                F.when(F.col("new_src").isNotNull(), 1).otherwise(0)
+                - F.when(F.col("old_src").isNotNull(), 1).otherwise(0)
+            ).alias("d_docs"),
+            (F.coalesce("new_chars", F.lit(0)) - F.coalesce("old_chars", F.lit(0))).alias(
+                "d_chars"
+            ),
+        )
+        .groupBy("source")
+        .agg(F.sum("d_docs").alias("d_docs"), F.sum("d_chars").alias("d_chars"))
+    )
+    return (
+        base.join(delta, "source", "full_outer")
+        .select(
+            "source",
+            (F.coalesce("n_docs", F.lit(0)) + F.coalesce("d_docs", F.lit(0)))
+            .cast("long")
+            .alias("n_docs"),
+            (F.coalesce("total_chars", F.lit(0)) + F.coalesce("d_chars", F.lit(0)))
+            .cast("long")
+            .alias("total_chars"),
+        )
+        .filter(F.col("n_docs") > 0)
+        .orderBy("source")
+    )
+
+
+def _oracle_q118() -> str:
+    _, snaps = stage_cdc_table()
+    return f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
+FROM read_parquet('{snaps[2]}/*.parquet')
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "q114_snapshot_diff": q114_snapshot_diff,
+    "q118_incremental_agg": q118_incremental_agg,
 }
 
 
 def oracles() -> dict[str, str]:
     """Built lazily: building the SQL stages the snapshot bytes both
     engines read (fixture_store/kpi_q pattern)."""
-    return {"q114_snapshot_diff": _oracle_q114()}
+    return {
+        "q114_snapshot_diff": _oracle_q114(),
+        "q118_incremental_agg": _oracle_q118(),
+    }
