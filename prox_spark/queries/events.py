@@ -767,6 +767,68 @@ ORDER BY user_id, event_id
 """
 
 
+# --- q119: point-in-time (SCD-2) dimension join ----------------------------
+
+def q119_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension join — every fact row joined to the
+    dimension version valid AT its timestamp, the lookup every
+    SCD-2 warehouse (q86's operator) serves. The inline dimension
+    here is user "tier" = cumulative purchase count; each click must
+    see the tier in force at its ts.
+
+    Spark side deliberately avoids the naive interval-containment
+    range join (fact x every dim version of the key, then filter —
+    a blowup Spark plans as a loosely-bounded join): like q26, both
+    streams union into ONE hash shuffle on user_id + per-partition
+    sort, and a running ``sum`` carries the current dim version
+    forward onto each fact row. The DuckDB oracle states the SAME
+    semantics the opposite way — lead() builds [valid_from,
+    valid_to) windows, the join filters on containment — so the
+    gate proves the carry-forward plan equals the textbook interval
+    formulation. Ties: a dim change at exactly the fact's ts is
+    visible (purchase sorts before click at equal ts); equal-ts dim
+    versions collapse to the last (their intervals are empty).
+
+    Scale: one shuffle + sort, state carried is one counter per
+    row — the same plan at 100 TB; no per-key version explosion."""
+    ev = _events(spark, sf_dir).filter(F.col("event_type").isin("click", "purchase"))
+    tagged = ev.withColumn(
+        "is_dim", F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", F.desc("is_dim"), "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        tagged.withColumn("tier", F.sum("is_dim").over(w).cast("long"))
+        .filter(F.col("is_dim") == 0)
+        .select("event_id", "user_id", "ts", "tier")
+        .orderBy("event_id")
+    )
+
+
+ORACLE_Q119 = """
+WITH p AS (
+  SELECT user_id, ts,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS tier
+  FROM events WHERE event_type = 'purchase'
+),
+win AS (
+  SELECT user_id, tier, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY tier) AS valid_to
+  FROM p
+),
+c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+SELECT c.event_id, c.user_id, c.ts, CAST(coalesce(w.tier, 0) AS BIGINT) AS tier
+FROM c LEFT JOIN win w
+  ON c.user_id = w.user_id
+ AND c.ts >= w.valid_from
+ AND (w.valid_to IS NULL OR c.ts < w.valid_to)
+ORDER BY c.event_id
+"""
+
+
 QUERIES = {
     "q20_hourly_event_stats": q20_hourly_event_stats,
     "q108_trailing_30min_stats": q108_trailing_30min_stats,
@@ -783,12 +845,14 @@ QUERIES = {
     "q86_scd2_user_state": q86_scd2_user_state,
     "q92_cohort_retention": q92_cohort_retention,
     "q97_gap_fill_locf": q97_gap_fill_locf,
+    "q119_point_in_time_join": q119_point_in_time_join,
 }
 
 ORACLES = {
     "q108_trailing_30min_stats": ORACLE_Q108,
     "q92_cohort_retention": ORACLE_Q92,
     "q97_gap_fill_locf": ORACLE_Q97,
+    "q119_point_in_time_join": ORACLE_Q119,
     "q20_hourly_event_stats": ORACLE_Q20,
     "q26_asof_click_to_purchase": ORACLE_Q26,
     "q71_clicks_before_purchase": ORACLE_Q71,

@@ -1657,6 +1657,63 @@ ORDER BY source, seq_id
 """
 
 
+# --- q120: BPE merge-pair candidates (tokenizer-training step) --------------
+
+BPE_TOP_PAIRS = 20
+
+
+def q120_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training primitive: corpus-wide adjacent-token-pair
+    frequencies — each round of BPE training merges the most frequent
+    pair, and this query is exactly that round's candidate scan (run
+    over words instead of bytes here; the plan is identical). Reports
+    the top candidates with occurrence and document-frequency counts.
+
+    Scale shape: pairing is the q36 zip_with-of-shifted-slices trick
+    (two slices + one binary zip per row, all map-side); the count
+    agg partial-aggregates map-side so the shuffle carries one row
+    per distinct pair per task, and the top-k is
+    TakeOrderedAndProject — no full sort. An actual BPE trainer
+    loops this with a re-tokenize between rounds; each round is this
+    same one-shuffle plan."""
+    docs = _docs(spark, sf_dir).withColumn("tokens", F.expr(TOKENS_SPARK))
+    pairs = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(tokens, 1, size(tokens) - 1), "
+                "slice(tokens, 2, size(tokens) - 1), (a, b) -> concat(a, ' ', b))"
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), "pair")
+        .limit(BPE_TOP_PAIRS)
+    )
+
+
+ORACLE_Q120 = f"""
+WITH toks AS (SELECT doc_id, {TOKENS_DUCK} AS tokens FROM documents),
+pairs AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tokens)), i -> tokens[i] || ' ' || tokens[i + 1])) AS pair
+  FROM toks
+)
+SELECT pair,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM pairs
+GROUP BY pair
+ORDER BY n_occurrences DESC, pair
+LIMIT {BPE_TOP_PAIRS}
+"""
+
+
 QUERIES = {
     "q30_exact_dedup": q30_exact_dedup,
     "q31_text_stats": q31_text_stats,
@@ -1684,6 +1741,7 @@ QUERIES = {
     "q99_filter_funnel": q99_filter_funnel,
     "q115_segment_dedup": q115_segment_dedup,
     "q116_sequence_packing": q116_sequence_packing,
+    "q120_bpe_pair_counts": q120_bpe_pair_counts,
 }
 
 ORACLES = {
@@ -1713,4 +1771,5 @@ ORACLES = {
     "q105_simhash_neardup": ORACLE_Q105,
     "q115_segment_dedup": ORACLE_Q115,
     "q116_sequence_packing": ORACLE_Q116,
+    "q120_bpe_pair_counts": ORACLE_Q120,
 }
