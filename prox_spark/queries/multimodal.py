@@ -94,11 +94,126 @@ FROM documents
 ORDER BY media_id
 """
 
+def q121_audio_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio-codec path: synthesize a deterministic 16-bit PCM
+    mono WAV per document (sawtooth wave whose length/slope derive
+    from n_chars), decode it with the stdlib ``wave`` codec (the same
+    parser behind prox_spark/multimodal._decode_wav), and extract the
+    DSP features an audio curation pipeline gates on — frame count,
+    peak amplitude, RMS energy. The oracle recomputes every feature in
+    closed form from n_chars, so a broken encoder, header, or sample
+    parse fails the hash gate; sample sums are exact integers, so
+    there is no float-order hazard until the final rounded sqrt.
+
+    Scale shape: encode and decode are each ONE mapInPandas pass —
+    payloads are born and die inside the task (only scalar features
+    emerge), so the plan is scan -> Python map -> Python map ->
+    project with no shuffle before the presentation sort. That is the
+    whole design for 100 TB multimodal columns: bytes stay columnar
+    and task-local, metadata flows on."""
+    from prox_spark.multimodal import MEDIA_SCHEMA
+    from prox_spark.queries.text import _spread_py
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    docs = _spread_py(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "n_chars")
+    )
+
+    def encode(batches):
+        import io
+        import struct
+        import wave
+
+        for pdf in batches:
+            payloads = []
+            for n in pdf["n_chars"]:
+                n = int(n)
+                nf, k = 64 + n % 128, 1 + n % 7
+                samples = [((i * k * 257) % 2048) - 1024 for i in range(nf)]
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(struct.pack(f"<{nf}h", *samples))
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].values,
+                    "payload": payloads,
+                    "meta": [{"mime": "audio/wav", "source": "synth"} for _ in payloads],
+                }
+            )
+
+    def decode(batches):
+        import io
+        import struct
+        import wave
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload))) as w:
+                    nf = w.getnframes()
+                    rate = w.getframerate()
+                    samples = struct.unpack(f"<{nf}h", w.readframes(nf))
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "sample_rate": rate,
+                        "n_frames": nf,
+                        "peak": max(abs(s) for s in samples),
+                        "ssq": sum(s * s for s in samples),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    media = docs.mapInPandas(encode, schema=MEDIA_SCHEMA)
+    feats = media.mapInPandas(
+        decode,
+        schema="media_id bigint, sample_rate int, n_frames int, peak int, ssq bigint",
+    )
+    return (
+        feats.withColumn(
+            "rms", F.round(F.sqrt(F.col("ssq") / F.col("n_frames")), 6)
+        )
+        .select("media_id", "sample_rate", "n_frames", "peak", "rms")
+        .orderBy("media_id")
+    )
+
+
+ORACLE_Q121 = """
+WITH base AS (
+  SELECT doc_id AS media_id,
+         64 + n_chars % 128 AS nf,
+         1 + n_chars % 7    AS k
+  FROM documents
+),
+s AS (
+  SELECT media_id, nf,
+         list_transform(range(0, nf), i -> ((i * k * 257) % 2048) - 1024) AS samples
+  FROM base
+)
+SELECT media_id,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(nf AS INTEGER)   AS n_frames,
+       CAST(list_max(list_transform(samples, x -> abs(x))) AS INTEGER) AS peak,
+       round(sqrt(CAST(list_sum(list_transform(samples, x -> x * x)) AS BIGINT)
+                  / CAST(nf AS DOUBLE)), 6) AS rms
+FROM s
+ORDER BY media_id
+"""
+
+
 QUERIES = {
     "q43_media_features": q43_media_features,
     "q112_media_real_decode": q112_media_real_decode,
+    "q121_audio_real_decode": q121_audio_real_decode,
 }
 ORACLES = {
     "q43_media_features": ORACLE_Q43,
     "q112_media_real_decode": ORACLE_Q112,
+    "q121_audio_real_decode": ORACLE_Q121,
 }
