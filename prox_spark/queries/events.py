@@ -552,7 +552,10 @@ def q86_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: each batch merge is one key equi-join (broadcast-able batch)
     + rewrite — the copy-on-write floor; batches here are weeks of the
-    driver testdata."""
+    driver testdata. The driver-side ``collect()`` below is bounded by
+    the number of CALENDAR WEEKS in the feed (≤53/year — a batch-id
+    list, never data), and the per-batch loop is inherent to SCD-2:
+    merge N+1 depends on the table state merge N produced."""
     import atexit
     import shutil
     import tempfile
