@@ -658,12 +658,32 @@ def min_label_clusters(pairs: DataFrame, max_iters: int = CC_MAX_ITERS) -> DataF
         # carry the previous label through the update so convergence is
         # read off the SAME materialization — one job per round, not a
         # second change-detection join
+        mid = labels.join(nbr_min, "doc_id", "left").select(
+            "doc_id",
+            F.col("label").alias("old"),
+            F.least(F.col("label"), F.coalesce(F.col("nbr"), F.col("label"))).alias(
+                "mid"
+            ),
+        )
+        # pointer jumping (label-of-label): also adopt the label OF the
+        # candidate label's node. Labels are always node ids, so the
+        # lookup is a self-join on the (narrow) label frame; it turns
+        # chain convergence from O(diameter) rounds into O(log
+        # diameter) — the property that matters when a billion-edge
+        # near-dup graph hides long paths. A fixpoint of the combined
+        # update is in particular a fixpoint of plain neighbor-min
+        # propagation, so the converged labels are unchanged.
+        l2 = labels.select(
+            F.col("doc_id").alias("p_id"), F.col("label").alias("p_label")
+        )
         new_labels = (
-            labels.join(nbr_min, "doc_id", "left")
+            mid.join(l2, mid.mid == l2.p_id, "left")
             .select(
                 "doc_id",
-                F.col("label").alias("old"),
-                F.least(F.col("label"), F.coalesce(F.col("nbr"), F.col("label"))).alias("label"),
+                "old",
+                F.least(F.col("mid"), F.coalesce(F.col("p_label"), F.col("mid"))).alias(
+                    "label"
+                ),
             )
             .cache()
         )

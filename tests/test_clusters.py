@@ -36,16 +36,16 @@ def test_disjoint_components_keep_min_labels(spark):
 
 
 def test_lineage_is_truncated_across_rounds(spark):
-    # 13-round convergence crosses several checkpoint boundaries. Each
-    # round references the label frame twice, so the plan TREE doubles
-    # per round: un-truncated, 13 rounds carry 2^14-2 ≈ 16k join nodes.
+    # Multi-round convergence crosses checkpoint boundaries. Each round
+    # references the label frame three times (neighbor-min join, update
+    # join, pointer-jump self-join), so the un-truncated plan TREE
+    # grows 3x per round: J(k) = 3*J(k-1) + 3 = (3^(k+1) - 3) / 2.
     # With checkpoints every CC_CHECKPOINT_EVERY rounds the final frame
-    # may carry at most CC_CHECKPOINT_EVERY un-truncated rounds,
-    # i.e. 2^(N+1)-2 joins.
+    # may carry at most CC_CHECKPOINT_EVERY un-truncated rounds.
     labels = min_label_clusters(_chain_pairs(spark, 12))
     plan = labels._jdf.queryExecution().analyzed().toString()
     n_joins = plan.count("Join ")
-    bound = 2 ** (CC_CHECKPOINT_EVERY + 1) - 2
+    bound = (3 ** (CC_CHECKPOINT_EVERY + 1) - 3) // 2
     assert n_joins <= bound, f"plan carries {n_joins} joins (bound {bound}):\n{plan}"
     # and the truncated frame still computes correctly after the fact
     assert labels.agg(F.max("label")).collect()[0][0] == 0
