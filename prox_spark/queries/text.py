@@ -1414,19 +1414,22 @@ ORDER BY source
 
 # --- q105: SimHash near-dup pairs (hamming band blocking) -------------------
 
-SIMHASH_BAND_BITS = 4
-SIMHASH_N_BANDS = SIMHASH_BITS // SIMHASH_BAND_BITS  # 4 bands of 4 bits
+SIMHASH_BAND_BITS = 8
+SIMHASH_N_BANDS = SIMHASH_BITS // SIMHASH_BAND_BITS  # 2 bands of 8 bits
 SIMHASH_HAM_MAX = 1
 
 
 def q105_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-duplicate detection: block by 4-bit bands of the
+    """SimHash near-duplicate detection: block by 8-bit bands of the
     16-bit fingerprint (a pair collides if ANY band agrees), verify
     candidates with an exact hamming distance (``bit_count(a ^ b)``)
     ≤ 1, and report per-document neighbor stats. By pigeonhole the
-    blocking is EXACT up to radius 3 (≤3 differing bits can dirty at
-    most 3 of the 4 bands), so recall at radius 1 is 1.0 by
-    construction — no all-pairs scan.
+    blocking is EXACT at the verify radius (1 differing bit dirties at
+    most 1 of the 2 bands), so recall is 1.0 by construction — no
+    all-pairs scan — while the wide 8-bit band keys collide ~16x less
+    than the earlier 4-bit ones (band width trades candidate volume
+    against the exactness radius: b bands of w bits are exact to
+    radius b-1).
 
     Output is one bounded row per document (neighbor count + smallest
     neighbor id) rather than raw pairs: the demo fingerprint is 16
@@ -1441,32 +1444,78 @@ def q105_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking-not-crossing dedup plan (same family as q36's MinHash
     bands, here over bit-bands of one integer).
     """
-    s = _simhash_frame(spark, sf_dir)
+    # the fingerprint frame is referenced three times below (group
+    # stats, second-min, final expand); it is 16 bytes/doc, so pin it
+    # rather than re-run the shingle/bit-fold pass per reference. The
+    # count() materializes the cache BEFORE the main job — the three
+    # subtrees sit in one action, which would otherwise race the cold
+    # cache and each run the fold pass anyway
+    s = _simhash_frame(spark, sf_dir).cache()
+    s.count()
+    # collapse identical fingerprints BEFORE pair generation: hamming-0
+    # mass (exact and near-exact duplicates — the reason a dedup
+    # pipeline exists) makes doc-level banding quadratic in group
+    # size, while hash-level banding pairs each distinct fingerprint
+    # once and re-expands by group COUNTS. Here 5000 docs hold 1438
+    # distinct hashes (~12x fewer candidate rows); on a real corpus
+    # the exact-dup mass is the dominant quadratic term this removes.
+    g = s.groupBy("simhash").agg(
+        F.count(F.lit(1)).alias("cnt"), F.min("doc_id").alias("m1")
+    )
+    # second-smallest doc per hash: the min-neighbor for the doc that
+    # IS the group minimum
+    m2 = (
+        s.join(g.select("simhash", "m1"), "simhash")
+        .filter(F.col("doc_id") != F.col("m1"))
+        .groupBy("simhash")
+        .agg(F.min("doc_id").alias("m2"))
+    )
     band = F.explode(
         F.expr(
             f"transform(sequence(0, {SIMHASH_N_BANDS - 1}), b -> named_struct("
             f"'band', b, 'val', (simhash div shiftleft(1L, b * {SIMHASH_BAND_BITS})) % {1 << SIMHASH_BAND_BITS}))"
         )
     ).alias("bv")
-    bands = s.select("doc_id", "simhash", band).select(
-        "doc_id", "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val")
+    hbands = g.select("simhash", band).select(
+        "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val")
     )
-    a = bands.select(
-        F.col("doc_id").alias("doc_id"), F.col("simhash").alias("h1"), "band", "val"
+    a = hbands.select(F.col("simhash").alias("h1"), "band", "val")
+    b = hbands.select(F.col("simhash").alias("h2"), "band", "val")
+    hpairs = (
+        a.join(b, ["band", "val"])
+        .filter(F.col("h1") != F.col("h2"))
+        .filter(F.expr(f"bit_count(h1 ^ h2) <= {SIMHASH_HAM_MAX}"))
+        .select("h1", "h2")
+        .distinct()
     )
-    b = bands.select(
-        F.col("doc_id").alias("nbr"), F.col("simhash").alias("h2"), "band", "val"
+    nbr = (
+        hpairs.join(
+            g.select(
+                F.col("simhash").alias("h2"),
+                F.col("cnt").alias("cnt2"),
+                F.col("m1").alias("hmin2"),
+            ),
+            "h2",
+        )
+        .groupBy("h1")
+        .agg(F.sum("cnt2").alias("nbr_cnt"), F.min("hmin2").alias("nbr_min"))
+    )
+    same_min = F.when(
+        F.col("cnt") > 1,
+        F.when(F.col("doc_id") == F.col("m1"), F.col("m2")).otherwise(F.col("m1")),
     )
     return (
-        a.join(b, ["band", "val"])
-        .filter(F.col("doc_id") != F.col("nbr"))
-        .select("doc_id", "nbr", F.expr("bit_count(h1 ^ h2)").cast("int").alias("hamming"))
-        .filter(F.col("hamming") <= SIMHASH_HAM_MAX)
-        .groupBy("doc_id")
-        .agg(
-            F.countDistinct("nbr").alias("n_neighbors"),
-            F.min("nbr").alias("min_neighbor"),
+        s.join(g, "simhash")
+        .join(m2, "simhash", "left")
+        .join(nbr, s.simhash == nbr.h1, "left")
+        .select(
+            "doc_id",
+            ((F.col("cnt") - 1) + F.coalesce(F.col("nbr_cnt"), F.lit(0)))
+            .cast("long")
+            .alias("n_neighbors"),
+            F.least(same_min, F.col("nbr_min")).alias("min_neighbor"),
         )
+        .filter(F.col("n_neighbors") > 0)
         .orderBy("doc_id")
     )
 
