@@ -1202,6 +1202,79 @@ ORDER BY vec_id
 """
 
 
+# --- q126: embedding-space outlier detection --------------------------------
+
+OUTLIER_TOP_N = 20
+
+
+def q126_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier detection — the curation pass that
+    flags mislabeled / contaminated vectors: each embedding's squared
+    distance to its OWN label's centroid, reporting the global top-N
+    most out-of-place vectors. Composes q85's centroid aggregation
+    with a map-side distance fold.
+
+    Scale shape: centroids shuffle O(labels × dim) partial sums (q85),
+    come back as one small array frame that broadcast-joins onto the
+    corpus, and the distance is an in-row fold — so the corpus is
+    touched by exactly one map pass; the global top-N is
+    TakeOrderedAndProject (no full sort, no single-partition window
+    over the corpus — the rank attaches after the 20-row limit).
+    Centroid components follow the determinism rules (round the sum,
+    divide identical doubles, round the quotient), making the fold
+    inputs bit-identical across engines."""
+    emb = _emb(spark, sf_dir)
+    cent = (
+        emb.select("label", F.posexplode("dd").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("x"), 6).alias("s"))
+        .withColumn("c", F.round(F.col("s") / F.col("n"), 6))
+        .groupBy("label")
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(pos, c))), p -> p.c)").alias(
+                "cvec"
+            )
+        )
+    )
+    scored = emb.join(F.broadcast(cent), "label").withColumn(
+        "dist2", F.round(F.expr(SQDIST_SPARK.format(a="dd", b="cvec")), 6)
+    )
+    top = scored.orderBy(F.desc("dist2"), "vec_id").limit(OUTLIER_TOP_N)
+    w = W.orderBy(F.desc("dist2"), "vec_id")
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select("vec_id", "label", "rank", "dist2")
+        .orderBy("rank")
+    )
+
+
+ORACLE_Q126 = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS dd FROM embeddings),
+cd AS (
+  SELECT label, generate_subscripts(dd, 1) - 1 AS pos, unnest(dd) AS x FROM e
+),
+cm AS (
+  SELECT label, pos, round(round(sum(x), 6) / count(*), 6) AS c
+  FROM cd GROUP BY label, pos
+),
+cent AS (SELECT label, list(c ORDER BY pos) AS cvec FROM cm GROUP BY label),
+scored AS (
+  SELECT e.vec_id, e.label,
+         round({SQDIST_DUCK.format(a='e.dd', b='cent.cvec')}, 6) AS dist2
+  FROM e JOIN cent USING (label)
+),
+ranked AS (
+  SELECT vec_id, label,
+         CAST(row_number() OVER (ORDER BY dist2 DESC, vec_id) AS INTEGER) AS rank,
+         dist2
+  FROM scored
+)
+SELECT vec_id, label, rank, dist2
+FROM ranked WHERE rank <= {OUTLIER_TOP_N}
+ORDER BY rank
+"""
+
+
 QUERIES = {
     "q40_cosine_topk": q40_cosine_topk,
     "q41_lsh_ann": q41_lsh_ann,
@@ -1213,6 +1286,7 @@ QUERIES = {
     "q111_pq_adc_search": q111_pq_adc_search,
     "q113_ivfpq_search": q113_ivfpq_search,
     "q117_int8_quantize": q117_int8_quantize,
+    "q126_embedding_outliers": q126_embedding_outliers,
 }
 
 ORACLES = {
@@ -1226,4 +1300,5 @@ ORACLES = {
     "q111_pq_adc_search": ORACLE_Q111,
     "q113_ivfpq_search": ORACLE_Q113,
     "q117_int8_quantize": ORACLE_Q117,
+    "q126_embedding_outliers": ORACLE_Q126,
 }

@@ -711,7 +711,7 @@ def q72_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select("doc_id", F.col("label").alias("cluster_id")).orderBy("doc_id")
 
 
-ORACLE_Q72 = f"""
+_CC_LABELS_CTE = f"""
 WITH RECURSIVE
 {DUCK_SHINGLE_CTE.strip().removeprefix("WITH ")},
 sig AS (
@@ -746,10 +746,15 @@ sig AS (
   SELECT DISTINCT src, src FROM edges
   UNION
   SELECT r.root, e.dst FROM reach r JOIN edges e ON r.node = e.src
-)
-SELECT root AS doc_id, min(node) AS cluster_id
-FROM reach
-GROUP BY root
+), cc_labels AS (
+  SELECT root AS doc_id, min(node) AS cluster_id
+  FROM reach
+  GROUP BY root
+)"""
+
+ORACLE_Q72 = f"""{_CC_LABELS_CTE}
+SELECT doc_id, cluster_id
+FROM cc_labels
 ORDER BY doc_id
 """
 
@@ -1783,6 +1788,139 @@ LIMIT {BPE_TOP_PAIRS}
 """
 
 
+# --- q124: near-dup removal pipeline (capstone) -----------------------------
+
+def q124_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-duplicate REMOVAL — the composition a corpus
+    actually ships through: MinHash-LSH candidate pairs (q36) →
+    connected components (q72) → drop every document that is not its
+    cluster's representative (minimum doc_id) → per-source removal
+    manifest (docs in, docs removed, survivors, removal rate). This is
+    the number a data card reports ("X% near-duplicates removed"),
+    and the capstone proving the operators compose.
+
+    Scale shape: inherits q36's banded candidate generation and q72's
+    logarithmic label propagation; the removal step is one left join
+    of the (tiny) non-representative id list onto the corpus — AQE
+    broadcasts it — and the manifest is a partial-aggregated groupBy
+    on source."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    pairs = q36_minhash_lsh(spark, sf_dir).select("doc1", "doc2")
+    removed = (
+        min_label_clusters(pairs)
+        .filter(F.col("label") != F.col("doc_id"))
+        .select("doc_id")
+        .withColumn("rm", F.lit(True))
+    )
+    return (
+        docs.join(removed, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("rm"), 1).otherwise(0)).cast("long").alias("n_removed"),
+        )
+        .withColumn("n_kept", (F.col("n_docs") - F.col("n_removed")).cast("long"))
+        .withColumn(
+            "pct_removed",
+            F.round(F.lit(100.0) * F.col("n_removed") / F.col("n_docs"), 2),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_Q124 = f"""{_CC_LABELS_CTE}
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE l.cluster_id IS NOT NULL
+                               AND l.cluster_id <> l.doc_id) AS BIGINT) AS n_removed,
+       CAST(count(*) - count(*) FILTER (WHERE l.cluster_id IS NOT NULL
+                               AND l.cluster_id <> l.doc_id) AS BIGINT) AS n_kept,
+       round(100.0 * count(*) FILTER (WHERE l.cluster_id IS NOT NULL
+                               AND l.cluster_id <> l.doc_id) / count(*), 2) AS pct_removed
+FROM documents d LEFT JOIN cc_labels l ON d.doc_id = l.doc_id
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+# --- q122: per-source quality-quantile pruning ------------------------------
+
+QUALITY_KEEP_FRAC = 0.5  # keep the top half of each source by quality
+
+
+def q122_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality pruning, the curation step after scoring (q33): within
+    each source keep only the top fraction of documents by quality
+    score — per-source quantile cuts, not a global threshold, so one
+    low-quality source can't crowd out another's documents. Reports
+    the per-source pruning manifest (doc counts, kept-set score
+    floor/mean) a pipeline logs before writing the surviving shard.
+
+    Scale shape: scoring is map-side (q33's in-row token folds); the
+    quantile needs one window per source (percent_rank over the score
+    with a doc_id tie-break — deterministic on both engines); the
+    summary is a partial-aggregated groupBy on source. At 100 TB the
+    window's per-source sort is the cost — the same shuffle a global
+    sort-by-quality would need, but partitioned by source so it
+    parallelizes across sources."""
+    docs = _docs(spark, sf_dir).withColumn("tokens", F.expr(TOKENS_SPARK))
+    n_stop = F.expr(
+        f"size(filter(tokens, t -> array_contains(array({_STOP_SPARK}), t)))"
+    ).cast("long")
+    n_tokens = F.size("tokens").cast("long")
+    stop_ratio = F.round(n_stop / n_tokens, 6)
+    len_score = F.round(F.least(n_tokens, F.lit(50)) / 50.0, 6)
+    q = F.round(0.5 * len_score + 0.5 * (1.0 - stop_ratio), 6)
+    w = Window.partitionBy("source").orderBy(F.desc("q"), "doc_id")
+    flagged = (
+        docs.select("source", "doc_id", q.alias("q"))
+        .withColumn("pr", F.percent_rank().over(w))
+        .withColumn("kept", F.col("pr") <= QUALITY_KEEP_FRAC)
+    )
+    kept_q = F.when(F.col("kept"), F.col("q"))
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("kept").cast("int")).cast("long").alias("n_kept"),
+            F.min(kept_q).alias("min_kept_score"),
+            F.round(
+                F.round(F.sum(kept_q), 6) / F.sum(F.col("kept").cast("int")), 6
+            ).alias("avg_kept_score"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_Q122 = f"""
+WITH scored AS (
+  SELECT source, doc_id,
+         round(0.5 * round(least(n_tokens, 50) / 50.0, 6)
+               + 0.5 * (1.0 - round(n_stopwords / n_tokens, 6)), 6) AS q
+  FROM (
+    SELECT source, doc_id,
+           CAST(len(tokens) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(tokens, t -> list_contains([{_STOP_SPARK}], t))) AS BIGINT) AS n_stopwords
+    FROM (SELECT source, doc_id, {TOKENS_DUCK} AS tokens FROM documents)
+  )
+),
+flagged AS (
+  SELECT source, doc_id, q,
+         percent_rank() OVER (PARTITION BY source ORDER BY q DESC, doc_id) <= {QUALITY_KEEP_FRAC} AS kept
+  FROM scored
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
+       min(q) FILTER (WHERE kept) AS min_kept_score,
+       round(round(sum(q) FILTER (WHERE kept), 6)
+             / count(*) FILTER (WHERE kept), 6) AS avg_kept_score
+FROM flagged
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "q30_exact_dedup": q30_exact_dedup,
     "q31_text_stats": q31_text_stats,
@@ -1811,6 +1949,8 @@ QUERIES = {
     "q115_segment_dedup": q115_segment_dedup,
     "q116_sequence_packing": q116_sequence_packing,
     "q120_bpe_pair_counts": q120_bpe_pair_counts,
+    "q122_quality_prune": q122_quality_prune,
+    "q124_dedup_pipeline": q124_dedup_pipeline,
 }
 
 ORACLES = {
@@ -1841,4 +1981,6 @@ ORACLES = {
     "q115_segment_dedup": ORACLE_Q115,
     "q116_sequence_packing": ORACLE_Q116,
     "q120_bpe_pair_counts": ORACLE_Q120,
+    "q122_quality_prune": ORACLE_Q122,
+    "q124_dedup_pipeline": ORACLE_Q124,
 }
