@@ -1,0 +1,99 @@
+"""Iterative graph algorithms over edge-list DataFrames.
+
+Connected components (min-label propagation with pointer jumping)
+lives next to its query in ``queries/text.py``; this module holds the
+rank-propagation family. The reference has no graph operators at all;
+these belong to the 100 TB training-data curation layer — web-crawl
+corpora are curated by link-graph importance (PageRank/harmonic
+centrality over the domain graph), and the same machinery scores
+entity importance in any bipartite interaction graph.
+
+Determinism design — EXACT INTEGER ARITHMETIC: a textbook PageRank
+sums doubles, and a double sum's value depends on partition/merge
+order, so Spark and an oracle engine would disagree in the low bits
+(and a top-k over near-tied ranks could even reorder). Instead the
+unit rank mass is scaled to ``MASS = 10^12`` integer micro-units and
+every step is a BIGINT op with truncating division:
+
+- ``share(src)   = rank(src) div outdeg(src)``
+- ``inflow(dst)  = sum(share(src) for src -> dst)``    (exact BIGINT sum)
+- ``rank'(node)  = (15 * (MASS div n)) div 100 + (85 * inflow) div 100``
+
+Truncation leaks a few micro-units of mass per step (bounded by
+edges + nodes per iteration, i.e. relative error ~1e-7 here) — an
+*identical* leak in any engine that implements integer division, so
+results are bit-equal across Spark and DuckDB and across cluster
+sizes/partitionings. That is the same trick the money aggregates use
+(fixed-point => order-independent), applied to an iterative
+algorithm.
+
+Scale shape: per iteration one equi-join of the edge list with the
+narrow (node, rank) frame plus one groupBy(dst) — both shuffles are
+sized to the EDGE count (the frames carry two BIGINTs per row), with
+map-side partial aggregation on the inflow sum. Ranks never visit the
+driver; lineage is rebased with an eager localCheckpoint every
+``checkpoint_every`` rounds exactly like the connected-components
+fixpoint (queries/text.py:616).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+MASS = 10**12
+DAMP_NUM, DAMP_DEN = 85, 100  # damping 0.85 as an exact ratio
+PR_CHECKPOINT_EVERY = 3
+
+
+def pagerank(edges: DataFrame, iters: int = 5) -> DataFrame:
+    """Integer-arithmetic PageRank over a directed edge list
+    ``(src, dst)``; returns ``(node, rank)`` with rank in micro-units
+    of MASS. Every node must appear as a ``src`` at least once (feed a
+    symmetrized edge list for undirected graphs — then outdeg >= 1 by
+    construction and no dangling-mass redistribution is needed).
+
+    ``iters`` is a fixed count, not a convergence test: oracle twins
+    unroll the same number of rounds, and a data-dependent stop would
+    make the result depend on float tolerances.
+    """
+    spark = edges.sparkSession
+    edges = edges.select("src", "dst").cache()
+    n_edges = edges.count()  # cache is forced anyway; count is free
+    width = max(
+        1, min(spark.sparkContext.defaultParallelism, n_edges // 50_000 + 1)
+    )
+    edges = edges.repartition(width, "src")
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out"))
+    nodes = deg.select(F.col("src").alias("node")).cache()
+    n_nodes = nodes.count()
+    init = MASS // n_nodes
+    base = (15 * init) // 100
+    ranks = nodes.withColumn("rank", F.lit(init)).cache()
+    for i in range(iters):
+        inflow = (
+            edges.join(deg, "src")
+            .join(ranks, edges.src == ranks.node)
+            .select("dst", F.expr("rank div out").alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").alias("inflow"))
+        )
+        new_ranks = (
+            nodes.join(inflow, nodes.node == inflow.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({DAMP_NUM} * coalesce(inflow, 0L)) div {DAMP_DEN}"
+                    )
+                ).alias("rank"),
+            )
+            .cache()
+        )
+        ranks.unpersist()
+        ranks = new_ranks
+        if (i + 1) % PR_CHECKPOINT_EVERY == 0 and i + 1 < iters:
+            checkpointed = ranks.localCheckpoint(eager=True)
+            new_ranks.unpersist()
+            ranks = checkpointed
+    return ranks

@@ -35,6 +35,7 @@ def all_queries() -> dict[str, QueryFn]:
     # rotates to the tail.
     from . import (
         events,
+        graph_q,
         kpi_q,
         multimodal,
         relational,
@@ -52,6 +53,7 @@ def all_queries() -> dict[str, QueryFn]:
         table_q,
         similarity,
         text,
+        graph_q,
         events,
         relational,
     ):
@@ -62,6 +64,7 @@ def all_queries() -> dict[str, QueryFn]:
 def all_oracles() -> dict[str, str]:
     from . import (
         events,
+        graph_q,
         kpi_q,
         multimodal,
         relational,
@@ -72,7 +75,7 @@ def all_oracles() -> dict[str, str]:
     )
 
     out: dict[str, str] = {}
-    for mod in (relational, events, text, similarity, multimodal, streaming_q):
+    for mod in (relational, events, text, similarity, multimodal, streaming_q, graph_q):
         out.update(mod.ORACLES)
     # kpi_q/table_q oracles are built lazily: building them stages the
     # parquet fixtures / table snapshots both engines read

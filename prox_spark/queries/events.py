@@ -251,6 +251,45 @@ ORDER BY event_type
 """
 
 
+# --- q128: VariantType semi-structured extraction --------------------------
+
+def q128_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType surface: ``parse_json`` materializes the
+    props sidecar into a binary variant ONCE, then ``variant_get``
+    does typed extraction — the semi-structured path for heterogeneous
+    metadata at scale (parse cost paid once per row, extraction stays
+    JVM-side; vs q25's per-path ``get_json_object`` re-parse). Output
+    is a decile profile of the extracted value joined with event-type
+    breadth, so the oracle exercises the typed-extraction result, not
+    just the parse."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.withColumn("v", F.parse_json("props"))
+        .select("event_type", F.variant_get("v", "$.k", "bigint").alias("k"))
+        .withColumn("k_bucket", F.expr("k div 10"))
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+ORACLE_Q128 = """
+SELECT CAST(props->>'$.k' AS BIGINT) // 10 AS k_bucket,
+       count(*)                            AS n,
+       count(DISTINCT event_type)          AS n_types,
+       min(CAST(props->>'$.k' AS BIGINT))  AS min_k,
+       max(CAST(props->>'$.k' AS BIGINT))  AS max_k
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 # --- q26: as-of join (event-time alignment) --------------------------------
 
 def q26_asof_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -844,6 +883,7 @@ QUERIES = {
     "q23_first_event_per_key": q23_first_event_per_key,
     "q24_event_type_share": q24_event_type_share,
     "q25_json_props": q25_json_props,
+    "q128_variant_props": q128_variant_props,
     "q84_user_running_totals_pandas": q84_user_running_totals_pandas,
     "q86_scd2_user_state": q86_scd2_user_state,
     "q92_cohort_retention": q92_cohort_retention,
@@ -866,6 +906,7 @@ ORACLES = {
     "q23_first_event_per_key": ORACLE_Q23,
     "q24_event_type_share": ORACLE_Q24,
     "q25_json_props": ORACLE_Q25,
+    "q128_variant_props": ORACLE_Q128,
     "q84_user_running_totals_pandas": ORACLE_Q84,
     "q86_scd2_user_state": ORACLE_Q86,
 }

@@ -1,0 +1,124 @@
+"""Graph queries: link-graph importance scoring for corpus curation.
+
+Web-scale training corpora are curated by graph importance (the
+CommonCrawl lineage filters hosts by link-graph centrality before any
+text heuristic runs); the same rank-propagation scores entities in
+any interaction graph. The testdata has no hyperlink table, so the
+graph is the customer<->supplier interaction bipartite graph induced
+by orders x lineitem — structurally the host<->host link graph at
+1/10^6 scale. The reference has no graph surface (SURVEY.md §2);
+this extends the engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from prox_spark.catalog import testdata_catalog
+from prox_spark.graph import MASS, pagerank
+
+PR_ITERS = 5
+
+
+def _interaction_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized customer<->supplier edges. Customer and supplier
+    key spaces overlap (both 1..N), so nodes are namespaced onto one
+    BIGINT axis: customer c -> 2c, supplier s -> 2s+1 (even/odd)."""
+    cat = testdata_catalog(spark, sf_dir)
+    orders = cat.table("orders").select("o_orderkey", "o_custkey")
+    li = cat.table("lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("cust_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("supp_node"),
+        )
+        .distinct()
+    )
+    return pairs.select(
+        F.col("cust_node").alias("src"), F.col("supp_node").alias("dst")
+    ).union(
+        pairs.select(
+            F.col("supp_node").alias("src"), F.col("cust_node").alias("dst")
+        )
+    )
+
+
+def q127_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 nodes by 5-round integer-arithmetic PageRank over the
+    customer<->supplier interaction graph (see prox_spark/graph.py for
+    the exact-arithmetic design that lets a DuckDB oracle match
+    bit-for-bit). Suppliers serve many customers, so the top of the
+    ranking is the supplier side — the 'important hosts' a crawl
+    curation would keep."""
+    ranks = pagerank(_interaction_edges(spark, sf_dir), iters=PR_ITERS)
+    return (
+        ranks.select(
+            F.col("node").alias("node_id"),
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+            F.expr("node div 2").alias("entity_key"),
+            "rank",
+        )
+        .orderBy(F.desc("rank"), "node_id")
+        .limit(20)
+    )
+
+
+def _rank_round_cte(i: int) -> str:
+    """One unrolled PageRank round: r{i} from r{i-1}. The sum() is
+    cast back to BIGINT (DuckDB widens BIGINT sums to HUGEINT) so the
+    schema — and the subsequent integer ops — match Spark exactly."""
+    return f"""r{i} AS (
+  SELECT n.node,
+         (15 * (SELECT {MASS} // n FROM params)) // 100
+         + (85 * coalesce(infl.s, 0)) // 100 AS rank
+  FROM nodes n
+  LEFT JOIN (
+    SELECT e.dst AS node, (sum(r.rank // d.outdeg))::BIGINT AS s
+    FROM edges e
+    JOIN r{i - 1} r ON e.src = r.node
+    JOIN deg d ON e.src = d.src
+    GROUP BY e.dst
+  ) infl ON n.node = infl.node
+)"""
+
+
+_ROUNDS = ",\n".join(_rank_round_cte(i) for i in range(1, PR_ITERS + 1))
+
+ORACLE_Q127 = f"""
+WITH pairs AS (
+  SELECT DISTINCT o.o_custkey * 2 AS cust_node, l.l_suppkey * 2 + 1 AS supp_node
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), edges AS (
+  SELECT cust_node AS src, supp_node AS dst FROM pairs
+  UNION ALL
+  SELECT supp_node, cust_node FROM pairs
+), deg AS (
+  SELECT src, count(*) AS outdeg FROM edges GROUP BY src
+), nodes AS (
+  SELECT src AS node FROM deg
+), params AS (
+  SELECT count(*) AS n FROM nodes
+), r0 AS (
+  SELECT node, (SELECT {MASS} // n FROM params) AS rank FROM nodes
+),
+{_ROUNDS}
+SELECT node AS node_id,
+       CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+       node // 2 AS entity_key,
+       rank
+FROM r{PR_ITERS}
+ORDER BY rank DESC, node_id
+LIMIT 20
+"""
+
+
+QUERIES = {
+    "q127_pagerank": q127_pagerank,
+}
+
+ORACLES = {
+    "q127_pagerank": ORACLE_Q127,
+}

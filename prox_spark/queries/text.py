@@ -1921,6 +1921,47 @@ ORDER BY source
 """
 
 
+# --- q129: deterministic corpus shuffle (training order) --------------------
+
+SHUFFLE_SEED = ":42"
+SHUFFLE_TAKE = 100
+
+
+def q129_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudo-random global permutation of the corpus —
+    the training-order shuffle every LLM data pipeline ends with. The
+    permutation key is ``md5(doc_id || seed)``: seed-reproducible,
+    partition-count-independent, and no ``rand()`` (same gate rule as
+    the q65 split). A full sort by the key is Spark's range-partitioned
+    distributed sort — at 100 TB the output is written range-sorted and
+    the training order is implicit in file order; here the first
+    SHUFFLE_TAKE rows surface through TakeOrderedAndProject (no global
+    single-partition window, which a row_number position column would
+    force)."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(
+            "doc_id",
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(SHUFFLE_SEED))).alias(
+                "shuffle_key"
+            ),
+            "source",
+        )
+        .orderBy("shuffle_key", "doc_id")
+        .limit(SHUFFLE_TAKE)
+    )
+
+
+ORACLE_Q129 = f"""
+SELECT doc_id,
+       md5(doc_id::VARCHAR || '{SHUFFLE_SEED}') AS shuffle_key,
+       source
+FROM documents
+ORDER BY shuffle_key, doc_id
+LIMIT {SHUFFLE_TAKE}
+"""
+
+
 QUERIES = {
     "q30_exact_dedup": q30_exact_dedup,
     "q31_text_stats": q31_text_stats,
@@ -1951,6 +1992,7 @@ QUERIES = {
     "q120_bpe_pair_counts": q120_bpe_pair_counts,
     "q122_quality_prune": q122_quality_prune,
     "q124_dedup_pipeline": q124_dedup_pipeline,
+    "q129_corpus_shuffle": q129_corpus_shuffle,
 }
 
 ORACLES = {
@@ -1983,4 +2025,5 @@ ORACLES = {
     "q120_bpe_pair_counts": ORACLE_Q120,
     "q122_quality_prune": ORACLE_Q122,
     "q124_dedup_pipeline": ORACLE_Q124,
+    "q129_corpus_shuffle": ORACLE_Q129,
 }

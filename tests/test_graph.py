@@ -1,0 +1,51 @@
+"""Unit tests for the integer-arithmetic PageRank operator
+(prox_spark/graph.py): exact agreement with a pure-Python model of the
+same integer recurrence, and the structural properties the curation
+use-case relies on."""
+
+from __future__ import annotations
+
+from prox_spark.graph import MASS, pagerank
+
+
+def _py_pagerank(edges: list[tuple[int, int]], iters: int) -> dict[int, int]:
+    """Reference model: identical integer recurrence, plain dicts."""
+    out: dict[int, int] = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    nodes = sorted(out)
+    n = len(nodes)
+    init = MASS // n
+    base = (15 * init) // 100
+    rank = {v: init for v in nodes}
+    for _ in range(iters):
+        inflow: dict[int, int] = {}
+        for s, d in edges:
+            inflow[d] = inflow.get(d, 0) + rank[s] // out[s]
+        rank = {v: base + (85 * inflow.get(v, 0)) // 100 for v in nodes}
+    return rank
+
+
+def _sym(pairs: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    return pairs + [(b, a) for a, b in pairs]
+
+
+def test_pagerank_matches_integer_model_exactly(spark):
+    # deterministic irregular graph: star + chain + a cycle tail
+    pairs = [(0, 1), (0, 2), (0, 3), (3, 4), (4, 5), (5, 3), (2, 6)]
+    edges = _sym(pairs)
+    df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+    got = {r.node: r.rank for r in pagerank(df, iters=5).collect()}
+    assert got == _py_pagerank(edges, 5)
+
+
+def test_pagerank_hub_outranks_leaves(spark):
+    pairs = [(0, i) for i in range(1, 8)]
+    df = spark.createDataFrame(_sym(pairs), "src BIGINT, dst BIGINT")
+    ranks = {r.node: r.rank for r in pagerank(df, iters=5).collect()}
+    hub = ranks.pop(0)
+    assert all(hub > v for v in ranks.values())
+    # leaves are symmetric: identical integer ranks, bit-for-bit
+    assert len(set(ranks.values())) == 1
+    # truncating division only ever LEAKS mass, never creates it
+    assert hub + sum(ranks.values()) <= MASS
