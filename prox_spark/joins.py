@@ -64,3 +64,58 @@ def salted_join(
     )
     out = salted_fact.join(replicated_dim, [on, SALT_COL], how)
     return out.drop(SALT_COL)
+
+
+def heavy_hitters(
+    df: DataFrame, key: str, threshold: int, *, count_col: str = "n"
+) -> DataFrame:
+    """EXACT heavy hitters — every key with count >= ``threshold``,
+    with its exact count — at a shuffle cost proportional to the
+    CANDIDATE set instead of the key cardinality.
+
+    A plain groupBy(key).count() is already map-side combined, but its
+    shuffle still carries one (key, partial) pair per distinct key per
+    partition — at billions of distinct keys (URLs, doc digests) that
+    IS the job. Hot-key detection doesn't need the long tail:
+
+    - Pass 1, map-side only: each partition counts its own rows per
+      key (a dict accumulated across the partition's Arrow batches in
+      mapInPandas) and emits keys with LOCAL count >=
+      ceil(threshold / num_partitions). Pigeonhole: a key that is
+      globally threshold-heavy must clear that bar in at least one
+      partition, so the candidate set is over-inclusive, never lossy.
+    - Pass 2: exact groupBy over ONLY the rows whose key is a
+      candidate (broadcast left-semi prune at the scan), then the
+      exact threshold filter.
+
+    The result is bit-equal to the naive groupBy + HAVING — this is a
+    shuffle-shape optimization, not an approximation — which is what
+    makes it oracle-checkable (q130). NULL keys are ignored (a null
+    never matches the semi-join; count-distinct-style semantics).
+    The candidate set feeds :func:`salted_join`: detected hot keys
+    are exactly the keys worth salting."""
+    import pandas as pd
+
+    n_parts = max(1, df.rdd.getNumPartitions())
+    local_thr = max(1, -(-threshold // n_parts))  # ceil div
+    keyed = df.select(key)
+
+    def local_heavy(batches):
+        counts: dict = {}
+        dtype = None
+        for pdf in batches:
+            dtype = pdf[key].dtype
+            for k, c in pdf[key].value_counts().items():
+                counts[k] = counts.get(k, 0) + int(c)
+        heavy = [k for k, c in counts.items() if c >= local_thr]
+        if heavy:
+            yield pd.DataFrame({key: pd.Series(heavy).astype(dtype)})
+
+    schema = f"{key} {keyed.schema[key].dataType.simpleString()}"
+    candidates = keyed.mapInPandas(local_heavy, schema).distinct()
+    return (
+        keyed.join(F.broadcast(candidates), key, "left_semi")
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias(count_col))
+        .filter(F.col(count_col) >= threshold)
+    )

@@ -290,6 +290,41 @@ ORDER BY 1
 """
 
 
+# --- q130: exact heavy hitters (two-pass hot-key detection) -----------------
+
+def q130_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key detection over the event stream via the two-pass exact
+    heavy-hitters operator (prox_spark/joins.py:heavy_hitters — map-side
+    pigeonhole candidate pruning, then an exact count over candidates
+    only). The threshold is derived from the data as an exact integer —
+    1.2x the mean events-per-user, ``(12*total) div (10*distinct) + 1``
+    — so the query is scale-factor-invariant; in production the
+    threshold is the skew SLA constant and the two derivation jobs
+    (count + distinct-count) disappear. Detected keys are exactly the
+    keys :func:`prox_spark.joins.salted_join` should salt."""
+    from prox_spark.joins import heavy_hitters
+
+    ev = _events(spark, sf_dir).select("user_id")
+    total = ev.count()
+    n_users = ev.distinct().count()
+    thr = (12 * total) // (10 * n_users) + 1
+    return heavy_hitters(ev, "user_id", thr, count_col="n_events").orderBy(
+        F.desc("n_events"), "user_id"
+    )
+
+
+ORACLE_Q130 = """
+WITH t AS (
+  SELECT count(*) AS total, count(DISTINCT user_id) AS d FROM events
+)
+SELECT user_id, count(*) AS n_events
+FROM events
+GROUP BY user_id
+HAVING count(*) >= (SELECT (12 * total) // (10 * d) + 1 FROM t)
+ORDER BY n_events DESC, user_id
+"""
+
+
 # --- q26: as-of join (event-time alignment) --------------------------------
 
 def q26_asof_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -884,6 +919,7 @@ QUERIES = {
     "q24_event_type_share": q24_event_type_share,
     "q25_json_props": q25_json_props,
     "q128_variant_props": q128_variant_props,
+    "q130_heavy_hitters": q130_heavy_hitters,
     "q84_user_running_totals_pandas": q84_user_running_totals_pandas,
     "q86_scd2_user_state": q86_scd2_user_state,
     "q92_cohort_retention": q92_cohort_retention,
@@ -907,6 +943,7 @@ ORACLES = {
     "q24_event_type_share": ORACLE_Q24,
     "q25_json_props": ORACLE_Q25,
     "q128_variant_props": ORACLE_Q128,
+    "q130_heavy_hitters": ORACLE_Q130,
     "q84_user_running_totals_pandas": ORACLE_Q84,
     "q86_scd2_user_state": ORACLE_Q86,
 }

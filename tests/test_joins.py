@@ -55,3 +55,32 @@ def test_salt_in_join_keys(spark):
     plan = buf.getvalue()
     assert "__salt" in plan   # join condition carries the salt
     assert "Generate" in plan  # dim replication via explode
+
+
+def _skewed(spark, n_parts=6):
+    # key 0 is hot (600 rows), keys 1..30 carry 20 each, tail unique
+    rows = [(0,)] * 600 + [(k,) for k in range(1, 31) for _ in range(20)]
+    rows += [(1000 + i,) for i in range(200)]
+    return spark.createDataFrame(rows, "k BIGINT").repartition(n_parts)
+
+
+def test_heavy_hitters_bit_equal_to_naive(spark):
+    from prox_spark.joins import heavy_hitters
+
+    df = _skewed(spark)
+    for thr in (600, 20, 21, 5):
+        got = sorted(heavy_hitters(df, "k", thr).collect(), key=str)
+        want = sorted(
+            df.groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= thr)
+            .collect(),
+            key=str,
+        )
+        assert got == want, thr
+
+
+def test_heavy_hitters_threshold_above_max_is_empty(spark):
+    from prox_spark.joins import heavy_hitters
+
+    assert heavy_hitters(_skewed(spark), "k", 601).count() == 0
