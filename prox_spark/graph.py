@@ -42,7 +42,6 @@ from pyspark.sql import DataFrame, functions as F
 
 MASS = 10**12
 DAMP_NUM, DAMP_DEN = 85, 100  # damping 0.85 as an exact ratio
-PR_CHECKPOINT_EVERY = 3
 
 
 def pagerank(edges: DataFrame, iters: int = 5) -> DataFrame:
@@ -57,27 +56,52 @@ def pagerank(edges: DataFrame, iters: int = 5) -> DataFrame:
     make the result depend on float tolerances.
     """
     spark = edges.sparkSession
-    edges = edges.select("src", "dst").cache()
-    n_edges = edges.count()  # cache is forced anyway; count is free
+    # materialize the edge list ONCE: every iteration re-reads it, so
+    # its lineage (the upstream join/distinct that built it) must not
+    # replay per round
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    # degrees checkpointed too: both the edge-frame join and the node
+    # list derive from it, and it is nodes-sized (tiny); edge/node
+    # counts fall out of it for free instead of extra passes over e
+    deg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("out"))
+        .localCheckpoint(eager=True)
+    )
+    n_edges = deg.agg(F.sum("out")).collect()[0][0]
     width = max(
         1, min(spark.sparkContext.defaultParallelism, n_edges // 50_000 + 1)
     )
-    edges = edges.repartition(width, "src")
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out"))
-    nodes = deg.select(F.col("src").alias("node")).cache()
-    n_nodes = nodes.count()
+    # (src, dst, out) hash-partitioned by DST and checkpointed: the
+    # per-round heavy shuffle would be groupBy(dst) over the edge
+    # frame — pre-clustering on dst lets every round's aggregation
+    # reuse this one exchange (the checkpoint preserves the
+    # partitioning), so after setup NO per-iteration shuffle touches
+    # edge-sized data. Width sized to edge count like the CC fixpoint
+    # (queries/text.py:619).
+    ed = e.join(deg, "src").repartition(width, "dst").localCheckpoint(eager=True)
+    nodes = deg.select(F.col("src").alias("node"))
+    n_nodes = deg.count()
     init = MASS // n_nodes
     base = (15 * init) // 100
-    ranks = nodes.withColumn("rank", F.lit(init)).cache()
-    for i in range(iters):
+    ranks = nodes.withColumn("rank", F.lit(init))
+    for _ in range(iters):
+        # ranks is two BIGINTs per node — broadcast it so the edge
+        # frame never moves. (At billion-node graph scale flip this to
+        # an un-hinted join over src-co-partitioned frames; node
+        # frames in the curation use-case are bounded by hosts, not
+        # documents, so broadcast is the right default.)
         inflow = (
-            edges.join(deg, "src")
-            .join(ranks, edges.src == ranks.node)
+            ed.join(F.broadcast(ranks), ed.src == ranks.node)
             .select("dst", F.expr("rank div out").alias("share"))
             .groupBy("dst")
             .agg(F.sum("share").alias("inflow"))
         )
-        new_ranks = (
+        # eager checkpoint EVERY round: an unchecked loop compounds
+        # into one iters-deep nested DAG that the final action replays
+        # whole — rank propagation has no per-round convergence action
+        # to force materialization, unlike the CC fixpoint's count()
+        ranks = (
             nodes.join(inflow, nodes.node == inflow.dst, "left")
             .select(
                 "node",
@@ -88,12 +112,6 @@ def pagerank(edges: DataFrame, iters: int = 5) -> DataFrame:
                     )
                 ).alias("rank"),
             )
-            .cache()
+            .localCheckpoint(eager=True)
         )
-        ranks.unpersist()
-        ranks = new_ranks
-        if (i + 1) % PR_CHECKPOINT_EVERY == 0 and i + 1 < iters:
-            checkpointed = ranks.localCheckpoint(eager=True)
-            new_ranks.unpersist()
-            ranks = checkpointed
     return ranks

@@ -35,13 +35,22 @@ def _interaction_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # symmetrize map-side (explode of a 2-element struct array), not
+    # via union: a union of two selects over `pairs` is two branches
+    # of the same subtree, and the first materializing action would
+    # replay the join+distinct twice
     return pairs.select(
-        F.col("cust_node").alias("src"), F.col("supp_node").alias("dst")
-    ).union(
-        pairs.select(
-            F.col("supp_node").alias("src"), F.col("cust_node").alias("dst")
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("cust_node").alias("src"), F.col("supp_node").alias("dst")
+                ),
+                F.struct(
+                    F.col("supp_node").alias("src"), F.col("cust_node").alias("dst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
 
 
 def q127_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:

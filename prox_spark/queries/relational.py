@@ -1702,7 +1702,69 @@ ORDER BY n_name
 """
 
 
+# --- q131: Z-order clustered scan (multi-column data skipping) --------------
+
+def q131_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D range scan over a Z-ORDER-clustered copy of lineitem
+    (prox_spark/zorder.py — Morton-interleaved (l_partkey, l_suppkey),
+    range-partitioned into files whose parquet min/max stats are tight
+    on BOTH columns, so this scan's file/row-group pruning touches a
+    small fraction of the table; tests/test_zorder.py measures the
+    skipped-file ratio against a linearly-sorted layout). Clustering
+    changes layout, never content, so the oracle runs the same
+    predicate on the original table. Range bounds derive from
+    max(l_partkey) by exact integer arithmetic — sf-invariant. The
+    staged copy is per-sf and reused across runs."""
+    import os
+
+    from prox_spark.zorder import write_zordered
+
+    li = _t(spark, sf_dir, "lineitem")
+    stage = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".fixtures",
+        f"zorder_lineitem_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        write_zordered(li, stage, ["l_partkey", "l_suppkey"], n_files=16)
+    max_pk = li.agg(F.max("l_partkey")).collect()[0][0]
+    max_sk = li.agg(F.max("l_suppkey")).collect()[0][0]
+    pk_lo, pk_hi = (4 * max_pk) // 10, (5 * max_pk) // 10
+    sk_lo, sk_hi = (4 * max_sk) // 10, (5 * max_sk) // 10
+    z = spark.read.parquet(stage)
+    return (
+        z.filter(
+            F.col("l_partkey").between(pk_lo, pk_hi)
+            & F.col("l_suppkey").between(sk_lo, sk_hi)
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_Q131 = """
+WITH b AS (
+  SELECT (4 * max(l_partkey)) // 10 AS pk_lo, (5 * max(l_partkey)) // 10 AS pk_hi,
+         (4 * max(l_suppkey)) // 10 AS sk_lo, (5 * max(l_suppkey)) // 10 AS sk_hi
+  FROM lineitem
+)
+SELECT l_returnflag,
+       count(*) AS n_items,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem, b
+WHERE l_partkey BETWEEN pk_lo AND pk_hi
+  AND l_suppkey BETWEEN sk_lo AND sk_hi
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
+    "q131_zorder_scan": q131_zorder_scan,
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top5_suppliers": q02_top5_suppliers,
     "q03_avg_acctbal_by_nation": q03_avg_acctbal_by_nation,
@@ -1748,6 +1810,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q131_zorder_scan": ORACLE_Q131,
     "q102_stratified_sample": ORACLE_Q102,
     "q103_price_histogram": ORACLE_Q103,
     "q104_rich_accounts_reconcile": ORACLE_Q104,

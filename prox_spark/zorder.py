@@ -1,0 +1,95 @@
+"""Z-order (Morton-curve) clustered writes for multi-column data
+skipping.
+
+A range-sorted layout (io.py's sorted/partitioned writes,
+tests/test_io_catalog.py's min-max file pruning) skips files for
+predicates on the LEADING sort column only; a predicate on the second
+column still touches every file. Interleaving the bits of both
+columns' normalized values (the Morton / Z curve) gives every file a
+tight min-max envelope on ALL interleaved columns at once, so a
+parquet scan with row-group/file statistics prunes on any of them —
+the technique behind Delta's OPTIMIZE ZORDER and Iceberg's sort-order
+z-curves, reimplemented here on plain parquet + Catalyst.
+
+Everything is expression-level (whole-stage codegen, no UDF):
+
+- per-column normalization to ``2^bits`` buckets is a linear rescale
+  against the column's global min/max (one tiny agg, broadcast back
+  as literals);
+- bit interleave is an OR-fold of ``shiftleft`` probes — 2*bits
+  integer ops per row, all JVM-side;
+- the write is ``repartitionByRange(z)`` + ``sortWithinPartitions(z)``
+  so each output file covers one compact z-range (range exchange is
+  Spark's sampled range partitioner — balanced files without knowing
+  the distribution a priori).
+
+Scale: the only non-map work is the min/max agg and the range
+exchange the write needs anyway; z-value computation adds zero
+shuffles. At 100 TB the same code path clusters a table so ad-hoc
+2-D range scans (time x key, partkey x suppkey) read a small fraction
+of files instead of all of them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+Z_COL = "__z"
+
+
+def interleave_bits(cols: list[Column], bits: int = 16) -> Column:
+    """Morton code: bit j of column i lands at position
+    ``j * len(cols) + i``. Inputs must already be non-negative ints
+    < 2^bits. Total width len(cols)*bits must stay < 63."""
+    n = len(cols)
+    if n * bits > 62:
+        raise ValueError(f"interleaved width {n * bits} exceeds BIGINT")
+    out = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        src = c.cast("long")
+        for j in range(bits):
+            out = out.bitwiseOR(
+                F.shiftleft(src.bitwiseAND(F.lit(1 << j)), j * (n - 1) + i)
+            )
+    return out
+
+
+def zvalue(df: DataFrame, cols: list[str], bits: int = 16) -> DataFrame:
+    """Append the z-value column: rescale each col to [0, 2^bits) by
+    its global min/max, then interleave. One driver-side row (the
+    min/max agg) is the only non-map cost."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    stats = df.agg(*aggs).collect()[0]
+    top = (1 << bits) - 1
+    scaled = []
+    for c in cols:
+        lo, hi = stats[f"min_{c}"], stats[f"max_{c}"]
+        span = max(1, int(hi) - int(lo))
+        scaled.append(
+            F.least(
+                F.lit(top),
+                ((F.col(c).cast("long") - F.lit(int(lo))) * top / F.lit(span)).cast(
+                    "long"
+                ),
+            )
+        )
+    return df.withColumn(Z_COL, interleave_bits(scaled, bits))
+
+
+def write_zordered(
+    df: DataFrame, path: str, cols: list[str], *, n_files: int = 16, bits: int = 16
+) -> None:
+    """Write ``df`` as parquet clustered on the z-curve of ``cols``:
+    each of the ``n_files`` range partitions covers one compact
+    z-interval, so every file's parquet min/max stats are tight on
+    every clustered column simultaneously."""
+    (
+        zvalue(df, cols, bits)
+        .repartitionByRange(n_files, Z_COL)
+        .sortWithinPartitions(Z_COL)
+        .drop(Z_COL)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
