@@ -614,11 +614,56 @@ CC_MAX_ITERS = 15
 # materialized partitions, bounding the tree at 2^(N+1)-2 joins and
 # releasing prior rounds' shuffle files.
 CC_CHECKPOINT_EVERY = 3
+# below this edge count the whole fixpoint is driver-side union-find:
+# a dedup edge list is orders of magnitude smaller than the corpus
+# (pairs that SURVIVED banding + verify), and a sub-million-row list
+# union-finds in milliseconds where the distributed fixpoint pays
+# rounds x job-scheduling overhead. 1M edges x 16 bytes ≈ 16 MB on the
+# driver — far under any sane driver heap. The distributed path stays
+# the default above the threshold; both produce identical min-labels.
+CC_DRIVER_MAX_EDGES = 1_000_000
 
 
-def min_label_clusters(pairs: DataFrame, max_iters: int = CC_MAX_ITERS) -> DataFrame:
+def _driver_union_find(edge_rows: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Union-find with path compression; returns (node, min_label)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # keep the SMALLER id as root so the root IS the min label
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    return sorted((n, find(n)) for n in parent)
+
+
+def min_label_clusters(
+    pairs: DataFrame,
+    max_iters: int = CC_MAX_ITERS,
+    driver_max_edges: int = CC_DRIVER_MAX_EDGES,
+) -> DataFrame:
     """Connected components over an undirected pair list: every node
     gets the minimum doc_id of its component, as ``(doc_id, label)``.
+
+    HYBRID: edge lists at or below ``driver_max_edges`` are collected
+    and union-found on the driver (a dedup edge list is tiny relative
+    to the corpus; the fixpoint's per-round job overhead dwarfs a
+    sub-second union-find). Larger graphs run the distributed
+    fixpoint below — identical labels either way (both tested).
 
     Spark has no recursive CTE, so connectivity is iterative min-label
     propagation: per round, every node adopts the smallest label among
@@ -631,18 +676,29 @@ def min_label_clusters(pairs: DataFrame, max_iters: int = CC_MAX_ITERS) -> DataF
     via eager localCheckpoint every CC_CHECKPOINT_EVERY rounds (see
     constant note)."""
     spark = pairs.sparkSession
-    edges = pairs.union(
-        pairs.select(F.col("doc2").alias("doc1"), F.col("doc1").alias("doc2"))
-    ).cache()
+    # cache the PAIR list, not the symmetrized union: both the size
+    # probe and whichever path runs next re-read it, and an uncached
+    # union's two branches would each replay the upstream pair
+    # generation (the LSH pipeline — the expensive part)
+    pairs = pairs.select("doc1", "doc2").cache()
+    n_edges = 2 * pairs.count()
+    if n_edges <= driver_max_edges:
+        # small-graph fast path (see CC_DRIVER_MAX_EDGES note): one
+        # collect of the (cached) edge list, exact union-find, labels
+        # parallelized back — replaces rounds of fixpoint jobs
+        labels = _driver_union_find([(r[0], r[1]) for r in pairs.collect()])
+        out = spark.createDataFrame(labels, "doc_id BIGINT, label BIGINT")
+        pairs.unpersist()
+        return out
     # size the fixpoint's shuffle width to the EDGE count, not the
     # corpus: near-dup edge lists are a tiny fraction of the input
-    # (here hundreds of rows; at 100 TB maybe billions). Caching
-    # already forces a job, so the count is free, and running a
+    # (here hundreds of rows; at 100 TB maybe billions). Running a
     # 500-row fixpoint at cluster-wide width would pay ~P tasks of
     # pure scheduling overhead per round for no parallelism gain.
-    n_edges = edges.count()
     width = max(1, min(spark.sparkContext.defaultParallelism, n_edges // 50_000 + 1))
-    edges = edges.repartition(width, "doc1")
+    edges = pairs.union(
+        pairs.select(F.col("doc2").alias("doc1"), F.col("doc1").alias("doc2"))
+    ).repartition(width, "doc1")
     labels = (
         edges.select(F.col("doc1").alias("doc_id"))
         .distinct()

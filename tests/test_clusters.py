@@ -20,7 +20,9 @@ def _chain_pairs(spark, n):
 
 
 def test_chain_converges_to_single_component(spark):
-    labels = min_label_clusters(_chain_pairs(spark, 12))
+    # driver_max_edges=0 forces the DISTRIBUTED fixpoint (the default
+    # would route these tiny graphs to the union-find fast path)
+    labels = min_label_clusters(_chain_pairs(spark, 12), driver_max_edges=0)
     rows = {r.doc_id: r.label for r in labels.collect()}
     assert len(rows) == 13
     assert set(rows.values()) == {0}
@@ -30,9 +32,18 @@ def test_disjoint_components_keep_min_labels(spark):
     pairs = spark.createDataFrame(
         [(1, 5), (5, 3), (10, 11), (20, 21), (21, 22)], "doc1 long, doc2 long"
     )
-    labels = min_label_clusters(pairs)
-    rows = {r.doc_id: r.label for r in labels.collect()}
-    assert rows == {1: 1, 5: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    expect = {1: 1, 5: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    # both paths must produce identical labels
+    for driver_max in (0, 10**6):
+        labels = min_label_clusters(pairs, driver_max_edges=driver_max)
+        assert {r.doc_id: r.label for r in labels.collect()} == expect, driver_max
+
+
+def test_driver_fast_path_matches_distributed_on_chain(spark):
+    chain = _chain_pairs(spark, 12)
+    fast = min_label_clusters(chain)  # default threshold -> union-find
+    slow = min_label_clusters(chain, driver_max_edges=0)
+    assert sorted(fast.collect()) == sorted(slow.collect())
 
 
 def test_lineage_is_truncated_across_rounds(spark):
@@ -42,7 +53,7 @@ def test_lineage_is_truncated_across_rounds(spark):
     # grows 3x per round: J(k) = 3*J(k-1) + 3 = (3^(k+1) - 3) / 2.
     # With checkpoints every CC_CHECKPOINT_EVERY rounds the final frame
     # may carry at most CC_CHECKPOINT_EVERY un-truncated rounds.
-    labels = min_label_clusters(_chain_pairs(spark, 12))
+    labels = min_label_clusters(_chain_pairs(spark, 12), driver_max_edges=0)
     plan = labels._jdf.queryExecution().analyzed().toString()
     n_joins = plan.count("Join ")
     bound = (3 ** (CC_CHECKPOINT_EVERY + 1) - 3) // 2
