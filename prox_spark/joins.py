@@ -119,3 +119,45 @@ def heavy_hitters(
         .agg(F.count(F.lit(1)).alias(count_col))
         .filter(F.col(count_col) >= threshold)
     )
+
+
+def auto_skew_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    *,
+    hot_threshold: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-aware equi-join that DETECTS its hot keys instead of being
+    told: :func:`heavy_hitters` finds every fact key with >=
+    ``hot_threshold`` rows (exact, shuffle ∝ candidates), then
+
+    - hot fact rows join against the (tiny, by definition of "few hot
+      keys") hot slice of the dim via an explicit broadcast — the
+      skewed rows NEVER shuffle, which beats salting (salting still
+      shuffles them, just spread over s buckets);
+    - cold fact rows take the plain shuffle join, which by
+      construction has no key above the threshold.
+
+    Semantics are exactly the plain inner/left join (union of two
+    disjoint key slices; tested bit-equal in tests/test_joins.py).
+    The hot-key list crosses the driver — bounded by rows/threshold,
+    i.e. small precisely when detection matters. AQE's skew handling
+    splits oversized sort-merge partitions at runtime; this operator
+    is the plan-time alternative when one key exceeds an executor or
+    the join must avoid sort-merge entirely."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"auto_skew_join supports inner/left, got {how!r}")
+    hot = heavy_hitters(fact, on, hot_threshold).select(on)
+    hot_keys = [r[0] for r in hot.collect()]
+    if not hot_keys:
+        return fact.join(dim, on, how)
+    hot_fact = fact.filter(F.col(on).isin(hot_keys))
+    # NULL-key fact rows belong to the cold slice (a bare ~isin would
+    # evaluate to NULL and silently drop them — wrong for a left join)
+    cold_fact = fact.filter(F.col(on).isNull() | ~F.col(on).isin(hot_keys))
+    hot_dim = dim.filter(F.col(on).isin(hot_keys))
+    return hot_fact.join(F.broadcast(hot_dim), on, how).unionByName(
+        cold_fact.join(dim, on, how)
+    )

@@ -1702,6 +1702,44 @@ ORDER BY n_name
 """
 
 
+# --- q132: auto-skew join (detected hot keys -> broadcast isolation) --------
+
+def q132_auto_skew_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per order priority through
+    :func:`prox_spark.joins.auto_skew_join`: hot join keys (orders
+    with >= 5 lineitems — heavy_hitters, exact) take a broadcast
+    isolation path that never shuffles the skewed fact rows; the cold
+    remainder takes the plain shuffle join. The oracle is the PLAIN
+    join + aggregate — the operator must be result-invisible."""
+    from prox_spark.joins import auto_skew_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_extendedprice"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    return (
+        auto_skew_join(li, orders, "okey", hot_threshold=5)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_Q132 = """
+SELECT o_orderpriority,
+       count(*) AS n_items,
+       round(sum(l_extendedprice), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 # --- q131: Z-order clustered scan (multi-column data skipping) --------------
 
 def q131_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1765,6 +1803,7 @@ ORDER BY l_returnflag
 
 QUERIES = {
     "q131_zorder_scan": q131_zorder_scan,
+    "q132_auto_skew_revenue": q132_auto_skew_revenue,
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top5_suppliers": q02_top5_suppliers,
     "q03_avg_acctbal_by_nation": q03_avg_acctbal_by_nation,
@@ -1811,6 +1850,7 @@ QUERIES = {
 
 ORACLES = {
     "q131_zorder_scan": ORACLE_Q131,
+    "q132_auto_skew_revenue": ORACLE_Q132,
     "q102_stratified_sample": ORACLE_Q102,
     "q103_price_histogram": ORACLE_Q103,
     "q104_rich_accounts_reconcile": ORACLE_Q104,

@@ -84,3 +84,42 @@ def test_heavy_hitters_threshold_above_max_is_empty(spark):
     from prox_spark.joins import heavy_hitters
 
     assert heavy_hitters(_skewed(spark), "k", 601).count() == 0
+
+
+def test_auto_skew_join_bit_equal_to_plain(spark):
+    from prox_spark.joins import auto_skew_join
+
+    fact = _skewed(spark).withColumn("v", F.col("k") * 2)
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(0, 1200, 3)], "k BIGINT, name STRING"
+    )
+    for how in ("inner", "left"):
+        got = sorted(
+            auto_skew_join(fact, dim, "k", hot_threshold=20, how=how).collect(),
+            key=str,
+        )
+        want = sorted(fact.join(dim, "k", how).collect(), key=str)
+        assert got == want, how
+
+
+def test_auto_skew_join_keeps_null_keys_on_left(spark):
+    from prox_spark.joins import auto_skew_join
+
+    fact = spark.createDataFrame([(None,), (0,), (0,), (0,), (7,)], "k BIGINT")
+    dim = spark.createDataFrame([(0, "hot"), (7, "cold")], "k BIGINT, name STRING")
+    got = sorted(
+        auto_skew_join(fact, dim, "k", hot_threshold=3, how="left").collect(), key=str
+    )
+    want = sorted(fact.join(dim, "k", "left").collect(), key=str)
+    assert got == want
+
+
+def test_auto_skew_join_no_hot_keys_is_plain_join(spark):
+    from prox_spark.joins import auto_skew_join
+
+    fact = spark.createDataFrame([(i,) for i in range(50)], "k BIGINT")
+    dim = spark.createDataFrame([(i, i * 10) for i in range(50)], "k BIGINT, v BIGINT")
+    got = auto_skew_join(fact, dim, "k", hot_threshold=2)
+    assert sorted(got.collect(), key=str) == sorted(
+        fact.join(dim, "k").collect(), key=str
+    )
