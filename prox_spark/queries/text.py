@@ -1977,6 +1977,74 @@ ORDER BY source
 """
 
 
+# --- q133: token-balanced shard assignment (training export) ----------------
+
+SHARD_TOKENS = 2_000
+
+
+def q133_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document to a token-balanced training shard — the
+    export step that turns a curated corpus into fixed-size tokenizer
+    work units — via a TWO-LEVEL distributed prefix sum: a global
+    running token total would need one global window (single-partition
+    at scale), so instead (1) each source computes its own running sum
+    under a per-source window (parallel across sources), (2) the tiny
+    per-source totals frame — one row per source — computes source
+    start offsets with a single-partition window that is trivially
+    cheap at ANY corpus size, (3) offsets broadcast back and the
+    global position is offset + local cumsum, all map-side. Shard id =
+    floor(global start offset / SHARD_TOKENS). Output is per-shard
+    stats; the DuckDB oracle uses the straightforward single-machine
+    global window, proving the two-level decomposition exact."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), F.lit(0)))
+        .cast("long")
+        .alias("tok"),
+    )
+    w_in = Window.partitionBy("source").orderBy("doc_id")
+    with_cum = docs.withColumn("cum_in", F.sum("tok").over(w_in))
+    totals = docs.groupBy("source").agg(F.sum("tok").alias("stot"))
+    w_src = Window.orderBy("source").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn("off", F.coalesce(F.sum("stot").over(w_src), F.lit(0)))
+    return (
+        with_cum.join(F.broadcast(offsets.select("source", "off")), "source")
+        .withColumn("start", F.col("off") + F.col("cum_in") - F.col("tok"))
+        .withColumn("shard_id", F.expr(f"start div {SHARD_TOKENS}"))
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").alias("shard_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+ORACLE_Q133 = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS BIGINT) AS tok
+  FROM documents
+), pos AS (
+  SELECT doc_id, tok,
+         sum(tok) OVER (ORDER BY source, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS start
+  FROM toks
+)
+SELECT CAST(coalesce(start, 0) AS BIGINT) // {SHARD_TOKENS} AS shard_id,
+       count(*) AS n_docs,
+       CAST(sum(tok) AS BIGINT) AS shard_tokens,
+       min(doc_id) AS min_doc,
+       max(doc_id) AS max_doc
+FROM pos
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 # --- q129: deterministic corpus shuffle (training order) --------------------
 
 SHUFFLE_SEED = ":42"
@@ -2049,6 +2117,7 @@ QUERIES = {
     "q122_quality_prune": q122_quality_prune,
     "q124_dedup_pipeline": q124_dedup_pipeline,
     "q129_corpus_shuffle": q129_corpus_shuffle,
+    "q133_shard_assignment": q133_shard_assignment,
 }
 
 ORACLES = {
@@ -2082,4 +2151,5 @@ ORACLES = {
     "q122_quality_prune": ORACLE_Q122,
     "q124_dedup_pipeline": ORACLE_Q124,
     "q129_corpus_shuffle": ORACLE_Q129,
+    "q133_shard_assignment": ORACLE_Q133,
 }
