@@ -207,13 +207,236 @@ ORDER BY media_id
 """
 
 
+def q134_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image RESIZE through the multimodal plumbing: synthesize a
+    deterministic-gradient P6 PPM per document, then nearest-neighbor
+    downsample it to an 8x8 thumbnail with numpy inside one
+    mapInPandas pass — the standard pre-embedding normalization step
+    for vision training data. The gate reports the thumbnail's red-
+    channel integer sum, which the oracle recomputes in closed form
+    from the gradient + the nearest-neighbor index formula
+    (src = (dst * size) // 8), so a wrong header parse, row order, or
+    sampling grid all break the hash.
+
+    Scale shape: encode -> resize are two chained Python maps; full
+    payloads never cross a shuffle, only (id, dims, sum) emerges."""
+    from prox_spark.multimodal import MEDIA_SCHEMA
+    from prox_spark.queries.text import _spread_py
+
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F401 (parity with siblings)
+
+    docs = _spread_py(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "n_chars")
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for n in pdf["n_chars"]:
+                n = int(n)
+                w, h = 16 + n % 32, 8 + n % 24
+                header = f"P6\n{w} {h}\n255\n".encode()
+                pix = bytes(
+                    (x * 3 + y * 7) % 256
+                    for y in range(h)
+                    for x in range(w)
+                    for _ in range(3)
+                )
+                payloads.append(header + pix)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].values,
+                    "payload": payloads,
+                    "meta": [{"mime": "image/ppm", "source": "synth"} for _ in payloads],
+                }
+            )
+
+    def resize(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                head, dims, _maxval, pix = bytes(payload).split(b"\n", 3)
+                assert head == b"P6"
+                w, h = map(int, dims.split())
+                arr = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, 3)
+                xs = (np.arange(8) * w) // 8
+                ys = (np.arange(8) * h) // 8
+                thumb = arr[np.ix_(ys, xs)]
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "width": w,
+                        "height": h,
+                        "sample_sum": int(thumb[:, :, 0].astype(np.int64).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    media = docs.mapInPandas(encode, schema=MEDIA_SCHEMA)
+    return (
+        media.mapInPandas(
+            resize, schema="media_id bigint, width int, height int, sample_sum bigint"
+        )
+    ).orderBy("media_id")
+
+
+ORACLE_Q134 = """
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         16 + n_chars % 32 AS w,
+         8 + n_chars % 24  AS h
+  FROM documents
+), grid AS (
+  SELECT i, j FROM range(8) t(i), range(8) u(j)
+)
+SELECT media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(sum((((i * w) // 8) * 3 + ((j * h) // 8) * 7) % 256) AS BIGINT)
+         AS sample_sum
+FROM dims CROSS JOIN grid
+GROUP BY media_id, w, h
+ORDER BY media_id
+"""
+
+
+FRAME_STRIDE = 4
+
+
+def q135_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL temporal FRAME-SAMPLING: synthesize the q121 sawtooth WAV,
+    keep every FRAME_STRIDE-th PCM frame, RE-ENCODE the sampled signal
+    as a genuine WAV (the round-trip is the point — a video pipeline's
+    frame sampler emits real frames, not indices), then decode the new
+    payload and report its frame count and peak. The oracle derives
+    both in closed form from the synthesis formula with the stride
+    folded in, so an off-by-one in the stride grid, the re-encode, or
+    the second decode breaks the hash. Video containers would dispatch
+    to ffmpeg behind the same interface (absent in this env); WAV
+    exercises the identical sample-grid arithmetic on a codec the
+    stdlib provides."""
+    from prox_spark.multimodal import MEDIA_SCHEMA
+    from prox_spark.queries.text import _spread_py
+
+    import pandas as pd
+
+    docs = _spread_py(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "n_chars")
+    )
+
+    def encode(batches):
+        import io
+        import struct
+        import wave
+
+        for pdf in batches:
+            payloads = []
+            for n in pdf["n_chars"]:
+                n = int(n)
+                nf, k = 64 + n % 128, 1 + n % 7
+                samples = [((i * k * 257) % 2048) - 1024 for i in range(nf)]
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(struct.pack(f"<{nf}h", *samples))
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].values,
+                    "payload": payloads,
+                    "meta": [{"mime": "audio/wav", "source": "synth"} for _ in payloads],
+                }
+            )
+
+    def sample_frames(batches):
+        import io
+        import struct
+        import wave
+
+        for pdf in batches:
+            out_ids, out_payloads, out_meta = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload))) as w:
+                    nf, rate = w.getnframes(), w.getframerate()
+                    samples = struct.unpack(f"<{nf}h", w.readframes(nf))
+                kept = samples[::FRAME_STRIDE]
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(rate // FRAME_STRIDE)
+                    w.writeframes(struct.pack(f"<{len(kept)}h", *kept))
+                out_ids.append(int(mid))
+                out_payloads.append(buf.getvalue())
+                out_meta.append({"mime": "audio/wav", "source": "sampled"})
+            yield pd.DataFrame(
+                {"media_id": out_ids, "payload": out_payloads, "meta": out_meta}
+            )
+
+    def decode(batches):
+        import io
+        import struct
+        import wave
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload))) as w:
+                    nf = w.getnframes()
+                    samples = struct.unpack(f"<{nf}h", w.readframes(nf))
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "n_frames": nf,
+                        "peak": max(abs(s) for s in samples),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    media = docs.mapInPandas(encode, schema=MEDIA_SCHEMA)
+    sampled = media.mapInPandas(sample_frames, schema=MEDIA_SCHEMA)
+    return sampled.mapInPandas(
+        decode, schema="media_id bigint, n_frames int, peak int"
+    ).orderBy("media_id")
+
+
+ORACLE_Q135 = f"""
+WITH base AS (
+  SELECT doc_id AS media_id,
+         64 + n_chars % 128 AS nf,
+         1 + n_chars % 7    AS k
+  FROM documents
+), s AS (
+  SELECT media_id,
+         (nf + {FRAME_STRIDE} - 1) // {FRAME_STRIDE} AS nf2,
+         list_transform(range(0, (nf + {FRAME_STRIDE} - 1) // {FRAME_STRIDE}),
+                        i -> ((i * {FRAME_STRIDE} * k * 257) % 2048) - 1024) AS kept
+  FROM base
+)
+SELECT media_id,
+       CAST(nf2 AS INTEGER) AS n_frames,
+       CAST(list_max(list_transform(kept, x -> abs(x))) AS INTEGER) AS peak
+FROM s
+ORDER BY media_id
+"""
+
+
 QUERIES = {
     "q43_media_features": q43_media_features,
     "q112_media_real_decode": q112_media_real_decode,
     "q121_audio_real_decode": q121_audio_real_decode,
+    "q134_image_resize": q134_image_resize,
+    "q135_frame_sample": q135_frame_sample,
 }
 ORACLES = {
     "q43_media_features": ORACLE_Q43,
     "q112_media_real_decode": ORACLE_Q112,
     "q121_audio_real_decode": ORACLE_Q121,
+    "q134_image_resize": ORACLE_Q134,
+    "q135_frame_sample": ORACLE_Q135,
 }
