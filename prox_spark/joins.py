@@ -127,6 +127,7 @@ def auto_skew_join(
     on: str,
     *,
     hot_threshold: int,
+    max_hot_keys: int = 64,
     how: str = "inner",
 ) -> DataFrame:
     """Skew-aware equi-join that DETECTS its hot keys instead of being
@@ -149,8 +150,17 @@ def auto_skew_join(
     the join must avoid sort-merge entirely."""
     if how not in ("inner", "left"):
         raise ValueError(f"auto_skew_join supports inner/left, got {how!r}")
-    hot = heavy_hitters(fact, on, hot_threshold).select(on)
-    hot_keys = [r[0] for r in hot.collect()]
+    # bound the hot set to the K HOTTEST keys: isolation only pays for
+    # keys that would straggle, and an unbounded list degenerates (a
+    # threshold near the median key multiplicity once turned "hot"
+    # into half the key space: a 10^4-literal isin + a non-tiny
+    # broadcast — 50x slower than the plain join it replaced). Keys
+    # beyond the cap are by construction no hotter than the ones kept,
+    # and the cold path joins them correctly.
+    hot = heavy_hitters(fact, on, hot_threshold, count_col="__n")
+    hot_keys = [
+        r[0] for r in hot.orderBy(F.desc("__n"), on).limit(max_hot_keys).collect()
+    ]
     if not hot_keys:
         return fact.join(dim, on, how)
     hot_fact = fact.filter(F.col(on).isin(hot_keys))

@@ -1705,38 +1705,46 @@ ORDER BY n_name
 # --- q132: auto-skew join (detected hot keys -> broadcast isolation) --------
 
 def q132_auto_skew_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Revenue per order priority through
-    :func:`prox_spark.joins.auto_skew_join`: hot join keys (orders
-    with >= 5 lineitems — heavy_hitters, exact) take a broadcast
-    isolation path that never shuffles the skewed fact rows; the cold
-    remainder takes the plain shuffle join. The oracle is the PLAIN
-    join + aggregate — the operator must be result-invisible."""
+    """Event value per event type through
+    :func:`prox_spark.joins.auto_skew_join`: users whose event count
+    exceeds 1.2x the mean (the q130 threshold rule — genuinely FEW
+    keys) take a broadcast isolation path whose fact rows never
+    shuffle; the cold remainder takes the plain shuffle join; the hot
+    set is additionally capped at the 64 hottest keys. The dim side is
+    a per-user profile built from the same table. The oracle is the
+    PLAIN join + aggregate — the operator must be result-invisible."""
     from prox_spark.joins import auto_skew_join
+    from prox_spark.queries.events import _events
 
-    li = _t(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("okey"), "l_extendedprice"
-    )
-    orders = _t(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").alias("okey"), "o_orderpriority"
-    )
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "value")
+    dim = ev.groupBy("user_id").agg(F.round(F.sum("value"), 2).alias("user_total"))
+    total = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    thr = (12 * total) // (10 * n_users) + 1
     return (
-        auto_skew_join(li, orders, "okey", hot_threshold=5)
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_items"),
-            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        auto_skew_join(
+            ev.select("user_id", "event_type"), dim, "user_id", hot_threshold=thr
         )
-        .orderBy("o_orderpriority")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("user_total"), 2).alias("weighted_total"),
+        )
+        .orderBy("event_type")
     )
 
 
 ORACLE_Q132 = """
-SELECT o_orderpriority,
-       count(*) AS n_items,
-       round(sum(l_extendedprice), 2) AS revenue
-FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-GROUP BY o_orderpriority
-ORDER BY o_orderpriority
+WITH dim AS (
+  SELECT user_id, round(sum(value), 2) AS user_total
+  FROM events GROUP BY user_id
+)
+SELECT e.event_type,
+       count(*) AS n_events,
+       round(sum(d.user_total), 2) AS weighted_total
+FROM events e JOIN dim d ON e.user_id = d.user_id
+GROUP BY e.event_type
+ORDER BY e.event_type
 """
 
 

@@ -468,7 +468,136 @@ ORDER BY source
 """
 
 
+# --- q136: streaming NEAR-dup against a persistent fingerprint store --------
+
+def q136_streaming_neardup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-duplicate curation against a persistent
+    fingerprint store — q109's exact-digest pattern upgraded to
+    similarity: each micro-batch computes map-side SimHash
+    fingerprints (queries/text.py:simhash_of — the identical
+    expression the batch path uses) and keep-max-merges
+    (fingerprint -> representative doc, source) into a parquet store.
+    The staged feed delivers every file TWICE, so convergence under
+    replay is part of what the gate checks.
+
+    Determinism design: which doc SURVIVES a hamming-<=1 suppression
+    depends on ingest order if decided per batch, so the store merge
+    (order-independent keep-max — replays and reordering cannot
+    change the converged store) is the streaming-incremental half,
+    and the radius-1 suppression runs over the CONVERGED store
+    fingerprints: band-blocked (2x8-bit bands, pigeonhole-exact at
+    radius 1 like q105), a fingerprint group is dropped iff some
+    neighbor group carries a larger representative. Both halves are
+    batch-order-independent, which is exactly the property a resumable
+    100 TB crawl pipeline needs. The oracle recomputes store +
+    suppression from the clean table in one SQL shot."""
+    from prox_spark.queries.text import (
+        SIMHASH_BAND_BITS,
+        SIMHASH_HAM_MAX,
+        SIMHASH_N_BANDS,
+        simhash_of,
+    )
+    from prox_spark.table import read_table
+    from prox_spark.upsert import upsert_keep_max
+
+    stage_dir = _staged_docs_with_dups(spark, sf_dir)
+    batch_schema = spark.read.parquet(stage_dir).schema
+    run = uuid.uuid4().hex[:8]
+    store = tempfile.mkdtemp(prefix=f"prox_spark_neardup_store_{run}_") + "/store"
+    ckpt = tempfile.mkdtemp(prefix=f"prox_spark_neardup_ckpt_{run}_")
+    atexit.register(shutil.rmtree, os.path.dirname(store), ignore_errors=True)
+    atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
+
+    def _merge(batch_df: DataFrame, _batch_id: int) -> None:
+        fp = simhash_of(batch_df, extra_cols=("source",))
+        upsert_keep_max(
+            batch_df.sparkSession, store, fp, ["simhash"], ["doc_id"]
+        )
+
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(stage_dir)
+    )
+    with _stream_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(_merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+
+    s = read_table(spark, store).cache()  # (simhash, doc_id=max rep, source)
+    band = F.explode(
+        F.expr(
+            f"transform(sequence(0, {SIMHASH_N_BANDS - 1}), b -> named_struct("
+            f"'band', b, 'val', (simhash div shiftleft(1L, b * {SIMHASH_BAND_BITS})) % {1 << SIMHASH_BAND_BITS}))"
+        )
+    ).alias("bv")
+    hb = s.select("simhash", "doc_id", band).select(
+        "simhash", "doc_id", F.col("bv.band").alias("band"), F.col("bv.val").alias("val")
+    )
+    suppressed = (
+        hb.alias("a")
+        .join(hb.alias("b"), ["band", "val"])
+        .filter(F.expr(f"bit_count(a.simhash ^ b.simhash) <= {SIMHASH_HAM_MAX}"))
+        .filter(F.col("b.doc_id") > F.col("a.doc_id"))
+        .select(F.col("a.simhash").alias("simhash"))
+        .distinct()
+    )
+    return (
+        s.join(suppressed, "simhash", "left_anti")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.max("doc_id").alias("max_kept_doc"),
+        )
+        .orderBy("source")
+    )
+
+
+def _oracle_q136() -> str:
+    from prox_spark.queries.text import (
+        SIMHASH_BAND_BITS,
+        SIMHASH_HAM_MAX,
+        SIMHASH_N_BANDS,
+        _simhash_oracle,
+    )
+
+    return f"""
+WITH s0 AS ({_simhash_oracle()}),
+store AS (
+  SELECT simhash, max(doc_id) AS doc_id
+  FROM s0 GROUP BY simhash
+), store_src AS (
+  SELECT st.simhash, st.doc_id, d.source
+  FROM store st JOIN documents d ON st.doc_id = d.doc_id
+), bands AS (
+  SELECT simhash, doc_id, b.b AS band,
+         (simhash // (1 << (b.b * {SIMHASH_BAND_BITS}))) % {1 << SIMHASH_BAND_BITS} AS val
+  FROM store_src CROSS JOIN (SELECT unnest(range(0, {SIMHASH_N_BANDS})) AS b) b
+), suppressed AS (
+  SELECT DISTINCT a.simhash
+  FROM bands a JOIN bands b ON a.band = b.band AND a.val = b.val
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAM_MAX}
+    AND b.doc_id > a.doc_id
+)
+SELECT source,
+       count(*) AS n_kept,
+       max(doc_id) AS max_kept_doc
+FROM store_src
+WHERE simhash NOT IN (SELECT simhash FROM suppressed)
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
+    "q136_streaming_neardup_store": q136_streaming_neardup_store,
     "q44_stateful_user_totals": q44_stateful_user_totals,
     "q109_streaming_dedup_store": q109_streaming_dedup_store,
     "q69_streaming_hourly_stats": q69_streaming_hourly_stats,
@@ -478,6 +607,7 @@ QUERIES = {
     "q101_streaming_sessions": q101_streaming_sessions,
 }
 ORACLES = {
+    "q136_streaming_neardup_store": _oracle_q136(),
     "q109_streaming_dedup_store": ORACLE_Q109,
     "q100_streaming_dedup": ORACLE_Q100,
     "q101_streaming_sessions": ORACLE_Q101,

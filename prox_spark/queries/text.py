@@ -472,14 +472,16 @@ _HEXV_SPARK = "locate(substring(m, {i}, 1), '0123456789abcdef') - 1"
 _HEXV_DUCK = "strpos('0123456789abcdef', substring(m, {i}, 1)) - 1"
 
 
-def _simhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, simhash) computed FULLY map-side: per document, hash
-    the distinct tokens with one transform, then fold each of the 16
-    bit counters over that in-row array — no shuffle (see q38)."""
+def simhash_of(docs: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, simhash, *extra_cols) for ANY frame carrying
+    (doc_id, text) — computed FULLY map-side: per document, hash the
+    distinct tokens with one transform, then fold each of the 16 bit
+    counters over that in-row array — no shuffle (see q38). Streaming
+    micro-batches reuse this directly (q136)."""
     hxm = " + ".join(
         f"({_HEXV_SPARK.format(i=i + 1)}) * {16 ** (3 - i)}" for i in range(4)
     )
-    docs = _docs(spark, sf_dir).withColumn("tokens", F.expr(TOKENS_SPARK))
+    docs = docs.withColumn("tokens", F.expr(TOKENS_SPARK))
     docs = docs.withColumn(
         "hs",
         # inner transform binds lambda var `m` (the token md5) that the
@@ -494,7 +496,13 @@ def _simhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"then {1 << j} else 0 end)"
         for j in range(SIMHASH_BITS)
     )
-    return docs.select("doc_id", F.expr(f"cast({bit_terms} as bigint)").alias("simhash"))
+    return docs.select(
+        "doc_id", F.expr(f"cast({bit_terms} as bigint)").alias("simhash"), *extra_cols
+    )
+
+
+def _simhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_of(_docs(spark, sf_dir))
 
 
 def q38_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
