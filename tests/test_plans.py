@@ -353,3 +353,63 @@ def test_q82_udtf_is_arrow_batched(spark):
     plan = q82_chunk_split_udtf(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPythonUDTF" in plan
     assert "BatchEvalPythonUDTF" not in plan
+
+
+def test_q129_shuffle_is_topk_not_global_sort(spark):
+    from prox_spark.queries.text import q129_corpus_shuffle
+
+    plan = _plan(q129_corpus_shuffle(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q130_candidates_broadcast_semi(spark):
+    from prox_spark.queries.events import q130_heavy_hitters
+
+    plan = _plan(q130_heavy_hitters(spark, SF_DIR))
+    assert "MapInPandas" in plan          # pass-1 local counting
+    assert "LeftSemi" in plan             # candidate prune
+    assert "BroadcastExchange" in plan    # candidates broadcast, fact never re-shuffled for the prune
+    assert "CartesianProduct" not in plan
+
+
+def test_q131_range_predicates_reach_clustered_scan(spark):
+    from prox_spark.queries.relational import q131_zorder_scan
+
+    plan = _plan(q131_zorder_scan(spark, SF_DIR))
+    # both clustered columns' bounds pushed to the parquet scan, where
+    # the z-layout's tight file/row-group stats make them prune
+    assert "GreaterThanOrEqual(l_partkey" in plan
+    assert "GreaterThanOrEqual(l_suppkey" in plan
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_comment" not in read_schema
+
+
+def test_q133_no_single_partition_corpus_window(spark):
+    from prox_spark.queries.text import q133_shard_assignment
+
+    plan = _plan(q133_shard_assignment(spark, SF_DIR))
+    # the corpus-sized window is keyed by source; the only
+    # SinglePartition exchange feeds the per-source TOTALS window
+    # (one row per source), never the corpus
+    lines = plan.splitlines()
+    tree = []
+    for line in lines:
+        if not line.strip():
+            break
+        tree.append(line)
+    assert sum("Window" in l for l in tree) >= 2
+    assert "BroadcastExchange" in plan  # offsets broadcast back
+    assert "CartesianProduct" not in plan
+
+
+def test_q134_q135_payloads_stay_in_python_stages(spark):
+    from prox_spark.queries.multimodal import q134_image_resize, q135_frame_sample
+
+    for fn, n_stages in ((q134_image_resize, 2), (q135_frame_sample, 3)):
+        plan = _plan(fn(spark, SF_DIR))
+        tree = plan.split("\n\n")[0]  # nodes reappear in the details section
+        assert tree.count("MapInPandas") == n_stages, fn.__name__
+        # nothing between the Python stages and the sort but projection:
+        # payloads never enter a join or aggregate
+        assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
