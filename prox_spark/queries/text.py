@@ -2094,6 +2094,133 @@ LIMIT {SHUFFLE_TAKE}
 """
 
 
+# --- q137: curation capstone (dedup + quality + decontam + shard plan) -----
+
+CAPSTONE_QBAR = 0.8          # quality_score floor (q33's formula)
+CAPSTONE_SHARD_TOKENS = 2_000
+
+
+def q137_curation_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE curation pipeline as one composed query — the
+    data-card table a corpus release ships with: per source, how many
+    documents each independent tagger flagged (near-duplicate
+    non-representatives via q36->q72, low quality via q33's score,
+    benchmark contamination via q67's phrase scan), how many survive
+    all three, their token mass, and the resulting shard plan
+    (ceil(kept_tokens / CAPSTONE_SHARD_TOKENS)). Taggers run
+    independently over the full corpus and the final filter is one
+    pass — the standard industrial shape (taggers parallelize and are
+    individually auditable; no tagger depends on another's output).
+
+    Scale shape: each tagger keeps its own sub-quadratic/broadcast
+    design (banded LSH + union-find, map-side scoring, broadcast
+    phrase scan); the three tag lists are tiny relative to the corpus,
+    so the final filter is three AQE-broadcast left joins and one
+    partial-aggregated groupBy(source)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    pairs = q36_minhash_lsh(spark, sf_dir).select("doc1", "doc2")
+    dup_rm = (
+        min_label_clusters(pairs)
+        .filter(F.col("label") != F.col("doc_id"))
+        .select("doc_id")
+        .withColumn("dup", F.lit(True))
+    )
+    toks = docs.withColumn("tokens", F.expr(TOKENS_SPARK))
+    n_stop = F.expr(
+        f"size(filter(tokens, t -> array_contains(array({_STOP_SPARK}), t)))"
+    ).cast("long")
+    n_tokens = F.size("tokens").cast("long")
+    stop_ratio = F.round(n_stop / n_tokens, 6)
+    len_score = F.round(F.least(n_tokens, F.lit(50)) / 50.0, 6)
+    scored = toks.select(
+        "doc_id",
+        "source",
+        n_tokens.alias("n_tokens"),
+        F.round(0.5 * len_score + 0.5 * (1.0 - stop_ratio), 6).alias("q"),
+    )
+    phrases = spark.createDataFrame([(p,) for p in CONTAM_PHRASES], "phrase string")
+    contam = (
+        docs.crossJoin(F.broadcast(phrases))
+        .filter(F.expr("contains(lower(text), phrase)"))
+        .select("doc_id")
+        .distinct()
+        .withColumn("cont", F.lit(True))
+    )
+    tagged = (
+        scored.join(dup_rm, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .withColumn("lowq", F.col("q") < CAPSTONE_QBAR)
+        .withColumn(
+            "kept",
+            ~F.coalesce(F.col("dup"), F.lit(False))
+            & ~F.coalesce(F.col("cont"), F.lit(False))
+            & ~F.col("lowq"),
+        )
+    )
+    return (
+        tagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("dup"), 1).otherwise(0)).cast("long").alias("n_dup"),
+            F.sum(F.when(F.col("lowq"), 1).otherwise(0)).cast("long").alias("n_lowq"),
+            F.sum(F.when(F.col("cont"), 1).otherwise(0)).cast("long").alias("n_contam"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.sum(F.when(F.col("kept"), F.col("n_tokens")).otherwise(0))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+        .withColumn(
+            "n_shards",
+            F.expr(
+                f"(kept_tokens + {CAPSTONE_SHARD_TOKENS} - 1) div {CAPSTONE_SHARD_TOKENS}"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_Q137 = f"""{_CC_LABELS_CTE},
+scored AS (
+  SELECT doc_id, source, n_tokens,
+         round(0.5 * round(least(n_tokens, 50) / 50.0, 6)
+               + 0.5 * (1.0 - round(n_stopwords / n_tokens, 6)), 6) AS q
+  FROM (
+    SELECT doc_id, source,
+           CAST(len(tokens) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(tokens, t -> list_contains([{_STOP_SPARK}], t))) AS BIGINT) AS n_stopwords
+    FROM (SELECT doc_id, source, {TOKENS_DUCK} AS tokens FROM documents)
+  )
+),
+dup_rm AS (
+  SELECT doc_id FROM cc_labels WHERE cluster_id <> doc_id
+),
+contam AS (
+  SELECT DISTINCT doc_id
+  FROM documents, (VALUES {_PHRASE_VALUES}) phrases(phrase)
+  WHERE contains(lower(text), phrase)
+),
+tagged AS (
+  SELECT s.source, s.n_tokens,
+         s.doc_id IN (SELECT doc_id FROM dup_rm)  AS dup,
+         s.q < {CAPSTONE_QBAR}                    AS lowq,
+         s.doc_id IN (SELECT doc_id FROM contam)  AS cont
+  FROM scored s
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(count(*) FILTER (WHERE dup) AS BIGINT)    AS n_dup,
+       CAST(count(*) FILTER (WHERE lowq) AS BIGINT)   AS n_lowq,
+       CAST(count(*) FILTER (WHERE cont) AS BIGINT)   AS n_contam,
+       CAST(count(*) FILTER (WHERE NOT dup AND NOT lowq AND NOT cont) AS BIGINT) AS n_kept,
+       CAST(coalesce(sum(n_tokens) FILTER (WHERE NOT dup AND NOT lowq AND NOT cont), 0) AS BIGINT) AS kept_tokens,
+       CAST((coalesce(sum(n_tokens) FILTER (WHERE NOT dup AND NOT lowq AND NOT cont), 0)
+             + {CAPSTONE_SHARD_TOKENS} - 1) AS BIGINT) // {CAPSTONE_SHARD_TOKENS} AS n_shards
+FROM tagged
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "q30_exact_dedup": q30_exact_dedup,
     "q31_text_stats": q31_text_stats,
@@ -2126,6 +2253,7 @@ QUERIES = {
     "q124_dedup_pipeline": q124_dedup_pipeline,
     "q129_corpus_shuffle": q129_corpus_shuffle,
     "q133_shard_assignment": q133_shard_assignment,
+    "q137_curation_capstone": q137_curation_capstone,
 }
 
 ORACLES = {
@@ -2160,4 +2288,5 @@ ORACLES = {
     "q124_dedup_pipeline": ORACLE_Q124,
     "q129_corpus_shuffle": ORACLE_Q129,
     "q133_shard_assignment": ORACLE_Q133,
+    "q137_curation_capstone": ORACLE_Q137,
 }
