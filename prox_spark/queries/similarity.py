@@ -311,7 +311,10 @@ def q42_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~N^2 * 2^-b per table — tunable recall/cost, no cross join anywhere.
     """
     emb = _emb_n(spark, sf_dir)
-    tagged = _plane_buckets(emb, _ND_PLANE_ROWS)
+    # pin the bucket table: the self-join's two branches share one plan,
+    # and uncached each would re-run the 4-table hyperplane dot fold
+    # over the whole corpus (the expensive map pass here)
+    tagged = _plane_buckets(emb, _ND_PLANE_ROWS).cache()
     a = tagged.alias("a")
     b = tagged.alias("b")
     # candidate ids only (narrow shuffle), distinct BEFORE vectors rejoin
