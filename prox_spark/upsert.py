@@ -98,6 +98,43 @@ def upsert_parquet(
     _commit(spark, table_path, merged, migrated=not is_manifest_table(spark, table_path))
 
 
+def delete_keys(
+    spark: SparkSession,
+    table_path: str,
+    keys_df: DataFrame,
+    keys: list[str],
+) -> int:
+    """Copy-on-write DELETE: drop every row whose key tuple appears in
+    ``keys_df``, committed as a new snapshot version (readers pinned to
+    an older manifest keep a consistent view; time travel still serves
+    pre-deletion versions until ``vacuum`` retires them — the
+    right-to-be-forgotten flow is delete_keys + vacuum). Returns the
+    number of rows removed.
+
+    Scale shape: one anti-join keyed on the deletion set — which is
+    small by nature (a deletion request list), so AQE broadcasts it —
+    then the atomic manifest commit; nothing else is rewritten
+    logically (at file granularity this snapshot format rewrites the
+    table; a file-level format would rewrite only touched files, the
+    same trade Delta makes without deletion vectors)."""
+    current = _current(spark, table_path)
+    if current is None:
+        raise ValueError(f"no table at {table_path}")
+    missing = [k for k in keys if k not in current.columns]
+    if missing:
+        raise ValueError(f"delete keys not in table schema: {missing}")
+    dset = keys_df.select(*keys).distinct()
+    survivors = current.join(dset, keys, "left_anti")
+    n_before = current.count()
+    _commit(
+        spark, table_path, survivors,
+        migrated=not is_manifest_table(spark, table_path),
+    )
+    from prox_spark.table import read_table
+
+    return n_before - read_table(spark, table_path).count()
+
+
 def upsert_keep_max(
     spark: SparkSession,
     table_path: str,

@@ -43,3 +43,60 @@ def test_runner_invariants(spec):
             assert r.status == "failed"
         else:
             assert r.status == "succeeded" and r.output == i
+
+
+# --- pure-Python models of the distributed operators: union-find and
+# the integer PageRank recurrence are Spark-free here, so hypothesis
+# can fuzz graph shapes cheaply; the Spark paths are pinned to these
+# same models in tests/test_graph.py / tests/test_clusters.py.
+
+edge_strategy = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(edge_strategy)
+@settings(max_examples=200, deadline=None)
+def test_union_find_labels_are_component_minima(pairs):
+    from prox_spark.queries.text import _driver_union_find
+
+    labels = dict(_driver_union_find(pairs))
+    # brute-force reachability model
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for node in adj:
+        seen, todo = {node}, [node]
+        while todo:
+            for nxt in adj[todo.pop()]:
+                if nxt not in seen:
+                    seen.add(nxt)
+                    todo.append(nxt)
+        assert labels[node] == min(seen)
+
+
+@given(edge_strategy)
+@settings(max_examples=100, deadline=None)
+def test_integer_pagerank_conserves_and_orders(pairs):
+    from prox_spark.graph import MASS
+
+    edges = pairs + [(b, a) for a, b in pairs]
+    out: dict[int, int] = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    nodes = sorted(out)
+    init = MASS // len(nodes)
+    rank = {v: init for v in nodes}
+    base = (15 * init) // 100
+    for _ in range(5):
+        inflow: dict[int, int] = {}
+        for s, d in edges:
+            inflow[d] = inflow.get(d, 0) + rank[s] // out[s]
+        rank = {v: base + (85 * inflow.get(v, 0)) // 100 for v in nodes}
+    # truncating division only leaks mass, never creates it
+    assert sum(rank.values()) <= MASS
+    # every rank keeps the damping floor
+    assert all(r >= base for r in rank.values())

@@ -107,3 +107,34 @@ def test_failed_commit_leaves_table_readable(spark, tmp_path):
     vacuum(spark, path, keep_last=1)
     assert not os.path.exists(orphan)
     assert [r.v for r in read_table(spark, path).collect()] == ["good"]
+
+
+def test_delete_keys_commits_new_version_and_time_travel_keeps_old(spark, tmp_path):
+    from prox_spark.table import read_table, table_versions
+    from prox_spark.upsert import delete_keys, upsert_parquet
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(i, f"u{i}") for i in range(20)], "id BIGINT, name STRING")
+    upsert_parquet(spark, path, df, ["id"])
+    to_del = spark.createDataFrame([(3,), (7,), (99,)], "id BIGINT")
+    n = delete_keys(spark, path, to_del, ["id"])
+    assert n == 2  # id 99 never existed
+    ids = {r.id for r in read_table(spark, path).collect()}
+    assert ids == set(range(20)) - {3, 7}
+    # prior version still serves the pre-deletion rows
+    v = table_versions(spark, path)
+    old = {r.id for r in read_table(spark, path, version=v[-2]).collect()}
+    assert old == set(range(20))
+
+
+def test_delete_keys_rejects_unknown_key_column(spark, tmp_path):
+    import pytest
+
+    from prox_spark.upsert import delete_keys, upsert_parquet
+
+    path = str(tmp_path / "t")
+    upsert_parquet(
+        spark, path, spark.createDataFrame([(1, "a")], "id BIGINT, name STRING"), ["id"]
+    )
+    with pytest.raises(ValueError, match="not in table schema"):
+        delete_keys(spark, path, spark.createDataFrame([(1,)], "nope BIGINT"), ["nope"])
