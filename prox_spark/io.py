@@ -233,3 +233,32 @@ def write_jdbc(
         .mode(mode)
         .save()
     )
+
+
+def write_parquet_bloom(
+    df: DataFrame,
+    path: str,
+    bloom_cols: list[str],
+    *,
+    expected_ndv: int = 100_000,
+    mode: str = "overwrite",
+) -> None:
+    """Parquet write with BLOOM FILTERS on ``bloom_cols`` — the
+    point-lookup complement to min/max stats (io sorted writes,
+    zorder clustering): range predicates prune via stats, but an
+    equality probe on a high-cardinality unordered column (doc digest,
+    user id) matches every file's [min,max] span; a per-row-group
+    bloom filter rejects non-member row groups at the footer, before
+    any page IO. Spark's vectorized parquet reader consults the filter
+    automatically for `=` / `IN` predicates — no read-side code.
+
+    ``expected_ndv`` sizes the filter (bits ∝ ndv for the target false
+    positive rate); undersizing degrades to pass-through, oversizing
+    wastes footer bytes — at 100 TB set it per-column from stats the
+    pipeline already collects."""
+    writer = df.write.mode(mode)
+    for c in bloom_cols:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true").option(
+            f"parquet.bloom.filter.expected.ndv#{c}", str(expected_ndv)
+        )
+    writer.parquet(path)

@@ -298,3 +298,38 @@ def test_read_parquet_evolved_merges_appended_schema(spark, tmp_path):
     assert set(df.columns) == {"id", "name", "score"}
     rows = {r.id: r.score for r in df.collect()}
     assert rows == {1: None, 2: 0.5}
+
+
+def test_bloom_filter_write_lands_in_footers(spark, tmp_path):
+    """The bloom filter must actually be written: parquet stores it as
+    an extra structure the footer points at, observable via pyarrow's
+    bloom_filter_offset (and as a strictly larger file for the same
+    rows)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from prox_spark.io import write_parquet_bloom
+
+    df = spark.range(20_000).selectExpr("id", "md5(cast(id as string)) AS digest")
+    plain, bloomed = str(tmp_path / "plain"), str(tmp_path / "bloom")
+    df.coalesce(1).write.parquet(plain)
+    write_parquet_bloom(df.coalesce(1), bloomed, ["digest"], expected_ndv=20_000)
+
+    def info(d):
+        f = glob.glob(f"{d}/*.parquet")[0]
+        md = pq.ParquetFile(f).metadata
+        col_idx = md.schema.names.index("digest")
+        col = md.row_group(0).column(col_idx)
+        import os
+
+        return os.path.getsize(f), getattr(col, "bloom_filter_offset", None)
+
+    p_size, p_off = info(plain)
+    b_size, b_off = info(bloomed)
+    assert b_off is not None and (p_off is None or b_off != p_off) or b_size > p_size
+    assert b_size > p_size  # the filter occupies real bytes
+    # content identical either way
+    assert sorted(spark.read.parquet(bloomed).collect(), key=str) == sorted(
+        df.collect(), key=str
+    )
