@@ -36,6 +36,7 @@ def all_queries() -> dict[str, QueryFn]:
     from . import (
         events,
         graph_q,
+        io_q,
         kpi_q,
         multimodal,
         relational,
@@ -51,6 +52,7 @@ def all_queries() -> dict[str, QueryFn]:
         streaming_q,
         multimodal,
         table_q,
+        io_q,
         similarity,
         text,
         graph_q,
@@ -65,6 +67,7 @@ def all_oracles() -> dict[str, str]:
     from . import (
         events,
         graph_q,
+        io_q,
         kpi_q,
         multimodal,
         relational,
@@ -75,7 +78,7 @@ def all_oracles() -> dict[str, str]:
     )
 
     out: dict[str, str] = {}
-    for mod in (relational, events, text, similarity, multimodal, streaming_q, graph_q):
+    for mod in (relational, events, text, similarity, multimodal, streaming_q, graph_q, io_q):
         out.update(mod.ORACLES)
     # kpi_q/table_q oracles are built lazily: building them stages the
     # parquet fixtures / table snapshots both engines read
