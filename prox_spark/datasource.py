@@ -1,0 +1,66 @@
+"""Custom Python DataSource (Spark 4 `pyspark.sql.datasource` API).
+
+The reference's only custom connector surface is Glue's DynamicFrame
+wrappers over JDBC/S3 (reference bronze_ingestion_script.py:46-57);
+the open-source equivalent for "a source Spark doesn't ship" is this
+API: a pure-Python DataSource whose reader declares its own
+InputPartitions — Spark schedules one task per partition, so a
+100-shard source scans with 100-way parallelism, no driver loop.
+
+``synthdocs`` generates a deterministic synthetic corpus (doc text is
+a closed-form function of doc_id via md5), which makes it both a
+working example of the API and oracle-checkable: DuckDB reconstructs
+every row from generate_series (q140). Rows stream from the reader as
+tuples in doc_id order per shard; Arrow RecordBatch output is the
+drop-in upgrade when generation cost matters.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class _ShardPartition(InputPartition):
+    def __init__(self, shard: int, n_docs: int, n_shards: int):
+        self.shard = shard
+        self.n_docs = n_docs
+        self.n_shards = n_shards
+
+
+class SyntheticDocsReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_docs = int(options.get("n_docs", "1000"))
+        self.n_shards = int(options.get("shards", "8"))
+
+    def partitions(self):
+        # one InputPartition per shard -> one Spark task per shard
+        return [
+            _ShardPartition(s, self.n_docs, self.n_shards)
+            for s in range(self.n_shards)
+        ]
+
+    def read(self, partition: _ShardPartition) -> Iterator[tuple]:
+        # round-robin assignment: shard s owns doc ids ≡ s (mod shards)
+        for i in range(partition.shard, partition.n_docs, partition.n_shards):
+            digest = hashlib.md5(str(i).encode()).hexdigest()
+            yield (i, partition.shard, f"doc-{i}-{digest}")
+
+
+class SyntheticDocsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthdocs"
+
+    def schema(self) -> str:
+        return "doc_id bigint, shard int, text string"
+
+    def reader(self, schema) -> SyntheticDocsReader:
+        return SyntheticDocsReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration (latest registration wins in Spark)."""
+    spark.dataSource.register(SyntheticDocsDataSource)

@@ -130,12 +130,60 @@ ORDER BY source
 """
 
 
+N_SYNTH_DOCS = 5_000
+N_SYNTH_SHARDS = 8
+
+
+def q140_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (Spark 4 API) in the hash gate: the
+    ``synthdocs`` source (prox_spark/datasource.py) declares one
+    InputPartition per shard — Spark schedules one task each, scan
+    parallelism owned by the source itself. Every generated row is a
+    closed-form function of doc_id, so the oracle reconstructs the
+    whole corpus from generate_series: a hash match proves partition
+    planning, the per-task generators, and the row decode end-to-end.
+    (sf_dir is unused — the source IS the data.)"""
+    from prox_spark.datasource import register
+
+    register(spark)
+    docs = (
+        spark.read.format("synthdocs")
+        .option("n_docs", str(N_SYNTH_DOCS))
+        .option("shards", str(N_SYNTH_SHARDS))
+        .load()
+    )
+    return (
+        docs.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("sum_len"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("shard")
+    )
+
+
+ORACLE_Q140 = f"""
+SELECT CAST(i % {N_SYNTH_SHARDS} AS INTEGER) AS shard,
+       count(*) AS n_docs,
+       CAST(sum(length('doc-' || i || '-' || md5(i::VARCHAR))) AS BIGINT) AS sum_len,
+       min(i) AS min_doc,
+       max(i) AS max_doc
+FROM generate_series(0, {N_SYNTH_DOCS - 1}) t(i)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "q138_jsonl_scan": q138_jsonl_scan,
     "q139_orc_scan": q139_orc_scan,
+    "q140_python_datasource": q140_python_datasource,
 }
 
 ORACLES = {
     "q138_jsonl_scan": ORACLE_Q138,
     "q139_orc_scan": ORACLE_Q139,
+    "q140_python_datasource": ORACLE_Q140,
 }
