@@ -20,7 +20,12 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 class _ShardPartition(InputPartition):
@@ -64,3 +69,51 @@ class SyntheticDocsDataSource(DataSource):
 def register(spark) -> None:
     """Idempotent registration (latest registration wins in Spark)."""
     spark.dataSource.register(SyntheticDocsDataSource)
+
+
+class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch stream over the same closed-form corpus: each
+    ``read`` serves the next ``batch_size`` doc ids and advances the
+    offset; ``readBetweenOffsets`` replays any committed range
+    identically (determinism IS the replay contract — a failed batch
+    re-reads the same rows, giving exactly-once results downstream).
+    Offsets are plain dicts checkpointed by Spark."""
+
+    def __init__(self, options):
+        self.n_docs = int(options.get("n_docs", "1000"))
+        self.batch_size = int(options.get("batch_size", "250"))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def _rows(self, start: int, end: int):
+        # a LIST, not a generator: Spark prefetches and pickles these
+        # entries for replay, and generators cannot be pickled
+        return [
+            (i, i % 8, f"doc-{i}-{hashlib.md5(str(i).encode()).hexdigest()}")
+            for i in range(start, end)
+        ]
+
+    def read(self, start: dict):
+        lo = start["next"]
+        hi = min(lo + self.batch_size, self.n_docs)
+        return self._rows(lo, hi), {"next": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(start["next"], end["next"])
+
+
+class SyntheticDocsStreamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthdocs_stream"
+
+    def schema(self) -> str:
+        return "doc_id bigint, shard int, text string"
+
+    def simpleStreamReader(self, schema) -> SyntheticDocsStreamReader:
+        return SyntheticDocsStreamReader(self.options)
+
+
+def register_stream(spark) -> None:
+    spark.dataSource.register(SyntheticDocsStreamDataSource)

@@ -176,14 +176,88 @@ ORDER BY 1
 """
 
 
+def q141_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING half of the Spark 4 Python connector API, run as
+    a real stream: ``synthdocs_stream`` serves the corpus in
+    offset-tracked micro-batches (SimpleDataSourceStreamReader —
+    ``read`` advances a checkpointed dict offset, ``readBetweenOffsets``
+    replays committed ranges identically, which is the exactly-once
+    replay contract), drained with availableNow into a complete-mode
+    streaming aggregate. The oracle rebuilds the same totals in closed
+    form, so offset planning, batch boundaries, and replay all sit
+    under the hash gate. (sf_dir unused — the source IS the data.)"""
+    import uuid
+
+    from prox_spark.datasource import register_stream
+    from prox_spark.queries.streaming_q import _stream_partitions
+
+    register_stream(spark)
+    name = f"q141_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.format("synthdocs_stream")
+        .option("n_docs", str(N_SYNTH_DOCS))
+        .option("batch_size", "1000")
+        .load()
+    )
+    agg = stream.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("sum_len"),
+    )
+    import time
+
+    with _stream_partitions(spark):
+        # Python micro-batch sources don't support availableNow (Spark
+        # falls back to ONE batch, which would silently truncate the
+        # corpus at the first offset range) — run a continuous
+        # processing-time trigger and drain by polling the
+        # complete-mode aggregate until every doc is accounted for
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            deadline = time.monotonic() + 120
+            while time.monotonic() < deadline:
+                got = spark.table(name).agg(F.sum("n_docs")).collect()[0][0]
+                if got == N_SYNTH_DOCS:
+                    break
+                time.sleep(0.25)
+            else:
+                raise TimeoutError("q141 stream did not drain in 120s")
+        finally:
+            try:
+                q.stop()
+            except Exception:
+                # stop() interrupts the source's in-flight latestOffset
+                # call and can surface it as a (benign) query error;
+                # the complete-mode sink table is already fully drained
+                pass
+    return spark.table(name).orderBy("shard")
+
+
+ORACLE_Q141 = f"""
+SELECT CAST(i % 8 AS INTEGER) AS shard,
+       count(*) AS n_docs,
+       CAST(sum(length('doc-' || i || '-' || md5(i::VARCHAR))) AS BIGINT) AS sum_len
+FROM generate_series(0, {N_SYNTH_DOCS - 1}) t(i)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "q138_jsonl_scan": q138_jsonl_scan,
     "q139_orc_scan": q139_orc_scan,
     "q140_python_datasource": q140_python_datasource,
+    "q141_python_stream_source": q141_python_stream_source,
 }
 
 ORACLES = {
     "q138_jsonl_scan": ORACLE_Q138,
     "q139_orc_scan": ORACLE_Q139,
     "q140_python_datasource": ORACLE_Q140,
+    "q141_python_stream_source": ORACLE_Q141,
 }
