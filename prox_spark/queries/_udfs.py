@@ -70,3 +70,35 @@ def sentiment_counts_udf(pos_words, neg_words):
         return pd.DataFrame(rows, columns=["n_tokens", "n_pos", "n_neg"])
 
     return counts
+
+
+def make_ngram_udtf():
+    """POLYMORPHIC UDTF (Spark 4 static ``analyze``): the output schema
+    is computed at plan time from the constant ``n`` argument — n=3
+    yields (pos, tok0, tok1, tok2) — the table-function counterpart of
+    schema-on-read. Evaluation is Arrow-batched via the session conf
+    (spark.sql.execution.pythonUDTF.arrow.enabled)."""
+    import re
+
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class NGramUDTF:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            width = int(n.value)
+            if width < 1:
+                raise ValueError("n must be >= 1")
+            fields = [StructField("pos", LongType())] + [
+                StructField(f"tok{i}", StringType()) for i in range(width)
+            ]
+            return AnalyzeResult(StructType(fields))
+
+        def eval(self, text, n):
+            # same token class as TOKENS_SPARK / TOKENS_DUCK
+            toks = re.split(r"\s+", text.lower().strip())
+            for p in range(len(toks) - n + 1):
+                yield (p, *toks[p : p + n])
+
+    return udtf(NGramUDTF)

@@ -2053,6 +2053,52 @@ ORDER BY 1
 """
 
 
+# --- q142: polymorphic UDTF (plan-time schema from arguments) ---------------
+
+def q142_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 completion: a POLYMORPHIC Python UDTF whose ``analyze``
+    computes the output schema from its constant argument at plan time
+    (n=3 -> pos, tok0, tok1, tok2), evaluated Arrow-batched in a
+    LATERAL join. Trigram totals/uniques per source gate both the
+    analyze-derived schema (wrong width = wrong columns = schema
+    mismatch) and the sliding-window evaluation."""
+    from prox_spark.queries._udfs import make_ngram_udtf
+
+    spark.udtf.register("prox_ngram", make_ngram_udtf())
+    _spread_py(spark.read.parquet(f"{sf_dir}/documents.parquet")).createOrReplaceTempView(
+        "q142_docs"
+    )
+    return spark.sql(
+        """
+        SELECT d.source,
+               count(*) AS n_grams,
+               count(DISTINCT concat_ws(' ', g.tok0, g.tok1, g.tok2)) AS n_unique
+        FROM q142_docs d, LATERAL prox_ngram(d.text, 3) g
+        GROUP BY d.source
+        ORDER BY d.source
+        """
+    )
+
+
+ORACLE_Q142 = f"""
+WITH t AS (
+  SELECT source, {TOKENS_DUCK} AS toks FROM documents
+), g AS (
+  SELECT source,
+         unnest(list_transform(range(len(toks) - 2),
+                               p -> toks[p + 1] || ' ' || toks[p + 2] || ' ' || toks[p + 3])) AS gram
+  FROM t
+  WHERE len(toks) >= 3
+)
+SELECT source,
+       count(*) AS n_grams,
+       count(DISTINCT gram) AS n_unique
+FROM g
+GROUP BY source
+ORDER BY source
+"""
+
+
 # --- q129: deterministic corpus shuffle (training order) --------------------
 
 SHUFFLE_SEED = ":42"
@@ -2254,6 +2300,7 @@ QUERIES = {
     "q129_corpus_shuffle": q129_corpus_shuffle,
     "q133_shard_assignment": q133_shard_assignment,
     "q137_curation_capstone": q137_curation_capstone,
+    "q142_polymorphic_udtf": q142_polymorphic_udtf,
 }
 
 ORACLES = {
@@ -2289,4 +2336,5 @@ ORACLES = {
     "q129_corpus_shuffle": ORACLE_Q129,
     "q133_shard_assignment": ORACLE_Q133,
     "q137_curation_capstone": ORACLE_Q137,
+    "q142_polymorphic_udtf": ORACLE_Q142,
 }
