@@ -248,11 +248,79 @@ ORDER BY 1
 """
 
 
+def _stage_xml(sf_dir: str) -> str:
+    """documents as XML rows (Spark 4 ships a native XML source). The
+    staged columns are numeric/enum-like only, so no escaping concerns;
+    free-text payloads would go through xml.sax.saxutils.escape."""
+    out_dir = os.path.join(_FIXTURES, f"xml_docs_{_sf_tag(sf_dir)}")
+    out = os.path.join(out_dir, "docs.xml")
+    if not os.path.exists(out):
+        os.makedirs(out_dir, exist_ok=True)
+        t = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+        )
+        tmp = out + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("<docs>\n")
+            for row in t.to_pylist():
+                f.write(
+                    f"  <doc><doc_id>{row['doc_id']}</doc_id>"
+                    f"<source>{row['source']}</source>"
+                    f"<n_chars>{row['n_chars']}</n_chars></doc>\n"
+                )
+            f.write("</docs>\n")
+        os.replace(tmp, out)
+    return out
+
+
+def q143_xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's NATIVE XML source in the hash gate (rowTag +
+    declared schema — same no-inference rule as q138). Same
+    recompute-from-the-clean-table oracle proof as the other formats:
+    staged bytes derive from the table, so a hash match certifies the
+    encode -> parse round-trip."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    docs = (
+        spark.read.schema(schema)
+        .option("rowTag", "doc")
+        .xml(_stage_xml(sf_dir))
+    )
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("sum_ids"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_Q143 = """
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "q138_jsonl_scan": q138_jsonl_scan,
     "q139_orc_scan": q139_orc_scan,
     "q140_python_datasource": q140_python_datasource,
     "q141_python_stream_source": q141_python_stream_source,
+    "q143_xml_scan": q143_xml_scan,
 }
 
 ORACLES = {
@@ -260,4 +328,5 @@ ORACLES = {
     "q139_orc_scan": ORACLE_Q139,
     "q140_python_datasource": ORACLE_Q140,
     "q141_python_stream_source": ORACLE_Q141,
+    "q143_xml_scan": ORACLE_Q143,
 }
