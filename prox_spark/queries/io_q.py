@@ -196,7 +196,7 @@ def q141_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = (
         spark.readStream.format("synthdocs_stream")
         .option("n_docs", str(N_SYNTH_DOCS))
-        .option("batch_size", "1000")
+        .option("batch_size", "2000")
         .load()
     )
     agg = stream.groupBy("shard").agg(
@@ -224,7 +224,7 @@ def q141_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                 got = spark.table(name).agg(F.sum("n_docs")).collect()[0][0]
                 if got == N_SYNTH_DOCS:
                     break
-                time.sleep(0.25)
+                time.sleep(0.1)
             else:
                 raise TimeoutError("q141 stream did not drain in 120s")
         finally:
