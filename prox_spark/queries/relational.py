@@ -1702,6 +1702,59 @@ ORDER BY n_name
 """
 
 
+# --- q144: approx quantile sketch gated in-band vs exact ---------------------
+
+PCTL_BAND = 0.05  # relative error band for the sketch vs the exact quantile
+
+
+def q144_approx_quantile_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``percentile_approx`` (Greenwald-Khanna sketch) per order
+    priority — the constant-memory scale path for quantiles (the exact
+    form sorts every group member; the sketch is bounded by 1/accuracy
+    regardless of input size). Same gating trick as q19's HLL: the
+    sketch value is engine-specific, so the hashed surface is the
+    exact quantile twin plus an in-band boolean the oracle pins to
+    TRUE — a sketch drifting beyond 5% fails the hash gate. GK is
+    deterministic for a fixed input ordering per group; the accuracy
+    parameter (10000) keeps the band comfortable."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = (
+        li.join(
+            _t(spark, sf_dir, "orders"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("exact_med"),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_med"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    return (
+        agg.select(
+            "o_orderpriority",
+            F.round("exact_med", 2).alias("median_price"),
+            (
+                F.abs(F.col("approx_med") - F.col("exact_med"))
+                <= PCTL_BAND * F.col("exact_med")
+            ).alias("approx_ok"),
+            "n_items",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_Q144 = """
+SELECT o_orderpriority,
+       round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price,
+       TRUE AS approx_ok,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 # --- q132: auto-skew join (detected hot keys -> broadcast isolation) --------
 
 def q132_auto_skew_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1812,6 +1865,7 @@ ORDER BY l_returnflag
 QUERIES = {
     "q131_zorder_scan": q131_zorder_scan,
     "q132_auto_skew_revenue": q132_auto_skew_revenue,
+    "q144_approx_quantile_band": q144_approx_quantile_band,
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top5_suppliers": q02_top5_suppliers,
     "q03_avg_acctbal_by_nation": q03_avg_acctbal_by_nation,
@@ -1859,6 +1913,7 @@ QUERIES = {
 ORACLES = {
     "q131_zorder_scan": ORACLE_Q131,
     "q132_auto_skew_revenue": ORACLE_Q132,
+    "q144_approx_quantile_band": ORACLE_Q144,
     "q102_stratified_sample": ORACLE_Q102,
     "q103_price_histogram": ORACLE_Q103,
     "q104_rich_accounts_reconcile": ORACLE_Q104,
