@@ -52,9 +52,9 @@ def all_queries() -> dict[str, QueryFn]:
         streaming_q,
         multimodal,
         table_q,
-        io_q,
         similarity,
         text,
+        io_q,
         graph_q,
         events,
         relational,
