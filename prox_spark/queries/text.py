@@ -1528,16 +1528,15 @@ def q105_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # once and re-expands by group COUNTS. Here 5000 docs hold 1438
     # distinct hashes (~12x fewer candidate rows); on a real corpus
     # the exact-dup mass is the dominant quadratic term this removes.
+    # m2 (second-smallest doc per hash — the min-neighbor for the doc
+    # that IS the group minimum) folds into the same aggregate via a
+    # sorted collect: per-fingerprint groups are exact-duplicate
+    # clones, small by nature, so the list is bounded and one shuffle
+    # replaces the former groupBy + re-join + second groupBy
     g = s.groupBy("simhash").agg(
-        F.count(F.lit(1)).alias("cnt"), F.min("doc_id").alias("m1")
-    )
-    # second-smallest doc per hash: the min-neighbor for the doc that
-    # IS the group minimum
-    m2 = (
-        s.join(g.select("simhash", "m1"), "simhash")
-        .filter(F.col("doc_id") != F.col("m1"))
-        .groupBy("simhash")
-        .agg(F.min("doc_id").alias("m2"))
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("doc_id").alias("m1"),
+        F.expr("try_element_at(array_sort(collect_list(doc_id)), 2)").alias("m2"),
     )
     band = F.explode(
         F.expr(
@@ -1575,7 +1574,6 @@ def q105_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         s.join(g, "simhash")
-        .join(m2, "simhash", "left")
         .join(nbr, s.simhash == nbr.h1, "left")
         .select(
             "doc_id",
