@@ -302,17 +302,11 @@ MINHASH_K = 16          # signature length
 LSH_BAND_ROWS = 4       # rows per band -> 4 bands; s-curve threshold ~0.71
 
 
-def q36_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures as a pure projection (no shuffle): per doc,
-    ``sig[s] = array_min(transform(shingles, x -> md5(s || '|' || x)))``.
-    Bands are slices of the signature array; candidate pairs come from
-    one small equi-join on (band, band_sig); exact-Jaccard verification
-    is ``size(array_intersect(...))`` over the two shingle arrays joined
-    back by doc_id — no exploded postings, no re-aggregation.
-
-    Scale path: the only wide shuffle is on band_sig (short strings,
-    uniformly distributed md5s — no skew); verify joins are proportional
-    to the candidate count, which the band width tunes."""
+def _minhash_candidate_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared LSH front half for q36/q147: banded-MinHash candidate
+    pairs joined back to their shingle arrays, with the exact overlap
+    (n_inter, n1, n2) computed — the similarity METRIC (Jaccard vs
+    containment) is the caller's one-line decision."""
     arr = _doc_shingle_arrays(spark, sf_dir).cache()
     sig_expr = (
         f"transform(sequence(0, {MINHASH_K - 1}), "
@@ -358,12 +352,54 @@ def q36_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         candidates.join(pa, "doc1")
         .join(pb, "doc2")
         .withColumn("n_inter", F.size(F.array_intersect("sh1", "sh2")))
-        .withColumn(
+        .select("doc1", "doc2", "n_inter", "n1", "n2")
+    )
+
+
+def q36_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures as a pure projection (no shuffle): per doc,
+    ``sig[s] = array_min(transform(shingles, x -> md5(s || '|' || x)))``.
+    Bands are slices of the signature array; candidate pairs come from
+    one small equi-join on (band, band_sig); exact-Jaccard verification
+    is ``size(array_intersect(...))`` over the two shingle arrays joined
+    back by doc_id — no exploded postings, no re-aggregation.
+
+    Scale path: the only wide shuffle is on band_sig (short strings,
+    uniformly distributed md5s — no skew); verify joins are proportional
+    to the candidate count, which the band width tunes."""
+    ov = _minhash_candidate_overlaps(spark, sf_dir)
+    return (
+        ov.withColumn(
             "jaccard",
             F.round(F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter")), 6),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc1", "doc2", "jaccard")
+        .orderBy("doc1", "doc2")
+    )
+
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def q147_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment over the banded candidates: C =
+    n_inter / min(|A|, |B|) flags small-inside-big relationships
+    (quotes, excerpts, boilerplate wrappers) that symmetric Jaccard
+    under-scores — the pair (abstract, full paper) has low Jaccard but
+    containment ~1. Candidates still come from the Jaccard-tuned
+    bands, so this is the containment VERIFY over near-dup candidates;
+    catching heavily size-skewed pairs end-to-end is the n-gram
+    decontamination path (q67/q76), whose candidate generation is
+    containment-shaped by construction."""
+    ov = _minhash_candidate_overlaps(spark, sf_dir)
+    return (
+        ov.withColumn(
+            "containment",
+            F.round(F.col("n_inter") / F.least("n1", "n2"), 6),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+        .select("doc1", "doc2", "containment")
         .orderBy("doc1", "doc2")
     )
 
@@ -395,6 +431,37 @@ FROM inter
 JOIN sizes sa ON doc1 = sa.doc_id
 JOIN sizes sb ON doc2 = sb.doc_id
 WHERE round(n_inter / (sa.n_shingles + sb.n_shingles - n_inter), 6) >= {JACCARD_THRESHOLD}
+ORDER BY doc1, doc2
+"""
+
+
+ORACLE_Q147 = f"""
+{DUCK_SHINGLE_CTE},
+sig AS (
+  SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || shingle)) AS minh
+  FROM shingles CROSS JOIN range({MINHASH_K}) t(seed)
+  GROUP BY doc_id, seed
+), bands AS (
+  SELECT doc_id, seed // {LSH_BAND_ROWS} AS band,
+         string_agg(minh, ',' ORDER BY seed) AS band_sig
+  FROM sig GROUP BY 1, 2
+), candidates AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+), inter AS (
+  SELECT doc1, doc2, count(*) AS n_inter
+  FROM candidates
+  JOIN shingles s1 ON doc1 = s1.doc_id
+  JOIN shingles s2 ON doc2 = s2.doc_id AND s1.shingle = s2.shingle
+  GROUP BY doc1, doc2
+)
+SELECT doc1, doc2,
+       round(n_inter / least(sa.n_shingles, sb.n_shingles), 6) AS containment
+FROM inter
+JOIN sizes sa ON doc1 = sa.doc_id
+JOIN sizes sb ON doc2 = sb.doc_id
+WHERE round(n_inter / least(sa.n_shingles, sb.n_shingles), 6) >= {CONTAINMENT_THRESHOLD}
 ORDER BY doc1, doc2
 """
 
@@ -2097,6 +2164,142 @@ ORDER BY source
 """
 
 
+# --- q145: temperature-scaled source mixture (alpha = 0.5) ------------------
+
+def q145_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature sampling across sources — the multilingual-LM
+    re-weighting p(s) ∝ count^alpha with alpha=0.5, so small sources
+    are up-weighted relative to their share — computed ENTIRELY in
+    integers so the hash gate holds: weights are isqrt(count) (BIGINT;
+    floor of a correctly-rounded IEEE sqrt of a sub-2^52 integer is
+    engine-identical), per-source quotas are integer proportional
+    shares of a total//2 budget, and the keep decision is
+    ``bucket32 < (quota * 2^32) div count`` against the md5-derived
+    32-bit bucket — no float ever crosses an engine boundary. Same
+    no-rand(), map-side-gate design as q65/q66; the only aggregates
+    are the tiny per-source stats."""
+    hx8 = "conv(substring(m, 1, 8), 16, 10)"
+    docs = _docs(spark, sf_dir)
+    stats = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("w", F.expr("cast(floor(sqrt(cnt)) as bigint)"))
+    )
+    tot = stats.agg(
+        F.sum("cnt").alias("total"), F.sum("w").alias("tot_w")
+    ).collect()[0]
+    budget = int(tot["total"]) // 2
+    quotas = stats.withColumn(
+        "quota", F.expr(f"({budget} * w) div {int(tot['tot_w'])}")
+    ).withColumn("thr", F.expr("(quota * 4294967296L) div cnt"))
+    return (
+        docs.withColumn(
+            "m", F.md5(F.concat(F.lit("temp|"), F.col("doc_id").cast("string")))
+        )
+        .withColumn("b32", F.expr(hx8).cast("long"))
+        .join(F.broadcast(quotas.select("source", "cnt", "quota", "thr")), "source")
+        .filter(F.col("b32") < F.col("thr"))
+        .groupBy("source")
+        .agg(
+            F.max("cnt").alias("n_docs"),
+            F.max("quota").alias("quota"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_Q145 = """
+WITH stats AS (
+  SELECT source, count(*) AS cnt,
+         CAST(floor(sqrt(count(*))) AS BIGINT) AS w
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) // 2 AS budget,
+         CAST(sum(w) AS BIGINT) AS tot_w
+  FROM stats
+), quotas AS (
+  SELECT source, cnt, (t.budget * w) // t.tot_w AS quota,
+         (((t.budget * w) // t.tot_w) * 4294967296) // cnt AS thr
+  FROM stats, tot t
+)
+SELECT d.source,
+       max(q.cnt) AS n_docs,
+       max(q.quota) AS quota,
+       count(*) AS n_kept
+FROM (
+  SELECT doc_id, source,
+         CAST(('0x' || substring(md5('temp|' || doc_id::VARCHAR), 1, 8))::UBIGINT AS BIGINT) AS b32
+  FROM documents
+) d
+JOIN quotas q ON d.source = q.source
+WHERE d.b32 < q.thr
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+# --- q146: winsorized per-source stats (outlier-robust aggregates) ----------
+
+def q146_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust corpus statistics: per source, clamp document
+    lengths into the [p10, p90] DISCRETE percentile band and aggregate
+    the winsorized values — the robust mean a data card reports when a
+    handful of giant or empty documents would swamp a plain average.
+    DISCRETE percentiles (an actual element, not an interpolation)
+    keep every intermediate an exact integer, so sums are exact and
+    only the final mean divides (identical BIGINTs in both engines —
+    the determinism rule). Scale shape: one percentile agg (tiny
+    result, broadcast back) + one map-side clamp + one partial agg."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    # percentile_disc returns DOUBLE even over integer input — the
+    # value is an exact element, so the bigint cast is lossless
+    bounds = docs.groupBy("source").agg(
+        F.expr("percentile_disc(0.1) WITHIN GROUP (ORDER BY n_chars)")
+        .cast("long")
+        .alias("lo"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars)")
+        .cast("long")
+        .alias("hi"),
+    )
+    return (
+        docs.join(F.broadcast(bounds), "source")
+        .withColumn("wz", F.greatest("lo", F.least("hi", F.col("n_chars"))))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("lo").alias("p10"),
+            F.max("hi").alias("p90"),
+            F.sum("wz").alias("winsorized_sum"),
+        )
+        .withColumn(
+            "winsorized_mean",
+            F.round(F.col("winsorized_sum") / F.col("n_docs"), 6),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_Q146 = """
+WITH b AS (
+  SELECT source,
+         quantile_disc(n_chars, 0.1) AS lo,
+         quantile_disc(n_chars, 0.9) AS hi
+  FROM documents GROUP BY source
+)
+SELECT d.source,
+       count(*) AS n_docs,
+       max(b.lo) AS p10,
+       max(b.hi) AS p90,
+       CAST(sum(greatest(b.lo, least(b.hi, d.n_chars))) AS BIGINT) AS winsorized_sum,
+       round(CAST(sum(greatest(b.lo, least(b.hi, d.n_chars))) AS BIGINT)
+             / count(*), 6) AS winsorized_mean
+FROM documents d JOIN b ON d.source = b.source
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
 # --- q129: deterministic corpus shuffle (training order) --------------------
 
 SHUFFLE_SEED = ":42"
@@ -2299,6 +2502,9 @@ QUERIES = {
     "q133_shard_assignment": q133_shard_assignment,
     "q137_curation_capstone": q137_curation_capstone,
     "q142_polymorphic_udtf": q142_polymorphic_udtf,
+    "q145_temperature_mixture": q145_temperature_mixture,
+    "q146_winsorized_stats": q146_winsorized_stats,
+    "q147_containment_pairs": q147_containment_pairs,
 }
 
 ORACLES = {
@@ -2335,4 +2541,7 @@ ORACLES = {
     "q133_shard_assignment": ORACLE_Q133,
     "q137_curation_capstone": ORACLE_Q137,
     "q142_polymorphic_udtf": ORACLE_Q142,
+    "q145_temperature_mixture": ORACLE_Q145,
+    "q146_winsorized_stats": ORACLE_Q146,
+    "q147_containment_pairs": ORACLE_Q147,
 }
