@@ -2300,6 +2300,50 @@ ORDER BY d.source
 """
 
 
+# --- q148: source-concentration audit (HHI, exact rational form) ------------
+
+def q148_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of sources within each
+    language — the data-governance audit number ("is this slice
+    dominated by one source?") a corpus release reports alongside the
+    mixture table. HHI = Σ (n_i/N)² is computed in its exact rational
+    form — Σ n_i² and N² are exact BIGINTs, ONE division at the end —
+    so there is no float-sum ordering hazard (same reasoning as the
+    Gini/entropy family; entropy's log is transcendental and
+    engine-varying, HHI is division-only, which is why it is the
+    gated representative). Two partial-agg passes, both keyed small."""
+    docs = _docs(spark, sf_dir).select("lang", "source")
+    per = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.sum("n").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_sources"),
+            F.sum(F.col("n") * F.col("n")).alias("ssq"),
+        )
+        .withColumn(
+            "hhi",
+            F.round(F.col("ssq") / (F.col("n_docs") * F.col("n_docs")), 6),
+        )
+        .select("lang", "n_docs", "n_sources", "hhi")
+        .orderBy("lang")
+    )
+
+
+ORACLE_Q148 = """
+WITH per AS (
+  SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source
+)
+SELECT lang,
+       CAST(sum(n) AS BIGINT) AS n_docs,
+       count(*) AS n_sources,
+       round(CAST(sum(n * n) AS BIGINT) / (CAST(sum(n) AS BIGINT) * CAST(sum(n) AS BIGINT)), 6) AS hhi
+FROM per
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 # --- q129: deterministic corpus shuffle (training order) --------------------
 
 SHUFFLE_SEED = ":42"
@@ -2505,6 +2549,7 @@ QUERIES = {
     "q145_temperature_mixture": q145_temperature_mixture,
     "q146_winsorized_stats": q146_winsorized_stats,
     "q147_containment_pairs": q147_containment_pairs,
+    "q148_source_concentration": q148_source_concentration,
 }
 
 ORACLES = {
@@ -2544,4 +2589,5 @@ ORACLES = {
     "q145_temperature_mixture": ORACLE_Q145,
     "q146_winsorized_stats": ORACLE_Q146,
     "q147_containment_pairs": ORACLE_Q147,
+    "q148_source_concentration": ORACLE_Q148,
 }
