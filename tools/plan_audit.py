@@ -18,11 +18,19 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 SKIP = {
+    # building these RUNS a real stream (the query fn drains to a sink
+    # before returning a frame) — their batch twins are audited instead
     "q44_stateful_user_totals",
     "q69_streaming_hourly_stats",
     "q77_stream_static_enrich",
     "q78_stream_stream_join",
+    "q100_streaming_dedup",
+    "q101_streaming_sessions",
+    "q109_streaming_dedup_store",
+    "q136_streaming_neardup_store",
+    "q141_python_stream_source",
     "q86_scd2_user_state",  # builds via sequential merges (real writes), audited by test
+    "q127_pagerank",  # iterative build materializes per-round checkpoints
 }
 
 # node names as they appear at the head of a tree line (join nodes are
