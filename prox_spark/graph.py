@@ -70,7 +70,7 @@ def pagerank(edges: DataFrame, iters: int = 5) -> DataFrame:
     )
     n_edges = deg.agg(F.sum("out")).collect()[0][0]
     width = max(
-        1, min(spark.sparkContext.defaultParallelism, n_edges // 50_000 + 1)
+        1, min(spark.sparkContext.defaultParallelism, n_edges // 250_000 + 1)
     )
     # (src, dst, out) hash-partitioned by DST and checkpointed: the
     # per-round heavy shuffle would be groupBy(dst) over the edge
@@ -78,7 +78,9 @@ def pagerank(edges: DataFrame, iters: int = 5) -> DataFrame:
     # reuse this one exchange (the checkpoint preserves the
     # partitioning), so after setup NO per-iteration shuffle touches
     # edge-sized data. Width sized to edge count like the CC fixpoint
-    # (queries/text.py:619).
+    # (queries/text.py:619) at ~250k rows (~6 MB) per partition — edge
+    # rows are three BIGINTs, so finer slicing just buys per-round
+    # task-scheduling overhead.
     ed = e.join(deg, "src").repartition(width, "dst").localCheckpoint(eager=True)
     nodes = deg.select(F.col("src").alias("node"))
     n_nodes = deg.count()
