@@ -2344,6 +2344,44 @@ ORDER BY lang
 """
 
 
+# --- q149: log-scale length histogram (exact power-of-two bins) -------------
+
+def q149_log_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length distribution on a LOG scale — the histogram a
+    data card actually shows, since lengths span orders of magnitude
+    and q103's fixed-width bins collapse the head. The log-2 bucket is
+    computed exactly as ``length(bin(n_chars))`` (bit length =
+    floor(log2)+1 — integer, engine-identical; a floating log2 is
+    transcendental and banned by the determinism rules). Map-side
+    binning + a partial agg over ~60 possible buckets: constant-size
+    shuffle at any corpus size, same scale shape as q103."""
+    docs = _docs(spark, sf_dir).select("n_chars")
+    return (
+        docs.withColumn("bucket", F.length(F.bin("n_chars")).cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .withColumn("bucket_lo", F.expr("shiftleft(1L, cast(bucket as int) - 1)"))
+        .select("bucket", "bucket_lo", "n_docs", "min_chars", "max_chars")
+        .orderBy("bucket")
+    )
+
+
+ORACLE_Q149 = """
+SELECT length(bin(n_chars))::BIGINT AS bucket,
+       (1::BIGINT << (length(bin(n_chars)) - 1)) AS bucket_lo,
+       count(*) AS n_docs,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars
+FROM documents
+GROUP BY 1, 2
+ORDER BY 1
+"""
+
+
 # --- q129: deterministic corpus shuffle (training order) --------------------
 
 SHUFFLE_SEED = ":42"
@@ -2550,6 +2588,7 @@ QUERIES = {
     "q146_winsorized_stats": q146_winsorized_stats,
     "q147_containment_pairs": q147_containment_pairs,
     "q148_source_concentration": q148_source_concentration,
+    "q149_log_length_histogram": q149_log_length_histogram,
 }
 
 ORACLES = {
@@ -2590,4 +2629,5 @@ ORACLES = {
     "q146_winsorized_stats": ORACLE_Q146,
     "q147_containment_pairs": ORACLE_Q147,
     "q148_source_concentration": ORACLE_Q148,
+    "q149_log_length_histogram": ORACLE_Q149,
 }
