@@ -70,6 +70,29 @@ def _check_schema(current: DataFrame, updates: DataFrame, what: str) -> None:
         )
 
 
+def _evolve(current: DataFrame, updates: DataFrame, what: str):
+    """ADD-COLUMN schema evolution: updates may carry a superset of the
+    table's columns; existing rows read the new columns as NULL (the
+    Iceberg/Delta add-column semantic — no rewrite of old data beyond
+    this table format's normal copy-on-write commit). Dropping or
+    renaming is still an error: silent column loss is how pipelines
+    corrupt tables, so destructive evolution stays explicit
+    (delete_keys + re-create, or a migration script).
+
+    Returns (current', updates') with identical column sets."""
+    missing_in_updates = set(current.columns) - set(updates.columns)
+    if missing_in_updates:
+        raise ValueError(
+            f"{what}: updates drop columns {sorted(missing_in_updates)}; "
+            "add-column evolution only"
+        )
+    new_cols = [c for c in updates.columns if c not in current.columns]
+    for c in new_cols:
+        dt = updates.schema[c].dataType
+        current = current.withColumn(c, F.lit(None).cast(dt))
+    return current, updates
+
+
 def _commit(spark: SparkSession, table_path: str, df: DataFrame, migrated: bool) -> None:
     # the copy-on-write self-reference is safe: committing executes the
     # merge plan (which reads the current snapshot) BEFORE anything is
@@ -84,15 +107,22 @@ def upsert_parquet(
     table_path: str,
     updates: DataFrame,
     keys: list[str],
+    *,
+    evolve: bool = False,
 ) -> None:
     """Merge ``updates`` into the table at ``table_path`` by ``keys``
     (update rows win; new keys append). Creates the table if absent.
-    Columns must match the existing table's schema."""
+    Columns must match the existing table's schema unless
+    ``evolve=True``, which permits ADD-COLUMN evolution (see
+    :func:`_evolve`)."""
     current = _current(spark, table_path)
     if current is None:
         commit_snapshot(spark, table_path, updates)
         return
-    _check_schema(current, updates, "upsert")
+    if evolve:
+        current, updates = _evolve(current, updates, "upsert")
+    else:
+        _check_schema(current, updates, "upsert")
     survivors = current.join(updates.select(*keys).distinct(), keys, "left_anti")
     merged = updates.select(*current.columns).unionByName(survivors)
     _commit(spark, table_path, merged, migrated=not is_manifest_table(spark, table_path))

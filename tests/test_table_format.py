@@ -138,3 +138,44 @@ def test_delete_keys_rejects_unknown_key_column(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="not in table schema"):
         delete_keys(spark, path, spark.createDataFrame([(1,)], "nope BIGINT"), ["nope"])
+
+
+def test_upsert_add_column_evolution(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from prox_spark.table import read_table, table_versions
+    from prox_spark.upsert import upsert_parquet
+
+    path = str(tmp_path / "t")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id BIGINT, name STRING")
+    upsert_parquet(spark, path, v1, ["id"])
+    v2 = spark.createDataFrame(
+        [(2, "b2", 0.9), (3, "c", 0.5)], "id BIGINT, name STRING, score DOUBLE"
+    )
+    # without the flag: schema mismatch is still an error
+    import pytest
+
+    with pytest.raises(ValueError, match="schema mismatch"):
+        upsert_parquet(spark, path, v2, ["id"])
+    upsert_parquet(spark, path, v2, ["id"], evolve=True)
+    got = {r.id: (r.name, r.score) for r in read_table(spark, path).collect()}
+    # old row null-fills the new column; updated/new rows carry values
+    assert got == {1: ("a", None), 2: ("b2", 0.9), 3: ("c", 0.5)}
+    # time travel still serves the pre-evolution schema
+    v = table_versions(spark, path)
+    old = read_table(spark, path, version=v[-2])
+    assert old.columns == ["id", "name"]
+
+
+def test_upsert_evolution_rejects_dropped_columns(spark, tmp_path):
+    import pytest
+
+    from prox_spark.upsert import upsert_parquet
+
+    path = str(tmp_path / "t")
+    upsert_parquet(
+        spark, path, spark.createDataFrame([(1, "a")], "id BIGINT, name STRING"), ["id"]
+    )
+    narrower = spark.createDataFrame([(2,)], "id BIGINT")
+    with pytest.raises(ValueError, match="drop columns"):
+        upsert_parquet(spark, path, narrower, ["id"], evolve=True)
