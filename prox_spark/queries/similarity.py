@@ -328,13 +328,23 @@ def q42_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("id1"), F.col("b.vec_id").alias("id2"))
         .distinct()
     )
-    e1 = emb.select(F.col("vec_id").alias("id1"), F.col("dd").alias("v1"), F.col("nrm").alias("n1"))
-    e2 = emb.select(F.col("vec_id").alias("id2"), F.col("dd").alias("v2"), F.col("nrm").alias("n2"))
-    # vector attach is UN-hinted: e1/e2 are the whole embedding corpus
-    # (O(N) dense vectors), which must never be pinned to a driver
-    # broadcast. Candidates are narrow (id1, id2) rows, so the equi-join
-    # shuffles ids + vectors hash-partitioned by vec_id; AQE broadcasts
-    # only when the corpus genuinely fits
+    # prune the corpus to candidate members BEFORE attaching vectors:
+    # the two-sided attach would otherwise shuffle the full dense-vector
+    # corpus twice; the semi-join keys on the (tiny) candidate id set,
+    # so only vectors that will actually be verified move at all
+    cand = cand.cache()
+    ids = (
+        cand.select(F.col("id1").alias("vec_id"))
+        .union(cand.select(F.col("id2").alias("vec_id")))
+        .distinct()
+    )
+    emb_c = emb.join(ids, "vec_id", "left_semi")
+    e1 = emb_c.select(F.col("vec_id").alias("id1"), F.col("dd").alias("v1"), F.col("nrm").alias("n1"))
+    e2 = emb_c.select(F.col("vec_id").alias("id2"), F.col("dd").alias("v2"), F.col("nrm").alias("n2"))
+    # vector attach is UN-hinted: at adversarial candidate volumes the
+    # pruned frame is still O(N) dense vectors, which must never be
+    # pinned to a driver broadcast; AQE broadcasts only when it
+    # genuinely fits
     return (
         cand.join(e1, "id1")
         .join(e2, "id2")
