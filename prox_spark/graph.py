@@ -44,31 +44,42 @@ MASS = 10**12
 DAMP_NUM, DAMP_DEN = 85, 100  # damping 0.85 as an exact ratio
 
 
-def pagerank(edges: DataFrame, iters: int = 5) -> DataFrame:
+def pagerank(
+    edges: DataFrame, iters: int = 5, weight_col: str | None = None
+) -> DataFrame:
     """Integer-arithmetic PageRank over a directed edge list
-    ``(src, dst)``; returns ``(node, rank)`` with rank in micro-units
-    of MASS. Every node must appear as a ``src`` at least once (feed a
-    symmetrized edge list for undirected graphs — then outdeg >= 1 by
-    construction and no dangling-mass redistribution is needed).
+    ``(src, dst[, weight])``; returns ``(node, rank)`` with rank in
+    micro-units of MASS. Every node must appear as a ``src`` at least
+    once (feed a symmetrized edge list for undirected graphs — then
+    outdeg >= 1 by construction and no dangling-mass redistribution is
+    needed).
+
+    ``weight_col`` (integer weights >= 1) generalizes to the weighted
+    walk — a domain link graph weighs edges by link COUNT, not
+    existence. The recurrence stays exact: each edge's share is
+    ``(rank * w) div total_w(src)`` (BIGINT; rank <= MASS = 1e12 and
+    64-bit headroom allows total weights up to ~9e6 per source —
+    pre-scale weights down if a source exceeds that).
 
     ``iters`` is a fixed count, not a convergence test: oracle twins
     unroll the same number of rounds, and a data-dependent stop would
     make the result depend on float tolerances.
     """
     spark = edges.sparkSession
+    w = weight_col if weight_col is not None else None
+    cols = ["src", "dst"] + ([w] if w else [])
     # materialize the edge list ONCE: every iteration re-reads it, so
     # its lineage (the upstream join/distinct that built it) must not
     # replay per round
-    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    e = edges.select(*cols).localCheckpoint(eager=True)
     # degrees checkpointed too: both the edge-frame join and the node
     # list derive from it, and it is nodes-sized (tiny); edge/node
     # counts fall out of it for free instead of extra passes over e
-    deg = (
-        e.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("out"))
-        .localCheckpoint(eager=True)
-    )
-    n_edges = deg.agg(F.sum("out")).collect()[0][0]
+    out_expr = F.sum(w).alias("out") if w else F.count(F.lit(1)).alias("out")
+    deg = e.groupBy("src").agg(out_expr).localCheckpoint(eager=True)
+    # e is already materialized, so the count is a cheap metadata-ish
+    # job (and with weights, sum(out) would be weight mass, not edges)
+    n_edges = e.count()
     width = max(
         1, min(spark.sparkContext.defaultParallelism, n_edges // 250_000 + 1)
     )
@@ -93,9 +104,12 @@ def pagerank(edges: DataFrame, iters: int = 5) -> DataFrame:
         # an un-hinted join over src-co-partitioned frames; node
         # frames in the curation use-case are bounded by hosts, not
         # documents, so broadcast is the right default.)
+        share = (
+            F.expr(f"(rank * {w}) div out") if w else F.expr("rank div out")
+        )
         inflow = (
             ed.join(F.broadcast(ranks), ed.src == ranks.node)
-            .select("dst", F.expr("rank div out").alias("share"))
+            .select("dst", share.alias("share"))
             .groupBy("dst")
             .agg(F.sum("share").alias("inflow"))
         )

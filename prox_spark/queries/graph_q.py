@@ -131,3 +131,110 @@ QUERIES = {
 ORACLES = {
     "q127_pagerank": ORACLE_Q127,
 }
+
+
+def _weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer<->supplier edges weighted by interaction COUNT (number
+    of lineitems between the pair) — the weighted domain-graph form: a
+    host linking another 500 times is not the same as linking once."""
+    cat = testdata_catalog(spark, sf_dir)
+    orders = cat.table("orders").select("o_orderkey", "o_custkey")
+    li = cat.table("lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("cust_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("supp_node"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("cust_node").alias("src"),
+                    F.col("supp_node").alias("dst"),
+                    F.col("w"),
+                ),
+                F.struct(
+                    F.col("supp_node").alias("src"),
+                    F.col("cust_node").alias("dst"),
+                    F.col("w"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst", "e.w")
+
+
+def q150_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted 5-round PageRank: edge shares proportional to
+    interaction counts, same exact-integer recurrence (share =
+    (rank*w) div total_w; see prox_spark/graph.py). Compared to q127's
+    unweighted walk, suppliers with heavy repeat business pull ahead
+    of breadth-only suppliers — the distinction domain-level curation
+    actually wants."""
+    ranks = pagerank(_weighted_edges(spark, sf_dir), iters=PR_ITERS, weight_col="w")
+    return (
+        ranks.select(
+            F.col("node").alias("node_id"),
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+            F.expr("node div 2").alias("entity_key"),
+            "rank",
+        )
+        .orderBy(F.desc("rank"), "node_id")
+        .limit(20)
+    )
+
+
+def _wrank_round_cte(i: int) -> str:
+    return f"""r{i} AS (
+  SELECT n.node,
+         (15 * (SELECT {MASS} // n FROM params)) // 100
+         + (85 * coalesce(infl.s, 0)) // 100 AS rank
+  FROM nodes n
+  LEFT JOIN (
+    SELECT e.dst AS node, (sum((r.rank * e.w) // d.outw))::BIGINT AS s
+    FROM edges e
+    JOIN r{i - 1} r ON e.src = r.node
+    JOIN deg d ON e.src = d.src
+    GROUP BY e.dst
+  ) infl ON n.node = infl.node
+)"""
+
+
+_WROUNDS = ",\n".join(_wrank_round_cte(i) for i in range(1, PR_ITERS + 1))
+
+ORACLE_Q150 = f"""
+WITH pairs AS (
+  SELECT o.o_custkey * 2 AS cust_node, l.l_suppkey * 2 + 1 AS supp_node,
+         count(*) AS w
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+), edges AS (
+  SELECT cust_node AS src, supp_node AS dst, CAST(w AS BIGINT) AS w FROM pairs
+  UNION ALL
+  SELECT supp_node, cust_node, CAST(w AS BIGINT) FROM pairs
+), deg AS (
+  SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM edges GROUP BY src
+), nodes AS (
+  SELECT src AS node FROM deg
+), params AS (
+  SELECT count(*) AS n FROM nodes
+), r0 AS (
+  SELECT node, (SELECT {MASS} // n FROM params) AS rank FROM nodes
+),
+{_WROUNDS}
+SELECT node AS node_id,
+       CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+       node // 2 AS entity_key,
+       rank
+FROM r{PR_ITERS}
+ORDER BY rank DESC, node_id
+LIMIT 20
+"""
+
+
+QUERIES["q150_weighted_pagerank"] = q150_weighted_pagerank
+ORACLES["q150_weighted_pagerank"] = ORACLE_Q150

@@ -49,3 +49,26 @@ def test_pagerank_hub_outranks_leaves(spark):
     assert len(set(ranks.values())) == 1
     # truncating division only ever LEAKS mass, never creates it
     assert hub + sum(ranks.values()) <= MASS
+
+
+def test_weighted_pagerank_matches_integer_model(spark):
+    from prox_spark.graph import pagerank
+
+    pairs = [(0, 1, 5), (0, 2, 1), (2, 3, 7), (3, 0, 2)]
+    edges = pairs + [(b, a, w) for a, b, w in pairs]
+    df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT, w BIGINT")
+    got = {r.node: r.rank for r in pagerank(df, iters=5, weight_col="w").collect()}
+
+    outw: dict[int, int] = {}
+    for s, _, w in edges:
+        outw[s] = outw.get(s, 0) + w
+    nodes = sorted(outw)
+    init = MASS // len(nodes)
+    base = (15 * init) // 100
+    rank = {v: init for v in nodes}
+    for _ in range(5):
+        inflow: dict[int, int] = {}
+        for s, d, w in edges:
+            inflow[d] = inflow.get(d, 0) + (rank[s] * w) // outw[s]
+        rank = {v: base + (85 * inflow.get(v, 0)) // 100 for v in nodes}
+    assert got == rank
