@@ -31,6 +31,7 @@ SKIP = {
     "q141_python_stream_source",
     "q86_scd2_user_state",  # builds via sequential merges (real writes), audited by test
     "q127_pagerank",  # iterative build materializes per-round checkpoints
+    "q150_weighted_pagerank",
 }
 
 # node names as they appear at the head of a tree line (join nodes are
