@@ -100,3 +100,31 @@ def test_integer_pagerank_conserves_and_orders(pairs):
     assert sum(rank.values()) <= MASS
     # every rank keeps the damping floor
     assert all(r >= base for r in rank.values())
+
+
+@given(st.lists(st.integers(1, 100_000), min_size=1, max_size=30))
+@settings(max_examples=300, deadline=None)
+def test_temperature_quota_math_invariants(counts):
+    # the q145 integer recurrence: isqrt weights, proportional integer
+    # quotas of a total//2 budget, 2^32-scaled keep thresholds
+    import math
+
+    total = sum(counts)
+    budget = total // 2
+    ws = [math.isqrt(c) for c in counts]
+    tot_w = sum(ws)
+    quotas = [(budget * w) // tot_w for w in ws]
+    # floor-allocation never oversubscribes the budget
+    assert sum(quotas) <= budget
+    # quotas are weakly monotone in counts (bigger source never gets
+    # a smaller quota)
+    order = sorted(range(len(counts)), key=lambda i: counts[i])
+    for a, b in zip(order, order[1:]):
+        assert quotas[a] <= quotas[b]
+    # thresholds stay in 33-bit range only when the quota is below the
+    # source size; a quota >= count keeps the whole source (rate
+    # implicitly clamped at 1) — both regimes are valid keep-gates
+    for q, c in zip(quotas, counts):
+        thr = (q * 4294967296) // c
+        if q <= c:
+            assert thr <= 4294967296
