@@ -325,6 +325,110 @@ ORDER BY n_events DESC, user_id
 """
 
 
+# --- q151: gap-fill with linear interpolation (q97's twin) ------------------
+
+def q151_gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling, interpolating variant: the q97 5-minute
+    grid, but empty buckets LINEARLY interpolated between the previous
+    and next observed bucket averages — the prep when the modeled
+    quantity is continuous (a carried-forward step function biases
+    gradients at gap edges). Endpoints degrade to nearest-known.
+
+    Determinism: anchors are the identical rounded bucket averages in
+    both engines; the interpolation factor is a ratio of exact bucket
+    INTEGERS; one multiply + add on identical doubles, rounded — so
+    bit-equality survives the float hop. Same scale shape as q97: the
+    single-partition windows run over the bounded GRID (time-span /
+    5 min), never the corpus."""
+    ev = _events(spark, sf_dir)
+    BUCKET_US = 300 * 10**6
+    b = ev.withColumn(
+        "bkt", F.expr(f"unix_micros(cast(ts as timestamp)) div {BUCKET_US}")
+    ).select("bkt", "value")
+    per_bucket = (
+        b.groupBy("bkt")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("_s"),
+        )
+        .select(
+            "bkt",
+            "n_events",
+            F.round(F.col("_s") / F.col("n_events"), 6).alias("avg_value"),
+        )
+    )
+    bounds = b.agg(F.min("bkt").alias("b0"), F.max("bkt").alias("b1"))
+    grid = bounds.select(F.explode(F.sequence("b0", "b1")).alias("bkt"))
+    w_prev = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_next = W.orderBy("bkt").rowsBetween(W.currentRow, W.unboundedFollowing)
+    known_bkt = F.when(F.col("avg_value").isNotNull(), F.col("bkt"))
+    filled = (
+        grid.join(per_bucket, "bkt", "left")
+        .withColumn("pv", F.last("avg_value", ignorenulls=True).over(w_prev))
+        .withColumn("pb", F.last(known_bkt, ignorenulls=True).over(w_prev))
+        .withColumn("nv", F.first("avg_value", ignorenulls=True).over(w_next))
+        .withColumn("nb", F.first(known_bkt, ignorenulls=True).over(w_next))
+    )
+    # FIXED-POINT interpolation: the anchors are 6-decimal values, so
+    # scale them to exact micro-unit BIGINTs and interpolate with
+    # integer arithmetic — a float interpolation diverged from the
+    # oracle by one ulp at a rounding boundary (measured), the exact
+    # hazard the determinism rules exist to remove. (Operands are
+    # non-negative, where Spark's truncating div and DuckDB's flooring
+    # // agree.)
+    filled = filled.withColumn(
+        "pv6", F.expr("cast(round(pv * 1000000, 0) as bigint)")
+    ).withColumn("nv6", F.expr("cast(round(nv * 1000000, 0) as bigint)"))
+    interp6 = F.when(
+        F.col("pv").isNotNull() & F.col("nv").isNotNull() & (F.col("nb") != F.col("pb")),
+        F.expr("(pv6 * (nb - bkt) + nv6 * (bkt - pb)) div (nb - pb)"),
+    ).otherwise(F.coalesce("pv6", "nv6"))
+    return (
+        filled.select(
+            F.expr("cast(timestamp_micros(bkt * 300000000) as timestamp_ntz)").alias(
+                "bucket_start"
+            ),
+            F.coalesce(F.col("n_events"), F.lit(0).cast("long")).alias("n_events"),
+            F.round(interp6 / F.lit(1000000.0), 6).alias("interp_avg_value"),
+        ).orderBy("bucket_start")
+    )
+
+
+ORACLE_Q151 = """
+WITH b AS (
+  SELECT epoch_ns(ts) // 300000000000 AS bkt, value FROM events
+), per_bucket AS (
+  SELECT bkt, count(*) AS n_events,
+         round(round(sum(value), 2) / count(*), 6) AS avg_value
+  FROM b GROUP BY bkt
+), bounds AS (
+  SELECT min(bkt) AS b0, max(bkt) AS b1 FROM b
+), grid AS (
+  SELECT unnest(generate_series(b0, b1)) AS bkt FROM bounds
+), filled AS (
+  SELECT g.bkt, p.n_events, p.avg_value,
+         last_value(p.avg_value IGNORE NULLS)
+           OVER (ORDER BY g.bkt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         last_value(CASE WHEN p.avg_value IS NOT NULL THEN g.bkt END IGNORE NULLS)
+           OVER (ORDER BY g.bkt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+         first_value(p.avg_value IGNORE NULLS)
+           OVER (ORDER BY g.bkt ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN p.avg_value IS NOT NULL THEN g.bkt END IGNORE NULLS)
+           OVER (ORDER BY g.bkt ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+  FROM grid g LEFT JOIN per_bucket p USING (bkt)
+)
+SELECT make_timestamp(bkt * 300000000) AS bucket_start,
+       coalesce(n_events, 0) AS n_events,
+       round(CASE WHEN pv IS NOT NULL AND nv IS NOT NULL AND nb <> pb
+                  THEN (CAST(round(pv * 1000000, 0) AS BIGINT) * (nb - bkt)
+                        + CAST(round(nv * 1000000, 0) AS BIGINT) * (bkt - pb)) // (nb - pb)
+                  ELSE CAST(round(coalesce(pv, nv) * 1000000, 0) AS BIGINT)
+             END / 1000000.0, 6) AS interp_avg_value
+FROM filled
+ORDER BY bucket_start
+"""
+
+
 # --- q26: as-of join (event-time alignment) --------------------------------
 
 def q26_asof_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -924,6 +1028,7 @@ QUERIES = {
     "q86_scd2_user_state": q86_scd2_user_state,
     "q92_cohort_retention": q92_cohort_retention,
     "q97_gap_fill_locf": q97_gap_fill_locf,
+    "q151_gap_fill_interp": q151_gap_fill_interp,
     "q119_point_in_time_join": q119_point_in_time_join,
 }
 
@@ -931,6 +1036,7 @@ ORACLES = {
     "q108_trailing_30min_stats": ORACLE_Q108,
     "q92_cohort_retention": ORACLE_Q92,
     "q97_gap_fill_locf": ORACLE_Q97,
+    "q151_gap_fill_interp": ORACLE_Q151,
     "q119_point_in_time_join": ORACLE_Q119,
     "q20_hourly_event_stats": ORACLE_Q20,
     "q26_asof_click_to_purchase": ORACLE_Q26,
