@@ -240,9 +240,80 @@ ORDER BY source
 """
 
 
+def q152_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CONSUME half of the CDC loop: build the v1->v2 change feed
+    (q114's diff, here carrying the new payloads), apply it to a fresh
+    downstream table seeded at v1 via prox_spark.upsert.apply_changes
+    (delete + upsert in ONE atomic snapshot commit), and aggregate the
+    result. If apply is exact, the downstream table IS v2 — the oracle
+    reads the staged v2 snapshot bytes directly, so any drop, dup, or
+    mis-applied op breaks the hash. ``sf_dir`` ignored by design (the
+    CDC table is its own dataset, kpi_q pattern)."""
+    import tempfile
+    import uuid
+
+    from prox_spark.table import commit_snapshot, read_table
+    from prox_spark.upsert import apply_changes
+
+    path, _ = stage_cdc_table()
+    v1 = read_table(spark, path, version=1)
+    v2 = read_table(spark, path, version=2)
+    # downstream work table seeded at v1 through the real commit path
+    work = tempfile.mkdtemp(prefix=f"prox_cdc_apply_{uuid.uuid4().hex[:8]}_") + "/t"
+    import atexit
+    import os
+    import shutil
+
+    atexit.register(shutil.rmtree, os.path.dirname(work), ignore_errors=True)
+    commit_snapshot(spark, work, v1)
+    # the feed: diff v1/v2 by fingerprint, carry v2 payloads for
+    # insert/update; deletes carry v1's key with null payload
+    a = v1.select("doc_id", F.md5("text").alias("old_fp"))
+    b = v2.select("doc_id", F.md5("text").alias("new_fp"))
+    cls = (
+        a.join(b, "doc_id", "full_outer")
+        .withColumn(
+            "change",
+            F.when(F.col("old_fp").isNull(), F.lit("insert"))
+            .when(F.col("new_fp").isNull(), F.lit("delete"))
+            .when(F.col("old_fp") != F.col("new_fp"), F.lit("update")),
+        )
+        .filter(F.col("change").isNotNull())
+        .select("doc_id", "change")
+    )
+    feed = cls.join(v2, "doc_id", "left").select(
+        "doc_id", "source", "text", "change"
+    )
+    apply_changes(spark, work, feed, ["doc_id"])
+    applied = read_table(spark, work)
+    return (
+        applied.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("sum_ids"),
+            F.countDistinct(F.md5("text")).alias("n_distinct_texts"),
+        )
+        .orderBy("source")
+    )
+
+
+def _oracle_q152() -> str:
+    _, snaps = stage_cdc_table()
+    return f"""
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+       count(DISTINCT md5(text)) AS n_distinct_texts
+FROM read_parquet('{snaps[2]}/*.parquet')
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "q114_snapshot_diff": q114_snapshot_diff,
     "q118_incremental_agg": q118_incremental_agg,
+    "q152_cdc_apply": q152_cdc_apply,
 }
 
 
@@ -252,4 +323,5 @@ def oracles() -> dict[str, str]:
     return {
         "q114_snapshot_diff": _oracle_q114(),
         "q118_incremental_agg": _oracle_q118(),
+        "q152_cdc_apply": _oracle_q152(),
     }

@@ -253,3 +253,39 @@ def upsert_scd2(
     )
     merged = closed.unionByName(fresh.select(*current.columns))
     _commit(spark, table_path, merged, migrated=not is_manifest_table(spark, table_path))
+
+
+def apply_changes(
+    spark: SparkSession,
+    table_path: str,
+    changes: DataFrame,
+    keys: list[str],
+    op_col: str = "change",
+) -> None:
+    """Apply a CDC change feed — rows tagged insert/update/delete in
+    ``op_col`` (the q114 snapshot-diff shape) — to the table in ONE
+    atomic snapshot commit: readers see the table before the feed or
+    after it, never a torn middle. This is the CONSUME half of the CDC
+    loop (q114 produces the feed, q118 maintains aggregates from it,
+    this materializes it into a downstream table).
+
+    Scale shape: one anti-join of the standing table against the
+    (small-by-nature) changed-key set, a union with the insert/update
+    payloads, one commit — work ∝ table + feed, with AQE broadcasting
+    the feed side when it fits."""
+    ops = {r[0] for r in changes.select(op_col).distinct().collect()}
+    unknown = ops - {"insert", "update", "delete"}
+    if unknown:
+        raise ValueError(f"unknown change ops: {sorted(unknown)}")
+    current = _current(spark, table_path)
+    if current is None:
+        raise ValueError(f"no table at {table_path}")
+    changed_keys = changes.select(*keys).distinct()
+    survivors = current.join(changed_keys, keys, "left_anti")
+    upserts = (
+        changes.filter(F.col(op_col) != "delete")
+        .drop(op_col)
+        .select(*current.columns)
+    )
+    merged = survivors.unionByName(upserts)
+    _commit(spark, table_path, merged, migrated=not is_manifest_table(spark, table_path))
