@@ -361,13 +361,24 @@ def q151_gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = bounds.select(F.explode(F.sequence("b0", "b1")).alias("bkt"))
     w_prev = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, W.currentRow)
     w_next = W.orderBy("bkt").rowsBetween(W.currentRow, W.unboundedFollowing)
-    known_bkt = F.when(F.col("avg_value").isNotNull(), F.col("bkt"))
+    # one struct-valued carry per direction (2 window passes, not 4):
+    # the (bucket, value) anchor travels together
+    known = F.when(
+        F.col("avg_value").isNotNull(),
+        F.struct(F.col("bkt").alias("b"), F.col("avg_value").alias("v")),
+    )
     filled = (
         grid.join(per_bucket, "bkt", "left")
-        .withColumn("pv", F.last("avg_value", ignorenulls=True).over(w_prev))
-        .withColumn("pb", F.last(known_bkt, ignorenulls=True).over(w_prev))
-        .withColumn("nv", F.first("avg_value", ignorenulls=True).over(w_next))
-        .withColumn("nb", F.first(known_bkt, ignorenulls=True).over(w_next))
+        .withColumn("prev", F.last(known, ignorenulls=True).over(w_prev))
+        .withColumn("nxt", F.first(known, ignorenulls=True).over(w_next))
+        .select(
+            "bkt",
+            "n_events",
+            F.col("prev.v").alias("pv"),
+            F.col("prev.b").alias("pb"),
+            F.col("nxt.v").alias("nv"),
+            F.col("nxt.b").alias("nb"),
+        )
     )
     # FIXED-POINT interpolation: the anchors are 6-decimal values, so
     # scale them to exact micro-unit BIGINTs and interpolate with
