@@ -68,7 +68,8 @@ def main() -> None:
 
     medians = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
     mins = {name: round(min(ts), 3) for name, ts in samples.items()}
-    out = {
+    here = os.path.dirname(os.path.abspath(__file__))
+    detail = {
         "metric": "total_query_set_wall_sec",
         "value": round(sum(medians.values()), 3),
         "unit": "sec",
@@ -80,16 +81,45 @@ def main() -> None:
     # like-for-like subtotal vs round 1: the query set grows every
     # round, so the comparable number is the sum over r1's 47 queries,
     # not the whole-suite total
-    r1_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r01.json")
+    r1_path = os.path.join(here, "BENCH_r01.json")
     if os.path.exists(r1_path):
         with open(r1_path) as f:
             r1 = json.load(f)
         # the driver wraps our line under "parsed"
         r1_queries = set((r1.get("parsed") or r1).get("queries", {}))
-        out["value_r1_subset"] = round(
+        detail["value_r1_subset"] = round(
             sum(v for k, v in medians.items() if k in r1_queries), 3
         )
-    print(json.dumps(out))
+    # full per-query record goes to a file (committed to the repo): the
+    # driver keeps only the LAST 2000 chars of stdout, which a 150-entry
+    # full-name JSON line can never fit, so BENCH_r02/r03 lost their
+    # totals and most per-query numbers to front-truncation
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+    # the FINAL stdout line is a compact twin that fits the tail window
+    # whole: unique qNN keys, integer-ms medians, totals included
+    compact = {
+        "metric": "total_query_set_wall_sec",
+        "value": detail["value"],
+        "unit": "sec",
+        "sf": sf,
+        "reps": reps,
+        "unit_queries": "ms",
+        "detail_file": "BENCH_DETAIL.json",
+        "queries": {
+            re.match(r"(q\d+)", name).group(1): int(round(v * 1000))
+            for name, v in medians.items()
+        },
+    }
+    if "value_r1_subset" in detail:
+        compact["value_r1_subset"] = detail["value_r1_subset"]
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) < 1950, f"compact bench line too long: {len(line)}"
+    # left-pad so the driver's 2000-char tail window lands inside the
+    # padding: the captured tail is then whitespace + complete JSON,
+    # which json.loads accepts whether the driver parses the raw tail
+    # or just the last line
+    print(" " * (2010 - len(line)) + line)
 
 
 if __name__ == "__main__":

@@ -87,8 +87,6 @@ class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
         return {"next": 0}
 
     def _rows(self, start: int, end: int):
-        # a LIST, not a generator: Spark prefetches and pickles these
-        # entries for replay, and generators cannot be pickled
         return [
             (i, i % 8, f"doc-{i}-{hashlib.md5(str(i).encode()).hexdigest()}")
             for i in range(start, end)
@@ -97,7 +95,12 @@ class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict):
         lo = start["next"]
         hi = min(lo + self.batch_size, self.n_docs)
-        return self._rows(lo, hi), {"next": hi}
+        # contract: the first element MUST be an *iterator* — once the
+        # stream drains (hi == lo) pyspark's prefetch wrapper calls
+        # next(it) directly on it (datasource_internal.py
+        # add_result_to_cache) and a bare list raises TypeError,
+        # terminating the query with a runtime error
+        return iter(self._rows(lo, hi)), {"next": hi}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         return self._rows(start["next"], end["next"])

@@ -67,7 +67,12 @@ def salted_join(
 
 
 def heavy_hitters(
-    df: DataFrame, key: str, threshold: int, *, count_col: str = "n"
+    df: DataFrame,
+    key: str,
+    threshold: int,
+    *,
+    count_col: str = "n",
+    summary_cap: int = 1 << 20,
 ) -> DataFrame:
     """EXACT heavy hitters — every key with count >= ``threshold``,
     with its exact count — at a shuffle cost proportional to the
@@ -93,7 +98,24 @@ def heavy_hitters(
     makes it oracle-checkable (q130). NULL keys are ignored (a null
     never matches the semi-join; count-distinct-style semantics).
     The candidate set feeds :func:`salted_join`: detected hot keys
-    are exactly the keys worth salting."""
+    are exactly the keys worth salting.
+
+    Pass-1 memory is bounded: the per-partition counter dict is a
+    Misra-Gries-style summary capped near ``summary_cap`` entries.
+    When it overflows, every counter is decremented by a step and
+    non-positive entries are dropped; the TOTAL decrement any key can
+    suffer over the partition (``spent``) is capped at
+    ``local_thr - 1``, so a surviving counter underestimates the true
+    local count by at most ``spent`` and a key with true local count
+    >= local_thr always ends with ``count + spent >= local_thr`` —
+    the emitted candidate set stays over-inclusive, never lossy. If
+    the decrement budget is exhausted the cap grows instead (memory
+    is then the information-theoretic minimum: every key that could
+    still be locally heavy must be tracked). Pass-1 correctness also
+    pins the partition count: ``local_thr`` is derived from the
+    plan-time partition count, so each task asserts via TaskContext
+    that execution did not re-plan to MORE partitions (which would
+    make ``local_thr`` too high and silently drop a heavy key)."""
     import pandas as pd
 
     n_parts = max(1, df.rdd.getNumPartitions())
@@ -101,13 +123,36 @@ def heavy_hitters(
     keyed = df.select(key)
 
     def local_heavy(batches):
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        if ctx is not None and ctx.partitionId() >= n_parts:
+            raise RuntimeError(
+                f"heavy_hitters planned {n_parts} partitions but task "
+                f"{ctx.partitionId()} is executing: the local threshold "
+                f"{local_thr} is no longer conservative and candidates "
+                "could be lost — rebuild the input with a stable "
+                "partitioning"
+            )
         counts: dict = {}
+        cap = summary_cap
+        spent = 0  # total decrement applied; hard-capped < local_thr
         dtype = None
         for pdf in batches:
             dtype = pdf[key].dtype
             for k, c in pdf[key].value_counts().items():
                 counts[k] = counts.get(k, 0) + int(c)
-        heavy = [k for k, c in counts.items() if c >= local_thr]
+            if len(counts) > cap:
+                need = len(counts) - cap
+                step = min(
+                    sorted(counts.values())[need - 1], local_thr - 1 - spent
+                )
+                if step > 0:
+                    spent += step
+                    counts = {k: c - step for k, c in counts.items() if c > step}
+                if len(counts) > cap:
+                    cap = 2 * len(counts)
+        heavy = [k for k, c in counts.items() if c + spent >= local_thr]
         if heavy:
             yield pd.DataFrame({key: pd.Series(heavy).astype(dtype)})
 

@@ -218,9 +218,13 @@ def q141_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(processingTime="0 seconds")
             .start()
         )
+        stop_err = None
         try:
             deadline = time.monotonic() + 120
             while time.monotonic() < deadline:
+                exc = q.exception()
+                if exc is not None:
+                    raise exc
                 got = spark.table(name).agg(F.sum("n_docs")).collect()[0][0]
                 if got == N_SYNTH_DOCS:
                     break
@@ -230,11 +234,17 @@ def q141_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             try:
                 q.stop()
-            except Exception:
-                # stop() interrupts the source's in-flight latestOffset
-                # call and can surface it as a (benign) query error;
-                # the complete-mode sink table is already fully drained
-                pass
+            except Exception as e:  # surfaced after the primary error, if any
+                stop_err = e
+        if stop_err is not None:
+            raise stop_err
+        # the drained source idles on empty iterators (datasource.py
+        # read() returns iter(...), satisfying the prefetch wrapper's
+        # next(it) drained-path probe), so termination is clean — any
+        # exception here is a real source bug, not a shutdown race
+        exc = q.exception()
+        if exc is not None:
+            raise exc
     return spark.table(name).orderBy("shard")
 
 

@@ -1771,9 +1771,15 @@ def q132_auto_skew_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir).select("user_id", "event_type", "value")
     dim = ev.groupBy("user_id").agg(F.round(F.sum("value"), 2).alias("user_total"))
-    total = ev.count()
-    n_users = ev.select("user_id").distinct().count()
-    thr = (12 * total) // (10 * n_users) + 1
+    # one pre-job, not two: total rows AND distinct users both fall out
+    # of a single per-user count pass (map-side combined)
+    t = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.sum("__n").alias("total"), F.count(F.lit(1)).alias("n_users"))
+        .collect()[0]
+    )
+    thr = (12 * t.total) // (10 * t.n_users) + 1
     return (
         auto_skew_join(
             ev.select("user_id", "event_type"), dim, "user_id", hot_threshold=thr

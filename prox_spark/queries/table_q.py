@@ -310,10 +310,114 @@ ORDER BY source
 """
 
 
+def q153_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC loop end-to-end INCREMENTAL: the v1->v2 change feed
+    arrives as a STREAM of micro-batches (file source, one feed file
+    per trigger) and a ``foreachBatch`` sink applies each batch to the
+    downstream table through prox_spark.upsert.apply_changes — one
+    atomic file-granular commit per micro-batch, exactly the
+    streaming-merge pattern of streaming.py run_stream_upsert_latest
+    but through the manifest table format. After the stream drains,
+    the downstream table must BE v2: the oracle reads the staged v2
+    snapshot bytes directly, so a dropped batch, a torn commit, or a
+    mis-applied op breaks the hash. Batches partition the feed by key
+    (each key changes once per feed), so apply order across batches
+    cannot matter — and each apply is idempotent under replay
+    (re-upserting an applied row / re-deleting an absent key are
+    no-ops), the property a restarted stream needs. ``sf_dir`` ignored
+    by design (the CDC table is its own dataset, kpi_q pattern)."""
+    import tempfile
+    import uuid as _uuid
+
+    from prox_spark.table import commit_snapshot, read_table
+    from prox_spark.upsert import apply_changes
+
+    path, _ = stage_cdc_table()
+    v1 = read_table(spark, path, version=1)
+    v2 = read_table(spark, path, version=2)
+    scratch = tempfile.mkdtemp(prefix=f"prox_cdc_stream_{_uuid.uuid4().hex[:8]}_")
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    work = f"{scratch}/t"
+    commit_snapshot(spark, work, v1, stat_cols=["doc_id"])
+
+    # the feed, staged as N_BATCH files -> N_BATCH micro-batches
+    a = v1.select("doc_id", F.md5("text").alias("old_fp"))
+    b = v2.select("doc_id", F.md5("text").alias("new_fp"))
+    cls = (
+        a.join(b, "doc_id", "full_outer")
+        .withColumn(
+            "change",
+            F.when(F.col("old_fp").isNull(), F.lit("insert"))
+            .when(F.col("new_fp").isNull(), F.lit("delete"))
+            .when(F.col("old_fp") != F.col("new_fp"), F.lit("update")),
+        )
+        .filter(F.col("change").isNotNull())
+        .select("doc_id", "change")
+    )
+    feed = cls.join(v2, "doc_id", "left").select("doc_id", "source", "text", "change")
+    n_batch = 4
+    feed_dir = f"{scratch}/feed"
+    for i in range(n_batch):
+        (
+            feed.filter(F.col("doc_id") % n_batch == i)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(feed_dir)
+        )
+    feed_schema = spark.read.parquet(feed_dir).schema
+
+    def _apply(batch_df: DataFrame, _batch_id: int) -> None:
+        apply_changes(spark, work, batch_df, ["doc_id"])
+
+    stream = (
+        spark.readStream.schema(feed_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", f"{scratch}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    exc = q.exception()
+    if exc is not None:
+        raise exc
+
+    applied = read_table(spark, work)
+    return (
+        applied.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("sum_ids"),
+            F.sum(F.length("text")).cast("long").alias("sum_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+def _oracle_q153() -> str:
+    _, snaps = stage_cdc_table()
+    return f"""
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+       CAST(sum(length(text)) AS BIGINT) AS sum_chars
+FROM read_parquet('{snaps[2]}/*.parquet')
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "q114_snapshot_diff": q114_snapshot_diff,
     "q118_incremental_agg": q118_incremental_agg,
     "q152_cdc_apply": q152_cdc_apply,
+    "q153_streaming_cdc_apply": q153_streaming_cdc_apply,
 }
 
 
@@ -324,4 +428,5 @@ def oracles() -> dict[str, str]:
         "q114_snapshot_diff": _oracle_q114(),
         "q118_incremental_agg": _oracle_q118(),
         "q152_cdc_apply": _oracle_q152(),
+        "q153_streaming_cdc_apply": _oracle_q153(),
     }

@@ -1596,14 +1596,22 @@ def q105_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct hashes (~12x fewer candidate rows); on a real corpus
     # the exact-dup mass is the dominant quadratic term this removes.
     # m2 (second-smallest doc per hash — the min-neighbor for the doc
-    # that IS the group minimum) folds into the same aggregate via a
-    # sorted collect: per-fingerprint groups are exact-duplicate
-    # clones, small by nature, so the list is bounded and one shuffle
-    # replaces the former groupBy + re-join + second groupBy
-    g = s.groupBy("simhash").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.min("doc_id").alias("m1"),
-        F.expr("try_element_at(array_sort(collect_list(doc_id)), 2)").alias("m2"),
+    # that IS the group minimum) via rank-then-aggregate in the SAME
+    # shuffle: row_number sorts within the fingerprint partition and
+    # the groupBy reuses that hash partitioning, so one exchange
+    # serves both. A sorted collect_list would hold the whole group in
+    # the agg buffer — unbounded for a pathologically replicated
+    # document (exactly the case near-dup detection exists for) —
+    # whereas WindowExec spills oversized groups to disk.
+    w2 = Window.partitionBy("simhash").orderBy("doc_id")
+    g = (
+        s.withColumn("rn", F.row_number().over(w2))
+        .groupBy("simhash")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("doc_id").alias("m1"),
+            F.min(F.when(F.col("rn") == 2, F.col("doc_id"))).alias("m2"),
+        )
     )
     band = F.explode(
         F.expr(

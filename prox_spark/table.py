@@ -1,6 +1,6 @@
 """Minimal manifest-log table format: atomic commits, snapshot
-isolation, and time travel for parquet tables, without adopting
-Delta/Iceberg.
+isolation, time travel, and FILE-GRANULAR commits for parquet tables,
+without adopting Delta/Iceberg.
 
 The reference full-refreshes Redshift tables (truncate + reload,
 reference glue_scripts/s3_to_redshift_script.py preactions), so it
@@ -10,20 +10,40 @@ reader lists the directory mid-rename and sees a half-published table.
 The fix is the same idea every log-structured table format uses:
 
     table_path/
-      data/snap-00000002-ab12cd34/   immutable parquet snapshot dirs
-      _manifests/manifest-00000002.json   {"version": 2, "data": ...}
+      data/snap-00000002-ab12cd34/part-*.parquet   immutable data files
+      _manifests/manifest-00000002.json
 
-- WRITE: materialize the new snapshot under ``data/`` (nothing reads
-  it yet), then publish by renaming a temp file to
+A manifest lists the exact FILES that make up its version (plus the
+table schema and per-file min/max stats on the declared key columns):
+
+    {"version": 2,
+     "files": ["data/snap-...-/part-0.parquet", ...],
+     "stats": {"data/.../part-0.parquet": {"id": [1, 499]}, ...},
+     "stat_cols": ["id"],
+     "schema": {...spark schema json...}}
+
+- WRITE: materialize new data files under ``data/`` (nothing reads
+  them yet), then publish by renaming a temp file to
   ``manifest-{N+1}.json`` — a single atomic FS rename. A failed job
-  leaves an orphan data dir (vacuumed later), never a broken table.
+  leaves orphan data files (vacuumed later), never a broken table.
+- DELTA COMMIT (:func:`commit_delta`): version N+1 re-lists N's
+  untouched files verbatim and adds only the rewritten ones — a merge
+  touching one key rewrites one file's worth of data, not the table.
+  That removes the copy-on-write-the-world scale killer: at 100 TB
+  with daily CDC feeds, commit cost is ∝ files whose key range
+  intersects the changed keys (min/max pruning over the manifest
+  stats, the same file-skipping Delta/Iceberg do), not table size.
 - READ: list ``_manifests``, take the highest version, read ONLY the
-  data dir it names. Readers planned against version N keep reading
-  N's immutable files even while N+1 commits — snapshot isolation; a
-  mix of two versions is impossible because a manifest names exactly
-  one snapshot dir.
+  files it names, with the schema it declares — so add-column
+  evolution needs NO rewrite of old files (they read the new column
+  as NULL). Readers planned against version N keep reading N's
+  immutable files even while N+1 commits — snapshot isolation.
 - TIME TRAVEL: ``read_table(..., version=k)`` pins manifest k while
   it hasn't been vacuumed.
+- POINT LOOKUP: data files carry parquet bloom filters on the stat
+  columns; :func:`read_table_point` prunes files by manifest min/max
+  BEFORE planning and lets the blooms reject row groups inside the
+  survivors.
 
 Single-writer by design (the driver of a merge pipeline serializes
 commits); the atomic rename makes a racing second writer fail loudly
@@ -38,9 +58,15 @@ import json
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
 
 MANIFEST_DIR = "_manifests"
 DATA_DIR = "data"
+
+# values safe to JSON-encode and compare against Spark collect() output;
+# anything else (timestamps, decimals, binary) degrades to "no stats",
+# which pruning treats conservatively (file always considered touched)
+_STAT_TYPES = (int, float, str)
 
 
 def _fs(spark: SparkSession, path: str):
@@ -72,11 +98,34 @@ def table_versions(spark: SparkSession, table_path: str) -> list[int]:
     return _manifest_versions(spark, table_path)
 
 
-def _read_manifest(spark: SparkSession, table_path: str, version: int) -> dict:
-    mpath = f"{table_path}/{MANIFEST_DIR}/manifest-{version:08d}.json"
-    # spark.read.text works on every Hadoop FS; the file is one JSON line
+def read_manifest(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> dict:
+    """The manifest dict for ``version`` (default: latest)."""
+    versions = _manifest_versions(spark, table_path)
+    if not versions:
+        raise ValueError(f"{table_path} is not a manifest table")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not in {versions} for {table_path}")
+    mpath = f"{table_path}/{MANIFEST_DIR}/manifest-{v:08d}.json"
+    # spark.read.text works on every Hadoop FS; the file is one JSON doc
     line = "".join(r.value for r in spark.read.text(mpath).collect())
     return json.loads(line)
+
+
+def _read_files(
+    spark: SparkSession, table_path: str, manifest: dict, files: list[str]
+) -> DataFrame:
+    """Read a subset of a manifest's files with the DECLARED table
+    schema — files written before an add-column evolution read the new
+    columns as NULL, so evolution never rewrites old files."""
+    schema = StructType.fromJson(manifest["schema"])
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(
+        *[f"{table_path}/{f}" for f in files]
+    )
 
 
 def read_table(
@@ -85,63 +134,299 @@ def read_table(
     """Read the table at its latest committed version (or a pinned
     historical ``version``). Falls back to a plain parquet read for
     legacy directories that predate the manifest log."""
-    versions = _manifest_versions(spark, table_path)
-    if not versions:
+    if not is_manifest_table(spark, table_path):
         if version is not None:
             raise ValueError(f"{table_path} is not a manifest table")
         return spark.read.parquet(table_path)
-    v = versions[-1] if version is None else version
-    if v not in versions:
-        raise ValueError(f"version {v} not in {versions} for {table_path}")
-    manifest = _read_manifest(spark, table_path, v)
+    manifest = read_manifest(spark, table_path, version)
+    if "files" in manifest:
+        return _read_files(spark, table_path, manifest, manifest["files"])
+    # legacy single-snapshot-dir manifest (round-3 format)
     return spark.read.parquet(f"{table_path}/{manifest['data']}")
 
 
-def commit_snapshot(spark: SparkSession, table_path: str, df: DataFrame) -> int:
-    """Write ``df`` as the table's next version. Returns the version.
+def _footer_stats(abs_path: str, cols: list[str]) -> dict | None:
+    """Per-file min/max for ``cols`` from the parquet footer — no data
+    IO. Returns {col: [min, max]} (a col maps to None when the footer
+    carries no usable stats); None when the footer is unreadable
+    (non-local FS, in-flight write) — pruning treats both as
+    'unknown', i.e. the file is always a rewrite candidate."""
+    try:
+        import pyarrow.parquet as pq
 
-    The snapshot is fully materialized before the manifest rename, so
-    readers either resolve the previous manifest (old snapshot, still
-    intact) or the new one — never a mix and never partial files."""
+        local = abs_path[len("file:") :] if abs_path.startswith("file:") else abs_path
+        md = pq.ParquetFile(local).metadata
+        out: dict = {c: None for c in cols}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                if name not in out:
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                lo, hi = st.min, st.max
+                if not isinstance(lo, _STAT_TYPES) or not isinstance(hi, _STAT_TYPES):
+                    continue
+                cur = out[name]
+                out[name] = (
+                    [lo, hi] if cur is None else [min(cur[0], lo), max(cur[1], hi)]
+                )
+        return out
+    except Exception:
+        return None
+
+
+def _write_manifest(spark: SparkSession, table_path: str, v: int, manifest: dict,
+                    new_data_dir: str | None) -> None:
     jvm, fs, _ = _fs(spark, table_path)
-    versions = _manifest_versions(spark, table_path)
-    v = (versions[-1] if versions else 0) + 1
-    snap_rel = f"{DATA_DIR}/snap-{v:08d}-{uuid.uuid4().hex[:8]}"
-    df.write.mode("overwrite").parquet(f"{table_path}/{snap_rel}")
-
-    manifest = json.dumps({"version": v, "data": snap_rel})
     mdir = jvm.org.apache.hadoop.fs.Path(f"{table_path}/{MANIFEST_DIR}")
     fs.mkdirs(mdir)
     tmp = jvm.org.apache.hadoop.fs.Path(
         f"{table_path}/{MANIFEST_DIR}/.tmp-{uuid.uuid4().hex}.json"
     )
     out = fs.create(tmp, False)
-    out.write(bytearray(manifest, "utf-8"))
+    out.write(bytearray(json.dumps(manifest), "utf-8"))
     out.close()
     final = jvm.org.apache.hadoop.fs.Path(
         f"{table_path}/{MANIFEST_DIR}/manifest-{v:08d}.json"
     )
     if fs.exists(final) or not fs.rename(tmp, final):
         # a racing writer published v first: fail loudly, leave its
-        # commit untouched, drop our orphan snapshot + tmp manifest
+        # commit untouched, drop OUR orphan data dir + tmp manifest
+        # (never the shared files of earlier versions)
         fs.delete(tmp, False)
-        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{table_path}/{snap_rel}"), True)
+        if new_data_dir is not None:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(f"{table_path}/{new_data_dir}"), True
+            )
         raise OSError(f"concurrent commit of version {v} for {table_path}")
+
+
+def _list_part_files(spark: SparkSession, table_path: str, rel_dir: str) -> list[str]:
+    jvm, fs, _ = _fs(spark, table_path)
+    ddir = jvm.org.apache.hadoop.fs.Path(f"{table_path}/{rel_dir}")
+    out = []
+    for st in fs.listStatus(ddir):
+        name = st.getPath().getName()
+        if name.endswith(".parquet") and not name.startswith((".", "_")):
+            out.append(f"{rel_dir}/{name}")
+    return sorted(out)
+
+
+def _write_data(
+    df: DataFrame,
+    dest: str,
+    stat_cols: list[str] | None,
+    n_files: int | None,
+    bloom_ndv: int,
+) -> None:
+    if stat_cols:
+        # cluster by the key columns so each file covers a compact,
+        # near-disjoint key range — this is what makes later merges
+        # rewrite ONE file per changed key region instead of many.
+        # With an explicit n_files the range partitioner is pinned;
+        # without, AQE coalesces small outputs into few files.
+        part = (
+            df.repartitionByRange(n_files, *stat_cols)
+            if n_files
+            else df.repartitionByRange(*stat_cols)
+        )
+        w = part.sortWithinPartitions(*stat_cols).write
+        for c in stat_cols:
+            # bloom filters give point lookups row-group rejection on
+            # top of the manifest's file-level min/max pruning
+            w = w.option(f"parquet.bloom.filter.enabled#{c}", "true").option(
+                f"parquet.bloom.filter.expected.ndv#{c}", str(bloom_ndv)
+            )
+    else:
+        w = df.write
+    w.mode("overwrite").parquet(dest)
+
+
+def commit_delta(
+    spark: SparkSession,
+    table_path: str,
+    new_df: DataFrame,
+    keep_files: list[str],
+    *,
+    stat_cols: list[str] | None = None,
+    n_files: int | None = None,
+    bloom_ndv: int = 100_000,
+) -> int:
+    """Commit the table's next version as ``keep_files`` (carried over
+    verbatim from the previous version — never rewritten, never moved)
+    plus the newly-written files of ``new_df``. Per-file min/max stats
+    for ``stat_cols`` are read from the new files' parquet footers;
+    kept files keep their previously-recorded stats. Returns the new
+    version.
+
+    The new files are fully materialized before the manifest rename,
+    so readers either resolve the previous manifest (old file list,
+    all still intact) or the new one — never a mix and never partial
+    files."""
+    versions = _manifest_versions(spark, table_path)
+    prev = read_manifest(spark, table_path, versions[-1]) if versions else {}
+    if stat_cols is None:
+        stat_cols = prev.get("stat_cols") or []
+    v = (versions[-1] if versions else 0) + 1
+    delta_rel = f"{DATA_DIR}/snap-{v:08d}-{uuid.uuid4().hex[:8]}"
+    _write_data(new_df, f"{table_path}/{delta_rel}", stat_cols, n_files, bloom_ndv)
+
+    new_files = _list_part_files(spark, table_path, delta_rel)
+    stats = {f: (prev.get("stats") or {}).get(f) for f in keep_files}
+    for f in new_files:
+        stats[f] = _footer_stats(f"{table_path}/{f}", stat_cols) if stat_cols else None
+    manifest = {
+        "version": v,
+        "files": [*keep_files, *new_files],
+        "stats": stats,
+        "stat_cols": stat_cols,
+        "schema": new_df.schema.jsonValue(),
+    }
+    _write_manifest(spark, table_path, v, manifest, delta_rel)
     return v
 
 
+def commit_snapshot(
+    spark: SparkSession,
+    table_path: str,
+    df: DataFrame,
+    *,
+    stat_cols: list[str] | None = None,
+    n_files: int | None = None,
+) -> int:
+    """Write ``df`` as the table's next version — a FULL snapshot (no
+    carried-over files). With ``stat_cols`` the data is range-clustered
+    on those columns and written with footer stats + bloom filters, so
+    later key merges and point lookups prune files. Returns the
+    version."""
+    return commit_delta(
+        spark, table_path, df, [], stat_cols=stat_cols or [], n_files=n_files
+    )
+
+
+def _overlaps(fstats: dict | None, key_ranges: dict[str, tuple]) -> bool:
+    """Could a file with footer stats ``fstats`` contain any key tuple
+    whose per-column values fall inside ``key_ranges``? Disjointness on
+    ANY single column proves no tuple can match; unknown stats are
+    conservatively 'yes'."""
+    if fstats is None:
+        return True
+    for col, (lo, hi) in key_ranges.items():
+        fr = fstats.get(col)
+        if fr is None or lo is None:
+            continue  # unknown on either side -> can't prune on this col
+        try:
+            if fr[1] < lo or fr[0] > hi:
+                return False
+        except TypeError:  # incomparable types (e.g. stats stringified)
+            continue
+    return True
+
+
+def split_files_by_key_ranges(
+    manifest: dict, key_ranges: dict[str, tuple]
+) -> tuple[list[str], list[str]]:
+    """Partition the manifest's files into (touched, untouched) for a
+    key-based merge: ``untouched`` files provably contain NO key tuple
+    in the given per-column ranges and can be carried into the next
+    version verbatim."""
+    touched, untouched = [], []
+    stats = manifest.get("stats") or {}
+    for f in manifest.get("files", []):
+        (touched if _overlaps(stats.get(f), key_ranges) else untouched).append(f)
+    return touched, untouched
+
+
+def split_files_by_key_sets(
+    manifest: dict, key_values: dict[str, list]
+) -> tuple[list[str], list[str]]:
+    """Key-SET file pruning: ``key_values`` maps each key column to
+    the SORTED distinct values present in the update batch. A file is
+    untouched when, for some column, NO batch value falls inside the
+    file's [min, max] — checked with one bisect per (file, column), so
+    scattered keys (the CDC norm: a handful of user ids spread across
+    the id space) prune almost everything, where a min/max RANGE test
+    would span the whole table and prune nothing. Conservative for
+    multi-column keys (per-column membership is necessary, not
+    sufficient, for a tuple match) — never lossy."""
+    from bisect import bisect_left
+
+    touched, untouched = [], []
+    stats = manifest.get("stats") or {}
+    for f in manifest.get("files", []):
+        fstats = stats.get(f)
+        hit = True
+        if fstats is not None:
+            for col, vals in key_values.items():
+                fr = fstats.get(col)
+                if fr is None or vals is None:
+                    continue
+                try:
+                    i = bisect_left(vals, fr[0])
+                except TypeError:  # incomparable types -> can't prune
+                    continue
+                if i >= len(vals) or vals[i] > fr[1]:
+                    hit = False
+                    break
+        (touched if hit else untouched).append(f)
+    return touched, untouched
+
+
+def point_lookup_files(
+    spark: SparkSession, table_path: str, eq: dict, version: int | None = None
+) -> list[str]:
+    """The subset of the manifest's files whose min/max stats admit the
+    equality probe ``eq`` ({col: value}) — the file-skipping half of a
+    point lookup, decided driver-side from the manifest alone."""
+    manifest = read_manifest(spark, table_path, version)
+    ranges = {c: (v, v) for c, v in eq.items()}
+    touched, _ = split_files_by_key_ranges(manifest, ranges)
+    return touched
+
+
+def read_table_point(
+    spark: SparkSession, table_path: str, eq: dict, version: int | None = None
+) -> DataFrame:
+    """Point lookup: scan only the files that can contain the key
+    (manifest min/max pruning), with the equality predicate pushed to
+    the parquet reader where the per-column bloom filters reject
+    non-member row groups before any page IO."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    manifest = read_manifest(spark, table_path, version)
+    files = point_lookup_files(spark, table_path, eq, version)
+    df = _read_files(spark, table_path, manifest, files)
+    cond = reduce(
+        lambda a, b: a & b, [F.col(c) == F.lit(v) for c, v in eq.items()]
+    )
+    return df.filter(cond)
+
+
 def vacuum(spark: SparkSession, table_path: str, keep_last: int = 2) -> list[int]:
-    """Drop all but the newest ``keep_last`` versions: their manifests
-    and any data dir no kept manifest references (including orphans
-    from failed commits). Returns the removed versions. Run only when
-    no reader is pinned to a dropped version."""
+    """Drop all but the newest ``keep_last`` versions: their manifests,
+    and any data dir no kept manifest references a single file of
+    (including orphans from failed commits). Deletion stays
+    dir-granular: a dir with even one still-referenced file survives
+    whole (its dead files are reclaimed when a later compaction
+    rewrites that key range). Returns the removed versions. Run only
+    when no reader is pinned to a dropped version."""
     jvm, fs, _ = _fs(spark, table_path)
     versions = _manifest_versions(spark, table_path)
     keep = versions[-keep_last:] if keep_last > 0 else []
     dropped = [v for v in versions if v not in keep]
-    kept_dirs = {
-        _read_manifest(spark, table_path, v)["data"].split("/", 1)[1] for v in keep
-    }
+    kept_dirs = set()
+    for v in keep:
+        m = read_manifest(spark, table_path, v)
+        if "files" in m:
+            kept_dirs |= {f.split("/")[1] for f in m["files"] if "/" in f}
+        else:
+            kept_dirs.add(m["data"].split("/", 1)[1])
     for v in dropped:
         fs.delete(
             jvm.org.apache.hadoop.fs.Path(

@@ -1,27 +1,38 @@
-"""Key-based upserts (SCD-1 / keep-max / SCD-2 merges) over the
-manifest-log table format (prox_spark/table.py).
+"""Key-based upserts (SCD-1 / keep-max / SCD-2 merges / CDC apply /
+deletes) over the manifest-log table format (prox_spark/table.py),
+with FILE-GRANULAR rewrites.
 
 The reference's load step truncates and reloads whole Redshift tables
 (full refresh, reference glue_scripts/s3_to_redshift_script.py
 preactions); at 100 TB a daily full rewrite is untenable — you merge
-the day's changed rows into the standing table instead. Without a
-table format that supports row-level MERGE (Delta/Iceberg/Hudi), the
-parquet-native pattern is copy-on-write:
+the day's changed rows into the standing table instead. Without
+adopting Delta/Iceberg/Hudi, the parquet-native pattern is
+copy-on-write — but copy-on-write of WHAT? Round 3 rewrote the whole
+table per merge (snapshot-granular commits); this version rewrites
+only the files whose key range intersects the update batch:
 
-    new_table = updates ∪ (current ⟕anti updates on key)
+1. one tiny aggregate over the update batch yields its per-key-column
+   min/max;
+2. the current manifest's per-file footer stats split the table into
+   TOUCHED files (range overlap — could hold a changed key) and
+   UNTOUCHED files (provably hold none);
+3. the merge logic runs over the touched subset only:
+       new_files = merge(touched, updates)
+4. :func:`prox_spark.table.commit_delta` publishes
+   untouched ∪ new_files as the next version in one atomic manifest
+   rename.
 
-i.e. updated keys take the new row, everything else survives. The
-anti-join is a plain key equi-join (broadcast when the update batch is
-small — the common case — via AQE), so the cost is one scan of the
-current table + rewriting it, the same floor Delta's copy-on-write
-MERGE pays without matched-file pruning.
+Because commits cluster data by the merge keys (range partition +
+sort + per-file min/max + bloom filters), steady-state merge cost is
+∝ the update batch's key spread, not table size — the same
+matched-file pruning a Delta MERGE gets from data skipping. A table
+whose stats don't cover the merge keys (or a legacy plain directory)
+degrades gracefully to the full rewrite.
 
-Every merge publishes through :func:`prox_spark.table.commit_snapshot`:
-the new snapshot is fully written before a single atomic manifest
-rename makes it current, so a concurrent reader sees the previous
-version or the new one — never a mix (the round-2 directory swap had a
-window where a mid-rename listing caught a half-published table), and
-old versions stay readable (time travel) until vacuumed.
+Every merge publishes through the manifest log: new files are fully
+written before a single atomic manifest rename makes them current, so
+a concurrent reader sees the previous version or the new one — never
+a mix, and old versions stay readable (time travel) until vacuumed.
 
 Pre-manifest plain-parquet targets are migrated on first merge: their
 rows become the ``current`` side and the merged result is committed as
@@ -33,7 +44,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from prox_spark.table import commit_snapshot, is_manifest_table, read_table
+from prox_spark.table import (
+    _read_files,
+    commit_delta,
+    commit_snapshot,
+    is_manifest_table,
+    read_manifest,
+    read_table,
+)
 
 
 def _current(spark: SparkSession, table_path: str) -> DataFrame | None:
@@ -73,10 +91,11 @@ def _check_schema(current: DataFrame, updates: DataFrame, what: str) -> None:
 def _evolve(current: DataFrame, updates: DataFrame, what: str):
     """ADD-COLUMN schema evolution: updates may carry a superset of the
     table's columns; existing rows read the new columns as NULL (the
-    Iceberg/Delta add-column semantic — no rewrite of old data beyond
-    this table format's normal copy-on-write commit). Dropping or
-    renaming is still an error: silent column loss is how pipelines
-    corrupt tables, so destructive evolution stays explicit
+    Iceberg/Delta add-column semantic — with the file-granular manifest
+    this now rewrites NOTHING: untouched files stay as-is and the
+    manifest's declared schema supplies the NULLs at read time).
+    Dropping or renaming is still an error: silent column loss is how
+    pipelines corrupt tables, so destructive evolution stays explicit
     (delete_keys + re-create, or a migration script).
 
     Returns (current', updates') with identical column sets."""
@@ -93,13 +112,87 @@ def _evolve(current: DataFrame, updates: DataFrame, what: str):
     return current, updates
 
 
-def _commit(spark: SparkSession, table_path: str, df: DataFrame, migrated: bool) -> None:
-    # the copy-on-write self-reference is safe: committing executes the
-    # merge plan (which reads the current snapshot) BEFORE anything is
-    # deleted — commits never delete, and legacy cleanup runs after
-    commit_snapshot(spark, table_path, df)
-    if migrated:
-        _drop_legacy_files(spark, table_path)
+def _key_ranges(key_df: DataFrame, keys: list[str]) -> dict[str, tuple]:
+    """Per-column min/max of the update batch's keys — one tiny agg."""
+    aggs = []
+    for k in keys:
+        aggs += [F.min(k).alias(f"__lo_{k}"), F.max(k).alias(f"__hi_{k}")]
+    row = key_df.agg(*aggs).collect()[0]
+    return {k: (row[f"__lo_{k}"], row[f"__hi_{k}"]) for k in keys}
+
+
+# driver-side bound on the collected distinct-key list used for file
+# pruning: ~50k scalars is a trivial collect, and a batch with MORE
+# distinct keys than that is a bulk load, where min/max range pruning
+# (no collect) is the appropriate granularity anyway
+_KEY_SET_CAP = 50_000
+
+
+def _prune_files(manifest: dict, key_df: DataFrame, keys: list[str]):
+    """(touched_files, keep_files) for the merge: exact key-SET
+    pruning for small batches (the CDC norm — scattered keys that a
+    min/max range test couldn't prune at all), per-column min/max
+    range pruning beyond the cap."""
+    from prox_spark.table import split_files_by_key_ranges, split_files_by_key_sets
+
+    rows = key_df.select(*keys).distinct().limit(_KEY_SET_CAP + 1).collect()
+    if len(rows) <= _KEY_SET_CAP:
+        vals = {
+            k: sorted({r[k] for r in rows if r[k] is not None}) for k in keys
+        }
+        return split_files_by_key_sets(manifest, vals)
+    return split_files_by_key_ranges(manifest, _key_ranges(key_df, keys))
+
+
+class _MergeScope:
+    """The slice of the table a key-based merge must actually touch.
+
+    ``touched``  — DataFrame of rows from files whose key range
+                   intersects the update batch (the merge input);
+    ``keep``     — file names provably free of updated keys, carried
+                   into the next version verbatim;
+    ``commit(df)`` — publish ``keep`` + newly-written ``df``.
+
+    For legacy plain dirs / stat-less manifests, ``touched`` is the
+    whole table and ``keep`` is empty — a full rewrite, exactly the
+    pre-file-granular behavior."""
+
+    def __init__(self, spark, table_path, keys, touched, keep, migrated):
+        self.spark = spark
+        self.table_path = table_path
+        self.keys = keys
+        self.touched = touched
+        self.keep = keep
+        self._migrated = migrated
+
+    def commit(self, merged: DataFrame) -> None:
+        commit_delta(
+            self.spark, self.table_path, merged, self.keep, stat_cols=self.keys
+        )
+        if self._migrated:
+            _drop_legacy_files(self.spark, self.table_path)
+
+
+def _merge_scope(
+    spark: SparkSession,
+    table_path: str,
+    key_df: DataFrame,
+    keys: list[str],
+) -> _MergeScope | None:
+    """Build the merge scope, or None when the table doesn't exist."""
+    if is_manifest_table(spark, table_path):
+        manifest = read_manifest(spark, table_path)
+        if "files" in manifest and set(keys) <= set(manifest.get("stat_cols") or []):
+            touched_files, keep = _prune_files(manifest, key_df, keys)
+            touched = _read_files(spark, table_path, manifest, touched_files)
+            return _MergeScope(spark, table_path, keys, touched, keep, False)
+        return _MergeScope(
+            spark, table_path, keys, read_table(spark, table_path), [], False
+        )
+    current = _current(spark, table_path)
+    if current is None:
+        return None
+    return _MergeScope(spark, table_path, keys, current, [], True)
 
 
 def upsert_parquet(
@@ -114,18 +207,22 @@ def upsert_parquet(
     (update rows win; new keys append). Creates the table if absent.
     Columns must match the existing table's schema unless
     ``evolve=True``, which permits ADD-COLUMN evolution (see
-    :func:`_evolve`)."""
-    current = _current(spark, table_path)
-    if current is None:
-        commit_snapshot(spark, table_path, updates)
+    :func:`_evolve`). Only files whose key range intersects the update
+    batch are rewritten."""
+    scope = _merge_scope(spark, table_path, updates, keys)
+    if scope is None:
+        commit_snapshot(spark, table_path, updates, stat_cols=keys)
         return
+    touched = scope.touched
     if evolve:
-        current, updates = _evolve(current, updates, "upsert")
+        # schema growth rewrites nothing extra: the commit declares the
+        # evolved schema and untouched files read new columns as NULL
+        touched, updates = _evolve(touched, updates, "upsert")
     else:
-        _check_schema(current, updates, "upsert")
-    survivors = current.join(updates.select(*keys).distinct(), keys, "left_anti")
-    merged = updates.select(*current.columns).unionByName(survivors)
-    _commit(spark, table_path, merged, migrated=not is_manifest_table(spark, table_path))
+        _check_schema(touched, updates, "upsert")
+    survivors = touched.join(updates.select(*keys).distinct(), keys, "left_anti")
+    merged = updates.select(*touched.columns).unionByName(survivors)
+    scope.commit(merged)
 
 
 def delete_keys(
@@ -135,18 +232,17 @@ def delete_keys(
     keys: list[str],
 ) -> int:
     """Copy-on-write DELETE: drop every row whose key tuple appears in
-    ``keys_df``, committed as a new snapshot version (readers pinned to
-    an older manifest keep a consistent view; time travel still serves
+    ``keys_df``, committed as a new version (readers pinned to an older
+    manifest keep a consistent view; time travel still serves
     pre-deletion versions until ``vacuum`` retires them — the
     right-to-be-forgotten flow is delete_keys + vacuum). Returns the
     number of rows removed.
 
-    Scale shape: one anti-join keyed on the deletion set — which is
-    small by nature (a deletion request list), so AQE broadcasts it —
-    then the atomic manifest commit; nothing else is rewritten
-    logically (at file granularity this snapshot format rewrites the
-    table; a file-level format would rewrite only touched files, the
-    same trade Delta makes without deletion vectors)."""
+    Scale shape: file pruning confines BOTH the rewrite and the
+    removed-row count to files that can contain a deleted key; the
+    count is one semi-join over that subset (not a before/after
+    full-table count), and the deletion set is small by nature, so AQE
+    broadcasts it."""
     current = _current(spark, table_path)
     if current is None:
         raise ValueError(f"no table at {table_path}")
@@ -154,15 +250,10 @@ def delete_keys(
     if missing:
         raise ValueError(f"delete keys not in table schema: {missing}")
     dset = keys_df.select(*keys).distinct()
-    survivors = current.join(dset, keys, "left_anti")
-    n_before = current.count()
-    _commit(
-        spark, table_path, survivors,
-        migrated=not is_manifest_table(spark, table_path),
-    )
-    from prox_spark.table import read_table
-
-    return n_before - read_table(spark, table_path).count()
+    scope = _merge_scope(spark, table_path, dset, keys)
+    n_removed = scope.touched.join(dset, keys, "left_semi").count()
+    scope.commit(scope.touched.join(dset, keys, "left_anti"))
+    return n_removed
 
 
 def upsert_keep_max(
@@ -179,21 +270,23 @@ def upsert_keep_max(
     the correct merge for out-of-order / replayed feeds: applying the
     same batches in any order, any number of times, converges to the
     same table (idempotent). Implementation is one struct-max
-    aggregate over current ∪ updates — partial aggregation means the
-    shuffle carries one row per key per partition."""
+    aggregate over touched ∪ updates — partial aggregation means the
+    shuffle carries one row per key per partition, and file pruning
+    keeps 'touched' to the files that can hold an updated key (the
+    table holds one row per key, so unpruned files pass through
+    unchanged)."""
 
     def _reduce(df: DataFrame) -> DataFrame:
         rest = [c for c in df.columns if c not in keys and c not in order_cols]
         s = F.max(F.struct(*[F.col(c) for c in [*order_cols, *rest]])).alias("_s")
         return df.groupBy(*keys).agg(s).select(*keys, "_s.*").select(*df.columns)
 
-    current = _current(spark, table_path)
-    if current is None:
-        commit_snapshot(spark, table_path, _reduce(updates))
+    scope = _merge_scope(spark, table_path, updates, keys)
+    if scope is None:
+        commit_snapshot(spark, table_path, _reduce(updates), stat_cols=keys)
         return
-    _check_schema(current, updates, "upsert")
-    merged = _reduce(current.unionByName(updates))
-    _commit(spark, table_path, merged, migrated=not is_manifest_table(spark, table_path))
+    _check_schema(scope.touched, updates, "upsert")
+    scope.commit(_reduce(scope.touched.unionByName(updates)))
 
 
 SCD2_COLS = ("valid_from", "valid_to", "is_current")
@@ -216,10 +309,12 @@ def upsert_scd2(
     ``updates`` carries the business columns + ``effective_col``
     (timestamp of the change); the table stores them plus
     ``valid_from``/``valid_to``/``is_current``. Unchanged keys pass
-    through untouched; the only join is one key equi-join against the
-    (small) update batch — same merge floor as SCD-1, so the 100 TB
-    story is unchanged: one scan + rewrite, broadcast-able update
-    side, atomic manifest commit."""
+    through untouched — with file-granular commits, UNTOUCHED FILES
+    aren't even read: the close-and-append transform is per-row, so
+    running it over the pruned (touched) subset equals running it over
+    the whole table, and history files for un-updated keys carry over
+    verbatim. Steady-state merge cost ∝ update batch, not dimension
+    size."""
     open_ended = F.lit("9999-12-31 00:00:00").cast("timestamp_ntz")
     fresh = (
         updates.withColumn("valid_from", F.col(effective_col).cast("timestamp_ntz"))
@@ -227,18 +322,18 @@ def upsert_scd2(
         .withColumn("is_current", F.lit(True))
         .drop(effective_col)
     )
-    current = _current(spark, table_path)
-    if current is None:
-        commit_snapshot(spark, table_path, fresh)
+    scope = _merge_scope(spark, table_path, updates, keys)
+    if scope is None:
+        commit_snapshot(spark, table_path, fresh, stat_cols=keys)
         return
-    _check_schema(current, fresh, "scd2")
+    _check_schema(scope.touched, fresh, "scd2")
     eff = updates.groupBy(*keys).agg(
         F.min(F.col(effective_col).cast("timestamp_ntz")).alias("_eff")
     )
     # close ONLY the open version of updated keys; history rows and
     # untouched keys pass through unchanged
     closed = (
-        current.join(eff, keys, "left")
+        scope.touched.join(eff, keys, "left")
         .withColumn(
             "valid_to",
             F.when(
@@ -251,8 +346,7 @@ def upsert_scd2(
         )
         .drop("_eff")
     )
-    merged = closed.unionByName(fresh.select(*current.columns))
-    _commit(spark, table_path, merged, migrated=not is_manifest_table(spark, table_path))
+    scope.commit(closed.unionByName(fresh.select(*scope.touched.columns)))
 
 
 def apply_changes(
@@ -264,28 +358,51 @@ def apply_changes(
 ) -> None:
     """Apply a CDC change feed — rows tagged insert/update/delete in
     ``op_col`` (the q114 snapshot-diff shape) — to the table in ONE
-    atomic snapshot commit: readers see the table before the feed or
-    after it, never a torn middle. This is the CONSUME half of the CDC
-    loop (q114 produces the feed, q118 maintains aggregates from it,
-    this materializes it into a downstream table).
+    atomic commit: readers see the table before the feed or after it,
+    never a torn middle. This is the CONSUME half of the CDC loop
+    (q114 produces the feed, q118 maintains aggregates from it, this
+    materializes it into a downstream table).
 
-    Scale shape: one anti-join of the standing table against the
-    (small-by-nature) changed-key set, a union with the insert/update
-    payloads, one commit — work ∝ table + feed, with AQE broadcasting
-    the feed side when it fits."""
-    ops = {r[0] for r in changes.select(op_col).distinct().collect()}
-    unknown = ops - {"insert", "update", "delete"}
-    if unknown:
-        raise ValueError(f"unknown change ops: {sorted(unknown)}")
-    current = _current(spark, table_path)
-    if current is None:
+    The feed must carry AT MOST ONE row per key tuple: duplicate keys
+    (a replayed feed, or an insert+update pair that was never
+    compacted) would silently write duplicate keys into a keyed table
+    inside one 'atomic' commit, so they fail loudly like unknown ops
+    do — compact the feed (keep the last change per key) upstream.
+
+    Scale shape: one validation pass over the (small-by-nature) feed,
+    file pruning to the touched key ranges, one anti-join of the
+    touched rows against the changed-key set, a union with the
+    insert/update payloads, one delta commit — work ∝ touched files +
+    feed, never table size."""
+    bad = (
+        changes.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            # isin() is NULL for a NULL op, so count "known" and invert:
+            # a NULL op must land in unknown, not slip through
+            F.sum(F.when(F.col(op_col).isin("insert", "update", "delete"), 0)
+                  .otherwise(1)).alias("__unk"),
+        )
+        .agg(F.max("__n").alias("max_per_key"), F.sum("__unk").alias("n_unknown"))
+        .collect()[0]
+    )
+    if bad.n_unknown:
+        ops = {r[0] for r in changes.select(op_col).distinct().collect()}
+        unknown = sorted(ops - {"insert", "update", "delete"}, key=str)
+        raise ValueError(f"unknown change ops: {unknown}")
+    if (bad.max_per_key or 0) > 1:
+        raise ValueError(
+            "change feed has multiple rows for the same key tuple — "
+            "compact it (last change per key wins) before applying"
+        )
+    scope = _merge_scope(spark, table_path, changes, keys)
+    if scope is None:
         raise ValueError(f"no table at {table_path}")
     changed_keys = changes.select(*keys).distinct()
-    survivors = current.join(changed_keys, keys, "left_anti")
+    survivors = scope.touched.join(changed_keys, keys, "left_anti")
     upserts = (
         changes.filter(F.col(op_col) != "delete")
         .drop(op_col)
-        .select(*current.columns)
+        .select(*scope.touched.columns)
     )
-    merged = survivors.unionByName(upserts)
-    _commit(spark, table_path, merged, migrated=not is_manifest_table(spark, table_path))
+    scope.commit(survivors.unionByName(upserts))

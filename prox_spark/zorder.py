@@ -66,13 +66,26 @@ def zvalue(df: DataFrame, cols: list[str], bits: int = 16) -> DataFrame:
     scaled = []
     for c in cols:
         lo, hi = stats[f"min_{c}"], stats[f"max_{c}"]
+        if lo is None or hi is None:
+            raise ValueError(
+                f"zvalue: column {c!r} has no non-null values — cannot "
+                "derive a rescale range (empty input?)"
+            )
         span = max(1, int(hi) - int(lo))
+        # rescale in DOUBLE: the integer form (col - lo) * top is a
+        # BIGINT multiply that silently overflows (scrambling the
+        # curve) once the column spans more than ~2^47. The double
+        # path loses ulp-level precision for spans beyond 2^53, which
+        # is acceptable: the z-value drives file LAYOUT only, never
+        # query results
         scaled.append(
             F.least(
                 F.lit(top),
-                ((F.col(c).cast("long") - F.lit(int(lo))) * top / F.lit(span)).cast(
-                    "long"
-                ),
+                (
+                    (F.col(c).cast("double") - F.lit(float(int(lo))))
+                    / F.lit(float(span))
+                    * F.lit(top)
+                ).cast("long"),
             )
         )
     return df.withColumn(Z_COL, interleave_bits(scaled, bits))

@@ -31,3 +31,50 @@ def test_rows_match_closed_form(spark):
         for i in range(40)
     )
     assert got == want
+
+
+def test_stream_source_drains_without_terminal_error(spark):
+    """SimpleDataSourceStreamReader.read must return an ITERATOR: once
+    the corpus drains (end offset == start offset) pyspark's prefetch
+    wrapper calls next(it) directly on the returned value
+    (datasource_internal.py add_result_to_cache), so a bare list kills
+    the query with a TypeError. Run the stream well past the drain
+    point and assert zero terminal exceptions."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from prox_spark.datasource import register_stream
+
+    register_stream(spark)
+    stream = (
+        spark.readStream.format("synthdocs_stream")
+        .option("n_docs", "120")
+        .option("batch_size", "50")
+        .load()
+    )
+    q = (
+        stream.groupBy().agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.format("memory")
+        .queryName("ds_drain_check")
+        .outputMode("complete")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline:
+            assert q.exception() is None, str(q.exception())
+            rows = spark.table("ds_drain_check").collect()
+            if rows and rows[0].n == 120:
+                break
+            time.sleep(0.1)
+        else:
+            raise TimeoutError("stream did not drain in 60s")
+        # keep the trigger loop running PAST the drain: every further
+        # latestOffset() hits the end==start path that used to crash
+        time.sleep(1.5)
+        assert q.exception() is None, str(q.exception())
+    finally:
+        q.stop()
+    assert q.exception() is None, str(q.exception())

@@ -80,6 +80,32 @@ def test_heavy_hitters_bit_equal_to_naive(spark):
         assert got == want, thr
 
 
+def test_heavy_hitters_bounded_summary_still_exact(spark):
+    """Force the Misra-Gries overflow path (summary_cap far below the
+    distinct-key count) and check the result is STILL bit-equal to the
+    naive groupBy + HAVING: the bounded summary may only widen the
+    candidate set, never lose a heavy key."""
+    from prox_spark.joins import heavy_hitters
+
+    # 3000 distinct tail keys + 4 heavy keys, shuffled deterministically
+    rows = [(i % 3000 + 100,) for i in range(6000)]
+    rows += [(h,) for h in (1, 2, 3, 4) for _ in range(80)]
+    rows.sort(key=lambda r: (r[0] * 2654435761) % (1 << 32))
+    df = spark.createDataFrame(rows, "k BIGINT").repartition(4)
+    for thr, cap in ((80, 64), (80, 16), (3, 64)):
+        got = sorted(
+            heavy_hitters(df, "k", thr, summary_cap=cap).collect(), key=str
+        )
+        want = sorted(
+            df.groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= thr)
+            .collect(),
+            key=str,
+        )
+        assert got == want, (thr, cap)
+
+
 def test_heavy_hitters_threshold_above_max_is_empty(spark):
     from prox_spark.joins import heavy_hitters
 

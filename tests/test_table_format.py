@@ -179,3 +179,195 @@ def test_upsert_evolution_rejects_dropped_columns(spark, tmp_path):
     narrower = spark.createDataFrame([(2,)], "id BIGINT")
     with pytest.raises(ValueError, match="drop columns"):
         upsert_parquet(spark, path, narrower, ["id"], evolve=True)
+
+
+# --- file-granular commits (round-4 format) --------------------------------
+
+
+def _files_of(spark, path, version=None):
+    from prox_spark.table import read_manifest
+
+    return read_manifest(spark, path, version)["files"]
+
+
+def test_single_key_upsert_rewrites_few_files(spark, tmp_path):
+    """THE file-granularity guarantee: with the table clustered on the
+    merge key across many files, an upsert touching one key carries
+    almost every file into the new version verbatim and rewrites only
+    the file(s) whose key range covers that key."""
+    from prox_spark.upsert import upsert_parquet
+
+    path = str(tmp_path / "t")
+    big = spark.createDataFrame(
+        [(i, f"u{i}") for i in range(4000)], "id BIGINT, name STRING"
+    )
+    commit_snapshot(spark, path, big, stat_cols=["id"], n_files=16)
+    v1_files = set(_files_of(spark, path))
+    assert len(v1_files) == 16
+
+    upsert_parquet(
+        spark, path, spark.createDataFrame([(1234, "EDIT")], "id BIGINT, name STRING"),
+        ["id"],
+    )
+    v2_files = set(_files_of(spark, path))
+    carried = v1_files & v2_files
+    assert len(carried) >= 15, f"only {len(carried)} of 16 files carried over"
+    # and the merge is still correct
+    got = read_table(spark, path)
+    assert got.count() == 4000
+    assert [r.name for r in got.filter("id = 1234").collect()] == ["EDIT"]
+    assert [r.name for r in got.filter("id = 1233").collect()] == ["u1233"]
+
+
+def test_delete_keys_prunes_and_counts_exactly(spark, tmp_path):
+    from prox_spark.upsert import delete_keys
+
+    path = str(tmp_path / "t")
+    big = spark.createDataFrame([(i, i * 2) for i in range(4000)], "id BIGINT, v BIGINT")
+    commit_snapshot(spark, path, big, stat_cols=["id"], n_files=16)
+    v1_files = set(_files_of(spark, path))
+
+    dels = spark.createDataFrame([(10,), (11,), (9999,)], "id BIGINT")
+    n = delete_keys(spark, path, dels, ["id"])
+    assert n == 2
+    v2_files = set(_files_of(spark, path))
+    assert len(v1_files & v2_files) >= 15
+    assert read_table(spark, path).count() == 3998
+
+
+def test_point_lookup_skips_files(spark, tmp_path):
+    from prox_spark.table import point_lookup_files, read_table_point
+
+    path = str(tmp_path / "t")
+    big = spark.createDataFrame(
+        [(i, f"u{i}") for i in range(4000)], "id BIGINT, name STRING"
+    )
+    commit_snapshot(spark, path, big, stat_cols=["id"], n_files=16)
+    pruned = point_lookup_files(spark, path, {"id": 1234})
+    assert 1 <= len(pruned) <= 2, pruned  # 16 disjoint ranges -> ~1 file
+    rows = read_table_point(spark, path, {"id": 1234}).collect()
+    assert [(r.id, r.name) for r in rows] == [(1234, "u1234")]
+    # a key outside every range reads zero files
+    assert point_lookup_files(spark, path, {"id": 999999}) == []
+    assert read_table_point(spark, path, {"id": 999999}).count() == 0
+
+
+def test_evolution_rewrites_no_untouched_files(spark, tmp_path):
+    """ADD-COLUMN evolution with file-granular commits: untouched files
+    are carried over byte-identical (old physical schema) and read the
+    new column as NULL through the manifest's declared schema."""
+    from prox_spark.upsert import upsert_parquet
+
+    path = str(tmp_path / "t")
+    big = spark.createDataFrame(
+        [(i, f"u{i}") for i in range(4000)], "id BIGINT, name STRING"
+    )
+    commit_snapshot(spark, path, big, stat_cols=["id"], n_files=16)
+    v1_files = set(_files_of(spark, path))
+    wide = spark.createDataFrame(
+        [(7, "seven", 0.5)], "id BIGINT, name STRING, score DOUBLE"
+    )
+    upsert_parquet(spark, path, wide, ["id"], evolve=True)
+    v2_files = set(_files_of(spark, path))
+    assert len(v1_files & v2_files) >= 15
+    got = read_table(spark, path)
+    assert got.filter("score IS NOT NULL").count() == 1
+    assert got.filter("score IS NULL").count() == 3999
+
+
+def test_apply_changes_rejects_duplicate_key_rows(spark, tmp_path):
+    import pytest
+
+    from prox_spark.upsert import apply_changes
+
+    path = str(tmp_path / "t")
+    commit_snapshot(
+        spark,
+        path,
+        spark.createDataFrame([(1, "a")], "id BIGINT, v STRING"),
+        stat_cols=["id"],
+    )
+    feed = spark.createDataFrame(
+        [(2, "b", "insert"), (2, "b2", "update")], "id BIGINT, v STRING, change STRING"
+    )
+    with pytest.raises(ValueError, match="multiple rows for the same key"):
+        apply_changes(spark, path, feed, ["id"])
+
+
+def test_apply_changes_rejects_null_op(spark, tmp_path):
+    import pytest
+
+    from prox_spark.upsert import apply_changes
+
+    path = str(tmp_path / "t")
+    commit_snapshot(
+        spark,
+        path,
+        spark.createDataFrame([(1, "a")], "id BIGINT, v STRING"),
+        stat_cols=["id"],
+    )
+    feed = spark.createDataFrame(
+        [(2, "b", None)], "id BIGINT, v STRING, change STRING"
+    )
+    with pytest.raises(ValueError, match="unknown change ops"):
+        apply_changes(spark, path, feed, ["id"])
+
+
+def test_keep_max_and_scd2_prune_files(spark, tmp_path):
+    """The order-independent and history merges take the same pruned
+    path: one-key batches carry nearly every file over."""
+    from prox_spark.upsert import upsert_keep_max, upsert_scd2
+
+    km = str(tmp_path / "km")
+    big = spark.createDataFrame(
+        [(i, 1, f"v{i}") for i in range(4000)], "id BIGINT, seq BIGINT, v STRING"
+    )
+    upsert_keep_max(spark, km, big, ["id"], ["seq"])
+    v1 = set(_files_of(spark, km))
+    upd = spark.createDataFrame([(42, 5, "new"), (42, 3, "stale")],
+                                "id BIGINT, seq BIGINT, v STRING")
+    upsert_keep_max(spark, km, upd, ["id"], ["seq"])
+    assert len(v1 & set(_files_of(spark, km))) >= len(v1) - 2
+    got = {r.id: (r.seq, r.v) for r in read_table(spark, km).filter("id = 42").collect()}
+    assert got == {42: (5, "new")}
+    assert read_table(spark, km).count() == 4000
+
+    s2 = str(tmp_path / "s2")
+    dim = spark.createDataFrame(
+        [(i, f"addr{i}", "2024-01-01 00:00:00") for i in range(4000)],
+        "id BIGINT, addr STRING, eff STRING",
+    ).withColumn("eff", F.col("eff").cast("timestamp_ntz"))
+    upsert_scd2(spark, s2, dim, ["id"], "eff")
+    v1 = set(_files_of(spark, s2))
+    change = spark.createDataFrame(
+        [(42, "moved", "2024-06-01 00:00:00")], "id BIGINT, addr STRING, eff STRING"
+    ).withColumn("eff", F.col("eff").cast("timestamp_ntz"))
+    upsert_scd2(spark, s2, change, ["id"], "eff")
+    assert len(v1 & set(_files_of(spark, s2))) >= len(v1) - 2
+    hist = read_table(spark, s2).filter("id = 42").orderBy("valid_from").collect()
+    assert [r.is_current for r in hist] == [False, True]
+    assert read_table(spark, s2).count() == 4001
+
+
+def test_apply_changes_replay_idempotent(spark, tmp_path):
+    """A restarted stream redelivers a batch: re-applying the same
+    change feed must converge to the same table (re-upsert of an
+    applied row and re-delete of an absent key are no-ops)."""
+    from prox_spark.upsert import apply_changes
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "id BIGINT, v STRING"
+    )
+    commit_snapshot(spark, path, base, stat_cols=["id"], n_files=4)
+    feed = spark.createDataFrame(
+        [(5, "V5", "update"), (200, "V200", "insert"), (7, None, "delete")],
+        "id BIGINT, v STRING, change STRING",
+    )
+    apply_changes(spark, path, feed, ["id"])
+    want = sorted(read_table(spark, path).collect(), key=str)
+    apply_changes(spark, path, feed, ["id"])  # replay
+    got = sorted(read_table(spark, path).collect(), key=str)
+    assert got == want
+    ids = {r.id for r in got}
+    assert 7 not in ids and 200 in ids and len(ids) == 100

@@ -77,3 +77,32 @@ def test_zorder_changes_layout_not_content(spark, tmp_path):
     got = sorted(spark.read.parquet(zpath).collect(), key=str)
     want = sorted(df.collect(), key=str)
     assert got == want
+
+
+def test_zvalue_empty_input_raises_clear_error(spark):
+    import pytest
+
+    from prox_spark.zorder import zvalue
+
+    empty = spark.createDataFrame([], "x BIGINT, y BIGINT")
+    with pytest.raises(ValueError, match="no non-null values"):
+        zvalue(empty, ["x", "y"])
+
+
+def test_zvalue_wide_span_no_overflow(spark):
+    """Columns spanning more than 2^47 used to overflow the BIGINT
+    rescale multiply and scramble the curve; the double rescale must
+    keep z monotone-ish: the max-valued corner maps to the top bucket,
+    the min to 0, and every bucket stays within [0, 2^16)."""
+    from pyspark.sql import functions as F
+
+    from prox_spark.zorder import Z_COL, zvalue
+
+    lo, hi = -(1 << 55), (1 << 55)
+    df = spark.createDataFrame(
+        [(lo, lo), (0, 0), (hi, hi)], "x BIGINT, y BIGINT"
+    )
+    rows = {r.x: r[Z_COL] for r in zvalue(df, ["x", "y"], bits=16).collect()}
+    assert rows[lo] == 0
+    assert rows[hi] == (1 << 32) - 1  # both cols at top bucket, fully interleaved
+    assert rows[lo] < rows[0] < rows[hi]
