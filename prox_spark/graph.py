@@ -44,6 +44,51 @@ MASS = 10**12
 DAMP_NUM, DAMP_DEN = 85, 100  # damping 0.85 as an exact ratio
 
 
+def _rank_round(
+    ed: DataFrame, nodes: DataFrame, ranks: DataFrame, base: int, w: str | None
+) -> DataFrame:
+    """ONE rank-propagation round (shared by the fixpoint loop and the
+    plan-audit twin, so audited plan shape == executed plan shape):
+    join the dst-partitioned edge frame with the broadcast rank frame,
+    sum shares per dst, re-anchor on the node list."""
+    share = F.expr(f"(rank * {w}) div out") if w else F.expr("rank div out")
+    inflow = (
+        ed.join(F.broadcast(ranks), ed.src == ranks.node)
+        .select("dst", share.alias("share"))
+        .groupBy("dst")
+        .agg(F.sum("share").alias("inflow"))
+    )
+    return nodes.join(inflow, nodes.node == inflow.dst, "left").select(
+        "node",
+        (
+            F.lit(base)
+            + F.expr(f"({DAMP_NUM} * coalesce(inflow, 0L)) div {DAMP_DEN}")
+        ).alias("rank"),
+    )
+
+
+def pagerank_round_audit_frame(
+    edges: DataFrame, weight_col: str | None = None
+) -> DataFrame:
+    """AUDIT TWIN: the DataFrame of one PageRank round built LAZILY —
+    no checkpoints, no counts — so tools/plan_audit.py can count the
+    loop body's shuffles/joins mechanically (the real ``pagerank``
+    executes eagerly while building, which a plan audit must not).
+    Plan shape is identical to the executed round because both call
+    :func:`_rank_round`; only the materialization boundaries differ
+    (the audit frame carries the edge/degree build that checkpointing
+    amortizes across rounds in the real run)."""
+    w = weight_col
+    cols = ["src", "dst"] + ([w] if w else [])
+    e = edges.select(*cols)
+    out_expr = F.sum(w).alias("out") if w else F.count(F.lit(1)).alias("out")
+    deg = e.groupBy("src").agg(out_expr)
+    ed = e.join(deg, "src").repartition("dst")
+    nodes = deg.select(F.col("src").alias("node"))
+    ranks = nodes.withColumn("rank", F.lit(MASS))
+    return _rank_round(ed, nodes, ranks, 0, w)
+
+
 def pagerank(
     edges: DataFrame, iters: int = 5, weight_col: str | None = None
 ) -> DataFrame:
@@ -99,35 +144,15 @@ def pagerank(
     base = (15 * init) // 100
     ranks = nodes.withColumn("rank", F.lit(init))
     for _ in range(iters):
-        # ranks is two BIGINTs per node — broadcast it so the edge
-        # frame never moves. (At billion-node graph scale flip this to
-        # an un-hinted join over src-co-partitioned frames; node
-        # frames in the curation use-case are bounded by hosts, not
-        # documents, so broadcast is the right default.)
-        share = (
-            F.expr(f"(rank * {w}) div out") if w else F.expr("rank div out")
-        )
-        inflow = (
-            ed.join(F.broadcast(ranks), ed.src == ranks.node)
-            .select("dst", share.alias("share"))
-            .groupBy("dst")
-            .agg(F.sum("share").alias("inflow"))
-        )
-        # eager checkpoint EVERY round: an unchecked loop compounds
+        # ranks is two BIGINTs per node — broadcast it (inside
+        # _rank_round) so the edge frame never moves. (At billion-node
+        # graph scale flip this to an un-hinted join over
+        # src-co-partitioned frames; node frames in the curation
+        # use-case are bounded by hosts, not documents, so broadcast
+        # is the right default.)
+        # Eager checkpoint EVERY round: an unchecked loop compounds
         # into one iters-deep nested DAG that the final action replays
         # whole — rank propagation has no per-round convergence action
         # to force materialization, unlike the CC fixpoint's count()
-        ranks = (
-            nodes.join(inflow, nodes.node == inflow.dst, "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.expr(
-                        f"({DAMP_NUM} * coalesce(inflow, 0L)) div {DAMP_DEN}"
-                    )
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        ranks = _rank_round(ed, nodes, ranks, base, w).localCheckpoint(eager=True)
     return ranks

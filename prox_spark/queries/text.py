@@ -726,6 +726,59 @@ def _driver_union_find(edge_rows: list[tuple[int, int]]) -> list[tuple[int, int]
     return sorted((n, find(n)) for n in parent)
 
 
+def _cc_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """ONE min-label-propagation + pointer-jump round (shared by the
+    fixpoint loop and the plan-audit twin, so audited plan shape ==
+    executed plan shape). Returns the new label frame, carrying the
+    previous label as ``old`` so convergence is read off the SAME
+    materialization — one job per round, not a second change-detection
+    join.
+
+    Pointer jumping (label-of-label): after adopting the neighbor
+    minimum, also adopt the label OF the candidate label's node.
+    Labels are always node ids, so the lookup is a self-join on the
+    (narrow) label frame; it turns chain convergence from O(diameter)
+    rounds into O(log diameter) — the property that matters when a
+    billion-edge near-dup graph hides long paths. A fixpoint of the
+    combined update is in particular a fixpoint of plain neighbor-min
+    propagation, so the converged labels are unchanged."""
+    nbr_min = (
+        edges.join(labels, edges.doc1 == labels.doc_id)
+        .groupBy(F.col("doc2").alias("doc_id"))
+        .agg(F.min("label").alias("nbr"))
+    )
+    mid = labels.join(nbr_min, "doc_id", "left").select(
+        "doc_id",
+        F.col("label").alias("old"),
+        F.least(F.col("label"), F.coalesce(F.col("nbr"), F.col("label"))).alias("mid"),
+    )
+    l2 = labels.select(F.col("doc_id").alias("p_id"), F.col("label").alias("p_label"))
+    return mid.join(l2, mid.mid == l2.p_id, "left").select(
+        "doc_id",
+        "old",
+        F.least(F.col("mid"), F.coalesce(F.col("p_label"), F.col("mid"))).alias(
+            "label"
+        ),
+    )
+
+
+def cc_round_audit_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIT TWIN for q72's fixpoint loop body, built LAZILY (no
+    cache/count/collect — the real ``min_label_clusters`` executes
+    while building, which a plan audit must not): the q36 LSH pair
+    front end, symmetrized edges, and one :func:`_cc_round`."""
+    pairs = q36_minhash_lsh(spark, sf_dir).select("doc1", "doc2")
+    edges = pairs.union(
+        pairs.select(F.col("doc2").alias("doc1"), F.col("doc1").alias("doc2"))
+    ).repartition("doc1")
+    labels = (
+        edges.select(F.col("doc1").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+    )
+    return _cc_round(edges, labels).drop("old")
+
+
 def min_label_clusters(
     pairs: DataFrame,
     max_iters: int = CC_MAX_ITERS,
@@ -781,43 +834,7 @@ def min_label_clusters(
         .cache()
     )
     for i in range(max_iters):
-        nbr_min = (
-            edges.join(labels, edges.doc1 == labels.doc_id)
-            .groupBy(F.col("doc2").alias("doc_id"))
-            .agg(F.min("label").alias("nbr"))
-        )
-        # carry the previous label through the update so convergence is
-        # read off the SAME materialization — one job per round, not a
-        # second change-detection join
-        mid = labels.join(nbr_min, "doc_id", "left").select(
-            "doc_id",
-            F.col("label").alias("old"),
-            F.least(F.col("label"), F.coalesce(F.col("nbr"), F.col("label"))).alias(
-                "mid"
-            ),
-        )
-        # pointer jumping (label-of-label): also adopt the label OF the
-        # candidate label's node. Labels are always node ids, so the
-        # lookup is a self-join on the (narrow) label frame; it turns
-        # chain convergence from O(diameter) rounds into O(log
-        # diameter) — the property that matters when a billion-edge
-        # near-dup graph hides long paths. A fixpoint of the combined
-        # update is in particular a fixpoint of plain neighbor-min
-        # propagation, so the converged labels are unchanged.
-        l2 = labels.select(
-            F.col("doc_id").alias("p_id"), F.col("label").alias("p_label")
-        )
-        new_labels = (
-            mid.join(l2, mid.mid == l2.p_id, "left")
-            .select(
-                "doc_id",
-                "old",
-                F.least(F.col("mid"), F.coalesce(F.col("p_label"), F.col("mid"))).alias(
-                    "label"
-                ),
-            )
-            .cache()
-        )
+        new_labels = _cc_round(edges, labels).cache()
         changed = new_labels.filter(F.col("label") < F.col("old")).count()
         labels.unpersist()
         labels = new_labels.drop("old")

@@ -109,9 +109,17 @@ def read_manifest(
     if v not in versions:
         raise ValueError(f"version {v} not in {versions} for {table_path}")
     mpath = f"{table_path}/{MANIFEST_DIR}/manifest-{v:08d}.json"
-    # spark.read.text works on every Hadoop FS; the file is one JSON doc
-    line = "".join(r.value for r in spark.read.text(mpath).collect())
-    return json.loads(line)
+    # driver-side Hadoop FS read (works on every FS scheme): a manifest
+    # is a small metadata file, and merge pipelines read one per
+    # commit — routing this through spark.read.text would cost a full
+    # Spark job each time
+    jvm, fs, _ = _fs(spark, table_path)
+    stream = fs.open(jvm.org.apache.hadoop.fs.Path(mpath))
+    try:
+        doc = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return json.loads(doc)
 
 
 def _read_files(
@@ -222,19 +230,28 @@ def _write_data(
     stat_cols: list[str] | None,
     n_files: int | None,
     bloom_ndv: int,
+    cluster: bool,
 ) -> None:
     if stat_cols:
-        # cluster by the key columns so each file covers a compact,
-        # near-disjoint key range — this is what makes later merges
-        # rewrite ONE file per changed key region instead of many.
-        # With an explicit n_files the range partitioner is pinned;
-        # without, AQE coalesces small outputs into few files.
-        part = (
-            df.repartitionByRange(n_files, *stat_cols)
-            if n_files
-            else df.repartitionByRange(*stat_cols)
-        )
-        w = part.sortWithinPartitions(*stat_cols).write
+        if cluster:
+            # cluster by the key columns so each file covers a compact,
+            # near-disjoint key range — this is what makes later merges
+            # rewrite ONE file per changed key region instead of many.
+            # With an explicit n_files the range partitioner is pinned;
+            # without, AQE coalesces small outputs into few files.
+            part = (
+                df.repartitionByRange(n_files, *stat_cols)
+                if n_files
+                else df.repartitionByRange(*stat_cols)
+            )
+        else:
+            # small-table path: a local sort still tightens row-group
+            # stats and feeds the blooms, without the range
+            # partitioner's sampling pass (a second execution of the
+            # merge plan) — ~0.6 s of fixed cost a tiny commit can't
+            # amortize
+            part = df.sortWithinPartitions(*stat_cols)
+        w = part.write
         for c in stat_cols:
             # bloom filters give point lookups row-group rejection on
             # top of the manifest's file-level min/max pruning
@@ -273,7 +290,28 @@ def commit_delta(
         stat_cols = prev.get("stat_cols") or []
     v = (versions[-1] if versions else 0) + 1
     delta_rel = f"{DATA_DIR}/snap-{v:08d}-{uuid.uuid4().hex[:8]}"
-    _write_data(new_df, f"{table_path}/{delta_rel}", stat_cols, n_files, bloom_ndv)
+    # cluster when file-level pruning can pay: an explicitly-sized
+    # layout, or a table already spread over several files. A 1-file
+    # table gains nothing from range clustering, and a sequential
+    # merge pipeline (SCD-2 weekly batches) would pay the sampling
+    # pass on every commit.
+    cluster = bool(stat_cols) and (
+        n_files is not None or len(prev.get("files", [])) > 4
+    )
+    if cluster:
+        # the range-clustered write samples its input to pick range
+        # boundaries — a SECOND execution of the merge plan (scan +
+        # join + union) unless the frame is pinned. The pin is bounded
+        # by the merge's touched slice, which file pruning keeps ∝ the
+        # update batch at steady state, never table size.
+        new_df = new_df.persist()
+    try:
+        _write_data(
+            new_df, f"{table_path}/{delta_rel}", stat_cols, n_files, bloom_ndv, cluster
+        )
+    finally:
+        if cluster:
+            new_df.unpersist()
 
     new_files = _list_part_files(spark, table_path, delta_rel)
     stats = {f: (prev.get("stats") or {}).get(f) for f in keep_files}

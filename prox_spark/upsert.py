@@ -135,6 +135,12 @@ def _prune_files(manifest: dict, key_df: DataFrame, keys: list[str]):
     range pruning beyond the cap."""
     from prox_spark.table import split_files_by_key_ranges, split_files_by_key_sets
 
+    files = manifest.get("files", [])
+    if len(files) <= 2:
+        # nothing worth pruning: skip the key-collect job entirely
+        # (small tables — e.g. AQE-coalesced dimensions — hit this on
+        # every merge of a sequential pipeline)
+        return list(files), []
     rows = key_df.select(*keys).distinct().limit(_KEY_SET_CAP + 1).collect()
     if len(rows) <= _KEY_SET_CAP:
         vals = {
@@ -349,6 +355,55 @@ def upsert_scd2(
     scope.commit(closed.unionByName(fresh.select(*scope.touched.columns)))
 
 
+_VALID_OPS = ("insert", "update", "delete")
+
+
+def _validate_feed(changes: DataFrame, keys: list[str], op_col: str) -> None:
+    """Reject unknown/NULL ops and duplicate key tuples. A feed within
+    the key-set cap validates driver-side from ONE collect (the common
+    CDC case — per-micro-batch feeds are small); a bulk feed pays one
+    aggregate job instead."""
+    rows = changes.select(*keys, op_col).limit(_KEY_SET_CAP + 1).collect()
+    if len(rows) <= _KEY_SET_CAP:
+        unknown = sorted(
+            {r[op_col] for r in rows if r[op_col] not in _VALID_OPS}, key=str
+        )
+        if unknown:
+            raise ValueError(f"unknown change ops: {unknown}")
+        seen = set()
+        for r in rows:
+            kt = tuple(r[k] for k in keys)
+            if kt in seen:
+                raise ValueError(
+                    "change feed has multiple rows for the same key tuple — "
+                    "compact it (last change per key wins) before applying"
+                )
+            seen.add(kt)
+        return
+    bad = (
+        changes.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            # isin() is NULL for a NULL op, so count "known" and invert:
+            # a NULL op must land in unknown, not slip through
+            F.sum(
+                F.when(F.col(op_col).isin(*_VALID_OPS), 0).otherwise(1)
+            ).alias("__unk"),
+        )
+        .agg(F.max("__n").alias("max_per_key"), F.sum("__unk").alias("n_unknown"))
+        .collect()[0]
+    )
+    if bad.n_unknown:
+        ops = {r[0] for r in changes.select(op_col).distinct().collect()}
+        unknown = sorted(ops - set(_VALID_OPS), key=str)
+        raise ValueError(f"unknown change ops: {unknown}")
+    if (bad.max_per_key or 0) > 1:
+        raise ValueError(
+            "change feed has multiple rows for the same key tuple — "
+            "compact it (last change per key wins) before applying"
+        )
+
+
 def apply_changes(
     spark: SparkSession,
     table_path: str,
@@ -374,27 +429,7 @@ def apply_changes(
     touched rows against the changed-key set, a union with the
     insert/update payloads, one delta commit — work ∝ touched files +
     feed, never table size."""
-    bad = (
-        changes.groupBy(*keys)
-        .agg(
-            F.count(F.lit(1)).alias("__n"),
-            # isin() is NULL for a NULL op, so count "known" and invert:
-            # a NULL op must land in unknown, not slip through
-            F.sum(F.when(F.col(op_col).isin("insert", "update", "delete"), 0)
-                  .otherwise(1)).alias("__unk"),
-        )
-        .agg(F.max("__n").alias("max_per_key"), F.sum("__unk").alias("n_unknown"))
-        .collect()[0]
-    )
-    if bad.n_unknown:
-        ops = {r[0] for r in changes.select(op_col).distinct().collect()}
-        unknown = sorted(ops - {"insert", "update", "delete"}, key=str)
-        raise ValueError(f"unknown change ops: {unknown}")
-    if (bad.max_per_key or 0) > 1:
-        raise ValueError(
-            "change feed has multiple rows for the same key tuple — "
-            "compact it (last change per key wins) before applying"
-        )
+    _validate_feed(changes, keys, op_col)
     scope = _merge_scope(spark, table_path, changes, keys)
     if scope is None:
         raise ValueError(f"no table at {table_path}")

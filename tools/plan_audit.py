@@ -32,6 +32,39 @@ SKIP = {
     "q86_scd2_user_state",  # builds via sequential merges (real writes), audited by test
     "q127_pagerank",  # iterative build materializes per-round checkpoints
     "q150_weighted_pagerank",
+    "q152_cdc_apply",  # executes real table commits while building
+    "q153_streaming_cdc_apply",  # runs a real stream while building
+}
+
+
+def _twin_q72(spark, sf_dir):
+    from prox_spark.queries.text import cc_round_audit_frame
+
+    return cc_round_audit_frame(spark, sf_dir)
+
+
+def _twin_q127(spark, sf_dir):
+    from prox_spark.graph import pagerank_round_audit_frame
+    from prox_spark.queries.graph_q import _interaction_edges
+
+    return pagerank_round_audit_frame(_interaction_edges(spark, sf_dir))
+
+
+def _twin_q150(spark, sf_dir):
+    from prox_spark.graph import pagerank_round_audit_frame
+    from prox_spark.queries.graph_q import _weighted_edges
+
+    return pagerank_round_audit_frame(_weighted_edges(spark, sf_dir), "w")
+
+
+# declared single-round twins for the iterative builders: the loop BODY's
+# plan is audited lazily (built via the same shared round function the
+# real fixpoint executes), so a shuffle-count regression in the loop is
+# caught mechanically even though the full query can't be dry-planned
+AUDIT_TWINS = {
+    "q72_dup_clusters#round": _twin_q72,
+    "q127_pagerank#round": _twin_q127,
+    "q150_weighted_pagerank#round": _twin_q150,
 }
 
 # node names as they appear at the head of a tree line (join nodes are
@@ -75,9 +108,9 @@ def main() -> None:
 
     spark = get_spark("plan-audit")
     rows = []
-    for name, fn in e.queries().items():
-        if name in SKIP:
-            continue
+    audited = {**{n: f for n, f in e.queries().items() if n not in SKIP},
+               **AUDIT_TWINS}
+    for name, fn in audited.items():
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             fn(spark, sf_dir).explain("formatted")
