@@ -37,6 +37,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _FRONT = [
     # new this round: streaming CDC consume over file-granular commits
     "q153_streaming_cdc_apply",
+    "q154_point_lookup",
     # connector/format gate (q141 carries the round-4 stream-source fix)
     "q138_jsonl_scan",
     "q139_orc_scan",

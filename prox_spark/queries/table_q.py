@@ -413,11 +413,70 @@ ORDER BY source
 """
 
 
+# probe keys for the point-lookup gate: present at every sf (doc_ids are
+# 0..N-1 with N >= 500 at the gated scales); a missing id is simply an
+# empty lookup on both engines
+PL_PROBES = (1, 123, 250, 499)
+_PL_CACHE: dict[str, str] = {}
+
+
+def _pl_table(spark: SparkSession, sf_dir: str) -> str:
+    """documents as a range-clustered multi-file manifest table, staged
+    once per process (commit_snapshot with key stats + blooms)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from prox_spark.table import commit_snapshot
+
+    if sf_dir not in _PL_CACHE:
+        scratch = tempfile.mkdtemp(prefix="prox_pl_table_")
+        atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+        table = f"{scratch}/docs"
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "source", "n_chars"
+        )
+        commit_snapshot(spark, table, docs, stat_cols=["doc_id"], n_files=16)
+        _PL_CACHE[sf_dir] = table
+    return _PL_CACHE[sf_dir]
+
+
+def q154_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed POINT LOOKUPS through the manifest table format: the
+    documents table committed as 16 range-disjoint, bloom-filtered
+    files, probed per key via prox_spark.table.read_table_point — the
+    manifest's min/max stats prune to ~1 file per probe DRIVER-SIDE
+    (before any Spark planning), and the parquet blooms reject
+    non-matching row groups inside the survivor. The oracle re-reads
+    the same keys from the clean table, so a wrong manifest stat, a
+    mis-pruned file, or a stale snapshot shows up as a hash mismatch.
+    File-skipping itself is asserted in tests/test_table_format.py
+    (test_point_lookup_skips_files)."""
+    from functools import reduce
+
+    from prox_spark.table import read_table_point
+
+    table = _pl_table(spark, sf_dir)
+    frames = [
+        read_table_point(spark, table, {"doc_id": k}) for k in PL_PROBES
+    ]
+    return reduce(lambda a, b: a.unionByName(b), frames).orderBy("doc_id")
+
+
+ORACLE_Q154 = f"""
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE doc_id IN ({", ".join(str(k) for k in PL_PROBES)})
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q114_snapshot_diff": q114_snapshot_diff,
     "q118_incremental_agg": q118_incremental_agg,
     "q152_cdc_apply": q152_cdc_apply,
     "q153_streaming_cdc_apply": q153_streaming_cdc_apply,
+    "q154_point_lookup": q154_point_lookup,
 }
 
 
@@ -429,4 +488,5 @@ def oracles() -> dict[str, str]:
         "q118_incremental_agg": _oracle_q118(),
         "q152_cdc_apply": _oracle_q152(),
         "q153_streaming_cdc_apply": _oracle_q153(),
+        "q154_point_lookup": ORACLE_Q154,
     }

@@ -446,6 +446,38 @@ def read_table_point(
     return df.filter(cond)
 
 
+def compact_table(
+    spark: SparkSession,
+    table_path: str,
+    *,
+    stat_cols: list[str] | None = None,
+    n_files: int | None = None,
+) -> int:
+    """Rewrite the table's current version as one freshly-clustered
+    snapshot and commit it as the next version. The maintenance
+    counterpart of :func:`commit_delta`: a long merge history leaves
+    (a) many small delta files whose open/footer cost starts to
+    dominate scans and (b) data dirs that are only partially live
+    (vacuum deletes dir-granular, so files shadowed by later merges
+    linger on disk until no manifest references their dir). One
+    compaction re-clusters everything on ``stat_cols`` (default: the
+    manifest's stat columns) into range-disjoint files, after which
+    ``vacuum`` can retire every pre-compaction dir. Readers are never
+    disturbed: this is an ordinary atomic commit. Returns the new
+    version."""
+    manifest = read_manifest(spark, table_path)
+    cols = stat_cols if stat_cols is not None else (manifest.get("stat_cols") or [])
+    df = read_table(spark, table_path)
+    nf = n_files if n_files is not None else 8
+    if not cols:
+        # no clustering columns: plain file-count compaction
+        df = df.repartition(nf)
+        nf = None
+    # passing n_files forces the clustered path even for small tables:
+    # compaction's whole point is the layout
+    return commit_delta(spark, table_path, df, [], stat_cols=cols, n_files=nf)
+
+
 def vacuum(spark: SparkSession, table_path: str, keep_last: int = 2) -> list[int]:
     """Drop all but the newest ``keep_last`` versions: their manifests,
     and any data dir no kept manifest references a single file of

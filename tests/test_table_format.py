@@ -371,3 +371,41 @@ def test_apply_changes_replay_idempotent(spark, tmp_path):
     assert got == want
     ids = {r.id for r in got}
     assert 7 not in ids and 200 in ids and len(ids) == 100
+
+
+def test_compact_table_reclusters_and_vacuum_reclaims(spark, tmp_path):
+    """After a run of merges, compaction rewrites the live rows into
+    range-disjoint files as ONE atomic commit, and a follow-up vacuum
+    retires every pre-compaction data dir."""
+    import os
+
+    from prox_spark.table import compact_table
+    from prox_spark.upsert import upsert_parquet
+
+    path = str(tmp_path / "t")
+    big = spark.createDataFrame(
+        [(i, f"u{i}") for i in range(4000)], "id BIGINT, name STRING"
+    )
+    commit_snapshot(spark, path, big, stat_cols=["id"], n_files=16)
+    for k in (5, 1500, 3999):
+        upsert_parquet(
+            spark, path,
+            spark.createDataFrame([(k, f"edit{k}")], "id BIGINT, name STRING"),
+            ["id"],
+        )
+    pre_dirs = set(os.listdir(f"{path}/data"))
+    v = compact_table(spark, path, n_files=8)
+    from prox_spark.table import read_manifest
+
+    m = read_manifest(spark, path)
+    assert m["version"] == v and len(m["files"]) == 8
+    # compacted files live in ONE new dir; all live rows survive
+    assert len({f.split("/")[1] for f in m["files"]}) == 1
+    got = read_table(spark, path)
+    assert got.count() == 4000
+    assert [r.name for r in got.filter("id = 1500").collect()] == ["edit1500"]
+    # vacuum to just the compacted version: every old dir goes away
+    vacuum(spark, path, keep_last=1)
+    post_dirs = set(os.listdir(f"{path}/data"))
+    assert len(post_dirs) == 1 and not (post_dirs & pre_dirs)
+    assert read_table(spark, path).count() == 4000
