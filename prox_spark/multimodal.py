@@ -10,10 +10,12 @@ relational operators (dedup, similarity joins) consume.
 The reference has no media processing (PROX is relational ETL only);
 this module is part of the LLM-data-pipeline extension mandated by
 BASELINE.json's north star. ``decode_media(mode="real")`` ships
-stdlib-only decoders for the uncompressed formats (BMP, PPM, WAV), so
-the real path runs in any environment; compressed formats (PNG/JPEG,
-MP3, video) dispatch to Pillow/soundfile/ffmpeg when importable and
-raise NotImplementedError otherwise. ``mode="fake"`` derives
+stdlib-only decoders for BMP, PPM, WAV **and PNG** (a full zlib +
+scanline-unfilter decode with CRC validation — see :func:`png_pixels`),
+so the real path runs in any environment including compressed images;
+remaining compressed formats (JPEG, MP3, video) dispatch to
+Pillow/soundfile/ffmpeg when importable and raise NotImplementedError
+otherwise. ``mode="fake"`` derives
 deterministic pseudo-features from the payload bytes so the Spark-side
 plumbing (schema, batching, partitioning) stays testable with zero
 codec assumptions.
@@ -123,6 +125,163 @@ def _decode_ppm(payload: bytes) -> tuple[int, int, int]:
     return width, height, 1
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> samples per pixel (palette indexes count as one sample)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """FULL pure-stdlib PNG decode -> (width, height, channels, raw
+    pixel bytes, row-major). Validates every chunk CRC, inflates the
+    IDAT zlib stream, and reverses all five scanline filters (None /
+    Sub / Up / Average / Paeth) — this is a real decoder, not a header
+    sniff, so Pillow's absence no longer gates compressed-image
+    support. Scope: 8-bit depth, non-interlaced (Adam7 would need the
+    seven-pass pixel shuffle; corpus PNGs are overwhelmingly
+    non-interlaced), color types gray/RGB/palette/gray+alpha/RGBA.
+    Per-row unfiltering is plain Python — vectorize with numpy
+    prefix-sums if the decode pass (not Spark) ever dominates."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, meta = 8, bytearray(), None
+    while pos + 12 <= len(payload):
+        ln, typ = struct.unpack_from(">I4s", payload, pos)
+        if pos + 12 + ln > len(payload):
+            raise ValueError("PNG chunk truncated")
+        data = payload[pos + 8 : pos + 8 + ln]
+        crc = struct.unpack_from(">I", payload, pos + 8 + ln)[0]
+        if zlib.crc32(payload[pos + 4 : pos + 8 + ln]) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8:
+                raise ValueError(f"unsupported PNG bit depth {depth}")
+            if ctype not in _PNG_CHANNELS:
+                raise ValueError(f"unsupported PNG color type {ctype}")
+            if comp or filt:
+                raise ValueError("nonstandard PNG compression/filter method")
+            if interlace:
+                raise ValueError("interlaced (Adam7) PNG unsupported")
+            meta = (w, h, ctype)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if meta is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, ctype = meta
+    channels = _PNG_CHANNELS[ctype]
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"PNG IDAT inflate failed (truncated?): {exc}") from exc
+    stride = w * channels
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG pixel data length mismatch")
+    out = bytearray(stride * h)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        row = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+        ro, po = y * stride, (y - 1) * stride
+        if f == 0:
+            out[ro : ro + stride] = row
+        elif f == 1:  # Sub
+            for i in range(stride):
+                left = out[ro + i - channels] if i >= channels else 0
+                out[ro + i] = (row[i] + left) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                up = out[po + i] if y else 0
+                out[ro + i] = (row[i] + up) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = out[ro + i - channels] if i >= channels else 0
+                up = out[po + i] if y else 0
+                out[ro + i] = (row[i] + ((left + up) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                left = out[ro + i - channels] if i >= channels else 0
+                up = out[po + i] if y else 0
+                ul = out[po + i - channels] if (y and i >= channels) else 0
+                out[ro + i] = (row[i] + _paeth(left, up, ul)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter byte {f}")
+    return w, h, channels, bytes(out)
+
+
+def _decode_png(payload: bytes) -> tuple[int, int, int]:
+    w, h, _, _ = png_pixels(payload)
+    return w, h, 1
+
+
+def encode_png(
+    width: int, height: int, channels: int, pixels: bytes, filter_type: int = 0
+) -> bytes:
+    """Pure-stdlib PNG encoder (8-bit, non-interlaced): the staging /
+    round-trip counterpart of :func:`png_pixels`. ``filter_type``
+    selects the scanline filter applied to EVERY row (0-4), which lets
+    tests drive each unfilter path explicitly."""
+    import struct
+    import zlib
+
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    stride = width * channels
+    if len(pixels) != stride * height:
+        raise ValueError("pixel buffer does not match dimensions")
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    rows = bytearray()
+    for y in range(height):
+        ro, po = y * stride, (y - 1) * stride
+        rows.append(filter_type)
+        for i in range(stride):
+            cur = pixels[ro + i]
+            left = pixels[ro + i - channels] if i >= channels else 0
+            up = pixels[po + i] if y else 0
+            ul = pixels[po + i - channels] if (y and i >= channels) else 0
+            if filter_type == 0:
+                v = cur
+            elif filter_type == 1:
+                v = cur - left
+            elif filter_type == 2:
+                v = cur - up
+            elif filter_type == 3:
+                v = cur - ((left + up) >> 1)
+            elif filter_type == 4:
+                v = cur - _paeth(left, up, ul)
+            else:
+                raise ValueError(f"bad filter type {filter_type}")
+            rows.append(v & 0xFF)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(rows)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _decode_wav(payload: bytes) -> tuple[int, int, int]:
     """Stdlib ``wave`` decode of uncompressed PCM: returns
     (n_channels, sample_rate_khz, n_frames) mapped onto the
@@ -152,6 +311,7 @@ def _decode_image_real(payload: bytes) -> tuple[int, int, int]:
 
 _STDLIB_CODECS = {
     "image/bmp": _decode_bmp,
+    "image/png": _decode_png,
     "image/x-portable-pixmap": _decode_ppm,
     "image/x-ppm": _decode_ppm,
     "audio/wav": _decode_wav,

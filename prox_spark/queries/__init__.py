@@ -38,6 +38,7 @@ _FRONT = [
     # new this round: streaming CDC consume over file-granular commits
     "q153_streaming_cdc_apply",
     "q154_point_lookup",
+    "q155_png_pixel_decode",
     # connector/format gate (q141 carries the round-4 stream-source fix)
     "q138_jsonl_scan",
     "q139_orc_scan",

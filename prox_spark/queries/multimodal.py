@@ -426,12 +426,82 @@ ORDER BY media_id
 """
 
 
+N_PNG = 120
+
+
+def q155_png_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-image decode in the hash gate with NO codec
+    dependency: deterministic PNGs are encoded on the executors
+    (prox_spark.multimodal.encode_png — zlib stream, per-image
+    scanline filter cycling through all five types), then decoded back
+    by the full stdlib decoder (png_pixels: chunk CRCs, inflate,
+    unfilter), and the gate compares width/height plus the SUM OF
+    DECODED PIXEL BYTES — a wrong unfilter, a mis-ordered scanline, or
+    a header-only "decode" cannot reproduce it. Pixels follow the
+    closed form p[j] = (7*id + j) mod 256, so the DuckDB oracle
+    rebuilds the expected sums from generate_series without ever
+    touching a PNG. Both passes are Arrow-batched mapInPandas over a
+    distributed range — payloads are born and die inside their task
+    (the 100 TB media posture: only scalar features cross the plan).
+    ``sf_dir`` unused (closed-form corpus, q140 pattern)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from prox_spark.multimodal import encode_png, png_pixels
+
+    base = spark.range(0, N_PNG, 1, 8).select(F.col("id").alias("media_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            blobs = []
+            for i in pdf["media_id"]:
+                i = int(i)
+                w, h = 8 + i % 13, 5 + i % 7
+                px = bytes((7 * i + j) % 256 for j in range(w * h * 3))
+                blobs.append(encode_png(w, h, 3, px, filter_type=i % 5))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": blobs})
+
+    media = base.mapInPandas(gen, "media_id long, payload binary")
+
+    def dec(batches):
+        for pdf in batches:
+            rows = [
+                (int(i), *(lambda r: (r[0], r[1], sum(r[3])))(
+                    png_pixels(bytes(payload))
+                ))
+                for i, payload in zip(pdf["media_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "pixel_sum"]
+            )
+
+    return media.mapInPandas(
+        dec, "media_id long, width long, height long, pixel_sum long"
+    ).orderBy("media_id")
+
+
+ORACLE_Q155 = f"""
+WITH d AS (
+  SELECT i AS media_id, 8 + i % 13 AS width, 5 + i % 7 AS height
+  FROM generate_series(0, {N_PNG - 1}) t(i)
+)
+SELECT media_id, width, height,
+       CAST(list_sum(list_transform(range(0, width * height * 3),
+                                    j -> (7 * media_id + j) % 256)) AS BIGINT)
+         AS pixel_sum
+FROM d
+ORDER BY media_id
+"""
+
+
 QUERIES = {
     "q43_media_features": q43_media_features,
     "q112_media_real_decode": q112_media_real_decode,
     "q121_audio_real_decode": q121_audio_real_decode,
     "q134_image_resize": q134_image_resize,
     "q135_frame_sample": q135_frame_sample,
+    "q155_png_pixel_decode": q155_png_pixel_decode,
 }
 ORACLES = {
     "q43_media_features": ORACLE_Q43,
@@ -439,4 +509,5 @@ ORACLES = {
     "q121_audio_real_decode": ORACLE_Q121,
     "q134_image_resize": ORACLE_Q134,
     "q135_frame_sample": ORACLE_Q135,
+    "q155_png_pixel_decode": ORACLE_Q155,
 }

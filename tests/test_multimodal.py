@@ -114,13 +114,65 @@ def test_real_decode_unsupported_mime():
 
 
 def test_real_decode_image_without_pillow():
+    # JPEG remains Pillow-gated (PNG now has a stdlib codec)
     try:
         import PIL  # noqa: F401
     except ImportError:
         with pytest.raises(NotImplementedError, match="Pillow"):
-            decode_media(b"\x89PNG", "image/png", mode="real")
+            decode_media(b"\xff\xd8\xff", "image/jpeg", mode="real")
     else:
         pytest.skip("Pillow installed; covered by test_real_decode_image")
+
+
+def _pseudo_pixels(n: int, tag: str) -> bytes:
+    import hashlib
+
+    out = bytearray()
+    i = 0
+    while len(out) < n:
+        out += hashlib.md5(f"{tag}:{i}".encode()).digest()
+        i += 1
+    return bytes(out[:n])
+
+
+def test_png_roundtrip_every_filter_and_color_type():
+    """encode_png -> png_pixels must be the identity on the pixel
+    buffer for every scanline filter (0-4) x channel count — this
+    drives each unfilter branch (Sub/Up/Average/Paeth) with real
+    zlib-compressed data, no Pillow anywhere."""
+    from prox_spark.multimodal import encode_png, png_pixels
+
+    for channels in (1, 3, 4):
+        for ft in range(5):
+            w, h = 13, 7  # odd sizes catch stride bugs
+            px = _pseudo_pixels(w * h * channels, f"{channels}:{ft}")
+            blob = encode_png(w, h, channels, px, filter_type=ft)
+            gw, gh, gc, gpx = png_pixels(blob)
+            assert (gw, gh, gc) == (w, h, channels), (channels, ft)
+            assert gpx == px, (channels, ft)
+
+
+def test_png_decode_via_media_dispatch():
+    from prox_spark.multimodal import encode_png
+
+    blob = encode_png(24, 9, 3, _pseudo_pixels(24 * 9 * 3, "d"), filter_type=4)
+    out = decode_media(blob, "image/png", mode="real")
+    assert (out["width"], out["height"], out["n_frames"]) == (24, 9, 1)
+    assert out["n_bytes"] == len(blob)
+
+
+def test_png_rejects_corruption():
+    from prox_spark.multimodal import encode_png, png_pixels
+
+    blob = bytearray(encode_png(8, 8, 3, _pseudo_pixels(8 * 8 * 3, "c")))
+    with pytest.raises(ValueError, match="not a PNG"):
+        png_pixels(b"\x89PNG" + bytes(blob[8:]))  # signature cut short
+    flipped = bytearray(blob)
+    flipped[40] ^= 0xFF  # inside IHDR/IDAT body -> CRC must catch it
+    with pytest.raises(ValueError, match="CRC mismatch|unsupported|nonstandard"):
+        png_pixels(bytes(flipped))
+    with pytest.raises(ValueError, match="truncated|missing IHDR|length mismatch|inflate failed"):
+        png_pixels(bytes(blob[: len(blob) // 2]))
 
 
 def test_real_decode_image():
