@@ -39,6 +39,7 @@ _FRONT = [
     "q153_streaming_cdc_apply",
     "q154_point_lookup",
     "q155_png_pixel_decode",
+    "q156_interval_overlap_join",
     # connector/format gate (q141 carries the round-4 stream-source fix)
     "q138_jsonl_scan",
     "q139_orc_scan",

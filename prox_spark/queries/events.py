@@ -1033,7 +1033,114 @@ ORDER BY c.event_id
 """
 
 
+N_PROMO_WINDOWS = 16
+
+
+def q156_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE JOIN (interval overlap) at scale: user sessions (q21's
+    gap-based sessionization, as half-open [start, end) epoch-micro
+    intervals) joined to overlapping promo windows through
+    prox_spark.joins.interval_overlap_join — the bin-join that Spark
+    lacks natively. Each interval explodes into the fixed-width bins
+    it spans; the bin equi-join replaces the BroadcastNestedLoopJoin a
+    naive ``a.start < b.end AND b.start < a.end`` theta-join would
+    plan, and pair de-dup is the canonical-bin filter, not a
+    distinct(). The oracle runs the NAIVE theta-join in DuckDB, so the
+    binning must reproduce the exact overlap semantics (touching
+    endpoints excluded, multi-bin spans counted once) to hash-match.
+
+    Windows derive from the events time span in closed integer form
+    (stride = span div 16 + 1, each window 2 strides wide so windows
+    OVERLAP each other and sessions span multiple bins). Scale shape:
+    bin width = stride keeps explosion ~2x; the window side is 16 rows
+    (AQE broadcasts it); the only shuffles are sessionization's window
+    partition and the final aggregate."""
+    from prox_spark.joins import interval_overlap_join
+
+    ev = _events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = us - F.lag(us).over(order)
+    is_new = F.when(
+        gap.isNull() | (gap > SESSION_GAP_MIN * 60 * 1_000_000), 1
+    ).otherwise(0)
+    sess = (
+        ev.withColumn("__us", us)
+        .withColumn(
+            "session_id",
+            F.sum(is_new).over(order.rowsBetween(W.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("__us").alias("s_start"),
+            (F.max("__us") + 1).alias("s_end"),
+        )
+    )
+    t = ev.agg(F.min(us).alias("lo"), (F.max(us) + 1).alias("hi")).collect()[0]
+    stride = (t.hi - t.lo) // N_PROMO_WINDOWS + 1
+    wins = spark.range(0, N_PROMO_WINDOWS).select(
+        F.col("id").alias("window_id"),
+        (F.lit(t.lo) + F.col("id") * stride).alias("w_start"),
+        (F.lit(t.lo) + F.col("id") * stride + 2 * stride).alias("w_end"),
+    )
+    joined = interval_overlap_join(
+        sess, wins, "s_start", "s_end", "w_start", "w_end", bin_width=int(stride)
+    )
+    return (
+        joined.groupBy("window_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("n_events").alias("sum_events"),
+        )
+        .orderBy("window_id")
+    )
+
+
+ORACLE_Q156 = f"""
+WITH ordered AS (
+  SELECT *,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN gap IS NULL OR gap > {SESSION_GAP_MIN * 60 * 1_000_000} THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+), sessioned AS (
+  SELECT *,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM flagged
+), sess AS (
+  SELECT user_id, session_id,
+         count(*) AS n_events,
+         min(epoch_us(ts)) AS s_start,
+         max(epoch_us(ts)) + 1 AS s_end
+  FROM sessioned
+  GROUP BY user_id, session_id
+), bounds AS (
+  SELECT min(epoch_us(ts)) AS lo,
+         max(epoch_us(ts)) + 1 AS hi,
+         (max(epoch_us(ts)) + 1 - min(epoch_us(ts))) // {N_PROMO_WINDOWS} + 1 AS stride
+  FROM events
+), wins AS (
+  SELECT i AS window_id,
+         lo + i * stride AS w_start,
+         lo + i * stride + 2 * stride AS w_end
+  FROM generate_series(0, {N_PROMO_WINDOWS - 1}) t(i), bounds
+)
+SELECT window_id,
+       count(*) AS n_sessions,
+       count(DISTINCT user_id) AS n_users,
+       CAST(sum(n_events) AS BIGINT) AS sum_events
+FROM sess JOIN wins ON s_start < w_end AND w_start < s_end
+GROUP BY window_id
+ORDER BY window_id
+"""
+
+
 QUERIES = {
+    "q156_interval_overlap_join": q156_interval_overlap_join,
     "q20_hourly_event_stats": q20_hourly_event_stats,
     "q108_trailing_30min_stats": q108_trailing_30min_stats,
     "q26_asof_click_to_purchase": q26_asof_click_to_purchase,
@@ -1056,6 +1163,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q156_interval_overlap_join": ORACLE_Q156,
     "q108_trailing_30min_stats": ORACLE_Q108,
     "q92_cohort_retention": ORACLE_Q92,
     "q97_gap_fill_locf": ORACLE_Q97,

@@ -357,16 +357,21 @@ def q153_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("change").isNotNull())
         .select("doc_id", "change")
     )
-    feed = cls.join(v2, "doc_id", "left").select("doc_id", "source", "text", "change")
+    feed = cls.join(v2, "doc_id", "left").select(
+        "doc_id", "source", "text", "change"
+    ).cache()  # staged 4x below: pin so the diff plan runs once
     n_batch = 4
     feed_dir = f"{scratch}/feed"
-    for i in range(n_batch):
-        (
-            feed.filter(F.col("doc_id") % n_batch == i)
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(feed_dir)
-        )
+    try:
+        for i in range(n_batch):
+            (
+                feed.filter(F.col("doc_id") % n_batch == i)
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(feed_dir)
+            )
+    finally:
+        feed.unpersist()
     feed_schema = spark.read.parquet(feed_dir).schema
 
     def _apply(batch_df: DataFrame, _batch_id: int) -> None:

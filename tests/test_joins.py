@@ -149,3 +149,72 @@ def test_auto_skew_join_no_hot_keys_is_plain_join(spark):
     assert sorted(got.collect(), key=str) == sorted(
         fact.join(dim, "k").collect(), key=str
     )
+
+
+def _intervals(spark, name, spans):
+    rows = [(i, s, e) for i, (s, e) in enumerate(spans)]
+    return spark.createDataFrame(rows, f"{name}_id BIGINT, {name}_s BIGINT, {name}_e BIGINT")
+
+
+def test_interval_overlap_join_bit_equal_to_naive(spark):
+    """The bin join must reproduce the exact half-open overlap
+    semantics of the naive theta-join: touching endpoints excluded,
+    pairs spanning many shared bins emitted exactly once."""
+    from prox_spark.joins import interval_overlap_join
+
+    a = _intervals(
+        spark,
+        "a",
+        [(0, 10), (10, 20), (5, 105), (200, 201), (90, 100), (300, 450)],
+    )
+    b = _intervals(
+        spark,
+        "b",
+        [(9, 11), (20, 30), (0, 1000), (100, 200), (201, 202), (95, 96)],
+    )
+    for w in (1, 7, 10, 64, 1000):
+        got = sorted(
+            (r.a_id, r.b_id)
+            for r in interval_overlap_join(
+                a, b, "a_s", "a_e", "b_s", "b_e", bin_width=w
+            ).collect()
+        )
+        want = sorted(
+            (r.a_id, r.b_id)
+            for r in a.join(
+                b, (F.col("a_s") < F.col("b_e")) & (F.col("b_s") < F.col("a_e"))
+            ).collect()
+        )
+        assert got == want, w
+        assert len(got) == len(set(got)), f"duplicate pairs at width {w}"
+
+
+def test_interval_overlap_join_no_nested_loop_plan(spark):
+    import contextlib
+    import io
+
+    from prox_spark.joins import interval_overlap_join
+
+    a = _intervals(spark, "a", [(0, 10)])
+    b = _intervals(spark, "b", [(5, 15)])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        interval_overlap_join(a, b, "a_s", "a_e", "b_s", "b_e", bin_width=8).explain(
+            "formatted"
+        )
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_overlap_join_rejects_bad_args(spark):
+    from prox_spark.joins import interval_overlap_join
+
+    a = _intervals(spark, "a", [(0, 10)])
+    b = _intervals(spark, "b", [(5, 15)])
+    with pytest.raises(ValueError, match="inner only"):
+        interval_overlap_join(a, b, "a_s", "a_e", "b_s", "b_e", bin_width=8, how="left")
+    with pytest.raises(ValueError, match="positive"):
+        interval_overlap_join(a, b, "a_s", "a_e", "b_s", "b_e", bin_width=0)
+    with pytest.raises(ValueError, match="overlapping column names"):
+        interval_overlap_join(a, a, "a_s", "a_e", "a_s", "a_e", bin_width=8)
