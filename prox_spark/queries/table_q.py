@@ -388,10 +388,13 @@ def q153_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    finished = q.awaitTermination(120)
     exc = q.exception()
     if exc is not None:
         raise exc
+    if not finished:
+        q.stop()
+        raise TimeoutError("q153 change-feed stream did not drain in 120s")
 
     applied = read_table(spark, work)
     return (

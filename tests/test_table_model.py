@@ -1,0 +1,148 @@
+"""Model-based check of the file-granular table format: a seeded
+sequence of merge operations (SCD-1 upsert, delete, CDC apply,
+compaction, vacuum) runs both against the real manifest table and a
+driver-side dict model; after every commit the table must equal the
+model exactly, and a version pinned mid-sequence must keep serving its
+original rows. This exercises the pruning paths (key-set bisect,
+range fallback, <=2-file early-out, clustered vs local-sort writes)
+far more densely than the single-shot tests — any lost row, duplicate
+key, or mis-pruned file shows up as a model divergence.
+
+Deterministic by construction (md5-seeded choices, no random module):
+a failure reproduces bit-identically.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from prox_spark.table import compact_table, read_table, table_versions, vacuum
+from prox_spark.upsert import apply_changes, delete_keys, upsert_parquet
+
+KEYS = ["region", "uid"]  # multi-column key: per-column membership pruning
+N_OPS = 18
+
+
+def _rnd(seed: str, lo: int, hi: int) -> int:
+    """Deterministic integer in [lo, hi] from an md5 stream."""
+    h = int(hashlib.md5(seed.encode()).hexdigest()[:8], 16)
+    return lo + h % (hi - lo + 1)
+
+
+def _key_space(step: int):
+    """A drifting window of key tuples so ops mix hits and misses."""
+    base = _rnd(f"base:{step}", 0, 400)
+    return [
+        (f"r{(base + i) % 7}", (base * 13 + i * 29) % 500) for i in range(12)
+    ]
+
+
+def _rows(step: int):
+    return [
+        (r, u, f"v{step}:{r}:{u}", step) for r, u in _key_space(step)
+    ]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "region STRING, uid BIGINT, payload STRING, step BIGINT"
+    )
+
+
+def _table_state(spark, path):
+    rows = read_table(spark, path).collect()
+    state = {(r.region, r.uid): (r.payload, r.step) for r in rows}
+    assert len(rows) == len(state), "duplicate keys in table"
+    return state
+
+
+def test_random_merge_sequence_matches_model(spark, tmp_path):
+    path = str(tmp_path / "t")
+    model: dict = {}
+
+    seed_rows = _rows(0)
+    upsert_parquet(spark, path, _df(spark, seed_rows), KEYS)
+    model.update({(r, u): (p, s) for r, u, p, s in seed_rows})
+    assert _table_state(spark, path) == model
+
+    pinned = None
+    pinned_state = None
+    for step in range(1, N_OPS + 1):
+        op = _rnd(f"op:{step}", 0, 9)
+        if op <= 4:  # upsert (the common case)
+            rows = _rows(step)
+            upsert_parquet(spark, path, _df(spark, rows), KEYS)
+            model.update({(r, u): (p, s) for r, u, p, s in rows})
+        elif op <= 6:  # delete a slice of the key space
+            dels = _key_space(step)[:5]
+            ddf = spark.createDataFrame(dels, "region STRING, uid BIGINT")
+            n = delete_keys(spark, path, ddf, KEYS)
+            expected = sum(1 for k in dels if k in model)
+            assert n == expected, (step, n, expected)
+            for k in dels:
+                model.pop(k, None)
+        elif op <= 8:  # CDC feed mixing all three ops
+            ks = _key_space(step)
+            feed = []
+            for i, (r, u) in enumerate(ks[:6]):
+                if i % 3 == 0:
+                    feed.append((r, u, None, None, "delete"))
+                else:
+                    feed.append((r, u, f"cdc{step}:{r}:{u}", step, "update"))
+            fdf = spark.createDataFrame(
+                feed,
+                "region STRING, uid BIGINT, payload STRING, step BIGINT, change STRING",
+            )
+            apply_changes(spark, path, fdf, KEYS)
+            for r, u, p, s, c in feed:
+                if c == "delete":
+                    model.pop((r, u), None)
+                else:
+                    model[(r, u)] = (p, s)
+        else:  # maintenance
+            compact_table(spark, path, n_files=4)
+        assert _table_state(spark, path) == model, f"diverged at step {step}"
+        if step == N_OPS // 2:
+            pinned = table_versions(spark, path)[-1]
+            pinned_state = dict(model)
+
+    # time travel: the mid-sequence version still serves its rows
+    got = {
+        (r.region, r.uid): (r.payload, r.step)
+        for r in read_table(spark, path, version=pinned).collect()
+    }
+    assert got == pinned_state
+
+    # vacuum to the last two versions: current state unchanged
+    vacuum(spark, path, keep_last=2)
+    assert _table_state(spark, path) == model
+
+
+def test_range_fallback_path_matches_model(spark, tmp_path):
+    """Force the >cap key-set path (min/max range pruning) by dropping
+    the cap to 3: results must stay identical to small-batch merges."""
+    import prox_spark.upsert as U
+
+    path = str(tmp_path / "t")
+    base = [(f"r{i % 5}", i, f"v{i}", 0) for i in range(200)]
+    upsert_parquet(spark, path, _df(spark, base), KEYS)
+    model = {(r, u): (p, s) for r, u, p, s in base}
+
+    old_cap = U._KEY_SET_CAP
+    U._KEY_SET_CAP = 3
+    try:
+        ups = [(f"r{i % 5}", i, f"NEW{i}", 1) for i in range(0, 200, 7)]
+        upsert_parquet(spark, path, _df(spark, ups), KEYS)
+        model.update({(r, u): (p, s) for r, u, p, s in ups})
+        dels = spark.createDataFrame(
+            [(f"r{i % 5}", i) for i in range(0, 200, 11)], "region STRING, uid BIGINT"
+        )
+        n = delete_keys(spark, path, dels, KEYS)
+        assert n == len(range(0, 200, 11))
+        for i in range(0, 200, 11):
+            model.pop((f"r{i % 5}", i), None)
+    finally:
+        U._KEY_SET_CAP = old_cap
+    assert _table_state(spark, path) == model
