@@ -246,18 +246,22 @@ def _write_data(
             )
         else:
             # small-table path: a local sort still tightens row-group
-            # stats and feeds the blooms, without the range
-            # partitioner's sampling pass (a second execution of the
-            # merge plan) — ~0.6 s of fixed cost a tiny commit can't
-            # amortize
+            # stats, without the range partitioner's sampling pass (a
+            # second execution of the merge plan) — ~0.6 s of fixed
+            # cost a tiny commit can't amortize
             part = df.sortWithinPartitions(*stat_cols)
         w = part.write
-        for c in stat_cols:
+        if cluster:
             # bloom filters give point lookups row-group rejection on
-            # top of the manifest's file-level min/max pruning
-            w = w.option(f"parquet.bloom.filter.enabled#{c}", "true").option(
-                f"parquet.bloom.filter.expected.ndv#{c}", str(bloom_ndv)
-            )
+            # top of the manifest's file-level min/max pruning — but
+            # ONLY on the clustered (big-table) path: a bloom sized
+            # for `bloom_ndv` values is ~10 bits each (≈120 KB at the
+            # 100k default), which would dwarf a small delta file
+            # whose min/max stats already prune exactly
+            for c in stat_cols:
+                w = w.option(f"parquet.bloom.filter.enabled#{c}", "true").option(
+                    f"parquet.bloom.filter.expected.ndv#{c}", str(bloom_ndv)
+                )
     else:
         w = df.write
     w.mode("overwrite").parquet(dest)
@@ -290,14 +294,29 @@ def commit_delta(
         stat_cols = prev.get("stat_cols") or []
     v = (versions[-1] if versions else 0) + 1
     delta_rel = f"{DATA_DIR}/snap-{v:08d}-{uuid.uuid4().hex[:8]}"
-    # cluster when file-level pruning can pay: an explicitly-sized
-    # layout, or a table already spread over several files. A 1-file
-    # table gains nothing from range clustering, and a sequential
-    # merge pipeline (SCD-2 weekly batches) would pay the sampling
-    # pass on every commit.
-    cluster = bool(stat_cols) and (
-        n_files is not None or len(prev.get("files", [])) > 4
-    )
+    # cluster when the WRITE is big enough to amortize the range
+    # partitioner's sampling pass: an explicitly-sized layout, or a
+    # commit rewriting a substantial byte volume (measured from the
+    # previous version's files NOT carried over — i.e. the merge's
+    # touched inputs). Tiny commits — sequential SCD-2 batches,
+    # per-micro-batch CDC deltas, pure inserts — write plain sorted
+    # files instead: their min/max stats still prune exactly, and
+    # periodic compaction (compact_table / compact_small_files)
+    # restores the clustered layout.
+    cluster = bool(stat_cols) and n_files is not None
+    if bool(stat_cols) and not cluster and prev.get("files"):
+        keep = set(keep_files)
+        rewritten = [f for f in prev["files"] if f not in keep]
+        jvm2, fs2, _ = _fs(spark, table_path)
+        rewritten_bytes = 0
+        for f in rewritten:
+            try:
+                rewritten_bytes += fs2.getFileStatus(
+                    jvm2.org.apache.hadoop.fs.Path(f"{table_path}/{f}")
+                ).getLen()
+            except Exception:
+                pass
+        cluster = rewritten_bytes > 64 * 1024 * 1024
     if cluster:
         # the range-clustered write samples its input to pick range
         # boundaries — a SECOND execution of the merge plan (scan +
@@ -476,6 +495,42 @@ def compact_table(
     # passing n_files forces the clustered path even for small tables:
     # compaction's whole point is the layout
     return commit_delta(spark, table_path, df, [], stat_cols=cols, n_files=nf)
+
+
+def compact_small_files(
+    spark: SparkSession,
+    table_path: str,
+    *,
+    min_file_mb: float = 8.0,
+    stat_cols: list[str] | None = None,
+) -> tuple[int, int] | None:
+    """Incremental compaction: rewrite ONLY the current version's
+    files smaller than ``min_file_mb`` into one consolidated delta,
+    carrying every adequately-sized file over untouched — the
+    steady-state maintenance pass for a table accruing per-commit
+    deltas (a daily CDC feed leaves one small file per merge; a full
+    :func:`compact_table` rewrite of a 100 TB table to fix kilobytes
+    of fragmentation would be absurd). The consolidated file spans the
+    union of the small files' key ranges, so point-lookup pruning
+    coarsens slightly for those keys until the next full compaction —
+    stats stay CORRECT (footer-derived), just wider. Returns
+    (n_rewritten, n_kept), or None when fewer than two files are under
+    the threshold (nothing to consolidate — a no-op, no new version)."""
+    manifest = read_manifest(spark, table_path)
+    if "files" not in manifest:
+        raise ValueError(f"{table_path} predates file-granular manifests")
+    jvm, fs, _ = _fs(spark, table_path)
+    limit = int(min_file_mb * 1024 * 1024)
+    small, big = [], []
+    for f in manifest["files"]:
+        st = fs.getFileStatus(jvm.org.apache.hadoop.fs.Path(f"{table_path}/{f}"))
+        (small if st.getLen() < limit else big).append(f)
+    if len(small) < 2:
+        return None
+    cols = stat_cols if stat_cols is not None else (manifest.get("stat_cols") or [])
+    df = _read_files(spark, table_path, manifest, small).coalesce(1)
+    commit_delta(spark, table_path, df, big, stat_cols=cols)
+    return len(small), len(big)
 
 
 def vacuum(spark: SparkSession, table_path: str, keep_last: int = 2) -> list[int]:

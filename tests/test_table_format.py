@@ -409,3 +409,46 @@ def test_compact_table_reclusters_and_vacuum_reclaims(spark, tmp_path):
     post_dirs = set(os.listdir(f"{path}/data"))
     assert len(post_dirs) == 1 and not (post_dirs & pre_dirs)
     assert read_table(spark, path).count() == 4000
+
+
+def test_compact_small_files_keeps_big_ones(spark, tmp_path):
+    """Incremental compaction consolidates only the sub-threshold
+    delta files; adequately-sized files carry over byte-identical."""
+    from prox_spark.table import compact_small_files, read_manifest
+    from prox_spark.upsert import upsert_parquet
+
+    path = str(tmp_path / "t")
+    from pyspark.sql import functions as F
+
+    big = (
+        spark.range(20000)
+        .select(F.col("id"), F.md5(F.col("id").cast("string")).alias("pad"))
+    )  # md5 padding: incompressible, so file sizes track row counts
+    commit_snapshot(spark, path, big, stat_cols=["id"], n_files=4)
+    v1_files = set(read_manifest(spark, path)["files"])
+    # five tiny INSERT merges (keys beyond every file's range): no
+    # rewrite, each commit adds one small delta file
+    for k in (30001, 30007, 30011, 30013, 30017):
+        upsert_parquet(
+            spark, path,
+            spark.createDataFrame([(k, f"edit{k}")], "id BIGINT, pad STRING"),
+            ["id"],
+        )
+    before = read_manifest(spark, path)["files"]
+    res = compact_small_files(spark, path, min_file_mb=0.05)
+    assert res is not None
+    n_rewritten, n_kept = res
+    assert n_rewritten >= 5 and n_kept >= 1
+    after = read_manifest(spark, path)["files"]
+    assert len(after) < len(before)
+    # the kept files are literally the same file paths
+    assert set(after) & v1_files
+    got = read_table(spark, path)
+    assert got.count() == 20005
+    assert [r.pad for r in got.filter("id = 30013").collect()] == ["edit30013"]
+    # second run: nothing small left to consolidate -> no-op, no version
+    from prox_spark.table import table_versions
+
+    v = table_versions(spark, path)[-1]
+    assert compact_small_files(spark, path, min_file_mb=0.05) is None
+    assert table_versions(spark, path)[-1] == v
