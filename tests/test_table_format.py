@@ -452,3 +452,78 @@ def test_compact_small_files_keeps_big_ones(spark, tmp_path):
     v = table_versions(spark, path)[-1]
     assert compact_small_files(spark, path, min_file_mb=0.05) is None
     assert table_versions(spark, path)[-1] == v
+
+
+def test_streaming_cdc_apply_survives_restart(spark, tmp_path):
+    """Kill the change-feed stream mid-drain and restart it from the
+    SAME checkpoint: Spark replays the unacknowledged micro-batch into
+    foreachBatch, apply_changes re-applies it idempotently, and the
+    final table equals applying the whole feed once. This is the
+    exactly-once-EFFECT property the streaming CDC consumer claims."""
+    import time
+
+    from prox_spark.upsert import apply_changes
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "id BIGINT, v STRING"
+    )
+    commit_snapshot(spark, path, base, stat_cols=["id"])
+
+    feed_dir = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    feed_rows = [
+        [(5, "A", "update"), (200, "B", "insert")],
+        [(7, None, "delete"), (201, "C", "insert")],
+        [(9, "D", "update"), (5, "E", "update")],  # second change to id 5
+    ]
+    # mind the cross-batch repeat of id 5: per-batch feeds stay unique,
+    # batch ORDER matters, so recovery must not skip or reorder batches
+    for i, rows in enumerate(feed_rows):
+        spark.createDataFrame(
+            rows, "id BIGINT, v STRING, change STRING"
+        ).coalesce(1).write.mode("append").parquet(feed_dir)
+        if i == 0:
+            time.sleep(1.1)  # distinct mtimes -> deterministic file order
+
+    schema = spark.read.parquet(feed_dir).schema
+    applied_batches = []
+
+    def _apply(batch_df, batch_id):
+        applied_batches.append(batch_id)
+        apply_changes(spark, path, batch_df, ["id"])
+        if len(applied_batches) == 1:
+            # widen the stop window so run 1 reliably dies before the
+            # feed drains and run 2 really exercises recovery
+            time.sleep(1.5)
+
+    def _start():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(feed_dir)
+            .writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # run 1: stop as soon as at least one batch has applied
+    q = _start()
+    deadline = time.monotonic() + 60
+    while time.monotonic() < deadline and not applied_batches:
+        time.sleep(0.05)
+    q.stop()
+    assert applied_batches, "first run applied nothing"
+
+    # run 2: same checkpoint — must replay/resume and drain the rest
+    q = _start()
+    assert q.awaitTermination(120), "restarted stream did not drain"
+    assert q.exception() is None
+    assert set(applied_batches) >= {0, 1, 2}, applied_batches
+
+    want = {i: f"v{i}" for i in range(100)}
+    want.update({200: "B", 201: "C", 9: "D", 5: "E"})
+    want.pop(7)
+    got = {r.id: r.v for r in read_table(spark, path).collect()}
+    assert got == want
