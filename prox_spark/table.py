@@ -50,6 +50,15 @@ commits); the atomic rename makes a racing second writer fail loudly
 rather than corrupt. On object stores without atomic rename (raw S3)
 the manifest publish needs a conditional PUT instead — same protocol,
 different primitive.
+
+Known scale ceiling: the manifest is ONE json document listing every
+live file (~150 bytes/entry), read and rewritten per commit — fine to
+~10^5 files (tens of MB of driver metadata), the regime this format
+targets when files are kept near 1 GB by compaction. Beyond that the
+next step is Iceberg's split: an immutable manifest-FILE per commit
+listing only its files, plus a manifest-list the snapshot points at —
+same atomic-rename publish, O(delta) metadata per commit. Footer
+stats for large commits are already gathered executor-side.
 """
 
 from __future__ import annotations
@@ -334,8 +343,23 @@ def commit_delta(
 
     new_files = _list_part_files(spark, table_path, delta_rel)
     stats = {f: (prev.get("stats") or {}).get(f) for f in keep_files}
-    for f in new_files:
-        stats[f] = _footer_stats(f"{table_path}/{f}", stat_cols) if stat_cols else None
+    if not stat_cols:
+        stats.update(dict.fromkeys(new_files))
+    elif len(new_files) <= 32:
+        for f in new_files:
+            stats[f] = _footer_stats(f"{table_path}/{f}", stat_cols)
+    else:
+        # big clustered commits: read footers on the EXECUTORS — a
+        # sequential driver loop over 10k+ new files would serialize
+        # the commit on metadata IO. Only (path, tiny stats dict)
+        # tuples cross back.
+        paths = [(f, f"{table_path}/{f}") for f in new_files]
+        gathered = (
+            spark.sparkContext.parallelize(paths, max(1, len(paths) // 64))
+            .map(lambda pf: (pf[0], _footer_stats(pf[1], stat_cols)))
+            .collect()
+        )
+        stats.update(dict(gathered))
     manifest = {
         "version": v,
         "files": [*keep_files, *new_files],
