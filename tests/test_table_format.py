@@ -527,3 +527,45 @@ def test_streaming_cdc_apply_survives_restart(spark, tmp_path):
     want.pop(7)
     got = {r.id: r.v for r in read_table(spark, path).collect()}
     assert got == want
+
+
+def test_point_lookup_scan_reads_pruned_files_only(spark, tmp_path):
+    """Not just the driver-side file list: the EXECUTED scan of a point
+    lookup must touch only the pruned files."""
+    from prox_spark.table import read_table_point
+
+    path = str(tmp_path / "t")
+    big = spark.createDataFrame(
+        [(i, f"u{i}") for i in range(4000)], "id BIGINT, name STRING"
+    )
+    commit_snapshot(spark, path, big, stat_cols=["id"], n_files=16)
+    df = read_table_point(spark, path, {"id": 2222})
+    assert 1 <= len(df.inputFiles()) <= 2, df.inputFiles()
+    assert [r.name for r in df.collect()] == ["u2222"]
+
+
+def test_merge_into_statless_table_falls_back_to_full_rewrite(spark, tmp_path):
+    """A table committed WITHOUT stat columns has nothing to prune on:
+    merges must degrade gracefully to the whole-table rewrite and stay
+    correct — and the merge itself records key stats, so the NEXT merge
+    prunes."""
+    from prox_spark.table import read_manifest
+    from prox_spark.upsert import upsert_parquet
+
+    path = str(tmp_path / "t")
+    commit_snapshot(
+        spark,
+        path,
+        spark.createDataFrame([(i, f"v{i}") for i in range(50)], "id BIGINT, v STRING"),
+    )
+    assert read_manifest(spark, path)["stat_cols"] == []
+    upsert_parquet(
+        spark, path,
+        spark.createDataFrame([(7, "NEW"), (99, "APPEND")], "id BIGINT, v STRING"),
+        ["id"],
+    )
+    got = {r.id: r.v for r in read_table(spark, path).collect()}
+    assert got[7] == "NEW" and got[99] == "APPEND" and len(got) == 51
+    # the merge declared key stats for its files
+    m = read_manifest(spark, path)
+    assert m["stat_cols"] == ["id"]
