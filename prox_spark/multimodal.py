@@ -10,12 +10,15 @@ relational operators (dedup, similarity joins) consume.
 The reference has no media processing (PROX is relational ETL only);
 this module is part of the LLM-data-pipeline extension mandated by
 BASELINE.json's north star. ``decode_media(mode="real")`` ships
-stdlib-only decoders for BMP, PPM, WAV **and PNG** (a full zlib +
-scanline-unfilter decode with CRC validation — see :func:`png_pixels`),
-so the real path runs in any environment including compressed images;
-remaining compressed formats (JPEG, MP3, video) dispatch to
-Pillow/soundfile/ffmpeg when importable and raise NotImplementedError
-otherwise. ``mode="fake"`` derives
+dependency-free decoders for BMP, PPM, WAV, **PNG** (a full zlib +
+scanline-unfilter decode with CRC validation — see :func:`png_pixels`)
+**baseline JPEG** (Huffman + IDCT, :mod:`prox_spark.jpeg`) and **MJPEG
+AVI video** (RIFF container walk + per-frame JPEG decode,
+:mod:`prox_spark.avi`), so the real path runs in any environment
+including compressed images and video; remaining formats (GIF/TIFF
+images, MP3, H.264/VP9 video) dispatch to Pillow/soundfile/ffmpeg when
+importable and raise NotImplementedError otherwise. ``mode="fake"``
+derives
 deterministic pseudo-features from the payload bytes so the Spark-side
 plumbing (schema, batching, partitioning) stays testable with zero
 codec assumptions.
@@ -228,6 +231,17 @@ def _decode_png(payload: bytes) -> tuple[int, int, int]:
     return w, h, 1
 
 
+def _decode_jpeg(payload: bytes) -> tuple[int, int, int]:
+    """Pure-Python/numpy baseline JPEG decode (prox_spark.jpeg): real
+    Huffman + IDCT decode of SOF0 grayscale / 4:4:4 color streams;
+    anything outside that envelope (progressive, subsampled) raises
+    ValueError rather than decoding wrongly."""
+    from prox_spark.jpeg import decode_jpeg
+
+    w, h, _, _ = decode_jpeg(payload)
+    return w, h, 1
+
+
 def encode_png(
     width: int, height: int, channels: int, pixels: bytes, filter_type: int = 0
 ) -> bytes:
@@ -282,6 +296,17 @@ def encode_png(
     )
 
 
+def _decode_avi(payload: bytes) -> tuple[int, int, int]:
+    """Pure-stdlib MJPEG-AVI decode (prox_spark.avi + prox_spark.jpeg):
+    real RIFF container walk; returns (width, height, n_frames). Frame
+    payloads stay undecoded here — samplers call
+    :func:`prox_spark.avi.sample_frames` to decode only kept frames."""
+    from prox_spark.avi import avi_mjpeg_frames
+
+    w, h, _fps, frames = avi_mjpeg_frames(payload)
+    return w, h, len(frames)
+
+
 def _decode_wav(payload: bytes) -> tuple[int, int, int]:
     """Stdlib ``wave`` decode of uncompressed PCM: returns
     (n_channels, sample_rate_khz, n_frames) mapped onto the
@@ -312,19 +337,23 @@ def _decode_image_real(payload: bytes) -> tuple[int, int, int]:
 _STDLIB_CODECS = {
     "image/bmp": _decode_bmp,
     "image/png": _decode_png,
+    "image/jpeg": _decode_jpeg,
+    "image/jpg": _decode_jpeg,
     "image/x-portable-pixmap": _decode_ppm,
     "image/x-ppm": _decode_ppm,
     "audio/wav": _decode_wav,
     "audio/x-wav": _decode_wav,
+    "video/avi": _decode_avi,
+    "video/x-msvideo": _decode_avi,
 }
 
 
 def decode_media(payload: bytes, mime: str, mode: str = "fake") -> dict:
-    """Codec dispatch. ``real`` decodes the uncompressed formats (BMP,
-    binary PPM, PCM WAV) with pure stdlib in any environment; other
-    ``image/*`` mimes go through Pillow when importable
-    (NotImplementedError otherwise — compressed audio/video would
-    dispatch to soundfile/ffmpeg the same way). ``fake`` derives
+    """Codec dispatch. ``real`` decodes BMP, binary PPM, PCM WAV, PNG
+    and baseline JPEG with zero external dependencies; other
+    ``image/*`` mimes (GIF, TIFF, webp) go through Pillow when
+    importable (NotImplementedError otherwise — compressed audio/video
+    would dispatch to soundfile/ffmpeg the same way). ``fake`` derives
     deterministic pseudo dimensions/frame counts from the byte length,
     keeping every downstream contract (types, ranges) realistic without
     any codec dependency."""

@@ -495,6 +495,167 @@ ORDER BY media_id
 """
 
 
+N_JPEG = 96
+
+
+def q157_jpeg_block_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossy-codec decode in the HASH gate: deterministic baseline
+    JPEGs are entropy-encoded on the executors (prox_spark.jpeg — real
+    Huffman coding, byte stuffing, DCT) and decoded back by the full
+    decoder, with the gate comparing the SUM OF DECODED PIXELS against
+    a closed-form DuckDB recompute. The trick that makes a lossy codec
+    bit-gateable: every 8x8 block is a CONSTANT color, so its DCT is
+    DC-only and, with an all-ones quantization table, the round-trip
+    is exact integer arithmetic (asserted in test_multimodal.py) —
+    while the bitstream still exercises DC prediction across blocks,
+    EXTEND, EOB, and unstuffing. Block colors follow
+    (31*id + 17*bx + 53*by) mod 256 so the oracle rebuilds the sums
+    from a block-grid cross join without touching a JPEG.
+
+    Scale shape: q155's pattern — two Arrow-batched mapInPandas passes
+    over a distributed range; payloads die inside the task, only
+    (id, dims, sum) emerge. ``sf_dir`` unused (closed-form corpus)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from prox_spark.jpeg import decode_jpeg, encode_jpeg
+
+    base = spark.range(0, N_JPEG, 1, 8).select(F.col("id").alias("media_id"))
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            blobs = []
+            for i in pdf["media_id"]:
+                i = int(i)
+                bw, bh = 2 + i % 3, 1 + i % 2
+                img = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+                for by in range(bh):
+                    for bx in range(bw):
+                        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                            31 * i + 17 * bx + 53 * by
+                        ) % 256
+                blobs.append(encode_jpeg(bw * 8, bh * 8, 1, img.tobytes()))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": blobs})
+
+    media = base.mapInPandas(gen, "media_id long, payload binary")
+
+    def dec(batches):
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, _c, px = decode_jpeg(bytes(payload))
+                rows.append((int(i), w, h, sum(px)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "pixel_sum"]
+            )
+
+    return media.mapInPandas(
+        dec, "media_id long, width long, height long, pixel_sum long"
+    ).orderBy("media_id")
+
+
+ORACLE_Q157 = f"""
+WITH d AS (
+  SELECT i AS media_id, 2 + i % 3 AS bw, 1 + i % 2 AS bh
+  FROM generate_series(0, {N_JPEG - 1}) t(i)
+)
+SELECT media_id,
+       CAST(bw * 8 AS BIGINT) AS width,
+       CAST(bh * 8 AS BIGINT) AS height,
+       CAST(list_sum(list_transform(range(0, bw * bh),
+                     b -> 64 * ((31 * media_id + 17 * (b % bw) + 53 * (b // bw)) % 256)))
+            AS BIGINT) AS pixel_sum
+FROM d
+ORDER BY media_id
+"""
+
+
+N_VID = 64
+VID_STRIDE = 2
+
+
+def q158_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame-sampling with no ffmpeg: deterministic MJPEG
+    AVIs are built on the executors (prox_spark.avi — RIFF container
+    with one baseline JPEG per 00dc chunk), then the decode pass walks
+    the container, keeps every VID_STRIDE-th frame, and DECODES ONLY
+    the kept frames (prox_spark.avi.sample_frames — the decode-what-
+    you-keep pattern vision-pretraining ingest uses). Frame f of video
+    id is the constant color (7*id + 29*f) mod 256 at 16x8 gray, so
+    per-frame decoded sums are exact (constant-block JPEG, see q157)
+    and the oracle recomputes total frames, kept frames, and the sum
+    of kept-frame pixels in closed form.
+
+    Scale shape: two mapInPandas passes; whole videos never cross a
+    shuffle, and the container walk reads only kept frames' bytes into
+    the JPEG decoder. ``sf_dir`` unused (closed-form corpus)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from prox_spark.avi import avi_mjpeg_frames, encode_avi_mjpeg, sample_frames
+    from prox_spark.jpeg import encode_jpeg
+
+    base = spark.range(0, N_VID, 1, 8).select(F.col("id").alias("media_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            blobs = []
+            for i in pdf["media_id"]:
+                i = int(i)
+                nf = 3 + i % 6
+                frames = [
+                    encode_jpeg(16, 8, 1, bytes([(7 * i + 29 * f) % 256]) * 128)
+                    for f in range(nf)
+                ]
+                blobs.append(encode_avi_mjpeg(frames, 16, 8, fps=5))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": blobs})
+
+    media = base.mapInPandas(gen, "media_id long, payload binary")
+
+    def dec(batches):
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf["media_id"], pdf["payload"]):
+                blob = bytes(payload)
+                _w, _h, _fps, frames = avi_mjpeg_frames(blob)
+                kept = sample_frames(blob, VID_STRIDE)
+                rows.append(
+                    (
+                        int(i),
+                        len(frames),
+                        len(kept),
+                        sum(sum(px) for _, _, _, px in kept),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_frames", "n_kept", "kept_sum"]
+            )
+
+    return media.mapInPandas(
+        dec, "media_id long, n_frames long, n_kept long, kept_sum long"
+    ).orderBy("media_id")
+
+
+ORACLE_Q158 = f"""
+WITH d AS (
+  SELECT i AS media_id, 3 + i % 6 AS nf
+  FROM generate_series(0, {N_VID - 1}) t(i)
+)
+SELECT media_id,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST((nf + {VID_STRIDE} - 1) // {VID_STRIDE} AS BIGINT) AS n_kept,
+       CAST(list_sum(list_transform(range(0, (nf + {VID_STRIDE} - 1) // {VID_STRIDE}),
+                     k -> 128 * ((7 * media_id + 29 * k * {VID_STRIDE}) % 256)))
+            AS BIGINT) AS kept_sum
+FROM d
+ORDER BY media_id
+"""
+
+
 QUERIES = {
     "q43_media_features": q43_media_features,
     "q112_media_real_decode": q112_media_real_decode,
@@ -502,6 +663,8 @@ QUERIES = {
     "q134_image_resize": q134_image_resize,
     "q135_frame_sample": q135_frame_sample,
     "q155_png_pixel_decode": q155_png_pixel_decode,
+    "q157_jpeg_block_decode": q157_jpeg_block_decode,
+    "q158_video_frame_sample": q158_video_frame_sample,
 }
 ORACLES = {
     "q43_media_features": ORACLE_Q43,
@@ -510,4 +673,6 @@ ORACLES = {
     "q134_image_resize": ORACLE_Q134,
     "q135_frame_sample": ORACLE_Q135,
     "q155_png_pixel_decode": ORACLE_Q155,
+    "q157_jpeg_block_decode": ORACLE_Q157,
+    "q158_video_frame_sample": ORACLE_Q158,
 }

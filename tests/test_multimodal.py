@@ -114,12 +114,12 @@ def test_real_decode_unsupported_mime():
 
 
 def test_real_decode_image_without_pillow():
-    # JPEG remains Pillow-gated (PNG now has a stdlib codec)
+    # GIF remains Pillow-gated (PNG and JPEG now have built-in codecs)
     try:
         import PIL  # noqa: F401
     except ImportError:
         with pytest.raises(NotImplementedError, match="Pillow"):
-            decode_media(b"\xff\xd8\xff", "image/jpeg", mode="real")
+            decode_media(b"GIF89a", "image/gif", mode="real")
     else:
         pytest.skip("Pillow installed; covered by test_real_decode_image")
 
@@ -186,3 +186,177 @@ def test_real_decode_image():
     out = decode_media(buf.getvalue(), "image/png", mode="real")
     assert (out["width"], out["height"], out["n_frames"]) == (3, 2, 1)
     assert out["n_bytes"] == len(buf.getvalue())
+
+
+def test_jpeg_roundtrip_gray_and_rgb():
+    """encode_jpeg -> decode_jpeg with an all-ones quant table is
+    exact up to DCT rounding (±2): real Huffman entropy coding, byte
+    stuffing, EXTEND/ZRL/EOB paths, color conversion — no Pillow."""
+    import numpy as np
+
+    from prox_spark.jpeg import decode_jpeg, encode_jpeg
+
+    for channels, tag in ((1, "g"), (3, "c")):
+        w, h = 21, 11  # non-multiple-of-8 drives edge-block replication
+        px = _pseudo_pixels(w * h * channels, tag)
+        blob = encode_jpeg(w, h, channels, px)
+        gw, gh, gc, gpx = decode_jpeg(blob)
+        assert (gw, gh, gc) == (w, h, channels)
+        err = np.abs(
+            np.frombuffer(gpx, np.uint8).astype(int)
+            - np.frombuffer(px, np.uint8).astype(int)
+        ).max()
+        assert err <= 2, (channels, err)
+
+
+def test_jpeg_constant_block_exact():
+    from prox_spark.jpeg import decode_jpeg, encode_jpeg
+
+    px = bytes([137]) * (16 * 8)
+    _, _, _, gpx = decode_jpeg(encode_jpeg(16, 8, 1, px))
+    assert gpx == px
+
+
+def test_jpeg_restart_markers():
+    """DRI/RSTn path: predictors reset, bit reader re-aligns."""
+    import numpy as np
+
+    from prox_spark.jpeg import decode_jpeg, encode_jpeg
+
+    w, h = 40, 24  # 5x3 = 15 MCUs -> restarts at 2,4,...,14
+    px = _pseudo_pixels(w * h, "r")
+    blob = encode_jpeg(w, h, 1, px, restart_interval=2)
+    assert b"\xff\xd0" in blob or b"\xff\xd1" in blob
+    gw, gh, gc, gpx = decode_jpeg(blob)
+    assert (gw, gh, gc) == (w, h, 1)
+    err = np.abs(
+        np.frombuffer(gpx, np.uint8).astype(int)
+        - np.frombuffer(px, np.uint8).astype(int)
+    ).max()
+    assert err <= 2
+
+
+def test_jpeg_lossy_quant_table_stays_close():
+    """QTABLE_LUMA exercises real dequantization (the natural-vs-zigzag
+    table-order bug class): a smooth gradient survives within a few
+    grey levels on average."""
+    import numpy as np
+
+    from prox_spark.jpeg import QTABLE_LUMA, decode_jpeg, encode_jpeg
+
+    w = h = 32
+    grad = np.linspace(30, 220, w, dtype=np.float64)
+    img = np.tile(grad, (h, 1)).round().astype(np.uint8)
+    blob = encode_jpeg(w, h, 1, img.tobytes(), qtable=QTABLE_LUMA)
+    _, _, _, gpx = decode_jpeg(blob)
+    mean_err = np.abs(
+        np.frombuffer(gpx, np.uint8).astype(float) - img.reshape(-1).astype(float)
+    ).mean()
+    assert mean_err < 3.0, mean_err
+    assert len(blob) < w * h  # actually compresses
+
+
+def test_jpeg_decode_via_media_dispatch():
+    from prox_spark.jpeg import encode_jpeg
+
+    blob = encode_jpeg(24, 9, 3, _pseudo_pixels(24 * 9 * 3, "d"))
+    out = decode_media(blob, "image/jpeg", mode="real")
+    assert (out["width"], out["height"], out["n_frames"]) == (24, 9, 1)
+    assert out["n_bytes"] == len(blob)
+
+
+def test_jpeg_rejects_out_of_envelope():
+    from prox_spark.jpeg import decode_jpeg, encode_jpeg
+
+    with pytest.raises(ValueError, match="no SOI"):
+        decode_jpeg(b"\x89PNG....")
+    blob = bytearray(encode_jpeg(8, 8, 1, _pseudo_pixels(64, "e")))
+    sof = blob.index(b"\xff\xc0")
+    prog = bytearray(blob)
+    prog[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg(bytes(prog))
+    sub = bytearray(blob)
+    sub[sof + 11] = 0x22  # sampling factors 2x2 -> subsampled
+    with pytest.raises(ValueError, match="subsampling"):
+        decode_jpeg(bytes(sub))
+    with pytest.raises(ValueError, match="truncated|Huffman|marker"):
+        decode_jpeg(bytes(blob[: len(blob) // 2]))
+
+
+def _mjpeg_avi(n_frames: int, w: int = 16, h: int = 8) -> bytes:
+    from prox_spark.avi import encode_avi_mjpeg
+    from prox_spark.jpeg import encode_jpeg
+
+    frames = [
+        encode_jpeg(w, h, 1, bytes([(23 * i + 10) % 256]) * (w * h))
+        for i in range(n_frames)
+    ]
+    return encode_avi_mjpeg(frames, w, h, fps=5)
+
+
+def test_avi_container_roundtrip_and_frame_sampling():
+    """encode_avi_mjpeg -> avi_mjpeg_frames is the identity on the
+    frame payloads; sample_frames keeps every Nth frame and decodes it
+    through the real JPEG decoder — no ffmpeg anywhere."""
+    import numpy as np
+
+    from prox_spark.avi import avi_mjpeg_frames, sample_frames
+
+    blob = _mjpeg_avi(9)
+    w, h, fps, frames = avi_mjpeg_frames(blob)
+    assert (w, h, fps, len(frames)) == (16, 8, 5, 9)
+    sampled = sample_frames(blob, 4)  # frames 0, 4, 8
+    assert len(sampled) == 3
+    for i, (fw, fh, fc, px) in zip((0, 4, 8), sampled):
+        assert (fw, fh, fc) == (16, 8, 1)
+        mean = np.frombuffer(px, np.uint8).astype(int).mean()
+        assert abs(mean - ((23 * i + 10) % 256)) <= 1, (i, mean)
+
+
+def test_avi_decode_via_media_dispatch():
+    blob = _mjpeg_avi(4)
+    out = decode_media(blob, "video/x-msvideo", mode="real")
+    assert (out["width"], out["height"], out["n_frames"]) == (16, 8, 4)
+    assert out["n_bytes"] == len(blob)
+
+
+def test_avi_rejects_malformed():
+    import struct
+
+    from prox_spark.avi import avi_mjpeg_frames
+
+    blob = _mjpeg_avi(3)
+    with pytest.raises(ValueError, match="magic missing"):
+        avi_mjpeg_frames(b"RIFF" + blob[4:8] + b"WAVE" + blob[12:])
+    with pytest.raises(ValueError, match="truncated|overruns"):
+        avi_mjpeg_frames(blob[: len(blob) // 2])
+    # flip the stream handler to a codec we cannot decode
+    h264 = bytearray(blob)
+    pos = h264.index(b"vids")
+    h264[pos + 4 : pos + 8] = b"H264"
+    with pytest.raises(ValueError, match="MJPG only"):
+        avi_mjpeg_frames(bytes(h264))
+    # header/movi frame-count disagreement must be caught
+    short = bytearray(blob)
+    avih = short.index(b"avih")
+    struct.pack_into("<I", short, avih + 8 + 16, 7)  # dwTotalFrames := 7
+    with pytest.raises(ValueError, match="frame count mismatch"):
+        avi_mjpeg_frames(bytes(short))
+
+
+def test_avi_extract_features_end_to_end(spark):
+    """Video payloads through the actual Arrow-batched mapInPandas
+    pass: n_frames comes from the real container walk."""
+    rows = [
+        (i, _mjpeg_avi(2 + i), ("video/x-msvideo", "synth", 0)) for i in range(4)
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, payload binary, meta struct<mime:string,source:string,n_chars:long>",
+    )
+    got = {
+        r.media_id: (r.width, r.height, r.n_frames)
+        for r in extract_features(media, mode="real").collect()
+    }
+    assert got == {i: (16, 8, 2 + i) for i in range(4)}
