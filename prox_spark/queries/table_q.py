@@ -479,12 +479,74 @@ ORDER BY doc_id
 """
 
 
+def q159_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ delete through the real table format: seed a work
+    table from the staged v1 snapshot (range-clustered, 8 files), then
+    delete every doc_id ≡ 1 (mod 10) via
+    prox_spark.upsert.delete_keys_mor — which must commit ONLY a key
+    file: the gate's ``zero_rewrite`` column (oracle pins TRUE) is
+    computed by comparing the manifests' data-file lists before/after,
+    so a delete that rewrote (or dropped) any data file fails even if
+    the surviving rows are right. The row-side aggregate comes from
+    ``read_table`` over the new version — i.e. through the anti-join
+    masking path — and the oracle recomputes it from the staged v1
+    bytes with the same ids filtered out, so a mis-targeted or leaky
+    mask breaks the hash too. ``sf_dir`` ignored by design (the CDC
+    table is its own dataset, kpi_q pattern)."""
+    import atexit
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from prox_spark.table import commit_snapshot, read_manifest, read_table
+    from prox_spark.upsert import delete_keys_mor
+
+    path, _ = stage_cdc_table()
+    v1 = read_table(spark, path, version=1)
+    scratch = tempfile.mkdtemp(prefix=f"prox_mor_del_{_uuid.uuid4().hex[:8]}_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    work = f"{scratch}/t"
+    commit_snapshot(spark, work, v1, stat_cols=["doc_id"], n_files=8)
+    before = set(read_manifest(spark, work)["files"])
+
+    dels = v1.filter(F.col("doc_id") % 10 == 1).select("doc_id")
+    delete_keys_mor(spark, work, dels, ["doc_id"])
+
+    after = read_manifest(spark, work)
+    zero_rewrite = set(after["files"]) == before and bool(after.get("deletes"))
+    return (
+        read_table(spark, work)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("sum_ids"),
+        )
+        .withColumn("zero_rewrite", F.lit(zero_rewrite))
+        .orderBy("source")
+    )
+
+
+def _oracle_q159() -> str:
+    _, snaps = stage_cdc_table()
+    return f"""
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+       TRUE AS zero_rewrite
+FROM read_parquet('{snaps[1]}/*.parquet')
+WHERE doc_id % 10 != 1
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "q114_snapshot_diff": q114_snapshot_diff,
     "q118_incremental_agg": q118_incremental_agg,
     "q152_cdc_apply": q152_cdc_apply,
     "q153_streaming_cdc_apply": q153_streaming_cdc_apply,
     "q154_point_lookup": q154_point_lookup,
+    "q159_mor_delete": q159_mor_delete,
 }
 
 
@@ -497,4 +559,5 @@ def oracles() -> dict[str, str]:
         "q152_cdc_apply": _oracle_q152(),
         "q153_streaming_cdc_apply": _oracle_q153(),
         "q154_point_lookup": ORACLE_Q154,
+        "q159_mor_delete": _oracle_q159(),
     }

@@ -136,13 +136,55 @@ def _read_files(
 ) -> DataFrame:
     """Read a subset of a manifest's files with the DECLARED table
     schema — files written before an add-column evolution read the new
-    columns as NULL, so evolution never rewrites old files."""
+    columns as NULL, so evolution never rewrites old files.
+
+    MERGE-ON-READ deletes are applied here: each manifest ``deletes``
+    entry is a tiny parquet of deleted key tuples plus the exact list
+    of data files it targets (the files that existed — and could hold
+    the key — when the delete committed). Files are grouped by their
+    applicable-delete signature and each group anti-joins its delete
+    sets (broadcast: deletion batches are small by nature); untargeted
+    files — including every file added AFTER the delete, so a
+    re-inserted key is never swallowed — stream through untouched."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
     schema = StructType.fromJson(manifest["schema"])
     if not files:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(
-        *[f"{table_path}/{f}" for f in files]
-    )
+    deletes = [
+        d
+        for d in (manifest.get("deletes") or [])
+        if any(t in files for t in d["targets"])
+    ]
+    if not deletes:
+        return spark.read.schema(schema).parquet(
+            *[f"{table_path}/{f}" for f in files]
+        )
+    sig: dict[str, tuple] = {}
+    for f in files:
+        sig[f] = tuple(
+            i for i, d in enumerate(deletes) if f in set(d["targets"])
+        )
+    groups: dict[tuple, list[str]] = {}
+    for f in files:
+        groups.setdefault(sig[f], []).append(f)
+    parts = []
+    for s in sorted(groups):
+        df = spark.read.schema(schema).parquet(
+            *[f"{table_path}/{f}" for f in groups[s]]
+        )
+        for i in s:
+            d = deletes[i]
+            dset = (
+                spark.read.parquet(f"{table_path}/{d['file']}")
+                .select(*d["keys"])
+                .distinct()
+            )
+            df = df.join(F.broadcast(dset), d["keys"], "left_anti")
+        parts.append(df)
+    return reduce(lambda a, b: a.unionByName(b), parts)
 
 
 def read_table(
@@ -383,6 +425,21 @@ def commit_delta(
         "stat_cols": stat_cols,
         "schema": new_df.schema.jsonValue(),
     }
+    # merge-on-read deletes survive only for files carried over
+    # verbatim: any file this commit REWROTE was read through
+    # _read_files with its deletes already applied, so the new files
+    # are delete-free and the entry must not target them (a rewritten
+    # file's name changes anyway; dropping stale targets keeps the
+    # manifest minimal and lets vacuum retire fully-applied delete
+    # files once no kept manifest references them).
+    keep_set = set(keep_files)
+    carried = []
+    for d in prev.get("deletes") or []:
+        targets = [f for f in d["targets"] if f in keep_set]
+        if targets:
+            carried.append({**d, "targets": targets})
+    if carried:
+        manifest["deletes"] = carried
     _write_manifest(spark, table_path, v, manifest, delta_rel)
     return v
 
@@ -403,6 +460,60 @@ def commit_snapshot(
     return commit_delta(
         spark, table_path, df, [], stat_cols=stat_cols or [], n_files=n_files
     )
+
+
+def commit_delete_file(
+    spark: SparkSession,
+    table_path: str,
+    keys_df: DataFrame,
+    keys: list[str],
+    targets: list[str],
+) -> int:
+    """Commit a MERGE-ON-READ equality delete: write the deleted key
+    tuples as one tiny parquet and publish a new version whose DATA
+    FILES ARE UNCHANGED — the manifest just gains a ``deletes`` entry
+    naming the key file, its key columns, and the exact data files it
+    applies to (``targets``: the files that could hold a deleted key
+    when the delete committed). Readers anti-join targeted files
+    against the key set (:func:`_read_files`); files added later are
+    untargeted by construction, so re-inserting a deleted key works.
+
+    This is the Iceberg-v2 equality-delete / Delta deletion-vector
+    pattern, and the 100 TB answer to "delete 100 user ids from a
+    100 TB table": the commit writes kilobytes, not a file rewrite —
+    the physical rewrite happens when a later merge or compaction
+    touches those files (both fold pending deletes in and drop the
+    entry via :func:`commit_delta`'s carry-forward). Returns the new
+    version."""
+    versions = _manifest_versions(spark, table_path)
+    if not versions:
+        raise ValueError(f"{table_path} is not a manifest table")
+    prev = read_manifest(spark, table_path, versions[-1])
+    if "files" not in prev:
+        raise ValueError(
+            f"{table_path} predates file-granular manifests; use the "
+            "copy-on-write delete"
+        )
+    unknown = [t for t in targets if t not in set(prev["files"])]
+    if unknown:
+        raise ValueError(f"delete targets not in current version: {unknown}")
+    v = versions[-1] + 1
+    del_rel = f"{DATA_DIR}/del-{v:08d}-{uuid.uuid4().hex[:8]}"
+    # one part file: a deletion batch is driver-small by nature
+    keys_df.select(*keys).distinct().coalesce(1).write.mode("error").parquet(
+        f"{table_path}/{del_rel}"
+    )
+    entry = {"file": del_rel, "keys": list(keys), "targets": list(targets)}
+    manifest = {
+        "version": v,
+        "files": prev["files"],
+        "stats": prev.get("stats") or {},
+        "stat_cols": prev.get("stat_cols") or [],
+        "schema": prev["schema"],
+        "deletes": [*(prev.get("deletes") or []), entry],
+    }
+    _write_manifest(spark, table_path, v, manifest, del_rel)
+    return v
 
 
 def _overlaps(fstats: dict | None, key_ranges: dict[str, tuple]) -> bool:
@@ -590,6 +701,11 @@ def vacuum(spark: SparkSession, table_path: str, keep_last: int = 2) -> list[int
         m = read_manifest(spark, table_path, v)
         if "files" in m:
             kept_dirs |= {f.split("/")[1] for f in m["files"] if "/" in f}
+            # merge-on-read delete key files are data too: retiring one
+            # that a kept manifest still references would resurrect rows
+            kept_dirs |= {
+                d["file"].split("/")[1] for d in m.get("deletes") or []
+            }
         else:
             kept_dirs.add(m["data"].split("/", 1)[1])
     for v in dropped:

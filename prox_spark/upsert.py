@@ -242,7 +242,9 @@ def delete_keys(
     manifest keep a consistent view; time travel still serves
     pre-deletion versions until ``vacuum`` retires them — the
     right-to-be-forgotten flow is delete_keys + vacuum). Returns the
-    number of rows removed.
+    number of rows removed. :func:`delete_keys_mor` is the
+    merge-on-read twin: it defers the rewrite entirely, committing
+    only the key set.
 
     Scale shape: file pruning confines BOTH the rewrite and the
     removed-row count to files that can contain a deleted key; the
@@ -259,6 +261,56 @@ def delete_keys(
     scope = _merge_scope(spark, table_path, dset, keys)
     n_removed = scope.touched.join(dset, keys, "left_semi").count()
     scope.commit(scope.touched.join(dset, keys, "left_anti"))
+    return n_removed
+
+
+def delete_keys_mor(
+    spark: SparkSession,
+    table_path: str,
+    keys_df: DataFrame,
+    keys: list[str],
+) -> int:
+    """MERGE-ON-READ delete: the scale twin of :func:`delete_keys`.
+    Instead of rewriting every file that holds a deleted key
+    (copy-on-write — write cost ∝ touched data), this commits a tiny
+    parquet of the deleted key tuples plus the pruned list of data
+    files it applies to; readers anti-join those files against the key
+    set and the PHYSICAL rewrite is deferred to whatever merge or
+    compaction next touches them (which folds the delete in and drops
+    the entry). Deleting 100 user ids from a 100 TB table writes
+    kilobytes. The trade is a broadcast anti-join per read of the
+    targeted files until then — Iceberg v2 equality-deletes / Delta
+    deletion vectors make the same one.
+
+    Returns the number of LIVE rows the delete removed (rows already
+    masked by an earlier pending delete don't recount). A delete that
+    matches nothing commits nothing. Requires a file-granular manifest
+    table (the copy-on-write path handles legacy layouts)."""
+    from prox_spark.table import commit_delete_file, is_manifest_table
+
+    if not is_manifest_table(spark, table_path):
+        raise ValueError(f"no manifest table at {table_path}")
+    manifest = read_manifest(spark, table_path)
+    if "files" not in manifest:
+        raise ValueError(
+            f"{table_path} predates file-granular manifests; use delete_keys"
+        )
+    schema_cols = {f["name"] for f in manifest["schema"]["fields"]}
+    missing = [k for k in keys if k not in schema_cols]
+    if missing:
+        raise ValueError(f"delete keys not in table schema: {missing}")
+    dset = keys_df.select(*keys).distinct()
+    if set(keys) <= set(manifest.get("stat_cols") or []):
+        targets, _ = _prune_files(manifest, dset, keys)
+    else:
+        targets = list(manifest["files"])  # stats can't prune: all files
+    if not targets:
+        return 0
+    live = _read_files(spark, table_path, manifest, targets)
+    n_removed = live.join(dset, keys, "left_semi").count()
+    if n_removed == 0:
+        return 0
+    commit_delete_file(spark, table_path, dset, keys, targets)
     return n_removed
 
 

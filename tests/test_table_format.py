@@ -569,3 +569,136 @@ def test_merge_into_statless_table_falls_back_to_full_rewrite(spark, tmp_path):
     # the merge declared key stats for its files
     m = read_manifest(spark, path)
     assert m["stat_cols"] == ["id"]
+
+
+def test_mor_delete_rewrites_nothing_and_masks_rows(spark, tmp_path):
+    """THE merge-on-read guarantee: the delete commit carries every
+    data file verbatim (zero rewrites) and only adds a key file +
+    manifest entry; reads mask the rows, time travel still serves the
+    pre-delete version."""
+    from prox_spark.table import read_manifest
+    from prox_spark.upsert import delete_keys_mor
+
+    path = str(tmp_path / "t")
+    big = spark.createDataFrame([(i, i * 2) for i in range(4000)], "id BIGINT, v BIGINT")
+    commit_snapshot(spark, path, big, stat_cols=["id"], n_files=16)
+    v1_files = set(_files_of(spark, path))
+
+    dels = spark.createDataFrame([(10,), (11,), (9999,)], "id BIGINT")
+    n = delete_keys_mor(spark, path, dels, ["id"])
+    assert n == 2
+    m2 = read_manifest(spark, path)
+    assert set(m2["files"]) == v1_files, "MOR delete must not touch data files"
+    assert len(m2["deletes"]) == 1
+    entry = m2["deletes"][0]
+    assert entry["keys"] == ["id"]
+    # pruning confined the targets to files that can hold ids 10/11/9999
+    assert 0 < len(entry["targets"]) < len(v1_files)
+    got = read_table(spark, path)
+    assert got.count() == 3998
+    assert got.filter("id in (10, 11)").count() == 0
+    assert read_table(spark, path, version=1).count() == 4000
+
+
+def test_mor_delete_reinserted_key_survives_and_merge_folds(spark, tmp_path):
+    """Files added after the delete are untargeted, so re-inserting a
+    deleted key works; and a merge that rewrites a targeted file folds
+    the pending delete in (the new manifest no longer targets it)."""
+    from prox_spark.table import read_manifest
+    from prox_spark.upsert import delete_keys_mor, upsert_parquet
+
+    path = str(tmp_path / "t")
+    big = spark.createDataFrame(
+        [(i, f"u{i}") for i in range(4000)], "id BIGINT, name STRING"
+    )
+    commit_snapshot(spark, path, big, stat_cols=["id"], n_files=16)
+    assert delete_keys_mor(
+        spark, path, spark.createDataFrame([(1234,)], "id BIGINT"), ["id"]
+    ) == 1
+    targets = set(read_manifest(spark, path)["deletes"][0]["targets"])
+
+    upsert_parquet(
+        spark, path,
+        spark.createDataFrame([(1234, "BACK")], "id BIGINT, name STRING"),
+        ["id"],
+    )
+    got = read_table(spark, path)
+    assert [r.name for r in got.filter("id = 1234").collect()] == ["BACK"]
+    assert got.count() == 4000
+    m = read_manifest(spark, path)
+    # the upsert rewrote exactly the files holding id 1234 — the same
+    # files the delete targeted — so the pending entry must be gone
+    # (or at least no longer target any current file)
+    leftover = [
+        t for d in m.get("deletes", []) for t in d["targets"] if t in set(m["files"])
+    ]
+    assert leftover == [] or not (set(leftover) & targets)
+
+
+def test_mor_delete_noop_and_double_delete(spark, tmp_path):
+    from prox_spark.table import table_versions
+    from prox_spark.upsert import delete_keys_mor
+
+    path = str(tmp_path / "t")
+    commit_snapshot(
+        spark,
+        path,
+        spark.createDataFrame([(i, i) for i in range(100)], "id BIGINT, v BIGINT"),
+        stat_cols=["id"],
+        n_files=4,
+    )
+    miss = spark.createDataFrame([(50_000,)], "id BIGINT")
+    assert delete_keys_mor(spark, path, miss, ["id"]) == 0
+    assert table_versions(spark, path) == [1], "no-op delete must not commit"
+
+    hit = spark.createDataFrame([(7,)], "id BIGINT")
+    assert delete_keys_mor(spark, path, hit, ["id"]) == 1
+    # replay: the row is already masked, so nothing is live to remove
+    assert delete_keys_mor(spark, path, hit, ["id"]) == 0
+    assert table_versions(spark, path) == [1, 2]
+    assert read_table(spark, path).count() == 99
+
+
+def test_mor_delete_folds_on_compaction_and_vacuum_keeps_key_files(spark, tmp_path):
+    from prox_spark.table import compact_table, read_manifest
+    from prox_spark.upsert import delete_keys_mor
+
+    path = str(tmp_path / "t")
+    commit_snapshot(
+        spark,
+        path,
+        spark.createDataFrame([(i, i) for i in range(1000)], "id BIGINT, v BIGINT"),
+        stat_cols=["id"],
+        n_files=8,
+    )
+    delete_keys_mor(
+        spark, path, spark.createDataFrame([(3,), (4,)], "id BIGINT"), ["id"]
+    )
+    # vacuum down to the last 1 version: the delete-key file backs the
+    # CURRENT manifest and must survive for reads to stay correct
+    vacuum(spark, path, keep_last=1)
+    assert read_table(spark, path).count() == 998
+
+    compact_table(spark, path)
+    m = read_manifest(spark, path)
+    assert not m.get("deletes"), "compaction must fold pending deletes in"
+    got = read_table(spark, path)
+    assert got.count() == 998
+    assert got.filter("id in (3, 4)").count() == 0
+
+
+def test_mor_delete_point_lookup_masked(spark, tmp_path):
+    from prox_spark.table import read_table_point
+    from prox_spark.upsert import delete_keys_mor
+
+    path = str(tmp_path / "t")
+    commit_snapshot(
+        spark,
+        path,
+        spark.createDataFrame([(i, i * 3) for i in range(1000)], "id BIGINT, v BIGINT"),
+        stat_cols=["id"],
+        n_files=8,
+    )
+    assert read_table_point(spark, path, {"id": 42}).count() == 1
+    delete_keys_mor(spark, path, spark.createDataFrame([(42,)], "id BIGINT"), ["id"])
+    assert read_table_point(spark, path, {"id": 42}).count() == 0

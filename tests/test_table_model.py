@@ -1,5 +1,6 @@
 """Model-based check of the file-granular table format: a seeded
-sequence of merge operations (SCD-1 upsert, delete, CDC apply,
+sequence of merge operations (SCD-1 upsert, copy-on-write delete,
+merge-on-read delete, CDC apply,
 compaction, vacuum) runs both against the real manifest table and a
 driver-side dict model; after every commit the table must equal the
 model exactly, and a version pinned mid-sequence must keep serving its
@@ -19,7 +20,12 @@ import hashlib
 from pyspark.sql import functions as F
 
 from prox_spark.table import compact_table, read_table, table_versions, vacuum
-from prox_spark.upsert import apply_changes, delete_keys, upsert_parquet
+from prox_spark.upsert import (
+    apply_changes,
+    delete_keys,
+    delete_keys_mor,
+    upsert_parquet,
+)
 
 KEYS = ["region", "uid"]  # multi-column key: per-column membership pruning
 N_OPS = 18
@@ -70,7 +76,7 @@ def test_random_merge_sequence_matches_model(spark, tmp_path):
     pinned = None
     pinned_state = None
     for step in range(1, N_OPS + 1):
-        op = _rnd(f"op:{step}", 0, 9)
+        op = _rnd(f"op:{step}", 0, 11)
         if op <= 4:  # upsert (the common case)
             rows = _rows(step)
             upsert_parquet(spark, path, _df(spark, rows), KEYS)
@@ -101,8 +107,16 @@ def test_random_merge_sequence_matches_model(spark, tmp_path):
                     model.pop((r, u), None)
                 else:
                     model[(r, u)] = (p, s)
-        else:  # maintenance
+        elif op == 9:  # maintenance
             compact_table(spark, path, n_files=4)
+        else:  # merge-on-read delete: masks rows without rewriting data
+            dels = _key_space(step)[5:10]
+            ddf = spark.createDataFrame(dels, "region STRING, uid BIGINT")
+            n = delete_keys_mor(spark, path, ddf, KEYS)
+            expected = sum(1 for k in dels if k in model)
+            assert n == expected, (step, n, expected)
+            for k in dels:
+                model.pop(k, None)
         assert _table_state(spark, path) == model, f"diverged at step {step}"
         if step == N_OPS // 2:
             pinned = table_versions(spark, path)[-1]
