@@ -156,3 +156,118 @@ def pagerank(
         # to force materialization, unlike the CC fixpoint's count()
         ranks = _rank_round(ed, nodes, ranks, base, w).localCheckpoint(eager=True)
     return ranks
+
+
+def _tri_normalize(edges: DataFrame) -> DataFrame:
+    """Undirected edge canonicalization: (min, max) endpoints, no
+    self-loops, no duplicates (forward or reversed)."""
+    return (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _tri_orient(e: DataFrame) -> DataFrame:
+    """Orient each edge from its lower to its higher endpoint in the
+    total order (degree, id); carries the destination's degree so the
+    wedge join can compare that order without another lookup."""
+    deg = (
+        e.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    return (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+            F.when(a_first, F.col("deg_b"))
+            .otherwise(F.col("deg_a"))
+            .alias("dst_deg"),
+        )
+    )
+
+
+def _tri_closing(oriented: DataFrame) -> DataFrame:
+    """The wedge-generation + wedge-closing frame whose row count is
+    the triangle count (shared by the fixpoint-free executor and the
+    plan-audit twin, so audited plan shape == executed plan shape)."""
+    o1 = oriented.select(
+        F.col("src"), F.col("dst").alias("v"), F.col("dst_deg").alias("v_deg")
+    )
+    o2 = oriented.select(
+        F.col("src"), F.col("dst").alias("w"), F.col("dst_deg").alias("w_deg")
+    )
+    wedge_ord = (F.col("v_deg") < F.col("w_deg")) | (
+        (F.col("v_deg") == F.col("w_deg")) & (F.col("v") < F.col("w"))
+    )
+    closing = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    return o1.join(o2, "src").filter(wedge_ord).join(closing, ["v", "w"], "left_semi")
+
+
+def triangle_audit_frame(edges: DataFrame) -> DataFrame:
+    """Lazily-built closing-join plan for tools/plan_audit.py —
+    :func:`triangle_count` executes counting jobs while building, so
+    the audit inspects this frame instead (same builders, no persist)."""
+    return _tri_closing(_tri_orient(_tri_normalize(edges)))
+
+
+def triangle_count(edges: DataFrame) -> tuple[int, int, int, int]:
+    """Exact global triangle count over an undirected edge list
+    (``src``/``dst`` columns; self-loops, duplicates, and reversed
+    duplicates are normalized away). Returns
+    ``(n_nodes, n_edges, n_wedges, n_triangles)`` as plain ints —
+    four bounded scalars, the only values that ever reach the driver.
+
+    Scale design is the standard compact-forward / degree-orientation
+    algorithm: orient every edge from its lower to its higher endpoint
+    in the total order (degree, id). Every triangle then has exactly
+    ONE vertex with two out-edges into it, so
+
+        triangles = |{(u->v, u->w, v->w)}|  with  pi(v) < pi(w)
+
+    counted by one self-join on ``src`` (wedge generation) plus one
+    equi-join against the oriented edge list (wedge closing). The
+    orientation bounds every out-degree by O(sqrt(m)) regardless of
+    how skewed the raw degree distribution is — a celebrity node of
+    degree d contributes C(d,2) wedges UNORIENTED but only
+    C(sqrt(2m),2) oriented — so the wedge shuffle is O(m^1.5) worst
+    case and near-linear on real graphs, never the O(sum d^2) of the
+    naive join. ``n_wedges`` (the oriented-wedge count, i.e. the
+    candidate volume the closing join actually processes) is reported
+    so callers can see that bound. The closing join keys on the
+    oriented (src, dst) pair — a plain shuffled equi-join; nothing is
+    broadcast (both sides are edge-sized).
+    """
+    e = _tri_normalize(edges).persist()
+    try:
+        n_edges = e.count()
+        n_nodes = (
+            e.select(F.explode(F.array("a", "b")).alias("node"))
+            .distinct()
+            .count()
+        )
+        oriented = _tri_orient(e).persist()
+        try:
+            n_wedges = (
+                oriented.groupBy("src")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .agg(F.sum(F.expr("c * (c - 1) div 2")).alias("w"))
+                .collect()[0]["w"]
+                or 0
+            )
+            n_triangles = _tri_closing(oriented).count()
+        finally:
+            oriented.unpersist()
+    finally:
+        e.unpersist()
+    return int(n_nodes), int(n_edges), int(n_wedges), int(n_triangles)

@@ -238,3 +238,84 @@ LIMIT 20
 
 QUERIES["q150_weighted_pagerank"] = q150_weighted_pagerank
 ORACLES["q150_weighted_pagerank"] = ORACLE_Q150
+
+
+def _supplier_co_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier co-occurrence edges: suppliers linked when they serve
+    the same order (distinct pairs, lower key first). Per-order pair
+    fan-out is bounded by order size (<=7 lineitems), the usual cap
+    that keeps one-mode projections of bipartite graphs linear-ish."""
+    cat = testdata_catalog(spark, sf_dir)
+    li = cat.table("lineitem").select("l_orderkey", "l_suppkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    return (
+        li.join(l2, (li.l_orderkey == l2.o2) & (li.l_suppkey < l2.s2))
+        .select(F.col("l_suppkey").alias("src"), F.col("s2").alias("dst"))
+        .distinct()
+    )
+
+
+def q160_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle census of the supplier co-occurrence graph
+    (suppliers linked when they serve the same order — the standard
+    one-mode projection of the order<->supplier bipartite graph, the
+    same shape as host co-citation graphs in crawl curation). Counts
+    come from prox_spark.graph.triangle_count — degree-orientation +
+    wedge-closing joins, O(m^1.5) worst-case shuffle — and the oracle
+    recomputes all four integers with the identical orientation rule
+    in SQL, so a double-counted or dropped triangle breaks the gate.
+    n_wedges (oriented two-paths) is gated too: it IS the candidate
+    volume of the closing join, so the oracle also pins the operator's
+    work bound, not just its answer."""
+    from prox_spark.graph import triangle_count
+
+    n_nodes, n_edges, n_wedges, n_triangles = triangle_count(
+        _supplier_co_edges(spark, sf_dir)
+    )
+    return spark.createDataFrame(
+        [(n_nodes, n_edges, n_wedges, n_triangles)],
+        "n_nodes BIGINT, n_edges BIGINT, n_wedges BIGINT, n_triangles BIGINT",
+    )
+
+
+ORACLE_Q160 = """
+WITH e AS (
+  SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+  FROM lineitem l1
+  JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+), deg AS (
+  SELECT node, count(*) AS deg
+  FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+  GROUP BY node
+), o AS (
+  SELECT CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND e.a < e.b)
+              THEN e.a ELSE e.b END AS src,
+         CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND e.a < e.b)
+              THEN e.b ELSE e.a END AS dst,
+         CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND e.a < e.b)
+              THEN db.deg ELSE da.deg END AS dst_deg
+  FROM e
+  JOIN deg da ON da.node = e.a
+  JOIN deg db ON db.node = e.b
+), wedge AS (
+  SELECT o1.dst AS v, o2.dst AS w
+  FROM o o1
+  JOIN o o2
+    ON o1.src = o2.src
+   AND ((o1.dst_deg < o2.dst_deg)
+        OR (o1.dst_deg = o2.dst_deg AND o1.dst < o2.dst))
+)
+SELECT (SELECT count(*) FROM deg)                        AS n_nodes,
+       (SELECT count(*) FROM e)                          AS n_edges,
+       (SELECT count(*) FROM wedge)                      AS n_wedges,
+       (SELECT count(*) FROM wedge
+        WHERE EXISTS (SELECT 1 FROM o
+                      WHERE o.src = wedge.v AND o.dst = wedge.w)) AS n_triangles
+"""
+
+
+QUERIES["q160_triangle_count"] = q160_triangle_count
+ORACLES["q160_triangle_count"] = ORACLE_Q160

@@ -72,3 +72,30 @@ def test_weighted_pagerank_matches_integer_model(spark):
             inflow[d] = inflow.get(d, 0) + (rank[s] * w) // outw[s]
         rank = {v: base + (85 * inflow.get(v, 0)) // 100 for v in nodes}
     assert got == rank
+
+
+def test_triangle_count_known_graphs(spark):
+    from prox_spark.graph import triangle_count
+
+    def tc(pairs):
+        df = spark.createDataFrame(pairs, "src BIGINT, dst BIGINT")
+        return triangle_count(df)
+
+    # K5: C(5,2) = 10 edges, C(5,3) = 10 triangles; with all degrees
+    # tied the orientation falls back to id order, so oriented
+    # out-degrees are 4,3,2,1,0 -> sum C(d,2) = 6+3+1 = 10 wedges
+    k5 = [(i, j) for i in range(5) for j in range(5) if i < j]
+    assert tc(k5) == (5, 10, 10, 10)
+
+    # path graph: zero triangles
+    assert tc([(0, 1), (1, 2), (2, 3)])[3] == 0
+
+    # bipartite K2,3: zero triangles (odd cycles impossible)
+    assert tc([(i, 10 + j) for i in range(2) for j in range(3)])[3] == 0
+
+    # normalization: self-loops, duplicates, reversed duplicates
+    messy = [(0, 1), (1, 0), (0, 1), (1, 2), (0, 2), (2, 2)]
+    assert tc(messy) == (3, 3, 1, 1)
+
+    # two triangles sharing an edge
+    assert tc([(0, 1), (1, 2), (0, 2), (2, 3), (1, 3)])[3] == 2

@@ -34,6 +34,8 @@ SKIP = {
     "q150_weighted_pagerank",
     "q152_cdc_apply",  # executes real table commits while building
     "q153_streaming_cdc_apply",  # runs a real stream while building
+    "q159_mor_delete",  # executes real table commits while building
+    "q160_triangle_count",  # executes counting jobs; closing-join twin below
 }
 
 
@@ -61,10 +63,18 @@ def _twin_q150(spark, sf_dir):
 # plan is audited lazily (built via the same shared round function the
 # real fixpoint executes), so a shuffle-count regression in the loop is
 # caught mechanically even though the full query can't be dry-planned
+def _twin_q160(spark, sf_dir):
+    from prox_spark.graph import triangle_audit_frame
+    from prox_spark.queries.graph_q import _supplier_co_edges
+
+    return triangle_audit_frame(_supplier_co_edges(spark, sf_dir))
+
+
 AUDIT_TWINS = {
     "q72_dup_clusters#round": _twin_q72,
     "q127_pagerank#round": _twin_q127,
     "q150_weighted_pagerank#round": _twin_q150,
+    "q160_triangle_count#closing": _twin_q160,
 }
 
 # node names as they appear at the head of a tree line (join nodes are
