@@ -99,3 +99,32 @@ def test_triangle_count_known_graphs(spark):
 
     # two triangles sharing an edge
     assert tc([(0, 1), (1, 2), (0, 2), (2, 3), (1, 3)])[3] == 2
+
+
+def test_triangle_count_matches_brute_force_on_seeded_graphs(spark):
+    """Randomized (md5-seeded, reproducible) graphs vs an O(n^3)
+    reference count — exercises orientation ties, isolated-ish nodes,
+    and skewed degrees beyond the hand-picked cases."""
+    import hashlib
+    from itertools import combinations
+
+    from prox_spark.graph import triangle_count
+
+    for seed in range(5):
+        n = 12 + seed * 3
+        pairs = []
+        for i, j in combinations(range(n), 2):
+            h = int(hashlib.md5(f"{seed}:{i}:{j}".encode()).hexdigest()[:8], 16)
+            if h % 100 < 30:  # ~30% edge density
+                pairs.append((i, j))
+        adj = {p for p in pairs} | {(b, a) for a, b in pairs}
+        expected = sum(
+            1
+            for a, b, c in combinations(range(n), 3)
+            if (a, b) in adj and (b, c) in adj and (a, c) in adj
+        )
+        df = spark.createDataFrame(pairs, "src BIGINT, dst BIGINT")
+        n_nodes, n_edges, n_wedges, n_tri = triangle_count(df)
+        assert n_tri == expected, (seed, n_tri, expected)
+        assert n_edges == len(pairs)
+        assert n_wedges >= n_tri
