@@ -1288,6 +1288,141 @@ ORDER BY rank
 """
 
 
+IVF_DELTA_MOD = 5  # vec_id % 5 == 0 arrives AFTER the index is built
+
+
+def q161_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL index maintenance — the production concern q45/q113
+    skip: a serving ANN index is never rebuilt per batch; new vectors
+    are assigned to the FROZEN coarse quantizer and appended to the
+    index table. Here the index lives in the real manifest table
+    format: 4/5 of the corpus is committed as the initial
+    cid-clustered index, then the remaining 1/5 (the 'overnight
+    embeddings delivery') is assigned map-side against the same frozen
+    centroids and committed as a pure APPEND — commit_delta carries
+    every base file verbatim (``append_only``, oracle-pinned TRUE, is
+    computed from the two manifests, so a maintenance path that
+    rewrote or dropped base files fails even with correct rows).
+    Serving then probes the MAINTAINED index, and because base ∪ delta
+    must equal the full corpus's assignment, the results have to match
+    the oracle's direct IVF over all embeddings — any vector lost or
+    duplicated by the append shows up as a wrong neighbor or rank.
+
+    Scale shape: assignment is one broadcast map-side pass per batch
+    (no shuffle, K=8 centroids as one row); the append writes only the
+    delta clustered by cid; the probe join is the q45 equi-join on
+    cid against the index table, whose per-file cid stats prune
+    untouched cluster files. Centroids are frozen PARAMETERS of the
+    quantizer (the first K vectors by id, q45's convention) — they
+    need not be members of either batch."""
+    import atexit
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from prox_spark.table import commit_delta, commit_snapshot, read_manifest, read_table
+
+    emb = _emb_n(spark, sf_dir)
+    cent_arr = (
+        emb.filter(F.col("vec_id") < IVF_K)
+        .select(F.struct(F.col("vec_id").alias("cid"), F.col("dd").alias("cdd"),
+                         F.col("nrm").alias("cnrm")).alias("c"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list("c")).alias("cents"))
+    )
+    csim = DOT_SPARK.format(a="dd", b="c.cdd") + " / (nrm * c.cnrm)"
+    tagged = (
+        emb.crossJoin(F.broadcast(cent_arr))
+        .withColumn(
+            "sims",
+            F.expr(
+                f"array_sort(transform(cents, c -> named_struct('negsim', -({csim}), 'cid', c.cid)))"
+            ),
+        )
+    )
+    assign = tagged.select(
+        "vec_id", "dd", "nrm", F.expr("sims[0].cid").alias("cid")
+    )
+    scratch = tempfile.mkdtemp(prefix=f"prox_ivf_maint_{_uuid.uuid4().hex[:8]}_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    work = f"{scratch}/ivf"
+    commit_snapshot(
+        spark,
+        work,
+        assign.filter(F.col("vec_id") % IVF_DELTA_MOD != 0),
+        stat_cols=["cid"],
+        n_files=IVF_K,
+    )
+    base_files = set(read_manifest(spark, work)["files"])
+    commit_delta(
+        spark,
+        work,
+        assign.filter(F.col("vec_id") % IVF_DELTA_MOD == 0),
+        sorted(base_files),
+        stat_cols=["cid"],
+    )
+    m2 = read_manifest(spark, work)
+    append_only = base_files < set(m2["files"])  # strict superset: all kept + new
+
+    index = read_table(spark, work)
+    probes = (
+        tagged.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"),
+                F.explode(F.expr(f"transform(slice(sims, 1, {IVF_NPROBE}), s -> s.cid)")).alias("cid"),
+                F.col("dd").alias("qv"), F.col("nrm").alias("qn"))
+    )
+    scored = (
+        index.join(F.broadcast(probes), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", F.expr(f"{DOT_SPARK.format(a='qv', b='dd')} / (qn * nrm)"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "rank", "cosine")
+        .withColumn("append_only", F.lit(bool(append_only)))
+        .orderBy("query_id", "rank")
+    )
+
+
+ORACLE_Q161 = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS dd,
+         sqrt({DOT_DUCK.format(a='embedding::DOUBLE[]', b='embedding::DOUBLE[]')}) AS nrm
+  FROM embeddings
+),
+cent AS (SELECT vec_id AS cid, dd AS cdd, nrm AS cnrm FROM e WHERE vec_id < {IVF_K}),
+ranked AS (
+  SELECT e.vec_id, e.dd, e.nrm, cent.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {DOT_DUCK.format(a='e.dd', b='cent.cdd')} / (e.nrm * cent.cnrm) DESC, cent.cid ASC
+         ) AS crank
+  FROM e CROSS JOIN cent
+),
+assign AS (SELECT vec_id, cid, dd, nrm FROM ranked WHERE crank = 1),
+probes AS (
+  SELECT vec_id AS query_id, cid, dd AS qv, nrm AS qn
+  FROM ranked WHERE vec_id < {N_QUERIES} AND crank <= {IVF_NPROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         {DOT_DUCK.format(a='p.qv', b='a.dd')} / (p.qn * a.nrm) AS cosine
+  FROM assign a JOIN probes p ON a.cid = p.cid
+  WHERE a.vec_id <> p.query_id
+),
+final AS (
+  SELECT query_id, vec_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, rank, cosine, TRUE AS append_only
+FROM final WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
     "q40_cosine_topk": q40_cosine_topk,
     "q41_lsh_ann": q41_lsh_ann,
@@ -1300,6 +1435,7 @@ QUERIES = {
     "q113_ivfpq_search": q113_ivfpq_search,
     "q117_int8_quantize": q117_int8_quantize,
     "q126_embedding_outliers": q126_embedding_outliers,
+    "q161_ivf_index_maintenance": q161_ivf_index_maintenance,
 }
 
 ORACLES = {
@@ -1314,4 +1450,5 @@ ORACLES = {
     "q113_ivfpq_search": ORACLE_Q113,
     "q117_int8_quantize": ORACLE_Q117,
     "q126_embedding_outliers": ORACLE_Q126,
+    "q161_ivf_index_maintenance": ORACLE_Q161,
 }

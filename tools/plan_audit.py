@@ -36,6 +36,8 @@ SKIP = {
     "q153_streaming_cdc_apply",  # runs a real stream while building
     "q159_mor_delete",  # executes real table commits while building
     "q160_triangle_count",  # executes counting jobs; closing-join twin below
+    "q161_ivf_index_maintenance",  # commits the index table while building;
+    # the serving probe join is q45's audited plan shape
 }
 
 
