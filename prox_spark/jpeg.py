@@ -161,6 +161,7 @@ class _BitReader:
     def at_restart(self) -> bool:
         return (
             self.bit == 0
+            and self.pos + 1 < len(self.data)
             and self.data[self.pos] == 0xFF
             and 0xD0 <= self.data[self.pos + 1] <= 0xD7
         )
@@ -282,6 +283,19 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
             for c in range(ns):
                 cs, tt = body[1 + 2 * c], body[2 + 2 * c]
                 sel[cs] = (tt >> 4, tt & 0x0F)
+            if ns != len(comps):
+                raise ValueError(
+                    "non-interleaved / multi-scan baseline JPEG unsupported "
+                    f"(scan covers {ns} of {len(comps)} components)"
+                )
+            for cid, tq in comps:
+                if cid not in sel:
+                    raise ValueError(f"scan omits frame component {cid}")
+                dct_id, act_id = sel[cid]
+                if (0, dct_id) not in htables or (1, act_id) not in htables:
+                    raise ValueError("scan references undeclared Huffman table")
+                if tq not in qtables:
+                    raise ValueError("frame references undeclared quant table")
             r = _BitReader(payload, pos + 2 + seg_len)
             bw, bh = (w + 7) // 8, (h + 7) // 8
             planes = [np.zeros((bh * 8, bw * 8)) for _ in comps]
@@ -437,8 +451,7 @@ def encode_jpeg(
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
 
-    zz_q = np.zeros(64, dtype=np.int32)
-    zz_q[np.arange(64)] = qt[ZIGZAG]  # natural -> zigzag storage order
+    zz_q = qt[ZIGZAG]  # natural -> zigzag storage order
     out = bytearray(b"\xff\xd8")
     out += seg(0xDB, bytes([0x00]) + bytes(int(x) for x in zz_q))
     nc = channels

@@ -233,13 +233,24 @@ def _decode_png(payload: bytes) -> tuple[int, int, int]:
 
 def _decode_jpeg(payload: bytes) -> tuple[int, int, int]:
     """Pure-Python/numpy baseline JPEG decode (prox_spark.jpeg): real
-    Huffman + IDCT decode of SOF0 grayscale / 4:4:4 color streams;
-    anything outside that envelope (progressive, subsampled) raises
-    ValueError rather than decoding wrongly."""
+    Huffman + IDCT decode of SOF0 grayscale / 4:4:4 color streams.
+    Streams outside that envelope (progressive, subsampled — i.e. most
+    camera/web JPEGs) fall back to Pillow when importable, so adding
+    the built-in codec never regresses environments that could decode
+    them before; with no Pillow the original ValueError propagates
+    rather than decoding wrongly."""
     from prox_spark.jpeg import decode_jpeg
 
-    w, h, _, _ = decode_jpeg(payload)
-    return w, h, 1
+    try:
+        w, h, _, _ = decode_jpeg(payload)
+        return w, h, 1
+    except ValueError as exc:
+        try:
+            return _decode_image_real(payload)
+        except Exception:
+            # no Pillow, or Pillow rejects it too: the built-in
+            # decoder's envelope error is the clearer diagnosis
+            raise exc from None
 
 
 def encode_png(

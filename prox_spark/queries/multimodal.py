@@ -581,9 +581,10 @@ def q158_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video frame-sampling with no ffmpeg: deterministic MJPEG
     AVIs are built on the executors (prox_spark.avi — RIFF container
     with one baseline JPEG per 00dc chunk), then the decode pass walks
-    the container, keeps every VID_STRIDE-th frame, and DECODES ONLY
-    the kept frames (prox_spark.avi.sample_frames — the decode-what-
-    you-keep pattern vision-pretraining ingest uses). Frame f of video
+    the container ONCE, keeps every VID_STRIDE-th frame, and decodes
+    only the kept frames (the decode-what-you-keep pattern
+    vision-pretraining ingest uses; prox_spark.avi.sample_frames
+    packages the same stride for library callers). Frame f of video
     id is the constant color (7*id + 29*f) mod 256 at 16x8 gray, so
     per-frame decoded sums are exact (constant-block JPEG, see q157)
     and the oracle recomputes total frames, kept frames, and the sum
@@ -596,8 +597,8 @@ def q158_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F
 
-    from prox_spark.avi import avi_mjpeg_frames, encode_avi_mjpeg, sample_frames
-    from prox_spark.jpeg import encode_jpeg
+    from prox_spark.avi import avi_mjpeg_frames, encode_avi_mjpeg
+    from prox_spark.jpeg import decode_jpeg, encode_jpeg
 
     base = spark.range(0, N_VID, 1, 8).select(F.col("id").alias("media_id"))
 
@@ -621,8 +622,10 @@ def q158_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for i, payload in zip(pdf["media_id"], pdf["payload"]):
                 blob = bytes(payload)
+                # one container walk yields both the census and the
+                # kept frames; only kept frames hit the JPEG decoder
                 _w, _h, _fps, frames = avi_mjpeg_frames(blob)
-                kept = sample_frames(blob, VID_STRIDE)
+                kept = [decode_jpeg(f) for f in frames[::VID_STRIDE]]
                 rows.append(
                     (
                         int(i),

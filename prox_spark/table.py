@@ -153,20 +153,20 @@ def _read_files(
     schema = StructType.fromJson(manifest["schema"])
     if not files:
         return spark.createDataFrame([], schema)
+    file_set = set(files)
     deletes = [
         d
         for d in (manifest.get("deletes") or [])
-        if any(t in files for t in d["targets"])
+        if file_set & set(d["targets"])
     ]
     if not deletes:
         return spark.read.schema(schema).parquet(
             *[f"{table_path}/{f}" for f in files]
         )
+    target_sets = [set(d["targets"]) for d in deletes]
     sig: dict[str, tuple] = {}
     for f in files:
-        sig[f] = tuple(
-            i for i, d in enumerate(deletes) if f in set(d["targets"])
-        )
+        sig[f] = tuple(i for i, ts in enumerate(target_sets) if f in ts)
     groups: dict[tuple, list[str]] = {}
     for f in files:
         groups.setdefault(sig[f], []).append(f)

@@ -360,3 +360,21 @@ def test_avi_extract_features_end_to_end(spark):
         for r in extract_features(media, mode="real").collect()
     }
     assert got == {i: (16, 8, 2 + i) for i in range(4)}
+
+
+def test_jpeg_out_of_envelope_dispatch_fallback():
+    """Out-of-envelope JPEGs (e.g. progressive) fall back to Pillow
+    when importable; without Pillow the built-in decoder's clear
+    envelope ValueError surfaces — never a NotImplementedError that
+    would mask the diagnosis."""
+    from prox_spark.jpeg import encode_jpeg
+
+    blob = bytearray(encode_jpeg(8, 8, 1, _pseudo_pixels(64, "p")))
+    blob[blob.index(b"\xff\xc0") + 1] = 0xC2  # SOF0 -> SOF2 progressive
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(ValueError, match="non-baseline"):
+            decode_media(bytes(blob), "image/jpeg", mode="real")
+    else:
+        pytest.skip("Pillow installed; fallback would decode instead")
