@@ -112,6 +112,10 @@ def interval_overlap_join(
     dup = set(a.columns) & set(b.columns)
     if dup:
         raise ValueError(f"overlapping column names: {sorted(dup)}")
+    if BIN_COL in a.columns or BIN_COL in b.columns:
+        # withColumn would silently clobber it and the final drop
+        # would remove the caller's data
+        raise ValueError(f"column name {BIN_COL!r} is reserved by this join")
 
     def binned(df: DataFrame, s: str, e: str) -> DataFrame:
         return df.withColumn(

@@ -227,8 +227,18 @@ def png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
 
 
 def _decode_png(payload: bytes) -> tuple[int, int, int]:
-    w, h, _, _ = png_pixels(payload)
-    return w, h, 1
+    """Stdlib PNG decode; files outside png_pixels' envelope
+    (interlaced, 16-bit depth) fall back to Pillow when importable —
+    same policy as _decode_jpeg, so registering the built-in codec
+    never regresses a Pillow-equipped environment."""
+    try:
+        w, h, _, _ = png_pixels(payload)
+        return w, h, 1
+    except ValueError as exc:
+        try:
+            return _decode_image_real(payload)
+        except Exception:
+            raise exc from None
 
 
 def _decode_jpeg(payload: bytes) -> tuple[int, int, int]:

@@ -236,14 +236,33 @@ def q141_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                 q.stop()
             except Exception as e:  # surfaced after the primary error, if any
                 stop_err = e
-        if stop_err is not None:
+
+        def _benign_stop_race(e) -> bool:
+            # the sink is PROVEN drained at this point (the poll above
+            # saw every doc), so an error that is just the stop()
+            # interrupt catching an in-flight no-op micro-batch is a
+            # shutdown race, not a correctness signal. Anything else —
+            # in particular the round-3 drained-path TypeError class —
+            # still fails loudly.
+            s = repr(e)
+            return any(
+                m in s
+                for m in (
+                    "InterruptedException",
+                    "interrupted",
+                    "QUERY_WAS_STOPPED",
+                    "sparkContext was shut down",
+                )
+            )
+
+        if stop_err is not None and not _benign_stop_race(stop_err):
             raise stop_err
         # the drained source idles on empty iterators (datasource.py
         # read() returns iter(...), satisfying the prefetch wrapper's
         # next(it) drained-path probe), so termination is clean — any
-        # exception here is a real source bug, not a shutdown race
+        # non-interrupt exception here is a real source bug
         exc = q.exception()
-        if exc is not None:
+        if exc is not None and not _benign_stop_race(exc):
             raise exc
     return spark.table(name).orderBy("shard")
 

@@ -216,12 +216,19 @@ def _footer_stats(abs_path: str, cols: list[str]) -> dict | None:
         local = abs_path[len("file:") :] if abs_path.startswith("file:") else abs_path
         md = pq.ParquetFile(local).metadata
         out: dict = {c: None for c in cols}
+        # a column's range is only usable if EVERY row group contributed
+        # min/max: a group with absent stats (parquet-mr omits them for
+        # oversized binary values) could hold keys outside the other
+        # groups' range, and recording the partial range would make
+        # "provably untouched" pruning unsound (missed update/delete)
+        poisoned: set = set()
         for rg in range(md.num_row_groups):
             g = md.row_group(rg)
+            seen: set = set()
             for ci in range(g.num_columns):
                 col = g.column(ci)
                 name = col.path_in_schema
-                if name not in out:
+                if name not in out or name in poisoned:
                     continue
                 st = col.statistics
                 if st is None or not st.has_min_max:
@@ -229,10 +236,15 @@ def _footer_stats(abs_path: str, cols: list[str]) -> dict | None:
                 lo, hi = st.min, st.max
                 if not isinstance(lo, _STAT_TYPES) or not isinstance(hi, _STAT_TYPES):
                     continue
+                seen.add(name)
                 cur = out[name]
                 out[name] = (
                     [lo, hi] if cur is None else [min(cur[0], lo), max(cur[1], hi)]
                 )
+            for c in cols:
+                if c not in seen and c not in poisoned:
+                    poisoned.add(c)
+                    out[c] = None
         return out
     except Exception:
         return None
@@ -355,11 +367,11 @@ def commit_delta(
     # periodic compaction (compact_table / compact_small_files)
     # restores the clustered layout.
     cluster = bool(stat_cols) and n_files is not None
+    rewritten_bytes = 0
     if bool(stat_cols) and not cluster and prev.get("files"):
         keep = set(keep_files)
         rewritten = [f for f in prev["files"] if f not in keep]
         jvm2, fs2, _ = _fs(spark, table_path)
-        rewritten_bytes = 0
         for f in rewritten:
             try:
                 rewritten_bytes += fs2.getFileStatus(
@@ -382,8 +394,17 @@ def commit_delta(
     # and a sub-64MB merge pays ~0.2s of scheduling per stage for
     # nothing — measured 2x on sequential SCD-2 merges). Scoped
     # set/restore; the table is single-writer by design, so no
-    # concurrent query observes the window.
-    small_commit = bool(stat_cols) and not cluster and bool(prev.get("files"))
+    # concurrent query observes the window. A commit that rewrites
+    # NOTHING (pure append — keep = all previous files) is excluded:
+    # its size signal is the unknown new-data volume, not the zero
+    # touched bytes, and squeezing a multi-GB append through 4
+    # partitions with AQE off would be the wrong sizing.
+    small_commit = (
+        bool(stat_cols)
+        and not cluster
+        and bool(prev.get("files"))
+        and rewritten_bytes > 0
+    )
     scoped = {"spark.sql.adaptive.enabled": "false",
               "spark.sql.shuffle.partitions": "4"} if small_commit else {}
     saved = {k: spark.conf.get(k) for k in scoped}
@@ -607,8 +628,14 @@ def read_table_point(
 
     from pyspark.sql import functions as F
 
+    # ONE manifest read for both the prune and the scan: a second read
+    # could resolve a different version under a concurrent writer
+    # (files from v+1 read with v's schema), and doubles the driver FS
+    # round-trips per lookup
     manifest = read_manifest(spark, table_path, version)
-    files = point_lookup_files(spark, table_path, eq, version)
+    files, _ = split_files_by_key_ranges(
+        manifest, {c: (v, v) for c, v in eq.items()}
+    )
     df = _read_files(spark, table_path, manifest, files)
     cond = reduce(
         lambda a, b: a & b, [F.col(c) == F.lit(v) for c, v in eq.items()]
@@ -673,14 +700,30 @@ def compact_small_files(
     jvm, fs, _ = _fs(spark, table_path)
     limit = int(min_file_mb * 1024 * 1024)
     small, big = [], []
+    small_bytes = 0
     for f in manifest["files"]:
         st = fs.getFileStatus(jvm.org.apache.hadoop.fs.Path(f"{table_path}/{f}"))
-        (small if st.getLen() < limit else big).append(f)
+        if st.getLen() < limit:
+            small.append(f)
+            small_bytes += st.getLen()
+        else:
+            big.append(f)
     if len(small) < 2:
         return None
     cols = stat_cols if stat_cols is not None else (manifest.get("stat_cols") or [])
-    df = _read_files(spark, table_path, manifest, small).coalesce(1)
-    commit_delta(spark, table_path, df, big, stat_cols=cols)
+    # pin the consolidated file count to the byte volume (~128 MB
+    # targets): without an explicit n_files a >64 MB consolidation
+    # takes commit_delta's clustered path at the session's shuffle
+    # parallelism, which could re-fragment exactly what this pass is
+    # meant to consolidate
+    n_out = max(1, -(-small_bytes // (128 * 1024 * 1024)))  # ceil div
+    df = _read_files(spark, table_path, manifest, small)
+    if not cols:
+        df = df.coalesce(n_out)
+    commit_delta(
+        spark, table_path, df, big, stat_cols=cols,
+        n_files=n_out if cols else None,
+    )
     return len(small), len(big)
 
 

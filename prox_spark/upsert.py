@@ -163,17 +163,27 @@ class _MergeScope:
     whole table and ``keep`` is empty — a full rewrite, exactly the
     pre-file-granular behavior."""
 
-    def __init__(self, spark, table_path, keys, touched, keep, migrated):
+    def __init__(self, spark, table_path, keys, touched, keep, migrated,
+                 stat_cols=None):
         self.spark = spark
         self.table_path = table_path
         self.keys = keys
         self.touched = touched
         self.keep = keep
         self._migrated = migrated
+        self._stat_cols = list(stat_cols or [])
 
     def commit(self, merged: DataFrame) -> None:
+        # preserve the table's declared stat columns (they may be a
+        # SUPERSET of this merge's keys — committing just the keys
+        # would silently shrink them and break file pruning for later
+        # merges on the dropped columns); keys not yet tracked append
+        cols = [
+            *self._stat_cols,
+            *[k for k in self.keys if k not in self._stat_cols],
+        ]
         commit_delta(
-            self.spark, self.table_path, merged, self.keep, stat_cols=self.keys
+            self.spark, self.table_path, merged, self.keep, stat_cols=cols
         )
         if self._migrated:
             _drop_legacy_files(self.spark, self.table_path)
@@ -188,12 +198,16 @@ def _merge_scope(
     """Build the merge scope, or None when the table doesn't exist."""
     if is_manifest_table(spark, table_path):
         manifest = read_manifest(spark, table_path)
-        if "files" in manifest and set(keys) <= set(manifest.get("stat_cols") or []):
+        stat_cols = manifest.get("stat_cols") or []
+        if "files" in manifest and set(keys) <= set(stat_cols):
             touched_files, keep = _prune_files(manifest, key_df, keys)
             touched = _read_files(spark, table_path, manifest, touched_files)
-            return _MergeScope(spark, table_path, keys, touched, keep, False)
+            return _MergeScope(
+                spark, table_path, keys, touched, keep, False, stat_cols
+            )
         return _MergeScope(
-            spark, table_path, keys, read_table(spark, table_path), [], False
+            spark, table_path, keys, read_table(spark, table_path), [], False,
+            stat_cols,
         )
     current = _current(spark, table_path)
     if current is None:
