@@ -218,3 +218,14 @@ def test_interval_overlap_join_rejects_bad_args(spark):
         interval_overlap_join(a, b, "a_s", "a_e", "b_s", "b_e", bin_width=0)
     with pytest.raises(ValueError, match="overlapping column names"):
         interval_overlap_join(a, a, "a_s", "a_e", "a_s", "a_e", bin_width=8)
+
+
+def test_interval_overlap_join_rejects_reserved_bin_column(spark):
+    import pytest
+
+    from prox_spark.joins import BIN_COL, interval_overlap_join
+
+    a = spark.createDataFrame([(0, 5, 1)], f"s BIGINT, e BIGINT, {BIN_COL} BIGINT")
+    b = spark.createDataFrame([(2, 7)], "s2 BIGINT, e2 BIGINT")
+    with pytest.raises(ValueError, match="reserved"):
+        interval_overlap_join(a, b, "s", "e", "s2", "e2", bin_width=4)

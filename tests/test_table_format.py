@@ -702,3 +702,59 @@ def test_mor_delete_point_lookup_masked(spark, tmp_path):
     assert read_table_point(spark, path, {"id": 42}).count() == 1
     delete_keys_mor(spark, path, spark.createDataFrame([(42,)], "id BIGINT"), ["id"])
     assert read_table_point(spark, path, {"id": 42}).count() == 0
+
+
+def test_merge_on_key_subset_preserves_stat_cols(spark, tmp_path):
+    """A merge keyed on a SUBSET of the table's stat columns must not
+    shrink them: later merges on the other column still prune files
+    instead of silently falling back to a full rewrite."""
+    from prox_spark.table import read_manifest
+    from prox_spark.upsert import upsert_parquet
+
+    path = str(tmp_path / "t")
+    rows = [(i, i % 10, f"v{i}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "id BIGINT, cat BIGINT, payload STRING")
+    commit_snapshot(spark, path, df, stat_cols=["id", "cat"], n_files=8)
+
+    upsert_parquet(
+        spark, path,
+        spark.createDataFrame([(17, 7, "EDIT")], "id BIGINT, cat BIGINT, payload STRING"),
+        ["id"],
+    )
+    assert set(read_manifest(spark, path)["stat_cols"]) >= {"id", "cat"}
+    # a later merge keyed on the OTHER column still gets the pruned path
+    # (keys covered by stat_cols) and stays correct
+    upsert_parquet(
+        spark, path,
+        spark.createDataFrame([(5000, 3, "NEWCAT")], "id BIGINT, cat BIGINT, payload STRING"),
+        ["cat", "id"],
+    )
+    got = read_table(spark, path)
+    assert got.count() == 2001
+    assert [r.payload for r in got.filter("id = 17").collect()] == ["EDIT"]
+
+
+def test_statless_file_is_always_a_rewrite_candidate(spark, tmp_path):
+    """_footer_stats on a file written WITHOUT parquet statistics must
+    record unknown ranges, so pruning treats it as touched (conservative,
+    never lossy) rather than provably untouched."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from prox_spark.table import _footer_stats, _overlaps
+
+    f = str(tmp_path / "nostats.parquet")
+    pq.write_table(
+        pa.table({"id": list(range(100)), "v": list(range(100))}),
+        f,
+        write_statistics=False,
+    )
+    stats = _footer_stats(f, ["id"])
+    assert stats is not None and stats["id"] is None
+    assert _overlaps(stats, {"id": (500, 600)})  # unknown -> touched
+
+    with_stats = str(tmp_path / "stats.parquet")
+    pq.write_table(pa.table({"id": list(range(100))}), with_stats)
+    s2 = _footer_stats(with_stats, ["id"])
+    assert s2["id"] == [0, 99]
+    assert not _overlaps(s2, {"id": (500, 600)})
