@@ -240,29 +240,43 @@ QUERIES["q150_weighted_pagerank"] = q150_weighted_pagerank
 ORACLES["q150_weighted_pagerank"] = ORACLE_Q150
 
 
-def _supplier_co_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Supplier co-occurrence edges: suppliers linked when they serve
-    the same order (distinct pairs, lower key first). Per-order pair
-    fan-out is bounded by order size (<=7 lineitems), the usual cap
-    that keeps one-mode projections of bipartite graphs linear-ish."""
+CO_SUPPORT = 2  # parts must be co-ordered in >= this many distinct orders
+
+
+def _part_co_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part co-purchase edges (market-basket projection): parts linked
+    when they appear together in at least CO_SUPPORT distinct orders.
+    Per-order pair fan-out is bounded by order size (<=7 lineitems),
+    and the support threshold is the standard noise filter that keeps
+    one-mode projections of bipartite graphs SPARSE — without it a hub
+    container (here: a popular supplier/part) densifies the projection
+    toward a clique and any downstream graph algorithm inherits the
+    blow-up (measured: the unthresholded supplier projection at sf0.1
+    is near-complete, 135M oriented wedges; this graph has thousands)."""
     cat = testdata_catalog(spark, sf_dir)
-    li = cat.table("lineitem").select("l_orderkey", "l_suppkey")
+    li = cat.table("lineitem").select("l_orderkey", "l_partkey")
     l2 = li.select(
-        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2")
     )
     return (
-        li.join(l2, (li.l_orderkey == l2.o2) & (li.l_suppkey < l2.s2))
-        .select(F.col("l_suppkey").alias("src"), F.col("s2").alias("dst"))
-        .distinct()
+        li.join(l2, (li.l_orderkey == l2.o2) & (li.l_partkey < l2.p2))
+        .select(
+            F.col("l_partkey").alias("src"),
+            F.col("p2").alias("dst"),
+            F.col("l_orderkey").alias("o"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.countDistinct("o").alias("support"))
+        .filter(F.col("support") >= CO_SUPPORT)
+        .select("src", "dst")
     )
 
 
 def q160_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact triangle census of the supplier co-occurrence graph
-    (suppliers linked when they serve the same order — the standard
-    one-mode projection of the order<->supplier bipartite graph, the
-    same shape as host co-citation graphs in crawl curation). Counts
-    come from prox_spark.graph.triangle_count — degree-orientation +
+    """Exact triangle census of the part co-purchase graph (market-
+    basket projection with a co-order support threshold — the same
+    shape as host co-citation graphs in crawl curation). Counts come
+    from prox_spark.graph.triangle_count — degree-orientation +
     wedge-closing joins, O(m^1.5) worst-case shuffle — and the oracle
     recomputes all four integers with the identical orientation rule
     in SQL, so a double-counted or dropped triangle breaks the gate.
@@ -272,7 +286,7 @@ def q160_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prox_spark.graph import triangle_count
 
     n_nodes, n_edges, n_wedges, n_triangles = triangle_count(
-        _supplier_co_edges(spark, sf_dir)
+        _part_co_edges(spark, sf_dir)
     )
     return spark.createDataFrame(
         [(n_nodes, n_edges, n_wedges, n_triangles)],
@@ -280,12 +294,14 @@ def q160_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_Q160 = """
+ORACLE_Q160 = f"""
 WITH e AS (
-  SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+  SELECT l1.l_partkey AS a, l2.l_partkey AS b
   FROM lineitem l1
   JOIN lineitem l2
-    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+  GROUP BY a, b
+  HAVING count(DISTINCT l1.l_orderkey) >= {CO_SUPPORT}
 ), deg AS (
   SELECT node, count(*) AS deg
   FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)

@@ -67,9 +67,9 @@ def _twin_q150(spark, sf_dir):
 # caught mechanically even though the full query can't be dry-planned
 def _twin_q160(spark, sf_dir):
     from prox_spark.graph import triangle_audit_frame
-    from prox_spark.queries.graph_q import _supplier_co_edges
+    from prox_spark.queries.graph_q import _part_co_edges
 
-    return triangle_audit_frame(_supplier_co_edges(spark, sf_dir))
+    return triangle_audit_frame(_part_co_edges(spark, sf_dir))
 
 
 AUDIT_TWINS = {
