@@ -727,6 +727,47 @@ def compact_small_files(
     return len(small), len(big)
 
 
+def table_history(spark: SparkSession, table_path: str) -> list[dict]:
+    """DESCRIBE HISTORY equivalent: one dict per readable version,
+    oldest first — version number, data-file count, total data bytes,
+    pending merge-on-read delete entries (and how many data files they
+    target), and the declared stat/cluster columns. All driver-side
+    manifest + FileSystem metadata; no Spark job. The operational
+    companion to time travel: pick a version to pin, estimate a
+    vacuum's reclaim, or see how much of the table a pending delete
+    still masks."""
+    jvm, fs, _ = _fs(spark, table_path)
+    out = []
+    for v in _manifest_versions(spark, table_path):
+        m = read_manifest(spark, table_path, v)
+        files = m.get("files")
+        if files is None:  # legacy single-snapshot-dir manifest
+            out.append({"version": v, "legacy_data_dir": m.get("data")})
+            continue
+        nbytes = 0
+        for f in files:
+            try:
+                nbytes += fs.getFileStatus(
+                    jvm.org.apache.hadoop.fs.Path(f"{table_path}/{f}")
+                ).getLen()
+            except Exception:
+                pass  # vacuumed-from-under or in-flight: size unknown
+        deletes = m.get("deletes") or []
+        out.append(
+            {
+                "version": v,
+                "n_files": len(files),
+                "bytes": nbytes,
+                "n_delete_entries": len(deletes),
+                "n_delete_targets": len(
+                    {t for d in deletes for t in d["targets"]}
+                ),
+                "stat_cols": m.get("stat_cols") or [],
+            }
+        )
+    return out
+
+
 def vacuum(spark: SparkSession, table_path: str, keep_last: int = 2) -> list[int]:
     """Drop all but the newest ``keep_last`` versions: their manifests,
     and any data dir no kept manifest references a single file of

@@ -758,3 +758,25 @@ def test_statless_file_is_always_a_rewrite_candidate(spark, tmp_path):
     s2 = _footer_stats(with_stats, ["id"])
     assert s2["id"] == [0, 99]
     assert not _overlaps(s2, {"id": (500, 600)})
+
+
+def test_table_history_reports_versions_files_and_deletes(spark, tmp_path):
+    from prox_spark.table import table_history
+    from prox_spark.upsert import delete_keys_mor, upsert_parquet
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(i, i) for i in range(1000)], "id BIGINT, v BIGINT")
+    commit_snapshot(spark, path, df, stat_cols=["id"], n_files=4)
+    upsert_parquet(
+        spark, path, spark.createDataFrame([(5, 99)], "id BIGINT, v BIGINT"), ["id"]
+    )
+    delete_keys_mor(spark, path, spark.createDataFrame([(7,)], "id BIGINT"), ["id"])
+
+    h = table_history(spark, path)
+    assert [e["version"] for e in h] == [1, 2, 3]
+    assert h[0]["n_files"] == 4 and h[0]["bytes"] > 0
+    assert h[0]["n_delete_entries"] == 0
+    assert h[2]["n_delete_entries"] == 1 and h[2]["n_delete_targets"] >= 1
+    # the MOR delete added no data files vs version 2
+    assert h[2]["n_files"] == h[1]["n_files"]
+    assert h[2]["stat_cols"] == ["id"]
