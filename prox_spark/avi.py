@@ -145,14 +145,24 @@ def avi_mjpeg_frames(payload: bytes) -> tuple[int, int, int, list[bytes]]:
     return width, height, fps, frames
 
 
+def decode_sampled(
+    frames: list[bytes], stride: int
+) -> list[tuple[int, int, int, bytes]]:
+    """Decode every ``stride``-th frame of an already-parsed frame
+    list (decode only what you keep). Shared by :func:`sample_frames`
+    and callers that walked the container themselves — the stride
+    semantics live in exactly one place."""
+    from prox_spark.jpeg import decode_jpeg
+
+    if stride < 1:
+        raise ValueError("stride must be >= 1")
+    return [decode_jpeg(f) for f in frames[::stride]]
+
+
 def sample_frames(payload: bytes, stride: int) -> list[tuple[int, int, int, bytes]]:
     """Frame-sample an MJPEG AVI: keep every ``stride``-th frame and
     decode each kept frame to raw pixels via the baseline JPEG decoder.
     Returns [(width, height, channels, pixel bytes)] — the typical
     vision-pretraining ingest step (decode only what you keep)."""
-    from prox_spark.jpeg import decode_jpeg
-
-    if stride < 1:
-        raise ValueError("stride must be >= 1")
     _, _, _, frames = avi_mjpeg_frames(payload)
-    return [decode_jpeg(f) for f in frames[::stride]]
+    return decode_sampled(frames, stride)

@@ -216,7 +216,20 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     """Decode a baseline JPEG -> (width, height, channels, pixel bytes,
     row-major; channels 1=gray, 3=RGB). Raises ValueError on anything
     outside the supported envelope (progressive, subsampled, 12-bit,
-    arithmetic-coded) instead of decoding it wrongly."""
+    arithmetic-coded) OR malformed (truncated segment bodies, short
+    Huffman tables) instead of decoding it wrongly — the single
+    exception type callers (and the Pillow-fallback dispatch) rely on."""
+    try:
+        return _decode_baseline(payload)
+    except ValueError:
+        raise
+    except (IndexError, KeyError, struct.error) as exc:
+        raise ValueError(
+            f"malformed JPEG stream ({type(exc).__name__}: {exc})"
+        ) from exc
+
+
+def _decode_baseline(payload: bytes) -> tuple[int, int, int, bytes]:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (no SOI)")
     pos = 2

@@ -243,8 +243,12 @@ def q141_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             # interrupt catching an in-flight no-op micro-batch is a
             # shutdown race, not a correctness signal. Anything else —
             # in particular the round-3 drained-path TypeError class —
-            # still fails loudly.
-            s = repr(e)
+            # still fails loudly. Match only the message HEAD: a py4j
+            # repr carries the full Java trace, where a genuine source
+            # error wrapped during stop can contain InterruptedException
+            # frames deep in its caused-by chain — those must NOT make
+            # it benign.
+            s = str(e)[:200]
             return any(
                 m in s
                 for m in (

@@ -597,8 +597,8 @@ def q158_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F
 
-    from prox_spark.avi import avi_mjpeg_frames, encode_avi_mjpeg
-    from prox_spark.jpeg import decode_jpeg, encode_jpeg
+    from prox_spark.avi import avi_mjpeg_frames, decode_sampled, encode_avi_mjpeg
+    from prox_spark.jpeg import encode_jpeg
 
     base = spark.range(0, N_VID, 1, 8).select(F.col("id").alias("media_id"))
 
@@ -625,7 +625,7 @@ def q158_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # one container walk yields both the census and the
                 # kept frames; only kept frames hit the JPEG decoder
                 _w, _h, _fps, frames = avi_mjpeg_frames(blob)
-                kept = [decode_jpeg(f) for f in frames[::VID_STRIDE]]
+                kept = decode_sampled(frames, VID_STRIDE)
                 rows.append(
                     (
                         int(i),

@@ -117,11 +117,15 @@ def read_manifest(
     v = versions[-1] if version is None else version
     if v not in versions:
         raise ValueError(f"version {v} not in {versions} for {table_path}")
-    mpath = f"{table_path}/{MANIFEST_DIR}/manifest-{v:08d}.json"
+    return _read_manifest_file(spark, table_path, v)
+
+
+def _read_manifest_file(spark: SparkSession, table_path: str, v: int) -> dict:
     # driver-side Hadoop FS read (works on every FS scheme): a manifest
     # is a small metadata file, and merge pipelines read one per
     # commit — routing this through spark.read.text would cost a full
     # Spark job each time
+    mpath = f"{table_path}/{MANIFEST_DIR}/manifest-{v:08d}.json"
     jvm, fs, _ = _fs(spark, table_path)
     stream = fs.open(jvm.org.apache.hadoop.fs.Path(mpath))
     try:
@@ -712,17 +716,21 @@ def compact_small_files(
         return None
     cols = stat_cols if stat_cols is not None else (manifest.get("stat_cols") or [])
     # pin the consolidated file count to the byte volume (~128 MB
-    # targets): without an explicit n_files a >64 MB consolidation
-    # takes commit_delta's clustered path at the session's shuffle
-    # parallelism, which could re-fragment exactly what this pass is
-    # meant to consolidate
+    # targets) — but ONLY for consolidations big enough to amortize
+    # the clustered path (range-partitioner sampling, persist, bloom
+    # footers): without the pin a >64 MB consolidation would take
+    # commit_delta's clustered path at the session's shuffle
+    # parallelism and could re-fragment exactly what this pass is
+    # meant to consolidate. KB-scale consolidations (the steady-state
+    # CDC case) keep the cheap coalesce + sorted small-commit path.
     n_out = max(1, -(-small_bytes // (128 * 1024 * 1024)))  # ceil div
+    pin = bool(cols) and small_bytes > 64 * 1024 * 1024
     df = _read_files(spark, table_path, manifest, small)
-    if not cols:
+    if not pin:
         df = df.coalesce(n_out)
     commit_delta(
         spark, table_path, df, big, stat_cols=cols,
-        n_files=n_out if cols else None,
+        n_files=n_out if pin else None,
     )
     return len(small), len(big)
 
@@ -735,23 +743,31 @@ def table_history(spark: SparkSession, table_path: str) -> list[dict]:
     manifest + FileSystem metadata; no Spark job. The operational
     companion to time travel: pick a version to pin, estimate a
     vacuum's reclaim, or see how much of the table a pending delete
-    still masks."""
+    still masks. One version listing + one size fetch per DISTINCT
+    file across all versions (carried-over files dominate a merge
+    history, so this is O(versions + files), not O(versions x files)
+    — it matters on object stores where each stat is an RPC)."""
     jvm, fs, _ = _fs(spark, table_path)
     out = []
-    for v in _manifest_versions(spark, table_path):
-        m = read_manifest(spark, table_path, v)
+    sizes: dict[str, int] = {}
+
+    def _size(f: str) -> int:
+        if f not in sizes:
+            try:
+                sizes[f] = fs.getFileStatus(
+                    jvm.org.apache.hadoop.fs.Path(f"{table_path}/{f}")
+                ).getLen()
+            except Exception:
+                sizes[f] = 0  # vacuumed-from-under or in-flight: unknown
+        return sizes[f]
+
+    for v in _manifest_versions(spark, table_path):  # ONE listing
+        m = _read_manifest_file(spark, table_path, v)
         files = m.get("files")
         if files is None:  # legacy single-snapshot-dir manifest
             out.append({"version": v, "legacy_data_dir": m.get("data")})
             continue
-        nbytes = 0
-        for f in files:
-            try:
-                nbytes += fs.getFileStatus(
-                    jvm.org.apache.hadoop.fs.Path(f"{table_path}/{f}")
-                ).getLen()
-            except Exception:
-                pass  # vacuumed-from-under or in-flight: size unknown
+        nbytes = sum(_size(f) for f in files)
         deletes = m.get("deletes") or []
         out.append(
             {
