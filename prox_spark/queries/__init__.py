@@ -28,68 +28,68 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 # Registry order matters: the correctness driver checks the first ~50
-# entries per round. Rounds 1-3 drove 104 of 150 queries through that
-# gate; this round the 46 never-driver-checked entries (text tail,
-# connector gate, PageRank, new events/relational operators) plus this
-# round's new queries go FIRST so every query in the repo has appeared
-# in a driver CORRECTNESS gate at least once. Everything after the
-# front block is already driver-green from an earlier round.
+# entries per round. Union coverage across rounds 1-4 reached 154 of
+# 159 queries; round 5 leads with the five that landed after round 4's
+# window was pinned (q157-q161) plus any queries new this round, then
+# pads the window with the longest-unchecked entries: the four whose
+# last driver row is round 1 (q23/q24/q25/q39), then the round-2
+# cohort in query order (q01-q19 were last gated against since-
+# rewritten plumbing). Everything after the front block is driver-
+# green from round 3 or 4.
 _FRONT = [
-    # new this round: streaming CDC consume over file-granular commits
-    "q153_streaming_cdc_apply",
-    "q154_point_lookup",
-    "q155_png_pixel_decode",
-    "q156_interval_overlap_join",
-    # connector/format gate (q141 carries the round-4 stream-source fix)
-    "q138_jsonl_scan",
-    "q139_orc_scan",
-    "q140_python_datasource",
-    "q141_python_stream_source",
-    "q143_xml_scan",
-    "q142_polymorphic_udtf",
-    # graph
-    "q127_pagerank",
-    "q150_weighted_pagerank",
-    # events/relational operators never gated
-    "q84_user_running_totals_pandas",
-    "q86_scd2_user_state",
-    "q92_cohort_retention",
-    "q97_gap_fill_locf",
-    "q151_gap_fill_interp",
-    "q119_point_in_time_join",
-    "q128_variant_props",
-    "q130_heavy_hitters",
-    "q131_zorder_scan",
-    "q132_auto_skew_revenue",
-    "q144_approx_quantile_band",
-    # text/dedup tail
-    "q105_simhash_neardup",
-    "q65_hash_split",
-    "q66_source_mixture",
-    "q67_decontaminate",
-    "q72_dup_clusters",
-    "q75_tfidf_top_terms",
-    "q76_ngram_decontaminate",
-    "q80_pii_redact",
-    "q82_chunk_split_udtf",
-    "q83_source_token_totals",
-    "q81_repetition_stats",
-    "q87_fuzzy_verify",
-    "q93_arrow_byte_stats",
-    "q99_filter_funnel",
-    "q115_segment_dedup",
-    "q116_sequence_packing",
-    "q120_bpe_pair_counts",
-    "q122_quality_prune",
-    "q124_dedup_pipeline",
-    "q129_corpus_shuffle",
-    "q133_shard_assignment",
-    "q137_curation_capstone",
-    "q145_temperature_mixture",
-    "q146_winsorized_stats",
-    "q147_containment_pairs",
-    "q148_source_concentration",
-    "q149_log_length_histogram",
+    # never driver-gated (landed after round 4's window froze)
+    "q157_jpeg_block_decode",
+    "q158_video_frame_sample",
+    "q159_mor_delete",
+    "q160_triangle_count",
+    "q161_ivf_index_maintenance",
+    # last driver row: round 1
+    "q23_first_event_per_key",
+    "q24_event_type_share",
+    "q25_json_props",
+    "q39_sentiment",
+    # last driver row: round 2 (oldest remaining), query order
+    "q01_pricing_summary",
+    "q02_top5_suppliers",
+    "q03_avg_acctbal_by_nation",
+    "q04_monthly_revenue",
+    "q05_status_pct_by_priority",
+    "q06_lineitems_by_nation_flag",
+    "q07_top5_suppliers_by_returns",
+    "q08_top3_orders_per_segment",
+    "q09_date_dim",
+    "q10_distinct_nation_region",
+    "q11_fk_orphans",
+    "q12_segment_status_matrix",
+    "q13_active_nations",
+    "q14_orders_since_week",
+    "q15_rollup",
+    "q16_nation_setops",
+    "q17_customers_without_orders",
+    "q18_pivot_status",
+    "q19_approx_distinct_custkeys",
+    "q20_hourly_event_stats",
+    "q21_sessionize",
+    "q22_rolling_avg",
+    "q26_asof_click_to_purchase",
+    "q27_unpivot_measures",
+    "q28_cube_status_priority",
+    "q29_acctbal_quartiles",
+    "q46_sliding_window_stats",
+    "q47_event_funnel",
+    "q48_promo_revenue",
+    "q49_small_qty_revenue",
+    "q50_parttype_yearly_revenue",
+    "q68_salted_segment_revenue",
+    "q70_median_acctbal",
+    "q71_clicks_before_purchase",
+    "q73_group_percentiles",
+    "q74_top_customer_per_nation",
+    "q79_grouping_sets",
+    "q89_rank_functions",
+    "q90_late_order_priority",
+    "q91_dormant_rich_customers",
+    "q94_nation_revenue_share",
 ]
 
 
@@ -121,6 +121,13 @@ def all_queries() -> dict[str, QueryFn]:
         relational,
     ):
         merged.update(mod.QUERIES)
+    missing = [name for name in _FRONT if name not in merged]
+    if missing:
+        raise KeyError(
+            f"_FRONT references unregistered queries {missing}: update the "
+            "_FRONT list in prox_spark/queries/__init__.py after renaming or "
+            "removing a query"
+        )
     out: dict[str, QueryFn] = {name: merged.pop(name) for name in _FRONT}
     out.update(merged)
     return out
