@@ -86,10 +86,17 @@ def main() -> None:
         with open(r1_path) as f:
             r1 = json.load(f)
         # the driver wraps our line under "parsed"
-        r1_queries = set((r1.get("parsed") or r1).get("queries", {}))
+        r1_parsed = r1.get("parsed") or r1
+        r1_queries = set(r1_parsed.get("queries", {}))
         detail["value_r1_subset"] = round(
             sum(v for k, v in medians.items() if k in r1_queries), 3
         )
+        # mechanical 2x-gate ratio vs the driver-measured round-1
+        # baseline (BASELINE.md anchors to BENCH_r01's 40.616 s) —
+        # only meaningful when this run uses the baseline's scale
+        r1_total = r1_parsed.get("value")
+        if r1_total and sf == r1_parsed.get("sf", r1.get("sf")):
+            detail["vs_baseline"] = round(detail["value_r1_subset"] / r1_total, 3)
     # full per-query record goes to a file (committed to the repo): the
     # driver keeps only the LAST 2000 chars of stdout, which a 150-entry
     # full-name JSON line can never fit, so BENCH_r02/r03 lost their
@@ -111,10 +118,17 @@ def main() -> None:
             for name, v in medians.items()
         },
     }
-    if "value_r1_subset" in detail:
-        compact["value_r1_subset"] = detail["value_r1_subset"]
+    for extra in ("value_r1_subset", "vs_baseline"):
+        if extra in detail:
+            compact[extra] = detail[extra]
     line = json.dumps(compact, separators=(",", ":"))
-    assert len(line) < 1950, f"compact bench line too long: {len(line)}"
+    if len(line) >= 1950:
+        # too many queries for the tail window: degrade to a
+        # totals-only line rather than discarding the whole run —
+        # BENCH_DETAIL.json still carries every per-query number
+        compact.pop("queries")
+        compact["queries_omitted"] = len(medians)
+        line = json.dumps(compact, separators=(",", ":"))
     # left-pad so the driver's 2000-char tail window lands inside the
     # padding: the captured tail is then whitespace + complete JSON,
     # which json.loads accepts whether the driver parses the raw tail

@@ -118,10 +118,25 @@ def interval_overlap_join(
         raise ValueError(f"column name {BIN_COL!r} is reserved by this join")
 
     def binned(df: DataFrame, s: str, e: str) -> DataFrame:
+        # Clamp the sequence stop at the start bin: sequence() silently
+        # auto-steps -1 when stop < start, so without the clamp a
+        # zero-length interval whose start sits on a bin boundary
+        # explodes into two bins and an inverted interval (end < start,
+        # bad upstream data) generates a long DESCENDING bin list that
+        # only the overlap filter discards. Degenerate intervals
+        # (end <= start) thus bin once, at start div w: an empty
+        # interval still pairs with intervals containing its start
+        # point — the documented predicate (a_start < b_end AND
+        # b_start < a_end) treats it as point-like, NOT as the empty
+        # set of strict half-open intersection. Filter end > start
+        # upstream if strict semantics are required.
         return df.withColumn(
             BIN_COL,
             F.explode(
-                F.expr(f"sequence({s} div {bin_width}, ({e} - 1) div {bin_width})")
+                F.expr(
+                    f"sequence({s} div {bin_width}, "
+                    f"greatest({s}, {e} - 1) div {bin_width})"
+                )
             ),
         )
 

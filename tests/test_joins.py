@@ -229,3 +229,46 @@ def test_interval_overlap_join_rejects_reserved_bin_column(spark):
     b = spark.createDataFrame([(2, 7)], "s2 BIGINT, e2 BIGINT")
     with pytest.raises(ValueError, match="reserved"):
         interval_overlap_join(a, b, "s", "e", "s2", "e2", bin_width=4)
+
+
+def test_interval_overlap_join_degenerate_intervals(spark):
+    """Degenerate intervals (end <= start) must bin exactly once —
+    never a boundary double-bin or a descending sequence() explosion —
+    and must pair per the documented point-like predicate, matching
+    the naive theta-join bit-for-bit."""
+    from prox_spark.joins import BIN_COL, interval_overlap_join
+
+    a = _intervals(
+        spark,
+        "a",
+        [
+            (8, 8),  # empty, start ON the bin boundary (w=8)
+            (5, 5),  # empty, off-boundary
+            (20, 10),  # inverted: bad upstream data
+            (0, 6),  # normal, overlaps the empty-at-5 window
+        ],
+    )
+    b = _intervals(spark, "b", [(0, 16), (4, 6), (15, 25), (8, 8)])
+    for w in (1, 8, 64):
+        got = sorted(
+            (r.a_id, r.b_id)
+            for r in interval_overlap_join(
+                a, b, "a_s", "a_e", "b_s", "b_e", bin_width=w
+            ).collect()
+        )
+        want = sorted(
+            (r.a_id, r.b_id)
+            for r in a.join(
+                b, (F.col("a_s") < F.col("b_e")) & (F.col("b_s") < F.col("a_e"))
+            ).collect()
+        )
+        assert got == want, w
+        assert len(got) == len(set(got)), f"duplicate pairs at width {w}"
+    # the clamp keeps the bin fan-out at exactly 1 row per degenerate
+    # interval: the inverted (20, 10) span must NOT explode into a
+    # descending 10-bin list at w=1
+    binned = a.withColumn(
+        BIN_COL, F.expr("explode(sequence(a_s div 1, greatest(a_s, a_e - 1) div 1))")
+    )
+    fanout = {r.a_id: r.n for r in binned.groupBy("a_id").count().withColumnRenamed("count", "n").collect()}
+    assert fanout[0] == 1 and fanout[1] == 1 and fanout[2] == 1 and fanout[3] == 6
