@@ -64,6 +64,7 @@ stats for large commits are already gathered executor-side.
 from __future__ import annotations
 
 import json
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -71,6 +72,19 @@ from pyspark.sql.types import StructType
 
 MANIFEST_DIR = "_manifests"
 DATA_DIR = "data"
+
+_SMALL_COMMIT_CONF_LOCK = threading.Lock()
+
+
+class CommitConflictError(OSError):
+    """A concurrent writer published a manifest version this commit
+    needed, and the conflict could not be resolved by rebasing (the
+    concurrent commit rewrote files this commit read, added files
+    overlapping its key scope, or targeted its inputs with a
+    merge-on-read delete). The table is left exactly as the winning
+    writer published it; the losing commit's data files are removed.
+    Subclasses OSError so pre-CAS callers that caught the bare rename
+    race keep working."""
 
 # values safe to JSON-encode and compare against Spark collect() output;
 # anything else (timestamps, decimals, binary) degrades to "no stats",
@@ -254,8 +268,8 @@ def _footer_stats(abs_path: str, cols: list[str]) -> dict | None:
         return None
 
 
-def _write_manifest(spark: SparkSession, table_path: str, v: int, manifest: dict,
-                    new_data_dir: str | None) -> None:
+def _write_manifest(spark: SparkSession, table_path: str, v: int,
+                    manifest: dict) -> None:
     jvm, fs, _ = _fs(spark, table_path)
     mdir = jvm.org.apache.hadoop.fs.Path(f"{table_path}/{MANIFEST_DIR}")
     fs.mkdirs(mdir)
@@ -269,15 +283,15 @@ def _write_manifest(spark: SparkSession, table_path: str, v: int, manifest: dict
         f"{table_path}/{MANIFEST_DIR}/manifest-{v:08d}.json"
     )
     if fs.exists(final) or not fs.rename(tmp, final):
-        # a racing writer published v first: fail loudly, leave its
-        # commit untouched, drop OUR orphan data dir + tmp manifest
-        # (never the shared files of earlier versions)
+        # a racing writer published v first: fail the CAS loudly and
+        # leave the winner's commit untouched. Only the tmp manifest
+        # is dropped here — the caller owns the orphan data dir, so a
+        # rebase-and-retry can re-publish the already-written files
+        # without a second write job (see commit_delta's CAS loop).
         fs.delete(tmp, False)
-        if new_data_dir is not None:
-            fs.delete(
-                jvm.org.apache.hadoop.fs.Path(f"{table_path}/{new_data_dir}"), True
-            )
-        raise OSError(f"concurrent commit of version {v} for {table_path}")
+        raise CommitConflictError(
+            f"concurrent commit of version {v} for {table_path}"
+        )
 
 
 def _list_part_files(spark: SparkSession, table_path: str, rel_dir: str) -> list[str]:
@@ -343,6 +357,9 @@ def commit_delta(
     stat_cols: list[str] | None = None,
     n_files: int | None = None,
     bloom_ndv: int = 100_000,
+    base_version: int | None = None,
+    update_key_ranges: dict | None = None,
+    max_retries: int = 5,
 ) -> int:
     """Commit the table's next version as ``keep_files`` (carried over
     verbatim from the previous version — never rewritten, never moved)
@@ -354,12 +371,45 @@ def commit_delta(
     The new files are fully materialized before the manifest rename,
     so readers either resolve the previous manifest (old file list,
     all still intact) or the new one — never a mix and never partial
-    files."""
+    files.
+
+    OPTIMISTIC CONCURRENCY (the Delta/Iceberg commit protocol, on the
+    atomic-rename primitive): ``base_version`` pins the table version
+    this commit's inputs (``keep_files`` and the rewritten/touched
+    slice) were derived from. The publish targets ``current + 1``; if
+    a concurrent writer got there first the commit REBASES instead of
+    silently dropping the winner's files: re-read the now-current
+    manifest, verify the concurrent commits are disjoint from what
+    this commit read, recompute the carry-over list against current
+    (current's files minus this commit's rewritten set — so a
+    concurrent append's or merge's files survive), and retry the
+    rename. A true conflict raises :class:`CommitConflictError` and
+    removes this commit's data files, never the winner's.
+
+    Disjointness is judged by ``update_key_ranges``:
+
+    - ``None`` (default, strict): any concurrently-ADDED file is a
+      conflict — right for full snapshots and merges whose key scope
+      is unknown;
+    - ``{}``: concurrent adds never conflict — right for pure appends
+      and read-only rewrites (compaction), which make no claim about
+      rows they didn't read;
+    - ``{col: (lo, hi)}``: a concurrent add conflicts only if its
+      footer stats admit a key in the merge's range (unknown stats
+      conservatively conflict).
+
+    In every mode, a concurrent commit that rewrote/removed a file
+    this commit read (i.e. not in ``keep_files``), or targeted one
+    with a new merge-on-read delete, is a conflict — those rows were
+    merged from a stale view."""
     versions = _manifest_versions(spark, table_path)
-    prev = read_manifest(spark, table_path, versions[-1]) if versions else {}
+    latest = versions[-1] if versions else 0
+    if base_version is None:
+        base_version = latest
+    prev = read_manifest(spark, table_path, base_version) if base_version else {}
     if stat_cols is None:
         stat_cols = prev.get("stat_cols") or []
-    v = (versions[-1] if versions else 0) + 1
+    v = latest + 1
     delta_rel = f"{DATA_DIR}/snap-{v:08d}-{uuid.uuid4().hex[:8]}"
     # cluster when the WRITE is big enough to amortize the range
     # partitioner's sampling pass: an explicitly-sized layout, or a
@@ -411,26 +461,41 @@ def commit_delta(
     )
     scoped = {"spark.sql.adaptive.enabled": "false",
               "spark.sql.shuffle.partitions": "4"} if small_commit else {}
-    saved = {k: spark.conf.get(k) for k in scoped}
+    # the scoped set/restore mutates SESSION conf: serialize it across
+    # writer threads (optimistic concurrency makes multi-threaded
+    # commits legal), or an interleaved save/restore could strand the
+    # session with AQE off. Small-commit writes are sub-second, so the
+    # serialization costs nothing; big writes skip the lock entirely.
     try:
-        for k, val in scoped.items():
-            spark.conf.set(k, val)
-        _write_data(
-            new_df, f"{table_path}/{delta_rel}", stat_cols, n_files, bloom_ndv, cluster
-        )
+        if scoped:
+            with _SMALL_COMMIT_CONF_LOCK:
+                saved = {k: spark.conf.get(k) for k in scoped}
+                try:
+                    for k, val in scoped.items():
+                        spark.conf.set(k, val)
+                    _write_data(
+                        new_df, f"{table_path}/{delta_rel}", stat_cols,
+                        n_files, bloom_ndv, cluster,
+                    )
+                finally:
+                    for k, val in saved.items():
+                        spark.conf.set(k, val)
+        else:
+            _write_data(
+                new_df, f"{table_path}/{delta_rel}", stat_cols, n_files,
+                bloom_ndv, cluster,
+            )
     finally:
-        for k, val in saved.items():
-            spark.conf.set(k, val)
         if cluster:
             new_df.unpersist()
 
     new_files = _list_part_files(spark, table_path, delta_rel)
-    stats = {f: (prev.get("stats") or {}).get(f) for f in keep_files}
+    new_stats: dict = {}
     if not stat_cols:
-        stats.update(dict.fromkeys(new_files))
+        new_stats.update(dict.fromkeys(new_files))
     elif len(new_files) <= 32:
         for f in new_files:
-            stats[f] = _footer_stats(f"{table_path}/{f}", stat_cols)
+            new_stats[f] = _footer_stats(f"{table_path}/{f}", stat_cols)
     else:
         # big clustered commits: read footers on the EXECUTORS — a
         # sequential driver loop over 10k+ new files would serialize
@@ -442,31 +507,125 @@ def commit_delta(
             .map(lambda pf: (pf[0], _footer_stats(pf[1], stat_cols)))
             .collect()
         )
-        stats.update(dict(gathered))
-    manifest = {
-        "version": v,
-        "files": [*keep_files, *new_files],
-        "stats": stats,
-        "stat_cols": stat_cols,
-        "schema": new_df.schema.jsonValue(),
-    }
-    # merge-on-read deletes survive only for files carried over
-    # verbatim: any file this commit REWROTE was read through
-    # _read_files with its deletes already applied, so the new files
-    # are delete-free and the entry must not target them (a rewritten
-    # file's name changes anyway; dropping stale targets keeps the
-    # manifest minimal and lets vacuum retire fully-applied delete
-    # files once no kept manifest references them).
-    keep_set = set(keep_files)
-    carried = []
-    for d in prev.get("deletes") or []:
-        targets = [f for f in d["targets"] if f in keep_set]
-        if targets:
-            carried.append({**d, "targets": targets})
-    if carried:
-        manifest["deletes"] = carried
-    _write_manifest(spark, table_path, v, manifest, delta_rel)
-    return v
+        new_stats.update(dict(gathered))
+
+    rewritten_set = set(prev.get("files", [])) - set(keep_files)
+    schema_json = new_df.schema.jsonValue()
+    cur_v, cur = base_version, prev
+    attempts = 0
+    while True:
+        v = cur_v + 1
+        # carry-over list against the CURRENT version: current's files
+        # minus what this commit rewrote — on first attempt that is
+        # exactly keep_files; after a rebase it additionally keeps the
+        # concurrent commits' (validated-disjoint) files
+        keep_now = (
+            list(keep_files)
+            if cur_v == base_version
+            else [f for f in cur["files"] if f not in rewritten_set]
+        )
+        stats = {f: (cur.get("stats") or {}).get(f) for f in keep_now}
+        stats.update(new_stats)
+        manifest = {
+            "version": v,
+            "files": [*keep_now, *new_files],
+            "stats": stats,
+            "stat_cols": stat_cols,
+            "schema": schema_json,
+        }
+        # merge-on-read deletes survive only for files carried over
+        # verbatim: any file this commit REWROTE was read through
+        # _read_files with its deletes already applied, so the new
+        # files are delete-free and the entry must not target them (a
+        # rewritten file's name changes anyway; dropping stale targets
+        # keeps the manifest minimal and lets vacuum retire fully-
+        # applied delete files once no kept manifest references them).
+        keep_set = set(keep_now)
+        carried = []
+        for d in cur.get("deletes") or []:
+            targets = [f for f in d["targets"] if f in keep_set]
+            if targets:
+                carried.append({**d, "targets": targets})
+        if carried:
+            manifest["deletes"] = carried
+        try:
+            _write_manifest(spark, table_path, v, manifest)
+            return v
+        except CommitConflictError:
+            attempts += 1
+            try:
+                if attempts > max_retries:
+                    raise CommitConflictError(
+                        f"commit to {table_path} lost the publish race "
+                        f"{attempts} times (base version {base_version})"
+                    ) from None
+                cur_versions = _manifest_versions(spark, table_path)
+                cur_v = cur_versions[-1]
+                cur = read_manifest(spark, table_path, cur_v)
+                _validate_rebase(prev, cur, rewritten_set, update_key_ranges)
+            except CommitConflictError:
+                # true conflict (or retry budget spent): this commit
+                # loses — drop ITS data files, never the winner's
+                jvmx, fsx, _ = _fs(spark, table_path)
+                fsx.delete(
+                    jvmx.org.apache.hadoop.fs.Path(f"{table_path}/{delta_rel}"),
+                    True,
+                )
+                raise
+
+
+def _validate_rebase(
+    base: dict,
+    cur: dict,
+    rewritten_set: set,
+    update_key_ranges: dict | None,
+) -> None:
+    """Decide whether a commit derived from manifest ``base`` can be
+    republished on top of ``cur`` (concurrent commits in between).
+    Raises :class:`CommitConflictError` unless every concurrent change
+    is provably disjoint from what the losing commit read and wrote —
+    see :func:`commit_delta` for the ``update_key_ranges`` modes."""
+    if "files" not in cur:
+        raise CommitConflictError(
+            "concurrent writer published a manifest without a file list; "
+            "cannot prove disjointness"
+        )
+    cur_files = set(cur["files"])
+    gone = rewritten_set - cur_files
+    if gone:
+        raise CommitConflictError(
+            "files read by this commit were rewritten or removed by a "
+            f"concurrent commit: {sorted(gone)[:5]}"
+        )
+
+    def _del_sig(m: dict) -> list:
+        return sorted(
+            (d["file"], tuple(sorted(set(d["targets"]) & rewritten_set)))
+            for d in (m.get("deletes") or [])
+            if set(d["targets"]) & rewritten_set
+        )
+
+    if _del_sig(cur) != _del_sig(base):
+        raise CommitConflictError(
+            "a concurrent merge-on-read delete targets files this commit "
+            "rewrote from a pre-delete view"
+        )
+    added = cur_files - set(base.get("files", []))
+    if not added:
+        return
+    if update_key_ranges is None:
+        raise CommitConflictError(
+            "concurrent commit added files and this commit declares no "
+            f"key scope (strict mode): {sorted(added)[:5]}"
+        )
+    if update_key_ranges:
+        stats = cur.get("stats") or {}
+        hot = [f for f in added if _overlaps(stats.get(f), update_key_ranges)]
+        if hot:
+            raise CommitConflictError(
+                "concurrently-added files may hold keys in this merge's "
+                f"scope: {sorted(hot)[:5]}"
+            )
 
 
 def commit_snapshot(
@@ -529,16 +688,49 @@ def commit_delete_file(
         f"{table_path}/{del_rel}"
     )
     entry = {"file": del_rel, "keys": list(keys), "targets": list(targets)}
-    manifest = {
-        "version": v,
-        "files": prev["files"],
-        "stats": prev.get("stats") or {},
-        "stat_cols": prev.get("stat_cols") or [],
-        "schema": prev["schema"],
-        "deletes": [*(prev.get("deletes") or []), entry],
-    }
-    _write_manifest(spark, table_path, v, manifest, del_rel)
-    return v
+    cur_v, cur = versions[-1], prev
+    for attempt in range(6):
+        manifest = {
+            "version": cur_v + 1,
+            "files": cur["files"],
+            "stats": cur.get("stats") or {},
+            "stat_cols": cur.get("stat_cols") or [],
+            "schema": cur["schema"],
+            "deletes": [*(cur.get("deletes") or []), entry],
+        }
+        try:
+            _write_manifest(spark, table_path, cur_v + 1, manifest)
+            return cur_v + 1
+        except CommitConflictError:
+            # CAS rebase: re-read current; the delete stays valid iff
+            # every target file is still live (a concurrent rewrite of
+            # a target folded the table WITHOUT this delete — its
+            # replacement may re-expose the rows, so abort). Files the
+            # concurrent commit ADDED are untargeted by construction
+            # (delete-then-reinsert semantics), so adds never
+            # conflict.
+            cur_versions = _manifest_versions(spark, table_path)
+            cur_v = cur_versions[-1]
+            cur = read_manifest(spark, table_path, cur_v)
+            gone = [
+                t for t in targets
+                if "files" not in cur or t not in set(cur["files"])
+            ]
+            if gone or attempt == 4:
+                jvmx, fsx, _ = _fs(spark, table_path)
+                fsx.delete(
+                    jvmx.org.apache.hadoop.fs.Path(f"{table_path}/{del_rel}"),
+                    True,
+                )
+                raise CommitConflictError(
+                    f"merge-on-read delete for {table_path} conflicts: "
+                    + (
+                        f"targets rewritten concurrently: {gone[:5]}"
+                        if gone
+                        else "publish race lost 5 times"
+                    )
+                ) from None
+    raise AssertionError("unreachable")
 
 
 def _overlaps(fstats: dict | None, key_ranges: dict[str, tuple]) -> bool:
@@ -675,8 +867,15 @@ def compact_table(
         df = df.repartition(nf)
         nf = None
     # passing n_files forces the clustered path even for small tables:
-    # compaction's whole point is the layout
-    return commit_delta(spark, table_path, df, [], stat_cols=cols, n_files=nf)
+    # compaction's whole point is the layout. update_key_ranges={}:
+    # compaction makes no claim about rows it didn't read, so a
+    # concurrent pure APPEND rebases cleanly (its files are kept on
+    # top of the compacted layout); a concurrent MERGE that rewrote
+    # any compacted input still conflicts via the rewritten-set check.
+    return commit_delta(
+        spark, table_path, df, [], stat_cols=cols, n_files=nf,
+        base_version=manifest.get("version"), update_key_ranges={},
+    )
 
 
 def compact_small_files(
@@ -731,6 +930,7 @@ def compact_small_files(
     commit_delta(
         spark, table_path, df, big, stat_cols=cols,
         n_files=n_out if pin else None,
+        base_version=manifest.get("version"), update_key_ranges={},
     )
     return len(small), len(big)
 

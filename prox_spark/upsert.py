@@ -129,10 +129,14 @@ _KEY_SET_CAP = 50_000
 
 
 def _prune_files(manifest: dict, key_df: DataFrame, keys: list[str]):
-    """(touched_files, keep_files) for the merge: exact key-SET
-    pruning for small batches (the CDC norm — scattered keys that a
-    min/max range test couldn't prune at all), per-column min/max
-    range pruning beyond the cap."""
+    """(touched_files, keep_files, key_ranges) for the merge: exact
+    key-SET pruning for small batches (the CDC norm — scattered keys
+    that a min/max range test couldn't prune at all), per-column
+    min/max range pruning beyond the cap. ``key_ranges`` is the update
+    batch's per-column min/max — the commit's conflict scope for
+    optimistic concurrency — or None when it wasn't derived (the
+    tiny-table fast path skips the key job entirely → strict-mode
+    commit)."""
     from prox_spark.table import split_files_by_key_ranges, split_files_by_key_sets
 
     files = manifest.get("files", [])
@@ -140,14 +144,18 @@ def _prune_files(manifest: dict, key_df: DataFrame, keys: list[str]):
         # nothing worth pruning: skip the key-collect job entirely
         # (small tables — e.g. AQE-coalesced dimensions — hit this on
         # every merge of a sequential pipeline)
-        return list(files), []
+        return list(files), [], None
     rows = key_df.select(*keys).distinct().limit(_KEY_SET_CAP + 1).collect()
     if len(rows) <= _KEY_SET_CAP:
         vals = {
             k: sorted({r[k] for r in rows if r[k] is not None}) for k in keys
         }
-        return split_files_by_key_sets(manifest, vals)
-    return split_files_by_key_ranges(manifest, _key_ranges(key_df, keys))
+        ranges = {k: (v[0], v[-1]) for k, v in vals.items() if v}
+        touched, keep = split_files_by_key_sets(manifest, vals)
+        return touched, keep, (ranges or None)
+    ranges = _key_ranges(key_df, keys)
+    touched, keep = split_files_by_key_ranges(manifest, ranges)
+    return touched, keep, ranges
 
 
 class _MergeScope:
@@ -164,7 +172,7 @@ class _MergeScope:
     pre-file-granular behavior."""
 
     def __init__(self, spark, table_path, keys, touched, keep, migrated,
-                 stat_cols=None):
+                 stat_cols=None, base_version=None, key_ranges=None):
         self.spark = spark
         self.table_path = table_path
         self.keys = keys
@@ -172,6 +180,8 @@ class _MergeScope:
         self.keep = keep
         self._migrated = migrated
         self._stat_cols = list(stat_cols or [])
+        self._base_version = base_version
+        self._key_ranges = key_ranges
 
     def commit(self, merged: DataFrame) -> None:
         # preserve the table's declared stat columns (they may be a
@@ -183,7 +193,9 @@ class _MergeScope:
             *[k for k in self.keys if k not in self._stat_cols],
         ]
         commit_delta(
-            self.spark, self.table_path, merged, self.keep, stat_cols=cols
+            self.spark, self.table_path, merged, self.keep, stat_cols=cols,
+            base_version=self._base_version,
+            update_key_ranges=self._key_ranges,
         )
         if self._migrated:
             _drop_legacy_files(self.spark, self.table_path)
@@ -199,15 +211,17 @@ def _merge_scope(
     if is_manifest_table(spark, table_path):
         manifest = read_manifest(spark, table_path)
         stat_cols = manifest.get("stat_cols") or []
+        base_v = manifest.get("version")
         if "files" in manifest and set(keys) <= set(stat_cols):
-            touched_files, keep = _prune_files(manifest, key_df, keys)
+            touched_files, keep, ranges = _prune_files(manifest, key_df, keys)
             touched = _read_files(spark, table_path, manifest, touched_files)
             return _MergeScope(
-                spark, table_path, keys, touched, keep, False, stat_cols
+                spark, table_path, keys, touched, keep, False, stat_cols,
+                base_v, ranges,
             )
         return _MergeScope(
             spark, table_path, keys, read_table(spark, table_path), [], False,
-            stat_cols,
+            stat_cols, base_v, None,
         )
     current = _current(spark, table_path)
     if current is None:
@@ -315,7 +329,7 @@ def delete_keys_mor(
         raise ValueError(f"delete keys not in table schema: {missing}")
     dset = keys_df.select(*keys).distinct()
     if set(keys) <= set(manifest.get("stat_cols") or []):
-        targets, _ = _prune_files(manifest, dset, keys)
+        targets, _, _ = _prune_files(manifest, dset, keys)
     else:
         targets = list(manifest["files"])  # stats can't prune: all files
     if not targets:

