@@ -43,6 +43,9 @@ _FRONT = [
     "q159_mor_delete",
     "q160_triangle_count",
     "q161_ivf_index_maintenance",
+    # new this round
+    "q162_ivf_mor_delete",
+    "q163_bpe_train",
     # last driver row: round 1
     "q23_first_event_per_key",
     "q24_event_type_share",
@@ -88,8 +91,6 @@ _FRONT = [
     "q79_grouping_sets",
     "q89_rank_functions",
     "q90_late_order_priority",
-    "q91_dormant_rich_customers",
-    "q94_nation_revenue_share",
 ]
 
 

@@ -1422,6 +1422,130 @@ ORDER BY query_id, rank
 """
 
 
+IVF_DEL_MOD = 7  # vec_id % 7 == 3 gets deleted from the serving index
+IVF_DEL_REM = 3
+
+
+def q162_ivf_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ deletes composed with the serving ANN index
+    (round-5 ask: q159's zero-rewrite delete applied to q161's
+    maintained IVF): vectors are deleted BY ID from the cid-clustered
+    index table without rewriting any inverted-list file — the commit
+    is a kilobyte key file plus a manifest entry, and serving excludes
+    the deleted vectors through the read-side anti-join mask. The
+    'right to be forgotten' path for a 100 TB vector index: deleting
+    N user embeddings costs O(N) bytes, not an index rebuild.
+
+    Gates (all oracle-pinned):
+    - the post-delete probe must equal a direct IVF over the REDUCED
+      corpus (a leaky mask serves a deleted vector as a neighbor; an
+      over-eager mask loses a live one — both break the hash);
+    - ``zero_rewrite`` (TRUE): the manifests' data-file lists before/
+      after the delete are identical AND a deletes entry exists, so a
+      path that 'deleted' by rewriting files fails even with correct
+      rows (q159's gate pattern);
+    - ``n_deleted``: the live-row count the delete reported, pinned to
+      the corpus arithmetic.
+
+    Scale shape: the index build is q45's broadcast assignment + one
+    cid-clustered commit; the delete targets files via the manifest
+    (vec_id is not a cluster key, so all inverted lists are targeted —
+    correct and still zero-rewrite); serving is the q45 probe
+    equi-join with the key-file anti-join folded into the scan of
+    targeted files (:func:`prox_spark.table._read_files`). The
+    quantizer stays frozen: centroids are PARAMETERS derived from the
+    original corpus, so deleting a centroid-member vector does not
+    re-partition the space — exactly how production IVF serves
+    deletes between retrains."""
+    import atexit
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from prox_spark.table import commit_snapshot, read_manifest, read_table
+    from prox_spark.upsert import delete_keys_mor
+
+    tagged, assign, probes_df = _ivf_parts(spark, sf_dir)
+    scratch = tempfile.mkdtemp(prefix=f"prox_ivf_mor_{_uuid.uuid4().hex[:8]}_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    work = f"{scratch}/ivf"
+    tagged = tagged.persist()
+    try:
+        commit_snapshot(spark, work, assign, stat_cols=["cid"], n_files=IVF_K)
+        before = set(read_manifest(spark, work)["files"])
+        dels = assign.filter(
+            F.col("vec_id") % IVF_DEL_MOD == IVF_DEL_REM
+        ).select("vec_id")
+        n_deleted = delete_keys_mor(spark, work, dels, ["vec_id"])
+        # land the probe set driver-side so the returned serving plan
+        # depends only on the index table, not unpersisted lineage
+        probe_rows = probes_df.collect()
+    finally:
+        tagged.unpersist()
+    after = read_manifest(spark, work)
+    zero_rewrite = set(after["files"]) == before and bool(after.get("deletes"))
+
+    index = read_table(spark, work)  # deleted ids masked on read
+    probes = spark.createDataFrame(probe_rows, probes_df.schema)
+    scored = (
+        index.join(F.broadcast(probes), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cosine", F.expr(f"{DOT_SPARK.format(a='qv', b='dd')} / (qn * nrm)")
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "rank", "cosine")
+        .withColumn("zero_rewrite", F.lit(bool(zero_rewrite)))
+        .withColumn("n_deleted", F.lit(int(n_deleted)).cast("long"))
+        .orderBy("query_id", "rank")
+    )
+
+
+ORACLE_Q162 = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS dd,
+         sqrt({DOT_DUCK.format(a='embedding::DOUBLE[]', b='embedding::DOUBLE[]')}) AS nrm
+  FROM embeddings
+),
+cent AS (SELECT vec_id AS cid, dd AS cdd, nrm AS cnrm FROM e WHERE vec_id < {IVF_K}),
+ranked AS (
+  SELECT e.vec_id, e.dd, e.nrm, cent.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {DOT_DUCK.format(a='e.dd', b='cent.cdd')} / (e.nrm * cent.cnrm) DESC, cent.cid ASC
+         ) AS crank
+  FROM e CROSS JOIN cent
+),
+assign AS (
+  SELECT vec_id, cid, dd, nrm FROM ranked
+  WHERE crank = 1 AND vec_id % {IVF_DEL_MOD} <> {IVF_DEL_REM}
+),
+probes AS (
+  SELECT vec_id AS query_id, cid, dd AS qv, nrm AS qn
+  FROM ranked WHERE vec_id < {N_QUERIES} AND crank <= {IVF_NPROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         {DOT_DUCK.format(a='p.qv', b='a.dd')} / (p.qn * a.nrm) AS cosine
+  FROM assign a JOIN probes p ON a.cid = p.cid
+  WHERE a.vec_id <> p.query_id
+),
+final AS (
+  SELECT query_id, vec_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, rank, cosine, TRUE AS zero_rewrite,
+       (SELECT count(*) FROM e WHERE vec_id % {IVF_DEL_MOD} = {IVF_DEL_REM})::BIGINT AS n_deleted
+FROM final WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
     "q40_cosine_topk": q40_cosine_topk,
     "q41_lsh_ann": q41_lsh_ann,
@@ -1435,6 +1559,7 @@ QUERIES = {
     "q117_int8_quantize": q117_int8_quantize,
     "q126_embedding_outliers": q126_embedding_outliers,
     "q161_ivf_index_maintenance": q161_ivf_index_maintenance,
+    "q162_ivf_mor_delete": q162_ivf_mor_delete,
 }
 
 ORACLES = {
@@ -1450,4 +1575,5 @@ ORACLES = {
     "q117_int8_quantize": ORACLE_Q117,
     "q126_embedding_outliers": ORACLE_Q126,
     "q161_ivf_index_maintenance": ORACLE_Q161,
+    "q162_ivf_mor_delete": ORACLE_Q162,
 }
