@@ -299,15 +299,21 @@ def q130_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     only). The threshold is derived from the data as an exact integer —
     1.2x the mean events-per-user, ``(12*total) div (10*distinct) + 1``
     — so the query is scale-factor-invariant; in production the
-    threshold is the skew SLA constant and the two derivation jobs
-    (count + distinct-count) disappear. Detected keys are exactly the
-    keys :func:`prox_spark.joins.salted_join` should salt."""
+    threshold is the skew SLA constant and the derivation job
+    disappears. Detected keys are exactly the keys
+    :func:`prox_spark.joins.salted_join` should salt."""
     from prox_spark.joins import heavy_hitters
 
     ev = _events(spark, sf_dir).select("user_id")
-    total = ev.count()
-    n_users = ev.distinct().count()
-    thr = (12 * total) // (10 * n_users) + 1
+    # one pre-job, not two (q132's pattern): total rows AND distinct
+    # users both fall out of a single per-user count pass
+    t = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.sum("__n").alias("total"), F.count(F.lit(1)).alias("n_users"))
+        .collect()[0]
+    )
+    thr = (12 * t.total) // (10 * t.n_users) + 1
     return heavy_hitters(ev, "user_id", thr, count_col="n_events").orderBy(
         F.desc("n_events"), "user_id"
     )

@@ -1832,8 +1832,9 @@ def q131_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if not os.path.exists(os.path.join(stage, "_SUCCESS")):
         write_zordered(li, stage, ["l_partkey", "l_suppkey"], n_files=16)
-    max_pk = li.agg(F.max("l_partkey")).collect()[0][0]
-    max_sk = li.agg(F.max("l_suppkey")).collect()[0][0]
+    max_pk, max_sk = li.agg(
+        F.max("l_partkey"), F.max("l_suppkey")
+    ).collect()[0]
     pk_lo, pk_hi = (4 * max_pk) // 10, (5 * max_pk) // 10
     sk_lo, sk_hi = (4 * max_sk) // 10, (5 * max_sk) // 10
     z = spark.read.parquet(stage)
