@@ -101,7 +101,18 @@ def main() -> None:
     # driver keeps only the LAST 2000 chars of stdout, which a 150-entry
     # full-name JSON line can never fit, so BENCH_r02/r03 lost their
     # totals and most per-query numbers to front-truncation
-    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+    detail_path = os.path.join(here, "BENCH_DETAIL.json")
+    # carry forward the sf1 scale spot-check (tools/spot_sf1.py) —
+    # it is refreshed on its own cadence, not per bench run
+    if os.path.exists(detail_path):
+        try:
+            with open(detail_path) as f:
+                prior = json.load(f)
+            if "sf1_spotcheck" in prior:
+                detail["sf1_spotcheck"] = prior["sf1_spotcheck"]
+        except (OSError, ValueError):
+            pass
+    with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
     # the FINAL stdout line is a compact twin that fits the tail window
     # whole: unique qNN keys, integer-ms medians, totals included

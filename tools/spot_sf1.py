@@ -1,0 +1,157 @@
+"""sf1 scale spot-check for the superlinear-risk queries (round-5 ask).
+
+Stages a deterministic 10x-of-sf0.1 input set under .fixtures/sf1 and
+measures q160/q42/q105/q124/q137 against it, recording wall times and
+scaling exponents next to the sf0.1 numbers in BENCH_DETAIL.json
+(key "sf1_spotcheck", preserved across bench runs).
+
+The staging is scaling-FAITHFUL, not naive duplication — 10 verbatim
+copies would make every document a near-duplicate of 9 others and
+blow the candidate volume up 100x, which tests the degenerate-corpus
+regime instead of scale. Each replica instead lives in its own
+disjoint similarity/graph space with the ORIGINAL's internal
+structure:
+
+- documents: replica r suffixes every token with ``_r{r}`` — shingle
+  sets are disjoint across replicas, so near-dup candidate volume
+  (q105/q124/q137) scales with corpus size exactly as a 10x crawl
+  with the same duplication rate would;
+- embeddings: replica r cyclically rotates each vector by r
+  dimensions — cosine structure within a replica is preserved
+  verbatim, across replicas it is decorrelated (q42);
+- lineitem: replica r offsets order and part keys — 10 disjoint
+  copies of the co-purchase graph with identical degree structure
+  (q160): per-edge and per-wedge costs scale cleanly, while any
+  accidental all-pairs behavior still explodes 100x and fails the
+  ratio gate.
+
+Expected exponents (time ~ N^e between sf0.1 and staged sf1):
+near-linear (e ~ 1, allow fixed-cost dilution) for q42/q105/q124/
+q137; q160's bound is m^1.5 worst case but with disjoint replicas
+the expected growth is ~linear in edges. The gate flags e > 1.6.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+SRC = "/root/testdata/sf0.1"
+DEST = os.path.join(HERE, ".fixtures", "sf1")
+REPLICAS = 10
+OFF = 10_000_000
+QUERIES = [
+    "q160_triangle_count",
+    "q42_embed_neardup",
+    "q105_simhash_neardup",
+    "q124_dedup_pipeline",
+    "q137_curation_capstone",
+]
+MAX_EXPONENT = 1.6
+
+
+def stage(spark) -> None:
+    from pyspark.sql import functions as F
+
+    if os.path.exists(os.path.join(DEST, "_STAGED")):
+        return
+    os.makedirs(DEST, exist_ok=True)
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    dim = len(emb.select("embedding").first()["embedding"])
+
+    d_parts, e_parts, l_parts = [], [], []
+    for r in range(REPLICAS):
+        if r == 0:
+            d_parts.append(docs)
+            e_parts.append(emb)
+            l_parts.append(li)
+            continue
+        d_parts.append(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(r * OFF))
+            .withColumn(
+                "text", F.regexp_replace("text", r"(\S+)", f"$1_r{r}")
+            )
+        )
+        roll = F.expr(
+            f"concat(slice(embedding, {r + 1}, {dim - r}), "
+            f"slice(embedding, 1, {r}))"
+        )
+        e_parts.append(
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(r * OFF))
+            .withColumn("embedding", roll)
+        )
+        l_parts.append(
+            li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(r * OFF))
+            .withColumn("l_partkey", F.col("l_partkey") + F.lit(r * OFF))
+        )
+    from functools import reduce
+
+    reduce(lambda a, b: a.unionByName(b), d_parts).repartition(32).write.mode(
+        "overwrite"
+    ).parquet(f"{DEST}/documents.parquet")
+    reduce(lambda a, b: a.unionByName(b), e_parts).repartition(32).write.mode(
+        "overwrite"
+    ).parquet(f"{DEST}/embeddings.parquet")
+    reduce(lambda a, b: a.unionByName(b), l_parts).repartition(32).write.mode(
+        "overwrite"
+    ).parquet(f"{DEST}/lineitem.parquet")
+    with open(os.path.join(DEST, "_STAGED"), "w") as f:
+        f.write("ok")
+
+
+def main() -> None:
+    from prox_spark.queries import all_queries
+    from prox_spark.session import get_spark
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("spot-sf1", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    stage(spark)
+
+    detail_path = os.path.join(HERE, "BENCH_DETAIL.json")
+    with open(detail_path) as f:
+        detail = json.load(f)
+    sf01 = detail.get("queries", {})
+
+    qs = all_queries()
+    out: dict = {}
+    for name in QUERIES:
+        fn = qs[name]
+        fn(spark, SRC).count()  # warm (sf0.1)
+        t01 = time.time()
+        fn(spark, SRC).count()
+        t01 = time.time() - t01
+        t1 = time.time()
+        n = fn(spark, DEST).count()
+        t1 = time.time() - t1
+        base = sf01.get(name, t01)
+        import math
+
+        exp = math.log(max(t1, 1e-3) / max(t01, 1e-3)) / math.log(10)
+        out[name] = {
+            "sf0.1_bench_s": base,
+            "sf0.1_here_s": round(t01, 3),
+            "sf1_s": round(t1, 3),
+            "rows": n,
+            "exponent": round(exp, 3),
+            "ok": exp <= MAX_EXPONENT,
+        }
+        print(name, json.dumps(out[name]))
+
+    detail["sf1_spotcheck"] = out
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    bad = [k for k, v in out.items() if not v["ok"]]
+    print("SPOTCHECK", "FAIL " + ",".join(bad) if bad else "ALL OK")
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
