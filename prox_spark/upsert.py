@@ -541,12 +541,15 @@ def upsert_scd2(
 _VALID_OPS = ("insert", "update", "delete")
 
 
-def _validate_feed(changes: DataFrame, keys: list[str], op_col: str) -> None:
+def _validate_feed(changes: DataFrame, keys: list[str], op_col: str,
+                   rows: list | None = None) -> None:
     """Reject unknown/NULL ops and duplicate key tuples. A feed within
     the key-set cap validates driver-side from ONE collect (the common
     CDC case — per-micro-batch feeds are small); a bulk feed pays one
-    aggregate job instead."""
-    rows = changes.select(*keys, op_col).limit(_KEY_SET_CAP + 1).collect()
+    aggregate job instead. ``rows``: the feed already collected by the
+    caller — skips this function's own collect."""
+    if rows is None:
+        rows = changes.select(*keys, op_col).limit(_KEY_SET_CAP + 1).collect()
     if len(rows) <= _KEY_SET_CAP:
         unknown = sorted(
             {r[op_col] for r in rows if r[op_col] not in _VALID_OPS}, key=str
@@ -612,8 +615,17 @@ def apply_changes(
     touched rows against the changed-key set, a union with the
     insert/update payloads, one delta commit — work ∝ touched files +
     feed, never table size."""
-    _validate_feed(changes, keys, op_col)
-    scope = _merge_scope(spark, table_path, changes, keys)
+    # CDC feeds are micro-batch-small by nature: ONE capped collect of
+    # (keys, op) serves both validation and file pruning, saving the
+    # separate distinct-collect job per applied batch. The feed's
+    # DataFrames stay distributed — unlike upsert_scd2's fast path,
+    # the typical apply_changes feed lineage (a small staged diff) is
+    # cheap to re-execute, and measured end-to-end the local-relation
+    # substitution LOST time here (Python-RDD scan per downstream job
+    # outweighs one saved collect), so only the collect is shared.
+    rows = _collect_capped(changes.select(*keys, op_col))
+    _validate_feed(changes, keys, op_col, rows=rows)
+    scope = _merge_scope(spark, table_path, changes, keys, key_rows=rows)
     if scope is None:
         raise ValueError(f"no table at {table_path}")
     changed_keys = changes.select(*keys).distinct()
