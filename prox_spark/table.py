@@ -51,14 +51,20 @@ rather than corrupt. On object stores without atomic rename (raw S3)
 the manifest publish needs a conditional PUT instead — same protocol,
 different primitive.
 
-Known scale ceiling: the manifest is ONE json document listing every
-live file (~150 bytes/entry), read and rewritten per commit — fine to
-~10^5 files (tens of MB of driver metadata), the regime this format
-targets when files are kept near 1 GB by compaction. Beyond that the
-next step is Iceberg's split: an immutable manifest-FILE per commit
-listing only its files, plus a manifest-list the snapshot points at —
-same atomic-rename publish, O(delta) metadata per commit. Footer
-stats for large commits are already gathered executor-side.
+Metadata scaling: a SMALL table's manifest is one json document
+listing every live file (~150 bytes/entry) — the cheapest layout to
+read and reason about. Past ``CHUNK_THRESHOLD`` live files the
+snapshot splits (Iceberg's manifest-list/manifest-file pattern): the
+doc lists immutable CHUNK files of <= ``CHUNK_SIZE`` entries with
+per-chunk key ranges, and a commit rewrites only the chunks whose
+membership changed, carrying the rest by reference — metadata WRITE
+cost O(touched files) per commit, point-lookup metadata READ cost
+O(matching chunks) (chunks outside the probe's range are never
+opened), and the ceiling moves from ~10^5 files (single doc) to the
+chunk-count regime (~10^7 at the defaults). Same atomic-rename
+publish either way; deletes-only commits on a chunked table write
+one key file plus an O(chunk-count) snapshot doc. Footer stats for
+large commits are gathered executor-side.
 """
 
 from __future__ import annotations
@@ -72,6 +78,19 @@ from pyspark.sql.types import StructType
 
 MANIFEST_DIR = "_manifests"
 DATA_DIR = "data"
+
+# Chunked-manifest (v2) layout thresholds: beyond CHUNK_THRESHOLD live
+# files, the snapshot doc stops listing files inline and instead
+# points at immutable CHUNK files of <= CHUNK_SIZE entries each
+# (Iceberg's manifest-list/manifest-file split, on the same
+# atomic-rename publish). A delta commit then rewrites only the
+# chunks whose membership changed and carries the rest by reference:
+# per-commit metadata WRITE cost becomes O(touched files), not
+# O(live files), lifting the single-doc ceiling (~10^5 files) to the
+# chunk-count regime (~10^7 at the defaults). Tests shrink these to
+# exercise the layout on small tables.
+CHUNK_THRESHOLD = 256
+CHUNK_SIZE = 256
 
 _SMALL_COMMIT_CONF_LOCK = threading.Lock()
 
@@ -124,24 +143,87 @@ def table_versions(spark: SparkSession, table_path: str) -> list[int]:
 def read_manifest(
     spark: SparkSession, table_path: str, version: int | None = None
 ) -> dict:
-    """The manifest dict for ``version`` (default: latest)."""
+    """The manifest dict for ``version`` (default: latest), with the
+    file list ASSEMBLED: a chunked (v2) snapshot is resolved by
+    reading its chunk files and concatenating their entries, so every
+    consumer sees the classic {files, stats, ...} shape regardless of
+    layout (the "chunks" key is kept for chunk-granular commits)."""
     versions = _manifest_versions(spark, table_path)
     if not versions:
         raise ValueError(f"{table_path} is not a manifest table")
     v = versions[-1] if version is None else version
     if v not in versions:
         raise ValueError(f"version {v} not in {versions} for {table_path}")
-    return _read_manifest_file(spark, table_path, v)
+    return _assemble(spark, table_path, _read_manifest_file(spark, table_path, v))
+
+
+def _assemble(spark: SparkSession, table_path: str, doc: dict,
+              chunk_filter=None) -> dict:
+    """Resolve a chunked snapshot into the classic manifest shape.
+    ``chunk_filter(entry) -> bool`` skips chunks it rejects — the
+    metadata half of a point lookup (entries carry per-chunk key
+    ranges; a rejected chunk provably holds no matching file, so its
+    chunk file is never even read). Classic docs pass through."""
+    if "chunks" not in doc:
+        return doc
+    files: list[str] = []
+    stats: dict = {}
+    entries: list[dict] = []
+    for entry in doc["chunks"]:
+        if chunk_filter is not None and not chunk_filter(entry):
+            continue
+        chunk = _read_json(spark, table_path, entry["file"])
+        files.extend(chunk["files"])
+        stats.update(chunk.get("stats") or {})
+        # membership rides along (stripped before re-serialization) so
+        # a later commit can carry untouched chunks by reference
+        # without re-reading them
+        entries.append({**entry, "_members": chunk["files"]})
+    out = dict(doc)
+    out["chunks"] = entries
+    out["files"] = files
+    out["stats"] = stats
+    return out
+
+
+def read_manifest_pruned(
+    spark: SparkSession, table_path: str, key_ranges: dict,
+    version: int | None = None,
+) -> dict:
+    """A (possibly PARTIAL) manifest for a key probe: on a chunked
+    table only the chunks whose recorded per-chunk ranges admit
+    ``key_ranges`` are read — point-lookup metadata IO is then
+    O(matching chunks), not O(live files). The returned dict's
+    ``files`` may omit files that provably cannot match; ``deletes``
+    ride on the snapshot doc, so merge-on-read masking still applies
+    to every file actually read. Classic tables return the full
+    manifest."""
+    versions = _manifest_versions(spark, table_path)
+    if not versions:
+        raise ValueError(f"{table_path} is not a manifest table")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not in {versions} for {table_path}")
+    doc = _read_manifest_file(spark, table_path, v)
+    return _assemble(
+        spark, table_path, doc,
+        chunk_filter=lambda e: _overlaps(e.get("ranges"), key_ranges),
+    )
 
 
 def _read_manifest_file(spark: SparkSession, table_path: str, v: int) -> dict:
-    # driver-side Hadoop FS read (works on every FS scheme): a manifest
-    # is a small metadata file, and merge pipelines read one per
-    # commit — routing this through spark.read.text would cost a full
-    # Spark job each time
-    mpath = f"{table_path}/{MANIFEST_DIR}/manifest-{v:08d}.json"
+    return _read_json(
+        spark, table_path, f"{MANIFEST_DIR}/manifest-{v:08d}.json"
+    )
+
+
+def _read_json(spark: SparkSession, table_path: str, rel: str) -> dict:
+    # driver-side Hadoop FS read (works on every FS scheme): manifests
+    # and chunk files are small metadata documents, and merge
+    # pipelines read a handful per commit — routing this through
+    # spark.read.text would cost a full Spark job each time
     jvm, fs, _ = _fs(spark, table_path)
-    stream = fs.open(jvm.org.apache.hadoop.fs.Path(mpath))
+    stream = fs.open(jvm.org.apache.hadoop.fs.Path(f"{table_path}/{rel}"))
     try:
         doc = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
     finally:
@@ -266,6 +348,93 @@ def _footer_stats(abs_path: str, cols: list[str]) -> dict | None:
         return out
     except Exception:
         return None
+
+
+def _chunk_ranges(files: list[str], stats: dict, stat_cols: list[str]):
+    """Per-chunk min/max over the member files' footer stats — the
+    chunk-level pruning index recorded in the snapshot doc. A column
+    degrades to None (never pruned on) if ANY member lacks stats."""
+    if not stat_cols:
+        return None
+    out: dict = {}
+    for c in stat_cols:
+        lo = hi = None
+        ok = True
+        for f in files:
+            fst = stats.get(f)
+            st = fst.get(c) if fst else None
+            if st is None:
+                ok = False
+                break
+            lo = st[0] if lo is None else min(lo, st[0])
+            hi = st[1] if hi is None else max(hi, st[1])
+        out[c] = [lo, hi] if ok and lo is not None else None
+    return out
+
+
+def _write_chunk(spark: SparkSession, table_path: str, files: list[str],
+                 stats: dict, stat_cols: list[str]) -> dict:
+    """Write one immutable manifest-chunk file; returns its snapshot
+    entry. Chunk files are invisible until a published snapshot
+    references them (same protocol as data files), so a failed commit
+    leaves only vacuum-able orphans."""
+    jvm, fs, _ = _fs(spark, table_path)
+    rel = f"{MANIFEST_DIR}/chunks/mc-{uuid.uuid4().hex}.json"
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(f"{table_path}/{MANIFEST_DIR}/chunks"))
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(f"{table_path}/{rel}"), False)
+    out.write(bytearray(json.dumps(
+        {"files": files, "stats": {f: stats.get(f) for f in files}}
+    ), "utf-8"))
+    out.close()
+    entry = {"file": rel, "n": len(files)}
+    ranges = _chunk_ranges(files, stats, stat_cols)
+    if ranges is not None:
+        entry["ranges"] = ranges
+    return entry
+
+
+def _build_layout(spark: SparkSession, table_path: str, cur: dict,
+                  keep_now: list[str], new_files: list[str],
+                  stats: dict, stat_cols: list[str]) -> tuple[dict, list[str]]:
+    """The {files, stats} or {chunks} half of the next snapshot doc,
+    plus the chunk files written for it (for conflict cleanup).
+    Chunked when the previous version already is, or the table has
+    outgrown the inline single-doc layout: untouched chunks carry by
+    reference; members of partially-invalidated chunks and the new
+    files repack into fresh chunks sorted by leading stat column so
+    chunk ranges stay tight for pruning."""
+    total = len(keep_now) + len(new_files)
+    prev_chunks = cur.get("chunks") or []
+    if not prev_chunks and total <= CHUNK_THRESHOLD:
+        return {"files": [*keep_now, *new_files], "stats": stats}, []
+    keep_set = set(keep_now)
+    carried, covered = [], set()
+    for entry in prev_chunks:
+        members = entry.get("_members")
+        if members is not None and set(members) <= keep_set:
+            carried.append({k: v for k, v in entry.items() if k != "_members"})
+            covered.update(members)
+    loose = [f for f in keep_now if f not in covered] + list(new_files)
+    if stat_cols:
+        lead = stat_cols[0]
+
+        def key(f):
+            st = stats.get(f)
+            r = st.get(lead) if st else None
+            return (r is None, r[0] if r else None, f)
+
+        try:
+            loose.sort(key=key)
+        except TypeError:  # incomparable stat types across files
+            loose.sort()
+    written = []
+    for i in range(0, len(loose), CHUNK_SIZE):
+        entry = _write_chunk(
+            spark, table_path, loose[i : i + CHUNK_SIZE], stats, stat_cols
+        )
+        carried.append(entry)
+        written.append(entry["file"])
+    return {"chunks": carried}, written
 
 
 def _write_manifest(spark: SparkSession, table_path: str, v: int,
@@ -513,6 +682,7 @@ def commit_delta(
     schema_json = new_df.schema.jsonValue()
     cur_v, cur = base_version, prev
     attempts = 0
+    chunk_orphans: list[str] = []
     while True:
         v = cur_v + 1
         # carry-over list against the CURRENT version: current's files
@@ -526,10 +696,12 @@ def commit_delta(
         )
         stats = {f: (cur.get("stats") or {}).get(f) for f in keep_now}
         stats.update(new_stats)
+        layout, written_chunks = _build_layout(
+            spark, table_path, cur, keep_now, new_files, stats, stat_cols
+        )
         manifest = {
             "version": v,
-            "files": [*keep_now, *new_files],
-            "stats": stats,
+            **layout,
             "stat_cols": stat_cols,
             "schema": schema_json,
         }
@@ -550,9 +722,20 @@ def commit_delta(
             manifest["deletes"] = carried
         try:
             _write_manifest(spark, table_path, v, manifest)
+            # chunk files written for attempts that lost the race are
+            # unreferenced — drop them now rather than waiting for
+            # vacuum
+            if chunk_orphans:
+                jvmx, fsx, _ = _fs(spark, table_path)
+                for rel in chunk_orphans:
+                    fsx.delete(
+                        jvmx.org.apache.hadoop.fs.Path(f"{table_path}/{rel}"),
+                        False,
+                    )
             return v
         except CommitConflictError:
             attempts += 1
+            chunk_orphans.extend(written_chunks)
             try:
                 if attempts > max_retries:
                     raise CommitConflictError(
@@ -565,12 +748,18 @@ def commit_delta(
                 _validate_rebase(prev, cur, rewritten_set, update_key_ranges)
             except CommitConflictError:
                 # true conflict (or retry budget spent): this commit
-                # loses — drop ITS data files, never the winner's
+                # loses — drop ITS data files and orphan chunk files,
+                # never the winner's
                 jvmx, fsx, _ = _fs(spark, table_path)
                 fsx.delete(
                     jvmx.org.apache.hadoop.fs.Path(f"{table_path}/{delta_rel}"),
                     True,
                 )
+                for rel in chunk_orphans:
+                    fsx.delete(
+                        jvmx.org.apache.hadoop.fs.Path(f"{table_path}/{rel}"),
+                        False,
+                    )
                 raise
 
 
@@ -692,12 +881,22 @@ def commit_delete_file(
     for attempt in range(6):
         manifest = {
             "version": cur_v + 1,
-            "files": cur["files"],
-            "stats": cur.get("stats") or {},
             "stat_cols": cur.get("stat_cols") or [],
             "schema": cur["schema"],
             "deletes": [*(cur.get("deletes") or []), entry],
         }
+        if cur.get("chunks"):
+            # chunked table: the data layout is untouched, so every
+            # chunk entry carries by reference — the commit writes one
+            # key file + a snapshot doc of O(chunk-count) entries,
+            # never the full file list
+            manifest["chunks"] = [
+                {k: val for k, val in e.items() if k != "_members"}
+                for e in cur["chunks"]
+            ]
+        else:
+            manifest["files"] = cur["files"]
+            manifest["stats"] = cur.get("stats") or {}
         try:
             _write_manifest(spark, table_path, cur_v + 1, manifest)
             return cur_v + 1
@@ -806,9 +1005,11 @@ def point_lookup_files(
 ) -> list[str]:
     """The subset of the manifest's files whose min/max stats admit the
     equality probe ``eq`` ({col: value}) — the file-skipping half of a
-    point lookup, decided driver-side from the manifest alone."""
-    manifest = read_manifest(spark, table_path, version)
+    point lookup, decided driver-side from the manifest alone. On a
+    chunked table, whole chunks outside the probe's range are skipped
+    before any chunk file is read (metadata IO O(matching chunks))."""
     ranges = {c: (v, v) for c, v in eq.items()}
+    manifest = read_manifest_pruned(spark, table_path, ranges, version)
     touched, _ = split_files_by_key_ranges(manifest, ranges)
     return touched
 
@@ -827,8 +1028,12 @@ def read_table_point(
     # ONE manifest read for both the prune and the scan: a second read
     # could resolve a different version under a concurrent writer
     # (files from v+1 read with v's schema), and doubles the driver FS
-    # round-trips per lookup
-    manifest = read_manifest(spark, table_path, version)
+    # round-trips per lookup. Chunk-level pruning happens inside the
+    # same resolve — chunks whose recorded ranges exclude the key are
+    # never read at all.
+    manifest = read_manifest_pruned(
+        spark, table_path, {c: (v, v) for c, v in eq.items()}, version
+    )
     files, _ = split_files_by_key_ranges(
         manifest, {c: (v, v) for c, v in eq.items()}
     )
@@ -961,9 +1166,19 @@ def table_history(spark: SparkSession, table_path: str) -> list[dict]:
                 sizes[f] = 0  # vacuumed-from-under or in-flight: unknown
         return sizes[f]
 
+    chunk_files: dict[str, list[str]] = {}  # carried chunks repeat
     for v in _manifest_versions(spark, table_path):  # ONE listing
         m = _read_manifest_file(spark, table_path, v)
-        files = m.get("files")
+        if "chunks" in m:
+            files = []
+            for e in m["chunks"]:
+                if e["file"] not in chunk_files:
+                    chunk_files[e["file"]] = _read_json(
+                        spark, table_path, e["file"]
+                    )["files"]
+                files.extend(chunk_files[e["file"]])
+        else:
+            files = m.get("files")
         if files is None:  # legacy single-snapshot-dir manifest
             out.append({"version": v, "legacy_data_dir": m.get("data")})
             continue
@@ -997,8 +1212,12 @@ def vacuum(spark: SparkSession, table_path: str, keep_last: int = 2) -> list[int
     keep = versions[-keep_last:] if keep_last > 0 else []
     dropped = [v for v in versions if v not in keep]
     kept_dirs = set()
+    kept_chunks = set()
     for v in keep:
         m = read_manifest(spark, table_path, v)
+        kept_chunks |= {
+            e["file"].rsplit("/", 1)[-1] for e in m.get("chunks") or []
+        }
         if "files" in m:
             kept_dirs |= {f.split("/")[1] for f in m["files"] if "/" in f}
             # merge-on-read delete key files are data too: retiring one
@@ -1020,4 +1239,9 @@ def vacuum(spark: SparkSession, table_path: str, keep_last: int = 2) -> list[int
         for st in fs.listStatus(ddir):
             if st.getPath().getName() not in kept_dirs:
                 fs.delete(st.getPath(), True)
+    cdir = jvm.org.apache.hadoop.fs.Path(f"{table_path}/{MANIFEST_DIR}/chunks")
+    if fs.exists(cdir):
+        for st in fs.listStatus(cdir):
+            if st.getPath().getName() not in kept_chunks:
+                fs.delete(st.getPath(), False)
     return dropped

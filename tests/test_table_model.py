@@ -160,3 +160,23 @@ def test_range_fallback_path_matches_model(spark, tmp_path):
     finally:
         U._KEY_SET_CAP = old_cap
     assert _table_state(spark, path) == model
+
+
+def test_random_merge_sequence_chunked_layout(spark, tmp_path, monkeypatch):
+    """The full op-mix model sequence again, with the chunk thresholds
+    shrunk so every commit exercises the chunked (v2) snapshot layout:
+    chunk carry/repack on merges, chunk-referencing MoR deletes,
+    compaction re-chunking, vacuum of orphan chunk files, and time
+    travel across chunked versions — all against the same dict model."""
+    import prox_spark.table as T
+
+    monkeypatch.setattr(T, "CHUNK_THRESHOLD", 3)
+    monkeypatch.setattr(T, "CHUNK_SIZE", 2)
+    test_random_merge_sequence_matches_model(spark, tmp_path)
+    from prox_spark.table import _read_manifest_file
+
+    path = str(tmp_path / "t")
+    doc = _read_manifest_file(spark, path, table_versions(spark, path)[-1])
+    assert "chunks" in doc and "files" not in doc, (
+        "sequence never reached the chunked layout"
+    )
