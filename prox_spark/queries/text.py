@@ -2619,25 +2619,11 @@ def q163_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s")
     )
     wrapped = wrapped.persist()
-    pair_expr = (
-        f"zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1), "
-        f"(a, b) -> named_struct('lhs', a, 'rhs', b))"
-    )
     merges = []
     try:
         cur = wrapped
         for rnd in range(1, BPE_ROUNDS + 1):
-            best = (
-                cur.withColumn(
-                    "toks", F.expr(f"filter(split(s, '{_US}{_US}'), x -> x != '')")
-                )
-                .select(F.explode(F.expr(pair_expr)).alias("p"))
-                .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
-                .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
-                .orderBy(F.desc("n_occurrences"), F.asc("lhs"), F.asc("rhs"))
-                .limit(1)
-                .collect()
-            )
+            best = _bpe_round_frame(cur).collect()
             if not best:
                 break
             lhs, rhs, n = best[0]["lhs"], best[0]["rhs"], best[0]["n_occurrences"]
@@ -2655,6 +2641,41 @@ def q163_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "round int, lhs string, rhs string, n_occurrences long"
     ).orderBy("round")
+
+
+def _bpe_round_frame(cur: DataFrame) -> DataFrame:
+    """ONE BPE round's candidate plan: split the wrapped doc strings
+    back to tokens, explode adjacent pairs, partial-agg count, take
+    the argmax with the (count DESC, lhs ASC, rhs ASC) integer
+    tie-break. Shared by the q163 training loop and the lazy
+    plan-audit twin (``q163_bpe_train#round``) so a shuffle-shape
+    regression in the loop body is caught mechanically."""
+    pair_expr = (
+        "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1), "
+        "(a, b) -> named_struct('lhs', a, 'rhs', b))"
+    )
+    return (
+        cur.withColumn(
+            "toks", F.expr(f"filter(split(s, '{_US}{_US}'), x -> x != '')")
+        )
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("lhs"), F.asc("rhs"))
+        .limit(1)
+    )
+
+
+def bpe_round_audit_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lazy round-1 twin of q163's loop body, for tools/plan_audit.py."""
+    wrapped = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit(_US + _US),
+            F.array_join(F.expr(TOKENS_SPARK), _US + _US),
+            F.lit(_US + _US),
+        ).alias("s")
+    )
+    return _bpe_round_frame(wrapped)
 
 
 def _oracle_q163() -> str:

@@ -38,6 +38,10 @@ SKIP = {
     "q160_triangle_count",  # executes counting jobs; closing-join twin below
     "q161_ivf_index_maintenance",  # commits the index table while building;
     # the serving probe join is q45's audited plan shape
+    "q162_ivf_mor_delete",  # commits + MoR-deletes the index table while
+    # building; serving probe is q45's audited shape
+    "q163_bpe_train",  # per-round argmax collects while building;
+    # round-body twin below
 }
 
 
@@ -72,11 +76,18 @@ def _twin_q160(spark, sf_dir):
     return triangle_audit_frame(_part_co_edges(spark, sf_dir))
 
 
+def _twin_q163(spark, sf_dir):
+    from prox_spark.queries.text import bpe_round_audit_frame
+
+    return bpe_round_audit_frame(spark, sf_dir)
+
+
 AUDIT_TWINS = {
     "q72_dup_clusters#round": _twin_q72,
     "q127_pagerank#round": _twin_q127,
     "q150_weighted_pagerank#round": _twin_q150,
     "q160_triangle_count#closing": _twin_q160,
+    "q163_bpe_train#round": _twin_q163,
 }
 
 # node names as they appear at the head of a tree line (join nodes are
