@@ -395,20 +395,27 @@ def _write_chunk(spark: SparkSession, table_path: str, files: list[str],
 
 def _build_layout(spark: SparkSession, table_path: str, cur: dict,
                   keep_now: list[str], new_files: list[str],
-                  stats: dict, stat_cols: list[str]) -> tuple[dict, list[str]]:
+                  stats: dict, stat_cols: list[str],
+                  carry_entries: list | None = None) -> tuple[dict, list[str]]:
     """The {files, stats} or {chunks} half of the next snapshot doc,
     plus the chunk files written for it (for conflict cleanup).
     Chunked when the previous version already is, or the table has
     outgrown the inline single-doc layout: untouched chunks carry by
     reference; members of partially-invalidated chunks and the new
     files repack into fresh chunks sorted by leading stat column so
-    chunk ranges stay tight for pruning."""
+    chunk ranges stay tight for pruning. ``carry_entries``: chunk
+    entries a chunk-pruned merge scope proved disjoint — carried
+    verbatim without ever having been read."""
     total = len(keep_now) + len(new_files)
     prev_chunks = cur.get("chunks") or []
-    if not prev_chunks and total <= CHUNK_THRESHOLD:
+    if not prev_chunks and not carry_entries and total <= CHUNK_THRESHOLD:
         return {"files": [*keep_now, *new_files], "stats": stats}, []
     keep_set = set(keep_now)
-    carried, covered = [], set()
+    carried = [
+        {k: v for k, v in e.items() if k != "_members"}
+        for e in carry_entries or []
+    ]
+    covered: set = set()
     for entry in prev_chunks:
         members = entry.get("_members")
         if members is not None and set(members) <= keep_set:
@@ -529,6 +536,8 @@ def commit_delta(
     base_version: int | None = None,
     update_key_ranges: dict | None = None,
     max_retries: int = 5,
+    carry_chunks: list | None = None,
+    base_manifest: dict | None = None,
 ) -> int:
     """Commit the table's next version as ``keep_files`` (carried over
     verbatim from the previous version — never rewritten, never moved)
@@ -570,12 +579,23 @@ def commit_delta(
     In every mode, a concurrent commit that rewrote/removed a file
     this commit read (i.e. not in ``keep_files``), or targeted one
     with a new merge-on-read delete, is a conflict — those rows were
-    merged from a stale view."""
+    merged from a stale view.
+
+    CHUNK-LEVEL merges: a caller that chunk-pruned its scope (read
+    only the chunk files overlapping the batch keys) passes the
+    PARTIAL manifest it read as ``base_manifest`` and the unread,
+    provably-disjoint chunk entries as ``carry_chunks`` — those carry
+    into the next version by reference without this commit ever
+    naming their files, so per-merge metadata IO is O(matching
+    chunks) on both the read and the write side."""
     versions = _manifest_versions(spark, table_path)
     latest = versions[-1] if versions else 0
     if base_version is None:
         base_version = latest
-    prev = read_manifest(spark, table_path, base_version) if base_version else {}
+    if base_manifest is not None:
+        prev = base_manifest
+    else:
+        prev = read_manifest(spark, table_path, base_version) if base_version else {}
     if stat_cols is None:
         stat_cols = prev.get("stat_cols") or []
     v = latest + 1
@@ -683,6 +703,24 @@ def commit_delta(
     cur_v, cur = base_version, prev
     attempts = 0
     chunk_orphans: list[str] = []
+    base_full_cache: list = []
+
+    def _base_full() -> dict:
+        # conflict validation compares against the COMPLETE base file
+        # list; a chunk-pruned partial base would misread the carried
+        # chunks' files as concurrent adds. Assembled lazily — only a
+        # lost publish race pays for it.
+        if not base_full_cache:
+            base_full_cache.append(
+                prev
+                if base_manifest is None
+                else (
+                    read_manifest(spark, table_path, base_version)
+                    if base_version
+                    else {}
+                )
+            )
+        return base_full_cache[0]
     while True:
         v = cur_v + 1
         # carry-over list against the CURRENT version: current's files
@@ -697,7 +735,11 @@ def commit_delta(
         stats = {f: (cur.get("stats") or {}).get(f) for f in keep_now}
         stats.update(new_stats)
         layout, written_chunks = _build_layout(
-            spark, table_path, cur, keep_now, new_files, stats, stat_cols
+            spark, table_path, cur, keep_now, new_files, stats, stat_cols,
+            # after a rebase, cur is FULLY assembled and its own chunk
+            # entries cover the formerly-disjoint chunks — passing
+            # carry_chunks again would double-list them
+            carry_entries=carry_chunks if cur_v == base_version else None,
         )
         manifest = {
             "version": v,
@@ -713,9 +755,16 @@ def commit_delta(
         # keeps the manifest minimal and lets vacuum retire fully-
         # applied delete files once no kept manifest references them).
         keep_set = set(keep_now)
+        # under a chunk-pruned scope, cur is PARTIAL: a target outside
+        # its file list lives in an unread carried chunk and must keep
+        # its delete (dropping it would resurrect rows in a chunk this
+        # merge never looked at)
+        known = set(cur.get("files") or [])
         carried = []
         for d in cur.get("deletes") or []:
-            targets = [f for f in d["targets"] if f in keep_set]
+            targets = [
+                f for f in d["targets"] if f in keep_set or f not in known
+            ]
             if targets:
                 carried.append({**d, "targets": targets})
         if carried:
@@ -745,7 +794,9 @@ def commit_delta(
                 cur_versions = _manifest_versions(spark, table_path)
                 cur_v = cur_versions[-1]
                 cur = read_manifest(spark, table_path, cur_v)
-                _validate_rebase(prev, cur, rewritten_set, update_key_ranges)
+                _validate_rebase(
+                    _base_full(), cur, rewritten_set, update_key_ranges
+                )
             except CommitConflictError:
                 # true conflict (or retry budget spent): this commit
                 # loses — drop ITS data files and orphan chunk files,
@@ -963,6 +1014,39 @@ def split_files_by_key_ranges(
     for f in manifest.get("files", []):
         (touched if _overlaps(stats.get(f), key_ranges) else untouched).append(f)
     return touched, untouched
+
+
+def split_chunks_by_key_sets(
+    doc: dict, key_values: dict[str, list]
+) -> tuple[list[dict], list[dict]]:
+    """Partition a raw chunked snapshot doc's chunk entries into
+    (overlap, disjoint) for a key-based merge: a DISJOINT chunk's
+    recorded per-chunk ranges prove that NO batch key value falls
+    inside them on some column, so the chunk file is never read and
+    its entry carries into the next version by reference. One bisect
+    per (chunk, column) — the chunk-granular analog of
+    :func:`split_files_by_key_sets`. Entries without ranges are
+    conservatively overlap."""
+    from bisect import bisect_left
+
+    overlap, disjoint = [], []
+    for entry in doc.get("chunks", []):
+        ranges = entry.get("ranges")
+        hit = True
+        if ranges:
+            for col, vals in key_values.items():
+                r = ranges.get(col)
+                if r is None or not vals:
+                    continue
+                try:
+                    i = bisect_left(vals, r[0])
+                except TypeError:  # incomparable types -> can't prune
+                    continue
+                if i >= len(vals) or vals[i] > r[1]:
+                    hit = False
+                    break
+        (overlap if hit else disjoint).append(entry)
+    return overlap, disjoint
 
 
 def split_files_by_key_sets(

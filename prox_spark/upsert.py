@@ -225,7 +225,8 @@ class _MergeScope:
     pre-file-granular behavior."""
 
     def __init__(self, spark, table_path, keys, touched, keep, migrated,
-                 stat_cols=None, base_version=None, key_ranges=None):
+                 stat_cols=None, base_version=None, key_ranges=None,
+                 carry_chunks=None, base_manifest=None):
         self.spark = spark
         self.table_path = table_path
         self.keys = keys
@@ -235,6 +236,8 @@ class _MergeScope:
         self._stat_cols = list(stat_cols or [])
         self._base_version = base_version
         self._key_ranges = key_ranges
+        self._carry_chunks = carry_chunks
+        self._base_manifest = base_manifest
 
     def commit(self, merged: DataFrame) -> None:
         # preserve the table's declared stat columns (they may be a
@@ -249,6 +252,8 @@ class _MergeScope:
             self.spark, self.table_path, merged, self.keep, stat_cols=cols,
             base_version=self._base_version,
             update_key_ranges=self._key_ranges,
+            carry_chunks=self._carry_chunks,
+            base_manifest=self._base_manifest,
         )
         if self._migrated:
             _drop_legacy_files(self.spark, self.table_path)
@@ -262,11 +267,57 @@ def _merge_scope(
     key_rows: list | None = None,
 ) -> _MergeScope | None:
     """Build the merge scope, or None when the table doesn't exist.
-    ``key_rows``: pre-collected batch rows (see :func:`_prune_files`)."""
+    ``key_rows``: pre-collected batch rows (see :func:`_prune_files`).
+
+    On a CHUNKED table with a driver-small batch, the scope is
+    CHUNK-PRUNED: only the chunk files whose recorded ranges overlap
+    the batch keys are read; the provably-disjoint entries carry into
+    the commit by reference (commit_delta's ``carry_chunks``) — both
+    the metadata read and write of a merge are then O(matching
+    chunks), not O(live files)."""
     if is_manifest_table(spark, table_path):
-        manifest = read_manifest(spark, table_path)
-        stat_cols = manifest.get("stat_cols") or []
-        base_v = manifest.get("version")
+        from prox_spark.table import (
+            _assemble,
+            _read_manifest_file,
+            split_chunks_by_key_sets,
+            split_files_by_key_sets,
+            table_versions,
+        )
+
+        latest = table_versions(spark, table_path)[-1]
+        doc = _read_manifest_file(spark, table_path, latest)
+        stat_cols = doc.get("stat_cols") or []
+        base_v = doc.get("version", latest)
+        if "chunks" in doc and set(keys) <= set(stat_cols):
+            if key_rows is None:
+                rows = (
+                    key_df.select(*keys).distinct()
+                    .limit(_KEY_SET_CAP + 1).collect()
+                )
+                if len(rows) <= _KEY_SET_CAP:
+                    key_rows = rows
+            if key_rows is not None:
+                vals = {
+                    k: sorted({r[k] for r in key_rows if r[k] is not None})
+                    for k in keys
+                }
+                ranges = {k: (v[0], v[-1]) for k, v in vals.items() if v}
+                overlap, disjoint = split_chunks_by_key_sets(doc, vals)
+                partial = _assemble(
+                    spark, table_path, {**doc, "chunks": overlap}
+                )
+                touched_files, keep_loose = split_files_by_key_sets(
+                    partial, vals
+                )
+                touched = _read_files(
+                    spark, table_path, partial, touched_files
+                )
+                return _MergeScope(
+                    spark, table_path, keys, touched, keep_loose, False,
+                    stat_cols, base_v, ranges or None,
+                    carry_chunks=disjoint, base_manifest=partial,
+                )
+        manifest = _assemble(spark, table_path, doc)
         if "files" in manifest and set(keys) <= set(stat_cols):
             touched_files, keep, ranges = _prune_files(
                 manifest, key_df, keys, key_rows

@@ -175,3 +175,51 @@ def test_chunk_file_content_shape(spark, tmp_path, chunky):
         assert set(chunk) == {"files", "stats"}
         assert len(chunk["files"]) == e["n"]
         assert set(chunk["stats"]) == set(chunk["files"])
+
+
+def test_merge_scope_reads_only_overlapping_chunks(
+    spark, tmp_path, chunky, monkeypatch
+):
+    """A key merge on a chunked table must read ONLY the chunk files
+    whose ranges overlap the batch — the disjoint entries carry into
+    the next snapshot by reference, never opened."""
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    before = _chunk_names(spark, path, 1)
+    total = len(before)
+    reads = []
+    real = T._read_json
+
+    def counting(spark_, table_path, rel):
+        if "/chunks/" in rel:
+            reads.append(rel)
+        return real(spark_, table_path, rel)
+
+    monkeypatch.setattr(T, "_read_json", counting)
+    upsert_parquet(spark, path, _df(spark, [(5, "upserted")]), ["id"])
+    monkeypatch.setattr(T, "_read_json", real)
+    assert 0 < len(set(reads)) < total, (
+        f"merge read {len(set(reads))} of {total} chunks — no chunk-level prune"
+    )
+    after = _chunk_names(spark, path, 2)
+    assert before & after, "disjoint chunks were not carried by reference"
+    got = {(r.id, r.v) for r in read_table(spark, path).collect()}
+    assert got == {(i, "base") for i in range(200) if i != 5} | {(5, "upserted")}
+
+
+def test_pending_delete_on_unread_chunk_survives_merge(spark, tmp_path, chunky):
+    """A merge-on-read delete whose target lives in a chunk the next
+    merge proves DISJOINT must survive that merge's commit: the carry
+    logic may not drop delete targets it cannot see."""
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    # pending MoR delete of a high id (lives in the last chunk)
+    n = delete_keys_mor(spark, path, _df(spark, [(190, "x")]), ["id"])
+    assert n == 1
+    # merge far away (low id): chunk holding 190 is disjoint -> unread
+    upsert_parquet(spark, path, _df(spark, [(2, "upserted")]), ["id"])
+    got = {(r.id, r.v) for r in read_table(spark, path).collect()}
+    assert (190, "base") not in got, (
+        "pending delete dropped by a merge that never read its chunk"
+    )
+    assert (2, "upserted") in got and len(got) == 199
