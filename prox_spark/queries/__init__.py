@@ -46,6 +46,8 @@ _FRONT = [
     # new this round
     "q162_ivf_mor_delete",
     "q163_bpe_train",
+    "q164_rare_token_profile",
+    "q165_source_overlap_matrix",
     # last driver row: round 1
     "q23_first_event_per_key",
     "q24_event_type_share",
@@ -90,7 +92,6 @@ _FRONT = [
     "q74_top_customer_per_nation",
     "q79_grouping_sets",
     "q89_rank_functions",
-    "q90_late_order_priority",
 ]
 
 

@@ -2717,6 +2717,133 @@ def _oracle_q163() -> str:
     return ",\n".join(parts) + f"\n{union}\nORDER BY round"
 
 
+# --- q164: corpus-frequency quality signals --------------------------------
+
+RARE_COUNT_MAX = 2  # a token with global count <= this is "rare"
+
+
+def q164_rare_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency document quality signals, per source: the
+    deterministic cousin of CCNet's LM-perplexity filter. A document
+    whose tokens are mostly corpus-rare is usually noise (OCR garbage,
+    base64, boilerplate IDs); one whose tokens are all ultra-common is
+    template filler. The profile reports, per source, total tokens,
+    how many are rare (global count <= RARE_COUNT_MAX), the rare
+    fraction, and the source's distinct-token count — the numbers a
+    data card's quality section quotes. All arithmetic is
+    integer-exact until one final division of exact integers, so the
+    hash gate holds bit-for-bit (no logs/perplexity — transcendental
+    functions differ across libms; rank/frequency signals don't).
+
+    Scale shape: one explode + partial-agg count builds the global
+    vocabulary (shuffle ∝ distinct tokens); the frequency attach is an
+    equi-join ON TOKEN (never broadcast — a 100 TB corpus's vocabulary
+    is itself huge; AQE picks the strategy), and the per-source
+    rollup partial-aggregates. Nothing is per-document quadratic and
+    the vocabulary never lands on the driver."""
+    toks = (
+        _docs(spark, sf_dir)
+        .select("source", F.explode(F.expr(TOKENS_SPARK)).alias("tok"))
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("gc"))
+    return (
+        toks.join(vocab, "tok")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("gc") <= RARE_COUNT_MAX, 1).otherwise(0))
+            .cast("long")
+            .alias("n_rare"),
+            F.countDistinct("tok").cast("long").alias("n_distinct"),
+        )
+        .withColumn(
+            "rare_pct",
+            F.round(F.lit(100.0) * F.col("n_rare") / F.col("n_tokens"), 6),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_Q164 = f"""
+WITH toks AS (
+  SELECT source, unnest({TOKENS_DUCK}) AS tok FROM documents
+),
+vocab AS (SELECT tok, count(*) AS gc FROM toks GROUP BY tok)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(*) FILTER (WHERE gc <= {RARE_COUNT_MAX}) AS BIGINT) AS n_rare,
+       CAST(count(DISTINCT t.tok) AS BIGINT) AS n_distinct,
+       round(100.0 * (count(*) FILTER (WHERE gc <= {RARE_COUNT_MAX})) / count(*), 6) AS rare_pct
+FROM toks t JOIN vocab USING (tok)
+GROUP BY source
+ORDER BY source
+"""
+
+
+# --- q165: cross-source duplicate overlap matrix ----------------------------
+
+OVERLAP_PREFIX = 24  # chars of leading text fingerprinted per doc
+
+
+def q165_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate-overlap matrix — for every source pair,
+    how many distinct document TEMPLATES (md5 of the first
+    OVERLAP_PREFIX chars — shared boilerplate/headers) and how many
+    distinct EXACT texts appear in both. The data-card companion to
+    q30: within-source dup rates say how noisy each feed is;
+    CROSS-source overlap says which feeds mirror each other or share
+    a generator (a crawl that re-ingests another dump inflates
+    mixture weights silently). Reported per unordered pair
+    (src_a < src_b).
+
+    Scale shape: distinct (fingerprint, source) pairs first — one
+    partial-agg shuffle on a 16-byte digest — then a self-equi-join
+    on the fingerprint restricted to src_a < src_b. Sources-per-
+    fingerprint is bounded by the source count (tiny), so join
+    fan-out per fingerprint is O(sources²), never O(copies²): a
+    template shared a million times across two feeds contributes ONE
+    row per feed and one matrix increment."""
+    docs = _docs(spark, sf_dir).select(
+        F.md5(F.substring("text", 1, OVERLAP_PREFIX)).alias("pfx"),
+        F.md5("text").alias("full"),
+        "source",
+    )
+    ds = docs.select("pfx", "full", "source").distinct()
+    other = ds.select(
+        "pfx",
+        F.col("full").alias("full_b"),
+        F.col("source").alias("src_b"),
+    )
+    return (
+        ds.withColumnRenamed("source", "src_a")
+        .join(other, "pfx")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.countDistinct("pfx").cast("long").alias("n_shared_prefix"),
+            F.countDistinct(
+                F.when(F.col("full") == F.col("full_b"), F.col("full"))
+            ).cast("long").alias("n_shared_exact"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+ORACLE_Q165 = f"""
+WITH ds AS (
+  SELECT DISTINCT md5(substr(text, 1, {OVERLAP_PREFIX})) AS pfx,
+                  md5(text) AS full, source
+  FROM documents
+)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(count(DISTINCT a.pfx) AS BIGINT) AS n_shared_prefix,
+       CAST(count(DISTINCT CASE WHEN a.full = b.full THEN a.full END) AS BIGINT) AS n_shared_exact
+FROM ds a JOIN ds b ON a.pfx = b.pfx AND a.source < b.source
+GROUP BY src_a, src_b
+ORDER BY src_a, src_b
+"""
+
+
 QUERIES = {
     "q30_exact_dedup": q30_exact_dedup,
     "q31_text_stats": q31_text_stats,
@@ -2746,6 +2873,8 @@ QUERIES = {
     "q116_sequence_packing": q116_sequence_packing,
     "q120_bpe_pair_counts": q120_bpe_pair_counts,
     "q163_bpe_train": q163_bpe_train,
+    "q164_rare_token_profile": q164_rare_token_profile,
+    "q165_source_overlap_matrix": q165_source_overlap_matrix,
     "q122_quality_prune": q122_quality_prune,
     "q124_dedup_pipeline": q124_dedup_pipeline,
     "q129_corpus_shuffle": q129_corpus_shuffle,
@@ -2788,6 +2917,8 @@ ORACLES = {
     "q116_sequence_packing": ORACLE_Q116,
     "q120_bpe_pair_counts": ORACLE_Q120,
     "q163_bpe_train": _oracle_q163(),
+    "q164_rare_token_profile": ORACLE_Q164,
+    "q165_source_overlap_matrix": ORACLE_Q165,
     "q122_quality_prune": ORACLE_Q122,
     "q124_dedup_pipeline": ORACLE_Q124,
     "q129_corpus_shuffle": ORACLE_Q129,
