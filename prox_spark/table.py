@@ -168,6 +168,7 @@ def _assemble(spark: SparkSession, table_path: str, doc: dict,
         return doc
     files: list[str] = []
     stats: dict = {}
+    born: dict = {}
     entries: list[dict] = []
     for entry in doc["chunks"]:
         if chunk_filter is not None and not chunk_filter(entry):
@@ -175,6 +176,7 @@ def _assemble(spark: SparkSession, table_path: str, doc: dict,
         chunk = _read_json(spark, table_path, entry["file"])
         files.extend(chunk["files"])
         stats.update(chunk.get("stats") or {})
+        born.update(chunk.get("born") or {})
         # membership rides along (stripped before re-serialization) so
         # a later commit can carry untouched chunks by reference
         # without re-reading them
@@ -183,6 +185,8 @@ def _assemble(spark: SparkSession, table_path: str, doc: dict,
     out["chunks"] = entries
     out["files"] = files
     out["stats"] = stats
+    if born:
+        out["born"] = born
     return out
 
 
@@ -245,7 +249,17 @@ def _read_files(
     applicable-delete signature and each group anti-joins its delete
     sets (broadcast: deletion batches are small by nature); untargeted
     files — including every file added AFTER the delete, so a
-    re-inserted key is never swallowed — stream through untouched."""
+    re-inserted key is never swallowed — stream through untouched.
+
+    RENAMES are applied the same way, keyed by BIRTH VERSION: a
+    ``renames`` entry {from, to, version} applies to every file born
+    before it (the file physically carries the pre-rename name);
+    groups read with the file's original names — resolved by walking
+    declared names backwards through the applicable entries, newest
+    first, so chains a->b->c recover ``a`` for the oldest files — and
+    alias to the declared ones. Rename is a pure metadata commit;
+    files written after are born with the new name and no mapping
+    fires for them."""
     from functools import reduce
 
     from pyspark.sql import functions as F
@@ -259,23 +273,47 @@ def _read_files(
         for d in (manifest.get("deletes") or [])
         if file_set & set(d["targets"])
     ]
-    if not deletes:
+    renames = list(manifest.get("renames") or [])
+    born = manifest.get("born") or {}
+    if not deletes and not renames:
         return spark.read.schema(schema).parquet(
             *[f"{table_path}/{f}" for f in files]
         )
-    target_sets = [set(d["targets"]) for d in deletes]
-    sig: dict[str, tuple] = {}
-    for f in files:
-        sig[f] = tuple(i for i, ts in enumerate(target_sets) if f in ts)
+    d_sets = [set(d["targets"]) for d in deletes]
     groups: dict[tuple, list[str]] = {}
     for f in files:
-        groups.setdefault(sig[f], []).append(f)
-    parts = []
-    for s in sorted(groups):
-        df = spark.read.schema(schema).parquet(
-            *[f"{table_path}/{f}" for f in groups[s]]
+        sig = (
+            tuple(i for i, ts in enumerate(d_sets) if f in ts),
+            tuple(
+                i for i, r in enumerate(renames)
+                if born.get(f, 0) < r["version"]
+            ),
         )
-        for i in s:
+        groups.setdefault(sig, []).append(f)
+    parts = []
+    for d_sig, r_sig in sorted(groups):
+        # physical read schema for this group: declared names walked
+        # back through the applicable renames, newest first (a chain
+        # a->b->c reverses to the file's original name a)
+        read_fields = []
+        for fld in schema.fields:
+            name = fld.name
+            # walk the chain backwards through every applicable rename
+            for i in reversed(r_sig):
+                r = renames[i]
+                if name == r["to"]:
+                    name = r["from"]
+            read_fields.append(
+                type(fld)(name, fld.dataType, fld.nullable, fld.metadata)
+            )
+        read_schema = StructType(read_fields)
+        df = spark.read.schema(read_schema).parquet(
+            *[f"{table_path}/{f}" for f in groups[(d_sig, r_sig)]]
+        )
+        for phys_f, decl_f in zip(read_fields, schema.fields):
+            if phys_f.name != decl_f.name:
+                df = df.withColumnRenamed(phys_f.name, decl_f.name)
+        for i in d_sig:
             d = deletes[i]
             dset = (
                 spark.read.parquet(f"{table_path}/{d['file']}")
@@ -373,7 +411,8 @@ def _chunk_ranges(files: list[str], stats: dict, stat_cols: list[str]):
 
 
 def _write_chunk(spark: SparkSession, table_path: str, files: list[str],
-                 stats: dict, stat_cols: list[str]) -> dict:
+                 stats: dict, stat_cols: list[str],
+                 born: dict | None = None) -> dict:
     """Write one immutable manifest-chunk file; returns its snapshot
     entry. Chunk files are invisible until a published snapshot
     references them (same protocol as data files), so a failed commit
@@ -381,10 +420,11 @@ def _write_chunk(spark: SparkSession, table_path: str, files: list[str],
     jvm, fs, _ = _fs(spark, table_path)
     rel = f"{MANIFEST_DIR}/chunks/mc-{uuid.uuid4().hex}.json"
     fs.mkdirs(jvm.org.apache.hadoop.fs.Path(f"{table_path}/{MANIFEST_DIR}/chunks"))
+    doc = {"files": files, "stats": {f: stats.get(f) for f in files}}
+    if born:
+        doc["born"] = {f: born[f] for f in files if f in born}
     out = fs.create(jvm.org.apache.hadoop.fs.Path(f"{table_path}/{rel}"), False)
-    out.write(bytearray(json.dumps(
-        {"files": files, "stats": {f: stats.get(f) for f in files}}
-    ), "utf-8"))
+    out.write(bytearray(json.dumps(doc), "utf-8"))
     out.close()
     entry = {"file": rel, "n": len(files)}
     ranges = _chunk_ranges(files, stats, stat_cols)
@@ -396,7 +436,8 @@ def _write_chunk(spark: SparkSession, table_path: str, files: list[str],
 def _build_layout(spark: SparkSession, table_path: str, cur: dict,
                   keep_now: list[str], new_files: list[str],
                   stats: dict, stat_cols: list[str],
-                  carry_entries: list | None = None) -> tuple[dict, list[str]]:
+                  carry_entries: list | None = None,
+                  born: dict | None = None) -> tuple[dict, list[str]]:
     """The {files, stats} or {chunks} half of the next snapshot doc,
     plus the chunk files written for it (for conflict cleanup).
     Chunked when the previous version already is, or the table has
@@ -409,7 +450,10 @@ def _build_layout(spark: SparkSession, table_path: str, cur: dict,
     total = len(keep_now) + len(new_files)
     prev_chunks = cur.get("chunks") or []
     if not prev_chunks and not carry_entries and total <= CHUNK_THRESHOLD:
-        return {"files": [*keep_now, *new_files], "stats": stats}, []
+        out = {"files": [*keep_now, *new_files], "stats": stats}
+        if born:
+            out["born"] = born
+        return out, []
     keep_set = set(keep_now)
     carried = [
         {k: v for k, v in e.items() if k != "_members"}
@@ -437,7 +481,8 @@ def _build_layout(spark: SparkSession, table_path: str, cur: dict,
     written = []
     for i in range(0, len(loose), CHUNK_SIZE):
         entry = _write_chunk(
-            spark, table_path, loose[i : i + CHUNK_SIZE], stats, stat_cols
+            spark, table_path, loose[i : i + CHUNK_SIZE], stats, stat_cols,
+            born,
         )
         carried.append(entry)
         written.append(entry["file"])
@@ -700,6 +745,30 @@ def commit_delta(
 
     rewritten_set = set(prev.get("files", [])) - set(keep_files)
     schema_json = new_df.schema.jsonValue()
+    readded = [
+        e["col"] for e in prev.get("dropped_cols") or []
+        if e["col"] in set(new_df.columns)
+    ]
+    if readded:
+        # re-introducing a previously DROPPED column name is only safe
+        # when no live file still physically carries the old values —
+        # name-based parquet resolution would silently resurrect them
+        # for old rows. Prove it from the kept files' footers; under a
+        # chunk-pruned scope the carried chunks' files are unknown, so
+        # fail conservatively.
+        if carry_chunks:
+            raise ValueError(
+                f"column(s) {readded} were dropped and files from before "
+                "the drop may survive in carried chunks; run compact_table "
+                "before re-adding the name"
+            )
+        dirty = _files_carrying(spark, table_path, keep_files, readded)
+        if dirty:
+            raise ValueError(
+                f"column(s) {readded} were dropped but live files still "
+                f"physically carry them (e.g. {dirty[:3]}); run "
+                "compact_table before re-adding the name"
+            )
     cur_v, cur = base_version, prev
     attempts = 0
     chunk_orphans: list[str] = []
@@ -734,12 +803,21 @@ def commit_delta(
         )
         stats = {f: (cur.get("stats") or {}).get(f) for f in keep_now}
         stats.update(new_stats)
+        # per-file birth versions drive rename-mapping applicability:
+        # a file born at version b physically carries the column names
+        # declared at b, so renames committed after b apply to it and
+        # renames before b don't. Files without a record are treated
+        # as born at 0 (pre-feature tables: every rename applies).
+        cur_born = cur.get("born") or {}
+        born_now = {f: cur_born.get(f, 0) for f in keep_now}
+        born_now.update(dict.fromkeys(new_files, v))
         layout, written_chunks = _build_layout(
             spark, table_path, cur, keep_now, new_files, stats, stat_cols,
             # after a rebase, cur is FULLY assembled and its own chunk
             # entries cover the formerly-disjoint chunks — passing
             # carry_chunks again would double-list them
             carry_entries=carry_chunks if cur_v == base_version else None,
+            born=born_now,
         )
         manifest = {
             "version": v,
@@ -757,18 +835,46 @@ def commit_delta(
         keep_set = set(keep_now)
         # under a chunk-pruned scope, cur is PARTIAL: a target outside
         # its file list lives in an unread carried chunk and must keep
-        # its delete (dropping it would resurrect rows in a chunk this
+        # its entry (dropping a delete would resurrect rows — and
+        # dropping a rename would mis-read a column — in a chunk this
         # merge never looked at)
         known = set(cur.get("files") or [])
-        carried = []
-        for d in cur.get("deletes") or []:
-            targets = [
-                f for f in d["targets"] if f in keep_set or f not in known
-            ]
-            if targets:
-                carried.append({**d, "targets": targets})
+        carried = _carry_targeted(cur.get("deletes"), keep_set, known)
         if carried:
             manifest["deletes"] = carried
+        # rename mappings self-limit by birth version (a file this
+        # commit wrote is born NOW, after every pending rename, so no
+        # mapping applies to it); an entry retires once no live file
+        # predates it — provable only with the FULL born view, so a
+        # chunk-pruned commit carries entries verbatim and compaction
+        # (full rewrite) retires them.
+        live_renames = cur.get("renames") or []
+        if live_renames:
+            full_view = not (
+                cur_v == base_version and base_manifest is not None
+            )
+            if full_view:
+                live_renames = [
+                    e for e in live_renames
+                    if any(b < e["version"] for b in born_now.values())
+                ]
+            if live_renames:
+                manifest["renames"] = live_renames
+        full_rewrite = (
+            not keep_now
+            and not (cur_v == base_version and carry_chunks)
+        )
+        still_dropped = (
+            []
+            if full_rewrite  # every surviving file is new: none can
+            # physically carry a dropped column — the guard clears
+            else [
+                e for e in cur.get("dropped_cols") or []
+                if e["col"] not in set(new_df.columns)
+            ]
+        )
+        if still_dropped:
+            manifest["dropped_cols"] = still_dropped
         try:
             _write_manifest(spark, table_path, v, manifest)
             # chunk files written for attempts that lost the race are
@@ -814,6 +920,21 @@ def commit_delta(
                 raise
 
 
+def _carry_targeted(entries: list | None, keep_set: set, known: set) -> list:
+    """Shrink file-targeted manifest entries (merge-on-read deletes,
+    rename mappings, dropped-column guards) to the targets that
+    survive a commit: kept files keep their entries, rewritten files
+    drop out (the rewrite materialized the effect), and targets
+    OUTSIDE the commit's known file list — unread carried chunks —
+    are preserved untouched."""
+    out = []
+    for e in entries or []:
+        targets = [f for f in e["targets"] if f in keep_set or f not in known]
+        if targets:
+            out.append({**e, "targets": targets})
+    return out
+
+
 def _validate_rebase(
     base: dict,
     cur: dict,
@@ -830,6 +951,12 @@ def _validate_rebase(
             "concurrent writer published a manifest without a file list; "
             "cannot prove disjointness"
         )
+    for meta_key in ("schema", "renames", "dropped_cols", "stat_cols"):
+        if base.get(meta_key) != cur.get(meta_key):
+            raise CommitConflictError(
+                f"concurrent commit changed table {meta_key}; this "
+                "commit's outputs were derived under the old metadata"
+            )
     cur_files = set(cur["files"])
     gone = rewritten_set - cur_files
     if gone:
@@ -936,11 +1063,15 @@ def commit_delete_file(
             "schema": cur["schema"],
             "deletes": [*(cur.get("deletes") or []), entry],
         }
+        for kind in ("renames", "dropped_cols"):
+            if cur.get(kind):
+                manifest[kind] = cur[kind]
         if cur.get("chunks"):
             # chunked table: the data layout is untouched, so every
             # chunk entry carries by reference — the commit writes one
             # key file + a snapshot doc of O(chunk-count) entries,
-            # never the full file list
+            # never the full file list (per-file born records live in
+            # the chunks and carry with them)
             manifest["chunks"] = [
                 {k: val for k, val in e.items() if k != "_members"}
                 for e in cur["chunks"]
@@ -948,6 +1079,8 @@ def commit_delete_file(
         else:
             manifest["files"] = cur["files"]
             manifest["stats"] = cur.get("stats") or {}
+            if cur.get("born"):
+                manifest["born"] = cur["born"]
         try:
             _write_manifest(spark, table_path, cur_v + 1, manifest)
             return cur_v + 1
@@ -981,6 +1114,177 @@ def commit_delete_file(
                     )
                 ) from None
     raise AssertionError("unreachable")
+
+
+def _files_carrying(
+    spark: SparkSession, table_path: str, files: list[str], cols: list[str]
+) -> list[str]:
+    """Files whose parquet footer schema physically contains any of
+    ``cols`` — the safety check before re-introducing a dropped column
+    name. Footer-only IO, driver-side (this runs only on the rare
+    re-add path); unreadable footers count as carrying, conservatively."""
+    import pyarrow.parquet as pq
+
+    want = set(cols)
+    out = []
+    for f in files:
+        p = f"{table_path}/{f}"
+        local = p[len("file:"):] if p.startswith("file:") else p
+        try:
+            names = set(pq.read_schema(local).names)
+        except Exception:
+            out.append(f)
+            continue
+        if want & names:
+            out.append(f)
+    return out
+
+
+def _commit_meta_change(spark: SparkSession, table_path: str, mutate) -> int:
+    """Publish a METADATA-ONLY next version: ``mutate(doc, v)`` takes
+    the current raw snapshot doc (chunk references untouched — nothing
+    is assembled or rewritten) and returns the next one; the rename
+    CAS retries on a lost race with a freshly-read doc, so validation
+    re-runs against whatever the concurrent writer published."""
+    for attempt in range(6):
+        versions = _manifest_versions(spark, table_path)
+        if not versions:
+            raise ValueError(f"{table_path} is not a manifest table")
+        cur_v = versions[-1]
+        doc = _read_manifest_file(spark, table_path, cur_v)
+        manifest = mutate(dict(doc), cur_v + 1)
+        manifest["version"] = cur_v + 1
+        try:
+            _write_manifest(spark, table_path, cur_v + 1, manifest)
+            return cur_v + 1
+        except CommitConflictError:
+            if attempt == 4:
+                raise
+    raise AssertionError("unreachable")
+
+
+def rename_column(spark: SparkSession, table_path: str,
+                  old: str, new: str) -> int:
+    """Rename a column WITHOUT rewriting any data file (Delta/Iceberg
+    column-mapping semantics, name-based): the snapshot's declared
+    schema changes and a {from, to, version} mapping entry is
+    recorded; reads resolve each file's physical name by its BIRTH
+    version (files written before the rename carry the old name and
+    are read through the mapping; files written after are born with
+    the new name). The entry retires automatically once every
+    pre-rename file has been rewritten or compacted away.
+
+    Stat bookkeeping: declared stat_cols and snapshot-level chunk
+    ranges rename immediately; per-file footer stats recorded under
+    the old name inside immutable chunk files degrade to
+    conservative no-prune for pre-rename files until they are next
+    rewritten — sound, just temporarily coarser.
+
+    Refused while a pending merge-on-read delete keys on the column
+    (its key file carries the old name) and when ``new`` collides
+    with a live or dropped-but-unswept column name."""
+    def mutate(doc: dict, v: int) -> dict:
+        fields = doc["schema"]["fields"]
+        names = {f["name"] for f in fields}
+        if old not in names:
+            raise ValueError(f"column {old!r} not in table schema")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        for e in doc.get("dropped_cols") or []:
+            if e["col"] == new:
+                raise ValueError(
+                    f"column {new!r} was dropped and old files may still "
+                    "carry it; run compact_table before reusing the name"
+                )
+        for d in doc.get("deletes") or []:
+            if old in d["keys"]:
+                raise ValueError(
+                    f"a pending merge-on-read delete keys on {old!r}; "
+                    "compact_table (folds deletes in) before renaming"
+                )
+        doc["schema"] = {
+            **doc["schema"],
+            "fields": [
+                {**f, "name": new} if f["name"] == old else f
+                for f in fields
+            ],
+        }
+        doc["stat_cols"] = [
+            new if c == old else c for c in doc.get("stat_cols") or []
+        ]
+        if "stats" in doc:
+            doc["stats"] = {
+                f: (
+                    {(new if c == old else c): r for c, r in st.items()}
+                    if st else st
+                )
+                for f, st in doc["stats"].items()
+            }
+        if "chunks" in doc:
+            doc["chunks"] = [
+                {
+                    **e,
+                    **(
+                        {"ranges": {
+                            (new if c == old else c): r
+                            for c, r in e["ranges"].items()
+                        }}
+                        if e.get("ranges") else {}
+                    ),
+                }
+                for e in doc["chunks"]
+            ]
+        doc["renames"] = [
+            *(doc.get("renames") or []),
+            {"from": old, "to": new, "version": v},
+        ]
+        return doc
+
+    return _commit_meta_change(spark, table_path, mutate)
+
+
+def drop_column(spark: SparkSession, table_path: str, col: str) -> int:
+    """Drop a column WITHOUT rewriting any data file: the declared
+    schema loses the field and name-based parquet resolution simply
+    stops reading it (column pruning skips the bytes at the scan).
+    A ``dropped_cols`` guard entry is recorded so the NAME cannot be
+    re-introduced while live files still physically carry old values
+    (name-based resolution would silently resurrect them) — re-adding
+    is allowed again once a footer sweep proves no live file has the
+    column, or after compact_table. Refused while a pending
+    merge-on-read delete keys on the column or a rename mapping still
+    references it."""
+    def mutate(doc: dict, v: int) -> dict:
+        fields = doc["schema"]["fields"]
+        names = {f["name"] for f in fields}
+        if col not in names:
+            raise ValueError(f"column {col!r} not in table schema")
+        for d in doc.get("deletes") or []:
+            if col in d["keys"]:
+                raise ValueError(
+                    f"a pending merge-on-read delete keys on {col!r}; "
+                    "compact_table before dropping it"
+                )
+        for r in doc.get("renames") or []:
+            if col in (r["from"], r["to"]):
+                raise ValueError(
+                    f"a live rename mapping references {col!r}; "
+                    "compact_table (retires mappings) before dropping it"
+                )
+        doc["schema"] = {
+            **doc["schema"],
+            "fields": [f for f in fields if f["name"] != col],
+        }
+        doc["stat_cols"] = [
+            c for c in doc.get("stat_cols") or [] if c != col
+        ]
+        dropped = [
+            e for e in doc.get("dropped_cols") or [] if e["col"] != col
+        ]
+        doc["dropped_cols"] = [*dropped, {"col": col, "version": v}]
+        return doc
+
+    return _commit_meta_change(spark, table_path, mutate)
 
 
 def _overlaps(fstats: dict | None, key_ranges: dict[str, tuple]) -> bool:

@@ -172,9 +172,10 @@ def test_chunk_file_content_shape(spark, tmp_path, chunky):
     for e in doc["chunks"]:
         with open(f"{path}/{e['file']}") as f:
             chunk = json.load(f)
-        assert set(chunk) == {"files", "stats"}
+        assert set(chunk) == {"files", "stats", "born"}
         assert len(chunk["files"]) == e["n"]
         assert set(chunk["stats"]) == set(chunk["files"])
+        assert set(chunk["born"]) == set(chunk["files"])
 
 
 def test_merge_scope_reads_only_overlapping_chunks(

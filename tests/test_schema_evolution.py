@@ -1,0 +1,169 @@
+"""Rewrite-free rename/drop column evolution for the manifest table
+format (Delta/Iceberg column-mapping parity, name-based + birth
+versions): rename is a metadata commit whose mapping applies only to
+files born before it; drop removes the declared field and guards the
+name against unsafe re-introduction while pre-drop files survive."""
+
+from __future__ import annotations
+
+import pytest
+
+import prox_spark.table as T
+from prox_spark.table import (
+    commit_snapshot,
+    compact_table,
+    drop_column,
+    read_table,
+    read_table_point,
+    rename_column,
+    table_versions,
+)
+from prox_spark.upsert import delete_keys_mor, upsert_parquet
+
+
+def _df(spark, rows, schema="id long, v string"):
+    return spark.createDataFrame(rows, schema)
+
+
+def _seed(spark, path, n=100, n_files=4):
+    commit_snapshot(
+        spark, path, _df(spark, [(i, "base") for i in range(n)]),
+        stat_cols=["id"], n_files=n_files,
+    )
+
+
+def test_rename_is_metadata_only_and_reads_apply_mapping(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    files_before = set(T.read_manifest(spark, path)["files"])
+    v = rename_column(spark, path, "v", "payload")
+    assert v == 2
+    m = T.read_manifest(spark, path)
+    assert set(m["files"]) == files_before, "rename rewrote data files"
+    got = read_table(spark, path)
+    assert got.columns == ["id", "payload"]
+    assert {(r.id, r.payload) for r in got.collect()} == {
+        (i, "base") for i in range(100)
+    }
+    # time travel still serves the pre-rename schema
+    old = read_table(spark, path, version=1)
+    assert old.columns == ["id", "v"]
+
+
+def test_rename_mixed_generations_and_chain(spark, tmp_path):
+    """Files born before the rename read through the mapping; files
+    written after are born with the new name; a second rename chains
+    (a -> b -> c) and the oldest files still resolve."""
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    rename_column(spark, path, "v", "payload")
+    # post-rename merge writes new-named files into the same table
+    upsert_parquet(
+        spark, path, _df(spark, [(1, "new")], "id long, payload string"),
+        ["id"],
+    )
+    rename_column(spark, path, "payload", "body")
+    upsert_parquet(
+        spark, path, _df(spark, [(2, "newer")], "id long, body string"),
+        ["id"],
+    )
+    got = {(r.id, r.body) for r in read_table(spark, path).collect()}
+    assert (1, "new") in got and (2, "newer") in got
+    assert {(i, "base") for i in range(3, 100)} <= got
+    assert len(got) == 100
+
+
+def test_rename_stat_cols_and_point_lookup(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    rename_column(spark, path, "id", "doc_id")
+    m = T.read_manifest(spark, path)
+    assert m["stat_cols"] == ["doc_id"]
+    rows = read_table_point(spark, path, {"doc_id": 42}).collect()
+    assert [(r.doc_id, r.v) for r in rows] == [(42, "base")]
+    # merges on the renamed key keep pruning and merging correctly
+    upsert_parquet(
+        spark, path, _df(spark, [(42, "upserted")], "doc_id long, v string"),
+        ["doc_id"],
+    )
+    got = {(r.doc_id, r.v) for r in read_table(spark, path).collect()}
+    assert (42, "upserted") in got and len(got) == 100
+
+
+def test_rename_refused_while_delete_pending(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    delete_keys_mor(spark, path, _df(spark, [(7, "x")]), ["id"])
+    with pytest.raises(ValueError, match="pending merge-on-read delete"):
+        rename_column(spark, path, "id", "doc_id")
+    # folding the delete via compaction frees the rename
+    compact_table(spark, path, n_files=2)
+    rename_column(spark, path, "id", "doc_id")
+    got = {r.doc_id for r in read_table(spark, path).collect()}
+    assert 7 not in got and len(got) == 99
+
+
+def test_drop_column_zero_rewrite_and_guarded_readd(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    files_before = set(T.read_manifest(spark, path)["files"])
+    drop_column(spark, path, "v")
+    m = T.read_manifest(spark, path)
+    assert set(m["files"]) == files_before, "drop rewrote data files"
+    assert read_table(spark, path).columns == ["id"]
+    # re-adding the name while pre-drop files survive must fail loudly
+    with pytest.raises(ValueError, match="compact_table"):
+        upsert_parquet(
+            spark, path, _df(spark, [(1, "sneaky")]), ["id"], evolve=True,
+        )
+    # after compaction (all files rewritten without the column) the
+    # name is free again — and reads NULL for old rows, not stale data
+    compact_table(spark, path, n_files=2)
+    upsert_parquet(
+        spark, path, _df(spark, [(1, "fresh")]), ["id"], evolve=True,
+    )
+    got = {(r.id, r.v) for r in read_table(spark, path).collect()}
+    assert (1, "fresh") in got
+    assert {(i, None) for i in range(2, 100)} <= got
+
+
+def test_drop_then_rename_interactions_refused(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    rename_column(spark, path, "v", "payload")
+    with pytest.raises(ValueError, match="live rename mapping"):
+        drop_column(spark, path, "payload")
+    compact_table(spark, path, n_files=2)  # retires the mapping
+    drop_column(spark, path, "payload")
+    assert read_table(spark, path).columns == ["id"]
+    with pytest.raises(ValueError, match="was dropped"):
+        rename_column(spark, path, "id", "payload")
+
+
+def test_rename_on_chunked_layout(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(T, "CHUNK_THRESHOLD", 3)
+    monkeypatch.setattr(T, "CHUNK_SIZE", 2)
+    path = str(tmp_path / "t")
+    _seed(spark, path, n_files=8)
+    chunk_files_before = {
+        e["file"] for e in T._read_manifest_file(spark, path, 1)["chunks"]
+    }
+    rename_column(spark, path, "v", "payload")
+    doc = T._read_manifest_file(spark, path, 2)
+    assert {e["file"] for e in doc["chunks"]} == chunk_files_before, (
+        "rename rewrote chunk files"
+    )
+    # merge on the renamed table: mixed-generation reads + chunk carry
+    upsert_parquet(
+        spark, path, _df(spark, [(5, "new")], "id long, payload string"),
+        ["id"],
+    )
+    got = {(r.id, r.payload) for r in read_table(spark, path).collect()}
+    assert (5, "new") in got and len(got) == 100
+    # the rename mapping retires once compaction rewrites every
+    # pre-rename file
+    compact_table(spark, path, n_files=2)
+    final = T._read_manifest_file(
+        spark, path, table_versions(spark, path)[-1]
+    )
+    assert not final.get("renames"), "mapping survived full rewrite"
