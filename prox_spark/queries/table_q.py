@@ -540,6 +540,84 @@ ORDER BY source
 """
 
 
+def q166_rename_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rewrite-free column rename through the real table format, under
+    the hash gate: seed a work table from the staged v1 snapshot,
+    rename ``text`` -> ``body`` (a METADATA commit — the gate's
+    ``zero_rewrite`` column, oracle-pinned TRUE, compares the data-
+    file lists across the rename version, so a rename that rewrote
+    anything fails even with correct rows), then merge a post-rename
+    batch so the table holds BOTH generations: files physically
+    carrying the old column name (read through the birth-versioned
+    mapping, prox_spark/table.py rename_column) and files born with
+    the new name. The aggregate reads through read_table — i.e.
+    through the mixed-generation mapping path — and the oracle
+    re-derives it from the staged v1 bytes with the same update
+    applied, so a mis-mapped, dropped, or stale column breaks the
+    hash. ``sf_dir`` ignored by design (kpi_q pattern)."""
+    import atexit
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from prox_spark.table import (
+        commit_snapshot,
+        read_manifest,
+        read_table,
+        rename_column,
+    )
+    from prox_spark.upsert import upsert_parquet
+
+    path, _ = stage_cdc_table()
+    v1 = read_table(spark, path, version=1)
+    scratch = tempfile.mkdtemp(prefix=f"prox_rename_{_uuid.uuid4().hex[:8]}_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    work = f"{scratch}/t"
+    commit_snapshot(spark, work, v1, stat_cols=["doc_id"], n_files=8)
+    before = set(read_manifest(spark, work)["files"])
+    rename_column(spark, work, "text", "body")
+    zero_rewrite = set(read_manifest(spark, work)["files"]) == before
+
+    ups = (
+        v1.filter(F.col("doc_id") % 10 == 2)
+        .select(
+            "doc_id", "source",
+            F.concat(F.lit("UPD:"), F.col("text")).alias("body"),
+        )
+    )
+    upsert_parquet(spark, work, ups, ["doc_id"])
+    return (
+        read_table(spark, work)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("sum_ids"),
+            F.sum(F.length("body")).cast("long").alias("sum_body_len"),
+        )
+        .withColumn("zero_rewrite", F.lit(bool(zero_rewrite)))
+        .orderBy("source")
+    )
+
+
+def _oracle_q166() -> str:
+    _, snaps = stage_cdc_table()
+    return f"""
+WITH cur AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 10 = 2 THEN 'UPD:' || text ELSE text END AS body
+  FROM read_parquet('{snaps[1]}/*.parquet')
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+       CAST(sum(length(body)) AS BIGINT) AS sum_body_len,
+       TRUE AS zero_rewrite
+FROM cur
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "q114_snapshot_diff": q114_snapshot_diff,
     "q118_incremental_agg": q118_incremental_agg,
@@ -547,6 +625,7 @@ QUERIES = {
     "q153_streaming_cdc_apply": q153_streaming_cdc_apply,
     "q154_point_lookup": q154_point_lookup,
     "q159_mor_delete": q159_mor_delete,
+    "q166_rename_evolution": q166_rename_evolution,
 }
 
 
@@ -560,4 +639,5 @@ def oracles() -> dict[str, str]:
         "q153_streaming_cdc_apply": _oracle_q153(),
         "q154_point_lookup": ORACLE_Q154,
         "q159_mor_delete": _oracle_q159(),
+        "q166_rename_evolution": _oracle_q166(),
     }
