@@ -310,9 +310,16 @@ def _read_files(
         df = spark.read.schema(read_schema).parquet(
             *[f"{table_path}/{f}" for f in groups[(d_sig, r_sig)]]
         )
-        for phys_f, decl_f in zip(read_fields, schema.fields):
-            if phys_f.name != decl_f.name:
-                df = df.withColumnRenamed(phys_f.name, decl_f.name)
+        if any(p.name != d.name for p, d in zip(read_fields, schema.fields)):
+            # one positional select, not sequential withColumnRenamed:
+            # a pairwise rename collides when a mapping chain permutes
+            # names (the intermediate frame briefly holds duplicates)
+            df = df.select(
+                *[
+                    F.col(p.name).alias(d.name)
+                    for p, d in zip(read_fields, schema.fields)
+                ]
+            )
         for i in d_sig:
             d = deletes[i]
             dset = (
@@ -340,6 +347,18 @@ def read_table(
         return _read_files(spark, table_path, manifest, manifest["files"])
     # legacy single-snapshot-dir manifest (round-3 format)
     return spark.read.parquet(f"{table_path}/{manifest['data']}")
+
+
+def _footer_rows(abs_path: str) -> int | None:
+    """The file's row count from the parquet footer, or None when the
+    footer is unreadable."""
+    try:
+        import pyarrow.parquet as pq
+
+        local = abs_path[len("file:"):] if abs_path.startswith("file:") else abs_path
+        return pq.ParquetFile(local).metadata.num_rows
+    except Exception:
+        return None
 
 
 def _footer_stats(abs_path: str, cols: list[str]) -> dict | None:
@@ -404,8 +423,15 @@ def _chunk_ranges(files: list[str], stats: dict, stat_cols: list[str]):
             if st is None:
                 ok = False
                 break
-            lo = st[0] if lo is None else min(lo, st[0])
-            hi = st[1] if hi is None else max(hi, st[1])
+            try:
+                lo = st[0] if lo is None else min(lo, st[0])
+                hi = st[1] if hi is None else max(hi, st[1])
+            except TypeError:
+                # incomparable stat types across files (int in some,
+                # stringified in others): degrade to no-range, the
+                # documented conservative path — never a failed commit
+                ok = False
+                break
         out[c] = [lo, hi] if ok and lo is not None else None
     return out
 
@@ -728,8 +754,14 @@ def commit_delta(
     if not stat_cols:
         new_stats.update(dict.fromkeys(new_files))
     elif len(new_files) <= 32:
-        for f in new_files:
-            new_stats[f] = _footer_stats(f"{table_path}/{f}", stat_cols)
+        gathered = [
+            (
+                f,
+                _footer_stats(f"{table_path}/{f}", stat_cols),
+                _footer_rows(f"{table_path}/{f}"),
+            )
+            for f in new_files
+        ]
     else:
         # big clustered commits: read footers on the EXECUTORS — a
         # sequential driver loop over 10k+ new files would serialize
@@ -738,13 +770,45 @@ def commit_delta(
         paths = [(f, f"{table_path}/{f}") for f in new_files]
         gathered = (
             spark.sparkContext.parallelize(paths, max(1, len(paths) // 64))
-            .map(lambda pf: (pf[0], _footer_stats(pf[1], stat_cols)))
+            .map(
+                lambda pf: (
+                    pf[0],
+                    _footer_stats(pf[1], stat_cols),
+                    _footer_rows(pf[1]),
+                )
+            )
             .collect()
         )
-        new_stats.update(dict(gathered))
+    if stat_cols:
+        # drop provably-EMPTY part files (a write's unlucky partition
+        # split leaves them): an empty file has no footer stats, so it
+        # would sit in every version as an always-hot "unknown range"
+        # entry — hit by every merge prune and every concurrency
+        # added-file overlap check — while holding zero rows
+        empties = [f for f, _, n in gathered if n == 0]
+        if empties:
+            jvm0, fs0, _ = _fs(spark, table_path)
+            for f in empties:
+                fs0.delete(jvm0.org.apache.hadoop.fs.Path(f"{table_path}/{f}"), False)
+            new_files = [f for f in new_files if f not in set(empties)]
+        new_stats.update({f: st for f, st, n in gathered if n != 0})
 
     rewritten_set = set(prev.get("files", [])) - set(keep_files)
     schema_json = new_df.schema.jsonValue()
+    rename_sources = [
+        e["from"] for e in prev.get("renames") or []
+        if e["from"] in set(new_df.columns)
+    ]
+    if rename_sources:
+        # a live mapping's SOURCE name cannot be re-introduced: files
+        # born before the rename physically carry that name for the
+        # RENAMED column, so name-based resolution would both collide
+        # (duplicate field after the mapping walk) and mis-prune
+        # merges against the old stats. Compaction retires mappings.
+        raise ValueError(
+            f"column(s) {rename_sources} are the physical source of a "
+            "live rename mapping; run compact_table before reusing the name"
+        )
     readded = [
         e["col"] for e in prev.get("dropped_cols") or []
         if e["col"] in set(new_df.columns)
@@ -1019,6 +1083,7 @@ def commit_delete_file(
     keys_df: DataFrame,
     keys: list[str],
     targets: list[str],
+    key_values: dict | None = None,
 ) -> int:
     """Commit a MERGE-ON-READ equality delete: write the deleted key
     tuples as one tiny parquet and publish a new version whose DATA
@@ -1086,12 +1151,19 @@ def commit_delete_file(
             return cur_v + 1
         except CommitConflictError:
             # CAS rebase: re-read current; the delete stays valid iff
-            # every target file is still live (a concurrent rewrite of
-            # a target folded the table WITHOUT this delete — its
-            # replacement may re-expose the rows, so abort). Files the
-            # concurrent commit ADDED are untargeted by construction
-            # (delete-then-reinsert semantics), so adds never
-            # conflict.
+            # (a) every target file is still live — a concurrent
+            # rewrite of a target folded the table WITHOUT this
+            # delete, so its replacement may re-expose the rows — and
+            # (b) no concurrently-ADDED file could hold a deleted key:
+            # the delete's snapshot semantics cover every matching row
+            # live at COMMIT time, and a file added between the target
+            # computation and the publish would otherwise silently
+            # escape the mask (only files added after the delete's own
+            # commit are legitimately untargeted re-inserts).
+            # ``key_values`` (sorted distinct key values per column,
+            # from the caller's prune) proves disjointness via footer
+            # stats; without it, or for stat-less adds, abort
+            # conservatively — the caller reruns against current.
             cur_versions = _manifest_versions(spark, table_path)
             cur_v = cur_versions[-1]
             cur = read_manifest(spark, table_path, cur_v)
@@ -1099,19 +1171,33 @@ def commit_delete_file(
                 t for t in targets
                 if "files" not in cur or t not in set(cur["files"])
             ]
-            if gone or attempt == 4:
+            hot_adds: list[str] = []
+            if not gone:
+                added = [
+                    f for f in cur["files"] if f not in set(prev["files"])
+                ]
+                if added and key_values is None:
+                    hot_adds = added
+                elif added:
+                    probe = {**cur, "files": added}
+                    hot_adds, _ = split_files_by_key_sets(probe, key_values)
+            if gone or hot_adds or attempt == 4:
                 jvmx, fsx, _ = _fs(spark, table_path)
                 fsx.delete(
                     jvmx.org.apache.hadoop.fs.Path(f"{table_path}/{del_rel}"),
                     True,
                 )
-                raise CommitConflictError(
-                    f"merge-on-read delete for {table_path} conflicts: "
-                    + (
-                        f"targets rewritten concurrently: {gone[:5]}"
-                        if gone
-                        else "publish race lost 5 times"
+                if gone:
+                    why = f"targets rewritten concurrently: {gone[:5]}"
+                elif hot_adds:
+                    why = (
+                        "concurrently-added files may hold deleted keys: "
+                        f"{hot_adds[:5]}; rerun the delete against current"
                     )
+                else:
+                    why = "publish race lost 5 times"
+                raise CommitConflictError(
+                    f"merge-on-read delete for {table_path} conflicts: {why}"
                 ) from None
     raise AssertionError("unreachable")
 
@@ -1195,6 +1281,13 @@ def rename_column(spark: SparkSession, table_path: str,
                 raise ValueError(
                     f"column {new!r} was dropped and old files may still "
                     "carry it; run compact_table before reusing the name"
+                )
+        for e in doc.get("renames") or []:
+            if e["from"] == new:
+                raise ValueError(
+                    f"column {new!r} is the physical source of a live "
+                    "rename mapping (old files still carry it); run "
+                    "compact_table before reusing the name"
                 )
         for d in doc.get("deletes") or []:
             if old in d["keys"]:

@@ -142,11 +142,21 @@ def _local_df(spark: SparkSession, rows: list, schema) -> DataFrame:
     )
 
 
+# rough driver-side budget for a collected batch: beyond this the
+# local-relation fast paths stop paying for themselves and the extra
+# driver copies risk memory pressure, so callers fall back to the
+# distributed path even when the ROW count is under the cap
+_COLLECT_BYTE_BUDGET = 128 * 1024 * 1024
+
+
 def _collect_capped(df: DataFrame, cap: int = _KEY_SET_CAP) -> list | None:
-    """``df``'s rows when there are at most ``cap`` of them, else None
-    (batch too big to land driver-side — caller keeps the distributed
-    path). The limit-collect is forced to scan ALL partitions in its
-    FIRST job: CollectLimit's default incremental strategy (1 → 4 → 16
+    """``df``'s rows when there are at most ``cap`` of them AND the
+    batch is plausibly small in BYTES, else None (batch too big to
+    land driver-side — caller keeps the distributed path). The byte
+    check extrapolates from a row sample: the row cap alone would let
+    50k wide rows (large text/JSON attributes) through. The
+    limit-collect is forced to scan ALL partitions in its FIRST job:
+    CollectLimit's default incremental strategy (1 → 4 → 16
     partitions...) launches up to four jobs for a batch spread over a
     32-partition feed, and per-job scheduling is exactly the fixed
     per-merge cost sequential CDC pipelines pay T times."""
@@ -162,11 +172,18 @@ def _collect_capped(df: DataFrame, cap: int = _KEY_SET_CAP) -> list | None:
                 spark.conf.unset(key)
             else:
                 spark.conf.set(key, saved)
-    return rows if len(rows) <= cap else None
+    if len(rows) > cap:
+        return None
+    if len(rows) > 64:
+        sample = rows[:: max(1, len(rows) // 64)][:64]
+        est = sum(len(repr(r)) for r in sample) * len(rows) // len(sample)
+        if est > _COLLECT_BYTE_BUDGET:
+            return None
+    return rows
 
 
 def _prune_files(manifest: dict, key_df: DataFrame, keys: list[str],
-                 key_rows: list | None = None):
+                 key_rows: list | None = None, force_ranges: bool = False):
     """(touched_files, keep_files, key_ranges) for the merge: exact
     key-SET pruning for small batches (the CDC norm — scattered keys
     that a min/max range test couldn't prune at all), per-column
@@ -198,6 +215,12 @@ def _prune_files(manifest: dict, key_df: DataFrame, keys: list[str],
         # (small tables — e.g. AQE-coalesced dimensions — hit this on
         # every merge of a sequential pipeline)
         return list(files), [], None
+    if force_ranges:
+        # caller already proved the key set exceeds the cap — don't
+        # re-run the identical distinct-collect just to re-learn it
+        ranges = _key_ranges(key_df, keys)
+        touched, keep = split_files_by_key_ranges(manifest, ranges)
+        return touched, keep, ranges
     rows = key_df.select(*keys).distinct().limit(_KEY_SET_CAP + 1).collect()
     if len(rows) <= _KEY_SET_CAP:
         vals = {
@@ -288,6 +311,7 @@ def _merge_scope(
         doc = _read_manifest_file(spark, table_path, latest)
         stat_cols = doc.get("stat_cols") or []
         base_v = doc.get("version", latest)
+        over_cap = False
         if "chunks" in doc and set(keys) <= set(stat_cols):
             if key_rows is None:
                 rows = (
@@ -296,6 +320,12 @@ def _merge_scope(
                 )
                 if len(rows) <= _KEY_SET_CAP:
                     key_rows = rows
+                else:
+                    # bulk merge: remember the key set overflowed so
+                    # the fallback below goes straight to range
+                    # pruning instead of re-running this exact
+                    # distinct-collect job
+                    over_cap = True
             if key_rows is not None:
                 vals = {
                     k: sorted({r[k] for r in key_rows if r[k] is not None})
@@ -320,7 +350,7 @@ def _merge_scope(
         manifest = _assemble(spark, table_path, doc)
         if "files" in manifest and set(keys) <= set(stat_cols):
             touched_files, keep, ranges = _prune_files(
-                manifest, key_df, keys, key_rows
+                manifest, key_df, keys, key_rows, force_ranges=over_cap
             )
             touched = _read_files(spark, table_path, manifest, touched_files)
             return _MergeScope(
@@ -436,8 +466,20 @@ def delete_keys_mor(
     if missing:
         raise ValueError(f"delete keys not in table schema: {missing}")
     dset = keys_df.select(*keys).distinct()
+    # land the (small-by-nature) key set once: it feeds the target
+    # prune AND gives commit_delete_file's CAS the key scope it needs
+    # to prove concurrently-added files disjoint on a lost race
+    key_rows = _collect_capped(dset)
+    key_vals = (
+        {
+            k: sorted({r[k] for r in key_rows if r[k] is not None})
+            for k in keys
+        }
+        if key_rows is not None
+        else None
+    )
     if set(keys) <= set(manifest.get("stat_cols") or []):
-        targets, _, _ = _prune_files(manifest, dset, keys)
+        targets, _, _ = _prune_files(manifest, dset, keys, key_rows)
     else:
         targets = list(manifest["files"])  # stats can't prune: all files
     if not targets:
@@ -446,7 +488,9 @@ def delete_keys_mor(
     n_removed = live.join(dset, keys, "left_semi").count()
     if n_removed == 0:
         return 0
-    commit_delete_file(spark, table_path, dset, keys, targets)
+    commit_delete_file(
+        spark, table_path, dset, keys, targets, key_values=key_vals
+    )
     return n_removed
 
 
@@ -536,13 +580,23 @@ def upsert_scd2(
         commit_snapshot(spark, table_path, fresh, stat_cols=keys)
         return
     _check_schema(scope.touched, fresh, "scd2")
-    if batch_rows is not None:
+    from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+    eff_monotonic = isinstance(
+        updates.schema[effective_col].dataType,
+        (TimestampType, TimestampNTZType, DateType),
+    )
+    if batch_rows is not None and eff_monotonic:
         # per-key earliest effective time computed driver-side from the
         # already-landed batch: skips the agg + broadcast-build job the
         # distributed groupBy would add to every merge. The raw values
-        # are min'd BEFORE the ntz cast — the cast is monotonic, so the
-        # argmin is the same row either way; NULL effectives are
-        # dropped, matching min()'s null-skipping (a key with only NULL
+        # are min'd BEFORE the ntz cast — safe ONLY for temporal input
+        # types, where the cast is monotonic so the argmin is the same
+        # row either way (a STRING effective column is excluded: string
+        # order and parsed-timestamp order diverge on unpadded formats,
+        # and unparseable strings cast to NULL — those batches keep the
+        # distributed cast-then-min). NULL effectives are dropped,
+        # matching min()'s null-skipping (a key with only NULL
         # effectives then has no eff row -> left join NULL -> no close,
         # exactly the distributed result).
         per_key: dict = {}
