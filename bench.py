@@ -115,7 +115,9 @@ def main() -> None:
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
     # the FINAL stdout line is a compact twin that fits the tail window
-    # whole: unique qNN keys, integer-ms medians, totals included
+    # whole: bare query NUMBERS as keys ("142" = q142 — the q prefix
+    # alone cost ~165 chars at the current query count, which pushed
+    # the line past the tail window), integer-ms medians, totals
     compact = {
         "metric": "total_query_set_wall_sec",
         "value": detail["value"],
@@ -125,7 +127,7 @@ def main() -> None:
         "unit_queries": "ms",
         "detail_file": "BENCH_DETAIL.json",
         "queries": {
-            re.match(r"(q\d+)", name).group(1): int(round(v * 1000))
+            re.match(r"q(\d+)", name).group(1): int(round(v * 1000))
             for name, v in medians.items()
         },
     }

@@ -167,3 +167,24 @@ def test_rename_on_chunked_layout(spark, tmp_path, monkeypatch):
         spark, path, table_versions(spark, path)[-1]
     )
     assert not final.get("renames"), "mapping survived full rewrite"
+
+
+def test_concurrent_rename_conflicts_with_inflight_merge(spark, tmp_path):
+    """A rename that lands between a merge's scope derivation and its
+    publish must CONFLICT the merge: rebasing would republish the
+    pre-rename schema and silently revert the evolution."""
+    from prox_spark.table import CommitConflictError, commit_delta
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    m1 = T.read_manifest(spark, path)
+    rewrite = [f for f, st in m1["stats"].items() if st and st["id"][0] < 25]
+    keep = [f for f in m1["files"] if f not in rewrite]
+    rename_column(spark, path, "v", "payload")  # concurrent metadata commit
+    with pytest.raises(CommitConflictError, match="schema"):
+        commit_delta(
+            spark, path, _df(spark, [(i, "merged") for i in range(25)]),
+            keep, base_version=1, update_key_ranges={"id": (0, 24)},
+        )
+    # the rename survives untouched
+    assert read_table(spark, path).columns == ["id", "payload"]
