@@ -265,3 +265,66 @@ def test_mor_delete_rebases_over_append_and_aborts_on_rewrite(
         delete_keys_mor(spark, path, _df(spark, [(8, "x")]), ["id"])
     monkeypatch.setattr(T, "_write_manifest", real_write)
     assert _table(spark, path) == (before - {(8, "base")}) | {(8, "rewrote")}
+
+
+def test_streaming_appends_rebase_over_midstream_compaction(
+    spark, tmp_path, monkeypatch
+):
+    """Streaming ingestion composing with the CAS and the chunked
+    layout: a foreachBatch sink appends micro-batches in adds-ok mode;
+    one batch deliberately derives its base version, then a compaction
+    commits, then the append publishes with the STALE base — the CAS
+    must rebase it onto the compacted layout, losing neither the
+    compaction nor any batch's rows."""
+    import prox_spark.table as T
+    from prox_spark.table import commit_snapshot, compact_table, read_manifest
+
+    monkeypatch.setattr(T, "CHUNK_THRESHOLD", 3)
+    monkeypatch.setattr(T, "CHUNK_SIZE", 2)
+    table = str(tmp_path / "t")
+    commit_snapshot(
+        spark, table, _df(spark, [(i, "base") for i in range(100)]),
+        stat_cols=["id"], n_files=4,
+    )
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    for b in range(4):
+        _df(spark, [(1000 + b * 10 + i, f"b{b}") for i in range(5)]) \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(str(feed / f"batch-{b}"))
+
+    seen = []
+
+    def sink(batch_df, batch_id):
+        rows = batch_df.collect()
+        if not rows:
+            return
+        tag = rows[0].v
+        seen.append(tag)
+        m = read_manifest(spark, table)
+        if tag == "b2":
+            # the injected race: base derived, then a maintenance
+            # compaction commits, then the append publishes stale
+            compact_table(spark, table, n_files=2)
+        commit_delta(
+            spark, table, spark.createDataFrame(rows, batch_df.schema),
+            m["files"], base_version=m["version"], update_key_ranges={},
+        )
+
+    stream = (
+        spark.readStream.schema("id long, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed / "batch-*"))
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    stream.awaitTermination(300)
+    assert sorted(seen) == ["b0", "b1", "b2", "b3"]
+    got = {(r.id, r.v) for r in read_table(spark, table).collect()}
+    assert {(i, "base") for i in range(100)} <= got, "compaction lost base rows"
+    for b in range(4):
+        assert {(1000 + b * 10 + i, f"b{b}") for i in range(5)} <= got, (
+            f"micro-batch b{b} lost"
+        )
+    assert len(got) == 120
