@@ -618,6 +618,78 @@ ORDER BY source
 """
 
 
+CHUNKED_N_FILES = 600  # > CHUNK_THRESHOLD (256): forces the v2 layout
+
+
+def q167_chunked_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookups through the CHUNKED (v2) manifest layout — the
+    driver-gated twin of tests/test_chunked_manifest.py: the documents
+    table is staged ONCE per sf as a {CHUNKED_N_FILES}-way range-
+    clustered commit, which exceeds CHUNK_THRESHOLD so the snapshot
+    references immutable chunk files with per-chunk key ranges (the
+    gate's ``is_chunked`` column, oracle-pinned TRUE, reads the raw
+    snapshot doc — a layout regression to the inline single-doc form
+    fails even with correct rows). Each probe resolves through
+    read_table_point → read_manifest_pruned, so chunk files outside
+    the probed key's range are never even opened, then per-file
+    min/max stats prune inside the surviving chunks — the two-level
+    metadata path a 10^7-file table needs. Probe keys derive from
+    max(doc_id) by integer arithmetic (sf-invariant); the staged
+    commit also exercises the empty-part-file drop (600 writers over
+    a small corpus leave empty partitions that must NOT become
+    always-hot 'unknown range' manifest entries)."""
+    import os
+
+    from prox_spark.table import (
+        _read_manifest_file,
+        commit_snapshot,
+        read_table_point,
+        table_versions,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stage = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".fixtures",
+        f"chunked_docs_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    if not os.path.exists(os.path.join(stage, "_manifests")):
+        commit_snapshot(
+            spark, stage, docs, stat_cols=["doc_id"], n_files=CHUNKED_N_FILES
+        )
+    doc = _read_manifest_file(spark, stage, table_versions(spark, stage)[-1])
+    is_chunked = "chunks" in doc and "files" not in doc
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    probes = [(max_id * k) // 10 for k in (1, 4, 7)]
+    from functools import reduce
+
+    out = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            read_table_point(spark, stage, {"doc_id": p}).select(
+                "doc_id", "source", "n_chars"
+            )
+            for p in probes
+        ],
+    )
+    return (
+        out.withColumn("is_chunked", F.lit(bool(is_chunked)))
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_Q167 = """
+WITH probes AS (
+  SELECT (max(doc_id) * k) // 10 AS doc_id
+  FROM documents, (SELECT unnest([1, 4, 7]) AS k)
+  GROUP BY k
+)
+SELECT d.doc_id, d.source, d.n_chars, TRUE AS is_chunked
+FROM documents d JOIN probes USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     "q114_snapshot_diff": q114_snapshot_diff,
     "q118_incremental_agg": q118_incremental_agg,
@@ -626,6 +698,7 @@ QUERIES = {
     "q154_point_lookup": q154_point_lookup,
     "q159_mor_delete": q159_mor_delete,
     "q166_rename_evolution": q166_rename_evolution,
+    "q167_chunked_point_lookup": q167_chunked_point_lookup,
 }
 
 
@@ -640,4 +713,5 @@ def oracles() -> dict[str, str]:
         "q154_point_lookup": ORACLE_Q154,
         "q159_mor_delete": _oracle_q159(),
         "q166_rename_evolution": _oracle_q166(),
+        "q167_chunked_point_lookup": ORACLE_Q167,
     }
