@@ -180,3 +180,96 @@ def test_random_merge_sequence_chunked_layout(spark, tmp_path, monkeypatch):
     assert "chunks" in doc and "files" not in doc, (
         "sequence never reached the chunked layout"
     )
+
+
+def test_random_merge_sequence_with_renames(spark, tmp_path):
+    """The model sequence with RENAME EVOLUTION folded into the op mix:
+    the payload column is renamed mid-stream (fresh name each time, so
+    mappings chain), and every subsequent merge, CDC apply, MoR
+    delete, compaction, and read must resolve mixed-generation files
+    through the birth-versioned mappings. The model tracks only the
+    logical state — any mis-mapped column shows up as a divergence."""
+    from prox_spark.table import rename_column
+
+    path = str(tmp_path / "t")
+    model: dict = {}
+    col = "payload"
+
+    def df_rows(rows):
+        return spark.createDataFrame(
+            rows, f"region STRING, uid BIGINT, {col} STRING, step BIGINT"
+        )
+
+    def state():
+        rows = read_table(spark, path).collect()
+        got = {(r.region, r.uid): (r[col], r.step) for r in rows}
+        assert len(rows) == len(got), "duplicate keys in table"
+        return got
+
+    seed_rows = _rows(0)
+    upsert_parquet(spark, path, df_rows(seed_rows), KEYS)
+    model.update({(r, u): (p, s) for r, u, p, s in seed_rows})
+
+    for step in range(1, N_OPS + 1):
+        # renames pinned at fixed steps (one early, one late — the
+        # second chains onto the first's mapping); everything else
+        # stays the seeded random mix (op 10-11 = merge-on-read delete)
+        op = 99 if step in (4, 12) else _rnd(f"rop:{step}", 0, 11)
+        if op <= 4:
+            rows = _rows(step)
+            upsert_parquet(spark, path, df_rows(rows), KEYS)
+            model.update({(r, u): (p, s) for r, u, p, s in rows})
+        elif op <= 6:
+            dels = _key_space(step)[:5]
+            ddf = spark.createDataFrame(dels, "region STRING, uid BIGINT")
+            n = delete_keys(spark, path, ddf, KEYS)
+            assert n == sum(1 for k in dels if k in model), step
+            for k in dels:
+                model.pop(k, None)
+        elif op <= 8:
+            ks = _key_space(step)
+            feed = []
+            for i, (r, u) in enumerate(ks[:6]):
+                if i % 3 == 0:
+                    feed.append((r, u, None, None, "delete"))
+                else:
+                    feed.append((r, u, f"cdc{step}:{r}:{u}", step, "update"))
+            fdf = spark.createDataFrame(
+                feed,
+                f"region STRING, uid BIGINT, {col} STRING, step BIGINT, "
+                "change STRING",
+            )
+            apply_changes(spark, path, fdf, KEYS)
+            for r, u, p, s, c in feed:
+                if c == "delete":
+                    model.pop((r, u), None)
+                else:
+                    model[(r, u)] = (p, s)
+        elif op == 9:
+            compact_table(spark, path, n_files=4)
+        elif op == 99:
+            new = f"payload_r{step}"
+            rename_column(spark, path, col, new)
+            col = new  # logical state unchanged; only the name moves
+        else:
+            dels = _key_space(step)[5:10]
+            ddf = spark.createDataFrame(dels, "region STRING, uid BIGINT")
+            n = delete_keys_mor(spark, path, ddf, KEYS)
+            assert n == sum(1 for k in dels if k in model), step
+            for k in dels:
+                model.pop(k, None)
+        assert state() == model, f"diverged at step {step} (col={col})"
+    assert col != "payload", "sequence never exercised a rename"
+
+
+def test_random_merge_sequence_with_renames_chunked(
+    spark, tmp_path, monkeypatch
+):
+    """Rename evolution + chunked layout + the full op mix together:
+    mappings must survive chunk carry/repack and chunk-pruned merge
+    scopes (renames carry verbatim under partial views)."""
+    import prox_spark.table as T
+
+    monkeypatch.setattr(T, "CHUNK_THRESHOLD", 3)
+    monkeypatch.setattr(T, "CHUNK_SIZE", 2)
+    test_random_merge_sequence_with_renames(spark, tmp_path)
