@@ -42,6 +42,8 @@ SKIP = {
     # building; serving probe is q45's audited shape
     "q163_bpe_train",  # per-round argmax collects while building;
     # round-body twin below
+    "q166_rename_evolution",  # commits + renames a work table while
+    # building; the mapping read path is audited via q167's plan
 }
 
 

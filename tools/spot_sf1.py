@@ -51,6 +51,7 @@ QUERIES = [
     "q105_simhash_neardup",
     "q124_dedup_pipeline",
     "q137_curation_capstone",
+    "q163_bpe_train",
 ]
 MAX_EXPONENT = 1.6
 
