@@ -620,11 +620,42 @@ ORDER BY source
 
 CHUNKED_N_FILES = 600  # > CHUNK_THRESHOLD (256): forces the v2 layout
 
+_CHUNKED_CACHE: dict[str, str] = {}
+
+
+def _chunked_table(spark: SparkSession, sf_dir: str) -> str:
+    """documents as a CHUNKED-layout manifest table, staged once per
+    process into a tempdir (the _pl_table recipe — a persistent
+    fixture keyed on the sf path would serve stale rows if the
+    testdata were ever regenerated, and a half-finished first staging
+    would wedge every later run). Narrow columns and blooms sized to
+    the per-file row count: the default 100k-NDV bloom is ~120 KB —
+    bigger than a whole one-row part file at this fan-out."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from prox_spark.table import commit_snapshot
+
+    if sf_dir not in _CHUNKED_CACHE:
+        scratch = tempfile.mkdtemp(prefix="prox_chunked_docs_")
+        atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+        table = f"{scratch}/docs"
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "source", "n_chars"
+        )
+        commit_snapshot(
+            spark, table, docs, stat_cols=["doc_id"],
+            n_files=CHUNKED_N_FILES, bloom_ndv=1024,
+        )
+        _CHUNKED_CACHE[sf_dir] = table
+    return _CHUNKED_CACHE[sf_dir]
+
 
 def q167_chunked_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point lookups through the CHUNKED (v2) manifest layout — the
     driver-gated twin of tests/test_chunked_manifest.py: the documents
-    table is staged ONCE per sf as a {CHUNKED_N_FILES}-way range-
+    table is staged per process as a CHUNKED_N_FILES-way range-
     clustered commit, which exceeds CHUNK_THRESHOLD so the snapshot
     references immutable chunk files with per-chunk key ranges (the
     gate's ``is_chunked`` column, oracle-pinned TRUE, reads the raw
@@ -638,31 +669,22 @@ def q167_chunked_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     commit also exercises the empty-part-file drop (600 writers over
     a small corpus leave empty partitions that must NOT become
     always-hot 'unknown range' manifest entries)."""
-    import os
+    from functools import reduce
 
     from prox_spark.table import (
         _read_manifest_file,
-        commit_snapshot,
         read_table_point,
         table_versions,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    stage = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".fixtures",
-        f"chunked_docs_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
-    if not os.path.exists(os.path.join(stage, "_manifests")):
-        commit_snapshot(
-            spark, stage, docs, stat_cols=["doc_id"], n_files=CHUNKED_N_FILES
-        )
+    stage = _chunked_table(spark, sf_dir)
     doc = _read_manifest_file(spark, stage, table_versions(spark, stage)[-1])
     is_chunked = "chunks" in doc and "files" not in doc
-    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    max_id = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .agg(F.max("doc_id")).collect()[0][0]
+    )
     probes = [(max_id * k) // 10 for k in (1, 4, 7)]
-    from functools import reduce
-
     out = reduce(
         lambda a, b: a.unionByName(b),
         [

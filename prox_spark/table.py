@@ -1066,14 +1066,18 @@ def commit_snapshot(
     *,
     stat_cols: list[str] | None = None,
     n_files: int | None = None,
+    bloom_ndv: int = 100_000,
 ) -> int:
     """Write ``df`` as the table's next version — a FULL snapshot (no
     carried-over files). With ``stat_cols`` the data is range-clustered
-    on those columns and written with footer stats + bloom filters, so
+    on those columns and written with footer stats + bloom filters
+    (sized for ``bloom_ndv`` expected values per file — size it near
+    rows/n_files, or a default-sized bloom dwarfs small files), so
     later key merges and point lookups prune files. Returns the
     version."""
     return commit_delta(
-        spark, table_path, df, [], stat_cols=stat_cols or [], n_files=n_files
+        spark, table_path, df, [], stat_cols=stat_cols or [], n_files=n_files,
+        bloom_ndv=bloom_ndv,
     )
 
 

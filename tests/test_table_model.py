@@ -211,10 +211,12 @@ def test_random_merge_sequence_with_renames(spark, tmp_path):
     model.update({(r, u): (p, s) for r, u, p, s in seed_rows})
 
     for step in range(1, N_OPS + 1):
-        # renames pinned at fixed steps (one early, one late — the
-        # second chains onto the first's mapping); everything else
-        # stays the seeded random mix (op 10-11 = merge-on-read delete)
-        op = 99 if step in (4, 12) else _rnd(f"rop:{step}", 0, 11)
+        # renames pinned at steps 4 and 8 — no compaction draw sits
+        # between them (the seeded step-9 draw is the first compact),
+        # so the second rename CHAINS onto the first's still-live
+        # mapping; everything else stays the seeded random mix
+        # (op 10-11 = merge-on-read delete)
+        op = 99 if step in (4, 8) else _rnd(f"rop:{step}", 0, 11)
         if op <= 4:
             rows = _rows(step)
             upsert_parquet(spark, path, df_rows(rows), KEYS)
@@ -251,6 +253,15 @@ def test_random_merge_sequence_with_renames(spark, tmp_path):
             new = f"payload_r{step}"
             rename_column(spark, path, col, new)
             col = new  # logical state unchanged; only the name moves
+            if step == 8:
+                from prox_spark.table import _read_manifest_file
+
+                doc = _read_manifest_file(
+                    spark, path, table_versions(spark, path)[-1]
+                )
+                assert len(doc.get("renames") or []) >= 2, (
+                    "second rename did not chain onto a live mapping"
+                )
         else:
             dels = _key_space(step)[5:10]
             ddf = spark.createDataFrame(dels, "region STRING, uid BIGINT")
