@@ -1625,6 +1625,63 @@ def compact_small_files(
     return len(small), len(big)
 
 
+def maintain_table(
+    spark: SparkSession,
+    table_path: str,
+    *,
+    min_file_mb: float = 8.0,
+    max_small_files: int = 8,
+    max_pending_deletes: int = 4,
+    keep_versions: int = 4,
+) -> dict:
+    """The auto-maintenance policy a merge pipeline schedules after
+    its commits (Delta's OPTIMIZE + VACUUM cadence, decided from the
+    manifest alone — no data scan unless work is actually due):
+
+    - consolidate small files once more than ``max_small_files``
+      delta fragments are under ``min_file_mb``
+      (:func:`compact_small_files`);
+    - fold pending merge-on-read deletes into a full re-cluster once
+      more than ``max_pending_deletes`` entries accrue — each entry
+      is a per-read anti-join on its targeted files, so unbounded
+      accrual taxes every scan (:func:`compact_table`);
+    - vacuum to the last ``keep_versions`` versions.
+
+    Returns {"compacted_small": (n_rewritten, n_kept) | None,
+    "folded_deletes": bool, "vacuumed": [versions]} describing what
+    ran. Safe to call from a second writer: both compactions commit
+    through the CAS (adds-ok mode), so racing ingest either rebases
+    over them or they abort loudly and the next cycle retries."""
+    manifest = read_manifest(spark, table_path)
+    out: dict = {"compacted_small": None, "folded_deletes": False,
+                 "vacuumed": []}
+    if "files" not in manifest:
+        return out
+    if len(manifest.get("deletes") or []) > max_pending_deletes:
+        compact_table(spark, table_path)
+        out["folded_deletes"] = True
+    else:
+        jvm, fs, _ = _fs(spark, table_path)
+        limit = int(min_file_mb * 1024 * 1024)
+        n_small = 0
+        for f in manifest["files"]:
+            try:
+                if fs.getFileStatus(
+                    jvm.org.apache.hadoop.fs.Path(f"{table_path}/{f}")
+                ).getLen() < limit:
+                    n_small += 1
+            except Exception:  # noqa: PERF203 - racing vacuum/rewrite
+                continue
+            if n_small > max_small_files:
+                break
+        if n_small > max_small_files:
+            out["compacted_small"] = compact_small_files(
+                spark, table_path, min_file_mb=min_file_mb
+            )
+    out["vacuumed"] = vacuum(spark, table_path, keep_last=keep_versions)
+    return out
+
+
 def table_history(spark: SparkSession, table_path: str) -> list[dict]:
     """DESCRIBE HISTORY equivalent: one dict per readable version,
     oldest first — version number, data-file count, total data bytes,

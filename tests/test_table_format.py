@@ -780,3 +780,46 @@ def test_table_history_reports_versions_files_and_deletes(spark, tmp_path):
     # the MOR delete added no data files vs version 2
     assert h[2]["n_files"] == h[1]["n_files"]
     assert h[2]["stat_cols"] == ["id"]
+
+
+def test_maintain_table_policy(spark, tmp_path):
+    """maintain_table runs the right maintenance for the table's
+    state, decided from the manifest alone: no-op on a healthy table,
+    small-file consolidation after fragmenting merges, delete folding
+    once pending merge-on-read entries accrue, vacuum always."""
+    from prox_spark.table import maintain_table, read_manifest
+    from prox_spark.upsert import delete_keys_mor
+
+    path = str(tmp_path / "t")
+    big = spark.createDataFrame(
+        [(i, "x" * 64) for i in range(5000)], "id long, v string"
+    )
+    commit_snapshot(spark, path, big, stat_cols=["id"], n_files=2)
+    r = maintain_table(spark, path, max_small_files=8)
+    assert r["compacted_small"] is None and not r["folded_deletes"]
+
+    # fragment: ten tiny merges leave ten small delta files
+    for i in range(10):
+        upsert_parquet(
+            spark, path,
+            spark.createDataFrame([(i * 400, f"u{i}")], "id long, v string"),
+            ["id"],
+        )
+    r = maintain_table(spark, path, max_small_files=8)
+    assert r["compacted_small"] is not None, "fragmentation not consolidated"
+    n_rewritten, _ = r["compacted_small"]
+    assert n_rewritten >= 8
+
+    # accrue pending deletes past the threshold -> full fold
+    for i in range(5):
+        delete_keys_mor(
+            spark, path,
+            spark.createDataFrame([(i * 997 + 1,)], "id long"), ["id"],
+        )
+    assert len(read_manifest(spark, path).get("deletes") or []) == 5
+    r = maintain_table(spark, path, max_pending_deletes=4)
+    assert r["folded_deletes"]
+    assert not read_manifest(spark, path).get("deletes"), "deletes survived fold"
+    assert r["vacuumed"], "vacuum did not retire old versions"
+    got = {r2.id for r2 in read_table(spark, path).collect()}
+    assert len(got) == 5000 - 5
