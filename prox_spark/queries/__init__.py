@@ -50,6 +50,7 @@ _FRONT = [
     "q165_source_overlap_matrix",
     "q166_rename_evolution",
     "q167_chunked_point_lookup",
+    "q168_bpe_encode",
     # last driver row: round 1
     "q23_first_event_per_key",
     "q24_event_type_share",
@@ -91,7 +92,6 @@ _FRONT = [
     "q70_median_acctbal",
     "q71_clicks_before_purchase",
     "q73_group_percentiles",
-    "q74_top_customer_per_nation",
 ]
 
 

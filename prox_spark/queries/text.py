@@ -2678,6 +2678,130 @@ def bpe_round_audit_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bpe_round_frame(wrapped)
 
 
+def q168_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION — the consumer of q163's merge table:
+    encode the corpus with the T trained merges and report, per
+    source, the pre-BPE token count, the post-BPE token count, and
+    the compression percentage (the number a tokenizer change is
+    judged by before a training run commits to it). Training and
+    encoding share one machinery: the merges come from the same
+    count→argmax loop (one driver scalar per round), and ENCODING is
+    T map-side string replaces over the separator-wrapped corpus —
+    embarrassingly parallel, no shuffle until the final per-source
+    partial-agg rollup. At 100 TB the merge table is a broadcast-
+    sized artifact (T entries) and encoding cost is a linear scan.
+
+    Exactness: token counts are integers; the compression percentage
+    is one division of exact integers rounded to 6 places — bit-equal
+    across engines (the q163 determinism argument extended to the
+    aggregate)."""
+    wrapped = _docs(spark, sf_dir).select(
+        "source",
+        F.concat(
+            F.lit(_US + _US),
+            F.array_join(F.expr(TOKENS_SPARK), _US + _US),
+            F.lit(_US + _US),
+        ).alias("s"),
+    )
+    wrapped = wrapped.persist()
+    try:
+        cur = wrapped
+        for _rnd in range(1, BPE_ROUNDS + 1):
+            best = _bpe_round_frame(cur).collect()
+            if not best:
+                break
+            lhs, rhs = best[0]["lhs"], best[0]["rhs"]
+            cur = cur.withColumn(
+                "s",
+                F.replace(
+                    F.col("s"),
+                    F.lit(f"{_US}{lhs}{_US}{_US}{rhs}{_US}"),
+                    F.lit(f"{_US}{lhs} {rhs}{_US}"),
+                ),
+            )
+        n_toks = "size(filter(split({col}, '{sep}'), x -> x != ''))"
+        out = (
+            cur.select(
+                "source",
+                F.expr(n_toks.format(col="s", sep=_US + _US)).alias("after"),
+            )
+            .join(
+                wrapped.select(
+                    "source",
+                    F.expr(
+                        n_toks.format(col="s", sep=_US + _US)
+                    ).alias("before"),
+                ).groupBy("source").agg(
+                    F.sum("before").cast("long").alias("tokens_before")
+                ),
+                "source",
+            )
+            .groupBy("source", "tokens_before")
+            .agg(F.sum("after").cast("long").alias("tokens_after"))
+            .withColumn(
+                "compression_pct",
+                F.round(
+                    F.lit(100.0) * F.col("tokens_after")
+                    / F.col("tokens_before"),
+                    6,
+                ),
+            )
+            .select("source", "tokens_before", "tokens_after", "compression_pct")
+            .orderBy("source")
+        )
+        out = out.localCheckpoint()  # pin: wrapped unpersists below
+    finally:
+        wrapped.unpersist()
+    return out
+
+
+def _oracle_q168() -> str:
+    """The same T rounds unrolled (q163's CTE chain, with source
+    threaded through) plus the per-source before/after rollup."""
+    u, uu = _US, _US + _US
+    parts = [
+        f"WITH d0 AS (SELECT source, '{uu}' || array_to_string({TOKENS_DUCK}, '{uu}') "
+        f"|| '{uu}' AS s FROM documents)"
+    ]
+    for r in range(1, BPE_ROUNDS + 1):
+        p = r - 1
+        parts.append(
+            f"""p{r} AS (
+  SELECT u.lhs AS lhs, u.rhs AS rhs FROM (
+    SELECT unnest(list_transform(range(1, len(toks)),
+                  i -> struct_pack(lhs := toks[i], rhs := toks[i + 1]))) AS u
+    FROM (SELECT list_filter(string_split(s, '{uu}'), x -> x <> '') AS toks
+          FROM d{p})
+  )
+)"""
+        )
+        parts.append(
+            f"b{r} AS (SELECT lhs, rhs FROM p{r} GROUP BY lhs, rhs "
+            f"ORDER BY count(*) DESC, lhs ASC, rhs ASC LIMIT 1)"
+        )
+        parts.append(
+            f"d{r} AS (SELECT source, replace(d{p}.s, "
+            f"'{u}' || b{r}.lhs || '{uu}' || b{r}.rhs || '{u}', "
+            f"'{u}' || b{r}.lhs || ' ' || b{r}.rhs || '{u}') AS s "
+            f"FROM d{p} CROSS JOIN b{r})"
+        )
+    T = BPE_ROUNDS
+    tok = f"len(list_filter(string_split(s, '{uu}'), x -> x <> ''))"
+    parts.append(
+        f"bef AS (SELECT source, CAST(sum({tok}) AS BIGINT) AS tokens_before "
+        f"FROM d0 GROUP BY source)"
+    )
+    parts.append(
+        f"aft AS (SELECT source, CAST(sum({tok}) AS BIGINT) AS tokens_after "
+        f"FROM d{T} GROUP BY source)"
+    )
+    return ",\n".join(parts) + """
+SELECT source, tokens_before, tokens_after,
+       round(100.0 * tokens_after / tokens_before, 6) AS compression_pct
+FROM bef JOIN aft USING (source)
+ORDER BY source"""
+
+
 def _oracle_q163() -> str:
     """The DuckDB re-derivation: the same T rounds unrolled as chained
     CTEs (SQL can't loop; T is a constant) — identical wrap, split,
@@ -2873,6 +2997,7 @@ QUERIES = {
     "q116_sequence_packing": q116_sequence_packing,
     "q120_bpe_pair_counts": q120_bpe_pair_counts,
     "q163_bpe_train": q163_bpe_train,
+    "q168_bpe_encode": q168_bpe_encode,
     "q164_rare_token_profile": q164_rare_token_profile,
     "q165_source_overlap_matrix": q165_source_overlap_matrix,
     "q122_quality_prune": q122_quality_prune,
@@ -2917,6 +3042,7 @@ ORACLES = {
     "q116_sequence_packing": ORACLE_Q116,
     "q120_bpe_pair_counts": ORACLE_Q120,
     "q163_bpe_train": _oracle_q163(),
+    "q168_bpe_encode": _oracle_q168(),
     "q164_rare_token_profile": ORACLE_Q164,
     "q165_source_overlap_matrix": ORACLE_Q165,
     "q122_quality_prune": ORACLE_Q122,
