@@ -2920,37 +2920,59 @@ def q165_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     mixture weights silently). Reported per unordered pair
     (src_a < src_b).
 
-    Scale shape: distinct (fingerprint, source) pairs first — one
-    partial-agg shuffle on a 16-byte digest — then a self-equi-join
-    on the fingerprint restricted to src_a < src_b. Sources-per-
-    fingerprint is bounded by the source count (tiny), so join
-    fan-out per fingerprint is O(sources²), never O(copies²): a
-    template shared a million times across two feeds contributes ONE
-    row per feed and one matrix increment."""
+    Scale shape: TWO independent distinct-level self-joins, each with
+    provably bounded fan-out, then a broadcast join of the two tiny
+    per-pair aggregates.  `n_shared_prefix` self-joins
+    distinct(pfx, source) on pfx — each prefix contributes exactly one
+    row per source it appears in, so fan-out per prefix is O(sources²)
+    even when the prefix fronts millions of DISTINCT bodies (the
+    boilerplate-header case: "<!DOCTYPE html…" shared by K distinct
+    pages per feed joins 1×1, not K×K).  `n_shared_exact` self-joins
+    distinct(full, source) on the full digest with the same bound.
+    Exact-shared implies prefix-shared (same text ⇒ same prefix), so
+    the exact counts left-join onto the prefix matrix with a 0
+    default.  Both aggregates are ≤ sources² rows — the final join is
+    broadcast-trivial."""
     docs = _docs(spark, sf_dir).select(
         F.md5(F.substring("text", 1, OVERLAP_PREFIX)).alias("pfx"),
         F.md5("text").alias("full"),
         "source",
     )
-    ds = docs.select("pfx", "full", "source").distinct()
-    other = ds.select(
-        "pfx",
-        F.col("full").alias("full_b"),
-        F.col("source").alias("src_b"),
+    pfx_pairs = _shared_pair_join(
+        docs.select("pfx", "source").distinct(), "pfx"
+    ).groupBy("src_a", "src_b").agg(
+        F.count("pfx").cast("long").alias("n_shared_prefix")
+    )
+    full_pairs = _shared_pair_join(
+        docs.select("full", "source").distinct(), "full"
+    ).groupBy("src_a", "src_b").agg(
+        F.count("full").cast("long").alias("n_shared_exact")
     )
     return (
-        ds.withColumnRenamed("source", "src_a")
-        .join(other, "pfx")
-        .filter(F.col("src_a") < F.col("src_b"))
-        .groupBy("src_a", "src_b")
-        .agg(
-            F.countDistinct("pfx").cast("long").alias("n_shared_prefix"),
-            F.countDistinct(
-                F.when(F.col("full") == F.col("full_b"), F.col("full"))
-            ).cast("long").alias("n_shared_exact"),
+        pfx_pairs.join(F.broadcast(full_pairs), ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared_prefix",
+            F.coalesce("n_shared_exact", F.lit(0)).cast("long")
+            .alias("n_shared_exact"),
         )
         .orderBy("src_a", "src_b")
     )
+
+
+def _shared_pair_join(fp_src: DataFrame, key: str) -> DataFrame:
+    """Self-equi-join a distinct (key, source) relation on `key`,
+    keeping unordered source pairs (src_a < src_b).  Because the input
+    is distinct at (key, source), each key yields exactly ONE row per
+    source pair it spans — fan-out is bounded by sources² per key
+    regardless of how many raw documents carry the key.  After the
+    join, count(key) per pair == countDistinct(key) (unit test
+    `tests/test_text_units.py::test_overlap_pair_join_fanout` pins
+    the O(1)-per-pair bound)."""
+    a = fp_src.withColumnRenamed("source", "src_a")
+    b = fp_src.select(key, F.col("source").alias("src_b"))
+    return a.join(b, key).filter(F.col("src_a") < F.col("src_b"))
 
 
 ORACLE_Q165 = f"""

@@ -169,6 +169,7 @@ def _assemble(spark: SparkSession, table_path: str, doc: dict,
     files: list[str] = []
     stats: dict = {}
     born: dict = {}
+    sizes: dict = {}
     entries: list[dict] = []
     for entry in doc["chunks"]:
         if chunk_filter is not None and not chunk_filter(entry):
@@ -177,6 +178,7 @@ def _assemble(spark: SparkSession, table_path: str, doc: dict,
         files.extend(chunk["files"])
         stats.update(chunk.get("stats") or {})
         born.update(chunk.get("born") or {})
+        sizes.update(chunk.get("sizes") or {})
         # membership rides along (stripped before re-serialization) so
         # a later commit can carry untouched chunks by reference
         # without re-reading them
@@ -187,6 +189,8 @@ def _assemble(spark: SparkSession, table_path: str, doc: dict,
     out["stats"] = stats
     if born:
         out["born"] = born
+    if sizes:
+        out["sizes"] = sizes
     return out
 
 
@@ -438,7 +442,8 @@ def _chunk_ranges(files: list[str], stats: dict, stat_cols: list[str]):
 
 def _write_chunk(spark: SparkSession, table_path: str, files: list[str],
                  stats: dict, stat_cols: list[str],
-                 born: dict | None = None) -> dict:
+                 born: dict | None = None,
+                 sizes: dict | None = None) -> dict:
     """Write one immutable manifest-chunk file; returns its snapshot
     entry. Chunk files are invisible until a published snapshot
     references them (same protocol as data files), so a failed commit
@@ -449,6 +454,8 @@ def _write_chunk(spark: SparkSession, table_path: str, files: list[str],
     doc = {"files": files, "stats": {f: stats.get(f) for f in files}}
     if born:
         doc["born"] = {f: born[f] for f in files if f in born}
+    if sizes:
+        doc["sizes"] = {f: sizes[f] for f in files if f in sizes}
     out = fs.create(jvm.org.apache.hadoop.fs.Path(f"{table_path}/{rel}"), False)
     out.write(bytearray(json.dumps(doc), "utf-8"))
     out.close()
@@ -463,7 +470,8 @@ def _build_layout(spark: SparkSession, table_path: str, cur: dict,
                   keep_now: list[str], new_files: list[str],
                   stats: dict, stat_cols: list[str],
                   carry_entries: list | None = None,
-                  born: dict | None = None) -> tuple[dict, list[str]]:
+                  born: dict | None = None,
+                  sizes: dict | None = None) -> tuple[dict, list[str]]:
     """The {files, stats} or {chunks} half of the next snapshot doc,
     plus the chunk files written for it (for conflict cleanup).
     Chunked when the previous version already is, or the table has
@@ -479,6 +487,8 @@ def _build_layout(spark: SparkSession, table_path: str, cur: dict,
         out = {"files": [*keep_now, *new_files], "stats": stats}
         if born:
             out["born"] = born
+        if sizes:
+            out["sizes"] = sizes
         return out, []
     keep_set = set(keep_now)
     carried = [
@@ -508,7 +518,7 @@ def _build_layout(spark: SparkSession, table_path: str, cur: dict,
     for i in range(0, len(loose), CHUNK_SIZE):
         entry = _write_chunk(
             spark, table_path, loose[i : i + CHUNK_SIZE], stats, stat_cols,
-            born,
+            born, sizes,
         )
         carried.append(entry)
         written.append(entry["file"])
@@ -541,15 +551,25 @@ def _write_manifest(spark: SparkSession, table_path: str, v: int,
         )
 
 
-def _list_part_files(spark: SparkSession, table_path: str, rel_dir: str) -> list[str]:
+def _list_part_files(
+    spark: SparkSession, table_path: str, rel_dir: str
+) -> tuple[list[str], dict[str, int]]:
+    """Part files under ``rel_dir`` plus their byte sizes — the sizes
+    come free with the directory listing (one FS RPC for the whole
+    dir), and recording them in the manifest lets later maintenance
+    decide small-file compaction from metadata alone instead of
+    re-stat-ing every live file per cycle."""
     jvm, fs, _ = _fs(spark, table_path)
     ddir = jvm.org.apache.hadoop.fs.Path(f"{table_path}/{rel_dir}")
     out = []
+    sizes: dict[str, int] = {}
     for st in fs.listStatus(ddir):
         name = st.getPath().getName()
         if name.endswith(".parquet") and not name.startswith((".", "_")):
-            out.append(f"{rel_dir}/{name}")
-    return sorted(out)
+            rel = f"{rel_dir}/{name}"
+            out.append(rel)
+            sizes[rel] = st.getLen()
+    return sorted(out), sizes
 
 
 def _write_data(
@@ -749,7 +769,7 @@ def commit_delta(
         if cluster:
             new_df.unpersist()
 
-    new_files = _list_part_files(spark, table_path, delta_rel)
+    new_files, new_sizes = _list_part_files(spark, table_path, delta_rel)
     new_stats: dict = {}
     if not stat_cols:
         new_stats.update(dict.fromkeys(new_files))
@@ -790,6 +810,7 @@ def commit_delta(
             jvm0, fs0, _ = _fs(spark, table_path)
             for f in empties:
                 fs0.delete(jvm0.org.apache.hadoop.fs.Path(f"{table_path}/{f}"), False)
+                new_sizes.pop(f, None)
             new_files = [f for f in new_files if f not in set(empties)]
         new_stats.update({f: st for f, st, n in gathered if n != 0})
 
@@ -867,6 +888,11 @@ def commit_delta(
         )
         stats = {f: (cur.get("stats") or {}).get(f) for f in keep_now}
         stats.update(new_stats)
+        cur_sizes = cur.get("sizes") or {}
+        sizes_now = {
+            f: cur_sizes[f] for f in keep_now if f in cur_sizes
+        }
+        sizes_now.update(new_sizes)
         # per-file birth versions drive rename-mapping applicability:
         # a file born at version b physically carries the column names
         # declared at b, so renames committed after b apply to it and
@@ -882,6 +908,7 @@ def commit_delta(
             # carry_chunks again would double-list them
             carry_entries=carry_chunks if cur_v == base_version else None,
             born=born_now,
+            sizes=sizes_now,
         )
         manifest = {
             "version": v,
@@ -1114,7 +1141,8 @@ def commit_delete_file(
             f"{table_path} predates file-granular manifests; use the "
             "copy-on-write delete"
         )
-    unknown = [t for t in targets if t not in set(prev["files"])]
+    live = set(prev["files"])
+    unknown = [t for t in targets if t not in live]
     if unknown:
         raise ValueError(f"delete targets not in current version: {unknown}")
     v = versions[-1] + 1
@@ -1150,6 +1178,8 @@ def commit_delete_file(
             manifest["stats"] = cur.get("stats") or {}
             if cur.get("born"):
                 manifest["born"] = cur["born"]
+            if cur.get("sizes"):
+                manifest["sizes"] = cur["sizes"]
         try:
             _write_manifest(spark, table_path, cur_v + 1, manifest)
             return cur_v + 1
@@ -1171,15 +1201,15 @@ def commit_delete_file(
             cur_versions = _manifest_versions(spark, table_path)
             cur_v = cur_versions[-1]
             cur = read_manifest(spark, table_path, cur_v)
+            cur_files = set(cur["files"]) if "files" in cur else None
             gone = [
                 t for t in targets
-                if "files" not in cur or t not in set(cur["files"])
+                if cur_files is None or t not in cur_files
             ]
             hot_adds: list[str] = []
             if not gone:
-                added = [
-                    f for f in cur["files"] if f not in set(prev["files"])
-                ]
+                prev_files = set(prev["files"])
+                added = [f for f in cur["files"] if f not in prev_files]
                 if added and key_values is None:
                     hot_adds = added
                 elif added:
@@ -1592,13 +1622,20 @@ def compact_small_files(
         raise ValueError(f"{table_path} predates file-granular manifests")
     jvm, fs, _ = _fs(spark, table_path)
     limit = int(min_file_mb * 1024 * 1024)
+    sizes = manifest.get("sizes") or {}
     small, big = [], []
     small_bytes = 0
     for f in manifest["files"]:
-        st = fs.getFileStatus(jvm.org.apache.hadoop.fs.Path(f"{table_path}/{f}"))
-        if st.getLen() < limit:
+        # commit-time recorded size when available; stat only legacy
+        # files committed before sizes were recorded in the manifest
+        n = sizes.get(f)
+        if n is None:
+            n = fs.getFileStatus(
+                jvm.org.apache.hadoop.fs.Path(f"{table_path}/{f}")
+            ).getLen()
+        if n < limit:
             small.append(f)
-            small_bytes += st.getLen()
+            small_bytes += n
         else:
             big.append(f)
     if len(small) < 2:
@@ -1633,6 +1670,7 @@ def maintain_table(
     max_small_files: int = 8,
     max_pending_deletes: int = 4,
     keep_versions: int = 4,
+    retention_minutes: float = 15.0,
 ) -> dict:
     """The auto-maintenance policy a merge pipeline schedules after
     its commits (Delta's OPTIMIZE + VACUUM cadence, decided from the
@@ -1640,18 +1678,28 @@ def maintain_table(
 
     - consolidate small files once more than ``max_small_files``
       delta fragments are under ``min_file_mb``
-      (:func:`compact_small_files`);
+      (:func:`compact_small_files`); file sizes come from the
+      manifest's ``sizes`` record (written at commit time from the
+      same directory listing that named the files), so the decision
+      costs zero FS RPCs on tables committed since the record
+      exists — only legacy files without a recorded size fall back
+      to a per-file stat;
     - fold pending merge-on-read deletes into a full re-cluster once
       more than ``max_pending_deletes`` entries accrue — each entry
       is a per-read anti-join on its targeted files, so unbounded
       accrual taxes every scan (:func:`compact_table`);
-    - vacuum to the last ``keep_versions`` versions.
+    - vacuum to the last ``keep_versions`` versions, with
+      ``retention_minutes`` of grace for in-flight commits'
+      not-yet-published files (see :func:`vacuum`).
 
     Returns {"compacted_small": (n_rewritten, n_kept) | None,
     "folded_deletes": bool, "vacuumed": [versions]} describing what
-    ran. Safe to call from a second writer: both compactions commit
-    through the CAS (adds-ok mode), so racing ingest either rebases
-    over them or they abort loudly and the next cycle retries."""
+    ran. Safe to call from a second writer PROVIDED
+    ``retention_minutes`` exceeds the longest concurrent commit's
+    write time: both compactions commit through the CAS (adds-ok
+    mode), so racing ingest either rebases over them or they abort
+    loudly and the next cycle retries, and the vacuum grace keeps a
+    racing commit's pre-publish files out of the sweep."""
     manifest = read_manifest(spark, table_path)
     out: dict = {"compacted_small": None, "folded_deletes": False,
                  "vacuumed": []}
@@ -1661,24 +1709,32 @@ def maintain_table(
         compact_table(spark, table_path)
         out["folded_deletes"] = True
     else:
-        jvm, fs, _ = _fs(spark, table_path)
+        sizes = manifest.get("sizes") or {}
         limit = int(min_file_mb * 1024 * 1024)
-        n_small = 0
-        for f in manifest["files"]:
-            try:
-                if fs.getFileStatus(
-                    jvm.org.apache.hadoop.fs.Path(f"{table_path}/{f}")
-                ).getLen() < limit:
-                    n_small += 1
-            except Exception:  # noqa: PERF203 - racing vacuum/rewrite
-                continue
-            if n_small > max_small_files:
-                break
+        stat_fallback = [f for f in manifest["files"] if f not in sizes]
+        n_small = sum(1 for f in manifest["files"] if sizes.get(f, limit) < limit)
+        if n_small <= max_small_files and stat_fallback:
+            # legacy files committed before sizes were recorded: stat
+            # only those, and only until the threshold is crossed
+            jvm, fs, _ = _fs(spark, table_path)
+            for f in stat_fallback:
+                try:
+                    if fs.getFileStatus(
+                        jvm.org.apache.hadoop.fs.Path(f"{table_path}/{f}")
+                    ).getLen() < limit:
+                        n_small += 1
+                except Exception:  # noqa: PERF203 - racing vacuum/rewrite
+                    continue
+                if n_small > max_small_files:
+                    break
         if n_small > max_small_files:
             out["compacted_small"] = compact_small_files(
                 spark, table_path, min_file_mb=min_file_mb
             )
-    out["vacuumed"] = vacuum(spark, table_path, keep_last=keep_versions)
+    out["vacuumed"] = vacuum(
+        spark, table_path, keep_last=keep_versions,
+        retention_minutes=retention_minutes,
+    )
     return out
 
 
@@ -1715,12 +1771,16 @@ def table_history(spark: SparkSession, table_path: str) -> list[dict]:
             files = []
             for e in m["chunks"]:
                 if e["file"] not in chunk_files:
-                    chunk_files[e["file"]] = _read_json(
-                        spark, table_path, e["file"]
-                    )["files"]
+                    cdoc = _read_json(spark, table_path, e["file"])
+                    chunk_files[e["file"]] = cdoc["files"]
+                    # commit-time recorded sizes pre-seed the cache:
+                    # zero stat RPCs for files committed since the
+                    # sizes record exists
+                    sizes.update(cdoc.get("sizes") or {})
                 files.extend(chunk_files[e["file"]])
         else:
             files = m.get("files")
+            sizes.update(m.get("sizes") or {})
         if files is None:  # legacy single-snapshot-dir manifest
             out.append({"version": v, "legacy_data_dir": m.get("data")})
             continue
@@ -1741,34 +1801,68 @@ def table_history(spark: SparkSession, table_path: str) -> list[dict]:
     return out
 
 
-def vacuum(spark: SparkSession, table_path: str, keep_last: int = 2) -> list[int]:
+def vacuum(
+    spark: SparkSession,
+    table_path: str,
+    keep_last: int = 2,
+    retention_minutes: float = 15.0,
+) -> list[int]:
     """Drop all but the newest ``keep_last`` versions: their manifests,
     and any data dir no kept manifest references a single file of
     (including orphans from failed commits). Deletion stays
     dir-granular: a dir with even one still-referenced file survives
     whole (its dead files are reclaimed when a later compaction
     rewrites that key range). Returns the removed versions. Run only
-    when no reader is pinned to a dropped version."""
+    when no reader is pinned to a dropped version.
+
+    CONCURRENT-WRITER SAFETY (the Delta VACUUM retention contract):
+    an in-flight commit materializes its data dir and chunk files
+    BEFORE the manifest rename publishes them, so to an unsynchronized
+    vacuum they look like orphans. Two guards make the race benign:
+
+    - a RETENTION GRACE: data dirs / chunk files younger than
+      ``retention_minutes`` are never deleted, so an unpublished
+      commit's files survive any vacuum that starts while it is in
+      flight (pick a retention comfortably above the longest commit's
+      write time; ``retention_minutes=0`` restores the old
+      exclusive-access behavior for tests and offline maintenance);
+    - a VERSION RE-LIST: after computing the kept set from the
+      manifests read first, the version listing is repeated and any
+      version published in between contributes its references to the
+      kept set too — otherwise the sweep could delete files of a
+      commit that published mid-vacuum (its files may be older than
+      the grace window when they were carried from a dropped
+      version's dir... they cannot be: carried files live in dirs the
+      base version references, and the base is within keep_last of
+      any version publishable mid-vacuum only if it was kept — the
+      re-list closes the remaining window where the NEW version's own
+      fresh references would be missed)."""
+    import time
+
     jvm, fs, _ = _fs(spark, table_path)
     versions = _manifest_versions(spark, table_path)
     keep = versions[-keep_last:] if keep_last > 0 else []
     dropped = [v for v in versions if v not in keep]
     kept_dirs = set()
     kept_chunks = set()
-    for v in keep:
+
+    def _protect(v: int) -> None:
         m = read_manifest(spark, table_path, v)
-        kept_chunks |= {
+        kept_chunks.update(
             e["file"].rsplit("/", 1)[-1] for e in m.get("chunks") or []
-        }
+        )
         if "files" in m:
-            kept_dirs |= {f.split("/")[1] for f in m["files"] if "/" in f}
+            kept_dirs.update(f.split("/")[1] for f in m["files"] if "/" in f)
             # merge-on-read delete key files are data too: retiring one
             # that a kept manifest still references would resurrect rows
-            kept_dirs |= {
+            kept_dirs.update(
                 d["file"].split("/")[1] for d in m.get("deletes") or []
-            }
+            )
         else:
             kept_dirs.add(m["data"].split("/", 1)[1])
+
+    for v in keep:
+        _protect(v)
     for v in dropped:
         fs.delete(
             jvm.org.apache.hadoop.fs.Path(
@@ -1776,14 +1870,27 @@ def vacuum(spark: SparkSession, table_path: str, keep_last: int = 2) -> list[int
             ),
             False,
         )
+    # re-list AFTER the kept set is computed: a version published by a
+    # concurrent writer between the first listing and the sweep below
+    # must have its references protected too
+    for v in _manifest_versions(spark, table_path):
+        if v not in versions:
+            _protect(v)
+    cutoff_ms = (time.time() - retention_minutes * 60.0) * 1000.0
     ddir = jvm.org.apache.hadoop.fs.Path(f"{table_path}/{DATA_DIR}")
     if fs.exists(ddir):
         for st in fs.listStatus(ddir):
-            if st.getPath().getName() not in kept_dirs:
+            if (
+                st.getPath().getName() not in kept_dirs
+                and st.getModificationTime() < cutoff_ms
+            ):
                 fs.delete(st.getPath(), True)
     cdir = jvm.org.apache.hadoop.fs.Path(f"{table_path}/{MANIFEST_DIR}/chunks")
     if fs.exists(cdir):
         for st in fs.listStatus(cdir):
-            if st.getPath().getName() not in kept_chunks:
+            if (
+                st.getPath().getName() not in kept_chunks
+                and st.getModificationTime() < cutoff_ms
+            ):
                 fs.delete(st.getPath(), False)
     return dropped

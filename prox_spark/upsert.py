@@ -149,36 +149,79 @@ def _local_df(spark: SparkSession, rows: list, schema) -> DataFrame:
 _COLLECT_BYTE_BUDGET = 128 * 1024 * 1024
 
 
+_VAR_WIDTH_TYPES = ("string", "binary", "array", "map", "struct")
+
+
+def _row_width_bound(schema) -> int | None:
+    """A per-row byte bound derivable from the SCHEMA alone, or None
+    when any column is variable-width (string/binary/nested). All
+    fixed-width columns ⇒ the byte budget can be proven up front and
+    the collect needs no sampling pass at all."""
+    total = 0
+    for f in schema.fields:
+        t = f.dataType.typeName()
+        if t in _VAR_WIDTH_TYPES:
+            return None
+        # generous fixed bound per atomic column (value + Row overhead)
+        total += 48
+    return max(total, 48)
+
+
 def _collect_capped(df: DataFrame, cap: int = _KEY_SET_CAP) -> list | None:
     """``df``'s rows when there are at most ``cap`` of them AND the
     batch is plausibly small in BYTES, else None (batch too big to
-    land driver-side — caller keeps the distributed path). The byte
-    check extrapolates from a row sample: the row cap alone would let
-    50k wide rows (large text/JSON attributes) through. The
-    limit-collect is forced to scan ALL partitions in its FIRST job:
-    CollectLimit's default incremental strategy (1 → 4 → 16
+    land driver-side — caller keeps the distributed path).
+
+    The byte budget is enforced BEFORE any large collect lands on the
+    driver: for all-fixed-width schemas the bound is proven from the
+    schema alone (one collect, no sampling); otherwise a 64-row
+    pre-sample estimates row width and shrinks the row cap to
+    ``budget // width`` so a sub-cap batch of wide text/JSON rows is
+    rejected without ever materializing driver-side (checking the
+    budget only after ``limit(cap+1).collect()`` would make the guard
+    illusory — the OOM it exists to prevent happens during that very
+    collect). A pre-sample returning under 64 rows IS the whole batch,
+    so tiny CDC batches still pay exactly one job.
+
+    Every limit-collect is forced to scan ALL partitions in its FIRST
+    job: CollectLimit's default incremental strategy (1 → 4 → 16
     partitions...) launches up to four jobs for a batch spread over a
     32-partition feed, and per-job scheduling is exactly the fixed
     per-merge cost sequential CDC pipelines pay T times."""
     spark = df.sparkSession
     key = "spark.sql.limit.initialNumPartitions"
-    with _LIMIT_CONF_LOCK:
-        saved = spark.conf.get(key, None)
-        try:
-            spark.conf.set(key, "4096")
-            rows = df.limit(cap + 1).collect()
-        finally:
-            if saved is None:
-                spark.conf.unset(key)
-            else:
-                spark.conf.set(key, saved)
-    if len(rows) > cap:
+
+    def _limit_collect(n: int, force_full: bool = True) -> list:
+        with _LIMIT_CONF_LOCK:
+            saved = spark.conf.get(key, None)
+            try:
+                if force_full:
+                    spark.conf.set(key, "4096")
+                return df.limit(n).collect()
+            finally:
+                if saved is None:
+                    spark.conf.unset(key)
+                else:
+                    spark.conf.set(key, saved)
+
+    row_cap = cap
+    bound = _row_width_bound(df.schema)
+    if bound is not None:
+        if (cap + 1) * bound > _COLLECT_BYTE_BUDGET:
+            row_cap = _COLLECT_BYTE_BUDGET // bound
+    else:
+        # incremental (1-partition-first) scan: 64 rows almost always
+        # live in the first partition, so the sampling job stays tiny
+        sample = _limit_collect(64, force_full=False)
+        if len(sample) < 64:
+            # the whole batch — trivially within budget (cap may be
+            # under 64: tests shrink it, so still honor the row cap)
+            return sample if len(sample) <= cap else None
+        width = max(1, sum(len(repr(r)) for r in sample) // len(sample))
+        row_cap = min(cap, _COLLECT_BYTE_BUDGET // width)
+    rows = _limit_collect(row_cap + 1)
+    if len(rows) > row_cap:
         return None
-    if len(rows) > 64:
-        sample = rows[:: max(1, len(rows) // 64)][:64]
-        est = sum(len(repr(r)) for r in sample) * len(rows) // len(sample)
-        if est > _COLLECT_BYTE_BUDGET:
-            return None
     return rows
 
 

@@ -136,7 +136,7 @@ def test_vacuum_retires_orphan_chunks(spark, tmp_path, chunky):
         }
 
     assert {c.rsplit("/", 1)[-1] for c in kept} < _ls()
-    vacuum(spark, path, keep_last=2)
+    vacuum(spark, path, keep_last=2, retention_minutes=0.0)
     assert _ls() == {c.rsplit("/", 1)[-1] for c in kept}
     got = {(r.id, r.v) for r in read_table(spark, path).collect()}
     assert (0, "u0") in got and (31, "u1") in got and (62, "u2") in got
@@ -172,10 +172,12 @@ def test_chunk_file_content_shape(spark, tmp_path, chunky):
     for e in doc["chunks"]:
         with open(f"{path}/{e['file']}") as f:
             chunk = json.load(f)
-        assert set(chunk) == {"files", "stats", "born"}
+        assert set(chunk) == {"files", "stats", "born", "sizes"}
         assert len(chunk["files"]) == e["n"]
         assert set(chunk["stats"]) == set(chunk["files"])
         assert set(chunk["born"]) == set(chunk["files"])
+        assert set(chunk["sizes"]) == set(chunk["files"])
+        assert all(n > 0 for n in chunk["sizes"].values())
 
 
 def test_merge_scope_reads_only_overlapping_chunks(

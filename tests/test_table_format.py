@@ -94,7 +94,10 @@ def test_legacy_plain_dir_migrates_on_first_merge(spark, tmp_path):
 
 def test_failed_commit_leaves_table_readable(spark, tmp_path):
     """A crash between snapshot write and manifest publish must leave
-    the previous version current; vacuum sweeps the orphan dir."""
+    the previous version current; vacuum sweeps the orphan dir — but
+    only past the retention grace, because a young unreferenced dir is
+    indistinguishable from a concurrent commit's not-yet-published
+    files (the Delta VACUUM retention contract)."""
     import os
 
     path = str(tmp_path / "t")
@@ -104,7 +107,12 @@ def test_failed_commit_leaves_table_readable(spark, tmp_path):
     _df(spark, [(9, "half-written")]).write.parquet(orphan)
 
     assert [r.v for r in read_table(spark, path).collect()] == ["good"]
+    # default retention: the seconds-old dir could be an in-flight
+    # commit's — it must survive
     vacuum(spark, path, keep_last=1)
+    assert os.path.exists(orphan)
+    # zero retention (exclusive access declared): swept
+    vacuum(spark, path, keep_last=1, retention_minutes=0.0)
     assert not os.path.exists(orphan)
     assert [r.v for r in read_table(spark, path).collect()] == ["good"]
 
@@ -405,7 +413,8 @@ def test_compact_table_reclusters_and_vacuum_reclaims(spark, tmp_path):
     assert got.count() == 4000
     assert [r.name for r in got.filter("id = 1500").collect()] == ["edit1500"]
     # vacuum to just the compacted version: every old dir goes away
-    vacuum(spark, path, keep_last=1)
+    # (zero retention — this test owns the table exclusively)
+    vacuum(spark, path, keep_last=1, retention_minutes=0.0)
     post_dirs = set(os.listdir(f"{path}/data"))
     assert len(post_dirs) == 1 and not (post_dirs & pre_dirs)
     assert read_table(spark, path).count() == 4000
@@ -823,3 +832,39 @@ def test_maintain_table_policy(spark, tmp_path):
     assert r["vacuumed"], "vacuum did not retire old versions"
     got = {r2.id for r2 in read_table(spark, path).collect()}
     assert len(got) == 5000 - 5
+
+
+def test_manifest_records_file_sizes(spark, tmp_path):
+    """Commits record per-file byte sizes in the manifest (gathered
+    from the same directory listing that names the files), so
+    maintenance decides small-file compaction from metadata alone —
+    no per-file stat RPC per cycle. Sizes carry through merges for
+    kept files and through merge-on-read delete commits verbatim."""
+    from prox_spark.table import read_manifest
+    from prox_spark.upsert import delete_keys_mor
+
+    path = str(tmp_path / "t")
+    commit_snapshot(
+        spark, path,
+        spark.createDataFrame([(i, "x") for i in range(100)], "id long, v string"),
+        stat_cols=["id"], n_files=2,
+    )
+    import os
+
+    m = read_manifest(spark, path)
+    assert set(m["sizes"]) == set(m["files"])
+    for f, n in m["sizes"].items():
+        assert n == os.path.getsize(f"{path}/{f}")
+    # merge: kept files keep their recorded size, new files gain one
+    upsert_parquet(
+        spark, path,
+        spark.createDataFrame([(3, "upd")], "id long, v string"), ["id"],
+    )
+    m2 = read_manifest(spark, path)
+    assert set(m2["sizes"]) == set(m2["files"])
+    # MoR delete carries the record untouched
+    delete_keys_mor(
+        spark, path, spark.createDataFrame([(7,)], "id long"), ["id"]
+    )
+    m3 = read_manifest(spark, path)
+    assert m3["sizes"] == m2["sizes"]
