@@ -28,70 +28,70 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 # Registry order matters: the correctness driver checks the first ~50
-# entries per round. Union coverage across rounds 1-4 reached 154 of
-# 159 queries; round 5 leads with the five that landed after round 4's
-# window was pinned (q157-q161) plus any queries new this round, then
-# pads the window with the longest-unchecked entries: the four whose
-# last driver row is round 1 (q23/q24/q25/q39), then the round-2
-# cohort in query order (q01-q19 were last gated against since-
-# rewritten plumbing). Everything after the front block is driver-
-# green from round 3 or 4.
+# entries per round. Union coverage across rounds 1-5 reached 166 of
+# 166 (every query has a green driver row), so round 6 rotates purely
+# by STALENESS: the three queries new this round lead (never
+# driver-gated), then the 47 whose most recent green driver row is
+# oldest — the full round-2-gated cohort (16) and the round-3-gated
+# cohort in name order up to the 50-slot cap. Everything after the
+# front block is driver-green from round 3, 4, or 5. Exactly 50
+# entries (round 5 accidentally listed 51 and the last one fell
+# outside the checked window — recomputed from the CORRECTNESS_r*
+# files this time).
 _FRONT = [
-    # never driver-gated (landed after round 4's window froze)
-    "q157_jpeg_block_decode",
-    "q158_video_frame_sample",
-    "q159_mor_delete",
-    "q160_triangle_count",
-    "q161_ivf_index_maintenance",
-    # new this round
-    "q162_ivf_mor_delete",
-    "q163_bpe_train",
-    "q164_rare_token_profile",
-    "q165_source_overlap_matrix",
-    "q166_rename_evolution",
-    "q167_chunked_point_lookup",
-    "q168_bpe_encode",
-    # last driver row: round 1
-    "q23_first_event_per_key",
-    "q24_event_type_share",
-    "q25_json_props",
-    "q39_sentiment",
-    # last driver row: round 2 (oldest remaining), query order
-    "q01_pricing_summary",
-    "q02_top5_suppliers",
-    "q03_avg_acctbal_by_nation",
-    "q04_monthly_revenue",
-    "q05_status_pct_by_priority",
-    "q06_lineitems_by_nation_flag",
-    "q07_top5_suppliers_by_returns",
-    "q08_top3_orders_per_segment",
-    "q09_date_dim",
-    "q10_distinct_nation_region",
-    "q11_fk_orphans",
-    "q12_segment_status_matrix",
-    "q13_active_nations",
-    "q14_orders_since_week",
-    "q15_rollup",
-    "q16_nation_setops",
-    "q17_customers_without_orders",
-    "q18_pivot_status",
-    "q19_approx_distinct_custkeys",
-    "q20_hourly_event_stats",
-    "q21_sessionize",
-    "q22_rolling_avg",
-    "q26_asof_click_to_purchase",
-    "q27_unpivot_measures",
-    "q28_cube_status_priority",
-    "q29_acctbal_quartiles",
-    "q46_sliding_window_stats",
-    "q47_event_funnel",
-    "q48_promo_revenue",
-    "q49_small_qty_revenue",
-    "q50_parttype_yearly_revenue",
-    "q68_salted_segment_revenue",
-    "q70_median_acctbal",
-    "q71_clicks_before_purchase",
+    # new this round (never driver-gated)
+    "q169_bpe_roundtrip",
+    "q170_semdedup",
+    "q171_cluster_spec_evolution",
+    # last driver row: round 2
+    "q102_stratified_sample",
+    "q103_price_histogram",
+    "q104_rich_accounts_reconcile",
+    "q106_local_supplier_revenue",
+    "q107_disjunctive_revenue",
+    "q108_trailing_30min_stats",
     "q73_group_percentiles",
+    "q74_top_customer_per_nation",
+    "q79_grouping_sets",
+    "q89_rank_functions",
+    "q90_late_order_priority",
+    "q91_dormant_rich_customers",
+    "q94_nation_revenue_share",
+    "q95_brand_supplier_counts",
+    "q96_large_quantity_orders",
+    "q98_hll_rollup",
+    # last driver row: round 3, name order, up to the 50-slot cap
+    "q100_streaming_dedup",
+    "q101_streaming_sessions",
+    "q109_streaming_dedup_store",
+    "q110_pq_encode",
+    "q111_pq_adc_search",
+    "q112_media_real_decode",
+    "q113_ivfpq_search",
+    "q114_snapshot_diff",
+    "q117_int8_quantize",
+    "q118_incremental_agg",
+    "q121_audio_real_decode",
+    "q126_embedding_outliers",
+    "q134_image_resize",
+    "q135_frame_sample",
+    "q136_streaming_neardup_store",
+    "q152_cdc_apply",
+    "q30_exact_dedup",
+    "q31_text_stats",
+    "q32_regex_token_count",
+    "q33_quality_score",
+    "q34_fingerprint",
+    "q35_jaccard_pairs",
+    "q36_minhash_lsh",
+    "q37_langid",
+    "q38_simhash",
+    "q40_cosine_topk",
+    "q41_lsh_ann",
+    "q42_embed_neardup",
+    "q43_media_features",
+    "q44_stateful_user_totals",
+    "q45_ivf_ann",
 ]
 
 

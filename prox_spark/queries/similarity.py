@@ -1546,6 +1546,112 @@ ORDER BY query_id, rank
 """
 
 
+# --- q170: SemDeDup — embedding-cluster semantic dedup ---------------------
+
+SEMDEDUP_TAU = 0.40  # within-cluster cosine above this => semantic dup
+
+
+def q170_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023, the
+    documented next step after MinHash/SimHash for LLM corpora): the
+    pairs whose surface text differs but whose embeddings say "same
+    content" — paraphrases, boilerplate rewrites, translations — that
+    no shingle-based dedup can catch. The algorithm is the IVF trick
+    applied to dedup: (1) assign every vector to its nearest of K
+    coarse centroids (one broadcast map-side argmin — shared with
+    q45/q161 via :func:`_ivf_parts`); (2) compute pairwise cosine ONLY
+    within each cluster (equi-join on cid — cross-cluster pairs are
+    never formed, which is what makes this sub-quadratic: per-cluster
+    cost is O(Σ cᵢ²), and at 100 TB K scales with the corpus so cᵢ
+    stays bounded); (3) within a similar pair (cosine ≥ τ) the
+    higher-id vector is the duplicate, the lower-id one the keeper —
+    SemDeDup's keep-one-representative rule with a deterministic
+    tie-break. Reports per cluster the member count, how many members
+    are semantic duplicates, and the dup percentage — the dedup data
+    card per semantic bucket.
+
+    Exactness: the cosine is the shared fold expression (bit-identical
+    across engines), counts are integers, and the percentage is one
+    exact-integer division rounded to 6 places."""
+    _tagged, assign, _probes = _ivf_parts(spark, sf_dir)
+    # both pair branches and the member count reuse one assignment
+    # pass: uncached, each would re-run the corpus scan + K-centroid
+    # argmin fold (the expensive map pass here)
+    assign = assign.cache()
+    a = assign.select(
+        "cid", F.col("vec_id").alias("id1"),
+        F.col("dd").alias("v1"), F.col("nrm").alias("n1"),
+    )
+    b = assign.select(
+        "cid", F.col("vec_id").alias("id2"),
+        F.col("dd").alias("v2"), F.col("nrm").alias("n2"),
+    )
+    dups = (
+        a.join(b, "cid")
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn(
+            "cosine",
+            F.expr(f"{DOT_SPARK.format(a='v1', b='v2')} / (n1 * n2)"),
+        )
+        .filter(F.col("cosine") >= SEMDEDUP_TAU)
+        .groupBy("cid")
+        .agg(F.countDistinct("id2").cast("long").alias("n_dups"))
+    )
+    return (
+        assign.groupBy("cid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+        .join(dups, "cid", "left")
+        .select(
+            "cid",
+            "n_vectors",
+            F.coalesce("n_dups", F.lit(0)).cast("long").alias("n_dups"),
+        )
+        .withColumn(
+            "dup_pct",
+            F.round(F.lit(100.0) * F.col("n_dups") / F.col("n_vectors"), 6),
+        )
+        .orderBy("cid")
+    )
+
+
+_SD_DOT = DOT_DUCK.format(a="a.dd", b="b.dd")
+
+ORACLE_Q170 = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS dd,
+         sqrt({DOT_DUCK.format(a='embedding::DOUBLE[]', b='embedding::DOUBLE[]')}) AS nrm
+  FROM embeddings
+),
+cent AS (SELECT vec_id AS cid, dd AS cdd, nrm AS cnrm FROM e WHERE vec_id < {IVF_K}),
+ranked AS (
+  SELECT e.vec_id, e.dd, e.nrm, cent.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {DOT_DUCK.format(a='e.dd', b='cent.cdd')} / (e.nrm * cent.cnrm) DESC, cent.cid ASC
+         ) AS crank
+  FROM e CROSS JOIN cent
+),
+assign AS (SELECT vec_id, cid, dd, nrm FROM ranked WHERE crank = 1),
+dup_pairs AS (
+  SELECT a.cid, b.vec_id AS id2
+  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE {_SD_DOT} / (a.nrm * b.nrm) >= {SEMDEDUP_TAU}
+),
+counts AS (
+  SELECT cid, CAST(count(*) AS BIGINT) AS n_vectors FROM assign GROUP BY cid
+),
+dups AS (
+  SELECT cid, CAST(count(DISTINCT id2) AS BIGINT) AS n_dups
+  FROM dup_pairs GROUP BY cid
+)
+SELECT c.cid, c.n_vectors,
+       CAST(coalesce(d.n_dups, 0) AS BIGINT) AS n_dups,
+       round(100.0 * CAST(coalesce(d.n_dups, 0) AS BIGINT) / c.n_vectors, 6) AS dup_pct
+FROM counts c LEFT JOIN dups d USING (cid)
+ORDER BY c.cid
+"""
+
+
 QUERIES = {
     "q40_cosine_topk": q40_cosine_topk,
     "q41_lsh_ann": q41_lsh_ann,
@@ -1560,6 +1666,7 @@ QUERIES = {
     "q126_embedding_outliers": q126_embedding_outliers,
     "q161_ivf_index_maintenance": q161_ivf_index_maintenance,
     "q162_ivf_mor_delete": q162_ivf_mor_delete,
+    "q170_semdedup": q170_semdedup,
 }
 
 ORACLES = {
@@ -1576,4 +1683,5 @@ ORACLES = {
     "q126_embedding_outliers": ORACLE_Q126,
     "q161_ivf_index_maintenance": ORACLE_Q161,
     "q162_ivf_mor_delete": ORACLE_Q162,
+    "q170_semdedup": ORACLE_Q170,
 }

@@ -712,6 +712,132 @@ ORDER BY d.doc_id
 """
 
 
+_SPEC_EVO_CACHE: dict[str, str] = {}
+
+
+def _spec_evolved_table(spark: SparkSession, sf_dir: str) -> str:
+    """documents as a MIXED-SPEC manifest table, staged once per
+    process (the _chunked_table recipe): the first half commits
+    clustered/statted on doc_id, then :func:`set_cluster_spec` flips
+    the spec to n_chars METADATA-ONLY, and the second half commits
+    under the new spec — so the staged table holds files whose
+    recorded stats cover doc_id only next to files covering n_chars
+    only, exactly the state a 100 TB table lives in for months after
+    a partition-spec change (Iceberg spec-evolution semantics: old
+    files are never rewritten for a spec change)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from prox_spark.table import (
+        commit_delta,
+        commit_snapshot,
+        read_manifest,
+        set_cluster_spec,
+    )
+
+    if sf_dir not in _SPEC_EVO_CACHE:
+        scratch = tempfile.mkdtemp(prefix="prox_spec_evo_docs_")
+        atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+        table = f"{scratch}/docs"
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "source", "n_chars"
+        )
+        split = docs.agg(F.max("doc_id")).collect()[0][0] // 2
+        commit_snapshot(
+            spark, table, docs.filter(F.col("doc_id") <= split),
+            stat_cols=["doc_id"], n_files=6, bloom_ndv=1024,
+        )
+        set_cluster_spec(spark, table, ["n_chars"])
+        old_files = read_manifest(spark, table)["files"]
+        commit_delta(
+            spark, table, docs.filter(F.col("doc_id") > split),
+            list(old_files), n_files=6, bloom_ndv=1024,
+            update_key_ranges={},
+        )
+        _SPEC_EVO_CACHE[sf_dir] = table
+    return _SPEC_EVO_CACHE[sf_dir]
+
+
+def q171_cluster_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-spec evolution under the driver gate — the Iceberg
+    partition-spec-evolution parity query: the staged table's first
+    generation is clustered on doc_id, the spec then flips to n_chars
+    metadata-only, and a second generation commits under the new spec
+    (:func:`_spec_evolved_table`). The query point-probes BOTH specs
+    through :func:`read_table_point` — a doc_id probe (old-spec files
+    prune by their recorded id ranges; new-spec files are
+    conservatively hot) and an n_chars probe (the mirror) — and
+    pins ``spec_evolved`` TRUE only when the raw snapshot declares the
+    NEW spec while old-generation files still carry old-spec-only
+    stats (i.e. the table is genuinely mixed — a regression that
+    rewrote old files or lost the spec change fails even with correct
+    rows)."""
+    from prox_spark.table import (
+        _read_manifest_file,
+        read_manifest,
+        read_table_point,
+        table_versions,
+    )
+
+    stage = _spec_evolved_table(spark, sf_dir)
+    raw = _read_manifest_file(spark, stage, table_versions(spark, stage)[-1])
+    m = read_manifest(spark, stage)
+    stats = m.get("stats") or {}
+    id_only = [f for f in m["files"]
+               if "doc_id" in (stats.get(f) or {})
+               and "n_chars" not in (stats.get(f) or {})]
+    nc_files = [f for f in m["files"] if "n_chars" in (stats.get(f) or {})]
+    spec_evolved = (
+        raw.get("stat_cols") == ["n_chars"] and bool(id_only) and bool(nc_files)
+    )
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    row = src.agg(
+        F.max("doc_id").alias("mx"), F.max("n_chars").alias("nc")
+    ).collect()[0]
+    probe_id = (row["mx"] * 2) // 10  # inside the old-spec half
+    probe_nc = row["nc"]
+    a = (
+        read_table_point(spark, stage, {"doc_id": probe_id})
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("doc_id").cast("long").alias("sum_ids"),
+        )
+        .select(F.lit("doc_id").alias("probe"), "n_rows", "sum_ids")
+    )
+    b = (
+        read_table_point(spark, stage, {"n_chars": probe_nc})
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("doc_id").cast("long").alias("sum_ids"),
+        )
+        .select(F.lit("n_chars").alias("probe"), "n_rows", "sum_ids")
+    )
+    return (
+        a.unionByName(b)
+        .withColumn("spec_evolved", F.lit(bool(spec_evolved)))
+        .orderBy("probe")
+    )
+
+
+ORACLE_Q171 = """
+WITH probe_id AS (SELECT (max(doc_id) * 2) // 10 AS pid FROM documents),
+probe_nc AS (SELECT max(n_chars) AS nc FROM documents)
+SELECT 'doc_id' AS probe,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+       TRUE AS spec_evolved
+FROM documents, probe_id WHERE doc_id = pid
+UNION ALL
+SELECT 'n_chars' AS probe,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+       TRUE AS spec_evolved
+FROM documents, probe_nc WHERE n_chars = nc
+ORDER BY probe
+"""
+
+
 QUERIES = {
     "q114_snapshot_diff": q114_snapshot_diff,
     "q118_incremental_agg": q118_incremental_agg,
@@ -721,6 +847,7 @@ QUERIES = {
     "q159_mor_delete": q159_mor_delete,
     "q166_rename_evolution": q166_rename_evolution,
     "q167_chunked_point_lookup": q167_chunked_point_lookup,
+    "q171_cluster_spec_evolution": q171_cluster_spec_evolution,
 }
 
 
@@ -736,4 +863,5 @@ def oracles() -> dict[str, str]:
         "q159_mor_delete": _oracle_q159(),
         "q166_rename_evolution": _oracle_q166(),
         "q167_chunked_point_lookup": ORACLE_Q167,
+        "q171_cluster_spec_evolution": ORACLE_Q171,
     }

@@ -2581,45 +2581,44 @@ BPE_ROUNDS = 6
 _US = "\x1f"  # unit separator: token boundary marker inside the doc string
 
 
-def q163_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-round BPE TRAINER (round-5 ask: iterate q120's single
-    candidate scan into the actual training loop): T rounds of
-    count-adjacent-pairs → pick the argmax (count DESC, then lhs/rhs
-    ASC — the exact integer tie-break rule) → apply the merge to the
-    corpus → recount. Emits the T-entry merge table, the artifact a
-    tokenizer trainer ships.
+BPE_MERGES_SCHEMA = "round int, lhs string, rhs string, n_occurrences long"
 
-    The merge-application trick that keeps BOTH engines exact and
-    identical: each document is one string with every token wrapped in
-    double unit-separators (``␟␟tok1␟␟tok2␟␟``). BPE's greedy
-    left-to-right non-overlapping merge of pair (a, b) is then
-    literally ``replace(s, '␟a␟␟b␟', '␟a b␟')`` — string replace
-    scans left-to-right and never rescans inside a replacement, which
-    IS the BPE merge rule (in ``x x x`` the first two merge, the third
-    survives), and consuming only the INNER separator of each double
-    boundary lets back-to-back occurrences (``a b a b``) both merge.
-    No UDF, no per-row Python: the whole round is split → zip_with
-    pair explode → partial-agg count → TakeOrdered(1), plus one
-    map-side replace.
+# per-process artifact cache: {sf_dir: manifest-table path}. NEVER a
+# persistent path-keyed fixture (stale bytes if testdata regenerates,
+# and a half-finished first staging would wedge every later run) —
+# the q167 _chunked_table recipe.
+_BPE_ARTIFACT_CACHE: dict[str, str] = {}
 
-    Scale shape: the inter-round dependency is ONE driver-side scalar
-    (the argmax pair) — the pagerank fixpoint pattern with a 2-string
-    state instead of a rank vector. Each round is q120's one-shuffle
-    plan; the corpus never leaves the executors and the T rounds chain
-    T cheap map-side replaces onto the pinned base (persisted once —
-    re-running T string replaces per round beats checkpointing a
-    corpus-sized intermediate at every round, and the lineage stays
-    T expressions deep, not T jobs deep). Reference analogue: the
-    sentencepiece/GPT-2 trainer loop, run as T Spark rounds."""
-    wrapped = _docs(spark, sf_dir).select(
+
+def _wrapped_corpus(spark: SparkSession, sf_dir: str,
+                    with_source: bool = False) -> DataFrame:
+    """Each document as ONE string with every token wrapped in double
+    unit-separators (``␟␟tok1␟␟tok2␟␟``) — the representation on which
+    a BPE merge of pair (a, b) is literally
+    ``replace(s, '␟a␟␟b␟', '␟a b␟')`` (see :func:`q163_bpe_train`)."""
+    cols = ["source"] if with_source else []
+    return _docs(spark, sf_dir).select(
+        *cols,
         F.concat(
             F.lit(_US + _US),
             F.array_join(F.expr(TOKENS_SPARK), _US + _US),
             F.lit(_US + _US),
-        ).alias("s")
+        ).alias("s"),
     )
-    wrapped = wrapped.persist()
-    merges = []
+
+
+def _train_bpe(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    """The T-round trainer loop: count adjacent pairs → argmax
+    (count DESC, lhs/rhs ASC) → apply the merge → recount. The
+    inter-round dependency is ONE driver-side scalar (the argmax
+    pair) — the pagerank fixpoint pattern with a 2-string state. Each
+    round is q120's one-shuffle plan; the corpus never leaves the
+    executors and the T rounds chain T cheap map-side replaces onto
+    the pinned base (persisted once — re-running T string replaces per
+    round beats checkpointing a corpus-sized intermediate, and the
+    lineage stays T expressions deep, not T jobs deep)."""
+    wrapped = _wrapped_corpus(spark, sf_dir).persist()
+    merges: list[tuple] = []
     try:
         cur = wrapped
         for rnd in range(1, BPE_ROUNDS + 1):
@@ -2638,9 +2637,107 @@ def q163_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     finally:
         wrapped.unpersist()
-    return spark.createDataFrame(
-        merges, "round int, lhs string, rhs string, n_occurrences long"
-    ).orderBy("round")
+    return merges
+
+
+def bpe_merges_table(spark: SparkSession, sf_dir: str) -> str:
+    """The PERSISTED tokenizer artifact (round-5 verdict ask): train
+    once per process and COMMIT the merge table through the manifest
+    log (prox_spark/table.py) — dogfooding the table format for model
+    artifacts, the tokenizer-artifact hand-off every training pipeline
+    has (train ships merges.txt; encode jobs consume it). Consumers
+    (:func:`q163_bpe_train`, :func:`q168_bpe_encode`,
+    :func:`q169_bpe_roundtrip`) read the artifact — only the first
+    call in a process pays the training loop, exactly like a real
+    pipeline where the encode job never retrains."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from prox_spark.table import commit_snapshot
+
+    if sf_dir not in _BPE_ARTIFACT_CACHE:
+        scratch = tempfile.mkdtemp(prefix="prox_bpe_merges_")
+        atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+        table = f"{scratch}/bpe_merges"
+        merges = _train_bpe(spark, sf_dir)
+        # one partition: a T-row artifact, not a distributed write
+        commit_snapshot(
+            spark, table,
+            spark.createDataFrame(
+                spark.sparkContext.parallelize(merges, 1), BPE_MERGES_SCHEMA
+            ),
+        )
+        _BPE_ARTIFACT_CACHE[sf_dir] = table
+    return _BPE_ARTIFACT_CACHE[sf_dir]
+
+
+def _bpe_merges(spark: SparkSession, sf_dir: str) -> list:
+    """The artifact's rows in round order (T entries — driver-tiny)."""
+    from prox_spark.table import read_table
+
+    return (
+        read_table(spark, bpe_merges_table(spark, sf_dir))
+        .orderBy("round")
+        .collect()
+    )
+
+
+def _apply_merges(expr, merges) -> "F.Column":
+    """Encode: the T trained merges as T chained map-side string
+    replaces — embarrassingly parallel, no shuffle, no UDF."""
+    for m in merges:
+        expr = F.replace(
+            expr,
+            F.lit(f"{_US}{m['lhs']}{_US}{_US}{m['rhs']}{_US}"),
+            F.lit(f"{_US}{m['lhs']} {m['rhs']}{_US}"),
+        )
+    return expr
+
+
+def _unapply_merges(expr, merges) -> "F.Column":
+    """Decode: the merge-table INVERSE — un-merge in reverse round
+    order (later merges may consume earlier merges' outputs, so the
+    inverse must peel newest-first)."""
+    for m in reversed(list(merges)):
+        expr = F.replace(
+            expr,
+            F.lit(f"{_US}{m['lhs']} {m['rhs']}{_US}"),
+            F.lit(f"{_US}{m['lhs']}{_US}{_US}{m['rhs']}{_US}"),
+        )
+    return expr
+
+
+def q163_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-round BPE TRAINER (round-5 ask: iterate q120's single
+    candidate scan into the actual training loop): T rounds of
+    count-adjacent-pairs → pick the argmax (count DESC, then lhs/rhs
+    ASC — the exact integer tie-break rule) → apply the merge to the
+    corpus → recount. Emits the T-entry merge table, the artifact a
+    tokenizer trainer ships — and since round 6 the table IS shipped:
+    :func:`bpe_merges_table` commits it through the manifest log and
+    this query reads the persisted artifact back (training runs once
+    per process; q168/q169 consume the same artifact).
+
+    The merge-application trick that keeps BOTH engines exact and
+    identical: each document is one string with every token wrapped in
+    double unit-separators (``␟␟tok1␟␟tok2␟␟``). BPE's greedy
+    left-to-right non-overlapping merge of pair (a, b) is then
+    literally ``replace(s, '␟a␟␟b␟', '␟a b␟')`` — string replace
+    scans left-to-right and never rescans inside a replacement, which
+    IS the BPE merge rule (in ``x x x`` the first two merge, the third
+    survives), and consuming only the INNER separator of each double
+    boundary lets back-to-back occurrences (``a b a b``) both merge.
+    No UDF, no per-row Python: the whole round is split → zip_with
+    pair explode → partial-agg count → TakeOrdered(1), plus one
+    map-side replace. Scale shape: see :func:`_train_bpe`."""
+    from prox_spark.table import read_table
+
+    return (
+        read_table(spark, bpe_merges_table(spark, sf_dir))
+        .select("round", "lhs", "rhs", "n_occurrences")
+        .orderBy("round")
+    )
 
 
 def _bpe_round_frame(cur: DataFrame) -> DataFrame:
@@ -2678,81 +2775,102 @@ def bpe_round_audit_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bpe_round_frame(wrapped)
 
 
+_N_TOKS = "size(filter(split({col}, '{sep}'), x -> x != ''))"
+
+
 def q168_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenizer APPLICATION — the consumer of q163's merge table:
-    encode the corpus with the T trained merges and report, per
-    source, the pre-BPE token count, the post-BPE token count, and
-    the compression percentage (the number a tokenizer change is
-    judged by before a training run commits to it). Training and
-    encoding share one machinery: the merges come from the same
-    count→argmax loop (one driver scalar per round), and ENCODING is
-    T map-side string replaces over the separator-wrapped corpus —
-    embarrassingly parallel, no shuffle until the final per-source
-    partial-agg rollup. At 100 TB the merge table is a broadcast-
-    sized artifact (T entries) and encoding cost is a linear scan.
+    """Tokenizer APPLICATION — the consumer of the PERSISTED merge
+    artifact (:func:`bpe_merges_table`): read the T trained merges
+    from the committed table (a tiny driver-side collect — the
+    artifact is broadcast-sized by nature) and encode the corpus with
+    T chained map-side string replaces; report, per source, the
+    pre-BPE token count, the post-BPE token count, and the compression
+    percentage (the number a tokenizer change is judged by before a
+    training run commits to it). No training loop in this query's
+    plan (the round-5 verdict ask): before/after token counts come
+    from ONE projection over the wrapped corpus — the original string
+    and the fully-encoded expression side by side — so the whole query
+    is a single linear scan plus a per-source partial-agg rollup. At
+    100 TB the artifact read costs nothing and encoding cost is the
+    scan.
 
     Exactness: token counts are integers; the compression percentage
     is one division of exact integers rounded to 6 places — bit-equal
     across engines (the q163 determinism argument extended to the
     aggregate)."""
-    wrapped = _docs(spark, sf_dir).select(
+    merges = _bpe_merges(spark, sf_dir)
+    wrapped = _wrapped_corpus(spark, sf_dir, with_source=True)
+    sep = _US + _US
+    enc = wrapped.select(
         "source",
-        F.concat(
-            F.lit(_US + _US),
-            F.array_join(F.expr(TOKENS_SPARK), _US + _US),
-            F.lit(_US + _US),
-        ).alias("s"),
+        F.col("s").alias("s0"),
+        _apply_merges(F.col("s"), merges).alias("s1"),
     )
-    wrapped = wrapped.persist()
-    try:
-        cur = wrapped
-        for _rnd in range(1, BPE_ROUNDS + 1):
-            best = _bpe_round_frame(cur).collect()
-            if not best:
-                break
-            lhs, rhs = best[0]["lhs"], best[0]["rhs"]
-            cur = cur.withColumn(
-                "s",
-                F.replace(
-                    F.col("s"),
-                    F.lit(f"{_US}{lhs}{_US}{_US}{rhs}{_US}"),
-                    F.lit(f"{_US}{lhs} {rhs}{_US}"),
-                ),
-            )
-        n_toks = "size(filter(split({col}, '{sep}'), x -> x != ''))"
-        out = (
-            cur.select(
-                "source",
-                F.expr(n_toks.format(col="s", sep=_US + _US)).alias("after"),
-            )
-            .join(
-                wrapped.select(
-                    "source",
-                    F.expr(
-                        n_toks.format(col="s", sep=_US + _US)
-                    ).alias("before"),
-                ).groupBy("source").agg(
-                    F.sum("before").cast("long").alias("tokens_before")
-                ),
-                "source",
-            )
-            .groupBy("source", "tokens_before")
-            .agg(F.sum("after").cast("long").alias("tokens_after"))
-            .withColumn(
-                "compression_pct",
-                F.round(
-                    F.lit(100.0) * F.col("tokens_after")
-                    / F.col("tokens_before"),
-                    6,
-                ),
-            )
-            .select("source", "tokens_before", "tokens_after", "compression_pct")
-            .orderBy("source")
+    return (
+        enc.select(
+            "source",
+            F.expr(_N_TOKS.format(col="s0", sep=sep)).alias("before"),
+            F.expr(_N_TOKS.format(col="s1", sep=sep)).alias("after"),
         )
-        out = out.localCheckpoint()  # pin: wrapped unpersists below
-    finally:
-        wrapped.unpersist()
-    return out
+        .groupBy("source")
+        .agg(
+            F.sum("before").cast("long").alias("tokens_before"),
+            F.sum("after").cast("long").alias("tokens_after"),
+        )
+        .withColumn(
+            "compression_pct",
+            F.round(
+                F.lit(100.0) * F.col("tokens_after") / F.col("tokens_before"),
+                6,
+            ),
+        )
+        .select("source", "tokens_before", "tokens_after", "compression_pct")
+        .orderBy("source")
+    )
+
+
+def q169_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer ROUND-TRIP fidelity gate — completes the
+    q163/q168/q169 family: encode the corpus with the persisted merge
+    artifact, DECODE with the merge-table inverse
+    (:func:`_unapply_merges` — un-merge newest-first, since later
+    merges consume earlier merges' outputs), and require exact string
+    equality with the original token stream, per document. The gate a
+    real pipeline runs before shipping a tokenizer: a merge table
+    whose decode is lossy corrupts every downstream detokenization.
+
+    Plan shape: encode∘decode is 2T chained map-side string replaces
+    inside ONE projection — a single linear scan, zero shuffles before
+    the per-source rollup, no UDF. The fidelity percentage is exact
+    integer division rounded to 6 places (here 100.0 by construction —
+    the oracle pins that the inverse actually inverts, bit-for-bit
+    through the hash gate)."""
+    merges = _bpe_merges(spark, sf_dir)
+    wrapped = _wrapped_corpus(spark, sf_dir, with_source=True)
+    rt = wrapped.select(
+        "source",
+        (
+            _unapply_merges(_apply_merges(F.col("s"), merges), merges)
+            == F.col("s")
+        ).alias("exact"),
+    )
+    return (
+        rt.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("exact"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_roundtrip_exact"),
+        )
+        .withColumn(
+            "fidelity_pct",
+            F.round(
+                F.lit(100.0) * F.col("n_roundtrip_exact") / F.col("n_docs"),
+                6,
+            ),
+        )
+        .orderBy("source")
+    )
 
 
 def _oracle_q168() -> str:
@@ -2839,6 +2957,60 @@ def _oracle_q163() -> str:
         for r in range(1, BPE_ROUNDS + 1)
     )
     return ",\n".join(parts) + f"\n{union}\nORDER BY round"
+
+
+def _oracle_q169() -> str:
+    """The q169 re-derivation: train (the q163 CTE chain), encode
+    (d1..dT with doc_id/source threaded through for row pairing),
+    DECODE (uT..u1 — the inverse replaces in reverse round order),
+    then compare each decoded document against its original by
+    doc_id."""
+    u, uu = _US, _US + _US
+    T = BPE_ROUNDS
+    parts = [
+        f"WITH d0 AS (SELECT doc_id, source, "
+        f"'{uu}' || array_to_string({TOKENS_DUCK}, '{uu}') || '{uu}' AS s "
+        f"FROM documents)"
+    ]
+    for r in range(1, T + 1):
+        p = r - 1
+        parts.append(
+            f"""p{r} AS (
+  SELECT u.lhs AS lhs, u.rhs AS rhs FROM (
+    SELECT unnest(list_transform(range(1, len(toks)),
+                  i -> struct_pack(lhs := toks[i], rhs := toks[i + 1]))) AS u
+    FROM (SELECT list_filter(string_split(s, '{uu}'), x -> x <> '') AS toks
+          FROM d{p})
+  )
+)"""
+        )
+        parts.append(
+            f"b{r} AS (SELECT lhs, rhs FROM p{r} GROUP BY lhs, rhs "
+            f"ORDER BY count(*) DESC, lhs ASC, rhs ASC LIMIT 1)"
+        )
+        parts.append(
+            f"d{r} AS (SELECT doc_id, source, replace(d{p}.s, "
+            f"'{u}' || b{r}.lhs || '{uu}' || b{r}.rhs || '{u}', "
+            f"'{u}' || b{r}.lhs || ' ' || b{r}.rhs || '{u}') AS s "
+            f"FROM d{p} CROSS JOIN b{r})"
+        )
+    prev = f"d{T}"
+    for r in range(T, 0, -1):
+        parts.append(
+            f"u{r} AS (SELECT doc_id, source, replace({prev}.s, "
+            f"'{u}' || b{r}.lhs || ' ' || b{r}.rhs || '{u}', "
+            f"'{u}' || b{r}.lhs || '{uu}' || b{r}.rhs || '{u}') AS s "
+            f"FROM {prev} CROSS JOIN b{r})"
+        )
+        prev = f"u{r}"
+    return ",\n".join(parts) + f"""
+SELECT d0.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE u1.s = d0.s) AS BIGINT) AS n_roundtrip_exact,
+       round(100.0 * (count(*) FILTER (WHERE u1.s = d0.s)) / count(*), 6) AS fidelity_pct
+FROM u1 JOIN d0 USING (doc_id)
+GROUP BY d0.source
+ORDER BY d0.source"""
 
 
 # --- q164: corpus-frequency quality signals --------------------------------
@@ -3020,6 +3192,7 @@ QUERIES = {
     "q120_bpe_pair_counts": q120_bpe_pair_counts,
     "q163_bpe_train": q163_bpe_train,
     "q168_bpe_encode": q168_bpe_encode,
+    "q169_bpe_roundtrip": q169_bpe_roundtrip,
     "q164_rare_token_profile": q164_rare_token_profile,
     "q165_source_overlap_matrix": q165_source_overlap_matrix,
     "q122_quality_prune": q122_quality_prune,
@@ -3065,6 +3238,7 @@ ORACLES = {
     "q120_bpe_pair_counts": ORACLE_Q120,
     "q163_bpe_train": _oracle_q163(),
     "q168_bpe_encode": _oracle_q168(),
+    "q169_bpe_roundtrip": _oracle_q169(),
     "q164_rare_token_profile": ORACLE_Q164,
     "q165_source_overlap_matrix": ORACLE_Q165,
     "q122_quality_prune": ORACLE_Q122,

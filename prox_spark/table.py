@@ -1414,6 +1414,54 @@ def drop_column(spark: SparkSession, table_path: str, col: str) -> int:
     return _commit_meta_change(spark, table_path, mutate)
 
 
+def set_cluster_spec(spark: SparkSession, table_path: str,
+                     stat_cols: list[str]) -> int:
+    """Change the table's clustering/stat spec WITHOUT rewriting any
+    data file (Iceberg partition-spec-evolution semantics, applied to
+    the stat/cluster columns): the snapshot's declared ``stat_cols``
+    changes and nothing else moves. Mixed-spec correctness falls out
+    of per-file metadata:
+
+    - OLD files keep their recorded per-file min/max (and blooms) on
+      the old columns — probes on the old columns still prune them
+      exactly; probes on the NEW columns find no recorded range and
+      treat them conservatively hot (:func:`_overlaps` — sound, just
+      unpruned until rewritten);
+    - NEW commits cluster, stat and bloom on the new spec
+      (``commit_delta`` inherits the declared columns), so fresh data
+      prunes on the new columns immediately;
+    - chunk-level ranges behave the same way per entry, and
+      :func:`compact_table` completes the migration by re-clustering
+      everything on the current spec.
+
+    Concurrent merges see the change as a CAS conflict
+    (``_validate_rebase`` compares ``stat_cols``) — their carry-over
+    and pruning decisions were derived under the old spec, so they
+    must re-read and retry. Refused when a named column is not in the
+    declared schema or is the source of a live rename (old files
+    physically carry that name for a DIFFERENT column — footer stats
+    gathered for new commits would be incomparable with the mapping's
+    semantics)."""
+    def mutate(doc: dict, v: int) -> dict:
+        names = {f["name"] for f in doc["schema"]["fields"]}
+        unknown = [c for c in stat_cols if c not in names]
+        if unknown:
+            raise ValueError(
+                f"cluster-spec columns {unknown} not in table schema"
+            )
+        sources = {e["from"] for e in doc.get("renames") or []}
+        bad = [c for c in stat_cols if c in sources]
+        if bad:
+            raise ValueError(
+                f"column(s) {bad} are physical sources of live rename "
+                "mappings; run compact_table before clustering on them"
+            )
+        doc["stat_cols"] = list(stat_cols)
+        return doc
+
+    return _commit_meta_change(spark, table_path, mutate)
+
+
 def _overlaps(fstats: dict | None, key_ranges: dict[str, tuple]) -> bool:
     """Could a file with footer stats ``fstats`` contain any key tuple
     whose per-column values fall inside ``key_ranges``? Disjointness on

@@ -413,3 +413,45 @@ def test_q134_q135_payloads_stay_in_python_stages(spark):
         # nothing between the Python stages and the sort but projection:
         # payloads never enter a join or aggregate
         assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_q168_encode_plan_has_no_training_loop(spark):
+    """q168 consumes the PERSISTED merge artifact: its returned plan
+    must contain exactly one aggregate pass (the per-source rollup) —
+    a q163-style training loop would show up as pair-count aggregates
+    feeding TakeOrderedAndProject."""
+    from prox_spark.queries.text import q168_bpe_encode
+
+    plan = _plan(q168_bpe_encode(spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    assert "TakeOrderedAndProject" not in tree  # the trainer's argmax shape
+    # one partial+final HashAggregate pair for the rollup, nothing else
+    assert tree.count("HashAggregate") == 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q169_roundtrip_single_scan(spark):
+    from prox_spark.queries.text import q169_bpe_roundtrip
+
+    plan = _plan(q169_bpe_roundtrip(spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("HashAggregate") == 2  # per-source rollup only
+    assert "Join" not in tree  # decode==original is an expression, not a join
+    assert "CartesianProduct" not in plan
+
+
+def test_q170_semdedup_pairs_confined_to_clusters(spark):
+    """SemDeDup's pair join must be an equi-join on cid — cross-cluster
+    pairs are never formed (the sub-quadratic claim); the only
+    nested-loop-ish node allowed is the broadcast-tiny centroid-array
+    attach shared with q45."""
+    from prox_spark.queries.similarity import q170_semdedup
+
+    plan = _plan(q170_semdedup(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    tree = plan.split("\n\n")[0]
+    # the centroid attach is a broadcast of ONE collected row; it
+    # prints once per consumer of the cached assignment (pair sides +
+    # member count = 3). Any more would be a corpus cross join.
+    assert tree.count("BroadcastNestedLoopJoin") <= 3
+    assert "cid" in plan

@@ -188,3 +188,106 @@ def test_concurrent_rename_conflicts_with_inflight_merge(spark, tmp_path):
         )
     # the rename survives untouched
     assert read_table(spark, path).columns == ["id", "payload"]
+
+
+def test_cluster_spec_evolution_model_sequence(spark, tmp_path):
+    """Partition/cluster-spec evolution (the remaining Iceberg-parity
+    gap after rename/drop): set_cluster_spec changes stat_cols
+    metadata-only; old files keep pruning on their recorded old-col
+    ranges, new files prune on the new spec, probes on the other
+    spec's column treat foreign-generation files conservatively hot,
+    and compaction completes the migration."""
+    from prox_spark.table import (
+        read_manifest,
+        set_cluster_spec,
+        split_files_by_key_ranges,
+    )
+
+    path = str(tmp_path / "t")
+    schema = "id long, grp long, v string"
+    commit_snapshot(
+        spark, path,
+        _df(spark, [(i, i % 7, "a") for i in range(400)], schema),
+        stat_cols=["id"], n_files=4,
+    )
+    m1 = read_manifest(spark, path)
+    old_files = set(m1["files"])
+
+    v = set_cluster_spec(spark, path, ["grp"])
+    m2 = read_manifest(spark, path)
+    # metadata-only: no data file moved, spec changed
+    assert set(m2["files"]) == old_files and m2["stat_cols"] == ["grp"]
+    assert v == 2
+
+    # new commit clusters/stats on the NEW spec
+    from prox_spark.table import commit_delta
+
+    commit_delta(
+        spark, path,
+        _df(spark, [(1000 + i, 100 + i % 3, "b") for i in range(300)], schema),
+        list(old_files), n_files=3, update_key_ranges={},
+    )
+    m3 = read_manifest(spark, path)
+    new_files = [f for f in m3["files"] if f not in old_files]
+    assert new_files
+    for f in new_files:
+        assert "grp" in (m3["stats"][f] or {}), "new file missing new-spec stats"
+    for f in old_files:
+        assert "id" in (m3["stats"][f] or {}), "old file lost old-spec stats"
+
+    # probe on the NEW column: new files prune exactly (grp 100-102),
+    # old files are conservatively hot (no grp range recorded)
+    touched, untouched = split_files_by_key_ranges(m3, {"grp": (100, 100)})
+    assert set(untouched) <= set(new_files), "old files must stay hot on grp"
+    assert any(f in new_files for f in untouched), (
+        "new-spec files with grp ranges outside the probe must prune"
+    )
+    # probe on the OLD column: old files prune by their recorded id
+    # ranges, new files (id 1000+) are hot only if their... they have
+    # no id stats, so conservatively hot
+    touched_id, untouched_id = split_files_by_key_ranges(m3, {"id": (0, 10)})
+    assert any(f in old_files for f in untouched_id), (
+        "old-spec id ranges must still prune"
+    )
+
+    # reads stay correct across the mixed-spec table
+    assert read_table(spark, path).count() == 700
+    got = {r.id for r in read_table_point(spark, path, {"grp": 101}).collect()}
+    assert got == {1000 + i for i in range(300) if 100 + i % 3 == 101}
+
+    # compaction completes the migration: every file re-stats on grp
+    compact_table(spark, path, n_files=4)
+    mf = read_manifest(spark, path)
+    for f in mf["files"]:
+        assert "grp" in (mf["stats"][f] or {})
+    assert read_table(spark, path).count() == 700
+
+
+def test_cluster_spec_refusals_and_concurrency(spark, tmp_path):
+    from prox_spark.table import (
+        CommitConflictError,
+        commit_delta,
+        read_manifest,
+        set_cluster_spec,
+    )
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    with pytest.raises(ValueError, match="not in table schema"):
+        set_cluster_spec(spark, path, ["nope"])
+    rename_column(spark, path, "v", "payload")
+    # the rename removed 'v' from the declared schema, so the schema
+    # check rejects it first (the live-rename guard is defense in
+    # depth for any future path that re-admits source names)
+    with pytest.raises(ValueError, match="not in table schema"):
+        set_cluster_spec(spark, path, ["v"])
+    # a spec change between a merge's derivation and publish conflicts
+    m = read_manifest(spark, path)
+    set_cluster_spec(spark, path, ["payload"])
+    with pytest.raises(CommitConflictError, match="stat_cols"):
+        commit_delta(
+            spark, path,
+            _df(spark, [(5, "x")], "id long, payload string"),
+            [f for f in m["files"]], base_version=m["version"],
+            update_key_ranges={},
+        )
