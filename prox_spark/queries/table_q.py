@@ -838,6 +838,127 @@ ORDER BY probe
 """
 
 
+# --- q173: auto-maintenance policy under the gate --------------------------
+
+_MAINT_CACHE: dict[str, tuple] = {}
+
+
+def _maintained_table(spark: SparkSession, sf_dir: str) -> tuple:
+    """A documents-backed table driven through the FULL auto-
+    maintenance lifecycle, staged once per process: seed → 9
+    fragmenting single-row merges (each leaves one small delta file)
+    → maintain_table #1 (must consolidate small files — decided from
+    the manifest's commit-time ``sizes`` record, zero stat RPCs) → 5
+    merge-on-read deletes (past the pending cap) → maintain_table #2
+    (must fold them). Returns (table_path, flags dict)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from prox_spark.table import (
+        commit_snapshot,
+        maintain_table,
+        read_manifest,
+        read_table,
+    )
+    from prox_spark.upsert import delete_keys_mor, upsert_parquet
+
+    if sf_dir not in _MAINT_CACHE:
+        scratch = tempfile.mkdtemp(prefix="prox_maint_docs_")
+        atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+        table = f"{scratch}/docs"
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "source", "n_chars"
+        )
+        mx = docs.agg(F.max("doc_id")).collect()[0][0]
+        commit_snapshot(spark, table, docs, stat_cols=["doc_id"], n_files=4)
+        up_ids = [(mx * k) // 10 for k in range(1, 10)]
+        for uid in up_ids:
+            upd = (
+                read_table(spark, table)
+                .filter(F.col("doc_id") == uid)
+                .withColumn("n_chars", F.col("n_chars") + F.lit(1000))
+            )
+            upsert_parquet(spark, table, upd, ["doc_id"])
+        m = read_manifest(spark, table)
+        sizes_metadata = set(m.get("sizes") or {}) == set(m["files"])
+        r1 = maintain_table(
+            spark, table, max_small_files=8, keep_versions=2,
+            retention_minutes=0.0,
+        )
+        for k in range(1, 6):
+            delete_keys_mor(
+                spark, table,
+                spark.createDataFrame([((mx * k) // 10,)], "doc_id long"),
+                ["doc_id"],
+            )
+        r2 = maintain_table(
+            spark, table, max_pending_deletes=4, keep_versions=2,
+            retention_minutes=0.0,
+        )
+        flags = {
+            "compacted_small": r1["compacted_small"] is not None,
+            "folded_deletes": bool(r2["folded_deletes"]),
+            "sizes_metadata": bool(sizes_metadata),
+        }
+        _MAINT_CACHE[sf_dir] = (table, flags)
+    return _MAINT_CACHE[sf_dir]
+
+
+def q173_auto_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The auto-maintenance policy (:func:`prox_spark.table.
+    maintain_table`) under the driver gate: the staged lifecycle
+    (:func:`_maintained_table`) fragments a table with 9 single-row
+    merges, lets the policy consolidate them (small-file decision made
+    from the manifest's commit-time ``sizes`` record — the
+    ``sizes_metadata`` column pins that the record actually covered
+    every live file, i.e. the zero-RPC path was available), then
+    accrues 5 pending merge-on-read deletes and lets the second cycle
+    fold them. The aggregate over the final table must equal the
+    oracle's direct computation (updates applied, deletes gone) — a
+    maintenance pass that lost or resurrected a row fails the hash
+    gate, and a policy that didn't run fails the pinned flags."""
+    table, flags = _maintained_table(spark, sf_dir)
+    from prox_spark.table import read_table
+
+    return (
+        read_table(spark, table)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("sum_ids"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .withColumn("compacted_small", F.lit(flags["compacted_small"]))
+        .withColumn("folded_deletes", F.lit(flags["folded_deletes"]))
+        .withColumn("sizes_metadata", F.lit(flags["sizes_metadata"]))
+    )
+
+
+ORACLE_Q173 = """
+WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+up_ids AS (
+  SELECT (m * k) // 10 AS doc_id FROM mx, (SELECT unnest(range(1, 10)) AS k)
+),
+del_ids AS (
+  SELECT (m * k) // 10 AS doc_id FROM mx, (SELECT unnest(range(1, 6)) AS k)
+),
+final AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id IN (SELECT doc_id FROM up_ids)
+              THEN d.n_chars + 1000 ELSE d.n_chars END AS n_chars
+  FROM documents d
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM del_ids)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       TRUE AS compacted_small,
+       TRUE AS folded_deletes,
+       TRUE AS sizes_metadata
+FROM final
+"""
+
+
 QUERIES = {
     "q114_snapshot_diff": q114_snapshot_diff,
     "q118_incremental_agg": q118_incremental_agg,
@@ -848,6 +969,7 @@ QUERIES = {
     "q166_rename_evolution": q166_rename_evolution,
     "q167_chunked_point_lookup": q167_chunked_point_lookup,
     "q171_cluster_spec_evolution": q171_cluster_spec_evolution,
+    "q173_auto_maintenance": q173_auto_maintenance,
 }
 
 
@@ -864,4 +986,5 @@ def oracles() -> dict[str, str]:
         "q166_rename_evolution": _oracle_q166(),
         "q167_chunked_point_lookup": ORACLE_Q167,
         "q171_cluster_spec_evolution": ORACLE_Q171,
+        "q173_auto_maintenance": ORACLE_Q173,
     }

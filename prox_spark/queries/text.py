@@ -3162,6 +3162,101 @@ ORDER BY src_a, src_b
 """
 
 
+# --- q172: cross-source canonical dedup + post-dedup mixture ---------------
+
+
+def q172_cross_source_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source CANONICAL dedup — the action q165's overlap matrix
+    informs: when the same exact text appears in several feeds, ONE
+    source keeps the copy (ownership rule: lexicographically smallest
+    source, then smallest doc_id — fully deterministic) and the
+    mixture weights are recomputed over the kept tokens only. This is
+    the step every multi-crawl corpus build runs after overlap
+    analysis: without it, a feed that mirrors another dump double-buys
+    its tokens in the mixture.
+
+    Per source: total docs seen, docs owned after canonical dedup,
+    tokens owned, and the post-dedup mixture weight (owned tokens /
+    all owned tokens). Copies of one text have identical token counts
+    by construction, so the owned-token sum is exact — and because
+    only the owner SOURCE is observable in the rollup, min(source) is
+    the whole ownership rule (the within-source doc_id tie-break
+    would matter only if kept doc ids were emitted).
+
+    Scale shape: one partial-agg shuffle on the 16-byte text digest
+    picks each text's owner (min struct — map-side combinable), then a
+    per-source rollup; the global token total joins back as a
+    broadcast one-row aggregate. No self-joins, nothing per-copy
+    quadratic."""
+    docs = _docs(spark, sf_dir).select(
+        "source",
+        F.md5("text").alias("full"),
+        F.size(F.expr(TOKENS_SPARK)).cast("long").alias("n_toks"),
+    )
+    owners = (
+        docs.groupBy("full")
+        .agg(
+            F.min("source").alias("source"),
+            F.min("n_toks").alias("n_toks"),  # identical across copies
+        )
+        .select("source", "n_toks")
+    )
+    owned = owners.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_owned"),
+        F.sum("n_toks").cast("long").alias("tokens_owned"),
+    )
+    totals = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    grand = owned.agg(F.sum("tokens_owned").alias("g")).select("g")
+    return (
+        totals.join(owned, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_owned", F.lit(0)).cast("long").alias("n_owned"),
+            F.coalesce("tokens_owned", F.lit(0)).cast("long")
+            .alias("tokens_owned"),
+        )
+        .crossJoin(F.broadcast(grand))
+        .withColumn(
+            "weight_pct",
+            F.round(F.lit(100.0) * F.col("tokens_owned") / F.col("g"), 6),
+        )
+        .drop("g")
+        .orderBy("source")
+    )
+
+
+ORACLE_Q172 = f"""
+WITH d AS (
+  SELECT source, md5(text) AS fh,
+         CAST(len({TOKENS_DUCK}) AS BIGINT) AS n_toks
+  FROM documents
+),
+owners AS (
+  SELECT fh, min(source) AS source, min(n_toks) AS n_toks
+  FROM d GROUP BY fh
+),
+owned AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_owned,
+         CAST(sum(n_toks) AS BIGINT) AS tokens_owned
+  FROM owners GROUP BY source
+),
+totals AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM d GROUP BY source
+),
+grand AS (SELECT CAST(sum(tokens_owned) AS BIGINT) AS g FROM owned)
+SELECT t.source, t.n_docs,
+       CAST(coalesce(ow.n_owned, 0) AS BIGINT) AS n_owned,
+       CAST(coalesce(ow.tokens_owned, 0) AS BIGINT) AS tokens_owned,
+       round(100.0 * CAST(coalesce(ow.tokens_owned, 0) AS BIGINT) / g, 6) AS weight_pct
+FROM totals t LEFT JOIN owned ow USING (source) CROSS JOIN grand
+ORDER BY t.source
+"""
+
+
 QUERIES = {
     "q30_exact_dedup": q30_exact_dedup,
     "q31_text_stats": q31_text_stats,
@@ -3193,6 +3288,7 @@ QUERIES = {
     "q163_bpe_train": q163_bpe_train,
     "q168_bpe_encode": q168_bpe_encode,
     "q169_bpe_roundtrip": q169_bpe_roundtrip,
+    "q172_cross_source_dedup": q172_cross_source_dedup,
     "q164_rare_token_profile": q164_rare_token_profile,
     "q165_source_overlap_matrix": q165_source_overlap_matrix,
     "q122_quality_prune": q122_quality_prune,
@@ -3239,6 +3335,7 @@ ORACLES = {
     "q163_bpe_train": _oracle_q163(),
     "q168_bpe_encode": _oracle_q168(),
     "q169_bpe_roundtrip": _oracle_q169(),
+    "q172_cross_source_dedup": ORACLE_Q172,
     "q164_rare_token_profile": ORACLE_Q164,
     "q165_source_overlap_matrix": ORACLE_Q165,
     "q122_quality_prune": ORACLE_Q122,
