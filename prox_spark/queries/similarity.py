@@ -1546,6 +1546,104 @@ ORDER BY query_id, rank
 """
 
 
+# --- q175: Matryoshka truncation quality (overlap@k) -----------------------
+
+MRL_DIMS = 48  # truncated prefix dimensionality (48 of 64: the trade is visible on this corpus)
+
+
+def q175_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation retrieval quality — the evaluation every
+    MRL-style embedding deployment runs before serving truncated
+    vectors: for each query, the exact top-k by FULL-dimension cosine
+    vs the top-k by the first ``MRL_DIMS`` dimensions only, reported
+    as the per-query overlap count (overlap@k). Serving MRL_DIMS of 64
+    dims cuts index memory and dot-product cost proportionally; this
+    query measures what that buys away. One broadcast pass scores BOTH similarities
+    per (query, candidate) — the truncated dot is a fold over sliced
+    arrays, no second scan — then two windows rank them and the
+    overlap is a filtered count. Exact integer output (counts of
+    rank-intersections; the cosines themselves never leave the
+    ranking), so the hash gate is bit-stable without float columns."""
+    emb = _emb_n(spark, sf_dir)
+    emb = emb.withColumn("d16", F.expr(f"slice(dd, 1, {MRL_DIMS})"))
+    emb = emb.withColumn(
+        "n16", F.expr(f"sqrt({DOT_SPARK.format(a='d16', b='d16')})")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("dd").alias("qv"), F.col("nrm").alias("qn"),
+        F.col("d16").alias("qv16"), F.col("n16").alias("qn16"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id",
+            F.expr(f"{DOT_SPARK.format(a='qv', b='dd')} / (qn * nrm)")
+            .alias("cos_full"),
+            F.expr(f"{DOT_SPARK.format(a='qv16', b='d16')} / (qn16 * n16)")
+            .alias("cos_16"),
+        )
+    )
+    wf = W.partitionBy("query_id").orderBy(F.desc("cos_full"), F.asc("vec_id"))
+    wt = W.partitionBy("query_id").orderBy(F.desc("cos_16"), F.asc("vec_id"))
+    ranked = scored.withColumn("rf", F.row_number().over(wf)).withColumn(
+        "rt", F.row_number().over(wt)
+    )
+    return (
+        ranked.groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when((F.col("rf") <= TOP_K) & (F.col("rt") <= TOP_K), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_overlap"),
+        )
+        .withColumn("k", F.lit(TOP_K).cast("long"))
+        .orderBy("query_id")
+    )
+
+
+_MRL_FULL = DOT_DUCK.format(a="e.dd", b="q.qv")
+_MRL_T = DOT_DUCK.format(a="e.d16", b="q.qv16")
+_MRL_SLICE = f"dd[1:{MRL_DIMS}]"
+
+ORACLE_Q175 = f"""
+WITH e0 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS dd,
+         sqrt({DOT_DUCK.format(a='embedding::DOUBLE[]', b='embedding::DOUBLE[]')}) AS nrm
+  FROM embeddings
+),
+e AS (
+  SELECT vec_id, dd, nrm, {_MRL_SLICE} AS d16,
+         sqrt({DOT_DUCK.format(a=_MRL_SLICE, b=_MRL_SLICE)}) AS n16
+  FROM e0
+),
+q AS (
+  SELECT vec_id AS query_id, dd AS qv, nrm AS qn, d16 AS qv16, n16 AS qn16
+  FROM e WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         {_MRL_FULL} / (q.qn * e.nrm) AS cos_full,
+         {_MRL_T} / (q.qn16 * e.n16) AS cos_16
+  FROM e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_full DESC, vec_id ASC) AS rf,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_16 DESC, vec_id ASC) AS rt
+  FROM scored
+)
+SELECT query_id,
+       CAST(count(*) FILTER (WHERE rf <= {TOP_K} AND rt <= {TOP_K}) AS BIGINT) AS n_overlap,
+       CAST({TOP_K} AS BIGINT) AS k
+FROM ranked
+GROUP BY query_id
+ORDER BY query_id
+"""
+
+
 # --- q170: SemDeDup — embedding-cluster semantic dedup ---------------------
 
 SEMDEDUP_TAU = 0.40  # within-cluster cosine above this => semantic dup
@@ -1667,6 +1765,7 @@ QUERIES = {
     "q161_ivf_index_maintenance": q161_ivf_index_maintenance,
     "q162_ivf_mor_delete": q162_ivf_mor_delete,
     "q170_semdedup": q170_semdedup,
+    "q175_matryoshka_overlap": q175_matryoshka_overlap,
 }
 
 ORACLES = {
@@ -1684,4 +1783,5 @@ ORACLES = {
     "q161_ivf_index_maintenance": ORACLE_Q161,
     "q162_ivf_mor_delete": ORACLE_Q162,
     "q170_semdedup": ORACLE_Q170,
+    "q175_matryoshka_overlap": ORACLE_Q175,
 }

@@ -3013,6 +3013,132 @@ GROUP BY d0.source
 ORDER BY d0.source"""
 
 
+# --- q174: Count-Min-Sketch token frequencies ------------------------------
+
+CMS_D = 4     # hash rows
+CMS_W = 16    # counters per row (vocab here is tiny; small W makes collisions real)
+CMS_TOPK = 20
+
+
+def _cms_bucket_spark(d: int) -> str:
+    hx = " + ".join(
+        f"(locate(substring(md5(concat('{d}|', tok)), {i + 1}, 1), "
+        f"'0123456789abcdef') - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    return f"cast({hx} as long) % {CMS_W}"
+
+
+def _cms_bucket_duck(d: int) -> str:
+    hx = " + ".join(
+        f"(strpos('0123456789abcdef', substring(md5('{d}|' || tok), {i + 1}, 1)) - 1)"
+        f" * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    return f"CAST({hx} AS BIGINT) % {CMS_W}"
+
+
+def q174_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch token frequencies — the mergeable FREQUENCY
+    sketch completing the sketch family next to q19/q98's HLL
+    (distinct counts): a D×W counter grid whose rows are md5-bucketed
+    sums; any key's estimated count is the MIN over its D counters —
+    ≥ the true count by construction, with collision error bounded by
+    ~corpus/W per row. At 100 TB this is how per-shard token
+    histograms merge into a global frequency oracle without ever
+    materializing the full vocabulary in one place: the sketch is
+    D×W longs (kilobytes) regardless of corpus size, and merging
+    sketches is elementwise addition (sum is associative — the same
+    one-pass partial-agg Spark already does here).
+
+    The gate reports, for the true top-``CMS_TOPK`` tokens, the exact
+    count, the CMS estimate, and the overestimate — all exact integer
+    arithmetic on md5 buckets, bit-identical across engines (the q65
+    hash-gate idiom applied to sketch hashing; no rand, no floats)."""
+    from functools import reduce
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(F.expr(TOKENS_SPARK)).alias("tok")
+    )
+    # fully lazy (no persist/checkpoint): the vocab count re-derives in
+    # each branch, but each is one partial-agg over map-side exploded
+    # tokens — cheaper than pinning a cache across the returned plan's
+    # lifetime, and the audited plan stays the real one
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    # sketch build: one (d, bucket) partial-agg per hash row, from the
+    # per-token counts (equivalent to per-occurrence increments)
+    rows = [
+        cnt.select(
+            F.lit(d).alias("d"),
+            F.expr(_cms_bucket_spark(d)).alias("bucket"),
+            "cnt",
+        )
+        for d in range(CMS_D)
+    ]
+    cms = (
+        reduce(lambda a, b: a.unionByName(b), rows)
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("c"))
+    )
+    top = (
+        cnt.orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(CMS_TOPK)
+        .withColumnRenamed("cnt", "true_cnt")
+    )
+    probes = top.select(
+        "tok", "true_cnt",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    F.expr(_cms_bucket_spark(d)).alias("bucket"),
+                )
+                for d in range(CMS_D)
+            ])
+        ).alias("p"),
+    ).select("tok", "true_cnt", "p.d", "p.bucket")
+    return (
+        probes.join(F.broadcast(cms), ["d", "bucket"])
+        .groupBy("tok", "true_cnt")
+        .agg(F.min("c").cast("long").alias("cms_est"))
+        .withColumn(
+            "overestimate",
+            (F.col("cms_est") - F.col("true_cnt")).cast("long"),
+        )
+        .orderBy(F.desc("true_cnt"), F.asc("tok"))
+    )
+
+
+def _oracle_q174() -> str:
+    buckets = " UNION ALL ".join(
+        f"SELECT {d} AS d, {_cms_bucket_duck(d)} AS bucket, cnt FROM cnt"
+        for d in range(CMS_D)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT tok, true_cnt, {d} AS d, {_cms_bucket_duck(d)} AS bucket FROM top"
+        for d in range(CMS_D)
+    )
+    return f"""
+WITH toks AS (SELECT unnest({TOKENS_DUCK}) AS tok FROM documents),
+cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
+cms AS (
+  SELECT d, bucket, CAST(sum(cnt) AS BIGINT) AS c
+  FROM ({buckets}) GROUP BY d, bucket
+),
+top AS (
+  SELECT tok, cnt AS true_cnt FROM cnt
+  ORDER BY cnt DESC, tok ASC LIMIT {CMS_TOPK}
+),
+probes AS ({probe_rows})
+SELECT p.tok, p.true_cnt,
+       CAST(min(cms.c) AS BIGINT) AS cms_est,
+       CAST(min(cms.c) - p.true_cnt AS BIGINT) AS overestimate
+FROM probes p JOIN cms USING (d, bucket)
+GROUP BY p.tok, p.true_cnt
+ORDER BY p.true_cnt DESC, p.tok ASC
+"""
+
+
 # --- q164: corpus-frequency quality signals --------------------------------
 
 RARE_COUNT_MAX = 2  # a token with global count <= this is "rare"
@@ -3289,6 +3415,7 @@ QUERIES = {
     "q168_bpe_encode": q168_bpe_encode,
     "q169_bpe_roundtrip": q169_bpe_roundtrip,
     "q172_cross_source_dedup": q172_cross_source_dedup,
+    "q174_cms_token_freq": q174_cms_token_freq,
     "q164_rare_token_profile": q164_rare_token_profile,
     "q165_source_overlap_matrix": q165_source_overlap_matrix,
     "q122_quality_prune": q122_quality_prune,
@@ -3336,6 +3463,7 @@ ORACLES = {
     "q168_bpe_encode": _oracle_q168(),
     "q169_bpe_roundtrip": _oracle_q169(),
     "q172_cross_source_dedup": ORACLE_Q172,
+    "q174_cms_token_freq": _oracle_q174(),
     "q164_rare_token_profile": ORACLE_Q164,
     "q165_source_overlap_matrix": ORACLE_Q165,
     "q122_quality_prune": ORACLE_Q122,

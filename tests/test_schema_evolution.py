@@ -291,3 +291,53 @@ def test_cluster_spec_refusals_and_concurrency(spark, tmp_path):
             [f for f in m["files"]], base_version=m["version"],
             update_key_ranges={},
         )
+
+
+def test_cluster_spec_evolution_on_chunked_layout(spark, tmp_path, monkeypatch):
+    """Spec evolution on a CHUNKED table: the metadata commit carries
+    every chunk entry verbatim (no chunk rewritten), old chunk ranges
+    keep pruning probes on the old column, probes on the new column
+    treat old chunks conservatively hot, and a post-change commit
+    writes chunks ranged on the new spec."""
+    from prox_spark.table import commit_delta, read_manifest, set_cluster_spec
+
+    monkeypatch.setattr(T, "CHUNK_THRESHOLD", 3)
+    monkeypatch.setattr(T, "CHUNK_SIZE", 2)
+    path = str(tmp_path / "t")
+    schema = "id long, grp long, v string"
+    commit_snapshot(
+        spark, path,
+        spark.createDataFrame([(i, i % 5, "a") for i in range(200)], schema),
+        stat_cols=["id"], n_files=8,
+    )
+    chunks_before = {
+        e["file"] for e in T._read_manifest_file(spark, path, 1)["chunks"]
+    }
+    set_cluster_spec(spark, path, ["grp"])
+    doc = T._read_manifest_file(spark, path, 2)
+    assert {e["file"] for e in doc["chunks"]} == chunks_before, (
+        "spec change rewrote chunk files"
+    )
+    # old chunk entries still carry id ranges -> old-col probes prune
+    assert all("id" in (e.get("ranges") or {}) for e in doc["chunks"])
+    m = read_manifest(spark, path)
+    commit_delta(
+        spark, path,
+        spark.createDataFrame([(1000 + i, 100, "b") for i in range(10)], schema),
+        list(m["files"]), update_key_ranges={},
+    )
+    doc3 = T._read_manifest_file(
+        spark, path, table_versions(spark, path)[-1]
+    )
+    new_entries = [e for e in doc3["chunks"] if e["file"] not in chunks_before]
+    assert new_entries, "append did not add a chunk"
+    assert any(
+        "grp" in (e.get("ranges") or {}) for e in new_entries
+    ), "new chunk not ranged on the new spec"
+    # probes: new-col lookup prunes old chunks conservatively (hot) but
+    # results stay exact
+    got = {r.id for r in read_table_point(spark, path, {"grp": 100}).collect()}
+    assert got == {1000 + i for i in range(10)} | {
+        i for i in range(200) if i % 5 == 100
+    }
+    assert read_table(spark, path).count() == 210

@@ -52,6 +52,11 @@ QUERIES = [
     "q124_dedup_pipeline",
     "q137_curation_capstone",
     "q163_bpe_train",
+    # round 6: the restructured overlap matrix (the round-5 weak item)
+    # — its distinct-level self-joins must scale ~linearly in corpus
+    # size; token-suffixed replicas give each replica a disjoint
+    # prefix space, so candidate volume grows 10x, never 100x
+    "q165_source_overlap_matrix",
 ]
 MAX_EXPONENT = 1.6
 
@@ -122,9 +127,28 @@ def main() -> None:
     sf01 = detail.get("queries", {})
 
     qs = all_queries()
+
+    # q163 persists its artifact behind a per-process cache (round 6):
+    # the registry callable would train on first call and serve cached
+    # reads after, so the naive warm-then-time at sf0.1 would compare a
+    # CACHED read against sf1's cold TRAIN. Measure the training loop
+    # itself, cache-free, at both scales — that's the scaling claim.
+    def _measure_q163(spark_, sf_dir):
+        from prox_spark.queries.text import _train_bpe
+
+        class _N:  # duck-typed .count() for the timing loop below
+            def __init__(self, sf):
+                self.sf = sf
+
+            def count(self):
+                return len(_train_bpe(spark_, self.sf))
+
+        return _N(sf_dir)
+
+    overrides = {"q163_bpe_train": _measure_q163}
     out: dict = {}
     for name in QUERIES:
-        fn = qs[name]
+        fn = overrides.get(name, qs[name])
         fn(spark, SRC).count()  # warm (sf0.1)
         t01 = time.time()
         fn(spark, SRC).count()
