@@ -659,6 +659,133 @@ ORDER BY media_id
 """
 
 
+def q176_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-duplicate detection by PERCEPTUAL HASH — the
+    multimodal arm of the dedup family (q30 exact / q36 MinHash /
+    q170 SemDeDup): synthesize a deterministic-gradient P6 PPM per
+    document (q134's generator), parse the real bytes back, compute
+    the classic aHash/pHash recipe — 8×8 nearest-neighbor thumbnail,
+    threshold each cell against the integer mean, pack the 64 bits —
+    and group the corpus by hash: images that look alike land in one
+    bucket regardless of their stored resolution (the thumbnail
+    normalizes w×h away), which is exactly how production image dedup
+    blocks candidates before any pairwise compare. At 100 TB the hash
+    is computed inside the Arrow decode pass (payloads never shuffle;
+    16 bytes of hash per image emerge) and the bucket group-by is the
+    only shuffle.
+
+    Everything is INTEGER arithmetic (NN index = (dst*size)//8,
+    mean = sum//64, strict > threshold, bit packs as two 32-bit
+    halves to dodge signed-shift overflow), so the DuckDB oracle
+    recomputes the hashes in closed form from the gradient formula —
+    a wrong decode, sampling grid, threshold, or bit order all break
+    the hash gate."""
+    from prox_spark.multimodal import MEDIA_SCHEMA
+    from prox_spark.queries.text import _spread_py
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    docs = _spread_py(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "n_chars")
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for n in pdf["n_chars"]:
+                n = int(n)
+                w, h = 16 + n % 32, 8 + n % 24
+                header = f"P6\n{w} {h}\n255\n".encode()
+                pix = bytes(
+                    (x * 3 + y * 7) % 256
+                    for y in range(h)
+                    for x in range(w)
+                    for _ in range(3)
+                )
+                payloads.append(header + pix)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].values,
+                    "payload": payloads,
+                    "meta": [{"mime": "image/ppm", "source": "synth"} for _ in payloads],
+                }
+            )
+
+    def phash(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                head, dims, _maxval, pix = bytes(payload).split(b"\n", 3)
+                assert head == b"P6"
+                w, h = map(int, dims.split())
+                arr = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, 3)
+                xs = (np.arange(8) * w) // 8
+                ys = (np.arange(8) * h) // 8
+                thumb = arr[np.ix_(ys, xs)][:, :, 0].astype(np.int64)
+                mean = int(thumb.sum()) // 64
+                flat = thumb.reshape(-1)  # k = y*8 + x, row-major
+                lo = sum(1 << k for k in range(32) if flat[k] > mean)
+                hi = sum(1 << k for k in range(32) if flat[k + 32] > mean)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "phash_hi": int(hi),
+                        "phash_lo": int(lo),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    media = docs.mapInPandas(encode, schema=MEDIA_SCHEMA)
+    hashed = media.mapInPandas(
+        phash, schema="media_id bigint, phash_hi bigint, phash_lo bigint"
+    )
+    return (
+        hashed.groupBy("phash_hi", "phash_lo")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("media_id").cast("long").alias("exemplar_id"),
+        )
+        .orderBy(F.desc("n_docs"), F.asc("phash_hi"), F.asc("phash_lo"))
+        .limit(20)
+    )
+
+
+ORACLE_Q176 = """
+WITH t1 AS (
+  SELECT doc_id, 16 + n_chars % 32 AS w, 8 + n_chars % 24 AS h
+  FROM documents
+),
+t2 AS (
+  SELECT doc_id,
+         list_transform(range(0, 64),
+           k -> ((((k % 8) * w) // 8) * 3 + (((k // 8) * h) // 8) * 7) % 256
+         ) AS tv
+  FROM t1
+),
+t3 AS (SELECT doc_id, tv, CAST(list_sum(tv) AS BIGINT) // 64 AS m FROM t2),
+t4 AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(0, 32),
+           k -> CASE WHEN tv[k + 33] > m THEN (1::BIGINT << k) ELSE 0::BIGINT END
+         )) AS BIGINT) AS phash_hi,
+         CAST(list_sum(list_transform(range(0, 32),
+           k -> CASE WHEN tv[k + 1] > m THEN (1::BIGINT << k) ELSE 0::BIGINT END
+         )) AS BIGINT) AS phash_lo
+  FROM t3
+)
+SELECT phash_hi, phash_lo,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS exemplar_id
+FROM t4
+GROUP BY phash_hi, phash_lo
+ORDER BY n_docs DESC, phash_hi ASC, phash_lo ASC
+LIMIT 20
+"""
+
+
 QUERIES = {
     "q43_media_features": q43_media_features,
     "q112_media_real_decode": q112_media_real_decode,
@@ -668,6 +795,7 @@ QUERIES = {
     "q155_png_pixel_decode": q155_png_pixel_decode,
     "q157_jpeg_block_decode": q157_jpeg_block_decode,
     "q158_video_frame_sample": q158_video_frame_sample,
+    "q176_image_phash_dedup": q176_image_phash_dedup,
 }
 ORACLES = {
     "q43_media_features": ORACLE_Q43,
@@ -678,4 +806,5 @@ ORACLES = {
     "q155_png_pixel_decode": ORACLE_Q155,
     "q157_jpeg_block_decode": ORACLE_Q157,
     "q158_video_frame_sample": ORACLE_Q158,
+    "q176_image_phash_dedup": ORACLE_Q176,
 }
