@@ -1565,14 +1565,14 @@ def q175_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank-intersections; the cosines themselves never leave the
     ranking), so the hash gate is bit-stable without float columns."""
     emb = _emb_n(spark, sf_dir)
-    emb = emb.withColumn("d16", F.expr(f"slice(dd, 1, {MRL_DIMS})"))
+    emb = emb.withColumn("dt", F.expr(f"slice(dd, 1, {MRL_DIMS})"))
     emb = emb.withColumn(
-        "n16", F.expr(f"sqrt({DOT_SPARK.format(a='d16', b='d16')})")
+        "nt", F.expr(f"sqrt({DOT_SPARK.format(a='dt', b='dt')})")
     )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("dd").alias("qv"), F.col("nrm").alias("qn"),
-        F.col("d16").alias("qv16"), F.col("n16").alias("qn16"),
+        F.col("dt").alias("qvt"), F.col("nt").alias("qnt"),
     )
     scored = (
         emb.crossJoin(F.broadcast(q))
@@ -1581,7 +1581,7 @@ def q175_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "vec_id",
             F.expr(f"{DOT_SPARK.format(a='qv', b='dd')} / (qn * nrm)")
             .alias("cos_full"),
-            F.expr(f"{DOT_SPARK.format(a='qv16', b='d16')} / (qn16 * n16)")
+            F.expr(f"{DOT_SPARK.format(a='qvt', b='dt')} / (qnt * nt)")
             .alias("cos_16"),
         )
     )
@@ -1604,7 +1604,7 @@ def q175_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MRL_FULL = DOT_DUCK.format(a="e.dd", b="q.qv")
-_MRL_T = DOT_DUCK.format(a="e.d16", b="q.qv16")
+_MRL_T = DOT_DUCK.format(a="e.dt", b="q.qvt")
 _MRL_SLICE = f"dd[1:{MRL_DIMS}]"
 
 ORACLE_Q175 = f"""
@@ -1614,18 +1614,18 @@ WITH e0 AS (
   FROM embeddings
 ),
 e AS (
-  SELECT vec_id, dd, nrm, {_MRL_SLICE} AS d16,
-         sqrt({DOT_DUCK.format(a=_MRL_SLICE, b=_MRL_SLICE)}) AS n16
+  SELECT vec_id, dd, nrm, {_MRL_SLICE} AS dt,
+         sqrt({DOT_DUCK.format(a=_MRL_SLICE, b=_MRL_SLICE)}) AS nt
   FROM e0
 ),
 q AS (
-  SELECT vec_id AS query_id, dd AS qv, nrm AS qn, d16 AS qv16, n16 AS qn16
+  SELECT vec_id AS query_id, dd AS qv, nrm AS qn, dt AS qvt, nt AS qnt
   FROM e WHERE vec_id < {N_QUERIES}
 ),
 scored AS (
   SELECT q.query_id, e.vec_id,
          {_MRL_FULL} / (q.qn * e.nrm) AS cos_full,
-         {_MRL_T} / (q.qn16 * e.n16) AS cos_16
+         {_MRL_T} / (q.qnt * e.nt) AS cos_16
   FROM e CROSS JOIN q
   WHERE e.vec_id <> q.query_id
 ),

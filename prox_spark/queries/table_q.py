@@ -431,22 +431,18 @@ _PL_CACHE: dict[str, str] = {}
 def _pl_table(spark: SparkSession, sf_dir: str) -> str:
     """documents as a range-clustered multi-file manifest table, staged
     once per process (commit_snapshot with key stats + blooms)."""
-    import atexit
-    import shutil
-    import tempfile
-
+    from prox_spark.queries._staging import staged
     from prox_spark.table import commit_snapshot
 
-    if sf_dir not in _PL_CACHE:
-        scratch = tempfile.mkdtemp(prefix="prox_pl_table_")
-        atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    def build(scratch: str) -> str:
         table = f"{scratch}/docs"
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
             "doc_id", "source", "n_chars"
         )
         commit_snapshot(spark, table, docs, stat_cols=["doc_id"], n_files=16)
-        _PL_CACHE[sf_dir] = table
-    return _PL_CACHE[sf_dir]
+        return table
+
+    return staged(_PL_CACHE, sf_dir, "prox_pl_table_", build)
 
 
 def q154_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -631,15 +627,10 @@ def _chunked_table(spark: SparkSession, sf_dir: str) -> str:
     would wedge every later run). Narrow columns and blooms sized to
     the per-file row count: the default 100k-NDV bloom is ~120 KB —
     bigger than a whole one-row part file at this fan-out."""
-    import atexit
-    import shutil
-    import tempfile
-
+    from prox_spark.queries._staging import staged
     from prox_spark.table import commit_snapshot
 
-    if sf_dir not in _CHUNKED_CACHE:
-        scratch = tempfile.mkdtemp(prefix="prox_chunked_docs_")
-        atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    def build(scratch: str) -> str:
         table = f"{scratch}/docs"
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
             "doc_id", "source", "n_chars"
@@ -648,8 +639,9 @@ def _chunked_table(spark: SparkSession, sf_dir: str) -> str:
             spark, table, docs, stat_cols=["doc_id"],
             n_files=CHUNKED_N_FILES, bloom_ndv=1024,
         )
-        _CHUNKED_CACHE[sf_dir] = table
-    return _CHUNKED_CACHE[sf_dir]
+        return table
+
+    return staged(_CHUNKED_CACHE, sf_dir, "prox_chunked_docs_", build)
 
 
 def q167_chunked_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -725,10 +717,7 @@ def _spec_evolved_table(spark: SparkSession, sf_dir: str) -> str:
     only, exactly the state a 100 TB table lives in for months after
     a partition-spec change (Iceberg spec-evolution semantics: old
     files are never rewritten for a spec change)."""
-    import atexit
-    import shutil
-    import tempfile
-
+    from prox_spark.queries._staging import staged
     from prox_spark.table import (
         commit_delta,
         commit_snapshot,
@@ -736,9 +725,7 @@ def _spec_evolved_table(spark: SparkSession, sf_dir: str) -> str:
         set_cluster_spec,
     )
 
-    if sf_dir not in _SPEC_EVO_CACHE:
-        scratch = tempfile.mkdtemp(prefix="prox_spec_evo_docs_")
-        atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    def build(scratch: str) -> str:
         table = f"{scratch}/docs"
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
             "doc_id", "source", "n_chars"
@@ -755,8 +742,9 @@ def _spec_evolved_table(spark: SparkSession, sf_dir: str) -> str:
             list(old_files), n_files=6, bloom_ndv=1024,
             update_key_ranges={},
         )
-        _SPEC_EVO_CACHE[sf_dir] = table
-    return _SPEC_EVO_CACHE[sf_dir]
+        return table
+
+    return staged(_SPEC_EVO_CACHE, sf_dir, "prox_spec_evo_docs_", build)
 
 
 def q171_cluster_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -851,10 +839,7 @@ def _maintained_table(spark: SparkSession, sf_dir: str) -> tuple:
     the manifest's commit-time ``sizes`` record, zero stat RPCs) → 5
     merge-on-read deletes (past the pending cap) → maintain_table #2
     (must fold them). Returns (table_path, flags dict)."""
-    import atexit
-    import shutil
-    import tempfile
-
+    from prox_spark.queries._staging import staged
     from prox_spark.table import (
         commit_snapshot,
         maintain_table,
@@ -863,9 +848,7 @@ def _maintained_table(spark: SparkSession, sf_dir: str) -> tuple:
     )
     from prox_spark.upsert import delete_keys_mor, upsert_parquet
 
-    if sf_dir not in _MAINT_CACHE:
-        scratch = tempfile.mkdtemp(prefix="prox_maint_docs_")
-        atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    def build(scratch: str) -> tuple:
         table = f"{scratch}/docs"
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
             "doc_id", "source", "n_chars"
@@ -901,8 +884,9 @@ def _maintained_table(spark: SparkSession, sf_dir: str) -> tuple:
             "folded_deletes": bool(r2["folded_deletes"]),
             "sizes_metadata": bool(sizes_metadata),
         }
-        _MAINT_CACHE[sf_dir] = (table, flags)
-    return _MAINT_CACHE[sf_dir]
+        return table, flags
+
+    return staged(_MAINT_CACHE, sf_dir, "prox_maint_docs_", build)
 
 
 def q173_auto_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:

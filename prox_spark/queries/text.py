@@ -2650,15 +2650,10 @@ def bpe_merges_table(spark: SparkSession, sf_dir: str) -> str:
     :func:`q169_bpe_roundtrip`) read the artifact — only the first
     call in a process pays the training loop, exactly like a real
     pipeline where the encode job never retrains."""
-    import atexit
-    import shutil
-    import tempfile
-
+    from prox_spark.queries._staging import staged
     from prox_spark.table import commit_snapshot
 
-    if sf_dir not in _BPE_ARTIFACT_CACHE:
-        scratch = tempfile.mkdtemp(prefix="prox_bpe_merges_")
-        atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    def build(scratch: str) -> str:
         table = f"{scratch}/bpe_merges"
         merges = _train_bpe(spark, sf_dir)
         # one partition: a T-row artifact, not a distributed write
@@ -2668,8 +2663,9 @@ def bpe_merges_table(spark: SparkSession, sf_dir: str) -> str:
                 spark.sparkContext.parallelize(merges, 1), BPE_MERGES_SCHEMA
             ),
         )
-        _BPE_ARTIFACT_CACHE[sf_dir] = table
-    return _BPE_ARTIFACT_CACHE[sf_dir]
+        return table
+
+    return staged(_BPE_ARTIFACT_CACHE, sf_dir, "prox_bpe_merges_", build)
 
 
 def _bpe_merges(spark: SparkSession, sf_dir: str) -> list:
@@ -3148,6 +3144,104 @@ ORDER BY p.true_cnt DESC, p.tok ASC
 """
 
 
+# --- q177: per-source length-distribution drift ----------------------------
+
+DRIFT_BUCKET = 64  # histogram bucket width in tokens
+
+
+def q177_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-length distribution DRIFT — the mixture-health
+    check a corpus dashboard runs per ingest: how far each source's
+    document-length histogram sits from the whole corpus's (a feed
+    that silently switches from articles to tweets shifts its
+    histogram long before its row counts look wrong). Distance is the
+    L1 (total-variation×2) between the source's and the corpus's
+    length histograms — computed EXACTLY in integers via
+    cross-multiplication: for bucket i with source count a_i (total
+    na) and corpus count b_i (total nb),
+        drift_num = Σ |a_i * nb - b_i * na|,   drift_den = na * nb,
+    so ``drift_pct = 100 * drift_num / (2 * den)`` is one final
+    division of exact integers (0 = identical shape, 100 = disjoint
+    support) — no float accumulation anywhere, bit-stable through the
+    hash gate.
+
+    Scale shape: one map-side bucket projection, one (source, bucket)
+    partial-agg, a broadcast join of the tiny per-bucket corpus
+    totals, and a per-source rollup — histogram width is
+    corpus-independent (len//BUCKET buckets), so at 100 TB nothing
+    here grows but the first partial-agg's input."""
+    lens = _docs(spark, sf_dir).select(
+        "source",
+        (F.size(F.expr(TOKENS_SPARK)).cast("long") / DRIFT_BUCKET)
+        .cast("long").alias("bucket"),
+    )
+    src = lens.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("a")
+    )
+    tot = lens.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("b")
+    )
+    na = src.groupBy("source").agg(F.sum("a").cast("long").alias("na"))
+    nb_row = tot.agg(F.sum("b").cast("long").alias("nb"))
+    # per (source, bucket) both sides; buckets the source lacks still
+    # contribute |0*nb - b*na| — use a full outer join per source via
+    # the corpus bucket list (left join from tot, coalesce a to 0)
+    joined = (
+        tot.join(na.crossJoin(F.broadcast(nb_row)), how="cross")
+        .join(src, ["source", "bucket"], "left")
+        .select(
+            "source", "na", "nb",
+            F.coalesce("a", F.lit(0)).cast("long").alias("a"),
+            "b",
+        )
+    )
+    return (
+        joined.groupBy("source", "na", "nb")
+        .agg(
+            F.sum(F.abs(F.col("a") * F.col("nb") - F.col("b") * F.col("na")))
+            .cast("long").alias("drift_num")
+        )
+        .withColumn(
+            "drift_pct",
+            F.round(
+                F.lit(100.0) * F.col("drift_num")
+                / (F.lit(2.0) * F.col("na") * F.col("nb")),
+                6,
+            ),
+        )
+        .select("source", F.col("na").alias("n_docs"), "drift_num", "drift_pct")
+        .orderBy("source")
+    )
+
+
+ORACLE_Q177 = f"""
+WITH lens AS (
+  SELECT source, CAST(len({TOKENS_DUCK}) AS BIGINT) // {DRIFT_BUCKET} AS bucket
+  FROM documents
+),
+src AS (
+  SELECT source, bucket, CAST(count(*) AS BIGINT) AS a
+  FROM lens GROUP BY source, bucket
+),
+tot AS (SELECT bucket, CAST(count(*) AS BIGINT) AS b FROM lens GROUP BY bucket),
+na AS (SELECT source, CAST(sum(a) AS BIGINT) AS na FROM src GROUP BY source),
+nb AS (SELECT CAST(sum(b) AS BIGINT) AS nb FROM tot),
+joined AS (
+  SELECT n.source, n.na, nb.nb, t.bucket, t.b,
+         CAST(coalesce(s.a, 0) AS BIGINT) AS a
+  FROM tot t CROSS JOIN na n CROSS JOIN nb
+  LEFT JOIN src s ON s.source = n.source AND s.bucket = t.bucket
+)
+SELECT source, na AS n_docs,
+       CAST(sum(abs(a * nb - b * na)) AS BIGINT) AS drift_num,
+       round(100.0 * CAST(sum(abs(a * nb - b * na)) AS BIGINT)
+             / (2.0 * na * nb), 6) AS drift_pct
+FROM joined
+GROUP BY source, na, nb
+ORDER BY source
+"""
+
+
 # --- q164: corpus-frequency quality signals --------------------------------
 
 RARE_COUNT_MAX = 2  # a token with global count <= this is "rare"
@@ -3425,6 +3519,7 @@ QUERIES = {
     "q169_bpe_roundtrip": q169_bpe_roundtrip,
     "q172_cross_source_dedup": q172_cross_source_dedup,
     "q174_cms_token_freq": q174_cms_token_freq,
+    "q177_length_drift": q177_length_drift,
     "q164_rare_token_profile": q164_rare_token_profile,
     "q165_source_overlap_matrix": q165_source_overlap_matrix,
     "q122_quality_prune": q122_quality_prune,
@@ -3473,6 +3568,7 @@ ORACLES = {
     "q169_bpe_roundtrip": _oracle_q169(),
     "q172_cross_source_dedup": ORACLE_Q172,
     "q174_cms_token_freq": _oracle_q174(),
+    "q177_length_drift": ORACLE_Q177,
     "q164_rare_token_profile": ORACLE_Q164,
     "q165_source_overlap_matrix": ORACLE_Q165,
     "q122_quality_prune": ORACLE_Q122,

@@ -1925,13 +1925,29 @@ def vacuum(
         if v not in versions:
             _protect(v)
     cutoff_ms = (time.time() - retention_minutes * 60.0) * 1000.0
+
+    def _dir_is_old(st) -> bool:
+        # Age a candidate dir by the NEWEST timestamp inside it, not
+        # the dir's own mtime: object stores report synthetic mtimes
+        # (0 or listing time) for pseudo-directories, which would make
+        # the grace either inert (everything "old" — sweeping an
+        # in-flight commit's files) or absolute (everything "young" —
+        # never reclaiming). File mtimes are real on every store. One
+        # listing per DELETION CANDIDATE only — kept dirs never pay it.
+        newest = st.getModificationTime()
+        try:
+            for child in fs.listStatus(st.getPath()):
+                m = child.getModificationTime()
+                if m > newest:
+                    newest = m
+        except Exception:
+            pass  # listed-then-deleted by a concurrent actor: skip below
+        return newest < cutoff_ms
+
     ddir = jvm.org.apache.hadoop.fs.Path(f"{table_path}/{DATA_DIR}")
     if fs.exists(ddir):
         for st in fs.listStatus(ddir):
-            if (
-                st.getPath().getName() not in kept_dirs
-                and st.getModificationTime() < cutoff_ms
-            ):
+            if st.getPath().getName() not in kept_dirs and _dir_is_old(st):
                 fs.delete(st.getPath(), True)
     cdir = jvm.org.apache.hadoop.fs.Path(f"{table_path}/{MANIFEST_DIR}/chunks")
     if fs.exists(cdir):

@@ -222,6 +222,17 @@ def _collect_capped(df: DataFrame, cap: int = _KEY_SET_CAP) -> list | None:
     rows = _limit_collect(row_cap + 1)
     if len(rows) > row_cap:
         return None
+    if bound is None and len(rows) > 64:
+        # the head sample can under-estimate a SKEWED batch (narrow
+        # rows in the first partition, wide JSON later): re-estimate
+        # from a stride across the WHOLE collected batch and refuse to
+        # return (and ship into a local relation) anything over budget
+        # — the rows already landed, but the distributed fallback keeps
+        # them out of the merge plan's broadcast path
+        stride = rows[:: max(1, len(rows) // 64)][:64]
+        est = sum(len(repr(r)) for r in stride) * len(rows) // len(stride)
+        if est > _COLLECT_BYTE_BUDGET:
+            return None
     return rows
 
 
