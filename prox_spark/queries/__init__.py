@@ -49,6 +49,7 @@ _FRONT = [
     "q175_matryoshka_overlap",
     "q176_image_phash_dedup",
     "q177_length_drift",
+    "q178_wap_publish",
     # last driver row: round 2
     "q102_stratified_sample",
     "q103_price_histogram",

@@ -943,6 +943,164 @@ FROM final
 """
 
 
+# --- q178: write-audit-publish branch flow ---------------------------------
+
+_WAP_CACHE: dict[str, tuple] = {}
+
+WAP_GOOD_ROWS = 50
+WAP_BAD_ROWS = 7
+
+
+def _wap_table(spark: SparkSession, sf_dir: str) -> tuple:
+    """The full write-audit-publish lifecycle, staged once per
+    process: a REJECTED branch first (staged rows fail the audit, the
+    branch is dropped, main never sees them), then an APPROVED branch
+    (staged rows pass, one atomic fast-forward publishes them).
+    Returns (table_path, flags dict) — every flag must come back True
+    or the gate's pinned-TRUE oracle columns mismatch.
+
+    This is the publish pattern the reference lacks (it overwrites
+    prod tables in place, gold_data_curation_script.py:83-84): at
+    100 TB the audit must run against the EXACT files that will serve
+    prod, and the publish must be one metadata CAS — both are what
+    table.py's branch refs give (fast_forward re-targets the audited
+    manifest, it never rewrites data)."""
+    from prox_spark.queries._staging import staged
+    from prox_spark.table import (
+        commit_delta,
+        commit_snapshot,
+        create_branch,
+        drop_branch,
+        fast_forward,
+        list_branches,
+        read_manifest,
+        read_table,
+        table_versions,
+    )
+
+    def _stage_rows(first_id: int, n: int, chars) -> DataFrame:
+        rows = [(first_id + i, "wap_feed", chars(i)) for i in range(n)]
+        return spark.createDataFrame(
+            rows, "doc_id long, source string, n_chars long"
+        )
+
+    def build(scratch: str) -> tuple:
+        table = f"{scratch}/docs"
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "source", "n_chars"
+        )
+        base_n = docs.count()
+        commit_snapshot(spark, table, docs, stat_cols=["doc_id"], n_files=8)
+
+        def _append(branch: str, batch: DataFrame) -> None:
+            prev = read_manifest(spark, table, ref=branch)
+            commit_delta(
+                spark, table, batch, list(prev["files"]),
+                ref=branch, update_key_ranges={},
+            )
+
+        # 1) a batch that FAILS the audit: staged, audited, discarded —
+        # main must never have seen it
+        create_branch(spark, table, "quarantine")
+        _append(
+            "quarantine",
+            _stage_rows(20_000_000, WAP_BAD_ROWS, lambda i: -1),
+        )
+        bad = (
+            read_table(spark, table, ref="quarantine")
+            .filter(F.col("n_chars") < 0).count()
+        )
+        drop_branch(spark, table, "quarantine")
+        rejected_discarded = (
+            bad == WAP_BAD_ROWS
+            and table_versions(spark, table) == [1]
+            and "quarantine" not in list_branches(spark, table)
+        )
+
+        # 2) a batch that PASSES: staged, audited against the exact
+        # bytes, then published atomically
+        create_branch(spark, table, "audit")
+        _append(
+            "audit",
+            _stage_rows(10_000_000, WAP_GOOD_ROWS, lambda i: 100 + 7 * i),
+        )
+        main_isolated = (
+            read_table(spark, table).count() == base_n
+            and table_versions(spark, table) == [1]
+        )
+        staged_df = read_table(spark, table, ref="audit")
+        audit_passed = (
+            staged_df.count() == base_n + WAP_GOOD_ROWS
+            and staged_df.filter(F.col("n_chars") < 0).count() == 0
+        )
+        new_v = fast_forward(spark, table, "audit")
+        published = (
+            new_v == 2
+            and read_table(spark, table).count() == base_n + WAP_GOOD_ROWS
+            and list_branches(spark, table) == {}
+        )
+        flags = {
+            "main_isolated": bool(main_isolated),
+            "audit_passed": bool(audit_passed),
+            "rejected_discarded": bool(rejected_discarded),
+            "published": bool(published),
+        }
+        return table, flags
+
+    return staged(_WAP_CACHE, sf_dir, "prox_wap_docs_", build)
+
+
+def q178_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish under the driver gate: the staged lifecycle
+    (:func:`_wap_table`) rejects one branch and publishes another, and
+    the per-source aggregate over MAIN after the publish must equal the
+    oracle's direct computation (base corpus + exactly the approved
+    batch — a publish that leaked the rejected rows, dropped staged
+    rows, or double-applied the batch fails the hash gate; a branch
+    flow that wasn't isolated/audited/atomic fails the pinned flags).
+
+    Scale shape: the branch fork and the publish are each ONE manifest
+    document of metadata — zero data movement at any table size; the
+    audit reads only the staged files (manifest-resolved), and main
+    readers plan against an immutable published version throughout."""
+    table, flags = _wap_table(spark, sf_dir)
+    from prox_spark.table import read_table
+
+    return (
+        read_table(spark, table)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .withColumn("main_isolated", F.lit(flags["main_isolated"]))
+        .withColumn("audit_passed", F.lit(flags["audit_passed"]))
+        .withColumn("rejected_discarded", F.lit(flags["rejected_discarded"]))
+        .withColumn("published", F.lit(flags["published"]))
+        .orderBy("source")
+    )
+
+
+ORACLE_Q178 = f"""
+WITH wap AS (
+  SELECT 'wap_feed' AS source, CAST(100 + 7 * range AS BIGINT) AS n_chars
+  FROM range({WAP_GOOD_ROWS})
+),
+allrows AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS n_chars FROM documents
+  UNION ALL
+  SELECT source, n_chars FROM wap
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       TRUE AS main_isolated, TRUE AS audit_passed,
+       TRUE AS rejected_discarded, TRUE AS published
+FROM allrows
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "q114_snapshot_diff": q114_snapshot_diff,
     "q118_incremental_agg": q118_incremental_agg,
@@ -954,6 +1112,7 @@ QUERIES = {
     "q167_chunked_point_lookup": q167_chunked_point_lookup,
     "q171_cluster_spec_evolution": q171_cluster_spec_evolution,
     "q173_auto_maintenance": q173_auto_maintenance,
+    "q178_wap_publish": q178_wap_publish,
 }
 
 
@@ -971,4 +1130,5 @@ def oracles() -> dict[str, str]:
         "q167_chunked_point_lookup": ORACLE_Q167,
         "q171_cluster_spec_evolution": ORACLE_Q171,
         "q173_auto_maintenance": ORACLE_Q173,
+        "q178_wap_publish": ORACLE_Q178,
     }

@@ -70,6 +70,7 @@ large commits are gathered executor-side.
 from __future__ import annotations
 
 import json
+import re
 import threading
 import uuid
 
@@ -118,16 +119,40 @@ def _fs(spark: SparkSession, path: str):
     return jvm, fs, hpath
 
 
-def _manifest_versions(spark: SparkSession, table_path: str) -> list[int]:
+_BRANCH_NAME_RE = re.compile(r"^[A-Za-z0-9_-]+$")
+
+
+def _mprefix(ref: str) -> str:
+    """Manifest filename prefix for a ref. ``main`` is the published
+    table (the classic ``manifest-`` names every existing table
+    already has); any other name is a BRANCH whose manifests live in
+    the same ``_manifests`` dir under a prefix the main listing's
+    ``manifest-`` filter never matches — so branch commits are
+    invisible to every reader that didn't ask for the branch."""
+    if ref == "main":
+        return "manifest-"
+    if not _BRANCH_NAME_RE.match(ref):
+        raise ValueError(
+            f"invalid branch name {ref!r}: use [A-Za-z0-9_-]+ (and not 'main')"
+        )
+    return f"branch.{ref}."
+
+
+def _manifest_versions(
+    spark: SparkSession, table_path: str, ref: str = "main"
+) -> list[int]:
     jvm, fs, _ = _fs(spark, table_path)
     mdir = jvm.org.apache.hadoop.fs.Path(f"{table_path}/{MANIFEST_DIR}")
     if not fs.exists(mdir):
         return []
+    prefix = _mprefix(ref)
     out = []
     for st in fs.listStatus(mdir):
         name = st.getPath().getName()
-        if name.startswith("manifest-") and name.endswith(".json"):
-            out.append(int(name[len("manifest-") : -len(".json")]))
+        if name.startswith(prefix) and name.endswith(".json"):
+            v = name[len(prefix) : -len(".json")]
+            if v.isdigit():
+                out.append(int(v))
     return sorted(out)
 
 
@@ -141,20 +166,26 @@ def table_versions(spark: SparkSession, table_path: str) -> list[int]:
 
 
 def read_manifest(
-    spark: SparkSession, table_path: str, version: int | None = None
+    spark: SparkSession, table_path: str, version: int | None = None,
+    ref: str = "main",
 ) -> dict:
     """The manifest dict for ``version`` (default: latest), with the
     file list ASSEMBLED: a chunked (v2) snapshot is resolved by
     reading its chunk files and concatenating their entries, so every
     consumer sees the classic {files, stats, ...} shape regardless of
-    layout (the "chunks" key is kept for chunk-granular commits)."""
-    versions = _manifest_versions(spark, table_path)
+    layout (the "chunks" key is kept for chunk-granular commits).
+    ``ref`` selects a branch's manifest line instead of main's."""
+    versions = _manifest_versions(spark, table_path, ref)
     if not versions:
-        raise ValueError(f"{table_path} is not a manifest table")
+        raise ValueError(f"{table_path} has no manifests for ref {ref!r}")
     v = versions[-1] if version is None else version
     if v not in versions:
-        raise ValueError(f"version {v} not in {versions} for {table_path}")
-    return _assemble(spark, table_path, _read_manifest_file(spark, table_path, v))
+        raise ValueError(
+            f"version {v} not in {versions} for {table_path} (ref {ref!r})"
+        )
+    return _assemble(
+        spark, table_path, _read_manifest_file(spark, table_path, v, ref)
+    )
 
 
 def _assemble(spark: SparkSession, table_path: str, doc: dict,
@@ -219,9 +250,11 @@ def read_manifest_pruned(
     )
 
 
-def _read_manifest_file(spark: SparkSession, table_path: str, v: int) -> dict:
+def _read_manifest_file(
+    spark: SparkSession, table_path: str, v: int, ref: str = "main"
+) -> dict:
     return _read_json(
-        spark, table_path, f"{MANIFEST_DIR}/manifest-{v:08d}.json"
+        spark, table_path, f"{MANIFEST_DIR}/{_mprefix(ref)}{v:08d}.json"
     )
 
 
@@ -337,16 +370,18 @@ def _read_files(
 
 
 def read_table(
-    spark: SparkSession, table_path: str, version: int | None = None
+    spark: SparkSession, table_path: str, version: int | None = None,
+    ref: str = "main",
 ) -> DataFrame:
     """Read the table at its latest committed version (or a pinned
-    historical ``version``). Falls back to a plain parquet read for
+    historical ``version``) on ``ref`` (main, or a branch created by
+    :func:`create_branch`). Falls back to a plain parquet read for
     legacy directories that predate the manifest log."""
-    if not is_manifest_table(spark, table_path):
+    if ref == "main" and not is_manifest_table(spark, table_path):
         if version is not None:
             raise ValueError(f"{table_path} is not a manifest table")
         return spark.read.parquet(table_path)
-    manifest = read_manifest(spark, table_path, version)
+    manifest = read_manifest(spark, table_path, version, ref)
     if "files" in manifest:
         return _read_files(spark, table_path, manifest, manifest["files"])
     # legacy single-snapshot-dir manifest (round-3 format)
@@ -526,7 +561,7 @@ def _build_layout(spark: SparkSession, table_path: str, cur: dict,
 
 
 def _write_manifest(spark: SparkSession, table_path: str, v: int,
-                    manifest: dict) -> None:
+                    manifest: dict, ref: str = "main") -> None:
     jvm, fs, _ = _fs(spark, table_path)
     mdir = jvm.org.apache.hadoop.fs.Path(f"{table_path}/{MANIFEST_DIR}")
     fs.mkdirs(mdir)
@@ -537,7 +572,7 @@ def _write_manifest(spark: SparkSession, table_path: str, v: int,
     out.write(bytearray(json.dumps(manifest), "utf-8"))
     out.close()
     final = jvm.org.apache.hadoop.fs.Path(
-        f"{table_path}/{MANIFEST_DIR}/manifest-{v:08d}.json"
+        f"{table_path}/{MANIFEST_DIR}/{_mprefix(ref)}{v:08d}.json"
     )
     if fs.exists(final) or not fs.rename(tmp, final):
         # a racing writer published v first: fail the CAS loudly and
@@ -547,7 +582,7 @@ def _write_manifest(spark: SparkSession, table_path: str, v: int,
         # without a second write job (see commit_delta's CAS loop).
         fs.delete(tmp, False)
         raise CommitConflictError(
-            f"concurrent commit of version {v} for {table_path}"
+            f"concurrent commit of version {v} for {table_path} (ref {ref!r})"
         )
 
 
@@ -629,6 +664,7 @@ def commit_delta(
     max_retries: int = 5,
     carry_chunks: list | None = None,
     base_manifest: dict | None = None,
+    ref: str = "main",
 ) -> int:
     """Commit the table's next version as ``keep_files`` (carried over
     verbatim from the previous version — never rewritten, never moved)
@@ -678,15 +714,25 @@ def commit_delta(
     provably-disjoint chunk entries as ``carry_chunks`` — those carry
     into the next version by reference without this commit ever
     naming their files, so per-merge metadata IO is O(matching
-    chunks) on both the read and the write side."""
-    versions = _manifest_versions(spark, table_path)
+    chunks) on both the read and the write side.
+
+    ``ref``: commit to a BRANCH's manifest line instead of main's —
+    the write-audit-publish staging flow (:func:`create_branch` /
+    :func:`fast_forward`). Data files land under the shared ``data/``
+    dir either way; only the manifest namespace differs, so main
+    readers never see the branch's files until a fast-forward."""
+    versions = _manifest_versions(spark, table_path, ref)
     latest = versions[-1] if versions else 0
     if base_version is None:
         base_version = latest
     if base_manifest is not None:
         prev = base_manifest
     else:
-        prev = read_manifest(spark, table_path, base_version) if base_version else {}
+        prev = (
+            read_manifest(spark, table_path, base_version, ref)
+            if base_version
+            else {}
+        )
     if stat_cols is None:
         stat_cols = prev.get("stat_cols") or []
     v = latest + 1
@@ -869,7 +915,7 @@ def commit_delta(
                 prev
                 if base_manifest is None
                 else (
-                    read_manifest(spark, table_path, base_version)
+                    read_manifest(spark, table_path, base_version, ref)
                     if base_version
                     else {}
                 )
@@ -967,7 +1013,7 @@ def commit_delta(
         if still_dropped:
             manifest["dropped_cols"] = still_dropped
         try:
-            _write_manifest(spark, table_path, v, manifest)
+            _write_manifest(spark, table_path, v, manifest, ref)
             # chunk files written for attempts that lost the race are
             # unreferenced — drop them now rather than waiting for
             # vacuum
@@ -988,9 +1034,9 @@ def commit_delta(
                         f"commit to {table_path} lost the publish race "
                         f"{attempts} times (base version {base_version})"
                     ) from None
-                cur_versions = _manifest_versions(spark, table_path)
+                cur_versions = _manifest_versions(spark, table_path, ref)
                 cur_v = cur_versions[-1]
-                cur = read_manifest(spark, table_path, cur_v)
+                cur = read_manifest(spark, table_path, cur_v, ref)
                 _validate_rebase(
                     _base_full(), cur, rewritten_set, update_key_ranges
                 )
@@ -1106,6 +1152,123 @@ def commit_snapshot(
         spark, table_path, df, [], stat_cols=stat_cols or [], n_files=n_files,
         bloom_ndv=bloom_ndv,
     )
+
+
+# --- branches: the write-audit-publish staging flow ------------------------
+#
+# A BRANCH is a second manifest line for the same table, living in the
+# same _manifests dir under filenames the main listing never matches
+# (branch.<name>.<version>.json vs manifest-<version>.json). Data and
+# chunk files are SHARED — a branch commit materializes its files under
+# data/ exactly like a main commit; only the manifest that makes them
+# visible goes to the branch namespace. That gives the Iceberg/Nessie
+# WAP pattern on the existing atomic-rename CAS:
+#
+#   1. create_branch(t, "audit")            — zero-copy fork at main head
+#   2. commit_delta(..., ref="audit")       — stage writes, invisible to prod
+#   3. read_table(t, ref="audit") + checks  — audit the EXACT bytes to ship
+#   4. fast_forward(t, "audit")             — one atomic CAS publish to main
+#
+# Publishing re-targets the AUDITED manifest (same doc, next main
+# version) — never a rewrite, so what prod reads is bit-identical to
+# what the audit approved. A main commit racing the fast-forward loses
+# or wins the CAS cleanly; a main commit landed since the fork makes
+# the fast-forward refuse (the audit ran against a stale base — the
+# Nessie fast-forward-only-if-ancestor rule).
+
+
+def create_branch(
+    spark: SparkSession, table_path: str, name: str
+) -> int:
+    """Fork ``name`` from main's current head (metadata-only: one
+    manifest copy, zero data movement). Returns the fork version —
+    branch version numbers continue main's numbering from there, so
+    ``min(branch versions)`` is always the fork base. Refuses to
+    overwrite a live branch."""
+    if name == "main":
+        raise ValueError("'main' is the published table, not a branch name")
+    _mprefix(name)  # validate early, before any FS IO
+    versions = _manifest_versions(spark, table_path)
+    if not versions:
+        raise ValueError(f"{table_path} is not a manifest table")
+    if _manifest_versions(spark, table_path, name):
+        raise ValueError(f"branch {name!r} already exists on {table_path}")
+    head = versions[-1]
+    # copy the RAW doc (not the assembled view): a chunked snapshot's
+    # chunk entries carry by reference, same as a main commit would
+    doc = _read_manifest_file(spark, table_path, head)
+    _write_manifest(spark, table_path, head, doc, name)
+    return head
+
+
+def list_branches(spark: SparkSession, table_path: str) -> dict[str, list[int]]:
+    """Live branches and their version lists (ascending; the first
+    entry is the fork base)."""
+    jvm, fs, _ = _fs(spark, table_path)
+    mdir = jvm.org.apache.hadoop.fs.Path(f"{table_path}/{MANIFEST_DIR}")
+    if not fs.exists(mdir):
+        return {}
+    out: dict[str, list[int]] = {}
+    for st in fs.listStatus(mdir):
+        fname = st.getPath().getName()
+        if not (fname.startswith("branch.") and fname.endswith(".json")):
+            continue
+        body = fname[len("branch.") : -len(".json")]
+        name, _, v = body.rpartition(".")
+        if name and v.isdigit():
+            out.setdefault(name, []).append(int(v))
+    return {k: sorted(vs) for k, vs in sorted(out.items())}
+
+
+def drop_branch(spark: SparkSession, table_path: str, name: str) -> None:
+    """Delete ``name``'s manifests (abandoning any unpublished staged
+    commits). The branch's data files become orphans that the next
+    post-grace :func:`vacuum` reclaims — same lifecycle as a failed
+    commit's files."""
+    jvm, fs, _ = _fs(spark, table_path)
+    prefix = _mprefix(name)
+    for v in _manifest_versions(spark, table_path, name):
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(
+                f"{table_path}/{MANIFEST_DIR}/{prefix}{v:08d}.json"
+            ),
+            False,
+        )
+
+
+def fast_forward(spark: SparkSession, table_path: str, name: str) -> int:
+    """Publish branch ``name``'s head to main as one atomic commit and
+    drop the branch. Returns the new main version (or main's head
+    unchanged when the branch staged nothing).
+
+    The publish is a manifest RE-TARGET, not a rewrite: the branch
+    head's doc — the exact file list the audit read — becomes main's
+    next version via the same CAS rename every commit uses. Requires
+    main's head to still be the branch's fork base; a main commit
+    landed since the fork raises :class:`CommitConflictError` (the
+    staged files were derived from — and audited against — a stale
+    base; re-fork and re-audit rather than silently dropping the
+    concurrent commit's rows)."""
+    branch_versions = _manifest_versions(spark, table_path, name)
+    if not branch_versions:
+        raise ValueError(f"branch {name!r} does not exist on {table_path}")
+    fork, bhead = branch_versions[0], branch_versions[-1]
+    main_head = _manifest_versions(spark, table_path)[-1]
+    if main_head != fork:
+        raise CommitConflictError(
+            f"cannot fast-forward branch {name!r}: main advanced "
+            f"{fork} -> {main_head} since the fork; re-create the branch "
+            "from the current head and re-run the audit"
+        )
+    if bhead == fork:
+        drop_branch(spark, table_path, name)
+        return main_head
+    doc = _read_manifest_file(spark, table_path, bhead, name)
+    doc["version"] = main_head + 1
+    # CAS: a main commit racing this publish wins or loses atomically
+    _write_manifest(spark, table_path, main_head + 1, doc)
+    drop_branch(spark, table_path, name)
+    return main_head + 1
 
 
 def commit_delete_file(
@@ -1894,8 +2057,8 @@ def vacuum(
     kept_dirs = set()
     kept_chunks = set()
 
-    def _protect(v: int) -> None:
-        m = read_manifest(spark, table_path, v)
+    def _protect(v: int, ref: str = "main") -> None:
+        m = read_manifest(spark, table_path, v, ref)
         kept_chunks.update(
             e["file"].rsplit("/", 1)[-1] for e in m.get("chunks") or []
         )
@@ -1911,6 +2074,21 @@ def vacuum(
 
     for v in keep:
         _protect(v)
+    # live BRANCHES pin their references too (every branch version —
+    # branches are short-lived staging lines that fast_forward or
+    # drop_branch retires; vacuum never ages them out itself, or a
+    # long-running audit would watch its staged files vanish)
+    seen_branch: set = set()
+    for bname, bvers in list_branches(spark, table_path).items():
+        for bv in bvers:
+            try:
+                _protect(bv, bname)
+            except Exception:
+                # branch retired mid-vacuum (fast_forward/drop_branch);
+                # a fast-forwarded version re-protects via the main
+                # re-list below
+                pass
+            seen_branch.add((bname, bv))
     for v in dropped:
         fs.delete(
             jvm.org.apache.hadoop.fs.Path(
@@ -1924,6 +2102,13 @@ def vacuum(
     for v in _manifest_versions(spark, table_path):
         if v not in versions:
             _protect(v)
+    for bname, bvers in list_branches(spark, table_path).items():
+        for bv in bvers:
+            if (bname, bv) not in seen_branch:
+                try:
+                    _protect(bv, bname)
+                except Exception:
+                    pass
     cutoff_ms = (time.time() - retention_minutes * 60.0) * 1000.0
 
     def _dir_is_old(st) -> bool:

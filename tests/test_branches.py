@@ -1,0 +1,183 @@
+"""Write-audit-publish branches (prox_spark/table.py): zero-copy
+fork, staged commits invisible to main, atomic fast-forward publish,
+fork-base conflict detection, and vacuum's branch-reference
+protection. The reference pipeline publishes by overwriting prod
+tables in place (gold_data_curation_script.py mode("overwrite")) — at
+100 TB the safe pattern is staging the write on a branch, auditing the
+exact bytes, then one atomic metadata publish (Iceberg/Nessie WAP)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from prox_spark.table import (
+    CommitConflictError,
+    commit_delta,
+    commit_snapshot,
+    create_branch,
+    drop_branch,
+    fast_forward,
+    list_branches,
+    read_manifest,
+    read_table,
+    table_versions,
+    vacuum,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, v string")
+
+
+def _base(spark, tmp_path, n=100):
+    path = str(tmp_path / "t")
+    commit_snapshot(
+        spark, path, _df(spark, [(i, "base") for i in range(n)]),
+        stat_cols=["id"], n_files=4,
+    )
+    return path
+
+
+def _append_to_branch(spark, path, branch, rows):
+    prev = read_manifest(spark, path, ref=branch)
+    return commit_delta(
+        spark, path, _df(spark, rows), list(prev["files"]),
+        ref=branch, update_key_ranges={},
+    )
+
+
+def test_branch_commit_invisible_to_main_until_fast_forward(spark, tmp_path):
+    path = _base(spark, tmp_path)
+    fork = create_branch(spark, path, "audit")
+    assert fork == 1 and list_branches(spark, path) == {"audit": [1]}
+
+    _append_to_branch(spark, path, "audit", [(1000 + i, "staged") for i in range(10)])
+
+    # main is untouched: same version, same rows
+    assert table_versions(spark, path) == [1]
+    assert read_table(spark, path).count() == 100
+    # the branch sees base + staged
+    got = read_table(spark, path, ref="audit")
+    assert got.count() == 110
+    assert got.filter(F.col("v") == "staged").count() == 10
+
+    v = fast_forward(spark, path, "audit")
+    assert v == 2 and table_versions(spark, path) == [1, 2]
+    assert read_table(spark, path).count() == 110
+    # the branch is retired by the publish
+    assert list_branches(spark, path) == {}
+
+
+def test_fast_forward_publishes_audited_bytes_exactly(spark, tmp_path):
+    """The published manifest is the branch head's doc re-targeted,
+    never a rewrite: file lists match entry for entry."""
+    path = _base(spark, tmp_path)
+    create_branch(spark, path, "wap")
+    _append_to_branch(spark, path, "wap", [(777, "staged")])
+    staged = read_manifest(spark, path, ref="wap")
+    fast_forward(spark, path, "wap")
+    published = read_manifest(spark, path)
+    assert published["files"] == staged["files"]
+    assert published["version"] == 2
+
+
+def test_fast_forward_refuses_when_main_advanced(spark, tmp_path):
+    path = _base(spark, tmp_path)
+    create_branch(spark, path, "audit")
+    _append_to_branch(spark, path, "audit", [(1000, "staged")])
+    # a main commit lands after the fork: the audit ran on a stale base
+    prev = read_manifest(spark, path)
+    commit_delta(
+        spark, path, _df(spark, [(2000, "main-won")]), list(prev["files"]),
+        update_key_ranges={},
+    )
+    with pytest.raises(CommitConflictError):
+        fast_forward(spark, path, "audit")
+    # main keeps the winner's rows; the branch is still alive for
+    # inspection / re-fork
+    assert read_table(spark, path).filter(F.col("v") == "main-won").count() == 1
+    assert list_branches(spark, path) == {"audit": [1, 2]}
+    drop_branch(spark, path, "audit")
+    assert list_branches(spark, path) == {}
+
+
+def test_empty_branch_fast_forward_is_a_noop(spark, tmp_path):
+    path = _base(spark, tmp_path)
+    create_branch(spark, path, "idle")
+    assert fast_forward(spark, path, "idle") == 1
+    assert table_versions(spark, path) == [1]
+    assert list_branches(spark, path) == {}
+
+
+def test_create_branch_validates_name_and_uniqueness(spark, tmp_path):
+    path = _base(spark, tmp_path)
+    with pytest.raises(ValueError):
+        create_branch(spark, path, "main")
+    with pytest.raises(ValueError):
+        create_branch(spark, path, "bad.name")
+    create_branch(spark, path, "audit")
+    with pytest.raises(ValueError):
+        create_branch(spark, path, "audit")
+
+
+def test_vacuum_protects_live_branch_files(spark, tmp_path):
+    """retention 0 would reclaim any dir no kept manifest references —
+    the staged branch commit's dir must count as referenced."""
+    path = _base(spark, tmp_path)
+    create_branch(spark, path, "audit")
+    _append_to_branch(spark, path, "audit", [(1000 + i, "staged") for i in range(5)])
+    # churn main so vacuum has something to drop (appends: no conflict
+    # with the branch, which forked earlier)
+    for k in range(3):
+        prev = read_manifest(spark, path)
+        commit_delta(
+            spark, path, _df(spark, [(5000 + k, "churn")]),
+            list(prev["files"]), update_key_ranges={},
+        )
+    vacuum(spark, path, keep_last=1, retention_minutes=0.0)
+    # the branch still reads completely: its staged file AND the base
+    # files it references (from dropped main version 1) all survive
+    got = read_table(spark, path, ref="audit")
+    assert got.count() == 105
+    assert got.filter(F.col("v") == "staged").count() == 5
+
+
+def test_vacuum_reclaims_dropped_branch_files(spark, tmp_path):
+    path = _base(spark, tmp_path)
+    create_branch(spark, path, "audit")
+    _append_to_branch(spark, path, "audit", [(1000, "staged")])
+    staged_files = set(read_manifest(spark, path, ref="audit")["files"])
+    main_files = set(read_manifest(spark, path)["files"])
+    orphan_dirs = {f.split("/")[1] for f in staged_files - main_files}
+    assert orphan_dirs
+    drop_branch(spark, path, "audit")
+    vacuum(spark, path, keep_last=1, retention_minutes=0.0)
+    import os
+
+    live = set(os.listdir(f"{path}/data"))
+    assert not (orphan_dirs & live), "dropped branch's files not reclaimed"
+    assert read_table(spark, path).count() == 100
+
+
+def test_branch_on_chunked_table_carries_chunks(spark, tmp_path, monkeypatch):
+    """Branch commits on a chunked (v2) table carry untouched chunk
+    entries by reference, and the fast-forwarded main manifest resolves
+    them identically."""
+    import prox_spark.table as T
+
+    monkeypatch.setattr(T, "CHUNK_THRESHOLD", 8)
+    monkeypatch.setattr(T, "CHUNK_SIZE", 4)
+    path = str(tmp_path / "t")
+    commit_snapshot(
+        spark, path, _df(spark, [(i, "base") for i in range(64)]),
+        stat_cols=["id"], n_files=16,
+    )
+    create_branch(spark, path, "audit")
+    _append_to_branch(spark, path, "audit", [(900 + i, "staged") for i in range(4)])
+    assert read_table(spark, path, ref="audit").count() == 68
+    fast_forward(spark, path, "audit")
+    assert read_table(spark, path).count() == 68
+    # vacuum keeps every chunk the published manifest references
+    vacuum(spark, path, keep_last=1, retention_minutes=0.0)
+    assert read_table(spark, path).count() == 68

@@ -231,7 +231,7 @@ def test_mor_delete_rebases_over_append_and_aborts_on_rewrite(
     real_write = T._write_manifest
     state = {"fired": False}
 
-    def racing_write(spark_, table_path, v, manifest):
+    def racing_write(spark_, table_path, v, manifest, ref="main"):
         if not state["fired"] and manifest.get("deletes"):
             state["fired"] = True
             m = read_manifest(spark_, table_path)
@@ -239,7 +239,7 @@ def test_mor_delete_rebases_over_append_and_aborts_on_rewrite(
                 spark_, table_path, _df(spark_, [(7000, "raced")]),
                 m["files"], base_version=m["version"], update_key_ranges={},
             )
-        real_write(spark_, table_path, v, manifest)
+        real_write(spark_, table_path, v, manifest, ref)
 
     monkeypatch.setattr(T, "_write_manifest", racing_write)
     n = delete_keys_mor(spark, path, _df(spark, [(5, "x")]), ["id"])
@@ -251,13 +251,13 @@ def test_mor_delete_rebases_over_append_and_aborts_on_rewrite(
     # now the abort path: the delete's target is rewritten mid-publish
     state2 = {"fired": False}
 
-    def rewriting_write(spark_, table_path, v, manifest):
+    def rewriting_write(spark_, table_path, v, manifest, ref="main"):
         if not state2["fired"] and manifest.get("deletes"):
             state2["fired"] = True
             upsert_parquet(
                 spark_, table_path, _df(spark_, [(8, "rewrote")]), ["id"]
             )
-        real_write(spark_, table_path, v, manifest)
+        real_write(spark_, table_path, v, manifest, ref)
 
     monkeypatch.setattr(T, "_write_manifest", rewriting_write)
     before = _table(spark, path)
