@@ -30,8 +30,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # Registry order matters: the correctness driver checks the first ~50
 # entries per round. Union coverage across rounds 1-5 reached 166 of
 # 166 (every query has a green driver row), so round 6 rotates purely
-# by STALENESS: the nine queries new this round lead (never
-# driver-gated), then the 41 whose most recent green driver row is
+# by STALENESS: the fourteen queries new this round lead (never
+# driver-gated), then the ones whose most recent green driver row is
 # oldest — the full round-2-gated cohort (16) and the round-3-gated
 # cohort in name order up to the 50-slot cap. Everything after the
 # front block is driver-green from round 3, 4, or 5. Exactly 50
@@ -50,6 +50,10 @@ _FRONT = [
     "q176_image_phash_dedup",
     "q177_length_drift",
     "q178_wap_publish",
+    "q179_bloom_decontaminate",
+    "q180_dup_span_coverage",
+    "q181_bigram_fluency",
+    "q182_tagged_rollback",
     # last driver row: round 2
     "q102_stratified_sample",
     "q103_price_histogram",
@@ -88,11 +92,6 @@ _FRONT = [
     "q31_text_stats",
     "q32_regex_token_count",
     "q33_quality_score",
-    "q34_fingerprint",
-    "q35_jaccard_pairs",
-    "q36_minhash_lsh",
-    "q37_langid",
-    "q38_simhash",
 ]
 
 

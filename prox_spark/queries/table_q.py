@@ -1101,6 +1101,157 @@ ORDER BY source
 """
 
 
+# --- q182: tag-pinned rollback (bad-deploy recovery) ------------------------
+
+_ROLLBACK_CACHE: dict[str, tuple] = {}
+
+RB_GOOD_ROWS = 40
+RB_BAD_ROWS = 9
+
+
+def _rollback_table(spark: SparkSession, sf_dir: str) -> tuple:
+    """The bad-deploy recovery lifecycle, staged once per process:
+    v1 = base corpus, v2 = a good release batch (TAGGED 'release'),
+    v3 = a corrupt batch, rollback to the tag -> v4, then a vacuum
+    that must keep the tagged version while aging the others out.
+    Returns (table_path, flags) — every flag must come back True or
+    q182's pinned-TRUE oracle columns mismatch.
+
+    The reference has no undo: a bad Glue run overwrites prod in
+    place (gold_data_curation_script.py mode('overwrite')) and the
+    previous state is simply gone. Here recovery is one metadata
+    commit (rollback_table re-publishes the tagged manifest — zero
+    data movement at any table size), the corrupt version stays
+    readable for forensics until vacuum, and the tag pins its bytes
+    against vacuum indefinitely."""
+    from prox_spark.queries._staging import staged
+    from prox_spark.table import (
+        commit_delta,
+        commit_snapshot,
+        create_tag,
+        read_manifest,
+        read_table,
+        rollback_table,
+        table_versions,
+        tag_version,
+        vacuum,
+    )
+
+    def _batch(first_id: int, n: int, chars) -> DataFrame:
+        rows = [(first_id + i, "release_feed", chars(i)) for i in range(n)]
+        return spark.createDataFrame(
+            rows, "doc_id long, source string, n_chars long"
+        )
+
+    def build(scratch: str) -> tuple:
+        table = f"{scratch}/docs"
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "source", "n_chars"
+        )
+        base_n = docs.count()
+        commit_snapshot(spark, table, docs, stat_cols=["doc_id"], n_files=8)
+
+        def _append(batch: DataFrame) -> None:
+            prev = read_manifest(spark, table)
+            commit_delta(
+                spark, table, batch, list(prev["files"]),
+                update_key_ranges={},
+            )
+
+        # v2: the good release, tagged at publish time
+        _append(_batch(30_000_000, RB_GOOD_ROWS, lambda i: 10 + 3 * i))
+        create_tag(spark, table, "release")
+        # v3: the bad deploy (negative n_chars = corrupt)
+        _append(_batch(40_000_000, RB_BAD_ROWS, lambda i: -1))
+        bad_visible = (
+            read_table(spark, table).filter(F.col("n_chars") < 0).count()
+            == RB_BAD_ROWS
+        )
+        # recovery: one metadata commit back to the tagged state
+        new_v = rollback_table(spark, table, tag_version(spark, table, "release"))
+        main = read_table(spark, table)
+        rolled_back = (
+            new_v == 4
+            and main.count() == base_n + RB_GOOD_ROWS
+            and main.filter(F.col("n_chars") < 0).count() == 0
+        )
+        # forensics: the bad version stays readable until vacuumed
+        forensics = (
+            read_table(spark, table, version=3)
+            .filter(F.col("n_chars") < 0).count() == RB_BAD_ROWS
+        )
+        # vacuum ages v1/v3 out but the TAG pins v2 (keep_last=1 keeps
+        # only v4, whose files are v2's anyway; retention 0 = eager)
+        vacuum(spark, table, keep_last=1, retention_minutes=0.0)
+        tag_survived = (
+            tag_version(spark, table, "release") == 2
+            and read_table(spark, table, version=2).count()
+            == base_n + RB_GOOD_ROWS
+            and table_versions(spark, table) == [2, 4]
+        )
+        flags = {
+            "bad_visible": bool(bad_visible),
+            "rolled_back": bool(rolled_back),
+            "forensics": bool(forensics),
+            "tag_survived": bool(tag_survived),
+        }
+        return table, flags
+
+    return staged(_ROLLBACK_CACHE, sf_dir, "prox_rollback_docs_", build)
+
+
+def q182_tagged_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tag-pinned rollback under the driver gate: the staged lifecycle
+    (:func:`_rollback_table`) deploys a good batch (tagged), a corrupt
+    batch, rolls back to the tag, and vacuums. The per-source
+    aggregate over MAIN must equal the oracle's direct computation
+    (base corpus + exactly the good batch — a rollback that leaked
+    corrupt rows, dropped release rows, or restored the wrong version
+    fails the hash gate; a lifecycle whose visibility/forensics/
+    tag-pinning misbehaved fails the pinned flags).
+
+    Scale shape: rollback and tagging are each ONE manifest document
+    of metadata — zero data movement at any table size; vacuum's
+    protection set is computed from manifests, never by rewriting
+    data."""
+    table, flags = _rollback_table(spark, sf_dir)
+    from prox_spark.table import read_table
+
+    return (
+        read_table(spark, table)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .withColumn("bad_visible", F.lit(flags["bad_visible"]))
+        .withColumn("rolled_back", F.lit(flags["rolled_back"]))
+        .withColumn("forensics", F.lit(flags["forensics"]))
+        .withColumn("tag_survived", F.lit(flags["tag_survived"]))
+        .orderBy("source")
+    )
+
+
+ORACLE_Q182 = f"""
+WITH rel AS (
+  SELECT 'release_feed' AS source, CAST(10 + 3 * range AS BIGINT) AS n_chars
+  FROM range({RB_GOOD_ROWS})
+),
+allrows AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS n_chars FROM documents
+  UNION ALL
+  SELECT source, n_chars FROM rel
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       TRUE AS bad_visible, TRUE AS rolled_back,
+       TRUE AS forensics, TRUE AS tag_survived
+FROM allrows
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "q114_snapshot_diff": q114_snapshot_diff,
     "q118_incremental_agg": q118_incremental_agg,
@@ -1113,6 +1264,7 @@ QUERIES = {
     "q171_cluster_spec_evolution": q171_cluster_spec_evolution,
     "q173_auto_maintenance": q173_auto_maintenance,
     "q178_wap_publish": q178_wap_publish,
+    "q182_tagged_rollback": q182_tagged_rollback,
 }
 
 
@@ -1131,4 +1283,5 @@ def oracles() -> dict[str, str]:
         "q171_cluster_spec_evolution": ORACLE_Q171,
         "q173_auto_maintenance": ORACLE_Q173,
         "q178_wap_publish": ORACLE_Q178,
+        "q182_tagged_rollback": ORACLE_Q182,
     }

@@ -3486,6 +3486,376 @@ ORDER BY t.source
 """
 
 
+# --- q179: Bloom-prefiltered decontamination (scale path for q76) ----------
+#
+# q76's eval-shingle broadcast join is right when the eval set is a few
+# thousand benchmark docs. When the "exclusion set" is itself large —
+# a full held-out split, a copyright takedown list, another corpus —
+# its distinct-shingle table stops being broadcastable long before the
+# corpus does. The classic fix is a BLOOM FILTER: ~10 bits/entry at 1%
+# FPP turns a multi-TB shingle table into a few hundred MB of bit
+# array that broadcasts fine, and its false positives are removed by
+# an exact join that now only sees the prefiltered sliver. No false
+# negatives → the final answer is bit-identical to the plain join (the
+# DuckDB oracle), regardless of FPP.
+#
+# Spark 4 keeps bloom_filter_agg/might_contain internal-only (used by
+# InjectRuntimeFilter but not SQL-registered), so the filter is built
+# from first principles as DataFrame ops — which also makes the build
+# DISTRIBUTED: each shingle maps to BLOOM_K bit positions (seeded
+# xxhash64 family), positions partial-aggregate per 64-bit word with
+# bit_or (shuffle ∝ BLOOM_BITS/64 words, not entries), and the word
+# map broadcasts. The probe is map-side bit arithmetic.
+
+BLOOM_BITS = 4096
+BLOOM_K = 3
+
+# eval docs: q76's two plus two more rows over the corpus vocabulary —
+# stands in for the "big exclusion set" whose shingles we bloom
+BLOOM_EVAL_DOCS = EVAL_DOCS + (
+    ("eval2", "window merge sort value spark query filter group the data table hash row scan batch"),
+    ("eval3", "customer order line part small big slow fast agg vector column stream key join scan"),
+)
+
+
+def _bloom_hit_expr(bits: int, k: int) -> str:
+    """SQL predicate: every one of the K seeded bit positions for
+    `shingle` is set in the broadcast `bloom` word map (word index →
+    64-bit mask; absent word = all zeros)."""
+    terms = []
+    for j in range(k):
+        pos = f"pmod(xxhash64(shingle, {j}), {bits})"
+        word = f"CAST({pos} div 64 AS INT)"
+        bit = f"CAST({pos} % 64 AS INT)"
+        terms.append(
+            f"(coalesce(element_at(bloom, {word}), CAST(0 AS BIGINT))"
+            f" & shiftleft(CAST(1 AS BIGINT), {bit})) != 0"
+        )
+    return " AND ".join(terms)
+
+
+def _eval_shingles(spark: SparkSession) -> DataFrame:
+    ev = spark.createDataFrame(
+        list(BLOOM_EVAL_DOCS), "eval_id string, text string"
+    )
+    return (
+        ev.withColumn("tokens", F.expr(TOKENS_SPARK))
+        .withColumn("shingles", F.array_distinct(F.expr(SHINGLES_SPARK)))
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+
+
+def _bloom_filter_df(shingles: DataFrame) -> DataFrame:
+    """One-row (bloom: map<int,bigint>) frame — the distributed build:
+    explode K positions per entry, partial-aggregate bit masks per
+    word, collect the words into a map. The shuffle is bounded by the
+    number of WORDS (BLOOM_BITS/64), never by the entry count."""
+    pos = shingles.select(
+        F.explode(
+            F.array(*[
+                F.pmod(F.xxhash64("shingle", F.lit(j)), F.lit(BLOOM_BITS))
+                for j in range(BLOOM_K)
+            ])
+        ).alias("pos")
+    )
+    words = pos.select(
+        F.expr("CAST(pos div 64 AS INT)").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias(
+            "mask"
+        ),
+    )
+    return (
+        words.groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("mask"))
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("word"), F.collect_list("mask")
+            ).alias("bloom")
+        )
+    )
+
+
+def q179_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination against a LARGE exclusion set: Bloom-prefilter
+    the corpus's shingles map-side, then remove the filter's false
+    positives with an exact join that only sees the prefiltered
+    sliver. Output — per contaminated doc, its distinct shared
+    shingles — is identical to the plain exact join (Bloom filters
+    have no false negatives), which is exactly what the DuckDB oracle
+    computes; tests/test_text_units.py additionally pins
+    prefilter == plain-join equality and that the filter genuinely
+    prunes.
+
+    Scale shape: the filter build shuffles ≤ BLOOM_BITS/64 words no
+    matter how many entries feed it; the probe is map-side bit
+    arithmetic after a one-row broadcast; only bloom-positive
+    (doc, shingle) rows reach the exact join, so its shuffle is ∝ true
+    contamination + FPP·corpus instead of ∝ corpus."""
+    ev_shingles = _eval_shingles(spark)
+    doc_shingles = _doc_shingle_arrays(spark, sf_dir).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    candidates = (
+        doc_shingles.crossJoin(F.broadcast(_bloom_filter_df(ev_shingles)))
+        .filter(F.expr(_bloom_hit_expr(BLOOM_BITS, BLOOM_K)))
+        .select("doc_id", "shingle")
+    )
+    # exact verify: FPs die here; at test scale the eval side happens
+    # to broadcast, at real scale AQE picks shuffle-hash on the sliver
+    return (
+        candidates.join(ev_shingles.hint("broadcast"), "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").cast("long").alias("n_hit_shingles"))
+        .orderBy("doc_id")
+    )
+
+
+_BLOOM_EVAL_VALUES = ", ".join(f"('{i}', '{t}')" for i, t in BLOOM_EVAL_DOCS)
+
+ORACLE_Q179 = f"""
+{DUCK_SHINGLE_CTE},
+ev(eval_id, etext) AS (VALUES {_BLOOM_EVAL_VALUES}),
+etoks AS (
+  SELECT eval_id, string_split_regex(lower(trim(etext)), '\\s+') AS tokens FROM ev
+), eshingled AS (
+  SELECT eval_id, {SHINGLES_DUCK} AS shingles FROM etoks
+), eshingles AS (
+  SELECT DISTINCT unnest(shingles) AS shingle FROM eshingled
+)
+SELECT doc_id, CAST(count(DISTINCT s.shingle) AS BIGINT) AS n_hit_shingles
+FROM shingles s JOIN eshingles e USING (shingle)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# --- q180: duplicated n-gram span coverage (substring-level dedup signal) ---
+
+DUPGRAM_N = 8  # word n-gram length, à la Lee et al.'s 50-token spans
+
+
+def q180_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication profile (the signal behind
+    "Deduplicating Training Data Makes Language Models Better"-style
+    span dedup): for every document, what fraction of its TOKENS sits
+    inside some DUPGRAM_N-token span that also occurs verbatim in at
+    least one OTHER document. Doc-level dedup (q30/q36) misses these —
+    two distinct pages sharing a 40-token boilerplate footer are not
+    near-dups, but the footer still trains the model N times.
+
+    Per doc: token count, n-gram count, how many gram OCCURRENCES are
+    cross-doc duplicated, and the union length of their (overlapping)
+    spans — merged with the classic sorted-starts running-max-end
+    sweep, a per-doc window over only the duplicated positions.
+
+    Scale shape: grams are md5-hashed inside the extraction (the
+    shuffle key is a 32-char digest, never 8 words of text); the
+    duplicate vocabulary is one partial-agg groupBy on the digest; the
+    attach back is a digest equi-join (not broadcast — the duplicated-
+    gram table of a 100 TB corpus is itself large); the interval merge
+    shuffles only (doc, position) pairs of duplicated grams. Nothing
+    is quadratic in corpus size; the HOF gram extraction re-slices per
+    index (no codegen) but is linear per token and map-side."""
+    grams_expr = (
+        f"transform(sequence(1, size(tokens) - {DUPGRAM_N - 1}), "
+        f"i -> md5(concat_ws(' ', slice(tokens, i, {DUPGRAM_N}))))"
+    )
+    docs = (
+        _docs(spark, sf_dir)
+        .withColumn("tokens", F.expr(TOKENS_SPARK))
+        # guard: sequence(1, 0) yields [1, 0] (descending), not empty
+        .filter(F.size("tokens") >= DUPGRAM_N)
+        .select(
+            "doc_id",
+            F.size("tokens").cast("long").alias("n_tokens"),
+            F.posexplode(F.expr(grams_expr)).alias("pos0", "gram"),
+        )
+        .select("doc_id", "n_tokens", (F.col("pos0") + 1).alias("p"), "gram")
+    )
+    dup_grams = (
+        docs.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    hits = docs.join(dup_grams, "gram").select("doc_id", "n_tokens", "p")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    covered = hits.withColumn(
+        "prev_end", F.max(F.col("p") + DUPGRAM_N).over(w)
+    ).withColumn(
+        "add",
+        F.greatest(
+            F.lit(0),
+            F.col("p")
+            + DUPGRAM_N
+            - F.greatest(F.coalesce(F.col("prev_end"), F.col("p")), F.col("p")),
+        ),
+    )
+    return (
+        covered.groupBy("doc_id", "n_tokens")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dup_grams"),
+            F.sum("add").cast("long").alias("covered_tokens"),
+        )
+        .withColumn(
+            "dup_token_pct",
+            F.round(
+                F.lit(100.0) * F.col("covered_tokens") / F.col("n_tokens"), 6
+            ),
+        )
+        .select(
+            "doc_id", "n_tokens", "n_dup_grams", "covered_tokens",
+            "dup_token_pct",
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_Q180 = f"""
+WITH t AS (
+  SELECT doc_id, {TOKENS_DUCK} AS tokens FROM documents
+), g AS (
+  SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens,
+         unnest(list_transform(
+           range(1, len(tokens) - {DUPGRAM_N - 2}),
+           i -> struct_pack(
+             p := CAST(i AS BIGINT),
+             gram := md5(array_to_string(list_slice(tokens, i, i + {DUPGRAM_N - 1}), ' '))
+           )
+         ), recursive := true) AS _
+  FROM t
+  WHERE len(tokens) >= {DUPGRAM_N}
+), dup AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+), hits AS (
+  SELECT doc_id, n_tokens, p FROM g JOIN dup USING (gram)
+), covered AS (
+  SELECT doc_id, n_tokens, p,
+         max(p + {DUPGRAM_N}) OVER (
+           PARTITION BY doc_id ORDER BY p
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS prev_end
+  FROM hits
+)
+SELECT doc_id, n_tokens,
+       CAST(count(*) AS BIGINT) AS n_dup_grams,
+       CAST(sum(greatest(0, p + {DUPGRAM_N}
+                - greatest(coalesce(prev_end, p), p))) AS BIGINT)
+         AS covered_tokens,
+       round(100.0 * CAST(sum(greatest(0, p + {DUPGRAM_N}
+                - greatest(coalesce(prev_end, p), p))) AS BIGINT)
+             / n_tokens, 6) AS dup_token_pct
+FROM covered
+GROUP BY doc_id, n_tokens
+ORDER BY doc_id
+"""
+
+
+# --- q181: bigram-LM fluency score (deterministic perplexity stand-in) -----
+
+FLUENCY_K = 15  # worst-scoring docs reported
+FLUENCY_MICRO = 1_000_000  # fixed-point scale for probabilities
+
+
+def q181_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM fluency filter, made hash-gate deterministic:
+    score each document by its MEAN TRANSITION PROBABILITY under the
+    corpus's own add-one-smoothed bigram model —
+    P(v|u) = (c(uv)+1)/(c(u·)+V) — in BIGINT micro-units (one floor
+    division per bigram, no logs: perplexity's transcendentals differ
+    across libms, while the probabilities themselves rank documents
+    identically for filtering). Low scores = token sequences the
+    corpus has never seen adjacent — OCR noise, shuffled text, wrong-
+    language fragments; q164 profiles RARE TOKENS, this profiles rare
+    TRANSITIONS, which catches garbage built from common words.
+    Reports the FLUENCY_K worst documents.
+
+    Scale shape: bigram occurrences come from one map-side zip_with
+    (no per-index re-slice); the model is two partial-agg groupBys
+    (c(uv) on the pair, c(u·) on the prefix); the attach is two
+    token-keyed equi-joins (never broadcast — a web corpus's bigram
+    table is huge; AQE decides), the vocabulary size joins as a
+    broadcast one-row frame, and the final top-k is a
+    TakeOrderedAndProject."""
+    bigrams_expr = (
+        "zip_with(slice(tokens, 1, size(tokens) - 1), "
+        "slice(tokens, 2, size(tokens) - 1), "
+        "(a, b) -> named_struct('pfx', a, 'bg', concat(a, ' ', b)))"
+    )
+    occ = (
+        _docs(spark, sf_dir)
+        .withColumn("tokens", F.expr(TOKENS_SPARK))
+        .filter(F.size("tokens") >= 2)
+        .select("doc_id", F.explode(F.expr(bigrams_expr)).alias("o"))
+        .select("doc_id", F.col("o.pfx").alias("pfx"), F.col("o.bg").alias("bg"))
+    )
+    c_bg = occ.groupBy("bg").agg(F.count(F.lit(1)).alias("c_uv"))
+    c_pfx = occ.groupBy("pfx").agg(F.count(F.lit(1)).alias("c_u"))
+    vocab = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.expr(TOKENS_SPARK)).alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    scored = (
+        occ.join(c_bg, "bg")
+        .join(c_pfx, "pfx")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "p_micro",
+            F.expr(f"CAST({FLUENCY_MICRO} * (c_uv + 1) AS BIGINT) div (c_u + v)"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("p_micro").alias("sum_micro"),
+        )
+        .withColumn(
+            "score_micro", F.expr("sum_micro div n_bigrams").cast("long")
+        )
+        .select("doc_id", "n_bigrams", "score_micro")
+        .orderBy("score_micro", "doc_id")
+        .limit(FLUENCY_K)
+    )
+
+
+ORACLE_Q181 = f"""
+WITH t AS (
+  SELECT doc_id, {TOKENS_DUCK} AS tokens FROM documents
+), occ AS (
+  SELECT doc_id, _.pfx AS pfx, _.bg AS bg
+  FROM (
+    SELECT doc_id, unnest(list_transform(
+      range(1, len(tokens)),
+      i -> struct_pack(pfx := tokens[i], bg := tokens[i] || ' ' || tokens[i+1])
+    )) AS _
+    FROM t WHERE len(tokens) >= 2
+  )
+), c_bg AS (SELECT bg, count(*) AS c_uv FROM occ GROUP BY bg),
+c_pfx AS (SELECT pfx, count(*) AS c_u FROM occ GROUP BY pfx),
+vocab AS (
+  SELECT count(DISTINCT tok) AS v
+  FROM (SELECT unnest({TOKENS_DUCK}) AS tok FROM documents)
+), scored AS (
+  SELECT doc_id,
+         CAST({FLUENCY_MICRO} * (c_uv + 1) AS BIGINT) // (c_u + v) AS p_micro
+  FROM occ JOIN c_bg USING (bg) JOIN c_pfx USING (pfx) CROSS JOIN vocab
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(p_micro) // count(*) AS BIGINT) AS score_micro
+FROM scored
+GROUP BY doc_id
+ORDER BY score_micro, doc_id
+LIMIT {FLUENCY_K}
+"""
+
+
 QUERIES = {
     "q30_exact_dedup": q30_exact_dedup,
     "q31_text_stats": q31_text_stats,
@@ -3520,6 +3890,9 @@ QUERIES = {
     "q172_cross_source_dedup": q172_cross_source_dedup,
     "q174_cms_token_freq": q174_cms_token_freq,
     "q177_length_drift": q177_length_drift,
+    "q179_bloom_decontaminate": q179_bloom_decontaminate,
+    "q180_dup_span_coverage": q180_dup_span_coverage,
+    "q181_bigram_fluency": q181_bigram_fluency,
     "q164_rare_token_profile": q164_rare_token_profile,
     "q165_source_overlap_matrix": q165_source_overlap_matrix,
     "q122_quality_prune": q122_quality_prune,
@@ -3569,6 +3942,9 @@ ORACLES = {
     "q172_cross_source_dedup": ORACLE_Q172,
     "q174_cms_token_freq": _oracle_q174(),
     "q177_length_drift": ORACLE_Q177,
+    "q179_bloom_decontaminate": ORACLE_Q179,
+    "q180_dup_span_coverage": ORACLE_Q180,
+    "q181_bigram_fluency": ORACLE_Q181,
     "q164_rare_token_profile": ORACLE_Q164,
     "q165_source_overlap_matrix": ORACLE_Q165,
     "q122_quality_prune": ORACLE_Q122,

@@ -1271,6 +1271,156 @@ def fast_forward(spark: SparkSession, table_path: str, name: str) -> int:
     return main_head + 1
 
 
+# --- tags & rollback: immutable release pointers + undo ----------------------
+#
+# A TAG is an immutable named pointer to a main version (Iceberg tags /
+# git tags for data): `prod-2026-08`, `eval-freeze`. Tags pin their
+# version against vacuum (manifest kept, files protected), so a reader
+# resolving a tag months later still gets the exact bytes. ROLLBACK is
+# the undo that tags make safe: re-publish an old version's manifest as
+# the NEXT version — history stays append-only (the bad commits remain
+# inspectable), readers of "latest" see the restored data, and nothing
+# is rewritten.
+
+
+def create_tag(
+    spark: SparkSession, table_path: str, name: str, version: int | None = None
+) -> int:
+    """Tag ``version`` (default: main's head) as immutable ref
+    ``name``. Refuses to move an existing tag — drop and re-create to
+    re-point (the loud two-step is the point). Returns the tagged
+    version."""
+    _mprefix(name)  # same charset rules as branches; rejects 'main'
+    versions = _manifest_versions(spark, table_path)
+    if not versions:
+        raise ValueError(f"{table_path} is not a manifest table")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not in {versions} for {table_path}")
+    if name in list_tags(spark, table_path):
+        raise ValueError(
+            f"tag {name!r} already exists on {table_path}; tags are "
+            "immutable — drop_tag it first to re-point"
+        )
+    jvm, fs, _ = _fs(spark, table_path)
+    final = jvm.org.apache.hadoop.fs.Path(
+        f"{table_path}/{MANIFEST_DIR}/tag.{name}.json"
+    )
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        f"{table_path}/{MANIFEST_DIR}/.tmp-tag-{uuid.uuid4().hex}.json"
+    )
+    out = fs.create(tmp, False)
+    out.write(bytearray(json.dumps({"name": name, "version": v}), "utf-8"))
+    out.close()
+    if fs.exists(final) or not fs.rename(tmp, final):
+        fs.delete(tmp, False)
+        raise ValueError(f"tag {name!r} already exists on {table_path}")
+    return v
+
+
+def list_tags(spark: SparkSession, table_path: str) -> dict[str, int]:
+    """Live tags: name -> pinned main version."""
+    jvm, fs, _ = _fs(spark, table_path)
+    mdir = jvm.org.apache.hadoop.fs.Path(f"{table_path}/{MANIFEST_DIR}")
+    if not fs.exists(mdir):
+        return {}
+    out: dict[str, int] = {}
+    for st in fs.listStatus(mdir):
+        fname = st.getPath().getName()
+        if not (fname.startswith("tag.") and fname.endswith(".json")):
+            continue
+        doc = _read_json(spark, table_path, f"{MANIFEST_DIR}/{fname}")
+        out[doc["name"]] = int(doc["version"])
+    return dict(sorted(out.items()))
+
+
+def drop_tag(spark: SparkSession, table_path: str, name: str) -> None:
+    """Delete tag ``name`` — its version stops being pinned and ages
+    out through the normal vacuum policy."""
+    jvm, fs, _ = _fs(spark, table_path)
+    fs.delete(
+        jvm.org.apache.hadoop.fs.Path(
+            f"{table_path}/{MANIFEST_DIR}/tag.{name}.json"
+        ),
+        False,
+    )
+
+
+def tag_version(spark: SparkSession, table_path: str, name: str) -> int:
+    """Resolve tag ``name`` to its pinned version (pass the result as
+    ``read_table(..., version=)``)."""
+    tags = list_tags(spark, table_path)
+    if name not in tags:
+        raise ValueError(
+            f"tag {name!r} does not exist on {table_path}; have {list(tags)}"
+        )
+    return tags[name]
+
+
+def rollback_table(
+    spark: SparkSession, table_path: str, to_version: int
+) -> int:
+    """Restore ``to_version``'s exact state as the table's NEXT
+    version (Delta RESTORE / Iceberg rollback semantics, append-only):
+    the old version's raw manifest doc is re-published under the next
+    version number via the same atomic-rename CAS every commit uses —
+    zero data movement, the rolled-back commits stay in history for
+    forensics, and a concurrent commit racing the rollback loses or
+    wins cleanly. The target version must still exist (not vacuumed);
+    tag the versions you may need to restore."""
+    versions = _manifest_versions(spark, table_path)
+    if not versions:
+        raise ValueError(f"{table_path} is not a manifest table")
+    if to_version not in versions:
+        raise ValueError(
+            f"version {to_version} not in {versions} for {table_path} "
+            "(vacuumed? tagged versions never age out)"
+        )
+    head = versions[-1]
+    if to_version == head:
+        return head
+    doc = _read_manifest_file(spark, table_path, to_version)
+    doc["version"] = head + 1
+    doc["restored_from"] = to_version
+    _write_manifest(spark, table_path, head + 1, doc)
+    return head + 1
+
+
+def files_metadata(
+    spark: SparkSession,
+    table_path: str,
+    version: int | None = None,
+    ref: str = "main",
+) -> DataFrame:
+    """The table's FILES metadata table (Iceberg `table$files` parity):
+    one row per live data file of ``version`` with its commit-time
+    recorded byte size and birth version — the inputs every
+    maintenance decision (small-file compaction, storage accounting,
+    incremental-scan planning) reads, exposed as a queryable
+    DataFrame instead of an internal dict. Bytes/birth come from the
+    manifest's ``sizes``/``born`` records written at commit time
+    (zero FS RPCs); files predating those records report bytes=-1 /
+    born=1.
+
+    Scale note: the frame materializes from the assembled manifest,
+    which is driver-read by design (manifests are metadata, not
+    data); a chunked (v2) table's entries assemble from its chunk
+    docs the same way every reader's planning pass already does, so
+    this adds no IO beyond one manifest read."""
+    m = read_manifest(spark, table_path, version, ref)
+    if "files" not in m:
+        raise ValueError(
+            f"{table_path} version {m.get('version')} is a legacy "
+            "single-snapshot manifest with no per-file entries"
+        )
+    sizes = m.get("sizes") or {}
+    born = m.get("born") or {}
+    rows = [
+        (f, int(sizes.get(f, -1)), int(born.get(f, 1))) for f in m["files"]
+    ]
+    return spark.createDataFrame(rows, "file string, bytes long, born long")
+
+
 def commit_delete_file(
     spark: SparkSession,
     table_path: str,
@@ -2053,6 +2203,11 @@ def vacuum(
     jvm, fs, _ = _fs(spark, table_path)
     versions = _manifest_versions(spark, table_path)
     keep = versions[-keep_last:] if keep_last > 0 else []
+    # TAGGED versions are pinned: their manifests survive any keep_last
+    # and their files are protected — a tag is a promise that the exact
+    # bytes stay resolvable (drop_tag releases the pin)
+    tagged = set(list_tags(spark, table_path).values())
+    keep = sorted(set(keep) | (tagged & set(versions)))
     dropped = [v for v in versions if v not in keep]
     kept_dirs = set()
     kept_chunks = set()

@@ -1,0 +1,119 @@
+"""Tags (immutable release pointers) and rollback (append-only
+restore) — prox_spark/table.py. Tags pin their version against vacuum;
+rollback re-publishes an old manifest as the next version with zero
+data movement. The reference has no undo at all (a bad Glue run
+overwrites prod in place, gold_data_curation_script.py mode
+("overwrite")); this is the recovery story a 100 TB table needs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from prox_spark.table import (
+    commit_delta,
+    commit_snapshot,
+    create_tag,
+    drop_tag,
+    list_tags,
+    read_manifest,
+    read_table,
+    rollback_table,
+    table_versions,
+    tag_version,
+    vacuum,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, v string")
+
+
+def _append(spark, path, rows):
+    prev = read_manifest(spark, path)
+    return commit_delta(
+        spark, path, _df(spark, rows), list(prev["files"]),
+        update_key_ranges={},
+    )
+
+
+def _staged_table(spark, tmp_path):
+    """v1 = 50 base rows, v2 = +5 'good', v3 = +5 'bad'."""
+    path = str(tmp_path / "t")
+    commit_snapshot(
+        spark, path, _df(spark, [(i, "base") for i in range(50)]),
+        stat_cols=["id"], n_files=4,
+    )
+    _append(spark, path, [(100 + i, "good") for i in range(5)])
+    _append(spark, path, [(200 + i, "bad") for i in range(5)])
+    return path
+
+
+def test_tag_create_resolve_immutability(spark, tmp_path):
+    path = _staged_table(spark, tmp_path)
+    assert create_tag(spark, path, "prod", version=2) == 2
+    assert create_tag(spark, path, "latest") == 3  # default: head
+    assert list_tags(spark, path) == {"latest": 3, "prod": 2}
+    assert tag_version(spark, path, "prod") == 2
+    # immutable: re-point requires an explicit drop first
+    with pytest.raises(ValueError, match="immutable"):
+        create_tag(spark, path, "prod", version=3)
+    drop_tag(spark, path, "prod")
+    assert create_tag(spark, path, "prod", version=3) == 3
+    with pytest.raises(ValueError):
+        tag_version(spark, path, "nope")
+    with pytest.raises(ValueError):
+        create_tag(spark, path, "bad.name")
+    with pytest.raises(ValueError):
+        create_tag(spark, path, "oob", version=99)
+
+
+def test_tagged_version_survives_vacuum(spark, tmp_path):
+    path = _staged_table(spark, tmp_path)
+    create_tag(spark, path, "audit-freeze", version=1)
+    # churn past keep_last so v1 would normally age out
+    for k in range(3):
+        _append(spark, path, [(900 + k, "churn")])
+    vacuum(spark, path, keep_last=1, retention_minutes=0.0)
+    # the tag still resolves to the exact bytes
+    assert tag_version(spark, path, "audit-freeze") == 1
+    pinned = read_table(spark, path, version=1)
+    assert pinned.count() == 50
+    assert pinned.filter(F.col("v") != "base").count() == 0
+    # untagged old versions are gone
+    assert 2 not in table_versions(spark, path)
+    # releasing the pin lets the next vacuum reclaim it
+    drop_tag(spark, path, "audit-freeze")
+    vacuum(spark, path, keep_last=1, retention_minutes=0.0)
+    assert table_versions(spark, path) == [6]
+
+
+def test_rollback_restores_exact_state_append_only(spark, tmp_path):
+    path = _staged_table(spark, tmp_path)
+    v = rollback_table(spark, path, 2)
+    assert v == 4 and table_versions(spark, path) == [1, 2, 3, 4]
+    got = read_table(spark, path)
+    assert got.count() == 55
+    assert got.filter(F.col("v") == "bad").count() == 0
+    # bit-exact: the restored manifest is v2's doc re-targeted
+    assert read_manifest(spark, path, 4)["files"] == (
+        read_manifest(spark, path, 2)["files"]
+    )
+    assert read_manifest(spark, path, 4)["restored_from"] == 2
+    # the bad version stays readable for forensics
+    assert read_table(spark, path, version=3).count() == 60
+    # rollback-to-head is a no-op
+    assert rollback_table(spark, path, 4) == 4
+    with pytest.raises(ValueError):
+        rollback_table(spark, path, 99)
+
+
+def test_rollback_then_commit_continues_history(spark, tmp_path):
+    path = _staged_table(spark, tmp_path)
+    rollback_table(spark, path, 1)
+    _append(spark, path, [(300, "after")])
+    got = read_table(spark, path)
+    assert got.count() == 51
+    assert set(r["v"] for r in got.select("v").distinct().collect()) == {
+        "base", "after",
+    }

@@ -57,3 +57,44 @@ def test_overlap_matrix_values(spark, tmp_path, monkeypatch):
         for r in T.q165_source_overlap_matrix(spark, "ignored").collect()
     }
     assert out == {("a", "b"): (2, 1)}
+
+
+def test_bloom_prefilter_exactness_and_pruning(spark):
+    """q179's Bloom prefilter must (a) never lose a true hit — the
+    prefiltered exact join equals the plain exact join — and (b)
+    genuinely prune: on a corpus whose shingles are mostly absent from
+    the eval set, the bloom-positive sliver is far smaller than the
+    corpus shingle table (false positives are possible but bounded by
+    the ~BLOOM_BITS/entries budget)."""
+    from prox_spark.queries.text import (
+        BLOOM_BITS,
+        BLOOM_K,
+        _bloom_filter_df,
+        _bloom_hit_expr,
+        _eval_shingles,
+    )
+
+    ev = _eval_shingles(spark)
+    # synthetic corpus shingles: 30 true hits (sampled from the eval
+    # set) + 2000 guaranteed misses
+    truth = ev.limit(30).select(F.lit(1).alias("doc_id"), "shingle")
+    misses = spark.range(2000).select(
+        (F.col("id") % 40 + 2).cast("long").alias("doc_id"),
+        F.concat(F.lit("zz-miss-"), F.col("id")).alias("shingle"),
+    )
+    corpus = truth.unionByName(misses)
+
+    probed = corpus.crossJoin(F.broadcast(_bloom_filter_df(ev)))
+    candidates = probed.filter(F.expr(_bloom_hit_expr(BLOOM_BITS, BLOOM_K)))
+
+    plain = corpus.join(ev, "shingle").select("doc_id", "shingle")
+    filtered = candidates.join(ev, "shingle").select("doc_id", "shingle")
+    assert sorted(map(tuple, filtered.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+    n_candidates = candidates.count()
+    assert n_candidates >= 30  # no false negatives, ever
+    # pruning: 2000 misses against a <=~200-entry, 4096-bit filter must
+    # mostly bloom-negative (FPP ~ (entries*K/BITS)^K << 50%)
+    assert n_candidates < 30 + 1000
