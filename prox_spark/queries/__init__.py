@@ -54,6 +54,8 @@ _FRONT = [
     "q180_dup_span_coverage",
     "q181_bigram_fluency",
     "q182_tagged_rollback",
+    "q183_files_metadata",
+    "q184_incremental_minmax",
     # last driver row: round 2
     "q102_stratified_sample",
     "q103_price_histogram",
@@ -90,8 +92,6 @@ _FRONT = [
     "q152_cdc_apply",
     "q30_exact_dedup",
     "q31_text_stats",
-    "q32_regex_token_count",
-    "q33_quality_score",
 ]
 
 

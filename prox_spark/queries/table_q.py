@@ -1252,6 +1252,275 @@ ORDER BY source
 """
 
 
+# --- q183: files metadata table (Iceberg table$files parity) ----------------
+
+META_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".fixtures",
+    "meta_docs",
+)
+
+# per-generation (born version -> (n_files, rows_per_file))
+_META_GENS = {1: (3, 60), 2: (1, 25), 3: (1, 15)}
+
+_META_SCHEMA_JSON = {
+    "type": "struct",
+    "fields": [
+        {"name": "doc_id", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "source", "type": "string", "nullable": True, "metadata": {}},
+        {"name": "n_chars", "type": "long", "nullable": True, "metadata": {}},
+    ],
+}
+
+
+def stage_meta_table(root: str = META_ROOT) -> tuple[str, dict[int, str]]:
+    """Materialize a 3-version modern-format manifest table on disk,
+    Spark-free and idempotent (stage_cdc_table recipe): v1 commits 3
+    files, v2 and v3 append one each. Manifests carry the commit-time
+    ``sizes`` (actual byte sizes) and ``born`` records that
+    files_metadata exposes — the writer-path equivalents are
+    commit-protocol-tested in tests/test_table_format.py; this stager
+    only needs deterministic bytes both engines can read."""
+    gens: dict[int, str] = {}
+    mdir = os.path.join(root, "_manifests")
+    files: list[str] = []
+    sizes: dict[str, int] = {}
+    born: dict[str, int] = {}
+    for v in sorted(_META_GENS):
+        n_files, n_rows = _META_GENS[v]
+        suffix = hashlib.md5(f"meta-gen:{v}".encode()).hexdigest()[:8]
+        gen_rel = f"data/gen-{v:08d}-{suffix}"
+        gen_dir = os.path.join(root, gen_rel)
+        gens[v] = gen_dir
+        mpath = os.path.join(mdir, f"manifest-{v:08d}.json")
+        for k in range(n_files):
+            rel = f"{gen_rel}/part-{k:05d}.parquet"
+            data_file = os.path.join(root, rel)
+            if not os.path.exists(data_file):
+                os.makedirs(gen_dir, exist_ok=True)
+                first = v * 100_000 + k * 1_000
+                ids = list(range(first, first + n_rows))
+                table = pa.table(
+                    {
+                        "doc_id": pa.array(ids, pa.int64()),
+                        "source": pa.array(
+                            [f"src{i % 4}" for i in ids], pa.string()
+                        ),
+                        "n_chars": pa.array(
+                            [
+                                int(
+                                    hashlib.md5(f"meta:{i}".encode())
+                                    .hexdigest()[:4],
+                                    16,
+                                )
+                                for i in ids
+                            ],
+                            pa.int64(),
+                        ),
+                    }
+                )
+                tmp = data_file + ".tmp"
+                pq.write_table(table, tmp)
+                os.replace(tmp, data_file)
+            files.append(rel)
+            sizes[rel] = os.path.getsize(data_file)
+            if v > 1:
+                born[rel] = v
+        if not os.path.exists(mpath):
+            os.makedirs(mdir, exist_ok=True)
+            doc = {
+                "version": v,
+                "files": list(files),
+                "sizes": dict(sizes),
+                "born": dict(born),
+                "schema": _META_SCHEMA_JSON,
+            }
+            mtmp = mpath + ".tmp"
+            with open(mtmp, "w") as f:
+                json.dump(doc, f)
+            os.replace(mtmp, mpath)
+    return root, gens
+
+
+def q183_files_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FILES metadata table as a gated query (Iceberg `table$files`
+    parity): per birth version, how many live files, their total
+    commit-time recorded bytes, and the row count actually stored in
+    those files — the storage-accounting / compaction-planning view.
+    The oracle recomputes the metadata INDEPENDENTLY by parsing the
+    same manifest JSON (files/sizes/born as typed MAPs) and counting
+    rows straight from the parquet generations, so a metadata record
+    that drifted from the data (wrong size, wrong birth, missing
+    file) hash-mismatches.
+
+    Scale shape: the metadata side never touches data (one manifest
+    read — the same read every planner pass already does); the row
+    counts read each generation's files once, grouped by the
+    metadata's own born record (file lists are driver-collected, but
+    they are METADATA — bounded by file count, the thing manifests
+    exist to keep small/chunked)."""
+    path, _ = stage_meta_table()
+    from prox_spark.table import files_metadata
+
+    fm = files_metadata(spark, path)
+    meta = fm.groupBy("born").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("bytes").cast("long").alias("total_bytes"),
+    )
+    by_born: dict[int, list[str]] = {}
+    for r in fm.collect():
+        by_born.setdefault(int(r["born"]), []).append(r["file"])
+    rows = [
+        (v, spark.read.parquet(*[f"{path}/{f}" for f in fs]).count())
+        for v, fs in sorted(by_born.items())
+    ]
+    rows_df = spark.createDataFrame(rows, "born long, n_rows long")
+    return (
+        meta.join(rows_df, "born")
+        .select("born", "n_files", "total_bytes", "n_rows")
+        .orderBy("born")
+    )
+
+
+def _oracle_q183() -> str:
+    root, gens = stage_meta_table()
+    head = os.path.join(root, "_manifests", "manifest-00000003.json")
+    rows_union = "\nUNION ALL\n".join(
+        f"SELECT CAST({v} AS BIGINT) AS born, CAST(count(*) AS BIGINT) AS n_rows "
+        f"FROM read_parquet('{d}/*.parquet')"
+        for v, d in sorted(gens.items())
+    )
+    return f"""
+WITH m AS (
+  SELECT * FROM read_json('{head}',
+    columns={{files: 'VARCHAR[]', sizes: 'MAP(VARCHAR,BIGINT)',
+             born: 'MAP(VARCHAR,BIGINT)'}})
+), e AS (
+  SELECT unnest(files) AS file, sizes, born FROM m
+), meta AS (
+  SELECT CAST(coalesce(born[file][1], 1) AS BIGINT) AS born,
+         CAST(count(*) AS BIGINT) AS n_files,
+         CAST(sum(sizes[file][1]) AS BIGINT) AS total_bytes
+  FROM e GROUP BY 1
+), rws AS (
+{rows_union}
+)
+SELECT meta.born, n_files, total_bytes, n_rows
+FROM meta JOIN rws USING (born)
+ORDER BY meta.born
+"""
+
+
+# --- q184: incremental min/max maintenance (the hard IVM case) --------------
+
+
+def q184_incremental_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of per-source (count, min, max) across
+    the CDC table's v1→v2 delta — the aggregate family q118's
+    sum/count trick does NOT cover: min/max are not self-maintainable
+    under deletes (removing the current extreme leaves no way to
+    derive the next one from the old aggregate). The classic fix:
+    maintain insert-only groups algebraically (count ± delta,
+    min/least, max/greatest) and RECOMPUTE only the groups whose
+    stored extreme was deleted — work ∝ |delta| + |affected groups|,
+    never |table|. The oracle computes the v2 aggregate DIRECTLY plus
+    the affected-group rule independently, so the gate proves the
+    incremental path reproduces the full recompute exactly AND that
+    the recompute decision fired for precisely the right groups.
+
+    Scale shape: the delta is the q114 key-keyed diff; per-group
+    delta aggregates are tiny partial-agg frames; the recompute scan
+    reads v2 filtered to the affected sources only (a semi-join that
+    partition-prunes when the table clusters on the group key)."""
+    path, _ = stage_cdc_table()
+    from prox_spark.table import read_table
+
+    v1 = read_table(spark, path, version=1).select("doc_id", "source")
+    v2 = read_table(spark, path, version=2).select("doc_id", "source")
+    ins = v2.join(v1.select("doc_id"), "doc_id", "left_anti")
+    dels = v1.join(v2.select("doc_id"), "doc_id", "left_anti")
+    base = v1.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n1"),
+        F.min("doc_id").alias("min1"),
+        F.max("doc_id").alias("max1"),
+    )
+    ia = ins.groupBy("source").agg(
+        F.count(F.lit(1)).alias("ni"),
+        F.min("doc_id").alias("imin"),
+        F.max("doc_id").alias("imax"),
+    )
+    da = dels.groupBy("source").agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.min("doc_id").alias("dmin"),
+        F.max("doc_id").alias("dmax"),
+    )
+    j = (
+        base.join(ia, "source", "full_outer")
+        .join(da, "source", "full_outer")
+        .withColumn(
+            "needs",
+            F.coalesce(
+                (F.col("dmin") == F.col("min1"))
+                | (F.col("dmax") == F.col("max1")),
+                F.lit(False),
+            ),
+        )
+    )
+    maintained = j.filter(~F.col("needs")).select(
+        "source",
+        (
+            F.coalesce(F.col("n1"), F.lit(0))
+            + F.coalesce(F.col("ni"), F.lit(0))
+            - F.coalesce(F.col("nd"), F.lit(0))
+        ).cast("long").alias("n_docs"),
+        # least/greatest skip NULLs in both engines: an insert-free
+        # group keeps its stored extreme
+        F.least("min1", "imin").cast("long").alias("min_id"),
+        F.greatest("max1", "imax").cast("long").alias("max_id"),
+        F.lit(False).alias("recomputed"),
+    )
+    affected = j.filter(F.col("needs")).select("source")
+    recomputed = (
+        v2.join(F.broadcast(affected), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("min_id"),
+            F.max("doc_id").cast("long").alias("max_id"),
+        )
+        .withColumn("recomputed", F.lit(True))
+    )
+    return maintained.unionByName(recomputed).orderBy("source")
+
+
+def _oracle_q184() -> str:
+    _, snaps = stage_cdc_table()
+    return f"""
+WITH v1 AS (SELECT doc_id, source FROM read_parquet('{snaps[1]}/*.parquet')),
+v2 AS (SELECT doc_id, source FROM read_parquet('{snaps[2]}/*.parquet')),
+dels AS (SELECT v1.* FROM v1 ANTI JOIN v2 USING (doc_id)),
+ext AS (
+  SELECT source, min(doc_id) AS min1, max(doc_id) AS max1
+  FROM v1 GROUP BY source
+),
+flag AS (
+  SELECT e.source,
+         count(*) FILTER (WHERE d.doc_id = e.min1 OR d.doc_id = e.max1) > 0
+           AS needs
+  FROM ext e LEFT JOIN dels d USING (source)
+  GROUP BY e.source
+)
+SELECT v2.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS min_id,
+       CAST(max(doc_id) AS BIGINT) AS max_id,
+       coalesce(any_value(f.needs), FALSE) AS recomputed
+FROM v2 LEFT JOIN flag f USING (source)
+GROUP BY v2.source
+ORDER BY v2.source
+"""
+
+
 QUERIES = {
     "q114_snapshot_diff": q114_snapshot_diff,
     "q118_incremental_agg": q118_incremental_agg,
@@ -1265,6 +1534,8 @@ QUERIES = {
     "q173_auto_maintenance": q173_auto_maintenance,
     "q178_wap_publish": q178_wap_publish,
     "q182_tagged_rollback": q182_tagged_rollback,
+    "q183_files_metadata": q183_files_metadata,
+    "q184_incremental_minmax": q184_incremental_minmax,
 }
 
 
@@ -1284,4 +1555,6 @@ def oracles() -> dict[str, str]:
         "q173_auto_maintenance": ORACLE_Q173,
         "q178_wap_publish": ORACLE_Q178,
         "q182_tagged_rollback": ORACLE_Q182,
+        "q183_files_metadata": _oracle_q183(),
+        "q184_incremental_minmax": _oracle_q184(),
     }
