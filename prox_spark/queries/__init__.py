@@ -56,6 +56,7 @@ _FRONT = [
     "q182_tagged_rollback",
     "q183_files_metadata",
     "q184_incremental_minmax",
+    "q185_dup_span_removal",
     # last driver row: round 2
     "q102_stratified_sample",
     "q103_price_histogram",
@@ -91,7 +92,6 @@ _FRONT = [
     "q136_streaming_neardup_store",
     "q152_cdc_apply",
     "q30_exact_dedup",
-    "q31_text_stats",
 ]
 
 

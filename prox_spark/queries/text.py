@@ -3635,28 +3635,13 @@ ORDER BY doc_id
 DUPGRAM_N = 8  # word n-gram length, à la Lee et al.'s 50-token spans
 
 
-def q180_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Substring-level duplication profile (the signal behind
-    "Deduplicating Training Data Makes Language Models Better"-style
-    span dedup): for every document, what fraction of its TOKENS sits
-    inside some DUPGRAM_N-token span that also occurs verbatim in at
-    least one OTHER document. Doc-level dedup (q30/q36) misses these —
-    two distinct pages sharing a 40-token boilerplate footer are not
-    near-dups, but the footer still trains the model N times.
-
-    Per doc: token count, n-gram count, how many gram OCCURRENCES are
-    cross-doc duplicated, and the union length of their (overlapping)
-    spans — merged with the classic sorted-starts running-max-end
-    sweep, a per-doc window over only the duplicated positions.
-
-    Scale shape: grams are md5-hashed inside the extraction (the
-    shuffle key is a 32-char digest, never 8 words of text); the
-    duplicate vocabulary is one partial-agg groupBy on the digest; the
-    attach back is a digest equi-join (not broadcast — the duplicated-
-    gram table of a 100 TB corpus is itself large); the interval merge
-    shuffles only (doc, position) pairs of duplicated grams. Nothing
-    is quadratic in corpus size; the HOF gram extraction re-slices per
-    index (no codegen) but is linear per token and map-side."""
+def _dup_gram_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, p) — the 1-based start positions of every
+    DUPGRAM_N-token gram occurrence that also occurs verbatim in at
+    least one OTHER document. Grams are md5-hashed inside the
+    extraction so the duplicate-vocabulary shuffle keys are 32-char
+    digests, never gram text; shared by q180 (coverage profile) and
+    q185 (removal)."""
     grams_expr = (
         f"transform(sequence(1, size(tokens) - {DUPGRAM_N - 1}), "
         f"i -> md5(concat_ws(' ', slice(tokens, i, {DUPGRAM_N}))))"
@@ -3679,7 +3664,32 @@ def q180_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nd") >= 2)
         .select("gram")
     )
-    hits = docs.join(dup_grams, "gram").select("doc_id", "n_tokens", "p")
+    return docs.join(dup_grams, "gram").select("doc_id", "n_tokens", "p")
+
+
+def q180_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication profile (the signal behind
+    "Deduplicating Training Data Makes Language Models Better"-style
+    span dedup): for every document, what fraction of its TOKENS sits
+    inside some DUPGRAM_N-token span that also occurs verbatim in at
+    least one OTHER document. Doc-level dedup (q30/q36) misses these —
+    two distinct pages sharing a 40-token boilerplate footer are not
+    near-dups, but the footer still trains the model N times.
+
+    Per doc: token count, n-gram count, how many gram OCCURRENCES are
+    cross-doc duplicated, and the union length of their (overlapping)
+    spans — merged with the classic sorted-starts running-max-end
+    sweep, a per-doc window over only the duplicated positions.
+
+    Scale shape: grams are md5-hashed inside the extraction (the
+    shuffle key is a 32-char digest, never 8 words of text); the
+    duplicate vocabulary is one partial-agg groupBy on the digest; the
+    attach back is a digest equi-join (not broadcast — the duplicated-
+    gram table of a 100 TB corpus is itself large); the interval merge
+    shuffles only (doc, position) pairs of duplicated grams. Nothing
+    is quadratic in corpus size; the HOF gram extraction re-slices per
+    index (no codegen) but is linear per token and map-side."""
+    hits = _dup_gram_hits(spark, sf_dir)
     w = (
         Window.partitionBy("doc_id")
         .orderBy("p")
@@ -3753,6 +3763,149 @@ SELECT doc_id, n_tokens,
 FROM covered
 GROUP BY doc_id, n_tokens
 ORDER BY doc_id
+"""
+
+
+# --- q185: duplicated-span REMOVAL (the action on q180's signal) -----------
+
+
+def q185_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup applied: excise every token covered by a
+    cross-doc duplicated DUPGRAM_N-gram and re-emit the cleaned
+    corpus — the Lee-et-al. substring-dedup WRITE path, where q180 is
+    the read-only profile. Reported per source: docs, tokens
+    before/after, removal percentage, and an integer checksum over
+    the cleaned TEXTS (sum of each doc's md5 32-bit prefix), so the
+    gate pins the actual reconstructed strings, not just counts —
+    off-by-one span boundaries or misordered reassembly fail the
+    hash.
+
+    Scale shape: covered positions come from exploding each duplicate
+    hit into its DUPGRAM_N indices (linear in hits, distinct-ed on
+    (doc, idx)); the excision is one anti-join keyed (doc, idx); the
+    reassembly is a per-doc sort-by-index aggregation (shuffle keyed
+    by doc_id, payload tokens). Docs shorter than a gram — and docs
+    with no duplicated span — pass through untouched via the final
+    left join, at zero extra cost."""
+    base = (
+        _docs(spark, sf_dir)
+        .withColumn("tokens", F.expr(TOKENS_SPARK))
+        .select(
+            "doc_id", "source",
+            F.size("tokens").cast("long").alias("n_tokens"), "tokens",
+        )
+    )
+    toks = base.select(
+        "doc_id", F.posexplode("tokens").alias("i0", "tok")
+    ).select("doc_id", (F.col("i0") + 1).alias("idx"), "tok")
+    covered = (
+        _dup_gram_hits(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(p, p + {DUPGRAM_N - 1})")).alias("idx"),
+        )
+        .distinct()
+    )
+    cleaned = (
+        toks.join(covered, ["doc_id", "idx"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(array_sort(collect_list(struct(idx, tok))), "
+                    "s -> s.tok)"
+                ),
+            ).alias("clean"),
+        )
+    )
+    perdoc = base.join(cleaned, "doc_id", "left").select(
+        "source",
+        "n_tokens",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("clean", F.lit("")).alias("clean"),
+    )
+    return (
+        perdoc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("toks_before"),
+            F.sum("n_kept").cast("long").alias("toks_after"),
+            F.sum(
+                F.expr("CAST(conv(substring(md5(clean), 1, 8), 16, 10) AS BIGINT)")
+            ).cast("long").alias("clean_check"),
+        )
+        .withColumn(
+            "removed_pct",
+            F.round(
+                F.lit(100.0)
+                * (F.col("toks_before") - F.col("toks_after"))
+                / F.col("toks_before"),
+                6,
+            ),
+        )
+        .select(
+            "source", "n_docs", "toks_before", "toks_after",
+            "removed_pct", "clean_check",
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_Q185 = f"""
+WITH t AS (
+  SELECT doc_id, source, {TOKENS_DUCK} AS tokens FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, len(tokens) - {DUPGRAM_N - 2}),
+           i -> struct_pack(
+             p := CAST(i AS BIGINT),
+             gram := md5(array_to_string(list_slice(tokens, i, i + {DUPGRAM_N - 1}), ' '))
+           )
+         ), recursive := true) AS _
+  FROM t
+  WHERE len(tokens) >= {DUPGRAM_N}
+), dup AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+), covered AS (
+  SELECT DISTINCT doc_id, unnest(range(p, p + {DUPGRAM_N})) AS idx
+  FROM g JOIN dup USING (gram)
+), toks AS (
+  SELECT doc_id, _.idx AS idx, _.tok AS tok FROM (
+    SELECT doc_id, unnest(list_transform(
+      range(1, len(tokens) + 1),
+      i -> struct_pack(idx := CAST(i AS BIGINT), tok := tokens[i])
+    )) AS _
+    FROM t
+  )
+), kept AS (
+  SELECT toks.* FROM toks ANTI JOIN covered USING (doc_id, idx)
+), cleaned AS (
+  SELECT doc_id, count(*) AS n_kept,
+         array_to_string(
+           list_transform(
+             list_sort(list(struct_pack(idx := idx, tok := tok))),
+             s -> s.tok
+           ), ' ') AS clean
+  FROM kept GROUP BY doc_id
+), perdoc AS (
+  SELECT t.source, CAST(len(t.tokens) AS BIGINT) AS n_tokens,
+         CAST(coalesce(c.n_kept, 0) AS BIGINT) AS n_kept,
+         coalesce(c.clean, '') AS clean
+  FROM t LEFT JOIN cleaned c USING (doc_id)
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS toks_before,
+       CAST(sum(n_kept) AS BIGINT) AS toks_after,
+       round(100.0 * (CAST(sum(n_tokens) AS BIGINT) - CAST(sum(n_kept) AS BIGINT))
+             / CAST(sum(n_tokens) AS BIGINT), 6) AS removed_pct,
+       CAST(sum(CAST(('0x' || substring(md5(clean), 1, 8))::UBIGINT AS BIGINT))
+         AS BIGINT) AS clean_check
+FROM perdoc
+GROUP BY source
+ORDER BY source
 """
 
 
@@ -3893,6 +4046,7 @@ QUERIES = {
     "q179_bloom_decontaminate": q179_bloom_decontaminate,
     "q180_dup_span_coverage": q180_dup_span_coverage,
     "q181_bigram_fluency": q181_bigram_fluency,
+    "q185_dup_span_removal": q185_dup_span_removal,
     "q164_rare_token_profile": q164_rare_token_profile,
     "q165_source_overlap_matrix": q165_source_overlap_matrix,
     "q122_quality_prune": q122_quality_prune,
@@ -3945,6 +4099,7 @@ ORACLES = {
     "q179_bloom_decontaminate": ORACLE_Q179,
     "q180_dup_span_coverage": ORACLE_Q180,
     "q181_bigram_fluency": ORACLE_Q181,
+    "q185_dup_span_removal": ORACLE_Q185,
     "q164_rare_token_profile": ORACLE_Q164,
     "q165_source_overlap_matrix": ORACLE_Q165,
     "q122_quality_prune": ORACLE_Q122,

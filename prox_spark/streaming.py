@@ -194,6 +194,45 @@ def run_stream_upsert_latest(
         q.stop()
 
 
+def run_stream_append_branch(
+    stream: DataFrame,
+    table_path: str,
+    branch: str,
+    timeout_s: int = 120,
+) -> None:
+    """foreachBatch sink: STAGE a stream's micro-batches onto a table
+    BRANCH — streaming write-audit-publish. Each micro-batch is one
+    append commit on the branch's manifest line
+    (:func:`prox_spark.table.commit_delta` with ``ref=branch``), so
+    prod readers of main never see a single streamed row until the
+    audit passes and :func:`prox_spark.table.fast_forward` publishes
+    the WHOLE staged run in one atomic metadata CAS; a failed audit
+    drops the branch and the run never happened. This is the pattern
+    for risky backfills and new-source onboarding: at 100 TB the
+    stream may land thousands of commits before anyone is confident
+    in them, and none of that is undoable once it hits main."""
+    from prox_spark.table import commit_delta, read_manifest
+
+    def _append(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        prev = read_manifest(batch_df.sparkSession, table_path, ref=branch)
+        commit_delta(
+            batch_df.sparkSession, table_path, batch_df,
+            list(prev["files"]), ref=branch, update_key_ranges={},
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_append)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        q.stop()
+
+
 def run_to_memory(
     sdf: DataFrame, name: str, output_mode: str = "append", timeout_s: int = 120
 ) -> DataFrame:

@@ -181,3 +181,37 @@ def test_branch_on_chunked_table_carries_chunks(spark, tmp_path, monkeypatch):
     # vacuum keeps every chunk the published manifest references
     vacuum(spark, path, keep_last=1, retention_minutes=0.0)
     assert read_table(spark, path).count() == 68
+
+
+def test_streaming_appends_stage_on_branch_then_publish(spark, tmp_path):
+    """Streaming write-audit-publish: a file-source stream lands one
+    branch commit per micro-batch; main never sees a streamed row
+    until fast_forward publishes the whole staged run atomically."""
+    from prox_spark.streaming import run_stream_append_branch
+
+    path = _base(spark, tmp_path)
+    src_dir = str(tmp_path / "arrivals")
+    feed = _df(spark, [(3000 + i, "streamed") for i in range(64)])
+    feed.repartition(4).write.mode("overwrite").parquet(src_dir)
+
+    create_branch(spark, path, "ingest")
+    stream = (
+        spark.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    run_stream_append_branch(stream, path, "ingest")
+
+    # main untouched across the whole run
+    assert table_versions(spark, path) == [1]
+    assert read_table(spark, path).count() == 100
+    # the branch accumulated every micro-batch as its own commit
+    staged = read_table(spark, path, ref="ingest")
+    assert staged.count() == 164
+    assert staged.filter(F.col("v") == "streamed").count() == 64
+    assert len(list_branches(spark, path)["ingest"]) >= 3
+
+    # audit passed -> one atomic publish of the whole run
+    fast_forward(spark, path, "ingest")
+    assert read_table(spark, path).count() == 164
+    assert list_branches(spark, path) == {}
