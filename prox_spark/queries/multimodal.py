@@ -786,6 +786,153 @@ LIMIT 20
 """
 
 
+# --- q186: audio fingerprint dedup (energy-envelope, scale-invariant) ------
+
+AFP_FRAMES = 256   # samples per synthesized clip
+AFP_WINDOWS = 8    # envelope windows per fingerprint
+
+
+def q186_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AUDIO arm of the dedup family (q30 text, q176 images):
+    group clips by an amplitude-invariant ENERGY-ENVELOPE fingerprint
+    — the same recording re-mastered at a different volume must land
+    in the same bucket, which is what production audio dedup's
+    chromaprint-style blocking does before any expensive pairwise
+    compare. Each synthesized WAV is a deterministic waveform whose
+    PATTERN derives from n_chars % 16 and whose AMPLITUDE from a
+    separate factor; the fingerprint is the per-window share of total
+    absolute energy in integer permille — floor((1000·winsum)/totsum)
+    is exactly invariant under integer amplitude scaling (numerator
+    and denominator scale together), so re-mastered copies collide
+    bit-exactly with no float anywhere. The oracle recomputes every
+    fingerprint in closed form from n_chars.
+
+    Scale shape: synth and fingerprint are each one mapInPandas pass
+    (payloads born and die in the task — only the short fingerprint
+    string shuffles); the dedup is a hash groupBy on the fingerprint,
+    the q30 pattern with bytes swapped for PCM."""
+    from prox_spark.multimodal import MEDIA_SCHEMA
+    from prox_spark.queries.text import _spread_py
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    docs = _spread_py(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "n_chars"
+        )
+    )
+
+    def encode(batches):
+        import io
+        import struct
+        import wave
+
+        for pdf in batches:
+            payloads = []
+            for n in pdf["n_chars"]:
+                n = int(n)
+                p, a = n % 16, 1 + (n // 16) % 5
+                samples = [
+                    a * (((i * (p + 3) * 257) % 1024) - 512)
+                    for i in range(AFP_FRAMES)
+                ]
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(struct.pack(f"<{AFP_FRAMES}h", *samples))
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].values,
+                    "payload": payloads,
+                    "meta": [
+                        {"mime": "audio/wav", "source": "synth"}
+                        for _ in payloads
+                    ],
+                }
+            )
+
+    win = AFP_FRAMES // AFP_WINDOWS
+
+    def fingerprint(batches):
+        import io
+        import struct
+        import wave
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload))) as w:
+                    nf = w.getnframes()
+                    samples = struct.unpack(f"<{nf}h", w.readframes(nf))
+                mags = [abs(s) for s in samples]
+                tot = sum(mags)
+                ratios = [
+                    (1000 * sum(mags[k * win:(k + 1) * win])) // tot
+                    for k in range(AFP_WINDOWS)
+                ]
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "fingerprint": "-".join(str(r) for r in ratios),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    media = docs.mapInPandas(encode, schema=MEDIA_SCHEMA)
+    fps = media.mapInPandas(
+        fingerprint, schema="media_id bigint, fingerprint string"
+    )
+    return (
+        fps.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_media"),
+            F.min("media_id").cast("long").alias("rep_id"),
+        )
+        .orderBy("fingerprint")
+    )
+
+
+ORACLE_Q186 = f"""
+WITH base AS (
+  SELECT doc_id AS media_id,
+         n_chars % 16            AS p,
+         1 + (n_chars // 16) % 5 AS a
+  FROM documents
+),
+s AS (
+  SELECT media_id,
+         list_transform(
+           range(0, {AFP_FRAMES}),
+           i -> abs(a * (((i * (p + 3) * 257) % 1024) - 512))
+         ) AS mags
+  FROM base
+),
+fp AS (
+  SELECT media_id,
+         array_to_string(
+           list_transform(
+             range(0, {AFP_WINDOWS}),
+             k -> CAST(
+               (1000 * list_sum(list_transform(
+                  range(1, {AFP_FRAMES // AFP_WINDOWS} + 1),
+                  j -> mags[k * {AFP_FRAMES // AFP_WINDOWS} + j]
+                ))) // list_sum(mags) AS VARCHAR)
+           ), '-') AS fingerprint
+  FROM s
+)
+SELECT fingerprint,
+       CAST(count(*) AS BIGINT) AS n_media,
+       CAST(min(media_id) AS BIGINT) AS rep_id
+FROM fp
+GROUP BY fingerprint
+ORDER BY fingerprint
+"""
+
+
 QUERIES = {
     "q43_media_features": q43_media_features,
     "q112_media_real_decode": q112_media_real_decode,
@@ -796,6 +943,7 @@ QUERIES = {
     "q157_jpeg_block_decode": q157_jpeg_block_decode,
     "q158_video_frame_sample": q158_video_frame_sample,
     "q176_image_phash_dedup": q176_image_phash_dedup,
+    "q186_audio_fingerprint_dedup": q186_audio_fingerprint_dedup,
 }
 ORACLES = {
     "q43_media_features": ORACLE_Q43,
@@ -807,4 +955,5 @@ ORACLES = {
     "q157_jpeg_block_decode": ORACLE_Q157,
     "q158_video_frame_sample": ORACLE_Q158,
     "q176_image_phash_dedup": ORACLE_Q176,
+    "q186_audio_fingerprint_dedup": ORACLE_Q186,
 }
