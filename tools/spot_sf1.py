@@ -52,6 +52,12 @@ QUERIES = [
     "q124_dedup_pipeline",
     "q137_curation_capstone",
     "q163_bpe_train",
+    # round 6: the dup-gram/bigram joins — token-suffixed replicas keep
+    # gram/bigram vocabularies disjoint across replicas, so duplicate
+    # volume scales like a 10x crawl with the same duplication rate
+    "q180_dup_span_coverage",
+    "q185_dup_span_removal",
+    "q181_bigram_fluency",
     # round 6: the restructured overlap matrix (the round-5 weak item)
     # — its distinct-level self-joins must scale ~linearly in corpus
     # size; token-suffixed replicas give each replica a disjoint
