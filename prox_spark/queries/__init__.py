@@ -58,6 +58,7 @@ _FRONT = [
     "q184_incremental_minmax",
     "q185_dup_span_removal",
     "q186_audio_fingerprint_dedup",
+    "q187_content_index_lookup",
     # last driver row: round 2
     "q102_stratified_sample",
     "q103_price_histogram",
@@ -91,7 +92,6 @@ _FRONT = [
     "q134_image_resize",
     "q135_frame_sample",
     "q136_streaming_neardup_store",
-    "q152_cdc_apply",
 ]
 
 

@@ -1521,6 +1521,150 @@ ORDER BY v2.source
 """
 
 
+# --- q187: content-addressed lookup through a secondary value index ---------
+
+_CIDX_CACHE: dict[str, tuple] = {}
+
+CIDX_FRESH_ID = 90_000_000
+CIDX_FRESH_TEXT = "fresh appended document never indexed"
+
+
+def _content_index(spark: SparkSession, sf_dir: str) -> tuple:
+    """Staged once per process: documents (doc_id, digest=md5(text))
+    committed range-clustered on doc_id across 16 files — so the
+    digest column gets NO manifest min/max pruning — then a secondary
+    inverted index built on digest, then one post-index append (a
+    file the index has never seen). Returns (table, index, indexed
+    version, flags)."""
+    from prox_spark.queries._staging import staged
+    from prox_spark.table import (
+        build_value_index,
+        commit_delta,
+        commit_snapshot,
+        read_manifest,
+    )
+
+    def build(scratch: str) -> tuple:
+        table = f"{scratch}/docs"
+        index = f"{scratch}/digest_idx"
+        base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", F.md5("text").alias("digest")
+        )
+        commit_snapshot(spark, table, base, stat_cols=["doc_id"], n_files=16)
+        v = build_value_index(spark, table, "digest", index)
+        fresh = spark.range(1).select(
+            F.lit(CIDX_FRESH_ID).cast("long").alias("doc_id"),
+            F.md5(F.lit(CIDX_FRESH_TEXT)).alias("digest"),
+        )
+        prev = read_manifest(spark, table)
+        commit_delta(
+            spark, table, fresh, list(prev["files"]), update_key_ranges={}
+        )
+        return table, index, v
+
+    return staged(_CIDX_CACHE, sf_dir, "prox_cidx_docs_", build)
+
+
+def q187_content_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed document lookup through the secondary index
+    (:func:`prox_spark.table.build_value_index`): probe three
+    uniquely-owned digests chosen by an oracle-reproducible rule (the
+    min, max, and first-above-midpoint doc_ids among digests owned by
+    exactly one document) plus the digest of a document APPENDED
+    AFTER the index was built. Each probe resolves through
+    read_table_point_indexed — index hit + unindexed-tail fallback —
+    and must return exactly the owning document; the pinned flags
+    prove every probe scanned fewer files than the table holds
+    (`pruned`) and that the stale index still found the fresh row
+    (`fresh_found`).
+
+    Scale shape: a probe reads the index (itself a range-clustered
+    manifest table, so the index read prunes to ~1 index file), then
+    O(files-holding-the-value) data files plus the post-index tail —
+    never the 16-file table; at 10^5 files this is the difference
+    between one RPC and a full footer sweep on every non-cluster-key
+    lookup."""
+    table, index, v = _content_index(spark, sf_dir)
+    from prox_spark.table import indexed_point_files, read_table_point_indexed
+
+    base = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.md5("text").alias("digest"))
+        .groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("doc_id"))
+        .filter(F.col("n") == 1)
+    )
+    lo, hi = base.agg(F.min("doc_id"), F.max("doc_id")).first()
+    mid = base.filter(F.col("doc_id") > (lo + hi) // 2).agg(
+        F.min("doc_id")
+    ).first()[0]
+    probe_ids = [lo, mid, hi]
+    probes = {
+        int(r["doc_id"]): r["digest"]
+        for r in base.filter(F.col("doc_id").isin(probe_ids)).collect()
+    }
+    fresh_digest = spark.range(1).select(
+        F.md5(F.lit(CIDX_FRESH_TEXT))
+    ).first()[0]
+    probes[CIDX_FRESH_ID] = fresh_digest
+
+    out_rows = []
+    pruned = True
+    for pid in sorted(probes):
+        dg = probes[pid]
+        _, targets, n_live = indexed_point_files(
+            spark, table, index, v, "digest", dg
+        )
+        pruned = pruned and len(targets) < n_live
+        found = read_table_point_indexed(
+            spark, table, index, v, "digest", dg
+        ).collect()
+        out_rows.append(
+            (
+                min(int(r["doc_id"]) for r in found),
+                dg,
+                len(found),
+            )
+        )
+    fresh_found = any(r[0] == CIDX_FRESH_ID and r[2] == 1 for r in out_rows)
+    return (
+        spark.createDataFrame(
+            out_rows, "doc_id long, digest string, n_copies long"
+        )
+        .withColumn("pruned", F.lit(bool(pruned)))
+        .withColumn("fresh_found", F.lit(bool(fresh_found)))
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_Q187 = f"""
+WITH d AS (SELECT doc_id, md5(text) AS digest FROM documents),
+uniq AS (
+  SELECT digest, min(doc_id) AS doc_id
+  FROM d GROUP BY digest HAVING count(*) = 1
+),
+b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM uniq),
+probes AS (
+  SELECT doc_id, digest FROM uniq WHERE doc_id = (SELECT mn FROM b)
+  UNION ALL
+  SELECT doc_id, digest FROM uniq WHERE doc_id = (SELECT mx FROM b)
+  UNION ALL
+  SELECT doc_id, digest FROM uniq
+  WHERE doc_id = (
+    SELECT min(doc_id) FROM uniq
+    WHERE doc_id > ((SELECT mn FROM b) + (SELECT mx FROM b)) // 2
+  )
+  UNION ALL
+  SELECT CAST({CIDX_FRESH_ID} AS BIGINT), md5('{CIDX_FRESH_TEXT}')
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, digest,
+       CAST(1 AS BIGINT) AS n_copies,
+       TRUE AS pruned, TRUE AS fresh_found
+FROM probes
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q114_snapshot_diff": q114_snapshot_diff,
     "q118_incremental_agg": q118_incremental_agg,
@@ -1536,6 +1680,7 @@ QUERIES = {
     "q182_tagged_rollback": q182_tagged_rollback,
     "q183_files_metadata": q183_files_metadata,
     "q184_incremental_minmax": q184_incremental_minmax,
+    "q187_content_index_lookup": q187_content_index_lookup,
 }
 
 
@@ -1557,4 +1702,5 @@ def oracles() -> dict[str, str]:
         "q182_tagged_rollback": ORACLE_Q182,
         "q183_files_metadata": _oracle_q183(),
         "q184_incremental_minmax": _oracle_q184(),
+        "q187_content_index_lookup": ORACLE_Q187,
     }

@@ -75,6 +75,7 @@ import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 MANIFEST_DIR = "_manifests"
@@ -1918,6 +1919,92 @@ def read_table_point(
         lambda a, b: a & b, [F.col(c) == F.lit(v) for c, v in eq.items()]
     )
     return df.filter(cond)
+
+
+def build_value_index(
+    spark: SparkSession,
+    table_path: str,
+    col: str,
+    index_path: str,
+    n_files: int = 4,
+) -> int:
+    """SECONDARY inverted index for point lookups on a NON-cluster
+    column, materialized as its own manifest table (the table format
+    dogfooding its own artifacts, like the BPE merge table): one
+    distinct ``(col, file)`` row per value-file incidence, range-
+    clustered on the value so probes prune the INDEX's files/chunks
+    through the ordinary stats path. Returns the base version the
+    index covers — files born later are unindexed, and
+    :func:`read_table_point_indexed` scans them unconditionally, so a
+    probe is correct against any later version without rebuilding
+    (rebuild on whatever cadence amortizes: the index is one scan of
+    the indexed column + file attribution, shuffle keyed on the
+    value).
+
+    Why not manifest min/max: the cluster columns get file pruning
+    for free, but an equality probe on any OTHER column must open
+    every file (footer blooms reject row groups, but the file-open
+    RPCs alone dominate at 10^5+ files). The inverted index restores
+    O(files-holding-the-value) probes — content-addressed document
+    lookup (digest -> file) being the canonical use."""
+    m = read_manifest(spark, table_path)
+    base = read_table(spark, table_path)
+    idx = (
+        base.select(F.col(col), F.input_file_name().alias("_abs"))
+        .withColumn(
+            "file", F.regexp_extract("_abs", r"[^/]+/[^/]+/[^/]+$", 0)
+        )
+        .select(col, "file")
+        .distinct()
+    )
+    commit_snapshot(spark, index_path, idx, stat_cols=[col], n_files=n_files)
+    return int(m["version"])
+
+
+def indexed_point_files(
+    spark: SparkSession,
+    table_path: str,
+    index_path: str,
+    indexed_version: int,
+    col: str,
+    value,
+) -> tuple[dict, list[str], int]:
+    """Resolve the file set an indexed probe must scan: the index's
+    files for ``value`` (intersected with the current live set — the
+    index may name files a later compaction retired) plus every file
+    born AFTER the indexed version (unindexed by construction).
+    Returns (manifest, target files, live file count)."""
+    m = read_manifest(spark, table_path)
+    hits = read_table_point(spark, index_path, {col: value})
+    indexed_files = {r["file"] for r in hits.select("file").collect()}
+    born = m.get("born") or {}
+    live = list(m["files"])
+    fresh = {f for f in live if born.get(f, 0) > indexed_version}
+    targets = sorted((indexed_files & set(live)) | fresh)
+    return m, targets, len(live)
+
+
+def read_table_point_indexed(
+    spark: SparkSession,
+    table_path: str,
+    index_path: str,
+    indexed_version: int,
+    col: str,
+    value,
+) -> DataFrame:
+    """Point lookup on a non-cluster column THROUGH a
+    :func:`build_value_index` artifact: probe the index (itself a
+    pruned point lookup), read only the named files plus the
+    unindexed tail born after ``indexed_version``, and filter
+    exactly. Correct against concurrent appends without an index
+    rebuild; a compaction that rewrote indexed files degrades to
+    scanning the fresh (rewritten) files, never to a wrong answer."""
+    m, targets, _ = indexed_point_files(
+        spark, table_path, index_path, indexed_version, col, value
+    )
+    return _read_files(spark, table_path, m, targets).filter(
+        F.col(col) == F.lit(value)
+    )
 
 
 def compact_table(

@@ -1,0 +1,100 @@
+"""Secondary inverted value index (prox_spark/table.py
+build_value_index / read_table_point_indexed): point lookups on a
+NON-cluster column that scan only the files holding the value plus the
+unindexed tail born after the index — never the whole table. The
+reference has no indexing at all (every Athena/KPI query scans);
+manifest min/max covers only the cluster columns, so this is the
+content-addressed-lookup path a 10^5-file table needs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from prox_spark.table import (
+    build_value_index,
+    commit_delta,
+    commit_snapshot,
+    indexed_point_files,
+    read_manifest,
+    read_table_point_indexed,
+)
+
+
+def _mkdocs(spark, n=400):
+    # digest-like value column deliberately uncorrelated with the
+    # cluster key: md5 of the id
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.md5(F.col("id").cast("string")).alias("digest"),
+        (F.col("id") % 7).alias("grp"),
+    )
+
+
+def _stage(spark, tmp_path, n_files=16):
+    path = str(tmp_path / "t")
+    idx = str(tmp_path / "t_digest_idx")
+    commit_snapshot(
+        spark, path, _mkdocs(spark), stat_cols=["doc_id"], n_files=n_files
+    )
+    v = build_value_index(spark, path, "digest", idx)
+    return path, idx, v
+
+
+def test_indexed_probe_matches_full_scan_and_prunes(spark, tmp_path):
+    path, idx, v = _stage(spark, tmp_path)
+    probe = spark.range(1).select(F.md5(F.lit("123"))).first()[0]
+    got = read_table_point_indexed(spark, path, idx, v, "digest", probe)
+    assert [r["doc_id"] for r in got.collect()] == [123]
+    # pruning: the digest lives in exactly one of the 16 files
+    _, targets, n_live = indexed_point_files(
+        spark, path, idx, v, "digest", probe
+    )
+    assert n_live == 16 and len(targets) == 1
+
+
+def test_indexed_probe_handles_duplicated_values(spark, tmp_path):
+    """A value spread across several files must return every row —
+    the index names all incident files, not just one."""
+    path = str(tmp_path / "t")
+    idx = str(tmp_path / "idx")
+    # same digest on ids landing in different doc_id ranges (files are
+    # range-clustered on doc_id, so copies span files)
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 100 == 7, F.lit("SHARED"))
+        .otherwise(F.md5(F.col("id").cast("string")))
+        .alias("digest"),
+    )
+    commit_snapshot(spark, path, df, stat_cols=["doc_id"], n_files=8)
+    v = build_value_index(spark, path, "digest", idx)
+    got = read_table_point_indexed(spark, path, idx, v, "digest", "SHARED")
+    assert sorted(r["doc_id"] for r in got.collect()) == [7, 107, 207]
+    _, targets, n_live = indexed_point_files(
+        spark, path, idx, v, "digest", "SHARED"
+    )
+    assert 1 <= len(targets) <= 3 < n_live
+
+
+def test_stale_index_still_finds_fresh_rows(spark, tmp_path):
+    """Files born after the indexed version are scanned
+    unconditionally, so appends need no rebuild."""
+    path, idx, v = _stage(spark, tmp_path)
+    fresh = spark.createDataFrame(
+        [(9_000_000, "FRESH_DIGEST", 0)], "doc_id long, digest string, grp long"
+    )
+    prev = read_manifest(spark, path)
+    commit_delta(
+        spark, path, fresh, list(prev["files"]), update_key_ranges={}
+    )
+    got = read_table_point_indexed(
+        spark, path, idx, v, "digest", "FRESH_DIGEST"
+    )
+    assert [r["doc_id"] for r in got.collect()] == [9_000_000]
+    # an indexed value still prunes: its file + the one fresh file
+    probe = spark.range(1).select(F.md5(F.lit("42"))).first()[0]
+    _, targets, n_live = indexed_point_files(
+        spark, path, idx, v, "digest", probe
+    )
+    assert n_live == 17 and len(targets) == 2
+    got2 = read_table_point_indexed(spark, path, idx, v, "digest", probe)
+    assert [r["doc_id"] for r in got2.collect()] == [42]
