@@ -59,6 +59,7 @@ _FRONT = [
     "q185_dup_span_removal",
     "q186_audio_fingerprint_dedup",
     "q187_content_index_lookup",
+    "q188_zorder_table_probes",
     # last driver row: round 2
     "q102_stratified_sample",
     "q103_price_histogram",
@@ -91,7 +92,6 @@ _FRONT = [
     "q126_embedding_outliers",
     "q134_image_resize",
     "q135_frame_sample",
-    "q136_streaming_neardup_store",
 ]
 
 

@@ -1665,6 +1665,109 @@ ORDER BY doc_id
 """
 
 
+# --- q188: z-ordered table layout — multi-column probe pruning --------------
+
+_ZORDER_CACHE: dict[str, tuple] = {}
+
+
+def _zorder_table(spark: SparkSession, sf_dir: str) -> str:
+    """lineitem (partkey, suppkey, quantity) committed once per
+    process as a 16-file MORTON-clustered manifest table
+    (cluster_curve="zorder" on both keys): the layout that gives
+    point probes file pruning on EITHER key, where the lexicographic
+    range layout serves only the leading one."""
+    from prox_spark.queries._staging import staged
+    from prox_spark.table import commit_snapshot
+
+    def build(scratch: str) -> str:
+        table = f"{scratch}/li_z"
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_partkey", "l_suppkey", "l_quantity"
+        )
+        commit_snapshot(
+            spark, table, li, stat_cols=["l_partkey", "l_suppkey"],
+            n_files=16, cluster_curve="zorder",
+        )
+        return table
+
+    return staged(_ZORDER_CACHE, sf_dir, "prox_zorder_li_", build)
+
+
+def q188_zorder_table_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-OPTIMIZE-ZORDER parity under the gate: point probes on
+    BOTH Morton-clustered keys — the min l_partkey and the max
+    l_suppkey (oracle-reproducible picks) — each resolve through
+    read_table_point's manifest stats pruning and must aggregate to
+    exactly the oracle's direct computation over lineitem; the pinned
+    flags prove each probe scanned FEWER files than the table holds,
+    which the lexicographic layout cannot do for the trailing key
+    (tests/test_zorder.py pins zorder strictly beating range on the
+    second column).
+
+    Scale shape: the z-value costs 2·bits integer ops per row at
+    write time and zero at read time — pruning runs on the ordinary
+    per-file min/max footer stats, which the curve makes tight on
+    every clustered column simultaneously; at 100 TB this is what
+    lets BOTH `WHERE partkey = ?` and `WHERE suppkey = ?` dashboards
+    share one table layout instead of two sorted copies."""
+    table = _zorder_table(spark, sf_dir)
+    from prox_spark.table import (
+        read_manifest_pruned,
+        read_table_point,
+        split_files_by_key_ranges,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pk, sk = li.agg(F.min("l_partkey"), F.max("l_suppkey")).first()
+
+    def probe(col: str, key: int) -> tuple:
+        m = read_manifest_pruned(spark, table, {col: (key, key)})
+        files, _ = split_files_by_key_ranges(m, {col: (key, key)})
+        n_live = len(read_manifest_pruned(spark, table, {})["files"])
+        agg = (
+            read_table_point(spark, table, {col: key})
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            )
+            .first()
+        )
+        return len(files) < n_live, int(agg["n_rows"]), float(agg["sum_qty"])
+
+    p_pruned, p_rows, p_qty = probe("l_partkey", int(pk))
+    s_pruned, s_rows, s_qty = probe("l_suppkey", int(sk))
+    rows = [
+        ("partkey", int(pk), p_rows, p_qty),
+        ("suppkey", int(sk), s_rows, s_qty),
+    ]
+    return (
+        spark.createDataFrame(
+            rows, "probe string, key long, n_rows long, sum_qty double"
+        )
+        .withColumn("pruned", F.lit(bool(p_pruned and s_pruned)))
+        .orderBy("probe")
+    )
+
+
+ORACLE_Q188 = """
+WITH k AS (
+  SELECT min(l_partkey) AS pk, max(l_suppkey) AS sk FROM lineitem
+)
+SELECT 'partkey' AS probe, CAST(pk AS BIGINT) AS key,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty,
+       TRUE AS pruned
+FROM lineitem, k WHERE l_partkey = pk GROUP BY pk
+UNION ALL
+SELECT 'suppkey', CAST(sk AS BIGINT),
+       CAST(count(*) AS BIGINT),
+       round(sum(l_quantity), 2),
+       TRUE
+FROM lineitem, k WHERE l_suppkey = sk GROUP BY sk
+ORDER BY probe
+"""
+
+
 QUERIES = {
     "q114_snapshot_diff": q114_snapshot_diff,
     "q118_incremental_agg": q118_incremental_agg,
@@ -1681,6 +1784,7 @@ QUERIES = {
     "q183_files_metadata": q183_files_metadata,
     "q184_incremental_minmax": q184_incremental_minmax,
     "q187_content_index_lookup": q187_content_index_lookup,
+    "q188_zorder_table_probes": q188_zorder_table_probes,
 }
 
 
@@ -1703,4 +1807,5 @@ def oracles() -> dict[str, str]:
         "q183_files_metadata": _oracle_q183(),
         "q184_incremental_minmax": _oracle_q184(),
         "q187_content_index_lookup": ORACLE_Q187,
+        "q188_zorder_table_probes": ORACLE_Q188,
     }

@@ -615,9 +615,31 @@ def _write_data(
     n_files: int | None,
     bloom_ndv: int,
     cluster: bool,
+    cluster_curve: str = "range",
 ) -> None:
     if stat_cols:
-        if cluster:
+        if cluster and cluster_curve == "zorder" and len(stat_cols) >= 2:
+            # Morton-curve layout (Delta OPTIMIZE ZORDER parity): range
+            # clustering prunes files for the LEADING stat column only;
+            # interleaving the columns' bits gives every file a tight
+            # min-max envelope on ALL of them at once, so the same
+            # per-file footer stats the manifest already records prune
+            # equality/range probes on ANY clustered column. Stats and
+            # blooms are gathered per ORIGINAL column either way — only
+            # the row-to-file assignment changes.
+            from prox_spark.zorder import Z_COL, zvalue
+
+            zdf = zvalue(df, stat_cols)
+            part = (
+                (
+                    zdf.repartitionByRange(n_files, Z_COL)
+                    if n_files
+                    else zdf.repartitionByRange(Z_COL)
+                )
+                .sortWithinPartitions(Z_COL)
+                .drop(Z_COL)
+            )
+        elif cluster:
             # cluster by the key columns so each file covers a compact,
             # near-disjoint key range — this is what makes later merges
             # rewrite ONE file per changed key region instead of many.
@@ -666,6 +688,7 @@ def commit_delta(
     carry_chunks: list | None = None,
     base_manifest: dict | None = None,
     ref: str = "main",
+    cluster_curve: str = "range",
 ) -> int:
     """Commit the table's next version as ``keep_files`` (carried over
     verbatim from the previous version — never rewritten, never moved)
@@ -802,7 +825,7 @@ def commit_delta(
                         spark.conf.set(k, val)
                     _write_data(
                         new_df, f"{table_path}/{delta_rel}", stat_cols,
-                        n_files, bloom_ndv, cluster,
+                        n_files, bloom_ndv, cluster, cluster_curve,
                     )
                 finally:
                     for k, val in saved.items():
@@ -810,7 +833,7 @@ def commit_delta(
         else:
             _write_data(
                 new_df, f"{table_path}/{delta_rel}", stat_cols, n_files,
-                bloom_ndv, cluster,
+                bloom_ndv, cluster, cluster_curve,
             )
     finally:
         if cluster:
@@ -963,6 +986,11 @@ def commit_delta(
             "stat_cols": stat_cols,
             "schema": schema_json,
         }
+        if cluster and cluster_curve != "range":
+            # layout metadata only — pruning runs on the per-column
+            # footer stats regardless of which curve assigned rows to
+            # files; recorded so maintenance re-clusters the same way
+            manifest["cluster_curve"] = cluster_curve
         # merge-on-read deletes survive only for files carried over
         # verbatim: any file this commit REWROTE was read through
         # _read_files with its deletes already applied, so the new
@@ -1141,6 +1169,7 @@ def commit_snapshot(
     stat_cols: list[str] | None = None,
     n_files: int | None = None,
     bloom_ndv: int = 100_000,
+    cluster_curve: str = "range",
 ) -> int:
     """Write ``df`` as the table's next version — a FULL snapshot (no
     carried-over files). With ``stat_cols`` the data is range-clustered
@@ -1148,10 +1177,13 @@ def commit_snapshot(
     (sized for ``bloom_ndv`` expected values per file — size it near
     rows/n_files, or a default-sized bloom dwarfs small files), so
     later key merges and point lookups prune files. Returns the
-    version."""
+    version. ``cluster_curve="zorder"`` lays rows out along the Morton
+    curve of ``stat_cols`` instead of their lexicographic range — file
+    pruning then works on EVERY stat column, not just the leading
+    one."""
     return commit_delta(
         spark, table_path, df, [], stat_cols=stat_cols or [], n_files=n_files,
-        bloom_ndv=bloom_ndv,
+        bloom_ndv=bloom_ndv, cluster_curve=cluster_curve,
     )
 
 
@@ -2043,6 +2075,8 @@ def compact_table(
     return commit_delta(
         spark, table_path, df, [], stat_cols=cols, n_files=nf,
         base_version=manifest.get("version"), update_key_ranges={},
+        # re-cluster the way the table was laid out (zorder stays zorder)
+        cluster_curve=manifest.get("cluster_curve", "range"),
     )
 
 
