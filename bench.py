@@ -136,10 +136,18 @@ def main() -> None:
             compact[extra] = detail[extra]
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) >= 1950:
-        # too many queries for the tail window: degrade to a
-        # totals-only line rather than discarding the whole run —
-        # BENCH_DETAIL.json still carries every per-query number
-        compact.pop("queries")
+        # the dict form outgrew the tail window (~185 queries): switch
+        # to the denser string encoding — one "num:ms" token per query,
+        # space-separated, same bare-number keys (BENCH_KEYS.md) —
+        # which buys ~2 chars/query over JSON dict syntax
+        q = compact.pop("queries")
+        compact["q"] = " ".join(f"{k}:{v}" for k, v in q.items())
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) >= 1950:
+        # still too many queries: degrade to a totals-only line rather
+        # than discarding the whole run — BENCH_DETAIL.json carries
+        # every per-query number
+        compact.pop("q")
         compact["queries_omitted"] = len(medians)
         line = json.dumps(compact, separators=(",", ":"))
     # left-pad so the driver's 2000-char tail window lands inside the
