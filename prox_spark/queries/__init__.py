@@ -30,7 +30,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # Registry order matters: the correctness driver checks the first ~50
 # entries per round. Union coverage across rounds 1-5 reached 166 of
 # 166 (every query has a green driver row), so round 6 rotates purely
-# by STALENESS: the fourteen queries new this round lead (never
+# by STALENESS: the twenty queries new this round lead (never
 # driver-gated), then the ones whose most recent green driver row is
 # oldest — the full round-2-gated cohort (16) and the round-3-gated
 # cohort in name order up to the 50-slot cap. Everything after the

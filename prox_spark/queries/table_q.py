@@ -1585,7 +1585,10 @@ def q187_content_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     between one RPC and a full footer sweep on every non-cluster-key
     lookup."""
     table, index, v = _content_index(spark, sf_dir)
-    from prox_spark.table import indexed_point_files, read_table_point_indexed
+    # _read_files reuses the manifest/targets indexed_point_files already
+    # resolved — calling read_table_point_indexed here would re-run the
+    # whole index probe a second time per digest
+    from prox_spark.table import _read_files, indexed_point_files
 
     base = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1612,13 +1615,15 @@ def q187_content_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned = True
     for pid in sorted(probes):
         dg = probes[pid]
-        _, targets, n_live = indexed_point_files(
+        m, targets, n_live = indexed_point_files(
             spark, table, index, v, "digest", dg
         )
         pruned = pruned and len(targets) < n_live
-        found = read_table_point_indexed(
-            spark, table, index, v, "digest", dg
-        ).collect()
+        found = (
+            _read_files(spark, table, m, targets)
+            .filter(F.col("digest") == F.lit(dg))
+            .collect()
+        )
         out_rows.append(
             (
                 min(int(r["doc_id"]) for r in found),
@@ -1645,16 +1650,18 @@ uniq AS (
 ),
 b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM uniq),
 probes AS (
+  -- UNION (not ALL): mirrors the query side's dict-dedup, so a
+  -- first-above-midpoint pick coinciding with max cannot double-count
   SELECT doc_id, digest FROM uniq WHERE doc_id = (SELECT mn FROM b)
-  UNION ALL
+  UNION
   SELECT doc_id, digest FROM uniq WHERE doc_id = (SELECT mx FROM b)
-  UNION ALL
+  UNION
   SELECT doc_id, digest FROM uniq
   WHERE doc_id = (
     SELECT min(doc_id) FROM uniq
     WHERE doc_id > ((SELECT mn FROM b) + (SELECT mx FROM b)) // 2
   )
-  UNION ALL
+  UNION
   SELECT CAST({CIDX_FRESH_ID} AS BIGINT), md5('{CIDX_FRESH_TEXT}')
 )
 SELECT CAST(doc_id AS BIGINT) AS doc_id, digest,
@@ -1712,20 +1719,23 @@ def q188_zorder_table_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     share one table layout instead of two sorted copies."""
     table = _zorder_table(spark, sf_dir)
     from prox_spark.table import (
+        _read_files,
+        read_manifest,
         read_manifest_pruned,
-        read_table_point,
         split_files_by_key_ranges,
     )
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     pk, sk = li.agg(F.min("l_partkey"), F.max("l_suppkey")).first()
+    n_live = len(read_manifest(spark, table)["files"])
 
     def probe(col: str, key: int) -> tuple:
+        # ONE pruned manifest resolve serves both the flag and the scan
         m = read_manifest_pruned(spark, table, {col: (key, key)})
         files, _ = split_files_by_key_ranges(m, {col: (key, key)})
-        n_live = len(read_manifest_pruned(spark, table, {})["files"])
         agg = (
-            read_table_point(spark, table, {col: key})
+            _read_files(spark, table, m, files)
+            .filter(F.col(col) == F.lit(key))
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n_rows"),
                 F.round(F.sum("l_quantity"), 2).alias("sum_qty"),

@@ -688,7 +688,7 @@ def commit_delta(
     carry_chunks: list | None = None,
     base_manifest: dict | None = None,
     ref: str = "main",
-    cluster_curve: str = "range",
+    cluster_curve: str | None = None,
 ) -> int:
     """Commit the table's next version as ``keep_files`` (carried over
     verbatim from the previous version — never rewritten, never moved)
@@ -759,6 +759,11 @@ def commit_delta(
         )
     if stat_cols is None:
         stat_cols = prev.get("stat_cols") or []
+    if cluster_curve is None:
+        # inherit the layout policy like stat_cols — otherwise the
+        # first routine append would erase a zorder table's curve and
+        # maintenance would re-cluster it as range
+        cluster_curve = prev.get("cluster_curve") or "range"
     v = latest + 1
     delta_rel = f"{DATA_DIR}/snap-{v:08d}-{uuid.uuid4().hex[:8]}"
     # cluster when the WRITE is big enough to amortize the range
@@ -986,10 +991,11 @@ def commit_delta(
             "stat_cols": stat_cols,
             "schema": schema_json,
         }
-        if cluster and cluster_curve != "range":
-            # layout metadata only — pruning runs on the per-column
-            # footer stats regardless of which curve assigned rows to
-            # files; recorded so maintenance re-clusters the same way
+        if cluster_curve != "range":
+            # layout POLICY metadata (recorded even by commits that
+            # didn't re-cluster, so it survives appends) — pruning runs
+            # on the per-column footer stats regardless; maintenance
+            # re-clusters by it
             manifest["cluster_curve"] = cluster_curve
         # merge-on-read deletes survive only for files carried over
         # verbatim: any file this commit REWROTE was read through
@@ -1169,7 +1175,7 @@ def commit_snapshot(
     stat_cols: list[str] | None = None,
     n_files: int | None = None,
     bloom_ndv: int = 100_000,
-    cluster_curve: str = "range",
+    cluster_curve: str | None = None,
 ) -> int:
     """Write ``df`` as the table's next version — a FULL snapshot (no
     carried-over files). With ``stat_cols`` the data is range-clustered
@@ -1297,11 +1303,62 @@ def fast_forward(spark: SparkSession, table_path: str, name: str) -> int:
         drop_branch(spark, table_path, name)
         return main_head
     doc = _read_manifest_file(spark, table_path, bhead, name)
-    doc["version"] = main_head + 1
+    fork_doc = _read_manifest_file(spark, table_path, fork)
+    for key in ("renames", "dropped_cols"):
+        if (doc.get(key) or []) != (fork_doc.get(key) or []):
+            raise ValueError(
+                f"branch {name!r} staged column-evolution metadata "
+                f"({key}); rename/drop mappings are keyed by birth "
+                "version, which a fast-forward renumbers — apply schema "
+                "evolution on main, not on a staging branch"
+            )
+    new_v = main_head + 1
+    # staged files carry BRANCH-line born versions (fork+1..bhead, all
+    # > the published main version when the branch made 2+ commits);
+    # left as-is, a LATER main rename (applied to files born < its
+    # version) would skip them and read their renamed columns as NULL.
+    # To main, every staged file becomes visible AT the publish, so
+    # born > fork remaps to new_v — inline in the doc, and for chunked
+    # snapshots by rewriting only the chunks that hold staged files
+    # (exactly the chunks the branch commits touched, O(staged)).
+
+    def _remap(b: dict) -> dict:
+        return {f: (new_v if bv > fork else bv) for f, bv in b.items()}
+
+    written_chunks: list[str] = []
+    jvm, fs, _ = _fs(spark, table_path)
+    if "chunks" in doc:
+        new_entries = []
+        for entry in doc["chunks"]:
+            cdoc = _read_json(spark, table_path, entry["file"])
+            cborn = cdoc.get("born") or {}
+            if any(bv > fork for bv in cborn.values()):
+                cdoc["born"] = _remap(cborn)
+                rel = f"{MANIFEST_DIR}/chunks/mc-{uuid.uuid4().hex}.json"
+                out = fs.create(
+                    jvm.org.apache.hadoop.fs.Path(f"{table_path}/{rel}"),
+                    False,
+                )
+                out.write(bytearray(json.dumps(cdoc), "utf-8"))
+                out.close()
+                written_chunks.append(rel)
+                entry = {**entry, "file": rel}
+            new_entries.append(entry)
+        doc["chunks"] = new_entries
+    elif doc.get("born"):
+        doc["born"] = _remap(doc["born"])
+    doc["version"] = new_v
     # CAS: a main commit racing this publish wins or loses atomically
-    _write_manifest(spark, table_path, main_head + 1, doc)
+    try:
+        _write_manifest(spark, table_path, new_v, doc)
+    except CommitConflictError:
+        for rel in written_chunks:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(f"{table_path}/{rel}"), False
+            )
+        raise
     drop_branch(spark, table_path, name)
-    return main_head + 1
+    return new_v
 
 
 # --- tags & rollback: immutable release pointers + undo ----------------------
@@ -1323,7 +1380,9 @@ def create_tag(
     ``name``. Refuses to move an existing tag — drop and re-create to
     re-point (the loud two-step is the point). Returns the tagged
     version."""
-    _mprefix(name)  # same charset rules as branches; rejects 'main'
+    if name == "main":
+        raise ValueError("'main' is the published line, not a tag name")
+    _mprefix(name)  # same charset rules as branches
     versions = _manifest_versions(spark, table_path)
     if not versions:
         raise ValueError(f"{table_path} is not a manifest table")
@@ -2075,8 +2134,7 @@ def compact_table(
     return commit_delta(
         spark, table_path, df, [], stat_cols=cols, n_files=nf,
         base_version=manifest.get("version"), update_key_ranges={},
-        # re-cluster the way the table was laid out (zorder stays zorder)
-        cluster_curve=manifest.get("cluster_curve", "range"),
+        # cluster_curve inherits from the manifest (zorder stays zorder)
     )
 
 
@@ -2359,10 +2417,12 @@ def vacuum(
         for bv in bvers:
             try:
                 _protect(bv, bname)
-            except Exception:
+            except ValueError:
                 # branch retired mid-vacuum (fast_forward/drop_branch);
                 # a fast-forwarded version re-protects via the main
-                # re-list below
+                # re-list below. ONLY the missing-manifest ValueError is
+                # benign — any other error (transient FS/RPC) must abort
+                # the vacuum rather than sweep a live branch's files
                 pass
             seen_branch.add((bname, bv))
     for v in dropped:
@@ -2383,7 +2443,7 @@ def vacuum(
             if (bname, bv) not in seen_branch:
                 try:
                     _protect(bv, bname)
-                except Exception:
+                except ValueError:
                     pass
     cutoff_ms = (time.time() - retention_minutes * 60.0) * 1000.0
 

@@ -215,3 +215,69 @@ def test_streaming_appends_stage_on_branch_then_publish(spark, tmp_path):
     fast_forward(spark, path, "ingest")
     assert read_table(spark, path).count() == 164
     assert list_branches(spark, path) == {}
+
+
+def test_multi_commit_branch_publish_keeps_renames_working(spark, tmp_path):
+    """A branch that staged 2+ commits carries born versions beyond the
+    published main version; fast_forward must remap them or a LATER
+    main rename silently skips the staged files (their renamed column
+    would read as NULL)."""
+    from prox_spark.table import files_metadata, rename_column
+
+    path = _base(spark, tmp_path, n=20)
+    create_branch(spark, path, "audit")
+    _append_to_branch(spark, path, "audit", [(1000, "staged1")])
+    _append_to_branch(spark, path, "audit", [(2000, "staged2")])
+    # branch line is [1, 2, 3]; publish lands at main v2
+    v = fast_forward(spark, path, "audit")
+    assert v == 2
+    fm = files_metadata(spark, path)
+    assert fm.agg(F.max("born")).first()[0] <= 2
+    # the regression: rename AFTER the publish must apply to the
+    # staged files too (they physically carry the old column name)
+    rename_column(spark, path, "v", "label")
+    got = read_table(spark, path)
+    assert got.filter(F.col("label").isNull()).count() == 0
+    assert got.filter(F.col("label") == "staged2").count() == 1
+
+
+def test_multi_commit_branch_publish_on_chunked_table(spark, tmp_path, monkeypatch):
+    """Chunked snapshots keep born inside immutable chunk files:
+    publishing a multi-commit branch rewrites ONLY the chunks holding
+    staged files, with remapped born."""
+    import prox_spark.table as T
+    from prox_spark.table import files_metadata
+
+    monkeypatch.setattr(T, "CHUNK_THRESHOLD", 8)
+    monkeypatch.setattr(T, "CHUNK_SIZE", 4)
+    path = str(tmp_path / "t")
+    commit_snapshot(
+        spark, path, _df(spark, [(i, "base") for i in range(64)]),
+        stat_cols=["id"], n_files=16,
+    )
+    create_branch(spark, path, "audit")
+    _append_to_branch(spark, path, "audit", [(900, "s1")])
+    _append_to_branch(spark, path, "audit", [(901, "s2")])
+    assert fast_forward(spark, path, "audit") == 2
+    fm = files_metadata(spark, path)
+    assert fm.agg(F.max("born")).first()[0] <= 2
+    assert read_table(spark, path).count() == 66
+
+
+def test_fast_forward_refuses_branch_staged_rename(spark, tmp_path):
+    """Rename/drop mappings are birth-version-keyed; a fast-forward
+    renumbers versions, so schema evolution must go through main.
+    rename_column has no ref= (it only commits to main), so simulate a
+    hand-rolled branch rename through the manifest internals — the
+    guard is the defense against exactly that."""
+    import prox_spark.table as T
+
+    path = _base(spark, tmp_path, n=20)
+    create_branch(spark, path, "audit")
+    _append_to_branch(spark, path, "audit", [(1000, "staged")])
+    doc = T._read_manifest_file(spark, path, 2, "audit")
+    doc["renames"] = [{"from": "v", "to": "label", "version": 3}]
+    doc["version"] = 3
+    T._write_manifest(spark, path, 3, doc, "audit")
+    with pytest.raises(ValueError, match="schema evolution"):
+        fast_forward(spark, path, "audit")

@@ -117,3 +117,31 @@ def test_rollback_then_commit_continues_history(spark, tmp_path):
     assert set(r["v"] for r in got.select("v").distinct().collect()) == {
         "base", "after",
     }
+
+
+def test_rollback_and_tag_on_chunked_table(spark, tmp_path, monkeypatch):
+    """Rollback re-targets a chunked (v2) snapshot's doc verbatim —
+    chunk entries carry by reference — and a tag pins the chunk files
+    against vacuum along with the data dirs."""
+    import prox_spark.table as T
+
+    monkeypatch.setattr(T, "CHUNK_THRESHOLD", 8)
+    monkeypatch.setattr(T, "CHUNK_SIZE", 4)
+    path = str(tmp_path / "t")
+    commit_snapshot(
+        spark, path, _df(spark, [(i, "base") for i in range(64)]),
+        stat_cols=["id"], n_files=16,
+    )
+    _append(spark, path, [(900 + i, "good") for i in range(4)])
+    create_tag(spark, path, "release", version=2)
+    _append(spark, path, [(950 + i, "bad") for i in range(4)])
+    v = rollback_table(spark, path, 2)
+    assert v == 4
+    got = read_table(spark, path)
+    assert got.count() == 68
+    assert got.filter(F.col("v") == "bad").count() == 0
+    # vacuum: tag keeps v2 (and its chunks) while v1/v3 age out
+    vacuum(spark, path, keep_last=1, retention_minutes=0.0)
+    assert table_versions(spark, path) == [2, 4]
+    assert read_table(spark, path, version=2).count() == 68
+    assert read_table(spark, path).count() == 68
