@@ -596,8 +596,186 @@ ORDER BY source
 """
 
 
+# --- q189: streaming Count-Min-Sketch maintenance ---------------------------
+
+_DOC_FEED_STAGE_CACHE: dict[str, str] = {}
+
+
+def _staged_docs_feed(spark: SparkSession, sf_dir: str) -> str:
+    """documents.parquet staged as a 4-file arrival dir delivered
+    exactly once — the clean feed q189's additive sketch merge
+    consumes (additive merges are NOT idempotent under content
+    re-delivery; delivery-level replays are handled by the batch-id
+    guard instead)."""
+    if sf_dir not in _DOC_FEED_STAGE_CACHE:
+        stage_dir = tempfile.mkdtemp(prefix="prox_spark_doc_feed_")
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs.repartition(4).write.mode("overwrite").parquet(stage_dir)
+        _DOC_FEED_STAGE_CACHE[sf_dir] = stage_dir
+        atexit.register(shutil.rmtree, stage_dir, ignore_errors=True)
+    return _DOC_FEED_STAGE_CACHE[sf_dir]
+
+
+def _cms_partial(df: DataFrame) -> DataFrame:
+    """One micro-batch's (d, bucket, c) partial sketch — the same
+    md5-bucketed grid q174 builds over the whole corpus."""
+    from functools import reduce
+
+    from prox_spark.queries.text import (
+        CMS_D,
+        TOKENS_SPARK,
+        _cms_bucket_spark,
+    )
+
+    cnt = (
+        df.select(F.explode(F.expr(TOKENS_SPARK)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    rows = [
+        cnt.select(
+            F.lit(d).alias("d"),
+            F.expr(_cms_bucket_spark(d)).alias("bucket"),
+            "cnt",
+        )
+        for d in range(CMS_D)
+    ]
+    return (
+        reduce(lambda a, b: a.unionByName(b), rows)
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("c"))
+    )
+
+
+def cms_merge_batch(batch_df: DataFrame, batch_id: int, store: str) -> None:
+    """Transactional additive sketch sink for foreachBatch: fold one
+    micro-batch's partial CMS into the persisted artifact table, with
+    an APPLIED-BATCH marker row (d = -1, bucket = batch_id) making the
+    fold idempotent — a replayed batch id is skipped, so the additive
+    merge stays exactly-once under at-least-once delivery (the
+    foreachBatch txnAppId/txnVersion recipe, carried inside the
+    artifact itself so it travels with the table). Each fold is one
+    atomic commit_snapshot: the sketch's version history IS the
+    stream's progress, time-travelable like any table."""
+    from prox_spark.table import commit_snapshot, is_manifest_table, read_table
+
+    sp = batch_df.sparkSession
+    cur = None
+    if is_manifest_table(sp, store):
+        cur = read_table(sp, store)
+        applied = {
+            int(r["bucket"])
+            for r in cur.filter(F.col("d") == -1).select("bucket").collect()
+        }
+        if int(batch_id) in applied:
+            return
+    marker = sp.createDataFrame(
+        [(-1, int(batch_id), 1)], "d int, bucket long, c long"
+    )
+    partial = _cms_partial(batch_df).unionByName(marker)
+    merged = (
+        (cur.unionByName(partial) if cur is not None else partial)
+        .groupBy("d", "bucket")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    commit_snapshot(sp, store, merged)
+
+
+def q189_streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch maintained BY A STREAM — the sketch family
+    (q174) composed with the streaming store pattern (q109/q136):
+    each micro-batch folds its partial D×W grid into a persisted
+    artifact table through the transactional additive sink
+    (:func:`cms_merge_batch`). Sketch addition is associative, so the
+    stream-merged artifact equals the batch-computed sketch EXACTLY —
+    the gate output (true top-k counts vs artifact estimates) is
+    q174's, verified against q174's own oracle: a dropped batch, a
+    double-applied batch, or a non-associative merge all surface as a
+    wrong estimate.
+
+    Scale shape: per batch, one token partial-agg (shuffle ∝ distinct
+    tokens in the batch) plus a rewrite of a D×W-row table —
+    kilobytes regardless of corpus size; this is how a 100 TB ingest
+    keeps a global frequency oracle fresh without ever re-scanning
+    history."""
+    from prox_spark.queries.text import CMS_TOPK, TOKENS_SPARK, _cms_bucket_spark, CMS_D
+    from prox_spark.table import read_table
+
+    stage_dir = _staged_docs_feed(spark, sf_dir)
+    batch_schema = spark.read.parquet(stage_dir).schema
+    run = uuid.uuid4().hex[:8]
+    store = tempfile.mkdtemp(prefix=f"prox_spark_cms_store_{run}_") + "/cms"
+    ckpt = tempfile.mkdtemp(prefix=f"prox_spark_cms_ckpt_{run}_")
+    atexit.register(shutil.rmtree, os.path.dirname(store), ignore_errors=True)
+    atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+    with _stream_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda bdf, bid: cms_merge_batch(bdf, bid, store)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+
+    sketch = read_table(spark, store).filter(F.col("d") >= 0)
+    cnt = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.explode(F.expr(TOKENS_SPARK)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    top = (
+        cnt.orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(CMS_TOPK)
+        .withColumnRenamed("cnt", "true_cnt")
+    )
+    probes = top.select(
+        "tok", "true_cnt",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    F.expr(_cms_bucket_spark(d)).alias("bucket"),
+                )
+                for d in range(CMS_D)
+            ])
+        ).alias("p"),
+    ).select("tok", "true_cnt", "p.d", "p.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("tok", "true_cnt")
+        .agg(F.min("c").cast("long").alias("cms_est"))
+        .withColumn(
+            "overestimate",
+            (F.col("cms_est") - F.col("true_cnt")).cast("long"),
+        )
+        .orderBy(F.desc("true_cnt"), F.asc("tok"))
+    )
+
+
+def _oracle_q189() -> str:
+    # the stream-merged sketch must equal the batch-computed one
+    # exactly (associative addition + exactly-once folds), so q174's
+    # oracle IS q189's oracle
+    from prox_spark.queries.text import _oracle_q174
+
+    return _oracle_q174()
+
+
 QUERIES = {
     "q136_streaming_neardup_store": q136_streaming_neardup_store,
+    "q189_streaming_cms": q189_streaming_cms,
     "q44_stateful_user_totals": q44_stateful_user_totals,
     "q109_streaming_dedup_store": q109_streaming_dedup_store,
     "q69_streaming_hourly_stats": q69_streaming_hourly_stats,
@@ -608,6 +786,7 @@ QUERIES = {
 }
 ORACLES = {
     "q136_streaming_neardup_store": _oracle_q136(),
+    "q189_streaming_cms": _oracle_q189(),
     "q109_streaming_dedup_store": ORACLE_Q109,
     "q100_streaming_dedup": ORACLE_Q100,
     "q101_streaming_sessions": ORACLE_Q101,

@@ -221,3 +221,33 @@ def test_checkpoint_recovery_is_exactly_once(spark, event_batch, tmp_path):
     got2 = spark.read.parquet(out)
     assert got2.count() == 350, "restart reprocessed or dropped files"
     assert got2.select("event_id").distinct().count() == 350
+
+
+def test_cms_merge_batch_is_replay_idempotent(spark, tmp_path):
+    """The additive sketch sink must fold each batch id exactly once:
+    re-delivering a batch (foreachBatch at-least-once) cannot change
+    a single counter."""
+    from prox_spark.queries.streaming_q import cms_merge_batch
+    from prox_spark.table import read_table, table_versions
+
+    store = str(tmp_path / "cms")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta beta"), (2, "beta gamma")], "doc_id long, text string"
+    )
+    cms_merge_batch(docs, 0, store)
+    first = sorted(map(tuple, read_table(spark, store).collect()))
+    # replayed delivery of the same batch id: a no-op (no new version)
+    cms_merge_batch(docs, 0, store)
+    assert sorted(map(tuple, read_table(spark, store).collect())) == first
+    assert table_versions(spark, store) == [1]
+    # a genuinely new batch folds in additively
+    more = spark.createDataFrame([(3, "beta")], "doc_id long, text string")
+    cms_merge_batch(more, 1, store)
+    after = sorted(map(tuple, read_table(spark, store).collect()))
+    assert table_versions(spark, store) == [1, 2]
+    # total mass (d >= 0 rows; tuples are (d, bucket, c)) grew by
+    # exactly CMS_D * 1 token
+    from prox_spark.queries.text import CMS_D
+
+    mass = lambda rows: sum(r[2] for r in rows if r[0] >= 0)
+    assert mass(after) == mass(first) + CMS_D

@@ -28,6 +28,8 @@ SKIP = {
     "q101_streaming_sessions",
     "q109_streaming_dedup_store",
     "q136_streaming_neardup_store",
+    "q189_streaming_cms",  # runs a real stream while building; the
+    # sketch-probe join is q174's audited plan shape
     "q141_python_stream_source",
     "q86_scd2_user_state",  # builds via sequential merges (real writes), audited by test
     "q127_pagerank",  # iterative build materializes per-round checkpoints
