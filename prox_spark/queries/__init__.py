@@ -61,6 +61,7 @@ _FRONT = [
     "q187_content_index_lookup",
     "q188_zorder_table_probes",
     "q189_streaming_cms",
+    "q190_incremental_join",
     # last driver row: round 2
     "q102_stratified_sample",
     "q103_price_histogram",
@@ -91,7 +92,6 @@ _FRONT = [
     "q118_incremental_agg",
     "q121_audio_real_decode",
     "q126_embedding_outliers",
-    "q134_image_resize",
 ]
 
 

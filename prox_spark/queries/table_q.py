@@ -1778,6 +1778,108 @@ ORDER BY probe
 """
 
 
+# --- q190: incremental JOIN view maintenance (both sides change) ------------
+
+# the dimension's two versions, inline constants both engines read:
+# v1 -> v2 changes src3's region (update), DELETES src4, INSERTS src5
+DIM_V1 = (
+    ("src0", "r0"), ("src1", "r1"), ("src2", "r0"),
+    ("src3", "r1"), ("src4", "r2"),
+)
+DIM_V2 = (
+    ("src0", "r0"), ("src1", "r1"), ("src2", "r0"),
+    ("src3", "r2"), ("src5", "r3"),
+)
+
+
+def q190_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a materialized JOIN view with BOTH
+    sides changing — the textbook delta algebra q118 (single-table
+    sum/count) and q184 (min/max) lead up to:
+
+        A₂⋈B₂ − A₁⋈B₁ = ΔA⋈B₁ + A₁⋈ΔB + ΔA⋈ΔB
+
+    with signed multiplicities (insert +1, delete −1, update =
+    delete+insert). The view is per-region document counts over
+    docs(source) ⋈ dim(source → region); the docs delta comes from
+    the CDC table's version diff and the dim delta from its two
+    versions (an update, a delete, and an insert — so every signed
+    case exercises). The oracle computes the v2 view DIRECTLY from
+    the v2 snapshots, so the gate proves the delta algebra reproduces
+    the full recompute exactly.
+
+    Scale shape: every term joins a DELTA (tiny by definition)
+    against a base or another delta — the full A₂⋈B₂ is never built;
+    work ∝ |ΔA|·fanout + |ΔB|·matching-partition scan, which is the
+    whole point of maintaining the view instead of recomputing the
+    join at every commit."""
+    path, _ = stage_cdc_table()
+    from prox_spark.table import read_table
+
+    a1 = read_table(spark, path, version=1).select("doc_id", "source")
+    a2 = read_table(spark, path, version=2).select("doc_id", "source")
+    da = (
+        a2.join(a1.select("doc_id"), "doc_id", "left_anti")
+        .select("source", F.lit(1).alias("sa"))
+        .unionByName(
+            a1.join(a2.select("doc_id"), "doc_id", "left_anti")
+            .select("source", F.lit(-1).alias("sa"))
+        )
+    )
+    b1 = spark.createDataFrame(list(DIM_V1), "source string, region string")
+    b2 = spark.createDataFrame(list(DIM_V2), "source string, region string")
+    db = (
+        b2.exceptAll(b1).select("source", "region", F.lit(1).alias("sb"))
+        .unionByName(
+            b1.exceptAll(b2).select("source", "region", F.lit(-1).alias("sb"))
+        )
+    )
+    v1_view = (
+        a1.join(F.broadcast(b1), "source")
+        .groupBy("region")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    t1 = (
+        da.join(F.broadcast(b1), "source")
+        .groupBy("region")
+        .agg(F.sum("sa").cast("long").alias("n"))
+    )
+    t2 = (
+        a1.join(F.broadcast(db), "source")
+        .groupBy("region")
+        .agg(F.sum("sb").cast("long").alias("n"))
+    )
+    t3 = (
+        da.join(F.broadcast(db), "source")
+        .groupBy("region")
+        .agg(F.sum(F.col("sa") * F.col("sb")).cast("long").alias("n"))
+    )
+    from functools import reduce
+
+    merged = reduce(
+        lambda x, y: x.unionByName(y), [v1_view, t1, t2, t3]
+    )
+    return (
+        merged.groupBy("region")
+        .agg(F.sum("n").cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") > 0)
+        .orderBy("region")
+    )
+
+
+def _oracle_q190() -> str:
+    _, snaps = stage_cdc_table()
+    dim2 = ", ".join(f"('{s}', '{r}')" for s, r in DIM_V2)
+    return f"""
+WITH a2 AS (SELECT doc_id, source FROM read_parquet('{snaps[2]}/*.parquet')),
+b2(source, region) AS (VALUES {dim2})
+SELECT region, CAST(count(*) AS BIGINT) AS n_docs
+FROM a2 JOIN b2 USING (source)
+GROUP BY region
+ORDER BY region
+"""
+
+
 QUERIES = {
     "q114_snapshot_diff": q114_snapshot_diff,
     "q118_incremental_agg": q118_incremental_agg,
@@ -1795,6 +1897,7 @@ QUERIES = {
     "q184_incremental_minmax": q184_incremental_minmax,
     "q187_content_index_lookup": q187_content_index_lookup,
     "q188_zorder_table_probes": q188_zorder_table_probes,
+    "q190_incremental_join": q190_incremental_join,
 }
 
 
@@ -1818,4 +1921,5 @@ def oracles() -> dict[str, str]:
         "q184_incremental_minmax": _oracle_q184(),
         "q187_content_index_lookup": ORACLE_Q187,
         "q188_zorder_table_probes": ORACLE_Q188,
+        "q190_incremental_join": _oracle_q190(),
     }
