@@ -63,7 +63,16 @@ QUERIES = [
     # size; token-suffixed replicas give each replica a disjoint
     # prefix space, so candidate volume grows 10x, never 100x
     "q165_source_overlap_matrix",
+    # round 7: SemDeDup (the round-6 weak item) — K now scales with
+    # the corpus (max(8, isqrt(n))), so within-cluster pair volume is
+    # O(N^1.5), not O(N²/const). Dim-rotated replicas keep each
+    # replica's cosine structure verbatim while decorrelating across
+    # replicas — the realistic 10x-crawl regime for cluster sizes.
+    "q170_semdedup",
 ]
+# queries whose builder caches an intermediate per (app, sf_dir): warm
+# the DEST side too, so both scales time the same post-cache work
+WARM_DEST = {"q170_semdedup"}
 MAX_EXPONENT = 1.6
 
 
@@ -156,6 +165,8 @@ def main() -> None:
     for name in QUERIES:
         fn = overrides.get(name, qs[name])
         fn(spark, SRC).count()  # warm (sf0.1)
+        if name in WARM_DEST:
+            fn(spark, DEST).count()  # warm (sf1) — see WARM_DEST note
         t01 = time.time()
         fn(spark, SRC).count()
         t01 = time.time() - t01
