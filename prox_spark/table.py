@@ -689,6 +689,7 @@ def commit_delta(
     base_manifest: dict | None = None,
     ref: str = "main",
     cluster_curve: str | None = None,
+    index_of: dict | None = None,
 ) -> int:
     """Commit the table's next version as ``keep_files`` (carried over
     verbatim from the previous version — never rewritten, never moved)
@@ -764,6 +765,12 @@ def commit_delta(
         # first routine append would erase a zorder table's curve and
         # maintenance would re-cluster it as range
         cluster_curve = prev.get("cluster_curve") or "range"
+    if index_of is None:
+        # a secondary-index table records WHAT it indexes and the base
+        # version it covers (see build_value_index / refresh_value_index);
+        # inherited like cluster_curve so routine commits to the index
+        # table can't silently erase its coverage record
+        index_of = prev.get("index_of")
     v = latest + 1
     delta_rel = f"{DATA_DIR}/snap-{v:08d}-{uuid.uuid4().hex[:8]}"
     # cluster when the WRITE is big enough to amortize the range
@@ -997,6 +1004,8 @@ def commit_delta(
             # on the per-column footer stats regardless; maintenance
             # re-clusters by it
             manifest["cluster_curve"] = cluster_curve
+        if index_of:
+            manifest["index_of"] = index_of
         # merge-on-read deletes survive only for files carried over
         # verbatim: any file this commit REWROTE was read through
         # _read_files with its deletes already applied, so the new
@@ -1176,6 +1185,7 @@ def commit_snapshot(
     n_files: int | None = None,
     bloom_ndv: int = 100_000,
     cluster_curve: str | None = None,
+    index_of: dict | None = None,
 ) -> int:
     """Write ``df`` as the table's next version — a FULL snapshot (no
     carried-over files). With ``stat_cols`` the data is range-clustered
@@ -1189,7 +1199,7 @@ def commit_snapshot(
     one."""
     return commit_delta(
         spark, table_path, df, [], stat_cols=stat_cols or [], n_files=n_files,
-        bloom_ndv=bloom_ndv, cluster_curve=cluster_curve,
+        bloom_ndv=bloom_ndv, cluster_curve=cluster_curve, index_of=index_of,
     )
 
 
@@ -2037,7 +2047,13 @@ def build_value_index(
     every file (footer blooms reject row groups, but the file-open
     RPCs alone dominate at 10^5+ files). The inverted index restores
     O(files-holding-the-value) probes — content-addressed document
-    lookup (digest -> file) being the canonical use."""
+    lookup (digest -> file) being the canonical use.
+
+    The index manifest records ``index_of = {col, version}`` — what it
+    indexes and the base version it covers — so probes can resolve the
+    coverage version from the artifact itself and
+    :func:`refresh_value_index` can advance it incrementally after the
+    base table compacts or grows."""
     m = read_manifest(spark, table_path)
     base = read_table(spark, table_path)
     idx = (
@@ -2048,15 +2064,72 @@ def build_value_index(
         .select(col, "file")
         .distinct()
     )
-    commit_snapshot(spark, index_path, idx, stat_cols=[col], n_files=n_files)
+    commit_snapshot(
+        spark, index_path, idx, stat_cols=[col], n_files=n_files,
+        index_of={"col": col, "version": int(m["version"])},
+    )
     return int(m["version"])
+
+
+def refresh_value_index(
+    spark: SparkSession, table_path: str, index_path: str
+) -> int:
+    """Advance a :func:`build_value_index` artifact to the base
+    table's current version INCREMENTALLY: scan only the files born
+    after the covered version (appends AND rewrite outputs — a
+    compaction gives every output file a new birth version), append
+    their ``(value, file)`` incidences as an index delta, and record
+    the new covered version. Cost is one indexed-column scan of the
+    data born since the last refresh — after a
+    :func:`compact_small_files` cycle that is the consolidated
+    fragments only, never the table; a FULL re-cluster
+    (:func:`compact_table`) re-births everything, so the refresh after
+    one is inherently a full single-column rescan (the same cost class
+    as the compaction itself, which rewrote every column).
+
+    Entries naming retired files stay in the index — probes intersect
+    with the live set, so they are harmless — and are shed by the next
+    full :func:`build_value_index` rebuild on whatever cadence
+    amortizes. Returns the covered version (unchanged when the base
+    table has no post-index files, in which case nothing is
+    committed)."""
+    mi = read_manifest(spark, index_path)
+    meta = mi.get("index_of")
+    if not meta:
+        raise ValueError(
+            f"{index_path} has no index_of record; rebuild it with "
+            "build_value_index to make it refreshable"
+        )
+    col, covered = meta["col"], int(meta["version"])
+    m = read_manifest(spark, table_path)
+    born = m.get("born") or {}
+    fresh = [f for f in m["files"] if born.get(f, 0) > covered]
+    new_v = int(m["version"])
+    if not fresh:
+        return covered
+    delta = (
+        _read_files(spark, table_path, m, fresh)
+        .select(F.col(col), F.input_file_name().alias("_abs"))
+        .withColumn(
+            "file", F.regexp_extract("_abs", r"[^/]+/[^/]+/[^/]+$", 0)
+        )
+        .select(col, "file")
+        .distinct()
+    )
+    commit_delta(
+        spark, index_path, delta, list(mi["files"]),
+        stat_cols=[col], update_key_ranges={},
+        base_version=mi.get("version"),
+        index_of={"col": col, "version": new_v},
+    )
+    return new_v
 
 
 def indexed_point_files(
     spark: SparkSession,
     table_path: str,
     index_path: str,
-    indexed_version: int,
+    indexed_version: int | None,
     col: str,
     value,
 ) -> tuple[dict, list[str], int]:
@@ -2064,8 +2137,15 @@ def indexed_point_files(
     files for ``value`` (intersected with the current live set — the
     index may name files a later compaction retired) plus every file
     born AFTER the indexed version (unindexed by construction).
-    Returns (manifest, target files, live file count)."""
+    ``indexed_version=None`` resolves the covered version from the
+    index manifest's ``index_of`` record. Returns (manifest, target
+    files, live file count)."""
     m = read_manifest(spark, table_path)
+    if indexed_version is None:
+        indexed_version = int(
+            (read_manifest(spark, index_path).get("index_of") or {})
+            .get("version", 0)
+        )
     hits = read_table_point(spark, index_path, {col: value})
     indexed_files = {r["file"] for r in hits.select("file").collect()}
     born = m.get("born") or {}
@@ -2079,17 +2159,20 @@ def read_table_point_indexed(
     spark: SparkSession,
     table_path: str,
     index_path: str,
-    indexed_version: int,
+    indexed_version: int | None,
     col: str,
     value,
 ) -> DataFrame:
     """Point lookup on a non-cluster column THROUGH a
     :func:`build_value_index` artifact: probe the index (itself a
     pruned point lookup), read only the named files plus the
-    unindexed tail born after ``indexed_version``, and filter
-    exactly. Correct against concurrent appends without an index
-    rebuild; a compaction that rewrote indexed files degrades to
-    scanning the fresh (rewritten) files, never to a wrong answer."""
+    unindexed tail born after the covered version (``None`` = read it
+    from the index manifest), and filter exactly. Correct against
+    concurrent appends without an index rebuild; a compaction that
+    rewrote indexed files degrades to scanning the fresh (rewritten)
+    files, never to a wrong answer — and
+    :func:`refresh_value_index` (scheduled by :func:`maintain_table`)
+    restores pruned probes after one."""
     m, targets, _ = indexed_point_files(
         spark, table_path, index_path, indexed_version, col, value
     )
@@ -2211,6 +2294,7 @@ def maintain_table(
     max_pending_deletes: int = 4,
     keep_versions: int = 4,
     retention_minutes: float = 15.0,
+    value_indexes: list[str] | None = None,
 ) -> dict:
     """The auto-maintenance policy a merge pipeline schedules after
     its commits (Delta's OPTIMIZE + VACUUM cadence, decided from the
@@ -2228,13 +2312,21 @@ def maintain_table(
       more than ``max_pending_deletes`` entries accrue — each entry
       is a per-read anti-join on its targeted files, so unbounded
       accrual taxes every scan (:func:`compact_table`);
+    - refresh each registered secondary index in ``value_indexes``
+      (:func:`refresh_value_index`) AFTER any compaction — the
+      rewrite re-births every output file, so an unrefreshed index
+      would degrade every probe to scanning the whole post-compaction
+      tail until a manual rebuild; the refresh scans only the files
+      born since the index's covered version (a no-op commit-free
+      pass when nothing changed);
     - vacuum to the last ``keep_versions`` versions, with
       ``retention_minutes`` of grace for in-flight commits'
       not-yet-published files (see :func:`vacuum`).
 
     Returns {"compacted_small": (n_rewritten, n_kept) | None,
-    "folded_deletes": bool, "vacuumed": [versions]} describing what
-    ran. Safe to call from a second writer PROVIDED
+    "folded_deletes": bool, "refreshed_indexes": {path: version},
+    "vacuumed": [versions]} describing what ran. Safe to call from a
+    second writer PROVIDED
     ``retention_minutes`` exceeds the longest concurrent commit's
     write time: both compactions commit through the CAS (adds-ok
     mode), so racing ingest either rebases over them or they abort
@@ -2242,7 +2334,7 @@ def maintain_table(
     racing commit's pre-publish files out of the sweep."""
     manifest = read_manifest(spark, table_path)
     out: dict = {"compacted_small": None, "folded_deletes": False,
-                 "vacuumed": []}
+                 "refreshed_indexes": {}, "vacuumed": []}
     if "files" not in manifest:
         return out
     if len(manifest.get("deletes") or []) > max_pending_deletes:
@@ -2271,6 +2363,10 @@ def maintain_table(
             out["compacted_small"] = compact_small_files(
                 spark, table_path, min_file_mb=min_file_mb
             )
+    for idx_path in value_indexes or []:
+        out["refreshed_indexes"][idx_path] = refresh_value_index(
+            spark, table_path, idx_path
+        )
     out["vacuumed"] = vacuum(
         spark, table_path, keep_last=keep_versions,
         retention_minutes=retention_minutes,

@@ -14,9 +14,12 @@ from prox_spark.table import (
     build_value_index,
     commit_delta,
     commit_snapshot,
+    compact_table,
     indexed_point_files,
+    maintain_table,
     read_manifest,
     read_table_point_indexed,
+    refresh_value_index,
 )
 
 
@@ -98,3 +101,100 @@ def test_stale_index_still_finds_fresh_rows(spark, tmp_path):
     assert n_live == 17 and len(targets) == 2
     got2 = read_table_point_indexed(spark, path, idx, v, "digest", probe)
     assert [r["doc_id"] for r in got2.collect()] == [42]
+
+
+def test_index_survives_compaction_via_refresh(spark, tmp_path):
+    """A full compaction re-births every file, so an unrefreshed index
+    degrades probes to scanning the whole rewritten tail (still
+    CORRECT); refresh_value_index restores pruned probes and records
+    the new covered version in the index manifest."""
+    path, idx, v = _stage(spark, tmp_path)
+    probe = spark.range(1).select(F.md5(F.lit("250"))).first()[0]
+    compact_table(spark, path, n_files=16)
+    # unrefreshed: correct, but the probe must scan every live file
+    # (all born after the indexed version)
+    _, targets, n_live = indexed_point_files(spark, path, idx, v, "digest", probe)
+    assert len(targets) == n_live == 16
+    got = read_table_point_indexed(spark, path, idx, v, "digest", probe)
+    assert [r["doc_id"] for r in got.collect()] == [250]
+    # refresh: scans only the post-index births, prunes again
+    new_v = refresh_value_index(spark, path, idx)
+    assert new_v == read_manifest(spark, path)["version"]
+    assert read_manifest(spark, idx)["index_of"] == {
+        "col": "digest", "version": new_v
+    }
+    m, targets, n_live = indexed_point_files(
+        spark, path, idx, None, "digest", probe
+    )
+    assert n_live == 16 and len(targets) == 1
+    got2 = read_table_point_indexed(spark, path, idx, None, "digest", probe)
+    assert [r["doc_id"] for r in got2.collect()] == [250]
+    # idempotent: nothing born since — no new index version committed
+    idx_v = read_manifest(spark, idx)["version"]
+    assert refresh_value_index(spark, path, idx) == new_v
+    assert read_manifest(spark, idx)["version"] == idx_v
+
+
+def test_refresh_is_incremental_for_appends(spark, tmp_path):
+    """Refresh after a pure append indexes ONLY the appended file —
+    the delta commit carries every prior index file verbatim."""
+    path, idx, v = _stage(spark, tmp_path)
+    fresh = spark.createDataFrame(
+        [(9_000_000, "FRESH_DIGEST", 0)], "doc_id long, digest string, grp long"
+    )
+    prev = read_manifest(spark, path)
+    commit_delta(spark, path, fresh, list(prev["files"]), update_key_ranges={})
+    idx_before = set(read_manifest(spark, idx)["files"])
+    refresh_value_index(spark, path, idx)
+    mi = read_manifest(spark, idx)
+    # prior index files all carried; exactly the small delta is new
+    assert idx_before < set(mi["files"])
+    # the fresh digest now probes through the INDEX (not the tail rule)
+    _, targets, n_live = indexed_point_files(
+        spark, path, idx, None, "digest", "FRESH_DIGEST"
+    )
+    assert n_live == 17 and len(targets) == 1
+    got = read_table_point_indexed(
+        spark, path, idx, None, "digest", "FRESH_DIGEST"
+    )
+    assert [r["doc_id"] for r in got.collect()] == [9_000_000]
+
+
+def test_maintain_table_refreshes_registered_indexes(spark, tmp_path):
+    """maintain_table(value_indexes=[...]) folds the index refresh into
+    the OPTIMIZE cadence: after its compaction the registered index is
+    advanced in the same pass, so probes never sit degraded between a
+    maintenance cycle and a manual rebuild."""
+    path, idx, v = _stage(spark, tmp_path)
+    # accrue delete entries so maintain_table takes the fold path
+    # (compact_table = full rewrite, the worst case for the index)
+    from prox_spark.table import commit_delete_file
+
+    for probe_id in (11, 12, 13, 14, 15):
+        dg = spark.range(1).select(
+            F.md5(F.lit(str(probe_id)))
+        ).first()[0]
+        m = read_manifest(spark, path)
+        commit_delete_file(
+            spark, path,
+            spark.createDataFrame([(dg,)], "digest string"),
+            ["digest"], list(m["files"]),
+        )
+    out = maintain_table(
+        spark, path, retention_minutes=0.0, value_indexes=[idx]
+    )
+    assert out["folded_deletes"] is True
+    cur_v = read_manifest(spark, path)["version"]
+    assert out["refreshed_indexes"] == {idx: cur_v}
+    probe = spark.range(1).select(F.md5(F.lit("300"))).first()[0]
+    _, targets, n_live = indexed_point_files(
+        spark, path, idx, None, "digest", probe
+    )
+    assert len(targets) < n_live
+    got = read_table_point_indexed(spark, path, idx, None, "digest", probe)
+    assert [r["doc_id"] for r in got.collect()] == [300]
+    # a deleted digest stays deleted through the indexed path
+    dg11 = spark.range(1).select(F.md5(F.lit("11"))).first()[0]
+    assert read_table_point_indexed(
+        spark, path, idx, None, "digest", dg11
+    ).count() == 0
