@@ -40,58 +40,60 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # files this time).
 _FRONT = [
     # new this round (never driver-gated)
-    "q169_bpe_roundtrip",
-    "q170_semdedup",
-    "q171_cluster_spec_evolution",
-    "q172_cross_source_dedup",
-    "q173_auto_maintenance",
-    "q174_cms_token_freq",
-    "q175_matryoshka_overlap",
-    "q176_image_phash_dedup",
-    "q177_length_drift",
-    "q178_wap_publish",
-    "q179_bloom_decontaminate",
-    "q180_dup_span_coverage",
-    "q181_bigram_fluency",
-    "q182_tagged_rollback",
-    "q183_files_metadata",
-    "q184_incremental_minmax",
-    "q185_dup_span_removal",
-    "q186_audio_fingerprint_dedup",
-    "q187_content_index_lookup",
-    "q188_zorder_table_probes",
-    "q189_streaming_cms",
-    "q190_incremental_join",
-    # last driver row: round 2
-    "q102_stratified_sample",
-    "q103_price_histogram",
-    "q104_rich_accounts_reconcile",
-    "q106_local_supplier_revenue",
-    "q107_disjunctive_revenue",
-    "q108_trailing_30min_stats",
-    "q73_group_percentiles",
-    "q74_top_customer_per_nation",
-    "q79_grouping_sets",
-    "q89_rank_functions",
-    "q90_late_order_priority",
-    "q91_dormant_rich_customers",
-    "q94_nation_revenue_share",
-    "q95_brand_supplier_counts",
-    "q96_large_quantity_orders",
-    "q98_hll_rollup",
-    # last driver row: round 3, name order, up to the 50-slot cap
-    "q100_streaming_dedup",
-    "q101_streaming_sessions",
-    "q109_streaming_dedup_store",
-    "q110_pq_encode",
-    "q111_pq_adc_search",
-    "q112_media_real_decode",
-    "q113_ivfpq_search",
-    "q114_snapshot_diff",
-    "q117_int8_quantize",
-    "q118_incremental_agg",
-    "q121_audio_real_decode",
-    "q126_embedding_outliers",
+    "q191_table_stream_view",
+    "q192_multi_table_txn",
+    "q193_dedup_data_card",
+    # stalest driver rows next (last gated r3, name order) — the r2
+    # cohort and the r3 names through q126 were re-gated in r6, so the
+    # remaining r3 cohort rotates in, then the oldest r4 names
+    "q134_image_resize",
+    "q135_frame_sample",
+    "q136_streaming_neardup_store",
+    "q152_cdc_apply",
+    "q30_exact_dedup",
+    "q31_text_stats",
+    "q32_regex_token_count",
+    "q33_quality_score",
+    "q34_fingerprint",
+    "q35_jaccard_pairs",
+    "q36_minhash_lsh",
+    "q37_langid",
+    "q38_simhash",
+    "q40_cosine_topk",
+    "q41_lsh_ann",
+    "q42_embed_neardup",
+    "q43_media_features",
+    "q44_stateful_user_totals",
+    "q45_ivf_ann",
+    "q51_kpi_bookings_per_location_service",
+    "q52_kpi_avg_rating_per_provider",
+    "q53_kpi_monthly_revenue_per_provider",
+    "q54_kpi_pct_ai_generated",
+    "q55_kpi_top5_booked_categories_week",
+    "q56_kpi_top5_providers_by_bookings",
+    "q57_kpi_top5_disputed_providers",
+    "q58_kpi_top_rated_providers",
+    "q59_gold_fact_booking",
+    "q60_gold_dim_user",
+    "q61_gold_dim_service",
+    "q62_gold_dim_location",
+    "q63_gold_dim_review",
+    "q64_gold_dim_dispute",
+    "q69_streaming_hourly_stats",
+    "q77_stream_static_enrich",
+    "q78_stream_stream_join",
+    "q85_label_centroids",
+    "q88_vector_stats",
+    # last driver row: round 4, name order, up to the 50-slot cap
+    "q105_simhash_neardup",
+    "q115_segment_dedup",
+    "q116_sequence_packing",
+    "q119_point_in_time_join",
+    "q120_bpe_pair_counts",
+    "q122_quality_prune",
+    "q124_dedup_pipeline",
+    "q127_pagerank",
+    "q128_variant_props",
 ]
 
 

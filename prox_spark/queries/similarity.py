@@ -1679,6 +1679,49 @@ def _semdedup_k(n_vectors: int) -> int:
     return max(IVF_K, math.isqrt(n_vectors))
 
 
+def _sd_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SemDeDup cluster assignment (vec_id, dd, nrm, cid) with the
+    corpus-proportional K, persisted once per (app, sf_dir): shared by
+    q170 (the per-cluster data card) and q193 (the unified dedup data
+    card's semantic arm). Both pair branches and the member count
+    reuse one assignment pass — uncached, each consumer would re-run
+    the corpus scan + K-centroid argmin fold."""
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    if cache_key not in _SD_ASSIGN_CACHE:
+        n_vectors = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+        _tagged, assign, _probes = _ivf_parts(
+            spark, sf_dir, k=_semdedup_k(n_vectors)
+        )
+        _SD_ASSIGN_CACHE[cache_key] = assign.cache()
+    return _SD_ASSIGN_CACHE[cache_key]
+
+
+def semdedup_dup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id) — the distinct higher-id members of every within-
+    cluster pair with cosine ≥ τ: SemDeDup's "this one is the
+    duplicate" verdict, reusable as a join-able flag set (q193)."""
+    assign = _sd_assign(spark, sf_dir)
+    a = assign.select(
+        "cid", F.col("vec_id").alias("id1"),
+        F.col("dd").alias("v1"), F.col("nrm").alias("n1"),
+    )
+    b = assign.select(
+        "cid", F.col("vec_id").alias("id2"),
+        F.col("dd").alias("v2"), F.col("nrm").alias("n2"),
+    )
+    return (
+        a.join(b, "cid")
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn(
+            "cosine",
+            F.expr(f"{DOT_SPARK.format(a='v1', b='v2')} / (n1 * n2)"),
+        )
+        .filter(F.col("cosine") >= SEMDEDUP_TAU)
+        .select(F.col("id2").alias("doc_id"))
+        .distinct()
+    )
+
+
 def q170_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023, the
     documented next step after MinHash/SimHash for LLM corpora): the
@@ -1704,17 +1747,7 @@ def q170_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines), counts are integers, and the percentage is one
     exact-integer division rounded to 6 places. The DuckDB oracle
     derives the same K with a scalar subquery over the same table."""
-    cache_key = (spark.sparkContext.applicationId, sf_dir)
-    if cache_key not in _SD_ASSIGN_CACHE:
-        n_vectors = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
-        _tagged, assign, _probes = _ivf_parts(
-            spark, sf_dir, k=_semdedup_k(n_vectors)
-        )
-        # both pair branches and the member count reuse one assignment
-        # pass: uncached, each would re-run the corpus scan +
-        # K-centroid argmin fold (the expensive map pass here)
-        _SD_ASSIGN_CACHE[cache_key] = assign.cache()
-    assign = _SD_ASSIGN_CACHE[cache_key]
+    assign = _sd_assign(spark, sf_dir)
     a = assign.select(
         "cid", F.col("vec_id").alias("id1"),
         F.col("dd").alias("v1"), F.col("nrm").alias("n1"),

@@ -773,9 +773,202 @@ def _oracle_q189() -> str:
     return _oracle_q174()
 
 
+# --- q191: table-as-stream source maintaining a join view -------------------
+
+_TSV_CACHE: dict = {}
+
+
+def _tsv_region_expr():
+    """source srcN -> region r{N % 4}: the dim derivation both engines
+    express identically (documents' sources are srcN literals)."""
+    return F.expr(
+        "concat('r', cast(cast(substring(source, 4, 8) as int) % 4 as string))"
+    )
+
+
+def view_merge_batch(
+    batch_df: DataFrame, batch_id: int, store: str, dim_path: str
+) -> None:
+    """Transactional additive JOIN-VIEW sink for foreachBatch: fold one
+    micro-batch of appended docs into the per-region (n_docs,
+    sum_chars) view — the append-only corner of q190's delta algebra
+    (ΔA⋈B; B static per batch), maintained against a REAL stream of
+    table commits. Same exactly-once recipe as :func:`cms_merge_batch`:
+    an applied-batch marker row (region='__b<id>', counts −1) rides in
+    the artifact, so a replayed batch id is a no-op and the additive
+    fold survives at-least-once delivery."""
+    from prox_spark.table import commit_snapshot, is_manifest_table, read_table
+
+    sp = batch_df.sparkSession
+    cur = None
+    if is_manifest_table(sp, store):
+        cur = read_table(sp, store)
+        applied = {
+            r["region"]
+            for r in cur.filter(F.col("n_docs") < 0).select("region").collect()
+        }
+        if f"__b{int(batch_id)}" in applied:
+            return
+    dim = sp.read.parquet(dim_path)
+    part = (
+        batch_df.join(F.broadcast(dim), "source")
+        .groupBy("region")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+    marker = sp.createDataFrame(
+        [(f"__b{int(batch_id)}", -1, -1)],
+        "region string, n_docs long, sum_chars long",
+    )
+    merged = (
+        (cur.unionByName(part.unionByName(marker)) if cur is not None
+         else part.unionByName(marker))
+        .groupBy("region")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("sum_chars").cast("long").alias("sum_chars"),
+        )
+    )
+    commit_snapshot(sp, store, merged)
+
+
+def _table_stream_view(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """Staged once per process: a manifest table committed in three
+    versions (doc_id%10 ≤ 5, then {6,7}, then {8} — %10==9 never
+    committed, so a leak past the manifest log into the raw parquet
+    would surface), consumed by TWO readStream runs of the
+    prox_table_changes source sharing ONE checkpoint: run 1 sees only
+    v1; v2+v3 are committed while the stream is DOWN; run 2 resumes
+    from the checkpointed offset and delivers exactly the missed
+    versions. Returns (view store path, marker count)."""
+    from prox_spark.queries._staging import staged
+    from prox_spark.table import (
+        commit_delta,
+        commit_snapshot,
+        read_manifest,
+        read_table,
+    )
+    from prox_spark.table_stream import TableChangesDataSource
+
+    def build(scratch: str) -> tuple[str, int]:
+        spark.dataSource.register(TableChangesDataSource)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "source", "n_chars"
+        )
+        t = f"{scratch}/docs_t"
+        store = f"{scratch}/view"
+        ckpt = f"{scratch}/ckpt"
+        dim_path = f"{scratch}/dim"
+        (
+            docs.select("source").distinct()
+            .withColumn("region", _tsv_region_expr())
+            .coalesce(1).write.parquet(dim_path)
+        )
+
+        def _run_stream() -> None:
+            with _stream_partitions(spark):
+                q = (
+                    spark.readStream.format("prox_table_changes")
+                    .option("path", t)
+                    .load()
+                    .writeStream.foreachBatch(
+                        lambda bdf, bid: view_merge_batch(
+                            bdf, bid, store, dim_path
+                        )
+                    )
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                try:
+                    q.awaitTermination(120)
+                finally:
+                    q.stop()
+
+        commit_snapshot(
+            spark, t, docs.filter(F.col("doc_id") % 10 <= 5),
+            stat_cols=["doc_id"], n_files=4,
+        )
+        _run_stream()
+        # two more commits land while the stream is DOWN; the resumed
+        # run must pick up exactly these from the checkpointed offset
+        for pred in (
+            (F.col("doc_id") % 10).isin(6, 7),
+            (F.col("doc_id") % 10) == 8,
+        ):
+            prev = read_manifest(spark, t)
+            commit_delta(
+                spark, t, docs.filter(pred),
+                list(prev["files"]), update_key_ranges={},
+            )
+        _run_stream()
+        markers = read_table(spark, store).filter(F.col("n_docs") < 0).count()
+        return store, int(markers)
+
+    return staged(_TSV_CACHE, sf_dir, "prox_tsv_", build)
+
+
+def q191_table_stream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLE-AS-STREAM SOURCE (Delta/Iceberg streaming-read parity):
+    the manifest log consumed incrementally by Structured Streaming —
+    each committed version's added files become a micro-batch
+    (prox_spark/table_stream.py, a PySpark Python Data Source whose
+    offsets are table versions), feeding the q190-style join-view
+    maintenance with a REAL stream of commits instead of a batch
+    version diff. The maintained per-region view must equal the
+    direct join over the table's FINAL version (the oracle computes
+    exactly that), and the gate bakes in checkpoint recovery: two
+    versions are committed while the stream is stopped, and the
+    resumed run must deliver exactly the missed commits — a dropped
+    batch, a re-delivered batch, or an offset rewind all surface as
+    wrong counts. ``resumed`` pins that ≥2 distinct micro-batches
+    were applied across the two runs (one availableNow run would fold
+    everything into one).
+
+    Scale shape: offset resolution is driver-side metadata IO over
+    NEW manifests only; each micro-batch reads just the files its
+    versions added (work ∝ commit volume); the view fold is one
+    broadcast dim join + partial agg per batch plus a rewrite of a
+    regions-sized table — the standing-ingest pattern that keeps a
+    100 TB corpus's serving aggregates fresh without rescanning
+    history."""
+    from prox_spark.table import read_table
+
+    store, markers = _table_stream_view(spark, sf_dir)
+    return (
+        read_table(spark, store)
+        .filter(F.col("n_docs") >= 0)
+        .withColumn("resumed", F.lit(markers >= 2))
+        .select("region", "n_docs", "sum_chars", "resumed")
+        .orderBy("region")
+    )
+
+
+ORACLE_Q191 = """
+WITH streamed AS (
+  SELECT * FROM documents WHERE doc_id % 10 <= 8
+),
+dim AS (
+  SELECT DISTINCT source,
+         'r' || CAST(CAST(substr(source, 4, 8) AS INT) % 4 AS VARCHAR) AS region
+  FROM documents
+)
+SELECT region,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       TRUE AS resumed
+FROM streamed JOIN dim USING (source)
+GROUP BY region
+ORDER BY region
+"""
+
+
 QUERIES = {
     "q136_streaming_neardup_store": q136_streaming_neardup_store,
     "q189_streaming_cms": q189_streaming_cms,
+    "q191_table_stream_view": q191_table_stream_view,
     "q44_stateful_user_totals": q44_stateful_user_totals,
     "q109_streaming_dedup_store": q109_streaming_dedup_store,
     "q69_streaming_hourly_stats": q69_streaming_hourly_stats,
@@ -787,6 +980,7 @@ QUERIES = {
 ORACLES = {
     "q136_streaming_neardup_store": _oracle_q136(),
     "q189_streaming_cms": _oracle_q189(),
+    "q191_table_stream_view": ORACLE_Q191,
     "q109_streaming_dedup_store": ORACLE_Q109,
     "q100_streaming_dedup": ORACLE_Q100,
     "q101_streaming_sessions": ORACLE_Q101,

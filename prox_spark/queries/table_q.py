@@ -1778,6 +1778,116 @@ ORDER BY probe
 """
 
 
+# --- q192: multi-table atomic commit (corpus + value index) -----------------
+
+_TXN_CACHE: dict[str, tuple] = {}
+
+
+def _txn_workspace(spark: SparkSession, sf_dir: str) -> tuple:
+    """Staged once per process: a corpus table and its secondary value
+    index evolved through TWO transactions plus one CRASHED update.
+
+    - txn 1 pins (corpus v1 = doc_id%10 ∉ {7,8}, index v1 covering it);
+    - staging for txn 2: append %10==7 (corpus v2) AND refresh the
+      index (covers v2); txn 2 pins the PAIR atomically;
+    - a third corpus append (%10==8, v3) commits but its writer
+      "crashes" before the txn publish — and before any index refresh,
+      exactly the torn state per-table atomicity can't prevent.
+
+    Returns (workspace, corpus path, index path)."""
+    from prox_spark.queries._staging import staged
+    from prox_spark.table import (
+        build_value_index,
+        commit_delta,
+        commit_snapshot,
+        read_manifest,
+        refresh_value_index,
+    )
+    from prox_spark.txn import txn_commit
+
+    def build(scratch: str) -> tuple:
+        ws = f"{scratch}/ws"
+        t = f"{scratch}/docs"
+        idx = f"{scratch}/digest_idx"
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "source", F.md5("text").alias("digest")
+        )
+        commit_snapshot(
+            spark, t, docs.filter(~(F.col("doc_id") % 10).isin(7, 8)),
+            stat_cols=["doc_id"], n_files=8,
+        )
+        build_value_index(spark, t, "digest", idx)
+        txn_commit(spark, ws, {t: 1, idx: 1})
+        prev = read_manifest(spark, t)
+        commit_delta(
+            spark, t, docs.filter((F.col("doc_id") % 10) == 7),
+            list(prev["files"]), update_key_ranges={},
+        )
+        refresh_value_index(spark, t, idx)
+        txn_commit(
+            spark, ws, {t: 2, idx: read_manifest(spark, idx)["version"]}
+        )
+        # the crashed writer: corpus v3 exists, no index refresh, no txn
+        prev = read_manifest(spark, t)
+        commit_delta(
+            spark, t, docs.filter((F.col("doc_id") % 10) == 8),
+            list(prev["files"]), update_key_ranges={},
+        )
+        return ws, t, idx
+
+    return staged(_TXN_CACHE, sf_dir, "prox_txn_ws_", build)
+
+
+def q192_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-TABLE ATOMIC COMMIT (prox_spark/txn.py — the Nessie-style
+    catalog pattern): a corpus and its secondary value index publish
+    together through one transaction-log rename, so transactional
+    readers get both-or-neither visibility that N per-table commits
+    cannot give. The gate reads per-source counts through the TXN
+    VIEW: a crashed third update (corpus committed, index not
+    refreshed, txn never published) must stay invisible — its rows
+    leaking in, or the txn pinning a corpus version the index doesn't
+    cover, both surface as wrong output. ``index_consistent`` pins
+    that the txn-pinned index's ``index_of.version`` equals the
+    txn-pinned corpus version (the pair is coherent);
+    ``crashed_invisible`` pins that the corpus's LATEST version has
+    moved past the pinned one (the orphan exists and is excluded, not
+    merely absent).
+
+    Scale shape: the txn document is O(tables) metadata and its
+    publish is one atomic rename; readers resolve one doc then read
+    pinned versions through ordinary manifest pruning — no cross-table
+    lock, no coordination beyond the rename CAS."""
+    from prox_spark.table import read_manifest
+    from prox_spark.txn import txn_read, txn_state
+
+    ws, t, idx = _txn_workspace(spark, sf_dir)
+    state = txn_state(spark, ws)
+    pinned_idx = read_manifest(spark, idx, state[idx])
+    consistent = (
+        pinned_idx.get("index_of", {}).get("version") == state[t]
+    )
+    crashed_invisible = read_manifest(spark, t)["version"] > state[t]
+    return (
+        txn_read(spark, ws, t)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .withColumn("index_consistent", F.lit(bool(consistent)))
+        .withColumn("crashed_invisible", F.lit(bool(crashed_invisible)))
+        .orderBy("source")
+    )
+
+
+ORACLE_Q192 = """
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       TRUE AS index_consistent, TRUE AS crashed_invisible
+FROM documents
+WHERE doc_id % 10 <> 8
+GROUP BY source
+ORDER BY source
+"""
+
+
 # --- q190: incremental JOIN view maintenance (both sides change) ------------
 
 # the dimension's two versions, inline constants both engines read:
@@ -1898,6 +2008,7 @@ QUERIES = {
     "q187_content_index_lookup": q187_content_index_lookup,
     "q188_zorder_table_probes": q188_zorder_table_probes,
     "q190_incremental_join": q190_incremental_join,
+    "q192_multi_table_txn": q192_multi_table_txn,
 }
 
 
@@ -1922,4 +2033,5 @@ def oracles() -> dict[str, str]:
         "q187_content_index_lookup": ORACLE_Q187,
         "q188_zorder_table_probes": ORACLE_Q188,
         "q190_incremental_join": _oracle_q190(),
+        "q192_multi_table_txn": ORACLE_Q192,
     }

@@ -3776,6 +3776,175 @@ ORDER BY doc_id
 """
 
 
+# --- q193: unified dedup data card (all signals, one pass) -----------------
+
+SPAN_FLAG_QUARTER = 4  # span-flagged when covered_tokens * 4 >= n_tokens
+
+
+def q193_dedup_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE production curation table: every dedup signal the engine
+    computes, composed into one per-source data card — the decision
+    input a training-data pipeline actually consumes ("how much of
+    source X survives which dedup policy?"). Three arms, each reusing
+    its operator's existing sub-quadratic front half:
+
+    - EXACT (q30/q172's rule): md5-digest groups, keep-lowest-id —
+      copies after the first are exact dups; one partial-agg shuffle
+      on 16-byte digests.
+    - SPAN (q180's substring signal): a doc is span-flagged when ≥ 1/4
+      of its tokens sit under cross-doc duplicated DUPGRAM_N-gram
+      spans (exact integer compare, covered·4 ≥ n) — catches the
+      boilerplate sharing doc-level dedup misses.
+    - SEMANTIC (q170's SemDeDup verdict via
+      :func:`prox_spark.queries.similarity.semdedup_dup_ids`):
+      within-cluster cosine ≥ τ, higher-id member is the dup; LEFT
+      join on doc_id — embeddings cover a PREFIX of the corpus (the
+      realistic embed-a-sample regime), unembedded docs are never
+      semantically flagged.
+
+    n_clean counts docs no arm flagged — the survivors a
+    keep-the-cleanest policy would train on. Image/audio dedup
+    (q176/q186) stay per-modality cards: their entities are media
+    objects, not documents.
+
+    Scale shape: three independent sub-quadratic fronts (digest agg,
+    gram-digest agg + interval merge, cluster-bucketed pairs) joined
+    back to the corpus on doc_id — the card costs the sum of its
+    arms, never a product; at 100 TB each arm is the same plan it
+    ships alone."""
+    from prox_spark.queries.similarity import semdedup_dup_ids
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.md5("text").alias("digest")
+    )
+    owners = docs.groupBy("digest").agg(F.min("doc_id").alias("keeper"))
+    cov = q180_dup_span_coverage(spark, sf_dir).select(
+        "doc_id",
+        (
+            F.col("covered_tokens") * SPAN_FLAG_QUARTER >= F.col("n_tokens")
+        ).alias("span_flagged"),
+    )
+    sem = semdedup_dup_ids(spark, sf_dir).withColumn(
+        "semantic_dup", F.lit(True)
+    )
+    card = (
+        docs.join(owners, "digest")
+        .withColumn("exact_dup", F.col("doc_id") > F.col("keeper"))
+        .join(cov, "doc_id", "left")
+        .join(sem, "doc_id", "left")
+        .select(
+            "source",
+            "exact_dup",
+            F.coalesce("span_flagged", F.lit(False)).alias("span_flagged"),
+            F.coalesce("semantic_dup", F.lit(False)).alias("semantic_dup"),
+        )
+    )
+    flag = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0)).cast("long")  # noqa: E731
+    return (
+        card.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            flag("exact_dup").alias("n_exact_dup"),
+            flag("span_flagged").alias("n_span_flagged"),
+            flag("semantic_dup").alias("n_semantic_dup"),
+            F.sum(
+                F.when(
+                    ~F.col("exact_dup")
+                    & ~F.col("span_flagged")
+                    & ~F.col("semantic_dup"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_clean"),
+        )
+        .orderBy("source")
+    )
+
+
+def _oracle_q193() -> str:
+    from prox_spark.queries.similarity import (
+        _SD_K_DUCK,
+        DOT_DUCK,
+        SEMDEDUP_TAU,
+    )
+
+    sd_dot = DOT_DUCK.format(a="a.dd", b="b.dd")
+    nrm = DOT_DUCK.format(a="embedding::DOUBLE[]", b="embedding::DOUBLE[]")
+    cdot = DOT_DUCK.format(a="e.dd", b="cent.cdd")
+    return f"""
+WITH d AS (SELECT doc_id, source, md5(text) AS digest FROM documents),
+own AS (SELECT digest, min(doc_id) AS keeper FROM d GROUP BY digest),
+t AS (
+  SELECT doc_id, {TOKENS_DUCK} AS tokens FROM documents
+), g AS (
+  SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens,
+         unnest(list_transform(
+           range(1, len(tokens) - {DUPGRAM_N - 2}),
+           i -> struct_pack(
+             p := CAST(i AS BIGINT),
+             gram := md5(array_to_string(list_slice(tokens, i, i + {DUPGRAM_N - 1}), ' '))
+           )
+         ), recursive := true) AS _
+  FROM t
+  WHERE len(tokens) >= {DUPGRAM_N}
+), dupg AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+), hits AS (
+  SELECT doc_id, n_tokens, p FROM g JOIN dupg USING (gram)
+), covered AS (
+  SELECT doc_id, n_tokens, p,
+         max(p + {DUPGRAM_N}) OVER (
+           PARTITION BY doc_id ORDER BY p
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS prev_end
+  FROM hits
+), cov AS (
+  SELECT doc_id,
+         CAST(sum(greatest(0, p + {DUPGRAM_N}
+              - greatest(coalesce(prev_end, p), p))) AS BIGINT)
+           * {SPAN_FLAG_QUARTER} >= n_tokens AS span_flagged
+  FROM covered
+  GROUP BY doc_id, n_tokens
+), e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS dd, sqrt({nrm}) AS nrm
+  FROM embeddings
+),
+cent AS (SELECT vec_id AS cid, dd AS cdd, nrm AS cnrm FROM e WHERE vec_id < {_SD_K_DUCK}),
+ranked AS (
+  SELECT e.vec_id, e.dd, e.nrm, cent.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {cdot} / (e.nrm * cent.cnrm) DESC, cent.cid ASC
+         ) AS crank
+  FROM e CROSS JOIN cent
+),
+assign AS (SELECT vec_id, cid, dd, nrm FROM ranked WHERE crank = 1),
+sem AS (
+  SELECT DISTINCT b.vec_id AS doc_id
+  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE {sd_dot} / (a.nrm * b.nrm) >= {SEMDEDUP_TAU}
+)
+SELECT d.source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN d.doc_id > own.keeper THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_exact_dup,
+  CAST(sum(CASE WHEN coalesce(cov.span_flagged, FALSE) THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_span_flagged,
+  CAST(sum(CASE WHEN sem.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_semantic_dup,
+  CAST(sum(CASE WHEN d.doc_id <= own.keeper
+            AND NOT coalesce(cov.span_flagged, FALSE)
+            AND sem.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_clean
+FROM d JOIN own USING (digest)
+LEFT JOIN cov ON cov.doc_id = d.doc_id
+LEFT JOIN sem ON sem.doc_id = d.doc_id
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
 # --- q185: duplicated-span REMOVAL (the action on q180's signal) -----------
 
 
@@ -4057,6 +4226,7 @@ QUERIES = {
     "q180_dup_span_coverage": q180_dup_span_coverage,
     "q181_bigram_fluency": q181_bigram_fluency,
     "q185_dup_span_removal": q185_dup_span_removal,
+    "q193_dedup_data_card": q193_dedup_data_card,
     "q164_rare_token_profile": q164_rare_token_profile,
     "q165_source_overlap_matrix": q165_source_overlap_matrix,
     "q122_quality_prune": q122_quality_prune,
@@ -4110,6 +4280,7 @@ ORACLES = {
     "q180_dup_span_coverage": ORACLE_Q180,
     "q181_bigram_fluency": ORACLE_Q181,
     "q185_dup_span_removal": ORACLE_Q185,
+    "q193_dedup_data_card": _oracle_q193(),
     "q164_rare_token_profile": ORACLE_Q164,
     "q165_source_overlap_matrix": ORACLE_Q165,
     "q122_quality_prune": ORACLE_Q122,

@@ -210,17 +210,40 @@ def run_stream_append_branch(
     drops the branch and the run never happened. This is the pattern
     for risky backfills and new-source onboarding: at 100 TB the
     stream may land thousands of commits before anyone is confident
-    in them, and none of that is undoable once it hits main."""
-    from prox_spark.table import commit_delta, read_manifest
+    in them, and none of that is undoable once it hits main.
+
+    Per-batch metadata IO is O(new files), not O(live files): on a
+    chunked branch manifest the append carries every existing chunk
+    entry BY REFERENCE (``carry_chunks`` on the raw doc — never read,
+    never rewritten) and stages only the batch's own files as a fresh
+    chunk; classic manifests pass the already-read doc as
+    ``base_manifest`` so the commit never re-reads it."""
+    from prox_spark.table import (
+        _manifest_versions,
+        _read_manifest_file,
+        commit_delta,
+    )
 
     def _append(batch_df: DataFrame, _batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        prev = read_manifest(batch_df.sparkSession, table_path, ref=branch)
-        commit_delta(
-            batch_df.sparkSession, table_path, batch_df,
-            list(prev["files"]), ref=branch, update_key_ranges={},
-        )
+        sp = batch_df.sparkSession
+        v = _manifest_versions(sp, table_path, branch)[-1]
+        doc = _read_manifest_file(sp, table_path, v, branch)
+        base_v = doc.get("version", v)
+        if "chunks" in doc:
+            commit_delta(
+                sp, table_path, batch_df, [],
+                carry_chunks=doc["chunks"],
+                base_manifest={**doc, "chunks": [], "files": [], "stats": {}},
+                base_version=base_v, ref=branch, update_key_ranges={},
+            )
+        else:
+            commit_delta(
+                sp, table_path, batch_df, list(doc["files"]),
+                base_manifest=doc, base_version=base_v,
+                ref=branch, update_key_ranges={},
+            )
 
     q = (
         stream.writeStream.foreachBatch(_append)

@@ -259,6 +259,14 @@ def _read_manifest_file(
     )
 
 
+def _is_missing_file_error(ex: Exception) -> bool:
+    """A driver-side metadata read that raced a concurrent delete
+    (drop_tag/drop_branch/vacuum between listing and open) surfaces as
+    a JVM FileNotFoundException through py4j — distinguishable from
+    transient FS/RPC failures, which must stay loud."""
+    return "FileNotFoundException" in str(ex)
+
+
 def _read_json(spark: SparkSession, table_path: str, rel: str) -> dict:
     # driver-side Hadoop FS read (works on every FS scheme): manifests
     # and chunk files are small metadata documents, and merge
@@ -1417,6 +1425,17 @@ def create_tag(
     if fs.exists(final) or not fs.rename(tmp, final):
         fs.delete(tmp, False)
         raise ValueError(f"tag {name!r} already exists on {table_path}")
+    # RE-VALIDATE after publish: a vacuum that already passed its tag
+    # re-list may have dropped this version between our validation and
+    # the tag landing. Either the manifest survives (or a mid-flight
+    # vacuum's tag re-list restores it — it sees this tag), or we undo
+    # the tag and fail LOUDLY instead of leaving a dangling pin.
+    if v not in _manifest_versions(spark, table_path):
+        fs.delete(final, False)
+        raise ValueError(
+            f"version {v} of {table_path} was vacuumed concurrently; "
+            "tag not created"
+        )
     return v
 
 
@@ -1431,7 +1450,12 @@ def list_tags(spark: SparkSession, table_path: str) -> dict[str, int]:
         fname = st.getPath().getName()
         if not (fname.startswith("tag.") and fname.endswith(".json")):
             continue
-        doc = _read_json(spark, table_path, f"{MANIFEST_DIR}/{fname}")
+        try:
+            doc = _read_json(spark, table_path, f"{MANIFEST_DIR}/{fname}")
+        except Exception as ex:
+            if _is_missing_file_error(ex):
+                continue  # dropped between listing and open
+            raise
         out[doc["name"]] = int(doc["version"])
     return dict(sorted(out.items()))
 
@@ -2187,6 +2211,7 @@ def compact_table(
     *,
     stat_cols: list[str] | None = None,
     n_files: int | None = None,
+    cluster_curve: str | None = None,
 ) -> int:
     """Rewrite the table's current version as one freshly-clustered
     snapshot and commit it as the next version. The maintenance
@@ -2217,7 +2242,10 @@ def compact_table(
     return commit_delta(
         spark, table_path, df, [], stat_cols=cols, n_files=nf,
         base_version=manifest.get("version"), update_key_ranges={},
-        # cluster_curve inherits from the manifest (zorder stays zorder)
+        # None: cluster_curve inherits from the manifest (zorder stays
+        # zorder); an explicit value re-clusters onto a new curve — the
+        # OPTIMIZE ZORDER / back-to-range maintenance entry point
+        cluster_curve=cluster_curve,
     )
 
 
@@ -2513,14 +2541,25 @@ def vacuum(
         for bv in bvers:
             try:
                 _protect(bv, bname)
-            except ValueError:
-                # branch retired mid-vacuum (fast_forward/drop_branch);
-                # a fast-forwarded version re-protects via the main
-                # re-list below. ONLY the missing-manifest ValueError is
-                # benign — any other error (transient FS/RPC) must abort
-                # the vacuum rather than sweep a live branch's files
-                pass
+            except Exception as ex:
+                # branch retired mid-vacuum (fast_forward/drop_branch):
+                # surfaces as missing-manifest ValueError (gone before
+                # the version listing) or a FileNotFound (gone between
+                # listing and open); a fast-forwarded version
+                # re-protects via the main re-list below. Anything else
+                # (transient FS/RPC) must abort the vacuum rather than
+                # sweep a live branch's files.
+                if not (
+                    isinstance(ex, ValueError) or _is_missing_file_error(ex)
+                ):
+                    raise
             seen_branch.add((bname, bv))
+    # buffer the raw docs before deleting: a tag created concurrently
+    # for an about-to-drop version (legal — its manifest still exists
+    # when create_tag validates) is detected by the tag re-list below,
+    # and the buffered doc lets the manifest be RESTORED instead of
+    # leaving the new tag dangling
+    dropped_docs = {v: _read_manifest_file(spark, table_path, v) for v in dropped}
     for v in dropped:
         fs.delete(
             jvm.org.apache.hadoop.fs.Path(
@@ -2539,8 +2578,22 @@ def vacuum(
             if (bname, bv) not in seen_branch:
                 try:
                     _protect(bv, bname)
-                except ValueError:
-                    pass
+                except Exception as ex:
+                    if not (
+                        isinstance(ex, ValueError)
+                        or _is_missing_file_error(ex)
+                    ):
+                        raise
+    # tag re-list: restore any dropped manifest a concurrent create_tag
+    # pinned mid-vacuum, and protect its references before the sweep
+    for tv in set(list_tags(spark, table_path).values()) - tagged:
+        if tv in dropped_docs:
+            try:
+                _write_manifest(spark, table_path, tv, dropped_docs[tv])
+            except CommitConflictError:
+                pass  # someone else already restored it
+            _protect(tv)
+            dropped.remove(tv)
     cutoff_ms = (time.time() - retention_minutes * 60.0) * 1000.0
 
     def _dir_is_old(st) -> bool:
@@ -2558,7 +2611,12 @@ def vacuum(
                 if m > newest:
                     newest = m
         except Exception:
-            pass  # listed-then-deleted by a concurrent actor: skip below
+            # incomplete age evidence (transient listing failure, or
+            # listed-then-deleted by a concurrent actor): treat the dir
+            # as YOUNG so it is retried next cycle — judging it by its
+            # own mtime alone would re-open the synthetic-mtime race
+            # this whole listing exists to close
+            return False
         return newest < cutoff_ms
 
     ddir = jvm.org.apache.hadoop.fs.Path(f"{table_path}/{DATA_DIR}")

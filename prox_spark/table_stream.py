@@ -1,0 +1,241 @@
+"""Table-as-stream source: incremental Structured-Streaming reads of
+the manifest-log table format (prox_spark/table.py) — the read-side
+complement of the foreachBatch sinks in prox_spark/streaming.py, and
+the Delta/Iceberg streaming-source parity piece: every committed
+version's ADDED files become one micro-batch, offsets are table
+versions, and Spark's own checkpoint machinery gives resume/replay.
+
+Implemented on PySpark 4's Python Data Source API
+(`pyspark.sql.datasource.DataSourceStreamReader`): offsets resolve on
+the driver by listing the `_manifests` dir (pure-metadata, no Spark
+job), partitions are the data files born at each new version, and
+executors read them as Arrow record batches (pyarrow — vectorized,
+never row-at-a-time Python).
+
+Semantics (matching Delta's streaming source):
+
+- APPEND commits stream their new files' rows, exactly once per
+  committed version (offset = last processed version).
+- CHANGE commits — a compaction/merge that REMOVED files, or a new
+  merge-on-read delete entry — are not expressible as an append
+  stream. They raise by default; ``skipChangeCommits=true`` skips the
+  whole commit (Delta's option of the same name). A compaction's
+  rewrite outputs are NOT re-streamed under skip — they carry rows
+  already delivered.
+- SCHEMA changes mid-stream (rename/drop/add evolution) raise — the
+  stream's output schema is pinned at start; restart to pick up the
+  new schema (Delta behaviour).
+
+Scale notes: offset resolution is O(new manifests) of driver-side
+metadata IO per trigger; each micro-batch reads only the files the
+new versions added (work ∝ commit volume, never table size); file
+listing and JSON reads go through ``pyarrow.fs`` resolved from the
+table URI, so the same code paths work on local FS and object
+stores. Chunked (v2) manifests resolve through their chunk files —
+but only the chunks a new commit WROTE need reading in steady state
+(the born-map diff is what the partitions need).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+MANIFEST_DIR = "_manifests"
+_MANIFEST_RE = re.compile(r"^manifest-(\d{8})\.json$")
+
+
+def _fs_base(path: str):
+    """(pyarrow FileSystem, base path) for a table URI — LocalFileSystem
+    for plain/``file:`` paths, the scheme's FS otherwise."""
+    from pyarrow import fs as pafs
+
+    if path.startswith("file:"):
+        path = path[len("file:"):]
+    if "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), path
+
+
+def _list_versions(path: str) -> list[int]:
+    from pyarrow import fs as pafs
+
+    fs, base = _fs_base(path)
+    sel = pafs.FileSelector(f"{base}/{MANIFEST_DIR}", allow_not_found=True)
+    out = []
+    for info in fs.get_file_info(sel):
+        m = _MANIFEST_RE.match(os.path.basename(info.path))
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _read_json(path: str, rel: str) -> dict:
+    fs, base = _fs_base(path)
+    with fs.open_input_file(f"{base}/{rel}") as f:
+        return json.loads(f.read().decode("utf-8"))
+
+
+def _load_manifest(path: str, v: int) -> dict:
+    """Manifest ``v`` with files/born ASSEMBLED from chunk files when
+    chunked — the pure-python twin of table.read_manifest (no Spark
+    session exists where the stream reader runs)."""
+    doc = _read_json(path, f"{MANIFEST_DIR}/manifest-{v:08d}.json")
+    if "chunks" not in doc:
+        return doc
+    files: list[str] = []
+    born: dict = {}
+    for entry in doc["chunks"]:
+        chunk = _read_json(path, entry["file"])
+        files.extend(chunk["files"])
+        born.update(chunk.get("born") or {})
+    out = dict(doc)
+    out["files"] = files
+    out["born"] = born
+    return out
+
+
+def _delete_sig(doc: dict) -> list:
+    return sorted(d["file"] for d in (doc.get("deletes") or []))
+
+
+def _schema_sig(schema_json: dict | None) -> list:
+    """(name, type) pairs only — nullability and metadata flip freely
+    on rewrites (a parquet read-back reports everything nullable), and
+    neither changes what a streaming consumer receives."""
+    return [
+        (f.get("name"), json.dumps(f.get("type"), sort_keys=True))
+        for f in (schema_json or {}).get("fields", [])
+    ]
+
+
+class _FilesPartition(InputPartition):
+    def __init__(self, paths: list[str], fields: list[str]):
+        self.paths = paths
+        self.fields = fields
+
+
+class TableChangesStreamReader(DataSourceStreamReader):
+    """Offsets are ``{"version": last_processed}``; a batch covers
+    versions (start, end] and its partitions are the files born in
+    that range. ``maxVersionsPerBatch`` paces catch-up reads (the
+    maxFilesPerTrigger analogue) by capping how far latestOffset runs
+    ahead of the last end it returned."""
+
+    def __init__(self, schema: StructType, options: dict):
+        # DSv2 hands options through a case-insensitive map that
+        # lower-cases keys — normalize before lookup
+        options = {k.lower(): v for k, v in options.items()}
+        self._path = options["path"]
+        self._schema = schema
+        # the stream's pinned schema contract (names+types): commits
+        # whose declared schema deviates from it raise
+        self._schema_json = [
+            (f.name, json.dumps(f.dataType.jsonValue(), sort_keys=True))
+            for f in schema.fields
+        ]
+        self._skip_changes = (
+            str(options.get("skipchangecommits", "false")).lower() == "true"
+        )
+        self._start_v = int(options.get("startingversion", 0))
+        self._max_versions = int(options.get("maxversionsperbatch", 0))
+        self._last_end: int | None = None
+
+    def initialOffset(self) -> dict:
+        return {"version": self._start_v}
+
+    def latestOffset(self) -> dict:
+        versions = _list_versions(self._path)
+        latest = versions[-1] if versions else self._start_v
+        if self._max_versions > 0:
+            floor = self._last_end if self._last_end is not None else self._start_v
+            latest = min(latest, floor + self._max_versions)
+            latest = max(latest, floor)
+        self._last_end = latest
+        return {"version": latest}
+
+    def partitions(self, start: dict, end: dict):
+        s, e = int(start["version"]), int(end["version"])
+        parts: list[_FilesPartition] = []
+        prev = _load_manifest(self._path, s) if s > 0 else {}
+        for v in range(s + 1, e + 1):
+            doc = _load_manifest(self._path, v)
+            if _schema_sig(doc.get("schema")) != self._schema_json:
+                raise RuntimeError(
+                    f"table schema changed at version {v}; restart the "
+                    "stream to pick up the new schema"
+                )
+            cur_files = doc.get("files") or []
+            removed = set(prev.get("files") or []) - set(cur_files)
+            changed = bool(removed) or _delete_sig(doc) != _delete_sig(prev)
+            if changed and not self._skip_changes:
+                raise RuntimeError(
+                    f"version {v} of {self._path} is not an append commit "
+                    "(files removed or merge-on-read deletes added); the "
+                    "rows already streamed would be rewritten. Set "
+                    "skipChangeCommits=true to skip such commits."
+                )
+            if not changed:
+                born = doc.get("born") or {}
+                fresh = [f for f in cur_files if born.get(f, 0) == v]
+                if fresh:
+                    _, base = _fs_base(self._path)
+                    parts.append(
+                        _FilesPartition(
+                            [f"{base}/{f}" for f in fresh],
+                            [f.name for f in self._schema.fields],
+                        )
+                    )
+            prev = doc
+        return parts
+
+    def read(self, partition: _FilesPartition):
+        import pyarrow.parquet as pq
+
+        for p in partition.paths:
+            t = pq.read_table(p, columns=partition.fields)
+            # reorder defensively: parquet column order == write order,
+            # the declared schema is the contract
+            t = t.select(partition.fields)
+            yield from t.to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class TableChangesDataSource(DataSource):
+    """``spark.readStream.format("prox_table_changes").load(path)``
+    after ``spark.dataSource.register(TableChangesDataSource)``.
+
+    Options: ``startingVersion`` (default 0 — stream everything since
+    creation; N streams commits AFTER version N), ``skipChangeCommits``
+    (default false), ``maxVersionsPerBatch`` (default unlimited)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "prox_table_changes"
+
+    def schema(self):
+        versions = _list_versions(self.options["path"])
+        if not versions:
+            raise ValueError(
+                f"{self.options['path']} is not a manifest table"
+            )
+        doc = _load_manifest(self.options["path"], versions[-1])
+        if "schema" not in doc:
+            raise ValueError(
+                "manifest records no schema (legacy table); pass an "
+                "explicit schema to readStream"
+            )
+        return StructType.fromJson(doc["schema"])
+
+    def streamReader(self, schema: StructType):
+        return TableChangesStreamReader(schema, dict(self.options))

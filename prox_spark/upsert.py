@@ -149,18 +149,27 @@ def _local_df(spark: SparkSession, rows: list, schema) -> DataFrame:
 _COLLECT_BYTE_BUDGET = 128 * 1024 * 1024
 
 
-_VAR_WIDTH_TYPES = ("string", "binary", "array", "map", "struct")
+# ALLOWLIST of provably fixed-width typeNames — anything unrecognized
+# (varchar/char report their own names, future types) must fall back
+# to the sampling pass, not silently count as 48 bytes: a denylist
+# here once let wide varchar batches skip the byte-budget guard
+_FIXED_WIDTH_TYPES = frozenset({
+    "boolean", "byte", "short", "integer", "long", "float", "double",
+    "decimal", "date", "timestamp", "timestamp_ntz", "daytimeinterval",
+    "yearmonthinterval", "null",
+})
 
 
 def _row_width_bound(schema) -> int | None:
     """A per-row byte bound derivable from the SCHEMA alone, or None
-    when any column is variable-width (string/binary/nested). All
-    fixed-width columns ⇒ the byte budget can be proven up front and
-    the collect needs no sampling pass at all."""
+    when any column is not provably fixed-width (string/binary/nested,
+    and anything not on the allowlist). All fixed-width columns ⇒ the
+    byte budget can be proven up front and the collect needs no
+    sampling pass at all."""
     total = 0
     for f in schema.fields:
         t = f.dataType.typeName()
-        if t in _VAR_WIDTH_TYPES:
+        if t not in _FIXED_WIDTH_TYPES:
             return None
         # generous fixed bound per atomic column (value + Row overhead)
         total += 48

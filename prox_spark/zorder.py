@@ -55,16 +55,35 @@ def interleave_bits(cols: list[Column], bits: int = 16) -> Column:
 
 
 def zvalue(df: DataFrame, cols: list[str], bits: int = 16) -> DataFrame:
-    """Append the z-value column: rescale each col to [0, 2^bits) by
-    its global min/max, then interleave. One driver-side row (the
-    min/max agg) is the only non-map cost."""
+    """Append the z-value column. NUMERIC columns rescale to
+    [0, 2^bits) by their global min/max (one tiny agg — range
+    locality preserved, so range AND equality predicates prune);
+    NON-NUMERIC columns (string keys, dates in evolved tables) bucket
+    by ``xxhash64 mod 2^bits`` instead — no range locality, but equal
+    values still CO-LOCATE into few files, so equality probes prune
+    through the per-column bloom filters and the few-files-hold-the-
+    value effect (Delta restricts ZORDER BY similarly via range ids;
+    hash buckets are the shuffle-free equivalent). A clustered write
+    on mixed-type stat columns must never fail outright — merges
+    re-append key columns to stat_cols, so a string key reaching this
+    path is routine, not exceptional."""
+    from pyspark.sql.types import NumericType
+
+    numeric = {
+        f.name for f in df.schema.fields
+        if f.name in set(cols) and isinstance(f.dataType, NumericType)
+    }
     aggs = []
     for c in cols:
-        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
-    stats = df.agg(*aggs).collect()[0]
+        if c in numeric:
+            aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    stats = df.agg(*aggs).collect()[0] if aggs else None
     top = (1 << bits) - 1
     scaled = []
     for c in cols:
+        if c not in numeric:
+            scaled.append(F.pmod(F.xxhash64(F.col(c)), F.lit(top + 1)))
+            continue
         lo, hi = stats[f"min_{c}"], stats[f"max_{c}"]
         if lo is None or hi is None:
             raise ValueError(

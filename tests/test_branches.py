@@ -281,3 +281,46 @@ def test_fast_forward_refuses_branch_staged_rename(spark, tmp_path):
     T._write_manifest(spark, path, 3, doc, "audit")
     with pytest.raises(ValueError, match="schema evolution"):
         fast_forward(spark, path, "audit")
+
+
+def test_streaming_branch_append_carries_chunks_by_reference(
+    spark, tmp_path, monkeypatch
+):
+    """Per-micro-batch metadata IO must be O(new files) on a chunked
+    branch: every pre-existing chunk entry carries into the next
+    branch manifest VERBATIM (same chunk file name — by reference,
+    never re-read or rewritten); only the batch's own files repack."""
+    import prox_spark.table as T
+    from prox_spark.streaming import run_stream_append_branch
+    from prox_spark.table import _read_manifest_file
+
+    monkeypatch.setattr(T, "CHUNK_THRESHOLD", 8)
+    monkeypatch.setattr(T, "CHUNK_SIZE", 4)
+    path = str(tmp_path / "t")
+    commit_snapshot(
+        spark, path, _df(spark, [(i, "base") for i in range(64)]),
+        stat_cols=["id"], n_files=16,
+    )
+    fork = create_branch(spark, path, "ingest")
+    base_doc = _read_manifest_file(spark, path, fork)
+    assert "chunks" in base_doc
+    base_chunks = {e["file"] for e in base_doc["chunks"]}
+
+    src_dir = str(tmp_path / "arrivals")
+    feed = _df(spark, [(3000 + i, "streamed") for i in range(12)])
+    feed.repartition(3).write.mode("overwrite").parquet(src_dir)
+    stream = (
+        spark.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    run_stream_append_branch(stream, path, "ingest")
+
+    head = list_branches(spark, path)["ingest"][-1]
+    head_doc = _read_manifest_file(spark, path, head, "ingest")
+    head_chunks = {e["file"] for e in head_doc["chunks"]}
+    # every original chunk carried by reference through EVERY batch
+    assert base_chunks <= head_chunks
+    assert read_table(spark, path, ref="ingest").count() == 76
+    fast_forward(spark, path, "ingest")
+    assert read_table(spark, path).count() == 76

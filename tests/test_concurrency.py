@@ -328,3 +328,106 @@ def test_streaming_appends_rebase_over_midstream_compaction(
             f"micro-batch b{b} lost"
         )
     assert len(got) == 120
+
+
+def test_vacuum_under_branch_tag_churn_never_kills_live_refs(
+    spark, tmp_path
+):
+    """Property test for vacuum's keep-set union under interleaving:
+    one thread churns branches (create → read → drop), one churns tags
+    (create → IMMEDIATELY read the pinned bytes → sometimes drop), one
+    runs vacuum(keep_last=2, retention 0) in a loop. Invariants: a
+    successfully-created ref is always readable right after creation
+    (the live-file-deletion probe — a swept pinned version fails
+    here), tagging an already-vacuumed version fails LOUDLY
+    (ValueError), and after the dust settles every surviving ref still
+    resolves to complete data. Churn ops are metadata-only by design:
+    retention 0 is the exclusive-data-writer mode, so no data commit
+    runs concurrently — what interleaves is exactly the pin-set
+    compute / re-list / restore logic."""
+    import prox_spark.table as T
+
+    path = str(tmp_path / "t")
+    _base(spark, path, n=60, n_files=2)
+    counts = {1: 60}
+    for k in range(5):  # v2..v6, each +1 row
+        prev = read_manifest(spark, path)
+        commit_delta(
+            spark, path, _df(spark, [(1000 + k, "churn")]),
+            list(prev["files"]), update_key_ranges={},
+        )
+        counts[prev["version"] + 1] = 60 + k + 1
+    errs: list = []
+    ROUNDS = 12
+
+    def branch_churn():
+        try:
+            for i in range(ROUNDS):
+                name = f"b{i}"
+                try:
+                    fork_v = T.create_branch(spark, path, name)
+                except ValueError:
+                    continue  # fork base vacuumed between list and copy
+                got = T.read_table(spark, path, ref=name).count()
+                if got != counts[fork_v]:
+                    errs.append(f"branch {name}@v{fork_v}: {got}")
+                T.drop_branch(spark, path, name)
+        except Exception as ex:  # noqa: BLE001
+            errs.append(repr(ex))
+
+    def tag_churn():
+        import time
+
+        try:
+            for i in range(ROUNDS):
+                versions = T.table_versions(spark, path)
+                if not versions:
+                    continue
+                v = versions[i % len(versions)]
+                name = f"t{i}"
+                try:
+                    T.create_tag(spark, path, name, version=v)
+                except ValueError:
+                    continue  # v vacuumed first: the loud failure mode
+                # the probe: a created tag's bytes must become readable
+                # (a mid-flight vacuum may still be RESTORING the
+                # manifest its re-list found our tag pinning — retry
+                # through that window; a permanent failure = live-file
+                # deletion and fails the test)
+                got = None
+                for _ in range(40):
+                    try:
+                        got = T.read_table(spark, path, version=v).count()
+                        break
+                    except Exception:  # noqa: PERF203
+                        time.sleep(0.25)
+                if got != counts[v]:
+                    errs.append(f"tag {name}@v{v}: {got}")
+                if i % 2 == 0:
+                    T.drop_tag(spark, path, name)
+        except Exception as ex:  # noqa: BLE001
+            errs.append(repr(ex))
+
+    def vacuum_loop():
+        try:
+            for _ in range(ROUNDS):
+                T.vacuum(spark, path, keep_last=2, retention_minutes=0.0)
+        except Exception as ex:  # noqa: BLE001
+            errs.append(repr(ex))
+
+    threads = [
+        threading.Thread(target=branch_churn),
+        threading.Thread(target=tag_churn),
+        threading.Thread(target=vacuum_loop),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    # settle: every surviving ref resolves to complete data
+    assert read_table(spark, path).count() == 65
+    for name, v in T.list_tags(spark, path).items():
+        assert read_table(spark, path, version=v).count() == counts[v], name
+    for name in T.list_branches(spark, path):
+        assert T.read_table(spark, path, ref=name).count() > 0

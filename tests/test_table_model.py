@@ -284,3 +284,131 @@ def test_random_merge_sequence_with_renames_chunked(
     monkeypatch.setattr(T, "CHUNK_THRESHOLD", 3)
     monkeypatch.setattr(T, "CHUNK_SIZE", 2)
     test_random_merge_sequence_with_renames(spark, tmp_path)
+
+
+def test_random_merge_sequence_with_refs(spark, tmp_path):
+    """The model sequence with the round-6 ref surface folded into the
+    op mix at pinned steps: tag checkpoint (3), branch write-audit-
+    publish (6), the seeded step-9 compaction upgraded to an OPTIMIZE
+    ZORDER (mixed string+numeric stat cols — the hash-bucket curve
+    path), an explicit re-cluster back to range (12), and a rollback
+    to the step-3 tag (15) that rewinds the model with it. Vacuum at
+    the end must keep the tag's bytes while the churned history ages
+    out — the CAS/vacuum/refs interactions model-checked, not just
+    unit-tested."""
+    from prox_spark.table import (
+        _read_manifest_file,
+        create_branch,
+        create_tag,
+        fast_forward,
+        list_branches,
+        read_manifest,
+        rollback_table,
+        tag_version,
+    )
+    from prox_spark.table import commit_delta, read_manifest as _rm
+
+    path = str(tmp_path / "t")
+    model: dict = {}
+    seed_rows = _rows(0)
+    upsert_parquet(spark, path, _df(spark, seed_rows), KEYS)
+    model.update({(r, u): (p, s) for r, u, p, s in seed_rows})
+
+    tag_state = None
+    for step in range(1, N_OPS + 1):
+        op = {3: 95, 6: 96, 9: 97, 12: 98, 15: 94}.get(
+            step, _rnd(f"op:{step}", 0, 11)
+        )
+        if op == 95:  # tag checkpoint
+            create_tag(spark, path, "cp")
+            tag_state = dict(model)
+        elif op == 96:  # branch WAP: stage an append, audit, publish
+            create_branch(spark, path, "stage")
+            staged = [("bz", 9000 + i, f"staged:{i}", step) for i in range(3)]
+            prev = _rm(spark, path, ref="stage")
+            commit_delta(
+                spark, path, _df(spark, staged), list(prev["files"]),
+                ref="stage", update_key_ranges={},
+            )
+            # invisible to main until the publish
+            assert _table_state(spark, path) == model
+            fast_forward(spark, path, "stage")
+            assert list_branches(spark, path) == {}
+            model.update({(r, u): (p, s) for r, u, p, s in staged})
+        elif op == 97:  # the seeded compact step, as OPTIMIZE ZORDER
+            compact_table(
+                spark, path, stat_cols=[*KEYS, "step"], n_files=4,
+                cluster_curve="zorder",
+            )
+            assert read_manifest(spark, path)["cluster_curve"] == "zorder"
+        elif op == 98:  # maintenance re-cluster back to range on KEYS
+            compact_table(
+                spark, path, stat_cols=KEYS, n_files=4, cluster_curve="range",
+            )
+            assert "cluster_curve" not in _read_manifest_file(
+                spark, path, read_manifest(spark, path)["version"]
+            )
+        elif op == 94:  # rollback to the tag: model rewinds with it
+            rollback_table(spark, path, tag_version(spark, path, "cp"))
+            model = dict(tag_state)
+        elif op <= 4:
+            rows = _rows(step)
+            upsert_parquet(spark, path, _df(spark, rows), KEYS)
+            model.update({(r, u): (p, s) for r, u, p, s in rows})
+        elif op <= 6:
+            dels = _key_space(step)[:5]
+            ddf = spark.createDataFrame(dels, "region STRING, uid BIGINT")
+            n = delete_keys(spark, path, ddf, KEYS)
+            assert n == sum(1 for k in dels if k in model), step
+            for k in dels:
+                model.pop(k, None)
+        elif op <= 8:
+            ks = _key_space(step)
+            feed = []
+            for i, (r, u) in enumerate(ks[:6]):
+                if i % 3 == 0:
+                    feed.append((r, u, None, None, "delete"))
+                else:
+                    feed.append((r, u, f"cdc{step}:{r}:{u}", step, "update"))
+            fdf = spark.createDataFrame(
+                feed,
+                "region STRING, uid BIGINT, payload STRING, step BIGINT, "
+                "change STRING",
+            )
+            apply_changes(spark, path, fdf, KEYS)
+            for r, u, p, s, c in feed:
+                if c == "delete":
+                    model.pop((r, u), None)
+                else:
+                    model[(r, u)] = (p, s)
+        elif op == 9:
+            compact_table(spark, path, n_files=4)
+        else:
+            dels = _key_space(step)[5:10]
+            ddf = spark.createDataFrame(dels, "region STRING, uid BIGINT")
+            n = delete_keys_mor(spark, path, ddf, KEYS)
+            assert n == sum(1 for k in dels if k in model), step
+            for k in dels:
+                model.pop(k, None)
+        assert _table_state(spark, path) == model, f"diverged at step {step}"
+
+    # vacuum churned history; the tag must keep serving its exact bytes
+    vacuum(spark, path, keep_last=2, retention_minutes=0.0)
+    assert _table_state(spark, path) == model
+    tv = tag_version(spark, path, "cp")
+    got = {
+        (r.region, r.uid): (r.payload, r.step)
+        for r in read_table(spark, path, version=tv).collect()
+    }
+    assert got == tag_state
+
+
+def test_random_merge_sequence_with_refs_chunked(spark, tmp_path, monkeypatch):
+    """Refs + chunked layout: branch fast-forward born-remap, tag
+    pinning of chunk files, zorder/range re-chunking, and rollback of
+    a chunked doc, all against the model."""
+    import prox_spark.table as T
+
+    monkeypatch.setattr(T, "CHUNK_THRESHOLD", 3)
+    monkeypatch.setattr(T, "CHUNK_SIZE", 2)
+    test_random_merge_sequence_with_refs(spark, tmp_path)

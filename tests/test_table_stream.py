@@ -1,0 +1,191 @@
+"""Table-as-stream source (prox_spark/table_stream.py): incremental
+Structured-Streaming reads of the manifest log — version offsets,
+append-only micro-batches, checkpoint resume, Delta-parity change-
+commit handling (raise / skipChangeCommits), pinned-schema guard, and
+the chunked-manifest assembly the pure-python loader must mirror.
+The reference is batch-only; this is the streaming-source half of the
+Delta/Iceberg parity surface (the foreachBatch sinks are the other)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+import prox_spark.table as T
+from prox_spark.table import (
+    commit_delta,
+    commit_snapshot,
+    compact_table,
+    read_manifest,
+)
+from prox_spark.table_stream import TableChangesDataSource, _load_manifest
+
+
+@pytest.fixture()
+def registered(spark):
+    spark.dataSource.register(TableChangesDataSource)
+    return spark
+
+
+def _docs(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("src"),
+    )
+
+
+def _stage(spark, tmp_path, n_files=2):
+    t = str(tmp_path / "t")
+    commit_snapshot(spark, t, _docs(spark, 0, 10), stat_cols=["doc_id"], n_files=n_files)
+    prev = read_manifest(spark, t)
+    commit_delta(
+        spark, t, _docs(spark, 10, 15), list(prev["files"]), update_key_ranges={}
+    )
+    return t
+
+
+def _drain(spark, t, ckpt, collected, **options):
+    reader = spark.readStream.format("prox_table_changes").option("path", t)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+
+    def fb(batch, bid):
+        collected.append((int(bid), sorted(r["doc_id"] for r in batch.collect())))
+
+    q = (
+        reader.load()
+        .writeStream.foreachBatch(fb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+
+
+def test_appends_stream_and_checkpoint_resumes(registered, tmp_path):
+    """Run 1 delivers all committed rows; a commit landing while the
+    stream is down is delivered — alone — by the resumed run."""
+    spark = registered
+    t = _stage(spark, tmp_path)
+    ckpt = str(tmp_path / "ckpt")
+    seen: list = []
+    _drain(spark, t, ckpt, seen)
+    assert [rows for _, rows in seen] == [list(range(15))]
+    prev = read_manifest(spark, t)
+    commit_delta(
+        spark, t, _docs(spark, 15, 18), list(prev["files"]), update_key_ranges={}
+    )
+    seen2: list = []
+    _drain(spark, t, ckpt, seen2)
+    assert [rows for _, rows in seen2] == [[15, 16, 17]]
+    # batch ids continue across restarts (same checkpoint lineage)
+    assert seen2[0][0] == seen[-1][0] + 1
+
+
+def test_starting_version_skips_history(registered, tmp_path):
+    spark = registered
+    t = _stage(spark, tmp_path)  # v1 = 0..9, v2 = 10..14
+    seen: list = []
+    _drain(spark, t, str(tmp_path / "c"), seen, startingVersion="1")
+    assert [rows for _, rows in seen] == [[10, 11, 12, 13, 14]]
+
+
+def test_change_commit_raises_by_default(registered, tmp_path):
+    spark = registered
+    t = _stage(spark, tmp_path)
+    compact_table(spark, t)
+    seen: list = []
+    with pytest.raises(Exception, match="not an append commit"):
+        _drain(spark, t, str(tmp_path / "c"), seen)
+
+
+def test_skip_change_commits_delivers_appends_once(registered, tmp_path):
+    """skipChangeCommits drops the compaction's rewrite outputs (their
+    rows were already streamed) but still delivers the append landing
+    after it — rows arrive exactly once."""
+    spark = registered
+    t = _stage(spark, tmp_path)
+    compact_table(spark, t)
+    prev = read_manifest(spark, t)
+    commit_delta(
+        spark, t, _docs(spark, 20, 22), list(prev["files"]), update_key_ranges={}
+    )
+    seen: list = []
+    _drain(spark, t, str(tmp_path / "c"), seen, skipChangeCommits="true")
+    got = sorted(x for _, rows in seen for x in rows)
+    assert got == list(range(15)) + [20, 21]
+
+
+def test_mor_delete_is_a_change_commit(registered, tmp_path):
+    spark = registered
+    t = _stage(spark, tmp_path)
+    m = read_manifest(spark, t)
+    T.commit_delete_file(
+        spark, t,
+        spark.createDataFrame([(3,)], "doc_id long"),
+        ["doc_id"], list(m["files"]),
+    )
+    with pytest.raises(Exception, match="not an append commit"):
+        _drain(spark, t, str(tmp_path / "c"), [])
+
+
+def test_schema_change_mid_stream_raises(registered, tmp_path):
+    """A commit whose declared columns differ from the stream's pinned
+    schema fails the stream (Delta behaviour: restart to pick it up);
+    rewrite-induced nullability flips must NOT trip the guard (the
+    compaction in test_skip_change_commits already proves that)."""
+    spark = registered
+    t = _stage(spark, tmp_path)
+    prev = read_manifest(spark, t)
+    widened = _docs(spark, 30, 32).withColumn("extra", F.lit(1))
+    commit_delta(
+        spark, t, widened, list(prev["files"]), update_key_ranges={}
+    )
+    with pytest.raises(Exception, match="schema changed"):
+        _drain(spark, t, str(tmp_path / "c"), [])
+
+
+def test_loader_assembles_chunked_manifests(spark, tmp_path, monkeypatch):
+    """The stream reader's pure-python manifest loader must resolve
+    chunked (v2) snapshots exactly like table.read_manifest — files
+    and born maps assembled from the chunk files."""
+    monkeypatch.setattr(T, "CHUNK_THRESHOLD", 4)
+    monkeypatch.setattr(T, "CHUNK_SIZE", 2)
+    t = str(tmp_path / "t")
+    commit_snapshot(spark, t, _docs(spark, 0, 40), stat_cols=["doc_id"], n_files=6)
+    prev = read_manifest(spark, t)
+    commit_delta(
+        spark, t, _docs(spark, 40, 42), list(prev["files"]), update_key_ranges={}
+    )
+    want = read_manifest(spark, t)
+    assert "chunks" in want  # the layout under test
+    got = _load_manifest(t, int(want["version"]))
+    assert sorted(got["files"]) == sorted(want["files"])
+    assert got["born"] == want.get("born")
+
+
+def test_view_merge_batch_replay_is_idempotent(spark, tmp_path):
+    """The q191 sink's applied-batch marker makes re-delivery of a
+    batch id a no-op — the additive fold stays exactly-once."""
+    from prox_spark.queries.streaming_q import view_merge_batch
+
+    dim = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [("src0", "r0"), ("src1", "r1")], "source string, region string"
+    ).write.parquet(dim)
+    store = str(tmp_path / "view")
+    batch = spark.createDataFrame(
+        [(1, "src0", 10), (2, "src1", 20), (3, "src0", 30)],
+        "doc_id long, source string, n_chars long",
+    )
+    view_merge_batch(batch, 0, store, dim)
+    view_merge_batch(batch, 0, store, dim)  # replayed delivery
+    rows = {
+        r["region"]: (r["n_docs"], r["sum_chars"])
+        for r in T.read_table(spark, store).filter(F.col("n_docs") >= 0).collect()
+    }
+    assert rows == {"r0": (2, 40), "r1": (1, 20)}

@@ -145,3 +145,78 @@ def test_rollback_and_tag_on_chunked_table(spark, tmp_path, monkeypatch):
     assert table_versions(spark, path) == [2, 4]
     assert read_table(spark, path, version=2).count() == 68
     assert read_table(spark, path).count() == 68
+
+
+def test_vacuum_restores_concurrently_tagged_version(
+    spark, tmp_path, monkeypatch
+):
+    """The create_tag/vacuum race: a tag created AFTER vacuum computes
+    its pin set (legal — the manifest still exists at create_tag's
+    validation) but before the sweep must not dangle. The tag re-list
+    restores the dropped manifest from the buffered doc and protects
+    its files."""
+    import prox_spark.table as T
+
+    path = _staged_table(spark, tmp_path)  # v1..v3
+    real_list_tags = T.list_tags
+    fired = {"done": False}
+
+    def racing_list_tags(sp, p):
+        out = real_list_tags(sp, p)
+        if not fired["done"]:
+            # the first listing is the pin-set compute: create the tag
+            # right after it, inside vacuum's race window
+            fired["done"] = True
+            create_tag(sp, p, "raced", version=1)
+        return out
+
+    monkeypatch.setattr(T, "list_tags", racing_list_tags)
+    dropped = vacuum(spark, path, keep_last=1, retention_minutes=0.0)
+    # v1 was dropped-then-restored: not reported dropped, still readable
+    assert 1 not in dropped
+    assert 1 in table_versions(spark, path)
+    assert tag_version(spark, path, "raced") == 1
+    assert read_table(spark, path, version=1).count() == 50
+
+
+def test_vacuum_treats_unlistable_dir_as_young(spark, tmp_path, monkeypatch):
+    """Incomplete age evidence (a dir listing that fails mid-vacuum)
+    must classify the candidate dir as YOUNG — retried next cycle —
+    never swept on its own (possibly synthetic) mtime."""
+    import prox_spark.table as T
+
+    path = _staged_table(spark, tmp_path)  # v1..v3; v1's dirs orphan-able
+    jvm, fs, _ = T._fs(spark, path)
+    real_list = fs.listStatus
+
+    data_dir = f"{path}/{T.DATA_DIR}"
+
+    class FlakyFS:
+        def __getattr__(self, name):
+            return getattr(fs, name)
+
+        def listStatus(self, p):
+            # fail listings of deletion CANDIDATES (subdirs of data/),
+            # succeed for the data/ root and everything else
+            sp = p.toString()
+            if sp.startswith("file:" + data_dir + "/") or sp.startswith(
+                data_dir + "/"
+            ):
+                raise RuntimeError("transient listing failure")
+            return real_list(p)
+
+    real_fs = T._fs
+
+    def flaky_fs(sp, p):
+        j, f, c = real_fs(sp, p)
+        return j, FlakyFS(), c
+
+    monkeypatch.setattr(T, "_fs", flaky_fs)
+    vacuum(spark, path, keep_last=1, retention_minutes=0.0)
+    monkeypatch.setattr(T, "_fs", real_fs)
+    # manifests for old versions dropped, but NO data dir was swept on
+    # incomplete evidence: the kept head still reads completely
+    assert read_table(spark, path).count() == 60
+    # next cycle (listings healthy again) reclaims for real
+    vacuum(spark, path, keep_last=1, retention_minutes=0.0)
+    assert read_table(spark, path).count() == 60

@@ -1,0 +1,150 @@
+"""Multi-table atomic commits (prox_spark/txn.py): one txn document's
+atomic rename is the visibility flip for a SET of (table → version)
+pins — both-or-neither reads, crash-between-commits recovery, CAS
+rebase for disjoint txns, abort for overlapping ones. The canonical
+composition is a corpus + its secondary value index published
+together (the consistency ask behind refresh_value_index)."""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from prox_spark.table import (
+    CommitConflictError,
+    build_value_index,
+    commit_delta,
+    commit_snapshot,
+    read_manifest,
+    refresh_value_index,
+)
+from prox_spark.txn import (
+    txn_commit,
+    txn_pinned_versions,
+    txn_read,
+    txn_state,
+)
+
+
+def _docs(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("doc_id"),
+        F.md5(F.col("id").cast("string")).alias("digest"),
+    )
+
+
+def test_both_or_neither_visibility(spark, tmp_path):
+    """The txn view flips BOTH tables at once: after staging the
+    corpus append AND the index refresh, txn readers still see the old
+    pair until the one txn publish, then the new pair."""
+    ws = str(tmp_path / "ws")
+    t, idx = str(tmp_path / "t"), str(tmp_path / "idx")
+    commit_snapshot(spark, t, _docs(spark, 0, 100), stat_cols=["doc_id"], n_files=4)
+    build_value_index(spark, t, "digest", idx)
+    txn_commit(spark, ws, {t: 1, idx: 1})
+
+    # stage: corpus append + index refresh (versions exist, unpinned)
+    prev = read_manifest(spark, t)
+    commit_delta(
+        spark, t, _docs(spark, 100, 110), list(prev["files"]), update_key_ranges={}
+    )
+    refresh_value_index(spark, t, idx)
+    assert txn_state(spark, ws) == {t: 1, idx: 1}  # still the old pair
+    assert txn_read(spark, ws, t).count() == 100
+    iv = (read_manifest(spark, idx))["version"]
+    txn_commit(spark, ws, {t: 2, idx: iv})
+    assert txn_state(spark, ws) == {t: 2, idx: iv}
+    assert txn_read(spark, ws, t).count() == 110
+
+
+def test_crash_between_commits_is_invisible_and_retryable(spark, tmp_path):
+    """A writer that committed table versions but crashed before the
+    txn publish leaves txn readers on the old state; 'recovery' is
+    either retrying the publish (roll-forward) or doing nothing (the
+    orphan versions are vacuum fodder)."""
+    ws = str(tmp_path / "ws")
+    t = str(tmp_path / "t")
+    commit_snapshot(spark, t, _docs(spark, 0, 50), stat_cols=["doc_id"], n_files=2)
+    txn_commit(spark, ws, {t: 1})
+    prev = read_manifest(spark, t)
+    commit_delta(
+        spark, t, _docs(spark, 50, 60), list(prev["files"]), update_key_ranges={}
+    )
+    # "crash": no txn publish. Readers see v1.
+    assert txn_read(spark, ws, t).count() == 50
+    # roll-forward: retry the publish; readers flip.
+    txn_commit(spark, ws, {t: 2})
+    assert txn_read(spark, ws, t).count() == 60
+
+
+def test_unpinned_version_refused(spark, tmp_path):
+    ws = str(tmp_path / "ws")
+    t = str(tmp_path / "t")
+    commit_snapshot(spark, t, _docs(spark, 0, 10))
+    with pytest.raises(ValueError, match="not committed"):
+        txn_commit(spark, ws, {t: 7})
+
+
+def test_unmentioned_tables_carry_forward(spark, tmp_path):
+    ws = str(tmp_path / "ws")
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    commit_snapshot(spark, a, _docs(spark, 0, 10))
+    commit_snapshot(spark, b, _docs(spark, 0, 20))
+    txn_commit(spark, ws, {a: 1, b: 1})
+    commit_snapshot(spark, a, _docs(spark, 0, 15))
+    txn_commit(spark, ws, {a: 2})
+    assert txn_state(spark, ws) == {a: 2, b: 1}
+    assert txn_read(spark, ws, b).count() == 20
+
+
+def test_disjoint_concurrent_txns_rebase(spark, tmp_path):
+    """Two writers pinning DIFFERENT tables from the same base both
+    land (one rebases over the other); overlapping pins abort."""
+    ws = str(tmp_path / "ws")
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    commit_snapshot(spark, a, _docs(spark, 0, 10))
+    commit_snapshot(spark, b, _docs(spark, 0, 10))
+    txn_commit(spark, ws, {a: 1, b: 1})
+    commit_snapshot(spark, a, _docs(spark, 0, 12))
+    commit_snapshot(spark, b, _docs(spark, 0, 14))
+    # both derived from txn 1
+    txn_commit(spark, ws, {a: 2}, base_txn=1)
+    txn_commit(spark, ws, {b: 2}, base_txn=1)  # rebases over txn 2
+    assert txn_state(spark, ws) == {a: 2, b: 2}
+    # a third writer pinning table a FROM THE STALE BASE must abort
+    commit_snapshot(spark, a, _docs(spark, 0, 16))
+    with pytest.raises(CommitConflictError, match="moved table"):
+        txn_commit(spark, ws, {a: 3}, base_txn=1)
+
+
+def test_threaded_txn_race_single_winner_per_id(spark, tmp_path):
+    """N threads race disjoint txns from the same base: every one must
+    land exactly once (rebase loop), ids dense, final state the union."""
+    ws = str(tmp_path / "ws")
+    tables = []
+    for i in range(4):
+        t = str(tmp_path / f"t{i}")
+        commit_snapshot(spark, t, _docs(spark, 0, 5 + i))
+        tables.append(t)
+    txn_commit(spark, ws, {t: 1 for t in tables})
+    for t in tables:
+        commit_snapshot(spark, t, _docs(spark, 0, 30))
+    errs = []
+
+    def worker(t):
+        try:
+            txn_commit(spark, ws, {t: 2}, base_txn=1)
+        except Exception as ex:  # noqa: BLE001 - collected for assert
+            errs.append(ex)
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in tables]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    assert txn_state(spark, ws) == {t: 2 for t in tables}
+    assert txn_pinned_versions(spark, ws, tables[0]) == {1, 2}
