@@ -1693,7 +1693,14 @@ def _sd_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, sf_dir, k=_semdedup_k(n_vectors)
         )
         _SD_ASSIGN_CACHE[cache_key] = assign.cache()
-    return _SD_ASSIGN_CACHE[cache_key]
+    assign = _SD_ASSIGN_CACHE[cache_key]
+    if not (assign.storageLevel.useMemory or assign.storageLevel.useDisk):
+        # re-pin after a session-wide clearCache (bench runs one
+        # between queries) — otherwise every consumer re-runs the
+        # corpus scan + K-centroid argmin fold uncached
+        assign = assign.persist()
+        _SD_ASSIGN_CACHE[cache_key] = assign
+    return assign
 
 
 def semdedup_dup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:

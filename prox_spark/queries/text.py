@@ -3080,6 +3080,12 @@ def q174_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
             .persist()
         )
     cnt = _CMS_CNT_CACHE[cache_key]
+    if not (cnt.storageLevel.useMemory or cnt.storageLevel.useDisk):
+        # a session-wide clearCache (bench does this between queries)
+        # unpersists the frame under the registry: re-pin it, or every
+        # consumer branch silently re-runs the full token explode
+        cnt = cnt.persist()
+        _CMS_CNT_CACHE[cache_key] = cnt
     # sketch build: one (d, bucket) partial-agg per hash row, from the
     # per-token counts (equivalent to per-occurrence increments)
     rows = [

@@ -37,6 +37,10 @@ SKIP = {
     "q152_cdc_apply",  # executes real table commits while building
     "q153_streaming_cdc_apply",  # runs a real stream while building
     "q159_mor_delete",  # executes real table commits while building
+    "q191_table_stream_view",  # runs two real stream passes while
+    # building; the view fold is q190's audited join shape
+    "q192_multi_table_txn",  # stages real table+txn commits while
+    # building; the read side is an ordinary pruned groupBy
     "q160_triangle_count",  # executes counting jobs; closing-join twin below
     "q161_ivf_index_maintenance",  # commits the index table while building;
     # the serving probe join is q45's audited plan shape
