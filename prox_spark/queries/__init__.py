@@ -43,6 +43,8 @@ _FRONT = [
     "q191_table_stream_view",
     "q192_multi_table_txn",
     "q193_dedup_data_card",
+    "q194_streaming_lsh_index",
+    "q195_top_principal_component",
     # stalest driver rows next (last gated r3, name order) — the r2
     # cohort and the r3 names through q126 were re-gated in r6, so the
     # remaining r3 cohort rotates in, then the oldest r4 names
@@ -92,8 +94,6 @@ _FRONT = [
     "q120_bpe_pair_counts",
     "q122_quality_prune",
     "q124_dedup_pipeline",
-    "q127_pagerank",
-    "q128_variant_props",
 ]
 
 

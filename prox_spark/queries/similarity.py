@@ -1837,6 +1837,151 @@ ORDER BY c.cid
 """
 
 
+# --- q195: top principal component (exact-integer power iteration) ---------
+
+PCA_SCALE_E = 100       # embedding quantization: e = floor(x*100 + 0.5)
+PCA_SCALE_V = 10_000    # iterate vector renormalized to max |v| = 1e4
+PCA_T = 3               # power-iteration rounds (unrolled in the oracle)
+
+
+def _sdiv_spark(a: str, d: str) -> str:
+    """Sign-aware integer division identical across engines: Spark's
+    `div` truncates toward zero while DuckDB's `//` floors, so they
+    disagree on negatives — route both through -((-a) div d) for a<0."""
+    return (
+        f"CASE WHEN ({a}) < 0 THEN -((-({a})) div ({d})) "
+        f"ELSE ({a}) div ({d}) END"
+    )
+
+
+def _sdiv_duck(a: str, d: str) -> str:
+    return (
+        f"CASE WHEN ({a}) < 0 THEN -((-({a})) // ({d})) "
+        f"ELSE ({a}) // ({d}) END"
+    )
+
+
+def q195_top_principal_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by POWER
+    ITERATION in exact BIGINT arithmetic — the spectral-analysis
+    primitive behind embedding whitening, anisotropy diagnosis
+    ("all-but-the-top"), and drift monitoring, made hash-gate
+    deterministic the way q127's PageRank is: no floats anywhere, so
+    Spark and DuckDB agree bit-for-bit.
+
+    Pipeline: quantize each component to e = floor(x·100 + 0.5)
+    (pure float ops + floor — identical across engines, no rounding-
+    mode dependence); the scatter matrix of the CENTERED data without
+    ever dividing: C = N·G − s·sᵀ where G = Σ eᵢeᵢᵀ and s = Σ eᵢ
+    (exact integers; magnitudes bounded so N·G·SCALE_V stays inside
+    BIGINT through sf1); three matvec rounds from v₀ = 1, each
+    renormalized to max |v| = 10⁴ by sign-aware integer division
+    (Spark `div` truncates, DuckDB `//` floors — the CASE wrapper
+    makes them agree on negatives). Output: the 64 components of v₃,
+    integer-exact.
+
+    Scale shape: G is one self-join on vec_id (per-doc 64×64 outer
+    product — work ∝ N·d², the PCA lower bound) into a d²-row
+    partial agg; each iteration is a broadcast of the 64-row vector
+    against the d²-row C — driver traffic is one max-|v| scalar per
+    round. At 100 TB the quantized outer products ride the same
+    partial-agg combiners as any sum, and d² stays tiny."""
+    e = (
+        _emb(spark, sf_dir)
+        .select(
+            "vec_id",
+            F.posexplode(
+                F.expr(f"transform(dd, x -> cast(floor(x * {PCA_SCALE_E} + 0.5) as bigint))")
+            ).alias("j", "v"),
+        )
+    )
+    n = e.select("vec_id").distinct().count()
+    s = e.groupBy("j").agg(F.sum("v").cast("long").alias("s"))
+    a = e.select("vec_id", F.col("j").alias("j1"), F.col("v").alias("v1"))
+    b = e.select("vec_id", F.col("j").alias("j2"), F.col("v").alias("v2"))
+    g = (
+        a.join(b, "vec_id")
+        .groupBy("j1", "j2")
+        .agg(F.sum(F.col("v1") * F.col("v2")).cast("long").alias("g"))
+    )
+    c = (
+        g.join(F.broadcast(s.select(F.col("j").alias("j1"), F.col("s").alias("s1"))), "j1")
+        .join(F.broadcast(s.select(F.col("j").alias("j2"), F.col("s").alias("s2"))), "j2")
+        .select(
+            "j1", "j2",
+            (F.lit(int(n)) * F.col("g") - F.col("s1") * F.col("s2")).alias("c"),
+        )
+        .persist()
+    )
+    dims = c.select(F.col("j1").alias("j")).distinct()
+    v = dims.select("j", F.lit(int(PCA_SCALE_V)).cast("long").alias("v"))
+    for _ in range(PCA_T):
+        w = (
+            c.join(F.broadcast(v.select(F.col("j").alias("j2"), F.col("v").alias("vk"))), "j2")
+            .groupBy("j1")
+            .agg(F.sum(F.col("c") * F.col("vk")).cast("long").alias("w"))
+            .select(F.col("j1").alias("j"), "w")
+        )
+        m = int(w.agg(F.max(F.abs(F.col("w")))).first()[0])
+        v = w.select(
+            "j",
+            F.expr(_sdiv_spark(f"w * {PCA_SCALE_V}", str(m))).cast("long").alias("v"),
+        )
+    out = v.select(
+        F.col("j").cast("long").alias("dim"),
+        F.col("v").alias("component"),
+    ).orderBy("dim")
+    c.unpersist()
+    return out
+
+
+def _oracle_q195() -> str:
+    # the same unrolled iteration; renormalization divisors are scalar
+    # subqueries over the previous round's vector
+    matvec = (
+        "SELECT c.j1 AS j, sum(c.c * v.v) AS w FROM c JOIN {prev} v "
+        "ON c.j2 = v.j GROUP BY c.j1"
+    )
+    rescale = _sdiv_duck(f"w * {PCA_SCALE_V}", "(SELECT max(abs(w)) FROM {w})")
+    steps = []
+    prev = "v0"
+    for t in range(1, PCA_T + 1):
+        steps.append(f"w{t} AS ({matvec.format(prev=prev)})")
+        steps.append(
+            f"v{t} AS (SELECT j, CAST({rescale.format(w=f'w{t}')} AS BIGINT) AS v FROM w{t})"
+        )
+        prev = f"v{t}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         unnest(list_transform(
+           range(1, len(embedding) + 1),
+           i -> struct_pack(
+             j := CAST(i - 1 AS BIGINT),
+             v := CAST(floor(embedding[i]::DOUBLE * {PCA_SCALE_E} + 0.5) AS BIGINT)
+           )
+         ), recursive := true) AS _
+  FROM embeddings
+),
+n AS (SELECT count(DISTINCT vec_id) AS n FROM e),
+s AS (SELECT j, CAST(sum(v) AS BIGINT) AS s FROM e GROUP BY j),
+g AS (
+  SELECT a.j AS j1, b.j AS j2, CAST(sum(a.v * b.v) AS BIGINT) AS g
+  FROM e a JOIN e b USING (vec_id)
+  GROUP BY a.j, b.j
+),
+c AS (
+  SELECT j1, j2,
+         CAST((SELECT n FROM n) * g - s1.s * s2.s AS BIGINT) AS c
+  FROM g JOIN s s1 ON g.j1 = s1.j JOIN s s2 ON g.j2 = s2.j
+),
+v0 AS (SELECT DISTINCT j1 AS j, CAST({PCA_SCALE_V} AS BIGINT) AS v FROM c),
+{chain}
+SELECT j AS dim, v AS component FROM v{PCA_T} ORDER BY dim
+"""
+
+
 QUERIES = {
     "q40_cosine_topk": q40_cosine_topk,
     "q41_lsh_ann": q41_lsh_ann,
@@ -1853,6 +1998,7 @@ QUERIES = {
     "q162_ivf_mor_delete": q162_ivf_mor_delete,
     "q170_semdedup": q170_semdedup,
     "q175_matryoshka_overlap": q175_matryoshka_overlap,
+    "q195_top_principal_component": q195_top_principal_component,
 }
 
 ORACLES = {
@@ -1871,4 +2017,5 @@ ORACLES = {
     "q162_ivf_mor_delete": ORACLE_Q162,
     "q170_semdedup": ORACLE_Q170,
     "q175_matryoshka_overlap": ORACLE_Q175,
+    "q195_top_principal_component": _oracle_q195(),
 }

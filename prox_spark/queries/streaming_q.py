@@ -965,10 +965,183 @@ ORDER BY region
 """
 
 
+# --- q194: stream-maintained MinHash-LSH index -------------------------------
+
+_LSH_IDX_CACHE: dict = {}
+
+
+def lsh_index_batch(
+    batch_df: DataFrame, batch_id: int, index_path: str
+) -> None:
+    """Transactional LSH-index sink for foreachBatch: compute the
+    micro-batch's (doc_id, band, band_sig) rows — the same pure
+    projection the batch path uses (:func:`...text.lsh_band_rows`) —
+    and APPEND them to the index manifest table. An applied-batch
+    marker row (band = −1, band_sig = str(batch_id)) makes re-delivery
+    a no-op; each append is one atomic commit carrying every prior
+    index file verbatim."""
+    from prox_spark.queries.text import SHINGLES_SPARK, TOKENS_SPARK, lsh_band_rows
+    from prox_spark.table import (
+        commit_delta,
+        commit_snapshot,
+        is_manifest_table,
+        read_manifest,
+        read_table,
+    )
+
+    sp = batch_df.sparkSession
+    shingled = (
+        batch_df.withColumn("tokens", F.expr(TOKENS_SPARK))
+        .withColumn("shingles", F.array_distinct(F.expr(SHINGLES_SPARK)))
+        .select("doc_id", "shingles")
+    )
+    marker = sp.createDataFrame(
+        [(-1, str(int(batch_id)), -1)], "band int, band_sig string, doc_id long"
+    )
+    rows = lsh_band_rows(shingled).select("band", "band_sig", "doc_id")
+    if is_manifest_table(sp, index_path):
+        applied = {
+            r["band_sig"]
+            for r in read_table(sp, index_path)
+            .filter(F.col("band") == -1).select("band_sig").collect()
+        }
+        if str(int(batch_id)) in applied:
+            return
+        prev = read_manifest(sp, index_path)
+        commit_delta(
+            sp, index_path, rows.unionByName(marker), list(prev["files"]),
+            base_manifest=prev, base_version=prev.get("version"),
+            update_key_ranges={},
+        )
+    else:
+        commit_snapshot(
+            sp, index_path, rows.unionByName(marker), stat_cols=["band_sig"],
+        )
+
+
+def _lsh_stream_index(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """Staged once per process: the corpus committed in three versions
+    covering ALL documents (%10 ≤ 5, then {6,7}, then {8,9}), consumed
+    by two checkpoint-sharing runs of the table-changes stream, each
+    micro-batch appending its LSH band rows to the index table.
+    Returns (index path, applied-batch marker count)."""
+    from prox_spark.queries._staging import staged
+    from prox_spark.table import commit_delta, commit_snapshot, read_manifest, read_table
+    from prox_spark.table_stream import TableChangesDataSource
+
+    def build(scratch: str) -> tuple[str, int]:
+        spark.dataSource.register(TableChangesDataSource)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        t = f"{scratch}/docs_t"
+        idx = f"{scratch}/lsh_idx"
+        ckpt = f"{scratch}/ckpt"
+
+        def _run_stream() -> None:
+            with _stream_partitions(spark):
+                q = (
+                    spark.readStream.format("prox_table_changes")
+                    .option("path", t)
+                    .load()
+                    .writeStream.foreachBatch(
+                        lambda bdf, bid: lsh_index_batch(bdf, bid, idx)
+                    )
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                try:
+                    q.awaitTermination(120)
+                finally:
+                    q.stop()
+
+        commit_snapshot(
+            spark, t, docs.filter(F.col("doc_id") % 10 <= 5),
+            stat_cols=["doc_id"], n_files=4,
+        )
+        _run_stream()
+        for pred in (
+            (F.col("doc_id") % 10).isin(6, 7),
+            (F.col("doc_id") % 10).isin(8, 9),
+        ):
+            prev = read_manifest(spark, t)
+            commit_delta(
+                spark, t, docs.filter(pred),
+                list(prev["files"]), update_key_ranges={},
+            )
+        _run_stream()
+        markers = (
+            read_table(spark, idx).filter(F.col("band") == -1).count()
+        )
+        return idx, int(markers)
+
+    return staged(_LSH_IDX_CACHE, sf_dir, "prox_lsh_idx_", build)
+
+
+def q194_streaming_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup index maintained BY A STREAM — the
+    incremental-dedup-index pattern a standing 100 TB ingest needs:
+    new documents' band signatures are a pure map-side projection, so
+    each arriving commit appends its rows to the bucket index (work ∝
+    batch, the corpus is never re-signatured) and candidate serving
+    reads the INDEX, not the corpus. Composes q191's table-as-stream
+    source with q36's LSH front: the stream is committed in three
+    versions across two checkpoint-sharing runs, each micro-batch
+    folding through the transactional append sink
+    (:func:`lsh_index_batch`, marker-idempotent under replay).
+
+    The gate is exact equivalence: verified Jaccard pairs derived
+    from the stream-built index must equal the batch LSH end-to-end
+    (q36's own oracle gates it, plus an `incremental` flag pinning
+    that ≥2 separate micro-batches actually built the index) — a
+    dropped batch, a double-applied batch, or a band computed
+    differently in the streaming path all surface as missing/extra
+    pairs."""
+    from prox_spark.queries.text import (
+        JACCARD_THRESHOLD,
+        _doc_shingle_arrays,
+        lsh_verify_pairs,
+    )
+    from prox_spark.table import read_table
+
+    idx, markers = _lsh_stream_index(spark, sf_dir)
+    bands = read_table(spark, idx).filter(F.col("band") >= 0)
+    arr = _doc_shingle_arrays(spark, sf_dir).cache()
+    ov = lsh_verify_pairs(arr, bands)
+    return (
+        ov.withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n1") + F.col("n2") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc1", "doc2", "jaccard")
+        .withColumn("incremental", F.lit(markers >= 2))
+        .orderBy("doc1", "doc2")
+    )
+
+
+def _oracle_q194() -> str:
+    # the stream-built index must reproduce the batch LSH exactly, so
+    # q36's oracle gates it (wrapped to carry the incremental flag)
+    from prox_spark.queries.text import ORACLE_Q36
+
+    return (
+        "SELECT doc1, doc2, jaccard, TRUE AS incremental FROM ("
+        + ORACLE_Q36
+        + ") ORDER BY doc1, doc2"
+    )
+
+
 QUERIES = {
     "q136_streaming_neardup_store": q136_streaming_neardup_store,
     "q189_streaming_cms": q189_streaming_cms,
     "q191_table_stream_view": q191_table_stream_view,
+    "q194_streaming_lsh_index": q194_streaming_lsh_index,
     "q44_stateful_user_totals": q44_stateful_user_totals,
     "q109_streaming_dedup_store": q109_streaming_dedup_store,
     "q69_streaming_hourly_stats": q69_streaming_hourly_stats,
@@ -981,6 +1154,7 @@ ORACLES = {
     "q136_streaming_neardup_store": _oracle_q136(),
     "q189_streaming_cms": _oracle_q189(),
     "q191_table_stream_view": ORACLE_Q191,
+    "q194_streaming_lsh_index": _oracle_q194(),
     "q109_streaming_dedup_store": ORACLE_Q109,
     "q100_streaming_dedup": ORACLE_Q100,
     "q101_streaming_sessions": ORACLE_Q101,

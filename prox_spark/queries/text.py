@@ -302,12 +302,12 @@ MINHASH_K = 16          # signature length
 LSH_BAND_ROWS = 4       # rows per band -> 4 bands; s-curve threshold ~0.71
 
 
-def _minhash_candidate_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared LSH front half for q36/q147: banded-MinHash candidate
-    pairs joined back to their shingle arrays, with the exact overlap
-    (n_inter, n1, n2) computed — the similarity METRIC (Jaccard vs
-    containment) is the caller's one-line decision."""
-    arr = _doc_shingle_arrays(spark, sf_dir).cache()
+def lsh_band_rows(shingled: DataFrame) -> DataFrame:
+    """(doc_id, band, band_sig) from a (doc_id, shingles) frame — the
+    map-side MinHash signature + banding front shared by q36/q147's
+    batch candidate generation and q194's STREAMING index maintenance
+    (each micro-batch of new docs runs exactly this projection and
+    appends the rows; no shuffle, no state)."""
     sig_expr = (
         f"transform(sequence(0, {MINHASH_K - 1}), "
         "s -> array_min(transform(shingles, x -> md5(concat(cast(s as string), '|', x)))))"
@@ -317,16 +317,36 @@ def _minhash_candidate_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"transform(sequence(0, {n_bands - 1}), "
         f"b -> named_struct('band', b, 'band_sig', array_join(slice(sig, b * {LSH_BAND_ROWS} + 1, {LSH_BAND_ROWS}), ',')))"
     )
+    return (
+        shingled.withColumn("sig", F.expr(sig_expr))
+        .select("doc_id", F.explode(F.expr(bands_expr)).alias("bb"))
+        .select(
+            "doc_id", F.col("bb.band").alias("band"),
+            F.col("bb.band_sig").alias("band_sig"),
+        )
+    )
+
+
+def _minhash_candidate_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared LSH front half for q36/q147: banded-MinHash candidate
+    pairs joined back to their shingle arrays, with the exact overlap
+    (n_inter, n1, n2) computed — the similarity METRIC (Jaccard vs
+    containment) is the caller's one-line decision."""
+    arr = _doc_shingle_arrays(spark, sf_dir).cache()
     # materialize the signature/band table: it is tiny (n_docs * n_bands
     # short rows) and caching prevents the optimizer from inlining the
     # md5 minhash fold into every downstream consumer (which would
     # re-evaluate it once per band per use — measured 10-50x slowdowns)
-    bands = (
-        arr.withColumn("sig", F.expr(sig_expr))
-        .select("doc_id", F.explode(F.expr(bands_expr)).alias("bb"))
-        .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_sig").alias("band_sig"))
-        .cache()
-    )
+    bands = lsh_band_rows(arr).cache()
+    return lsh_verify_pairs(arr, bands)
+
+
+def lsh_verify_pairs(arr: DataFrame, bands: DataFrame) -> DataFrame:
+    """Bucket-collision pair enumeration + exact overlap verify over
+    ANY (doc_id, band, band_sig) frame — the back half shared by the
+    batch path (bands computed inline) and q194 (bands read from the
+    stream-maintained index table). Returns (doc1, doc2, n_inter, n1,
+    n2)."""
     # enumerate pairs within each bucket (single shuffle keyed by the
     # bucket — no self-join, no second scan of the corpus)
     pairs_expr = (

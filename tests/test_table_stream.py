@@ -189,3 +189,27 @@ def test_view_merge_batch_replay_is_idempotent(spark, tmp_path):
         for r in T.read_table(spark, store).filter(F.col("n_docs") >= 0).collect()
     }
     assert rows == {"r0": (2, 40), "r1": (1, 20)}
+
+
+def test_lsh_index_batch_replay_is_idempotent(spark, tmp_path):
+    """q194's index sink: a re-delivered batch id must not append its
+    band rows twice (the applied-batch marker gates the fold)."""
+    from prox_spark.queries.streaming_q import lsh_index_batch
+
+    idx = str(tmp_path / "idx")
+    batch = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    lsh_index_batch(batch, 0, idx)
+    n1 = T.read_table(spark, idx).count()
+    lsh_index_batch(batch, 0, idx)  # replayed delivery
+    assert T.read_table(spark, idx).count() == n1
+    # identical docs collide in every band bucket
+    rows = (
+        T.read_table(spark, idx).filter(F.col("band") >= 0)
+        .groupBy("band", "band_sig")
+        .count().collect()
+    )
+    assert rows and all(r["count"] == 2 for r in rows)

@@ -39,6 +39,8 @@ SKIP = {
     "q159_mor_delete",  # executes real table commits while building
     "q191_table_stream_view",  # runs two real stream passes while
     # building; the view fold is q190's audited join shape
+    "q194_streaming_lsh_index",  # runs two real stream passes while
+    # building; the candidate/verify back half is q36's audited shape
     "q192_multi_table_txn",  # stages real table+txn commits while
     # building; the read side is an ordinary pruned groupBy
     "q160_triangle_count",  # executes counting jobs; closing-join twin below
