@@ -2470,6 +2470,7 @@ def vacuum(
     table_path: str,
     keep_last: int = 2,
     retention_minutes: float = 15.0,
+    extra_pins: set | None = None,
 ) -> list[int]:
     """Drop all but the newest ``keep_last`` versions: their manifests,
     and any data dir no kept manifest references a single file of
@@ -2508,9 +2509,14 @@ def vacuum(
     keep = versions[-keep_last:] if keep_last > 0 else []
     # TAGGED versions are pinned: their manifests survive any keep_last
     # and their files are protected — a tag is a promise that the exact
-    # bytes stay resolvable (drop_tag releases the pin)
+    # bytes stay resolvable (drop_tag releases the pin). ``extra_pins``
+    # extends the same promise to externally-held references — pass
+    # ``txn.txn_pinned_versions(...)`` so versions a transaction log
+    # still names survive retention (expire_txns releases them).
     tagged = set(list_tags(spark, table_path).values())
-    keep = sorted(set(keep) | (tagged & set(versions)))
+    keep = sorted(
+        set(keep) | ((tagged | set(extra_pins or ())) & set(versions))
+    )
     dropped = [v for v in versions if v not in keep]
     kept_dirs = set()
     kept_chunks = set()

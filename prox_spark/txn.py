@@ -187,12 +187,63 @@ def txn_read(
 def txn_pinned_versions(
     spark: SparkSession, workspace: str, table_path: str
 ) -> set[int]:
-    """Every version of ``table_path`` any transaction pins — feed
-    this to vacuum's keep set (like tags) so pinned history survives
-    retention."""
+    """Every version of ``table_path`` any live transaction pins —
+    feed this to ``vacuum(..., extra_pins=...)`` (like tags) so pinned
+    history survives retention; :func:`expire_txns` releases old pins."""
     out = set()
     for n in _txn_ids(spark, workspace):
         v = _read_txn(spark, workspace, n)["tables"].get(table_path)
         if v is not None:
             out.add(int(v))
+    return out
+
+
+def expire_txns(
+    spark: SparkSession, workspace: str, keep_last: int = 2
+) -> list[int]:
+    """Drop all but the newest ``keep_last`` transaction documents —
+    the workspace's retention policy. Expired txns stop pinning their
+    table versions (the next ``vacuum(extra_pins=
+    txn_pinned_versions(...))`` cycle can reclaim them), exactly the
+    tag/drop_tag lifecycle at workspace granularity. Time travel to an
+    expired txn stops resolving; the LIVE state is never touched
+    (``keep_last >= 1`` enforced). Returns the expired ids."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (the live txn stays)")
+    ids = _txn_ids(spark, workspace)
+    expired = ids[:-keep_last]
+    jvm, fs, _ = _fs(spark, workspace)
+    for n in expired:
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(
+                f"{workspace}/{TXN_DIR}/txn-{n:08d}.json"
+            ),
+            False,
+        )
+    return expired
+
+
+def vacuum_workspace(
+    spark: SparkSession,
+    workspace: str,
+    table_paths: list[str],
+    *,
+    keep_txns: int = 2,
+    keep_versions: int = 2,
+    retention_minutes: float = 15.0,
+) -> dict:
+    """The workspace maintenance cycle: expire old transactions, then
+    vacuum each member table with the SURVIVING txns' pins protected —
+    the all-in-one a pipeline schedules after its txn commits. Returns
+    {"expired_txns": [...], "vacuumed": {table: [versions]}}."""
+    from prox_spark.table import vacuum
+
+    expired = expire_txns(spark, workspace, keep_last=keep_txns)
+    out: dict = {"expired_txns": expired, "vacuumed": {}}
+    for t in table_paths:
+        out["vacuumed"][t] = vacuum(
+            spark, t, keep_last=keep_versions,
+            retention_minutes=retention_minutes,
+            extra_pins=txn_pinned_versions(spark, workspace, t),
+        )
     return out

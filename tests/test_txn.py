@@ -148,3 +148,47 @@ def test_threaded_txn_race_single_winner_per_id(spark, tmp_path):
     assert not errs
     assert txn_state(spark, ws) == {t: 2 for t in tables}
     assert txn_pinned_versions(spark, ws, tables[0]) == {1, 2}
+
+
+def test_txn_pins_protect_through_vacuum_until_expiry(spark, tmp_path):
+    """A version only a txn still names must survive vacuum when its
+    pins are passed (extra_pins); expire_txns releases the pin and the
+    next cycle reclaims — the tag/drop_tag lifecycle at workspace
+    granularity, exercised through vacuum_workspace."""
+    from prox_spark.table import read_table, table_versions, vacuum
+    from prox_spark.txn import expire_txns, vacuum_workspace
+
+    ws = str(tmp_path / "ws")
+    t = str(tmp_path / "t")
+    counts = {}
+    for v in range(1, 5):  # v1..v4, each a full snapshot of v*10 rows
+        commit_snapshot(spark, t, _docs(spark, 0, v * 10))
+        txn_commit(spark, ws, {t: v})
+        counts[v] = v * 10
+    # vacuum WITH pins: every txn-named version survives keep_last=1
+    out = vacuum_workspace(
+        spark, ws, [t], keep_txns=4, keep_versions=1, retention_minutes=0.0
+    )
+    assert out["expired_txns"] == [] and out["vacuumed"][t] == []
+    for v, n in counts.items():
+        assert txn_read(spark, ws, t, txn=v).count() == n
+    # expire to the last 2 txns: v1/v2's pins release, next cycle reclaims
+    out = vacuum_workspace(
+        spark, ws, [t], keep_txns=2, keep_versions=1, retention_minutes=0.0
+    )
+    assert out["expired_txns"] == [1, 2]
+    assert sorted(out["vacuumed"][t]) == [1, 2]
+    assert table_versions(spark, t) == [3, 4]
+    assert txn_read(spark, ws, t, txn=3).count() == 30
+    assert txn_read(spark, ws, t).count() == 40
+    with pytest.raises(ValueError):
+        txn_read(spark, ws, t, txn=1)  # expired: stops resolving
+    with pytest.raises(ValueError):
+        expire_txns(spark, ws, keep_last=0)  # the live txn must stay
+    # vacuum WITHOUT pins would have dropped v3 (keep_last=1) — prove
+    # the pin is what held it, on a fresh unpinned table
+    t2 = str(tmp_path / "t2")
+    for v in range(1, 4):
+        commit_snapshot(spark, t2, _docs(spark, 0, v * 10))
+    vacuum(spark, t2, keep_last=1, retention_minutes=0.0)
+    assert table_versions(spark, t2) == [3]
