@@ -69,10 +69,14 @@ QUERIES = [
     # replica's cosine structure verbatim while decorrelating across
     # replicas — the realistic 10x-crawl regime for cluster sizes.
     "q170_semdedup",
+    # round 7: the unified data card composes the exact/span/semantic
+    # fronts — its growth must stay the max of its arms' (span 0.67,
+    # semantic N^1.5), never a product
+    "q193_dedup_data_card",
 ]
 # queries whose builder caches an intermediate per (app, sf_dir): warm
 # the DEST side too, so both scales time the same post-cache work
-WARM_DEST = {"q170_semdedup"}
+WARM_DEST = {"q170_semdedup", "q193_dedup_data_card"}
 MAX_EXPONENT = 1.6
 
 
