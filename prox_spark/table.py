@@ -263,8 +263,26 @@ def _is_missing_file_error(ex: Exception) -> bool:
     """A driver-side metadata read that raced a concurrent delete
     (drop_tag/drop_branch/vacuum between listing and open) surfaces as
     a JVM FileNotFoundException through py4j — distinguishable from
-    transient FS/RPC failures, which must stay loud."""
-    return "FileNotFoundException" in str(ex)
+    transient FS/RPC failures, which must stay loud.
+
+    Classified by the thrown exception's own TOP-LEVEL class, never by
+    substring-searching the stringified stack trace: a fatal error
+    whose causal chain merely mentions FileNotFoundException must not
+    be swallowed as benign (it would skip vacuum's branch-protect for
+    a live branch)."""
+    if isinstance(ex, FileNotFoundError):
+        return True
+    je = getattr(ex, "java_exception", None)
+    if je is not None:
+        try:
+            return je.getClass().getName().endswith("FileNotFoundException")
+        except Exception:
+            pass
+        return False
+    # non-py4j wrappers (e.g. Spark Connect / converted exceptions):
+    # anchor to the message head, not the full trace
+    head = "\n".join(str(ex).splitlines()[:2])
+    return "FileNotFoundException" in head
 
 
 def _read_json(spark: SparkSession, table_path: str, rel: str) -> dict:

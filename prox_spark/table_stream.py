@@ -145,37 +145,95 @@ class TableChangesStreamReader(DataSourceStreamReader):
         self._skip_changes = (
             str(options.get("skipchangecommits", "false")).lower() == "true"
         )
+        self._fail_on_data_loss = (
+            str(options.get("failondataloss", "true")).lower() != "false"
+        )
         self._start_v = int(options.get("startingversion", 0))
         self._max_versions = int(options.get("maxversionsperbatch", 0))
         self._last_end: int | None = None
 
     def initialOffset(self) -> dict:
+        # only a genuinely FRESH query asks for the initial offset
+        # (restarts recover it from the checkpoint instead), so this is
+        # the one place startingVersion may seed the pacing floor
+        self._advance_floor(self._start_v)
         return {"version": self._start_v}
+
+    def _advance_floor(self, v: int) -> None:
+        # high-water mark for the pacing floor: never below an offset
+        # Spark has already planned or committed — after checkpoint
+        # recovery the recovered batch's end (seen via partitions()/
+        # commit()) re-seeds it, so latestOffset can never regress
+        # behind the checkpoint and re-deliver processed versions
+        if self._last_end is None or v > self._last_end:
+            self._last_end = v
 
     def latestOffset(self) -> dict:
         versions = _list_versions(self._path)
         latest = versions[-1] if versions else self._start_v
-        if self._max_versions > 0:
-            floor = self._last_end if self._last_end is not None else self._start_v
-            latest = min(latest, floor + self._max_versions)
-            latest = max(latest, floor)
-        self._last_end = latest
+        # pace only once a floor is known: on the FIRST trigger after a
+        # (re)start self._last_end is None and the true floor lives in
+        # the checkpoint, which partitions() sees, not this method — a
+        # capped guess here could fall BEHIND the committed offset and
+        # re-deliver processed versions (the restart duplicate bug)
+        if self._max_versions > 0 and self._last_end is not None:
+            latest = min(latest, self._last_end + self._max_versions)
+            latest = max(latest, self._last_end)
+        self._advance_floor(latest)
         return {"version": latest}
+
+    def _load_or_lose(self, v: int) -> dict | None:
+        """Manifest ``v``, or None when it was vacuumed and
+        ``failOnDataLoss=false`` opted into skipping the gap."""
+        try:
+            return _load_manifest(self._path, v)
+        except FileNotFoundError as ex:
+            if self._fail_on_data_loss:
+                raise RuntimeError(
+                    f"manifest for version {v} of {self._path} no longer "
+                    "exists (vacuumed past the stream's lag). Keep the "
+                    "source table's vacuum keep_versions above the maximum "
+                    "stream lag, or set failOnDataLoss=false to skip the "
+                    "missing versions (their rows are lost to the stream)."
+                ) from ex
+            import warnings
+
+            warnings.warn(
+                f"prox_table_changes: skipping vacuumed version {v} of "
+                f"{self._path} (failOnDataLoss=false) — its rows are lost "
+                "to the stream",
+                stacklevel=2,
+            )
+            return None
 
     def partitions(self, start: dict, end: dict):
         s, e = int(start["version"]), int(end["version"])
+        self._advance_floor(e)
         parts: list[_FilesPartition] = []
-        prev = _load_manifest(self._path, s) if s > 0 else {}
+        prev = self._load_or_lose(s) if s > 0 else {}
         for v in range(s + 1, e + 1):
-            doc = _load_manifest(self._path, v)
+            doc = self._load_or_lose(v)
+            if doc is None:
+                # vacuumed gap under failOnDataLoss=false: prev becomes
+                # unknown — change detection resumes at the next
+                # loadable version against the last manifest we saw
+                continue
             if _schema_sig(doc.get("schema")) != self._schema_json:
                 raise RuntimeError(
                     f"table schema changed at version {v}; restart the "
                     "stream to pick up the new schema"
                 )
             cur_files = doc.get("files") or []
-            removed = set(prev.get("files") or []) - set(cur_files)
-            changed = bool(removed) or _delete_sig(doc) != _delete_sig(prev)
+            if prev is None:
+                # the previous manifest was vacuumed (failOnDataLoss=
+                # false): no diff is possible — deliver this version's
+                # born files and resume change detection from here
+                changed = False
+            else:
+                removed = set(prev.get("files") or []) - set(cur_files)
+                changed = (
+                    bool(removed) or _delete_sig(doc) != _delete_sig(prev)
+                )
             if changed and not self._skip_changes:
                 raise RuntimeError(
                     f"version {v} of {self._path} is not an append commit "
@@ -208,7 +266,7 @@ class TableChangesStreamReader(DataSourceStreamReader):
             yield from t.to_batches()
 
     def commit(self, end: dict) -> None:
-        pass
+        self._advance_floor(int(end["version"]))
 
 
 class TableChangesDataSource(DataSource):
@@ -217,7 +275,9 @@ class TableChangesDataSource(DataSource):
 
     Options: ``startingVersion`` (default 0 — stream everything since
     creation; N streams commits AFTER version N), ``skipChangeCommits``
-    (default false), ``maxVersionsPerBatch`` (default unlimited)."""
+    (default false), ``maxVersionsPerBatch`` (default unlimited),
+    ``failOnDataLoss`` (default true — raise when a needed manifest was
+    vacuumed; false skips the gap with a warning)."""
 
     @classmethod
     def name(cls) -> str:

@@ -141,6 +141,25 @@ def txn_commit(
             f"{workspace}/{TXN_DIR}/txn-{n:08d}.json"
         )
         if not fs.exists(final) and fs.rename(tmp, final):
+            # RE-VALIDATE after publish (the create_tag recipe): a
+            # vacuum whose extra_pins were computed before this txn
+            # existed can sweep a pinned version between the pre-publish
+            # validation and the rename landing. Either every pin's
+            # manifest survives, or we undo the txn doc and fail LOUDLY
+            # instead of leaving a published txn pinning vacuumed bytes
+            # (txn_read of that table would fail permanently).
+            stale = {
+                t: v
+                for t, v in updates.items()
+                if v not in _manifest_versions(spark, t)
+            }
+            if stale:
+                fs.delete(final, False)
+                raise CommitConflictError(
+                    f"version(s) {stale} were vacuumed while txn {n} "
+                    f"published to {workspace}; txn rolled back — restage "
+                    "the table commits"
+                )
             return n
         fs.delete(tmp, False)
         attempts += 1

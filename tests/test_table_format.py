@@ -868,3 +868,27 @@ def test_manifest_records_file_sizes(spark, tmp_path):
     )
     m3 = read_manifest(spark, path)
     assert m3["sizes"] == m2["sizes"]
+
+
+def test_missing_file_classifier_is_class_anchored(spark):
+    """_is_missing_file_error must classify by the thrown exception's
+    own class, not by substring-searching the full stack trace: a fatal
+    error whose causal chain merely mentions FileNotFoundException must
+    stay loud (it gates vacuum's branch-protect skip)."""
+    from prox_spark.table import _fs, _is_missing_file_error
+
+    jvm, fs, _ = _fs(spark, "/nonexistent")
+    raised = None
+    try:
+        fs.open(jvm.org.apache.hadoop.fs.Path("/nonexistent/not/there.json"))
+    except Exception as ex:
+        raised = ex
+    assert raised is not None and _is_missing_file_error(raised)
+    assert _is_missing_file_error(FileNotFoundError("gone"))
+    fatal = RuntimeError(
+        "connection reset by peer\n"
+        "while calling o1.open\n"
+        "...\n"
+        "Caused by: java.io.FileNotFoundException: unrelated inner frame"
+    )
+    assert not _is_missing_file_error(fatal)

@@ -213,3 +213,70 @@ def test_lsh_index_batch_replay_is_idempotent(spark, tmp_path):
         .count().collect()
     )
     assert rows and all(r["count"] == 2 for r in rows)
+
+
+def test_pacing_floor_never_regresses_after_restart(spark, tmp_path):
+    """maxVersionsPerBatch's pacing floor must survive a query restart:
+    a fresh reader (driver-local state reset) that learns the committed
+    offset through partitions()/commit() — or that has no floor at all —
+    must never return a latestOffset BEHIND it, or Spark would re-plan
+    and re-deliver already-processed versions."""
+    from prox_spark.table_stream import (
+        TableChangesDataSource,
+        TableChangesStreamReader,
+    )
+
+    t = str(tmp_path / "t")
+    commit_snapshot(spark, t, _docs(spark, 0, 10), stat_cols=["doc_id"])
+    for lo in range(10, 20, 2):  # v2..v6
+        prev = read_manifest(spark, t)
+        commit_delta(
+            spark, t, _docs(spark, lo, lo + 2), list(prev["files"]),
+            update_key_ranges={},
+        )
+    schema = TableChangesDataSource(options={"path": t}).schema()
+    opts = {"path": t, "maxVersionsPerBatch": "2"}
+
+    # a fresh query calls initialOffset first — that seeds the floor
+    a = TableChangesStreamReader(schema, dict(opts))
+    assert a.initialOffset() == {"version": 0}
+    assert a.latestOffset() == {"version": 2}
+    assert a.latestOffset() == {"version": 4}
+
+    # restart with a pending batch: Spark replays (2, 4] from the
+    # checkpoint via partitions(), then asks for the next end — the
+    # replayed end re-seeds the floor, so pacing continues FORWARD
+    b = TableChangesStreamReader(schema, dict(opts))
+    b.partitions({"version": 2}, {"version": 4})
+    assert b.latestOffset()["version"] == 6
+
+    # restart whose first call IS latestOffset: no floor is knowable
+    # (it lives in the checkpoint), so the trigger is unpaced rather
+    # than guessed-behind
+    c = TableChangesStreamReader(schema, dict(opts))
+    assert c.latestOffset()["version"] == 6
+
+    # commit() alone also re-seeds the floor
+    d = TableChangesStreamReader(schema, dict(opts))
+    d.commit({"version": 4})
+    assert d.latestOffset()["version"] == 6
+
+
+def test_vacuumed_versions_raise_or_skip(registered, tmp_path):
+    """A stream lagging past the source table's vacuum retention dies
+    loudly by default (naming the escape hatch); failOnDataLoss=false
+    skips the vacuumed gap and delivers what survives."""
+    spark = registered
+    t = _stage(spark, tmp_path)  # v1 = 0..9, v2 = 10..14
+    prev = read_manifest(spark, t)
+    commit_delta(
+        spark, t, _docs(spark, 15, 18), list(prev["files"]),
+        update_key_ranges={},
+    )  # v3
+    T.vacuum(spark, t, keep_last=1, retention_minutes=0.0)
+    seen: list = []
+    with pytest.raises(Exception, match="failOnDataLoss"):
+        _drain(spark, t, str(tmp_path / "c1"), seen)
+    seen2: list = []
+    _drain(spark, t, str(tmp_path / "c2"), seen2, failOnDataLoss="false")
+    assert sorted(x for _, rows in seen2 for x in rows) == [15, 16, 17]

@@ -192,3 +192,31 @@ def test_txn_pins_protect_through_vacuum_until_expiry(spark, tmp_path):
         commit_snapshot(spark, t2, _docs(spark, 0, v * 10))
     vacuum(spark, t2, keep_last=1, retention_minutes=0.0)
     assert table_versions(spark, t2) == [3]
+
+
+def test_publish_revalidates_pins_after_rename(spark, tmp_path, monkeypatch):
+    """A vacuum sweeping a pinned version between txn_commit's
+    pre-publish validation and the rename landing must not leave a
+    published txn pinning vacuumed bytes: the post-publish re-check
+    (create_tag recipe) undoes the doc and raises."""
+    import prox_spark.txn as X
+
+    a = str(tmp_path / "a")
+    commit_snapshot(spark, a, _docs(spark, 0, 5))
+    ws = str(tmp_path / "ws")
+    real = X._manifest_versions
+    calls = {"n": 0}
+
+    def fake(spark_, path, ref="main"):
+        calls["n"] += 1
+        out = real(spark_, path, ref)
+        # call 1 = pre-publish validation (version still there); the
+        # post-publish re-check sees it vacuumed away
+        return out if calls["n"] <= 1 else [v for v in out if v != 1]
+
+    monkeypatch.setattr(X, "_manifest_versions", fake)
+    with pytest.raises(CommitConflictError, match="vacuumed"):
+        txn_commit(spark, ws, {a: 1})
+    monkeypatch.undo()
+    # the half-published doc was rolled back: the workspace is empty
+    assert txn_state(spark, ws) == {}
