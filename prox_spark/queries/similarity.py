@@ -1880,8 +1880,15 @@ def q195_top_principal_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pure float ops + floor — identical across engines, no rounding-
     mode dependence); the scatter matrix of the CENTERED data without
     ever dividing: C = N·G − s·sᵀ where G = Σ eᵢeᵢᵀ and s = Σ eᵢ
-    (exact integers; magnitudes bounded so N·G·SCALE_V stays inside
-    BIGINT through sf1); three matvec rounds from v₀ = 1, each
+    (exact integers). HEADROOM: the largest value the pipeline ever
+    holds is a matvec accumulation bounded by d·max|C|·PCA_SCALE_V
+    with max|C| ≤ N·max|G| + max|s|², where max|G| itself grows ∝
+    N·(PCA_SCALE_E·max|x|)² — so the exact-BIGINT claim holds to
+    N ≈ 10⁹ rows at the current scales and is PROVEN per corpus, not
+    assumed: :func:`_assert_pca_headroom` checks the bound from the
+    measured stats at build time and raises loudly naming the
+    down-quantization knob (lower PCA_SCALE_E) when a corpus outgrows
+    it. Three matvec rounds from v₀ = 1, each
     renormalized to max |v| = 10⁴ by sign-aware integer division
     (Spark `div` truncates, DuckDB `//` floors — the CASE wrapper
     makes them agree on negatives). Output: the 64 components of v₃,
@@ -1955,9 +1962,49 @@ def q195_top_principal_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("g").cast("long").alias("g"))
         .persist()
     )
-    n = int(stats.filter(F.col("j1") == -1).first()["g"])
+    # the stats frame is d² + d + 1 longs — kilobytes — so the headroom
+    # proof runs on an exact driver-side copy (Python ints don't wrap)
+    stat_rows = [
+        (int(r["j1"]), int(r["j2"]), int(r["g"])) for r in stats.collect()
+    ]
+    n = next(g for j1, _, g in stat_rows if j1 == -1)
+    _assert_pca_headroom(n, stat_rows)
     _PCA_C_CACHE[cache_key] = (n, stats)
     return _pca_iterate(spark, _pca_c_from_stats(n, stats))
+
+
+def _assert_pca_headroom(n: int, stat_rows: list[tuple]) -> None:
+    """Prove the exact-BIGINT claim for THIS corpus before iterating,
+    from the measured stats (not a worst-case guess), in Python
+    arbitrary-precision ints. Two places can wrap in the engines'
+    BIGINT: the scatter entries C = n·G − s·sᵀ themselves, and the
+    matvec accumulation, bounded exactly by max_j1 Σ_j2 |C|·max|v|
+    with max|v| = PCA_SCALE_V (the renormalization invariant). Past
+    either bound the answer would silently wrap identically NOWHERE —
+    Spark and DuckDB disagree on overflow — so raise loudly and name
+    the knob: a smaller PCA_SCALE_E shrinks G and s quadratically,
+    buying orders of magnitude of N for one decimal digit of
+    quantization."""
+    s = {j2: g for j1, j2, g in stat_rows if j1 == -2}
+    max_c = 0
+    row_sums: dict[int, int] = {}
+    for j1, j2, g in stat_rows:
+        if j1 < 0:
+            continue
+        c = abs(n * g - s[j1] * s[j2])
+        if c > max_c:
+            max_c = c
+        row_sums[j1] = row_sums.get(j1, 0) + c
+    worst = max(row_sums.values(), default=0) * PCA_SCALE_V
+    if max_c >= 2**63 or worst >= 2**63:
+        raise OverflowError(
+            "q195 exact-BIGINT headroom exhausted: "
+            f"max|C| = {max_c}, max matvec accumulation = {worst} "
+            f"(limit 2^63; n={n}). Lower PCA_SCALE_E (coarser embedding "
+            "quantization) — G and s shrink quadratically with it — or "
+            "run the corpus in per-shard blocks and combine the stats "
+            "frames."
+        )
 
 
 def _pca_c_from_stats(n: int, stats: DataFrame) -> DataFrame:

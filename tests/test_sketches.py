@@ -28,3 +28,25 @@ def test_approx_distinct_within_rsd(spark):
         ).collect()
     }
     assert got_exact == exact
+
+
+def test_pca_headroom_guard():
+    """q195's exact-BIGINT claim is proven per corpus from the measured
+    stats: inside the bound the guard is silent; past it the error is
+    loud and names the down-quantization knob."""
+    import pytest
+
+    from prox_spark.queries.similarity import _assert_pca_headroom
+
+    def rows(n, d, g, sv):
+        out = [(-1, 0, n)] + [(-2, j, sv) for j in range(d)]
+        out += [(j1, j2, g) for j1 in range(d) for j2 in range(d)]
+        return out
+
+    # sf1-ish magnitudes: n=2e5, d=64, per-entry |G| ~ n*12^2, |s| ~ n*12
+    n = 200_000
+    _assert_pca_headroom(n, rows(n, 64, n * 144, n * 12))
+    # a corpus too big for the current quantization must refuse loudly
+    big = 10**9
+    with pytest.raises(OverflowError, match="PCA_SCALE_E"):
+        _assert_pca_headroom(big, rows(big, 64, big * 144, 0))

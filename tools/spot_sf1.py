@@ -73,6 +73,13 @@ QUERIES = [
     # fronts — its growth must stay the max of its arms' (span 0.67,
     # semantic N^1.5), never a product
     "q193_dedup_data_card",
+    # round 8: exact-BIGINT power iteration — the stats pass is the
+    # N-proportional work (one Arrow matmul pass, work ∝ N·d²), so the
+    # expected exponent is ~1 with fixed-cost dilution; measured
+    # cache-free via an override (the per-process stats cache would
+    # otherwise hide the pass). Also exercises _assert_pca_headroom at
+    # 10x the gate corpus.
+    "q195_top_principal_component",
 ]
 # queries whose builder caches an intermediate per (app, sf_dir): warm
 # the DEST side too, so both scales time the same post-cache work
@@ -164,7 +171,28 @@ def main() -> None:
 
         return _N(sf_dir)
 
-    overrides = {"q163_bpe_train": _measure_q163}
+    # q195's stats pass (the N-proportional work) hides behind a
+    # per-(app, sf_dir) cache — measure it cache-free at both scales,
+    # like q163's artifact cache.
+    def _measure_q195(spark_, sf_dir):
+        from prox_spark.queries import similarity as S
+
+        class _N:
+            def __init__(self, sf):
+                self.sf = sf
+
+            def count(self):
+                for _, stats in S._PCA_C_CACHE.values():
+                    stats.unpersist()
+                S._PCA_C_CACHE.clear()
+                return S.q195_top_principal_component(spark_, self.sf).count()
+
+        return _N(sf_dir)
+
+    overrides = {
+        "q163_bpe_train": _measure_q163,
+        "q195_top_principal_component": _measure_q195,
+    }
     out: dict = {}
     for name in QUERIES:
         fn = overrides.get(name, qs[name])
