@@ -716,6 +716,7 @@ def commit_delta(
     ref: str = "main",
     cluster_curve: str | None = None,
     index_of: dict | None = None,
+    data_change: bool = True,
 ) -> int:
     """Commit the table's next version as ``keep_files`` (carried over
     verbatim from the previous version — never rewritten, never moved)
@@ -771,7 +772,15 @@ def commit_delta(
     the write-audit-publish staging flow (:func:`create_branch` /
     :func:`fast_forward`). Data files land under the shared ``data/``
     dir either way; only the manifest namespace differs, so main
-    readers never see the branch's files until a fast-forward."""
+    readers never see the branch's files until a fast-forward.
+
+    ``data_change=False`` marks the commit as a read-only REWRITE
+    (compaction, small-file consolidation, delete folding): the rows
+    visible before and after are identical, only the physical layout
+    moved. The flag is recorded in the manifest (Delta's
+    ``dataChange=false`` action flag) so the change-data-feed reader
+    (:mod:`prox_spark.cdf`) skips these commits instead of emitting a
+    table-sized delete+insert echo of the rewrite."""
     versions = _manifest_versions(spark, table_path, ref)
     latest = versions[-1] if versions else 0
     if base_version is None:
@@ -1032,6 +1041,8 @@ def commit_delta(
             manifest["cluster_curve"] = cluster_curve
         if index_of:
             manifest["index_of"] = index_of
+        if not data_change:
+            manifest["data_change"] = False
         # merge-on-read deletes survive only for files carried over
         # verbatim: any file this commit REWROTE was read through
         # _read_files with its deletes already applied, so the new
@@ -1526,6 +1537,11 @@ def rollback_table(
     doc = _read_manifest_file(spark, table_path, to_version)
     doc["version"] = head + 1
     doc["restored_from"] = to_version
+    # a rollback CHANGES visible rows (it un-publishes the rolled-back
+    # commits) even when the restored doc was itself a rewrite-only
+    # compaction — never inherit its data_change=False marker, or the
+    # change feed would silently skip the restore
+    doc.pop("data_change", None)
     _write_manifest(spark, table_path, head + 1, doc)
     return head + 1
 
@@ -2264,6 +2280,10 @@ def compact_table(
         # zorder); an explicit value re-clusters onto a new curve — the
         # OPTIMIZE ZORDER / back-to-range maintenance entry point
         cluster_curve=cluster_curve,
+        # read-only rewrite: visible rows are unchanged (pending MoR
+        # deletes were already applied logically at THEIR commit; the
+        # fold just materializes them) — the change feed skips it
+        data_change=False,
     )
 
 
@@ -2327,6 +2347,7 @@ def compact_small_files(
         spark, table_path, df, big, stat_cols=cols,
         n_files=n_out if pin else None,
         base_version=manifest.get("version"), update_key_ranges={},
+        data_change=False,  # read-only rewrite: the change feed skips it
     )
     return len(small), len(big)
 
