@@ -52,6 +52,13 @@ from pyspark.sql.types import StructType
 MANIFEST_DIR = "_manifests"
 _MANIFEST_RE = re.compile(r"^manifest-(\d{8})\.json$")
 
+# the change-feed column contract — same names as the batch reader
+# (prox_spark/cdf.py), duplicated rather than imported: this module
+# runs inside the Python Data Source worker, which must not drag the
+# driver-side table/cdf machinery in
+CHANGE_TYPE_COL = "_change_type"
+COMMIT_VERSION_COL = "_commit_version"
+
 
 def _fs_base(path: str):
     """(pyarrow FileSystem, base path) for a table URI — LocalFileSystem
@@ -123,6 +130,30 @@ class _FilesPartition(InputPartition):
         self.fields = fields
 
 
+class _ChangePartition(InputPartition):
+    """One file's contribution to the CHANGE FEED of one commit:
+    ``anti`` = (key-file, keys) pairs whose rows must be masked out
+    (prior merge-on-read deletes — reconstructs visibility), ``semi``
+    = the new delete entry whose key set selects the rows this commit
+    deleted (None for plain insert/delete-of-removed-file parts)."""
+
+    def __init__(
+        self,
+        paths: list[str],
+        fields: list[str],
+        change_type: str,
+        version: int,
+        anti: list[tuple[str, list[str]]] | None = None,
+        semi: tuple[str, list[str]] | None = None,
+    ):
+        self.paths = paths
+        self.fields = fields
+        self.change_type = change_type
+        self.version = version
+        self.anti = anti or []
+        self.semi = semi
+
+
 class TableChangesStreamReader(DataSourceStreamReader):
     """Offsets are ``{"version": last_processed}``; a batch covers
     versions (start, end] and its partitions are the files born in
@@ -136,11 +167,21 @@ class TableChangesStreamReader(DataSourceStreamReader):
         options = {k.lower(): v for k, v in options.items()}
         self._path = options["path"]
         self._schema = schema
+        self._cdf = (
+            str(options.get("readchangefeed", "false")).lower() == "true"
+        )
         # the stream's pinned schema contract (names+types): commits
-        # whose declared schema deviates from it raise
+        # whose declared schema deviates from it raise. In change-feed
+        # mode the two feed columns are OURS, not the table's — strip
+        # them from the contract (and from what executors read).
+        table_fields = [
+            f for f in schema.fields
+            if not (self._cdf and f.name in (CHANGE_TYPE_COL, COMMIT_VERSION_COL))
+        ]
+        self._fields = [f.name for f in table_fields]
         self._schema_json = [
             (f.name, json.dumps(f.dataType.jsonValue(), sort_keys=True))
-            for f in schema.fields
+            for f in table_fields
         ]
         self._skip_changes = (
             str(options.get("skipchangecommits", "false")).lower() == "true"
@@ -209,7 +250,8 @@ class TableChangesStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         s, e = int(start["version"]), int(end["version"])
         self._advance_floor(e)
-        parts: list[_FilesPartition] = []
+        _, base = _fs_base(self._path)
+        parts: list[InputPartition] = []
         prev = self._load_or_lose(s) if s > 0 else {}
         for v in range(s + 1, e + 1):
             doc = self._load_or_lose(v)
@@ -217,12 +259,18 @@ class TableChangesStreamReader(DataSourceStreamReader):
                 # vacuumed gap under failOnDataLoss=false: prev becomes
                 # unknown — change detection resumes at the next
                 # loadable version against the last manifest we saw
+                prev = None
                 continue
             if _schema_sig(doc.get("schema")) != self._schema_json:
                 raise RuntimeError(
                     f"table schema changed at version {v}; restart the "
                     "stream to pick up the new schema"
                 )
+            if self._cdf:
+                if doc.get("data_change") is not False:
+                    parts.extend(self._cdf_parts(prev, doc, v, base))
+                prev = doc
+                continue
             cur_files = doc.get("files") or []
             if prev is None:
                 # the previous manifest was vacuumed (failOnDataLoss=
@@ -239,30 +287,162 @@ class TableChangesStreamReader(DataSourceStreamReader):
                     f"version {v} of {self._path} is not an append commit "
                     "(files removed or merge-on-read deletes added); the "
                     "rows already streamed would be rewritten. Set "
-                    "skipChangeCommits=true to skip such commits."
+                    "skipChangeCommits=true to skip such commits, or "
+                    "readChangeFeed=true to stream them as signed rows."
                 )
             if not changed:
                 born = doc.get("born") or {}
                 fresh = [f for f in cur_files if born.get(f, 0) == v]
                 if fresh:
-                    _, base = _fs_base(self._path)
                     parts.append(
                         _FilesPartition(
-                            [f"{base}/{f}" for f in fresh],
-                            [f.name for f in self._schema.fields],
+                            [f"{base}/{f}" for f in fresh], list(self._fields)
                         )
                     )
             prev = doc
         return parts
 
-    def read(self, partition: _FilesPartition):
+    def _cdf_parts(
+        self, prev: dict | None, doc: dict, v: int, base: str
+    ) -> list[_ChangePartition]:
+        """The signed rows of commit ``v`` as per-file partitions —
+        the pure-metadata twin of cdf._version_changes (same
+        classification, no Spark session in the source worker):
+        inserts = files present now but not before (set diff, so a
+        rollback that RESURRECTS files feeds their rows back in),
+        deletes = files removed plus new merge-on-read entries
+        semi-joined against their carried targets' visible rows."""
+        fields = list(self._fields)
+        cur_files = doc.get("files") or []
+        cur_set = set(cur_files)
+
+        def _entries_for(man: dict, f: str) -> list[tuple[str, list[str]]]:
+            return [
+                (f"{base}/{d['file']}", list(d["keys"]))
+                for d in (man.get("deletes") or [])
+                if f in set(d["targets"])
+            ]
+
+        def _guard_renames(man: dict, f: str) -> None:
+            born_v = (man.get("born") or {}).get(f, 0)
+            if any(born_v < r["version"] for r in man.get("renames") or []):
+                raise RuntimeError(
+                    f"file {f} of {self._path} reads through a live "
+                    "rename mapping; the streaming change feed does not "
+                    "resolve renames — run compact_table (retires the "
+                    "mappings) or use the batch reader "
+                    "(prox_spark.cdf.read_table_changes)"
+                )
+
+        parts: list[_ChangePartition] = []
+        if prev is None:
+            # vacuumed gap (failOnDataLoss=false): no diff possible —
+            # approximate adds by birth version, skip delete detection
+            born = doc.get("born") or {}
+            added = [f for f in cur_files if born.get(f, 0) == v]
+            prev_set: set = set()
+        else:
+            prev_files = prev.get("files") or []
+            prev_set = set(prev_files)
+            added = [f for f in cur_files if f not in prev_set]
+        for f in added:
+            _guard_renames(doc, f)
+            parts.append(
+                _ChangePartition(
+                    [f"{base}/{f}"], fields, "insert", v,
+                    anti=_entries_for(doc, f),
+                )
+            )
+        if prev is not None:
+            for f in prev_files:
+                if f not in cur_set:
+                    _guard_renames(prev, f)
+                    parts.append(
+                        _ChangePartition(
+                            [f"{base}/{f}"], fields, "delete", v,
+                            anti=_entries_for(prev, f),
+                        )
+                    )
+            prev_entry_files = {
+                d["file"] for d in (prev.get("deletes") or [])
+            }
+            for entry in doc.get("deletes") or []:
+                if entry["file"] in prev_entry_files:
+                    continue  # carried entry: emitted at its own commit
+                for f in entry["targets"]:
+                    # targets removed at v already fed above
+                    if f in prev_set and f in cur_set:
+                        _guard_renames(prev, f)
+                        parts.append(
+                            _ChangePartition(
+                                [f"{base}/{f}"], fields, "delete", v,
+                                anti=_entries_for(prev, f),
+                                semi=(
+                                    f"{base}/{entry['file']}",
+                                    list(entry["keys"]),
+                                ),
+                            )
+                        )
+        return parts
+
+    def read(self, partition: InputPartition):
         import pyarrow.parquet as pq
 
+        if isinstance(partition, _ChangePartition):
+            yield from self._read_changes(partition)
+            return
         for p in partition.paths:
             t = pq.read_table(p, columns=partition.fields)
             # reorder defensively: parquet column order == write order,
             # the declared schema is the contract
             t = t.select(partition.fields)
+            yield from t.to_batches()
+
+    def _read_changes(self, part: _ChangePartition):
+        """Reconstruct one file's signed rows: mask prior merge-on-read
+        deletes (anti), select the new entry's deleted keys (semi),
+        stamp the feed columns. Key matching is vectorized through a
+        pandas merge over the KEY columns + a row index only — payload
+        columns never round-trip through pandas, so their Arrow types
+        stay pristine."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        def _keys_df(path: str, keys: list[str]):
+            return (
+                pq.read_table(path, columns=keys)
+                .to_pandas()
+                .drop_duplicates()
+            )
+
+        for p in part.paths:
+            t = pq.read_table(p, columns=part.fields).select(part.fields)
+            if part.anti or part.semi:
+                key_cols = sorted(
+                    {k for _, ks in part.anti for k in ks}
+                    | set(part.semi[1] if part.semi else [])
+                )
+                tdf = t.select(key_cols).to_pandas()
+                tdf["__i"] = range(len(tdf))
+                for kpath, ks in part.anti:
+                    m = tdf.merge(
+                        _keys_df(kpath, ks), on=ks, how="left", indicator=True
+                    )
+                    tdf = m[m["_merge"] == "left_only"].drop(columns="_merge")
+                if part.semi is not None:
+                    kpath, ks = part.semi
+                    tdf = tdf.merge(_keys_df(kpath, ks), on=ks, how="inner")
+                t = t.take(pa.array(tdf["__i"].to_numpy()))
+            n = t.num_rows
+            if not n:
+                continue
+            t = t.append_column(
+                CHANGE_TYPE_COL, pa.array([part.change_type] * n, pa.string())
+            )
+            t = t.append_column(
+                COMMIT_VERSION_COL,
+                pa.array([part.version] * n, pa.int64()),
+            )
             yield from t.to_batches()
 
     def commit(self, end: dict) -> None:
@@ -277,7 +457,12 @@ class TableChangesDataSource(DataSource):
     creation; N streams commits AFTER version N), ``skipChangeCommits``
     (default false), ``maxVersionsPerBatch`` (default unlimited),
     ``failOnDataLoss`` (default true — raise when a needed manifest was
-    vacuumed; false skips the gap with a warning)."""
+    vacuumed; false skips the gap with a warning), ``readChangeFeed``
+    (default false — true streams every commit as SIGNED rows with
+    ``_change_type``/``_commit_version`` columns, Delta CDF parity:
+    deletes and rewrites flow as delete/insert rows instead of raising,
+    and ``data_change=false`` maintenance commits are skipped;
+    ``skipChangeCommits`` is ignored in this mode)."""
 
     @classmethod
     def name(cls) -> str:
@@ -295,7 +480,14 @@ class TableChangesDataSource(DataSource):
                 "manifest records no schema (legacy table); pass an "
                 "explicit schema to readStream"
             )
-        return StructType.fromJson(doc["schema"])
+        st = StructType.fromJson(doc["schema"])
+        if str(self.options.get("readchangefeed", "false")).lower() == "true":
+            from pyspark.sql.types import LongType, StringType
+
+            st = st.add(CHANGE_TYPE_COL, StringType()).add(
+                COMMIT_VERSION_COL, LongType()
+            )
+        return st
 
     def streamReader(self, schema: StructType):
         return TableChangesStreamReader(schema, dict(self.options))

@@ -280,3 +280,107 @@ def test_vacuumed_versions_raise_or_skip(registered, tmp_path):
     seen2: list = []
     _drain(spark, t, str(tmp_path / "c2"), seen2, failOnDataLoss="false")
     assert sorted(x for _, rows in seen2 for x in rows) == [15, 16, 17]
+
+
+def _drain_cdf(spark, t, ckpt, collected, **options):
+    reader = (
+        spark.readStream.format("prox_table_changes")
+        .option("path", t)
+        .option("readChangeFeed", "true")
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+
+    def fb(batch, bid):
+        collected.append(
+            (
+                int(bid),
+                sorted(
+                    (r["doc_id"], r["_change_type"], r["_commit_version"])
+                    for r in batch.collect()
+                ),
+            )
+        )
+
+    q = (
+        reader.load()
+        .writeStream.foreachBatch(fb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+
+
+def test_change_feed_streams_signed_rows(registered, tmp_path):
+    """readChangeFeed=true turns every commit kind into signed rows:
+    appends = inserts, MoR deletes = exactly the deleted rows, upserts
+    = delete+insert pairs, compactions = nothing — and the streamed
+    multiset equals the batch reader's."""
+    from prox_spark.cdf import read_table_changes
+    from prox_spark.upsert import delete_keys_mor, upsert_parquet
+
+    spark = registered
+    t = _stage(spark, tmp_path)  # v1: 0..9, v2: 10..14
+    delete_keys_mor(
+        spark, t, spark.createDataFrame([(3,), (12,)], "doc_id long"),
+        ["doc_id"],
+    )  # v3
+    upsert_parquet(
+        spark, t,
+        spark.createDataFrame([(2, "9"), (20, "9")], "doc_id long, src string"),
+        ["doc_id"],
+    )  # v4 (rewrite)
+    compact_table(spark, t)  # v5: data_change=false, must not feed
+
+    seen: list = []
+    _drain_cdf(spark, t, str(tmp_path / "c"), seen)
+    rows = [x for _, batch in seen for x in batch]
+    by_v: dict = {}
+    for doc_id, ct, v in rows:
+        by_v.setdefault(v, []).append((doc_id, ct))
+    assert sorted(by_v[1]) == [(i, "insert") for i in range(10)]
+    assert sorted(by_v[2]) == [(i, "insert") for i in range(10, 15)]
+    assert sorted(by_v[3]) == [(3, "delete"), (12, "delete")]
+    assert 5 not in by_v  # the compaction
+    # v4 nets to: delete 2(old) + insert 2(new) + insert 20 — plus
+    # cancelling echo pairs for co-rewritten rows
+    net4: dict = {}
+    for doc_id, ct in by_v[4]:
+        net4[doc_id] = net4.get(doc_id, 0) + (1 if ct == "insert" else -1)
+    assert {k: v for k, v in net4.items() if v != 0} == {20: 1}
+    assert (2, "delete") in by_v[4] and (2, "insert") in by_v[4]
+    # stream multiset == batch reader multiset
+    batch_rows = sorted(
+        (r["doc_id"], r["_change_type"], r["_commit_version"])
+        for r in read_table_changes(spark, t, 0).collect()
+    )
+    assert sorted(rows) == batch_rows
+
+
+def test_change_feed_checkpoint_resumes_through_deletes(registered, tmp_path):
+    """Commits (including a delete) landing while the stream is down
+    are delivered exactly once by the resumed run."""
+    from prox_spark.upsert import delete_keys_mor
+
+    spark = registered
+    t = _stage(spark, tmp_path)
+    ckpt = str(tmp_path / "ckpt")
+    seen: list = []
+    _drain_cdf(spark, t, ckpt, seen)
+    assert len([x for _, b in seen for x in b]) == 15
+    delete_keys_mor(
+        spark, t, spark.createDataFrame([(7,)], "doc_id long"), ["doc_id"]
+    )
+    prev = read_manifest(spark, t)
+    commit_delta(
+        spark, t, _docs(spark, 30, 32), list(prev["files"]),
+        update_key_ranges={},
+    )
+    seen2: list = []
+    _drain_cdf(spark, t, ckpt, seen2)
+    got = sorted(x for _, b in seen2 for x in b)
+    assert got == [(7, "delete", 3), (30, "insert", 4), (31, "insert", 4)]
