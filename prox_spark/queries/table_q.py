@@ -1990,6 +1990,152 @@ ORDER BY region
 """
 
 
+# --- q196: change-data-feed reader (Delta CDF parity) -----------------------
+
+_CDF_CACHE: dict[str, tuple] = {}
+
+
+def _cdf_table(spark: SparkSession, sf_dir: str) -> tuple:
+    """A documents-backed table driven through every change kind the
+    feed must reconstruct, staged once per process:
+    v1 snapshot (doc_id % 10 ≤ 5) → v2 append (% 10 ∈ {6,7}) →
+    v3 merge-on-read DELETE (% 5 = 0; zero files rewritten) →
+    v4 UPSERT (% 10 = 3 gains 1000 chars; the rewrite path) →
+    v5 compaction (data_change=false — must be silent in the feed).
+    Returns (table_path, head_version)."""
+    from prox_spark.queries._staging import staged
+    from prox_spark.table import (
+        commit_delta,
+        commit_snapshot,
+        compact_table,
+        read_manifest,
+        read_table,
+    )
+    from prox_spark.upsert import delete_keys_mor, upsert_parquet
+
+    def build(scratch: str) -> tuple:
+        table = f"{scratch}/docs"
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "source", "n_chars"
+        )
+        commit_snapshot(
+            spark, table, docs.filter(F.col("doc_id") % 10 <= 5),
+            stat_cols=["doc_id"], n_files=4,
+        )
+        prev = read_manifest(spark, table)
+        commit_delta(
+            spark, table, docs.filter((F.col("doc_id") % 10).isin(6, 7)),
+            list(prev["files"]), update_key_ranges={},
+        )
+        delete_keys_mor(
+            spark, table,
+            docs.filter(
+                (F.col("doc_id") % 10 <= 7) & (F.col("doc_id") % 5 == 0)
+            ).select("doc_id"),
+            ["doc_id"],
+        )
+        ups = (
+            read_table(spark, table)
+            .filter(F.col("doc_id") % 10 == 3)
+            .withColumn("n_chars", F.col("n_chars") + F.lit(1000))
+        )
+        upsert_parquet(spark, table, ups, ["doc_id"])
+        compact_table(spark, table)
+        head = read_manifest(spark, table)["version"]
+        return table, int(head)
+
+    return staged(_CDF_CACHE, sf_dir, "prox_cdf_docs_", build)
+
+
+def q196_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CHANGE-DATA-FEED READER under the driver gate (Delta CDF /
+    Iceberg changelog parity — prox_spark/cdf.py): the staged lifecycle
+    commits an append, a merge-on-read delete, an upsert, and a
+    compaction, and the SIGNED feed reconstructed from the manifest
+    log alone (no change files were ever written) is aggregated per
+    source with insert = +1 / delete = −1 — which must net to the
+    final table state the oracle computes directly. An echo row the
+    rewrite shouldn't have cancelled, a delete the feed missed, or a
+    compaction leaking into the feed all break the hash. Two pinned
+    flags tighten it: ``mor_precise`` (the delete commit's feed slice
+    is EXACTLY the deleted keys' rows — no rewrite echo, the
+    merge-on-read precision claim) and ``compaction_silent`` (the
+    data_change=false commit contributed zero rows).
+
+    Scale shape: per version the reader opens only added/removed/
+    targeted files (work ∝ commit volume, never table size); delete
+    key sets broadcast into the visibility semi-joins; the signed
+    fold is one partial agg. This is the read-side completion of the
+    CDC loop: q114 diffs snapshots, q152/q153 apply feeds, q196
+    derives the feed from the log itself."""
+    from prox_spark.cdf import read_table_changes
+
+    table, head = _cdf_table(spark, sf_dir)
+    feed = read_table_changes(spark, table, 0, head).persist()
+    try:
+        sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+            F.lit(-1)
+        )
+        # v3 slice: must be pure deletes of exactly the % 5 = 0 keys
+        v3 = feed.filter(F.col("_commit_version") == 3)
+        mor = v3.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("_change_type") == "delete").cast("int")).alias("d"),
+            F.sum((F.col("doc_id") % 5 == 0).cast("int")).alias("k"),
+        ).first()
+        expected = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter((F.col("doc_id") % 10 <= 7) & (F.col("doc_id") % 5 == 0))
+            .count()
+        )
+        mor_precise = bool(
+            mor["n"] == expected and mor["d"] == mor["n"] and mor["k"] == mor["n"]
+        )
+        compaction_silent = (
+            feed.filter(F.col("_commit_version") == 5).count() == 0
+        )
+        out = (
+            feed.groupBy("source")
+            .agg(
+                F.sum(sign).cast("long").alias("d_docs"),
+                F.sum(sign * F.col("n_chars")).cast("long").alias("d_chars"),
+            )
+            # a source whose rows all net away (every doc deleted) has
+            # no row in the final state — drop the zero groups like
+            # q190's maintained view does
+            .filter(F.col("d_docs") != 0)
+            .withColumn("mor_precise", F.lit(mor_precise))
+            .withColumn("compaction_silent", F.lit(compaction_silent))
+            .orderBy("source")
+        )
+        # localize the sources-sized result while the feed pin is alive
+        # — returning the lazy plan would re-derive the whole feed on
+        # the caller's first action, after the unpersist below
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        feed.unpersist()
+
+
+ORACLE_Q196 = """
+WITH final AS (
+  SELECT source,
+         CASE WHEN doc_id % 10 = 3 THEN n_chars + 1000 ELSE n_chars END
+           AS n_chars
+  FROM documents
+  WHERE doc_id % 10 <= 7 AND doc_id % 5 <> 0
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS d_docs,
+       CAST(sum(n_chars) AS BIGINT) AS d_chars,
+       TRUE AS mor_precise,
+       TRUE AS compaction_silent
+FROM final
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "q114_snapshot_diff": q114_snapshot_diff,
     "q118_incremental_agg": q118_incremental_agg,
@@ -2009,6 +2155,7 @@ QUERIES = {
     "q188_zorder_table_probes": q188_zorder_table_probes,
     "q190_incremental_join": q190_incremental_join,
     "q192_multi_table_txn": q192_multi_table_txn,
+    "q196_change_feed": q196_change_feed,
 }
 
 
@@ -2034,4 +2181,5 @@ def oracles() -> dict[str, str]:
         "q188_zorder_table_probes": ORACLE_Q188,
         "q190_incremental_join": _oracle_q190(),
         "q192_multi_table_txn": ORACLE_Q192,
+        "q196_change_feed": ORACLE_Q196,
     }
