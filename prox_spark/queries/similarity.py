@@ -387,6 +387,38 @@ IVF_K = 8        # centroids (deterministic: the first K vectors by vec_id)
 IVF_NPROBE = 2   # clusters probed per query
 
 
+def _cent_arr(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """The frozen coarse quantizer as ONE broadcast-able row holding
+    an array of K (cid, vec, norm) structs — a PARAMETER derived from
+    the corpus (first K vectors by vec_id), reusable against any frame
+    of vectors: the batch corpus (:func:`_ivf_parts`) or a streaming
+    micro-batch (q198's per-batch assignment)."""
+    emb = _emb_n(spark, sf_dir)
+    return (
+        emb.filter(F.col("vec_id") < k)
+        .select(F.struct(F.col("vec_id").alias("cid"), F.col("dd").alias("cdd"),
+                         F.col("nrm").alias("cnrm")).alias("c"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list("c")).alias("cents"))
+    )
+
+
+def _tag_centroids(df: DataFrame, cent_arr: DataFrame) -> DataFrame:
+    """Rank the K centroid sims map-side for every row of ``df``
+    (columns dd, nrm): one broadcast crossJoin + a transform +
+    array_sort over K elements per row — no row explosion, no window,
+    no shuffle. array_sort on (negsim, cid) structs gives sim DESC,
+    cid ASC, the same deterministic order the DuckDB oracle's window
+    uses. ``sims[0].cid`` is the assignment."""
+    csim = DOT_SPARK.format(a="dd", b="c.cdd") + " / (nrm * c.cnrm)"
+    return df.crossJoin(F.broadcast(cent_arr)).withColumn(
+        "sims",
+        F.expr(
+            f"array_sort(transform(cents, c -> named_struct('negsim', -({csim}), 'cid', c.cid)))"
+        ),
+    )
+
+
 def _ivf_parts(spark: SparkSession, sf_dir: str, k: int = IVF_K):
     """The IVF front half shared by q45 (one-shot index+serve),
     q161 (maintained index) and q170 (SemDeDup): (tagged, assign,
@@ -406,23 +438,7 @@ def _ivf_parts(spark: SparkSession, sf_dir: str, k: int = IVF_K):
     drift); q170 passes its own corpus-proportional K so dedup
     cluster sizes stay bounded as the corpus grows."""
     emb = _emb_n(spark, sf_dir)
-    cent_arr = (
-        emb.filter(F.col("vec_id") < k)
-        .select(F.struct(F.col("vec_id").alias("cid"), F.col("dd").alias("cdd"),
-                         F.col("nrm").alias("cnrm")).alias("c"))
-        .groupBy()
-        .agg(F.array_sort(F.collect_list("c")).alias("cents"))
-    )
-    csim = DOT_SPARK.format(a="dd", b="c.cdd") + " / (nrm * c.cnrm)"
-    tagged = (
-        emb.crossJoin(F.broadcast(cent_arr))
-        .withColumn(
-            "sims",
-            F.expr(
-                f"array_sort(transform(cents, c -> named_struct('negsim', -({csim}), 'cid', c.cid)))"
-            ),
-        )
-    )
+    tagged = _tag_centroids(emb, _cent_arr(spark, sf_dir, k))
     assign = tagged.select(
         "vec_id", "dd", "nrm", F.expr("sims[0].cid").alias("cid")
     )

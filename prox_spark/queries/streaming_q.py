@@ -1319,12 +1319,263 @@ def _oracle_q194() -> str:
     )
 
 
+# --- q198: stream-maintained SEMANTIC index, txn-paired with the corpus ------
+
+_SEM_IDX_CACHE: dict = {}
+
+
+def semantic_index_batch(
+    batch_df: DataFrame, batch_id: int, index_path: str,
+    corpus_path: str, workspace: str, cent_arr: DataFrame,
+) -> None:
+    """Transactional SEMANTIC-index sink for foreachBatch: assign each
+    micro-batch vector to its nearest frozen centroid map-side (the
+    same broadcast argmin the batch path uses —
+    :func:`...similarity._tag_centroids`), APPEND the (cid, vec_id,
+    vector) rows to the cid-clustered index table, then publish ONE
+    transaction pinning the (corpus version covered, new index
+    version) pair — the exact use case prox_spark/txn.py names:
+    readers resolving through the txn log never see a corpus without
+    its matching semantic index. An applied-batch marker row
+    (cid = −1, vec_id = batch_id) makes re-delivery a no-op BEFORE the
+    txn, so replay can't double-append or double-publish. The covered
+    corpus version comes from the change feed's own _commit_version —
+    no racy head read."""
+    from prox_spark.table import (
+        commit_delta,
+        commit_snapshot,
+        is_manifest_table,
+        read_manifest,
+        read_table,
+    )
+    from prox_spark.txn import txn_commit
+
+    sp = batch_df.sparkSession
+    if is_manifest_table(sp, index_path):
+        applied = {
+            int(r["vec_id"])
+            for r in read_table(sp, index_path)
+            .filter(F.col("cid") == -1).select("vec_id").collect()
+        }
+        if int(batch_id) in applied:
+            return
+    covered = batch_df.agg(F.max("_commit_version")).first()[0]
+    from prox_spark.queries.similarity import _tag_centroids
+
+    vecs = batch_df.select(
+        "vec_id", F.expr("cast(embedding as array<double>)").alias("dd")
+    ).withColumn(
+        "nrm",
+        F.expr(
+            "sqrt(aggregate(zip_with(dd, dd, (x, y) -> x * y), "
+            "cast(0.0 as double), (acc, x) -> acc + x))"
+        ),
+    )
+    rows = _tag_centroids(vecs, cent_arr).select(
+        F.expr("sims[0].cid").cast("long").alias("cid"),
+        "vec_id", "dd", "nrm",
+    )
+    marker = sp.createDataFrame(
+        [(-1, int(batch_id), [], -1.0)],
+        "cid long, vec_id long, dd array<double>, nrm double",
+    )
+    if is_manifest_table(sp, index_path):
+        prev = read_manifest(sp, index_path)
+        new_v = commit_delta(
+            sp, index_path, rows.unionByName(marker), list(prev["files"]),
+            base_manifest=prev, base_version=prev.get("version"),
+            update_key_ranges={},
+        )
+    else:
+        new_v = commit_snapshot(
+            sp, index_path, rows.unionByName(marker), stat_cols=["cid"],
+        )
+    txn_commit(
+        sp, workspace,
+        {corpus_path: int(covered), index_path: int(new_v)},
+    )
+
+
+def _sem_stream_index(spark: SparkSession, sf_dir: str) -> tuple:
+    """Staged once per process: the embedding corpus committed in
+    three versions covering ALL vectors (vec_id % 10 ≤ 5, {6,7},
+    {8,9}), consumed as a change-feed stream by two checkpoint-sharing
+    runs, each micro-batch appending its frozen-quantizer assignments
+    to the index and txn-pinning the (corpus, index) pair. Returns
+    (index path, flags)."""
+    from prox_spark.queries._staging import staged
+    from prox_spark.queries.similarity import _cent_arr, _semdedup_k
+    from prox_spark.table import (
+        commit_delta,
+        commit_snapshot,
+        read_manifest,
+        read_table,
+        table_versions,
+    )
+    from prox_spark.table_stream import TableChangesDataSource
+    from prox_spark.txn import txn_read, txn_state
+
+    def build(scratch: str) -> tuple:
+        spark.dataSource.register(TableChangesDataSource)
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        # the quantizer is a frozen PARAMETER of the index (q161's
+        # append-only gate): K from the production corpus size, the
+        # first K vectors as centroids — derived once, never retrained
+        # per batch, so stream assignments equal the batch oracle's
+        k = _semdedup_k(emb.count())
+        cent = _cent_arr(spark, sf_dir, k)
+        t = f"{scratch}/emb_t"
+        idx = f"{scratch}/sem_idx"
+        ws = f"{scratch}/ws"
+        ckpt = f"{scratch}/ckpt"
+
+        def _run_stream() -> None:
+            with _stream_partitions(spark):
+                q = (
+                    spark.readStream.format("prox_table_changes")
+                    .option("path", t)
+                    .option("readChangeFeed", "true")
+                    .load()
+                    .writeStream.foreachBatch(
+                        lambda bdf, bid: semantic_index_batch(
+                            bdf, bid, idx, t, ws, cent
+                        )
+                    )
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                try:
+                    q.awaitTermination(120)
+                finally:
+                    q.stop()
+
+        commit_snapshot(
+            spark, t, emb.filter(F.col("vec_id") % 10 <= 5),
+            stat_cols=["vec_id"], n_files=4,
+        )
+        _run_stream()
+        for pred in (
+            (F.col("vec_id") % 10).isin(6, 7),
+            (F.col("vec_id") % 10).isin(8, 9),
+        ):
+            prev = read_manifest(spark, t)
+            commit_delta(
+                spark, t, emb.filter(pred),
+                list(prev["files"]), update_key_ranges={},
+            )
+        _run_stream()
+
+        # the pair-pin consistency flag (q192's index_consistent): the
+        # final txn pins the corpus HEAD and an index whose vec_id set
+        # is exactly the pinned corpus's — both read THROUGH the txn
+        state = txn_state(spark, ws)
+        head = table_versions(spark, t)[-1]
+        ci = txn_read(spark, ws, t).select("vec_id")
+        ii = txn_read(spark, ws, idx).filter(F.col("cid") >= 0).select("vec_id")
+        n_c, n_i = ci.count(), ii.count()
+        index_consistent = bool(
+            state.get(t) == head
+            and n_c == n_i
+            and ci.intersect(ii).count() == n_c
+        )
+        markers = read_table(spark, idx).filter(F.col("cid") == -1).count()
+        return idx, {
+            "index_consistent": index_consistent,
+            "incremental": bool(markers >= 2),
+        }
+
+    return staged(_SEM_IDX_CACHE, sf_dir, "prox_sem_idx_", build)
+
+
+def q198_streaming_semantic_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-MAINTAINED SEMANTIC INDEX — q170's SemDeDup arm given
+    the q194 treatment, composed with q192's transaction log: corpus
+    commits flow through the change-feed stream, each micro-batch's
+    vectors are assigned to the FROZEN corpus-proportional quantizer
+    map-side and appended to the cid-clustered index table (work ∝
+    batch — the corpus is never re-assigned), and every batch
+    publishes one txn pinning the (corpus version covered, index
+    version) pair, so transactional readers never see a corpus without
+    its matching semantic index. The gate recomputes q170's per-
+    cluster dedup card FROM THE INDEX (within-cluster pairs only, the
+    O(N^1.5) shape) against q170's own batch oracle — a mis-assigned
+    vector, a dropped batch, or a replayed append all change the card.
+    ``index_consistent`` pins the pair-pin claim; ``incremental`` pins
+    that ≥2 distinct micro-batches built the index.
+
+    Scale shape: per trigger the source reads only new files; the
+    assignment is one broadcast (K centroids) map-side argmin; the
+    index append carries prior files by reference (one metadata
+    commit); the card's pair join equi-joins on cid. At 100 TB the
+    index IS the physical cid-clustering, so downstream SemDeDup and
+    IVF probes read only their clusters."""
+    from prox_spark.queries.similarity import SEMDEDUP_TAU
+    from prox_spark.table import read_table
+
+    idx, flags = _sem_stream_index(spark, sf_dir)
+    assign = read_table(spark, idx).filter(F.col("cid") >= 0)
+    a = assign.select(
+        "cid", F.col("vec_id").alias("id1"),
+        F.col("dd").alias("v1"), F.col("nrm").alias("n1"),
+    )
+    b = assign.select(
+        "cid", F.col("vec_id").alias("id2"),
+        F.col("dd").alias("v2"), F.col("nrm").alias("n2"),
+    )
+    dot = (
+        "aggregate(zip_with(v1, v2, (x, y) -> x * y), "
+        "cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    dups = (
+        a.join(b, "cid")
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("cosine", F.expr(f"{dot} / (n1 * n2)"))
+        .filter(F.col("cosine") >= SEMDEDUP_TAU)
+        .groupBy("cid")
+        .agg(F.countDistinct("id2").cast("long").alias("n_dups"))
+    )
+    return (
+        assign.groupBy("cid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+        .join(dups, "cid", "left")
+        .select(
+            "cid", "n_vectors",
+            F.coalesce("n_dups", F.lit(0)).cast("long").alias("n_dups"),
+        )
+        .withColumn(
+            "dup_pct",
+            F.round(F.lit(100.0) * F.col("n_dups") / F.col("n_vectors"), 6),
+        )
+        .withColumn("index_consistent", F.lit(flags["index_consistent"]))
+        .withColumn("incremental", F.lit(flags["incremental"]))
+        .orderBy("cid")
+    )
+
+
+def _oracle_q198() -> str:
+    """q170's batch oracle verbatim (the equal-verdicts claim), plus
+    the two pinned flags."""
+    from prox_spark.queries.similarity import ORACLE_Q170
+
+    out = ORACLE_Q170.replace(
+        " AS dup_pct\nFROM counts",
+        " AS dup_pct,\n       TRUE AS index_consistent,\n"
+        "       TRUE AS incremental\nFROM counts",
+    )
+    assert out != ORACLE_Q170, "ORACLE_Q170 shape changed; fix the splice"
+    return out
+
+
 QUERIES = {
     "q136_streaming_neardup_store": q136_streaming_neardup_store,
     "q189_streaming_cms": q189_streaming_cms,
     "q191_table_stream_view": q191_table_stream_view,
     "q194_streaming_lsh_index": q194_streaming_lsh_index,
     "q197_stream_changefeed_view": q197_stream_changefeed_view,
+    "q198_streaming_semantic_index": q198_streaming_semantic_index,
     "q44_stateful_user_totals": q44_stateful_user_totals,
     "q109_streaming_dedup_store": q109_streaming_dedup_store,
     "q69_streaming_hourly_stats": q69_streaming_hourly_stats,
@@ -1339,6 +1590,7 @@ ORACLES = {
     "q191_table_stream_view": ORACLE_Q191,
     "q194_streaming_lsh_index": _oracle_q194(),
     "q197_stream_changefeed_view": ORACLE_Q197,
+    "q198_streaming_semantic_index": _oracle_q198(),
     "q109_streaming_dedup_store": ORACLE_Q109,
     "q100_streaming_dedup": ORACLE_Q100,
     "q101_streaming_sessions": ORACLE_Q101,

@@ -384,3 +384,36 @@ def test_change_feed_checkpoint_resumes_through_deletes(registered, tmp_path):
     _drain_cdf(spark, t, ckpt, seen2)
     got = sorted(x for _, b in seen2 for x in b)
     assert got == [(7, "delete", 3), (30, "insert", 4), (31, "insert", 4)]
+
+
+def test_semantic_index_batch_replay_is_idempotent(spark, tmp_path):
+    """q198's sink: a re-delivered batch id must neither re-append its
+    assignments nor re-publish a txn (marker gates both)."""
+    from prox_spark.queries.similarity import _cent_arr
+    from prox_spark.queries.streaming_q import semantic_index_batch
+    from prox_spark.txn import txn_state
+
+    emb = spark.range(6).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 4), j -> cast(id * j + 1 as float))"
+        ).alias("embedding"),
+    )
+    sfd = str(tmp_path / "sf")
+    emb.write.parquet(f"{sfd}/embeddings.parquet")
+    t = str(tmp_path / "corpus")
+    commit_snapshot(spark, t, emb)
+    cent = _cent_arr(spark, sfd, 2)
+    batch = emb.withColumn("_change_type", F.lit("insert")).withColumn(
+        "_commit_version", F.lit(1).cast("long")
+    )
+    idx = str(tmp_path / "idx")
+    ws = str(tmp_path / "ws")
+    semantic_index_batch(batch, 0, idx, t, ws, cent)
+    n1 = T.read_table(spark, idx).count()
+    s1 = txn_state(spark, ws)
+    assert s1 == {t: 1, idx: 1}
+    assert n1 == 7  # 6 assignments + 1 marker
+    semantic_index_batch(batch, 0, idx, t, ws, cent)  # replayed delivery
+    assert T.read_table(spark, idx).count() == n1
+    assert txn_state(spark, ws) == s1
