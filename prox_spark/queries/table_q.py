@@ -2136,6 +2136,223 @@ ORDER BY source
 """
 
 
+# --- q199: incremental dedup data card (IVM over the change feed) -----------
+
+_CARD_CDC_CACHE: dict[str, tuple] = {}
+
+N_CARD_DOCS = 240
+
+
+def _card_all_docs(spark: SparkSession) -> DataFrame:
+    """The card workload's full doc universe, formulaic so the DuckDB
+    oracle re-derives it: 3-doc digest groups (g = id div 3) spanning
+    sources (src = id % 5); updates later move ids (% 6 = 0, < 60) to
+    a ' MOVED' digest."""
+    return spark.range(N_CARD_DOCS).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 5).cast("string")).alias(
+            "source"
+        ),
+        F.concat(
+            F.lit("card g"), F.expr("cast(id div 3 as string)")
+        ).alias("text"),
+    )
+
+
+def _card_cdc_table(spark: SparkSession, sf_dir: str) -> tuple:
+    """Staged once per process through REAL commit paths (so the
+    change feed can reconstruct it): v1 snapshot (ids % 10 ≠ 7) →
+    append inserts (% 10 = 7) → merge-on-read delete (% 10 = 4,
+    including group KEEPERS — the hard IVM case) → upsert moving
+    ids (% 6 = 0, < 60) to a new digest (update = leave one group,
+    found another). Returns (table_path, head)."""
+    from prox_spark.queries._staging import staged
+    from prox_spark.table import (
+        commit_delta,
+        commit_snapshot,
+        read_manifest,
+    )
+    from prox_spark.upsert import delete_keys_mor, upsert_parquet
+
+    def build(scratch: str) -> tuple:
+        t = f"{scratch}/card"
+        allr = _card_all_docs(spark)
+        commit_snapshot(
+            spark, t, allr.filter(F.col("doc_id") % 10 != 7),
+            stat_cols=["doc_id"], n_files=4,
+        )
+        prev = read_manifest(spark, t)
+        commit_delta(
+            spark, t, allr.filter(F.col("doc_id") % 10 == 7),
+            list(prev["files"]), update_key_ranges={},
+        )
+        delete_keys_mor(
+            spark, t,
+            allr.filter(F.col("doc_id") % 10 == 4).select("doc_id"),
+            ["doc_id"],
+        )
+        upd = allr.filter(
+            (F.col("doc_id") % 6 == 0)
+            & (F.col("doc_id") < 60)
+            & (F.col("doc_id") % 10 != 4)
+        ).withColumn("text", F.concat(F.col("text"), F.lit(" MOVED")))
+        upsert_parquet(spark, t, upd, ["doc_id"])
+        head = read_manifest(spark, t)["version"]
+        return t, int(head)
+
+    return staged(_CARD_CDC_CACHE, sf_dir, "prox_card_cdc_", build)
+
+
+def q199_incremental_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL maintenance of the dedup data card (q193's shape)
+    from the change feed — the q118/q184/q190 IVM algebra applied to
+    the card's two aggregate classes, fed by q196's reader instead of
+    a snapshot diff:
+
+    - SELF-MAINTAINABLE arms (n_docs, the per-doc quality flag): one
+      signed sum over the feed — insert +1, delete −1, an update's
+      delete+insert pair nets its own move. Work ∝ |delta|.
+    - GROUP-DEPENDENT arms (n_exact_dup, n_clean): a doc's exact-dup
+      verdict depends on its digest group's KEEPER (min doc_id) — the
+      q184 min-under-deletes case. Groups whose membership the delta
+      touched (any digest appearing in the feed, old or new side —
+      updates touch both the left and the joined group) are recomputed
+      from the current table SEMI-JOINED on the touched digest set;
+      untouched groups keep their stored contribution. Work ∝
+      |delta| + |affected groups|, never |table| — ``recompute_
+      bounded`` (oracle-pinned TRUE) asserts strictly fewer groups
+      were recomputed than exist.
+
+    The oracle computes the v2 card FROM SCRATCH (the formulaic final
+    corpus), so the gate proves incremental == full recompute exactly:
+    a keeper the delete should have reassigned, a group the update
+    should have split, or an uncancelled rewrite echo all break the
+    hash. The workload deletes group keepers on purpose."""
+    from prox_spark.cdf import read_table_changes
+    from prox_spark.table import read_table
+
+    t, head = _card_cdc_table(spark, sf_dir)
+    v1 = read_table(spark, t, version=1).select("doc_id", "source", "text")
+    feed = read_table_changes(spark, t, 1, head)
+    sgn = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    f = feed.select(
+        "source",
+        F.md5("text").alias("digest"),
+        sgn.alias("s"),
+        (F.col("doc_id") % 7 == 0).cast("int").alias("flg"),
+    )
+
+    # self-maintainable arm: signed sums merged onto the stored card
+    base1 = v1.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n1"),
+        F.sum((F.col("doc_id") % 7 == 0).cast("int")).alias("fl1"),
+    )
+    d1 = f.groupBy("source").agg(
+        F.sum("s").alias("dn"),
+        F.sum(F.col("s") * F.col("flg")).alias("dfl"),
+    )
+
+    # group-dependent arm: recompute ONLY the touched digest groups
+    touched = f.select("digest").distinct()
+    v1d = v1.withColumn("digest", F.md5("text"))
+    v2d = (
+        read_table(spark, t)
+        .select("doc_id", "source", "text")
+        .withColumn("digest", F.md5("text"))
+    )
+
+    def contrib(df: DataFrame, only_touched: bool) -> DataFrame:
+        sub = df.join(F.broadcast(touched), "digest") if only_touched else df
+        keep = sub.groupBy("digest").agg(F.min("doc_id").alias("keeper"))
+        return (
+            sub.join(keep, "digest")
+            .select(
+                "source",
+                (F.col("doc_id") > F.col("keeper")).cast("long").alias("dup"),
+                (
+                    (F.col("doc_id") == F.col("keeper"))
+                    & (F.col("doc_id") % 7 != 0)
+                ).cast("long").alias("cln"),
+            )
+            .groupBy("source")
+            .agg(F.sum("dup").alias("c_dup"), F.sum("cln").alias("c_cln"))
+        )
+
+    base2 = contrib(v1d, only_touched=False)  # the stored card's arm
+    old_c = contrib(v1d, only_touched=True).select(
+        "source", F.col("c_dup").alias("o_dup"), F.col("c_cln").alias("o_cln")
+    )
+    new_c = contrib(v2d, only_touched=True).select(
+        "source", F.col("c_dup").alias("w_dup"), F.col("c_cln").alias("w_cln")
+    )
+    bounded = bool(
+        touched.count() < v2d.select("digest").distinct().count()
+    )
+
+    z = F.lit(0)
+    merged = (
+        base1.join(d1, "source", "full_outer")
+        .join(base2, "source", "full_outer")
+        .join(old_c, "source", "full_outer")
+        .join(new_c, "source", "full_outer")
+        .select(
+            "source",
+            (F.coalesce("n1", z) + F.coalesce("dn", z)).cast("long").alias("n_docs"),
+            (
+                F.coalesce("c_dup", z) - F.coalesce("o_dup", z)
+                + F.coalesce("w_dup", z)
+            ).cast("long").alias("n_exact_dup"),
+            (F.coalesce("fl1", z) + F.coalesce("dfl", z)).cast("long").alias(
+                "n_flagged"
+            ),
+            (
+                F.coalesce("c_cln", z) - F.coalesce("o_cln", z)
+                + F.coalesce("w_cln", z)
+            ).cast("long").alias("n_clean"),
+        )
+        .filter(F.col("n_docs") > 0)
+        .withColumn("recompute_bounded", F.lit(bounded))
+        .orderBy("source")
+    )
+    return merged
+
+
+ORACLE_Q199 = f"""
+WITH final AS (
+  SELECT i AS doc_id, 'src' || CAST(i % 5 AS VARCHAR) AS source,
+         CASE WHEN i % 6 = 0 AND i < 60 AND i % 10 <> 4
+              THEN 'card g' || CAST(i // 3 AS VARCHAR) || ' MOVED'
+              ELSE 'card g' || CAST(i // 3 AS VARCHAR) END AS text
+  FROM range({N_CARD_DOCS}) t(i)
+  WHERE i % 10 <> 4
+),
+keep AS (
+  SELECT md5(text) AS digest, min(doc_id) AS keeper
+  FROM final GROUP BY 1
+),
+flags AS (
+  SELECT fi.source,
+         fi.doc_id > k.keeper AS exact_dup,
+         fi.doc_id % 7 = 0 AS flagged
+  FROM final fi JOIN keep k ON md5(fi.text) = k.digest
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN exact_dup THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact_dup,
+       CAST(sum(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged,
+       CAST(sum(CASE WHEN NOT exact_dup AND NOT flagged THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_clean,
+       TRUE AS recompute_bounded
+FROM flags
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "q114_snapshot_diff": q114_snapshot_diff,
     "q118_incremental_agg": q118_incremental_agg,
@@ -2156,6 +2373,7 @@ QUERIES = {
     "q190_incremental_join": q190_incremental_join,
     "q192_multi_table_txn": q192_multi_table_txn,
     "q196_change_feed": q196_change_feed,
+    "q199_incremental_data_card": q199_incremental_data_card,
 }
 
 
@@ -2182,4 +2400,5 @@ def oracles() -> dict[str, str]:
         "q190_incremental_join": _oracle_q190(),
         "q192_multi_table_txn": ORACLE_Q192,
         "q196_change_feed": ORACLE_Q196,
+        "q199_incremental_data_card": ORACLE_Q199,
     }
