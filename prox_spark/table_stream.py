@@ -189,6 +189,28 @@ class TableChangesStreamReader(DataSourceStreamReader):
         self._fail_on_data_loss = (
             str(options.get("failondataloss", "true")).lower() != "false"
         )
+        self._allow_evolution = (
+            str(options.get("allowschemaevolution", "false")).lower()
+            == "true"
+        )
+        # pinned columns that are the TARGET of a live rename (or a
+        # recorded drop): a version whose schema lacks such a column
+        # predates the rename/drop — NULL back-filling it would
+        # fabricate data, so those raise even under evolution. Live
+        # records come from the head manifest (carried until a
+        # compaction retires them, which also rewrites the old files).
+        self._evolution_guards: set[str] = set()
+        if self._allow_evolution:
+            versions = _list_versions(self._path)
+            if versions:
+                head = _load_manifest(self._path, versions[-1])
+                pinned_names = {
+                    f.name for f in schema.fields
+                }
+                self._evolution_guards = (
+                    {r["to"] for r in head.get("renames") or []}
+                    | {d["col"] for d in head.get("dropped_cols") or []}
+                ) & pinned_names
         self._start_v = int(options.get("startingversion", 0))
         self._max_versions = int(options.get("maxversionsperbatch", 0))
         self._last_end: int | None = None
@@ -261,11 +283,7 @@ class TableChangesStreamReader(DataSourceStreamReader):
                 # loadable version against the last manifest we saw
                 prev = None
                 continue
-            if _schema_sig(doc.get("schema")) != self._schema_json:
-                raise RuntimeError(
-                    f"table schema changed at version {v}; restart the "
-                    "stream to pick up the new schema"
-                )
+            self._check_schema(doc, v)
             if self._cdf:
                 if doc.get("data_change") is not False:
                     parts.extend(self._cdf_parts(prev, doc, v, base))
@@ -296,11 +314,63 @@ class TableChangesStreamReader(DataSourceStreamReader):
                 if fresh:
                     parts.append(
                         _FilesPartition(
-                            [f"{base}/{f}" for f in fresh], list(self._fields)
+                            [f"{base}/{f}" for f in fresh],
+                            list(self._fields),
                         )
                     )
             prev = doc
         return parts
+
+    def _check_schema(self, doc: dict, v: int) -> None:
+        """Guard version ``v``'s declared schema against the stream's
+        pinned contract. Identical → fine. Under
+        ``allowSchemaEvolution=true``, ADD-column drift is survivable
+        both ways: pinned columns a version lacks (commits predating
+        the add, when the stream pinned the WIDENED schema) back-fill
+        NULL at read time, and columns a version adds beyond the pin
+        are projected away until a restart widens the output (Spark
+        cannot change a running query's schema). Rename, drop, and
+        type changes still raise — NULL-filling those would silently
+        fabricate data."""
+        sig = _schema_sig(doc.get("schema"))
+        if sig == self._schema_json:
+            return
+        if not self._allow_evolution:
+            raise RuntimeError(
+                f"table schema changed at version {v}; restart the "
+                "stream to pick up the new schema (or set "
+                "allowSchemaEvolution=true to continue through "
+                "add-column evolution)"
+            )
+        have = dict(sig)
+        pinned = dict(self._schema_json)
+        missing = set(pinned) - set(have)
+        renamed = (
+            {r["from"] for r in doc.get("renames") or []}
+            | {
+                r["to"] for r in doc.get("renames") or []
+            }
+            | self._evolution_guards
+        ) & set(pinned)
+        dropped = {
+            d["col"] for d in doc.get("dropped_cols") or []
+        } & set(pinned)
+        bad = sorted((renamed | dropped) & missing)
+        if bad:
+            raise RuntimeError(
+                f"column(s) {bad} were renamed or dropped at version {v}; "
+                "allowSchemaEvolution covers ADD-column evolution only — "
+                "restart the stream"
+            )
+        retyped = sorted(
+            n for n in pinned if n in have and have[n] != pinned[n]
+        )
+        if retyped:
+            raise RuntimeError(
+                f"column(s) {retyped} changed type at version {v}; "
+                "allowSchemaEvolution covers ADD-column evolution only — "
+                "restart the stream"
+            )
 
     def _cdf_parts(
         self, prev: dict | None, doc: dict, v: int, base: str
@@ -385,18 +455,37 @@ class TableChangesStreamReader(DataSourceStreamReader):
                         )
         return parts
 
-    def read(self, partition: InputPartition):
+    def _read_file_table(self, p: str, fields: list[str]):
+        """One parquet file as an Arrow table with EXACTLY ``fields``
+        in order: columns the file physically lacks (born before an
+        add-column evolution, or carried from before startingVersion)
+        back-fill NULL with the declared type — the same semantics the
+        batch manifest reader gives old files; columns the file has
+        beyond the pin are simply not selected."""
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
+        avail = set(pq.read_schema(p).names)
+        want = [c for c in fields if c in avail]
+        t = pq.read_table(p, columns=want).select(want)
+        missing = [c for c in fields if c not in avail]
+        if missing:
+            from pyspark.sql.pandas.types import to_arrow_type
+
+            types = {f.name: f.dataType for f in self._schema.fields}
+            for c in missing:
+                t = t.append_column(
+                    c, pa.nulls(t.num_rows, to_arrow_type(types[c]))
+                )
+            t = t.select(fields)
+        return t
+
+    def read(self, partition: InputPartition):
         if isinstance(partition, _ChangePartition):
             yield from self._read_changes(partition)
             return
         for p in partition.paths:
-            t = pq.read_table(p, columns=partition.fields)
-            # reorder defensively: parquet column order == write order,
-            # the declared schema is the contract
-            t = t.select(partition.fields)
-            yield from t.to_batches()
+            yield from self._read_file_table(p, partition.fields).to_batches()
 
     def _read_changes(self, part: _ChangePartition):
         """Reconstruct one file's signed rows: mask prior merge-on-read
@@ -416,7 +505,7 @@ class TableChangesStreamReader(DataSourceStreamReader):
             )
 
         for p in part.paths:
-            t = pq.read_table(p, columns=part.fields).select(part.fields)
+            t = self._read_file_table(p, part.fields)
             if part.anti or part.semi:
                 key_cols = sorted(
                     {k for _, ks in part.anti for k in ks}
@@ -462,7 +551,11 @@ class TableChangesDataSource(DataSource):
     ``_change_type``/``_commit_version`` columns, Delta CDF parity:
     deletes and rewrites flow as delete/insert rows instead of raising,
     and ``data_change=false`` maintenance commits are skipped;
-    ``skipChangeCommits`` is ignored in this mode)."""
+    ``skipChangeCommits`` is ignored in this mode),
+    ``allowSchemaEvolution`` (default false — true survives ADD-column
+    drift in either direction: pinned columns a version lacks
+    back-fill NULL, columns beyond the pin are projected away until a
+    restart widens the output; rename/drop/retype still raise)."""
 
     @classmethod
     def name(cls) -> str:
@@ -481,6 +574,18 @@ class TableChangesDataSource(DataSource):
                 "explicit schema to readStream"
             )
         st = StructType.fromJson(doc["schema"])
+        # declare every column nullable: non-nullability recorded by a
+        # literal-typed commit is not a promise this source can keep —
+        # add-column evolution back-fills NULL for old commits, and a
+        # non-nullable Arrow vector fed a null crashes the JVM reader
+        from pyspark.sql.types import StructField
+
+        st = StructType(
+            [
+                StructField(f.name, f.dataType, True, f.metadata)
+                for f in st.fields
+            ]
+        )
         if str(self.options.get("readchangefeed", "false")).lower() == "true":
             from pyspark.sql.types import LongType, StringType
 

@@ -417,3 +417,88 @@ def test_semantic_index_batch_replay_is_idempotent(spark, tmp_path):
     semantic_index_batch(batch, 0, idx, t, ws, cent)  # replayed delivery
     assert T.read_table(spark, idx).count() == n1
     assert txn_state(spark, ws) == s1
+
+
+def _drain_wide(spark, t, ckpt, collected, **options):
+    reader = spark.readStream.format("prox_table_changes").option("path", t)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+
+    def fb(batch, bid):
+        collected.append(
+            sorted((r["doc_id"], r["extra"]) for r in batch.collect())
+        )
+
+    q = (
+        reader.load()
+        .writeStream.foreachBatch(fb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+
+
+def test_schema_evolution_backfills_old_commits(registered, tmp_path):
+    """A stream pinned at the WIDENED schema (started after an
+    add-column commit) delivers pre-evolution commits with NULL
+    back-fill under allowSchemaEvolution=true — and still raises by
+    default."""
+    spark = registered
+    t = _stage(spark, tmp_path)  # v1/v2: (doc_id, src)
+    prev = read_manifest(spark, t)
+    commit_delta(
+        spark, t,
+        _docs(spark, 20, 22).withColumn("extra", F.lit(7).cast("long")),
+        list(prev["files"]), update_key_ranges={},
+    )  # v3: widened
+    with pytest.raises(Exception, match="schema changed"):
+        _drain_wide(spark, t, str(tmp_path / "c0"), [])
+    seen: list = []
+    _drain_wide(
+        spark, t, str(tmp_path / "c1"), seen, allowSchemaEvolution="true"
+    )
+    rows = sorted(x for b in seen for x in b)
+    assert rows == [(i, None) for i in range(15)] + [(20, 7), (21, 7)]
+
+
+def test_schema_evolution_mid_stream_projects_new_column(registered, tmp_path):
+    """A mid-stream add-column commit keeps streaming under the PINNED
+    (narrow) schema — the new column is projected away until a restart
+    widens the output."""
+    spark = registered
+    t = _stage(spark, tmp_path)
+    ckpt = str(tmp_path / "ckpt")
+    seen: list = []
+    _drain(spark, t, ckpt, seen, allowSchemaEvolution="true")
+    assert sorted(x for _, rows in seen for x in rows) == list(range(15))
+    prev = read_manifest(spark, t)
+    commit_delta(
+        spark, t,
+        _docs(spark, 20, 22).withColumn("extra", F.lit(7).cast("long")),
+        list(prev["files"]), update_key_ranges={},
+    )
+    seen2: list = []
+    _drain(spark, t, ckpt, seen2, allowSchemaEvolution="true")
+    assert sorted(x for _, rows in seen2 for x in rows) == [20, 21]
+
+
+def test_schema_evolution_still_raises_on_rename_and_drop(registered, tmp_path):
+    """allowSchemaEvolution covers ADD-column only: a pinned column
+    that is really a rename target must not silently NULL-fill for
+    pre-rename versions."""
+    spark = registered
+    t = _stage(spark, tmp_path)
+    T.compact_table(spark, t)  # fold so rename_column accepts
+    T.rename_column(spark, t, "src", "label")
+    # stream pinned POST-rename (latest schema): pre-rename versions
+    # lack 'label' — backfilling would fabricate data
+    seen: list = []
+    with pytest.raises(Exception, match="renamed or dropped"):
+        _drain(
+            spark, t, str(tmp_path / "c0"), seen,
+            allowSchemaEvolution="true", skipChangeCommits="true",
+        )
