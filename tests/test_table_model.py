@@ -412,3 +412,139 @@ def test_random_merge_sequence_with_refs_chunked(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(T, "CHUNK_THRESHOLD", 3)
     monkeypatch.setattr(T, "CHUNK_SIZE", 2)
     test_random_merge_sequence_with_refs(spark, tmp_path)
+
+
+def _txn_model_sequence(spark, tmp_path):
+    """TWO tables + a workspace txn log: seeded per-table merge ops
+    STAGE new head versions continuously, while txn ops pinned at
+    fixed steps publish, rebase, abort, expire, and vacuum-with-pins.
+    After every step the model checks BOTH-OR-NEITHER visibility: head
+    reads equal the staged models, transactional reads equal exactly
+    the last published pair (staged-but-unpublished commits stay
+    invisible — the crash case — and carry-forward keeps an
+    unmentioned table at its old pin)."""
+    import pytest
+
+    from prox_spark.txn import (
+        expire_txns,
+        txn_commit,
+        txn_read,
+        txn_state,
+        vacuum_workspace,
+    )
+    from prox_spark.table import CommitConflictError
+
+    A = str(tmp_path / "a")
+    B = str(tmp_path / "b")
+    ws = str(tmp_path / "ws")
+    models = {A: {}, B: {}}
+    published = {}  # table -> snapshot at its last published pin
+
+    def mutate(path, step):
+        model = models[path]
+        tag = f"{path[-1]}:{step}"
+        op = _rnd(f"txnmut:{tag}", 0, 6)
+        if op <= 3:
+            rows = [
+                (r, u, f"{tag}:{r}:{u}", step)
+                for r, u in _key_space(step * 7 + (path == B))
+            ]
+            upsert_parquet(spark, path, _df(spark, rows), KEYS)
+            model.update({(r, u): (p, s) for r, u, p, s in rows})
+        elif op == 4:
+            dels = _key_space(step * 7 + (path == B))[:5]
+            ddf = spark.createDataFrame(dels, "region STRING, uid BIGINT")
+            delete_keys(spark, path, ddf, KEYS)
+            for k in dels:
+                model.pop(k, None)
+        elif op == 5:
+            dels = _key_space(step * 7 + (path == B))[5:9]
+            ddf = spark.createDataFrame(dels, "region STRING, uid BIGINT")
+            delete_keys_mor(spark, path, ddf, KEYS)
+            for k in dels:
+                model.pop(k, None)
+        else:
+            compact_table(spark, path, n_files=4)
+
+    def publish(tables, **kw):
+        updates = {t: table_versions(spark, t)[-1] for t in tables}
+        txn_commit(spark, ws, updates, **kw)
+        for t in tables:
+            published[t] = dict(models[t])
+
+    def check(step):
+        for t in (A, B):
+            assert _table_state(spark, t) == models[t], f"head diverged {step}"
+            if t in published:
+                got = {
+                    (r.region, r.uid): (r.payload, r.step)
+                    for r in txn_read(spark, ws, t).collect()
+                }
+                assert got == published[t], f"txn view diverged at {step} ({t})"
+
+    # seed + initial publish
+    for t in (A, B):
+        mutate(t, 0)
+    publish((A, B))
+    check(0)
+
+    stale_base = None
+    for step in range(1, 17):
+        target = A if _rnd(f"pick:{step}", 0, 1) == 0 else B
+        mutate(target, step)
+        if step == 3:
+            publish((A, B))
+        elif step == 5:
+            from prox_spark.txn import _txn_ids
+
+            stale_base = _txn_ids(spark, ws)[-1]
+        elif step == 6:
+            # partial publish: B carries forward at its OLD pin even
+            # though its head may have drifted
+            publish((A,))
+        elif step == 9:
+            # disjoint REBASE: base predates the step-6 txn, which
+            # moved only A — publishing {B} from the stale base must
+            # rebase cleanly on top
+            publish((B,), base_txn=stale_base)
+        elif step == 11:
+            # overlapping ABORT: the step-6 txn moved A, so an {A}
+            # publish derived from the stale base must refuse
+            with pytest.raises(CommitConflictError, match="moved table"):
+                txn_commit(
+                    spark, ws, {A: table_versions(spark, A)[-1]},
+                    base_txn=stale_base,
+                )
+        elif step == 12:
+            publish((A, B))
+        elif step == 14:
+            from prox_spark.txn import _txn_ids
+
+            expired = expire_txns(spark, ws, keep_last=2)
+            assert expired and set(expired) & set(range(1, 4))
+            live = _txn_ids(spark, ws)
+            assert len(live) == 2
+            with pytest.raises(ValueError, match="not in"):
+                txn_state(spark, ws, txn=expired[0])
+        elif step == 15:
+            # workspace maintenance: surviving txns' pins must protect
+            # their versions through an aggressive vacuum
+            vacuum_workspace(
+                spark, ws, [A, B], keep_txns=2, keep_versions=1,
+                retention_minutes=0.0,
+            )
+        elif step == 16:
+            publish((A, B))
+        check(step)
+
+
+def test_txn_random_sequence_matches_model(spark, tmp_path):
+    _txn_model_sequence(spark, tmp_path)
+
+
+def test_txn_random_sequence_chunked(spark, tmp_path, monkeypatch):
+    import prox_spark.table as T
+
+    monkeypatch.setattr(T, "CHUNK_THRESHOLD", 4)
+    monkeypatch.setattr(T, "CHUNK_SIZE", 2)
+    _txn_model_sequence(spark, tmp_path)
