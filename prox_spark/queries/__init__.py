@@ -28,72 +28,67 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 # Registry order matters: the correctness driver checks the first ~50
-# entries per round. Union coverage across rounds 1-5 reached 166 of
-# 166 (every query has a green driver row), so round 6 rotates purely
-# by STALENESS: the twenty queries new this round lead (never
-# driver-gated), then the ones whose most recent green driver row is
-# oldest — the full round-2-gated cohort (16) and the round-3-gated
-# cohort in name order up to the 50-slot cap. Everything after the
-# front block is driver-green from round 3, 4, or 5. Exactly 50
-# entries (round 5 accidentally listed 51 and the last one fell
-# outside the checked window — recomputed from the CORRECTNESS_r*
-# files this time).
+# entries per round. Union coverage across rounds 1-7 is 193 of 193
+# (every query has a green driver row), so round 8 rotates purely by
+# STALENESS (recomputed from the CORRECTNESS_r01..r07 files): the four
+# queries new this round lead (never driver-gated), then the entire
+# cohort whose most recent green driver row is round 4 (43 names, name
+# order), then the oldest round-5 names up to the 50-slot cap.
+# Exactly 50 entries.
 _FRONT = [
     # new this round (never driver-gated)
-    "q191_table_stream_view",
-    "q192_multi_table_txn",
-    "q193_dedup_data_card",
-    "q194_streaming_lsh_index",
-    "q195_top_principal_component",
-    # stalest driver rows next (last gated r3, name order) — the r2
-    # cohort and the r3 names through q126 were re-gated in r6, so the
-    # remaining r3 cohort rotates in, then the oldest r4 names
-    "q134_image_resize",
-    "q135_frame_sample",
-    "q136_streaming_neardup_store",
-    "q152_cdc_apply",
-    "q30_exact_dedup",
-    "q31_text_stats",
-    "q32_regex_token_count",
-    "q33_quality_score",
-    "q34_fingerprint",
-    "q35_jaccard_pairs",
-    "q36_minhash_lsh",
-    "q37_langid",
-    "q38_simhash",
-    "q40_cosine_topk",
-    "q41_lsh_ann",
-    "q42_embed_neardup",
-    "q43_media_features",
-    "q44_stateful_user_totals",
-    "q45_ivf_ann",
-    "q51_kpi_bookings_per_location_service",
-    "q52_kpi_avg_rating_per_provider",
-    "q53_kpi_monthly_revenue_per_provider",
-    "q54_kpi_pct_ai_generated",
-    "q55_kpi_top5_booked_categories_week",
-    "q56_kpi_top5_providers_by_bookings",
-    "q57_kpi_top5_disputed_providers",
-    "q58_kpi_top_rated_providers",
-    "q59_gold_fact_booking",
-    "q60_gold_dim_user",
-    "q61_gold_dim_service",
-    "q62_gold_dim_location",
-    "q63_gold_dim_review",
-    "q64_gold_dim_dispute",
-    "q69_streaming_hourly_stats",
-    "q77_stream_static_enrich",
-    "q78_stream_stream_join",
-    "q85_label_centroids",
-    "q88_vector_stats",
-    # last driver row: round 4, name order, up to the 50-slot cap
-    "q105_simhash_neardup",
-    "q115_segment_dedup",
-    "q116_sequence_packing",
-    "q119_point_in_time_join",
-    "q120_bpe_pair_counts",
-    "q122_quality_prune",
-    "q124_dedup_pipeline",
+    "q196_change_feed",
+    "q197_stream_changefeed_view",
+    "q198_streaming_semantic_index",
+    "q199_incremental_data_card",
+    # stalest driver rows next (last gated round 4, name order)
+    "q127_pagerank",
+    "q128_variant_props",
+    "q129_corpus_shuffle",
+    "q130_heavy_hitters",
+    "q131_zorder_scan",
+    "q132_auto_skew_revenue",
+    "q133_shard_assignment",
+    "q137_curation_capstone",
+    "q138_jsonl_scan",
+    "q139_orc_scan",
+    "q140_python_datasource",
+    "q141_python_stream_source",
+    "q142_polymorphic_udtf",
+    "q143_xml_scan",
+    "q144_approx_quantile_band",
+    "q145_temperature_mixture",
+    "q146_winsorized_stats",
+    "q147_containment_pairs",
+    "q148_source_concentration",
+    "q149_log_length_histogram",
+    "q150_weighted_pagerank",
+    "q151_gap_fill_interp",
+    "q153_streaming_cdc_apply",
+    "q154_point_lookup",
+    "q155_png_pixel_decode",
+    "q156_interval_overlap_join",
+    "q65_hash_split",
+    "q66_source_mixture",
+    "q67_decontaminate",
+    "q72_dup_clusters",
+    "q75_tfidf_top_terms",
+    "q76_ngram_decontaminate",
+    "q80_pii_redact",
+    "q81_repetition_stats",
+    "q82_chunk_split_udtf",
+    "q83_source_token_totals",
+    "q84_user_running_totals_pandas",
+    "q86_scd2_user_state",
+    "q87_fuzzy_verify",
+    "q92_cohort_retention",
+    "q93_arrow_byte_stats",
+    "q97_gap_fill_locf",
+    "q99_filter_funnel",
+    # oldest round-5 names, name order, up to the 50-slot cap
+    "q01_pricing_summary",
+    "q02_top5_suppliers",
+    "q03_avg_acctbal_by_nation",
 ]
 
 

@@ -43,6 +43,16 @@ SKIP = {
     # building; the candidate/verify back half is q36's audited shape
     "q192_multi_table_txn",  # stages real table+txn commits while
     # building; the read side is an ordinary pruned groupBy
+    "q196_change_feed",  # stages real commits and COLLECTS the
+    # sources-sized card while building (feed pinned around it); the
+    # feed's per-version read is _read_files' audited shape
+    "q197_stream_changefeed_view",  # runs two real stream passes while
+    # building; the signed fold is q191's audited join shape
+    "q198_streaming_semantic_index",  # runs two real stream passes +
+    # txn publishes while building; the card back half is q170's
+    # audited within-cluster join shape
+    "q199_incremental_data_card",  # stages real commits while
+    # building; the IVM merge is q118/q184's audited full-outer shape
     "q160_triangle_count",  # executes counting jobs; closing-join twin below
     "q161_ivf_index_maintenance",  # commits the index table while building;
     # the serving probe join is q45's audited plan shape
