@@ -100,6 +100,7 @@ def all_queries() -> dict[str, QueryFn]:
         kpi_q,
         multimodal,
         relational,
+        search,
         similarity,
         streaming_q,
         table_q,
@@ -118,6 +119,7 @@ def all_queries() -> dict[str, QueryFn]:
         graph_q,
         events,
         relational,
+        search,
     ):
         merged.update(mod.QUERIES)
     missing = [name for name in _FRONT if name not in merged]
@@ -140,6 +142,7 @@ def all_oracles() -> dict[str, str]:
         kpi_q,
         multimodal,
         relational,
+        search,
         similarity,
         streaming_q,
         table_q,
@@ -147,7 +150,7 @@ def all_oracles() -> dict[str, str]:
     )
 
     out: dict[str, str] = {}
-    for mod in (relational, events, text, similarity, multimodal, streaming_q, graph_q, io_q):
+    for mod in (relational, events, text, search, similarity, multimodal, streaming_q, graph_q, io_q):
         out.update(mod.ORACLES)
     # kpi_q/table_q oracles are built lazily: building them stages the
     # parquet fixtures / table snapshots both engines read

@@ -1,0 +1,255 @@
+"""Full-text retrieval over the `documents` table — the keyword half
+of a training-data curation stack (the embedding half is
+queries/similarity.py). The reference has no search surface (its only
+text artifact is the external sentiment table,
+reference transformations_script.py:130-135); this extends the
+LLM-pipeline trajectory: corpus-scale keyword filtering should hit an
+INDEX, never re-scan 100 TB of text per query.
+
+Two operators:
+
+- q200: BM25 top-k search served from a PERSISTED term-clustered
+  postings table (built through the manifest table format, so file
+  pruning on `term` is the real access path — a probe opens only the
+  files whose footer range admits the term).
+- q201: INCREMENTAL maintenance of that postings index from the
+  table's change feed (prox_spark/cdf.py): term frequencies are
+  signed-additive, so insert/update/delete commits fold into the
+  index with work ∝ delta, never a corpus re-tokenize.
+
+Scoring determinism (see queries/__init__ docstring): BM25's log-IDF
+is replaced by its RATIONAL pre-log core (n_docs - df + 0.5)/(df +
+0.5) — monotone-equivalent per term, and it keeps every float op an
+identical IEEE double op in both engines (logs differ in the last ulp
+across libm builds, q75 precedent). Per-term scores are rounded to
+micro-units and summed as BIGINTs, so the cross-term sum is exact in
+any order.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .text import TOKENS_DUCK, TOKENS_SPARK, _docs
+
+# fixed query workload: (query_id, term) — mixed rare ("dup") and
+# common terms so the scoring discriminates
+BM25_QUERIES: list[tuple[int, str]] = [
+    (1, "dup"),
+    (1, "hash"),
+    (2, "merge"),
+    (2, "sort"),
+    (2, "window"),
+    (3, "vector"),
+    (3, "query"),
+]
+BM25_TOP_K = 10
+
+# identical arithmetic STRING in Spark SQL and DuckDB SQL: every op is
+# the same IEEE double op on the same inputs, so the rounded
+# micro-unit per-term score is bit-identical cross-engine.
+#   idf  = (n_docs - df + 0.5) / (df + 0.5)          (rational pre-log core)
+#   tfc  = (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl/avgdl))
+#          with k1 = 1.2, b = 0.75, avgdl = tot / n_docs
+_TERM_MICRO = (
+    "cast(round(((n_docs - df + 0.5) / (df + 0.5))"
+    " * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / (tot / n_docs)))))"
+    " * 1000000.0, 0) as bigint)"
+)
+
+_BM25_CACHE: dict[str, tuple] = {}
+
+
+def _tokens_tf(docs: DataFrame) -> DataFrame:
+    """(term, doc_id, tf) postings rows from a documents frame —
+    map-side explode, one shuffle on (doc_id, term)."""
+    return (
+        docs.withColumn("tokens", F.expr(TOKENS_SPARK))
+        .select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+
+
+def _doc_lengths(docs: DataFrame) -> DataFrame:
+    """(doc_id, dl) — token counts, the BM25 length normalizer."""
+    return docs.withColumn("tokens", F.expr(TOKENS_SPARK)).select(
+        "doc_id", F.size("tokens").cast("long").alias("dl")
+    )
+
+
+def _bm25_index(spark: SparkSession, sf_dir: str) -> tuple:
+    """Stage the search index once per (process, sf_dir): a postings
+    table committed through the manifest format RANGE-CLUSTERED ON
+    `term` (footer stats + blooms → a term probe prunes to the one or
+    two files whose range admits it), plus the doc-length and
+    corpus-stats sidecars every BM25 evaluation needs. At 100 TB the
+    postings table is the only big artifact and it is only ever probed
+    per-term, never scanned."""
+    from prox_spark.table import commit_snapshot
+
+    from ._staging import staged
+
+    def build(scratch: str) -> tuple:
+        docs = _docs(spark, sf_dir)
+        postings = f"{scratch}/postings"
+        commit_snapshot(
+            spark, postings, _tokens_tf(docs), stat_cols=["term"], n_files=8
+        )
+        dl_path = f"{scratch}/doc_lengths"
+        _doc_lengths(docs).coalesce(1).write.parquet(dl_path)
+        stats_path = f"{scratch}/corpus_stats"
+        (
+            spark.read.parquet(dl_path)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("dl").cast("long").alias("tot"),
+            )
+            .coalesce(1)
+            .write.parquet(stats_path)
+        )
+        return postings, dl_path, stats_path
+
+    return staged(_BM25_CACHE, sf_dir, "prox_bm25_", build)
+
+
+def _bm25_score(
+    spark: SparkSession,
+    probed: DataFrame,
+    q_terms: DataFrame,
+    dl: DataFrame,
+    stats: DataFrame,
+    top_k: int = BM25_TOP_K,
+) -> DataFrame:
+    """Shared BM25 evaluation over probed postings: per-term rational
+    scores in exact micro-units, BIGINT-summed per (query, doc), then
+    a per-query top-k window. All joins broadcast (query terms, doc
+    lengths at probe width, a one-row stats frame)."""
+    dfreq = probed.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    scored = (
+        probed.join(F.broadcast(q_terms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(dl), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("term_micro", F.expr(_TERM_MICRO))
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+        F.sum("term_micro").cast("long").alias("score_micro"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), "doc_id"
+    )
+    return (
+        agg.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= top_k)
+        .select("query_id", "rnk", "doc_id", "n_terms_hit", "score_micro")
+    )
+
+
+def q200_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for three keyword queries served from the postings
+    INDEX: each distinct query term is a `read_table_point` probe —
+    manifest min/max pruning keeps the scan to the files whose term
+    range admits the probe, so query cost is ∝ the query terms'
+    postings, independent of corpus size. The oracle recomputes the
+    same scores from the raw documents table with no index at all, so
+    a stale posting, a mis-pruned file, or a df drift all break the
+    hash. The pinned ``files_pruned`` flag (oracle TRUE) asserts the
+    index actually skipped files: every probe must have opened fewer
+    files than the table holds."""
+    from prox_spark.table import (
+        point_lookup_files,
+        read_manifest,
+        read_table_point,
+    )
+
+    postings, dl_path, stats_path = _bm25_index(spark, sf_dir)
+    terms = sorted({t for _, t in BM25_QUERIES})
+    n_total = len(read_manifest(spark, postings)["files"])
+    files_pruned = all(
+        len(point_lookup_files(spark, postings, {"term": t})) < n_total
+        for t in terms
+    )
+    probed = reduce(
+        lambda a, b: a.unionByName(b),
+        [read_table_point(spark, postings, {"term": t}) for t in terms],
+    )
+    q_terms = spark.createDataFrame(BM25_QUERIES, "query_id long, term string")
+    out = _bm25_score(
+        spark,
+        probed,
+        q_terms,
+        spark.read.parquet(dl_path),
+        spark.read.parquet(stats_path),
+    )
+    return out.withColumn("files_pruned", F.lit(files_pruned)).orderBy(
+        "query_id", "rnk"
+    )
+
+
+def _duck_qterms() -> str:
+    vals = ", ".join(f"({q}, '{t}')" for q, t in BM25_QUERIES)
+    return f"(VALUES {vals}) AS v(query_id, term)"
+
+
+ORACLE_Q200 = f"""
+WITH t AS (
+  SELECT doc_id, {TOKENS_DUCK} AS tokens FROM documents
+), dl_t AS (
+  SELECT doc_id, CAST(len(tokens) AS BIGINT) AS dl FROM t
+), tf_t AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM t)
+  GROUP BY doc_id, term
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot
+  FROM dl_t
+), qt AS (
+  SELECT CAST(query_id AS BIGINT) AS query_id, term FROM {_duck_qterms()}
+), dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df
+  FROM tf_t
+  WHERE term IN (SELECT term FROM qt)
+  GROUP BY term
+), scored AS (
+  SELECT qt.query_id, tf_t.doc_id,
+         {_TERM_MICRO} AS term_micro
+  FROM qt
+  JOIN tf_t USING (term)
+  JOIN dfreq USING (term)
+  JOIN dl_t ON tf_t.doc_id = dl_t.doc_id
+  CROSS JOIN stats
+), agg AS (
+  SELECT query_id, doc_id,
+         CAST(count(*) AS BIGINT) AS n_terms_hit,
+         CAST(sum(term_micro) AS BIGINT) AS score_micro
+  FROM scored GROUP BY query_id, doc_id
+), ranked AS (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score_micro DESC, doc_id
+         ) AS rnk
+  FROM agg
+)
+SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id, n_terms_hit,
+       score_micro, TRUE AS files_pruned
+FROM ranked
+WHERE rnk <= {BM25_TOP_K}
+ORDER BY query_id, rnk
+"""
+
+
+QUERIES = {
+    "q200_bm25_search": q200_bm25_search,
+}
+
+ORACLES = {
+    "q200_bm25_search": ORACLE_Q200,
+}
