@@ -246,10 +246,139 @@ ORDER BY query_id, rnk
 """
 
 
+# --- q201: incremental postings-index maintenance from the change feed -----
+
+_INC_IDX_CACHE: dict[str, tuple] = {}
+
+
+def _inc_postings(spark: SparkSession, sf_dir: str) -> tuple:
+    """Stage (once per process) a postings index built at the CDC
+    table's v1 and then MAINTAINED to head purely from the change
+    feed: term frequencies are signed-additive, so the feed's
+    insert/delete rows explode to (term, doc_id, ±occurrences) and the
+    net delta APPENDS to the index (merge-on-read fold at query time —
+    the q194 pattern, the index is never re-tokenized or rewritten).
+    Returns (index_path, delta_bounded, zero_rewrite): the maintenance
+    commit must be smaller than the base index (work ∝ delta) and must
+    carry every base file untouched."""
+    from prox_spark.cdf import read_table_changes
+    from prox_spark.table import (
+        commit_delta,
+        commit_snapshot,
+        read_manifest,
+        read_table,
+    )
+
+    from ._staging import staged
+    from .table_q import _card_cdc_table
+
+    t, head = _card_cdc_table(spark, sf_dir)
+
+    def build(scratch: str) -> tuple:
+        idx = f"{scratch}/postings"
+        v1_docs = read_table(spark, t, version=1).select("doc_id", "text")
+        commit_snapshot(
+            spark, idx, _tokens_tf(v1_docs), stat_cols=["term"], n_files=4
+        )
+        m1 = read_manifest(spark, idx)
+        n_base = read_table(spark, idx).count()
+        sgn = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+            F.lit(-1)
+        )
+        delta = (
+            read_table_changes(spark, t, 1, head)
+            .select(
+                "doc_id",
+                sgn.alias("s"),
+                F.explode(F.expr(TOKENS_SPARK)).alias("term"),
+            )
+            .groupBy("term", "doc_id")
+            .agg(F.sum("s").cast("long").alias("tf"))
+            .filter(F.col("tf") != 0)
+        )
+        n_delta = delta.count()
+        commit_delta(
+            spark, idx, delta, list(m1["files"]), update_key_ranges={}
+        )
+        m2 = read_manifest(spark, idx)
+        zero_rewrite = set(m1["files"]) <= set(m2["files"])
+        return idx, bool(n_delta < n_base), bool(zero_rewrite)
+
+    return staged(_INC_IDX_CACHE, sf_dir, "prox_incidx_", build)
+
+
+def maintained_postings(spark: SparkSession, idx: str) -> DataFrame:
+    """The index's CURRENT logical postings: base rows plus signed
+    delta rows folded at read time (sum per (term, doc_id), zero and
+    negative nets drop out) — merge-on-read for an additive index."""
+    from prox_spark.table import read_table
+
+    return (
+        read_table(spark, idx)
+        .groupBy("term", "doc_id")
+        .agg(F.sum("tf").cast("long").alias("tf"))
+        .filter(F.col("tf") > 0)
+    )
+
+
+def q201_incremental_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The postings index maintained INCREMENTALLY through an insert +
+    merge-on-read delete + update commit sequence must equal a
+    from-scratch index of the final corpus: the oracle re-derives the
+    final doc set formulaically and tokenizes it with no index at all,
+    so a feed row the maintenance missed (a deleted doc's postings
+    surviving, an update's old terms not retracted, a 'moved' term not
+    added) breaks the hash. Pinned flags: ``delta_bounded`` (the
+    maintenance commit is strictly smaller than the base index — work
+    ∝ delta) and ``zero_rewrite`` (every base file carried verbatim —
+    maintenance never rewrites the index)."""
+    idx, delta_bounded, zero_rewrite = _inc_postings(spark, sf_dir)
+    return (
+        maintained_postings(spark, idx)
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("tf_total"),
+        )
+        .withColumn("delta_bounded", F.lit(delta_bounded))
+        .withColumn("zero_rewrite", F.lit(zero_rewrite))
+        .orderBy("term")
+    )
+
+
+def _oracle_q201() -> str:
+    from .table_q import N_CARD_DOCS
+
+    return f"""
+WITH final AS (
+  SELECT i AS doc_id,
+         CASE WHEN i % 6 = 0 AND i < 60 AND i % 10 <> 4
+              THEN 'card g' || CAST(i // 3 AS VARCHAR) || ' MOVED'
+              ELSE 'card g' || CAST(i // 3 AS VARCHAR) END AS text
+  FROM range({N_CARD_DOCS}) t(i)
+  WHERE i % 10 <> 4
+), toks AS (
+  SELECT doc_id, {TOKENS_DUCK} AS tokens FROM final
+), tf_t AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM toks)
+  GROUP BY doc_id, term
+)
+SELECT term, CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(tf) AS BIGINT) AS tf_total,
+       TRUE AS delta_bounded, TRUE AS zero_rewrite
+FROM tf_t
+GROUP BY term
+ORDER BY term
+"""
+
+
 QUERIES = {
     "q200_bm25_search": q200_bm25_search,
+    "q201_incremental_text_index": q201_incremental_text_index,
 }
 
 ORACLES = {
     "q200_bm25_search": ORACLE_Q200,
+    "q201_incremental_text_index": _oracle_q201(),
 }

@@ -34,6 +34,30 @@ def test_bm25_probe_matches_full_scan(spark):
     )
 
 
+def test_incremental_postings_equal_from_scratch(spark):
+    """The feed-maintained postings index must equal a from-scratch
+    tokenize of the CDC table's head — inserts added, deleted docs'
+    postings fully retracted, an update's term move (old retracted,
+    'moved' added) netted exactly."""
+    from prox_spark.queries.search import (
+        _inc_postings,
+        _tokens_tf,
+        maintained_postings,
+    )
+    from prox_spark.queries.table_q import _card_cdc_table
+    from prox_spark.table import read_table, table_versions
+
+    idx, delta_bounded, zero_rewrite = _inc_postings(spark, SF)
+    assert delta_bounded and zero_rewrite
+    # exactly two versions: the v1 build and the one maintenance commit
+    assert table_versions(spark, idx) == [1, 2]
+    t, _ = _card_cdc_table(spark, SF)
+    scratch = _tokens_tf(read_table(spark, t).select("doc_id", "text"))
+    got = sorted(map(tuple, maintained_postings(spark, idx).collect()))
+    want = sorted(map(tuple, scratch.collect()))
+    assert got == want
+
+
 def test_bm25_scores_rank_rare_term_docs_first(spark):
     """Docs hitting the rare query term ('dup', df≈5% of the corpus)
     must outrank common-term-only docs for the query that includes it:
