@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructType
 
 from prox_spark.table import (
+    _abs,
     _manifest_versions,
     _read_files,
     read_manifest,
@@ -96,7 +97,7 @@ def _version_changes(
             continue
         base = _read_files(spark, table_path, prev, targets)
         keys = (
-            spark.read.parquet(f"{table_path}/{e['file']}")
+            spark.read.parquet(_abs(table_path, e["file"]))
             .select(*e["keys"])
             .distinct()
         )

@@ -2353,6 +2353,131 @@ ORDER BY source
 """
 
 
+# --- q202: shallow clone (zero-copy fork + divergence + pin safety) --------
+
+_CLONE_CACHE: dict[str, tuple] = {}
+
+
+def _clone_pair(spark: SparkSession, sf_dir: str) -> tuple:
+    """Staged once per process: a documents-backed SOURCE table with a
+    merge-on-read delete in its history, shallow-CLONED, then driven
+    through the full hazard sequence — divergent writes on both sides,
+    a source compaction, and a hard source vacuum (keep_last=1,
+    retention 0) that would destroy the clone if the clone's tag pin
+    did not hold. Returns (clone_path, zero_copy, survives)."""
+    import os
+
+    from prox_spark.table import (
+        clone_table,
+        commit_delta,
+        commit_snapshot,
+        compact_table,
+        read_manifest,
+        read_table,
+        vacuum,
+    )
+    from prox_spark.upsert import delete_keys_mor, upsert_parquet
+
+    from ._staging import staged
+
+    def build(scratch: str) -> tuple:
+        src, dst = f"{scratch}/src", f"{scratch}/dst"
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "source", "n_chars"
+        )
+        commit_snapshot(
+            spark, src, docs.filter(F.col("doc_id") % 3 != 0),
+            stat_cols=["doc_id"], n_files=4,
+        )
+        prev = read_manifest(spark, src)
+        commit_delta(
+            spark, src, docs.filter(F.col("doc_id") % 3 == 0),
+            list(prev["files"]), update_key_ranges={},
+        )
+        delete_keys_mor(
+            spark, src,
+            docs.filter(F.col("doc_id") % 10 == 6).select("doc_id"),
+            ["doc_id"],
+        )
+        clone_table(spark, src, dst)
+        m = read_manifest(spark, dst)
+        zero_copy = bool(
+            all(f.startswith("/") for f in m["files"])
+            and not os.path.exists(f"{dst}/data")
+        )
+        # diverge the CLONE: bump n_chars for doc_id % 7 == 0
+        upd = (
+            read_table(spark, dst)
+            .filter(F.col("doc_id") % 7 == 0)
+            .withColumn("n_chars", F.col("n_chars") + F.lit(500))
+        )
+        upsert_parquet(spark, dst, upd, ["doc_id"])
+        # diverge the SOURCE: rows the clone must never see
+        cur = read_manifest(spark, src)
+        commit_delta(
+            spark, src,
+            docs.limit(5).select(
+                (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+                "source", "n_chars",
+            ),
+            list(cur["files"]), update_key_ranges={},
+        )
+        # the hazard: rewrite + hard-vacuum the source; only the
+        # clone's tag pin keeps the cloned version's files alive
+        compact_table(spark, src)
+        vacuum(spark, src, keep_last=1, retention_minutes=0.0)
+        try:
+            survives = read_table(spark, dst).count() > 0
+        except Exception:
+            survives = False
+        return dst, zero_copy, bool(survives)
+
+    return staged(_CLONE_CACHE, sf_dir, "prox_clone_", build)
+
+
+def q202_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE under the driver gate (Delta CREATE TABLE ...
+    SHALLOW CLONE parity, prox_spark.table.clone_table): the clone
+    references the source's files by absolute path (zero bytes
+    copied), diverges via an upsert that must rewrite foreign files
+    into local ones, must NOT see the source's post-clone append, and
+    must survive a source compaction + hard vacuum through its tag
+    pin. The aggregate reads the clone's final state; the oracle
+    derives it formulaically from the raw documents table — a leaked
+    source row, a lost foreign file, or a mis-applied carried
+    merge-on-read delete all break the hash. Pinned flags:
+    ``zero_copy`` (no data files under the clone at clone time) and
+    ``survives_src_vacuum``."""
+    dst, zero_copy, survives = _clone_pair(spark, sf_dir)
+    from prox_spark.table import read_table
+
+    return (
+        read_table(spark, dst)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .withColumn("zero_copy", F.lit(zero_copy))
+        .withColumn("survives_src_vacuum", F.lit(survives))
+        .orderBy("source")
+    )
+
+
+ORACLE_Q202 = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN doc_id % 7 = 0 THEN n_chars + 500
+                     ELSE n_chars END) AS BIGINT) AS sum_chars,
+       TRUE AS zero_copy,
+       TRUE AS survives_src_vacuum
+FROM documents
+WHERE doc_id % 10 <> 6
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "q114_snapshot_diff": q114_snapshot_diff,
     "q118_incremental_agg": q118_incremental_agg,
@@ -2374,6 +2499,7 @@ QUERIES = {
     "q192_multi_table_txn": q192_multi_table_txn,
     "q196_change_feed": q196_change_feed,
     "q199_incremental_data_card": q199_incremental_data_card,
+    "q202_shallow_clone": q202_shallow_clone,
 }
 
 
@@ -2401,4 +2527,5 @@ def oracles() -> dict[str, str]:
         "q192_multi_table_txn": ORACLE_Q192,
         "q196_change_feed": ORACLE_Q196,
         "q199_incremental_data_card": ORACLE_Q199,
+        "q202_shallow_clone": ORACLE_Q202,
     }

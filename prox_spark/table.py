@@ -259,6 +259,25 @@ def _read_manifest_file(
     )
 
 
+def _is_foreign(entry: str) -> bool:
+    """True when a manifest file entry is an ABSOLUTE path or full URI
+    rather than a table-relative one. Relative entries are the norm;
+    a SHALLOW CLONE's manifest references the source table's files
+    absolutely (the Delta shallow-clone convention), so they resolve
+    as-is and never collide with the clone's own ``data/`` listing —
+    which is what keeps the clone's vacuum/compaction cleanup (both
+    act only on locally-listed files) physically unable to touch the
+    source's data."""
+    return entry.startswith("/") or "://" in entry
+
+
+def _abs(table_path: str, entry: str) -> str:
+    """Resolve a manifest file entry to a readable path: relative
+    entries join the table dir, foreign (absolute/URI) entries from a
+    shallow clone pass through untouched."""
+    return entry if _is_foreign(entry) else f"{table_path}/{entry}"
+
+
 def _is_missing_file_error(ex: Exception) -> bool:
     """A driver-side metadata read that raced a concurrent delete
     (drop_tag/drop_branch/vacuum between listing and open) surfaces as
@@ -341,7 +360,7 @@ def _read_files(
     born = manifest.get("born") or {}
     if not deletes and not renames:
         return spark.read.schema(schema).parquet(
-            *[f"{table_path}/{f}" for f in files]
+            *[_abs(table_path, f) for f in files]
         )
     d_sets = [set(d["targets"]) for d in deletes]
     groups: dict[tuple, list[str]] = {}
@@ -372,7 +391,7 @@ def _read_files(
             )
         read_schema = StructType(read_fields)
         df = spark.read.schema(read_schema).parquet(
-            *[f"{table_path}/{f}" for f in groups[(d_sig, r_sig)]]
+            *[_abs(table_path, f) for f in groups[(d_sig, r_sig)]]
         )
         if any(p.name != d.name for p, d in zip(read_fields, schema.fields)):
             # one positional select, not sequential withColumnRenamed:
@@ -387,7 +406,7 @@ def _read_files(
         for i in d_sig:
             d = deletes[i]
             dset = (
-                spark.read.parquet(f"{table_path}/{d['file']}")
+                spark.read.parquet(_abs(table_path, d["file"]))
                 .select(*d["keys"])
                 .distinct()
             )
@@ -826,7 +845,7 @@ def commit_delta(
         for f in rewritten:
             try:
                 rewritten_bytes += fs2.getFileStatus(
-                    jvm2.org.apache.hadoop.fs.Path(f"{table_path}/{f}")
+                    jvm2.org.apache.hadoop.fs.Path(_abs(table_path, f))
                 ).getLen()
             except Exception:
                 pass
@@ -1546,6 +1565,112 @@ def rollback_table(
     return head + 1
 
 
+def clone_table(
+    spark: SparkSession, src_path: str, dst_path: str,
+    *, version: int | None = None, pin: bool = True,
+) -> int:
+    """SHALLOW CLONE: publish ``dst_path`` as a new manifest table
+    whose first version references ``src_path``'s live data files BY
+    ABSOLUTE PATH — zero data copied, O(metadata) cost at any table
+    size (the Delta ``CREATE TABLE ... SHALLOW CLONE`` semantics).
+    Returns the clone's first version number.
+
+    - DIVERGENCE: commits on the clone write their own local files and
+      never touch the source; commits on the source are invisible to
+      the clone (it pinned an exact file list). A full
+      :func:`compact_table` on the clone rewrites every foreign
+      reference into local files — the materialize path.
+    - VACUUM SAFETY, clone side: the clone's vacuum sweeps only its
+      own ``data/`` listing, where foreign files never appear.
+    - VACUUM SAFETY, source side: with ``pin=True`` (default) the
+      clone drops a ``clone-*`` TAG on the source at the cloned
+      version, so the source's vacuum keeps those exact files
+      resolvable (the classic shallow-clone hazard: Delta documents
+      that VACUUM on the source BREAKS clones — the tag pin closes
+      it). :func:`release_clone_pin` drops the tag once the clone is
+      materialized or dropped.
+    - VERSION NUMBERING starts at ``src version + 1``, not 1: carried
+      rename mappings and per-file birth versions keep their src-
+      relative ordering, so name resolution on old foreign files stays
+      correct while files the clone writes later (born > every carried
+      mapping) are never mis-mapped.
+    - The source's ``index_of`` value-index registration is NOT
+      carried (index artifacts live under the source; rebuild against
+      the clone if needed)."""
+    import os as _os
+
+    if is_manifest_table(spark, dst_path):
+        raise ValueError(f"{dst_path} is already a manifest table")
+    base = src_path
+    if not _is_foreign(base):
+        base = _os.path.abspath(base)
+    src = read_manifest(spark, src_path, version)
+    src_v = int(src["version"])
+
+    def a(e: str) -> str:
+        return e if _is_foreign(e) else f"{base}/{e}"
+
+    tag = None
+    if pin:
+        tag = f"clone-{uuid.uuid4().hex[:12]}"
+        create_tag(spark, src_path, tag, src_v)
+    src_stats = src.get("stats") or {}
+    src_born = src.get("born") or {}
+    src_sizes = src.get("sizes") or {}
+    doc = {
+        "version": src_v + 1,
+        "files": [a(f) for f in src["files"]],
+        "stats": {a(f): src_stats.get(f) for f in src["files"]},
+        "stat_cols": src.get("stat_cols") or [],
+        "schema": src["schema"],
+        "cloned_from": {"path": base, "version": src_v, "tag": tag},
+    }
+    born = {a(f): src_born.get(f, 0) for f in src["files"] if f in src_born}
+    if born:
+        doc["born"] = born
+    sizes = {a(f): src_sizes[f] for f in src["files"] if f in src_sizes}
+    if sizes:
+        doc["sizes"] = sizes
+    deletes = [
+        {**d, "file": a(d["file"]), "targets": [a(t) for t in d["targets"]]}
+        for d in src.get("deletes") or []
+    ]
+    if deletes:
+        doc["deletes"] = deletes
+    for k in ("renames", "dropped_cols", "cluster_curve"):
+        if src.get(k) is not None:
+            doc[k] = src[k]
+    try:
+        _write_manifest(spark, dst_path, src_v + 1, doc)
+    except BaseException:
+        if tag is not None:
+            try:
+                drop_tag(spark, src_path, tag)
+            except Exception:
+                pass  # best-effort: an unreleased pin is benign
+        raise
+    return src_v + 1
+
+
+def release_clone_pin(spark: SparkSession, dst_path: str) -> bool:
+    """Drop the source-table tag a shallow clone pinned at creation —
+    call once the clone is materialized (full :func:`compact_table`)
+    or no longer needed. Returns True when a pin was released. After
+    release, a source vacuum may reclaim files the clone still
+    references; an unmaterialized clone then fails loudly on read."""
+    versions = _manifest_versions(spark, dst_path)
+    if not versions:
+        raise ValueError(f"{dst_path} is not a manifest table")
+    info = _read_manifest_file(spark, dst_path, versions[0]).get("cloned_from")
+    if not info or not info.get("tag"):
+        return False
+    try:
+        drop_tag(spark, info["path"], info["tag"])
+    except Exception:
+        return False  # already released, or the source is gone
+    return True
+
+
 def files_metadata(
     spark: SparkSession,
     table_path: str,
@@ -1721,7 +1846,7 @@ def _files_carrying(
     want = set(cols)
     out = []
     for f in files:
-        p = f"{table_path}/{f}"
+        p = _abs(table_path, f)
         local = p[len("file:"):] if p.startswith("file:") else p
         try:
             names = set(pq.read_schema(local).names)
@@ -2320,7 +2445,7 @@ def compact_small_files(
         n = sizes.get(f)
         if n is None:
             n = fs.getFileStatus(
-                jvm.org.apache.hadoop.fs.Path(f"{table_path}/{f}")
+                jvm.org.apache.hadoop.fs.Path(_abs(table_path, f))
             ).getLen()
         if n < limit:
             small.append(f)
@@ -2419,7 +2544,7 @@ def maintain_table(
             for f in stat_fallback:
                 try:
                     if fs.getFileStatus(
-                        jvm.org.apache.hadoop.fs.Path(f"{table_path}/{f}")
+                        jvm.org.apache.hadoop.fs.Path(_abs(table_path, f))
                     ).getLen() < limit:
                         n_small += 1
                 except Exception:  # noqa: PERF203 - racing vacuum/rewrite
@@ -2461,7 +2586,7 @@ def table_history(spark: SparkSession, table_path: str) -> list[dict]:
         if f not in sizes:
             try:
                 sizes[f] = fs.getFileStatus(
-                    jvm.org.apache.hadoop.fs.Path(f"{table_path}/{f}")
+                    jvm.org.apache.hadoop.fs.Path(_abs(table_path, f))
                 ).getLen()
             except Exception:
                 sizes[f] = 0  # vacuumed-from-under or in-flight: unknown
@@ -2566,11 +2691,20 @@ def vacuum(
             e["file"].rsplit("/", 1)[-1] for e in m.get("chunks") or []
         )
         if "files" in m:
-            kept_dirs.update(f.split("/")[1] for f in m["files"] if "/" in f)
+            # foreign (shallow-clone) entries live under the SOURCE
+            # table and are never candidates in the local sweep below —
+            # protecting them here would only pollute kept_dirs
+            kept_dirs.update(
+                f.split("/")[1]
+                for f in m["files"]
+                if "/" in f and not _is_foreign(f)
+            )
             # merge-on-read delete key files are data too: retiring one
             # that a kept manifest still references would resurrect rows
             kept_dirs.update(
-                d["file"].split("/")[1] for d in m.get("deletes") or []
+                d["file"].split("/")[1]
+                for d in m.get("deletes") or []
+                if not _is_foreign(d["file"])
             )
         else:
             kept_dirs.add(m["data"].split("/", 1)[1])

@@ -72,6 +72,15 @@ def _fs_base(path: str):
     return pafs.LocalFileSystem(), path
 
 
+
+def _entry_path(base: str, entry: str) -> str:
+    """Resolve a manifest file entry: relative entries join the table
+    base; a shallow clone's foreign (absolute/URI) entries pass
+    through — the pure-python twin of table._abs."""
+    if entry.startswith("/") or "://" in entry:
+        return entry
+    return f"{base}/{entry}"
+
 def _list_versions(path: str) -> list[int]:
     from pyarrow import fs as pafs
 
@@ -314,7 +323,7 @@ class TableChangesStreamReader(DataSourceStreamReader):
                 if fresh:
                     parts.append(
                         _FilesPartition(
-                            [f"{base}/{f}" for f in fresh],
+                            [_entry_path(base, f) for f in fresh],
                             list(self._fields),
                         )
                     )
@@ -419,7 +428,7 @@ class TableChangesStreamReader(DataSourceStreamReader):
             _guard_renames(doc, f)
             parts.append(
                 _ChangePartition(
-                    [f"{base}/{f}"], fields, "insert", v,
+                    [_entry_path(base, f)], fields, "insert", v,
                     anti=_entries_for(doc, f),
                 )
             )
@@ -429,7 +438,7 @@ class TableChangesStreamReader(DataSourceStreamReader):
                     _guard_renames(prev, f)
                     parts.append(
                         _ChangePartition(
-                            [f"{base}/{f}"], fields, "delete", v,
+                            [_entry_path(base, f)], fields, "delete", v,
                             anti=_entries_for(prev, f),
                         )
                     )
@@ -445,10 +454,10 @@ class TableChangesStreamReader(DataSourceStreamReader):
                         _guard_renames(prev, f)
                         parts.append(
                             _ChangePartition(
-                                [f"{base}/{f}"], fields, "delete", v,
+                                [_entry_path(base, f)], fields, "delete", v,
                                 anti=_entries_for(prev, f),
                                 semi=(
-                                    f"{base}/{entry['file']}",
+                                    _entry_path(base, entry["file"]),
                                     list(entry["keys"]),
                                 ),
                             )
