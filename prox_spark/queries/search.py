@@ -373,12 +373,146 @@ ORDER BY term
 """
 
 
+# --- q203: hybrid retrieval (BM25 recall -> embedding rerank) --------------
+
+HYBRID_CANDIDATES = 25
+HYBRID_TOP_K = 10
+
+
+def q203_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval, the RAG-pipeline shape: the BM25 postings
+    index supplies a cheap keyword candidate set (top-25 per query,
+    index-probed — never a corpus scan), then the candidates are
+    RERANKED by embedding cosine to the top BM25 hit's vector (rank-1
+    pseudo-relevance feedback, Rocchio's single-anchor special case —
+    one anchor vector per query keeps every float op an identical
+    IEEE sequence in both engines; summing multiple feedback vectors
+    would reintroduce order-dependent double addition). The oracle
+    recomputes both stages from the raw tables. Scale shape: the
+    candidate set (queries × 25 rows) BROADCASTS into one scan of the
+    vector table — at 100 TB that join is served by id point-lookups
+    into the vector table, never a re-scan per query; cosine is the
+    q40 fold on precomputed norms."""
+    from prox_spark.table import read_table_point
+
+    from .similarity import DOT_SPARK, _emb_n
+
+    postings, dl_path, stats_path = _bm25_index(spark, sf_dir)
+    terms = sorted({t for _, t in BM25_QUERIES})
+    probed = reduce(
+        lambda a, b: a.unionByName(b),
+        [read_table_point(spark, postings, {"term": t}) for t in terms],
+    )
+    q_terms = spark.createDataFrame(BM25_QUERIES, "query_id long, term string")
+    cand = _bm25_score(
+        spark,
+        probed,
+        q_terms,
+        spark.read.parquet(dl_path),
+        spark.read.parquet(stats_path),
+        top_k=HYBRID_CANDIDATES,
+    )
+    emb = _emb_n(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), "dd", "nrm"
+    )
+    cand_e = emb.join(F.broadcast(cand), "doc_id")
+    anchors = cand_e.filter(F.col("rnk") == 1).select(
+        "query_id",
+        F.col("doc_id").alias("anchor_id"),
+        F.col("dd").alias("av"),
+        F.col("nrm").alias("an"),
+    )
+    rer = (
+        cand_e.join(F.broadcast(anchors), "query_id")
+        .filter(F.col("doc_id") != F.col("anchor_id"))
+        .withColumn(
+            "cosine",
+            F.expr(f"{DOT_SPARK.format(a='av', b='dd')} / (an * nrm)"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "doc_id"
+    )
+    return (
+        rer.withColumn("rr", F.row_number().over(w).cast("long"))
+        .filter(F.col("rr") <= HYBRID_TOP_K)
+        .select("query_id", "rr", "doc_id", "score_micro", "cosine")
+        .orderBy("query_id", "rr")
+    )
+
+
+def _oracle_q203() -> str:
+    from .similarity import DOT_DUCK
+
+    dot_nrm = DOT_DUCK.format(
+        a="embedding::DOUBLE[]", b="embedding::DOUBLE[]"
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, {TOKENS_DUCK} AS tokens FROM documents
+), dl_t AS (
+  SELECT doc_id, CAST(len(tokens) AS BIGINT) AS dl FROM t
+), tf_t AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM t)
+  GROUP BY doc_id, term
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot
+  FROM dl_t
+), qt AS (
+  SELECT CAST(query_id AS BIGINT) AS query_id, term FROM {_duck_qterms()}
+), dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df
+  FROM tf_t WHERE term IN (SELECT term FROM qt) GROUP BY term
+), scored AS (
+  SELECT qt.query_id, tf_t.doc_id, {_TERM_MICRO} AS term_micro
+  FROM qt JOIN tf_t USING (term) JOIN dfreq USING (term)
+  JOIN dl_t ON tf_t.doc_id = dl_t.doc_id CROSS JOIN stats
+), agg AS (
+  SELECT query_id, doc_id, CAST(sum(term_micro) AS BIGINT) AS score_micro
+  FROM scored GROUP BY query_id, doc_id
+), cand AS (
+  SELECT query_id, doc_id, score_micro,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score_micro DESC, doc_id
+         ) AS rnk
+  FROM agg
+  QUALIFY rnk <= {HYBRID_CANDIDATES}
+), e AS (
+  SELECT vec_id AS doc_id, embedding::DOUBLE[] AS dd,
+         sqrt({dot_nrm}) AS nrm
+  FROM embeddings
+), anchors AS (
+  SELECT c.query_id, c.doc_id AS anchor_id, e.dd AS av, e.nrm AS an
+  FROM cand c JOIN e USING (doc_id) WHERE c.rnk = 1
+), rer AS (
+  SELECT c.query_id, c.doc_id, c.score_micro,
+         {DOT_DUCK.format(a='a.av', b='e.dd')} / (a.an * e.nrm) AS cosine
+  FROM cand c
+  JOIN e USING (doc_id)
+  JOIN anchors a ON c.query_id = a.query_id
+  WHERE c.doc_id <> a.anchor_id
+), ranked AS (
+  SELECT query_id, doc_id, score_micro, cosine,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, doc_id
+         ) AS BIGINT) AS rr
+  FROM rer
+)
+SELECT query_id, rr, doc_id, score_micro, cosine
+FROM ranked WHERE rr <= {HYBRID_TOP_K}
+ORDER BY query_id, rr
+"""
+
+
 QUERIES = {
     "q200_bm25_search": q200_bm25_search,
     "q201_incremental_text_index": q201_incremental_text_index,
+    "q203_hybrid_retrieval": q203_hybrid_retrieval,
 }
 
 ORACLES = {
     "q200_bm25_search": ORACLE_Q200,
     "q201_incremental_text_index": _oracle_q201(),
+    "q203_hybrid_retrieval": _oracle_q203(),
 }

@@ -71,3 +71,25 @@ def test_bm25_scores_rank_rare_term_docs_first(spark):
     assert rows[0]["n_terms_hit"] == 2
     assert all(r["files_pruned"] for r in rows)
     assert all(r["score_micro"] > 0 for r in rows)
+
+
+def test_hybrid_rerank_excludes_anchor_and_bounds_cosine(spark):
+    """The rerank must drop each query's anchor doc (its cosine would
+    be a degenerate 1.0) and produce cosines in [-1, 1]."""
+    from prox_spark.queries.search import (
+        HYBRID_TOP_K,
+        q200_bm25_search,
+        q203_hybrid_retrieval,
+    )
+
+    out = q203_hybrid_retrieval(spark, SF).collect()
+    assert out
+    anchors = {
+        r["query_id"]: r["doc_id"]
+        for r in q200_bm25_search(spark, SF).collect()
+        if r["rnk"] == 1
+    }
+    for r in out:
+        assert r["doc_id"] != anchors[r["query_id"]]
+        assert -1.0 <= r["cosine"] <= 1.0
+        assert 1 <= r["rr"] <= HYBRID_TOP_K
