@@ -2478,6 +2478,101 @@ ORDER BY source
 """
 
 
+# --- q204: CHECK constraints enforced at commit time -----------------------
+
+_CONSTRAINT_CACHE: dict[str, tuple] = {}
+
+
+def _constraint_table(spark: SparkSession, sf_dir: str) -> tuple:
+    """Staged once per process: a documents-backed table with a CHECK
+    constraint, driven through a VIOLATING commit (must be rejected
+    atomically — no new version, no leftover rows) and then a valid
+    synthetic append. Returns (path, rejected_atomically)."""
+    from prox_spark.table import (
+        ConstraintViolationError,
+        add_constraint,
+        commit_delta,
+        commit_snapshot,
+        read_manifest,
+    )
+
+    from ._staging import staged
+
+    def build(scratch: str) -> tuple:
+        t = f"{scratch}/t"
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "source", "n_chars"
+        )
+        commit_snapshot(spark, t, docs, stat_cols=["doc_id"], n_files=4)
+        add_constraint(spark, t, "chars_nonneg", "n_chars >= 0")
+        head = read_manifest(spark, t)["version"]
+        prev = read_manifest(spark, t)
+        bad = docs.limit(3).select(
+            (F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"),
+            "source",
+            F.lit(-1).cast("long").alias("n_chars"),
+        )
+        rejected = False
+        try:
+            commit_delta(
+                spark, t, bad, list(prev["files"]), update_key_ranges={}
+            )
+        except ConstraintViolationError:
+            rejected = True
+        atomic = read_manifest(spark, t)["version"] == head
+        ok = docs.filter(F.col("doc_id") % 11 == 0).select(
+            (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+            F.lit("synthetic").alias("source"),
+            (F.col("doc_id") % 100).cast("long").alias("n_chars"),
+        )
+        cur = read_manifest(spark, t)
+        commit_delta(spark, t, ok, list(cur["files"]), update_key_ranges={})
+        return t, bool(rejected and atomic)
+
+    return staged(_CONSTRAINT_CACHE, sf_dir, "prox_constraint_", build)
+
+
+def q204_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints under the driver gate (Delta ALTER TABLE ADD
+    CONSTRAINT parity, prox_spark.table.add_constraint): a violating
+    append must be rejected ATOMICALLY (no version published, its
+    files removed — the pinned ``rejected_atomically`` flag) while a
+    valid append lands; the aggregate reads the final table, so a
+    leaked violating row or a lost valid row breaks the hash. SQL
+    CHECK semantics (IS FALSE violates, NULL passes); enforcement
+    reads back only the commit's new bytes, columnar-pruned to the
+    constraint's columns — never table-sized work."""
+    from prox_spark.table import read_table
+
+    t, flag = _constraint_table(spark, sf_dir)
+    return (
+        read_table(spark, t)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .withColumn("rejected_atomically", F.lit(flag))
+        .orderBy("source")
+    )
+
+
+ORACLE_Q204 = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       TRUE AS rejected_atomically
+FROM (
+  SELECT source, n_chars FROM documents
+  UNION ALL
+  SELECT 'synthetic' AS source, doc_id % 100 AS n_chars
+  FROM documents WHERE doc_id % 11 = 0
+)
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "q114_snapshot_diff": q114_snapshot_diff,
     "q118_incremental_agg": q118_incremental_agg,
@@ -2500,6 +2595,7 @@ QUERIES = {
     "q196_change_feed": q196_change_feed,
     "q199_incremental_data_card": q199_incremental_data_card,
     "q202_shallow_clone": q202_shallow_clone,
+    "q204_check_constraints": q204_check_constraints,
 }
 
 
@@ -2528,4 +2624,5 @@ def oracles() -> dict[str, str]:
         "q196_change_feed": ORACLE_Q196,
         "q199_incremental_data_card": ORACLE_Q199,
         "q202_shallow_clone": ORACLE_Q202,
+        "q204_check_constraints": ORACLE_Q204,
     }

@@ -113,6 +113,13 @@ class CommitConflictError(OSError):
 _STAT_TYPES = (int, float, str)
 
 
+class ConstraintViolationError(ValueError):
+    """A commit's new rows violate a table CHECK constraint. The
+    commit was NOT published and its data files were removed — the
+    table is exactly as before, Delta's constraint-enforcement
+    contract."""
+
+
 def _fs(spark: SparkSession, path: str):
     jvm = spark._jvm  # noqa: SLF001 - hadoop FS side channel
     hpath = jvm.org.apache.hadoop.fs.Path(path)
@@ -950,6 +957,48 @@ def commit_delta(
             new_files = [f for f in new_files if f not in set(empties)]
         new_stats.update({f: st for f, st, n in gathered if n != 0})
 
+    # CHECK-constraint enforcement (Delta parity): validate the
+    # commit's NEW bytes before any manifest publish — read back the
+    # just-written files (columnar-pruned to the constraint columns,
+    # never a recompute of new_df's lineage) and count rows where a
+    # constraint IS FALSE (SQL CHECK semantics: NULL passes). A
+    # violation removes the files and raises with the table exactly as
+    # before. data_change=False commits (compaction) skip it: their
+    # rows are a subset of rows already validated at their own commit.
+    constraints = prev.get("constraints") or []
+    if constraints and data_change and new_files:
+        checked = spark.read.schema(new_df.schema).parquet(
+            *[f"{table_path}/{f}" for f in new_files]
+        )
+        counts = checked.agg(
+            *[
+                F.sum(
+                    F.expr(f"({c['expr']}) IS FALSE").cast("long")
+                ).alias(c["name"])
+                for c in constraints
+            ]
+        ).first()
+        exprs = {c["name"]: c["expr"] for c in constraints}
+        bad = {
+            c["name"]: counts[c["name"]] or 0
+            for c in constraints
+            if counts[c["name"]]
+        }
+        if bad:
+            jvmc, fsc, _ = _fs(spark, table_path)
+            for f in new_files:
+                fsc.delete(
+                    jvmc.org.apache.hadoop.fs.Path(f"{table_path}/{f}"),
+                    False,
+                )
+            raise ConstraintViolationError(
+                f"commit to {table_path} violates CHECK constraint(s) "
+                + ", ".join(
+                    f"{n} ({exprs[n]}): {v} row(s)"
+                    for n, v in sorted(bad.items())
+                )
+            )
+
     rewritten_set = set(prev.get("files", [])) - set(keep_files)
     schema_json = new_df.schema.jsonValue()
     rename_sources = [
@@ -1112,6 +1161,8 @@ def commit_delta(
         )
         if still_dropped:
             manifest["dropped_cols"] = still_dropped
+        if cur.get("constraints"):
+            manifest["constraints"] = cur["constraints"]
         try:
             _write_manifest(spark, table_path, v, manifest, ref)
             # chunk files written for attempts that lost the race are
@@ -1188,7 +1239,9 @@ def _validate_rebase(
             "concurrent writer published a manifest without a file list; "
             "cannot prove disjointness"
         )
-    for meta_key in ("schema", "renames", "dropped_cols", "stat_cols"):
+    for meta_key in (
+        "schema", "renames", "dropped_cols", "stat_cols", "constraints"
+    ):
         if base.get(meta_key) != cur.get(meta_key):
             raise CommitConflictError(
                 f"concurrent commit changed table {meta_key}; this "
@@ -1637,7 +1690,7 @@ def clone_table(
     ]
     if deletes:
         doc["deletes"] = deletes
-    for k in ("renames", "dropped_cols", "cluster_curve"):
+    for k in ("renames", "dropped_cols", "cluster_curve", "constraints"):
         if src.get(k) is not None:
             doc[k] = src[k]
     try:
@@ -2010,6 +2063,80 @@ def drop_column(spark: SparkSession, table_path: str, col: str) -> int:
         return doc
 
     return _commit_meta_change(spark, table_path, mutate)
+
+
+def add_constraint(
+    spark: SparkSession, table_path: str, name: str, expr: str
+) -> int:
+    """ALTER TABLE ADD CONSTRAINT (Delta CHECK-constraint parity):
+    record boolean SQL ``expr`` in the manifest so every later
+    data-changing commit validates its NEW bytes against it before
+    publishing (SQL CHECK semantics — a row violates only when the
+    expression IS FALSE; NULL passes). Existing rows are validated
+    FIRST, and re-validated on every lost publish race, so a
+    concurrent append of violating rows cannot slip under the new
+    constraint: whichever of the two commits publishes second sees the
+    other (the appender via enforcement against the published
+    constraint, this via the CAS retry's re-validation). Metadata-only
+    commit — no data movement. Returns the new version."""
+    for attempt in range(6):
+        versions = _manifest_versions(spark, table_path)
+        if not versions:
+            raise ValueError(f"{table_path} is not a manifest table")
+        cur_v = versions[-1]
+        doc = _read_manifest_file(spark, table_path, cur_v)
+        cons = list(doc.get("constraints") or [])
+        if any(c["name"] == name for c in cons):
+            raise ValueError(
+                f"constraint {name!r} already exists on {table_path}"
+            )
+        n_bad = (
+            read_table(spark, table_path, version=cur_v)
+            .filter(F.expr(f"({expr}) IS FALSE"))
+            .count()
+        )
+        if n_bad:
+            raise ConstraintViolationError(
+                f"cannot add constraint {name!r} to {table_path}: "
+                f"{n_bad} existing row(s) violate ({expr})"
+            )
+        manifest = dict(doc)
+        manifest["constraints"] = [*cons, {"name": name, "expr": expr}]
+        manifest["version"] = cur_v + 1
+        try:
+            _write_manifest(spark, table_path, cur_v + 1, manifest)
+            return cur_v + 1
+        except CommitConflictError:
+            if attempt == 4:
+                raise
+    raise AssertionError("unreachable")
+
+
+def drop_constraint(
+    spark: SparkSession, table_path: str, name: str
+) -> int:
+    """ALTER TABLE DROP CONSTRAINT: metadata-only commit removing the
+    named CHECK constraint. Raises when it does not exist."""
+    def mutate(doc: dict, v: int) -> dict:
+        cons = list(doc.get("constraints") or [])
+        kept = [c for c in cons if c["name"] != name]
+        if len(kept) == len(cons):
+            raise ValueError(
+                f"no constraint {name!r} on {table_path}"
+            )
+        if kept:
+            doc["constraints"] = kept
+        else:
+            doc.pop("constraints", None)
+        return doc
+
+    return _commit_meta_change(spark, table_path, mutate)
+
+
+def list_constraints(spark: SparkSession, table_path: str) -> dict[str, str]:
+    """The table's live CHECK constraints as {name: expr}."""
+    m = read_manifest(spark, table_path)
+    return {c["name"]: c["expr"] for c in m.get("constraints") or []}
 
 
 def set_cluster_spec(spark: SparkSession, table_path: str,
