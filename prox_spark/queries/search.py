@@ -282,20 +282,7 @@ def _inc_postings(spark: SparkSession, sf_dir: str) -> tuple:
         )
         m1 = read_manifest(spark, idx)
         n_base = read_table(spark, idx).count()
-        sgn = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
-            F.lit(-1)
-        )
-        delta = (
-            read_table_changes(spark, t, 1, head)
-            .select(
-                "doc_id",
-                sgn.alias("s"),
-                F.explode(F.expr(TOKENS_SPARK)).alias("term"),
-            )
-            .groupBy("term", "doc_id")
-            .agg(F.sum("s").cast("long").alias("tf"))
-            .filter(F.col("tf") != 0)
-        )
+        delta = _signed_postings(read_table_changes(spark, t, 1, head))
         n_delta = delta.count()
         commit_delta(
             spark, idx, delta, list(m1["files"]), update_key_ranges={}
@@ -305,6 +292,26 @@ def _inc_postings(spark: SparkSession, sf_dir: str) -> tuple:
         return idx, bool(n_delta < n_base), bool(zero_rewrite)
 
     return staged(_INC_IDX_CACHE, sf_dir, "prox_incidx_", build)
+
+
+def _signed_postings(feed: DataFrame) -> DataFrame:
+    """Signed postings delta from change-feed rows: insert rows
+    contribute +1 per token occurrence, delete rows −1; an update's
+    delete+insert pair nets its own term moves. One map-side explode,
+    one shuffle on (term, doc_id)."""
+    sgn = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    return (
+        feed.select(
+            "doc_id",
+            sgn.alias("s"),
+            F.explode(F.expr(TOKENS_SPARK)).alias("term"),
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.sum("s").cast("long").alias("tf"))
+        .filter(F.col("tf") != 0)
+    )
 
 
 def maintained_postings(spark: SparkSession, idx: str) -> DataFrame:
@@ -367,6 +374,203 @@ WITH final AS (
 SELECT term, CAST(count(*) AS BIGINT) AS df,
        CAST(sum(tf) AS BIGINT) AS tf_total,
        TRUE AS delta_bounded, TRUE AS zero_rewrite
+FROM tf_t
+GROUP BY term
+ORDER BY term
+"""
+
+
+# --- q205: STREAM-maintained postings index through deletes ----------------
+
+# marker rows record applied batch ids inside the index itself; \x00
+# can never be a token (the tokenizer splits lowercase words)
+_BATCH_MARKER = "\x00batch"
+N_SIDX_DOCS = 180
+_SIDX_CACHE: dict[str, tuple] = {}
+
+
+def postings_index_batch(batch_df: DataFrame, batch_id: int,
+                         index_path: str) -> None:
+    """Transactional postings sink for foreachBatch over a
+    readChangeFeed stream: fold the micro-batch's signed rows into a
+    postings delta (work ∝ batch) and APPEND it to the index table,
+    carrying every prior file by reference. An applied-batch marker
+    row (term = \\x00batch, doc_id = batch_id) makes re-delivery a
+    no-op, so checkpoint replay can't double-count a term."""
+    from prox_spark.table import (
+        commit_delta,
+        commit_snapshot,
+        is_manifest_table,
+        read_manifest,
+        read_table,
+    )
+
+    sp = batch_df.sparkSession
+    if batch_df.isEmpty():
+        # a restart fires one empty catch-up batch (fresh batch_id, no
+        # rows): appending a marker for it would make idle restarts
+        # grow the index — skip, there is nothing whose re-delivery
+        # needs fencing
+        return
+    if is_manifest_table(sp, index_path):
+        applied = {
+            int(r["doc_id"])
+            for r in read_table(sp, index_path)
+            .filter(F.col("term") == _BATCH_MARKER)
+            .select("doc_id")
+            .collect()
+        }
+        if int(batch_id) in applied:
+            return
+    marker = sp.createDataFrame(
+        [(_BATCH_MARKER, int(batch_id), -1)],
+        "term string, doc_id long, tf long",
+    )
+    data = _signed_postings(batch_df).unionByName(marker)
+    if is_manifest_table(sp, index_path):
+        prev = read_manifest(sp, index_path)
+        commit_delta(
+            sp, index_path, data, list(prev["files"]),
+            base_manifest=prev, base_version=prev.get("version"),
+            update_key_ranges={},
+        )
+    else:
+        commit_snapshot(sp, index_path, data, stat_cols=["term"])
+
+
+def _stream_postings(spark: SparkSession, sf_dir: str) -> tuple:
+    """Staged once per process: a formulaic corpus driven through
+    snapshot → append → merge-on-read DELETE → upsert, consumed by
+    three checkpoint-sharing readChangeFeed stream runs (the first
+    trigger after each restart is deliberately unpaced, so run two
+    folds the append+delete commits in one catch-up batch), each
+    batch folding its signed postings into the index. A fourth run
+    with nothing new must publish NO index commit at all. Returns
+    (index, incremental, replay_idempotent)."""
+    from prox_spark.table import (
+        commit_delta,
+        commit_snapshot,
+        read_manifest,
+        read_table,
+    )
+    from prox_spark.table_stream import TableChangesDataSource
+    from prox_spark.upsert import delete_keys_mor, upsert_parquet
+
+    from ._staging import staged
+    from .streaming_q import _stream_partitions
+
+    def build(scratch: str) -> tuple:
+        spark.dataSource.register(TableChangesDataSource)
+        t = f"{scratch}/corpus"
+        idx = f"{scratch}/postings_idx"
+        ckpt = f"{scratch}/ckpt"
+        allr = spark.range(N_SIDX_DOCS).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("idx t"), F.expr("cast(id div 2 as string)")
+            ).alias("text"),
+        )
+
+        def run() -> None:
+            with _stream_partitions(spark):
+                q = (
+                    spark.readStream.format("prox_table_changes")
+                    .option("path", t)
+                    .option("readChangeFeed", "true")
+                    .load()
+                    .writeStream.foreachBatch(
+                        lambda bdf, bid: postings_index_batch(bdf, bid, idx)
+                    )
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                try:
+                    q.awaitTermination(120)
+                finally:
+                    q.stop()
+
+        commit_snapshot(
+            spark, t, allr.filter(F.col("doc_id") % 4 != 3),
+            stat_cols=["doc_id"], n_files=4,
+        )
+        run()
+        prev = read_manifest(spark, t)
+        commit_delta(
+            spark, t, allr.filter(F.col("doc_id") % 4 == 3),
+            list(prev["files"]), update_key_ranges={},
+        )
+        delete_keys_mor(
+            spark, t,
+            allr.filter(F.col("doc_id") % 5 == 0).select("doc_id"),
+            ["doc_id"],
+        )
+        run()
+        upd = allr.filter(
+            (F.col("doc_id") % 9 == 0) & (F.col("doc_id") % 5 != 0)
+        ).withColumn("text", F.concat(F.col("text"), F.lit(" UPD")))
+        upsert_parquet(spark, t, upd, ["doc_id"])
+        run()
+        n_markers = (
+            read_table(spark, idx)
+            .filter(F.col("term") == _BATCH_MARKER)
+            .count()
+        )
+        v_before = read_manifest(spark, idx)["version"]
+        run()  # nothing new: replay must not publish ANY index commit
+        v_after = read_manifest(spark, idx)["version"]
+        return idx, bool(n_markers >= 3), bool(v_after == v_before)
+
+    return staged(_SIDX_CACHE, sf_dir, "prox_sidx_", build)
+
+
+def q205_streaming_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The postings index maintained by a STANDING STREAM through a
+    workload that DELETES — the q194/q198 streaming-index pattern
+    composed with the signed change feed: every corpus commit
+    (snapshot, append, merge-on-read delete, upsert) arrives as one
+    paced micro-batch whose signed postings fold into the index, and
+    the gate compares per-term stats from the stream-built index
+    against a from-scratch tokenize of the final corpus. A deleted
+    doc's surviving postings, an update's unretracted old terms, a
+    double-applied replayed batch, or a missed paced version all
+    break the hash. Pinned flags: ``incremental`` (≥3 distinct
+    micro-batches built the index — one per stream run) and
+    ``replay_idempotent`` (a fourth checkpoint-sharing run with
+    nothing new published no index commit)."""
+    idx, incremental, replay_idempotent = _stream_postings(spark, sf_dir)
+    return (
+        maintained_postings(spark, idx)
+        .filter(F.col("term") != _BATCH_MARKER)
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("tf_total"),
+        )
+        .withColumn("incremental", F.lit(incremental))
+        .withColumn("replay_idempotent", F.lit(replay_idempotent))
+        .orderBy("term")
+    )
+
+
+ORACLE_Q205 = f"""
+WITH final AS (
+  SELECT i AS doc_id,
+         CASE WHEN i % 9 = 0
+              THEN 'idx t' || CAST(i // 2 AS VARCHAR) || ' UPD'
+              ELSE 'idx t' || CAST(i // 2 AS VARCHAR) END AS text
+  FROM range({N_SIDX_DOCS}) t(i)
+  WHERE i % 5 <> 0
+), toks AS (
+  SELECT doc_id, {TOKENS_DUCK} AS tokens FROM final
+), tf_t AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM toks)
+  GROUP BY doc_id, term
+)
+SELECT term, CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(tf) AS BIGINT) AS tf_total,
+       TRUE AS incremental, TRUE AS replay_idempotent
 FROM tf_t
 GROUP BY term
 ORDER BY term
@@ -509,10 +713,12 @@ QUERIES = {
     "q200_bm25_search": q200_bm25_search,
     "q201_incremental_text_index": q201_incremental_text_index,
     "q203_hybrid_retrieval": q203_hybrid_retrieval,
+    "q205_streaming_text_index": q205_streaming_text_index,
 }
 
 ORACLES = {
     "q200_bm25_search": ORACLE_Q200,
     "q201_incremental_text_index": _oracle_q201(),
     "q203_hybrid_retrieval": _oracle_q203(),
+    "q205_streaming_text_index": ORACLE_Q205,
 }

@@ -93,3 +93,50 @@ def test_hybrid_rerank_excludes_anchor_and_bounds_cosine(spark):
         assert r["doc_id"] != anchors[r["query_id"]]
         assert -1.0 <= r["cosine"] <= 1.0
         assert 1 <= r["rr"] <= HYBRID_TOP_K
+
+
+def test_postings_batch_sink_is_idempotent_and_skips_empty(spark):
+    """Re-delivering an applied batch id must be a no-op (marker
+    fence), and an empty restart batch must publish no index commit."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from prox_spark.queries.search import (
+        _BATCH_MARKER,
+        maintained_postings,
+        postings_index_batch,
+    )
+    from prox_spark.table import read_table, table_versions
+
+    scratch = tempfile.mkdtemp(prefix="prox_sink_test_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    idx = f"{scratch}/idx"
+    batch = spark.createDataFrame(
+        [(1, "a b b", "insert"), (2, "a", "insert")],
+        "doc_id long, text string, _change_type string",
+    )
+    postings_index_batch(batch, 0, idx)
+    want = sorted(map(tuple, maintained_postings(spark, idx).collect()))
+    assert (("a", 1, 1) in want) and (("b", 1, 2) in want)
+    # replayed batch id: fenced by the marker, no new version
+    postings_index_batch(batch, 0, idx)
+    assert table_versions(spark, idx) == [1]
+    # empty catch-up batch: skipped entirely
+    postings_index_batch(batch.limit(0), 1, idx)
+    assert table_versions(spark, idx) == [1]
+    # a delete batch retracts exactly its rows
+    dels = spark.createDataFrame(
+        [(1, "a b b", "delete")],
+        "doc_id long, text string, _change_type string",
+    )
+    postings_index_batch(dels, 2, idx)
+    got = sorted(
+        map(
+            tuple,
+            maintained_postings(spark, idx)
+            .filter(F.col("term") != _BATCH_MARKER)
+            .collect(),
+        )
+    )
+    assert got == [("a", 2, 1)]
