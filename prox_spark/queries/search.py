@@ -524,6 +524,37 @@ def _stream_postings(spark: SparkSession, sf_dir: str) -> tuple:
     return staged(_SIDX_CACHE, sf_dir, "prox_sidx_", build)
 
 
+def compact_postings(spark: SparkSession, idx: str,
+                     n_files: int = 8) -> int:
+    """FOLD-compaction for the additive postings index: rewrite the
+    raw signed rows as their materialized fold (sum per (term,
+    doc_id), zero/negative nets dropped) in one term-clustered commit.
+    Without it a long maintenance history accrues one signed delta
+    row per touched posting forever — the additive-index analogue of
+    merge-on-read delete debt. Applied-batch MARKER rows are carried
+    verbatim: they fence checkpoint replay, and folding them away
+    would let a replayed old batch re-apply after compaction. Term
+    stats (file pruning for q200-style probes) are refreshed by the
+    clustered rewrite. Returns the new version."""
+    from prox_spark.table import commit_delta, read_manifest
+
+    folded = maintained_postings(spark, idx)
+    markers = read_table_markers(spark, idx)
+    prev = read_manifest(spark, idx)
+    return commit_delta(
+        spark, idx, folded.unionByName(markers), [],
+        stat_cols=["term"], n_files=n_files,
+        base_version=prev.get("version"),
+    )
+
+
+def read_table_markers(spark: SparkSession, idx: str) -> DataFrame:
+    """The index's applied-batch marker rows (replay fence)."""
+    from prox_spark.table import read_table
+
+    return read_table(spark, idx).filter(F.col("term") == _BATCH_MARKER)
+
+
 def q205_streaming_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The postings index maintained by a STANDING STREAM through a
     workload that DELETES — the q194/q198 streaming-index pattern

@@ -140,3 +140,53 @@ def test_postings_batch_sink_is_idempotent_and_skips_empty(spark):
         )
     )
     assert got == [("a", 2, 1)]
+
+
+def test_fold_compaction_preserves_index_and_replay_fence(spark):
+    """compact_postings materializes the signed fold (fewer raw rows,
+    re-clustered files) without changing the logical postings, and
+    carries the applied-batch markers so a replayed old batch is
+    still a no-op AFTER compaction."""
+    from prox_spark.queries.search import (
+        _BATCH_MARKER,
+        compact_postings,
+        maintained_postings,
+        postings_index_batch,
+    )
+    from prox_spark.table import read_table, table_versions
+
+    import atexit
+    import shutil
+    import tempfile
+
+    scratch = tempfile.mkdtemp(prefix="prox_fold_test_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    idx = f"{scratch}/idx"
+    ins = spark.createDataFrame(
+        [(1, "a b b c", "insert"), (2, "a c", "insert")],
+        "doc_id long, text string, _change_type string",
+    )
+    postings_index_batch(ins, 0, idx)
+    dels = spark.createDataFrame(
+        [(1, "a b b c", "delete")],
+        "doc_id long, text string, _change_type string",
+    )
+    postings_index_batch(dels, 1, idx)
+    want = sorted(map(tuple, maintained_postings(spark, idx).collect()))
+    raw_before = read_table(spark, idx).count()
+    compact_postings(spark, idx, n_files=2)
+    assert sorted(
+        map(tuple, maintained_postings(spark, idx).collect())
+    ) == want
+    assert read_table(spark, idx).count() < raw_before
+    # doc 1's fully-retracted postings are physically gone
+    assert (
+        read_table(spark, idx)
+        .filter((F.col("doc_id") == 1) & (F.col("term") != _BATCH_MARKER))
+        .count()
+        == 0
+    )
+    # replaying an already-applied batch is STILL fenced post-compaction
+    head = table_versions(spark, idx)[-1]
+    postings_index_batch(dels, 1, idx)
+    assert table_versions(spark, idx)[-1] == head
