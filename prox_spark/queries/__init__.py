@@ -30,17 +30,22 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # Registry order matters: the correctness driver checks the first ~50
 # entries per round. Union coverage across rounds 1-7 is 193 of 193
 # (every query has a green driver row), so round 8 rotates purely by
-# STALENESS (recomputed from the CORRECTNESS_r01..r07 files): the four
-# queries new this round lead (never driver-gated), then the entire
-# cohort whose most recent green driver row is round 4 (43 names, name
-# order), then the oldest round-5 names up to the 50-slot cap.
-# Exactly 50 entries.
+# STALENESS (recomputed from the CORRECTNESS_r01..r07 files): the TEN
+# queries new this round lead (never driver-gated), then the cohort
+# whose most recent green driver row is round 4 (name order) up to the
+# 50-slot cap. Exactly 50 entries.
 _FRONT = [
     # new this round (never driver-gated)
     "q196_change_feed",
     "q197_stream_changefeed_view",
     "q198_streaming_semantic_index",
     "q199_incremental_data_card",
+    "q200_bm25_search",
+    "q201_incremental_text_index",
+    "q202_shallow_clone",
+    "q203_hybrid_retrieval",
+    "q204_check_constraints",
+    "q205_streaming_text_index",
     # stalest driver rows next (last gated round 4, name order)
     "q127_pagerank",
     "q128_variant_props",
@@ -82,13 +87,6 @@ _FRONT = [
     "q86_scd2_user_state",
     "q87_fuzzy_verify",
     "q92_cohort_retention",
-    "q93_arrow_byte_stats",
-    "q97_gap_fill_locf",
-    "q99_filter_funnel",
-    # oldest round-5 names, name order, up to the 50-slot cap
-    "q01_pricing_summary",
-    "q02_top5_suppliers",
-    "q03_avg_acctbal_by_nation",
 ]
 
 
