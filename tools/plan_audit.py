@@ -62,6 +62,14 @@ SKIP = {
     # round-body twin below
     "q166_rename_evolution",  # commits + renames a work table while
     # building; the mapping read path is audited via q167's plan
+    "q201_incremental_text_index",  # stages real index commits while
+    # building; the maintained read is an ordinary fold groupBy
+    "q202_shallow_clone",  # stages clone + vacuum lifecycle while
+    # building; the read side is _read_files' audited shape
+    "q204_check_constraints",  # stages a rejected + accepted commit
+    # while building; the read side is an ordinary pruned groupBy
+    "q205_streaming_text_index",  # runs four real stream passes while
+    # building; the maintained read is q201's audited fold shape
 }
 
 

@@ -80,10 +80,18 @@ QUERIES = [
     # otherwise hide the pass). Also exercises _assert_pca_headroom at
     # 10x the gate corpus.
     "q195_top_principal_component",
+    # round 8: BM25 search + hybrid rerank — the INDEX (staged during
+    # the warm pass) absorbs the N-proportional work; the timed query
+    # is term probes + a fixed candidate set's rerank, so the measured
+    # exponent claims the serving path stays sub-linear in corpus size
+    # (postings per term grow ~10x but the probe still opens only the
+    # pruned files).
+    "q200_bm25_search",
+    "q203_hybrid_retrieval",
 ]
 # queries whose builder caches an intermediate per (app, sf_dir): warm
 # the DEST side too, so both scales time the same post-cache work
-WARM_DEST = {"q170_semdedup", "q193_dedup_data_card"}
+WARM_DEST = {"q170_semdedup", "q193_dedup_data_card", "q200_bm25_search", "q203_hybrid_retrieval"}
 MAX_EXPONENT = 1.6
 
 
