@@ -1618,6 +1618,58 @@ def rollback_table(
     return head + 1
 
 
+def version_at_timestamp(
+    spark: SparkSession, table_path: str, ts_ms: float, ref: str = "main"
+) -> int:
+    """TIMESTAMP AS OF resolution (Delta parity): the newest readable
+    version whose manifest was PUBLISHED at or before ``ts_ms`` (epoch
+    milliseconds). Publish time is the manifest file's own
+    modification time — the atomic rename that made the version
+    visible — so no manifest format change is needed and every
+    existing table resolves. Raises when the timestamp predates the
+    oldest readable version (it may have been vacuumed) or the table
+    has no manifests."""
+    jvm, fs, _ = _fs(spark, table_path)
+    mdir = jvm.org.apache.hadoop.fs.Path(f"{table_path}/{MANIFEST_DIR}")
+    prefix = _mprefix(ref)
+    if not fs.exists(mdir):
+        raise ValueError(f"{table_path} is not a manifest table")
+    best = None
+    oldest = None
+    for st in fs.listStatus(mdir):
+        fname = st.getPath().getName()
+        if not (fname.startswith(prefix) and fname.endswith(".json")):
+            continue
+        body = fname[len(prefix):-len(".json")]
+        if not body.isdigit():
+            continue
+        v = int(body)
+        oldest = v if oldest is None else min(oldest, v)
+        if st.getModificationTime() <= ts_ms and (best is None or v > best):
+            best = v
+    if best is None:
+        if oldest is None:
+            raise ValueError(f"{table_path} is not a manifest table")
+        raise ValueError(
+            f"no version of {table_path} (ref {ref!r}) existed at "
+            f"{ts_ms}; the oldest readable version is {oldest} "
+            "(earlier ones may have been vacuumed)"
+        )
+    return best
+
+
+def read_table_as_of(
+    spark: SparkSession, table_path: str, ts_ms: float, ref: str = "main"
+) -> DataFrame:
+    """``SELECT ... TIMESTAMP AS OF``: read the table as it was
+    visible at ``ts_ms`` (epoch milliseconds)."""
+    return read_table(
+        spark, table_path,
+        version=version_at_timestamp(spark, table_path, ts_ms, ref),
+        ref=ref,
+    )
+
+
 def clone_table(
     spark: SparkSession, src_path: str, dst_path: str,
     *, version: int | None = None, pin: bool = True,

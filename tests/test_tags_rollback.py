@@ -220,3 +220,44 @@ def test_vacuum_treats_unlistable_dir_as_young(spark, tmp_path, monkeypatch):
     # next cycle (listings healthy again) reclaims for real
     vacuum(spark, path, keep_last=1, retention_minutes=0.0)
     assert read_table(spark, path).count() == 60
+
+
+def test_timestamp_as_of_resolves_publish_times(spark):
+    """TIMESTAMP AS OF: a time between two publishes resolves the
+    earlier version; a time before the first publish raises."""
+    import atexit
+    import shutil
+    import tempfile
+    import time
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from prox_spark.table import (
+        commit_delta,
+        commit_snapshot,
+        read_manifest,
+        read_table_as_of,
+        version_at_timestamp,
+    )
+
+    scratch = tempfile.mkdtemp(prefix="prox_asof_test_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    t = f"{scratch}/t"
+    t0 = time.time() * 1000.0 - 1.0
+    commit_snapshot(spark, t, spark.range(10).select("id"))
+    time.sleep(1.1)
+    between = time.time() * 1000.0
+    time.sleep(1.1)
+    prev = read_manifest(spark, t)
+    commit_delta(
+        spark, t, spark.range(10, 20).select("id"),
+        list(prev["files"]), update_key_ranges={},
+    )
+    assert version_at_timestamp(spark, t, between) == 1
+    assert read_table_as_of(spark, t, between).count() == 10
+    now = time.time() * 1000.0 + 1.0
+    assert version_at_timestamp(spark, t, now) == 2
+    assert read_table_as_of(spark, t, now).count() == 20
+    with pytest.raises(ValueError, match="no version"):
+        version_at_timestamp(spark, t, t0)
