@@ -548,3 +548,103 @@ def test_txn_random_sequence_chunked(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(T, "CHUNK_THRESHOLD", 4)
     monkeypatch.setattr(T, "CHUNK_SIZE", 2)
     _txn_model_sequence(spark, tmp_path)
+
+
+def test_random_merge_sequence_with_constraints(spark, tmp_path):
+    """The merge op mix under a live CHECK constraint: violating
+    upserts must reject atomically at every point in the sequence
+    (model and version unchanged), rewrite ops (copy-on-write delete,
+    compaction, CDC) must keep passing — their surviving rows are all
+    valid — and the drop → violate → re-add lifecycle must enforce the
+    existing-rows validation."""
+    import pytest
+
+    from prox_spark.table import (
+        ConstraintViolationError,
+        add_constraint,
+        drop_constraint,
+        list_constraints,
+        read_manifest,
+    )
+
+    path = str(tmp_path / "t")
+    model: dict = {}
+    seed_rows = _rows(0)
+    upsert_parquet(spark, path, _df(spark, seed_rows), KEYS)
+    model.update({(r, u): (p, s) for r, u, p, s in seed_rows})
+    add_constraint(spark, path, "no_bad", "payload NOT LIKE 'bad%'")
+
+    def bad_rows(step):
+        return [
+            (r, u, f"bad{step}:{r}:{u}", step) for r, u in _key_space(step)
+        ]
+
+    dropped_at = N_OPS // 2
+    for step in range(1, N_OPS + 1):
+        op = _rnd(f"cop:{step}", 0, 9)
+        enforced = step < dropped_at
+        if step == dropped_at:
+            drop_constraint(spark, path, "no_bad")
+        if op <= 3:  # valid upsert
+            rows = _rows(step)
+            upsert_parquet(spark, path, _df(spark, rows), KEYS)
+            model.update({(r, u): (p, s) for r, u, p, s in rows})
+        elif op <= 5:  # violating upsert: rejected while enforced
+            rows = bad_rows(step)
+            if enforced:
+                head = read_manifest(spark, path)["version"]
+                with pytest.raises(ConstraintViolationError):
+                    upsert_parquet(spark, path, _df(spark, rows), KEYS)
+                assert read_manifest(spark, path)["version"] == head
+            else:
+                upsert_parquet(spark, path, _df(spark, rows), KEYS)
+                model.update({(r, u): (p, s) for r, u, p, s in rows})
+        elif op == 6:  # copy-on-write delete: rewrite of valid rows
+            dels = _key_space(step)[:5]
+            ddf = spark.createDataFrame(dels, "region STRING, uid BIGINT")
+            delete_keys(spark, path, ddf, KEYS)
+            for k in dels:
+                model.pop(k, None)
+        elif op == 7:
+            compact_table(spark, path, n_files=4)
+        elif op == 8:
+            dels = _key_space(step)[5:10]
+            ddf = spark.createDataFrame(dels, "region STRING, uid BIGINT")
+            delete_keys_mor(spark, path, ddf, KEYS)
+            for k in dels:
+                model.pop(k, None)
+        else:  # valid CDC feed
+            ks = _key_space(step)
+            feed = []
+            for i, (r, u) in enumerate(ks[:6]):
+                if i % 3 == 0:
+                    feed.append((r, u, None, None, "delete"))
+                else:
+                    feed.append((r, u, f"cdc{step}:{r}:{u}", step, "update"))
+            fdf = spark.createDataFrame(
+                feed,
+                "region STRING, uid BIGINT, payload STRING, step BIGINT,"
+                " change STRING",
+            )
+            apply_changes(spark, path, fdf, KEYS)
+            for r, u, p, s, c in feed:
+                if c == "delete":
+                    model.pop((r, u), None)
+                else:
+                    model[(r, u)] = (p, s)
+        assert _table_state(spark, path) == model, f"diverged at step {step}"
+
+    # bad rows landed after the drop: re-adding must validate and fail
+    bad_keys = [k for k, (p, _) in model.items() if p.startswith("bad")]
+    assert bad_keys, "sequence never landed a violating row post-drop"
+    with pytest.raises(ConstraintViolationError, match="existing"):
+        add_constraint(spark, path, "no_bad", "payload NOT LIKE 'bad%'")
+    ddf = spark.createDataFrame(bad_keys, "region STRING, uid BIGINT")
+    delete_keys(spark, path, ddf, KEYS)
+    for k in bad_keys:
+        model.pop(k)
+    add_constraint(spark, path, "no_bad", "payload NOT LIKE 'bad%'")
+    assert list_constraints(spark, path) == {
+        "no_bad": "payload NOT LIKE 'bad%'"
+    }
+    assert _table_state(spark, path) == model
