@@ -4214,6 +4214,122 @@ LIMIT {FLUENCY_K}
 """
 
 
+# --- q206: leakage-free split assignment (cluster-level hashing) -----------
+
+def q206_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment WITHOUT near-duplicate leakage — the
+    contamination mode q65's per-document hashing cannot prevent: two
+    near-duplicates hash to different splits, and the eval set silently
+    contains paraphrases of training documents. The fix is to hash the
+    document's DUP-CLUSTER REPRESENTATIVE (q72's connected-component
+    label; singletons represent themselves), so whole clusters
+    co-locate by construction. The output carries both leakage
+    counters computed from the LSH near-dup pairs: ``cross_split_
+    pairs`` under cluster hashing (structurally zero — any other value
+    is a clustering or assignment bug) next to ``naive_cross_pairs``
+    under q65's per-doc hashing (the leakage actually avoided). Scale
+    shape: everything reuses q36/q72's banded machinery; assignment
+    itself is a map-side md5 projection and the counters are
+    pair-list-sized joins, never corpus-squared."""
+    pairs = q36_minhash_lsh(spark, sf_dir).select("doc1", "doc2")
+    labels = min_label_clusters(pairs)
+    docs = _docs(spark, sf_dir).select("doc_id")
+    rep = docs.join(F.broadcast(labels), "doc_id", "left").select(
+        "doc_id", F.coalesce("label", F.col("doc_id")).alias("rep")
+    )
+    hx = " + ".join(
+        f"({_HEXV_SPARK.format(i=i + 1)}) * {16 ** (3 - i)}" for i in range(4)
+    )
+    split = (
+        F.when(F.col("bucket") < SPLIT_TRAIN, "train")
+        .when(F.col("bucket") < SPLIT_VAL, "val")
+        .otherwise("test")
+    )
+    assigned = (
+        rep.withColumn("m", F.md5(F.col("rep").cast("string")))
+        .withColumn("bucket", F.expr(hx).cast("long") % 100)
+        .withColumn("split", split)
+        .select("doc_id", "rep", "split")
+    )
+    naive = (
+        docs.withColumn("m", F.md5(F.col("doc_id").cast("string")))
+        .withColumn("bucket", F.expr(hx).cast("long") % 100)
+        .withColumn("split", split)
+        .select("doc_id", "split")
+    )
+
+    def straddling(ass: DataFrame) -> int:
+        a1 = ass.select(F.col("doc_id").alias("doc1"), F.col("split").alias("s1"))
+        a2 = ass.select(F.col("doc_id").alias("doc2"), F.col("split").alias("s2"))
+        return (
+            pairs.join(F.broadcast(a1), "doc1")
+            .join(F.broadcast(a2), "doc2")
+            .filter(F.col("s1") != F.col("s2"))
+            .count()
+        )
+
+    cross = straddling(assigned)
+    naive_cross = straddling(naive)
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("rep").cast("long").alias("n_clusters"),
+        )
+        .withColumn("cross_split_pairs", F.lit(cross).cast("long"))
+        .withColumn("naive_cross_pairs", F.lit(naive_cross).cast("long"))
+        .orderBy("split")
+    )
+
+
+def _oracle_q206() -> str:
+    hx = " + ".join(
+        f"({_HEXV_DUCK.format(i=i + 1)}) * {16 ** (3 - i)}" for i in range(4)
+    )
+    case = (
+        f"CASE WHEN bucket < {SPLIT_TRAIN} THEN 'train' "
+        f"WHEN bucket < {SPLIT_VAL} THEN 'val' ELSE 'test' END"
+    )
+    return f"""{_CC_LABELS_CTE},
+rep_t AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS rep
+  FROM documents d LEFT JOIN cc_labels c ON d.doc_id = c.doc_id
+), assigned AS (
+  SELECT doc_id, rep, {case} AS split
+  FROM (
+    SELECT doc_id, rep, CAST({hx} AS BIGINT) % 100 AS bucket
+    FROM (SELECT doc_id, rep, md5(rep::VARCHAR) AS m FROM rep_t)
+  )
+), naive AS (
+  SELECT doc_id, {case} AS split
+  FROM (
+    SELECT doc_id, CAST({hx} AS BIGINT) % 100 AS bucket
+    FROM (SELECT doc_id, md5(doc_id::VARCHAR) AS m FROM documents)
+  )
+), cross_cnt AS (
+  SELECT CAST(count(*) AS BIGINT) AS c
+  FROM pairs p
+  JOIN assigned a1 ON p.doc1 = a1.doc_id
+  JOIN assigned a2 ON p.doc2 = a2.doc_id
+  WHERE a1.split <> a2.split
+), naive_cnt AS (
+  SELECT CAST(count(*) AS BIGINT) AS c
+  FROM pairs p
+  JOIN naive a1 ON p.doc1 = a1.doc_id
+  JOIN naive a2 ON p.doc2 = a2.doc_id
+  WHERE a1.split <> a2.split
+)
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT rep) AS BIGINT) AS n_clusters,
+       (SELECT c FROM cross_cnt) AS cross_split_pairs,
+       (SELECT c FROM naive_cnt) AS naive_cross_pairs
+FROM assigned
+GROUP BY split
+ORDER BY split
+"""
+
+
 QUERIES = {
     "q30_exact_dedup": q30_exact_dedup,
     "q31_text_stats": q31_text_stats,
@@ -4230,6 +4346,7 @@ QUERIES = {
     "q66_source_mixture": q66_source_mixture,
     "q67_decontaminate": q67_decontaminate,
     "q72_dup_clusters": q72_dup_clusters,
+    "q206_leakage_free_split": q206_leakage_free_split,
     "q75_tfidf_top_terms": q75_tfidf_top_terms,
     "q76_ngram_decontaminate": q76_ngram_decontaminate,
     "q80_pii_redact": q80_pii_redact,
@@ -4272,6 +4389,7 @@ ORACLES = {
     "q93_arrow_byte_stats": ORACLE_Q93,
     "q99_filter_funnel": ORACLE_Q99,
     "q72_dup_clusters": ORACLE_Q72,
+    "q206_leakage_free_split": _oracle_q206(),
     "q75_tfidf_top_terms": ORACLE_Q75,
     "q76_ngram_decontaminate": ORACLE_Q76,
     "q80_pii_redact": ORACLE_Q80,

@@ -190,3 +190,15 @@ def test_fold_compaction_preserves_index_and_replay_fence(spark):
     head = table_versions(spark, idx)[-1]
     postings_index_batch(dels, 1, idx)
     assert table_versions(spark, idx)[-1] == head
+
+
+def test_cluster_split_colocates_near_duplicates(spark):
+    """Every near-dup pair must land in one split under cluster-level
+    hashing (cross_split_pairs == 0), while per-doc hashing is allowed
+    to leak — the column exists to measure it."""
+    from prox_spark.queries.text import q206_leakage_free_split
+
+    rows = q206_leakage_free_split(spark, SF).collect()
+    assert rows
+    assert all(r["cross_split_pairs"] == 0 for r in rows)
+    assert sum(r["n_docs"] for r in rows) == 500
