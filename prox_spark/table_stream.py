@@ -168,7 +168,16 @@ class TableChangesStreamReader(DataSourceStreamReader):
     versions (start, end] and its partitions are the files born in
     that range. ``maxVersionsPerBatch`` paces catch-up reads (the
     maxFilesPerTrigger analogue) by capping how far latestOffset runs
-    ahead of the last end it returned."""
+    ahead of the last end it returned.
+
+    OPERATIONAL CAVEAT: Spark's Python DataSource streams do not
+    support Trigger.AvailableNow — MicroBatchExecution logs a warning
+    and falls back to SINGLE-BATCH execution per start. Combined with
+    pacing that means one availableNow start drains at most
+    ``maxVersionsPerBatch`` versions and leaves the rest as backlog
+    for the next start; a paced CONTINUOUS (processingTime) stream
+    drains fully, one capped batch per trigger. Leave the cap unset
+    for availableNow catch-up runs."""
 
     def __init__(self, schema: StructType, options: dict):
         # DSv2 hands options through a case-insensitive map that
