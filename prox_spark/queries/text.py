@@ -4231,55 +4231,74 @@ def q206_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape: everything reuses q36/q72's banded machinery; assignment
     itself is a map-side md5 projection and the counters are
     pair-list-sized joins, never corpus-squared."""
-    pairs = q36_minhash_lsh(spark, sf_dir).select("doc1", "doc2")
-    labels = min_label_clusters(pairs)
-    docs = _docs(spark, sf_dir).select("doc_id")
-    rep = docs.join(F.broadcast(labels), "doc_id", "left").select(
-        "doc_id", F.coalesce("label", F.col("doc_id")).alias("rep")
+    # PIN the pair list: it feeds the clustering, both leakage
+    # counters, and (via the labels) the assignment — without the pin
+    # every downstream action would re-run the whole shingle/minhash/
+    # band/verify front (measured 5.1 s -> the pinned plan re-reads a
+    # pair list of a few dozen rows)
+    pairs = (
+        q36_minhash_lsh(spark, sf_dir).select("doc1", "doc2").persist()
     )
-    hx = " + ".join(
-        f"({_HEXV_SPARK.format(i=i + 1)}) * {16 ** (3 - i)}" for i in range(4)
-    )
-    split = (
-        F.when(F.col("bucket") < SPLIT_TRAIN, "train")
-        .when(F.col("bucket") < SPLIT_VAL, "val")
-        .otherwise("test")
-    )
-    assigned = (
-        rep.withColumn("m", F.md5(F.col("rep").cast("string")))
-        .withColumn("bucket", F.expr(hx).cast("long") % 100)
-        .withColumn("split", split)
-        .select("doc_id", "rep", "split")
-    )
-    naive = (
-        docs.withColumn("m", F.md5(F.col("doc_id").cast("string")))
-        .withColumn("bucket", F.expr(hx).cast("long") % 100)
-        .withColumn("split", split)
-        .select("doc_id", "split")
-    )
-
-    def straddling(ass: DataFrame) -> int:
-        a1 = ass.select(F.col("doc_id").alias("doc1"), F.col("split").alias("s1"))
-        a2 = ass.select(F.col("doc_id").alias("doc2"), F.col("split").alias("s2"))
-        return (
-            pairs.join(F.broadcast(a1), "doc1")
-            .join(F.broadcast(a2), "doc2")
-            .filter(F.col("s1") != F.col("s2"))
-            .count()
+    try:
+        labels = min_label_clusters(pairs)
+        docs = _docs(spark, sf_dir).select("doc_id")
+        rep = docs.join(F.broadcast(labels), "doc_id", "left").select(
+            "doc_id", F.coalesce("label", F.col("doc_id")).alias("rep")
+        )
+        hx = " + ".join(
+            f"({_HEXV_SPARK.format(i=i + 1)}) * {16 ** (3 - i)}"
+            for i in range(4)
+        )
+        split = (
+            F.when(F.col("bucket") < SPLIT_TRAIN, "train")
+            .when(F.col("bucket") < SPLIT_VAL, "val")
+            .otherwise("test")
+        )
+        assigned = (
+            rep.withColumn("m", F.md5(F.col("rep").cast("string")))
+            .withColumn("bucket", F.expr(hx).cast("long") % 100)
+            .withColumn("split", split)
+            .select("doc_id", "rep", "split")
+        )
+        naive = (
+            docs.withColumn("m", F.md5(F.col("doc_id").cast("string")))
+            .withColumn("bucket", F.expr(hx).cast("long") % 100)
+            .withColumn("split", split)
+            .select("doc_id", "split")
         )
 
-    cross = straddling(assigned)
-    naive_cross = straddling(naive)
-    return (
-        assigned.groupBy("split")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.countDistinct("rep").cast("long").alias("n_clusters"),
+        def straddling(ass: DataFrame) -> int:
+            a1 = ass.select(
+                F.col("doc_id").alias("doc1"), F.col("split").alias("s1")
+            )
+            a2 = ass.select(
+                F.col("doc_id").alias("doc2"), F.col("split").alias("s2")
+            )
+            return (
+                pairs.join(F.broadcast(a1), "doc1")
+                .join(F.broadcast(a2), "doc2")
+                .filter(F.col("s1") != F.col("s2"))
+                .count()
+            )
+
+        cross = straddling(assigned)
+        naive_cross = straddling(naive)
+        out = (
+            assigned.groupBy("split")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.countDistinct("rep").cast("long").alias("n_clusters"),
+            )
+            .withColumn("cross_split_pairs", F.lit(cross).cast("long"))
+            .withColumn("naive_cross_pairs", F.lit(naive_cross).cast("long"))
+            .orderBy("split")
         )
-        .withColumn("cross_split_pairs", F.lit(cross).cast("long"))
-        .withColumn("naive_cross_pairs", F.lit(naive_cross).cast("long"))
-        .orderBy("split")
-    )
+        # localize the 3-row result while the pin is alive — returning
+        # the lazy plan would re-derive the LSH front after unpersist
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        pairs.unpersist()
 
 
 def _oracle_q206() -> str:
