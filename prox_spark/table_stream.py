@@ -292,7 +292,23 @@ class TableChangesStreamReader(DataSourceStreamReader):
         self._advance_floor(e)
         _, base = _fs_base(self._path)
         parts: list[InputPartition] = []
-        prev = self._load_or_lose(s) if s > 0 else {}
+        # a SHALLOW CLONE's history begins at src_version+1, so offsets
+        # below its first manifest never existed — distinguish that
+        # (snap the start to the clone base and stream the base as the
+        # genesis snapshot, Delta's clone-stream behavior) from a
+        # genuinely vacuumed gap, which must keep raising data-loss
+        clone_base = None
+        versions = _list_versions(self._path)
+        if versions and s + 1 < versions[0]:
+            first_doc = _load_manifest(self._path, versions[0])
+            if first_doc.get("cloned_from"):
+                s = versions[0] - 1
+                clone_base = versions[0]
+        prev = (
+            {}
+            if s == 0 or clone_base is not None
+            else self._load_or_lose(s)
+        )
         for v in range(s + 1, e + 1):
             doc = self._load_or_lose(v)
             if doc is None:
@@ -328,7 +344,13 @@ class TableChangesStreamReader(DataSourceStreamReader):
                 )
             if not changed:
                 born = doc.get("born") or {}
-                fresh = [f for f in cur_files if born.get(f, 0) == v]
+                if v == clone_base:
+                    # the clone's carried born values are SRC-relative
+                    # (always < v): the base snapshot is this stream's
+                    # genesis, deliver every file
+                    fresh = list(cur_files)
+                else:
+                    fresh = [f for f in cur_files if born.get(f, 0) == v]
                 if fresh:
                     parts.append(
                         _FilesPartition(
@@ -406,7 +428,7 @@ class TableChangesStreamReader(DataSourceStreamReader):
 
         def _entries_for(man: dict, f: str) -> list[tuple[str, list[str]]]:
             return [
-                (f"{base}/{d['file']}", list(d["keys"]))
+                (_entry_path(base, d["file"]), list(d["keys"]))
                 for d in (man.get("deletes") or [])
                 if f in set(d["targets"])
             ]

@@ -158,3 +158,74 @@ def test_clone_time_travel_and_change_feed(spark):
     assert _rows(dels.select("id")) == _rows(
         read_table(spark, dst, version=v0).filter("id % 10 = 4").select("id")
     )
+
+
+def test_failed_clone_publish_releases_the_pin(spark, monkeypatch):
+    """If the clone's manifest publish fails after the source tag was
+    created, the tag must be released — otherwise every failed clone
+    leaks a permanent vacuum pin on the source."""
+    import prox_spark.table as T
+
+    s = _scratch()
+    src, dst = f"{s}/src", f"{s}/dst"
+    _seed(spark, src)
+
+    real = T._write_manifest
+
+    def boom(spark_, table_path, v, manifest, ref="main"):
+        if table_path == dst:
+            raise OSError("injected publish failure")
+        return real(spark_, table_path, v, manifest, ref)
+
+    monkeypatch.setattr(T, "_write_manifest", boom)
+    with pytest.raises(OSError, match="injected"):
+        clone_table(spark, src, dst)
+    monkeypatch.undo()
+    assert not any(t.startswith("clone-") for t in list_tags(spark, src))
+    # and the failed target is not a table; a retry succeeds cleanly
+    clone_table(spark, src, dst)
+    assert _rows(read_table(spark, dst)) == _rows(read_table(spark, src))
+
+
+def test_stream_reads_through_a_clone(spark):
+    """The table-stream source must resolve a clone's foreign file
+    entries: a readChangeFeed stream over the CLONE delivers the
+    cloned snapshot's rows (from the source's data files) plus the
+    clone's own divergent commit."""
+    from pyspark.sql import functions as F
+
+    from prox_spark.table_stream import TableChangesDataSource
+
+    s = _scratch()
+    src, dst = f"{s}/src", f"{s}/dst"
+    _seed(spark, src)
+    v0 = clone_table(spark, src, dst)
+    prev = read_manifest(spark, dst)
+    commit_delta(
+        spark, dst,
+        spark.range(5000, 5003).select(
+            "id", (F.col("id") % 7).alias("grp"), F.lit("new").alias("tag")
+        ),
+        list(prev["files"]), update_key_ranges={},
+    )
+    spark.dataSource.register(TableChangesDataSource)
+    out = f"{s}/out"
+    q = (
+        spark.readStream.format("prox_table_changes")
+        .option("path", dst)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", f"{s}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = spark.read.parquet(out)
+    inserts = got.filter(F.col("_change_type") == "insert")
+    assert inserts.count() == read_table(spark, dst).count()
+    assert inserts.filter(F.col("id") >= 5000).count() == 3
