@@ -1340,7 +1340,13 @@ def semantic_index_batch(
     (cid = −1, vec_id = batch_id) makes re-delivery a no-op BEFORE the
     txn, so replay can't double-append or double-publish. The covered
     corpus version comes from the change feed's own _commit_version —
-    no racy head read."""
+    no racy head read.
+
+    DELETE rows (the signed feed's retractions) append TOMBSTONES
+    (cid = −2) instead of being mis-indexed as vectors;
+    :func:`read_semantic_index` folds them count-wise (a vec_id is
+    live while inserts outnumber deletes — a re-inserted vector gets
+    the same frozen-quantizer cid, so counting is exact)."""
     from prox_spark.table import (
         commit_delta,
         commit_snapshot,
@@ -1362,7 +1368,7 @@ def semantic_index_batch(
     covered = batch_df.agg(F.max("_commit_version")).first()[0]
     from prox_spark.queries.similarity import _tag_centroids
 
-    vecs = batch_df.select(
+    vecs = batch_df.filter(F.col("_change_type") == "insert").select(
         "vec_id", F.expr("cast(embedding as array<double>)").alias("dd")
     ).withColumn(
         "nrm",
@@ -1375,6 +1381,13 @@ def semantic_index_batch(
         F.expr("sims[0].cid").cast("long").alias("cid"),
         "vec_id", "dd", "nrm",
     )
+    tombstones = batch_df.filter(F.col("_change_type") == "delete").select(
+        F.lit(-2).cast("long").alias("cid"),
+        "vec_id",
+        F.expr("cast(array() as array<double>)").alias("dd"),
+        F.lit(-1.0).alias("nrm"),
+    )
+    rows = rows.unionByName(tombstones)
     marker = sp.createDataFrame(
         [(-1, int(batch_id), [], -1.0)],
         "cid long, vec_id long, dd array<double>, nrm double",
@@ -1393,6 +1406,34 @@ def semantic_index_batch(
     txn_commit(
         sp, workspace,
         {corpus_path: int(covered), index_path: int(new_v)},
+    )
+
+
+def read_semantic_index(spark: SparkSession, index_path: str) -> DataFrame:
+    """The semantic index's LIVE assignments: insert rows (cid ≥ 0)
+    minus count-folded tombstones (cid = −2) — a vec_id is visible
+    while its inserts outnumber its deletes. Re-insertion after a
+    delete is exact: the frozen quantizer assigns the same vector the
+    same cid, so duplicate insert rows are interchangeable and one
+    survivor is kept per live vec_id."""
+    from prox_spark.table import read_table
+
+    t = read_table(spark, index_path)
+    ins = t.filter(F.col("cid") >= 0)
+    n_del = (
+        t.filter(F.col("cid") == -2)
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("nd"))
+    )
+    live = (
+        ins.groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("ni"))
+        .join(F.broadcast(n_del), "vec_id", "left")
+        .filter(F.col("ni") > F.coalesce(F.col("nd"), F.lit(0)))
+        .select("vec_id")
+    )
+    return ins.dropDuplicates(["vec_id"]).join(
+        F.broadcast(live), "vec_id", "left_semi"
     )
 
 
@@ -1516,7 +1557,7 @@ def q198_streaming_semantic_index(spark: SparkSession, sf_dir: str) -> DataFrame
     from prox_spark.table import read_table
 
     idx, flags = _sem_stream_index(spark, sf_dir)
-    assign = read_table(spark, idx).filter(F.col("cid") >= 0)
+    assign = read_semantic_index(spark, idx)
     a = assign.select(
         "cid", F.col("vec_id").alias("id1"),
         F.col("dd").alias("v1"), F.col("nrm").alias("n1"),
