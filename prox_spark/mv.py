@@ -1,0 +1,145 @@
+"""Materialized views with CHANGE-FEED incremental refresh — the
+operational wrapper around the IVM algebra the query surface proves
+(q118 sum/count, q184 min/max-under-deletes, q190 join views, q199
+data card): a registered sum/count-by-key view refreshes with work ∝
+the base table's delta, never a base re-scan.
+
+The reference has no MV surface (its Redshift layer full-refreshes,
+reference glue_scripts/s3_to_redshift_script.py preactions); the
+open-source parity target is Databricks/Delta materialized views,
+restricted here to the SELF-MAINTAINABLE aggregate class (count,
+sum of fixed-point/integer columns): every change-feed row folds as
+insert = +value / delete = −value, an update's delete+insert pair
+nets itself, and exactness needs no group history. Min/max-style
+aggregates need the q184 touched-group recompute instead — out of
+scope for this registry (use the query-level pattern).
+
+Refresh mechanics: the view's manifest records ``mv_of`` = {path,
+version, keys, sums} — the base version the contents cover. Refresh
+reads ``read_table_changes(base, covered, head)``, folds the signed
+delta per key, and merges it into the view through the table format's
+own keyed primitives (merge-on-read delete for groups netting to
+zero, file-pruned upsert for changed groups) — so refresh cost is
+∝ |touched keys|, and the view stays a normal manifest table
+(time travel, vacuum, cloning all apply)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from prox_spark.table import (
+    _commit_meta_change,
+    commit_snapshot,
+    read_manifest,
+    read_table,
+)
+
+COUNT_COL = "n_rows"
+
+
+def _agg(df: DataFrame, keys: list[str], sums: list[str]) -> DataFrame:
+    aggs = [F.count(F.lit(1)).cast("long").alias(COUNT_COL)] + [
+        F.sum(c).alias(f"sum_{c}") for c in sums
+    ]
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def create_mv(
+    spark: SparkSession,
+    base_path: str,
+    mv_path: str,
+    keys: list[str],
+    sums: list[str],
+) -> int:
+    """Materialize count + per-column sums grouped by ``keys`` over
+    the base table's current version and register the lineage in the
+    view's manifest. Returns the view's version."""
+    base_v = int(read_manifest(spark, base_path)["version"])
+    commit_snapshot(
+        spark, mv_path, _agg(read_table(spark, base_path), keys, sums),
+        stat_cols=list(keys), n_files=4,
+    )
+
+    def mutate(doc: dict, v: int) -> dict:
+        doc["mv_of"] = {
+            "path": base_path, "version": base_v,
+            "keys": list(keys), "sums": list(sums),
+        }
+        doc.pop("data_change", None)
+        return doc
+
+    return _commit_meta_change(spark, mv_path, mutate)
+
+
+def mv_info(spark: SparkSession, mv_path: str) -> dict:
+    info = read_manifest(spark, mv_path).get("mv_of")
+    if not info:
+        raise ValueError(f"{mv_path} is not a registered materialized view")
+    return info
+
+
+def refresh_mv(spark: SparkSession, mv_path: str) -> dict:
+    """Fold the base table's changes since the covered version into
+    the view. Returns {"refreshed", "covered", "touched_groups"}.
+    Work ∝ |delta| + |touched groups|: the feed opens only the
+    commits' files, group merges go through the format's file-pruned
+    keyed upsert, and groups whose count nets to zero are removed by
+    a merge-on-read key delete (no rewrite)."""
+    from prox_spark.cdf import read_table_changes
+    from prox_spark.upsert import delete_keys_mor, upsert_parquet
+
+    info = mv_info(spark, mv_path)
+    base, covered = info["path"], int(info["version"])
+    keys, sums = list(info["keys"]), list(info["sums"])
+    head = int(read_manifest(spark, base)["version"])
+    if head == covered:
+        return {"refreshed": False, "covered": covered, "touched_groups": 0}
+
+    feed = read_table_changes(spark, base, covered, head)
+    sgn = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    delta = feed.groupBy(*keys).agg(
+        F.sum(sgn).cast("long").alias("_dn"),
+        *[F.sum(sgn * F.col(c)).alias(f"_ds_{c}") for c in sums],
+    )
+    cur = read_table(spark, mv_path)
+    merged = (
+        cur.join(delta, keys, "full_outer")
+        .select(
+            *keys,
+            (
+                F.coalesce(F.col(COUNT_COL), F.lit(0))
+                + F.coalesce(F.col("_dn"), F.lit(0))
+            ).cast("long").alias(COUNT_COL),
+            *[
+                (
+                    F.coalesce(F.col(f"sum_{c}"), F.lit(0))
+                    + F.coalesce(F.col(f"_ds_{c}"), F.lit(0))
+                ).alias(f"sum_{c}")
+                for c in sums
+            ],
+            F.col("_dn").isNotNull().alias("_touched"),
+        )
+        .filter(F.col("_touched"))
+    ).persist()
+    try:
+        gone = merged.filter(F.col(COUNT_COL) <= 0).select(*keys)
+        changed = merged.filter(F.col(COUNT_COL) > 0).drop("_touched")
+        touched = merged.count()
+        n_gone = gone.count()
+        if n_gone:
+            delete_keys_mor(spark, mv_path, gone, keys)
+        if touched - n_gone:
+            upsert_parquet(spark, mv_path, changed, keys)
+    finally:
+        merged.unpersist()
+
+    def mutate(doc: dict, v: int) -> dict:
+        doc["mv_of"] = {**info, "version": head}
+        doc.pop("data_change", None)
+        return doc
+
+    _commit_meta_change(spark, mv_path, mutate)
+    return {"refreshed": True, "covered": head, "touched_groups": touched}

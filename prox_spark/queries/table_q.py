@@ -2573,6 +2573,106 @@ ORDER BY source
 """
 
 
+# --- q207: materialized view with change-feed incremental refresh ----------
+
+_MV_CACHE: dict[str, tuple] = {}
+
+
+def _mv_pair(spark: SparkSession, sf_dir: str) -> tuple:
+    """Staged once per process: a documents-backed base table, a
+    registered count+sum-by-source materialized view, then an append,
+    a merge-on-read delete, and an upsert on the base followed by ONE
+    incremental refresh. Returns (mv_path, refreshed, covered_ok)."""
+    from prox_spark.mv import create_mv, mv_info, refresh_mv
+    from prox_spark.table import (
+        commit_delta,
+        commit_snapshot,
+        read_manifest,
+    )
+    from prox_spark.upsert import delete_keys_mor, upsert_parquet
+
+    from ._staging import staged
+
+    def build(scratch: str) -> tuple:
+        base, mv = f"{scratch}/base", f"{scratch}/mv"
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "source", "n_chars"
+        )
+        commit_snapshot(
+            spark, base, docs.filter(F.col("doc_id") % 10 <= 7),
+            stat_cols=["doc_id"], n_files=4,
+        )
+        create_mv(spark, base, mv, ["source"], ["n_chars"])
+        prev = read_manifest(spark, base)
+        commit_delta(
+            spark, base, docs.filter(F.col("doc_id") % 10 > 7),
+            list(prev["files"]), update_key_ranges={},
+        )
+        delete_keys_mor(
+            spark, base,
+            docs.filter(F.col("doc_id") % 5 == 0).select("doc_id"),
+            ["doc_id"],
+        )
+        upsert_parquet(
+            spark, base,
+            docs.filter(
+                (F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 5 != 0)
+            ).withColumn("n_chars", F.col("n_chars") + F.lit(1000)),
+            ["doc_id"],
+        )
+        out = refresh_mv(spark, mv)
+        covered_ok = bool(
+            mv_info(spark, mv)["version"]
+            == read_manifest(spark, base)["version"]
+        )
+        return mv, bool(out["refreshed"]), covered_ok
+
+    return staged(_MV_CACHE, sf_dir, "prox_mv_", build)
+
+
+def q207_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATERIALIZED VIEW with change-feed incremental refresh
+    (prox_spark/mv.py — the operational wrapper around the q118/q199
+    IVM algebra): a count+sum-by-source view registered over the base,
+    maintained through an append + merge-on-read delete + upsert by
+    ONE refresh that folds the signed feed per key and merges through
+    the format's keyed primitives (MoR delete for groups netting to
+    zero, file-pruned upsert for changed groups) — work ∝ touched
+    groups, never a base re-scan. The oracle aggregates the formulaic
+    final base directly, so a missed retraction, a double-folded
+    update, or a stale covered version breaks the hash; ``covered_ok``
+    pins the lineage bookkeeping."""
+    from prox_spark.table import read_table
+
+    mv, refreshed, covered_ok = _mv_pair(spark, sf_dir)
+    return (
+        read_table(spark, mv)
+        .select("source", "n_rows", "sum_n_chars")
+        .withColumn("refreshed", F.lit(refreshed))
+        .withColumn("covered_ok", F.lit(covered_ok))
+        .orderBy("source")
+    )
+
+
+ORACLE_Q207 = """
+WITH final AS (
+  SELECT source,
+         CASE WHEN doc_id % 7 = 0 THEN n_chars + 1000
+              ELSE n_chars END AS n_chars
+  FROM documents
+  WHERE doc_id % 5 <> 0
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+       TRUE AS refreshed,
+       TRUE AS covered_ok
+FROM final
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "q114_snapshot_diff": q114_snapshot_diff,
     "q118_incremental_agg": q118_incremental_agg,
@@ -2596,6 +2696,7 @@ QUERIES = {
     "q199_incremental_data_card": q199_incremental_data_card,
     "q202_shallow_clone": q202_shallow_clone,
     "q204_check_constraints": q204_check_constraints,
+    "q207_materialized_view": q207_materialized_view,
 }
 
 
@@ -2625,4 +2726,5 @@ def oracles() -> dict[str, str]:
         "q199_incremental_data_card": ORACLE_Q199,
         "q202_shallow_clone": ORACLE_Q202,
         "q204_check_constraints": ORACLE_Q204,
+        "q207_materialized_view": ORACLE_Q207,
     }

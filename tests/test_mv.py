@@ -1,0 +1,102 @@
+from __future__ import annotations
+
+import atexit
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from prox_spark.mv import COUNT_COL, create_mv, mv_info, refresh_mv
+from prox_spark.table import (
+    commit_delta,
+    commit_snapshot,
+    read_manifest,
+    read_table,
+)
+from prox_spark.upsert import delete_keys_mor, upsert_parquet
+
+
+def _scratch() -> str:
+    d = tempfile.mkdtemp(prefix="prox_mv_test_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id"),
+        F.concat(F.lit("g"), (F.col("id") % 5).cast("string")).alias("grp"),
+        (F.col("id") * 10).alias("val"),
+    )
+
+
+def _direct(spark, base):
+    return sorted(
+        map(
+            tuple,
+            read_table(spark, base)
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias(COUNT_COL),
+                F.sum("val").alias("sum_val"),
+            )
+            .collect(),
+        )
+    )
+
+
+def _mv_rows(spark, mv):
+    return sorted(map(tuple, read_table(spark, mv).collect()))
+
+
+def test_refresh_folds_insert_delete_update(spark):
+    s = _scratch()
+    base, mv = f"{s}/base", f"{s}/mv"
+    commit_snapshot(spark, base, _df(spark, 0, 100),
+                    stat_cols=["id"], n_files=4)
+    create_mv(spark, base, mv, ["grp"], ["val"])
+    assert _mv_rows(spark, mv) == _direct(spark, base)
+
+    prev = read_manifest(spark, base)
+    commit_delta(spark, base, _df(spark, 100, 130),
+                 list(prev["files"]), update_key_ranges={})
+    delete_keys_mor(
+        spark, base,
+        spark.range(130).filter("id % 4 = 0").select("id"), ["id"],
+    )
+    upsert_parquet(
+        spark, base,
+        _df(spark, 0, 130).filter("id % 7 = 1")
+        .withColumn("val", F.col("val") + 5),
+        ["id"],
+    )
+    out = refresh_mv(spark, mv)
+    assert out["refreshed"] and out["touched_groups"] > 0
+    assert _mv_rows(spark, mv) == _direct(spark, base)
+    assert mv_info(spark, mv)["version"] == read_manifest(spark, base)["version"]
+
+
+def test_refresh_is_a_noop_when_covered(spark):
+    s = _scratch()
+    base, mv = f"{s}/base", f"{s}/mv"
+    commit_snapshot(spark, base, _df(spark, 0, 50))
+    create_mv(spark, base, mv, ["grp"], ["val"])
+    v = read_manifest(spark, mv)["version"]
+    assert refresh_mv(spark, mv)["refreshed"] is False
+    assert read_manifest(spark, mv)["version"] == v
+
+
+def test_group_netting_to_zero_disappears(spark):
+    s = _scratch()
+    base, mv = f"{s}/base", f"{s}/mv"
+    commit_snapshot(spark, base, _df(spark, 0, 50),
+                    stat_cols=["id"], n_files=2)
+    create_mv(spark, base, mv, ["grp"], ["val"])
+    # delete EVERY row of group g0 (id % 5 == 0)
+    delete_keys_mor(
+        spark, base,
+        spark.range(50).filter("id % 5 = 0").select("id"), ["id"],
+    )
+    refresh_mv(spark, mv)
+    assert _mv_rows(spark, mv) == _direct(spark, base)
+    assert read_table(spark, mv).filter("grp = 'g0'").count() == 0
