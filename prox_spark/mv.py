@@ -79,31 +79,15 @@ def mv_info(spark: SparkSession, mv_path: str) -> dict:
     return info
 
 
-def refresh_mv(spark: SparkSession, mv_path: str) -> dict:
-    """Fold the base table's changes since the covered version into
-    the view. Returns {"refreshed", "covered", "touched_groups"}.
-    Work ∝ |delta| + |touched groups|: the feed opens only the
-    commits' files, group merges go through the format's file-pruned
-    keyed upsert, and groups whose count nets to zero are removed by
-    a merge-on-read key delete (no rewrite)."""
-    from prox_spark.cdf import read_table_changes
+def _merge_delta(
+    spark: SparkSession, mv_path: str, keys: list[str], sums: list[str],
+    delta: DataFrame,
+) -> int:
+    """Merge a signed per-key delta frame (``_dn`` + ``_ds_<col>``
+    columns) into the view through the format's keyed primitives.
+    Returns the number of touched groups."""
     from prox_spark.upsert import delete_keys_mor, upsert_parquet
 
-    info = mv_info(spark, mv_path)
-    base, covered = info["path"], int(info["version"])
-    keys, sums = list(info["keys"]), list(info["sums"])
-    head = int(read_manifest(spark, base)["version"])
-    if head == covered:
-        return {"refreshed": False, "covered": covered, "touched_groups": 0}
-
-    feed = read_table_changes(spark, base, covered, head)
-    sgn = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
-        F.lit(-1)
-    )
-    delta = feed.groupBy(*keys).agg(
-        F.sum(sgn).cast("long").alias("_dn"),
-        *[F.sum(sgn * F.col(c)).alias(f"_ds_{c}") for c in sums],
-    )
     cur = read_table(spark, mv_path)
     merged = (
         cur.join(delta, keys, "full_outer")
@@ -133,8 +117,36 @@ def refresh_mv(spark: SparkSession, mv_path: str) -> dict:
             delete_keys_mor(spark, mv_path, gone, keys)
         if touched - n_gone:
             upsert_parquet(spark, mv_path, changed, keys)
+        return touched
     finally:
         merged.unpersist()
+
+
+def refresh_mv(spark: SparkSession, mv_path: str) -> dict:
+    """Fold the base table's changes since the covered version into
+    the view. Returns {"refreshed", "covered", "touched_groups"}.
+    Work ∝ |delta| + |touched groups|: the feed opens only the
+    commits' files, group merges go through the format's file-pruned
+    keyed upsert, and groups whose count nets to zero are removed by
+    a merge-on-read key delete (no rewrite)."""
+    from prox_spark.cdf import read_table_changes
+
+    info = mv_info(spark, mv_path)
+    base, covered = info["path"], int(info["version"])
+    keys, sums = list(info["keys"]), list(info["sums"])
+    head = int(read_manifest(spark, base)["version"])
+    if head == covered:
+        return {"refreshed": False, "covered": covered, "touched_groups": 0}
+
+    feed = read_table_changes(spark, base, covered, head)
+    sgn = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    delta = feed.groupBy(*keys).agg(
+        F.sum(sgn).cast("long").alias("_dn"),
+        *[F.sum(sgn * F.col(c)).alias(f"_ds_{c}") for c in sums],
+    )
+    touched = _merge_delta(spark, mv_path, keys, sums, delta)
 
     def mutate(doc: dict, v: int) -> dict:
         doc["mv_of"] = {**info, "version": head}
@@ -143,3 +155,127 @@ def refresh_mv(spark: SparkSession, mv_path: str) -> dict:
 
     _commit_meta_change(spark, mv_path, mutate)
     return {"refreshed": True, "covered": head, "touched_groups": touched}
+
+
+# --- JOIN materialized views: the two-sided delta algebra as an API --------
+#
+#   V₂ = agg(A₂ ⋈ B₂)
+#   Δ(A ⋈ B) = ΔA ⋈ B₁  +  A₁ ⋈ ΔB  +  ΔA ⋈ ΔB     (signed multiplicities)
+#
+# — q190's query-level proof, registered: A₁/B₁ are TIME-TRAVEL reads
+# of the covered versions (never the new heads), ΔA/ΔB the signed
+# change feeds, and every term joins a DELTA against a base, so the
+# full V₂ join is never rebuilt. Covered versions must still be
+# readable: keep the bases' vacuum retention above the refresh cadence.
+
+
+def create_join_mv(
+    spark: SparkSession,
+    left_path: str,
+    right_path: str,
+    mv_path: str,
+    on: list[str],
+    keys: list[str],
+    sums: list[str],
+) -> int:
+    """Materialize count + sums grouped by ``keys`` over the inner
+    equi-join of two base tables and register the two-sided lineage.
+    ``keys``/``sums`` must name unambiguous columns of the joined
+    frame. Returns the view's version."""
+    lv = int(read_manifest(spark, left_path)["version"])
+    rv = int(read_manifest(spark, right_path)["version"])
+    joined = read_table(spark, left_path).join(
+        read_table(spark, right_path), on
+    )
+    commit_snapshot(
+        spark, mv_path, _agg(joined, keys, sums),
+        stat_cols=list(keys), n_files=4,
+    )
+
+    def mutate(doc: dict, v: int) -> dict:
+        doc["mv_of"] = {
+            "left": {"path": left_path, "version": lv},
+            "right": {"path": right_path, "version": rv},
+            "on": list(on), "keys": list(keys), "sums": list(sums),
+        }
+        doc.pop("data_change", None)
+        return doc
+
+    return _commit_meta_change(spark, mv_path, mutate)
+
+
+def refresh_join_mv(spark: SparkSession, mv_path: str) -> dict:
+    """Fold BOTH base tables' changes since their covered versions
+    into the join view with the three-term delta algebra. Work ∝
+    |ΔA| + |ΔB| + the touched groups' merge; A₁/B₁ appear only as the
+    non-delta side of delta-joins (shuffle width ∝ delta)."""
+    from prox_spark.cdf import read_table_changes
+
+    info = mv_info(spark, mv_path)
+    if "left" not in info:
+        raise ValueError(f"{mv_path} is a single-table view; use refresh_mv")
+    on = list(info["on"])
+    keys, sums = list(info["keys"]), list(info["sums"])
+    lp, lv = info["left"]["path"], int(info["left"]["version"])
+    rp, rv = info["right"]["path"], int(info["right"]["version"])
+    lh = int(read_manifest(spark, lp)["version"])
+    rh = int(read_manifest(spark, rp)["version"])
+    if lh == lv and rh == rv:
+        return {"refreshed": False, "covered": (lv, rv), "touched_groups": 0}
+
+    sgn = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+
+    def signed(path: str, v0: int, v1: int) -> DataFrame | None:
+        if v1 == v0:
+            return None
+        return (
+            read_table_changes(spark, path, v0, v1)
+            .withColumn("_s", sgn)
+            .drop("_change_type", "_commit_version")
+        )
+
+    da, db = signed(lp, lv, lh), signed(rp, rv, rh)
+    a1 = read_table(spark, lp, version=lv).withColumn("_s", F.lit(1))
+    b1 = read_table(spark, rp, version=rv).withColumn("_s", F.lit(1))
+
+    def term(left: DataFrame, right: DataFrame) -> DataFrame:
+        lr = left.withColumnRenamed("_s", "_sl")
+        rr = right.withColumnRenamed("_s", "_sr")
+        return lr.join(rr, on).withColumn(
+            "_s", F.col("_sl") * F.col("_sr")
+        )
+
+    terms = []
+    if da is not None:
+        terms.append(term(da, b1))
+    if db is not None:
+        terms.append(term(a1, db))
+    if da is not None and db is not None:
+        terms.append(term(da, db))
+    from functools import reduce
+
+    cols = [*keys, *sums, "_s"]
+    pairs = reduce(
+        lambda x, y: x.unionByName(y), [t.select(*cols) for t in terms]
+    )
+    delta = pairs.groupBy(*keys).agg(
+        F.sum("_s").cast("long").alias("_dn"),
+        *[F.sum(F.col("_s") * F.col(c)).alias(f"_ds_{c}") for c in sums],
+    )
+    touched = _merge_delta(spark, mv_path, keys, sums, delta)
+
+    def mutate(doc: dict, v: int) -> dict:
+        doc["mv_of"] = {
+            **info,
+            "left": {"path": lp, "version": lh},
+            "right": {"path": rp, "version": rh},
+        }
+        doc.pop("data_change", None)
+        return doc
+
+    _commit_meta_change(spark, mv_path, mutate)
+    return {
+        "refreshed": True, "covered": (lh, rh), "touched_groups": touched
+    }

@@ -2673,6 +2673,127 @@ ORDER BY source
 """
 
 
+# --- q208: JOIN materialized view, both sides changing ---------------------
+
+_JMV_CACHE: dict[str, tuple] = {}
+
+
+def _join_mv_pair(spark: SparkSession, sf_dir: str) -> tuple:
+    """Staged once per process: a documents fact and an
+    embeddings-derived dim registered as a JOIN view, then changes on
+    BOTH sides (fact append + merge-on-read delete + upsert; dim
+    upsert) folded by ONE two-sided incremental refresh. Returns
+    (mv_path, refreshed, covered_ok)."""
+    from prox_spark.mv import create_join_mv, mv_info, refresh_join_mv
+    from prox_spark.table import (
+        commit_delta,
+        commit_snapshot,
+        read_manifest,
+    )
+    from prox_spark.upsert import delete_keys_mor, upsert_parquet
+
+    from ._staging import staged
+
+    def build(scratch: str) -> tuple:
+        left, right, mv = f"{scratch}/fact", f"{scratch}/dim", f"{scratch}/mv"
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "source", "n_chars"
+        )
+        dim = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            F.col("vec_id").alias("doc_id"),
+            F.col("label").cast("long").alias("label"),
+        )
+        commit_snapshot(
+            spark, left, docs.filter(F.col("doc_id") % 10 <= 7),
+            stat_cols=["doc_id"], n_files=4,
+        )
+        commit_snapshot(spark, right, dim, stat_cols=["doc_id"], n_files=4)
+        create_join_mv(
+            spark, left, right, mv, ["doc_id"], ["source", "label"],
+            ["n_chars"],
+        )
+        prev = read_manifest(spark, left)
+        commit_delta(
+            spark, left, docs.filter(F.col("doc_id") % 10 > 7),
+            list(prev["files"]), update_key_ranges={},
+        )
+        delete_keys_mor(
+            spark, left,
+            docs.filter(F.col("doc_id") % 5 == 0).select("doc_id"),
+            ["doc_id"],
+        )
+        upsert_parquet(
+            spark, left,
+            docs.filter(
+                (F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 5 != 0)
+            ).withColumn("n_chars", F.col("n_chars") + F.lit(1000)),
+            ["doc_id"],
+        )
+        upsert_parquet(
+            spark, right,
+            dim.filter(F.col("doc_id") % 3 == 0)
+            .withColumn("label", F.col("label") + F.lit(100)),
+            ["doc_id"],
+        )
+        out = refresh_join_mv(spark, mv)
+        info = mv_info(spark, mv)
+        covered_ok = bool(
+            info["left"]["version"] == read_manifest(spark, left)["version"]
+            and info["right"]["version"]
+            == read_manifest(spark, right)["version"]
+        )
+        return mv, bool(out["refreshed"]), covered_ok
+
+    return staged(_JMV_CACHE, sf_dir, "prox_jmv_", build)
+
+
+def q208_join_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN materialized view with BOTH sides changing — q190's
+    three-term delta algebra (ΔA⋈B₁ + A₁⋈ΔB + ΔA⋈ΔB, signed
+    multiplicities) registered as an API (prox_spark/mv.py
+    refresh_join_mv): the fact side appends, merge-on-read deletes and
+    upserts; the dim side re-labels a third of its keys; one refresh
+    folds both feeds against TIME-TRAVELED covered bases (the full v2
+    join is never rebuilt — every term joins a delta). The oracle
+    aggregates the formulaic final join directly; a dim update applied
+    to the wrong fact slice, a missed ΔA⋈ΔB cross-term, or a stale
+    covered version breaks the hash."""
+    from prox_spark.table import read_table
+
+    mv, refreshed, covered_ok = _join_mv_pair(spark, sf_dir)
+    return (
+        read_table(spark, mv)
+        .select("source", "label", "n_rows", "sum_n_chars")
+        .withColumn("refreshed", F.lit(refreshed))
+        .withColumn("covered_ok", F.lit(covered_ok))
+        .orderBy("source", "label")
+    )
+
+
+ORACLE_Q208 = """
+WITH fact AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 7 = 0 THEN n_chars + 1000
+              ELSE n_chars END AS n_chars
+  FROM documents
+  WHERE doc_id % 5 <> 0
+), dim AS (
+  SELECT vec_id AS doc_id,
+         CAST(CASE WHEN vec_id % 3 = 0 THEN label + 100
+                   ELSE label END AS BIGINT) AS label
+  FROM embeddings
+)
+SELECT source, label,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+       TRUE AS refreshed,
+       TRUE AS covered_ok
+FROM fact JOIN dim USING (doc_id)
+GROUP BY source, label
+ORDER BY source, label
+"""
+
+
 QUERIES = {
     "q114_snapshot_diff": q114_snapshot_diff,
     "q118_incremental_agg": q118_incremental_agg,
@@ -2697,6 +2818,7 @@ QUERIES = {
     "q202_shallow_clone": q202_shallow_clone,
     "q204_check_constraints": q204_check_constraints,
     "q207_materialized_view": q207_materialized_view,
+    "q208_join_materialized_view": q208_join_materialized_view,
 }
 
 
@@ -2727,4 +2849,5 @@ def oracles() -> dict[str, str]:
         "q202_shallow_clone": ORACLE_Q202,
         "q204_check_constraints": ORACLE_Q204,
         "q207_materialized_view": ORACLE_Q207,
+        "q208_join_materialized_view": ORACLE_Q208,
     }

@@ -100,3 +100,76 @@ def test_group_netting_to_zero_disappears(spark):
     refresh_mv(spark, mv)
     assert _mv_rows(spark, mv) == _direct(spark, base)
     assert read_table(spark, mv).filter("grp = 'g0'").count() == 0
+
+
+def _dims(spark, ver):
+    """Right-side dim: grp -> weighting; 'ver' shifts values so
+    updates are visible."""
+    return spark.createDataFrame(
+        [(f"g{i}", i * 100 + ver) for i in range(5)], "grp string, w long"
+    )
+
+
+def _direct_join(spark, left, right):
+    return sorted(
+        map(
+            tuple,
+            read_table(spark, left)
+            .join(read_table(spark, right), "grp")
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias(COUNT_COL),
+                F.sum("val").alias("sum_val"),
+                F.sum("w").alias("sum_w"),
+            )
+            .collect(),
+        )
+    )
+
+
+def test_join_mv_refresh_with_both_sides_changing(spark):
+    from prox_spark.mv import create_join_mv, refresh_join_mv
+
+    s = _scratch()
+    left, right, mv = f"{s}/l", f"{s}/r", f"{s}/mv"
+    commit_snapshot(spark, left, _df(spark, 0, 80),
+                    stat_cols=["id"], n_files=4)
+    commit_snapshot(spark, right, _dims(spark, 0),
+                    stat_cols=["grp"], n_files=2)
+    create_join_mv(spark, left, right, mv, ["grp"], ["grp"], ["val", "w"])
+    assert _mv_rows(spark, mv) == _direct_join(spark, left, right)
+
+    # left: append + delete; right: update two dims' weights
+    prev = read_manifest(spark, left)
+    commit_delta(spark, left, _df(spark, 80, 110),
+                 list(prev["files"]), update_key_ranges={})
+    delete_keys_mor(
+        spark, left,
+        spark.range(110).filter("id % 3 = 0").select("id"), ["id"],
+    )
+    upsert_parquet(
+        spark, right,
+        _dims(spark, 7).filter("grp IN ('g1', 'g4')"), ["grp"],
+    )
+    out = refresh_join_mv(spark, mv)
+    assert out["refreshed"]
+    assert _mv_rows(spark, mv) == _direct_join(spark, left, right)
+    # a second refresh with nothing new is a no-op
+    assert refresh_join_mv(spark, mv)["refreshed"] is False
+
+
+def test_join_mv_one_sided_change(spark):
+    from prox_spark.mv import create_join_mv, refresh_join_mv
+
+    s = _scratch()
+    left, right, mv = f"{s}/l", f"{s}/r", f"{s}/mv"
+    commit_snapshot(spark, left, _df(spark, 0, 40),
+                    stat_cols=["id"], n_files=2)
+    commit_snapshot(spark, right, _dims(spark, 0))
+    create_join_mv(spark, left, right, mv, ["grp"], ["grp"], ["val", "w"])
+    delete_keys_mor(
+        spark, left,
+        spark.range(40).filter("id % 5 = 2").select("id"), ["id"],
+    )
+    refresh_join_mv(spark, mv)
+    assert _mv_rows(spark, mv) == _direct_join(spark, left, right)
