@@ -138,15 +138,28 @@ def refresh_mv(spark: SparkSession, mv_path: str) -> dict:
     if head == covered:
         return {"refreshed": False, "covered": covered, "touched_groups": 0}
 
-    feed = read_table_changes(spark, base, covered, head)
-    sgn = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
-        F.lit(-1)
-    )
-    delta = feed.groupBy(*keys).agg(
-        F.sum(sgn).cast("long").alias("_dn"),
-        *[F.sum(sgn * F.col(c)).alias(f"_ds_{c}") for c in sums],
-    )
-    touched = _merge_delta(spark, mv_path, keys, sums, delta)
+    mode = "incremental"
+    try:
+        feed = read_table_changes(spark, base, covered, head)
+        sgn = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+            F.lit(-1)
+        )
+        delta = feed.groupBy(*keys).agg(
+            F.sum(sgn).cast("long").alias("_dn"),
+            *[F.sum(sgn * F.col(c)).alias(f"_ds_{c}") for c in sums],
+        )
+        touched = _merge_delta(spark, mv_path, keys, sums, delta)
+    except Exception as ex:
+        if not _is_unreadable_version(ex):
+            raise
+        # the covered version was vacuumed past the refresh cadence:
+        # the incremental inputs are gone, fall back to a FULL
+        # recompute (one rewrite commit — also heals a refresh that
+        # died between its delete and upsert commits)
+        mode = "full"
+        touched = _replace_contents(
+            spark, mv_path, _agg(read_table(spark, base), keys, sums), keys
+        )
 
     def mutate(doc: dict, v: int) -> dict:
         doc["mv_of"] = {**info, "version": head}
@@ -154,7 +167,29 @@ def refresh_mv(spark: SparkSession, mv_path: str) -> dict:
         return doc
 
     _commit_meta_change(spark, mv_path, mutate)
-    return {"refreshed": True, "covered": head, "touched_groups": touched}
+    return {
+        "refreshed": True, "covered": head, "touched_groups": touched,
+        "mode": mode,
+    }
+
+
+def _is_unreadable_version(ex: Exception) -> bool:
+    from prox_spark.table import _is_missing_file_error
+
+    return isinstance(ex, ValueError) or _is_missing_file_error(ex)
+
+
+def _replace_contents(
+    spark: SparkSession, mv_path: str, contents: DataFrame, keys: list[str]
+) -> int:
+    from prox_spark.table import commit_delta
+
+    prev = read_manifest(spark, mv_path)
+    commit_delta(
+        spark, mv_path, contents, [], stat_cols=list(keys), n_files=4,
+        base_version=int(prev["version"]),
+    )
+    return -1  # full recompute: touched-group accounting does not apply
 
 
 # --- JOIN materialized views: the two-sided delta algebra as an API --------
@@ -236,35 +271,46 @@ def refresh_join_mv(spark: SparkSession, mv_path: str) -> dict:
             .drop("_change_type", "_commit_version")
         )
 
-    da, db = signed(lp, lv, lh), signed(rp, rv, rh)
-    a1 = read_table(spark, lp, version=lv).withColumn("_s", F.lit(1))
-    b1 = read_table(spark, rp, version=rv).withColumn("_s", F.lit(1))
+    mode = "incremental"
+    try:
+        da, db = signed(lp, lv, lh), signed(rp, rv, rh)
+        a1 = read_table(spark, lp, version=lv).withColumn("_s", F.lit(1))
+        b1 = read_table(spark, rp, version=rv).withColumn("_s", F.lit(1))
 
-    def term(left: DataFrame, right: DataFrame) -> DataFrame:
-        lr = left.withColumnRenamed("_s", "_sl")
-        rr = right.withColumnRenamed("_s", "_sr")
-        return lr.join(rr, on).withColumn(
-            "_s", F.col("_sl") * F.col("_sr")
+        def term(left: DataFrame, right: DataFrame) -> DataFrame:
+            lr = left.withColumnRenamed("_s", "_sl")
+            rr = right.withColumnRenamed("_s", "_sr")
+            return lr.join(rr, on).withColumn(
+                "_s", F.col("_sl") * F.col("_sr")
+            )
+
+        terms = []
+        if da is not None:
+            terms.append(term(da, b1))
+        if db is not None:
+            terms.append(term(a1, db))
+        if da is not None and db is not None:
+            terms.append(term(da, db))
+        from functools import reduce
+
+        cols = [*keys, *sums, "_s"]
+        pairs = reduce(
+            lambda x, y: x.unionByName(y), [t.select(*cols) for t in terms]
         )
-
-    terms = []
-    if da is not None:
-        terms.append(term(da, b1))
-    if db is not None:
-        terms.append(term(a1, db))
-    if da is not None and db is not None:
-        terms.append(term(da, db))
-    from functools import reduce
-
-    cols = [*keys, *sums, "_s"]
-    pairs = reduce(
-        lambda x, y: x.unionByName(y), [t.select(*cols) for t in terms]
-    )
-    delta = pairs.groupBy(*keys).agg(
-        F.sum("_s").cast("long").alias("_dn"),
-        *[F.sum(F.col("_s") * F.col(c)).alias(f"_ds_{c}") for c in sums],
-    )
-    touched = _merge_delta(spark, mv_path, keys, sums, delta)
+        delta = pairs.groupBy(*keys).agg(
+            F.sum("_s").cast("long").alias("_dn"),
+            *[F.sum(F.col("_s") * F.col(c)).alias(f"_ds_{c}") for c in sums],
+        )
+        touched = _merge_delta(spark, mv_path, keys, sums, delta)
+    except Exception as ex:
+        if not _is_unreadable_version(ex):
+            raise
+        # a covered base version was vacuumed: full recompute fallback
+        mode = "full"
+        joined = read_table(spark, lp).join(read_table(spark, rp), on)
+        touched = _replace_contents(
+            spark, mv_path, _agg(joined, keys, sums), keys
+        )
 
     def mutate(doc: dict, v: int) -> dict:
         doc["mv_of"] = {
@@ -277,5 +323,6 @@ def refresh_join_mv(spark: SparkSession, mv_path: str) -> dict:
 
     _commit_meta_change(spark, mv_path, mutate)
     return {
-        "refreshed": True, "covered": (lh, rh), "touched_groups": touched
+        "refreshed": True, "covered": (lh, rh), "touched_groups": touched,
+        "mode": mode,
     }

@@ -173,3 +173,36 @@ def test_join_mv_one_sided_change(spark):
     )
     refresh_join_mv(spark, mv)
     assert _mv_rows(spark, mv) == _direct_join(spark, left, right)
+
+
+def test_refresh_falls_back_to_full_recompute_after_vacuum(spark):
+    """A base vacuumed past the view's covered version makes the
+    incremental inputs unreadable: refresh must fall back to a full
+    recompute and still land the exact result."""
+    from prox_spark.table import compact_table, vacuum
+
+    s = _scratch()
+    base, mv = f"{s}/base", f"{s}/mv"
+    commit_snapshot(spark, base, _df(spark, 0, 60),
+                    stat_cols=["id"], n_files=2)
+    create_mv(spark, base, mv, ["grp"], ["val"])
+    # churn: three commits then vacuum to the newest one — the covered
+    # version (1) and its successors are gone
+    delete_keys_mor(
+        spark, base,
+        spark.range(60).filter("id % 6 = 1").select("id"), ["id"],
+    )
+    compact_table(spark, base)
+    compact_table(spark, base)
+    vacuum(spark, base, keep_last=1, retention_minutes=0.0)
+    out = refresh_mv(spark, mv)
+    assert out["refreshed"] and out["mode"] == "full"
+    assert _mv_rows(spark, mv) == _direct(spark, base)
+    # and the lineage is re-anchored: the next refresh is incremental
+    delete_keys_mor(
+        spark, base,
+        spark.range(60).filter("id % 6 = 2").select("id"), ["id"],
+    )
+    out2 = refresh_mv(spark, mv)
+    assert out2["mode"] == "incremental"
+    assert _mv_rows(spark, mv) == _direct(spark, base)
