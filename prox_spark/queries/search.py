@@ -486,7 +486,13 @@ def _stream_postings(spark: SparkSession, sf_dir: str) -> tuple:
                     .start()
                 )
                 try:
-                    q.awaitTermination(120)
+                    # availableNow self-terminates when drained; under
+                    # heavy host load a silent timeout would truncate
+                    # the index mid-batch — fail loudly instead
+                    if not q.awaitTermination(600):
+                        raise RuntimeError(
+                            "postings stream did not drain within 600s"
+                        )
                 finally:
                     q.stop()
 

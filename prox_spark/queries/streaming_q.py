@@ -437,7 +437,10 @@ def q109_streaming_dedup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         try:
-            q.awaitTermination(120)
+            if not q.awaitTermination(600):
+                raise RuntimeError(
+                    "stream did not drain within 600s"
+                )
         finally:
             q.stop()
 
@@ -527,7 +530,10 @@ def q136_streaming_neardup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         try:
-            q.awaitTermination(120)
+            if not q.awaitTermination(600):
+                raise RuntimeError(
+                    "stream did not drain within 600s"
+                )
         finally:
             q.stop()
 
@@ -724,7 +730,10 @@ def q189_streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         try:
-            q.awaitTermination(120)
+            if not q.awaitTermination(600):
+                raise RuntimeError(
+                    "stream did not drain within 600s"
+                )
         finally:
             q.stop()
 
@@ -917,7 +926,10 @@ def _table_stream_view(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
                     .start()
                 )
                 try:
-                    q.awaitTermination(120)
+                    if not q.awaitTermination(600):
+                        raise RuntimeError(
+                            "stream did not drain within 600s"
+                        )
                 finally:
                     q.stop()
 
@@ -1053,7 +1065,10 @@ def _stream_cdf_view(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
                     .start()
                 )
                 try:
-                    q.awaitTermination(120)
+                    if not q.awaitTermination(600):
+                        raise RuntimeError(
+                            "stream did not drain within 600s"
+                        )
                 finally:
                     q.stop()
 
@@ -1234,7 +1249,10 @@ def _lsh_stream_index(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
                     .start()
                 )
                 try:
-                    q.awaitTermination(120)
+                    if not q.awaitTermination(600):
+                        raise RuntimeError(
+                            "stream did not drain within 600s"
+                        )
                 finally:
                     q.stop()
 
@@ -1489,7 +1507,10 @@ def _sem_stream_index(spark: SparkSession, sf_dir: str) -> tuple:
                     .start()
                 )
                 try:
-                    q.awaitTermination(120)
+                    if not q.awaitTermination(600):
+                        raise RuntimeError(
+                            "stream did not drain within 600s"
+                        )
                 finally:
                     q.stop()
 
