@@ -30,7 +30,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # Registry order matters: the correctness driver checks the first ~50
 # entries per round. Union coverage across rounds 1-7 is 193 of 193
 # (every query has a green driver row), so round 8 rotates purely by
-# STALENESS (recomputed from the CORRECTNESS_r01..r07 files): the THIRTEEN
+# STALENESS (recomputed from the CORRECTNESS_r01..r07 files): the FOURTEEN
 # queries new this round lead (never driver-gated), then the cohort
 # whose most recent green driver row is round 4 (name order) up to the
 # 50-slot cap. Exactly 50 entries.
@@ -49,6 +49,7 @@ _FRONT = [
     "q206_leakage_free_split",
     "q207_materialized_view",
     "q208_join_materialized_view",
+    "q209_kmv_distinct",
     # stalest driver rows next (last gated round 4, name order)
     "q127_pagerank",
     "q128_variant_props",
@@ -86,7 +87,6 @@ _FRONT = [
     "q81_repetition_stats",
     "q82_chunk_split_udtf",
     "q83_source_token_totals",
-    "q84_user_running_totals_pandas",
 ]
 
 

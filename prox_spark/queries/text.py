@@ -4214,6 +4214,110 @@ LIMIT {FLUENCY_K}
 """
 
 
+# --- q209: KMV distinct sketch (deterministic, mergeable) ------------------
+
+KMV_K = 16
+_KMV_POW48 = float(2**48)
+
+
+def _u48_expr(hexv: str) -> str:
+    """The first 12 hex chars of column ``m`` as a uniform double in
+    [0, 1): Σ hexval(cᵢ)·16^(12−i) / 2^48 — every term exact in a
+    double (< 2^53), the same positional formula in both engines."""
+    # DOUBLE literals via exponent notation: hexval is an engine INT
+    # and 16^11 overflows int32 under ANSI, while a bare `123.0`
+    # parses as DECIMAL in Spark SQL (decimal division then truncates
+    # the quotient's scale); `123e0` is a double in BOTH dialects and
+    # every term is exact in a double (< 2^53)
+    s = " + ".join(
+        f"({hexv.format(i=i + 1)}) * {16 ** (11 - i)}e0"
+        for i in range(12)
+    )
+    return f"(({s}) / {2**48}e0)"
+
+
+def q209_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values DISTINCT sketch per source — the cardinality
+    estimator of the sketch family (CMS = frequencies q174, Bloom =
+    membership q179, KMV = distinct counts): hash every doc digest to
+    a uniform u ∈ [0,1) and keep the k smallest; the estimate is the
+    classic (k−1)/u₍k₎. Fully DETERMINISTIC (md5-derived u, no rand,
+    no HLL register randomness), so the oracle recomputes identical
+    estimates. The pinned ``mergeable`` flag verifies the property
+    that makes KMV the distributed choice: the k smallest of the
+    UNION of per-source sketches equal the k smallest over the whole
+    corpus — shard sketches merge exactly, estimation at 100 TB is a
+    k-row-per-shard union, never a global distinct.
+
+    Scale shape: one map-side hash projection, a per-source top-k
+    window over DISTINCT u (shuffle keyed by source), k·sources rows
+    ever retained."""
+    docs = _docs(spark, sf_dir)
+    u = (
+        docs.withColumn("m", F.md5(F.col("text")))
+        .select("source", "m", F.expr(_u48_expr(_HEXV_SPARK)).alias("u"))
+        .select("source", "u")
+        .distinct()
+    )
+    w = Window.partitionBy("source").orderBy("u")
+    sk = (
+        u.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+    )
+    per_source = (
+        sk.groupBy("source")
+        .agg(
+            F.max(F.when(F.col("rn") == KMV_K, F.col("u"))).alias("uk"),
+        )
+        .join(
+            u.groupBy("source").agg(
+                F.count(F.lit(1)).cast("long").alias("n_exact")
+            ),
+            "source",
+        )
+        .withColumn(
+            "est", F.round(F.lit(float(KMV_K - 1)) / F.col("uk"), 6)
+        )
+        .select("source", "n_exact", "est")
+    )
+    # merge property: k smallest of the union of per-source sketches
+    # == k smallest over the full corpus (tiny driver-side compare —
+    # k·sources vs k doubles)
+    merged = sorted(
+        r["u"] for r in sk.select("u").collect()
+    )[:KMV_K]
+    direct = [
+        r["u"]
+        for r in u.select("u").orderBy("u").limit(KMV_K).collect()
+    ]
+    mergeable = bool(merged == direct)
+    return (
+        per_source.withColumn("mergeable", F.lit(mergeable))
+        .orderBy("source")
+    )
+
+
+def _oracle_q209() -> str:
+    return f"""
+WITH u_t AS (
+  SELECT DISTINCT source, {_u48_expr(_HEXV_DUCK)} AS u
+  FROM (SELECT source, md5(text) AS m FROM documents)
+), ranked AS (
+  SELECT source, u,
+         row_number() OVER (PARTITION BY source ORDER BY u) AS rn
+  FROM u_t
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       round({float(KMV_K - 1)!r} / max(CASE WHEN rn = {KMV_K} THEN u END),
+             6) AS est,
+       TRUE AS mergeable
+FROM ranked
+GROUP BY source
+ORDER BY source
+"""
+
+
 # --- q206: leakage-free split assignment (cluster-level hashing) -----------
 
 def q206_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4366,6 +4470,7 @@ QUERIES = {
     "q67_decontaminate": q67_decontaminate,
     "q72_dup_clusters": q72_dup_clusters,
     "q206_leakage_free_split": q206_leakage_free_split,
+    "q209_kmv_distinct": q209_kmv_distinct,
     "q75_tfidf_top_terms": q75_tfidf_top_terms,
     "q76_ngram_decontaminate": q76_ngram_decontaminate,
     "q80_pii_redact": q80_pii_redact,
@@ -4409,6 +4514,7 @@ ORACLES = {
     "q99_filter_funnel": ORACLE_Q99,
     "q72_dup_clusters": ORACLE_Q72,
     "q206_leakage_free_split": _oracle_q206(),
+    "q209_kmv_distinct": _oracle_q209(),
     "q75_tfidf_top_terms": ORACLE_Q75,
     "q76_ngram_decontaminate": ORACLE_Q76,
     "q80_pii_redact": ORACLE_Q80,

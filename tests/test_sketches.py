@@ -50,3 +50,20 @@ def test_pca_headroom_guard():
     big = 10**9
     with pytest.raises(OverflowError, match="PCA_SCALE_E"):
         _assert_pca_headroom(big, rows(big, 64, big * 144, 0))
+
+
+def test_kmv_sketch_merges_exactly_and_estimates_sanely(spark):
+    """KMV merge property: the k smallest of the union of per-source
+    sketches ARE the corpus's k smallest (pinned by the query's
+    mergeable flag); estimates are positive and within the coarse
+    k=16 error band of the exact per-source distinct counts."""
+    from prox_spark.queries.text import KMV_K, q209_kmv_distinct
+
+    rows = q209_kmv_distinct(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    assert all(r["mergeable"] for r in rows)
+    for r in rows:
+        assert r["n_exact"] >= KMV_K  # estimator path exercised
+        assert r["est"] > 0
+        # ~1/sqrt(k-1) relative error; allow a generous 3-sigma band
+        assert abs(r["est"] - r["n_exact"]) / r["n_exact"] < 1.0, r
