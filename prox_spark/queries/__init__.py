@@ -30,7 +30,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # Registry order matters: the correctness driver checks the first ~50
 # entries per round. Union coverage across rounds 1-7 is 193 of 193
 # (every query has a green driver row), so round 8 rotates purely by
-# STALENESS (recomputed from the CORRECTNESS_r01..r07 files): the FOURTEEN
+# STALENESS (recomputed from the CORRECTNESS_r01..r07 files): the FIFTEEN
 # queries new this round lead (never driver-gated), then the cohort
 # whose most recent green driver row is round 4 (name order) up to the
 # 50-slot cap. Exactly 50 entries.
@@ -50,6 +50,7 @@ _FRONT = [
     "q207_materialized_view",
     "q208_join_materialized_view",
     "q209_kmv_distinct",
+    "q210_streaming_mv",
     # stalest driver rows next (last gated round 4, name order)
     "q127_pagerank",
     "q128_variant_props",
@@ -86,7 +87,6 @@ _FRONT = [
     "q80_pii_redact",
     "q81_repetition_stats",
     "q82_chunk_split_udtf",
-    "q83_source_token_totals",
 ]
 
 

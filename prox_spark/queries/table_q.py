@@ -2794,6 +2794,143 @@ ORDER BY source, label
 """
 
 
+# --- q210: continuous (stream-driven) materialized-view maintenance --------
+
+_SMV_CACHE: dict[str, tuple] = {}
+
+
+def _stream_mv(spark: SparkSession, sf_dir: str) -> tuple:
+    """Staged once per process: the q207 view maintained by a STANDING
+    readChangeFeed stream instead of explicit refresh calls — three
+    checkpoint-sharing runs (the first delivers only rows the view
+    already covers, which the lineage fence must skip; the second
+    folds an append + merge-on-read delete + upsert; the third has
+    nothing new and must publish NOTHING). Returns
+    (mv_path, covered_ok, replay_noop)."""
+    from prox_spark.mv import create_mv, mv_info, mv_stream_batch
+    from prox_spark.table import (
+        commit_delta,
+        commit_snapshot,
+        read_manifest,
+        table_versions,
+    )
+    from prox_spark.table_stream import TableChangesDataSource
+    from prox_spark.upsert import delete_keys_mor, upsert_parquet
+
+    from ._staging import staged
+    from .streaming_q import _stream_partitions
+
+    def build(scratch: str) -> tuple:
+        spark.dataSource.register(TableChangesDataSource)
+        base, mv, ckpt = f"{scratch}/base", f"{scratch}/mv", f"{scratch}/ckpt"
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "source", "n_chars"
+        )
+
+        def run() -> None:
+            with _stream_partitions(spark):
+                q = (
+                    spark.readStream.format("prox_table_changes")
+                    .option("path", base)
+                    .option("readChangeFeed", "true")
+                    .load()
+                    .writeStream.foreachBatch(
+                        lambda bdf, bid: mv_stream_batch(bdf, bid, mv)
+                    )
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                try:
+                    if not q.awaitTermination(600):
+                        raise RuntimeError(
+                            "MV stream did not drain within 600s"
+                        )
+                finally:
+                    q.stop()
+
+        commit_snapshot(
+            spark, base, docs.filter(F.col("doc_id") % 10 <= 6),
+            stat_cols=["doc_id"], n_files=4,
+        )
+        create_mv(spark, base, mv, ["source"], ["n_chars"])
+        run()  # covers only already-materialized rows: fence must skip
+        fence_ok = int(mv_info(spark, mv)["version"]) == 1
+        prev = read_manifest(spark, base)
+        commit_delta(
+            spark, base, docs.filter(F.col("doc_id") % 10 > 6),
+            list(prev["files"]), update_key_ranges={},
+        )
+        delete_keys_mor(
+            spark, base,
+            docs.filter(F.col("doc_id") % 3 == 0).select("doc_id"),
+            ["doc_id"],
+        )
+        upsert_parquet(
+            spark, base,
+            docs.filter(
+                (F.col("doc_id") % 11 == 0) & (F.col("doc_id") % 3 != 0)
+            ).withColumn("n_chars", F.col("n_chars") + F.lit(500)),
+            ["doc_id"],
+        )
+        run()  # one catch-up batch folds all three commits
+        covered_ok = bool(
+            fence_ok
+            and int(mv_info(spark, mv)["version"])
+            == int(read_manifest(spark, base)["version"])
+        )
+        head = table_versions(spark, mv)[-1]
+        run()  # nothing new: must publish NO view commit at all
+        replay_noop = bool(table_versions(spark, mv)[-1] == head)
+        return mv, covered_ok, replay_noop
+
+    return staged(_SMV_CACHE, sf_dir, "prox_smv_", build)
+
+
+def q210_streaming_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized view maintained by a STANDING STREAM — q207's
+    registry composed with the table-as-stream source (Databricks
+    DLT's continuous-MV shape): foreachBatch folds each micro-batch's
+    signed rows directly (work ∝ batch, no feed re-read), and
+    idempotence comes from the covered-version LINEAGE, not marker
+    rows — a replayed or overlapping batch contributes only its
+    uncovered slice, so the first stream run (which re-delivers the
+    rows the view was created from) must change nothing. The oracle
+    aggregates the formulaic final base; pinned flags: ``covered_ok``
+    (the genesis fence held and the lineage tracks the base head) and
+    ``replay_noop`` (a run with nothing new published no view
+    commit)."""
+    from prox_spark.table import read_table
+
+    mv, covered_ok, replay_noop = _stream_mv(spark, sf_dir)
+    return (
+        read_table(spark, mv)
+        .select("source", "n_rows", "sum_n_chars")
+        .withColumn("covered_ok", F.lit(covered_ok))
+        .withColumn("replay_noop", F.lit(replay_noop))
+        .orderBy("source")
+    )
+
+
+ORACLE_Q210 = """
+WITH final AS (
+  SELECT source,
+         CASE WHEN doc_id % 11 = 0 THEN n_chars + 500
+              ELSE n_chars END AS n_chars
+  FROM documents
+  WHERE doc_id % 3 <> 0
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+       TRUE AS covered_ok,
+       TRUE AS replay_noop
+FROM final
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "q114_snapshot_diff": q114_snapshot_diff,
     "q118_incremental_agg": q118_incremental_agg,
@@ -2819,6 +2956,7 @@ QUERIES = {
     "q204_check_constraints": q204_check_constraints,
     "q207_materialized_view": q207_materialized_view,
     "q208_join_materialized_view": q208_join_materialized_view,
+    "q210_streaming_mv": q210_streaming_mv,
 }
 
 
@@ -2850,4 +2988,5 @@ def oracles() -> dict[str, str]:
         "q204_check_constraints": ORACLE_Q204,
         "q207_materialized_view": ORACLE_Q207,
         "q208_join_materialized_view": ORACLE_Q208,
+        "q210_streaming_mv": ORACLE_Q210,
     }

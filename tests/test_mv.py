@@ -206,3 +206,46 @@ def test_refresh_falls_back_to_full_recompute_after_vacuum(spark):
     out2 = refresh_mv(spark, mv)
     assert out2["mode"] == "incremental"
     assert _mv_rows(spark, mv) == _direct(spark, base)
+
+
+def test_mv_stream_batch_lineage_fence(spark):
+    """The lineage fence: rows at or below the covered version fold
+    nothing (a replayed batch is a no-op), rows above fold exactly
+    their uncovered slice."""
+    from prox_spark.mv import mv_stream_batch
+    from prox_spark.table import table_versions
+
+    s = _scratch()
+    base, mv = f"{s}/base", f"{s}/mv"
+    commit_snapshot(spark, base, _df(spark, 0, 30),
+                    stat_cols=["id"], n_files=2)
+    create_mv(spark, base, mv, ["grp"], ["val"])
+    head = table_versions(spark, mv)[-1]
+
+    def feed(lo, hi, ver, change="insert"):
+        return _df(spark, lo, hi).select(
+            "*", F.lit(change).alias("_change_type"),
+            F.lit(ver).cast("long").alias("_commit_version"),
+        )
+
+    # batch covering only v1 (already materialized): publishes nothing
+    mv_stream_batch(feed(0, 30, 1), 0, mv)
+    assert table_versions(spark, mv)[-1] == head
+    # batch with a genuine v2 slice folds it...
+    mv_stream_batch(feed(30, 40, 2), 1, mv)
+    assert _mv_rows(spark, mv) == sorted(
+        map(
+            tuple,
+            _df(spark, 0, 40)
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias(COUNT_COL),
+                F.sum("val").alias("sum_val"),
+            )
+            .collect(),
+        )
+    )
+    # ...and REPLAYING that batch after the fold is fenced out
+    before = _mv_rows(spark, mv)
+    mv_stream_batch(feed(30, 40, 2), 1, mv)
+    assert _mv_rows(spark, mv) == before
