@@ -17,11 +17,20 @@ scope for this registry (use the query-level pattern).
 Refresh mechanics: the view's manifest records ``mv_of`` = {path,
 version, keys, sums} — the base version the contents cover. Refresh
 reads ``read_table_changes(base, covered, head)``, folds the signed
-delta per key, and merges it into the view through the table format's
-own keyed primitives (merge-on-read delete for groups netting to
-zero, file-pruned upsert for changed groups) — so refresh cost is
-∝ |touched keys|, and the view stays a normal manifest table
-(time travel, vacuum, cloning all apply)."""
+delta per key, and merges it into the view through ONE file-pruned
+commit whose manifest carries the bumped ``mv_of`` lineage in the
+SAME atomic rename (``commit_delta(extra_meta=...)``) — so refresh
+cost is ∝ |touched keys|, the view stays a normal manifest table
+(time travel, vacuum, cloning all apply), and there is NO crash
+window where the folded data landed without its coverage record (a
+replayed refresh either sees both or neither, never double-folds).
+Groups whose count nets to zero drop out of the same rewrite.
+
+NULL-valued group keys are exact: the merge joins with null-safe
+equality, and a delta containing a NULL key falls back to a
+full-table merge scope (footer min/max stats cannot locate NULL-keyed
+groups, so a pruned scope could miss the group's file and duplicate
+it)."""
 
 from __future__ import annotations
 
@@ -54,22 +63,17 @@ def create_mv(
 ) -> int:
     """Materialize count + per-column sums grouped by ``keys`` over
     the base table's current version and register the lineage in the
-    view's manifest. Returns the view's version."""
+    view's manifest — ONE commit, so a half-created view cannot exist.
+    Returns the view's version."""
     base_v = int(read_manifest(spark, base_path)["version"])
-    commit_snapshot(
+    return commit_snapshot(
         spark, mv_path, _agg(read_table(spark, base_path), keys, sums),
         stat_cols=list(keys), n_files=4,
-    )
-
-    def mutate(doc: dict, v: int) -> dict:
-        doc["mv_of"] = {
+        extra_meta={"mv_of": {
             "path": base_path, "version": base_v,
             "keys": list(keys), "sums": list(sums),
-        }
-        doc.pop("data_change", None)
-        return doc
-
-    return _commit_meta_change(spark, mv_path, mutate)
+        }},
+    )
 
 
 def mv_info(spark: SparkSession, mv_path: str) -> dict:
@@ -81,54 +85,88 @@ def mv_info(spark: SparkSession, mv_path: str) -> dict:
 
 def _merge_delta(
     spark: SparkSession, mv_path: str, keys: list[str], sums: list[str],
-    delta: DataFrame,
+    delta: DataFrame, lineage: dict,
 ) -> int:
     """Merge a signed per-key delta frame (``_dn`` + ``_ds_<col>``
-    columns) into the view through the format's keyed primitives.
-    Returns the number of touched groups."""
-    from prox_spark.upsert import delete_keys_mor, upsert_parquet
+    columns) into the view in ONE commit that also publishes
+    ``lineage`` as the view's new ``mv_of`` record — data and coverage
+    land in the same atomic manifest rename, so a crash (or a lost
+    CAS) can never leave the fold applied but the covered version
+    stale (which would double-count the same feed window on the next
+    refresh). Returns the number of touched groups.
 
-    cur = read_table(spark, mv_path)
-    merged = (
-        cur.join(delta, keys, "full_outer")
-        .select(
-            *keys,
-            (
-                F.coalesce(F.col(COUNT_COL), F.lit(0))
-                + F.coalesce(F.col("_dn"), F.lit(0))
-            ).cast("long").alias(COUNT_COL),
-            *[
-                (
-                    F.coalesce(F.col(f"sum_{c}"), F.lit(0))
-                    + F.coalesce(F.col(f"_ds_{c}"), F.lit(0))
-                ).alias(f"sum_{c}")
-                for c in sums
-            ],
-            F.col("_dn").isNotNull().alias("_touched"),
-        )
-        .filter(F.col("_touched"))
-    ).persist()
+    Scale shape: the merge scope file-prunes on the delta's keys (work
+    ∝ touched groups); groups netting to zero count simply drop out of
+    the rewrite. A delta with NULL group keys forces a full-table
+    scope — stats cannot locate NULL-keyed groups (see module doc)."""
+    from functools import reduce
+
+    from prox_spark.upsert import _merge_scope
+
+    delta = delta.persist()
     try:
-        gone = merged.filter(F.col(COUNT_COL) <= 0).select(*keys)
-        changed = merged.filter(F.col(COUNT_COL) > 0).drop("_touched")
-        touched = merged.count()
-        n_gone = gone.count()
-        if n_gone:
-            delete_keys_mor(spark, mv_path, gone, keys)
-        if touched - n_gone:
-            upsert_parquet(spark, mv_path, changed, keys)
+        touched = delta.count()
+        if touched == 0:
+            # nothing to fold (e.g. every commit in the window was
+            # data_change=false): bump the coverage record only — a
+            # metadata-only publish is atomic on its own
+            def mutate(doc: dict, v: int) -> dict:
+                doc["mv_of"] = lineage
+                return doc
+
+            _commit_meta_change(spark, mv_path, mutate)
+            return 0
+        has_null = bool(
+            delta.filter(
+                reduce(lambda a, b: a | b,
+                       [F.col(k).isNull() for k in keys])
+            ).limit(1).count()
+        )
+        scope = _merge_scope(
+            spark, mv_path, delta.select(*keys), keys,
+            prune=not has_null,
+        )
+        d = delta
+        for k in keys:
+            d = d.withColumnRenamed(k, f"_k_{k}")
+        cond = reduce(
+            lambda a, b: a & b,
+            [F.col(k).eqNullSafe(F.col(f"_k_{k}")) for k in keys],
+        )
+        merged = (
+            scope.touched.join(d, cond, "full_outer")
+            .select(
+                *[
+                    F.coalesce(F.col(k), F.col(f"_k_{k}")).alias(k)
+                    for k in keys
+                ],
+                (
+                    F.coalesce(F.col(COUNT_COL), F.lit(0))
+                    + F.coalesce(F.col("_dn"), F.lit(0))
+                ).cast("long").alias(COUNT_COL),
+                *[
+                    (
+                        F.coalesce(F.col(f"sum_{c}"), F.lit(0))
+                        + F.coalesce(F.col(f"_ds_{c}"), F.lit(0))
+                    ).alias(f"sum_{c}")
+                    for c in sums
+                ],
+            )
+            .filter(F.col(COUNT_COL) > 0)
+        )
+        scope.commit(merged, extra_meta={"mv_of": lineage})
         return touched
     finally:
-        merged.unpersist()
+        delta.unpersist()
 
 
 def refresh_mv(spark: SparkSession, mv_path: str) -> dict:
     """Fold the base table's changes since the covered version into
     the view. Returns {"refreshed", "covered", "touched_groups"}.
     Work ∝ |delta| + |touched groups|: the feed opens only the
-    commits' files, group merges go through the format's file-pruned
-    keyed upsert, and groups whose count nets to zero are removed by
-    a merge-on-read key delete (no rewrite)."""
+    commits' files and the merge rewrites only the files whose key
+    range admits a touched group — published WITH the bumped coverage
+    in one atomic commit (see :func:`_merge_delta`)."""
     from prox_spark.cdf import read_table_changes
 
     info = mv_info(spark, mv_path)
@@ -138,6 +176,7 @@ def refresh_mv(spark: SparkSession, mv_path: str) -> dict:
     if head == covered:
         return {"refreshed": False, "covered": covered, "touched_groups": 0}
 
+    lineage = {**info, "version": head}
     mode = "incremental"
     try:
         feed = read_table_changes(spark, base, covered, head)
@@ -148,25 +187,18 @@ def refresh_mv(spark: SparkSession, mv_path: str) -> dict:
             F.sum(sgn).cast("long").alias("_dn"),
             *[F.sum(sgn * F.col(c)).alias(f"_ds_{c}") for c in sums],
         )
-        touched = _merge_delta(spark, mv_path, keys, sums, delta)
+        touched = _merge_delta(spark, mv_path, keys, sums, delta, lineage)
     except Exception as ex:
         if not _is_unreadable_version(ex):
             raise
         # the covered version was vacuumed past the refresh cadence:
         # the incremental inputs are gone, fall back to a FULL
-        # recompute (one rewrite commit — also heals a refresh that
-        # died between its delete and upsert commits)
+        # recompute (one rewrite commit, lineage in the same rename)
         mode = "full"
         touched = _replace_contents(
-            spark, mv_path, _agg(read_table(spark, base), keys, sums), keys
+            spark, mv_path, _agg(read_table(spark, base), keys, sums),
+            keys, lineage,
         )
-
-    def mutate(doc: dict, v: int) -> dict:
-        doc["mv_of"] = {**info, "version": head}
-        doc.pop("data_change", None)
-        return doc
-
-    _commit_meta_change(spark, mv_path, mutate)
     return {
         "refreshed": True, "covered": head, "touched_groups": touched,
         "mode": mode,
@@ -180,7 +212,8 @@ def _is_unreadable_version(ex: Exception) -> bool:
 
 
 def _replace_contents(
-    spark: SparkSession, mv_path: str, contents: DataFrame, keys: list[str]
+    spark: SparkSession, mv_path: str, contents: DataFrame,
+    keys: list[str], lineage: dict,
 ) -> int:
     from prox_spark.table import commit_delta
 
@@ -188,6 +221,7 @@ def _replace_contents(
     commit_delta(
         spark, mv_path, contents, [], stat_cols=list(keys), n_files=4,
         base_version=int(prev["version"]),
+        extra_meta={"mv_of": lineage},
     )
     return -1  # full recompute: touched-group accounting does not apply
 
@@ -200,7 +234,10 @@ def mv_stream_batch(batch_df: DataFrame, batch_id: int,
     Idempotence comes from the LINEAGE, not marker rows: the fold
     first drops rows at or below the view's covered version (a
     replayed or overlapping batch contributes only its uncovered
-    slice), and a batch advancing nothing publishes nothing."""
+    slice), a batch advancing nothing publishes nothing, and the fold
+    + coverage bump land in ONE commit — so a replay after a crash
+    either sees the bumped coverage (no-op) or a view the fold never
+    touched (clean re-apply), never a half-applied state."""
     sp = batch_df.sparkSession
     info = mv_info(sp, mv_path)
     covered = int(info["version"])
@@ -217,14 +254,7 @@ def mv_stream_batch(batch_df: DataFrame, batch_id: int,
         F.sum(sgn).cast("long").alias("_dn"),
         *[F.sum(sgn * F.col(c)).alias(f"_ds_{c}") for c in sums],
     )
-    _merge_delta(sp, mv_path, keys, sums, delta)
-
-    def mutate(doc: dict, v: int) -> dict:
-        doc["mv_of"] = {**info, "version": int(end)}
-        doc.pop("data_change", None)
-        return doc
-
-    _commit_meta_change(sp, mv_path, mutate)
+    _merge_delta(sp, mv_path, keys, sums, delta, {**info, "version": int(end)})
 
 
 # --- JOIN materialized views: the two-sided delta algebra as an API --------
@@ -257,21 +287,15 @@ def create_join_mv(
     joined = read_table(spark, left_path).join(
         read_table(spark, right_path), on
     )
-    commit_snapshot(
+    return commit_snapshot(
         spark, mv_path, _agg(joined, keys, sums),
         stat_cols=list(keys), n_files=4,
-    )
-
-    def mutate(doc: dict, v: int) -> dict:
-        doc["mv_of"] = {
+        extra_meta={"mv_of": {
             "left": {"path": left_path, "version": lv},
             "right": {"path": right_path, "version": rv},
             "on": list(on), "keys": list(keys), "sums": list(sums),
-        }
-        doc.pop("data_change", None)
-        return doc
-
-    return _commit_meta_change(spark, mv_path, mutate)
+        }},
+    )
 
 
 def refresh_join_mv(spark: SparkSession, mv_path: str) -> dict:
@@ -293,6 +317,11 @@ def refresh_join_mv(spark: SparkSession, mv_path: str) -> dict:
     if lh == lv and rh == rv:
         return {"refreshed": False, "covered": (lv, rv), "touched_groups": 0}
 
+    lineage = {
+        **info,
+        "left": {"path": lp, "version": lh},
+        "right": {"path": rp, "version": rh},
+    }
     sgn = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
         F.lit(-1)
     )
@@ -336,7 +365,7 @@ def refresh_join_mv(spark: SparkSession, mv_path: str) -> dict:
             F.sum("_s").cast("long").alias("_dn"),
             *[F.sum(F.col("_s") * F.col(c)).alias(f"_ds_{c}") for c in sums],
         )
-        touched = _merge_delta(spark, mv_path, keys, sums, delta)
+        touched = _merge_delta(spark, mv_path, keys, sums, delta, lineage)
     except Exception as ex:
         if not _is_unreadable_version(ex):
             raise
@@ -344,19 +373,8 @@ def refresh_join_mv(spark: SparkSession, mv_path: str) -> dict:
         mode = "full"
         joined = read_table(spark, lp).join(read_table(spark, rp), on)
         touched = _replace_contents(
-            spark, mv_path, _agg(joined, keys, sums), keys
+            spark, mv_path, _agg(joined, keys, sums), keys, lineage,
         )
-
-    def mutate(doc: dict, v: int) -> dict:
-        doc["mv_of"] = {
-            **info,
-            "left": {"path": lp, "version": lh},
-            "right": {"path": rp, "version": rh},
-        }
-        doc.pop("data_change", None)
-        return doc
-
-    _commit_meta_change(spark, mv_path, mutate)
     return {
         "refreshed": True, "covered": (lh, rh), "touched_groups": touched,
         "mode": mode,

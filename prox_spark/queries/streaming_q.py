@@ -1363,8 +1363,12 @@ def semantic_index_batch(
     DELETE rows (the signed feed's retractions) append TOMBSTONES
     (cid = −2) instead of being mis-indexed as vectors;
     :func:`read_semantic_index` folds them count-wise (a vec_id is
-    live while inserts outnumber deletes — a re-inserted vector gets
-    the same frozen-quantizer cid, so counting is exact)."""
+    live while inserts outnumber deletes). Every index row carries
+    ``ver`` = its feed row's ``_commit_version``, so after an UPSERT
+    that changes a vector's embedding (delete + insert with a new
+    dd), the reader keeps the insert row with the HIGHEST version —
+    never a nondeterministic survivor carrying the stale
+    embedding/cid."""
     from prox_spark.table import (
         commit_delta,
         commit_snapshot,
@@ -1387,7 +1391,9 @@ def semantic_index_batch(
     from prox_spark.queries.similarity import _tag_centroids
 
     vecs = batch_df.filter(F.col("_change_type") == "insert").select(
-        "vec_id", F.expr("cast(embedding as array<double>)").alias("dd")
+        "vec_id",
+        F.expr("cast(embedding as array<double>)").alias("dd"),
+        F.col("_commit_version").cast("long").alias("ver"),
     ).withColumn(
         "nrm",
         F.expr(
@@ -1397,18 +1403,19 @@ def semantic_index_batch(
     )
     rows = _tag_centroids(vecs, cent_arr).select(
         F.expr("sims[0].cid").cast("long").alias("cid"),
-        "vec_id", "dd", "nrm",
+        "vec_id", "dd", "nrm", "ver",
     )
     tombstones = batch_df.filter(F.col("_change_type") == "delete").select(
         F.lit(-2).cast("long").alias("cid"),
         "vec_id",
         F.expr("cast(array() as array<double>)").alias("dd"),
         F.lit(-1.0).alias("nrm"),
+        F.col("_commit_version").cast("long").alias("ver"),
     )
     rows = rows.unionByName(tombstones)
     marker = sp.createDataFrame(
-        [(-1, int(batch_id), [], -1.0)],
-        "cid long, vec_id long, dd array<double>, nrm double",
+        [(-1, int(batch_id), [], -1.0, -1)],
+        "cid long, vec_id long, dd array<double>, nrm double, ver long",
     )
     if is_manifest_table(sp, index_path):
         prev = read_manifest(sp, index_path)
@@ -1430,10 +1437,15 @@ def semantic_index_batch(
 def read_semantic_index(spark: SparkSession, index_path: str) -> DataFrame:
     """The semantic index's LIVE assignments: insert rows (cid ≥ 0)
     minus count-folded tombstones (cid = −2) — a vec_id is visible
-    while its inserts outnumber its deletes. Re-insertion after a
-    delete is exact: the frozen quantizer assigns the same vector the
-    same cid, so duplicate insert rows are interchangeable and one
-    survivor is kept per live vec_id."""
+    while its inserts outnumber its deletes. The survivor per live
+    vec_id is the insert row with the HIGHEST commit version (``ver``)
+    — deterministic, and exact under upserts that CHANGE a vector's
+    embedding (the delete+insert pair leaves the id live and the
+    newest row carries the new dd/cid; a max-count survivor could
+    keep the stale one). Output drops ``ver`` so downstream consumers
+    see the original (cid, vec_id, dd, nrm) contract."""
+    from pyspark.sql import Window
+
     from prox_spark.table import read_table
 
     t = read_table(spark, index_path)
@@ -1450,8 +1462,14 @@ def read_semantic_index(spark: SparkSession, index_path: str) -> DataFrame:
         .filter(F.col("ni") > F.coalesce(F.col("nd"), F.lit(0)))
         .select("vec_id")
     )
-    return ins.dropDuplicates(["vec_id"]).join(
-        F.broadcast(live), "vec_id", "left_semi"
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("ver").desc(), F.col("cid").desc()
+    )
+    return (
+        ins.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "ver")
+        .join(F.broadcast(live), "vec_id", "left_semi")
     )
 
 

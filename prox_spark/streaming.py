@@ -28,6 +28,21 @@ DEFAULT_WATERMARK = "2 hours"
 SESSION_GAP = "30 minutes"
 
 
+def _drain(q, timeout_s: int) -> None:
+    """Await an availableNow query's self-termination and FAIL LOUDLY
+    on timeout: a silent timeout + stop() truncates the run mid-batch
+    and returns partial state as if it were complete (the staged-
+    artifact corruption mode the gate queries already guard against —
+    same contract here in the reusable helpers)."""
+    try:
+        if not q.awaitTermination(timeout_s):
+            raise RuntimeError(
+                f"stream did not drain within {timeout_s}s"
+            )
+    finally:
+        q.stop()
+
+
 def read_event_stream(
     spark: SparkSession,
     path: str,
@@ -188,10 +203,7 @@ def run_stream_upsert_latest(
         .trigger(availableNow=True)
         .start()
     )
-    try:
-        q.awaitTermination(timeout_s)
-    finally:
-        q.stop()
+    _drain(q, timeout_s)
 
 
 def run_stream_append_branch(
@@ -250,10 +262,7 @@ def run_stream_append_branch(
         .trigger(availableNow=True)
         .start()
     )
-    try:
-        q.awaitTermination(timeout_s)
-    finally:
-        q.stop()
+    _drain(q, timeout_s)
 
 
 def run_to_memory(
@@ -269,8 +278,68 @@ def run_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    try:
-        q.awaitTermination(timeout_s)
-    finally:
-        q.stop()
+    _drain(q, timeout_s)
     return sdf.sparkSession.table(name)
+
+
+def _checkpoint_offset(checkpoint: str) -> int | None:
+    """The last COMMITTED table version recorded in a streaming
+    checkpoint over a single ``prox_table_changes`` source (see
+    table_stream._checkpoint_committed_offset — one implementation,
+    shared with the reader's paceFromCheckpoint floor)."""
+    from prox_spark.table_stream import _checkpoint_committed_offset
+
+    return _checkpoint_committed_offset(checkpoint)
+
+
+def drain_table_stream(
+    start_query,
+    checkpoint: str,
+    table_path: str,
+    timeout_s: int = 120,
+    max_starts: int = 100,
+) -> int:
+    """Fully drain a PACED ``prox_table_changes`` stream with
+    availableNow semantics: loop ``start_query()`` starts until the
+    checkpoint's committed offset reaches the table's head version.
+
+    Why a loop: Spark's Python DataSource streams don't support
+    Trigger.AvailableNow (MicroBatchExecution falls back to
+    SINGLE-BATCH execution per start), so a paced stream needs one
+    start per capped batch (table_stream.py's documented caveat).
+    This helper makes pacing and catch-up COMPOSE: each round drains
+    one capped batch, progress is proven from the checkpoint between
+    rounds (no progress with backlog remaining → raise, never spin),
+    and the loop ends exactly when the committed offset covers the
+    head.
+
+    ``start_query`` must build and .start() the query fresh each call
+    — same checkpoint, and with BOTH ``maxVersionsPerBatch`` and
+    ``paceFromCheckpoint`` set on the reader (without the latter the
+    single-batch fallback runs unpaced, see the reader docstring).
+    Returns the number of starts it took; bounded by
+    ``max_starts``."""
+    from prox_spark.table_stream import _list_versions
+
+    starts = 0
+    while True:
+        versions = _list_versions(table_path)
+        if not versions:
+            return starts  # nothing committed yet: nothing to drain
+        head = versions[-1]
+        committed = _checkpoint_offset(checkpoint)
+        if committed is not None and committed >= head:
+            return starts
+        if starts >= max_starts:
+            raise RuntimeError(
+                f"drain_table_stream: offset {committed} still behind "
+                f"head {head} after {starts} starts"
+            )
+        _drain(start_query(), timeout_s)
+        starts += 1
+        after = _checkpoint_offset(checkpoint)
+        if after == committed:
+            raise RuntimeError(
+                "drain_table_stream: start made no offset progress "
+                f"(committed offset stuck at {committed}, head {head})"
+            )

@@ -743,6 +743,7 @@ def commit_delta(
     cluster_curve: str | None = None,
     index_of: dict | None = None,
     data_change: bool = True,
+    extra_meta: dict | None = None,
 ) -> int:
     """Commit the table's next version as ``keep_files`` (carried over
     verbatim from the previous version — never rewritten, never moved)
@@ -799,6 +800,13 @@ def commit_delta(
     :func:`fast_forward`). Data files land under the shared ``data/``
     dir either way; only the manifest namespace differs, so main
     readers never see the branch's files until a fast-forward.
+
+    ``extra_meta`` entries are merged into the published manifest doc
+    VERBATIM, in the same atomic rename as the data — the hook that
+    lets a derived artifact (a materialized view's ``mv_of`` lineage)
+    publish its data and its coverage record together, so no crash
+    window exists where one landed without the other. Re-applied on
+    every rebase attempt.
 
     ``data_change=False`` marks the commit as a read-only REWRITE
     (compaction, small-file consolidation, delete folding): the rows
@@ -1163,6 +1171,21 @@ def commit_delta(
             manifest["dropped_cols"] = still_dropped
         if cur.get("constraints"):
             manifest["constraints"] = cur["constraints"]
+        if cur.get("cloned_from"):
+            # a shallow clone's origin record survives every routine
+            # commit (like constraints): release_clone_pin resolves
+            # the source tag through the LATEST manifest, so the pin
+            # stays releasable even after the clone's genesis manifest
+            # is vacuumed away
+            manifest["cloned_from"] = cur["cloned_from"]
+        if cur.get("mv_of"):
+            # a materialized view's lineage likewise survives routine
+            # commits (compaction, maintenance); a refresh overrides
+            # it through extra_meta below — in the SAME atomic rename
+            # as the refreshed data
+            manifest["mv_of"] = cur["mv_of"]
+        if extra_meta:
+            manifest.update(extra_meta)
         try:
             _write_manifest(spark, table_path, v, manifest, ref)
             # chunk files written for attempts that lost the race are
@@ -1295,6 +1318,7 @@ def commit_snapshot(
     bloom_ndv: int = 100_000,
     cluster_curve: str | None = None,
     index_of: dict | None = None,
+    extra_meta: dict | None = None,
 ) -> int:
     """Write ``df`` as the table's next version — a FULL snapshot (no
     carried-over files). With ``stat_cols`` the data is range-clustered
@@ -1309,6 +1333,7 @@ def commit_snapshot(
     return commit_delta(
         spark, table_path, df, [], stat_cols=stat_cols or [], n_files=n_files,
         bloom_ndv=bloom_ndv, cluster_curve=cluster_curve, index_of=index_of,
+        extra_meta=extra_meta,
     )
 
 
@@ -1766,7 +1791,14 @@ def release_clone_pin(spark: SparkSession, dst_path: str) -> bool:
     versions = _manifest_versions(spark, dst_path)
     if not versions:
         raise ValueError(f"{dst_path} is not a manifest table")
-    info = _read_manifest_file(spark, dst_path, versions[0]).get("cloned_from")
+    # commit_delta carries cloned_from forward, so the LATEST manifest
+    # is authoritative; fall back to the genesis manifest for clones
+    # whose later commits predate the carry (legacy layouts)
+    info = _read_manifest_file(spark, dst_path, versions[-1]).get("cloned_from")
+    if not info and len(versions) > 1:
+        info = _read_manifest_file(
+            spark, dst_path, versions[0]
+        ).get("cloned_from")
     if not info or not info.get("tag"):
         return False
     try:

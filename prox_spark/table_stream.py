@@ -119,6 +119,32 @@ def _load_manifest(path: str, v: int) -> dict:
     return out
 
 
+def _checkpoint_committed_offset(checkpoint: str) -> int | None:
+    """The last COMMITTED table version in a streaming checkpoint over
+    a single prox_table_changes source: batch B is committed iff
+    ``commits/B`` exists, and its end offset is the LAST line of
+    ``offsets/B`` (Spark's OffsetSeqLog format: "v1", the metadata
+    JSON, then one offset JSON per source). None before the first
+    committed batch. Pure metadata through pyarrow.fs — works from
+    the data-source worker process and on object stores."""
+    from pyarrow import fs as pafs
+
+    fs, base = _fs_base(checkpoint)
+    sel = pafs.FileSelector(f"{base}/commits", allow_not_found=True)
+    batches = [
+        int(os.path.basename(info.path))
+        for info in fs.get_file_info(sel)
+        if os.path.basename(info.path).isdigit()
+    ]
+    if not batches:
+        return None
+    with fs.open_input_file(f"{base}/offsets/{max(batches)}") as f:
+        lines = [
+            ln for ln in f.read().decode("utf-8").splitlines() if ln.strip()
+        ]
+    return int(json.loads(lines[-1])["version"])
+
+
 def _delete_sig(doc: dict) -> list:
     return sorted(d["file"] for d in (doc.get("deletes") or []))
 
@@ -133,10 +159,66 @@ def _schema_sig(schema_json: dict | None) -> list:
     ]
 
 
+def _keys_df(path: str, keys: list[str]):
+    import pyarrow.parquet as pq
+
+    return (
+        pq.read_table(path, columns=keys)
+        .to_pandas()
+        .drop_duplicates()
+    )
+
+
+def _mask_rows(t, anti, semi):
+    """Filter an Arrow table by merge-on-read key files: drop rows
+    matching any ``anti`` (key-file, keys) entry, keep only rows
+    matching the ``semi`` entry when given. Key matching is vectorized
+    through a pandas merge over the KEY columns + a row index only —
+    payload columns never round-trip through pandas."""
+    import pyarrow as pa
+
+    key_cols = sorted(
+        {k for _, ks in anti for k in ks}
+        | set(semi[1] if semi else [])
+    )
+    tdf = t.select(key_cols).to_pandas()
+    tdf["__i"] = range(len(tdf))
+    for kpath, ks in anti:
+        m = tdf.merge(_keys_df(kpath, ks), on=ks, how="left", indicator=True)
+        tdf = m[m["_merge"] == "left_only"].drop(columns="_merge")
+    if semi is not None:
+        kpath, ks = semi
+        tdf = tdf.merge(_keys_df(kpath, ks), on=ks, how="inner")
+    return t.take(pa.array(tdf["__i"].to_numpy()))
+
+
+def _entries_for(
+    man: dict, f: str, base: str
+) -> list[tuple[str, list[str]]]:
+    """The merge-on-read delete entries of manifest ``man`` that
+    target file ``f``, as (resolved key-file path, keys) pairs."""
+    return [
+        (_entry_path(base, d["file"]), list(d["keys"]))
+        for d in (man.get("deletes") or [])
+        if f in set(d["targets"])
+    ]
+
+
 class _FilesPartition(InputPartition):
-    def __init__(self, paths: list[str], fields: list[str]):
+    """Plain append-stream partition. ``anti``: merge-on-read delete
+    entries to mask out at read time — non-empty only for a shallow
+    clone's genesis snapshot, whose first manifest may CARRY the
+    source's pending deletes."""
+
+    def __init__(
+        self,
+        paths: list[str],
+        fields: list[str],
+        anti: list[tuple[str, list[str]]] | None = None,
+    ):
         self.paths = paths
         self.fields = fields
+        self.anti = anti or []
 
 
 class _ChangePartition(InputPartition):
@@ -172,12 +254,18 @@ class TableChangesStreamReader(DataSourceStreamReader):
 
     OPERATIONAL CAVEAT: Spark's Python DataSource streams do not
     support Trigger.AvailableNow — MicroBatchExecution logs a warning
-    and falls back to SINGLE-BATCH execution per start. Combined with
-    pacing that means one availableNow start drains at most
-    ``maxVersionsPerBatch`` versions and leaves the rest as backlog
-    for the next start; a paced CONTINUOUS (processingTime) stream
-    drains fully, one capped batch per trigger. Leave the cap unset
-    for availableNow catch-up runs."""
+    and falls back to SINGLE-BATCH execution per start, and it calls
+    latestOffset() BEFORE initialOffset(), so the pacing floor is
+    unknown on that one batch and ``maxVersionsPerBatch`` alone does
+    not bind it (the start drains to head, unpaced). To pace
+    availableNow starts, also pass ``paceFromCheckpoint`` = the
+    query's own checkpoint dir: the reader then seeds the floor from
+    the checkpoint's committed offset (or startingVersion before the
+    first commit) and each start drains exactly one capped batch —
+    loop starts until caught up with
+    :func:`prox_spark.streaming.drain_table_stream`. A paced
+    CONTINUOUS (processingTime) stream drains fully either way, one
+    capped batch per trigger after the first."""
 
     def __init__(self, schema: StructType, options: dict):
         # DSv2 hands options through a case-insensitive map that
@@ -231,6 +319,7 @@ class TableChangesStreamReader(DataSourceStreamReader):
                 ) & pinned_names
         self._start_v = int(options.get("startingversion", 0))
         self._max_versions = int(options.get("maxversionsperbatch", 0))
+        self._pace_ckpt = options.get("pacefromcheckpoint")
         self._last_end: int | None = None
 
     def initialOffset(self) -> dict:
@@ -256,7 +345,25 @@ class TableChangesStreamReader(DataSourceStreamReader):
         # (re)start self._last_end is None and the true floor lives in
         # the checkpoint, which partitions() sees, not this method — a
         # capped guess here could fall BEHIND the committed offset and
-        # re-deliver processed versions (the restart duplicate bug)
+        # re-deliver processed versions (the restart duplicate bug).
+        # With ``paceFromCheckpoint`` the caller hands this reader its
+        # own checkpoint dir, so the committed floor IS knowable here
+        # and pacing binds on the first trigger too — which is the
+        # ONLY trigger under availableNow's single-batch fallback, so
+        # this is what makes maxVersionsPerBatch compose with paced
+        # catch-up runs (drain_table_stream loops such starts).
+        if (
+            self._max_versions > 0
+            and self._last_end is None
+            and self._pace_ckpt
+        ):
+            committed = _checkpoint_committed_offset(self._pace_ckpt)
+            floor = (
+                self._start_v
+                if committed is None
+                else max(int(committed), self._start_v)
+            )
+            self._advance_floor(floor)
         if self._max_versions > 0 and self._last_end is not None:
             latest = min(latest, self._last_end + self._max_versions)
             latest = max(latest, self._last_end)
@@ -299,7 +406,7 @@ class TableChangesStreamReader(DataSourceStreamReader):
         # genuinely vacuumed gap, which must keep raising data-loss
         clone_base = None
         versions = _list_versions(self._path)
-        if versions and s + 1 < versions[0]:
+        if versions and s < versions[0]:
             first_doc = _load_manifest(self._path, versions[0])
             if first_doc.get("cloned_from"):
                 s = versions[0] - 1
@@ -324,10 +431,15 @@ class TableChangesStreamReader(DataSourceStreamReader):
                 prev = doc
                 continue
             cur_files = doc.get("files") or []
-            if prev is None:
-                # the previous manifest was vacuumed (failOnDataLoss=
-                # false): no diff is possible — deliver this version's
-                # born files and resume change detection from here
+            if prev is None or v == clone_base:
+                # no diff is possible (the previous manifest was
+                # vacuumed under failOnDataLoss=false), or this IS the
+                # clone's genesis manifest: a clone's first version is
+                # a SNAPSHOT by construction — its delete signature
+                # differs from the empty prev only because it CARRIES
+                # the source's pending merge-on-read entries, which
+                # the delivery below applies rather than classifying
+                # the snapshot as a change commit
                 changed = False
             else:
                 removed = set(prev.get("files") or []) - set(cur_files)
@@ -347,17 +459,27 @@ class TableChangesStreamReader(DataSourceStreamReader):
                 if v == clone_base:
                     # the clone's carried born values are SRC-relative
                     # (always < v): the base snapshot is this stream's
-                    # genesis, deliver every file
-                    fresh = list(cur_files)
+                    # genesis, deliver every file — with any carried
+                    # merge-on-read deletes APPLIED (per-file anti
+                    # entries), matching what a batch read of the
+                    # clone serves
+                    for f in cur_files:
+                        parts.append(
+                            _FilesPartition(
+                                [_entry_path(base, f)],
+                                list(self._fields),
+                                anti=_entries_for(doc, f, base),
+                            )
+                        )
                 else:
                     fresh = [f for f in cur_files if born.get(f, 0) == v]
-                if fresh:
-                    parts.append(
-                        _FilesPartition(
-                            [_entry_path(base, f) for f in fresh],
-                            list(self._fields),
+                    if fresh:
+                        parts.append(
+                            _FilesPartition(
+                                [_entry_path(base, f) for f in fresh],
+                                list(self._fields),
+                            )
                         )
-                    )
             prev = doc
         return parts
 
@@ -426,13 +548,6 @@ class TableChangesStreamReader(DataSourceStreamReader):
         cur_files = doc.get("files") or []
         cur_set = set(cur_files)
 
-        def _entries_for(man: dict, f: str) -> list[tuple[str, list[str]]]:
-            return [
-                (_entry_path(base, d["file"]), list(d["keys"]))
-                for d in (man.get("deletes") or [])
-                if f in set(d["targets"])
-            ]
-
         def _guard_renames(man: dict, f: str) -> None:
             born_v = (man.get("born") or {}).get(f, 0)
             if any(born_v < r["version"] for r in man.get("renames") or []):
@@ -460,7 +575,7 @@ class TableChangesStreamReader(DataSourceStreamReader):
             parts.append(
                 _ChangePartition(
                     [_entry_path(base, f)], fields, "insert", v,
-                    anti=_entries_for(doc, f),
+                    anti=_entries_for(doc, f, base),
                 )
             )
         if prev is not None:
@@ -470,7 +585,7 @@ class TableChangesStreamReader(DataSourceStreamReader):
                     parts.append(
                         _ChangePartition(
                             [_entry_path(base, f)], fields, "delete", v,
-                            anti=_entries_for(prev, f),
+                            anti=_entries_for(prev, f, base),
                         )
                     )
             prev_entry_files = {
@@ -486,7 +601,7 @@ class TableChangesStreamReader(DataSourceStreamReader):
                         parts.append(
                             _ChangePartition(
                                 [_entry_path(base, f)], fields, "delete", v,
-                                anti=_entries_for(prev, f),
+                                anti=_entries_for(prev, f, base),
                                 semi=(
                                     _entry_path(base, entry["file"]),
                                     list(entry["keys"]),
@@ -525,43 +640,25 @@ class TableChangesStreamReader(DataSourceStreamReader):
             yield from self._read_changes(partition)
             return
         for p in partition.paths:
-            yield from self._read_file_table(p, partition.fields).to_batches()
+            t = self._read_file_table(p, partition.fields)
+            if partition.anti:
+                # clone genesis snapshot: apply the carried
+                # merge-on-read deletes so the stream delivers exactly
+                # what a batch read of the clone serves
+                t = _mask_rows(t, partition.anti, None)
+            if t.num_rows:
+                yield from t.to_batches()
 
     def _read_changes(self, part: _ChangePartition):
         """Reconstruct one file's signed rows: mask prior merge-on-read
         deletes (anti), select the new entry's deleted keys (semi),
-        stamp the feed columns. Key matching is vectorized through a
-        pandas merge over the KEY columns + a row index only — payload
-        columns never round-trip through pandas, so their Arrow types
-        stay pristine."""
+        stamp the feed columns (see :func:`_mask_rows`)."""
         import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        def _keys_df(path: str, keys: list[str]):
-            return (
-                pq.read_table(path, columns=keys)
-                .to_pandas()
-                .drop_duplicates()
-            )
 
         for p in part.paths:
             t = self._read_file_table(p, part.fields)
             if part.anti or part.semi:
-                key_cols = sorted(
-                    {k for _, ks in part.anti for k in ks}
-                    | set(part.semi[1] if part.semi else [])
-                )
-                tdf = t.select(key_cols).to_pandas()
-                tdf["__i"] = range(len(tdf))
-                for kpath, ks in part.anti:
-                    m = tdf.merge(
-                        _keys_df(kpath, ks), on=ks, how="left", indicator=True
-                    )
-                    tdf = m[m["_merge"] == "left_only"].drop(columns="_merge")
-                if part.semi is not None:
-                    kpath, ks = part.semi
-                    tdf = tdf.merge(_keys_df(kpath, ks), on=ks, how="inner")
-                t = t.take(pa.array(tdf["__i"].to_numpy()))
+                t = _mask_rows(t, part.anti, part.semi)
             n = t.num_rows
             if not n:
                 continue
@@ -585,6 +682,10 @@ class TableChangesDataSource(DataSource):
     Options: ``startingVersion`` (default 0 — stream everything since
     creation; N streams commits AFTER version N), ``skipChangeCommits``
     (default false), ``maxVersionsPerBatch`` (default unlimited),
+    ``paceFromCheckpoint`` (the query's own checkpoint dir — makes
+    maxVersionsPerBatch bind even on the first trigger of a run, i.e.
+    on availableNow's single-batch fallback; see the reader's
+    operational caveat),
     ``failOnDataLoss`` (default true — raise when a needed manifest was
     vacuumed; false skips the gap with a warning), ``readChangeFeed``
     (default false — true streams every commit as SIGNED rows with

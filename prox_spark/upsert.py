@@ -325,7 +325,7 @@ class _MergeScope:
         self._carry_chunks = carry_chunks
         self._base_manifest = base_manifest
 
-    def commit(self, merged: DataFrame) -> None:
+    def commit(self, merged: DataFrame, extra_meta: dict | None = None) -> None:
         # preserve the table's declared stat columns (they may be a
         # SUPERSET of this merge's keys — committing just the keys
         # would silently shrink them and break file pruning for later
@@ -340,6 +340,7 @@ class _MergeScope:
             update_key_ranges=self._key_ranges,
             carry_chunks=self._carry_chunks,
             base_manifest=self._base_manifest,
+            extra_meta=extra_meta,
         )
         if self._migrated:
             _drop_legacy_files(self.spark, self.table_path)
@@ -351,9 +352,15 @@ def _merge_scope(
     key_df: DataFrame,
     keys: list[str],
     key_rows: list | None = None,
+    prune: bool = True,
 ) -> _MergeScope | None:
     """Build the merge scope, or None when the table doesn't exist.
     ``key_rows``: pre-collected batch rows (see :func:`_prune_files`).
+    ``prune=False`` forces a FULL-TABLE scope (touched = every row,
+    keep = nothing) even when stats could prune — required when the
+    batch keys contain NULLs, which footer min/max stats cannot
+    locate (a pruned scope would miss the NULL-keyed group's file and
+    a merge would duplicate that group).
 
     On a CHUNKED table with a driver-small batch, the scope is
     CHUNK-PRUNED: only the chunk files whose recorded ranges overlap
@@ -374,6 +381,12 @@ def _merge_scope(
         doc = _read_manifest_file(spark, table_path, latest)
         stat_cols = doc.get("stat_cols") or []
         base_v = doc.get("version", latest)
+        if not prune:
+            return _MergeScope(
+                spark, table_path, keys,
+                read_table(spark, table_path), [], False, stat_cols, base_v,
+                None,
+            )
         over_cap = False
         if "chunks" in doc and set(keys) <= set(stat_cols):
             if key_rows is None:

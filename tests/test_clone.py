@@ -229,3 +229,70 @@ def test_stream_reads_through_a_clone(spark):
     inserts = got.filter(F.col("_change_type") == "insert")
     assert inserts.count() == read_table(spark, dst).count()
     assert inserts.filter(F.col("id") >= 5000).count() == 3
+
+
+def test_clone_pin_releasable_after_genesis_vacuumed(spark):
+    """cloned_from is carried forward by routine commits, so the pin
+    resolves through the LATEST manifest even after the clone's
+    genesis manifest is vacuumed away (previously the clone-* tag
+    leaked forever and the source retained the pinned files)."""
+    s = _scratch()
+    src, dst = f"{s}/src", f"{s}/dst"
+    _seed(spark, src)
+    clone_table(spark, src, dst)
+    # diverge twice, then vacuum the clone past its genesis manifest
+    for lo in (5000, 6000):
+        prev = read_manifest(spark, dst)
+        commit_delta(
+            spark, dst,
+            spark.range(lo, lo + 3).select(
+                "id", (F.col("id") % 7).alias("grp"),
+                F.lit("new").alias("tag"),
+            ),
+            list(prev["files"]), update_key_ranges={},
+        )
+    vacuum(spark, dst, keep_last=1, retention_minutes=0.0)
+    assert read_manifest(spark, dst).get("cloned_from"), \
+        "cloned_from must survive commits"
+    assert release_clone_pin(spark, dst) is True
+    assert not any(t.startswith("clone-") for t in list_tags(spark, src))
+
+
+def test_non_cdf_stream_delivers_clone_genesis_with_deletes(spark):
+    """A PLAIN (non-CDF) stream over a fresh clone whose genesis
+    manifest carries merge-on-read deletes must deliver the snapshot
+    with the deletes APPLIED — not raise 'not an append commit', and
+    not silently skip the whole snapshot under skipChangeCommits."""
+    from prox_spark.table_stream import TableChangesDataSource
+
+    s = _scratch()
+    src, dst = f"{s}/src", f"{s}/dst"
+    _seed(spark, src)  # leaves a PENDING merge-on-read delete entry
+    assert read_manifest(spark, src).get("deletes"), \
+        "seed must leave a pending delete entry"
+    clone_table(spark, src, dst)
+    spark.dataSource.register(TableChangesDataSource)
+
+    collected: list[tuple] = []
+
+    def fb(batch, bid):
+        collected.extend(
+            (r["id"], r["grp"], r["tag"]) for r in batch.collect()
+        )
+
+    q = (
+        spark.readStream.format("prox_table_changes")
+        .option("path", dst)
+        .load()
+        .writeStream.foreachBatch(fb)
+        .option("checkpointLocation", f"{s}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(120)
+    finally:
+        q.stop()
+    assert sorted(collected) == _rows(read_table(spark, dst))
+    # the deleted keys must NOT have been delivered
+    assert not any(i % 10 == 3 for i, _, _ in collected)

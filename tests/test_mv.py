@@ -249,3 +249,80 @@ def test_mv_stream_batch_lineage_fence(spark):
     before = _mv_rows(spark, mv)
     mv_stream_batch(feed(30, 40, 2), 1, mv)
     assert _mv_rows(spark, mv) == before
+
+
+def test_refresh_is_one_atomic_commit_with_lineage(spark):
+    """The fold and the mv_of coverage bump publish in ONE manifest
+    rename — even when the delta both changes groups and nets one to
+    zero (previously: up to delete + upsert + meta = 3 commits, with
+    a crash window that double-counted the feed on replay)."""
+    s = _scratch()
+    base, mv = f"{s}/base", f"{s}/mv"
+    commit_snapshot(spark, base, _df(spark, 0, 100),
+                    stat_cols=["id"], n_files=4)
+    create_mv(spark, base, mv, ["grp"], ["val"])
+    # delete ALL of grp g0 (nets to zero) and insert new g1 rows
+    delete_keys_mor(
+        spark, base,
+        spark.range(0, 100, 5).select(F.col("id")), ["id"],
+    )
+    prev = read_manifest(spark, base)
+    commit_delta(spark, base, _df(spark, 101, 120),
+                 list(prev["files"]), update_key_ranges={})
+    v0 = int(read_manifest(spark, mv)["version"])
+    out = refresh_mv(spark, mv)
+    assert out["refreshed"] and out["mode"] == "incremental"
+    m = read_manifest(spark, mv)
+    assert int(m["version"]) == v0 + 1, "refresh must be ONE commit"
+    assert int(m["mv_of"]["version"]) == int(
+        read_manifest(spark, base)["version"]
+    )
+    assert _mv_rows(spark, mv) == _direct(spark, base)
+
+
+def test_null_group_keys_fold_exactly(spark):
+    """NULL-valued group keys: the merge joins null-safe and falls
+    back to a full-table scope (stats can't locate NULL-key files), so
+    the NULL group folds into ONE exact row — never a duplicate or a
+    delta-only count."""
+    s = _scratch()
+    base, mv = f"{s}/base", f"{s}/mv"
+
+    def df(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id"),
+            F.when(F.col("id") % 3 == 0, F.lit(None).cast("string"))
+            .otherwise(
+                F.concat(F.lit("g"), (F.col("id") % 5).cast("string"))
+            ).alias("grp"),
+            (F.col("id") * 10).alias("val"),
+        )
+
+    commit_snapshot(spark, base, df(0, 60), stat_cols=["id"], n_files=4)
+    create_mv(spark, base, mv, ["grp"], ["val"])
+    prev = read_manifest(spark, base)
+    commit_delta(spark, base, df(60, 90),
+                 list(prev["files"]), update_key_ranges={})
+    delete_keys_mor(
+        spark, base, spark.range(0, 30, 6).select("id"), ["id"],
+    )
+    refresh_mv(spark, mv)
+    got = sorted(
+        map(tuple, read_table(spark, mv).collect()), key=repr
+    )
+    want = sorted(
+        map(
+            tuple,
+            read_table(spark, base)
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias(COUNT_COL),
+                F.sum("val").alias("sum_val"),
+            )
+            .collect(),
+        ),
+        key=repr,
+    )
+    assert got == want
+    null_rows = [r for r in got if r[0] is None]
+    assert len(null_rows) == 1, f"NULL group must be one row: {null_rows}"

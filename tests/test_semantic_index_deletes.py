@@ -109,3 +109,34 @@ def test_semantic_index_stream_folds_deletes(spark):
     }
     got = {(r["vec_id"], r["cid"]) for r in live.select("vec_id", "cid").collect()}
     assert got == want
+
+    # UPSERT that CHANGES a vector's embedding (delete+insert with a
+    # new dd in one commit): the live row must carry the NEW
+    # embedding/cid — the max-version survivor rule; a
+    # nondeterministic survivor could keep the stale row (inserts=2 >
+    # deletes=1 keeps the id live either way, so only the payload
+    # distinguishes right from wrong)
+    from prox_spark.upsert import upsert_parquet
+
+    by_cid: dict[int, int] = {}
+    for vid, cid in sorted(
+        (r["vec_id"], r["cid"])
+        for r in live.select("vec_id", "cid").collect()
+    ):
+        by_cid.setdefault(cid, vid)
+    assert len(by_cid) >= 2, "need two clusters for the swap"
+    (c1, a), (c2, b) = sorted(by_cid.items())[:2]
+    upd = (
+        emb.filter(F.col("vec_id") == b)
+        .select(F.lit(a).cast("long").alias("vec_id"), "embedding")
+    )
+    upsert_parquet(spark, t, upd, ["vec_id"])
+    run()
+    live2 = read_semantic_index(spark, idx)
+    rows = live2.filter(F.col("vec_id") == a).collect()
+    assert len(rows) == 1
+    assert rows[0]["cid"] == c2, (
+        f"survivor kept the stale assignment: got cid {rows[0]['cid']}, "
+        f"want {c2} (the upserted embedding's cluster)"
+    )
+    assert {r["vec_id"] for r in live2.select("vec_id").collect()} == want_ids

@@ -251,3 +251,82 @@ def test_cms_merge_batch_is_replay_idempotent(spark, tmp_path):
 
     mass = lambda rows: sum(r[2] for r in rows if r[0] >= 0)
     assert mass(after) == mass(first) + CMS_D
+
+
+def test_drain_helper_raises_on_timeout():
+    """The reusable stream helpers must FAIL LOUDLY when a drain times
+    out — a silent timeout + stop() returns partial state as if
+    complete (the staged-artifact corruption mode)."""
+    import pytest
+
+    from prox_spark.streaming import _drain
+
+    class _Stuck:
+        def __init__(self):
+            self.stopped = False
+
+        def awaitTermination(self, timeout_s):
+            return False
+
+        def stop(self):
+            self.stopped = True
+
+    q = _Stuck()
+    with pytest.raises(RuntimeError, match="did not drain"):
+        _drain(q, 1)
+    assert q.stopped, "stop() must still run on the failure path"
+
+
+def test_drain_table_stream_paced_catchup(spark, tmp_path):
+    """maxVersionsPerBatch + availableNow compose through
+    drain_table_stream: Python DataSource streams fall back to
+    single-batch execution per start, so a paced catch-up needs one
+    start per capped batch — the helper loops until the checkpoint
+    offset covers the head and reports how many starts it took."""
+    from pyspark.sql import functions as F
+
+    from prox_spark.streaming import drain_table_stream
+    from prox_spark.table import commit_delta, commit_snapshot, read_manifest
+    from prox_spark.table_stream import TableChangesDataSource
+
+    spark.dataSource.register(TableChangesDataSource)
+    t = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+
+    def docs(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("doc_id"), F.lit("x").alias("txt")
+        )
+
+    commit_snapshot(spark, t, docs(0, 10), stat_cols=["doc_id"], n_files=2)
+    for i in range(1, 5):
+        prev = read_manifest(spark, t)
+        commit_delta(
+            spark, t, docs(10 * i, 10 * i + 10),
+            list(prev["files"]), update_key_ranges={},
+        )
+    collected: list[int] = []
+
+    def fb(batch, bid):
+        collected.extend(r["doc_id"] for r in batch.collect())
+
+    def start():
+        return (
+            spark.readStream.format("prox_table_changes")
+            .option("path", t)
+            .option("maxVersionsPerBatch", "1")
+            .option("paceFromCheckpoint", ckpt)
+            .load()
+            .writeStream.foreachBatch(fb)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    starts = drain_table_stream(start, ckpt, t, timeout_s=120)
+    # 5 versions at 1/batch: the cap binds on every start
+    # (paceFromCheckpoint seeds the floor the fallback can't see)
+    assert starts == 5, f"expected one start per capped batch, got {starts}"
+    assert sorted(collected) == list(range(50))
+    # already drained: zero further starts
+    assert drain_table_stream(start, ckpt, t, timeout_s=120) == 0
