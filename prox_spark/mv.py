@@ -126,38 +126,51 @@ def _merge_delta(
             spark, mv_path, delta.select(*keys), keys,
             prune=not has_null,
         )
-        d = delta
-        for k in keys:
-            d = d.withColumnRenamed(k, f"_k_{k}")
-        cond = reduce(
-            lambda a, b: a & b,
-            [F.col(k).eqNullSafe(F.col(f"_k_{k}")) for k in keys],
-        )
-        merged = (
-            scope.touched.join(d, cond, "full_outer")
-            .select(
-                *[
-                    F.coalesce(F.col(k), F.col(f"_k_{k}")).alias(k)
-                    for k in keys
-                ],
-                (
-                    F.coalesce(F.col(COUNT_COL), F.lit(0))
-                    + F.coalesce(F.col("_dn"), F.lit(0))
-                ).cast("long").alias(COUNT_COL),
-                *[
-                    (
-                        F.coalesce(F.col(f"sum_{c}"), F.lit(0))
-                        + F.coalesce(F.col(f"_ds_{c}"), F.lit(0))
-                    ).alias(f"sum_{c}")
-                    for c in sums
-                ],
-            )
-            .filter(F.col(COUNT_COL) > 0)
-        )
+        merged = _apply_delta(scope.touched, delta, keys, sums)
         scope.commit(merged, extra_meta={"mv_of": lineage})
         return touched
     finally:
         delta.unpersist()
+
+
+def _apply_delta(
+    cur: DataFrame, delta: DataFrame, keys: list[str], sums: list[str]
+) -> DataFrame:
+    """Fold a signed per-key delta (``_dn`` + ``_ds_<col>``) into view
+    rows: null-safe full-outer on the group keys, additive coalesce,
+    groups netting to a non-positive count drop out. Pure DataFrame —
+    the shared kernel of the persisted merge (:func:`_merge_delta`)
+    and the read-time fold (:func:`read_mv_current`)."""
+    from functools import reduce
+
+    d = delta
+    for k in keys:
+        d = d.withColumnRenamed(k, f"_k_{k}")
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(k).eqNullSafe(F.col(f"_k_{k}")) for k in keys],
+    )
+    return (
+        cur.join(d, cond, "full_outer")
+        .select(
+            *[
+                F.coalesce(F.col(k), F.col(f"_k_{k}")).alias(k)
+                for k in keys
+            ],
+            (
+                F.coalesce(F.col(COUNT_COL), F.lit(0))
+                + F.coalesce(F.col("_dn"), F.lit(0))
+            ).cast("long").alias(COUNT_COL),
+            *[
+                (
+                    F.coalesce(F.col(f"sum_{c}"), F.lit(0))
+                    + F.coalesce(F.col(f"_ds_{c}"), F.lit(0))
+                ).alias(f"sum_{c}")
+                for c in sums
+            ],
+        )
+        .filter(F.col(COUNT_COL) > 0)
+    )
 
 
 def refresh_mv(spark: SparkSession, mv_path: str) -> dict:
