@@ -2931,6 +2931,156 @@ ORDER BY source
 """
 
 
+# --- q211: serve-from-view — the MV READ path -------------------------------
+
+_MVREAD_CACHE: dict[str, tuple] = {}
+
+
+def _mv_read_pair(spark: SparkSession, sf_dir: str) -> tuple:
+    """Staged once per process: the q207 shape (base + registered view
+    + churn + ONE refresh) followed by POST-refresh base commits the
+    view has NOT folded — a merge-on-read delete and an upsert — and
+    the set of covered-history base files those commits left untouched
+    (the files a serve-from-view plan must never open). Returns
+    (base, mv, untouched_abs_paths)."""
+    from prox_spark.mv import create_mv, mv_info, refresh_mv
+    from prox_spark.table import (
+        commit_delta,
+        commit_snapshot,
+        read_manifest,
+        table_versions,
+    )
+    from prox_spark.upsert import delete_keys_mor, upsert_parquet
+
+    from ._staging import staged
+
+    def build(scratch: str) -> tuple:
+        base, mv = f"{scratch}/base", f"{scratch}/mv"
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "source", "n_chars"
+        )
+        commit_snapshot(
+            spark, base, docs.filter(F.col("doc_id") % 10 <= 7),
+            stat_cols=["doc_id"], n_files=8,
+        )
+        create_mv(spark, base, mv, ["source"], ["n_chars"])
+        prev = read_manifest(spark, base)
+        commit_delta(
+            spark, base, docs.filter(F.col("doc_id") % 10 > 7),
+            list(prev["files"]), update_key_ranges={},
+        )
+        delete_keys_mor(
+            spark, base,
+            docs.filter(F.col("doc_id") % 5 == 0).select("doc_id"),
+            ["doc_id"],
+        )
+        upsert_parquet(
+            spark, base,
+            docs.filter(
+                (F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 5 != 0)
+            ).withColumn("n_chars", F.col("n_chars") + F.lit(1000)),
+            ["doc_id"],
+        )
+        refresh_mv(spark, mv)
+        covered = int(mv_info(spark, mv)["version"])
+        covered_files = set(read_manifest(spark, base, covered)["files"])
+
+        # the view does NOT see these: a delete and an upsert after
+        # the refresh (both narrow — most covered files stay untouched)
+        delete_keys_mor(
+            spark, base,
+            docs.filter(F.col("doc_id") % 11 == 3).select("doc_id"),
+            ["doc_id"],
+        )
+        upsert_parquet(
+            spark, base,
+            docs.filter(
+                (F.col("doc_id") % 13 == 1)
+                & (F.col("doc_id") % 5 != 0)
+                & (F.col("doc_id") % 11 != 3)
+            ).withColumn("n_chars", F.col("n_chars") + F.lit(1050)),
+            ["doc_id"],
+        )
+
+        # covered-history files no post-refresh commit touched
+        window: set[str] = set()
+        prev_m = read_manifest(spark, base, covered)
+        for v in [x for x in table_versions(spark, base) if x > covered]:
+            cur_m = read_manifest(spark, base, v)
+            pf, cf = set(prev_m["files"]), set(cur_m["files"])
+            window |= (cf - pf) | (pf - cf)
+            prev_entries = {d["file"] for d in (prev_m.get("deletes") or [])}
+            for e in cur_m.get("deletes") or []:
+                if e["file"] not in prev_entries:
+                    window.add(e["file"])
+                    window.update(e["targets"])
+            prev_m = cur_m
+        untouched = {f"{base}/{f}" for f in covered_files - window}
+        return base, mv, untouched
+
+    return staged(_MVREAD_CACHE, sf_dir, "prox_mvread_", build)
+
+
+def _norm_file(p: str) -> str:
+    return "/" + p.split("file:", 1)[-1].lstrip("/") if p.startswith(
+        "file:"
+    ) else p
+
+
+def q211_mv_serve_from_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVE-FROM-VIEW — the MV READ path (prox_spark/mv.py
+    read_mv_current + rewrite_aggregate), the half of materialized
+    views users actually touch (Databricks/Redshift auto-rewrite; the
+    reference's Redshift layer full-refreshes precisely because it
+    lacks this, reference glue_scripts/s3_to_redshift_script.py
+    preactions): a count+sum-by-source aggregate over the base is
+    ROUTED to the covering registered view, whose stored files answer
+    for the covered history while a read-time fold of the change feed
+    catches up the post-refresh delete + upsert — an exact current
+    answer with ZERO refresh publish. The oracle aggregates the
+    formulaic final base directly, so a stale stored row or a missed/
+    double-folded delta breaks the hash. Pins: ``served_from_mv`` (the
+    rewrite matched and the plan read the view's files) and
+    ``no_base_rescan`` (no covered-history base file untouched by the
+    delta window was opened — the plan cannot have re-scanned the
+    base)."""
+    from prox_spark.mv import rewrite_aggregate
+
+    base, mv, untouched = _mv_read_pair(spark, sf_dir)
+    out, hit = rewrite_aggregate(spark, base, ["source"], ["n_chars"], [mv])
+    opened = {_norm_file(f) for f in out.inputFiles()}
+    served_from_mv = bool(
+        hit == mv and any(f.startswith(mv) for f in opened)
+    )
+    no_base_rescan = not (opened & untouched)
+    return (
+        out.select("source", "n_rows", "sum_n_chars")
+        .withColumn("served_from_mv", F.lit(served_from_mv))
+        .withColumn("no_base_rescan", F.lit(no_base_rescan))
+        .orderBy("source")
+    )
+
+
+ORACLE_Q211 = """
+WITH final AS (
+  SELECT source,
+         CASE WHEN doc_id % 13 = 1 THEN n_chars + 1050
+              WHEN doc_id % 7 = 0 THEN n_chars + 1000
+              ELSE n_chars END AS n_chars
+  FROM documents
+  WHERE doc_id % 5 <> 0 AND doc_id % 11 <> 3
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+       TRUE AS served_from_mv,
+       TRUE AS no_base_rescan
+FROM final
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "q114_snapshot_diff": q114_snapshot_diff,
     "q118_incremental_agg": q118_incremental_agg,
@@ -2957,6 +3107,7 @@ QUERIES = {
     "q207_materialized_view": q207_materialized_view,
     "q208_join_materialized_view": q208_join_materialized_view,
     "q210_streaming_mv": q210_streaming_mv,
+    "q211_mv_serve_from_view": q211_mv_serve_from_view,
 }
 
 
@@ -2989,4 +3140,5 @@ def oracles() -> dict[str, str]:
         "q207_materialized_view": ORACLE_Q207,
         "q208_join_materialized_view": ORACLE_Q208,
         "q210_streaming_mv": ORACLE_Q210,
+        "q211_mv_serve_from_view": ORACLE_Q211,
     }

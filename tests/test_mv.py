@@ -326,3 +326,194 @@ def test_null_group_keys_fold_exactly(spark):
     assert got == want
     null_rows = [r for r in got if r[0] is None]
     assert len(null_rows) == 1, f"NULL group must be one row: {null_rows}"
+
+
+# --- the READ path: read_mv_current / rewrite_aggregate ---------------------
+
+
+def _norm_path(p: str) -> str:
+    return "/" + p.split("file:", 1)[-1].lstrip("/") if p.startswith(
+        "file:"
+    ) else p
+
+
+def test_read_mv_current_is_exact_without_publish(spark):
+    """Post-refresh base commits are folded at READ time: the answer
+    matches the direct aggregate while the view's version (and covered
+    lineage) never move."""
+    from prox_spark.mv import read_mv_current
+
+    s = _scratch()
+    base, mv = f"{s}/base", f"{s}/mv"
+    commit_snapshot(spark, base, _df(spark, 0, 100),
+                    stat_cols=["id"], n_files=4)
+    create_mv(spark, base, mv, ["grp"], ["val"])
+    refresh_mv(spark, mv)
+    v0 = int(read_manifest(spark, mv)["version"])
+    # base moves on after the refresh
+    prev = read_manifest(spark, base)
+    commit_delta(spark, base, _df(spark, 100, 140),
+                 list(prev["files"]), update_key_ranges={})
+    delete_keys_mor(
+        spark, base,
+        spark.range(140).filter("id % 4 = 0").select("id"), ["id"],
+    )
+    upsert_parquet(
+        spark, base,
+        _df(spark, 0, 140).filter("id % 9 = 1")
+        .withColumn("val", F.col("val") + 3),
+        ["id"],
+    )
+    got = sorted(map(tuple, read_mv_current(spark, mv)
+                 .select("grp", COUNT_COL, "sum_val").collect()))
+    assert got == _direct(spark, base)
+    assert int(read_manifest(spark, mv)["version"]) == v0, "zero publish"
+    # stored contents are still the covered snapshot, not the fold
+    assert mv_info(spark, mv)["version"] < int(
+        read_manifest(spark, base)["version"]
+    )
+
+
+def test_read_mv_current_covered_view_reads_only_mv_files(spark):
+    """A view refreshed to head serves from its OWN files alone — the
+    plan must not touch the base table at all."""
+    from prox_spark.mv import read_mv_current
+
+    s = _scratch()
+    base, mv = f"{s}/base", f"{s}/mv"
+    commit_snapshot(spark, base, _df(spark, 0, 80),
+                    stat_cols=["id"], n_files=4)
+    create_mv(spark, base, mv, ["grp"], ["val"])
+    cur = read_mv_current(spark, mv)
+    files = [_norm_path(f) for f in cur.inputFiles()]
+    assert files, "plan must read the stored view"
+    assert all(f.startswith(f"{s}/mv") for f in files), files
+    assert sorted(map(tuple, cur.collect())) == _direct(spark, base)
+
+
+def test_read_mv_current_join_view_both_sides_moved(spark):
+    from prox_spark.mv import create_join_mv, read_mv_current
+
+    s = _scratch()
+    left, right, mv = f"{s}/l", f"{s}/r", f"{s}/mv"
+    commit_snapshot(spark, left, _df(spark, 0, 80),
+                    stat_cols=["id"], n_files=4)
+    commit_snapshot(spark, right, _dims(spark, 0),
+                    stat_cols=["grp"], n_files=2)
+    create_join_mv(spark, left, right, mv, ["grp"], ["grp"], ["val", "w"])
+    mv_v = int(read_manifest(spark, mv)["version"])
+    prev = read_manifest(spark, left)
+    commit_delta(spark, left, _df(spark, 80, 100),
+                 list(prev["files"]), update_key_ranges={})
+    upsert_parquet(
+        spark, right, _dims(spark, 3).filter("grp IN ('g0', 'g2')"), ["grp"],
+    )
+    got = sorted(
+        map(
+            tuple,
+            read_mv_current(spark, mv)
+            .select("grp", COUNT_COL, "sum_val", "sum_w")
+            .collect(),
+        )
+    )
+    assert got == _direct_join(spark, left, right)
+    assert int(read_manifest(spark, mv)["version"]) == mv_v
+
+
+def test_rewrite_aggregate_routes_and_rolls_up(spark):
+    """A covering view answers the aggregate (exact grain AND a
+    coarser roll-up grain); a non-covering request falls back to the
+    base with the identical schema."""
+    from prox_spark.mv import rewrite_aggregate
+
+    s = _scratch()
+    base, mv = f"{s}/base", f"{s}/mv"
+    df = spark.range(0, 120).select(
+        F.col("id"),
+        F.concat(F.lit("g"), (F.col("id") % 5).cast("string")).alias("grp"),
+        (F.col("id") % 2 == 0).cast("string").alias("even"),
+        (F.col("id") * 10).alias("val"),
+    )
+    commit_snapshot(spark, base, df, stat_cols=["id"], n_files=4)
+    create_mv(spark, base, mv, ["grp", "even"], ["val"])
+    delete_keys_mor(
+        spark, base, spark.range(0, 120, 7).select("id"), ["id"],
+    )
+
+    def direct(keys):
+        return sorted(
+            map(
+                tuple,
+                read_table(spark, base).groupBy(*keys).agg(
+                    F.count(F.lit(1)).cast("long").alias(COUNT_COL),
+                    F.sum("val").alias("sum_val"),
+                ).collect(),
+            )
+        )
+
+    exact, hit = rewrite_aggregate(
+        spark, base, ["grp", "even"], ["val"], [mv]
+    )
+    assert hit == mv
+    assert sorted(map(tuple, exact.collect())) == direct(["grp", "even"])
+
+    rolled, hit2 = rewrite_aggregate(spark, base, ["grp"], ["val"], [mv])
+    assert hit2 == mv
+    assert sorted(map(tuple, rolled.collect())) == direct(["grp"])
+
+    # requesting a sum the view doesn't carry: fall back to the base
+    fb, miss = rewrite_aggregate(spark, base, ["grp"], ["id"], [mv])
+    assert miss is None
+    assert fb.columns == ["grp", COUNT_COL, "sum_id"]
+
+
+def test_rewrite_never_scans_untouched_covered_base_files(spark):
+    """The serve-from-view plan opens the view's files plus the delta
+    window's commit files ONLY — a covered-history base file untouched
+    by post-refresh commits must not appear in the scan."""
+    from prox_spark.mv import rewrite_aggregate
+    from prox_spark.table import table_versions
+
+    s = _scratch()
+    base, mv = f"{s}/base", f"{s}/mv"
+    commit_snapshot(spark, base, _df(spark, 0, 200),
+                    stat_cols=["id"], n_files=8)
+    create_mv(spark, base, mv, ["grp"], ["val"])
+    covered = int(mv_info(spark, mv)["version"])
+    covered_files = set(read_manifest(spark, base, covered)["files"])
+    # a narrow post-refresh commit: delete a few low ids (stats-pruned
+    # MoR targets only the low-range files)
+    delete_keys_mor(
+        spark, base, spark.range(0, 10).select("id"), ["id"],
+    )
+    # files referenced by the delta window (added/removed/targets/keys)
+    window: set[str] = set()
+    versions = table_versions(spark, base)
+    prev_m = read_manifest(spark, base, covered)
+    for v in [x for x in versions if x > covered]:
+        cur_m = read_manifest(spark, base, v)
+        pf, cf = set(prev_m["files"]), set(cur_m["files"])
+        window |= cf - pf
+        window |= pf - cf
+        prev_entries = {d["file"] for d in (prev_m.get("deletes") or [])}
+        for e in cur_m.get("deletes") or []:
+            if e["file"] in prev_entries:
+                continue
+            window.add(e["file"])
+            window.update(e["targets"])
+        prev_m = cur_m
+    untouched = covered_files - window
+    assert untouched, "staging must leave untouched covered files"
+
+    out, hit = rewrite_aggregate(spark, base, ["grp"], ["val"], [mv])
+    assert hit == mv
+    opened = {_norm_path(f) for f in out.inputFiles()}
+    bad = {
+        f for f in untouched
+        if f"{s}/base/{f}" in opened or _norm_path(f) in opened
+    }
+    assert not bad, f"untouched covered base files scanned: {bad}"
+    assert any(f.startswith(f"{s}/mv") for f in opened), "must read the view"
+    assert sorted(
+        map(tuple, out.collect())
+    ) == _direct(spark, base)
