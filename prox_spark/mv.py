@@ -6,13 +6,15 @@ the base table's delta, never a base re-scan.
 
 The reference has no MV surface (its Redshift layer full-refreshes,
 reference glue_scripts/s3_to_redshift_script.py preactions); the
-open-source parity target is Databricks/Delta materialized views,
-restricted here to the SELF-MAINTAINABLE aggregate class (count,
-sum of fixed-point/integer columns): every change-feed row folds as
+open-source parity target is Databricks/Delta materialized views.
+The core class is SELF-MAINTAINABLE aggregates (count, sum of
+fixed-point/integer columns): every change-feed row folds as
 insert = +value / delete = −value, an update's delete+insert pair
-nets itself, and exactness needs no group history. Min/max-style
-aggregates need the q184 touched-group recompute instead — out of
-scope for this registry (use the query-level pattern).
+nets itself, and exactness needs no group history. min/max views
+(``create_mv(..., mins=, maxs=)``) use the q184 algebra instead:
+inserts fold monotonically (least/greatest) and a refresh RECOMPUTES
+exactly the groups whose stored extreme was deleted — work ∝
+affected groups, scoped by a broadcast semi-join against the base.
 
 Refresh mechanics: the view's manifest records ``mv_of`` = {path,
 version, keys, sums} — the base version the contents cover. Refresh
@@ -45,11 +47,17 @@ from prox_spark.table import (
 )
 
 COUNT_COL = "n_rows"
+NEEDS_COL = "_needs_recompute"
 
 
-def _agg(df: DataFrame, keys: list[str], sums: list[str]) -> DataFrame:
+def _agg(
+    df: DataFrame, keys: list[str], sums: list[str],
+    mins: list[str] = (), maxs: list[str] = (),
+) -> DataFrame:
     aggs = [F.count(F.lit(1)).cast("long").alias(COUNT_COL)] + [
         F.sum(c).alias(f"sum_{c}") for c in sums
+    ] + [F.min(c).alias(f"min_{c}") for c in mins] + [
+        F.max(c).alias(f"max_{c}") for c in maxs
     ]
     return df.groupBy(*keys).agg(*aggs)
 
@@ -60,18 +68,30 @@ def create_mv(
     mv_path: str,
     keys: list[str],
     sums: list[str],
+    mins: list[str] = (),
+    maxs: list[str] = (),
 ) -> int:
-    """Materialize count + per-column sums grouped by ``keys`` over
-    the base table's current version and register the lineage in the
-    view's manifest — ONE commit, so a half-created view cannot exist.
-    Returns the view's version."""
+    """Materialize count + per-column sums (and optionally per-column
+    min/max) grouped by ``keys`` over the base table's current version
+    and register the lineage in the view's manifest — ONE commit, so a
+    half-created view cannot exist. Returns the view's version.
+
+    count/sum are SELF-MAINTAINABLE (every refresh folds the signed
+    feed algebraically). min/max are not under deletes — the q184
+    algebra applies instead: inserts fold monotonically
+    (least/greatest), and a refresh RECOMPUTES exactly the groups
+    whose stored extreme was deleted (work ∝ affected groups, scoped
+    by a broadcast semi-join that partition-prunes when the base
+    clusters on the group keys)."""
     base_v = int(read_manifest(spark, base_path)["version"])
     return commit_snapshot(
-        spark, mv_path, _agg(read_table(spark, base_path), keys, sums),
+        spark, mv_path,
+        _agg(read_table(spark, base_path), keys, sums, mins, maxs),
         stat_cols=list(keys), n_files=4,
         extra_meta={"mv_of": {
             "path": base_path, "version": base_v,
             "keys": list(keys), "sums": list(sums),
+            "mins": list(mins), "maxs": list(maxs),
         }},
     )
 
@@ -86,24 +106,31 @@ def mv_info(spark: SparkSession, mv_path: str) -> dict:
 def _merge_delta(
     spark: SparkSession, mv_path: str, keys: list[str], sums: list[str],
     delta: DataFrame, lineage: dict,
-) -> int:
+    mins: list[str] = (), maxs: list[str] = (),
+    recompute_from: str | None = None,
+) -> tuple[int, int]:
     """Merge a signed per-key delta frame (``_dn`` + ``_ds_<col>``
-    columns) into the view in ONE commit that also publishes
-    ``lineage`` as the view's new ``mv_of`` record — data and coverage
-    land in the same atomic manifest rename, so a crash (or a lost
-    CAS) can never leave the fold applied but the covered version
+    columns, plus ``_imin/_dmin/_imax/_dmax`` extreme columns when the
+    view carries min/max) into the view in ONE commit that also
+    publishes ``lineage`` as the view's new ``mv_of`` record — data and
+    coverage land in the same atomic manifest rename, so a crash (or a
+    lost CAS) can never leave the fold applied but the covered version
     stale (which would double-count the same feed window on the next
-    refresh). Returns the number of touched groups.
+    refresh). Returns (touched groups, recomputed groups).
 
     Scale shape: the merge scope file-prunes on the delta's keys (work
     ∝ touched groups); groups netting to zero count simply drop out of
-    the rewrite. A delta with NULL group keys forces a full-table
-    scope — stats cannot locate NULL-keyed groups (see module doc)."""
+    the rewrite; min/max groups whose stored extreme was deleted are
+    recomputed from ``recompute_from``'s head scoped to those keys
+    (broadcast semi-join, work ∝ affected groups). A delta with NULL
+    group keys forces a full-table scope — stats cannot locate
+    NULL-keyed groups (see module doc)."""
     from functools import reduce
 
     from prox_spark.upsert import _merge_scope
 
     delta = delta.persist()
+    merged_pin = None
     try:
         touched = delta.count()
         if touched == 0:
@@ -115,7 +142,7 @@ def _merge_delta(
                 return doc
 
             _commit_meta_change(spark, mv_path, mutate)
-            return 0
+            return 0, 0
         has_null = bool(
             delta.filter(
                 reduce(lambda a, b: a | b,
@@ -126,21 +153,43 @@ def _merge_delta(
             spark, mv_path, delta.select(*keys), keys,
             prune=not has_null,
         )
-        merged = _apply_delta(scope.touched, delta, keys, sums)
+        merged = _apply_delta(scope.touched, delta, keys, sums, mins, maxs)
+        recomputed = 0
+        if mins or maxs:
+            merged_pin = merged.persist()
+            kept, affected = _split_recompute(merged_pin, keys)
+            recomputed = affected.count()
+            merged = kept
+            if recomputed:
+                scoped = _semi_nullsafe(
+                    read_table(spark, recompute_from), affected, keys
+                )
+                merged = kept.unionByName(
+                    _agg(scoped, keys, sums, mins, maxs)
+                )
         scope.commit(merged, extra_meta={"mv_of": lineage})
-        return touched
+        return touched, recomputed
     finally:
         delta.unpersist()
+        if merged_pin is not None:
+            merged_pin.unpersist()
 
 
 def _apply_delta(
-    cur: DataFrame, delta: DataFrame, keys: list[str], sums: list[str]
+    cur: DataFrame, delta: DataFrame, keys: list[str], sums: list[str],
+    mins: list[str] = (), maxs: list[str] = (),
 ) -> DataFrame:
-    """Fold a signed per-key delta (``_dn`` + ``_ds_<col>``) into view
-    rows: null-safe full-outer on the group keys, additive coalesce,
-    groups netting to a non-positive count drop out. Pure DataFrame —
-    the shared kernel of the persisted merge (:func:`_merge_delta`)
-    and the read-time fold (:func:`read_mv_current`)."""
+    """Fold a signed per-key delta (``_dn`` + ``_ds_<col>``, plus
+    insert/delete extreme columns when the view carries min/max) into
+    view rows: null-safe full-outer on the group keys, additive
+    coalesce, groups netting to a non-positive count drop out. min/max
+    fold monotonically from the INSERT extremes (least/greatest skip
+    NULLs); when the view carries extremes the result gains a
+    ``_needs_recompute`` flag — TRUE for groups whose DELETE extremes
+    touched the stored extreme, i.e. the groups the q184 algebra must
+    recompute from the base. Pure DataFrame — the shared kernel of the
+    persisted merge (:func:`_merge_delta`) and the read-time fold
+    (:func:`read_mv_current`)."""
     from functools import reduce
 
     d = delta
@@ -150,42 +199,136 @@ def _apply_delta(
         lambda a, b: a & b,
         [F.col(k).eqNullSafe(F.col(f"_k_{k}")) for k in keys],
     )
+    cols = [
+        *[F.coalesce(F.col(k), F.col(f"_k_{k}")).alias(k) for k in keys],
+        (
+            F.coalesce(F.col(COUNT_COL), F.lit(0))
+            + F.coalesce(F.col("_dn"), F.lit(0))
+        ).cast("long").alias(COUNT_COL),
+        *[
+            (
+                F.coalesce(F.col(f"sum_{c}"), F.lit(0))
+                + F.coalesce(F.col(f"_ds_{c}"), F.lit(0))
+            ).alias(f"sum_{c}")
+            for c in sums
+        ],
+        *[
+            F.least(F.col(f"min_{c}"), F.col(f"_imin_{c}")).alias(f"min_{c}")
+            for c in mins
+        ],
+        *[
+            F.greatest(F.col(f"max_{c}"), F.col(f"_imax_{c}")).alias(
+                f"max_{c}"
+            )
+            for c in maxs
+        ],
+    ]
+    if mins or maxs:
+        hits = [
+            F.coalesce(
+                F.col(f"_dmin_{c}") == F.col(f"min_{c}"), F.lit(False)
+            )
+            for c in mins
+        ] + [
+            F.coalesce(
+                F.col(f"_dmax_{c}") == F.col(f"max_{c}"), F.lit(False)
+            )
+            for c in maxs
+        ]
+        cols.append(reduce(lambda a, b: a | b, hits).alias(NEEDS_COL))
     return (
         cur.join(d, cond, "full_outer")
-        .select(
-            *[
-                F.coalesce(F.col(k), F.col(f"_k_{k}")).alias(k)
-                for k in keys
-            ],
-            (
-                F.coalesce(F.col(COUNT_COL), F.lit(0))
-                + F.coalesce(F.col("_dn"), F.lit(0))
-            ).cast("long").alias(COUNT_COL),
-            *[
-                (
-                    F.coalesce(F.col(f"sum_{c}"), F.lit(0))
-                    + F.coalesce(F.col(f"_ds_{c}"), F.lit(0))
-                ).alias(f"sum_{c}")
-                for c in sums
-            ],
-        )
+        .select(*cols)
         .filter(F.col(COUNT_COL) > 0)
     )
 
 
+def _split_recompute(
+    merged: DataFrame, keys: list[str]
+) -> tuple[DataFrame, DataFrame]:
+    """Split an extremes fold into (algebraically-maintained rows,
+    affected group keys needing a base recompute)."""
+    kept = merged.filter(~F.col(NEEDS_COL)).drop(NEEDS_COL)
+    affected = merged.filter(F.col(NEEDS_COL)).select(*keys)
+    return kept, affected
+
+
+def _semi_nullsafe(
+    df: DataFrame, keyframe: DataFrame, keys: list[str]
+) -> DataFrame:
+    """``df`` semi-joined to ``keyframe``'s group keys with null-safe
+    equality; the key frame broadcasts (∝ affected groups)."""
+    from functools import reduce
+
+    kf = keyframe
+    for k in keys:
+        kf = kf.withColumnRenamed(k, f"_k_{k}")
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(k).eqNullSafe(F.col(f"_k_{k}")) for k in keys],
+    )
+    return df.join(F.broadcast(kf), cond, "left_semi")
+
+
 def _signed_delta(
-    feed: DataFrame, keys: list[str], sums: list[str]
+    feed: DataFrame, keys: list[str], sums: list[str],
+    mins: list[str] = (), maxs: list[str] = (),
 ) -> DataFrame:
     """Fold a change feed (``_change_type`` rows) into ONE signed
-    per-key delta frame (``_dn`` + ``_ds_<col>``) — the input shape
-    :func:`_apply_delta` consumes."""
-    sgn = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
-        F.lit(-1)
-    )
-    return feed.groupBy(*keys).agg(
+    per-key delta frame (``_dn`` + ``_ds_<col>``, plus per-key
+    insert/delete extremes for min/max views) — the input shape
+    :func:`_apply_delta` consumes.
+
+    Extremes are computed from NET multiplicities per (key, value),
+    never the raw feed: a value inserted and deleted within the same
+    window nets to zero and must contribute to NEITHER side (a raw
+    insert-side fold would let a cancelled value raise the stored
+    max; a raw delete-side fold would trigger spurious — or worse,
+    with the insert applied, wrong — maintenance). count/sum fold on
+    the raw feed, where cancellation is automatic."""
+    ins = F.col("_change_type") == "insert"
+    sgn = F.when(ins, F.lit(1)).otherwise(F.lit(-1))
+    out = feed.groupBy(*keys).agg(
         F.sum(sgn).cast("long").alias("_dn"),
         *[F.sum(sgn * F.col(c)).alias(f"_ds_{c}") for c in sums],
     )
+    for c in sorted({*mins, *maxs}):
+        net = feed.groupBy(*keys, c).agg(F.sum(sgn).alias("_m"))
+        aggs = []
+        if c in mins:
+            aggs.append(
+                F.min(F.when(F.col("_m") > 0, F.col(c))).alias(f"_imin_{c}")
+            )
+            aggs.append(
+                F.min(F.when(F.col("_m") < 0, F.col(c))).alias(f"_dmin_{c}")
+            )
+        if c in maxs:
+            aggs.append(
+                F.max(F.when(F.col("_m") > 0, F.col(c))).alias(f"_imax_{c}")
+            )
+            aggs.append(
+                F.max(F.when(F.col("_m") < 0, F.col(c))).alias(f"_dmax_{c}")
+            )
+        ext = net.groupBy(*keys).agg(*aggs)
+        out = _join_nullsafe(out, ext, keys)
+    return out
+
+
+def _join_nullsafe(
+    left: DataFrame, right: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Inner join on the group keys with null-safe equality (both
+    sides grouped from the same feed, so the key sets coincide)."""
+    from functools import reduce
+
+    r = right
+    for k in keys:
+        r = r.withColumnRenamed(k, f"_j_{k}")
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(k).eqNullSafe(F.col(f"_j_{k}")) for k in keys],
+    )
+    return left.join(r, cond).drop(*[f"_j_{k}" for k in keys])
 
 
 def refresh_mv(spark: SparkSession, mv_path: str) -> dict:
@@ -200,16 +343,22 @@ def refresh_mv(spark: SparkSession, mv_path: str) -> dict:
     info = mv_info(spark, mv_path)
     base, covered = info["path"], int(info["version"])
     keys, sums = list(info["keys"]), list(info["sums"])
+    mins = list(info.get("mins") or [])
+    maxs = list(info.get("maxs") or [])
     head = int(read_manifest(spark, base)["version"])
     if head == covered:
         return {"refreshed": False, "covered": covered, "touched_groups": 0}
 
     lineage = {**info, "version": head}
     mode = "incremental"
+    recomputed = 0
     try:
         feed = read_table_changes(spark, base, covered, head)
-        delta = _signed_delta(feed, keys, sums)
-        touched = _merge_delta(spark, mv_path, keys, sums, delta, lineage)
+        delta = _signed_delta(feed, keys, sums, mins, maxs)
+        touched, recomputed = _merge_delta(
+            spark, mv_path, keys, sums, delta, lineage,
+            mins, maxs, recompute_from=base,
+        )
     except Exception as ex:
         if not _is_unreadable_version(ex):
             raise
@@ -218,12 +367,13 @@ def refresh_mv(spark: SparkSession, mv_path: str) -> dict:
         # recompute (one rewrite commit, lineage in the same rename)
         mode = "full"
         touched = _replace_contents(
-            spark, mv_path, _agg(read_table(spark, base), keys, sums),
+            spark, mv_path,
+            _agg(read_table(spark, base), keys, sums, mins, maxs),
             keys, lineage,
         )
     return {
         "refreshed": True, "covered": head, "touched_groups": touched,
-        "mode": mode,
+        "mode": mode, "recomputed_groups": recomputed,
     }
 
 
@@ -264,13 +414,18 @@ def mv_stream_batch(batch_df: DataFrame, batch_id: int,
     info = mv_info(sp, mv_path)
     covered = int(info["version"])
     keys, sums = list(info["keys"]), list(info["sums"])
+    mins = list(info.get("mins") or [])
+    maxs = list(info.get("maxs") or [])
     fresh = batch_df.filter(F.col("_commit_version") > covered)
     end_row = fresh.agg(F.max("_commit_version")).first()
     end = end_row[0]
     if end is None:
         return  # nothing beyond the covered version: replay no-op
-    delta = _signed_delta(fresh, keys, sums)
-    _merge_delta(sp, mv_path, keys, sums, delta, {**info, "version": int(end)})
+    delta = _signed_delta(fresh, keys, sums, mins, maxs)
+    _merge_delta(
+        sp, mv_path, keys, sums, delta, {**info, "version": int(end)},
+        mins, maxs, recompute_from=info["path"],
+    )
 
 
 # --- JOIN materialized views: the two-sided delta algebra as an API --------
@@ -339,7 +494,7 @@ def refresh_join_mv(spark: SparkSession, mv_path: str) -> dict:
     mode = "incremental"
     try:
         delta = _join_delta(spark, info, lh, rh)
-        touched = _merge_delta(spark, mv_path, keys, sums, delta, lineage)
+        touched, _ = _merge_delta(spark, mv_path, keys, sums, delta, lineage)
     except Exception as ex:
         if not _is_unreadable_version(ex):
             raise
@@ -442,11 +597,23 @@ def read_mv_current(spark: SparkSession, mv_path: str) -> DataFrame:
     from prox_spark.cdf import read_table_changes
 
     base, covered = info["path"], int(info["version"])
+    mins = list(info.get("mins") or [])
+    maxs = list(info.get("maxs") or [])
     head = int(read_manifest(spark, base)["version"])
     if head == covered:
         return cur
     feed = read_table_changes(spark, base, covered, head)
-    return _apply_delta(cur, _signed_delta(feed, keys, sums), keys, sums)
+    merged = _apply_delta(
+        cur, _signed_delta(feed, keys, sums, mins, maxs),
+        keys, sums, mins, maxs,
+    )
+    if not (mins or maxs):
+        return merged
+    # extremes: recompute the affected groups from the base HEAD at
+    # read time — same q184 algebra the persisted refresh uses
+    kept, affected = _split_recompute(merged, keys)
+    scoped = _semi_nullsafe(read_table(spark, base), affected, keys)
+    return kept.unionByName(_agg(scoped, keys, sums, mins, maxs))
 
 
 def rewrite_aggregate(
@@ -455,16 +622,20 @@ def rewrite_aggregate(
     keys: list[str],
     sums: list[str],
     candidates: list[str],
+    mins: list[str] = (),
+    maxs: list[str] = (),
 ) -> tuple[DataFrame, str | None]:
-    """AUTO-REWRITE a count+sum-by-keys aggregate over ``base_path``:
-    if a registered single-table view among ``candidates`` COVERS the
-    request (same base, requested keys ⊆ view keys, requested sums ⊆
-    view sums), serve it from :func:`read_mv_current` — rolled up to
-    the requested grain when the view is finer (count/sum re-aggregate
-    losslessly; that is what makes this MV class self-maintainable) —
-    else fall back to the direct base aggregate. Returns
+    """AUTO-REWRITE a count+sum(+min/max)-by-keys aggregate over
+    ``base_path``: if a registered single-table view among
+    ``candidates`` COVERS the request (same base, requested keys ⊆
+    view keys, requested sums/mins/maxs ⊆ the view's), serve it from
+    :func:`read_mv_current` — rolled up to the requested grain when
+    the view is finer (count/sum re-aggregate losslessly; min-of-mins
+    and max-of-maxs are exact roll-ups too) — else fall back to the
+    direct base aggregate. Returns
     ``(frame, matched_mv_path_or_None)``; the frame's schema is
-    identical either way (`n_rows` + `sum_<col>`)."""
+    identical either way (`n_rows` + `sum_<col>` + `min_<col>` +
+    `max_<col>`)."""
     for mv in candidates:
         try:
             info = mv_info(spark, mv)
@@ -475,18 +646,23 @@ def rewrite_aggregate(
         if not (
             set(keys) <= set(info["keys"])
             and set(sums) <= set(info["sums"])
+            and set(mins) <= set(info.get("mins") or [])
+            and set(maxs) <= set(info.get("maxs") or [])
         ):
             continue
         cur = read_mv_current(spark, mv)
-        if list(keys) == list(info["keys"]) and list(sums) == list(
-            info["sums"]
-        ):
-            return cur.select(
-                *keys, COUNT_COL, *[f"sum_{c}" for c in sums]
-            ), mv
+        out_cols = [
+            *[f"sum_{c}" for c in sums],
+            *[f"min_{c}" for c in mins],
+            *[f"max_{c}" for c in maxs],
+        ]
+        if list(keys) == list(info["keys"]):
+            return cur.select(*keys, COUNT_COL, *out_cols), mv
         rolled = cur.groupBy(*keys).agg(
             F.sum(COUNT_COL).cast("long").alias(COUNT_COL),
             *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sums],
+            *[F.min(f"min_{c}").alias(f"min_{c}") for c in mins],
+            *[F.max(f"max_{c}").alias(f"max_{c}") for c in maxs],
         )
         return rolled, mv
-    return _agg(read_table(spark, base_path), keys, sums), None
+    return _agg(read_table(spark, base_path), keys, sums, mins, maxs), None

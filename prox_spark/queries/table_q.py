@@ -31,7 +31,7 @@ import os
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 CDC_ROOT = os.path.join(
@@ -3081,6 +3081,125 @@ ORDER BY source
 """
 
 
+# --- q212: min/max materialized view (keeper deletes on purpose) ------------
+
+_MINMAX_MV_CACHE: dict[str, tuple] = {}
+
+
+def _minmax_mv(spark: SparkSession, sf_dir: str) -> tuple:
+    """Staged once per process: a documents base, a count+sum+min+max
+    by-source view, an append, then a KEEPER DELETE — for every source
+    in a deterministic half (md5-gated), delete exactly the rows
+    holding the source's current max n_chars — and ONE refresh.
+    Returns (mv_path, recompute_bounded, covered_ok)."""
+    from prox_spark.mv import create_mv, mv_info, refresh_mv
+    from prox_spark.table import (
+        commit_delta,
+        commit_snapshot,
+        read_manifest,
+    )
+    from prox_spark.upsert import delete_keys_mor
+
+    from ._staging import staged
+
+    def build(scratch: str) -> tuple:
+        base, mv = f"{scratch}/base", f"{scratch}/mv"
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "source", "n_chars"
+        )
+        commit_snapshot(
+            spark, base, docs.filter(F.col("doc_id") % 10 <= 8),
+            stat_cols=["doc_id"], n_files=8,
+        )
+        create_mv(spark, base, mv, ["source"], ["n_chars"],
+                  mins=["doc_id", "n_chars"], maxs=["n_chars"])
+        prev = read_manifest(spark, base)
+        commit_delta(
+            spark, base, docs.filter(F.col("doc_id") % 10 > 8),
+            list(prev["files"]), update_key_ranges={},
+        )
+        # keeper delete: per-source argmax rows, md5-gated half of the
+        # sources (every such group's stored max is removed)
+        w = Window.partitionBy("source")
+        gated = F.substring(F.md5(F.col("source")), 1, 1) < F.lit("8")
+        keepers = (
+            docs.withColumn("_mx", F.max("n_chars").over(w))
+            .filter((F.col("n_chars") == F.col("_mx")) & gated)
+            .select("doc_id")
+        )
+        delete_keys_mor(spark, base, keepers, ["doc_id"])
+        n_gated = int(
+            docs.filter(gated).select("source").distinct().count()
+        )
+        n_total = int(docs.select("source").distinct().count())
+        out = refresh_mv(spark, mv)
+        # deletes only touch gated sources, so the recompute set is
+        # bounded by them; an argmax that lived only in the append
+        # window nets out and correctly avoids the recompute
+        recompute_bounded = bool(
+            0 < out["recomputed_groups"] <= n_gated < n_total
+        )
+        covered_ok = bool(
+            mv_info(spark, mv)["version"]
+            == read_manifest(spark, base)["version"]
+        )
+        return mv, recompute_bounded, covered_ok
+
+    return staged(_MINMAX_MV_CACHE, sf_dir, "prox_mmv_", build)
+
+
+def q212_minmax_materialized_view(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MIN/MAX MATERIALIZED VIEW — the aggregate class count/sum
+    self-maintenance does NOT cover, operationalized in the registry
+    (prox_spark/mv.py create_mv(mins=, maxs=), the q184 algebra):
+    inserts fold monotonically; a refresh RECOMPUTES exactly the
+    groups whose stored extreme was deleted, scoped by a broadcast
+    semi-join against the base (work ∝ affected groups, never a base
+    re-scan for the rest). The staging deletes every md5-gated
+    source's argmax rows ON PURPOSE — the keeper-delete worst case.
+    The oracle aggregates the formulaic final base; pins:
+    ``recompute_bounded`` (the refresh recomputed exactly the gated
+    groups — no more, no fewer) and ``covered_ok`` (lineage tracks
+    the base head)."""
+    from prox_spark.table import read_table
+
+    mv, recompute_bounded, covered_ok = _minmax_mv(spark, sf_dir)
+    return (
+        read_table(spark, mv)
+        .select(
+            "source", "n_rows", "sum_n_chars", "min_doc_id",
+            "min_n_chars", "max_n_chars",
+        )
+        .withColumn("recompute_bounded", F.lit(recompute_bounded))
+        .withColumn("covered_ok", F.lit(covered_ok))
+        .orderBy("source")
+    )
+
+
+ORACLE_Q212 = """
+WITH mx AS (
+  SELECT source, max(n_chars) AS mxc FROM documents GROUP BY source
+), final AS (
+  SELECT d.doc_id, d.source, d.n_chars
+  FROM documents d JOIN mx USING (source)
+  WHERE NOT (substr(md5(source), 1, 1) < '8' AND d.n_chars = mx.mxc)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(min(n_chars) AS BIGINT) AS min_n_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_n_chars,
+       TRUE AS recompute_bounded,
+       TRUE AS covered_ok
+FROM final
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "q114_snapshot_diff": q114_snapshot_diff,
     "q118_incremental_agg": q118_incremental_agg,
@@ -3108,6 +3227,7 @@ QUERIES = {
     "q208_join_materialized_view": q208_join_materialized_view,
     "q210_streaming_mv": q210_streaming_mv,
     "q211_mv_serve_from_view": q211_mv_serve_from_view,
+    "q212_minmax_materialized_view": q212_minmax_materialized_view,
 }
 
 
@@ -3141,4 +3261,5 @@ def oracles() -> dict[str, str]:
         "q208_join_materialized_view": ORACLE_Q208,
         "q210_streaming_mv": ORACLE_Q210,
         "q211_mv_serve_from_view": ORACLE_Q211,
+        "q212_minmax_materialized_view": ORACLE_Q212,
     }

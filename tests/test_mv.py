@@ -517,3 +517,157 @@ def test_rewrite_never_scans_untouched_covered_base_files(spark):
     assert sorted(
         map(tuple, out.collect())
     ) == _direct(spark, base)
+
+
+# --- min/max MV class (q184 algebra, operationalized) -----------------------
+
+
+def _direct_ext(spark, base):
+    return sorted(
+        map(
+            tuple,
+            read_table(spark, base)
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias(COUNT_COL),
+                F.sum("val").alias("sum_val"),
+                F.min("val").alias("min_val"),
+                F.max("val").alias("max_val"),
+            )
+            .collect(),
+        )
+    )
+
+
+def test_minmax_mv_recomputes_only_keeper_groups(spark):
+    """Deleting a group's stored max forces a recompute of THAT group
+    only; groups with non-extreme deletes and pure inserts maintain
+    algebraically (recomputed_groups pins the bound)."""
+    s = _scratch()
+    base, mv = f"{s}/base", f"{s}/mv"
+    commit_snapshot(spark, base, _df(spark, 0, 100),
+                    stat_cols=["id"], n_files=4)
+    create_mv(spark, base, mv, ["grp"], ["val"],
+              mins=["val"], maxs=["val"])
+    assert _mv_rows(spark, mv) == _direct_ext(spark, base)
+
+    # g0's max is id=95 (val 950); g1's max is id=96... delete g0's and
+    # g1's argmax rows (ids 95, 96) — keeper deletes — plus a
+    # NON-extreme row of g2 (id 2, val 20; g2 min is id 7? no:
+    # grp = g(id%5): g2 holds ids 2,7,...,97; min val = 20 (id 2)...
+    # id 2 IS g2's min — pick id 52 instead (mid-range, not extreme).
+    delete_keys_mor(
+        spark, base,
+        spark.createDataFrame([(95,), (96,), (52,)], "id long"), ["id"],
+    )
+    # and append fresh rows for g3/g4 (insert-only fold)
+    prev = read_manifest(spark, base)
+    commit_delta(spark, base, _df(spark, 100, 110),
+                 list(prev["files"]), update_key_ranges={})
+    out = refresh_mv(spark, mv)
+    assert out["refreshed"] and out["mode"] == "incremental"
+    assert out["recomputed_groups"] == 2, out
+    assert _mv_rows(spark, mv) == _direct_ext(spark, base)
+    # the refresh is still ONE commit with the bumped lineage
+    assert mv_info(spark, mv)["version"] == read_manifest(
+        spark, base
+    )["version"]
+
+
+def test_minmax_mv_insert_only_never_recomputes(spark):
+    s = _scratch()
+    base, mv = f"{s}/base", f"{s}/mv"
+    commit_snapshot(spark, base, _df(spark, 0, 60),
+                    stat_cols=["id"], n_files=2)
+    create_mv(spark, base, mv, ["grp"], ["val"],
+              mins=["val"], maxs=["val"])
+    prev = read_manifest(spark, base)
+    commit_delta(spark, base, _df(spark, 60, 90),
+                 list(prev["files"]), update_key_ranges={})
+    out = refresh_mv(spark, mv)
+    assert out["recomputed_groups"] == 0, out
+    assert _mv_rows(spark, mv) == _direct_ext(spark, base)
+
+
+def test_minmax_mv_read_and_rewrite_paths(spark):
+    """read_mv_current folds extremes at read time (including the
+    keeper-delete recompute) with zero publish; rewrite_aggregate
+    covers min/max requests and rolls min-of-mins/max-of-maxs."""
+    from prox_spark.mv import read_mv_current, rewrite_aggregate
+
+    s = _scratch()
+    base, mv = f"{s}/base", f"{s}/mv"
+    commit_snapshot(spark, base, _df(spark, 0, 100),
+                    stat_cols=["id"], n_files=4)
+    create_mv(spark, base, mv, ["grp"], ["val"],
+              mins=["val"], maxs=["val"])
+    refresh_mv(spark, mv)
+    v0 = int(read_manifest(spark, mv)["version"])
+    # post-refresh keeper delete (g0 max id=95) + append
+    delete_keys_mor(
+        spark, base,
+        spark.createDataFrame([(95,)], "id long"), ["id"],
+    )
+    prev = read_manifest(spark, base)
+    commit_delta(spark, base, _df(spark, 100, 105),
+                 list(prev["files"]), update_key_ranges={})
+    got = sorted(
+        map(
+            tuple,
+            read_mv_current(spark, mv)
+            .select("grp", COUNT_COL, "sum_val", "min_val", "max_val")
+            .collect(),
+        )
+    )
+    assert got == _direct_ext(spark, base)
+    assert int(read_manifest(spark, mv)["version"]) == v0
+
+    out, hit = rewrite_aggregate(
+        spark, base, ["grp"], [], [mv], mins=["val"], maxs=["val"]
+    )
+    assert hit == mv
+    want = sorted(
+        map(
+            tuple,
+            read_table(spark, base).groupBy("grp").agg(
+                F.count(F.lit(1)).cast("long").alias(COUNT_COL),
+                F.min("val").alias("min_val"),
+                F.max("val").alias("max_val"),
+            ).collect(),
+        )
+    )
+    assert sorted(map(tuple, out.collect())) == want
+    # a min the view doesn't carry falls back to the base
+    _, miss = rewrite_aggregate(
+        spark, base, ["grp"], [], [mv], mins=["id"]
+    )
+    assert miss is None
+
+
+def test_minmax_mv_upsert_echo_pairs_net_out(spark):
+    """An upsert echoes co-rewritten UNCHANGED rows as cancelling
+    delete+insert pairs; extremes must fold from NET multiplicities —
+    a raw insert-side fold would let a cancelled value stick, a raw
+    delete-side fold would mis-trigger maintenance. Also covers the
+    genuine update-of-the-extreme case (delete 950 / insert 9999 in
+    one window → recompute, exact)."""
+    s = _scratch()
+    base, mv = f"{s}/base", f"{s}/mv"
+    commit_snapshot(spark, base, _df(spark, 0, 100),
+                    stat_cols=["id"], n_files=2)
+    create_mv(spark, base, mv, ["grp"], ["val"],
+              mins=["val"], maxs=["val"])
+    # upsert rewrites files co-holding many rows: id 95 (g0's max,
+    # val 950) gets val 9999; id 3 (mid g3) gets val -7 (new g3 min)
+    upsert_parquet(
+        spark, base,
+        spark.createDataFrame([(95, "g0", 9999), (3, "g3", -7)],
+                              "id long, grp string, val long"),
+        ["id"],
+    )
+    out = refresh_mv(spark, mv)
+    assert out["refreshed"]
+    assert _mv_rows(spark, mv) == _direct_ext(spark, base)
+    rows = {r["grp"]: r for r in read_table(spark, mv).collect()}
+    assert rows["g0"]["max_val"] == 9999
+    assert rows["g3"]["min_val"] == -7
