@@ -581,19 +581,34 @@ def read_mv_current(spark: SparkSession, mv_path: str) -> DataFrame:
     The reference's Redshift layer full-refreshes because it lacks
     exactly this (reference glue_scripts/s3_to_redshift_script.py
     preactions); the parity target is Databricks/Redshift
-    serve-from-MV with delta catch-up."""
+    serve-from-MV with delta catch-up.
+
+    When the covered version has been vacuumed past the refresh
+    cadence, the incremental inputs are gone: the read falls back to
+    the direct base aggregate — still exact, just not MV-accelerated
+    (mirrors the refresh's full-recompute fallback)."""
     info = mv_info(spark, mv_path)
     cur = read_table(spark, mv_path)
     keys, sums = list(info["keys"]), list(info["sums"])
     if "left" in info:
-        lh = int(read_manifest(spark, info["left"]["path"])["version"])
-        rh = int(read_manifest(spark, info["right"]["path"])["version"])
+        lp, rp = info["left"]["path"], info["right"]["path"]
+        on = list(info["on"])
+        lh = int(read_manifest(spark, lp)["version"])
+        rh = int(read_manifest(spark, rp)["version"])
         if (
             lh == int(info["left"]["version"])
             and rh == int(info["right"]["version"])
         ):
             return cur
-        return _apply_delta(cur, _join_delta(spark, info, lh, rh), keys, sums)
+        try:
+            return _apply_delta(
+                cur, _join_delta(spark, info, lh, rh), keys, sums
+            )
+        except Exception as ex:
+            if not _is_unreadable_version(ex):
+                raise
+            joined = read_table(spark, lp).join(read_table(spark, rp), on)
+            return _agg(joined, keys, sums)
     from prox_spark.cdf import read_table_changes
 
     base, covered = info["path"], int(info["version"])
@@ -602,7 +617,12 @@ def read_mv_current(spark: SparkSession, mv_path: str) -> DataFrame:
     head = int(read_manifest(spark, base)["version"])
     if head == covered:
         return cur
-    feed = read_table_changes(spark, base, covered, head)
+    try:
+        feed = read_table_changes(spark, base, covered, head)
+    except Exception as ex:
+        if not _is_unreadable_version(ex):
+            raise
+        return _agg(read_table(spark, base), keys, sums, mins, maxs)
     merged = _apply_delta(
         cur, _signed_delta(feed, keys, sums, mins, maxs),
         keys, sums, mins, maxs,

@@ -550,6 +550,158 @@ def test_txn_random_sequence_chunked(spark, tmp_path, monkeypatch):
     _txn_model_sequence(spark, tmp_path)
 
 
+def _mv_model_sequence(spark, tmp_path):
+    """The MV registry under the adversarial op mix: a count+sum+
+    min/max-by-region view over a base churned by the seeded merge
+    ops (upsert, CoW delete, MoR delete, CDC apply, compaction), with
+    RENAME evolution of a non-referenced column mid-stream, refreshes
+    and stream-batch folds at pinned steps, a vacuum that destroys the
+    covered version (forcing the full-recompute fallback IN the mix),
+    and — after every single step — a read_mv_current() that must
+    equal the model's from-scratch aggregate (including through the
+    vacuumed-window read fallback)."""
+    from prox_spark.cdf import read_table_changes
+    from prox_spark.mv import (
+        COUNT_COL,
+        create_mv,
+        mv_info,
+        mv_stream_batch,
+        read_mv_current,
+        refresh_mv,
+    )
+    from prox_spark.table import read_manifest, rename_column
+
+    path = str(tmp_path / "t")
+    mv = str(tmp_path / "mv")
+    model: dict = {}
+    col = "payload"
+
+    def df_rows(rows):
+        return spark.createDataFrame(
+            rows, f"region STRING, uid BIGINT, {col} STRING, step BIGINT"
+        )
+
+    def model_agg():
+        agg: dict = {}
+        for (r, _u), (_p, s) in model.items():
+            n, tot, lo, hi = agg.get(r, (0, 0, None, None))
+            agg[r] = (
+                n + 1, tot + s,
+                s if lo is None else min(lo, s),
+                s if hi is None else max(hi, s),
+            )
+        return agg
+
+    def view_state(df):
+        rows = df.select(
+            "region", COUNT_COL, "sum_step", "min_step", "max_step"
+        ).collect()
+        got = {r.region: (r[COUNT_COL], r.sum_step, r.min_step, r.max_step)
+               for r in rows}
+        assert len(rows) == len(got), "duplicate groups in view"
+        return got
+
+    seed_rows = _rows(0)
+    upsert_parquet(spark, path, df_rows(seed_rows), KEYS)
+    model.update({(r, u): (p, s) for r, u, p, s in seed_rows})
+    create_mv(spark, path, mv, ["region"], ["step"],
+              mins=["step"], maxs=["step"])
+    assert view_state(read_table(spark, mv)) == model_agg()
+
+    forced_full = False
+    for step in range(1, N_OPS + 1):
+        op = {3: 90, 6: 91, 8: 92, 10: 90, 12: 93, 13: 90, 16: 90}.get(
+            step, _rnd(f"mvop:{step}", 0, 11)
+        )
+        if op == 90:  # persisted refresh
+            out = refresh_mv(spark, mv)
+            if step == 13:
+                assert out["mode"] == "full", (
+                    "vacuumed covered version must force the fallback"
+                )
+                forced_full = True
+            assert view_state(read_table(spark, mv)) == model_agg(), step
+            assert mv_info(spark, mv)["version"] == read_manifest(
+                spark, path
+            )["version"]
+        elif op == 91:  # continuous maintenance: stream-batch fold
+            covered = int(mv_info(spark, mv)["version"])
+            head = int(read_manifest(spark, path)["version"])
+            if head > covered:
+                feed = read_table_changes(spark, path, covered, head)
+                mv_stream_batch(feed, step, mv)
+                assert view_state(read_table(spark, mv)) == model_agg(), step
+                # replaying the same batch is fenced to a no-op
+                v = read_manifest(spark, mv)["version"]
+                mv_stream_batch(
+                    read_table_changes(spark, path, covered, head), step, mv
+                )
+                assert read_manifest(spark, mv)["version"] == v, step
+        elif op == 92:  # rename a column the view does NOT reference
+            new = f"payload_r{step}"
+            rename_column(spark, path, col, new)
+            col = new
+        elif op == 93:  # destroy the covered version mid-mix
+            compact_table(spark, path, n_files=4)
+            vacuum(spark, path, keep_last=1, retention_minutes=0.0)
+        elif op <= 4:
+            rows = _rows(step)
+            upsert_parquet(spark, path, df_rows(rows), KEYS)
+            model.update({(r, u): (p, s) for r, u, p, s in rows})
+        elif op <= 6:
+            dels = _key_space(step)[:5]
+            ddf = spark.createDataFrame(dels, "region STRING, uid BIGINT")
+            delete_keys(spark, path, ddf, KEYS)
+            for k in dels:
+                model.pop(k, None)
+        elif op <= 8:
+            ks = _key_space(step)
+            feed = []
+            for i, (r, u) in enumerate(ks[:6]):
+                if i % 3 == 0:
+                    feed.append((r, u, None, None, "delete"))
+                else:
+                    feed.append((r, u, f"cdc{step}:{r}:{u}", step, "update"))
+            fdf = spark.createDataFrame(
+                feed,
+                f"region STRING, uid BIGINT, {col} STRING, step BIGINT, "
+                "change STRING",
+            )
+            apply_changes(spark, path, fdf, KEYS)
+            for r, u, p, s, c in feed:
+                if c == "delete":
+                    model.pop((r, u), None)
+                else:
+                    model[(r, u)] = (p, s)
+        elif op == 9:
+            compact_table(spark, path, n_files=4)
+        else:
+            dels = _key_space(step)[5:10]
+            ddf = spark.createDataFrame(dels, "region STRING, uid BIGINT")
+            delete_keys_mor(spark, path, ddf, KEYS)
+            for k in dels:
+                model.pop(k, None)
+        # the READ path is exact after EVERY op, refreshed or not —
+        # including through the vacuumed-window fallback at step 12
+        assert view_state(read_mv_current(spark, mv)) == model_agg(), (
+            f"read path diverged at step {step}"
+        )
+    assert forced_full, "sequence never exercised the vacuum fallback"
+    assert col != "payload", "sequence never exercised a rename"
+
+
+def test_mv_random_sequence_matches_model(spark, tmp_path):
+    _mv_model_sequence(spark, tmp_path)
+
+
+def test_mv_random_sequence_chunked(spark, tmp_path, monkeypatch):
+    import prox_spark.table as T
+
+    monkeypatch.setattr(T, "CHUNK_THRESHOLD", 3)
+    monkeypatch.setattr(T, "CHUNK_SIZE", 2)
+    _mv_model_sequence(spark, tmp_path)
+
+
 def test_random_merge_sequence_with_constraints(spark, tmp_path):
     """The merge op mix under a live CHECK constraint: violating
     upserts must reject atomically at every point in the sequence
