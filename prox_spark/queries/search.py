@@ -746,11 +746,260 @@ ORDER BY query_id, rr
 """
 
 
+# --- q213: block-max bounded BM25 (WAND/BMW transposed to files) -----------
+
+# the q200 multi-term workload (the no-skip shape: a rare partner like
+# "dup" keeps the common term's blocks essential — any rare-doc's
+# exact score needs its common tf wherever it lives) PLUS single-term
+# queries on the highest-df terms, where low-impact blocks provably
+# cannot reach the top-k floor and are skipped.
+BOUNDED_QUERIES: list[tuple[int, str]] = [
+    *BM25_QUERIES,
+    (4, "batch"),
+    (5, "scan"),
+    (6, "data"),
+    (7, "join"),
+]
+_BOUNDED_CACHE: dict[str, tuple] = {}
+# ~200 postings per block: common terms (df ≈ 0.8·n_docs) span
+# several impact-ordered blocks at every sf, so the block-max floor
+# has blocks to skip — at 100 TB a term spans thousands of files and
+# this is the natural layout, not an artificial split.
+_BLOCK_ROWS = 200
+
+
+def _bounded_idx(spark: SparkSession, sf_dir: str) -> tuple:
+    from prox_spark.wand import build_bounded_index
+
+    from ._staging import staged
+
+    def build(scratch: str) -> tuple:
+        docs = _docs(spark, sf_dir)
+        idx, stats = f"{scratch}/bmw_idx", f"{scratch}/bmw_stats"
+        n_rows = int(_tokens_tf(docs).count())
+        n_files = max(64, min(256, n_rows // _BLOCK_ROWS))
+        build_bounded_index(
+            spark, docs, idx, stats, TOKENS_SPARK, n_files=n_files
+        )
+        return idx, stats
+
+    return staged(_BOUNDED_CACHE, sf_dir, "prox_bmw_", build)
+
+
+def q213_bounded_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOCK-MAX BOUNDED BM25 — WAND/BMW (Broder et al.; Ding & Suel)
+    transposed to a batch engine (prox_spark/wand.py): postings are
+    impact-ordered within term-clustered files, the manifest's
+    per-file footer stats ARE the block-max table, and serving runs
+    two passes — top block per term seeds an exact top-k floor, then
+    a remaining block opens only if its bound (file impact max × idf
+    + partner-term upper bounds) can reach the floor. EXACT: a
+    skipped block provably contains no top-k doc, so every served
+    score is bit-identical to the full-probe scorer — the oracle
+    recomputes everything from the raw documents with no index. The
+    pinned ``files_skipped`` flag (oracle TRUE) asserts the bound
+    actually fired: strictly fewer files opened than the per-term
+    full probes would."""
+    from prox_spark.wand import bounded_bm25
+
+    idx, stats = _bounded_idx(spark, sf_dir)
+    out, counters = bounded_bm25(
+        spark, idx, stats, BOUNDED_QUERIES, BM25_TOP_K, _TERM_MICRO
+    )
+    files_skipped = bool(
+        0 < counters["files_opened"] < counters["files_full"]
+    )
+    return out.withColumn("files_skipped", F.lit(files_skipped)).orderBy(
+        "query_id", "rnk"
+    )
+
+
+def _oracle_bm25(queries: list[tuple[int, str]], pin: str) -> str:
+    vals = ", ".join(f"({q}, '{t}')" for q, t in queries)
+    return f"""
+WITH t AS (
+  SELECT doc_id, {TOKENS_DUCK} AS tokens FROM documents
+), dl_t AS (
+  SELECT doc_id, CAST(len(tokens) AS BIGINT) AS dl FROM t
+), tf_t AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM t)
+  GROUP BY doc_id, term
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot
+  FROM dl_t
+), qt AS (
+  SELECT CAST(query_id AS BIGINT) AS query_id, term
+  FROM (VALUES {vals}) AS v(query_id, term)
+), dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df
+  FROM tf_t
+  WHERE term IN (SELECT term FROM qt)
+  GROUP BY term
+), scored AS (
+  SELECT qt.query_id, tf_t.doc_id,
+         {_TERM_MICRO} AS term_micro
+  FROM qt
+  JOIN tf_t USING (term)
+  JOIN dfreq USING (term)
+  JOIN dl_t ON tf_t.doc_id = dl_t.doc_id
+  CROSS JOIN stats
+), agg AS (
+  SELECT query_id, doc_id,
+         CAST(count(*) AS BIGINT) AS n_terms_hit,
+         CAST(sum(term_micro) AS BIGINT) AS score_micro
+  FROM scored GROUP BY query_id, doc_id
+), ranked AS (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score_micro DESC, doc_id
+         ) AS rnk
+  FROM agg
+)
+SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id, n_terms_hit,
+       score_micro, TRUE AS {pin}
+FROM ranked
+WHERE rnk <= {BM25_TOP_K}
+ORDER BY query_id, rnk
+"""
+
+
+ORACLE_Q213 = _oracle_bm25(BOUNDED_QUERIES, "files_skipped")
+
+
+# --- q214: bound maintenance through the incremental (CDC) path ------------
+
+BOUNDED_CDC_QUERIES: list[tuple[int, str]] = [
+    (1, "card"),
+    (2, "moved"),
+    (2, "card"),
+]
+_BOUNDED_CDC_CACHE: dict[str, tuple] = {}
+
+
+def _maintained_bounded(spark: SparkSession, sf_dir: str) -> tuple:
+    """Staged once per process: the bounded index built at the CDC
+    corpus's v1 and MAINTAINED to head from the change feed alone
+    (merge of the touched docs' pairs + exact stats refresh for the
+    affected terms). Returns (idx, stats, delta_bounded)."""
+    from prox_spark.cdf import read_table_changes
+    from prox_spark.table import read_table
+    from prox_spark.wand import build_bounded_index, maintain_bounded_index
+
+    from ._staging import staged
+    from .table_q import _card_cdc_table
+
+    t, head = _card_cdc_table(spark, sf_dir)
+
+    def build(scratch: str) -> tuple:
+        idx, stats = f"{scratch}/bmw_idx", f"{scratch}/bmw_stats"
+        v1 = read_table(spark, t, version=1).select("doc_id", "text")
+        build_bounded_index(
+            spark, v1, idx, stats, TOKENS_SPARK, n_files=8
+        )
+        feed = read_table_changes(spark, t, 1, head).select(
+            "doc_id", "text", "_change_type", "_commit_version"
+        )
+        info = maintain_bounded_index(spark, idx, stats, feed, TOKENS_SPARK)
+        n_final = read_table(spark, t).count()
+        delta_bounded = bool(0 < info["touched_docs"] < n_final)
+        return idx, stats, delta_bounded
+
+    return staged(_BOUNDED_CDC_CACHE, sf_dir, "prox_bmwcdc_", build)
+
+
+def q214_maintained_bounded_bm25(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BOUND MAINTENANCE through the q201 incremental path: the
+    block-max index built at the CDC corpus's v1 is maintained to
+    head purely from the change feed — touched docs' (term, doc)
+    pairs merge in one commit, (df, max_impact) recompute exactly for
+    the affected terms (key-set-pruned scan), the corpus row folds
+    additively, and the frozen avgdl0 keeps every already-written
+    impact a valid bound (serving corrects drift with the avgdl
+    ratio). The oracle recomputes BM25 from the formulaic FINAL
+    corpus with no index: a stale df, an unretracted deleted doc, or
+    an undercorrected bound that skipped a real top-k doc all break
+    the hash. Pins: ``delta_bounded`` (maintenance touched fewer docs
+    than the corpus holds — work ∝ delta)."""
+    from prox_spark.wand import bounded_bm25
+
+    idx, stats, delta_bounded = _maintained_bounded(spark, sf_dir)
+    out, _ = bounded_bm25(
+        spark, idx, stats, BOUNDED_CDC_QUERIES, BM25_TOP_K, _TERM_MICRO
+    )
+    return out.withColumn("delta_bounded", F.lit(delta_bounded)).orderBy(
+        "query_id", "rnk"
+    )
+
+
+def _oracle_q214() -> str:
+    from .table_q import N_CARD_DOCS
+
+    vals = ", ".join(f"({q}, '{t}')" for q, t in BOUNDED_CDC_QUERIES)
+    return f"""
+WITH final AS (
+  SELECT i AS doc_id,
+         CASE WHEN i % 6 = 0 AND i < 60 AND i % 10 <> 4
+              THEN 'card g' || CAST(i // 3 AS VARCHAR) || ' MOVED'
+              ELSE 'card g' || CAST(i // 3 AS VARCHAR) END AS text
+  FROM range({N_CARD_DOCS}) t(i)
+  WHERE i % 10 <> 4
+), t AS (
+  SELECT doc_id, {TOKENS_DUCK} AS tokens FROM final
+), dl_t AS (
+  SELECT doc_id, CAST(len(tokens) AS BIGINT) AS dl FROM t
+), tf_t AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM t)
+  GROUP BY doc_id, term
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot
+  FROM dl_t
+), qt AS (
+  SELECT CAST(query_id AS BIGINT) AS query_id, term
+  FROM (VALUES {vals}) AS v(query_id, term)
+), dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df
+  FROM tf_t
+  WHERE term IN (SELECT term FROM qt)
+  GROUP BY term
+), scored AS (
+  SELECT qt.query_id, tf_t.doc_id,
+         {_TERM_MICRO} AS term_micro
+  FROM qt
+  JOIN tf_t USING (term)
+  JOIN dfreq USING (term)
+  JOIN dl_t ON tf_t.doc_id = dl_t.doc_id
+  CROSS JOIN stats
+), agg AS (
+  SELECT query_id, doc_id,
+         CAST(count(*) AS BIGINT) AS n_terms_hit,
+         CAST(sum(term_micro) AS BIGINT) AS score_micro
+  FROM scored GROUP BY query_id, doc_id
+), ranked AS (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score_micro DESC, doc_id
+         ) AS rnk
+  FROM agg
+)
+SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id, n_terms_hit,
+       score_micro, TRUE AS delta_bounded
+FROM ranked
+WHERE rnk <= {BM25_TOP_K}
+ORDER BY query_id, rnk
+"""
+
+
 QUERIES = {
     "q200_bm25_search": q200_bm25_search,
     "q201_incremental_text_index": q201_incremental_text_index,
     "q203_hybrid_retrieval": q203_hybrid_retrieval,
     "q205_streaming_text_index": q205_streaming_text_index,
+    "q213_bounded_bm25": q213_bounded_bm25,
+    "q214_maintained_bounded_bm25": q214_maintained_bounded_bm25,
 }
 
 ORACLES = {
@@ -758,4 +1007,6 @@ ORACLES = {
     "q201_incremental_text_index": _oracle_q201(),
     "q203_hybrid_retrieval": _oracle_q203(),
     "q205_streaming_text_index": ORACLE_Q205,
+    "q213_bounded_bm25": ORACLE_Q213,
+    "q214_maintained_bounded_bm25": _oracle_q214(),
 }
