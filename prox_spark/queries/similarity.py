@@ -620,6 +620,178 @@ def kmeans_fit(
     return sorted(cents)
 
 
+# --- quantizer re-clustering: rebuild the IVF index on a WAP branch ---------
+
+
+def _assign_to_cents(
+    df: DataFrame, cents: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Map-side nearest-centroid assignment by COSINE (highest sim,
+    lowest-cid tie-break) — one broadcast row, the q45/_tag_centroids
+    order. Cosine, not L2: the serving metric is cosine, and an L2
+    quantizer over unnormalized vectors partitions by NORM, not
+    direction — cells then correlate poorly with cosine neighborhoods
+    and probe recall collapses (measured: 0.80 → 0.52 on the
+    embeddings corpus)."""
+    spark = df.sparkSession
+    cent_arr = spark.createDataFrame(
+        [(sorted(
+            (c, v, float(sum(x * x for x in v) ** 0.5)) for c, v in cents
+        ),)],
+        "cents array<struct<cid:int, cdd:array<double>, cnrm:double>>",
+    )
+    return _tag_centroids(df, cent_arr).select(
+        *df.columns, F.expr("sims[0].cid").alias("cid")
+    )
+
+
+def index_quantizer(
+    spark: SparkSession, index_path: str
+) -> list[tuple[int, list[float]]]:
+    """The index's stored coarse-quantizer centroids — committed in
+    the manifest (``quantizer``), carried forward by every routine
+    commit, replaced atomically by :func:`recluster_index`."""
+    from prox_spark.table import read_manifest
+
+    q = read_manifest(spark, index_path).get("quantizer")
+    if not q:
+        raise ValueError(f"{index_path} has no stored quantizer")
+    return [(int(c), [float(x) for x in v]) for c, v in q["cents"]]
+
+
+def append_to_index(
+    spark: SparkSession, index_path: str, batch: DataFrame
+) -> int:
+    """Assign a batch (vec_id, dd, nrm) against the index's STORED
+    quantizer and append it — one broadcast map-side pass, every base
+    file carried verbatim (the q161 maintenance shape, with the
+    quantizer read from the manifest instead of a convention)."""
+    from prox_spark.table import commit_delta, read_manifest
+
+    cents = index_quantizer(spark, index_path)
+    assigned = _assign_to_cents(batch, cents).select(
+        "vec_id", "dd", "nrm", "cid"
+    )
+    prev = read_manifest(spark, index_path)
+    return commit_delta(
+        spark, index_path, assigned, list(prev["files"]),
+        stat_cols=["cid"], base_version=int(prev["version"]),
+    )
+
+
+def recluster_index(
+    spark: SparkSession,
+    index_path: str,
+    k: int = IVF_K,
+    max_iters: int = 5,
+    sample_mod: int = 1,
+    branch: str = "recluster",
+    txn_ws: str | None = None,
+    txn_extra: dict | None = None,
+) -> dict:
+    """RE-CLUSTER the coarse quantizer and rebuild the cid-clustered
+    index — the maintenance a frozen-quantizer index (q161/q198)
+    eventually needs: as the corpus drifts, frozen cells go
+    unbalanced and probe recall decays. The rebuild is invisible to
+    serving until one atomic publish:
+
+    1. retrain centroids with Lloyd's on a deterministic sample of the
+       index's CURRENT vectors (``vec_id % sample_mod == 0``; per
+       iteration only k×dim doubles cross the driver boundary);
+    2. re-assign the whole index map-side and commit the rebuilt
+       cid-clustered table to a WAP BRANCH (q178's machinery) with the
+       new centroids in the SAME manifest (``quantizer`` metadata) —
+       main keeps serving the old index untouched;
+    3. audit the branch (row count must equal main's head — pending
+       merge-on-read deletes fold into the rebuild, never resurrect);
+    4. ``fast_forward`` publishes rebuilt data + new quantizer in one
+       CAS; with ``txn_ws``, a workspace txn additionally pins the
+       published index version against ``txn_extra`` tables (the q198
+       corpus/index pairing).
+
+    Returns {"version", "isolated", "cents"}; ``isolated`` pins that
+    main's version never moved between the branch fork and the
+    publish — serving was never interrupted or degraded."""
+    from prox_spark.table import (
+        commit_delta,
+        create_branch,
+        drop_branch,
+        fast_forward,
+        read_manifest,
+        read_table,
+    )
+
+    cur = read_table(spark, index_path).select("vec_id", "dd", "nrm")
+    v0 = int(read_manifest(spark, index_path)["version"])
+    sample = (
+        cur if sample_mod <= 1
+        else cur.filter(F.col("vec_id") % sample_mod == 0)
+    )
+    # SPHERICAL k-means: train on unit vectors, where Lloyd's L2 is
+    # monotone-equivalent to cosine — the serving metric. Training on
+    # raw vectors would cluster by norm, not direction (see
+    # _assign_to_cents).
+    sample = sample.select(
+        "vec_id",
+        F.expr("transform(dd, x -> x / nrm)").alias("dd"),
+    )
+    # kmeans_fit seeds from vec_id < k of its input; re-key the sample
+    # so the seeds are STRIDED across the id-ordered sample (k evenly
+    # spaced ranks) instead of the k head rows — head rows are often
+    # co-located (one ingest batch, one blob) and Lloyd's cannot
+    # recover from k co-located seeds
+    n = sample.count()
+    stride = max(1, n // k)
+    wr = W.orderBy("vec_id")
+    ranked = sample.withColumn("_r", F.row_number().over(wr) - 1)
+    seedable = ranked.withColumn(
+        "vec_id",
+        F.when(
+            (F.col("_r") % stride == 0) & (F.col("_r") / stride < k),
+            (F.col("_r") / stride).cast("long"),
+        ).otherwise((F.col("_r") + k).cast("long")),
+    ).drop("_r")
+    cents = kmeans_fit(seedable, k=k, max_iters=max_iters)
+
+    rebuilt = _assign_to_cents(cur, cents).select(
+        "vec_id", "dd", "nrm", "cid"
+    )
+    create_branch(spark, index_path, branch)
+    try:
+        prev = read_manifest(spark, index_path, ref=branch)
+        # a REBUILD: carry no prior file (the second argument is the
+        # carried-files list) — every row lands re-clustered
+        commit_delta(
+            spark, index_path, rebuilt, [],
+            stat_cols=["cid"], n_files=k, ref=branch,
+            base_version=int(prev["version"]),
+            extra_meta={"quantizer": {
+                "k": int(k), "cents": [[c, v] for c, v in cents],
+            }},
+        )
+        n_branch = read_table(spark, index_path, ref=branch).count()
+        n_main = read_table(spark, index_path).count()
+        if n_branch != n_main:
+            raise ValueError(
+                f"recluster audit failed: branch holds {n_branch} rows, "
+                f"main {n_main} — refusing to publish"
+            )
+        isolated = int(read_manifest(spark, index_path)["version"]) == v0
+    except Exception:
+        drop_branch(spark, index_path, branch)
+        raise
+    new_v = fast_forward(spark, index_path, branch)
+    if txn_ws is not None:
+        from prox_spark.txn import txn_commit
+
+        txn_commit(
+            spark, txn_ws,
+            {index_path: int(new_v), **(txn_extra or {})},
+        )
+    return {"version": int(new_v), "isolated": bool(isolated),
+            "cents": cents}
+
+
 # --- q85: per-label centroids (embedding aggregation) ----------------------
 
 def q85_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2132,6 +2304,187 @@ SELECT j AS dim, v AS component FROM v{PCA_T} ORDER BY dim
 """
 
 
+# --- q215: IVF quantizer re-clustering (atomic rebuild-on-branch) -----------
+
+_RECLUSTER_CACHE: dict[str, tuple] = {}
+RECLUSTER_DEL_MOD = 9  # vec_id % 9 == 4 merge-on-read-deleted pre-rebuild
+RECLUSTER_RECALL_K = 10
+
+
+def _probe_recall(
+    spark: SparkSession, idx_df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+) -> float:
+    """Probe-recall@10 at nprobe=2 over the index content under the
+    given quantizer, against the exact cosine top-10 over the same
+    content (queries: vec_id < N_QUERIES)."""
+    idx_df = idx_df.persist()
+    try:
+        cent_arr = spark.createDataFrame(
+            [(sorted(
+                (c, v, float(sum(x * x for x in v) ** 0.5))
+                for c, v in cents
+            ),)],
+            "cents array<struct<cid:int, cdd:array<double>, cnrm:double>>",
+        )
+        # re-assign content map-side under THIS quantizer (the stored
+        # cid column may belong to another quantizer generation)
+        assigned = _tag_centroids(idx_df.drop("cid"), cent_arr).select(
+            "vec_id", "dd", "nrm", F.expr("sims[0].cid").alias("cid")
+        )
+        queries = _tag_centroids(
+            idx_df.filter(F.col("vec_id") < N_QUERIES).drop("cid"),
+            cent_arr,
+        )
+        probes = queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(F.expr(
+                f"transform(slice(sims, 1, {IVF_NPROBE}), s -> s.cid)"
+            )).alias("cid"),
+            F.col("dd").alias("qv"), F.col("nrm").alias("qn"),
+        )
+        cos = DOT_SPARK.format(a="qv", b="dd") + " / (qn * nrm)"
+        w = W.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc("vec_id")
+        )
+        got = (
+            assigned.join(F.broadcast(probes), "cid")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .withColumn("cosine", F.expr(cos))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= RECLUSTER_RECALL_K)
+            .select("query_id", "vec_id")
+        )
+        q_all = idx_df.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("dd").alias("qv"), F.col("nrm").alias("qn"),
+        )
+        exact = (
+            idx_df.crossJoin(F.broadcast(q_all))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .withColumn("cosine", F.expr(cos))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= RECLUSTER_RECALL_K)
+            .select("query_id", "vec_id")
+        )
+        n_q = q_all.count()
+        hits = got.join(exact, ["query_id", "vec_id"], "left_semi").count()
+        return hits / (n_q * RECLUSTER_RECALL_K) if n_q else 1.0
+    finally:
+        idx_df.unpersist()
+
+
+def _recluster_stage(spark: SparkSession, sf_dir: str) -> tuple:
+    """Staged once per process: an IVF index born with q45's
+    CONVENTION quantizer (the first K vectors — the untrained stand-in
+    a recluster should beat), the last 1/5 of the corpus appended
+    against the STORED quantizer, a merge-on-read delete, then ONE
+    recluster_index rebuild (k-means retrained on the index's own
+    vectors). Returns (idx_path, pins, recall_before, recall_after)
+    where the recalls are probe-recall@10 at nprobe=2 against the
+    exact cosine top-10 over the same content."""
+    from prox_spark.table import (
+        commit_snapshot,
+        read_manifest,
+        read_table,
+    )
+    from prox_spark.upsert import delete_keys_mor
+
+    from ._staging import staged
+
+    def build(scratch: str) -> tuple:
+        idx = f"{scratch}/ivf"
+        emb = _emb_n(spark, sf_dir).select("vec_id", "dd", "nrm")
+        init = emb.filter(F.col("vec_id") % 5 != 0)
+        cents0 = [
+            (int(r["vec_id"]), [float(x) for x in r["dd"]])
+            for r in init.orderBy("vec_id").limit(IVF_K).collect()
+        ]
+        commit_snapshot(
+            spark, idx,
+            _assign_to_cents(init, cents0).select(
+                "vec_id", "dd", "nrm", "cid"
+            ),
+            stat_cols=["cid"], n_files=IVF_K,
+            extra_meta={"quantizer": {
+                "k": IVF_K, "cents": [[c, v] for c, v in cents0],
+            }},
+        )
+        append_to_index(spark, idx, emb.filter(F.col("vec_id") % 5 == 0))
+        delete_keys_mor(
+            spark, idx,
+            emb.filter(F.col("vec_id") % RECLUSTER_DEL_MOD == 4)
+            .select("vec_id"),
+            ["vec_id"],
+        )
+        v0 = int(read_manifest(spark, idx)["version"])
+        recall0 = _probe_recall(spark, read_table(spark, idx), cents0)
+        out = recluster_index(spark, idx, k=IVF_K, max_iters=3)
+        m = read_manifest(spark, idx)
+        recall1 = _probe_recall(
+            spark, read_table(spark, idx), out["cents"]
+        )
+        pins = {
+            "isolated": bool(out["isolated"]),
+            "one_publish": bool(int(m["version"]) == v0 + 1),
+            "delete_folded": not m.get("deletes"),
+            "quantizer_stored": bool(
+                index_quantizer(spark, idx) == out["cents"]
+            ),
+        }
+        return idx, pins, float(recall0), float(recall1)
+
+    return staged(_RECLUSTER_CACHE, sf_dir, "prox_recluster_", build)
+
+
+def q215_ivf_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF QUANTIZER RE-CLUSTERING — the maintenance a frozen-quantizer
+    index (q161/q198) eventually needs (recluster_index): centroids
+    retrain on the index's own vectors, the cid-clustered table
+    rebuilds on a WAP BRANCH while main serves untouched, and ONE
+    fast-forward CAS publishes rebuilt data + new quantizer together
+    (the quantizer is manifest metadata, carried forward by routine
+    commits). The staging appends against the stored quantizer and
+    stages a merge-on-read delete first, so the rebuild must fold the
+    delete debt and lose/duplicate nothing — the oracle recomputes the
+    surviving id set's count/sum directly. Pins: ``isolated`` (main's
+    version never moved during the rebuild — serving uninterrupted),
+    ``one_publish`` (exactly one commit landed), ``delete_folded`` (no
+    MoR entry survives the rebuild), ``quantizer_stored`` (the stored
+    centroids round-trip), and ``recall_band`` (probe-recall@10 at
+    nprobe=2 of k=8 ≥ 0.4 on the rebuilt index — scanning 1/4 of the
+    corpus at random would land ≈0.25, so the band proves the trained
+    cells correlate with cosine neighborhoods; on this near-isotropic
+    corpus retraining neither helps nor collapses — the rebalancing
+    win under genuine drift is proven by the blob-shift test,
+    tests/test_kmeans.py)."""
+    from prox_spark.table import read_table
+
+    idx, pins, _recall0, recall1 = _recluster_stage(spark, sf_dir)
+    out = read_table(spark, idx).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.countDistinct("vec_id").cast("long").alias("n_distinct"),
+        F.sum("vec_id").cast("long").alias("sum_vec_id"),
+    )
+    for name, val in pins.items():
+        out = out.withColumn(name, F.lit(bool(val)))
+    return out.withColumn("recall_band", F.lit(bool(recall1 >= 0.4)))
+
+
+ORACLE_Q215 = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(count(DISTINCT vec_id) AS BIGINT) AS n_distinct,
+       CAST(sum(vec_id) AS BIGINT) AS sum_vec_id,
+       TRUE AS isolated,
+       TRUE AS one_publish,
+       TRUE AS delete_folded,
+       TRUE AS quantizer_stored,
+       TRUE AS recall_band
+FROM embeddings
+WHERE vec_id % {RECLUSTER_DEL_MOD} <> 4
+"""
+
+
 QUERIES = {
     "q40_cosine_topk": q40_cosine_topk,
     "q41_lsh_ann": q41_lsh_ann,
@@ -2149,6 +2502,7 @@ QUERIES = {
     "q170_semdedup": q170_semdedup,
     "q175_matryoshka_overlap": q175_matryoshka_overlap,
     "q195_top_principal_component": q195_top_principal_component,
+    "q215_ivf_recluster": q215_ivf_recluster,
 }
 
 ORACLES = {
@@ -2168,4 +2522,5 @@ ORACLES = {
     "q170_semdedup": ORACLE_Q170,
     "q175_matryoshka_overlap": ORACLE_Q175,
     "q195_top_principal_component": _oracle_q195(),
+    "q215_ivf_recluster": ORACLE_Q215,
 }

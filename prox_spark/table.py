@@ -1184,6 +1184,12 @@ def commit_delta(
             # it through extra_meta below — in the SAME atomic rename
             # as the refreshed data
             manifest["mv_of"] = cur["mv_of"]
+        if cur.get("quantizer"):
+            # an IVF index's coarse-quantizer parameters version WITH
+            # the data: appends assign against the stored centroids,
+            # and recluster_index overrides them through extra_meta in
+            # the same rename as the rebuilt assignment
+            manifest["quantizer"] = cur["quantizer"]
         if extra_meta:
             manifest.update(extra_meta)
         try:
