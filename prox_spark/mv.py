@@ -90,6 +90,7 @@ def create_mv(
         stat_cols=list(keys), n_files=4,
         extra_meta={"mv_of": {
             "path": base_path, "version": base_v,
+            "registered": base_v,
             "keys": list(keys), "sums": list(sums),
             "mins": list(mins), "maxs": list(maxs),
         }},
@@ -108,6 +109,7 @@ def _merge_delta(
     delta: DataFrame, lineage: dict,
     mins: list[str] = (), maxs: list[str] = (),
     recompute_from: str | None = None,
+    restore: dict[str, str] | None = None,
 ) -> tuple[int, int]:
     """Merge a signed per-key delta frame (``_dn`` + ``_ds_<col>``
     columns, plus ``_imin/_dmin/_imax/_dmax`` extreme columns when the
@@ -162,7 +164,10 @@ def _merge_delta(
             merged = kept
             if recomputed:
                 scoped = _semi_nullsafe(
-                    read_table(spark, recompute_from), affected, keys
+                    _restore_names(
+                        read_table(spark, recompute_from), restore or {}
+                    ),
+                    affected, keys,
                 )
                 merged = kept.unionByName(
                     _agg(scoped, keys, sums, mins, maxs)
@@ -270,6 +275,104 @@ def _semi_nullsafe(
     return df.join(F.broadcast(kf), cond, "left_semi")
 
 
+# --- base-schema evolution: recorded names resolve through renames ----------
+
+
+class MvSchemaError(ValueError):
+    """A recorded base column no longer resolves — the view needs a
+    rebuild. Deliberately NOT treated as an unreadable-version error:
+    a silent full-recompute fallback here would fold the wrong (or no)
+    column."""
+
+
+def _rename_events(
+    spark: SparkSession, base: str, lo: int, head: int
+) -> list[tuple[int, str, str]]:
+    """The base's rename events committed in (lo, head], in version
+    order — collected from every SURVIVING manifest (a mapping entry
+    retires from later manifests once pre-rename files are rewritten,
+    but the manifest of its own commit always carries it; an event is
+    lost only when its manifest was vacuumed AND it retired from all
+    survivors — the recorded column then fails resolution loudly)."""
+    from prox_spark.table import _manifest_versions
+
+    events: dict[tuple[int, str], str] = {}
+    for v in _manifest_versions(spark, base):
+        if v > head:
+            continue
+        m = read_manifest(spark, base, v)
+        for e in m.get("renames") or []:
+            ev = int(e["version"])
+            if lo < ev <= head:
+                events[(ev, e["from"])] = e["to"]
+    return sorted((v, f, t) for (v, f), t in events.items())
+
+
+def _resolve_cols(
+    cols: list[str], events: list[tuple[int, str, str]]
+) -> dict[str, str]:
+    """Map each REGISTRATION-TIME column name to its CURRENT name by
+    composing the rename events in version order (a → b then b → c
+    resolves a to c)."""
+    out = {c: c for c in cols}
+    for _v, frm, to in events:
+        for rec, cur in out.items():
+            if cur == frm:
+                out[rec] = to
+    return out
+
+
+def _mv_mapping(
+    spark: SparkSession, info: dict, head: int,
+    events: list[tuple[int, str, str]],
+) -> dict[str, str]:
+    """The registration-time → current mapping for a single-table
+    view's recorded columns, validated against the base's HEAD
+    schema: a recorded column that resolves to nothing (dropped, or
+    renamed outside the reconstructable window) raises loudly — the
+    view needs a rebuild, never a silent wrong fold."""
+    cols = [
+        *info["keys"], *info["sums"],
+        *(info.get("mins") or []), *(info.get("maxs") or []),
+    ]
+    mapping = _resolve_cols(sorted(set(cols)), events)
+    schema = {
+        f["name"]
+        for f in read_manifest(spark, info["path"], head)["schema"]["fields"]
+    }
+    missing = sorted(
+        rec for rec, cur in mapping.items() if cur not in schema
+    )
+    if missing:
+        raise MvSchemaError(
+            f"materialized view over {info['path']} records column(s) "
+            f"{missing} that no longer resolve in the base schema "
+            "(dropped, or renamed beyond the reconstructable history) — "
+            "drop and re-create the view"
+        )
+    return mapping
+
+
+def _restore_names(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    """Rename a base-derived frame's CURRENT column names back to the
+    registration-time names, so the view's own schema (sum_<col>,
+    min_<col>, ...) never shifts underneath its readers. A change feed
+    spanning the rename carries BOTH name generations (frames union by
+    name with NULL backfill) — those coalesce: each row has exactly
+    one generation's column non-null."""
+    cols = set(df.columns)
+    for rec, cur in mapping.items():
+        if cur == rec:
+            continue
+        if cur in cols and rec in cols:
+            df = df.withColumn(
+                rec, F.coalesce(F.col(rec), F.col(cur))
+            ).drop(cur)
+        elif cur in cols:
+            df = df.withColumnRenamed(cur, rec)
+    return df
+
+
 def _signed_delta(
     feed: DataFrame, keys: list[str], sums: list[str],
     mins: list[str] = (), maxs: list[str] = (),
@@ -350,14 +453,23 @@ def refresh_mv(spark: SparkSession, mv_path: str) -> dict:
         return {"refreshed": False, "covered": covered, "touched_groups": 0}
 
     lineage = {**info, "version": head}
+    # recorded column names resolve through the base's rename history
+    # since registration; a column that no longer resolves raises
+    # MvSchemaError loudly (never a silent wrong fold)
+    events = _rename_events(
+        spark, base, int(info.get("registered", 0)), head
+    )
+    mapping = _mv_mapping(spark, info, head, events)
     mode = "incremental"
     recomputed = 0
     try:
-        feed = read_table_changes(spark, base, covered, head)
+        feed = _restore_names(
+            read_table_changes(spark, base, covered, head), mapping
+        )
         delta = _signed_delta(feed, keys, sums, mins, maxs)
         touched, recomputed = _merge_delta(
             spark, mv_path, keys, sums, delta, lineage,
-            mins, maxs, recompute_from=base,
+            mins, maxs, recompute_from=base, restore=mapping,
         )
     except Exception as ex:
         if not _is_unreadable_version(ex):
@@ -368,7 +480,10 @@ def refresh_mv(spark: SparkSession, mv_path: str) -> dict:
         mode = "full"
         touched = _replace_contents(
             spark, mv_path,
-            _agg(read_table(spark, base), keys, sums, mins, maxs),
+            _agg(
+                _restore_names(read_table(spark, base), mapping),
+                keys, sums, mins, maxs,
+            ),
             keys, lineage,
         )
     return {
@@ -380,6 +495,8 @@ def refresh_mv(spark: SparkSession, mv_path: str) -> dict:
 def _is_unreadable_version(ex: Exception) -> bool:
     from prox_spark.table import _is_missing_file_error
 
+    if isinstance(ex, MvSchemaError):
+        return False  # a schema mismatch must stay loud, never fall back
     return isinstance(ex, ValueError) or _is_missing_file_error(ex)
 
 
@@ -421,10 +538,21 @@ def mv_stream_batch(batch_df: DataFrame, batch_id: int,
     end = end_row[0]
     if end is None:
         return  # nothing beyond the covered version: replay no-op
-    delta = _signed_delta(fresh, keys, sums, mins, maxs)
+    # the mapping resolves against the base's actual head (a replayed
+    # batch can carry versions the base has since compacted past, and
+    # a synthetic feed can run ahead of the manifest log)
+    base_head = int(read_manifest(sp, info["path"])["version"])
+    h = min(int(end), base_head)
+    events = _rename_events(
+        sp, info["path"], int(info.get("registered", 0)), h
+    )
+    mapping = _mv_mapping(sp, info, h, events)
+    delta = _signed_delta(
+        _restore_names(fresh, mapping), keys, sums, mins, maxs
+    )
     _merge_delta(
         sp, mv_path, keys, sums, delta, {**info, "version": int(end)},
-        mins, maxs, recompute_from=info["path"],
+        mins, maxs, recompute_from=info["path"], restore=mapping,
     )
 
 
@@ -483,6 +611,7 @@ def refresh_join_mv(spark: SparkSession, mv_path: str) -> dict:
     rp, rv = info["right"]["path"], int(info["right"]["version"])
     lh = int(read_manifest(spark, lp)["version"])
     rh = int(read_manifest(spark, rp)["version"])
+    _check_join_schema(spark, info, lh, rh)
     if lh == lv and rh == rv:
         return {"refreshed": False, "covered": (lv, rv), "touched_groups": 0}
 
@@ -508,6 +637,29 @@ def refresh_join_mv(spark: SparkSession, mv_path: str) -> dict:
         "refreshed": True, "covered": (lh, rh), "touched_groups": touched,
         "mode": mode,
     }
+
+
+def _check_join_schema(
+    spark: SparkSession, info: dict, lh: int, rh: int
+) -> None:
+    """Join views do NOT resolve renames (a recorded column's owning
+    side is ambiguous in the joined frame): every recorded on/key/sum
+    column must still exist in some base's head schema, else the view
+    loudly requires a rebuild."""
+    avail: set[str] = set()
+    for side in ("left", "right"):
+        m = read_manifest(spark, info[side]["path"],
+                          lh if side == "left" else rh)
+        avail |= {f["name"] for f in m["schema"]["fields"]}
+    recorded = {*info["on"], *info["keys"], *info["sums"]}
+    missing = sorted(recorded - avail)
+    if missing:
+        raise MvSchemaError(
+            f"join materialized view records column(s) {missing} that no "
+            "longer exist in either base's schema (renamed or dropped) — "
+            "drop and re-create the view (join views do not resolve "
+            "renames)"
+        )
 
 
 def _join_delta(
@@ -595,6 +747,7 @@ def read_mv_current(spark: SparkSession, mv_path: str) -> DataFrame:
         on = list(info["on"])
         lh = int(read_manifest(spark, lp)["version"])
         rh = int(read_manifest(spark, rp)["version"])
+        _check_join_schema(spark, info, lh, rh)
         if (
             lh == int(info["left"]["version"])
             and rh == int(info["right"]["version"])
@@ -617,12 +770,21 @@ def read_mv_current(spark: SparkSession, mv_path: str) -> DataFrame:
     head = int(read_manifest(spark, base)["version"])
     if head == covered:
         return cur
+    events = _rename_events(
+        spark, base, int(info.get("registered", 0)), head
+    )
+    mapping = _mv_mapping(spark, info, head, events)
     try:
-        feed = read_table_changes(spark, base, covered, head)
+        feed = _restore_names(
+            read_table_changes(spark, base, covered, head), mapping
+        )
     except Exception as ex:
         if not _is_unreadable_version(ex):
             raise
-        return _agg(read_table(spark, base), keys, sums, mins, maxs)
+        return _agg(
+            _restore_names(read_table(spark, base), mapping),
+            keys, sums, mins, maxs,
+        )
     merged = _apply_delta(
         cur, _signed_delta(feed, keys, sums, mins, maxs),
         keys, sums, mins, maxs,
@@ -632,7 +794,9 @@ def read_mv_current(spark: SparkSession, mv_path: str) -> DataFrame:
     # extremes: recompute the affected groups from the base HEAD at
     # read time — same q184 algebra the persisted refresh uses
     kept, affected = _split_recompute(merged, keys)
-    scoped = _semi_nullsafe(read_table(spark, base), affected, keys)
+    scoped = _semi_nullsafe(
+        _restore_names(read_table(spark, base), mapping), affected, keys
+    )
     return kept.unionByName(_agg(scoped, keys, sums, mins, maxs))
 
 

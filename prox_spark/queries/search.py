@@ -314,6 +314,56 @@ def _signed_postings(feed: DataFrame) -> DataFrame:
     )
 
 
+def postings_feed(
+    spark: SparkSession,
+    table_path: str,
+    start_version: int,
+    end_version: int | None = None,
+    text_col: str = "text",
+    since: int = 0,
+) -> DataFrame:
+    """The corpus change feed prepared for postings maintenance, with
+    the tokenized column RESOLVED through the base's rename history
+    (the mv.py machinery): a feed window after — or spanning — a
+    ``text`` rename delivers frames under the new (or both) name
+    generations, and a naive ``_signed_postings`` over it would
+    silently drop the renamed rows' tokens (explode over a
+    NULL-backfilled column). ``since`` is the version the index
+    recorded the column name at (its build version) — rename events
+    after it resolve; a column that no longer resolves raises
+    ``MvSchemaError`` loudly (rebuild the index)."""
+    from prox_spark.cdf import read_table_changes
+    from prox_spark.mv import (
+        MvSchemaError,
+        _rename_events,
+        _resolve_cols,
+        _restore_names,
+    )
+    from prox_spark.table import read_manifest
+
+    head = (
+        int(read_manifest(spark, table_path)["version"])
+        if end_version is None
+        else int(end_version)
+    )
+    events = _rename_events(spark, table_path, int(since), head)
+    mapping = _resolve_cols([text_col], events)
+    schema = {
+        f["name"]
+        for f in read_manifest(spark, table_path, head)["schema"]["fields"]
+    }
+    if mapping[text_col] not in schema:
+        raise MvSchemaError(
+            f"postings index tokenizes column {text_col!r}, which no "
+            f"longer resolves in {table_path}'s schema (dropped, or "
+            "renamed beyond the reconstructable history) — rebuild the "
+            "index on the current column"
+        )
+    return _restore_names(
+        read_table_changes(spark, table_path, start_version, head), mapping
+    )
+
+
 def maintained_postings(spark: SparkSession, idx: str) -> DataFrame:
     """The index's CURRENT logical postings: base rows plus signed
     delta rows folded at read time (sum per (term, doc_id), zero and

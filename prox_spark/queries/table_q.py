@@ -3088,15 +3088,18 @@ _MINMAX_MV_CACHE: dict[str, tuple] = {}
 
 def _minmax_mv(spark: SparkSession, sf_dir: str) -> tuple:
     """Staged once per process: a documents base, a count+sum+min+max
-    by-source view, an append, then a KEEPER DELETE — for every source
-    in a deterministic half (md5-gated), delete exactly the rows
-    holding the source's current max n_chars — and ONE refresh.
-    Returns (mv_path, recompute_bounded, covered_ok)."""
+    by-source view, a RENAME of the recorded sum/extreme column
+    (n_chars → chars_v2 — the view must resolve through the mapping),
+    an append under the new name, then a KEEPER DELETE — for every
+    source in a deterministic half (md5-gated), delete exactly the
+    rows holding the source's current max — and ONE refresh. Returns
+    (mv_path, recompute_bounded, covered_ok, rename_survived)."""
     from prox_spark.mv import create_mv, mv_info, refresh_mv
     from prox_spark.table import (
         commit_delta,
         commit_snapshot,
         read_manifest,
+        rename_column,
     )
     from prox_spark.upsert import delete_keys_mor
 
@@ -3113,9 +3116,12 @@ def _minmax_mv(spark: SparkSession, sf_dir: str) -> tuple:
         )
         create_mv(spark, base, mv, ["source"], ["n_chars"],
                   mins=["doc_id", "n_chars"], maxs=["n_chars"])
+        rename_column(spark, base, "n_chars", "chars_v2")
         prev = read_manifest(spark, base)
         commit_delta(
-            spark, base, docs.filter(F.col("doc_id") % 10 > 8),
+            spark, base,
+            docs.filter(F.col("doc_id") % 10 > 8)
+            .withColumnRenamed("n_chars", "chars_v2"),
             list(prev["files"]), update_key_ranges={},
         )
         # keeper delete: per-source argmax rows, md5-gated half of the
@@ -3143,7 +3149,14 @@ def _minmax_mv(spark: SparkSession, sf_dir: str) -> tuple:
             mv_info(spark, mv)["version"]
             == read_manifest(spark, base)["version"]
         )
-        return mv, recompute_bounded, covered_ok
+        from prox_spark.table import read_table
+
+        rename_survived = bool(
+            read_table(spark, mv).columns
+            == ["source", "n_rows", "sum_n_chars", "min_doc_id",
+                "min_n_chars", "max_n_chars"]
+        )
+        return mv, recompute_bounded, covered_ok, rename_survived
 
     return staged(_MINMAX_MV_CACHE, sf_dir, "prox_mmv_", build)
 
@@ -3158,14 +3171,21 @@ def q212_minmax_materialized_view(
     groups whose stored extreme was deleted, scoped by a broadcast
     semi-join against the base (work ∝ affected groups, never a base
     re-scan for the rest). The staging deletes every md5-gated
-    source's argmax rows ON PURPOSE — the keeper-delete worst case.
+    source's argmax rows ON PURPOSE — the keeper-delete worst case —
+    and RENAMES the recorded column (n_chars → chars_v2) before the
+    churn, so the refresh must resolve its registration-time names
+    through the base's rename history (mv.py _rename_events; a
+    dropped column raises MvSchemaError instead of folding wrong).
     The oracle aggregates the formulaic final base; pins:
     ``recompute_bounded`` (the refresh recomputed exactly the gated
-    groups — no more, no fewer) and ``covered_ok`` (lineage tracks
-    the base head)."""
+    groups — no more, no fewer), ``covered_ok`` (lineage tracks the
+    base head), and ``rename_survived`` (the view's own schema never
+    shifted under the base rename)."""
     from prox_spark.table import read_table
 
-    mv, recompute_bounded, covered_ok = _minmax_mv(spark, sf_dir)
+    mv, recompute_bounded, covered_ok, rename_survived = _minmax_mv(
+        spark, sf_dir
+    )
     return (
         read_table(spark, mv)
         .select(
@@ -3174,6 +3194,7 @@ def q212_minmax_materialized_view(
         )
         .withColumn("recompute_bounded", F.lit(recompute_bounded))
         .withColumn("covered_ok", F.lit(covered_ok))
+        .withColumn("rename_survived", F.lit(rename_survived))
         .orderBy("source")
     )
 
@@ -3193,7 +3214,8 @@ SELECT source,
        CAST(min(n_chars) AS BIGINT) AS min_n_chars,
        CAST(max(n_chars) AS BIGINT) AS max_n_chars,
        TRUE AS recompute_bounded,
-       TRUE AS covered_ok
+       TRUE AS covered_ok,
+       TRUE AS rename_survived
 FROM final
 GROUP BY source
 ORDER BY source

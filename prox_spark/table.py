@@ -2502,6 +2502,13 @@ def refresh_value_index(
         )
     col, covered = meta["col"], int(meta["version"])
     m = read_manifest(spark, table_path)
+    if col not in {f["name"] for f in m["schema"]["fields"]}:
+        raise ValueError(
+            f"value index {index_path} indexes column {col!r}, which no "
+            f"longer exists in {table_path}'s schema (renamed or "
+            "dropped) — rebuild it with build_value_index on the "
+            "current column name"
+        )
     born = m.get("born") or {}
     fresh = [f for f in m["files"] if born.get(f, 0) > covered]
     new_v = int(m["version"])
@@ -2539,8 +2546,20 @@ def indexed_point_files(
     born AFTER the indexed version (unindexed by construction).
     ``indexed_version=None`` resolves the covered version from the
     index manifest's ``index_of`` record. Returns (manifest, target
-    files, live file count)."""
+    files, live file count).
+
+    Raises when ``col`` no longer exists in the base schema (renamed
+    or dropped): the index's recorded incidences key on the OLD
+    physical name, so a probe under the new name would silently skip
+    indexed files — rebuild the index instead."""
     m = read_manifest(spark, table_path)
+    if col not in {f["name"] for f in m["schema"]["fields"]}:
+        raise ValueError(
+            f"value index {index_path} probes column {col!r}, which no "
+            f"longer exists in {table_path}'s schema (renamed or "
+            "dropped) — rebuild it with build_value_index on the "
+            "current column name"
+        )
     if indexed_version is None:
         indexed_version = int(
             (read_manifest(spark, index_path).get("index_of") or {})

@@ -644,6 +644,170 @@ def test_minmax_mv_read_and_rewrite_paths(spark):
     assert miss is None
 
 
+# --- base-schema evolution: recorded columns resolve through renames --------
+
+
+def test_refresh_resolves_renamed_columns(spark):
+    """Renaming a recorded sum/extreme column AND a group-key column
+    on the base: refresh resolves through the rename history, folds
+    exactly, and the VIEW's own schema never shifts (still sum_val /
+    min_val / max_val keyed by grp)."""
+    from prox_spark.table import rename_column
+
+    s = _scratch()
+    base, mv = f"{s}/base", f"{s}/mv"
+    commit_snapshot(spark, base, _df(spark, 0, 100),
+                    stat_cols=["id"], n_files=4)
+    create_mv(spark, base, mv, ["grp"], ["val"],
+              mins=["val"], maxs=["val"])
+    rename_column(spark, base, "val", "val2")
+    rename_column(spark, base, "grp", "grp2")
+    # churn under the NEW names (keeper delete id=95 forces the
+    # extremes recompute through the restored-name scope)
+    delete_keys_mor(
+        spark, base,
+        spark.createDataFrame([(95,), (12,)], "id long"), ["id"],
+    )
+    prev = read_manifest(spark, base)
+    commit_delta(
+        spark, base,
+        _df(spark, 100, 120).withColumnRenamed("val", "val2")
+        .withColumnRenamed("grp", "grp2"),
+        list(prev["files"]), update_key_ranges={},
+    )
+    out = refresh_mv(spark, mv)
+    assert out["refreshed"] and out["mode"] == "incremental"
+    assert read_table(spark, mv).columns == [
+        "grp", COUNT_COL, "sum_val", "min_val", "max_val",
+    ]
+    want = sorted(
+        map(
+            tuple,
+            read_table(spark, base).groupBy("grp2").agg(
+                F.count(F.lit(1)).cast("long").alias(COUNT_COL),
+                F.sum("val2").alias("sum_val"),
+                F.min("val2").alias("min_val"),
+                F.max("val2").alias("max_val"),
+            ).collect(),
+        )
+    )
+    assert _mv_rows(spark, mv) == want
+    # a SECOND refresh after more churn chains onto the same mapping
+    delete_keys_mor(
+        spark, base, spark.createDataFrame([(33,)], "id long"), ["id"],
+    )
+    refresh_mv(spark, mv)
+    assert read_table(spark, mv).filter(
+        F.col(COUNT_COL) <= 0
+    ).count() == 0
+
+
+def test_feed_spanning_rename_coalesces_generations(spark):
+    """ONE refresh whose window holds commits from BEFORE and AFTER
+    the rename: the feed carries both name generations (NULL-backfilled
+    union) and the fold coalesces them into the recorded name."""
+    from prox_spark.table import rename_column
+
+    s = _scratch()
+    base, mv = f"{s}/base", f"{s}/mv"
+    commit_snapshot(spark, base, _df(spark, 0, 60),
+                    stat_cols=["id"], n_files=2)
+    create_mv(spark, base, mv, ["grp"], ["val"])
+    # pre-rename commit in the window
+    prev = read_manifest(spark, base)
+    commit_delta(spark, base, _df(spark, 60, 80),
+                 list(prev["files"]), update_key_ranges={})
+    rename_column(spark, base, "val", "val2")
+    # post-rename commit in the same window
+    prev = read_manifest(spark, base)
+    commit_delta(
+        spark, base, _df(spark, 80, 95).withColumnRenamed("val", "val2"),
+        list(prev["files"]), update_key_ranges={},
+    )
+    refresh_mv(spark, mv)
+    want = sorted(
+        map(
+            tuple,
+            read_table(spark, base).groupBy("grp").agg(
+                F.count(F.lit(1)).cast("long").alias(COUNT_COL),
+                F.sum("val2").alias("sum_val"),
+            ).collect(),
+        )
+    )
+    assert _mv_rows(spark, mv) == want
+
+
+def test_read_path_resolves_renames_without_publish(spark):
+    from prox_spark.mv import read_mv_current
+    from prox_spark.table import rename_column
+
+    s = _scratch()
+    base, mv = f"{s}/base", f"{s}/mv"
+    commit_snapshot(spark, base, _df(spark, 0, 50),
+                    stat_cols=["id"], n_files=2)
+    create_mv(spark, base, mv, ["grp"], ["val"])
+    rename_column(spark, base, "val", "v9")
+    delete_keys_mor(
+        spark, base, spark.range(0, 50, 7).select("id"), ["id"],
+    )
+    got = sorted(map(tuple, read_mv_current(spark, mv)
+                 .select("grp", COUNT_COL, "sum_val").collect()))
+    want = sorted(
+        map(
+            tuple,
+            read_table(spark, base).groupBy("grp").agg(
+                F.count(F.lit(1)).cast("long").alias(COUNT_COL),
+                F.sum("v9").alias("sum_val"),
+            ).collect(),
+        )
+    )
+    assert got == want
+
+
+def test_dropped_recorded_column_raises_loudly(spark):
+    """Dropping a recorded column must raise MvSchemaError — never the
+    silent full-recompute fallback (which would fold a wrong or absent
+    column), and never a publish."""
+    import pytest
+
+    from prox_spark.mv import MvSchemaError, read_mv_current
+    from prox_spark.table import drop_column
+
+    s = _scratch()
+    base, mv = f"{s}/base", f"{s}/mv"
+    commit_snapshot(spark, base, _df(spark, 0, 40),
+                    stat_cols=["id"], n_files=2)
+    create_mv(spark, base, mv, ["grp"], ["val"])
+    drop_column(spark, base, "val")
+    v0 = int(read_manifest(spark, mv)["version"])
+    with pytest.raises(MvSchemaError, match="re-create"):
+        refresh_mv(spark, mv)
+    with pytest.raises(MvSchemaError, match="re-create"):
+        read_mv_current(spark, mv).collect()
+    assert int(read_manifest(spark, mv)["version"]) == v0
+
+
+def test_join_view_rename_raises_loudly(spark):
+    import pytest
+
+    from prox_spark.mv import (
+        MvSchemaError,
+        create_join_mv,
+        refresh_join_mv,
+    )
+    from prox_spark.table import rename_column
+
+    s = _scratch()
+    left, right, mv = f"{s}/l", f"{s}/r", f"{s}/mv"
+    commit_snapshot(spark, left, _df(spark, 0, 40),
+                    stat_cols=["id"], n_files=2)
+    commit_snapshot(spark, right, _dims(spark, 0))
+    create_join_mv(spark, left, right, mv, ["grp"], ["grp"], ["val", "w"])
+    rename_column(spark, left, "val", "val_x")
+    with pytest.raises(MvSchemaError, match="join views do not resolve"):
+        refresh_join_mv(spark, mv)
+
+
 def test_minmax_mv_upsert_echo_pairs_net_out(spark):
     """An upsert echoes co-rewritten UNCHANGED rows as cancelling
     delete+insert pairs; extremes must fold from NET multiplicities —

@@ -202,3 +202,72 @@ def test_cluster_split_colocates_near_duplicates(spark):
     assert rows
     assert all(r["cross_split_pairs"] == 0 for r in rows)
     assert sum(r["n_docs"] for r in rows) == 500
+
+
+def test_postings_feed_resolves_text_rename(spark, tmp_path):
+    """A feed window spanning (and following) a rename of the
+    tokenized column: postings_feed restores the registration-time
+    name (coalescing both generations), so maintenance equals a
+    from-scratch index of the final corpus; a DROPPED column raises
+    the rebuild error instead of silently dropping tokens."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from prox_spark.mv import MvSchemaError
+    from prox_spark.queries.search import (
+        _signed_postings,
+        _tokens_tf,
+        postings_feed,
+    )
+    from prox_spark.table import (
+        commit_delta,
+        commit_snapshot,
+        drop_column,
+        read_manifest,
+        read_table,
+        rename_column,
+    )
+
+    t = str(tmp_path / "corpus")
+
+    def docs(lo, hi, col="text"):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("tok g"), F.expr("cast(id div 3 as string)")
+            ).alias(col),
+        )
+
+    commit_snapshot(spark, t, docs(0, 40), stat_cols=["doc_id"], n_files=2)
+    # pre-rename churn in the window
+    prev = read_manifest(spark, t)
+    commit_delta(spark, t, docs(40, 55),
+                 list(prev["files"]), update_key_ranges={})
+    rename_column(spark, t, "text", "body")
+    # post-rename churn in the same window
+    prev = read_manifest(spark, t)
+    commit_delta(spark, t, docs(55, 70, col="body"),
+                 list(prev["files"]), update_key_ranges={})
+
+    feed = postings_feed(spark, t, 1, text_col="text", since=1)
+    got = sorted(
+        map(tuple, _signed_postings(feed).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            _tokens_tf(
+                read_table(spark, t)
+                .filter(F.col("doc_id") >= 40)
+                .select("doc_id", F.col("body").alias("text"))
+            ).collect(),
+        )
+    )
+    assert got == want, "spanning-rename feed must coalesce generations"
+
+    from prox_spark.table import compact_table
+
+    compact_table(spark, t)  # retires the live mapping so drop is legal
+    drop_column(spark, t, "body")
+    with pytest.raises(MvSchemaError, match="rebuild"):
+        postings_feed(spark, t, 1, text_col="text", since=1)

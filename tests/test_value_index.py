@@ -198,3 +198,49 @@ def test_maintain_table_refreshes_registered_indexes(spark, tmp_path):
     assert read_table_point_indexed(
         spark, path, idx, None, "digest", dg11
     ).count() == 0
+
+
+def test_renamed_indexed_column_raises_loudly(spark, tmp_path):
+    """Renaming (or dropping) the indexed column on the base: probes
+    and refreshes must raise a clear rebuild error — the index's
+    incidences key on the old physical name, and a silent probe under
+    the new name would skip indexed files. An index rebuilt on the
+    current name serves again."""
+    import pytest
+
+    from prox_spark.table import rename_column
+
+    path, idx, _v = _stage(spark, tmp_path)
+    rename_column(spark, path, "digest", "content_hash")
+    probe = spark.range(1).select(F.md5(F.lit("7"))).first()[0]
+    with pytest.raises(ValueError, match="rebuild"):
+        read_table_point_indexed(spark, path, idx, None, "digest", probe)
+    with pytest.raises(ValueError, match="rebuild"):
+        refresh_value_index(spark, path, idx)
+    # rebuild under the new name: full service restored
+    idx2 = str(tmp_path / "t_hash_idx")
+    build_value_index(spark, path, "content_hash", idx2)
+    got = read_table_point_indexed(
+        spark, path, idx2, None, "content_hash", probe
+    )
+    assert [r["doc_id"] for r in got.collect()] == [7]
+    # ADD-COLUMN evolution is transparent: the old index still works
+    # when the indexed column itself is untouched
+    path2 = str(tmp_path / "t2")
+    idx3 = str(tmp_path / "t2_idx")
+    commit_snapshot(
+        spark, path2, _mkdocs(spark, 50), stat_cols=["doc_id"], n_files=4
+    )
+    build_value_index(spark, path2, "digest", idx3)
+    prev = read_manifest(spark, path2)
+    commit_delta(
+        spark, path2,
+        _mkdocs(spark, 60).filter(F.col("doc_id") >= 50)
+        .withColumn("extra", F.lit(1)),
+        list(prev["files"]), update_key_ranges={},
+    )
+    probe2 = spark.range(1).select(F.md5(F.lit("55"))).first()[0]
+    got2 = read_table_point_indexed(
+        spark, path2, idx3, None, "digest", probe2
+    )
+    assert [r["doc_id"] for r in got2.collect()] == [55]
