@@ -28,65 +28,66 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 # Registry order matters: the correctness driver checks the first ~50
-# entries per round. Union coverage across rounds 1-7 is 193 of 193
-# (every query has a green driver row), so round 8 rotates purely by
-# STALENESS (recomputed from the CORRECTNESS_r01..r07 files): the FIFTEEN
-# queries new this round lead (never driver-gated), then the cohort
-# whose most recent green driver row is round 4 (name order) up to the
-# 50-slot cap. Exactly 50 entries.
+# entries per round. Union coverage across rounds 1-8 is 208 of 208
+# (every query has a green driver row), so round 9 rotates purely by
+# STALENESS (recomputed from the CORRECTNESS_r01..r08 files): the FIVE
+# queries new this round lead (never driver-gated), then the eight
+# whose most recent green driver row is round 4, then the round-5
+# cohort in name order up to the 50-slot cap. Exactly 50 entries.
 _FRONT = [
     # new this round (never driver-gated)
-    "q196_change_feed",
-    "q197_stream_changefeed_view",
-    "q198_streaming_semantic_index",
-    "q199_incremental_data_card",
-    "q200_bm25_search",
-    "q201_incremental_text_index",
-    "q202_shallow_clone",
-    "q203_hybrid_retrieval",
-    "q204_check_constraints",
-    "q205_streaming_text_index",
-    "q206_leakage_free_split",
-    "q207_materialized_view",
-    "q208_join_materialized_view",
-    "q209_kmv_distinct",
-    "q210_streaming_mv",
-    # stalest driver rows next (last gated round 4, name order)
-    "q127_pagerank",
-    "q128_variant_props",
-    "q129_corpus_shuffle",
-    "q130_heavy_hitters",
-    "q131_zorder_scan",
-    "q132_auto_skew_revenue",
-    "q133_shard_assignment",
-    "q137_curation_capstone",
-    "q138_jsonl_scan",
-    "q139_orc_scan",
-    "q140_python_datasource",
-    "q141_python_stream_source",
-    "q142_polymorphic_udtf",
-    "q143_xml_scan",
-    "q144_approx_quantile_band",
-    "q145_temperature_mixture",
-    "q146_winsorized_stats",
-    "q147_containment_pairs",
-    "q148_source_concentration",
-    "q149_log_length_histogram",
-    "q150_weighted_pagerank",
-    "q151_gap_fill_interp",
-    "q153_streaming_cdc_apply",
-    "q154_point_lookup",
-    "q155_png_pixel_decode",
-    "q156_interval_overlap_join",
-    "q65_hash_split",
-    "q66_source_mixture",
-    "q67_decontaminate",
-    "q72_dup_clusters",
-    "q75_tfidf_top_terms",
-    "q76_ngram_decontaminate",
-    "q80_pii_redact",
-    "q81_repetition_stats",
-    "q82_chunk_split_udtf",
+    "q211_mv_serve_from_view",
+    "q212_minmax_materialized_view",
+    "q213_bounded_bm25",
+    "q214_maintained_bounded_bm25",
+    "q215_ivf_recluster",
+    # stalest driver rows next: the q83-q98 cohort last gated in
+    # round 4, then the round-5 cohort in name order, up to the 50 cap
+    "q83_source_token_totals",
+    "q84_user_running_totals_pandas",
+    "q86_scd2_user_state",
+    "q87_fuzzy_verify",
+    "q92_cohort_retention",
+    "q93_arrow_byte_stats",
+    "q97_gap_fill_locf",
+    "q99_filter_funnel",
+    "q01_pricing_summary",
+    "q02_top5_suppliers",
+    "q03_avg_acctbal_by_nation",
+    "q04_monthly_revenue",
+    "q05_status_pct_by_priority",
+    "q06_lineitems_by_nation_flag",
+    "q07_top5_suppliers_by_returns",
+    "q08_top3_orders_per_segment",
+    "q09_date_dim",
+    "q10_distinct_nation_region",
+    "q11_fk_orphans",
+    "q12_segment_status_matrix",
+    "q13_active_nations",
+    "q14_orders_since_week",
+    "q157_jpeg_block_decode",
+    "q158_video_frame_sample",
+    "q159_mor_delete",
+    "q15_rollup",
+    "q160_triangle_count",
+    "q161_ivf_index_maintenance",
+    "q162_ivf_mor_delete",
+    "q163_bpe_train",
+    "q164_rare_token_profile",
+    "q165_source_overlap_matrix",
+    "q166_rename_evolution",
+    "q167_chunked_point_lookup",
+    "q168_bpe_encode",
+    "q16_nation_setops",
+    "q17_customers_without_orders",
+    "q18_pivot_status",
+    "q19_approx_distinct_custkeys",
+    "q20_hourly_event_stats",
+    "q21_sessionize",
+    "q22_rolling_avg",
+    "q23_first_event_per_key",
+    "q24_event_type_share",
+    "q25_json_props",
 ]
 
 
