@@ -75,6 +75,17 @@ SKIP = {
     "q208_join_materialized_view",  # same staging shape as q207
     "q210_streaming_mv",  # runs three real stream passes while
     # building; the fold is q207's audited merge shape
+    "q211_mv_serve_from_view",  # stages real commits + a refresh and
+    # collects inputFiles for its pins while building; the serve plan
+    # is the stored-view scan + the cdf _read_files audited shape
+    "q212_minmax_materialized_view",  # stages commits + keeper deletes
+    # + one refresh while building; the read side is an ordinary
+    # pruned scan
+    "q214_maintained_bounded_bm25",  # stages the CDC corpus + index
+    # merge commits while building; serving is q213's audited probe
+    "q215_ivf_recluster",  # stages index + k-means + branch rebuild +
+    # recall measurements while building; the serving probe join is
+    # q45's audited plan shape
 }
 
 
