@@ -52,16 +52,14 @@ an opened posting's net tf).
 from __future__ import annotations
 
 import math
-from functools import reduce
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from prox_spark.table import (
     _read_files,
-    point_lookup_files,
     read_manifest,
     read_table,
+    split_files_by_key_ranges,
     split_files_by_key_sets,
 )
 
@@ -195,20 +193,26 @@ def bounded_bm25(
         idf[t] = (n_docs - df_t + 0.5) / (df_t + 0.5) if df_t else 0.0
         ub_g[t] = int(math.floor(idf[t] * mi * corr)) + 1
 
+    # file sets from the ONE manifest already in hand (a per-term
+    # point_lookup_files would re-read the manifest per term — 11
+    # driver FS round-trips per query batch for nothing)
     term_files = {
-        t: point_lookup_files(spark, idx_path, {"term": t}) for t in terms
+        t: split_files_by_key_ranges(m, {"term": (t, t)})[0] for t in terms
     }
     files_full = sum(len(v) for v in term_files.values())
 
     def probe(opened: dict[str, list[str]]) -> DataFrame:
-        frames = [
-            _read_files(spark, idx_path, m, fs).filter(F.col("term") == t)
-            for t, fs in opened.items()
-            if fs
-        ]
-        if not frames:  # no query term exists in the index
+        # ONE scan of the union of opened files, filtered to the query
+        # terms — not a per-term scan union (11 tiny-file scans per
+        # pass). A term's posting surfacing from a file opened for
+        # ANOTHER term only adds exact rows: computed scores move
+        # closer to true, and the skip proof needs computed ≤ true.
+        files = sorted({f for fs in opened.values() for f in fs})
+        if not files:  # no query term exists in the index
             return read_table(spark, idx_path).limit(0)
-        return reduce(lambda a, b: a.unionByName(b), frames)
+        return _read_files(spark, idx_path, m, files).filter(
+            F.col("term").isin(list(terms))
+        )
 
     def score(probed: DataFrame) -> DataFrame:
         qdf = spark.createDataFrame(

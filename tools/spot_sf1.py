@@ -88,10 +88,15 @@ QUERIES = [
     # pruned files).
     "q200_bm25_search",
     "q203_hybrid_retrieval",
+    # round 9: block-max bounded BM25 — the serving claim is the same
+    # sub-linearity as q200 PLUS the skip rule: at 10x the postings
+    # the per-term blocks multiply, and the timed query opens only the
+    # blocks whose impact bound can reach the top-k floor.
+    "q213_bounded_bm25",
 ]
 # queries whose builder caches an intermediate per (app, sf_dir): warm
 # the DEST side too, so both scales time the same post-cache work
-WARM_DEST = {"q170_semdedup", "q193_dedup_data_card", "q200_bm25_search", "q203_hybrid_retrieval"}
+WARM_DEST = {"q170_semdedup", "q193_dedup_data_card", "q200_bm25_search", "q203_hybrid_retrieval", "q213_bounded_bm25"}
 MAX_EXPONENT = 1.6
 
 
