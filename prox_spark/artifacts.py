@@ -1,0 +1,215 @@
+"""Derived-artifact REGISTRY + one-call maintenance — the operational
+layer that keeps a base table's derived artifacts (materialized
+views, value indexes, postings indexes, IVF indexes) CURRENT without
+hand-run refresh scripts. The reference's analogue is its Step
+Functions DAG re-running whole Glue jobs on a schedule
+(reference stepfunctions.tf:8-226); the transposition is incremental:
+every maintenance action below is the artifact's own delta-bounded
+refresh, never a rebuild (except the IVF recluster, which fires only
+when a measured imbalance threshold is crossed — and rebuilds on a
+WAP branch without interrupting serving).
+
+The registry itself is a manifest table (the format dogfooding its
+own artifacts, like the BPE merge table and the value index): one row
+per artifact — (artifact path, kind, base path, params JSON) — keyed
+on the artifact path, so registration is an ordinary upsert and the
+registry has time travel, vacuum, and cloning like any table.
+
+``maintain_artifacts`` runs every registered artifact's maintenance
+with PER-ARTIFACT error isolation: one broken artifact (say, a view
+whose recorded column was dropped) reports ``error`` while the rest
+still refresh; the call raises at the END unless ``raise_on_error``
+is off, so failures are loud but never block sibling artifacts.
+
+Kinds:
+
+- ``mv`` / ``join_mv``: prox_spark.mv refresh (change-feed
+  incremental; covered-version lineage lives in the VIEW's manifest).
+- ``value_index``: prox_spark.table refresh_value_index (scans only
+  files born after the covered version).
+- ``bounded_postings``: prox_spark.wand maintain_bounded_index fed by
+  the change feed since the registry-recorded covered version (the
+  covered version advances IN the registry row — the index manifest
+  has no base lineage of its own); params: ``text_col``,
+  ``tokens_expr``, ``covered``.
+- ``ivf``: conditional recluster — measure cell imbalance
+  (max cell / mean cell) and fire prox_spark.queries.similarity
+  recluster_index only past ``params["imbalance"]``; params: ``k``,
+  ``imbalance`` (default 3.0).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from prox_spark.table import is_manifest_table, read_manifest, read_table
+
+_SCHEMA = "artifact string, kind string, base string, params string"
+KINDS = ("mv", "join_mv", "value_index", "bounded_postings", "ivf")
+
+
+def register_artifact(
+    spark: SparkSession,
+    registry_path: str,
+    kind: str,
+    base_path: str,
+    artifact_path: str,
+    params: dict | None = None,
+) -> None:
+    """Register (or re-register — upsert by artifact path) a derived
+    artifact for one-call maintenance."""
+    from prox_spark.upsert import upsert_parquet
+
+    if kind not in KINDS:
+        raise ValueError(f"unknown artifact kind {kind!r}; one of {KINDS}")
+    row = spark.createDataFrame(
+        [(artifact_path, kind, base_path, json.dumps(params or {}))],
+        _SCHEMA,
+    )
+    upsert_parquet(spark, registry_path, row, ["artifact"])
+
+
+def list_artifacts(spark: SparkSession, registry_path: str) -> list[dict]:
+    if not is_manifest_table(spark, registry_path):
+        return []
+    return [
+        {
+            "artifact": r["artifact"], "kind": r["kind"],
+            "base": r["base"], "params": json.loads(r["params"]),
+        }
+        for r in read_table(spark, registry_path).collect()
+    ]
+
+
+def _maintain_one(spark: SparkSession, ent: dict) -> dict:
+    kind, base, art = ent["kind"], ent["base"], ent["artifact"]
+    params = ent["params"]
+    if kind == "mv":
+        from prox_spark.mv import refresh_mv
+
+        out = refresh_mv(spark, art)
+        return {
+            "status": "refreshed" if out["refreshed"] else "noop",
+            "covered": out["covered"],
+        }
+    if kind == "join_mv":
+        from prox_spark.mv import refresh_join_mv
+
+        out = refresh_join_mv(spark, art)
+        return {
+            "status": "refreshed" if out["refreshed"] else "noop",
+            "covered": out["covered"],
+        }
+    if kind == "value_index":
+        from prox_spark.table import refresh_value_index
+
+        before = int(
+            (read_manifest(spark, art).get("index_of") or {}).get(
+                "version", -1
+            )
+        )
+        covered = refresh_value_index(spark, base, art)
+        return {
+            "status": "refreshed" if covered != before else "noop",
+            "covered": covered,
+        }
+    if kind == "bounded_postings":
+        covered = int(params.get("covered", 1))
+        head = int(read_manifest(spark, base)["version"])
+        if head == covered:
+            return {"status": "noop", "covered": covered}
+        from prox_spark.queries.search import postings_feed
+        from prox_spark.wand import maintain_bounded_index
+
+        feed = postings_feed(
+            spark, base, covered, head,
+            text_col=params.get("text_col", "text"),
+            since=int(params.get("since", 0)),
+        )
+        maintain_bounded_index(
+            spark, art, params["stats"], feed, params["tokens_expr"]
+        )
+        return {"status": "refreshed", "covered": head,
+                "params_update": {"covered": head}}
+    if kind == "ivf":
+        k = int(params.get("k", 8))
+        threshold = float(params.get("imbalance", 3.0))
+        head = int(read_manifest(spark, art)["version"])
+        # fire at most once per index version: data-inherent imbalance
+        # (a genuinely dominant mode) survives any recluster, and
+        # re-rebuilding the same bytes forever is the failure mode —
+        # only NEW data since the last rebuild re-arms the trigger
+        if int(params.get("reclustered_at", -1)) >= head:
+            return {"status": "noop", "reason": "no data since rebuild"}
+        sizes = [
+            int(r["n"])
+            for r in read_table(spark, art)
+            .groupBy("cid").agg(F.count(F.lit(1)).alias("n")).collect()
+        ]
+        # max/min cell ratio (max/mean caps at k and hides skew for
+        # small quantizers); an emptied cell is infinite imbalance
+        imbalance = (
+            max(sizes) / min(sizes) if sizes and min(sizes) else float("inf")
+        )
+        if imbalance <= threshold and len(sizes) >= k:
+            return {"status": "noop", "imbalance": round(imbalance, 2)}
+        from prox_spark.queries.similarity import recluster_index
+
+        out = recluster_index(spark, art, k=k)
+        return {
+            "status": "reclustered", "version": out["version"],
+            "imbalance": round(imbalance, 2),
+            "params_update": {"reclustered_at": int(out["version"])},
+        }
+    raise ValueError(f"unknown artifact kind {kind!r}")
+
+
+def maintain_artifacts(
+    spark: SparkSession,
+    registry_path: str,
+    raise_on_error: bool = True,
+) -> dict[str, dict]:
+    """Bring EVERY registered artifact current in one call. Returns
+    {artifact_path: {"status": refreshed|noop|reclustered|error,
+    ...}}. Per-artifact error isolation: a failing artifact records
+    ``error`` with the message and its siblings still maintain; with
+    ``raise_on_error`` (default) the call raises AFTER attempting all
+    of them, naming the failures — loud, but never a partial stop."""
+    from prox_spark.upsert import upsert_parquet
+
+    results: dict[str, dict] = {}
+    param_updates: list[tuple[str, dict]] = []
+    for ent in list_artifacts(spark, registry_path):
+        art = ent["artifact"]
+        try:
+            out = _maintain_one(spark, ent)
+            upd = out.pop("params_update", None)
+            if upd:
+                param_updates.append((art, {**ent["params"], **upd}))
+            results[art] = out
+        except Exception as ex:  # noqa: BLE001 — isolation by design
+            results[art] = {
+                "status": "error",
+                "error": f"{type(ex).__name__}: {ex}",
+            }
+    for art, params in param_updates:
+        ent = next(
+            e for e in list_artifacts(spark, registry_path)
+            if e["artifact"] == art
+        )
+        row = spark.createDataFrame(
+            [(art, ent["kind"], ent["base"], json.dumps(params))], _SCHEMA
+        )
+        upsert_parquet(spark, registry_path, row, ["artifact"])
+    failed = sorted(
+        a for a, r in results.items() if r["status"] == "error"
+    )
+    if failed and raise_on_error:
+        raise RuntimeError(
+            f"maintenance failed for {failed}: "
+            + "; ".join(results[a]["error"] for a in failed)
+        )
+    return results

@@ -850,3 +850,52 @@ def rewrite_aggregate(
         )
         return rolled, mv
     return _agg(read_table(spark, base_path), keys, sums, mins, maxs), None
+
+
+def rewrite_join_aggregate(
+    spark: SparkSession,
+    left_path: str,
+    right_path: str,
+    on: list[str],
+    keys: list[str],
+    sums: list[str],
+    candidates: list[str],
+) -> tuple[DataFrame, str | None]:
+    """The join twin of :func:`rewrite_aggregate`: route a
+    count+sum-by-keys aggregate over ``left ⋈ right`` to a covering
+    registered JOIN view (same base pair in either order with the same
+    join keys, requested keys/sums ⊆ the view's), served through
+    :func:`read_mv_current`'s three-term read-time delta fold — the
+    full join is never rebuilt even when BOTH bases moved after the
+    last refresh. Rolled up when the view's grain is finer; falls back
+    to the direct join aggregate with the identical schema."""
+    want = {left_path, right_path}
+    for mv in candidates:
+        try:
+            info = mv_info(spark, mv)
+        except ValueError:
+            continue
+        if "left" not in info:
+            continue
+        have = {info["left"]["path"], info["right"]["path"]}
+        if have != want or sorted(info["on"]) != sorted(on):
+            continue
+        if not (
+            set(keys) <= set(info["keys"])
+            and set(sums) <= set(info["sums"])
+        ):
+            continue
+        cur = read_mv_current(spark, mv)
+        if list(keys) == list(info["keys"]):
+            return cur.select(
+                *keys, COUNT_COL, *[f"sum_{c}" for c in sums]
+            ), mv
+        rolled = cur.groupBy(*keys).agg(
+            F.sum(COUNT_COL).cast("long").alias(COUNT_COL),
+            *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sums],
+        )
+        return rolled, mv
+    joined = read_table(spark, left_path).join(
+        read_table(spark, right_path), list(on)
+    )
+    return _agg(joined, keys, sums), None

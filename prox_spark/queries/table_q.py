@@ -3222,6 +3222,144 @@ ORDER BY source
 """
 
 
+# --- q216: derived-artifact registry, one-call maintenance ------------------
+
+_ARTREG_CACHE: dict[str, tuple] = {}
+
+
+def _artifact_registry(spark: SparkSession, sf_dir: str) -> tuple:
+    """Staged once per process: a documents base with a registered
+    materialized view AND a registered value index, churned (append +
+    merge-on-read delete + upsert) and brought current by ONE
+    maintain_artifacts call. Returns (mv_path, all_current,
+    second_call_noop, index_served)."""
+    from prox_spark.artifacts import maintain_artifacts, register_artifact
+    from prox_spark.mv import create_mv, mv_info
+    from prox_spark.table import (
+        build_value_index,
+        commit_delta,
+        commit_snapshot,
+        read_manifest,
+        read_table_point_indexed,
+    )
+    from prox_spark.upsert import delete_keys_mor, upsert_parquet
+
+    from ._staging import staged
+
+    def build(scratch: str) -> tuple:
+        base, reg = f"{scratch}/base", f"{scratch}/registry"
+        mv, vidx = f"{scratch}/mv", f"{scratch}/vidx"
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "source", "n_chars",
+            F.md5(F.col("doc_id").cast("string")).alias("digest"),
+        )
+        commit_snapshot(
+            spark, base, docs.filter(F.col("doc_id") % 10 <= 7),
+            stat_cols=["doc_id"], n_files=8,
+        )
+        create_mv(spark, base, mv, ["source"], ["n_chars"])
+        build_value_index(spark, base, "digest", vidx)
+        register_artifact(spark, reg, "mv", base, mv)
+        register_artifact(spark, reg, "value_index", base, vidx)
+
+        commit_delta(
+            spark, base, docs.filter(F.col("doc_id") % 10 > 7),
+            list(read_manifest(spark, base)["files"]),
+            update_key_ranges={},
+        )
+        delete_keys_mor(
+            spark, base,
+            docs.filter(F.col("doc_id") % 5 == 0).select("doc_id"),
+            ["doc_id"],
+        )
+        upsert_parquet(
+            spark, base,
+            docs.filter(
+                (F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 5 != 0)
+            ).withColumn("n_chars", F.col("n_chars") + F.lit(1000)),
+            ["doc_id"],
+        )
+        results = maintain_artifacts(spark, reg)
+        head = int(read_manifest(spark, base)["version"])
+        all_current = bool(
+            all(r["status"] == "refreshed" for r in results.values())
+            and int(mv_info(spark, mv)["version"]) == head
+            and int(read_manifest(spark, vidx)["index_of"]["version"])
+            == head
+        )
+        again = maintain_artifacts(spark, reg)
+        second_call_noop = bool(
+            all(r["status"] == "noop" for r in again.values())
+        )
+        # the maintained index serves a point lookup landed by the
+        # post-registration append (doc_id % 10 > 7 ⇒ unseen at build)
+        probe_id = int(
+            docs.filter(F.col("doc_id") % 10 > 7)
+            .agg(F.min("doc_id")).first()[0]
+        )
+        probe = spark.range(1).select(
+            F.md5(F.lit(str(probe_id)))
+        ).first()[0]
+        got = read_table_point_indexed(
+            spark, base, vidx, None, "digest", probe
+        )
+        index_served = bool(
+            [r["doc_id"] for r in got.collect()] == [probe_id]
+        )
+        return mv, all_current, second_call_noop, index_served
+
+    return staged(_ARTREG_CACHE, sf_dir, "prox_artreg_", build)
+
+
+def q216_artifact_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DERIVED-ARTIFACT REGISTRY with one-call maintenance
+    (prox_spark/artifacts.py) — the operational layer over the round's
+    MV/index machinery, transposing the reference's scheduled-rebuild
+    Step Functions DAG (reference stepfunctions.tf:8-226) into
+    incremental refreshes: a materialized view and a value index
+    registered against one base, churned by append + merge-on-read
+    delete + upsert, brought current by ONE maintain_artifacts call
+    with per-artifact error isolation. The oracle aggregates the
+    formulaic final base. Pins: ``all_current`` (every artifact's
+    covered version reached the base head in one call),
+    ``second_call_noop`` (an idle call publishes nothing), and
+    ``index_served`` (a point lookup through the maintained index
+    finds a row the post-registration append landed)."""
+    from prox_spark.table import read_table
+
+    mv, all_current, second_call_noop, index_served = _artifact_registry(
+        spark, sf_dir
+    )
+    return (
+        read_table(spark, mv)
+        .select("source", "n_rows", "sum_n_chars")
+        .withColumn("all_current", F.lit(all_current))
+        .withColumn("second_call_noop", F.lit(second_call_noop))
+        .withColumn("index_served", F.lit(index_served))
+        .orderBy("source")
+    )
+
+
+ORACLE_Q216 = """
+WITH final AS (
+  SELECT source,
+         CASE WHEN doc_id % 7 = 0 THEN n_chars + 1000
+              ELSE n_chars END AS n_chars
+  FROM documents
+  WHERE doc_id % 5 <> 0
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+       TRUE AS all_current,
+       TRUE AS second_call_noop,
+       TRUE AS index_served
+FROM final
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "q114_snapshot_diff": q114_snapshot_diff,
     "q118_incremental_agg": q118_incremental_agg,
@@ -3250,6 +3388,7 @@ QUERIES = {
     "q210_streaming_mv": q210_streaming_mv,
     "q211_mv_serve_from_view": q211_mv_serve_from_view,
     "q212_minmax_materialized_view": q212_minmax_materialized_view,
+    "q216_artifact_registry": q216_artifact_registry,
 }
 
 
@@ -3284,4 +3423,5 @@ def oracles() -> dict[str, str]:
         "q210_streaming_mv": ORACLE_Q210,
         "q211_mv_serve_from_view": ORACLE_Q211,
         "q212_minmax_materialized_view": ORACLE_Q212,
+        "q216_artifact_registry": ORACLE_Q216,
     }

@@ -2455,20 +2455,58 @@ def build_value_index(
     :func:`refresh_value_index` can advance it incrementally after the
     base table compacts or grows."""
     m = read_manifest(spark, table_path)
-    base = read_table(spark, table_path)
-    idx = (
-        base.select(F.col(col), F.input_file_name().alias("_abs"))
-        .withColumn(
-            "file", F.regexp_extract("_abs", r"[^/]+/[^/]+/[^/]+$", 0)
-        )
-        .select(col, "file")
-        .distinct()
-    )
+    idx = _value_incidences(spark, table_path, m, list(m["files"]), col)
     commit_snapshot(
         spark, index_path, idx, stat_cols=[col], n_files=n_files,
         index_of={"col": col, "version": int(m["version"])},
     )
     return int(m["version"])
+
+
+def _value_incidences(
+    spark: SparkSession, table_path: str, manifest: dict,
+    files: list[str], col: str,
+) -> DataFrame:
+    """Distinct (col, file) incidence rows for the given files, read
+    RAW — merge-on-read deletes are deliberately NOT applied (a
+    deleted row's incidence is harmless: probes intersect with the
+    live file set and apply the exact equality filter), which keeps
+    ``input_file_name()`` on a single-source scan per rename
+    generation (applying deletes would anti-join targeted files into
+    a multi-source plan the expression refuses). Renames resolve per
+    birth generation exactly like :func:`_read_files`."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    renames = list(manifest.get("renames") or [])
+    born = manifest.get("born") or {}
+    groups: dict[tuple, list[str]] = {}
+    for f in files:
+        sig = tuple(
+            i for i, r in enumerate(renames)
+            if born.get(f, 0) < r["version"]
+        )
+        groups.setdefault(sig, []).append(f)
+    parts = []
+    for sig, fs in sorted(groups.items()):
+        phys = col
+        for i in reversed(sig):
+            r = renames[i]
+            if phys == r["to"]:
+                phys = r["from"]
+        df = spark.read.parquet(*[_abs(table_path, f) for f in fs])
+        parts.append(
+            df.select(
+                F.col(phys).alias(col),
+                F.input_file_name().alias("_abs"),
+            )
+            .withColumn(
+                "file", F.regexp_extract("_abs", r"[^/]+/[^/]+/[^/]+$", 0)
+            )
+            .select(col, "file")
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts).distinct()
 
 
 def refresh_value_index(
@@ -2514,15 +2552,7 @@ def refresh_value_index(
     new_v = int(m["version"])
     if not fresh:
         return covered
-    delta = (
-        _read_files(spark, table_path, m, fresh)
-        .select(F.col(col), F.input_file_name().alias("_abs"))
-        .withColumn(
-            "file", F.regexp_extract("_abs", r"[^/]+/[^/]+/[^/]+$", 0)
-        )
-        .select(col, "file")
-        .distinct()
-    )
+    delta = _value_incidences(spark, table_path, m, fresh, col)
     commit_delta(
         spark, index_path, delta, list(mi["files"]),
         stat_cols=[col], update_key_ranges={},

@@ -1,0 +1,219 @@
+"""Derived-artifact registry + one-call maintenance
+(prox_spark/artifacts.py): MVs, value indexes, bounded postings, and
+conditional IVF recluster maintained together, with per-artifact
+error isolation."""
+
+from __future__ import annotations
+
+import atexit
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from prox_spark.artifacts import (
+    list_artifacts,
+    maintain_artifacts,
+    register_artifact,
+)
+from prox_spark.table import (
+    commit_delta,
+    commit_snapshot,
+    read_manifest,
+    read_table,
+)
+from prox_spark.upsert import delete_keys_mor
+
+TOKENS = "split(lower(text), ' ')"
+
+
+def _scratch() -> str:
+    d = tempfile.mkdtemp(prefix="prox_art_test_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
+def _docs(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 4).cast("string")).alias("src"),
+        (F.col("id") * 3).alias("n"),
+        F.concat(
+            F.lit("tok g"), F.expr("cast(id div 3 as string)")
+        ).alias("text"),
+        F.md5(F.col("id").cast("string")).alias("digest"),
+    )
+
+
+def test_one_call_brings_every_artifact_current(spark):
+    from prox_spark.mv import create_mv, mv_info
+    from prox_spark.queries.search import maintained_postings
+    from prox_spark.table import build_value_index
+    from prox_spark.wand import build_bounded_index, bounded_bm25
+
+    s = _scratch()
+    base, reg = f"{s}/base", f"{s}/registry"
+    mv, vidx = f"{s}/mv", f"{s}/vidx"
+    bidx, bstats = f"{s}/bidx", f"{s}/bstats"
+
+    commit_snapshot(spark, base, _docs(spark, 0, 120),
+                    stat_cols=["doc_id"], n_files=4)
+    create_mv(spark, base, mv, ["src"], ["n"])
+    build_value_index(spark, base, "digest", vidx)
+    build_bounded_index(
+        spark, read_table(spark, base).select("doc_id", "text"),
+        bidx, bstats, TOKENS, n_files=4,
+    )
+    v0 = int(read_manifest(spark, base)["version"])
+    register_artifact(spark, reg, "mv", base, mv)
+    register_artifact(spark, reg, "value_index", base, vidx)
+    register_artifact(
+        spark, reg, "bounded_postings", base, bidx,
+        {"stats": bstats, "tokens_expr": TOKENS, "covered": v0},
+    )
+    assert len(list_artifacts(spark, reg)) == 3
+
+    # churn the base: append + merge-on-read delete
+    prev = read_manifest(spark, base)
+    commit_delta(spark, base, _docs(spark, 120, 150),
+                 list(prev["files"]), update_key_ranges={})
+    delete_keys_mor(
+        spark, base,
+        spark.range(0, 150, 10).select(F.col("id").alias("doc_id")),
+        ["doc_id"],
+    )
+    head = int(read_manifest(spark, base)["version"])
+
+    results = maintain_artifacts(spark, reg)
+    assert all(r["status"] == "refreshed" for r in results.values()), results
+
+    # MV current
+    assert int(mv_info(spark, mv)["version"]) == head
+    want = sorted(
+        map(
+            tuple,
+            read_table(spark, base).groupBy("src").agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("n").alias("sum_n"),
+            ).collect(),
+        )
+    )
+    assert sorted(map(tuple, read_table(spark, mv).collect())) == want
+    # value index current
+    assert int(
+        read_manifest(spark, vidx)["index_of"]["version"]
+    ) == head
+    # bounded postings current: df stats equal a recount of the final
+    # corpus, and serving answers come from the maintained index
+    final = read_table(spark, base).select("doc_id", "text")
+    n_docs = final.count()
+    out, _ = bounded_bm25(
+        spark, bidx, bstats, [(1, "tok")], 5,
+        "cast(tf as bigint)",
+    )
+    assert out.count() == 5
+    got_pairs = maintained_postings(spark, bidx).filter(
+        F.col("term") == "tok"
+    ).count()
+    assert got_pairs == n_docs
+    # registry row advanced its covered version
+    ent = next(
+        e for e in list_artifacts(spark, reg) if e["artifact"] == bidx
+    )
+    assert ent["params"]["covered"] == head
+
+    # a second call with nothing new: all noop
+    again = maintain_artifacts(spark, reg)
+    assert all(r["status"] == "noop" for r in again.values()), again
+
+
+def test_error_isolation_and_loud_raise(spark):
+    from prox_spark.mv import create_mv, mv_info
+    from prox_spark.table import build_value_index, drop_column
+
+    s = _scratch()
+    base, reg = f"{s}/base", f"{s}/registry"
+    mv, vidx = f"{s}/mv", f"{s}/vidx"
+    commit_snapshot(spark, base, _docs(spark, 0, 60),
+                    stat_cols=["doc_id"], n_files=2)
+    create_mv(spark, base, mv, ["src"], ["n"])
+    build_value_index(spark, base, "digest", vidx)
+    register_artifact(spark, reg, "mv", base, mv)
+    register_artifact(spark, reg, "value_index", base, vidx)
+    # break the MV (drop its recorded sum column), churn the base
+    # with an APPEND (new files for the value index) + a MoR delete
+    drop_column(spark, base, "n")
+    prev = read_manifest(spark, base)
+    commit_delta(
+        spark, base, _docs(spark, 60, 80).drop("n"),
+        list(prev["files"]), update_key_ranges={},
+    )
+    delete_keys_mor(
+        spark, base,
+        spark.range(0, 80, 7).select(F.col("id").alias("doc_id")),
+        ["doc_id"],
+    )
+    with pytest.raises(RuntimeError, match="re-create"):
+        maintain_artifacts(spark, reg)
+    # the sibling value index still refreshed despite the MV failure
+    assert int(
+        read_manifest(spark, vidx)["index_of"]["version"]
+    ) == int(read_manifest(spark, base)["version"])
+    results = maintain_artifacts(spark, reg, raise_on_error=False)
+    assert results[mv]["status"] == "error"
+    assert results[vidx]["status"] == "noop"
+    # the broken view never published
+    assert int(mv_info(spark, mv)["version"]) == 1
+
+
+def test_ivf_recluster_fires_only_past_imbalance(spark):
+    from prox_spark.queries.similarity import (
+        _assign_to_cents,
+        index_quantizer,
+    )
+    from prox_spark.table import table_versions
+
+    s = _scratch()
+    reg, idx = f"{s}/registry", f"{s}/ivf"
+    # 2 balanced blobs under a 2-centroid quantizer
+    rows = []
+    for b, anchor in enumerate([(10.0, 0.0), (0.0, 10.0)]):
+        for i in range(30):
+            v = [anchor[0] + (i % 5) * 0.01, anchor[1] + (i % 3) * 0.01]
+            n = float((v[0] ** 2 + v[1] ** 2) ** 0.5)
+            rows.append((b * 30 + i, v, n))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, dd array<double>, nrm double"
+    )
+    cents = [(0, [10.0, 0.0]), (1, [0.0, 10.0])]
+    commit_snapshot(
+        spark, idx,
+        _assign_to_cents(emb, cents).select("vec_id", "dd", "nrm", "cid"),
+        stat_cols=["cid"], n_files=2,
+        extra_meta={"quantizer": {"k": 2, "cents": [[c, v] for c, v in cents]}},
+    )
+    register_artifact(spark, reg, "ivf", idx, idx,
+                      {"k": 2, "imbalance": 2.5})
+    out = maintain_artifacts(spark, reg)
+    assert out[idx]["status"] == "noop", out
+
+    # a skewed delivery crams one cell past the threshold
+    from prox_spark.queries.similarity import append_to_index
+
+    skew = spark.createDataFrame(
+        [(100 + i, [9.0 + (i % 7) * 0.01, 1.0], 0.0) for i in range(150)],
+        "vec_id long, dd array<double>, nrm double",
+    ).withColumn(
+        "nrm", F.expr("sqrt(aggregate(transform(dd, x -> x*x), "
+                      "cast(0.0 as double), (a, x) -> a + x))")
+    )
+    append_to_index(spark, idx, skew)
+    v_before = table_versions(spark, idx)[-1]
+    out2 = maintain_artifacts(spark, reg)
+    assert out2[idx]["status"] == "reclustered", out2
+    assert table_versions(spark, idx)[-1] == v_before + 1
+    assert len(index_quantizer(spark, idx)) == 2
+    # balance restored below the trigger: the next call is a noop
+    out3 = maintain_artifacts(spark, reg)
+    assert out3[idx]["status"] == "noop", out3

@@ -644,6 +644,54 @@ def test_minmax_mv_read_and_rewrite_paths(spark):
     assert miss is None
 
 
+def test_rewrite_join_aggregate_routes_and_falls_back(spark):
+    """A count/sum aggregate over left ⋈ right routes to a covering
+    registered join view (either base order) with BOTH bases moved
+    post-refresh — served through the three-term read-time fold; a
+    different join key or a missing sum falls back to the direct
+    join with the identical schema."""
+    from prox_spark.mv import create_join_mv, rewrite_join_aggregate
+
+    s = _scratch()
+    left, right, mv = f"{s}/l", f"{s}/r", f"{s}/mv"
+    commit_snapshot(spark, left, _df(spark, 0, 80),
+                    stat_cols=["id"], n_files=4)
+    commit_snapshot(spark, right, _dims(spark, 0),
+                    stat_cols=["grp"], n_files=2)
+    create_join_mv(spark, left, right, mv, ["grp"], ["grp"], ["val", "w"])
+    # both sides move AFTER registration, no refresh
+    prev = read_manifest(spark, left)
+    commit_delta(spark, left, _df(spark, 80, 100),
+                 list(prev["files"]), update_key_ranges={})
+    delete_keys_mor(
+        spark, left, spark.range(0, 100, 9).select("id"), ["id"],
+    )
+    upsert_parquet(
+        spark, right, _dims(spark, 5).filter("grp IN ('g1', 'g3')"),
+        ["grp"],
+    )
+    out, hit = rewrite_join_aggregate(
+        spark, right, left, ["grp"], ["grp"], ["val"], [mv]
+    )
+    assert hit == mv
+    want = sorted(
+        map(
+            tuple,
+            read_table(spark, left).join(read_table(spark, right), "grp")
+            .groupBy("grp").agg(
+                F.count(F.lit(1)).cast("long").alias(COUNT_COL),
+                F.sum("val").alias("sum_val"),
+            ).collect(),
+        )
+    )
+    assert sorted(map(tuple, out.collect())) == want
+    # a sum the view doesn't carry: fallback (schema identical)
+    fb, miss = rewrite_join_aggregate(
+        spark, left, right, ["grp"], ["grp"], ["id"], [mv]
+    )
+    assert miss is None and fb.columns == ["grp", COUNT_COL, "sum_id"]
+
+
 # --- base-schema evolution: recorded columns resolve through renames --------
 
 

@@ -86,6 +86,9 @@ SKIP = {
     "q215_ivf_recluster",  # stages index + k-means + branch rebuild +
     # recall measurements while building; the serving probe join is
     # q45's audited plan shape
+    "q216_artifact_registry",  # stages a registry + two artifacts and
+    # runs the one-call maintenance (real commits) while building; the
+    # read side is an ordinary pruned scan
 }
 
 
