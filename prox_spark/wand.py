@@ -362,6 +362,30 @@ def maintain_bounded_index(
         last.unpersist()
 
 
+def compact_bounded_index(
+    spark: SparkSession, idx_path: str, n_files: int | None = None
+) -> int:
+    """Re-cluster the whole postings table on (term, impact) in one
+    ordinary commit. Merge maintenance rewrites only the TOUCHED
+    files, each re-clustered locally — over many maintenance rounds
+    the per-term impact blocks fragment and overlap across files, so
+    the block-max skip rule sees wide impact ranges and opens more
+    than it should. Compaction restores globally range-disjoint
+    blocks (and folds small files). Stats stay exact throughout —
+    maintenance already recomputes them — so this is purely a layout
+    rewrite; serving answers are unchanged by construction. Returns
+    the new version."""
+    from prox_spark.table import commit_delta
+
+    prev = read_manifest(spark, idx_path)
+    nf = n_files if n_files is not None else max(8, len(prev["files"]))
+    return commit_delta(
+        spark, idx_path, read_table(spark, idx_path), [],
+        stat_cols=["term", "impact"], n_files=nf,
+        base_version=int(prev["version"]),
+    )
+
+
 def _load_frozen(spark: SparkSession, stats_path: str) -> tuple[int, int]:
     r = (
         read_table(spark, stats_path)

@@ -235,3 +235,43 @@ def test_maintenance_keeps_answers_exact_and_bounds_sound(spark):
     }
     for t in ("rare", "common", "mid", "pad"):
         assert srows[t][0] == want_df[t], t
+
+
+def test_compaction_restores_block_granularity(spark):
+    """Merge maintenance fragments the per-term impact blocks across
+    files; compact_bounded_index re-clusters globally — identical
+    answers, and the skip rule opens no more (typically fewer) files
+    than against the fragmented layout."""
+    from prox_spark.wand import compact_bounded_index
+
+    s = _scratch()
+    docs = _corpus(spark, n=400)
+    old = docs.filter(F.col("doc_id") < 300)
+    build_bounded_index(spark, old, f"{s}/idx", f"{s}/stats", TOKENS,
+                        n_files=24)
+    # three maintenance rounds scatter rewrites across the layout
+    for lo, hi, ver in ((300, 340, 2), (340, 370, 3), (370, 400, 4)):
+        feed = docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).select(
+            "doc_id", "text",
+            F.lit("insert").alias("_change_type"),
+            F.lit(ver).cast("long").alias("_commit_version"),
+        )
+        maintain_bounded_index(spark, f"{s}/idx", f"{s}/stats", feed,
+                               TOKENS)
+    before, c_before = bounded_bm25(
+        spark, f"{s}/idx", f"{s}/stats", QUERIES, 10, TERM_MICRO
+    )
+    rows_before = _rows(before)
+    assert rows_before == _rows(_brute_force(spark, docs, QUERIES, 10))
+
+    compact_bounded_index(spark, f"{s}/idx", n_files=24)
+    after, c_after = bounded_bm25(
+        spark, f"{s}/idx", f"{s}/stats", QUERIES, 10, TERM_MICRO
+    )
+    assert _rows(after) == rows_before, "compaction must not change answers"
+    assert c_after["files_opened"] <= c_before["files_opened"], (
+        c_before, c_after
+    )
+    assert c_after["files_opened"] < c_after["files_full"], c_after
