@@ -31,7 +31,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # entries per round. Union coverage across rounds 1-8 is 208 of 208
 # (every query has a green driver row), so round 9 rotates purely by
 # STALENESS (recomputed from the CORRECTNESS_r01..r08 files): the
-# SIX queries new this round lead (never driver-gated), then the eight
+# SEVEN queries new this round lead (never driver-gated), then the eight
 # whose most recent green driver row is round 4, then the round-5
 # cohort in name order up to the 50-slot cap. Exactly 50 entries.
 _FRONT = [
@@ -42,6 +42,7 @@ _FRONT = [
     "q214_maintained_bounded_bm25",
     "q215_ivf_recluster",
     "q216_artifact_registry",
+    "q217_frozen_training_set",
     # stalest driver rows next: the q83-q98 cohort last gated in
     # round 4, then the round-5 cohort in name order, up to the 50 cap
     "q83_source_token_totals",
@@ -87,7 +88,6 @@ _FRONT = [
     "q21_sessionize",
     "q22_rolling_avg",
     "q23_first_event_per_key",
-    "q24_event_type_share",
 ]
 
 

@@ -3360,6 +3360,140 @@ ORDER BY source
 """
 
 
+# --- q217: frozen training-set manifest (reproducible data) -----------------
+
+_FROZEN_SET_CACHE: dict[str, tuple] = {}
+
+
+def _frozen_training_set(spark: SparkSession, sf_dir: str) -> tuple:
+    """Staged once per process: a corpus and its split-assignment
+    artifact FROZEN together in one workspace txn, then the corpus
+    churned hard (append + merge-on-read delete + upsert + compaction)
+    and the workspace vacuumed aggressively — the txn pins must keep
+    the frozen pair byte-identical while the head moves on. Returns
+    (ws, corpus, splits, head_moved, vacuumed)."""
+    from prox_spark.table import (
+        commit_delta,
+        commit_snapshot,
+        compact_table,
+        read_manifest,
+    )
+    from prox_spark.txn import txn_commit, vacuum_workspace
+    from prox_spark.upsert import delete_keys_mor, upsert_parquet
+
+    from ._staging import staged
+
+    def build(scratch: str) -> tuple:
+        corpus = f"{scratch}/corpus"
+        splits = f"{scratch}/splits"
+        ws = f"{scratch}/ws"
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "source", "n_chars"
+        )
+        commit_snapshot(
+            spark, corpus, docs.filter(F.col("doc_id") % 10 <= 8),
+            stat_cols=["doc_id"], n_files=8,
+        )
+        assign = docs.filter(F.col("doc_id") % 10 <= 8).select(
+            "doc_id",
+            F.when(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+                < F.lit("c"),
+                F.lit("train"),
+            ).otherwise(F.lit("eval")).alias("split"),
+        )
+        commit_snapshot(spark, splits, assign, stat_cols=["doc_id"],
+                        n_files=2)
+        cv = int(read_manifest(spark, corpus)["version"])
+        sv = int(read_manifest(spark, splits)["version"])
+        txn_commit(spark, ws, {corpus: cv, splits: sv})
+
+        # the world moves on: append, delete, mutate, compact
+        commit_delta(
+            spark, corpus, docs.filter(F.col("doc_id") % 10 > 8),
+            list(read_manifest(spark, corpus)["files"]),
+            update_key_ranges={},
+        )
+        delete_keys_mor(
+            spark, corpus,
+            docs.filter(F.col("doc_id") % 4 == 1).select("doc_id"),
+            ["doc_id"],
+        )
+        upsert_parquet(
+            spark, corpus,
+            docs.filter(F.col("doc_id") % 6 == 2)
+            .withColumn("n_chars", F.col("n_chars") + F.lit(77)),
+            ["doc_id"],
+        )
+        compact_table(spark, corpus)
+        head_moved = bool(
+            int(read_manifest(spark, corpus)["version"]) > cv
+        )
+        # aggressive maintenance: only the txn pins protect the frozen
+        # versions' bytes
+        vacuum_workspace(
+            spark, ws, [corpus, splits], keep_txns=1, keep_versions=1,
+            retention_minutes=0.0,
+        )
+        return ws, corpus, splits, head_moved, True
+
+    return staged(_FROZEN_SET_CACHE, sf_dir, "prox_frozen_", build)
+
+
+def q217_frozen_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FROZEN TRAINING-SET MANIFEST — the reproducibility contract a
+    training pipeline needs: one workspace txn pins (corpus version,
+    split-assignment version) so a training run's exact input bytes
+    stay re-servable LATER, byte-identical, while the corpus is
+    appended, deleted from, mutated, compacted, and the workspace is
+    vacuumed down to one kept version — the txn pins are the only
+    thing protecting the frozen snapshot (prox_spark/txn.py's
+    pin-aware vacuum). The read is the pinned corpus joined with the
+    pinned split assignment; the oracle recomputes the FROZEN state
+    formulaically (pre-churn slice, pre-mutation values, md5 split
+    gate), so a leaked post-freeze row, a lost deleted-row
+    resurrection, or a vacuumed frozen file all break the hash. Pins:
+    ``head_moved`` (the live table genuinely diverged) and
+    ``served_after_vacuum``."""
+    from prox_spark.txn import txn_read
+
+    ws, corpus, splits, head_moved, vacuumed = _frozen_training_set(
+        spark, sf_dir
+    )
+    frozen = txn_read(spark, ws, corpus).join(
+        txn_read(spark, ws, splits), "doc_id"
+    )
+    return (
+        frozen.groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_n_chars"),
+        )
+        .withColumn("head_moved", F.lit(head_moved))
+        .withColumn("served_after_vacuum", F.lit(vacuumed))
+        .orderBy("split", "source")
+    )
+
+
+ORACLE_Q217 = """
+WITH frozen AS (
+  SELECT doc_id, source, n_chars,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+              THEN 'train' ELSE 'eval' END AS split
+  FROM documents
+  WHERE doc_id % 10 <= 8
+)
+SELECT split, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+       TRUE AS head_moved,
+       TRUE AS served_after_vacuum
+FROM frozen
+GROUP BY split, source
+ORDER BY split, source
+"""
+
+
 QUERIES = {
     "q114_snapshot_diff": q114_snapshot_diff,
     "q118_incremental_agg": q118_incremental_agg,
@@ -3389,6 +3523,7 @@ QUERIES = {
     "q211_mv_serve_from_view": q211_mv_serve_from_view,
     "q212_minmax_materialized_view": q212_minmax_materialized_view,
     "q216_artifact_registry": q216_artifact_registry,
+    "q217_frozen_training_set": q217_frozen_training_set,
 }
 
 
@@ -3424,4 +3559,5 @@ def oracles() -> dict[str, str]:
         "q211_mv_serve_from_view": ORACLE_Q211,
         "q212_minmax_materialized_view": ORACLE_Q212,
         "q216_artifact_registry": ORACLE_Q216,
+        "q217_frozen_training_set": ORACLE_Q217,
     }

@@ -89,6 +89,8 @@ SKIP = {
     "q216_artifact_registry",  # stages a registry + two artifacts and
     # runs the one-call maintenance (real commits) while building; the
     # read side is an ordinary pruned scan
+    "q217_frozen_training_set",  # stages txn freeze + churn + vacuum
+    # while building; the read is two pinned _read_files scans + a BHJ
 }
 
 
