@@ -217,3 +217,121 @@ def test_ivf_recluster_fires_only_past_imbalance(spark):
     # balance restored below the trigger: the next call is a noop
     out3 = maintain_artifacts(spark, reg)
     assert out3[idx]["status"] == "noop", out3
+
+
+def test_registry_lifecycle_under_op_mix(spark):
+    """maintain_artifacts driven through a churning base: upserts,
+    CoW/MoR deletes, compaction, and a RENAME of the value index's
+    column mid-stream — the MV resolves the rename and keeps
+    refreshing, the index reports the rebuild error loudly (siblings
+    unharmed), and re-registering a rebuilt index restores green
+    maintenance. The MV is model-checked after every maintenance
+    call."""
+    import hashlib
+
+    from prox_spark.mv import create_mv
+    from prox_spark.table import (
+        build_value_index,
+        compact_table,
+        read_table_point_indexed,
+        rename_column,
+    )
+    from prox_spark.upsert import delete_keys, upsert_parquet
+
+    s = _scratch()
+    base, reg = f"{s}/base", f"{s}/registry"
+    mv, vidx = f"{s}/mv", f"{s}/vidx"
+    model: dict = {}
+
+    def rows(step):
+        out = []
+        for i in range(12):
+            uid = (step * 13 + i * 29) % 300
+            out.append((uid, f"g{uid % 5}", step * 10 + i,
+                        hashlib.md5(str(uid).encode()).hexdigest()))
+        return out
+
+    dcol = "digest"
+
+    def df(rws):
+        return spark.createDataFrame(
+            rws, f"uid long, grp string, val long, {dcol} string"
+        )
+
+    def model_agg():
+        agg: dict = {}
+        for uid, (g, v) in model.items():
+            n, t = agg.get(g, (0, 0))
+            agg[g] = (n + 1, t + v)
+        return agg
+
+    def check_mv():
+        got = {
+            r["grp"]: (r["n_rows"], r["sum_val"])
+            for r in read_table(spark, mv).collect()
+        }
+        assert got == model_agg()
+
+    seed = rows(0)
+    commit_snapshot(spark, base, df(seed), stat_cols=["uid"], n_files=4)
+    model.update({u: (g, v) for u, g, v, _d in seed})
+    create_mv(spark, base, mv, ["grp"], ["val"])
+    build_value_index(spark, base, "digest", vidx)
+    register_artifact(spark, reg, "mv", base, mv)
+    register_artifact(spark, reg, "value_index", base, vidx)
+
+    broken = False
+    for step in range(1, 13):
+        op = {4: "rename", 8: "reregister"}.get(step, step % 3)
+        if op == 0:
+            rws = rows(step)
+            upsert_parquet(spark, base, df(rws), ["uid"])
+            model.update({u: (g, v) for u, g, v, _d in rws})
+        elif op == 1:
+            dels = [u for u, *_ in rows(step)][:5]
+            delete_keys(
+                spark, base,
+                spark.createDataFrame([(u,) for u in dels], "uid long"),
+                ["uid"],
+            )
+            for u in dels:
+                model.pop(u, None)
+        elif op == 2:
+            compact_table(spark, base, n_files=4)
+        elif op == "rename":
+            rename_column(spark, base, "digest", "content_hash")
+            dcol = "content_hash"
+            broken = True
+        elif op == "reregister":
+            vidx2 = f"{s}/vidx2"
+            build_value_index(spark, base, "content_hash", vidx2)
+            register_artifact(spark, reg, "value_index", base, vidx)
+            # replace the broken registration with the rebuilt index
+            from prox_spark.upsert import delete_keys as _dk
+
+            _dk(spark, reg,
+                spark.createDataFrame([(vidx,)], "artifact string"),
+                ["artifact"])
+            register_artifact(spark, reg, "value_index", base, vidx2)
+            vidx = vidx2
+            broken = False
+        results = maintain_artifacts(spark, reg, raise_on_error=False)
+        assert results[mv]["status"] in ("refreshed", "noop"), (step, results)
+        check_mv()
+        if broken:
+            assert results[vidx]["status"] in ("error", "noop"), (
+                step, results,
+            )
+        else:
+            assert results[vidx]["status"] in ("refreshed", "noop"), (
+                step, results,
+            )
+    # the rebuilt index serves: probe a live uid's digest
+    uid, (g, v) = next(iter(model.items()))
+    import hashlib as _h
+
+    probe = _h.md5(str(uid).encode()).hexdigest()
+    got = read_table_point_indexed(
+        spark, base, vidx, None, "content_hash", probe
+    )
+    assert [r["uid"] for r in got.collect()] == [uid]
