@@ -48,7 +48,9 @@ from pyspark.sql import functions as F
 from prox_spark.table import is_manifest_table, read_manifest, read_table
 
 _SCHEMA = "artifact string, kind string, base string, params string"
-KINDS = ("mv", "join_mv", "value_index", "bounded_postings", "ivf")
+KINDS = (
+    "mv", "join_mv", "value_index", "bounded_postings", "ivf", "postings",
+)
 
 
 def register_artifact(
@@ -134,6 +136,48 @@ def _maintain_one(spark: SparkSession, ent: dict) -> dict:
         )
         return {"status": "refreshed", "covered": head,
                 "params_update": {"covered": head}}
+    if kind == "postings":
+        # the q201 append-style signed postings index: fold the feed's
+        # signed term deltas and APPEND (zero rewrite); when the raw
+        # row debt exceeds fold_factor x the folded size, run the q205
+        # fold-compaction (materialize the net, carry the replay
+        # markers, refresh term stats for pruning)
+        from prox_spark.queries.search import (
+            _signed_postings,
+            compact_postings,
+            maintained_postings,
+            postings_feed,
+        )
+        from prox_spark.table import commit_delta
+
+        covered = int(params.get("covered", 1))
+        head = int(read_manifest(spark, base)["version"])
+        out: dict = {"status": "noop", "covered": covered}
+        if head > covered:
+            feed = postings_feed(
+                spark, base, covered, head,
+                text_col=params.get("text_col", "text"),
+                since=int(params.get("since", 0)),
+            )
+            delta = _signed_postings(feed)
+            prev = read_manifest(spark, art)
+            commit_delta(
+                spark, art, delta, list(prev["files"]),
+                update_key_ranges={},
+            )
+            out = {
+                "status": "refreshed", "covered": head,
+                "params_update": {"covered": head},
+            }
+        raw = read_table(spark, art).count()
+        folded = maintained_postings(spark, art).count()
+        if raw > float(params.get("fold_factor", 2.0)) * max(1, folded):
+            compact_postings(spark, art)
+            out["compacted"] = True
+            out["status"] = (
+                "refreshed" if out["status"] != "noop" else "compacted"
+            )
+        return out
     if kind == "ivf":
         k = int(params.get("k", 8))
         threshold = float(params.get("imbalance", 3.0))
@@ -165,6 +209,33 @@ def _maintain_one(spark: SparkSession, ent: dict) -> dict:
             "params_update": {"reclustered_at": int(out["version"])},
         }
     raise ValueError(f"unknown artifact kind {kind!r}")
+
+
+def serve_aggregate(
+    spark: SparkSession,
+    registry_path: str,
+    base_path: str,
+    keys: list[str],
+    sums: list[str],
+    mins: list[str] = (),
+    maxs: list[str] = (),
+):
+    """Registry-integrated auto-rewrite: discover the base's
+    registered views and route a count/sum(/min/max) aggregate to a
+    covering one (prox_spark.mv rewrite_aggregate — stored view + a
+    read-time change-feed fold, rolled up when the view is finer);
+    direct base aggregate otherwise. Returns
+    ``(frame, matched_mv_or_None)``."""
+    from prox_spark.mv import rewrite_aggregate
+
+    candidates = [
+        e["artifact"]
+        for e in list_artifacts(spark, registry_path)
+        if e["kind"] == "mv" and e["base"] == base_path
+    ]
+    return rewrite_aggregate(
+        spark, base_path, keys, sums, candidates, mins, maxs
+    )
 
 
 def maintain_artifacts(

@@ -335,3 +335,90 @@ def test_registry_lifecycle_under_op_mix(spark):
         spark, base, vidx, None, "content_hash", probe
     )
     assert [r["uid"] for r in got.collect()] == [uid]
+
+
+def test_postings_kind_appends_and_fold_compacts(spark):
+    """The append-style signed postings index as a registry kind:
+    maintenance folds the change feed and APPENDS; once the raw signed
+    debt exceeds fold_factor x the folded size the q205
+    fold-compaction fires inside the same call. The index must always
+    equal a from-scratch tokenize of the live corpus."""
+    from prox_spark.queries.search import (
+        _tokens_tf,
+        maintained_postings,
+    )
+    from prox_spark.upsert import upsert_parquet
+
+    s = _scratch()
+    base, reg, idx = f"{s}/base", f"{s}/reg", f"{s}/pidx"
+    commit_snapshot(
+        spark, base, _docs(spark, 0, 90).select("doc_id", "text"),
+        stat_cols=["doc_id"], n_files=2,
+    )
+    commit_snapshot(
+        spark, idx,
+        _tokens_tf(read_table(spark, base)),
+        stat_cols=["term"], n_files=4,
+    )
+    register_artifact(
+        spark, reg, "postings", base, idx,
+        {"covered": 1, "fold_factor": 1.2},
+    )
+
+    def check():
+        got = sorted(map(tuple, maintained_postings(spark, idx).collect()))
+        want = sorted(
+            map(tuple, _tokens_tf(read_table(spark, base)).collect())
+        )
+        assert got == want
+
+    compacted = False
+    for step in range(2, 7):
+        upd = _docs(spark, 0, 90).select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(f" upd{step}")).alias("text"),
+        )
+        upsert_parquet(spark, base, upd, ["doc_id"])
+        out = maintain_artifacts(spark, reg)
+        assert out[idx]["status"] in ("refreshed", "compacted"), out
+        compacted = compacted or out[idx].get("compacted", False)
+        check()
+    assert compacted, "signed debt never crossed the fold threshold"
+    # idle call: noop, no compaction churn
+    out = maintain_artifacts(spark, reg)
+    assert out[idx]["status"] == "noop", out
+
+
+def test_serve_aggregate_discovers_registered_views(spark):
+    from prox_spark.artifacts import serve_aggregate
+    from prox_spark.mv import create_mv
+
+    s = _scratch()
+    base, reg, mv = f"{s}/base", f"{s}/reg", f"{s}/mv"
+    commit_snapshot(spark, base, _docs(spark, 0, 100),
+                    stat_cols=["doc_id"], n_files=4)
+    create_mv(spark, base, mv, ["src"], ["n"])
+    register_artifact(spark, reg, "mv", base, mv)
+    delete_keys_mor(
+        spark, base,
+        spark.range(0, 100, 6).select(F.col("id").alias("doc_id")),
+        ["doc_id"],
+    )
+    out, hit = serve_aggregate(spark, reg, base, ["src"], ["n"])
+    assert hit == mv
+    want = sorted(
+        map(
+            tuple,
+            read_table(spark, base).groupBy("src").agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("n").alias("sum_n"),
+            ).collect(),
+        )
+    )
+    assert sorted(map(tuple, out.collect())) == want
+    # an unregistered base falls back (no candidates)
+    other = f"{s}/other"
+    commit_snapshot(spark, other, _docs(spark, 0, 20),
+                    stat_cols=["doc_id"], n_files=1)
+    fb, miss = serve_aggregate(spark, reg, other, ["src"], ["n"])
+    assert miss is None and fb.columns == ["src", "n_rows", "sum_n"]
