@@ -211,6 +211,61 @@ def _maintain_one(spark: SparkSession, ent: dict) -> dict:
     raise ValueError(f"unknown artifact kind {kind!r}")
 
 
+def vacuum_with_registry(
+    spark: SparkSession,
+    base_path: str,
+    registry_path: str,
+    keep_last: int = 2,
+    retention_minutes: float = 15.0,
+) -> list[int]:
+    """Vacuum a base table while PINNING every registered artifact's
+    covered version: an unpinned vacuum that outruns the refresh
+    cadence destroys the incremental inputs and forces the artifacts'
+    full-recompute fallbacks (correct, but a rebuild at 100 TB). MV
+    lineage comes from the view manifests, value-index coverage from
+    ``index_of``, postings coverage from the registry rows; because a
+    change feed needs EVERY version after the covered one (a feed with
+    a vacuumed middle cannot be reconstructed), the pin is the whole
+    suffix from the OLDEST covered version to head, not just the
+    covered versions themselves. Returns the removed versions."""
+    from prox_spark.table import _manifest_versions, vacuum
+
+    pins: set[int] = set()
+    for ent in list_artifacts(spark, registry_path):
+        kind, art = ent["kind"], ent["artifact"]
+        try:
+            if kind == "mv" and ent["base"] == base_path:
+                from prox_spark.mv import mv_info
+
+                pins.add(int(mv_info(spark, art)["version"]))
+            elif kind == "join_mv":
+                from prox_spark.mv import mv_info
+
+                info = mv_info(spark, art)
+                for side in ("left", "right"):
+                    if info[side]["path"] == base_path:
+                        pins.add(int(info[side]["version"]))
+            elif kind == "value_index" and ent["base"] == base_path:
+                meta = read_manifest(spark, art).get("index_of") or {}
+                if "version" in meta:
+                    pins.add(int(meta["version"]))
+            elif (
+                kind in ("bounded_postings", "postings")
+                and ent["base"] == base_path
+            ):
+                pins.add(int(ent["params"].get("covered", 1)))
+        except Exception:  # noqa: BLE001 — an unreadable artifact
+            # cannot contribute a pin; its refresh falls back loudly
+            continue
+    if pins:
+        lo = min(pins)
+        pins = {v for v in _manifest_versions(spark, base_path) if v >= lo}
+    return vacuum(
+        spark, base_path, keep_last=keep_last,
+        retention_minutes=retention_minutes, extra_pins=pins,
+    )
+
+
 def serve_aggregate(
     spark: SparkSession,
     registry_path: str,

@@ -422,3 +422,53 @@ def test_serve_aggregate_discovers_registered_views(spark):
                     stat_cols=["doc_id"], n_files=1)
     fb, miss = serve_aggregate(spark, reg, other, ["src"], ["n"])
     assert miss is None and fb.columns == ["src", "n_rows", "sum_n"]
+
+
+def test_vacuum_with_registry_preserves_incremental_refresh(spark):
+    """An aggressive base vacuum guided by the registry keeps the
+    whole suffix from the oldest covered version, so the next refresh
+    stays INCREMENTAL; the same vacuum without the registry destroys
+    the feed window and forces the full-recompute fallback."""
+    from prox_spark.artifacts import vacuum_with_registry
+    from prox_spark.mv import create_mv, refresh_mv
+    from prox_spark.table import vacuum
+    from prox_spark.upsert import upsert_parquet
+
+    def stage(root):
+        base, mv, reg = f"{root}/base", f"{root}/mv", f"{root}/reg"
+        commit_snapshot(spark, base, _docs(spark, 0, 60),
+                        stat_cols=["doc_id"], n_files=2)
+        create_mv(spark, base, mv, ["src"], ["n"])
+        register_artifact(spark, reg, "mv", base, mv)
+        for step in (1, 2, 3):
+            upsert_parquet(
+                spark, base,
+                _docs(spark, 0, 60)
+                .filter(F.col("doc_id") % 4 == step)
+                .withColumn("n", F.col("n") + F.lit(step)),
+                ["doc_id"],
+            )
+        return base, mv, reg
+
+    s = _scratch()
+    base, mv, reg = stage(f"{s}/a")
+    vacuum_with_registry(spark, base, reg, keep_last=1,
+                         retention_minutes=0.0)
+    out = refresh_mv(spark, mv)
+    assert out["refreshed"] and out["mode"] == "incremental", out
+    want = sorted(
+        map(
+            tuple,
+            read_table(spark, base).groupBy("src").agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("n").alias("sum_n"),
+            ).collect(),
+        )
+    )
+    assert sorted(map(tuple, read_table(spark, mv).collect())) == want
+
+    # control: the registry-blind vacuum forces the full fallback
+    base2, mv2, _reg2 = stage(f"{s}/b")
+    vacuum(spark, base2, keep_last=1, retention_minutes=0.0)
+    out2 = refresh_mv(spark, mv2)
+    assert out2["mode"] == "full", out2
