@@ -5,6 +5,9 @@ Commands:
             [--fixtures]             stage the seeded PROX fixtures as bronze first
   compact   --src DIR --dst DIR      small-file compaction
             [--target-mb N]
+  maintain  --registry DIR           bring every registered derived artifact
+            [--keep-going]           current (prox_spark.artifacts); exits 1
+                                     on any artifact failure
 """
 
 from __future__ import annotations
@@ -29,6 +32,15 @@ def main(argv: list[str] | None = None) -> int:
     p_cmp.add_argument("--src", required=True)
     p_cmp.add_argument("--dst", required=True)
     p_cmp.add_argument("--target-mb", type=int, default=128)
+
+    p_mnt = sub.add_parser(
+        "maintain", help="maintain every registered derived artifact"
+    )
+    p_mnt.add_argument("--registry", required=True)
+    p_mnt.add_argument(
+        "--keep-going", action="store_true",
+        help="report failures in the exit code only, never raise mid-run",
+    )
 
     args = parser.parse_args(argv)
 
@@ -63,6 +75,22 @@ def main(argv: list[str] | None = None) -> int:
         n = compact_parquet(spark, args.src, args.dst, target_file_mb=args.target_mb)
         print(f"compacted {args.src} -> {args.dst} ({n} files)")
         return 0
+
+    if args.cmd == "maintain":
+        from prox_spark.artifacts import maintain_artifacts
+
+        results = maintain_artifacts(
+            spark, args.registry, raise_on_error=not args.keep_going
+        )
+        width = max((len(a) for a in results), default=0)
+        failed = False
+        for art, res in sorted(results.items()):
+            extra = " ".join(
+                f"{k}={v}" for k, v in res.items() if k != "status"
+            )
+            print(f"{art:{width}s}  {res['status']:11s} {extra}")
+            failed = failed or res["status"] == "error"
+        return 1 if failed else 0
 
     return 2
 

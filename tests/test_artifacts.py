@@ -472,3 +472,26 @@ def test_vacuum_with_registry_preserves_incremental_refresh(spark):
     vacuum(spark, base2, keep_last=1, retention_minutes=0.0)
     out2 = refresh_mv(spark, mv2)
     assert out2["mode"] == "full", out2
+
+
+def test_maintain_cli_entrypoint(spark, capsys):
+    """`python -m prox_spark maintain --registry DIR` — in-process via
+    main() (same session); prints one status row per artifact, exit 0
+    when nothing failed."""
+    from prox_spark.__main__ import main
+    from prox_spark.mv import create_mv
+    from prox_spark.upsert import delete_keys_mor as _del
+
+    s = _scratch()
+    base, mv, reg = f"{s}/base", f"{s}/mv", f"{s}/reg"
+    commit_snapshot(spark, base, _docs(spark, 0, 50),
+                    stat_cols=["doc_id"], n_files=2)
+    create_mv(spark, base, mv, ["src"], ["n"])
+    register_artifact(spark, reg, "mv", base, mv)
+    _del(spark, base,
+         spark.range(0, 50, 6).select(F.col("id").alias("doc_id")),
+         ["doc_id"])
+    rc = main(["maintain", "--registry", reg])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "refreshed" in out and mv in out
