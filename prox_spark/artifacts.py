@@ -28,10 +28,15 @@ Kinds:
 - ``value_index``: prox_spark.table refresh_value_index (scans only
   files born after the covered version).
 - ``bounded_postings``: prox_spark.wand maintain_bounded_index fed by
-  the change feed since the registry-recorded covered version (the
-  covered version advances IN the registry row — the index manifest
-  has no base lineage of its own); params: ``text_col``,
-  ``tokens_expr``, ``covered``.
+  the change feed since the covered version. Coverage is recorded as
+  ``index_of`` lineage in the STATS table's manifest, published in the
+  SAME atomic commit as the corpus-row fold (the one non-idempotent
+  maintenance step) — so a crash between the data commit and the
+  registry upsert can never replay the window into a double-counted
+  fold; the registry row's ``covered`` param is informational (and the
+  fallback for pre-lineage artifacts). params: ``text_col``,
+  ``tokens_expr``, ``covered``, ``stats``, ``since`` (frozen at
+  registration — the rename-resolution low bound).
 - ``ivf``: conditional recluster — measure cell imbalance
   (max cell / mean cell) and fire prox_spark.queries.similarity
   recluster_index only past ``params["imbalance"]``; params: ``k``,
@@ -67,8 +72,20 @@ def register_artifact(
 
     if kind not in KINDS:
         raise ValueError(f"unknown artifact kind {kind!r}; one of {KINDS}")
+    params = dict(params or {})
+    if kind in ("bounded_postings", "postings") and "since" not in params:
+        # freeze the rename-resolution window's low bound at
+        # REGISTRATION: the index records its text column's name as of
+        # now, so later maintenance resolves renames committed after
+        # this version only. Defaulting to 0 instead would replay
+        # pre-registration rename events — a 'from' name recreated as
+        # a NEW column would remap through the stale event to the
+        # wrong physical column (a silent wrong tokenization).
+        params["since"] = int(params.get(
+            "covered", read_manifest(spark, base_path)["version"]
+        ))
     row = spark.createDataFrame(
-        [(artifact_path, kind, base_path, json.dumps(params or {}))],
+        [(artifact_path, kind, base_path, json.dumps(params))],
         _SCHEMA,
     )
     upsert_parquet(spark, registry_path, row, ["artifact"])
@@ -84,6 +101,27 @@ def list_artifacts(spark: SparkSession, registry_path: str) -> list[dict]:
         }
         for r in read_table(spark, registry_path).collect()
     ]
+
+
+def _covered_version(spark: SparkSession, ent: dict, meta_path: str) -> int:
+    """The artifact's covered base version. The AUTHORITATIVE record
+    is the ``index_of`` lineage in the artifact's own manifest
+    (``meta_path`` — the stats table for bounded postings, the index
+    itself for append postings), published in the SAME atomic commit
+    as the folded data — so a crash between the data commit and the
+    registry upsert can never leave the fold applied with the coverage
+    stale (a replay of that window would double-count: append postings
+    would re-append the identical signed delta, bounded stats would
+    double-fold the additive corpus row). The registry row's
+    ``covered`` param is the fallback for artifacts last maintained
+    before the in-manifest lineage existed."""
+    try:
+        meta = read_manifest(spark, meta_path).get("index_of") or {}
+        if meta.get("base") == ent["base"] and "version" in meta:
+            return int(meta["version"])
+    except Exception:  # noqa: BLE001 — unreadable meta: params decide
+        pass
+    return int(ent["params"].get("covered", 1))
 
 
 def _maintain_one(spark: SparkSession, ent: dict) -> dict:
@@ -119,7 +157,7 @@ def _maintain_one(spark: SparkSession, ent: dict) -> dict:
             "covered": covered,
         }
     if kind == "bounded_postings":
-        covered = int(params.get("covered", 1))
+        covered = _covered_version(spark, ent, params["stats"])
         head = int(read_manifest(spark, base)["version"])
         if head == covered:
             return {"status": "noop", "covered": covered}
@@ -129,10 +167,11 @@ def _maintain_one(spark: SparkSession, ent: dict) -> dict:
         feed = postings_feed(
             spark, base, covered, head,
             text_col=params.get("text_col", "text"),
-            since=int(params.get("since", 0)),
+            since=int(params.get("since", covered)),
         )
         maintain_bounded_index(
-            spark, art, params["stats"], feed, params["tokens_expr"]
+            spark, art, params["stats"], feed, params["tokens_expr"],
+            covers={"base": base, "version": head},
         )
         return {"status": "refreshed", "covered": head,
                 "params_update": {"covered": head}}
@@ -150,33 +189,38 @@ def _maintain_one(spark: SparkSession, ent: dict) -> dict:
         )
         from prox_spark.table import commit_delta
 
-        covered = int(params.get("covered", 1))
+        covered = _covered_version(spark, ent, art)
         head = int(read_manifest(spark, base)["version"])
-        out: dict = {"status": "noop", "covered": covered}
-        if head > covered:
-            feed = postings_feed(
-                spark, base, covered, head,
-                text_col=params.get("text_col", "text"),
-                since=int(params.get("since", 0)),
-            )
-            delta = _signed_postings(feed)
-            prev = read_manifest(spark, art)
-            commit_delta(
-                spark, art, delta, list(prev["files"]),
-                update_key_ranges={},
-            )
-            out = {
-                "status": "refreshed", "covered": head,
-                "params_update": {"covered": head},
-            }
+        if head == covered:
+            # noop: skip the debt check too — the raw/folded recount
+            # is O(index), and debt only grows when a refresh appends,
+            # so checking it on refreshed ticks alone is sufficient
+            return {"status": "noop", "covered": covered}
+        feed = postings_feed(
+            spark, base, covered, head,
+            text_col=params.get("text_col", "text"),
+            since=int(params.get("since", covered)),
+        )
+        delta = _signed_postings(feed)
+        prev = read_manifest(spark, art)
+        # the delta append and the bumped coverage publish in ONE
+        # manifest rename: a crash before it replays cleanly, a crash
+        # after it replays as a noop — the signed delta can never be
+        # appended twice (which would silently double-count tf)
+        commit_delta(
+            spark, art, delta, list(prev["files"]),
+            update_key_ranges={},
+            index_of={"base": base, "version": head},
+        )
+        out = {
+            "status": "refreshed", "covered": head,
+            "params_update": {"covered": head},
+        }
         raw = read_table(spark, art).count()
         folded = maintained_postings(spark, art).count()
         if raw > float(params.get("fold_factor", 2.0)) * max(1, folded):
             compact_postings(spark, art)
             out["compacted"] = True
-            out["status"] = (
-                "refreshed" if out["status"] != "noop" else "compacted"
-            )
         return out
     if kind == "ivf":
         k = int(params.get("k", 8))
@@ -217,6 +261,7 @@ def vacuum_with_registry(
     registry_path: str,
     keep_last: int = 2,
     retention_minutes: float = 15.0,
+    extra_pins: set | None = None,
 ) -> list[int]:
     """Vacuum a base table while PINNING every registered artifact's
     covered version: an unpinned vacuum that outruns the refresh
@@ -227,7 +272,10 @@ def vacuum_with_registry(
     change feed needs EVERY version after the covered one (a feed with
     a vacuumed middle cannot be reconstructed), the pin is the whole
     suffix from the OLDEST covered version to head, not just the
-    covered versions themselves. Returns the removed versions."""
+    covered versions themselves. ``extra_pins`` composes externally
+    held references in — pass ``txn.txn_pinned_versions(...)`` so a
+    frozen training-set txn's bytes survive the same retention pass.
+    Returns the removed versions."""
     from prox_spark.table import _manifest_versions, vacuum
 
     pins: set[int] = set()
@@ -253,16 +301,23 @@ def vacuum_with_registry(
                 kind in ("bounded_postings", "postings")
                 and ent["base"] == base_path
             ):
-                pins.add(int(ent["params"].get("covered", 1)))
+                meta_path = (
+                    ent["params"]["stats"]
+                    if kind == "bounded_postings" else art
+                )
+                pins.add(_covered_version(spark, ent, meta_path))
         except Exception:  # noqa: BLE001 — an unreadable artifact
             # cannot contribute a pin; its refresh falls back loudly
             continue
     if pins:
         lo = min(pins)
         pins = {v for v in _manifest_versions(spark, base_path) if v >= lo}
+    # external pins (txn-frozen versions) stay EXACT — they pin bytes,
+    # not a change-feed suffix, so they don't widen the retained window
     return vacuum(
         spark, base_path, keep_last=keep_last,
-        retention_minutes=retention_minutes, extra_pins=pins,
+        retention_minutes=retention_minutes,
+        extra_pins=pins | set(extra_pins or ()),
     )
 
 

@@ -110,6 +110,7 @@ def _merge_delta(
     mins: list[str] = (), maxs: list[str] = (),
     recompute_from: str | None = None,
     restore: dict[str, str] | None = None,
+    recompute_version: int | None = None,
 ) -> tuple[int, int]:
     """Merge a signed per-key delta frame (``_dn`` + ``_ds_<col>``
     columns, plus ``_imin/_dmin/_imax/_dmax`` extreme columns when the
@@ -163,9 +164,18 @@ def _merge_delta(
             recomputed = affected.count()
             merged = kept
             if recomputed:
+                # recompute from the PINNED version the lineage claims
+                # coverage of — reading the base's live head instead
+                # would bake post-coverage changes into groups the next
+                # refresh then re-folds (a double count on replayed or
+                # lagging batches)
                 scoped = _semi_nullsafe(
                     _restore_names(
-                        read_table(spark, recompute_from), restore or {}
+                        read_table(
+                            spark, recompute_from,
+                            version=recompute_version,
+                        ),
+                        restore or {},
                     ),
                     affected, keys,
                 )
@@ -455,9 +465,14 @@ def refresh_mv(spark: SparkSession, mv_path: str) -> dict:
     lineage = {**info, "version": head}
     # recorded column names resolve through the base's rename history
     # since registration; a column that no longer resolves raises
-    # MvSchemaError loudly (never a silent wrong fold)
+    # MvSchemaError loudly (never a silent wrong fold). A pre-round-9
+    # view without a 'registered' record defaults the window's low
+    # bound to its COVERED version, not 0: replaying pre-registration
+    # events could remap a recorded name through a stale rename whose
+    # 'from' column was later recreated — a silent wrong fold, where
+    # the covered default at worst fails loudly (MvSchemaError)
     events = _rename_events(
-        spark, base, int(info.get("registered", 0)), head
+        spark, base, int(info.get("registered", covered)), head
     )
     mapping = _mv_mapping(spark, info, head, events)
     mode = "incremental"
@@ -470,6 +485,7 @@ def refresh_mv(spark: SparkSession, mv_path: str) -> dict:
         touched, recomputed = _merge_delta(
             spark, mv_path, keys, sums, delta, lineage,
             mins, maxs, recompute_from=base, restore=mapping,
+            recompute_version=head,
         )
     except Exception as ex:
         if not _is_unreadable_version(ex):
@@ -544,15 +560,21 @@ def mv_stream_batch(batch_df: DataFrame, batch_id: int,
     base_head = int(read_manifest(sp, info["path"])["version"])
     h = min(int(end), base_head)
     events = _rename_events(
-        sp, info["path"], int(info.get("registered", 0)), h
+        sp, info["path"], int(info.get("registered", covered)), h
     )
     mapping = _mv_mapping(sp, info, h, events)
     delta = _signed_delta(
         _restore_names(fresh, mapping), keys, sums, mins, maxs
     )
+    # extremes recompute is PINNED to min(end, head): recomputing from
+    # the live head while publishing coverage 'end' would bake
+    # post-end changes into the affected groups, and the next batch
+    # would re-fold those versions' count/sum deltas — a double count
+    # on replayed or lagging batches
     _merge_delta(
         sp, mv_path, keys, sums, delta, {**info, "version": int(end)},
         mins, maxs, recompute_from=info["path"], restore=mapping,
+        recompute_version=h,
     )
 
 
@@ -771,7 +793,7 @@ def read_mv_current(spark: SparkSession, mv_path: str) -> DataFrame:
     if head == covered:
         return cur
     events = _rename_events(
-        spark, base, int(info.get("registered", 0)), head
+        spark, base, int(info.get("registered", covered)), head
     )
     mapping = _mv_mapping(spark, info, head, events)
     try:
@@ -791,11 +813,14 @@ def read_mv_current(spark: SparkSession, mv_path: str) -> DataFrame:
     )
     if not (mins or maxs):
         return merged
-    # extremes: recompute the affected groups from the base HEAD at
-    # read time — same q184 algebra the persisted refresh uses
+    # extremes: recompute the affected groups from the base at the
+    # MEASURED head (pinned — a commit landing mid-read must not leak
+    # into the recompute while the fold stops at `head`) — same q184
+    # algebra the persisted refresh uses
     kept, affected = _split_recompute(merged, keys)
     scoped = _semi_nullsafe(
-        _restore_names(read_table(spark, base), mapping), affected, keys
+        _restore_names(read_table(spark, base, version=head), mapping),
+        affected, keys,
     )
     return kept.unionByName(_agg(scoped, keys, sums, mins, maxs))
 

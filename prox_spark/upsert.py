@@ -777,6 +777,7 @@ def apply_changes(
     changes: DataFrame,
     keys: list[str],
     op_col: str = "change",
+    extra_meta: dict | None = None,
 ) -> None:
     """Apply a CDC change feed — rows tagged insert/update/delete in
     ``op_col`` (the q114 snapshot-diff shape) — to the table in ONE
@@ -816,4 +817,4 @@ def apply_changes(
         .drop(op_col)
         .select(*scope.touched.columns)
     )
-    scope.commit(survivors.unionByName(upserts))
+    scope.commit(survivors.unionByName(upserts), extra_meta=extra_meta)

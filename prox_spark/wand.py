@@ -153,9 +153,23 @@ def _load_stats(
         .collect()
     )
     by_term = {r["term"]: (int(r["df"]), int(r["max_impact"])) for r in rows}
+    missing = [r for r in (CORPUS_ROW, FROZEN_ROW) if r not in by_term]
+    if missing:
+        names = ", ".join(repr(m) for m in missing)
+        raise ValueError(
+            f"stats table {stats_path} is missing its reserved row(s) "
+            f"{names} (corpus totals / frozen avgdl0) — it was not built "
+            "by build_bounded_index or has been truncated; rebuild the "
+            "bounded index"
+        )
     n_docs, tot = by_term.pop(CORPUS_ROW)
     n0, t0 = by_term.pop(FROZEN_ROW)
-    corr = max(1.0, (tot / n_docs) / (t0 / n0))
+    # maintenance can legitimately delete the whole corpus: n_docs == 0
+    # is an EMPTY index, not a divide-by-zero — the caller short-circuits
+    corr = (
+        max(1.0, (tot / n_docs) / (t0 / n0))
+        if (n_docs and n0 and t0) else 1.0
+    )
     return by_term, n_docs, tot, corr
 
 
@@ -181,6 +195,15 @@ def bounded_bm25(
     for qid, t in queries:
         qterms.setdefault(qid, []).append(t)
     by_term, n_docs, tot, corr = _load_stats(spark, stats_path, terms)
+    if n_docs == 0:
+        # maintenance deleted the whole corpus: the exact top-k over an
+        # empty index is empty — short-circuit before any idf division
+        empty = spark.createDataFrame(
+            [],
+            "query_id long, rnk long, doc_id long, n_terms_hit long, "
+            "score_micro long",
+        )
+        return empty, {"files_full": 0, "files_opened": 0}
 
     def imp_max(f) -> int | None:
         r = (fstats.get(f) or {}).get("impact")
@@ -291,6 +314,7 @@ def maintain_bounded_index(
     stats_path: str,
     feed: DataFrame,
     tokens_expr: str,
+    covers: dict | None = None,
 ) -> dict:
     """Fold a corpus change feed (``_change_type``/``_commit_version``
     rows) into the bounded index: the touched docs' (term, doc) pairs
@@ -300,7 +324,16 @@ def maintain_bounded_index(
     pruning — work ∝ the touched terms' postings. The corpus row
     updates additively (exact); the frozen avgdl0 row never moves, so
     previously-written impacts stay valid and serving corrects for
-    drift with the avgdl ratio. Returns maintenance counters."""
+    drift with the avgdl ratio. Returns maintenance counters.
+
+    ``covers`` (e.g. ``{"base": path, "version": head}``) is published
+    as the STATS table's ``index_of`` record in the SAME commit as the
+    corpus-row fold — the additive fold is the one non-idempotent step
+    of maintenance, so coverage advancing atomically with it means a
+    crashed/replayed run either sees the bumped coverage (no-op) or a
+    corpus row the fold never touched (clean re-apply), never a
+    double-counted window. The pairs merge is an idempotent keyed
+    upsert either way. Exactly mv.py's _merge_delta contract."""
     from prox_spark.upsert import apply_changes
 
     # final visible text per touched doc: the newest change wins;
@@ -350,7 +383,8 @@ def maintain_bounded_index(
                 .distinct()
             )
             n_touched = _refresh_term_stats(
-                spark, idx_path, stats_path, affected, feed, tokens_expr
+                spark, idx_path, stats_path, affected, feed, tokens_expr,
+                covers=covers,
             )
             return {
                 "touched_docs": touched_docs.count(),
@@ -414,57 +448,100 @@ def _refresh_term_stats(
     affected: DataFrame,
     feed: DataFrame,
     tokens_expr: str,
+    covers: dict | None = None,
 ) -> int:
     """Recompute exact (df, max_impact) for the affected terms from
-    the POST-merge index (key-set file pruning scopes the scan) and
-    merge them — plus the additive corpus-row update — into the stats
-    table in one apply_changes commit."""
-    terms = sorted(r["term"] for r in affected.collect())
+    the POST-merge index and merge them — plus the additive corpus-row
+    update (and the bumped ``covers`` lineage) — into the stats table
+    in one apply_changes commit.
+
+    The affected-term list lands driver-side only when it is CAPPED
+    (upsert._collect_capped — ~50k scalars): the common CDC batch gets
+    exact key-SET file pruning and driver-computed vanished terms. A
+    vocabulary-sized batch (a bulk reload's feed) keeps the term frame
+    DISTRIBUTED: the scan scopes by the terms' min/max RANGE instead
+    (one tiny agg), restricted by a broadcast semi-join, and vanished
+    terms come from an anti-join — no unbounded driver list, the
+    upsert.py fallback shape."""
+    from prox_spark.upsert import _collect_capped, apply_changes
+
     m = read_manifest(spark, idx_path)
-    files, _ = split_files_by_key_sets(m, {"term": terms})
-    scoped = _read_files(spark, idx_path, m, files).filter(
-        F.col("term").isin(terms)
-    )
-    fresh = _term_stats(scoped).persist()
+    affected = affected.persist()
+    gone_rows: list | None
     try:
-        have = {r["term"] for r in fresh.select("term").collect()}
-        gone = [t for t in terms if t not in have]
-        sgn = F.when(
-            F.col("_change_type") == "insert", F.lit(1)
-        ).otherwise(F.lit(-1))
-        drow = feed.select(
-            sgn.alias("s"),
-            F.size(F.expr(tokens_expr)).cast("long").alias("dl"),
-        ).agg(
-            F.sum("s").cast("long").alias("dn"),
-            F.sum(F.col("s") * F.col("dl")).cast("long").alias("dtot"),
-        ).first()
-        cur = (
-            read_table(spark, stats_path)
-            .filter(F.col("term") == CORPUS_ROW)
-            .first()
-        )
-        corpus = spark.createDataFrame(
-            [(
-                CORPUS_ROW,
-                int(cur["df"]) + int(drow["dn"] or 0),
-                int(cur["max_impact"]) + int(drow["dtot"] or 0),
-            )],
-            "term string, df long, max_impact long",
-        )
-        changes = (
-            fresh.unionByName(corpus)
-            .withColumn("change", F.lit("update"))
-            .unionByName(
-                spark.createDataFrame(
-                    [(t, None, None, "delete") for t in gone],
+        rows = _collect_capped(affected.select("term"))
+        if rows is not None:
+            terms = sorted(r["term"] for r in rows)
+            n_terms = len(terms)
+            files, _ = split_files_by_key_sets(m, {"term": terms})
+            scoped = _read_files(spark, idx_path, m, files).filter(
+                F.col("term").isin(terms)
+            )
+        else:
+            rng = affected.agg(
+                F.min("term").alias("lo"), F.max("term").alias("hi")
+            ).first()
+            n_terms = affected.count()
+            files, _ = split_files_by_key_ranges(
+                m, {"term": (rng["lo"], rng["hi"])}
+            )
+            scoped = _read_files(spark, idx_path, m, files).join(
+                F.broadcast(affected), "term", "left_semi"
+            )
+            terms = None
+        fresh = _term_stats(scoped).persist()
+        try:
+            if terms is not None:
+                have = {r["term"] for r in fresh.select("term").collect()}
+                gone_rows = [(t, None, None, "delete") for t in terms
+                             if t not in have]
+                gone_df = spark.createDataFrame(
+                    gone_rows,
                     "term string, df long, max_impact long, change string",
                 )
+            else:
+                gone_df = affected.join(
+                    fresh.select("term"), "term", "left_anti"
+                ).select(
+                    "term",
+                    F.lit(None).cast("long").alias("df"),
+                    F.lit(None).cast("long").alias("max_impact"),
+                    F.lit("delete").alias("change"),
+                )
+            sgn = F.when(
+                F.col("_change_type") == "insert", F.lit(1)
+            ).otherwise(F.lit(-1))
+            drow = feed.select(
+                sgn.alias("s"),
+                F.size(F.expr(tokens_expr)).cast("long").alias("dl"),
+            ).agg(
+                F.sum("s").cast("long").alias("dn"),
+                F.sum(F.col("s") * F.col("dl")).cast("long").alias("dtot"),
+            ).first()
+            cur = (
+                read_table(spark, stats_path)
+                .filter(F.col("term") == CORPUS_ROW)
+                .first()
             )
-        )
-        from prox_spark.upsert import apply_changes
-
-        apply_changes(spark, stats_path, changes, ["term"])
-        return len(terms)
+            corpus = spark.createDataFrame(
+                [(
+                    CORPUS_ROW,
+                    int(cur["df"]) + int(drow["dn"] or 0),
+                    int(cur["max_impact"]) + int(drow["dtot"] or 0),
+                )],
+                "term string, df long, max_impact long",
+            )
+            changes = (
+                fresh.unionByName(corpus)
+                .withColumn("change", F.lit("update"))
+                .unionByName(gone_df)
+            )
+            apply_changes(
+                spark, stats_path, changes, ["term"],
+                extra_meta={"index_of": covers} if covers else None,
+            )
+            return int(n_terms)
+        finally:
+            fresh.unpersist()
     finally:
-        fresh.unpersist()
+        affected.unpersist()

@@ -495,3 +495,89 @@ def test_maintain_cli_entrypoint(spark, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "refreshed" in out and mv in out
+
+def test_crashed_registry_upsert_cannot_double_fold_bounded(spark):
+    """ADVICE r9: coverage advances IN the stats commit. Simulate a
+    crash between the artifact's data commit and the registry upsert
+    by rolling the registry row's 'covered' param back to its old
+    value — the next maintain call must be a NOOP (the manifest
+    lineage wins) and the corpus row must not double-fold."""
+    from prox_spark.wand import CORPUS_ROW, build_bounded_index
+
+    s = _scratch()
+    base, reg = f"{s}/base", f"{s}/reg"
+    bidx, bstats = f"{s}/bidx", f"{s}/bstats"
+    commit_snapshot(spark, base, _docs(spark, 0, 60),
+                    stat_cols=["doc_id"], n_files=2)
+    build_bounded_index(
+        spark, read_table(spark, base).select("doc_id", "text"),
+        bidx, bstats, TOKENS, n_files=4,
+    )
+    register_artifact(
+        spark, reg, "bounded_postings", base, bidx,
+        {"stats": bstats, "tokens_expr": TOKENS, "covered": 1},
+    )
+    prev = read_manifest(spark, base)
+    commit_delta(spark, base, _docs(spark, 60, 80),
+                 list(prev["files"]), update_key_ranges={})
+    out = maintain_artifacts(spark, reg)
+    assert out[bidx]["status"] == "refreshed"
+
+    def corpus_row():
+        r = (
+            read_table(spark, bstats)
+            .filter(F.col("term") == CORPUS_ROW).first()
+        )
+        return (int(r["df"]), int(r["max_impact"]))
+
+    want = corpus_row()
+    assert want[0] == 80  # n_docs counts the appended docs once
+    # 'crash' replay: registry row claims the OLD coverage
+    register_artifact(
+        spark, reg, "bounded_postings", base, bidx,
+        {"stats": bstats, "tokens_expr": TOKENS, "covered": 1},
+    )
+    out2 = maintain_artifacts(spark, reg)
+    assert out2[bidx]["status"] == "noop", out2
+    assert corpus_row() == want  # not double-folded
+
+
+def test_crashed_registry_upsert_cannot_double_append_postings(spark):
+    """Same crash window for the append-postings kind: the signed
+    delta and the bumped coverage publish in one manifest rename, so a
+    replay with a stale registry row re-appends NOTHING."""
+    from prox_spark.queries.search import _tokens_tf, maintained_postings
+
+    s = _scratch()
+    base, reg, idx = f"{s}/base", f"{s}/reg", f"{s}/pidx"
+    commit_snapshot(
+        spark, base, _docs(spark, 0, 50).select("doc_id", "text"),
+        stat_cols=["doc_id"], n_files=2,
+    )
+    commit_snapshot(
+        spark, idx, _tokens_tf(read_table(spark, base)),
+        stat_cols=["term"], n_files=2,
+    )
+    register_artifact(
+        spark, reg, "postings", base, idx,
+        {"covered": 1, "fold_factor": 100.0},
+    )
+    prev = read_manifest(spark, base)
+    commit_delta(
+        spark, base, _docs(spark, 50, 70).select("doc_id", "text"),
+        list(prev["files"]), update_key_ranges={},
+    )
+    out = maintain_artifacts(spark, reg)
+    assert out[idx]["status"] == "refreshed"
+    raw_n = read_table(spark, idx).count()
+    want = sorted(map(tuple, maintained_postings(spark, idx).collect()))
+    # 'crash' replay with the stale registry row
+    register_artifact(
+        spark, reg, "postings", base, idx,
+        {"covered": 1, "fold_factor": 100.0},
+    )
+    out2 = maintain_artifacts(spark, reg)
+    assert out2[idx]["status"] == "noop", out2
+    assert read_table(spark, idx).count() == raw_n  # no re-append
+    got = sorted(map(tuple, maintained_postings(spark, idx).collect()))
+    assert got == want

@@ -883,3 +883,67 @@ def test_minmax_mv_upsert_echo_pairs_net_out(spark):
     rows = {r["grp"]: r for r in read_table(spark, mv).collect()}
     assert rows["g0"]["max_val"] == 9999
     assert rows["g3"]["min_val"] == -7
+
+def test_mv_stream_batch_extremes_recompute_pinned_to_batch_end(spark):
+    """ADVICE r9: a min/max view's streaming recompute must read the
+    base AT the batch's end version, not the live head — a lagging
+    batch (head already ahead) otherwise bakes post-end changes into
+    groups claiming coverage `end`, and the next batch double-folds
+    those versions' count/sum deltas."""
+    from prox_spark.mv import mv_stream_batch
+    from prox_spark.upsert import delete_keys
+
+    s = _scratch()
+    base, mv = f"{s}/base", f"{s}/mv"
+    commit_snapshot(spark, base, _df(spark, 0, 30),
+                    stat_cols=["id"], n_files=2)
+    create_mv(spark, base, mv, ["grp"], ["val"],
+              mins=["val"], maxs=["val"])
+
+    # v2: delete every group's stored min (ids 0..4) — forces the
+    # extremes recompute path for all 5 groups
+    delete_keys(spark, base, spark.range(0, 5).select("id"), ["id"])
+    # v3: append rows with NEW extreme values — the live head the
+    # lagging batch must NOT see
+    v3_rows = spark.range(200, 210).select(
+        F.col("id"),
+        F.concat(F.lit("g"), (F.col("id") % 5).cast("string")).alias("grp"),
+        (-F.col("id") * 10).alias("val"),
+    )
+    prev = read_manifest(spark, base)
+    commit_delta(spark, base, v3_rows, list(prev["files"]),
+                 update_key_ranges={})
+
+    def agg_at(version):
+        return sorted(
+            map(
+                tuple,
+                read_table(spark, base, version=version)
+                .groupBy("grp")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias(COUNT_COL),
+                    F.sum("val").alias("sum_val"),
+                    F.min("val").alias("min_val"),
+                    F.max("val").alias("max_val"),
+                )
+                .collect(),
+            )
+        )
+
+    # the LAGGING batch: only v2's delete rows, while head is v3
+    v2_feed = _df(spark, 0, 5).select(
+        "*", F.lit("delete").alias("_change_type"),
+        F.lit(2).cast("long").alias("_commit_version"),
+    )
+    mv_stream_batch(v2_feed, 0, mv)
+    assert _mv_rows(spark, mv) == agg_at(2), (
+        "lagging batch must materialize the v2 state, not leak v3"
+    )
+    # the catch-up batch folds v3; the result must be exact (no
+    # double-counted v3 slice)
+    v3_feed = v3_rows.select(
+        "*", F.lit("insert").alias("_change_type"),
+        F.lit(3).cast("long").alias("_commit_version"),
+    )
+    mv_stream_batch(v3_feed, 1, mv)
+    assert _mv_rows(spark, mv) == agg_at(3)

@@ -275,3 +275,125 @@ def test_compaction_restores_block_granularity(spark):
         c_before, c_after
     )
     assert c_after["files_opened"] < c_after["files_full"], c_after
+
+def test_empty_corpus_serves_empty_topk(spark):
+    """Maintenance that deletes every doc leaves a servable index:
+    bounded_bm25 short-circuits to an empty top-k instead of dividing
+    by n_docs = 0."""
+    s = _scratch()
+    docs = _corpus(spark, n=40)
+    build_bounded_index(spark, docs, f"{s}/idx", f"{s}/stats", TOKENS,
+                        n_files=4)
+    feed = docs.select(
+        "doc_id", "text",
+        F.lit("delete").alias("_change_type"),
+        F.lit(2).cast("long").alias("_commit_version"),
+    )
+    maintain_bounded_index(spark, f"{s}/idx", f"{s}/stats", feed, TOKENS)
+    out, counters = bounded_bm25(
+        spark, f"{s}/idx", f"{s}/stats", QUERIES, 10, TERM_MICRO
+    )
+    assert out.count() == 0
+    assert counters == {"files_full": 0, "files_opened": 0}
+
+
+def test_missing_reserved_rows_raise_descriptively(spark):
+    """A stats table without its reserved corpus/frozen rows (mis-built
+    or truncated) fails loudly with a named cause, not a KeyError."""
+    import pytest
+
+    from prox_spark.table import commit_snapshot
+
+    s = _scratch()
+    docs = _corpus(spark, n=40)
+    build_bounded_index(spark, docs, f"{s}/idx", f"{s}/stats", TOKENS,
+                        n_files=4)
+    # a 'stats table' with no reserved rows at all
+    commit_snapshot(
+        spark, f"{s}/badstats",
+        spark.createDataFrame(
+            [("common", 40, 1_000_000)],
+            "term string, df long, max_impact long",
+        ),
+        stat_cols=["term"],
+    )
+    with pytest.raises(ValueError, match="reserved row"):
+        bounded_bm25(
+            spark, f"{s}/idx", f"{s}/badstats", QUERIES, 10, TERM_MICRO
+        )
+
+
+def test_stats_refresh_range_fallback_matches_exact(spark, monkeypatch):
+    """Past the driver-collect cap the affected-term list never lands
+    on the driver: the stats recompute scopes by term RANGE + semi-join
+    instead, and the refreshed stats (and served answers) are identical
+    to the capped key-set path."""
+    import prox_spark.upsert as upsert_mod
+
+    s = _scratch()
+    docs = _corpus(spark, n=300)
+    old = docs.filter(F.col("doc_id") < 250)
+    build_bounded_index(spark, old, f"{s}/idx", f"{s}/stats", TOKENS,
+                        n_files=16)
+    # force the fallback: pretend every affected-term batch overflows
+    monkeypatch.setattr(
+        upsert_mod, "_collect_capped",
+        lambda df, cap=None: None,
+    )
+    ins = docs.filter(F.col("doc_id") >= 250).select(
+        "doc_id", "text",
+        F.lit("insert").alias("_change_type"),
+        F.lit(2).cast("long").alias("_commit_version"),
+    )
+    dels = old.filter(F.col("doc_id") % 11 == 0).select(
+        "doc_id", "text",
+        F.lit("delete").alias("_change_type"),
+        F.lit(3).cast("long").alias("_commit_version"),
+    )
+    maintain_bounded_index(
+        spark, f"{s}/idx", f"{s}/stats", ins.unionByName(dels), TOKENS
+    )
+    final = docs.filter(
+        (F.col("doc_id") % 11 != 0) | (F.col("doc_id") >= 250)
+    )
+    out, _ = bounded_bm25(
+        spark, f"{s}/idx", f"{s}/stats", QUERIES, 10, TERM_MICRO
+    )
+    assert _rows(out) == _rows(_brute_force(spark, final, QUERIES, 10))
+    # stats exactness under the fallback path
+    from prox_spark.table import read_table
+
+    toks = final.withColumn("tokens", F.expr(TOKENS))
+    want = toks.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.size("tokens")).cast("long").alias("tot"),
+    ).first()
+    srows = {
+        r["term"]: (r["df"], r["max_impact"])
+        for r in read_table(spark, f"{s}/stats").collect()
+    }
+    assert srows[CORPUS_ROW] == (want["n"], want["tot"])
+
+
+def test_maintenance_publishes_coverage_atomically(spark):
+    """``covers`` lands as the stats manifest's index_of in the SAME
+    commit as the corpus fold, so a replay decided by that record can
+    never double-fold the window."""
+    from prox_spark.table import read_manifest
+
+    s = _scratch()
+    docs = _corpus(spark, n=60)
+    old = docs.filter(F.col("doc_id") < 50)
+    build_bounded_index(spark, old, f"{s}/idx", f"{s}/stats", TOKENS,
+                        n_files=4)
+    feed = docs.filter(F.col("doc_id") >= 50).select(
+        "doc_id", "text",
+        F.lit("insert").alias("_change_type"),
+        F.lit(2).cast("long").alias("_commit_version"),
+    )
+    maintain_bounded_index(
+        spark, f"{s}/idx", f"{s}/stats", feed, TOKENS,
+        covers={"base": f"{s}/corpus", "version": 7},
+    )
+    meta = read_manifest(spark, f"{s}/stats").get("index_of")
+    assert meta == {"base": f"{s}/corpus", "version": 7}
