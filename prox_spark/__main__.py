@@ -8,6 +8,10 @@ Commands:
   maintain  --registry DIR           bring every registered derived artifact
             [--keep-going]           current (prox_spark.artifacts); exits 1
                                      on any artifact failure
+  llm-pipeline --docs PATH --out DIR run the one-call training-data curation
+                                     pipeline (dedup signals -> card -> clean
+                                     corpus -> leakage-free splits -> frozen
+                                     training-set txn -> artifact registry)
 """
 
 from __future__ import annotations
@@ -40,6 +44,18 @@ def main(argv: list[str] | None = None) -> int:
     p_mnt.add_argument(
         "--keep-going", action="store_true",
         help="report failures in the exit code only, never raise mid-run",
+    )
+
+    p_llm = sub.add_parser(
+        "llm-pipeline", help="run the one-call training-data curation job"
+    )
+    p_llm.add_argument(
+        "--docs", required=True,
+        help="parquet path with (doc_id, source, text[, n_chars]) rows",
+    )
+    p_llm.add_argument(
+        "--out", required=True,
+        help="output dir for pairs/ card/ corpus/ splits/ ws/ registry/",
     )
 
     args = parser.parse_args(argv)
@@ -75,6 +91,21 @@ def main(argv: list[str] | None = None) -> int:
         n = compact_parquet(spark, args.src, args.dst, target_file_mb=args.target_mb)
         print(f"compacted {args.src} -> {args.dst} ({n} files)")
         return 0
+
+    if args.cmd == "llm-pipeline":
+        from prox_spark.llm_jobs import run_llm_pipeline
+
+        results = run_llm_pipeline(
+            spark, spark.read.parquet(args.docs), args.out
+        )
+        width = max(len(n) for n in results)
+        failed = False
+        for name, res in results.items():
+            print(f"{name:{width}s}  {res.status:9s} attempts={res.attempts} "
+                  f"{res.duration_s:.2f}s"
+                  f"{'  ' + res.error if res.error else ''}")
+            failed = failed or res.status != "succeeded"
+        return 1 if failed else 0
 
     if args.cmd == "maintain":
         from prox_spark.artifacts import maintain_artifacts

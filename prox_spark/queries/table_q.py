@@ -3494,6 +3494,176 @@ ORDER BY split, source
 """
 
 
+_LLM_PIPE_CACHE: dict[str, tuple] = {}
+
+
+def _llm_pipeline_run(spark: SparkSession, sf_dir: str) -> tuple:
+    """Staged once per process: the ONE-CALL curation pipeline
+    (prox_spark/llm_jobs.py run_llm_pipeline) over the documents
+    table, then the production aftermath — the live corpus churned
+    (append + merge-on-read delete + upsert + compaction), the
+    registry re-maintained through the churn, and BOTH retention
+    passes run (vacuum_with_registry composing the registry's
+    covered-version pins with the frozen txn's pins; workspace-pinned
+    splits vacuumed too) — so the frozen training set must survive on
+    its pins alone. Returns (ws, corpus, splits, cross_split_pairs,
+    head_moved, registry_ok, True)."""
+    from prox_spark.artifacts import maintain_artifacts, vacuum_with_registry
+    from prox_spark.llm_jobs import run_llm_pipeline
+    from prox_spark.table import (
+        commit_delta,
+        compact_table,
+        read_manifest,
+        read_table,
+        vacuum,
+    )
+    from prox_spark.txn import txn_pinned_versions
+    from prox_spark.upsert import delete_keys_mor, upsert_parquet
+
+    from ._staging import staged
+
+    def build(scratch: str) -> tuple:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "source", "text", "n_chars"
+        )
+        out = f"{scratch}/run"
+        results = run_llm_pipeline(spark, docs, out)
+        bad = {n: r.error for n, r in results.items()
+               if r.status != "succeeded"}
+        if bad:
+            raise RuntimeError(f"llm pipeline stages failed: {bad}")
+        corpus = results["corpus"].output
+        ws = results["freeze"].output["workspace"]
+        splits = results["splits"].output["path"]
+        cross = int(results["splits"].output["cross_split_pairs"])
+        frozen_v = int(results["freeze"].output["corpus_version"])
+        registry = results["register"].output["registry"]
+
+        # the world moves on: late crawl lands, takedowns delete,
+        # metadata mutates, maintenance compacts
+        late = docs.filter(F.col("doc_id") % 7 == 3).select(
+            (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+            F.lit("late_crawl").alias("source"),
+            F.concat(F.col("text"), F.lit(" late")).alias("text"),
+            (F.col("n_chars") + F.lit(5)).alias("n_chars"),
+        )
+        prev = read_manifest(spark, corpus)
+        commit_delta(spark, corpus, late, list(prev["files"]),
+                     update_key_ranges={})
+        delete_keys_mor(
+            spark, corpus,
+            docs.filter(F.col("doc_id") % 9 == 2).select("doc_id"),
+            ["doc_id"],
+        )
+        upsert_parquet(
+            spark, corpus,
+            read_table(spark, corpus).filter(F.col("doc_id") % 11 == 4)
+            .withColumn("n_chars", F.col("n_chars") + F.lit(1)),
+            ["doc_id"],
+        )
+        compact_table(spark, corpus)
+        head_moved = bool(
+            int(read_manifest(spark, corpus)["version"]) > frozen_v
+        )
+        # registry maintenance straight through the churn
+        report = maintain_artifacts(spark, registry)
+        registry_ok = all(r["status"] != "error" for r in report.values())
+        # retention: registry pins + txn pins COMPOSE on the corpus;
+        # the splits table has only its txn pin
+        vacuum_with_registry(
+            spark, corpus, registry, keep_last=1, retention_minutes=0.0,
+            extra_pins=txn_pinned_versions(spark, ws, corpus),
+        )
+        vacuum(
+            spark, splits, keep_last=1, retention_minutes=0.0,
+            extra_pins=txn_pinned_versions(spark, ws, splits),
+        )
+        return ws, corpus, splits, cross, head_moved, registry_ok, True
+
+    return staged(_LLM_PIPE_CACHE, sf_dir, "prox_llmpipe_", build)
+
+
+def q218_llm_pipeline_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE CAPSTONE: every curation piece the engine gates
+    individually — dedup signals (q30/q36), data card (q193),
+    leakage-free splits (q206), frozen training-set txn (q217),
+    derived-artifact registry (q216) — composed as ONE invokable job
+    through the retrying DAG runner (O1-O4; `python -m prox_spark
+    llm-pipeline`), the transposition of the reference's Step
+    Functions pipeline (reference stepfunctions.tf:8-226) to the
+    training-data workload. The gate reads the run's FROZEN manifest
+    (pinned corpus ⋈ pinned splits) after the live corpus was churned,
+    re-maintained, and vacuumed; the oracle recomputes the clean
+    corpus + cluster-representative split assignment formulaically
+    from the raw documents table, so a wrong dedup keeper, a leaked
+    post-freeze row, a mis-assigned split, or a vacuumed frozen file
+    all break the hash. Pins: ``cross_split_pairs`` (structurally 0),
+    ``head_moved``, ``served_after_vacuum``, ``registry_ok``."""
+    from prox_spark.txn import txn_read
+
+    ws, corpus, splits, cross, head_moved, registry_ok, vac = (
+        _llm_pipeline_run(spark, sf_dir)
+    )
+    frozen = txn_read(spark, ws, corpus).join(
+        txn_read(spark, ws, splits), "doc_id"
+    )
+    return (
+        frozen.groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_n_chars"),
+        )
+        .withColumn("cross_split_pairs", F.lit(cross).cast("long"))
+        .withColumn("head_moved", F.lit(head_moved))
+        .withColumn("served_after_vacuum", F.lit(vac))
+        .withColumn("registry_ok", F.lit(registry_ok))
+        .orderBy("split", "source")
+    )
+
+
+def _oracle_q218() -> str:
+    from prox_spark.llm_jobs import TRAIN_LT, VAL_LT
+    from prox_spark.queries.text import _CC_LABELS_CTE, _HEXV_DUCK
+
+    hx = " + ".join(
+        f"({_HEXV_DUCK.format(i=i + 1)}) * {16 ** (3 - i)}" for i in range(4)
+    )
+    return f"""{_CC_LABELS_CTE},
+own AS (
+  SELECT md5(text) AS dg, min(doc_id) AS keeper FROM documents GROUP BY 1
+), kept AS (
+  SELECT d.doc_id, d.source, d.n_chars
+  FROM documents d
+  JOIN own ON md5(d.text) = own.dg AND d.doc_id = own.keeper
+), rep_t AS (
+  SELECT k.doc_id, k.source, k.n_chars,
+         coalesce(c.cluster_id, k.doc_id) AS rep
+  FROM kept k LEFT JOIN cc_labels c ON k.doc_id = c.doc_id
+), assigned AS (
+  SELECT doc_id, source, n_chars,
+         CASE WHEN bucket < {TRAIN_LT} THEN 'train'
+              WHEN bucket < {VAL_LT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id, source, n_chars, CAST({hx} AS BIGINT) % 100 AS bucket
+    FROM (
+      SELECT doc_id, source, n_chars, md5(rep::VARCHAR) AS m FROM rep_t
+    )
+  )
+)
+SELECT split, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+       CAST(0 AS BIGINT) AS cross_split_pairs,
+       TRUE AS head_moved,
+       TRUE AS served_after_vacuum,
+       TRUE AS registry_ok
+FROM assigned
+GROUP BY split, source
+ORDER BY split, source
+"""
+
+
 QUERIES = {
     "q114_snapshot_diff": q114_snapshot_diff,
     "q118_incremental_agg": q118_incremental_agg,
@@ -3524,6 +3694,7 @@ QUERIES = {
     "q212_minmax_materialized_view": q212_minmax_materialized_view,
     "q216_artifact_registry": q216_artifact_registry,
     "q217_frozen_training_set": q217_frozen_training_set,
+    "q218_llm_pipeline_capstone": q218_llm_pipeline_capstone,
 }
 
 
@@ -3560,4 +3731,5 @@ def oracles() -> dict[str, str]:
         "q212_minmax_materialized_view": ORACLE_Q212,
         "q216_artifact_registry": ORACLE_Q216,
         "q217_frozen_training_set": ORACLE_Q217,
+        "q218_llm_pipeline_capstone": _oracle_q218(),
     }

@@ -34,3 +34,168 @@ def test_cli_medallion_fixtures(spark, tmp_path, capsys):
     assert rc == 0
     printed = capsys.readouterr().out
     assert "write_kpis" in printed and "failed" not in printed
+
+def _pipe_docs(spark):
+    """Synthetic corpus with exact dups, near-dups, and singletons."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("source"),
+        F.concat(
+            F.lit("alpha beta gamma delta epsilon zeta eta theta doc "),
+            F.expr("cast(id div 4 as string)"),  # groups of 4 near-dups
+            F.when(F.col("id") % 4 == 0, F.lit("")).otherwise(
+                F.concat(F.lit(" tail"), (F.col("id") % 2).cast("string"))
+            ),
+        ).alias("text"),
+    )
+    # exact dups: ids 100..104 copy ids 0..4's text verbatim
+    dups = spark.range(5).select(
+        (F.col("id") + 100).alias("doc_id"),
+        F.lit("s_copy").alias("source"),
+        F.concat(
+            F.lit("alpha beta gamma delta epsilon zeta eta theta doc "),
+            F.expr("cast(id div 4 as string)"),
+            F.when(F.col("id") % 4 == 0, F.lit("")).otherwise(
+                F.concat(F.lit(" tail"), (F.col("id") % 2).cast("string"))
+            ),
+        ).alias("text"),
+    )
+    return base.unionByName(dups)
+
+
+def test_run_llm_pipeline_end_to_end(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from prox_spark.llm_jobs import run_llm_pipeline
+    from prox_spark.table import read_table
+    from prox_spark.txn import txn_read
+
+    out = str(tmp_path / "llm")
+    docs = _pipe_docs(spark)
+    results = run_llm_pipeline(spark, docs, out)
+    assert all(r.status == "succeeded" for r in results.values()), {
+        n: (r.status, r.error) for n, r in results.items()
+    }
+    corpus = results["corpus"].output
+    splits = results["splits"].output["path"]
+    assert results["splits"].output["cross_split_pairs"] == 0
+
+    # exact dedup: every md5(text) appears once, keeper = min doc_id
+    kept = read_table(spark, corpus)
+    want_kept = (
+        docs.groupBy(F.md5("text").alias("d"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .count()
+    )
+    assert kept.count() == want_kept
+    assert kept.select(F.md5("text")).distinct().count() == want_kept
+
+    # near-dups co-locate: every doc in one LSH cluster got ONE split
+    pairs = read_table(spark, results["signals"].output)
+    a = read_table(spark, splits)
+    straddle = (
+        pairs.join(a.select(F.col("doc_id").alias("doc1"),
+                            F.col("split").alias("s1")), "doc1")
+        .join(a.select(F.col("doc_id").alias("doc2"),
+                       F.col("split").alias("s2")), "doc2")
+        .filter(F.col("s1") != F.col("s2"))
+        .count()
+    )
+    assert straddle == 0
+
+    # the card accounts for every doc and the dup arms
+    card = read_table(spark, results["card"].output)
+    totals = card.agg(
+        F.sum("n_docs").alias("nd"), F.sum("n_exact_dup").alias("ne"),
+        F.sum("n_kept").alias("nk"),
+    ).first()
+    assert totals["nd"] == docs.count()
+    assert totals["ne"] == docs.count() - want_kept
+    assert totals["nk"] == want_kept
+
+    # frozen pair stays byte-identical through churn + retention
+    ws = results["freeze"].output["workspace"]
+    frozen_before = sorted(
+        map(tuple, txn_read(spark, ws, corpus).join(
+            txn_read(spark, ws, splits), "doc_id").collect())
+    )
+    from prox_spark.artifacts import (
+        maintain_artifacts,
+        vacuum_with_registry,
+    )
+    from prox_spark.table import commit_delta, read_manifest
+    from prox_spark.txn import txn_pinned_versions
+
+    late = kept.limit(5).select(
+        (F.col("doc_id") + 500).alias("doc_id"), "source",
+        F.concat("text", F.lit(" late")).alias("text"),
+        (F.col("n_chars") + 5).alias("n_chars"),
+    )
+    prev = read_manifest(spark, corpus)
+    commit_delta(spark, corpus, late, list(prev["files"]),
+                 update_key_ranges={})
+    registry = results["register"].output["registry"]
+    report = maintain_artifacts(spark, registry)
+    assert all(r["status"] != "error" for r in report.values()), report
+    vacuum_with_registry(
+        spark, corpus, registry, keep_last=1, retention_minutes=0.0,
+        extra_pins=txn_pinned_versions(spark, ws, corpus),
+    )
+    frozen_after = sorted(
+        map(tuple, txn_read(spark, ws, corpus).join(
+            txn_read(spark, ws, splits), "doc_id").collect())
+    )
+    assert frozen_after == frozen_before
+    # the registered MV tracks the churned head, not the frozen pin
+    from prox_spark.mv import read_mv_current
+
+    mv = f"{out}/mv_source_chars"
+    got = sorted(map(tuple, read_mv_current(spark, mv).collect()))
+    want = sorted(
+        map(
+            tuple,
+            read_table(spark, corpus).groupBy("source").agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("n_chars").alias("sum_n_chars"),
+            ).collect(),
+        )
+    )
+    assert got == want
+
+
+def test_llm_pipeline_stage_failure_skips_downstream(spark, tmp_path):
+    """O4 semantics: a failing stage cascades to skips, never a
+    half-frozen txn."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from prox_spark.llm_jobs import run_llm_pipeline
+
+    bad = spark.range(5).select(
+        F.col("id").alias("doc_id"),
+        F.lit("s").alias("source"),
+        # no 'text' column -> ingest raises
+    )
+    out = str(tmp_path / "bad")
+    results = run_llm_pipeline(spark, bad, out)
+    assert results["ingest"].status == "failed"
+    assert results["freeze"].status == "skipped"
+    assert results["register"].status == "skipped"
+    assert not os.path.exists(os.path.join(out, "ws"))
+
+
+def test_cli_llm_pipeline(spark, tmp_path, capsys):
+    from prox_spark.__main__ import main
+
+    docs_path = str(tmp_path / "docs.parquet")
+    _pipe_docs(spark).write.parquet(docs_path)
+    rc = main([
+        "llm-pipeline", "--docs", docs_path,
+        "--out", str(tmp_path / "cli_llm"),
+    ])
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "register" in printed and "failed" not in printed
