@@ -1043,6 +1043,247 @@ ORDER BY query_id, rnk
 """
 
 
+# --- q219: STREAM-maintained bounded BM25 ----------------------------------
+
+N_SBMW_DOCS = 240
+# single-term queries only: a rare partner's upper bound would keep
+# every block of its high-df co-term essential (the q213 no-skip
+# shape, gated there) — here the pins are about MAINTENANCE, and the
+# single-term shapes let files_skipped assert the merged-then-
+# compacted layout still supports the floor
+BOUNDED_STREAM_QUERIES: list[tuple[int, str]] = [
+    (1, "idx"),
+    (2, "upd"),
+    (3, "t3"),
+    (4, "pad"),
+]
+_SBMW_CACHE: dict[str, tuple] = {}
+
+
+def _sbmw_corpus(spark: SparkSession) -> DataFrame:
+    """Formulaic stream-workload corpus with a tf SPREAD on the
+    high-df term ('idx' repeats 1 + i%5 times) at CONSTANT document
+    length (pad tokens fill to 7) — dl growing with tf would flatten
+    the BM25 term core's impact separation (tf saturates against the
+    length normalizer) below the avgdl-drift correction, leaving the
+    block-max floor nothing to skip."""
+    return spark.range(N_SBMW_DOCS).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.expr("repeat('idx ', cast(1 + id % 5 as int))"),
+            F.expr("repeat('pad ', cast(5 - id % 5 as int))"),
+            F.lit("t"), F.expr("cast(id div 2 as string)"),
+        ).alias("text"),
+    )
+
+
+def _stream_bounded(spark: SparkSession, sf_dir: str) -> tuple:
+    """Staged once per process: the block-max index built at the
+    corpus's v1 WITH lineage (covers=v1) and maintained by three
+    checkpoint-sharing readChangeFeed stream runs, commits landing
+    while the stream is down — append + merge-on-read delete fold in
+    ONE catch-up batch, the upsert in another. A fourth idle run must
+    publish NO commit to either the index or the stats table (the
+    lineage fence, not marker rows, is the replay guard). Returns
+    (idx, stats, incremental, replay_idempotent, covered_current)."""
+    from prox_spark.table import (
+        commit_delta,
+        commit_snapshot,
+        read_manifest,
+    )
+    from prox_spark.table_stream import TableChangesDataSource
+    from prox_spark.upsert import delete_keys_mor, upsert_parquet
+    from prox_spark.wand import (
+        bounded_index_stream_batch,
+        build_bounded_index,
+    )
+
+    from ._staging import staged
+    from .streaming_q import _stream_partitions
+
+    def build(scratch: str) -> tuple:
+        spark.dataSource.register(TableChangesDataSource)
+        t = f"{scratch}/corpus"
+        idx, stats = f"{scratch}/bmw_idx", f"{scratch}/bmw_stats"
+        ckpt = f"{scratch}/ckpt"
+        allr = _sbmw_corpus(spark)
+        n_batches = 0
+
+        def run() -> None:
+            nonlocal n_batches
+            before = int(read_manifest(spark, stats)["version"])
+            with _stream_partitions(spark):
+                q = (
+                    spark.readStream.format("prox_table_changes")
+                    .option("path", t)
+                    .option("readChangeFeed", "true")
+                    .load()
+                    .writeStream.foreachBatch(
+                        lambda bdf, bid: bounded_index_stream_batch(
+                            bdf, bid, t, idx, stats, TOKENS_SPARK
+                        )
+                    )
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                try:
+                    if not q.awaitTermination(600):
+                        raise RuntimeError(
+                            "bounded-index stream did not drain within 600s"
+                        )
+                finally:
+                    q.stop()
+            if int(read_manifest(spark, stats)["version"]) > before:
+                n_batches += 1
+
+        commit_snapshot(
+            spark, t, allr.filter(F.col("doc_id") % 4 != 3),
+            stat_cols=["doc_id"], n_files=4,
+        )
+        # build AT v1 with lineage: the stream's first batch re-delivers
+        # the v1 snapshot rows and the fence must drop them
+        build_bounded_index(
+            spark, allr.filter(F.col("doc_id") % 4 != 3),
+            idx, stats, TOKENS_SPARK, n_files=8,
+            covers={"base": t, "version": 1},
+        )
+        run()  # v1 only: fence makes this a pure no-op run
+        prev = read_manifest(spark, t)
+        commit_delta(
+            spark, t, allr.filter(F.col("doc_id") % 4 == 3),
+            list(prev["files"]), update_key_ranges={},
+        )
+        delete_keys_mor(
+            spark, t,
+            allr.filter(F.col("doc_id") % 5 == 0).select("doc_id"),
+            ["doc_id"],
+        )
+        run()  # append + delete in one catch-up batch
+        upd = allr.filter(
+            (F.col("doc_id") % 9 == 0) & (F.col("doc_id") % 5 != 0)
+        ).withColumn("text", F.concat(F.col("text"), F.lit(" upd")))
+        upsert_parquet(spark, t, upd, ["doc_id"])
+        run()
+        # merge maintenance fragments the per-term impact blocks (each
+        # rewrite re-clusters locally); compaction restores globally
+        # range-disjoint blocks so the skip rule has blocks to skip —
+        # the production cadence compact_bounded_index exists for
+        from prox_spark.wand import compact_bounded_index
+
+        compact_bounded_index(spark, idx, n_files=16)
+        vi = int(read_manifest(spark, idx)["version"])
+        vs = int(read_manifest(spark, stats)["version"])
+        run()  # nothing new: NO commit to index or stats
+        replay_idempotent = bool(
+            int(read_manifest(spark, idx)["version"]) == vi
+            and int(read_manifest(spark, stats)["version"]) == vs
+        )
+        covered_current = bool(
+            int(read_manifest(spark, stats)["index_of"]["version"])
+            == int(read_manifest(spark, t)["version"])
+        )
+        return idx, stats, bool(n_batches >= 2), replay_idempotent, covered_current
+
+    return staged(_SBMW_CACHE, sf_dir, "prox_sbmw_", build)
+
+
+def q219_streaming_bounded_bm25(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAM-maintained block-max BM25 — q214's bound maintenance
+    wired into a standing readChangeFeed stream (q205's pattern, but
+    the replay guard is LINEAGE, not marker rows: coverage publishes
+    atomically with the corpus-row fold, see
+    prox_spark/wand.py bounded_index_stream_batch). Three
+    checkpoint-sharing runs fold snapshot-fenced v1, an
+    append + merge-on-read delete catch-up batch, and an upsert; a
+    fourth idle run must publish nothing. The oracle recomputes BM25
+    from the formulaic FINAL corpus with no index — a double-folded
+    replay (wrong n_docs/idf), an unretracted deleted doc, or a stale
+    df all break the hash. Pins: ``incremental`` (≥2 distinct folding
+    runs), ``replay_idempotent``, ``covered_current`` (stats lineage
+    reached the corpus head), ``files_skipped`` (the block-max bound
+    still fires on the merge-maintained layout)."""
+    from prox_spark.wand import bounded_bm25
+
+    idx, stats, incremental, replay_idempotent, covered_current = (
+        _stream_bounded(spark, sf_dir)
+    )
+    out, counters = bounded_bm25(
+        spark, idx, stats, BOUNDED_STREAM_QUERIES, BM25_TOP_K, _TERM_MICRO
+    )
+    files_skipped = bool(
+        0 < counters["files_opened"] < counters["files_full"]
+    )
+    return (
+        out.withColumn("incremental", F.lit(incremental))
+        .withColumn("replay_idempotent", F.lit(replay_idempotent))
+        .withColumn("covered_current", F.lit(covered_current))
+        .withColumn("files_skipped", F.lit(files_skipped))
+        .orderBy("query_id", "rnk")
+    )
+
+
+def _oracle_q219() -> str:
+    vals = ", ".join(f"({q}, '{t}')" for q, t in BOUNDED_STREAM_QUERIES)
+    return f"""
+WITH final AS (
+  SELECT i AS doc_id,
+         repeat('idx ', CAST(1 + i % 5 AS INT)) ||
+         repeat('pad ', CAST(5 - i % 5 AS INT)) || 't' ||
+         CAST(i // 2 AS VARCHAR) ||
+         CASE WHEN i % 9 = 0 THEN ' upd' ELSE '' END AS text
+  FROM range({N_SBMW_DOCS}) t(i)
+  WHERE i % 5 <> 0
+), t AS (
+  SELECT doc_id, {TOKENS_DUCK} AS tokens FROM final
+), dl_t AS (
+  SELECT doc_id, CAST(len(tokens) AS BIGINT) AS dl FROM t
+), tf_t AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM t)
+  GROUP BY doc_id, term
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot
+  FROM dl_t
+), qt AS (
+  SELECT CAST(query_id AS BIGINT) AS query_id, term
+  FROM (VALUES {vals}) AS v(query_id, term)
+), dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df
+  FROM tf_t
+  WHERE term IN (SELECT term FROM qt)
+  GROUP BY term
+), scored AS (
+  SELECT qt.query_id, tf_t.doc_id,
+         {_TERM_MICRO} AS term_micro
+  FROM qt
+  JOIN tf_t USING (term)
+  JOIN dfreq USING (term)
+  JOIN dl_t ON tf_t.doc_id = dl_t.doc_id
+  CROSS JOIN stats
+), agg AS (
+  SELECT query_id, doc_id,
+         CAST(count(*) AS BIGINT) AS n_terms_hit,
+         CAST(sum(term_micro) AS BIGINT) AS score_micro
+  FROM scored GROUP BY query_id, doc_id
+), ranked AS (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score_micro DESC, doc_id
+         ) AS rnk
+  FROM agg
+)
+SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id, n_terms_hit,
+       score_micro, TRUE AS incremental, TRUE AS replay_idempotent,
+       TRUE AS covered_current, TRUE AS files_skipped
+FROM ranked
+WHERE rnk <= {BM25_TOP_K}
+ORDER BY query_id, rnk
+"""
+
+
 QUERIES = {
     "q200_bm25_search": q200_bm25_search,
     "q201_incremental_text_index": q201_incremental_text_index,
@@ -1050,6 +1291,7 @@ QUERIES = {
     "q205_streaming_text_index": q205_streaming_text_index,
     "q213_bounded_bm25": q213_bounded_bm25,
     "q214_maintained_bounded_bm25": q214_maintained_bounded_bm25,
+    "q219_streaming_bounded_bm25": q219_streaming_bounded_bm25,
 }
 
 ORACLES = {
@@ -1059,4 +1301,5 @@ ORACLES = {
     "q205_streaming_text_index": ORACLE_Q205,
     "q213_bounded_bm25": ORACLE_Q213,
     "q214_maintained_bounded_bm25": _oracle_q214(),
+    "q219_streaming_bounded_bm25": _oracle_q219(),
 }

@@ -113,11 +113,16 @@ def build_bounded_index(
     stats_path: str,
     tokens_expr: str,
     n_files: int = 32,
+    covers: dict | None = None,
 ) -> None:
     """Build the block-max postings table + exact term stats from a
     (doc_id, text-ish) frame. ``tokens_expr`` is the SQL tokenizer
     over the frame's text column (injected so the engine stays
-    workload-neutral)."""
+    workload-neutral). ``covers`` (e.g. ``{"base": path, "version":
+    v}``) records which base-table version the build captured, as the
+    stats manifest's ``index_of`` lineage — required for the
+    streaming maintenance sink (:func:`bounded_index_stream_batch`),
+    whose replay fence is exactly this record."""
     from prox_spark.table import commit_snapshot
 
     base = _postings_with_dl(docs, tokens_expr).persist()
@@ -138,8 +143,10 @@ def build_bounded_index(
                 "term string, df long, max_impact long",
             )
         )
-        commit_snapshot(spark, stats_path, stats, stat_cols=["term"],
-                        n_files=2)
+        commit_snapshot(
+            spark, stats_path, stats, stat_cols=["term"], n_files=2,
+            extra_meta={"index_of": covers} if covers else None,
+        )
     finally:
         base.unpersist()
 
@@ -394,6 +401,48 @@ def maintain_bounded_index(
             new_pairs.unpersist()
     finally:
         last.unpersist()
+
+
+def bounded_index_stream_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    base_path: str,
+    idx_path: str,
+    stats_path: str,
+    tokens_expr: str,
+) -> None:
+    """CONTINUOUS bounded-index maintenance: foreachBatch sink for a
+    readChangeFeed stream over the corpus table — each micro-batch
+    folds through :func:`maintain_bounded_index`, so the WAND index
+    stays current under live ingest. Idempotence comes from LINEAGE,
+    not marker rows (the mv.py mv_stream_batch pattern): the stats
+    manifest's ``index_of`` records the covered base version, the fold
+    first drops rows at or below it (a replayed or overlapping batch
+    contributes only its uncovered slice), and the bumped coverage
+    publishes in the SAME commit as the corpus-row fold — the one
+    non-idempotent maintenance step — so a crash replays as either a
+    no-op or a clean re-apply, never a double count. Requires an index
+    built with ``build_bounded_index(..., covers=...)``; a stats table
+    without lineage for this base fails loudly (folding the corpus's
+    initial snapshot into an index built FROM it would double-count
+    every term)."""
+    sp = batch_df.sparkSession
+    meta = read_manifest(sp, stats_path).get("index_of") or {}
+    if meta.get("base") != base_path or "version" not in meta:
+        raise ValueError(
+            f"stats table {stats_path} records no index_of lineage for "
+            f"{base_path}; build the index with build_bounded_index("
+            "..., covers={'base': base, 'version': v}) before streaming"
+        )
+    covered = int(meta["version"])
+    fresh = batch_df.filter(F.col("_commit_version") > covered)
+    end = fresh.agg(F.max("_commit_version")).first()[0]
+    if end is None:
+        return  # nothing beyond the covered version: replay no-op
+    maintain_bounded_index(
+        sp, idx_path, stats_path, fresh, tokens_expr,
+        covers={"base": base_path, "version": int(end)},
+    )
 
 
 def compact_bounded_index(

@@ -397,3 +397,72 @@ def test_maintenance_publishes_coverage_atomically(spark):
     )
     meta = read_manifest(spark, f"{s}/stats").get("index_of")
     assert meta == {"base": f"{s}/corpus", "version": 7}
+
+def test_stream_batch_lineage_fence(spark):
+    """bounded_index_stream_batch: rows at or below the stats
+    manifest's covered version fold nothing (snapshot re-delivery /
+    replay), rows above fold exactly their uncovered slice and bump
+    the coverage in the same commit; a stats table without lineage
+    refuses to stream."""
+    import pytest
+
+    from prox_spark.table import read_manifest, read_table
+    from prox_spark.wand import bounded_index_stream_batch
+
+    s = _scratch()
+    docs = _corpus(spark, n=80)
+    base = f"{s}/corpus"
+    build_bounded_index(
+        spark, docs, f"{s}/idx", f"{s}/stats", TOKENS, n_files=4,
+        covers={"base": base, "version": 1},
+    )
+    vs0 = int(read_manifest(spark, f"{s}/stats")["version"])
+
+    def feed(lo, hi, ver):
+        return _corpus(spark, n=200).filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).select(
+            "doc_id", "text",
+            F.lit("insert").alias("_change_type"),
+            F.lit(ver).cast("long").alias("_commit_version"),
+        )
+
+    # v1 re-delivery (the stream's first batch after a fenced build)
+    bounded_index_stream_batch(
+        feed(0, 80, 1), 0, base, f"{s}/idx", f"{s}/stats", TOKENS
+    )
+    assert int(read_manifest(spark, f"{s}/stats")["version"]) == vs0
+    # a genuine v2 slice folds and bumps coverage atomically
+    bounded_index_stream_batch(
+        feed(80, 120, 2), 1, base, f"{s}/idx", f"{s}/stats", TOKENS
+    )
+    meta = read_manifest(spark, f"{s}/stats")["index_of"]
+    assert meta == {"base": base, "version": 2}
+    corpus_row = (
+        read_table(spark, f"{s}/stats")
+        .filter(F.col("term") == CORPUS_ROW).first()
+    )
+    assert int(corpus_row["df"]) == 120
+    # replaying the same batch is fenced out (no double-fold)
+    bounded_index_stream_batch(
+        feed(80, 120, 2), 1, base, f"{s}/idx", f"{s}/stats", TOKENS
+    )
+    corpus_row2 = (
+        read_table(spark, f"{s}/stats")
+        .filter(F.col("term") == CORPUS_ROW).first()
+    )
+    assert int(corpus_row2["df"]) == 120
+    # exactness after the fold: serving equals brute force on 0..120
+    final = _corpus(spark, n=200).filter(F.col("doc_id") < 120)
+    out, _ = bounded_bm25(
+        spark, f"{s}/idx", f"{s}/stats", QUERIES, 10, TERM_MICRO
+    )
+    assert _rows(out) == _rows(_brute_force(spark, final, QUERIES, 10))
+    # a lineage-less stats table refuses to stream
+    build_bounded_index(
+        spark, docs, f"{s}/idx2", f"{s}/stats2", TOKENS, n_files=2
+    )
+    with pytest.raises(ValueError, match="index_of lineage"):
+        bounded_index_stream_batch(
+            feed(80, 120, 2), 1, base, f"{s}/idx2", f"{s}/stats2", TOKENS
+        )
