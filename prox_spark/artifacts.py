@@ -55,7 +55,117 @@ from prox_spark.table import is_manifest_table, read_manifest, read_table
 _SCHEMA = "artifact string, kind string, base string, params string"
 KINDS = (
     "mv", "join_mv", "value_index", "bounded_postings", "ivf", "postings",
+    "kmv",
 )
+
+# KMV sketch size (q209's constant): k minimum md5-derived unit-interval
+# hashes estimate distinct counts as (k-1)/u_k — deterministic (no HLL
+# register randomness), so served estimates are oracle-reproducible
+KMV_K = 16
+
+
+def _kmv_u_frame(df, col: str):
+    """(u double) frame: the md5-derived uniform u ∈ [0, 1) of each
+    value of ``df.col`` — the deterministic hash the whole KMV family
+    shares (q209)."""
+    from prox_spark.queries.text import _HEXV_SPARK, _u48_expr
+
+    return df.select(
+        F.md5(F.col(col).cast("string")).alias("m")
+    ).select(F.expr(_u48_expr(_HEXV_SPARK)).alias("u"))
+
+
+def _kmv_fold(spark: SparkSession, values, k: int = KMV_K):
+    """k smallest u's of a (u double) frame, as a local DataFrame."""
+    rows = sorted(
+        float(r["u"]) for r in values.select("u").distinct().collect()
+    )[:k]
+    return spark.createDataFrame([(u,) for u in rows], "u double")
+
+
+def build_kmv_sketch(
+    spark: SparkSession,
+    base_path: str,
+    col: str,
+    sketch_path: str,
+    k: int = KMV_K,
+) -> None:
+    """Materialize the k-minimum-values distinct sketch of
+    ``base_path.col`` as a manifest table (≤ k rows of ``u double``),
+    its covered base version recorded as ``index_of`` lineage in the
+    SAME commit. One map-side hash projection + a global top-k —
+    kilobytes of state for any corpus size, mergeable by construction
+    (the k smallest of unioned sketches are the k smallest overall)."""
+    from prox_spark.table import commit_snapshot
+
+    head = int(read_manifest(spark, base_path)["version"])
+    u = _kmv_u_frame(read_table(spark, base_path), col)
+    commit_snapshot(
+        spark, sketch_path, _kmv_fold(spark, u, k), stat_cols=["u"],
+        extra_meta={"index_of": {"base": base_path, "version": head}},
+    )
+
+
+def _kmv_estimate(rows: list[float], k: int) -> float:
+    """(k−1)/u_k when the sketch is full; a sketch holding fewer than
+    k values has seen EVERY distinct value — the exact count."""
+    if len(rows) < k:
+        return float(len(rows))
+    return round((k - 1) / sorted(rows)[k - 1], 6)
+
+
+def serve_distinct(
+    spark: SparkSession,
+    registry_path: str,
+    base_path: str,
+    col: str,
+) -> tuple[float, str | None]:
+    """Registry-routed APPROX DISTINCT: serve ``count(distinct col)``
+    of the base from a registered KMV sketch — the stored k-row state
+    plus a read-time fold of the uncovered change-feed window (insert
+    values hash-and-merge; a window containing DELETES falls through,
+    KMV cannot retract). Returns ``(estimate, sketch_path_or_None)``;
+    the fallback is the exact distinct count. Estimates are
+    deterministic (md5-derived hashes), so a served answer is
+    reproducible anywhere."""
+    from prox_spark.queries.search import postings_feed
+
+    for ent in list_artifacts(spark, registry_path):
+        if (
+            ent["kind"] != "kmv"
+            or ent["base"] != base_path
+            or ent["params"].get("col") != col
+        ):
+            continue
+        art = ent["artifact"]
+        k = int(ent["params"].get("k", KMV_K))
+        try:
+            covered = _covered_version(spark, ent, art)
+            head = int(read_manifest(spark, base_path)["version"])
+            stored = [
+                float(r["u"]) for r in read_table(spark, art).collect()
+            ]
+            if head > covered:
+                feed = postings_feed(
+                    spark, base_path, covered, head, text_col=col,
+                    since=int(ent["params"].get("since", covered)),
+                )
+                if feed.filter(
+                    F.col("_change_type") == "delete"
+                ).limit(1).count():
+                    continue  # deletes: the sketch cannot answer
+                fresh = [
+                    float(r["u"])
+                    for r in _kmv_u_frame(feed, col).distinct().collect()
+                ]
+                stored = sorted(set(stored) | set(fresh))[:k]
+            return _kmv_estimate(stored, k), art
+        except Exception:  # noqa: BLE001 — unreadable sketch: fall back
+            continue
+    exact = (
+        read_table(spark, base_path).select(col).distinct().count()
+    )
+    return float(exact), None
 
 
 def register_artifact(
@@ -222,6 +332,41 @@ def _maintain_one(spark: SparkSession, ent: dict) -> dict:
             compact_postings(spark, art)
             out["compacted"] = True
         return out
+    if kind == "kmv":
+        from prox_spark.queries.search import postings_feed
+        from prox_spark.table import commit_delta
+
+        col = params["col"]
+        k = int(params.get("k", KMV_K))
+        covered = _covered_version(spark, ent, art)
+        head = int(read_manifest(spark, base)["version"])
+        if head == covered:
+            return {"status": "noop", "covered": covered}
+        feed = postings_feed(
+            spark, base, covered, head, text_col=col,
+            since=int(params.get("since", covered)),
+        )
+        mode = "fold"
+        if feed.filter(F.col("_change_type") == "delete").limit(1).count():
+            # KMV cannot retract a deleted value: recompute from the
+            # head — still kilobytes of output, one hash-project + top-k
+            mode = "recompute"
+            u = _kmv_u_frame(read_table(spark, base, version=head), col)
+            fresh = _kmv_fold(spark, u, k)
+        else:
+            stored = read_table(spark, art).select("u")
+            fresh = _kmv_fold(
+                spark, stored.unionByName(_kmv_u_frame(feed, col)), k
+            )
+        prev = read_manifest(spark, art)
+        # sketch replacement + bumped coverage in ONE manifest rename
+        commit_delta(
+            spark, art, fresh, [], stat_cols=["u"],
+            base_version=int(prev["version"]),
+            index_of={"base": base, "version": head},
+        )
+        return {"status": "refreshed", "covered": head, "mode": mode,
+                "params_update": {"covered": head}}
     if kind == "ivf":
         k = int(params.get("k", 8))
         threshold = float(params.get("imbalance", 3.0))
@@ -298,7 +443,7 @@ def vacuum_with_registry(
                 if "version" in meta:
                     pins.add(int(meta["version"]))
             elif (
-                kind in ("bounded_postings", "postings")
+                kind in ("bounded_postings", "postings", "kmv")
                 and ent["base"] == base_path
             ):
                 meta_path = (
@@ -329,13 +474,16 @@ def serve_aggregate(
     sums: list[str],
     mins: list[str] = (),
     maxs: list[str] = (),
+    avgs: list[str] = (),
 ):
     """Registry-integrated auto-rewrite: discover the base's
-    registered views and route a count/sum(/min/max) aggregate to a
-    covering one (prox_spark.mv rewrite_aggregate — stored view + a
-    read-time change-feed fold, rolled up when the view is finer);
-    direct base aggregate otherwise. Returns
-    ``(frame, matched_mv_or_None)``."""
+    registered views and route a count/sum(/min/max/avg) aggregate to
+    a covering one (prox_spark.mv rewrite_aggregate — stored view + a
+    read-time change-feed fold, rolled up when the view is finer; an
+    AVG derives exactly from any covering count+sum view); direct base
+    aggregate otherwise. Returns ``(frame, matched_mv_or_None)``.
+    Approx-distinct requests route separately through
+    :func:`serve_distinct` (KMV sketch artifacts)."""
     from prox_spark.mv import rewrite_aggregate
 
     candidates = [
@@ -344,7 +492,7 @@ def serve_aggregate(
         if e["kind"] == "mv" and e["base"] == base_path
     ]
     return rewrite_aggregate(
-        spark, base_path, keys, sums, candidates, mins, maxs
+        spark, base_path, keys, sums, candidates, mins, maxs, avgs
     )
 
 

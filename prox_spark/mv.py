@@ -833,18 +833,39 @@ def rewrite_aggregate(
     candidates: list[str],
     mins: list[str] = (),
     maxs: list[str] = (),
+    avgs: list[str] = (),
 ) -> tuple[DataFrame, str | None]:
-    """AUTO-REWRITE a count+sum(+min/max)-by-keys aggregate over
+    """AUTO-REWRITE a count+sum(+min/max/avg)-by-keys aggregate over
     ``base_path``: if a registered single-table view among
     ``candidates`` COVERS the request (same base, requested keys ⊆
-    view keys, requested sums/mins/maxs ⊆ the view's), serve it from
-    :func:`read_mv_current` — rolled up to the requested grain when
-    the view is finer (count/sum re-aggregate losslessly; min-of-mins
-    and max-of-maxs are exact roll-ups too) — else fall back to the
-    direct base aggregate. Returns
+    view keys, requested sums/avgs/mins/maxs ⊆ the view's sums +
+    extremes), serve it from :func:`read_mv_current` — rolled up to
+    the requested grain when the view is finer (count/sum
+    re-aggregate losslessly; min-of-mins and max-of-maxs are exact
+    roll-ups) — else fall back to the direct base aggregate. An AVG
+    never needs its own view class: it derives as
+    ``round(sum_<c> / n_rows, 6)`` from any covering count+sum view,
+    the identical arithmetic the direct path uses, so served and
+    direct answers are bit-identical. Returns
     ``(frame, matched_mv_path_or_None)``; the frame's schema is
     identical either way (`n_rows` + `sum_<col>` + `min_<col>` +
-    `max_<col>`)."""
+    `max_<col>` + `avg_<col>`)."""
+
+    def with_avgs(df: DataFrame) -> DataFrame:
+        for c in avgs:
+            df = df.withColumn(
+                f"avg_{c}",
+                F.round(F.col(f"sum_{c}") / F.col(COUNT_COL), 6),
+            )
+        return df
+
+    out_cols = [
+        *[f"sum_{c}" for c in sums],
+        *[f"min_{c}" for c in mins],
+        *[f"max_{c}" for c in maxs],
+        *[f"avg_{c}" for c in avgs],
+    ]
+    need_sums = list(dict.fromkeys([*sums, *avgs]))
     for mv in candidates:
         try:
             info = mv_info(spark, mv)
@@ -854,27 +875,24 @@ def rewrite_aggregate(
             continue
         if not (
             set(keys) <= set(info["keys"])
-            and set(sums) <= set(info["sums"])
+            and set(need_sums) <= set(info["sums"])
             and set(mins) <= set(info.get("mins") or [])
             and set(maxs) <= set(info.get("maxs") or [])
         ):
             continue
         cur = read_mv_current(spark, mv)
-        out_cols = [
-            *[f"sum_{c}" for c in sums],
-            *[f"min_{c}" for c in mins],
-            *[f"max_{c}" for c in maxs],
-        ]
-        if list(keys) == list(info["keys"]):
-            return cur.select(*keys, COUNT_COL, *out_cols), mv
-        rolled = cur.groupBy(*keys).agg(
-            F.sum(COUNT_COL).cast("long").alias(COUNT_COL),
-            *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sums],
-            *[F.min(f"min_{c}").alias(f"min_{c}") for c in mins],
-            *[F.max(f"max_{c}").alias(f"max_{c}") for c in maxs],
-        )
-        return rolled, mv
-    return _agg(read_table(spark, base_path), keys, sums, mins, maxs), None
+        if list(keys) != list(info["keys"]):
+            cur = cur.groupBy(*keys).agg(
+                F.sum(COUNT_COL).cast("long").alias(COUNT_COL),
+                *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in need_sums],
+                *[F.min(f"min_{c}").alias(f"min_{c}") for c in mins],
+                *[F.max(f"max_{c}").alias(f"max_{c}") for c in maxs],
+            )
+        return with_avgs(cur).select(*keys, COUNT_COL, *out_cols), mv
+    direct = _agg(
+        read_table(spark, base_path), keys, need_sums, mins, maxs
+    )
+    return with_avgs(direct).select(*keys, COUNT_COL, *out_cols), None
 
 
 def rewrite_join_aggregate(

@@ -3664,6 +3664,145 @@ ORDER BY split, source
 """
 
 
+_SERVED_STATS_CACHE: dict[str, tuple] = {}
+
+
+def _served_stats(spark: SparkSession, sf_dir: str) -> tuple:
+    """Staged once per process: a corpus table with a registered
+    count+sum view AND a registered KMV distinct sketch, churned
+    through an insert-only window (the sketch's FOLD path) and an
+    upsert window (delete echoes — the sketch's bounded RECOMPUTE
+    path), brought current by maintain_artifacts, then served. Returns
+    (avg_rows, est, mv_hit, kmv_hit, fold_seen, recompute_seen)."""
+    from prox_spark.artifacts import (
+        build_kmv_sketch,
+        maintain_artifacts,
+        register_artifact,
+        serve_aggregate,
+        serve_distinct,
+    )
+    from prox_spark.mv import create_mv
+    from prox_spark.table import commit_delta, commit_snapshot, read_manifest
+    from prox_spark.upsert import upsert_parquet
+
+    from ._staging import staged
+
+    def build(scratch: str) -> tuple:
+        base, reg = f"{scratch}/base", f"{scratch}/reg"
+        mv, kmv = f"{scratch}/mv", f"{scratch}/kmv"
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "source", "text", "n_chars"
+        )
+        commit_snapshot(
+            spark, base, docs.filter(F.col("doc_id") % 10 <= 8),
+            stat_cols=["doc_id"], n_files=4,
+        )
+        create_mv(spark, base, mv, ["source"], ["n_chars"])
+        build_kmv_sketch(spark, base, "text", kmv)
+        register_artifact(spark, reg, "mv", base, mv)
+        register_artifact(spark, reg, "kmv", base, kmv, {"col": "text"})
+
+        # insert-only window: the sketch folds (never rescans)
+        prev = read_manifest(spark, base)
+        commit_delta(
+            spark, base, docs.filter(F.col("doc_id") % 10 > 8),
+            list(prev["files"]), update_key_ranges={},
+        )
+        r1 = maintain_artifacts(spark, reg)
+        fold_seen = r1[kmv].get("mode") == "fold"
+        # upsert window: delete echoes force the bounded recompute
+        upsert_parquet(
+            spark, base,
+            docs.filter(F.col("doc_id") % 6 == 2)
+            .withColumn("n_chars", F.col("n_chars") + F.lit(7)),
+            ["doc_id"],
+        )
+        r2 = maintain_artifacts(spark, reg)
+        recompute_seen = r2[kmv].get("mode") == "recompute"
+
+        served, mv_hit = serve_aggregate(
+            spark, reg, base, ["source"], [], avgs=["n_chars"]
+        )
+        est, kmv_hit = serve_distinct(spark, reg, base, "text")
+        rows = served.collect()
+        return (
+            spark.createDataFrame(rows, served.schema),
+            float(est),
+            mv_hit == mv,
+            kmv_hit == kmv,
+            bool(fold_seen),
+            bool(recompute_seen),
+        )
+
+    return staged(_SERVED_STATS_CACHE, sf_dir, "prox_servestats_", build)
+
+
+def q220_registry_served_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REGISTRY-SERVED AVG + APPROX DISTINCT — the serve_aggregate
+    surface extended past count/sum/min/max: an AVG request derives
+    exactly from the registered count+sum view (sum_c / n_rows — the
+    identical arithmetic the direct path uses, so serving is
+    bit-exact), and a distinct request routes through a registered
+    KMV sketch artifact (prox_spark/artifacts.py build_kmv_sketch)
+    maintained like every other artifact — insert windows FOLD
+    (kilobytes of state, work ∝ delta), windows with delete echoes
+    RECOMPUTE (KMV cannot retract), coverage advancing atomically
+    with the sketch replacement. The estimate is md5-deterministic,
+    so the oracle reproduces it exactly. Pins: ``avg_served`` /
+    ``distinct_served`` (both requests actually routed through the
+    registry), ``fold_seen`` / ``recompute_seen`` (both maintenance
+    modes exercised)."""
+    avg_rows, est, mv_hit, kmv_hit, fold_seen, recompute_seen = (
+        _served_stats(spark, sf_dir)
+    )
+    return (
+        avg_rows.withColumn("est_distinct", F.lit(est))
+        .withColumn("avg_served", F.lit(mv_hit))
+        .withColumn("distinct_served", F.lit(kmv_hit))
+        .withColumn("fold_seen", F.lit(fold_seen))
+        .withColumn("recompute_seen", F.lit(recompute_seen))
+        .orderBy("source")
+    )
+
+
+def _oracle_q220() -> str:
+    from prox_spark.artifacts import KMV_K
+    from prox_spark.queries.text import _HEXV_DUCK, _u48_expr
+
+    return f"""
+WITH cur AS (
+  SELECT doc_id, source, text,
+         n_chars + CASE WHEN doc_id % 6 = 2 THEN 7 ELSE 0 END AS n_chars
+  FROM documents
+), u_t AS (
+  SELECT DISTINCT {_u48_expr(_HEXV_DUCK)} AS u
+  FROM (SELECT md5(CAST(text AS VARCHAR)) AS m FROM cur)
+), ranked AS (
+  SELECT u, row_number() OVER (ORDER BY u) AS rn FROM u_t
+), est_t AS (
+  SELECT CASE WHEN (SELECT count(*) FROM u_t) < {KMV_K}
+              THEN CAST((SELECT count(*) FROM u_t) AS DOUBLE)
+              ELSE round({float(KMV_K - 1)!r}
+                         / max(CASE WHEN rn = {KMV_K} THEN u END), 6)
+         END AS est
+  FROM ranked
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_n_chars,
+       (SELECT est FROM est_t) AS est_distinct,
+       TRUE AS avg_served,
+       TRUE AS distinct_served,
+       TRUE AS fold_seen,
+       TRUE AS recompute_seen
+FROM cur
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "q114_snapshot_diff": q114_snapshot_diff,
     "q118_incremental_agg": q118_incremental_agg,
@@ -3695,6 +3834,7 @@ QUERIES = {
     "q216_artifact_registry": q216_artifact_registry,
     "q217_frozen_training_set": q217_frozen_training_set,
     "q218_llm_pipeline_capstone": q218_llm_pipeline_capstone,
+    "q220_registry_served_stats": q220_registry_served_stats,
 }
 
 
@@ -3732,4 +3872,5 @@ def oracles() -> dict[str, str]:
         "q216_artifact_registry": ORACLE_Q216,
         "q217_frozen_training_set": ORACLE_Q217,
         "q218_llm_pipeline_capstone": _oracle_q218(),
+        "q220_registry_served_stats": _oracle_q220(),
     }

@@ -581,3 +581,193 @@ def test_crashed_registry_upsert_cannot_double_append_postings(spark):
     assert read_table(spark, idx).count() == raw_n  # no re-append
     got = sorted(map(tuple, maintained_postings(spark, idx).collect()))
     assert got == want
+
+def test_maintenance_races_live_base_writers(spark):
+    """Registry maintenance racing live base commits (upserts,
+    appends, MoR deletes, compaction): every maintenance tick either
+    lands a correct refresh or reports the failure LOUDLY in its
+    per-artifact result — and after the churn settles, one sequential
+    maintain call converges every artifact to the head with contents
+    equal to a direct recompute (a double-folded change-feed window
+    anywhere in the race would break the equality)."""
+    import threading
+
+    from prox_spark.mv import create_mv, mv_info
+    from prox_spark.table import build_value_index, compact_small_files
+    from prox_spark.upsert import delete_keys_mor, upsert_parquet
+
+    s = _scratch()
+    base, reg = f"{s}/base", f"{s}/reg"
+    mv, vidx = f"{s}/mv", f"{s}/vidx"
+    commit_snapshot(spark, base, _docs(spark, 0, 200),
+                    stat_cols=["doc_id"], n_files=4)
+    create_mv(spark, base, mv, ["src"], ["n"])
+    build_value_index(spark, base, "digest", vidx)
+    register_artifact(spark, reg, "mv", base, mv)
+    register_artifact(spark, reg, "value_index", base, vidx)
+
+    barrier = threading.Barrier(2)
+    maint_results: list[dict] = []
+    writer_errors: list[str] = []
+
+    def churn():
+        barrier.wait()
+        try:
+            for step in range(4):
+                upsert_parquet(
+                    spark, base,
+                    _docs(spark, 0, 200)
+                    .filter(F.col("doc_id") % 5 == step % 5)
+                    .withColumn("n", F.col("n") + F.lit(step)),
+                    ["doc_id"],
+                )
+                if step == 1:
+                    delete_keys_mor(
+                        spark, base,
+                        spark.range(0, 200, 13).select(
+                            F.col("id").alias("doc_id")),
+                        ["doc_id"],
+                    )
+                if step == 2:
+                    compact_small_files(spark, base)
+        except Exception as ex:  # noqa: BLE001
+            writer_errors.append(f"{type(ex).__name__}: {ex}")
+
+    def maintain_loop():
+        barrier.wait()
+        for _ in range(4):
+            maint_results.append(
+                maintain_artifacts(spark, reg, raise_on_error=False)
+            )
+
+    ts = [threading.Thread(target=churn),
+          threading.Thread(target=maintain_loop)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not writer_errors, writer_errors
+    # mid-race failures are allowed but must be LOUD result rows —
+    # every tick produced a status for every artifact
+    for res in maint_results:
+        assert set(res) == {mv, vidx}
+        for r in res.values():
+            assert r["status"] in ("refreshed", "noop", "error"), r
+
+    # the settle pass converges to the head...
+    final = maintain_artifacts(spark, reg)
+    assert all(r["status"] in ("refreshed", "noop")
+               for r in final.values()), final
+    head = int(read_manifest(spark, base)["version"])
+    assert int(mv_info(spark, mv)["version"]) == head
+    assert int(read_manifest(spark, vidx)["index_of"]["version"]) == head
+    # ...and the MV equals a direct recompute (no double-folded window)
+    want = sorted(
+        map(
+            tuple,
+            read_table(spark, base).groupBy("src").agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("n").alias("sum_n"),
+            ).collect(),
+        )
+    )
+    assert sorted(map(tuple, read_table(spark, mv).collect())) == want
+
+def test_avg_routes_through_covering_view(spark):
+    """An AVG request serves from a count+sum view bit-identically to
+    the direct aggregate (same sum/count division, same rounding)."""
+    from prox_spark.artifacts import serve_aggregate
+    from prox_spark.mv import create_mv
+
+    s = _scratch()
+    base, reg, mv = f"{s}/base", f"{s}/reg", f"{s}/mv"
+    commit_snapshot(spark, base, _docs(spark, 0, 100),
+                    stat_cols=["doc_id"], n_files=2)
+    create_mv(spark, base, mv, ["src"], ["n"])
+    register_artifact(spark, reg, "mv", base, mv)
+    # move the base so the served read exercises the change-feed fold
+    delete_keys_mor(
+        spark, base,
+        spark.range(0, 100, 7).select(F.col("id").alias("doc_id")),
+        ["doc_id"],
+    )
+    out, hit = serve_aggregate(spark, reg, base, ["src"], [], avgs=["n"])
+    assert hit == mv
+    assert out.columns == ["src", "n_rows", "avg_n"]
+    want = sorted(
+        map(
+            tuple,
+            read_table(spark, base).groupBy("src").agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+            ).join(
+                read_table(spark, base).groupBy("src").agg(
+                    F.round(
+                        F.sum("n") / F.count(F.lit(1)), 6
+                    ).alias("avg_n"),
+                ),
+                "src",
+            ).collect(),
+        )
+    )
+    assert sorted(map(tuple, out.collect())) == want
+
+
+def test_kmv_sketch_serves_folds_and_recomputes(spark):
+    """The KMV artifact: a stale sketch folds insert windows at read
+    time; maintenance folds insert windows and recomputes on delete
+    echoes; a delete window with a stale sketch falls back to exact."""
+    from prox_spark.artifacts import (
+        build_kmv_sketch,
+        serve_distinct,
+    )
+    from prox_spark.upsert import delete_keys
+
+    s = _scratch()
+    base, reg, kmv = f"{s}/base", f"{s}/reg", f"{s}/kmv"
+    commit_snapshot(
+        spark, base, _docs(spark, 0, 200).select("doc_id", "text"),
+        stat_cols=["doc_id"], n_files=2,
+    )
+    build_kmv_sketch(spark, base, "text", kmv)
+    register_artifact(spark, reg, "kmv", base, kmv, {"col": "text"})
+
+    def fresh_estimate():
+        ref = f"{s}/ref_{read_manifest(spark, base)['version']}"
+        build_kmv_sketch(spark, base, "text", ref)
+        rows = sorted(
+            float(r["u"]) for r in read_table(spark, ref).collect()
+        )
+        from prox_spark.artifacts import KMV_K, _kmv_estimate
+
+        return _kmv_estimate(rows, KMV_K)
+
+    # served == fresh-build estimate at the covered head
+    est0, hit0 = serve_distinct(spark, reg, base, "text")
+    assert hit0 == kmv and est0 == fresh_estimate()
+    # stale sketch + insert-only window: read-time fold, same answer
+    prev = read_manifest(spark, base)
+    commit_delta(
+        spark, base, _docs(spark, 200, 300).select("doc_id", "text"),
+        list(prev["files"]), update_key_ranges={},
+    )
+    est1, hit1 = serve_distinct(spark, reg, base, "text")
+    assert hit1 == kmv and est1 == fresh_estimate()
+    # maintenance folds it (insert-only window -> fold mode)
+    r1 = maintain_artifacts(spark, reg)
+    assert r1[kmv]["status"] == "refreshed" and r1[kmv]["mode"] == "fold"
+    # delete window: stale sketch cannot answer -> exact fallback...
+    delete_keys(
+        spark, base,
+        spark.range(0, 300, 3).select(F.col("id").alias("doc_id")),
+        ["doc_id"],
+    )
+    est2, hit2 = serve_distinct(spark, reg, base, "text")
+    exact = read_table(spark, base).select("text").distinct().count()
+    assert hit2 is None and est2 == float(exact)
+    # ...and maintenance recomputes, after which the sketch serves again
+    r2 = maintain_artifacts(spark, reg)
+    assert r2[kmv]["mode"] == "recompute"
+    est3, hit3 = serve_distinct(spark, reg, base, "text")
+    assert hit3 == kmv and est3 == fresh_estimate()
+    # sanity: the estimate lands in a sane band of the true count
+    assert 0.4 * exact <= est3 <= 2.5 * exact
