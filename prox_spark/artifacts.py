@@ -407,6 +407,7 @@ def vacuum_with_registry(
     keep_last: int = 2,
     retention_minutes: float = 15.0,
     extra_pins: set | None = None,
+    retain_hours: float | None = None,
 ) -> list[int]:
     """Vacuum a base table while PINNING every registered artifact's
     covered version: an unpinned vacuum that outruns the refresh
@@ -463,6 +464,7 @@ def vacuum_with_registry(
         spark, base_path, keep_last=keep_last,
         retention_minutes=retention_minutes,
         extra_pins=pins | set(extra_pins or ()),
+        retain_hours=retain_hours,
     )
 
 

@@ -1649,6 +1649,29 @@ def rollback_table(
     return head + 1
 
 
+def _manifest_publish_times(
+    spark: SparkSession, table_path: str, ref: str = "main"
+) -> dict[int, float]:
+    """{version: publish time (epoch ms)} from the manifest files' own
+    modification times — the atomic renames that made each version
+    visible (the same clock :func:`version_at_timestamp` resolves
+    against, so age-based retention and TIMESTAMP AS OF agree)."""
+    jvm, fs, _ = _fs(spark, table_path)
+    mdir = jvm.org.apache.hadoop.fs.Path(f"{table_path}/{MANIFEST_DIR}")
+    prefix = _mprefix(ref)
+    out: dict[int, float] = {}
+    if not fs.exists(mdir):
+        return out
+    for st in fs.listStatus(mdir):
+        fname = st.getPath().getName()
+        if not (fname.startswith(prefix) and fname.endswith(".json")):
+            continue
+        body = fname[len(prefix):-len(".json")]
+        if body.isdigit():
+            out[int(body)] = float(st.getModificationTime())
+    return out
+
+
 def version_at_timestamp(
     spark: SparkSession, table_path: str, ts_ms: float, ref: str = "main"
 ) -> int:
@@ -2901,6 +2924,7 @@ def vacuum(
     keep_last: int = 2,
     retention_minutes: float = 15.0,
     extra_pins: set | None = None,
+    retain_hours: float | None = None,
 ) -> list[int]:
     """Drop all but the newest ``keep_last`` versions: their manifests,
     and any data dir no kept manifest references a single file of
@@ -2931,12 +2955,32 @@ def vacuum(
       base version references, and the base is within keep_last of
       any version publishable mid-vacuum only if it was kept — the
       re-list closes the remaining window where the NEW version's own
-      fresh references would be missed)."""
+      fresh references would be missed).
+
+    ``retain_hours`` is the AGE-BASED retention contract production
+    tables actually sign ("history stays queryable for 7 days"): every
+    version PUBLISHED within the window is kept, PLUS the newest
+    version published before it — exactly the set
+    :func:`version_at_timestamp` needs so that ``TIMESTAMP AS OF`` any
+    instant inside the window keeps resolving (a probe at the window's
+    edge resolves to the newest pre-window version). Composes with
+    ``keep_last`` (both keep sets union) and with every pin."""
     import time
 
     jvm, fs, _ = _fs(spark, table_path)
     versions = _manifest_versions(spark, table_path)
     keep = versions[-keep_last:] if keep_last > 0 else []
+    if retain_hours is not None:
+        cutoff_ms = time.time() * 1000.0 - retain_hours * 3_600_000.0
+        pub = _manifest_publish_times(spark, table_path)
+        recent = {v for v, t in pub.items() if t >= cutoff_ms}
+        older = [v for v, t in pub.items() if t < cutoff_ms]
+        if older:
+            # the version a TIMESTAMP AS OF probe at the window edge
+            # resolves to — without it the oldest in-window instant
+            # would raise instead of serving the then-current snapshot
+            recent.add(max(older))
+        keep = sorted(set(keep) | recent)
     # TAGGED versions are pinned: their manifests survive any keep_last
     # and their files are protected — a tag is a promise that the exact
     # bytes stay resolvable (drop_tag releases the pin). ``extra_pins``

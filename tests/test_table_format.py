@@ -892,3 +892,79 @@ def test_missing_file_classifier_is_class_anchored(spark):
         "Caused by: java.io.FileNotFoundException: unrelated inner frame"
     )
     assert not _is_missing_file_error(fatal)
+
+def test_vacuum_retain_hours_keeps_timestamp_window(spark, tmp_path):
+    """Age-based retention: every version published within the window
+    survives, PLUS the newest pre-window version — so TIMESTAMP AS OF
+    any instant inside the window keeps resolving. Composes with
+    keep_last, tags, and extra_pins."""
+    import time
+
+    from prox_spark.table import read_table_as_of
+
+    path = str(tmp_path / "t")
+    for i in range(2):  # v1, v2 — will age out of the window
+        commit_snapshot(spark, path, _df(spark, [(i, f"v{i + 1}")]))
+    time.sleep(1.5)
+    probe_ms = time.time() * 1000.0  # an instant when v2 was current
+    for i in range(2, 4):  # v3, v4 — inside the window
+        commit_snapshot(spark, path, _df(spark, [(i, f"v{i + 1}")]))
+    # window ≈ 1.2s: v3/v4 are recent, v2 is the newest pre-window
+    # version, v1 has nothing keeping it
+    dropped = vacuum(
+        spark, path, keep_last=1, retention_minutes=0.0,
+        retain_hours=1.2 / 3600.0,
+    )
+    assert dropped == [1]
+    assert table_versions(spark, path) == [2, 3, 4]
+    # a probe inside the retained window still resolves (to v2)
+    assert [r.v for r in read_table_as_of(spark, path, probe_ms).collect()] == ["v2"]
+    # a second age-based pass with everything aged out falls back to
+    # keep_last + the edge version
+    time.sleep(1.5)
+    dropped2 = vacuum(
+        spark, path, keep_last=1, retention_minutes=0.0,
+        retain_hours=0.5 / 3600.0,
+    )
+    # newest pre-window version (v4 — nothing is in-window) + keep_last
+    assert dropped2 == [2, 3]
+    assert table_versions(spark, path) == [4]
+
+
+def test_vacuum_retain_hours_composes_with_registry(spark, tmp_path):
+    """vacuum_with_registry threads retain_hours through: the kept set
+    is the union of the registry's covered-version suffix and the age
+    window."""
+    import time
+
+    from prox_spark.artifacts import (
+        register_artifact,
+        vacuum_with_registry,
+    )
+    from prox_spark.mv import create_mv, mv_info, refresh_mv
+
+    base = str(tmp_path / "base")
+    mv = str(tmp_path / "mv")
+    reg = str(tmp_path / "reg")
+    commit_snapshot(spark, base, _df(spark, [(i, "a") for i in range(20)]),
+                    stat_cols=["id"])
+    create_mv(spark, base, mv, ["v"], ["id"])
+    register_artifact(spark, reg, "mv", base, mv)
+    for i in range(3):
+        upsert_parquet(
+            spark, base, _df(spark, [(i, f"b{i}")]), ["id"]
+        )
+    refresh_mv(spark, mv)  # covered -> head (v4)
+    time.sleep(1.2)
+    upsert_parquet(spark, base, _df(spark, [(99, "z")]), ["id"])  # v5
+    # registry pins the suffix from covered (4); the age window pins
+    # v5 and the newest pre-window version (4); keep_last=1 pins v5
+    dropped = vacuum_with_registry(
+        spark, base, reg, keep_last=1, retention_minutes=0.0,
+        retain_hours=1.0 / 3600.0,
+    )
+    assert dropped == [1, 2, 3]
+    assert table_versions(spark, base) == [4, 5]
+    out = refresh_mv(spark, mv)
+    assert out["mode"] == "incremental"
+    assert int(mv_info(spark, mv)["version"]) == 5
