@@ -28,66 +28,66 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 # Registry order matters: the correctness driver checks the first ~50
-# entries per round. Union coverage across rounds 1-8 is 208 of 208
-# (every query has a green driver row), so round 9 rotates purely by
-# STALENESS (recomputed from the CORRECTNESS_r01..r08 files): the
-# SEVEN queries new this round lead (never driver-gated), then the eight
-# whose most recent green driver row is round 4, then the round-5
-# cohort in name order up to the 50-slot cap. Exactly 50 entries.
+# entries per round. Union coverage across rounds 1-9 is 215 of 215
+# (every query has a green driver row), so round 10 rotates purely by
+# STALENESS (recomputed from the CORRECTNESS_r01..r09 files): the
+# THREE queries new this round lead (never driver-gated), then the
+# fifteen whose most recent green driver row is round 5, then the
+# round-6 cohort in name order up to the 50-slot cap. Exactly 50.
 _FRONT = [
     # new this round (never driver-gated)
-    "q211_mv_serve_from_view",
-    "q212_minmax_materialized_view",
-    "q213_bounded_bm25",
-    "q214_maintained_bounded_bm25",
-    "q215_ivf_recluster",
-    "q216_artifact_registry",
-    "q217_frozen_training_set",
-    # stalest driver rows next: the q83-q98 cohort last gated in
-    # round 4, then the round-5 cohort in name order, up to the 50 cap
-    "q83_source_token_totals",
-    "q84_user_running_totals_pandas",
-    "q86_scd2_user_state",
-    "q87_fuzzy_verify",
-    "q92_cohort_retention",
-    "q93_arrow_byte_stats",
-    "q97_gap_fill_locf",
-    "q99_filter_funnel",
-    "q01_pricing_summary",
-    "q02_top5_suppliers",
-    "q03_avg_acctbal_by_nation",
-    "q04_monthly_revenue",
-    "q05_status_pct_by_priority",
-    "q06_lineitems_by_nation_flag",
-    "q07_top5_suppliers_by_returns",
-    "q08_top3_orders_per_segment",
-    "q09_date_dim",
-    "q10_distinct_nation_region",
-    "q11_fk_orphans",
-    "q12_segment_status_matrix",
-    "q13_active_nations",
-    "q14_orders_since_week",
-    "q157_jpeg_block_decode",
-    "q158_video_frame_sample",
-    "q159_mor_delete",
-    "q15_rollup",
-    "q160_triangle_count",
-    "q161_ivf_index_maintenance",
-    "q162_ivf_mor_delete",
-    "q163_bpe_train",
-    "q164_rare_token_profile",
-    "q165_source_overlap_matrix",
-    "q166_rename_evolution",
-    "q167_chunked_point_lookup",
-    "q168_bpe_encode",
-    "q16_nation_setops",
-    "q17_customers_without_orders",
-    "q18_pivot_status",
-    "q19_approx_distinct_custkeys",
-    "q20_hourly_event_stats",
-    "q21_sessionize",
-    "q22_rolling_avg",
-    "q23_first_event_per_key",
+    "q218_llm_pipeline_capstone",
+    "q219_streaming_bounded_bm25",
+    "q220_registry_served_stats",
+    # stalest driver rows next: the round-5 cohort...
+    "q24_event_type_share",
+    "q25_json_props",
+    "q26_asof_click_to_purchase",
+    "q27_unpivot_measures",
+    "q28_cube_status_priority",
+    "q29_acctbal_quartiles",
+    "q39_sentiment",
+    "q46_sliding_window_stats",
+    "q47_event_funnel",
+    "q48_promo_revenue",
+    "q49_small_qty_revenue",
+    "q50_parttype_yearly_revenue",
+    "q68_salted_segment_revenue",
+    "q70_median_acctbal",
+    "q71_clicks_before_purchase",
+    # ...then the round-6 cohort in name order, up to the 50 cap
+    "q100_streaming_dedup",
+    "q101_streaming_sessions",
+    "q102_stratified_sample",
+    "q103_price_histogram",
+    "q104_rich_accounts_reconcile",
+    "q106_local_supplier_revenue",
+    "q107_disjunctive_revenue",
+    "q108_trailing_30min_stats",
+    "q109_streaming_dedup_store",
+    "q110_pq_encode",
+    "q111_pq_adc_search",
+    "q112_media_real_decode",
+    "q113_ivfpq_search",
+    "q114_snapshot_diff",
+    "q117_int8_quantize",
+    "q118_incremental_agg",
+    "q121_audio_real_decode",
+    "q126_embedding_outliers",
+    "q169_bpe_roundtrip",
+    "q170_semdedup",
+    "q171_cluster_spec_evolution",
+    "q172_cross_source_dedup",
+    "q173_auto_maintenance",
+    "q174_cms_token_freq",
+    "q175_matryoshka_overlap",
+    "q176_image_phash_dedup",
+    "q177_length_drift",
+    "q178_wap_publish",
+    "q179_bloom_decontaminate",
+    "q180_dup_span_coverage",
+    "q181_bigram_fluency",
+    "q182_tagged_rollback",
 ]
 
 
