@@ -903,15 +903,32 @@ def rewrite_join_aggregate(
     keys: list[str],
     sums: list[str],
     candidates: list[str],
+    avgs: list[str] = (),
 ) -> tuple[DataFrame, str | None]:
     """The join twin of :func:`rewrite_aggregate`: route a
-    count+sum-by-keys aggregate over ``left ⋈ right`` to a covering
-    registered JOIN view (same base pair in either order with the same
-    join keys, requested keys/sums ⊆ the view's), served through
-    :func:`read_mv_current`'s three-term read-time delta fold — the
-    full join is never rebuilt even when BOTH bases moved after the
-    last refresh. Rolled up when the view's grain is finer; falls back
-    to the direct join aggregate with the identical schema."""
+    count+sum(+avg)-by-keys aggregate over ``left ⋈ right`` to a
+    covering registered JOIN view (same base pair in either order with
+    the same join keys, requested keys/sums/avgs ⊆ the view's), served
+    through :func:`read_mv_current`'s three-term read-time delta fold —
+    the full join is never rebuilt even when BOTH bases moved after the
+    last refresh. Rolled up when the view's grain is finer; an AVG
+    derives as ``round(sum_<c> / n_rows, 6)`` on either path (served
+    and direct answers bit-identical); falls back to the direct join
+    aggregate with the identical schema."""
+
+    def with_avgs(df: DataFrame) -> DataFrame:
+        for c in avgs:
+            df = df.withColumn(
+                f"avg_{c}",
+                F.round(F.col(f"sum_{c}") / F.col(COUNT_COL), 6),
+            )
+        return df
+
+    out_cols = [
+        *[f"sum_{c}" for c in sums],
+        *[f"avg_{c}" for c in avgs],
+    ]
+    need_sums = list(dict.fromkeys([*sums, *avgs]))
     want = {left_path, right_path}
     for mv in candidates:
         try:
@@ -925,20 +942,22 @@ def rewrite_join_aggregate(
             continue
         if not (
             set(keys) <= set(info["keys"])
-            and set(sums) <= set(info["sums"])
+            and set(need_sums) <= set(info["sums"])
         ):
             continue
         cur = read_mv_current(spark, mv)
-        if list(keys) == list(info["keys"]):
-            return cur.select(
-                *keys, COUNT_COL, *[f"sum_{c}" for c in sums]
-            ), mv
-        rolled = cur.groupBy(*keys).agg(
-            F.sum(COUNT_COL).cast("long").alias(COUNT_COL),
-            *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sums],
-        )
-        return rolled, mv
+        if list(keys) != list(info["keys"]):
+            cur = cur.groupBy(*keys).agg(
+                F.sum(COUNT_COL).cast("long").alias(COUNT_COL),
+                *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in need_sums],
+            )
+        return with_avgs(cur).select(*keys, COUNT_COL, *out_cols), mv
     joined = read_table(spark, left_path).join(
         read_table(spark, right_path), list(on)
     )
-    return _agg(joined, keys, sums), None
+    return (
+        with_avgs(_agg(joined, keys, need_sums)).select(
+            *keys, COUNT_COL, *out_cols
+        ),
+        None,
+    )

@@ -947,3 +947,44 @@ def test_mv_stream_batch_extremes_recompute_pinned_to_batch_end(spark):
     )
     mv_stream_batch(v3_feed, 1, mv)
     assert _mv_rows(spark, mv) == agg_at(3)
+
+def test_rewrite_join_aggregate_serves_avg(spark):
+    """An AVG over the joined frame derives exactly from the covering
+    join view's count+sum — bit-identical to the direct join
+    aggregate's sum/count division."""
+    from prox_spark.mv import create_join_mv, rewrite_join_aggregate
+
+    s = _scratch()
+    left, right, mv = f"{s}/l", f"{s}/r", f"{s}/mv"
+    commit_snapshot(spark, left, _df(spark, 0, 60),
+                    stat_cols=["id"], n_files=2)
+    commit_snapshot(spark, right, _dims(spark, 0),
+                    stat_cols=["grp"], n_files=1)
+    create_join_mv(spark, left, right, mv, ["grp"], ["grp"], ["val", "w"])
+    prev = read_manifest(spark, left)
+    commit_delta(spark, left, _df(spark, 60, 90),
+                 list(prev["files"]), update_key_ranges={})
+    out, hit = rewrite_join_aggregate(
+        spark, left, right, ["grp"], ["grp"], [], [mv], avgs=["val"]
+    )
+    assert hit == mv
+    assert out.columns == ["grp", COUNT_COL, "avg_val"]
+    want = sorted(
+        map(
+            tuple,
+            read_table(spark, left).join(read_table(spark, right), "grp")
+            .groupBy("grp").agg(
+                F.count(F.lit(1)).cast("long").alias(COUNT_COL),
+                F.round(
+                    F.sum("val") / F.count(F.lit(1)), 6
+                ).alias("avg_val"),
+            ).collect(),
+        )
+    )
+    assert sorted(map(tuple, out.collect())) == want
+    # fallback schema identical when nothing covers
+    fb, miss = rewrite_join_aggregate(
+        spark, left, right, ["grp"], ["grp"], [], [], avgs=["val"]
+    )
+    assert miss is None and fb.columns == ["grp", COUNT_COL, "avg_val"]
+    assert sorted(map(tuple, fb.collect())) == want
