@@ -55,7 +55,7 @@ from prox_spark.table import is_manifest_table, read_manifest, read_table
 _SCHEMA = "artifact string, kind string, base string, params string"
 KINDS = (
     "mv", "join_mv", "value_index", "bounded_postings", "ivf", "postings",
-    "kmv",
+    "kmv", "nd_pairs",
 )
 
 # KMV sketch size (q209's constant): k minimum md5-derived unit-interval
@@ -332,6 +332,16 @@ def _maintain_one(spark: SparkSession, ent: dict) -> dict:
             compact_postings(spark, art)
             out["compacted"] = True
         return out
+    if kind == "nd_pairs":
+        # the embedding near-dup pair index (q42's serving table):
+        # touched vectors retire, new vectors bucket-join the STANDING
+        # LSH state, coverage rides the pair commit (maintain_nd_pairs)
+        from prox_spark.queries.similarity import maintain_nd_pairs
+
+        out = maintain_nd_pairs(spark, base, art, params["buckets"])
+        if out["status"] == "refreshed":
+            out["params_update"] = {"covered": out["covered"]}
+        return out
     if kind == "kmv":
         from prox_spark.queries.search import postings_feed
         from prox_spark.table import commit_delta
@@ -444,7 +454,7 @@ def vacuum_with_registry(
                 if "version" in meta:
                     pins.add(int(meta["version"]))
             elif (
-                kind in ("bounded_postings", "postings", "kmv")
+                kind in ("bounded_postings", "postings", "kmv", "nd_pairs")
                 and ent["base"] == base_path
             ):
                 meta_path = (

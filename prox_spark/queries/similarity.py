@@ -429,6 +429,198 @@ ORDER BY id1, id2
 """.format(plane_values=_plane_values_duck(_ND_PLANE_ROWS))
 
 
+# --- maintained near-dup pair index (the q42 artifact's write path) --------
+
+
+def _nd_prep(df: DataFrame) -> DataFrame:
+    """dd + nrm from a (vec_id, embedding) frame (the _emb_n shape
+    over an arbitrary frame instead of the sf fixture)."""
+    return df.withColumn(
+        "dd", F.expr("cast(embedding as array<double>)")
+    ).withColumn(
+        "nrm", F.expr(f"sqrt({DOT_SPARK.format(a='dd', b='dd')})")
+    )
+
+
+def _nd_candidates(a_b: DataFrame, b_b: DataFrame, same: bool) -> DataFrame:
+    """Distinct candidate id pairs colliding in any (t, bkt) bucket
+    between two bucket frames; ``same=True`` is the within-frame
+    self-join (each pair once), ``same=False`` the new-vs-standing
+    join (ids disjoint by construction, ordered via least/greatest)."""
+    a = a_b.alias("a")
+    b = b_b.alias("b")
+    cond = (F.col("a.t") == F.col("b.t")) & (F.col("a.bkt") == F.col("b.bkt"))
+    if same:
+        cond = cond & (F.col("a.vec_id") < F.col("b.vec_id"))
+    else:
+        cond = cond & (F.col("a.vec_id") != F.col("b.vec_id"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.least(F.col("a.vec_id"), F.col("b.vec_id")).alias("id1"),
+            F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("id2"),
+        )
+        .distinct()
+    )
+
+
+def _nd_verify(cand: DataFrame, emb: DataFrame) -> DataFrame:
+    """Exact cosine verification of candidate id pairs against a
+    prepared (vec_id, dd, nrm) frame — semi-join prune first so only
+    vectors that will be verified move (the q42 shape)."""
+    cand = cand.cache()
+    ids = (
+        cand.select(F.col("id1").alias("vec_id"))
+        .union(cand.select(F.col("id2").alias("vec_id")))
+        .distinct()
+    )
+    emb_c = emb.join(ids, "vec_id", "left_semi")
+    e1 = emb_c.select(
+        F.col("vec_id").alias("id1"), F.col("dd").alias("v1"),
+        F.col("nrm").alias("n1"),
+    )
+    e2 = emb_c.select(
+        F.col("vec_id").alias("id2"), F.col("dd").alias("v2"),
+        F.col("nrm").alias("n2"),
+    )
+    out = (
+        cand.join(e1, "id1")
+        .join(e2, "id2")
+        .withColumn(
+            "cosine",
+            F.expr(f"{DOT_SPARK.format(a='v1', b='v2')} / (n1 * n2)"),
+        )
+        .filter(F.col("cosine") >= NEARDUP_COS)
+        .select("id1", "id2", "cosine")
+    )
+    return out
+
+
+def build_nd_pair_index(
+    spark: SparkSession, base_path: str, pairs_path: str, buckets_path: str
+) -> None:
+    """Bootstrap the MAINTAINED near-dup pair index over a manifest
+    table of (vec_id, embedding): the hyperplane bucket table (the
+    standing LSH state new vectors join against) and the verified pair
+    list, the covered base version recorded as the PAIRS manifest's
+    ``index_of`` lineage in the same commit — the maintenance fence."""
+    from prox_spark.table import commit_snapshot, read_manifest, read_table
+
+    head = int(read_manifest(spark, base_path)["version"])
+    emb = _nd_prep(read_table(spark, base_path))
+    tagged = _plane_buckets(emb, _ND_PLANE_ROWS).cache()
+    try:
+        pairs = _nd_verify(_nd_candidates(tagged, tagged, same=True), emb)
+        commit_snapshot(
+            spark, buckets_path, tagged.select("vec_id", "t", "bkt"),
+            stat_cols=["vec_id"], n_files=4,
+        )
+        commit_snapshot(
+            spark, pairs_path, pairs, stat_cols=["id1", "id2"], n_files=4,
+            extra_meta={"index_of": {"base": base_path, "version": head}},
+        )
+    finally:
+        tagged.unpersist()
+
+
+def maintain_nd_pairs(
+    spark: SparkSession, base_path: str, pairs_path: str, buckets_path: str
+) -> dict:
+    """Fold the base's change feed into the pair index INCREMENTALLY —
+    the q194 maintained-LSH-index write path for embeddings: touched
+    vectors' bucket rows and pairs retire (file-pruned keyed deletes),
+    new vectors' bucket rows join the STANDING bucket table (work ∝
+    batch × bucket occupancy, never a corpus self-join) plus
+    themselves, survivors verify exact cosine against the base head,
+    and the pair upsert publishes the bumped coverage in its own
+    commit (``index_of`` — the wand.py/mv.py atomic-coverage
+    contract). Every step before the final commit is an idempotent
+    keyed delete/upsert, so a crashed run replays cleanly. Returns
+    maintenance counters."""
+    from prox_spark.cdf import read_table_changes
+    from prox_spark.table import read_manifest, read_table
+    from prox_spark.upsert import apply_changes, delete_keys, upsert_parquet
+    from pyspark.sql import Window
+
+    meta = read_manifest(spark, pairs_path).get("index_of") or {}
+    if meta.get("base") != base_path or "version" not in meta:
+        raise ValueError(
+            f"pair index {pairs_path} records no index_of lineage for "
+            f"{base_path}; bootstrap it with build_nd_pair_index"
+        )
+    covered = int(meta["version"])
+    head = int(read_manifest(spark, base_path)["version"])
+    if head == covered:
+        return {"status": "noop", "covered": covered}
+    feed = read_table_changes(spark, base_path, covered, head)
+    wd = Window.partitionBy("vec_id").orderBy(
+        F.col("_commit_version").desc(), F.col("_change_type").desc()
+    )
+    last = (
+        feed.withColumn("_r", F.row_number().over(wd))
+        .filter(F.col("_r") == 1)
+        .drop("_r", "_commit_version")
+    ).persist()
+    try:
+        touched = last.select("vec_id")
+        fresh = last.filter(F.col("_change_type") == "insert").select(
+            "vec_id", "embedding"
+        )
+        n_touched = touched.count()
+        if n_touched == 0:
+            # metadata-only window: bump coverage, touch nothing
+            empty = read_table(spark, pairs_path).limit(0).withColumn(
+                "change", F.lit("update")
+            )
+            apply_changes(
+                spark, pairs_path, empty, ["id1", "id2"],
+                extra_meta={
+                    "index_of": {"base": base_path, "version": head}
+                },
+            )
+            return {"status": "refreshed", "covered": head,
+                    "touched": 0, "new_pairs": 0}
+        # retire touched state — keyed deletes, idempotent on replay
+        delete_keys(spark, buckets_path, touched, ["vec_id"])
+        delete_keys(
+            spark, pairs_path,
+            touched.select(F.col("vec_id").alias("id1")), ["id1"],
+        )
+        delete_keys(
+            spark, pairs_path,
+            touched.select(F.col("vec_id").alias("id2")), ["id2"],
+        )
+        b_new = _plane_buckets(_nd_prep(fresh), _ND_PLANE_ROWS).select(
+            "vec_id", "t", "bkt"
+        ).cache()
+        try:
+            standing = read_table(spark, buckets_path)
+            cand = _nd_candidates(b_new, standing, same=False).unionByName(
+                _nd_candidates(b_new, b_new, same=True)
+            ).distinct()
+            emb_head = _nd_prep(read_table(spark, base_path, version=head))
+            pairs = _nd_verify(cand, emb_head)
+            # idempotent keyed upserts; coverage rides the pair commit
+            upsert_parquet(spark, buckets_path, b_new, ["vec_id", "t"])
+            n_new = pairs.count()
+            apply_changes(
+                spark, pairs_path,
+                pairs.withColumn("change", F.lit("update")),
+                ["id1", "id2"],
+                extra_meta={
+                    "index_of": {"base": base_path, "version": head}
+                },
+            )
+            return {
+                "status": "refreshed", "covered": head,
+                "touched": int(n_touched), "new_pairs": int(n_new),
+            }
+        finally:
+            b_new.unpersist()
+    finally:
+        last.unpersist()
+
+
 # --- q45: IVF-style ANN (coarse quantizer + cluster probe) -----------------
 
 IVF_K = 8        # centroids (deterministic: the first K vectors by vec_id)
@@ -2533,6 +2725,119 @@ WHERE vec_id % {RECLUSTER_DEL_MOD} <> 4
 """
 
 
+# --- q221: registry-maintained near-dup pair index -------------------------
+
+_ND_MAINT_CACHE: dict[str, tuple] = {}
+
+
+def _maintained_nd(spark: SparkSession, sf_dir: str) -> tuple:
+    """Staged once per process: the near-dup pair index bootstrapped at
+    the embedding table's v1 and REGISTRY-maintained through an append
+    window (fold — new vectors join the standing buckets) and a
+    merge-on-read delete window (touched pairs/buckets retire), plus an
+    idle tick that must be a noop. Returns (pairs_path, delta_bounded,
+    replay_noop)."""
+    from prox_spark.artifacts import maintain_artifacts, register_artifact
+    from prox_spark.table import commit_delta, commit_snapshot, read_manifest
+    from prox_spark.upsert import delete_keys_mor
+
+    from ._staging import staged
+
+    def build(scratch: str) -> tuple:
+        base = f"{scratch}/emb"
+        pairs, buckets = f"{scratch}/nd_pairs", f"{scratch}/nd_buckets"
+        reg = f"{scratch}/reg"
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        commit_snapshot(
+            spark, base, emb.filter(F.col("vec_id") % 10 <= 8),
+            stat_cols=["vec_id"], n_files=4,
+        )
+        build_nd_pair_index(spark, base, pairs, buckets)
+        register_artifact(
+            spark, reg, "nd_pairs", base, pairs, {"buckets": buckets}
+        )
+        n0 = emb.count()
+        # append window: maintenance folds the new vectors only
+        prev = read_manifest(spark, base)
+        commit_delta(
+            spark, base, emb.filter(F.col("vec_id") % 10 > 8),
+            list(prev["files"]), update_key_ranges={},
+        )
+        r1 = maintain_artifacts(spark, reg)
+        # merge-on-read delete window: touched state retires
+        delete_keys_mor(
+            spark, base,
+            emb.filter(F.col("vec_id") % 7 == 3).select("vec_id"),
+            ["vec_id"],
+        )
+        r2 = maintain_artifacts(spark, reg)
+        delta_bounded = bool(
+            0 < r1[pairs]["touched"] < n0
+            and 0 < r2[pairs]["touched"] < n0
+        )
+        r3 = maintain_artifacts(spark, reg)  # idle: must be a noop
+        replay_noop = bool(r3[pairs]["status"] == "noop")
+        return pairs, delta_bounded, replay_noop
+
+    return staged(_ND_MAINT_CACHE, sf_dir, "prox_ndmaint_", build)
+
+
+def q221_maintained_neardup_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The near-dup pair index as a REGISTRY-MAINTAINED artifact — the
+    write path q42's serving table implies, gated: bootstrap at v1,
+    then one maintain_artifacts call folds an append window (new
+    vectors' buckets join the STANDING bucket table — work ∝ batch ×
+    bucket occupancy, never a corpus self-join) and another retires a
+    merge-on-read delete window's pairs and buckets via file-pruned
+    keyed deletes, with coverage riding the pair commit (the atomic
+    index_of contract — a crashed replay can never re-append). The
+    oracle recomputes the hyperplane buckets + exact cosines over the
+    FINAL corpus with no index: a surviving deleted-vector pair, a
+    missed new-vs-standing collision, or a double-folded window all
+    break the hash. Pins: ``delta_bounded`` (both windows touched
+    fewer vectors than the corpus), ``replay_noop`` (an idle tick
+    publishes nothing)."""
+    from prox_spark.table import read_table
+
+    pairs, delta_bounded, replay_noop = _maintained_nd(spark, sf_dir)
+    return (
+        read_table(spark, pairs)
+        .withColumn("delta_bounded", F.lit(delta_bounded))
+        .withColumn("replay_noop", F.lit(replay_noop))
+        .orderBy("id1", "id2")
+    )
+
+
+def _oracle_q221() -> str:
+    e_nrm = (
+        "SELECT vec_id, embedding::DOUBLE[] AS dd, "
+        f"sqrt({DOT_DUCK.format(a='embedding::DOUBLE[]', b='embedding::DOUBLE[]')}) AS nrm "
+        "FROM embeddings WHERE vec_id % 7 <> 3"
+    )
+    return f"""
+WITH e AS ({e_nrm}),
+planes(t, b, plane) AS (
+  VALUES
+    {_plane_values_duck(_ND_PLANE_ROWS)}
+),
+tagged AS ({_TAGGED_DUCK}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+  FROM tagged a JOIN tagged b
+    ON a.t = b.t AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+)
+SELECT id1, id2, {_ND_DOT} / (e1.nrm * e2.nrm) AS cosine,
+       TRUE AS delta_bounded, TRUE AS replay_noop
+FROM cand JOIN e e1 ON id1 = e1.vec_id JOIN e e2 ON id2 = e2.vec_id
+WHERE {_ND_DOT} / (e1.nrm * e2.nrm) >= {NEARDUP_COS}
+ORDER BY id1, id2
+"""
+
+
 QUERIES = {
     "q40_cosine_topk": q40_cosine_topk,
     "q41_lsh_ann": q41_lsh_ann,
@@ -2551,6 +2856,7 @@ QUERIES = {
     "q175_matryoshka_overlap": q175_matryoshka_overlap,
     "q195_top_principal_component": q195_top_principal_component,
     "q215_ivf_recluster": q215_ivf_recluster,
+    "q221_maintained_neardup_pairs": q221_maintained_neardup_pairs,
 }
 
 ORACLES = {
@@ -2571,4 +2877,5 @@ ORACLES = {
     "q175_matryoshka_overlap": ORACLE_Q175,
     "q195_top_principal_component": _oracle_q195(),
     "q215_ivf_recluster": ORACLE_Q215,
+    "q221_maintained_neardup_pairs": _oracle_q221(),
 }

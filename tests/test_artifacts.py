@@ -771,3 +771,62 @@ def test_kmv_sketch_serves_folds_and_recomputes(spark):
     assert hit3 == kmv and est3 == fresh_estimate()
     # sanity: the estimate lands in a sane band of the true count
     assert 0.4 * exact <= est3 <= 2.5 * exact
+
+def test_nd_pairs_maintenance_handles_updates(spark):
+    """An UPDATED vector's old pairs retire and its new pairs compute
+    against the standing buckets — the maintained index equals a
+    from-scratch rebuild of the final corpus after append + update +
+    delete windows."""
+    from prox_spark.queries.similarity import (
+        build_nd_pair_index,
+        maintain_nd_pairs,
+    )
+    from prox_spark.upsert import delete_keys_mor, upsert_parquet
+
+    s = _scratch()
+    base = f"{s}/emb"
+    pairs, buckets = f"{s}/pairs", f"{s}/buckets"
+
+    def vecs(lo, hi, bump=0):
+        # clusters of 4 near-identical vectors; `bump` rotates a
+        # vector into a different neighborhood
+        return spark.range(lo, hi).select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                "transform(sequence(0, 15), i -> "
+                "cast(if(i = cast((id + {b}) div 4 as int) % 16, 10.0, "
+                "(id % 4) * 0.01) as float))".format(b=bump)
+            ).alias("embedding"),
+        )
+
+    commit_snapshot(spark, base, vecs(0, 40),
+                    stat_cols=["vec_id"], n_files=2)
+    build_nd_pair_index(spark, base, pairs, buckets)
+    # append + update (move two vectors to other clusters) + delete
+    prev = read_manifest(spark, base)
+    commit_delta(spark, base, vecs(40, 56), list(prev["files"]),
+                 update_key_ranges={})
+    upsert_parquet(
+        spark, base,
+        vecs(0, 56, bump=8).filter(F.col("vec_id").isin(5, 21)),
+        ["vec_id"],
+    )
+    delete_keys_mor(
+        spark, base,
+        spark.range(0, 56, 11).select(F.col("id").alias("vec_id")),
+        ["vec_id"],
+    )
+    out = maintain_nd_pairs(spark, base, pairs, buckets)
+    assert out["status"] == "refreshed"
+    # replay: noop
+    again = maintain_nd_pairs(spark, base, pairs, buckets)
+    assert again["status"] == "noop"
+    # equality with a from-scratch rebuild of the final corpus
+    ref_p, ref_b = f"{s}/ref_pairs", f"{s}/ref_buckets"
+    build_nd_pair_index(spark, base, ref_p, ref_b)
+    got = sorted(map(tuple, read_table(spark, pairs).collect()))
+    want = sorted(map(tuple, read_table(spark, ref_p).collect()))
+    assert got == want and len(want) > 0
+    got_b = sorted(map(tuple, read_table(spark, buckets).collect()))
+    want_b = sorted(map(tuple, read_table(spark, ref_b).collect()))
+    assert got_b == want_b

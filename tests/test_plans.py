@@ -54,15 +54,24 @@ def test_q36_minhash_is_subquadratic(spark):
 
 
 def test_q42_neardup_is_subquadratic(spark):
-    from prox_spark.queries.similarity import q42_embed_neardup
+    from prox_spark.queries import similarity as S
 
-    plan = _plan(q42_embed_neardup(spark, SF_DIR))
-    # corpus x corpus must never cross-join (the only cross join in the
-    # plan is the 20-row hyperplane broadcast); candidate pairs must
-    # come from an equality join on the bucket key
+    # the BUILD (the pair artifact's write path): corpus x corpus must
+    # never cross-join (the only cross join is the 20-row hyperplane
+    # broadcast); candidate pairs must come from an equality join on
+    # the bucket key
+    emb = S._emb_n(spark, SF_DIR)
+    tagged = S._plane_buckets(emb, S._ND_PLANE_ROWS)
+    pairs = S._nd_verify(S._nd_candidates(tagged, tagged, same=True), emb)
+    plan = _plan(pairs)
     assert "CartesianProduct" not in plan
     assert "bkt" in plan  # bucket equi-join key present
     assert any(op in plan for op in ("SortMergeJoin Inner", "ShuffledHashJoin Inner", "BroadcastHashJoin Inner"))
+    # the SERVE (q42 itself): a pure scan of the stored pair artifact —
+    # no joins at all, repeat queries never re-verify candidates
+    plan2 = _plan(S.q42_embed_neardup(spark, SF_DIR))
+    assert "CartesianProduct" not in plan2
+    assert "Join" not in plan2
 
 
 def test_q39_single_arrow_stage(spark):
