@@ -12,6 +12,11 @@ Commands:
                                      pipeline (dedup signals -> card -> clean
                                      corpus -> leakage-free splits -> frozen
                                      training-set txn -> artifact registry)
+  vacuum    --table DIR              retention for a manifest table
+            [--keep-last N]          (default 2 versions)
+            [--retain-hours H]       age-based: keep the TIMESTAMP AS OF window
+            [--registry DIR]         pin registered artifacts' covered suffix
+            [--workspace DIR]        pin versions frozen by the txn log
 """
 
 from __future__ import annotations
@@ -58,6 +63,26 @@ def main(argv: list[str] | None = None) -> int:
         help="output dir for pairs/ card/ corpus/ splits/ ws/ registry/",
     )
 
+    p_vac = sub.add_parser(
+        "vacuum", help="retention for a manifest table (pins composed)"
+    )
+    p_vac.add_argument("--table", required=True)
+    p_vac.add_argument("--keep-last", type=int, default=2)
+    p_vac.add_argument(
+        "--retain-hours", type=float, default=None,
+        help="age-based retention: keep every version published within "
+        "the window plus the newest pre-window one",
+    )
+    p_vac.add_argument(
+        "--registry",
+        help="artifact registry whose covered-version suffix must survive",
+    )
+    p_vac.add_argument(
+        "--workspace",
+        help="txn workspace whose frozen pins must survive",
+    )
+    p_vac.add_argument("--retention-minutes", type=float, default=15.0)
+
     args = parser.parse_args(argv)
 
     from prox_spark.session import get_spark
@@ -90,6 +115,32 @@ def main(argv: list[str] | None = None) -> int:
 
         n = compact_parquet(spark, args.src, args.dst, target_file_mb=args.target_mb)
         print(f"compacted {args.src} -> {args.dst} ({n} files)")
+        return 0
+
+    if args.cmd == "vacuum":
+        from prox_spark.table import vacuum
+
+        pins: set = set()
+        if args.workspace:
+            from prox_spark.txn import txn_pinned_versions
+
+            pins |= txn_pinned_versions(spark, args.workspace, args.table)
+        if args.registry:
+            from prox_spark.artifacts import vacuum_with_registry
+
+            removed = vacuum_with_registry(
+                spark, args.table, args.registry,
+                keep_last=args.keep_last,
+                retention_minutes=args.retention_minutes,
+                extra_pins=pins, retain_hours=args.retain_hours,
+            )
+        else:
+            removed = vacuum(
+                spark, args.table, keep_last=args.keep_last,
+                retention_minutes=args.retention_minutes,
+                extra_pins=pins, retain_hours=args.retain_hours,
+            )
+        print(f"vacuumed {args.table}: removed versions {removed}")
         return 0
 
     if args.cmd == "llm-pipeline":

@@ -199,3 +199,46 @@ def test_cli_llm_pipeline(spark, tmp_path, capsys):
     assert rc == 0
     printed = capsys.readouterr().out
     assert "register" in printed and "failed" not in printed
+
+def test_cli_vacuum_composed_pins(spark, tmp_path, capsys):
+    """`python -m prox_spark vacuum` composes registry + workspace
+    pins with keep_last and age-based retention."""
+    from pyspark.sql import functions as F
+
+    from prox_spark.__main__ import main
+    from prox_spark.artifacts import register_artifact
+    from prox_spark.mv import create_mv, refresh_mv
+    from prox_spark.table import commit_snapshot, read_manifest, table_versions
+    from prox_spark.txn import txn_commit
+    from prox_spark.upsert import upsert_parquet
+
+    base = str(tmp_path / "base")
+    mv, reg, ws = str(tmp_path / "mv"), str(tmp_path / "reg"), str(tmp_path / "ws")
+    df = spark.range(20).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") * 2).alias("n"),
+    )
+    commit_snapshot(spark, base, df, stat_cols=["id"])
+    create_mv(spark, base, mv, ["g"], ["n"])
+    register_artifact(spark, reg, "mv", base, mv)
+    txn_commit(spark, ws, {base: 1})  # freeze v1
+    for i in range(3):
+        upsert_parquet(
+            spark, base,
+            df.filter(F.col("id") == i).withColumn("n", F.col("n") + 1),
+            ["id"],
+        )
+    refresh_mv(spark, mv)  # covered -> 4
+    rc = main([
+        "vacuum", "--table", base, "--keep-last", "1",
+        "--retention-minutes", "0", "--registry", reg,
+        "--workspace", ws,
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "vacuumed" in out
+    # v1 survives (txn pin) and v4 (covered + keep_last); v2/v3 are in
+    # the registry's covered-suffix only if <= covered... covered=4 so
+    # the suffix is {4}; v2/v3 drop
+    assert table_versions(spark, base) == [1, 4]
+    assert int(read_manifest(spark, base)["version"]) == 4

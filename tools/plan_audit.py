@@ -91,6 +91,19 @@ SKIP = {
     # read side is an ordinary pruned scan
     "q217_frozen_training_set",  # stages txn freeze + churn + vacuum
     # while building; the read is two pinned _read_files scans + a BHJ
+    "q218_llm_pipeline_capstone",  # runs the whole pipeline job (LSH
+    # front = q36's audited shape, CC labels = q72's twin, commits +
+    # txn + vacuum) while building; the read is q217's audited
+    # pinned-scan + BHJ shape
+    "q219_streaming_bounded_bm25",  # runs four real stream passes +
+    # compaction while building; serving is q213's audited probe shape
+    "q220_registry_served_stats",  # stages commits + registry
+    # maintenance while building; the avg serve is q211's audited
+    # stored-view scan, the sketch is a k-row collect
+    "q221_maintained_neardup_pairs",  # stages index commits + registry
+    # maintenance while building (candidate join = q42's audited
+    # bucket-equi-join build shape, plan-asserted in test_plans); the
+    # read side is an ordinary pruned pair-table scan
 }
 
 
