@@ -76,10 +76,15 @@ def _kmv_u_frame(df, col: str):
 
 
 def _kmv_fold(spark: SparkSession, values, k: int = KMV_K):
-    """k smallest u's of a (u double) frame, as a local DataFrame."""
-    rows = sorted(
-        float(r["u"]) for r in values.select("u").distinct().collect()
-    )[:k]
+    """k smallest distinct u's of a (u double) frame, as a local
+    DataFrame. Distributed top-k (TakeOrderedAndProject after a
+    distinct) — only k scalars ever land on the driver, never the
+    value set."""
+    rows = [
+        float(r["u"])
+        for r in values.select("u").distinct().orderBy("u").limit(k)
+        .collect()
+    ]
     return spark.createDataFrame([(u,) for u in rows], "u double")
 
 
@@ -154,9 +159,13 @@ def serve_distinct(
                     F.col("_change_type") == "delete"
                 ).limit(1).count():
                     continue  # deletes: the sketch cannot answer
+                # k smallest of the window suffice: the k smallest of
+                # a union equal the k smallest over the per-side
+                # k-smallest sets (KMV mergeability)
                 fresh = [
                     float(r["u"])
-                    for r in _kmv_u_frame(feed, col).distinct().collect()
+                    for r in _kmv_u_frame(feed, col)
+                    .distinct().orderBy("u").limit(k).collect()
                 ]
                 stored = sorted(set(stored) | set(fresh))[:k]
             return _kmv_estimate(stored, k), art
