@@ -164,10 +164,13 @@ def run_llm_pipeline(
         labels = min_label_clusters(
             read_table(spark, ctx["signals"]).select("doc1", "doc2")
         )
+        # label attach is UN-hinted: cluster membership is small by
+        # nature in a curated corpus, but a heavily duplicated crawl
+        # makes it O(N) — AQE broadcasts only when it genuinely fits
         flags = (
             d.join(owners, "digest")
             .withColumn("exact_dup", F.col("doc_id") > F.col("keeper"))
-            .join(F.broadcast(labels), "doc_id", "left")
+            .join(labels, "doc_id", "left")
             .withColumn("near_dup_member", F.col("label").isNotNull())
         )
         n_if = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
@@ -198,7 +201,7 @@ def run_llm_pipeline(
         )
         kept = read_table(spark, ctx["corpus"]).select("doc_id")
         assigned = (
-            kept.join(F.broadcast(labels), "doc_id", "left")
+            kept.join(labels, "doc_id", "left")
             .select(
                 "doc_id",
                 F.coalesce("label", F.col("doc_id")).alias("rep"),
@@ -211,16 +214,21 @@ def run_llm_pipeline(
                         stat_cols=["doc_id"], n_files=2)
         # leakage audit over the KEPT docs: two kept near-dups share a
         # cluster, hence a rep, hence a split — any other answer is an
-        # assignment bug and must stop the freeze
+        # assignment bug and must stop the freeze. The PAIR-sized side
+        # broadcasts into the O(N) assignment scans, never the reverse
+        # (an assignment broadcast is a driver OOM at crawl scale)
         a = read_table(spark, splits_t)
-        p = read_table(spark, ctx["signals"])
+        p = read_table(spark, ctx["signals"]).select("doc1", "doc2")
+        half = (
+            a.select(F.col("doc_id").alias("doc1"),
+                     F.col("split").alias("s1"))
+            .join(F.broadcast(p), "doc1")
+            .select("doc2", "s1")
+        )
         cross = (
-            p.join(
-                F.broadcast(a.select(F.col("doc_id").alias("doc1"),
-                                     F.col("split").alias("s1"))), "doc1")
-            .join(
-                F.broadcast(a.select(F.col("doc_id").alias("doc2"),
-                                     F.col("split").alias("s2"))), "doc2")
+            a.select(F.col("doc_id").alias("doc2"),
+                     F.col("split").alias("s2"))
+            .join(F.broadcast(half), "doc2")
             .filter(F.col("s1") != F.col("s2"))
             .count()
         )
