@@ -192,7 +192,10 @@ def register_artifact(
     if kind not in KINDS:
         raise ValueError(f"unknown artifact kind {kind!r}; one of {KINDS}")
     params = dict(params or {})
-    if kind in ("bounded_postings", "postings") and "since" not in params:
+    if (
+        kind in ("bounded_postings", "postings", "kmv")
+        and "since" not in params
+    ):
         # freeze the rename-resolution window's low bound at
         # REGISTRATION: the index records its text column's name as of
         # now, so later maintenance resolves renames committed after
