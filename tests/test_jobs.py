@@ -242,3 +242,52 @@ def test_cli_vacuum_composed_pins(spark, tmp_path, capsys):
     # the suffix is {4}; v2/v3 drop
     assert table_versions(spark, base) == [1, 4]
     assert int(read_manifest(spark, base)["version"]) == 4
+
+def test_llm_pipeline_rerun_keeps_both_frozen_sets(spark, tmp_path):
+    """Re-running the pipeline over a grown corpus freezes a NEW
+    (corpus, splits) txn while the FIRST run's frozen bytes stay
+    servable — two training runs, each reproducible independently."""
+    from pyspark.sql import functions as F
+
+    from prox_spark.llm_jobs import run_llm_pipeline
+    from prox_spark.txn import txn_read
+
+    out = str(tmp_path / "llm")
+    docs1 = _pipe_docs(spark)
+    r1 = run_llm_pipeline(spark, docs1, out)
+    assert all(r.status == "succeeded" for r in r1.values())
+    ws = r1["freeze"].output["workspace"]
+    corpus = r1["corpus"].output
+    splits = r1["splits"].output["path"]
+    txn1 = r1["freeze"].output["txn"]
+    frozen1 = sorted(
+        map(tuple, txn_read(spark, ws, corpus, txn=txn1).join(
+            txn_read(spark, ws, splits, txn=txn1), "doc_id").collect())
+    )
+    # the corpus grows; a second run freezes the new state
+    docs2 = docs1.unionByName(
+        spark.range(200, 230).select(
+            F.col("id").alias("doc_id"),
+            F.lit("s_new").alias("source"),
+            F.concat(F.lit("omega psi chi phi upsilon tau doc "),
+                     F.col("id").cast("string")).alias("text"),
+        )
+    )
+    r2 = run_llm_pipeline(spark, docs2, out)
+    assert all(r.status == "succeeded" for r in r2.values()), {
+        n: (r.status, r.error) for n, r in r2.items()
+    }
+    txn2 = r2["freeze"].output["txn"]
+    assert txn2 > txn1
+    # run 2's frozen set covers the grown corpus...
+    frozen2 = sorted(
+        map(tuple, txn_read(spark, ws, corpus, txn=txn2).join(
+            txn_read(spark, ws, splits, txn=txn2), "doc_id").collect())
+    )
+    assert len(frozen2) > len(frozen1)
+    # ...and run 1's exact bytes are still served, unchanged
+    again1 = sorted(
+        map(tuple, txn_read(spark, ws, corpus, txn=txn1).join(
+            txn_read(spark, ws, splits, txn=txn1), "doc_id").collect())
+    )
+    assert again1 == frozen1
