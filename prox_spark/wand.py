@@ -384,11 +384,19 @@ def maintain_bounded_index(
             )
             apply_changes(spark, idx_path, changes, ["term", "doc_id"])
 
-            affected = (
-                old_pairs.select("term")
-                .unionByName(new_pairs.select("term"))
-                .distinct()
-            )
+            # affected terms come from the RAW FEED, not the pre-merge
+            # index: delete rows carry the old text, insert rows the
+            # new, so the set covers every term entering or leaving —
+            # and, unlike an index-derived set, it is REPLAY-STABLE: a
+            # run crashed after the pairs merge re-derives the same
+            # terms (the index-derived set would miss fully-retracted
+            # terms whose postings the crashed run already removed,
+            # leaving their stale stats rows behind). A superset term
+            # (e.g. from a row superseded within the window) just gets
+            # an exact recompute — harmless.
+            affected = feed.select(
+                F.explode(F.expr(tokens_expr)).alias("term")
+            ).distinct()
             n_touched = _refresh_term_stats(
                 spark, idx_path, stats_path, affected, feed, tokens_expr,
                 covers=covers,
