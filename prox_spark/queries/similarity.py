@@ -996,6 +996,14 @@ def recluster_index(
     rebuilt = _assign_to_cents(cur, cents).select(
         "vec_id", "dd", "nrm", "cid"
     )
+    from prox_spark.table import list_branches
+
+    if branch in list_branches(spark, index_path):
+        # a dangling staging branch from a CRASHED rebuild: abandoned
+        # by definition (only this function ever publishes it, and a
+        # published one is dropped by fast_forward) — retire it so the
+        # retry can fork fresh instead of wedging on 'already exists'
+        drop_branch(spark, index_path, branch)
     create_branch(spark, index_path, branch)
     try:
         prev = read_manifest(spark, index_path, ref=branch)

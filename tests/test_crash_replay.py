@@ -210,3 +210,86 @@ def test_bounded_index_maintenance_survives_any_crash(spark, monkeypatch):
         )
 
     _run_with_crashes(monkeypatch, [idx, stats], prist, maintain, state)
+
+def test_recluster_survives_any_crash(spark, monkeypatch):
+    """The WAP recluster (branch fork, branch commit, one-CAS
+    publish): killed at any boundary, main either serves the OLD index
+    or the fully-published NEW one (never a torn state), a dangling
+    staging branch never wedges the retry, and the re-run converges to
+    the no-crash rows + quantizer."""
+    from prox_spark.queries.similarity import (
+        _assign_to_cents,
+        kmeans_fit,
+        recluster_index,
+    )
+
+    s = _scratch()
+    idx = f"{s}/ivf"
+    rows = []
+    anchors = [
+        [10.0, 0.0, 0.0, 0.0], [0.0, 10.0, 0.0, 0.0],
+        [0.0, 0.0, 10.0, 0.0], [0.0, 0.0, 0.0, 10.0],
+    ]
+    vid = 0
+    for b, anchor in enumerate(anchors):
+        for i in range(20):
+            v = list(anchor)
+            v[i % 4] += (i % 7) * 0.02
+            n = float(sum(x * x for x in v)) ** 0.5
+            rows.append((vid, v, n))
+            vid += 1
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, dd array<double>, nrm double"
+    )
+    cents0 = kmeans_fit(
+        corpus.select(
+            "vec_id", F.expr("transform(dd, x -> x / nrm)").alias("dd")
+        ),
+        k=2, max_iters=1,  # a deliberately bad initial quantizer
+    )
+    commit_snapshot(
+        spark, idx,
+        _assign_to_cents(corpus, cents0).select("vec_id", "dd", "nrm", "cid"),
+        stat_cols=["cid"], n_files=2,
+        extra_meta={"quantizer": {
+            "k": 2, "cents": [[c, v] for c, v in cents0],
+        }},
+    )
+    prist = f"{s}/prist"
+    _snapshot([idx], prist)
+    n_rows = len(rows)
+
+    def maintain():
+        recluster_index(spark, idx, k=4, max_iters=2, branch="rc")
+
+    def state():
+        return (
+            sorted(map(tuple, read_table(spark, idx)
+                       .select("vec_id", "cid").collect())),
+            read_manifest(spark, idx)["quantizer"]["cents"],
+        )
+
+    real = table_mod._write_manifest
+    counter = _CrashingWriter(real, None, "before")
+    monkeypatch.setattr(table_mod, "_write_manifest", counter)
+    maintain()
+    monkeypatch.setattr(table_mod, "_write_manifest", real)
+    n_commits = counter.calls
+    assert n_commits >= 3
+    expected = state()
+
+    for fail_at in range(1, n_commits + 1):
+        for when in ("before", "after"):
+            _restore([idx], prist)
+            crasher = _CrashingWriter(real, fail_at, when)
+            monkeypatch.setattr(table_mod, "_write_manifest", crasher)
+            with pytest.raises(_InjectedCrash):
+                maintain()
+            monkeypatch.setattr(table_mod, "_write_manifest", real)
+            # main is never torn: full row count, and a coherent
+            # (data, quantizer) pair — old or new, never a mix
+            assert read_table(spark, idx).count() == n_rows
+            maintain()  # retry — a dangling 'rc' branch must not wedge
+            assert state() == expected, (
+                f"crash {when} publish #{fail_at}/{n_commits}"
+            )
