@@ -830,3 +830,104 @@ def test_nd_pairs_maintenance_handles_updates(spark):
     got_b = sorted(map(tuple, read_table(spark, buckets).collect()))
     want_b = sorted(map(tuple, read_table(spark, ref_b).collect()))
     assert got_b == want_b
+
+def test_nd_pairs_random_op_sequence_matches_rebuild(spark):
+    """Model test: a deterministic pseudo-random op mix on the base
+    (appends, vector-moving upserts, CoW + MoR deletes, compaction)
+    with maintenance every couple of ops — windows spanning MULTIPLE
+    commits — must keep the maintained pair index equal to a
+    from-scratch rebuild of the current corpus at every checkpoint."""
+    import hashlib
+
+    from prox_spark.queries.similarity import (
+        build_nd_pair_index,
+        maintain_nd_pairs,
+    )
+    from prox_spark.table import compact_table
+    from prox_spark.upsert import delete_keys, delete_keys_mor, upsert_parquet
+
+    def rnd(seed, lo, hi):
+        h = int(hashlib.md5(seed.encode()).hexdigest()[:8], 16)
+        return lo + h % (hi - lo + 1)
+
+    def vec(vid, gen):
+        # one-hot-ish: (vid, gen) picks the hot axis, so an upsert
+        # MOVES the vector to another neighborhood
+        hot = rnd(f"hot:{vid}:{gen}", 0, 15)
+        v = [(vid % 4) * 0.01] * 16
+        v[hot] = 10.0 + (vid % 7) * 0.02
+        return v
+
+    def frame(items):
+        return spark.createDataFrame(
+            [(vid, vec(vid, gen)) for vid, gen in items],
+            "vec_id long, embedding array<double>",
+        )
+
+    s = _scratch()
+    base = f"{s}/emb"
+    pairs, buckets = f"{s}/pairs", f"{s}/buckets"
+    model: dict[int, int] = {vid: 0 for vid in range(40)}
+    commit_snapshot(spark, base, frame(sorted(model.items())),
+                    stat_cols=["vec_id"], n_files=2)
+    build_nd_pair_index(spark, base, pairs, buckets)
+    next_id = 40
+
+    def live_ids(step, k):
+        ids = sorted(model)
+        return [ids[rnd(f"pick:{step}:{i}", 0, len(ids) - 1)]
+                for i in range(k)]
+
+    for step in range(1, 11):
+        op = rnd(f"op:{step}", 0, 9)
+        if op <= 2:  # append
+            fresh = [(next_id + i, 0) for i in range(6)]
+            next_id += 6
+            prev = read_manifest(spark, base)
+            commit_delta(spark, base, frame(fresh),
+                         list(prev["files"]), update_key_ranges={})
+            model.update(dict(fresh))
+        elif op <= 5:  # upsert: move some vectors
+            targets = sorted(set(live_ids(step, 4)))
+            for t in targets:
+                model[t] += 1
+            upsert_parquet(
+                spark, base, frame([(t, model[t]) for t in targets]),
+                ["vec_id"],
+            )
+        elif op == 6:  # copy-on-write delete
+            targets = sorted(set(live_ids(step, 3)))
+            delete_keys(
+                spark, base,
+                spark.createDataFrame([(t,) for t in targets],
+                                      "vec_id long"),
+                ["vec_id"],
+            )
+            for t in targets:
+                model.pop(t, None)
+        elif op == 7:  # merge-on-read delete
+            targets = sorted(set(live_ids(step, 3)))
+            delete_keys_mor(
+                spark, base,
+                spark.createDataFrame([(t,) for t in targets],
+                                      "vec_id long"),
+                ["vec_id"],
+            )
+            for t in targets:
+                model.pop(t, None)
+        else:  # base maintenance: compaction is CDC-silent
+            compact_table(spark, base, n_files=2)
+        if step % 2 == 0 or step == 10:
+            maintain_nd_pairs(spark, base, pairs, buckets)
+            ref_p, ref_b = f"{s}/ref{step}_p", f"{s}/ref{step}_b"
+            build_nd_pair_index(spark, base, ref_p, ref_b)
+            got = sorted(map(tuple, read_table(spark, pairs).collect()))
+            want = sorted(map(tuple, read_table(spark, ref_p).collect()))
+            assert got == want, f"pairs diverged at step {step}"
+            got_b = sorted(
+                map(tuple, read_table(spark, buckets).collect())
+            )
+            want_b = sorted(
+                map(tuple, read_table(spark, ref_b).collect())
+            )
+            assert got_b == want_b, f"buckets diverged at step {step}"
