@@ -64,27 +64,39 @@ KINDS = (
 KMV_K = 16
 
 
-def _kmv_u_frame(df, col: str):
-    """(u double) frame: the md5-derived uniform u ∈ [0, 1) of each
-    value of ``df.col`` — the deterministic hash the whole KMV family
-    shares (q209)."""
+def _kmv_u_frame(df, col: str, keys: list[str] = ()):
+    """([keys...,] u double) frame: the md5-derived uniform u ∈ [0, 1)
+    of each value of ``df.col`` — the deterministic hash the whole KMV
+    family shares (q209) — with optional group-key columns carried."""
     from prox_spark.queries.text import _HEXV_SPARK, _u48_expr
 
     return df.select(
-        F.md5(F.col(col).cast("string")).alias("m")
-    ).select(F.expr(_u48_expr(_HEXV_SPARK)).alias("u"))
+        *keys, F.md5(F.col(col).cast("string")).alias("m")
+    ).select(*keys, F.expr(_u48_expr(_HEXV_SPARK)).alias("u"))
+
+
+def _kmv_topk(values, keys: list[str], k: int = KMV_K):
+    """The per-group (or global) k smallest distinct u's, DISTRIBUTED:
+    global = distinct + TakeOrderedAndProject (k scalars ever move);
+    grouped = a per-key row_number window (shuffle keyed by the group,
+    k rows retained per group — never the value set)."""
+    from pyspark.sql import Window
+
+    if not keys:
+        return values.select("u").distinct().orderBy("u").limit(k)
+    w = Window.partitionBy(*keys).orderBy("u")
+    return (
+        values.select(*keys, "u").distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
 
 
 def _kmv_fold(spark: SparkSession, values, k: int = KMV_K):
-    """k smallest distinct u's of a (u double) frame, as a local
-    DataFrame. Distributed top-k (TakeOrderedAndProject after a
-    distinct) — only k scalars ever land on the driver, never the
-    value set."""
-    rows = [
-        float(r["u"])
-        for r in values.select("u").distinct().orderBy("u").limit(k)
-        .collect()
-    ]
+    """Back-compat global fold: k smallest distinct u's as a local
+    DataFrame (only k scalars land on the driver)."""
+    rows = [float(r["u"]) for r in _kmv_topk(values, [], k).collect()]
     return spark.createDataFrame([(u,) for u in rows], "u double")
 
 
@@ -94,19 +106,23 @@ def build_kmv_sketch(
     col: str,
     sketch_path: str,
     k: int = KMV_K,
+    keys: list[str] = (),
 ) -> None:
     """Materialize the k-minimum-values distinct sketch of
-    ``base_path.col`` as a manifest table (≤ k rows of ``u double``),
-    its covered base version recorded as ``index_of`` lineage in the
-    SAME commit. One map-side hash projection + a global top-k —
-    kilobytes of state for any corpus size, mergeable by construction
-    (the k smallest of unioned sketches are the k smallest overall)."""
+    ``base_path.col`` as a manifest table — GLOBAL (≤ k rows of
+    ``u double``) or GROUPED by ``keys`` (≤ k rows per group, the q209
+    per-source shape) — its covered base version recorded as
+    ``index_of`` lineage in the SAME commit. One map-side hash
+    projection + a distributed top-k — kilobytes of state per group at
+    any corpus size, mergeable by construction (the k smallest of
+    unioned sketches are the k smallest overall)."""
     from prox_spark.table import commit_snapshot
 
     head = int(read_manifest(spark, base_path)["version"])
-    u = _kmv_u_frame(read_table(spark, base_path), col)
+    u = _kmv_u_frame(read_table(spark, base_path), col, list(keys))
     commit_snapshot(
-        spark, sketch_path, _kmv_fold(spark, u, k), stat_cols=["u"],
+        spark, sketch_path, _kmv_topk(u, list(keys), k),
+        stat_cols=[*keys, "u"] if keys else ["u"],
         extra_meta={"index_of": {"base": base_path, "version": head}},
     )
 
@@ -359,6 +375,7 @@ def _maintain_one(spark: SparkSession, ent: dict) -> dict:
         from prox_spark.table import commit_delta
 
         col = params["col"]
+        keys = list(params.get("keys") or [])
         k = int(params.get("k", KMV_K))
         covered = _covered_version(spark, ent, art)
         head = int(read_manifest(spark, base)["version"])
@@ -371,19 +388,26 @@ def _maintain_one(spark: SparkSession, ent: dict) -> dict:
         mode = "fold"
         if feed.filter(F.col("_change_type") == "delete").limit(1).count():
             # KMV cannot retract a deleted value: recompute from the
-            # head — still kilobytes of output, one hash-project + top-k
+            # head — still kilobytes of output per group, one
+            # hash-project + top-k
             mode = "recompute"
-            u = _kmv_u_frame(read_table(spark, base, version=head), col)
-            fresh = _kmv_fold(spark, u, k)
+            fresh = _kmv_topk(
+                _kmv_u_frame(
+                    read_table(spark, base, version=head), col, keys
+                ),
+                keys, k,
+            )
         else:
-            stored = read_table(spark, art).select("u")
-            fresh = _kmv_fold(
-                spark, stored.unionByName(_kmv_u_frame(feed, col)), k
+            stored = read_table(spark, art).select(*keys, "u")
+            fresh = _kmv_topk(
+                stored.unionByName(_kmv_u_frame(feed, col, keys)),
+                keys, k,
             )
         prev = read_manifest(spark, art)
         # sketch replacement + bumped coverage in ONE manifest rename
         commit_delta(
-            spark, art, fresh, [], stat_cols=["u"],
+            spark, art, fresh, [],
+            stat_cols=[*keys, "u"] if keys else ["u"],
             base_version=int(prev["version"]),
             index_of={"base": base, "version": head},
         )
@@ -518,6 +542,93 @@ def serve_aggregate(
     return rewrite_aggregate(
         spark, base_path, keys, sums, candidates, mins, maxs, avgs
     )
+
+
+def _kmv_estimate_col(k: int):
+    """Per-group estimate column over a ranked sketch aggregate: a
+    group holding fewer than k values has seen every distinct value
+    (exact count); a full group estimates (k−1)/u₍k₎ — the q209
+    formula, md5-deterministic so served answers reproduce anywhere."""
+    return F.when(
+        F.col("_sk_n") < k, F.col("_sk_n").cast("double")
+    ).otherwise(
+        F.round(F.lit(float(k - 1)) / F.col("_uk"), 6)
+    )
+
+
+def serve_distinct_by(
+    spark: SparkSession,
+    registry_path: str,
+    base_path: str,
+    col: str,
+    keys: list[str],
+):
+    """GROUPED registry-routed approx distinct: serve
+    ``count(distinct col) GROUP BY keys`` from a registered grouped
+    KMV sketch (built with ``build_kmv_sketch(..., keys=...)``) — the
+    stored ≤k-rows-per-group state plus a read-time fold of an
+    insert-only uncovered window; a window with deletes falls through
+    (KMV cannot retract). Returns ``(frame, sketch_path_or_None)``
+    with columns (keys..., est_distinct); the fallback is the exact
+    per-group distinct count (as double, same schema)."""
+    from prox_spark.queries.search import postings_feed
+
+    keys = list(keys)
+    for ent in list_artifacts(spark, registry_path):
+        if (
+            ent["kind"] != "kmv"
+            or ent["base"] != base_path
+            or ent["params"].get("col") != col
+            or list(ent["params"].get("keys") or []) != keys
+        ):
+            continue
+        art = ent["artifact"]
+        k = int(ent["params"].get("k", KMV_K))
+        try:
+            covered = _covered_version(spark, ent, art)
+            head = int(read_manifest(spark, base_path)["version"])
+            sk = read_table(spark, art).select(*keys, "u")
+            if head > covered:
+                feed = postings_feed(
+                    spark, base_path, covered, head, text_col=col,
+                    since=int(ent["params"].get("since", covered)),
+                )
+                if feed.filter(
+                    F.col("_change_type") == "delete"
+                ).limit(1).count():
+                    continue  # deletes: the sketch cannot answer
+                sk = _kmv_topk(
+                    sk.unionByName(_kmv_u_frame(feed, col, keys)),
+                    keys, k,
+                )
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*keys).orderBy("u")
+            ranked = sk.withColumn("_rn", F.row_number().over(w))
+            out = (
+                ranked.groupBy(*keys)
+                .agg(
+                    F.count(F.lit(1)).alias("_sk_n"),
+                    F.max(
+                        F.when(F.col("_rn") == k, F.col("u"))
+                    ).alias("_uk"),
+                )
+                .select(
+                    *keys,
+                    _kmv_estimate_col(k).alias("est_distinct"),
+                )
+            )
+            return out, art
+        except Exception:  # noqa: BLE001 — unreadable sketch: fall back
+            continue
+    exact = (
+        read_table(spark, base_path)
+        .groupBy(*keys)
+        .agg(
+            F.countDistinct(col).cast("double").alias("est_distinct")
+        )
+    )
+    return exact, None
 
 
 def maintain_artifacts(

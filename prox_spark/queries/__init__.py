@@ -31,7 +31,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # entries per round. Union coverage across rounds 1-9 is 215 of 215
 # (every query has a green driver row), so round 10 rotates purely by
 # STALENESS (recomputed from the CORRECTNESS_r01..r09 files): the
-# FOUR queries new this round lead (never driver-gated), then the
+# FIVE queries new this round lead (never driver-gated), then the
 # fifteen whose most recent green driver row is round 5, then the
 # round-6 cohort in name order up to the 50-slot cap. Exactly 50.
 _FRONT = [
@@ -40,6 +40,7 @@ _FRONT = [
     "q219_streaming_bounded_bm25",
     "q220_registry_served_stats",
     "q221_maintained_neardup_pairs",
+    "q222_grouped_distinct_serving",
     # stalest driver rows next: the round-5 cohort...
     "q24_event_type_share",
     "q25_json_props",
@@ -87,7 +88,6 @@ _FRONT = [
     "q178_wap_publish",
     "q179_bloom_decontaminate",
     "q180_dup_span_coverage",
-    "q181_bigram_fluency",
 ]
 
 

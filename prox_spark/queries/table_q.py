@@ -3803,6 +3803,120 @@ ORDER BY source
 """
 
 
+_GROUPED_KMV_CACHE: dict[str, tuple] = {}
+
+
+def _grouped_distinct(spark: SparkSession, sf_dir: str) -> tuple:
+    """Staged once per process: a GROUPED KMV sketch (per-source
+    distinct texts, ≤k rows per group) registered and maintained
+    through q220's churn shape — an insert-only window (fold) and an
+    upsert window (delete echoes → recompute) — then served. Returns
+    (rows_frame, grouped_served, fold_seen, recompute_seen)."""
+    from prox_spark.artifacts import (
+        build_kmv_sketch,
+        maintain_artifacts,
+        register_artifact,
+        serve_distinct_by,
+    )
+    from prox_spark.table import commit_delta, commit_snapshot, read_manifest
+    from prox_spark.upsert import upsert_parquet
+
+    from ._staging import staged
+
+    def build(scratch: str) -> tuple:
+        base, reg, kmv = f"{scratch}/base", f"{scratch}/reg", f"{scratch}/kmv"
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "source", "text", "n_chars"
+        )
+        commit_snapshot(
+            spark, base, docs.filter(F.col("doc_id") % 10 <= 8),
+            stat_cols=["doc_id"], n_files=4,
+        )
+        build_kmv_sketch(spark, base, "text", kmv, keys=["source"])
+        register_artifact(
+            spark, reg, "kmv", base, kmv,
+            {"col": "text", "keys": ["source"]},
+        )
+        prev = read_manifest(spark, base)
+        commit_delta(
+            spark, base, docs.filter(F.col("doc_id") % 10 > 8),
+            list(prev["files"]), update_key_ranges={},
+        )
+        r1 = maintain_artifacts(spark, reg)
+        fold_seen = r1[kmv].get("mode") == "fold"
+        upsert_parquet(
+            spark, base,
+            docs.filter(F.col("doc_id") % 6 == 2)
+            .withColumn("n_chars", F.col("n_chars") + F.lit(7)),
+            ["doc_id"],
+        )
+        r2 = maintain_artifacts(spark, reg)
+        recompute_seen = r2[kmv].get("mode") == "recompute"
+        served, hit = serve_distinct_by(
+            spark, reg, base, "text", ["source"]
+        )
+        rows = served.collect()
+        return (
+            spark.createDataFrame(rows, served.schema),
+            hit == kmv, bool(fold_seen), bool(recompute_seen),
+        )
+
+    return staged(_GROUPED_KMV_CACHE, sf_dir, "prox_gkmv_", build)
+
+
+def q222_grouped_distinct_serving(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GROUPED approx-distinct serving — q220's KMV artifact extended
+    to the per-group shape a production dashboard actually asks for
+    ("distinct documents per source"): the sketch stores ≤k md5-derived
+    minimum hashes PER GROUP (kilobytes per group at any corpus size,
+    shuffle keyed by the group), maintenance folds insert windows and
+    recomputes on delete echoes with coverage atomic in the sketch
+    commit, and ``serve_distinct_by`` routes the grouped request
+    through it with a read-time fold for stale sketches. Estimates are
+    md5-deterministic, so the oracle reproduces every per-group value
+    exactly. Pins: ``grouped_served``, ``fold_seen``,
+    ``recompute_seen``."""
+    rows, served, fold_seen, recompute_seen = _grouped_distinct(
+        spark, sf_dir
+    )
+    return (
+        rows.withColumn("grouped_served", F.lit(served))
+        .withColumn("fold_seen", F.lit(fold_seen))
+        .withColumn("recompute_seen", F.lit(recompute_seen))
+        .orderBy("source")
+    )
+
+
+def _oracle_q222() -> str:
+    from prox_spark.artifacts import KMV_K
+    from prox_spark.queries.text import _HEXV_DUCK, _u48_expr
+
+    return f"""
+WITH u_t AS (
+  SELECT DISTINCT source, {_u48_expr(_HEXV_DUCK)} AS u
+  FROM (SELECT source, md5(CAST(text AS VARCHAR)) AS m FROM documents)
+), ranked AS (
+  SELECT source, u,
+         row_number() OVER (PARTITION BY source ORDER BY u) AS rn
+  FROM u_t
+)
+SELECT source,
+       CASE WHEN count(*) < {KMV_K}
+            THEN CAST(count(*) AS DOUBLE)
+            ELSE round({float(KMV_K - 1)!r}
+                       / max(CASE WHEN rn = {KMV_K} THEN u END), 6)
+       END AS est_distinct,
+       TRUE AS grouped_served,
+       TRUE AS fold_seen,
+       TRUE AS recompute_seen
+FROM ranked
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "q114_snapshot_diff": q114_snapshot_diff,
     "q118_incremental_agg": q118_incremental_agg,
@@ -3835,6 +3949,7 @@ QUERIES = {
     "q217_frozen_training_set": q217_frozen_training_set,
     "q218_llm_pipeline_capstone": q218_llm_pipeline_capstone,
     "q220_registry_served_stats": q220_registry_served_stats,
+    "q222_grouped_distinct_serving": q222_grouped_distinct_serving,
 }
 
 
@@ -3873,4 +3988,5 @@ def oracles() -> dict[str, str]:
         "q217_frozen_training_set": ORACLE_Q217,
         "q218_llm_pipeline_capstone": _oracle_q218(),
         "q220_registry_served_stats": _oracle_q220(),
+        "q222_grouped_distinct_serving": _oracle_q222(),
     }

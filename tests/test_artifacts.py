@@ -931,3 +931,83 @@ def test_nd_pairs_random_op_sequence_matches_rebuild(spark):
                 map(tuple, read_table(spark, ref_b).collect())
             )
             assert got_b == want_b, f"buckets diverged at step {step}"
+
+def test_grouped_kmv_serves_per_group(spark):
+    """serve_distinct_by: grouped sketches answer per-group distinct
+    requests — stale insert-only windows fold at read time, delete
+    windows fall back to exact, and maintained estimates equal a
+    fresh-build's."""
+    from prox_spark.artifacts import (
+        build_kmv_sketch,
+        serve_distinct_by,
+    )
+    from prox_spark.upsert import delete_keys
+
+    s = _scratch()
+    base, reg, kmv = f"{s}/base", f"{s}/reg", f"{s}/gkmv"
+    commit_snapshot(
+        spark, base,
+        _docs(spark, 0, 150).select("doc_id", "src", "text"),
+        stat_cols=["doc_id"], n_files=2,
+    )
+    build_kmv_sketch(spark, base, "text", kmv, keys=["src"])
+    register_artifact(
+        spark, reg, "kmv", base, kmv, {"col": "text", "keys": ["src"]}
+    )
+
+    def served():
+        out, hit = serve_distinct_by(spark, reg, base, "text", ["src"])
+        return sorted(map(tuple, out.collect())), hit
+
+    def fresh():
+        ref = f"{s}/ref_{read_manifest(spark, base)['version']}"
+        build_kmv_sketch(spark, base, "text", ref, keys=["src"])
+        out, _ = serve_distinct_by(
+            spark, f"{s}/reg2_{ref.split('_')[-1]}", base, "text", ["src"]
+        )
+        # no registry for the ref: recompute the estimate directly
+        from prox_spark.artifacts import KMV_K, _kmv_estimate
+
+        rows = read_table(spark, ref).collect()
+        by_src: dict = {}
+        for r in rows:
+            by_src.setdefault(r["src"], []).append(float(r["u"]))
+        return sorted(
+            (src, _kmv_estimate(us, KMV_K)) for src, us in by_src.items()
+        )
+
+    got, hit = served()
+    assert hit == kmv and got == fresh()
+    # stale sketch + insert-only window: read-time fold
+    prev = read_manifest(spark, base)
+    commit_delta(
+        spark, base, _docs(spark, 150, 220).select("doc_id", "src", "text"),
+        list(prev["files"]), update_key_ranges={},
+    )
+    got2, hit2 = served()
+    assert hit2 == kmv and got2 == fresh()
+    # maintenance folds; a later delete window forces exact fallback
+    r1 = maintain_artifacts(spark, reg)
+    assert r1[kmv]["mode"] == "fold"
+    delete_keys(
+        spark, base,
+        spark.range(0, 220, 4).select(F.col("id").alias("doc_id")),
+        ["doc_id"],
+    )
+    got3, hit3 = served()
+    assert hit3 is None
+    want = sorted(
+        map(
+            tuple,
+            read_table(spark, base).groupBy("src").agg(
+                F.countDistinct("text").cast("double")
+                .alias("est_distinct")
+            ).collect(),
+        )
+    )
+    assert got3 == want
+    # recompute restores sketch serving
+    r2 = maintain_artifacts(spark, reg)
+    assert r2[kmv]["mode"] == "recompute"
+    got4, hit4 = served()
+    assert hit4 == kmv and got4 == fresh()
