@@ -156,6 +156,7 @@ def serve_distinct(
             ent["kind"] != "kmv"
             or ent["base"] != base_path
             or ent["params"].get("col") != col
+            or ent["params"].get("keys")  # grouped: serve_distinct_by
         ):
             continue
         art = ent["artifact"]

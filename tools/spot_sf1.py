@@ -93,6 +93,17 @@ QUERIES = [
     # the per-term blocks multiply, and the timed query opens only the
     # blocks whose impact bound can reach the top-k floor.
     "q213_bounded_bm25",
+    # round 10: the capstone's frozen-manifest read (two pinned scans
+    # + one BHJ — ~linear in the frozen corpus; the pipeline build,
+    # churn, and vacuum are warmed away), the maintained near-dup pair
+    # serving (a pruned pair-table scan — ∝ output), and the grouped
+    # KMV serve (≤k rows per group regardless of corpus size).
+    # q219 is EXCLUDED: its corpus is a fixed formulaic stream
+    # workload that does not scale with sf, so an exponent over it
+    # would be vacuous.
+    "q218_llm_pipeline_capstone",
+    "q221_maintained_neardup_pairs",
+    "q222_grouped_distinct_serving",
 ]
 # queries whose builder caches an intermediate per (app, sf_dir): warm
 # the DEST side too, so both scales time the same post-cache work
@@ -104,6 +115,9 @@ WARM_DEST = {
     # pair list, not with re-verifying bucket candidates (the build is
     # q194's maintained-index write path, amortized like an index)
     "q42_embed_neardup",
+    "q218_llm_pipeline_capstone",
+    "q221_maintained_neardup_pairs",
+    "q222_grouped_distinct_serving",
 }
 MAX_EXPONENT = 1.6
 
