@@ -3917,6 +3917,141 @@ ORDER BY source
 """
 
 
+# --- q223: batch DataSource read of the manifest table format --------------
+
+_DS_TABLE_CACHE: dict[str, tuple] = {}
+
+_DS_DELETED = (5, 7, 1000005)
+
+
+def _ds_table(spark: SparkSession, sf_dir: str) -> tuple:
+    """Staged once per process: a committed table whose history
+    exercises EVERY read-path feature the ``prox_table`` batch
+    DataSource must replicate — v1 snapshot, v2 schema-evolving
+    append (new files carry ``tier``, old files read it as null),
+    v3 merge-on-read equality delete, v4 zero-rewrite column rename
+    (n_chars -> text_len). Returns (table_path, pruned, prune_match):
+    ``pruned`` pins that a pushed doc_id equality dropped files from
+    the reader's partition plan, ``prune_match`` that its pruned file
+    list is EXACTLY ``read_table_point``'s (the JVM-side prune)."""
+    from pyspark.sql.datasource import EqualTo
+
+    from prox_spark.table import (
+        commit_delete_file,
+        commit_delta,
+        commit_snapshot,
+        read_manifest,
+        read_manifest_pruned,
+        rename_column,
+        split_files_by_key_ranges,
+    )
+    from prox_spark.table_ds import ProxTableReader, manifest_py
+
+    from ._staging import staged
+
+    def build(scratch: str) -> tuple:
+        t = f"{scratch}/ds_docs"
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "source", "n_chars"
+        )
+        commit_snapshot(spark, t, docs, stat_cols=["doc_id"], n_files=4)
+        m1 = read_manifest(spark, t)
+        added = (
+            docs.filter(F.col("doc_id") < 10)
+            .withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
+            .withColumn(
+                "tier", F.floor(F.col("n_chars") / F.lit(100)).cast("int")
+            )
+        )
+        commit_delta(spark, t, added, list(m1["files"]),
+                     stat_cols=["doc_id"])
+        m2 = read_manifest(spark, t)
+        keys = spark.createDataFrame(
+            [(int(k),) for k in _DS_DELETED], "doc_id BIGINT"
+        )
+        commit_delete_file(spark, t, keys, ["doc_id"], list(m2["files"]))
+        rename_column(spark, t, "n_chars", "text_len")
+
+        # prune pins: the DataSource's pushed-filter file list must
+        # equal the JVM point-lookup prune on the same predicate
+        mm = manifest_py(t)
+        rd = ProxTableReader({}, mm, t)
+        full = rd.pruned_files()
+        rd.pushFilters([EqualTo(("doc_id",), 3)])
+        got = rd.pruned_files()
+        mp = read_manifest_pruned(spark, t, {"doc_id": (3, 3)})
+        want, _ = split_files_by_key_ranges(mp, {"doc_id": (3, 3)})
+        pruned = len(got) < len(full)
+        prune_match = sorted(got) == sorted(want)
+        return t, bool(pruned), bool(prune_match)
+
+    return staged(_DS_TABLE_CACHE, sf_dir, "prox_dsread_", build)
+
+
+def q223_datasource_table_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BATCH DataSource parity for the manifest table format (the
+    last missing entry point — the streaming half is q191/q197): the
+    staged table's full history (schema evolution + merge-on-read
+    delete + rename, :func:`_ds_table`) is read back through
+    ``spark.sql`` over a view registered on the ``prox_table``
+    format — zero library imports on the query path — and aggregated
+    per source. The oracle recomputes the table's final logical state
+    formulaically from the raw documents parquet, so a missed delete,
+    a null-filled evolution column decoded wrong, an unresolved
+    rename, or a file dropped by over-eager pruning all break the
+    hash. Pins: ``pruned`` (pushFilters actually shrank the partition
+    plan) and ``prune_match`` (the pruned file list equals
+    read_table_point's JVM-side prune for the same key)."""
+    from prox_spark.table_ds import register_sql
+
+    t, pruned, prune_match = _ds_table(spark, sf_dir)
+    register_sql(spark, "prox_ds_docs", t)
+    return spark.sql(
+        f"""
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(text_len) AS BIGINT) AS sum_len,
+               CAST(count(tier) AS BIGINT) AS n_tiered,
+               CAST(sum(coalesce(tier, 0)) AS BIGINT) AS sum_tier,
+               {str(bool(pruned)).lower()} AS pruned,
+               {str(bool(prune_match)).lower()} AS prune_match
+        FROM prox_ds_docs
+        GROUP BY source
+        ORDER BY source
+        """
+    )
+
+
+def _oracle_q223() -> str:
+    dels = ", ".join(str(k) for k in _DS_DELETED)
+    return f"""
+WITH v2add AS (
+  SELECT doc_id + 1000000 AS doc_id, source, n_chars,
+         CAST(floor(n_chars / 100.0) AS INT) AS tier
+  FROM documents WHERE doc_id < 10
+), allrows AS (
+  SELECT doc_id, source, n_chars, CAST(NULL AS INT) AS tier
+  FROM documents
+  UNION ALL
+  SELECT * FROM v2add
+), live AS (
+  SELECT * FROM allrows WHERE doc_id NOT IN ({dels})
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(n_chars) AS BIGINT) AS sum_len,
+       CAST(count(tier) AS BIGINT) AS n_tiered,
+       CAST(sum(coalesce(tier, 0)) AS BIGINT) AS sum_tier,
+       TRUE AS pruned,
+       TRUE AS prune_match
+FROM live
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "q114_snapshot_diff": q114_snapshot_diff,
     "q118_incremental_agg": q118_incremental_agg,
@@ -3950,6 +4085,7 @@ QUERIES = {
     "q218_llm_pipeline_capstone": q218_llm_pipeline_capstone,
     "q220_registry_served_stats": q220_registry_served_stats,
     "q222_grouped_distinct_serving": q222_grouped_distinct_serving,
+    "q223_datasource_table_read": q223_datasource_table_read,
 }
 
 
@@ -3989,4 +4125,5 @@ def oracles() -> dict[str, str]:
         "q218_llm_pipeline_capstone": _oracle_q218(),
         "q220_registry_served_stats": _oracle_q220(),
         "q222_grouped_distinct_serving": _oracle_q222(),
+        "q223_datasource_table_read": _oracle_q223(),
     }

@@ -1,0 +1,357 @@
+"""Batch Python DataSource over the manifest table format: the
+``spark.read.format("prox_table")`` / ``spark.sql`` entry point that
+Delta and Iceberg readers provide for their formats.
+
+The streaming half of this connector already exists
+(``table_stream.py``, q191/q197); this module completes the batch
+side using the same Spark 4 ``pyspark.sql.datasource`` API proven in
+``datasource.py`` (q140/q141). The reference has no table format at
+all (its storage layer is S3 parquet prefixes + a Glue catalog,
+reference ``transformations_script.py:51-58``); this is
+reader-parity for OUR format so committed tables are queryable
+without library imports:
+
+    register(spark)
+    df = spark.read.format("prox_table").load(path)          # latest
+    df = (spark.read.format("prox_table")
+          .option("version", "3").option("ref", "exp").load(path))
+    register_sql(spark, "docs", path)   # then: spark.sql("... FROM docs")
+
+Full read semantics are replicated, not approximated — the module
+shares the manifest layout with ``table.py`` and applies, per file:
+
+- SCHEMA EVOLUTION: files written before an add-column read the new
+  columns as typed nulls (declared schema drives the decode).
+- RENAMES: birth-version-keyed physical-name resolution, walking the
+  declared name backwards through every applicable mapping entry
+  (``table.py _read_files`` semantics, including a->b->c chains).
+- MERGE-ON-READ DELETES: each partition anti-filters its applicable
+  equality-delete key sets (tiny parquet files, loaded task-side).
+- FILE PRUNING: ``pushFilters`` harvests range predicates on stat
+  columns and drops files whose committed min/max ranges provably
+  exclude them — the same ``_overlaps`` rule as
+  ``table.read_table_point`` — then returns every filter unsupported
+  so Spark re-applies them exactly (pruning is IO-only, never
+  semantics).
+
+Scale shape: one InputPartition per live data file, so a 10k-file
+snapshot scans with 10k-way task parallelism; the reader streams
+Arrow RecordBatches straight from the parquet decoder (never
+row-at-a-time Python tuples); partition planning is driver-side
+metadata only. Manifests are read with plain-Python IO — the format
+targets Hadoop-compatible FS via ``table.py`` for writes, and this
+reader's FS shim is where an fsspec backend would slot in.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+MANIFEST_DIR = "_manifests"
+
+
+def _local(path: str) -> str:
+    return path[len("file:"):] if path.startswith("file:") else path
+
+
+def _mprefix(ref: str) -> str:
+    return "manifest-" if ref == "main" else f"branch.{ref}."
+
+
+def manifest_py(
+    table_path: str, version: int | None = None, ref: str = "main"
+) -> dict:
+    """Pure-Python twin of ``table.read_manifest`` (which routes
+    through the JVM Hadoop FS — unavailable inside a DataSource):
+    resolve the manifest doc for ``version`` (default latest) on
+    ``ref`` and assemble chunked (v2) snapshots into the classic
+    ``{files, stats, born, sizes, ...}`` shape."""
+    root = _local(table_path)
+    mdir = os.path.join(root, MANIFEST_DIR)
+    pre = _mprefix(ref) if ref == "main" else f"branch.{ref}."
+    try:
+        names = os.listdir(mdir)
+    except FileNotFoundError:
+        raise ValueError(f"{table_path} is not a manifest table") from None
+    versions = sorted(
+        int(n[len(pre):-len(".json")])
+        for n in names
+        if n.startswith(pre)
+        and n.endswith(".json")
+        and n[len(pre):-len(".json")].isdigit()
+    )
+    if not versions:
+        raise ValueError(f"{table_path} has no manifests for ref {ref!r}")
+    v = versions[-1] if version is None else int(version)
+    if v not in versions:
+        raise ValueError(f"version {v} not in {versions} for {table_path}")
+    with open(os.path.join(mdir, f"{pre}{v:08d}.json")) as fh:
+        doc = json.load(fh)
+    if "chunks" in doc:
+        files: list[str] = []
+        stats: dict = {}
+        born: dict = {}
+        sizes: dict = {}
+        for entry in doc["chunks"]:
+            with open(os.path.join(root, entry["file"])) as fh:
+                chunk = json.load(fh)
+            files.extend(chunk["files"])
+            stats.update(chunk.get("stats") or {})
+            born.update(chunk.get("born") or {})
+            sizes.update(chunk.get("sizes") or {})
+        doc = dict(doc)
+        doc["files"] = files
+        doc["stats"] = stats
+        doc["born"] = born
+        doc["sizes"] = sizes
+    return doc
+
+
+def _is_foreign(entry: str) -> bool:
+    return entry.startswith("/") or "://" in entry or entry.startswith("file:")
+
+
+def _abs(table_path: str, entry: str) -> str:
+    return _local(entry) if _is_foreign(entry) else os.path.join(
+        _local(table_path), entry
+    )
+
+
+def _overlaps(fstats: dict | None, key_ranges: dict[str, tuple]) -> bool:
+    """``table._overlaps`` verbatim: disjointness on ANY column proves
+    the file holds no matching tuple; unknown stats never prune."""
+    if fstats is None:
+        return True
+    for col, (lo, hi) in key_ranges.items():
+        fr = fstats.get(col)
+        if fr is None or lo is None:
+            continue
+        try:
+            if fr[1] < lo or fr[0] > hi:
+                return False
+        except TypeError:
+            continue
+    return True
+
+
+class _TableFilePartition(InputPartition):
+    """One live data file: absolute path, the physical column name per
+    declared field (rename resolution done driver-side), and the
+    applicable equality-delete entries as (delete_file_abs, keys)."""
+
+    def __init__(self, path: str, phys_names: list[str],
+                 deletes: list[tuple[str, list[str]]]):
+        self.path = path
+        self.phys_names = phys_names
+        self.deletes = deletes
+
+
+def _filter_ranges(filters) -> dict[str, tuple]:
+    """Harvest per-column [lo, hi] intervals from the pushed filters
+    (top-level columns only). Intersecting multiple predicates on one
+    column tightens the interval; anything unharvestable is simply
+    not used for pruning (Spark re-applies every filter anyway)."""
+    ranges: dict[str, list] = {}
+
+    def bound(col: str, lo, hi):
+        cur = ranges.setdefault(col, [None, None])
+        if lo is not None and (cur[0] is None or lo > cur[0]):
+            cur[0] = lo
+        if hi is not None and (cur[1] is None or hi < cur[1]):
+            cur[1] = hi
+
+    for f in filters:
+        attr = getattr(f, "attribute", None)
+        if not attr or len(attr) != 1:
+            continue
+        col = attr[0]
+        if isinstance(f, EqualTo):
+            bound(col, f.value, f.value)
+        elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+            bound(col, f.value, None)
+        elif isinstance(f, (LessThan, LessThanOrEqual)):
+            bound(col, None, f.value)
+        elif isinstance(f, In) and f.value:
+            try:
+                bound(col, min(f.value), max(f.value))
+            except TypeError:
+                continue
+    return {
+        c: (lo if lo is not None else hi, hi if hi is not None else lo)
+        for c, (lo, hi) in ranges.items()
+    }
+
+
+class ProxTableReader(DataSourceReader):
+    def __init__(self, options, manifest: dict, table_path: str):
+        self.table_path = table_path
+        self.manifest = manifest
+        self.schema_struct = StructType.fromJson(manifest["schema"])
+        self.key_ranges: dict[str, tuple] = {}
+
+    def pushFilters(self, filters):
+        filters = list(filters)
+        self.key_ranges = _filter_ranges(filters)
+        # every filter is returned UNSUPPORTED: pruning only shrinks
+        # the file list (a superset of matching rows is always read),
+        # so Spark must re-apply the exact predicates row-side
+        return iter(filters)
+
+    def pruned_files(self) -> list[str]:
+        files = self.manifest.get("files", [])
+        if not self.key_ranges:
+            return list(files)
+        stats = self.manifest.get("stats") or {}
+        return [
+            f for f in files if _overlaps(stats.get(f), self.key_ranges)
+        ]
+
+    def partitions(self):
+        m = self.manifest
+        files = self.pruned_files()
+        renames = list(m.get("renames") or [])
+        born = m.get("born") or {}
+        deletes = m.get("deletes") or []
+        parts = []
+        for f in files:
+            # rename resolution: declared name walked backwards
+            # through every entry applying to this file's birth
+            # version, newest first (chains recover the oldest name)
+            applicable = [
+                r for r in renames if born.get(f, 0) < r["version"]
+            ]
+            phys = []
+            for fld in self.schema_struct.fields:
+                name = fld.name
+                for r in reversed(applicable):
+                    if name == r["to"]:
+                        name = r["from"]
+                phys.append(name)
+            dels = [
+                (_abs(self.table_path, d["file"]), list(d["keys"]))
+                for d in deletes
+                if f in set(d["targets"])
+            ]
+            parts.append(
+                _TableFilePartition(_abs(self.table_path, f), phys, dels)
+            )
+        return parts
+
+    def read(self, partition: _TableFilePartition) -> Iterator:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(self.schema_struct)
+        # applicable delete key sets, canonicalized to a string-joined
+        # composite key (tiny files — deletion batches are small by
+        # nature; loaded once per task, never shuffled)
+        del_sets: list[tuple[list[str], set]] = []
+        for dfile, keys in partition.deletes:
+            dt = pq.read_table(dfile, columns=keys)
+            joined = pc.binary_join_element_wise(
+                *[pc.cast(dt[k], pa.string()) for k in keys], "\x1f"
+            )
+            del_sets.append((keys, set(joined.to_pylist())))
+        pf = pq.ParquetFile(partition.path)
+        present = set(pf.schema_arrow.names)
+        read_cols = [n for n in partition.phys_names if n in present]
+        for batch in pf.iter_batches(columns=read_cols):
+            n = batch.num_rows
+            arrays = []
+            for fld, phys in zip(target, partition.phys_names):
+                if phys in present:
+                    arrays.append(pc.cast(batch.column(phys), fld.type))
+                else:
+                    # pre-evolution file: the added column reads as
+                    # typed nulls, no rewrite ever happened
+                    arrays.append(pa.nulls(n, fld.type))
+            out = pa.RecordBatch.from_arrays(arrays, schema=target)
+            for keys, keyset in del_sets:
+                if not keyset:
+                    continue
+                joined = pc.binary_join_element_wise(
+                    *[
+                        pc.cast(out.column(target.names.index(k)), pa.string())
+                        for k in keys
+                    ],
+                    "\x1f",
+                )
+                mask = pc.invert(
+                    pc.is_in(joined, value_set=pa.array(sorted(keyset)))
+                )
+                out = out.filter(mask)
+            yield out
+
+
+class ProxTableDataSource(DataSource):
+    """``format("prox_table")`` — options: ``path`` (via ``.load``),
+    ``version`` (pin a historical snapshot), ``ref`` (branch)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "prox_table"
+
+    def _resolve(self) -> tuple[dict, str]:
+        # resolve ONCE per DataSource instance: schema() and reader()
+        # racing a concurrent commit must not see different versions
+        # (files from v+1 decoded with v's schema)
+        if not hasattr(self, "_manifest"):
+            path = self.options.get("path")
+            if not path:
+                raise ValueError("prox_table requires .load(<table path>)")
+            v = self.options.get("version")
+            self._manifest = manifest_py(
+                path,
+                int(v) if v is not None else None,
+                self.options.get("ref", "main"),
+            )
+            self._path = path
+        return self._manifest, self._path
+
+    def schema(self) -> StructType:
+        manifest, _ = self._resolve()
+        return StructType.fromJson(manifest["schema"])
+
+    def reader(self, schema) -> ProxTableReader:
+        manifest, path = self._resolve()
+        return ProxTableReader(self.options, manifest, path)
+
+
+def register(spark) -> None:
+    """Idempotent registration (latest registration wins in Spark).
+    Python-DataSource filter pushdown is opt-in per session; the
+    reader implements ``pushFilters`` for file pruning, so enable it
+    here (a runtime SQL conf — no restart needed)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(ProxTableDataSource)
+
+
+def register_sql(spark, name: str, table_path: str,
+                 version: int | None = None, ref: str = "main") -> None:
+    """Expose a committed table to ``spark.sql`` as a temp view read
+    through the format() path — the no-imports query surface."""
+    register(spark)
+    r = spark.read.format("prox_table")
+    if version is not None:
+        r = r.option("version", str(version))
+    if ref != "main":
+        r = r.option("ref", ref)
+    r.load(table_path).createOrReplaceTempView(name)

@@ -1,0 +1,179 @@
+"""Batch DataSource for the manifest table format
+(prox_spark/table_ds.py): format("prox_table") reads must be
+row-identical to read_table across the format's full feature set
+(schema evolution, merge-on-read deletes, renames, version pins,
+branches), partition planning must be one task per live file, and
+pushed filters must prune the SAME files the JVM point-lookup path
+prunes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _diff(a, b) -> int:
+    return a.exceptAll(b).count() + b.exceptAll(a).count()
+
+
+@pytest.fixture()
+def tbl(spark, tmp_path):
+    """v1 snapshot -> v2 evolving append -> v3 MoR delete -> v4 rename."""
+    from prox_spark.table import (
+        commit_delete_file,
+        commit_delta,
+        commit_snapshot,
+        read_manifest,
+        rename_column,
+    )
+    from prox_spark.table_ds import register
+
+    register(spark)
+    t = str(tmp_path / "tbl")
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "source", "n_chars")
+    commit_snapshot(spark, t, docs, stat_cols=["doc_id"], n_files=4)
+    m1 = read_manifest(spark, t)
+    added = (
+        docs.filter(F.col("doc_id") < 10)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
+        .withColumn("tier", F.floor(F.col("n_chars") / 100).cast("int"))
+    )
+    commit_delta(spark, t, added, list(m1["files"]), stat_cols=["doc_id"])
+    m2 = read_manifest(spark, t)
+    keys = spark.createDataFrame([(5,), (1000007,)], "doc_id BIGINT")
+    commit_delete_file(spark, t, keys, ["doc_id"], list(m2["files"]))
+    rename_column(spark, t, "n_chars", "text_len")
+    return t
+
+
+def test_every_version_matches_read_table(spark, tbl):
+    from prox_spark.table import read_table, table_versions
+
+    for v in table_versions(spark, tbl):
+        a = (
+            spark.read.format("prox_table")
+            .option("version", str(v))
+            .load(tbl)
+        )
+        b = read_table(spark, tbl, version=v)
+        assert a.schema == b.schema, f"v{v}"
+        assert _diff(a, b) == 0, f"v{v}"
+
+
+def test_latest_covers_evolution_delete_rename(spark, tbl):
+    df = spark.read.format("prox_table").load(tbl)
+    assert "text_len" in df.columns and "tier" in df.columns
+    got = df.filter(F.col("doc_id").isin(5, 1000007)).count()
+    assert got == 0  # MoR delete applied
+    # pre-evolution rows read tier as null; the appended rows carry it
+    assert df.filter(F.col("tier").isNotNull()).count() == 9
+    assert df.filter(F.col("doc_id") == 1000003).select(
+        "text_len"
+    ).first()[0] is not None  # rename resolved for pre-rename files
+
+
+def test_one_task_per_live_file(spark, tbl):
+    from prox_spark.table_ds import manifest_py
+
+    df = spark.read.format("prox_table").load(tbl)
+    assert df.rdd.getNumPartitions() == len(manifest_py(tbl)["files"])
+
+
+def test_pushed_filter_prunes_same_files_as_jvm_point_lookup(spark, tbl):
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, LessThan
+
+    from prox_spark.table import (
+        read_manifest_pruned,
+        split_files_by_key_ranges,
+    )
+    from prox_spark.table_ds import ProxTableReader, manifest_py
+
+    mm = manifest_py(tbl)
+    for key_ranges, filters in [
+        ({"doc_id": (3, 3)}, [EqualTo(("doc_id",), 3)]),
+        (
+            {"doc_id": (100, 300)},
+            [
+                GreaterThanOrEqual(("doc_id",), 100),
+                LessThan(("doc_id",), 300),
+            ],
+        ),
+    ]:
+        rd = ProxTableReader({}, mm, tbl)
+        full = rd.pruned_files()
+        unsupported = list(rd.pushFilters(filters))
+        # every filter comes back unsupported: Spark re-applies them
+        # exactly; pruning is IO-only
+        assert unsupported == filters
+        got = rd.pruned_files()
+        mp = read_manifest_pruned(spark, tbl, key_ranges)
+        want, _ = split_files_by_key_ranges(mp, key_ranges)
+        assert sorted(got) == sorted(want)
+        assert len(got) < len(full)  # the prune actually bit
+    # ...and the pruned read returns exactly the matching rows
+    df = spark.read.format("prox_table").load(tbl)
+    assert df.filter(F.col("doc_id") == 3).count() == 1
+
+
+def test_filtered_read_correct_under_pruning(spark, tbl):
+    from prox_spark.table import read_table
+
+    a = (
+        spark.read.format("prox_table")
+        .load(tbl)
+        .filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 300))
+    )
+    b = read_table(spark, tbl).filter(
+        (F.col("doc_id") >= 100) & (F.col("doc_id") < 300)
+    )
+    assert _diff(a, b) == 0
+
+
+def test_branch_ref_read(spark, tbl):
+    from prox_spark.table import (
+        commit_delta,
+        create_branch,
+        read_manifest,
+        read_table,
+    )
+
+    create_branch(spark, tbl, "exp")
+    base = read_table(spark, tbl)
+    vals = {"doc_id": F.lit(9_000_000), "source": F.lit("exp"),
+            "text_len": F.lit(1), "tier": F.lit(None)}
+    extra = spark.range(1).select(
+        *[vals[c].cast(t).alias(c) for c, t in base.dtypes]
+    )
+    m = read_manifest(spark, tbl, ref="exp")
+    commit_delta(spark, tbl, extra, list(m["files"]), ref="exp",
+                 update_key_ranges={})
+    a = spark.read.format("prox_table").option("ref", "exp").load(tbl)
+    b = read_table(spark, tbl, ref="exp")
+    assert _diff(a, b) == 0
+    # main is untouched by the branch commit
+    assert (
+        spark.read.format("prox_table")
+        .load(tbl)
+        .filter(F.col("source") == "exp")
+        .count()
+        == 0
+    )
+
+
+def test_sql_view_entry_point(spark, tbl):
+    from prox_spark.table import read_table
+    from prox_spark.table_ds import register_sql
+
+    register_sql(spark, "ds_docs_test", tbl)
+    n = spark.sql("SELECT count(*) AS n FROM ds_docs_test").first()["n"]
+    assert n == read_table(spark, tbl).count()
+
+
+def test_non_table_path_raises(spark, tmp_path):
+    from prox_spark.table_ds import register
+
+    register(spark)
+    with pytest.raises(Exception, match="manifest"):
+        spark.read.format("prox_table").load(str(tmp_path / "nope")).count()
