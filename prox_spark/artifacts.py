@@ -55,7 +55,7 @@ from prox_spark.table import is_manifest_table, read_manifest, read_table
 _SCHEMA = "artifact string, kind string, base string, params string"
 KINDS = (
     "mv", "join_mv", "value_index", "bounded_postings", "ivf", "postings",
-    "kmv", "nd_pairs",
+    "kmv", "nd_pairs", "quantile_sketch",
 )
 
 # KMV sketch size (q209's constant): k minimum md5-derived unit-interval
@@ -125,6 +125,148 @@ def build_kmv_sketch(
         stat_cols=[*keys, "u"] if keys else ["u"],
         extra_meta={"index_of": {"base": base_path, "version": head}},
     )
+
+
+# Quantile-sketch sample size: a bottom-k-by-hash row sample (k rows
+# with the smallest md5-derived u of the row KEY, per group) is a
+# UNIFORM sample — deterministic (no RNG), mergeable by construction
+# (the k smallest of unioned samples are the k smallest overall), and
+# exactly reproducible in SQL, so served estimates hash-gate like KMV.
+QSK_K = 256
+
+
+def _qsk_u_frame(df, key: str, val: str, keys: list[str] = ()):
+    """(keys..., u, v) frame: the md5-derived uniform u ∈ [0, 1) of
+    each row's KEY column plus the (double-cast) value — the sampling
+    hash the quantile-sketch family shares. Hashing the row key (not
+    the value) makes the sample uniform over ROWS, so duplicated
+    values keep their weight in the estimate."""
+    from prox_spark.queries.text import _HEXV_SPARK, _u48_expr
+
+    return df.select(
+        *keys,
+        F.md5(F.col(key).cast("string")).alias("m"),
+        F.col(val).cast("double").alias("v"),
+    ).select(*keys, F.expr(_u48_expr(_HEXV_SPARK)).alias("u"), "v")
+
+
+def _qsk_topk(values, keys: list[str], k: int = QSK_K):
+    """The per-group (or global) k sample rows with the smallest u,
+    DISTRIBUTED — the _kmv_topk shape carrying the value column.
+    Rows dedupe on (keys, u): one row key appears once per fold
+    (re-inserted keys arrive via delete echoes, which recompute)."""
+    from pyspark.sql import Window
+
+    values = values.select(*keys, "u", "v").dropDuplicates([*keys, "u"])
+    if not keys:
+        return values.orderBy("u").limit(k)
+    w = Window.partitionBy(*keys).orderBy("u")
+    return (
+        values.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def build_quantile_sketch(
+    spark: SparkSession,
+    base_path: str,
+    key: str,
+    val: str,
+    sketch_path: str,
+    k: int = QSK_K,
+    keys: list[str] = (),
+) -> None:
+    """Materialize a mergeable quantile sketch of ``base_path.val`` as
+    a manifest table — GLOBAL (≤ k rows of ``u double, v double``) or
+    GROUPED by ``keys`` (≤ k rows per group) — its covered base
+    version recorded as ``index_of`` lineage in the SAME commit.
+    One map-side hash projection + a distributed top-k: kilobytes of
+    state per group at any corpus size. A quantile request
+    interpolates over the sample (``percentile`` — DuckDB's
+    quantile_cont), so estimates are md5-deterministic and
+    oracle-reproducible; a group whose sample is not full has
+    retained EVERY row, making its estimate exact."""
+    from prox_spark.table import commit_snapshot
+
+    head = int(read_manifest(spark, base_path)["version"])
+    u = _qsk_u_frame(read_table(spark, base_path), key, val, list(keys))
+    commit_snapshot(
+        spark, sketch_path, _qsk_topk(u, list(keys), k),
+        stat_cols=[*keys, "u"] if keys else ["u"],
+        extra_meta={"index_of": {"base": base_path, "version": head}},
+    )
+
+
+def serve_quantile_by(
+    spark: SparkSession,
+    registry_path: str,
+    base_path: str,
+    col: str,
+    q: float,
+    keys: list[str] = (),
+):
+    """Registry-routed APPROX QUANTILE: serve ``percentile(col, q)
+    [GROUP BY keys]`` from a registered quantile sketch — the stored
+    ≤k-rows-per-group sample plus a read-time fold of an insert-only
+    uncovered window; a window with delete echoes falls through (a
+    hash sample cannot retract). Returns ``(frame, path_or_None)``
+    with columns (keys..., est_q); the fallback is the exact
+    interpolated percentile over the base (same schema)."""
+    from prox_spark.queries.search import postings_feed
+
+    keys = list(keys)
+    for ent in list_artifacts(spark, registry_path):
+        if (
+            ent["kind"] != "quantile_sketch"
+            or ent["base"] != base_path
+            or ent["params"].get("val") != col
+            or list(ent["params"].get("keys") or []) != keys
+        ):
+            continue
+        art = ent["artifact"]
+        k = int(ent["params"].get("k", QSK_K))
+        key = ent["params"]["key"]
+        try:
+            covered = _covered_version(spark, ent, art)
+            head = int(read_manifest(spark, base_path)["version"])
+            sk = read_table(spark, art).select(*keys, "u", "v")
+            if head > covered:
+                feed = postings_feed(
+                    spark, base_path, covered, head, text_col=col,
+                    since=int(ent["params"].get("since", covered)),
+                )
+                if feed.filter(
+                    F.col("_change_type") == "delete"
+                ).limit(1).count():
+                    continue  # deletes: the sample cannot retract
+                sk = _qsk_topk(
+                    sk.unionByName(_qsk_u_frame(feed, key, col, keys)),
+                    keys, k,
+                )
+            out = sk.groupBy(*keys).agg(
+                F.round(F.expr(f"percentile(v, {float(q)!r})"), 6).alias(
+                    "est_q"
+                )
+            )
+            if keys:
+                out = out.select(*keys, "est_q")
+            else:
+                out = out.select("est_q")
+            return out, art
+        except Exception:  # noqa: BLE001 — unreadable sketch: fall back
+            continue
+    exact = (
+        read_table(spark, base_path)
+        .groupBy(*keys)
+        .agg(
+            F.round(
+                F.expr(f"percentile(cast({col} as double), {float(q)!r})"),
+                6,
+            ).alias("est_q")
+        )
+    )
+    return exact, None
 
 
 def _kmv_estimate(rows: list[float], k: int) -> float:
@@ -210,7 +352,7 @@ def register_artifact(
         raise ValueError(f"unknown artifact kind {kind!r}; one of {KINDS}")
     params = dict(params or {})
     if (
-        kind in ("bounded_postings", "postings", "kmv")
+        kind in ("bounded_postings", "postings", "kmv", "quantile_sketch")
         and "since" not in params
     ):
         # freeze the rename-resolution window's low bound at
@@ -414,6 +556,48 @@ def _maintain_one(spark: SparkSession, ent: dict) -> dict:
         )
         return {"status": "refreshed", "covered": head, "mode": mode,
                 "params_update": {"covered": head}}
+    if kind == "quantile_sketch":
+        from prox_spark.queries.search import postings_feed
+        from prox_spark.table import commit_delta
+
+        key, val = params["key"], params["val"]
+        keys = list(params.get("keys") or [])
+        k = int(params.get("k", QSK_K))
+        covered = _covered_version(spark, ent, art)
+        head = int(read_manifest(spark, base)["version"])
+        if head == covered:
+            return {"status": "noop", "covered": covered}
+        feed = postings_feed(
+            spark, base, covered, head, text_col=val,
+            since=int(params.get("since", covered)),
+        )
+        mode = "fold"
+        if feed.filter(F.col("_change_type") == "delete").limit(1).count():
+            # a hash sample cannot retract a deleted row: recompute
+            # from the head — still kilobytes of output per group
+            mode = "recompute"
+            fresh = _qsk_topk(
+                _qsk_u_frame(
+                    read_table(spark, base, version=head), key, val, keys
+                ),
+                keys, k,
+            )
+        else:
+            stored = read_table(spark, art).select(*keys, "u", "v")
+            fresh = _qsk_topk(
+                stored.unionByName(_qsk_u_frame(feed, key, val, keys)),
+                keys, k,
+            )
+        prev = read_manifest(spark, art)
+        # sample replacement + bumped coverage in ONE manifest rename
+        commit_delta(
+            spark, art, fresh, [],
+            stat_cols=[*keys, "u"] if keys else ["u"],
+            base_version=int(prev["version"]),
+            index_of={"base": base, "version": head},
+        )
+        return {"status": "refreshed", "covered": head, "mode": mode,
+                "params_update": {"covered": head}}
     if kind == "ivf":
         k = int(params.get("k", 8))
         threshold = float(params.get("imbalance", 3.0))
@@ -491,7 +675,8 @@ def vacuum_with_registry(
                 if "version" in meta:
                     pins.add(int(meta["version"]))
             elif (
-                kind in ("bounded_postings", "postings", "kmv", "nd_pairs")
+                kind in ("bounded_postings", "postings", "kmv", "nd_pairs",
+                         "quantile_sketch")
                 and ent["base"] == base_path
             ):
                 meta_path = (
@@ -524,6 +709,7 @@ def serve_aggregate(
     mins: list[str] = (),
     maxs: list[str] = (),
     avgs: list[str] = (),
+    quantile: tuple[str, float] | None = None,
 ):
     """Registry-integrated auto-rewrite: discover the base's
     registered views and route a count/sum(/min/max/avg) aggregate to
@@ -531,9 +717,17 @@ def serve_aggregate(
     read-time change-feed fold, rolled up when the view is finer; an
     AVG derives exactly from any covering count+sum view); direct base
     aggregate otherwise. Returns ``(frame, matched_mv_or_None)``.
-    Approx-distinct requests route separately through
-    :func:`serve_distinct` (KMV sketch artifacts)."""
+    A ``quantile=(col, q)`` request routes through a registered
+    quantile sketch (:func:`serve_quantile_by`); approx-distinct
+    requests route separately through :func:`serve_distinct` /
+    :func:`serve_distinct_by` (KMV sketch artifacts)."""
     from prox_spark.mv import rewrite_aggregate
+
+    if quantile is not None:
+        col, q = quantile
+        return serve_quantile_by(
+            spark, registry_path, base_path, col, float(q), keys
+        )
 
     candidates = [
         e["artifact"]

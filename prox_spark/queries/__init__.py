@@ -28,66 +28,70 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 # Registry order matters: the correctness driver checks the first ~50
-# entries per round. Union coverage across rounds 1-9 is 215 of 215
-# (every query has a green driver row), so round 10 rotates purely by
-# STALENESS (recomputed from the CORRECTNESS_r01..r09 files): the
-# FIVE queries new this round lead (never driver-gated), then the
-# fifteen whose most recent green driver row is round 5, then the
-# round-6 cohort in name order up to the 50-slot cap. Exactly 50.
+# entries per round. Union coverage across rounds 1-10 is 220 of 220
+# (every query has a green driver row), so round 11 rotates by
+# STALENESS (recomputed from the CORRECTNESS_r01..r10 files) plus one
+# touched-query re-gate: the TWO queries new this round lead (never
+# driver-gated), then q206 (its implementation materially changed
+# this round — served pair artifact + flipped counter broadcasts —
+# so its green r10 row no longer covers the current code), then the
+# round-6 cohort (stalest: last driver-checked four rounds ago), then
+# the round-7 cohort in name order up to the 50-slot cap. Exactly 50.
 _FRONT = [
     # new this round (never driver-gated)
-    "q218_llm_pipeline_capstone",
-    "q219_streaming_bounded_bm25",
-    "q220_registry_served_stats",
-    "q221_maintained_neardup_pairs",
-    "q222_grouped_distinct_serving",
-    # stalest driver rows next: the round-5 cohort...
-    "q24_event_type_share",
-    "q25_json_props",
-    "q26_asof_click_to_purchase",
-    "q27_unpivot_measures",
-    "q28_cube_status_priority",
-    "q29_acctbal_quartiles",
-    "q39_sentiment",
-    "q46_sliding_window_stats",
-    "q47_event_funnel",
-    "q48_promo_revenue",
-    "q49_small_qty_revenue",
-    "q50_parttype_yearly_revenue",
-    "q68_salted_segment_revenue",
-    "q70_median_acctbal",
-    "q71_clicks_before_purchase",
-    # ...then the round-6 cohort in name order, up to the 50 cap
-    "q100_streaming_dedup",
-    "q101_streaming_sessions",
-    "q102_stratified_sample",
-    "q103_price_histogram",
-    "q104_rich_accounts_reconcile",
-    "q106_local_supplier_revenue",
-    "q107_disjunctive_revenue",
-    "q108_trailing_30min_stats",
-    "q109_streaming_dedup_store",
-    "q110_pq_encode",
-    "q111_pq_adc_search",
-    "q112_media_real_decode",
-    "q113_ivfpq_search",
-    "q114_snapshot_diff",
-    "q117_int8_quantize",
-    "q118_incremental_agg",
-    "q121_audio_real_decode",
-    "q126_embedding_outliers",
-    "q169_bpe_roundtrip",
-    "q170_semdedup",
-    "q171_cluster_spec_evolution",
-    "q172_cross_source_dedup",
-    "q173_auto_maintenance",
-    "q174_cms_token_freq",
-    "q175_matryoshka_overlap",
-    "q176_image_phash_dedup",
-    "q177_length_drift",
-    "q178_wap_publish",
-    "q179_bloom_decontaminate",
-    "q180_dup_span_coverage",
+    "q223_datasource_table_read",
+    "q224_registry_served_quantiles",
+    # materially changed this round: re-gate
+    "q206_leakage_free_split",
+    # stalest driver rows next: the round-6 cohort (all 20)...
+    "q73_group_percentiles",
+    "q74_top_customer_per_nation",
+    "q79_grouping_sets",
+    "q89_rank_functions",
+    "q90_late_order_priority",
+    "q91_dormant_rich_customers",
+    "q94_nation_revenue_share",
+    "q95_brand_supplier_counts",
+    "q96_large_quantity_orders",
+    "q98_hll_rollup",
+    "q181_bigram_fluency",
+    "q182_tagged_rollback",
+    "q183_files_metadata",
+    "q184_incremental_minmax",
+    "q185_dup_span_removal",
+    "q186_audio_fingerprint_dedup",
+    "q187_content_index_lookup",
+    "q188_zorder_table_probes",
+    "q189_streaming_cms",
+    "q190_incremental_join",
+    # ...then the round-7 cohort in name order, up to the 50 cap
+    "q105_simhash_neardup",
+    "q115_segment_dedup",
+    "q116_sequence_packing",
+    "q119_point_in_time_join",
+    "q120_bpe_pair_counts",
+    "q122_quality_prune",
+    "q124_dedup_pipeline",
+    "q134_image_resize",
+    "q135_frame_sample",
+    "q136_streaming_neardup_store",
+    "q152_cdc_apply",
+    "q191_table_stream_view",
+    "q192_multi_table_txn",
+    "q193_dedup_data_card",
+    "q194_streaming_lsh_index",
+    "q195_top_principal_component",
+    "q30_exact_dedup",
+    "q31_text_stats",
+    "q32_regex_token_count",
+    "q33_quality_score",
+    "q34_fingerprint",
+    "q35_jaccard_pairs",
+    "q36_minhash_lsh",
+    "q37_langid",
+    "q38_simhash",
+    "q40_cosine_topk",
+    "q41_lsh_ann",
 ]
 
 

@@ -4052,6 +4052,177 @@ ORDER BY source
 """
 
 
+# --- q224: registry-served quantiles (mergeable hash-sample sketch) --------
+
+_SERVED_Q_CACHE: dict[str, tuple] = {}
+
+QSK_GATE_K = 64
+QSK_BAND = 0.05
+
+
+def _served_quantiles(spark: SparkSession, sf_dir: str) -> tuple:
+    """Staged once per process: the q220 serving-lifecycle shape for
+    QUANTILES — a grouped quantile sketch (bottom-k-by-hash row
+    sample, ``artifacts.build_quantile_sketch``) registered on a
+    committed base, driven through an insert-only window (FOLD: the k
+    smallest of stored ∪ window — mergeable by construction) and an
+    upsert window with delete echoes (RECOMPUTE: a hash sample cannot
+    retract), then served via ``serve_aggregate(..., quantile=)``.
+    Returns (rows, quantile_served, fold_seen, recompute_seen)."""
+    from prox_spark.artifacts import (
+        build_quantile_sketch,
+        maintain_artifacts,
+        register_artifact,
+        serve_aggregate,
+    )
+    from prox_spark.table import (
+        commit_delta,
+        commit_snapshot,
+        read_manifest,
+        read_table,
+    )
+    from prox_spark.upsert import upsert_parquet
+
+    from ._staging import staged
+
+    def build(scratch: str) -> tuple:
+        base, reg, qsk = (
+            f"{scratch}/base", f"{scratch}/reg", f"{scratch}/qsk"
+        )
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "source", "n_chars"
+        )
+        commit_snapshot(
+            spark, base, docs.filter(F.col("doc_id") % 10 <= 8),
+            stat_cols=["doc_id"], n_files=4,
+        )
+        build_quantile_sketch(
+            spark, base, "doc_id", "n_chars", qsk,
+            k=QSK_GATE_K, keys=["source"],
+        )
+        register_artifact(
+            spark, reg, "quantile_sketch", base, qsk,
+            {"key": "doc_id", "val": "n_chars", "keys": ["source"],
+             "k": QSK_GATE_K},
+        )
+        # insert-only window: the sample folds (never rescans)
+        prev = read_manifest(spark, base)
+        commit_delta(
+            spark, base, docs.filter(F.col("doc_id") % 10 > 8),
+            list(prev["files"]), update_key_ranges={},
+        )
+        r1 = maintain_artifacts(spark, reg)
+        fold_seen = r1[qsk].get("mode") == "fold"
+        # upsert window: delete echoes force the bounded recompute
+        upsert_parquet(
+            spark, base,
+            docs.filter(F.col("doc_id") % 6 == 2)
+            .withColumn("n_chars", F.col("n_chars") + F.lit(7)),
+            ["doc_id"],
+        )
+        r2 = maintain_artifacts(spark, reg)
+        recompute_seen = r2[qsk].get("mode") == "recompute"
+
+        served, hit = serve_aggregate(
+            spark, reg, base, ["source"], [],
+            quantile=("n_chars", 0.5),
+        )
+        exact = read_table(spark, base).groupBy("source").agg(
+            F.round(
+                F.expr("percentile(cast(n_chars as double), 0.5)"), 6
+            ).alias("exact_med")
+        )
+        rows = (
+            served.withColumnRenamed("est_q", "est_med")
+            .join(exact, "source")
+            .collect()
+        )
+        return rows, hit == qsk, bool(fold_seen), bool(recompute_seen)
+
+    return staged(_SERVED_Q_CACHE, sf_dir, "prox_serveq_", build)
+
+
+def q224_registry_served_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REGISTRY-SERVED QUANTILES — the serving-family lattice
+    completed past q220's AVG/KMV and q222's grouped KMV: a
+    ``quantile_sketch`` artifact (bottom-k-by-md5-hash row sample —
+    deterministic, mergeable: the k smallest of unioned samples are
+    the k smallest overall; exactly SQL-reproducible, unlike GK/KLL
+    internals) registered and maintained like every other artifact —
+    insert windows FOLD (kilobytes of state per group, work ∝ delta),
+    windows with delete echoes RECOMPUTE (a hash sample cannot
+    retract), coverage advancing atomically with the sample
+    replacement. ``serve_aggregate(..., quantile=("n_chars", 0.5))``
+    routes the request through the registry; the estimate
+    interpolates over the sample (``percentile`` ≡ DuckDB
+    quantile_cont), so the oracle reconstructs the SAME sample from
+    raw parquet and reproduces the served value bit-for-bit. Pins:
+    ``quantile_served`` (the request actually routed through the
+    registry), ``fold_seen`` / ``recompute_seen`` (both maintenance
+    modes exercised), ``in_band`` (q144's idiom — the estimate within
+    5% of the exact interpolated twin)."""
+    rows, served_ok, fold_seen, recompute_seen = _served_quantiles(
+        spark, sf_dir
+    )
+    out = spark.createDataFrame(
+        [
+            (
+                r["source"],
+                float(r["est_med"]),
+                float(r["exact_med"]),
+                bool(
+                    abs(r["est_med"] - r["exact_med"])
+                    <= QSK_BAND * r["exact_med"]
+                ),
+            )
+            for r in rows
+        ],
+        "source string, est_med double, exact_med double, in_band boolean",
+    )
+    return (
+        out.withColumn("quantile_served", F.lit(bool(served_ok)))
+        .withColumn("fold_seen", F.lit(bool(fold_seen)))
+        .withColumn("recompute_seen", F.lit(bool(recompute_seen)))
+        .orderBy("source")
+    )
+
+
+def _oracle_q224() -> str:
+    from prox_spark.queries.text import _HEXV_DUCK, _u48_expr
+
+    return f"""
+WITH final AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 6 = 2 THEN n_chars + 7 ELSE n_chars END
+           AS n_chars
+  FROM documents
+), u_t AS (
+  SELECT source, CAST(n_chars AS DOUBLE) AS v, {_u48_expr(_HEXV_DUCK)} AS u
+  FROM (SELECT source, n_chars, md5(doc_id::VARCHAR) AS m FROM final)
+), ranked AS (
+  SELECT source, v,
+         row_number() OVER (PARTITION BY source ORDER BY u) AS rn
+  FROM u_t
+), est AS (
+  SELECT source, round(quantile_cont(v, 0.5), 6) AS est_med
+  FROM ranked WHERE rn <= {QSK_GATE_K}
+  GROUP BY source
+), ex AS (
+  SELECT source, round(quantile_cont(n_chars, 0.5), 6) AS exact_med
+  FROM final GROUP BY source
+)
+SELECT e.source, e.est_med, x.exact_med,
+       TRUE AS in_band,
+       TRUE AS quantile_served,
+       TRUE AS fold_seen,
+       TRUE AS recompute_seen
+FROM est e JOIN ex x ON e.source = x.source
+ORDER BY e.source
+"""
+
+
 QUERIES = {
     "q114_snapshot_diff": q114_snapshot_diff,
     "q118_incremental_agg": q118_incremental_agg,
@@ -4086,6 +4257,7 @@ QUERIES = {
     "q220_registry_served_stats": q220_registry_served_stats,
     "q222_grouped_distinct_serving": q222_grouped_distinct_serving,
     "q223_datasource_table_read": q223_datasource_table_read,
+    "q224_registry_served_quantiles": q224_registry_served_quantiles,
 }
 
 
@@ -4126,4 +4298,5 @@ def oracles() -> dict[str, str]:
         "q220_registry_served_stats": _oracle_q220(),
         "q222_grouped_distinct_serving": _oracle_q222(),
         "q223_datasource_table_read": _oracle_q223(),
+        "q224_registry_served_quantiles": _oracle_q224(),
     }

@@ -584,27 +584,54 @@ def test_crashed_registry_upsert_cannot_double_append_postings(spark):
 
 def test_maintenance_races_live_base_writers(spark):
     """Registry maintenance racing live base commits (upserts,
-    appends, MoR deletes, compaction): every maintenance tick either
-    lands a correct refresh or reports the failure LOUDLY in its
-    per-artifact result — and after the churn settles, one sequential
-    maintain call converges every artifact to the head with contents
-    equal to a direct recompute (a double-folded change-feed window
+    appends, MoR deletes, compaction) across EVERY registered kind —
+    mv, value_index, postings, grouped kmv, quantile_sketch on the
+    docs base, nd_pairs on an embeddings base churned by the same
+    writer: every maintenance tick either lands a correct refresh or
+    reports the failure LOUDLY in its per-artifact result — and after
+    the churn settles, one sequential maintain call converges every
+    artifact to its base's head with contents equal to a direct
+    recompute / fresh-build twin (a double-folded change-feed window
     anywhere in the race would break the equality)."""
     import threading
 
+    from prox_spark.artifacts import build_kmv_sketch, build_quantile_sketch
     from prox_spark.mv import create_mv, mv_info
+    from prox_spark.queries.search import _tokens_tf, maintained_postings
+    from prox_spark.queries.similarity import build_nd_pair_index
     from prox_spark.table import build_value_index, compact_small_files
     from prox_spark.upsert import delete_keys_mor, upsert_parquet
 
     s = _scratch()
     base, reg = f"{s}/base", f"{s}/reg"
-    mv, vidx = f"{s}/mv", f"{s}/vidx"
+    mv, vidx, pidx = f"{s}/mv", f"{s}/vidx", f"{s}/pidx"
+    kmv, qsk = f"{s}/kmv", f"{s}/qsk"
+    emb_base, ndp, ndb = f"{s}/emb", f"{s}/ndp", f"{s}/ndb"
     commit_snapshot(spark, base, _docs(spark, 0, 200),
                     stat_cols=["doc_id"], n_files=4)
     create_mv(spark, base, mv, ["src"], ["n"])
     build_value_index(spark, base, "digest", vidx)
+    commit_snapshot(spark, pidx, _tokens_tf(read_table(spark, base)),
+                    stat_cols=["term"], n_files=2)
+    build_kmv_sketch(spark, base, "digest", kmv, keys=["src"])
+    build_quantile_sketch(spark, base, "doc_id", "n", qsk, keys=["src"])
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    commit_snapshot(spark, emb_base, emb.filter(F.col("vec_id") % 2 == 0),
+                    stat_cols=["vec_id"], n_files=2)
+    build_nd_pair_index(spark, emb_base, ndp, ndb)
     register_artifact(spark, reg, "mv", base, mv)
     register_artifact(spark, reg, "value_index", base, vidx)
+    register_artifact(spark, reg, "postings", base, pidx,
+                      {"text_col": "text", "covered": 1})
+    register_artifact(spark, reg, "kmv", base, kmv,
+                      {"col": "digest", "keys": ["src"]})
+    register_artifact(spark, reg, "quantile_sketch", base, qsk,
+                      {"key": "doc_id", "val": "n", "keys": ["src"]})
+    register_artifact(spark, reg, "nd_pairs", emb_base, ndp,
+                      {"buckets": ndb})
+    arts = {mv, vidx, pidx, kmv, qsk, ndp}
 
     barrier = threading.Barrier(2)
     maint_results: list[dict] = []
@@ -628,8 +655,20 @@ def test_maintenance_races_live_base_writers(spark):
                             F.col("id").alias("doc_id")),
                         ["doc_id"],
                     )
+                    upsert_parquet(
+                        spark, emb_base,
+                        emb.filter(F.col("vec_id") % 2 == 1),
+                        ["vec_id"],
+                    )
                 if step == 2:
                     compact_small_files(spark, base)
+                if step == 3:
+                    delete_keys_mor(
+                        spark, emb_base,
+                        emb.filter(F.col("vec_id") % 9 == 4)
+                        .select("vec_id"),
+                        ["vec_id"],
+                    )
         except Exception as ex:  # noqa: BLE001
             writer_errors.append(f"{type(ex).__name__}: {ex}")
 
@@ -648,20 +687,27 @@ def test_maintenance_races_live_base_writers(spark):
         t.join()
     assert not writer_errors, writer_errors
     # mid-race failures are allowed but must be LOUD result rows —
-    # every tick produced a status for every artifact
+    # every tick produced a status for every artifact of every kind
     for res in maint_results:
-        assert set(res) == {mv, vidx}
+        assert set(res) == arts
         for r in res.values():
             assert r["status"] in ("refreshed", "noop", "error"), r
 
-    # the settle pass converges to the head...
+    # the settle pass converges every artifact to its base's head...
     final = maintain_artifacts(spark, reg)
     assert all(r["status"] in ("refreshed", "noop")
                for r in final.values()), final
     head = int(read_manifest(spark, base)["version"])
+    emb_head = int(read_manifest(spark, emb_base)["version"])
     assert int(mv_info(spark, mv)["version"]) == head
     assert int(read_manifest(spark, vidx)["index_of"]["version"]) == head
-    # ...and the MV equals a direct recompute (no double-folded window)
+    for art, want_head in ((pidx, head), (kmv, head), (qsk, head),
+                           (ndp, emb_head)):
+        assert int(
+            read_manifest(spark, art)["index_of"]["version"]
+        ) == want_head, art
+    # ...and contents equal a direct recompute / fresh-build twin
+    # (deterministic sketches: identical frames, not just close ones)
     want = sorted(
         map(
             tuple,
@@ -672,6 +718,43 @@ def test_maintenance_races_live_base_writers(spark):
         )
     )
     assert sorted(map(tuple, read_table(spark, mv).collect())) == want
+    kmv2, qsk2, ndp2, ndb2 = (
+        f"{s}/kmv2", f"{s}/qsk2", f"{s}/ndp2", f"{s}/ndb2"
+    )
+    build_kmv_sketch(spark, base, "digest", kmv2, keys=["src"])
+    assert sorted(map(tuple, read_table(spark, kmv).collect())) == sorted(
+        map(tuple, read_table(spark, kmv2).collect())
+    )
+    build_quantile_sketch(spark, base, "doc_id", "n", qsk2, keys=["src"])
+    assert sorted(map(tuple, read_table(spark, qsk).collect())) == sorted(
+        map(tuple, read_table(spark, qsk2).collect())
+    )
+    final_docs = read_table(spark, base).select("doc_id", "text")
+    want_postings = sorted(
+        map(
+            tuple,
+            final_docs.select(
+                F.explode(F.expr(TOKENS)).alias("term"), "doc_id"
+            )
+            .groupBy("term", "doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+            .collect(),
+        )
+    )
+    got_postings = sorted(
+        map(tuple, maintained_postings(spark, pidx).collect())
+    )
+    assert got_postings == want_postings
+    build_nd_pair_index(spark, emb_base, ndp2, ndb2)
+    want_pairs = sorted(
+        (r["id1"], r["id2"], round(r["cosine"], 6))
+        for r in read_table(spark, ndp2).collect()
+    )
+    got_pairs = sorted(
+        (r["id1"], r["id2"], round(r["cosine"], 6))
+        for r in read_table(spark, ndp).collect()
+    )
+    assert got_pairs == want_pairs
 
 def test_avg_routes_through_covering_view(spark):
     """An AVG request serves from a count+sum view bit-identically to
@@ -771,6 +854,106 @@ def test_kmv_sketch_serves_folds_and_recomputes(spark):
     assert hit3 == kmv and est3 == fresh_estimate()
     # sanity: the estimate lands in a sane band of the true count
     assert 0.4 * exact <= est3 <= 2.5 * exact
+
+
+def test_quantile_sketch_serves_folds_and_recomputes(spark):
+    """The quantile-sketch artifact (bottom-k-by-hash row sample):
+    a stale sample folds insert windows at read time; maintenance
+    folds insert windows and recomputes on delete echoes; a delete
+    window with a stale sample falls back to the exact percentile;
+    and every served estimate equals a fresh-build twin's (the sample
+    is deterministic, so 'equal', not 'close')."""
+    from prox_spark.artifacts import (
+        build_quantile_sketch,
+        serve_aggregate,
+        serve_quantile_by,
+    )
+    from prox_spark.upsert import delete_keys
+
+    s = _scratch()
+    base, reg, qsk = f"{s}/base", f"{s}/reg", f"{s}/qsk"
+    commit_snapshot(
+        spark, base, _docs(spark, 0, 200).select("doc_id", "src", "n"),
+        stat_cols=["doc_id"], n_files=2,
+    )
+    build_quantile_sketch(spark, base, "doc_id", "n", qsk,
+                          k=16, keys=["src"])
+    register_artifact(
+        spark, reg, "quantile_sketch", base, qsk,
+        {"key": "doc_id", "val": "n", "keys": ["src"], "k": 16},
+    )
+
+    def fresh_estimate():
+        ref = f"{s}/qref_{read_manifest(spark, base)['version']}"
+        build_quantile_sketch(spark, base, "doc_id", "n", ref,
+                              k=16, keys=["src"])
+        return sorted(
+            (r["src"], round(float(r["q"]), 6))
+            for r in read_table(spark, ref)
+            .groupBy("src")
+            .agg(F.expr("percentile(v, 0.5)").alias("q"))
+            .collect()
+        )
+
+    def served():
+        out, hit = serve_aggregate(
+            spark, reg, base, ["src"], [], quantile=("n", 0.5)
+        )
+        return sorted(
+            (r["src"], round(float(r["est_q"]), 6)) for r in out.collect()
+        ), hit
+
+    got0, hit0 = served()
+    assert hit0 == qsk and got0 == fresh_estimate()
+    # stale sample + insert-only window: read-time fold, same answer
+    prev = read_manifest(spark, base)
+    commit_delta(
+        spark, base, _docs(spark, 200, 300).select("doc_id", "src", "n"),
+        list(prev["files"]), update_key_ranges={},
+    )
+    got1, hit1 = served()
+    assert hit1 == qsk and got1 == fresh_estimate()
+    # maintenance folds it (insert-only window -> fold mode)
+    r1 = maintain_artifacts(spark, reg)
+    assert r1[qsk]["status"] == "refreshed" and r1[qsk]["mode"] == "fold"
+    # delete window: stale sample cannot retract -> exact fallback...
+    delete_keys(
+        spark, base,
+        spark.range(0, 300, 3).select(F.col("id").alias("doc_id")),
+        ["doc_id"],
+    )
+    out2, hit2 = serve_quantile_by(spark, reg, base, "n", 0.5, ["src"])
+    exact = sorted(
+        (r["src"], round(float(r["est_q"]), 6))
+        for r in read_table(spark, base)
+        .groupBy("src")
+        .agg(
+            F.round(
+                F.expr("percentile(cast(n as double), 0.5)"), 6
+            ).alias("est_q")
+        )
+        .collect()
+    )
+    assert hit2 is None
+    assert sorted(
+        (r["src"], round(float(r["est_q"]), 6)) for r in out2.collect()
+    ) == exact
+    # ...and maintenance recomputes, after which the sample serves again
+    r2 = maintain_artifacts(spark, reg)
+    assert r2[qsk]["mode"] == "recompute"
+    got3, hit3 = served()
+    assert hit3 == qsk and got3 == fresh_estimate()
+    # the GLOBAL (ungrouped) shape serves through the same route
+    gq = f"{s}/gqsk"
+    build_quantile_sketch(spark, base, "doc_id", "n", gq, k=16)
+    register_artifact(spark, reg, "quantile_sketch", base, gq,
+                      {"key": "doc_id", "val": "n", "k": 16})
+    out4, hit4 = serve_aggregate(
+        spark, reg, base, [], [], quantile=("n", 0.9)
+    )
+    assert hit4 == gq and out4.columns == ["est_q"]
+    assert out4.count() == 1
+
 
 def test_nd_pairs_maintenance_handles_updates(spark):
     """An UPDATED vector's old pairs retire and its new pairs compute
