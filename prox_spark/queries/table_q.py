@@ -4223,6 +4223,114 @@ ORDER BY e.source
 """
 
 
+# --- q225: DataSource writer commit protocol --------------------------------
+
+_DS_WRITE_CACHE: dict[str, tuple] = {}
+
+
+def _ds_written_table(spark: SparkSession, sf_dir: str) -> tuple:
+    """Staged once per process: the documents table written ENTIRELY
+    through ``df.write.format("prox_table")`` — an overwrite-create
+    (task-side parquet encode + footer stats, pure-python manifest
+    CAS publish) followed by an append carrying v1's files verbatim.
+    Returns (table_path, two_commits, stats_prune, carried)."""
+    from prox_spark.table import read_manifest, split_files_by_key_ranges
+    from prox_spark.table_ds import register
+
+    from ._staging import staged
+
+    def build(scratch: str) -> tuple:
+        register(spark)
+        t = f"{scratch}/written"
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "source", "n_chars"
+        )
+        (
+            docs.filter(F.col("doc_id") % 2 == 0)
+            .repartitionByRange(4, "doc_id")
+            .write.format("prox_table")
+            .mode("overwrite")
+            .option("stat_cols", "doc_id")
+            .save(t)
+        )
+        m1 = read_manifest(spark, t)
+        (
+            docs.filter(F.col("doc_id") % 2 == 1)
+            .repartitionByRange(2, "doc_id")
+            .write.format("prox_table")
+            .mode("append")
+            .save(t)
+        )
+        m2 = read_manifest(spark, t)
+        probe_key = int(
+            docs.agg(F.min("doc_id")).first()[0]
+        )
+        touched, untouched = split_files_by_key_ranges(
+            m2, {"doc_id": (probe_key, probe_key)}
+        )
+        return (
+            t,
+            bool(m2["version"] == 2),
+            bool(untouched and len(touched) < len(m2["files"])),
+            bool(set(m1["files"]) <= set(m2["files"])),
+        )
+
+    return staged(_DS_WRITE_CACHE, sf_dir, "prox_dswrite_", build)
+
+
+def q225_datasource_table_write(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WRITE parity for the connector (q223's twin): the table is
+    created and appended exclusively through
+    ``df.write.format("prox_table")`` — per-task Arrow→parquet encode
+    with footer stats gathered TASK-SIDE (no driver metadata loop),
+    ranges tightened by an in-task sort on the stat columns, and the
+    next manifest version published by the same atomic-CAS protocol
+    as ``commit_delta`` (tmp write + link-fails-on-existing; lost
+    races rebase — pure appends carry every current file). The gate
+    reads the python-written table back through the JVM reader
+    (``read_table``), so a wrong manifest shape, a missing file, or a
+    mangled schema breaks the hash. Pins: ``two_commits`` (the append
+    landed as v2, not a rewrite), ``stats_prune`` (the task-side
+    footer stats actually prune a point probe), ``carried`` (v1's
+    files survive the append verbatim — zero rewrite)."""
+    from prox_spark.table import read_table
+
+    t, two_commits, stats_prune, carried = _ds_written_table(
+        spark, sf_dir
+    )
+    return (
+        read_table(spark, t)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("n_chars").cast("long").alias("sum_len"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+        )
+        .withColumn("two_commits", F.lit(bool(two_commits)))
+        .withColumn("stats_prune", F.lit(bool(stats_prune)))
+        .withColumn("carried", F.lit(bool(carried)))
+        .orderBy("source")
+    )
+
+
+ORACLE_Q225 = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(n_chars) AS BIGINT) AS sum_len,
+       CAST(min(doc_id) AS BIGINT) AS min_doc,
+       CAST(max(doc_id) AS BIGINT) AS max_doc,
+       TRUE AS two_commits,
+       TRUE AS stats_prune,
+       TRUE AS carried
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "q114_snapshot_diff": q114_snapshot_diff,
     "q118_incremental_agg": q118_incremental_agg,
@@ -4258,6 +4366,7 @@ QUERIES = {
     "q222_grouped_distinct_serving": q222_grouped_distinct_serving,
     "q223_datasource_table_read": q223_datasource_table_read,
     "q224_registry_served_quantiles": q224_registry_served_quantiles,
+    "q225_datasource_table_write": q225_datasource_table_write,
 }
 
 
@@ -4299,4 +4408,5 @@ def oracles() -> dict[str, str]:
         "q222_grouped_distinct_serving": _oracle_q222(),
         "q223_datasource_table_read": _oracle_q223(),
         "q224_registry_served_quantiles": _oracle_q224(),
+        "q225_datasource_table_write": ORACLE_Q225,
     }

@@ -51,6 +51,7 @@ from collections.abc import Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualTo,
     GreaterThan,
@@ -59,6 +60,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -301,6 +303,211 @@ class ProxTableReader(DataSourceReader):
             yield out
 
 
+class _ProxWriteMessage(WriterCommitMessage):
+    """Per-task result: [(rel_path, size_bytes, n_rows, stats)]."""
+
+    def __init__(self, files: list):
+        self.files = files
+
+
+class ProxTableArrowWriter(DataSourceArrowWriter):
+    """The WRITE half of the connector: each task streams its Arrow
+    batches into one parquet file under a fresh ``data/snap-*`` dir
+    (sorted by the leading stat columns so footer min/max stay tight
+    for pruning), and ``commit`` publishes the next manifest version
+    with the SAME atomic-CAS protocol as ``table.commit_delta`` —
+    tmp-write + ``os.link`` (fails on an existing target), rebase and
+    retry on a lost race; pure appends carry every current file plus
+    the previous version's deletes/renames verbatim (new files are
+    born at v, so no mapping applies to them), overwrite publishes a
+    full snapshot. Per-file footer stats are gathered TASK-SIDE (the
+    file is local to the task that wrote it — no driver metadata
+    loop), so a 10k-task write commits without serializing on footer
+    IO. v1 writer scope (refused loudly, use commit_delta instead):
+    chunked manifests, CHECK constraints, schema evolution on append."""
+
+    _MAX_CAS_RETRIES = 10
+
+    def __init__(self, options, schema: StructType, overwrite: bool):
+        import uuid
+
+        path = options.get("path")
+        if not path:
+            raise ValueError("prox_table requires .save(<table path>)")
+        self.table_path = _local(path)
+        self.overwrite = bool(overwrite)
+        self.schema_struct = schema
+        self.schema_json = schema.jsonValue()
+        self.rel_dir = f"data/snap-00000000-{uuid.uuid4().hex[:8]}"
+        try:
+            prev = manifest_py(path)
+        except ValueError:
+            prev = None
+        self.prev_version = int(prev["version"]) if prev else 0
+        if prev is not None:
+            if "chunks" in prev:
+                raise ValueError(
+                    "prox_table writer does not support chunked "
+                    "manifests yet; use table.commit_delta"
+                )
+            if prev.get("constraints"):
+                raise ValueError(
+                    "prox_table writer does not enforce CHECK "
+                    "constraints; use table.commit_delta"
+                )
+            if not self.overwrite:
+                declared = StructType.fromJson(prev["schema"])
+                want = {f.name: f.dataType for f in declared.fields}
+                got = {f.name: f.dataType for f in schema.fields}
+                if want != got:
+                    raise ValueError(
+                        f"append schema {sorted(got)} does not match the "
+                        f"declared table schema {sorted(want)}; evolve "
+                        "via table.commit_delta"
+                    )
+                # the declared schema stays the table's: field order is
+                # the table's contract, parquet resolves by name
+                self.schema_json = prev["schema"]
+        if self.overwrite or prev is None:
+            opt = options.get("stat_cols")
+            inherited = (prev or {}).get("stat_cols") or []
+            self.stat_cols = (
+                [c.strip() for c in opt.split(",") if c.strip()]
+                if opt is not None else list(inherited)
+            )
+        else:
+            self.stat_cols = list(prev.get("stat_cols") or [])
+
+    # -- executor side ------------------------------------------------
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from prox_spark.table import _footer_stats
+
+        batches = [b for b in iterator if b.num_rows]
+        if not batches:
+            return _ProxWriteMessage([])
+        tbl = pa.Table.from_batches(batches)
+        sortable = [
+            c for c in self.stat_cols if c in tbl.column_names
+        ]
+        if sortable:
+            tbl = tbl.sort_by([(c, "ascending") for c in sortable])
+        rel = f"{self.rel_dir}/part-{uuid.uuid4().hex}.parquet"
+        abs_path = os.path.join(self.table_path, rel)
+        os.makedirs(os.path.dirname(abs_path), exist_ok=True)
+        pq.write_table(tbl, abs_path)
+        stats = (
+            _footer_stats(abs_path, self.stat_cols)
+            if self.stat_cols else None
+        )
+        return _ProxWriteMessage(
+            [(rel, os.path.getsize(abs_path), tbl.num_rows, stats)]
+        )
+
+    # -- driver side ----------------------------------------------------
+    def _publish(self, doc: dict, v: int) -> bool:
+        import uuid
+
+        mdir = os.path.join(self.table_path, MANIFEST_DIR)
+        os.makedirs(mdir, exist_ok=True)
+        tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            json.dump(doc, fh)
+        final = os.path.join(mdir, f"manifest-{v:08d}.json")
+        try:
+            os.link(tmp, final)  # atomic CAS: EEXIST on a lost race
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    def commit(self, messages):
+        new_files: list[str] = []
+        sizes: dict = {}
+        stats: dict = {}
+        for m in messages:
+            for rel, size, _rows, st in m.files:
+                new_files.append(rel)
+                sizes[rel] = int(size)
+                stats[rel] = st
+        new_files.sort()
+        for _ in range(self._MAX_CAS_RETRIES):
+            try:
+                cur = manifest_py(self.table_path)
+            except ValueError:
+                cur = None
+            v = (int(cur["version"]) if cur else 0) + 1
+            if self.overwrite or cur is None:
+                doc = {
+                    "version": v,
+                    "files": list(new_files),
+                    "stats": {f: stats.get(f) for f in new_files},
+                    "stat_cols": self.stat_cols,
+                    "schema": self.schema_json,
+                    "born": dict.fromkeys(new_files, v),
+                    "sizes": dict(sizes),
+                }
+            else:
+                if "chunks" in cur or cur.get("constraints"):
+                    raise ValueError(
+                        "table state changed under the append (chunked/"
+                        "constrained); use table.commit_delta"
+                    )
+                # pure append: carry EVERY current file (the {} key-
+                # ranges rule — an append makes no claim about rows it
+                # didn't read, so concurrent commits never conflict)
+                keep = list(cur.get("files") or [])
+                files = [*keep, *new_files]
+                cur_stats = cur.get("stats") or {}
+                cur_born = cur.get("born") or {}
+                cur_sizes = cur.get("sizes") or {}
+                doc = {
+                    "version": v,
+                    "files": files,
+                    "stats": {
+                        **{f: cur_stats.get(f) for f in keep},
+                        **{f: stats.get(f) for f in new_files},
+                    },
+                    "stat_cols": self.stat_cols,
+                    "schema": self.schema_json,
+                    "born": {
+                        **{f: cur_born.get(f, 0) for f in keep},
+                        **dict.fromkeys(new_files, v),
+                    },
+                    "sizes": {
+                        **{
+                            f: cur_sizes[f] for f in keep if f in cur_sizes
+                        },
+                        **sizes,
+                    },
+                }
+                # deletes target only pre-existing files; renames
+                # self-limit by birth version — both carry verbatim
+                for k in ("deletes", "renames", "dropped_cols",
+                          "index_of", "cluster_curve"):
+                    if cur.get(k):
+                        doc[k] = cur[k]
+            if self._publish(doc, v):
+                return
+        raise OSError(
+            f"commit to {self.table_path} lost the publish race "
+            f"{self._MAX_CAS_RETRIES} times"
+        )
+
+    def abort(self, messages):
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(self.table_path, self.rel_dir),
+            ignore_errors=True,
+        )
+
+
 class ProxTableDataSource(DataSource):
     """``format("prox_table")`` — options: ``path`` (via ``.load``),
     ``version`` (pin a historical snapshot), ``ref`` (branch)."""
@@ -334,6 +541,9 @@ class ProxTableDataSource(DataSource):
         manifest, path = self._resolve()
         return ProxTableReader(self.options, manifest, path)
 
+    def writer(self, schema, overwrite: bool) -> ProxTableArrowWriter:
+        return ProxTableArrowWriter(self.options, schema, overwrite)
+
 
 def register(spark) -> None:
     """Idempotent registration (latest registration wins in Spark).
@@ -342,6 +552,21 @@ def register(spark) -> None:
     here (a runtime SQL conf — no restart needed)."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(ProxTableDataSource)
+
+
+def activate(spark) -> None:
+    """Mark ``spark`` ACTIVE on the current thread. Python-datasource
+    lookup resolves through the JVM's thread-local active session; a
+    Python worker thread gets a fresh JVM thread with none set (even
+    under pyspark.InheritableThread), so format("prox_table")
+    reads/writes from such a thread fail with DATA_SOURCE_NOT_FOUND
+    until this is called once on that thread. No-op when the JVM
+    session handle is unavailable (Spark Connect)."""
+    jss = getattr(spark, "_jsparkSession", None)
+    jvm = getattr(spark, "_jvm", None)
+    if jss is None or jvm is None:
+        return
+    jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(jss)
 
 
 def register_sql(spark, name: str, table_path: str,

@@ -171,6 +171,114 @@ def test_sql_view_entry_point(spark, tbl):
     assert n == read_table(spark, tbl).count()
 
 
+def test_writer_create_append_roundtrip(spark, tmp_path):
+    """df.write.format('prox_table'): overwrite creates v1 with
+    task-side footer stats, append publishes v2 carrying v1's files;
+    the JVM reader (read_table) sees exactly the written rows and the
+    python-written stats drive the same file pruning."""
+    from prox_spark.table import (
+        read_manifest,
+        read_table,
+        split_files_by_key_ranges,
+    )
+    from prox_spark.table_ds import register
+
+    register(spark)
+    t = str(tmp_path / "wtbl")
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "source", "n_chars")
+    (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .repartition(4)
+        .write.format("prox_table")
+        .mode("overwrite")
+        .option("stat_cols", "doc_id")
+        .save(t)
+    )
+    docs.filter(F.col("doc_id") % 2 == 1).repartition(3).write.format(
+        "prox_table"
+    ).mode("append").save(t)
+    m = read_manifest(spark, t)
+    assert m["version"] == 2
+    assert m["stat_cols"] == ["doc_id"]
+    assert _diff(read_table(spark, t), docs) == 0
+    # every written file carries usable doc_id stats
+    assert all(
+        st and st.get("doc_id") for st in m["stats"].values()
+    )
+    touched, untouched = split_files_by_key_ranges(m, {"doc_id": (3, 3)})
+    assert untouched  # the stats actually prune
+    # overwrite replaces everything
+    docs.limit(7).write.format("prox_table").mode("overwrite").save(t)
+    assert read_table(spark, t).count() == 7
+    assert read_manifest(spark, t)["version"] == 3
+
+
+def test_writer_append_carries_deletes_and_renames(spark, tbl):
+    """A writer append to a table with live MoR deletes and rename
+    mappings carries both verbatim: old rows stay deleted, pre-rename
+    files still resolve, and the appended rows surface."""
+    from prox_spark.table import read_manifest, read_table
+
+    base = read_table(spark, tbl)
+    vals = {"doc_id": F.lit(7_000_000), "source": F.lit("w"),
+            "text_len": F.lit(42), "tier": F.lit(None)}
+    extra = spark.range(1).select(
+        *[vals[c].cast(t).alias(c) for c, t in base.dtypes]
+    )
+    extra.write.format("prox_table").mode("append").save(tbl)
+    m = read_manifest(spark, tbl)
+    assert m.get("deletes") and m.get("renames")
+    got = read_table(spark, tbl)
+    assert got.filter(F.col("doc_id") == 7_000_000).count() == 1
+    assert got.filter(F.col("doc_id").isin(5, 1000007)).count() == 0
+    assert _diff(got, base.unionByName(extra)) == 0
+
+
+def test_writer_concurrent_appends_both_land(spark, tmp_path):
+    """Two appends racing the manifest CAS: the loser rebases onto the
+    winner's version (pure appends never conflict), so BOTH sets of
+    rows land and no version is skipped."""
+    import threading
+
+    from prox_spark.table import read_table, table_versions
+    from prox_spark.table_ds import activate, register
+
+    register(spark)
+    t = str(tmp_path / "race")
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "source", "n_chars")
+    docs.filter(F.col("doc_id") < 10).write.format("prox_table").mode(
+        "overwrite"
+    ).option("stat_cols", "doc_id").save(t)
+    errs: list[str] = []
+    barrier = threading.Barrier(2)
+
+    def appender(mod):
+        # a fresh Python thread's JVM thread has NO active session, so
+        # the Python-datasource lookup fails without this (see
+        # table_ds.activate)
+        activate(spark)
+        barrier.wait()
+        try:
+            docs.filter(
+                (F.col("doc_id") >= 10) & (F.col("doc_id") % 2 == mod)
+            ).write.format("prox_table").mode("append").save(t)
+        except Exception as ex:  # noqa: BLE001
+            errs.append(f"{type(ex).__name__}: {ex}")
+
+    ts = [threading.Thread(target=appender, args=(i,)) for i in (0, 1)]
+    for th in ts:
+        th.start()
+    for th in ts:
+        th.join()
+    assert not errs, errs
+    assert table_versions(spark, t) == [1, 2, 3]
+    assert _diff(read_table(spark, t), docs) == 0
+
+
 def test_non_table_path_raises(spark, tmp_path):
     from prox_spark.table_ds import register
 

@@ -104,6 +104,17 @@ QUERIES = [
     "q218_llm_pipeline_capstone",
     "q221_maintained_neardup_pairs",
     "q222_grouped_distinct_serving",
+    # round 11: the q206 serving path (pairs + CC labels read from the
+    # staged committed artifact; leakage counters broadcast the
+    # pair-derived side into the O(N) assignment scans — the timed
+    # work is those scans, so the expected exponent is ~1 with
+    # fixed-cost dilution), the batch-DataSource read (one task per
+    # live file over the staged evolution+delete+rename history
+    # table), and the served grouped quantile (≤k sample rows per
+    # group regardless of corpus size — expected sublinear).
+    "q206_leakage_free_split",
+    "q223_datasource_table_read",
+    "q224_registry_served_quantiles",
 ]
 # queries whose builder caches an intermediate per (app, sf_dir): warm
 # the DEST side too, so both scales time the same post-cache work
@@ -118,6 +129,11 @@ WARM_DEST = {
     "q218_llm_pipeline_capstone",
     "q221_maintained_neardup_pairs",
     "q222_grouped_distinct_serving",
+    # round 11: all three serve from per-process staged artifacts —
+    # the warm pass builds them so both scales time the serving path
+    "q206_leakage_free_split",
+    "q223_datasource_table_read",
+    "q224_registry_served_quantiles",
 }
 MAX_EXPONENT = 1.6
 
