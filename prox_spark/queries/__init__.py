@@ -31,7 +31,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # entries per round. Union coverage across rounds 1-10 is 220 of 220
 # (every query has a green driver row), so round 11 rotates by
 # STALENESS (recomputed from the CORRECTNESS_r01..r10 files) plus one
-# touched-query re-gate: the THREE queries new this round lead (never
+# touched-query re-gate: the FOUR queries new this round lead (never
 # driver-gated), then q206 (its implementation materially changed
 # this round — served pair artifact + flipped counter broadcasts —
 # so its green r10 row no longer covers the current code), then the
@@ -42,6 +42,7 @@ _FRONT = [
     "q223_datasource_table_read",
     "q224_registry_served_quantiles",
     "q225_datasource_table_write",
+    "q226_datasource_stream_sink",
     # materially changed this round: re-gate
     "q206_leakage_free_split",
     # stalest driver rows next: the round-6 cohort (all 20)...
@@ -91,7 +92,6 @@ _FRONT = [
     "q36_minhash_lsh",
     "q37_langid",
     "q38_simhash",
-    "q40_cosine_topk",
 ]
 
 

@@ -4331,6 +4331,132 @@ ORDER BY source
 """
 
 
+# --- q226: streaming DataSource sink (exactly-once batch fencing) ----------
+
+_DS_STREAM_CACHE: dict[str, tuple] = {}
+
+
+def _ds_streamed_table(spark: SparkSession, sf_dir: str) -> tuple:
+    """Staged once per process: the documents table materialized by a
+    REAL micro-batch stream through ``writeStream.format("prox_
+    table")`` (one source file per trigger -> one manifest append per
+    batch, the batch id fenced IN the same manifest rename), then a
+    manually REPLAYED batch that must be dropped by the fence.
+    Returns (table_path, multi_batch, replay_fenced, restart_noop)."""
+    from prox_spark.table import read_manifest, table_versions
+    from prox_spark.table_ds import ProxTableStreamWriter, register
+
+    from ._staging import staged
+
+    def build(scratch: str) -> tuple:
+        register(spark)
+        t = f"{scratch}/streamed"
+        feed = f"{scratch}/feed"
+        ckpt = f"{scratch}/ckpt"
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "source", "n_chars"
+        )
+        docs.repartition(4).write.parquet(feed)
+        schema = spark.read.parquet(feed).schema
+
+        def run():
+            q = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(feed)
+                .writeStream.format("prox_table")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start(t)
+            )
+            try:
+                if not q.awaitTermination(600):
+                    raise RuntimeError("stream did not drain within 600s")
+            finally:
+                q.stop()
+
+        run()
+        versions = table_versions(spark, t)
+        m = read_manifest(spark, t)
+        applied = int((m.get("stream_batches") or {}).get("stream", -1))
+        multi_batch = bool(len(versions) >= 2 and applied >= 1)
+        # checkpoint restart with nothing new: the head must not move
+        head = versions[-1]
+        run()
+        restart_noop = bool(table_versions(spark, t)[-1] == head)
+        # crash-replay of an ALREADY-APPLIED batch id through a fresh
+        # writer: the fence must drop it (no version, no rows)
+        import pyarrow as pa
+
+        w = ProxTableStreamWriter({"path": t}, schema)
+        batch = pa.RecordBatch.from_pylist(
+            [{"doc_id": 1, "source": "replay", "n_chars": 1}],
+            schema=pa.schema(
+                [
+                    pa.field("doc_id", pa.int64()),
+                    pa.field("source", pa.string()),
+                    pa.field("n_chars", pa.int64()),
+                ]
+            ),
+        )
+        msg = w.write(iter([batch]))
+        w.commit([msg], 0)  # batch 0 was applied by the stream
+        replay_fenced = bool(table_versions(spark, t)[-1] == head)
+        return t, multi_batch, replay_fenced, restart_noop
+
+    return staged(_DS_STREAM_CACHE, sf_dir, "prox_dsstream_", build)
+
+
+def q226_datasource_stream_sink(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING sink parity for the connector (q225's stream twin —
+    the connector matrix is now read/write × batch/stream): a real
+    micro-batch stream appends one manifest version per batch through
+    the writer's task-side-stats + CAS path, with the applied batch
+    id recorded IN the same atomic manifest rename (the repo's
+    marker/lineage exactly-once idiom in connector form) — so a
+    checkpoint replay of a committed batch drops its rewrite instead
+    of double-appending, with no crash window between data and fence.
+    The gate re-aggregates the streamed table through the JVM reader;
+    a dropped batch, a double-applied batch, or a fence that let the
+    replayed batch through all break the hash. Pins: ``multi_batch``
+    (the stream really ran >1 fenced batch), ``replay_fenced`` (a
+    re-commit of an already-applied batch id landed nothing),
+    ``restart_noop``
+    (a checkpoint restart with nothing new moved no version)."""
+    from prox_spark.table import read_table
+
+    t, multi_batch, replay_fenced, restart_noop = _ds_streamed_table(
+        spark, sf_dir
+    )
+    return (
+        read_table(spark, t)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("n_chars").cast("long").alias("sum_len"),
+        )
+        .withColumn("multi_batch", F.lit(bool(multi_batch)))
+        .withColumn("replay_fenced", F.lit(bool(replay_fenced)))
+        .withColumn("restart_noop", F.lit(bool(restart_noop)))
+        .orderBy("source")
+    )
+
+
+ORACLE_Q226 = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(n_chars) AS BIGINT) AS sum_len,
+       TRUE AS multi_batch,
+       TRUE AS replay_fenced,
+       TRUE AS restart_noop
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "q114_snapshot_diff": q114_snapshot_diff,
     "q118_incremental_agg": q118_incremental_agg,
@@ -4367,6 +4493,7 @@ QUERIES = {
     "q223_datasource_table_read": q223_datasource_table_read,
     "q224_registry_served_quantiles": q224_registry_served_quantiles,
     "q225_datasource_table_write": q225_datasource_table_write,
+    "q226_datasource_stream_sink": q226_datasource_stream_sink,
 }
 
 
@@ -4409,4 +4536,5 @@ def oracles() -> dict[str, str]:
         "q223_datasource_table_read": _oracle_q223(),
         "q224_registry_served_quantiles": _oracle_q224(),
         "q225_datasource_table_write": ORACLE_Q225,
+        "q226_datasource_stream_sink": ORACLE_Q226,
     }

@@ -2,20 +2,25 @@
 ``spark.read.format("prox_table")`` / ``spark.sql`` entry point that
 Delta and Iceberg readers provide for their formats.
 
-The streaming half of this connector already exists
+The streaming READ half of this connector already exists
 (``table_stream.py``, q191/q197); this module completes the batch
-side using the same Spark 4 ``pyspark.sql.datasource`` API proven in
+read (q223), batch write (q225), and streaming sink (q226) using the
+same Spark 4 ``pyspark.sql.datasource`` API proven in
 ``datasource.py`` (q140/q141). The reference has no table format at
 all (its storage layer is S3 parquet prefixes + a Glue catalog,
 reference ``transformations_script.py:51-58``); this is
-reader-parity for OUR format so committed tables are queryable
-without library imports:
+reader/writer parity for OUR format so committed tables are
+queryable and writable without library imports:
 
     register(spark)
     df = spark.read.format("prox_table").load(path)          # latest
     df = (spark.read.format("prox_table")
           .option("version", "3").option("ref", "exp").load(path))
+    df = (spark.read.format("prox_table")                    # AS OF
+          .option("timestamp_ms", "1786880000000").load(path))
     register_sql(spark, "docs", path)   # then: spark.sql("... FROM docs")
+    df.write.format("prox_table").mode("append").save(path)  # CAS commit
+    df.writeStream.format("prox_table").start(path)  # fenced appends
 
 Full read semantics are replicated, not approximated — the module
 shares the manifest layout with ``table.py`` and applies, per file:
@@ -53,6 +58,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -122,6 +128,43 @@ def manifest_py(
         doc["born"] = born
         doc["sizes"] = sizes
     return doc
+
+
+def version_at_timestamp_py(
+    table_path: str, ts_ms: float, ref: str = "main"
+) -> int:
+    """Pure-Python twin of ``table.version_at_timestamp``: the newest
+    version whose manifest was PUBLISHED (file mtime — the atomic
+    rename that made it visible, the same clock the JVM path reads)
+    at or before ``ts_ms`` (epoch milliseconds)."""
+    root = _local(table_path)
+    mdir = os.path.join(root, MANIFEST_DIR)
+    pre = _mprefix(ref)
+    try:
+        names = os.listdir(mdir)
+    except FileNotFoundError:
+        raise ValueError(f"{table_path} is not a manifest table") from None
+    best = oldest = None
+    for n in names:
+        if not (n.startswith(pre) and n.endswith(".json")):
+            continue
+        body = n[len(pre):-len(".json")]
+        if not body.isdigit():
+            continue
+        v = int(body)
+        oldest = v if oldest is None else min(oldest, v)
+        mtime_ms = os.path.getmtime(os.path.join(mdir, n)) * 1000.0
+        if mtime_ms <= ts_ms and (best is None or v > best):
+            best = v
+    if best is None:
+        if oldest is None:
+            raise ValueError(f"{table_path} is not a manifest table")
+        raise ValueError(
+            f"no version of {table_path} (ref {ref!r}) existed at "
+            f"{ts_ms}; the oldest readable version is {oldest} "
+            "(earlier ones may have been vacuumed)"
+        )
+    return best
 
 
 def _is_foreign(entry: str) -> bool:
@@ -310,21 +353,101 @@ class _ProxWriteMessage(WriterCommitMessage):
         self.files = files
 
 
-class ProxTableArrowWriter(DataSourceArrowWriter):
-    """The WRITE half of the connector: each task streams its Arrow
-    batches into one parquet file under a fresh ``data/snap-*`` dir
-    (sorted by the leading stat columns so footer min/max stay tight
-    for pruning), and ``commit`` publishes the next manifest version
-    with the SAME atomic-CAS protocol as ``table.commit_delta`` —
-    tmp-write + ``os.link`` (fails on an existing target), rebase and
-    retry on a lost race; pure appends carry every current file plus
-    the previous version's deletes/renames verbatim (new files are
-    born at v, so no mapping applies to them), overwrite publishes a
-    full snapshot. Per-file footer stats are gathered TASK-SIDE (the
-    file is local to the task that wrote it — no driver metadata
-    loop), so a 10k-task write commits without serializing on footer
-    IO. v1 writer scope (refused loudly, use commit_delta instead):
-    chunked manifests, CHECK constraints, schema evolution on append."""
+def _gather_messages(messages) -> tuple[list[str], dict, dict]:
+    """(sorted new files, sizes, stats) across all task messages."""
+    new_files: list[str] = []
+    sizes: dict = {}
+    stats: dict = {}
+    for m in messages:
+        for rel, size, _rows, st in m.files:
+            new_files.append(rel)
+            sizes[rel] = int(size)
+            stats[rel] = st
+    new_files.sort()
+    return new_files, sizes, stats
+
+
+def _snapshot_doc(v: int, new_files: list[str], stats: dict, sizes: dict,
+                  stat_cols: list[str], schema_json: dict) -> dict:
+    return {
+        "version": v,
+        "files": list(new_files),
+        "stats": {f: stats.get(f) for f in new_files},
+        "stat_cols": stat_cols,
+        "schema": schema_json,
+        "born": dict.fromkeys(new_files, v),
+        "sizes": dict(sizes),
+    }
+
+
+def _append_doc(cur: dict, v: int, new_files: list[str], stats: dict,
+                sizes: dict, stat_cols: list[str],
+                schema_json: dict) -> dict:
+    """Pure-append next-version doc: carry EVERY current file (the
+    ``update_key_ranges={}`` rule — an append makes no claim about
+    rows it didn't read, so concurrent commits never conflict);
+    deletes target only pre-existing files and renames self-limit by
+    birth version, so both carry verbatim."""
+    if "chunks" in cur or cur.get("constraints"):
+        raise ValueError(
+            "table state changed under the append (chunked/constrained); "
+            "use table.commit_delta"
+        )
+    keep = list(cur.get("files") or [])
+    cur_stats = cur.get("stats") or {}
+    cur_born = cur.get("born") or {}
+    cur_sizes = cur.get("sizes") or {}
+    doc = {
+        "version": v,
+        "files": [*keep, *new_files],
+        "stats": {
+            **{f: cur_stats.get(f) for f in keep},
+            **{f: stats.get(f) for f in new_files},
+        },
+        "stat_cols": stat_cols,
+        "schema": schema_json,
+        "born": {
+            **{f: cur_born.get(f, 0) for f in keep},
+            **dict.fromkeys(new_files, v),
+        },
+        "sizes": {
+            **{f: cur_sizes[f] for f in keep if f in cur_sizes},
+            **sizes,
+        },
+    }
+    for k in ("deletes", "renames", "dropped_cols", "index_of",
+              "cluster_curve", "stream_batches"):
+        if cur.get(k):
+            doc[k] = cur[k]
+    return doc
+
+
+def _publish_cas(table_path: str, doc: dict, v: int) -> bool:
+    """Atomic manifest publish: tmp write + ``os.link`` (fails on an
+    existing target) — the CAS primitive ``table._write_manifest``
+    implements via Hadoop rename."""
+    import uuid
+
+    mdir = os.path.join(_local(table_path), MANIFEST_DIR)
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as fh:
+        json.dump(doc, fh)
+    final = os.path.join(mdir, f"manifest-{v:08d}.json")
+    try:
+        os.link(tmp, final)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
+
+
+class _ProxWriteCore:
+    """Shared write machinery for the batch and streaming writers —
+    option/preflight resolution and the per-task Arrow→parquet encode
+    (Spark requires distinct writer base classes per mode, so the
+    shared logic lives in this mixin)."""
 
     _MAX_CAS_RETRIES = 10
 
@@ -408,34 +531,34 @@ class ProxTableArrowWriter(DataSourceArrowWriter):
             [(rel, os.path.getsize(abs_path), tbl.num_rows, stats)]
         )
 
-    # -- driver side ----------------------------------------------------
-    def _publish(self, doc: dict, v: int) -> bool:
-        import uuid
+    def abort_cleanup(self) -> None:
+        import shutil
 
-        mdir = os.path.join(self.table_path, MANIFEST_DIR)
-        os.makedirs(mdir, exist_ok=True)
-        tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
-        with open(tmp, "w") as fh:
-            json.dump(doc, fh)
-        final = os.path.join(mdir, f"manifest-{v:08d}.json")
-        try:
-            os.link(tmp, final)  # atomic CAS: EEXIST on a lost race
-            return True
-        except FileExistsError:
-            return False
-        finally:
-            os.unlink(tmp)
+        shutil.rmtree(
+            os.path.join(self.table_path, self.rel_dir),
+            ignore_errors=True,
+        )
+
+
+class ProxTableArrowWriter(_ProxWriteCore, DataSourceArrowWriter):
+    """The batch WRITE half of the connector: each task streams its
+    Arrow batches into one parquet file under a fresh ``data/snap-*``
+    dir (sorted by the leading stat columns so footer min/max stay
+    tight for pruning), and ``commit`` publishes the next manifest
+    version with the SAME atomic-CAS protocol as
+    ``table.commit_delta`` — tmp-write + ``os.link`` (fails on an
+    existing target), rebase and retry on a lost race; pure appends
+    carry every current file plus the previous version's
+    deletes/renames verbatim (new files are born at v, so no mapping
+    applies to them), overwrite publishes a full snapshot. Per-file
+    footer stats are gathered TASK-SIDE (the file is local to the
+    task that wrote it — no driver metadata loop), so a 10k-task
+    write commits without serializing on footer IO. v1 writer scope
+    (refused loudly, use commit_delta instead): chunked manifests,
+    CHECK constraints, schema evolution on append."""
 
     def commit(self, messages):
-        new_files: list[str] = []
-        sizes: dict = {}
-        stats: dict = {}
-        for m in messages:
-            for rel, size, _rows, st in m.files:
-                new_files.append(rel)
-                sizes[rel] = int(size)
-                stats[rel] = st
-        new_files.sort()
+        new_files, sizes, stats = _gather_messages(messages)
         for _ in range(self._MAX_CAS_RETRIES):
             try:
                 cur = manifest_py(self.table_path)
@@ -443,56 +566,12 @@ class ProxTableArrowWriter(DataSourceArrowWriter):
                 cur = None
             v = (int(cur["version"]) if cur else 0) + 1
             if self.overwrite or cur is None:
-                doc = {
-                    "version": v,
-                    "files": list(new_files),
-                    "stats": {f: stats.get(f) for f in new_files},
-                    "stat_cols": self.stat_cols,
-                    "schema": self.schema_json,
-                    "born": dict.fromkeys(new_files, v),
-                    "sizes": dict(sizes),
-                }
+                doc = _snapshot_doc(v, new_files, stats, sizes,
+                                    self.stat_cols, self.schema_json)
             else:
-                if "chunks" in cur or cur.get("constraints"):
-                    raise ValueError(
-                        "table state changed under the append (chunked/"
-                        "constrained); use table.commit_delta"
-                    )
-                # pure append: carry EVERY current file (the {} key-
-                # ranges rule — an append makes no claim about rows it
-                # didn't read, so concurrent commits never conflict)
-                keep = list(cur.get("files") or [])
-                files = [*keep, *new_files]
-                cur_stats = cur.get("stats") or {}
-                cur_born = cur.get("born") or {}
-                cur_sizes = cur.get("sizes") or {}
-                doc = {
-                    "version": v,
-                    "files": files,
-                    "stats": {
-                        **{f: cur_stats.get(f) for f in keep},
-                        **{f: stats.get(f) for f in new_files},
-                    },
-                    "stat_cols": self.stat_cols,
-                    "schema": self.schema_json,
-                    "born": {
-                        **{f: cur_born.get(f, 0) for f in keep},
-                        **dict.fromkeys(new_files, v),
-                    },
-                    "sizes": {
-                        **{
-                            f: cur_sizes[f] for f in keep if f in cur_sizes
-                        },
-                        **sizes,
-                    },
-                }
-                # deletes target only pre-existing files; renames
-                # self-limit by birth version — both carry verbatim
-                for k in ("deletes", "renames", "dropped_cols",
-                          "index_of", "cluster_curve"):
-                    if cur.get(k):
-                        doc[k] = cur[k]
-            if self._publish(doc, v):
+                doc = _append_doc(cur, v, new_files, stats, sizes,
+                                  self.stat_cols, self.schema_json)
+            if _publish_cas(self.table_path, doc, v):
                 return
         raise OSError(
             f"commit to {self.table_path} lost the publish race "
@@ -500,12 +579,69 @@ class ProxTableArrowWriter(DataSourceArrowWriter):
         )
 
     def abort(self, messages):
-        import shutil
+        self.abort_cleanup()
 
-        shutil.rmtree(
-            os.path.join(self.table_path, self.rel_dir),
-            ignore_errors=True,
+
+class ProxTableStreamWriter(_ProxWriteCore, DataSourceStreamArrowWriter):
+    """The STREAMING sink half (``writeStream.format("prox_table")``):
+    every micro-batch appends one manifest version through the same
+    task-side-stats + CAS-publish path as the batch writer, with
+    EXACTLY-ONCE replay fencing — the manifest records the last
+    applied batch id per writer (``stream_batches``: the repo's
+    marker/lineage idiom in connector form), so a post-commit
+    checkpoint replay of batch b is a noop that drops its rewritten
+    files instead of double-appending them. One logical writer per
+    ``writer_id`` option (default "stream"); independent streams into
+    one table use distinct ids and fence independently."""
+
+    def __init__(self, options, schema: StructType):
+        super().__init__(options, schema, overwrite=False)
+        self.writer_id = options.get("writer_id", "stream")
+
+    def _drop_batch_files(self, messages) -> None:
+        new_files, _, _ = _gather_messages(messages)
+        for rel in new_files:
+            try:
+                os.unlink(os.path.join(self.table_path, rel))
+            except FileNotFoundError:
+                pass
+
+    def commit(self, messages, batchId: int):  # noqa: N803 — Spark API
+        new_files, sizes, stats = _gather_messages(messages)
+        for _ in range(self._MAX_CAS_RETRIES):
+            try:
+                cur = manifest_py(self.table_path)
+            except ValueError:
+                cur = None
+            applied = (cur or {}).get("stream_batches") or {}
+            if self.writer_id in applied and int(
+                applied[self.writer_id]
+            ) >= int(batchId):
+                # replayed batch: already folded — exactly-once means
+                # dropping the rewrite, never appending it twice
+                self._drop_batch_files(messages)
+                return
+            v = (int(cur["version"]) if cur else 0) + 1
+            if cur is None:
+                doc = _snapshot_doc(v, new_files, stats, sizes,
+                                    self.stat_cols, self.schema_json)
+            else:
+                doc = _append_doc(cur, v, new_files, stats, sizes,
+                                  self.stat_cols, self.schema_json)
+            # the fence and the data publish in ONE manifest rename —
+            # no crash window where one landed without the other
+            doc["stream_batches"] = {
+                **applied, self.writer_id: int(batchId),
+            }
+            if _publish_cas(self.table_path, doc, v):
+                return
+        raise OSError(
+            f"stream commit to {self.table_path} lost the publish race "
+            f"{self._MAX_CAS_RETRIES} times"
         )
+
+    def abort(self, messages, batchId: int):  # noqa: N803 — Spark API
+        self._drop_batch_files(messages)
 
 
 class ProxTableDataSource(DataSource):
@@ -524,11 +660,20 @@ class ProxTableDataSource(DataSource):
             path = self.options.get("path")
             if not path:
                 raise ValueError("prox_table requires .load(<table path>)")
+            ref = self.options.get("ref", "main")
             v = self.options.get("version")
+            ts = self.options.get("timestamp_ms")
+            if v is not None and ts is not None:
+                raise ValueError(
+                    "prox_table: version and timestamp_ms are exclusive"
+                )
+            if ts is not None:
+                # TIMESTAMP AS OF (Delta parity): resolve against the
+                # manifests' publish times, same clock as
+                # table.version_at_timestamp
+                v = version_at_timestamp_py(path, float(ts), ref)
             self._manifest = manifest_py(
-                path,
-                int(v) if v is not None else None,
-                self.options.get("ref", "main"),
+                path, int(v) if v is not None else None, ref
             )
             self._path = path
         return self._manifest, self._path
@@ -543,6 +688,9 @@ class ProxTableDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> ProxTableArrowWriter:
         return ProxTableArrowWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema, overwrite) -> ProxTableStreamWriter:
+        return ProxTableStreamWriter(self.options, schema)
 
 
 def register(spark) -> None:

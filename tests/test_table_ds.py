@@ -279,6 +279,123 @@ def test_writer_concurrent_appends_both_land(spark, tmp_path):
     assert _diff(read_table(spark, t), docs) == 0
 
 
+def test_stream_sink_exactly_once(spark, tmp_path):
+    """writeStream.format('prox_table'): one manifest append per
+    micro-batch with the applied batch id fenced in the SAME rename —
+    a checkpoint restart with nothing new moves no version, and a
+    crash-replay of an applied batch id lands nothing (its rewritten
+    files are dropped, not double-appended)."""
+    import pyarrow as pa
+
+    from prox_spark.table import read_manifest, read_table, table_versions
+    from prox_spark.table_ds import ProxTableStreamWriter, register
+
+    register(spark)
+    t = str(tmp_path / "stbl")
+    feed = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "source", "n_chars")
+    docs.repartition(3).write.parquet(feed)
+    schema = spark.read.parquet(feed).schema
+
+    def run():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(feed)
+            .writeStream.format("prox_table")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start(t)
+        )
+        try:
+            assert q.awaitTermination(300)
+        finally:
+            q.stop()
+
+    run()
+    versions = table_versions(spark, t)
+    assert len(versions) >= 2  # one append per micro-batch
+    assert _diff(read_table(spark, t), docs) == 0
+    m = read_manifest(spark, t)
+    assert int(m["stream_batches"]["stream"]) >= 1
+    head = versions[-1]
+    run()  # restart, nothing new
+    assert table_versions(spark, t)[-1] == head
+    # replay an already-applied batch id through a fresh writer
+    w = ProxTableStreamWriter({"path": t}, schema)
+    batch = pa.RecordBatch.from_pylist(
+        [{"doc_id": -1, "source": "replay", "n_chars": 1}],
+        schema=pa.schema(
+            [
+                pa.field("doc_id", pa.int64()),
+                pa.field("source", pa.string()),
+                pa.field("n_chars", pa.int64()),
+            ]
+        ),
+    )
+    w.commit([w.write(iter([batch]))], 0)
+    assert table_versions(spark, t)[-1] == head
+    assert read_table(spark, t).filter(
+        F.col("source") == "replay"
+    ).count() == 0
+    # ...while a genuinely NEW batch id appends
+    w2 = ProxTableStreamWriter({"path": t}, schema)
+    w2.commit([w2.write(iter([batch]))], 99)
+    assert table_versions(spark, t)[-1] == head + 1
+    assert read_table(spark, t).filter(
+        F.col("source") == "replay"
+    ).count() == 1
+
+
+def test_reader_timestamp_as_of(spark, tmp_path):
+    """option('timestamp_ms', t): resolve the newest version published
+    at or before t — the same manifest-mtime clock as
+    table.version_at_timestamp, so both paths pick the same version."""
+    import time
+
+    from prox_spark.table import (
+        commit_delta,
+        commit_snapshot,
+        read_manifest,
+        version_at_timestamp,
+    )
+    from prox_spark.table_ds import register
+
+    register(spark)
+    t = str(tmp_path / "ttbl")
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "source")
+    commit_snapshot(spark, t, docs.filter(F.col("doc_id") < 100),
+                    stat_cols=["doc_id"], n_files=2)
+    time.sleep(1.1)
+    between = time.time() * 1000.0
+    time.sleep(1.1)
+    m = read_manifest(spark, t)
+    commit_delta(spark, t, docs.filter(F.col("doc_id") >= 100),
+                 list(m["files"]), update_key_ranges={})
+    df = (
+        spark.read.format("prox_table")
+        .option("timestamp_ms", str(between))
+        .load(t)
+    )
+    assert df.count() == 100  # v1 only
+    assert version_at_timestamp(spark, t, between) == 1
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="exclusive"):
+        (
+            spark.read.format("prox_table")
+            .option("timestamp_ms", str(between))
+            .option("version", "1")
+            .load(t)
+            .count()
+        )
+
+
 def test_non_table_path_raises(spark, tmp_path):
     from prox_spark.table_ds import register
 
