@@ -12,6 +12,9 @@ Commands:
                                      pipeline (dedup signals -> card -> clean
                                      corpus -> leakage-free splits -> frozen
                                      training-set txn -> artifact registry)
+  sql       "SELECT ..."             run SQL over committed manifest tables
+            [--table NAME=PATH[@V|@ts:MS]]   (prox_table views; repeatable —
+            [--output DIR] [--limit N]        @V pins a version, @ts: a time)
   vacuum    --table DIR              retention for a manifest table
             [--keep-last N]          (default 2 versions)
             [--retain-hours H]       age-based: keep the TIMESTAMP AS OF window
@@ -62,6 +65,22 @@ def main(argv: list[str] | None = None) -> int:
         "--out", required=True,
         help="output dir for pairs/ card/ corpus/ splits/ ws/ registry/",
     )
+
+    p_sql = sub.add_parser(
+        "sql",
+        help="run SQL over committed manifest tables (prox_table views)",
+    )
+    p_sql.add_argument("query", help="the SQL to run")
+    p_sql.add_argument(
+        "--table", action="append", default=[], metavar="NAME=PATH",
+        help="register a committed table as view NAME (repeatable); "
+        "append @VERSION or @ts:EPOCH_MS to pin a snapshot",
+    )
+    p_sql.add_argument(
+        "--output", help="write the result as parquet here instead of printing"
+    )
+    p_sql.add_argument("--limit", type=int, default=100,
+                       help="max rows printed (default 100)")
 
     p_vac = sub.add_parser(
         "vacuum", help="retention for a manifest table (pins composed)"
@@ -115,6 +134,32 @@ def main(argv: list[str] | None = None) -> int:
 
         n = compact_parquet(spark, args.src, args.dst, target_file_mb=args.target_mb)
         print(f"compacted {args.src} -> {args.dst} ({n} files)")
+        return 0
+
+    if args.cmd == "sql":
+        from prox_spark.table_ds import register, register_sql
+
+        register(spark)
+        for spec in args.table:
+            if "=" not in spec:
+                parser.error(f"--table expects NAME=PATH, got {spec!r}")
+            name, path = spec.split("=", 1)
+            version = None
+            if "@" in path:
+                path, pin = path.rsplit("@", 1)
+                if pin.startswith("ts:"):
+                    from prox_spark.table_ds import version_at_timestamp_py
+
+                    version = version_at_timestamp_py(path, float(pin[3:]))
+                else:
+                    version = int(pin)
+            register_sql(spark, name, path, version=version)
+        out = spark.sql(args.query)
+        if args.output:
+            out.write.mode("overwrite").parquet(args.output)
+            print(f"wrote {args.output}")
+        else:
+            out.show(args.limit, truncate=False)
         return 0
 
     if args.cmd == "vacuum":

@@ -396,6 +396,32 @@ def test_reader_timestamp_as_of(spark, tmp_path):
         )
 
 
+def test_sql_cli_over_committed_tables(spark, tbl, tmp_path, capsys):
+    """``python -m prox_spark sql``: NAME=PATH registers a prox_table
+    view (@V pins a version), the query runs with zero library
+    imports, and --output lands parquet."""
+    from prox_spark.__main__ import main
+    from prox_spark.table import read_table
+
+    n = read_table(spark, tbl).count()
+    assert main(
+        ["sql", "SELECT count(*) AS n FROM d", "--table", f"d={tbl}"]
+    ) == 0
+    assert f"|{n} " in capsys.readouterr().out.replace("|" + str(n) + "|",
+                                                       f"|{n} |")
+    out = str(tmp_path / "res")
+    assert main(
+        [
+            "sql",
+            "SELECT source, count(*) AS n FROM d GROUP BY source",
+            "--table", f"d={tbl}@1", "--output", out,
+        ]
+    ) == 0
+    v1 = read_table(spark, tbl, version=1)
+    got = spark.read.parquet(out)
+    assert got.agg(F.sum("n")).first()[0] == v1.count()
+
+
 def test_non_table_path_raises(spark, tmp_path):
     from prox_spark.table_ds import register
 

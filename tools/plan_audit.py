@@ -104,6 +104,19 @@ SKIP = {
     # maintenance while building (candidate join = q42's audited
     # bucket-equi-join build shape, plan-asserted in test_plans); the
     # read side is an ordinary pruned pair-table scan
+    "q206_leakage_free_split",  # executes its single counter job and
+    # returns a localized VALUES relation; the real plan is audited
+    # via the #counters twin below (q206_audit_plan, lazy)
+    "q223_datasource_table_read",  # stages evolution/delete/rename
+    # commits while building; the read is the prox_table DS scan
+    # (task-per-file, plan-asserted in test_table_ds) + a groupBy
+    "q224_registry_served_quantiles",  # stages registry lifecycle
+    # commits while building; the serve is a ≤k-rows-per-group sample
+    # scan + percentile agg
+    "q225_datasource_table_write",  # stages writer commits while
+    # building; the read side is _read_files' audited shape
+    "q226_datasource_stream_sink",  # runs real stream passes while
+    # building; the read side is _read_files' audited shape
 }
 
 
@@ -144,7 +157,14 @@ def _twin_q163(spark, sf_dir):
     return bpe_round_audit_frame(spark, sf_dir)
 
 
+def _twin_q206(spark, sf_dir):
+    from prox_spark.queries.text import q206_audit_plan
+
+    return q206_audit_plan(spark, sf_dir)
+
+
 AUDIT_TWINS = {
+    "q206_leakage_free_split#counters": _twin_q206,
     "q72_dup_clusters#round": _twin_q72,
     "q127_pagerank#round": _twin_q127,
     "q150_weighted_pagerank#round": _twin_q150,
