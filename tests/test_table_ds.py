@@ -422,6 +422,84 @@ def test_sql_cli_over_committed_tables(spark, tbl, tmp_path, capsys):
     assert got.agg(F.sum("n")).first()[0] == v1.count()
 
 
+def test_reader_assembles_chunked_manifests(spark, tmp_path, monkeypatch):
+    """A table past the chunked-manifest (v2) threshold: manifest_py
+    must assemble the chunk files into the classic shape, so the
+    format() read equals read_table — and the pushed-filter prune
+    still matches the JVM prune over the assembled stats."""
+    import prox_spark.table as T
+    from pyspark.sql.datasource import EqualTo
+
+    from prox_spark.table import (
+        commit_delta,
+        read_manifest,
+        read_manifest_pruned,
+        read_table,
+        split_files_by_key_ranges,
+    )
+    from prox_spark.table_ds import ProxTableReader, manifest_py, register
+
+    monkeypatch.setattr(T, "CHUNK_THRESHOLD", 4)
+    monkeypatch.setattr(T, "CHUNK_SIZE", 2)
+    register(spark)
+    t = str(tmp_path / "chunky")
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "source")
+    T.commit_snapshot(spark, t, docs.filter(F.col("doc_id") < 200),
+                      stat_cols=["doc_id"], n_files=4)
+    m = read_manifest(spark, t)
+    commit_delta(spark, t, docs.filter(F.col("doc_id") >= 200),
+                 list(m["files"]), stat_cols=["doc_id"], n_files=4)
+    mm = manifest_py(t)
+    assert "chunks" in mm and len(mm["files"]) >= 5  # really chunked
+    a = spark.read.format("prox_table").load(t)
+    b = read_table(spark, t)
+    assert _diff(a, b) == 0
+    rd = ProxTableReader({}, mm, t)
+    rd.pushFilters([EqualTo(("doc_id",), 42)])
+    mp = read_manifest_pruned(spark, t, {"doc_id": (42, 42)})
+    want, _ = split_files_by_key_ranges(mp, {"doc_id": (42, 42)})
+    assert sorted(rd.pruned_files()) == sorted(want)
+
+
+def test_reader_resolves_shallow_clone_foreign_entries(spark, tmp_path):
+    """A shallow clone's manifest references the source's files by
+    ABSOLUTE path; the reader must pass those through untouched (and
+    resolve the clone's own relative files after divergence)."""
+    from prox_spark.table import (
+        clone_table,
+        commit_delta,
+        commit_snapshot,
+        read_manifest,
+        read_table,
+    )
+    from prox_spark.table_ds import register
+
+    register(spark)
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "clone")
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "source")
+    commit_snapshot(spark, src, docs, stat_cols=["doc_id"], n_files=2)
+    clone_table(spark, src, dst)
+    assert _diff(spark.read.format("prox_table").load(dst), docs) == 0
+    # diverge the clone: one local file next to the foreign ones
+    m = read_manifest(spark, dst)
+    extra = docs.limit(0).unionByName(
+        spark.range(1).select(
+            F.lit(9_999_999).cast("long").alias("doc_id"),
+            F.lit("local").alias("source"),
+        )
+    )
+    commit_delta(spark, dst, extra, list(m["files"]),
+                 update_key_ranges={})
+    a = spark.read.format("prox_table").load(dst)
+    assert _diff(a, read_table(spark, dst)) == 0
+    assert a.filter(F.col("source") == "local").count() == 1
+
+
 def test_non_table_path_raises(spark, tmp_path):
     from prox_spark.table_ds import register
 
