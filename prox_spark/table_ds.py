@@ -297,6 +297,49 @@ class ProxTableReader(DataSourceReader):
             )
         return parts
 
+    def matching_row_groups(self, pf, partition) -> list[int] | None:
+        """ROW-GROUP skipping inside a file that survived the manifest
+        prune: the harvested filter ranges re-check against each row
+        group's own footer min/max (the same ``_overlaps`` rule one
+        level down), so a point probe through the connector decodes
+        only the groups that can hold the key. None = read everything
+        (no pushed ranges). Declared filter columns map through the
+        partition's rename resolution; a group with absent stats on a
+        column is conservatively kept."""
+        if not self.key_ranges:
+            return None
+        name_map = dict(
+            zip(
+                [f.name for f in self.schema_struct.fields],
+                partition.phys_names,
+            )
+        )
+        md = pf.metadata
+        keep: list[int] = []
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            rg_stats: dict = {}
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                st = c.statistics
+                if st is not None and st.has_min_max:
+                    rg_stats[c.path_in_schema] = (st.min, st.max)
+            admit = True
+            for col, (lo, hi) in self.key_ranges.items():
+                phys = name_map.get(col)
+                if phys is None or phys not in rg_stats or lo is None:
+                    continue
+                mn, mx = rg_stats[phys]
+                try:
+                    if mx < lo or mn > hi:
+                        admit = False
+                        break
+                except TypeError:  # incomparable stat types
+                    continue
+            if admit:
+                keep.append(rg)
+        return keep
+
     def read(self, partition: _TableFilePartition) -> Iterator:
         import pyarrow as pa
         import pyarrow.compute as pc
@@ -304,6 +347,10 @@ class ProxTableReader(DataSourceReader):
 
         from pyspark.sql.pandas.types import to_arrow_schema
 
+        if partition is None:
+            # Spark schedules one task with a None partition when
+            # partitions() came back empty (every file pruned)
+            return
         target = to_arrow_schema(self.schema_struct)
         # applicable delete key sets, canonicalized to a string-joined
         # composite key (tiny files — deletion batches are small by
@@ -316,9 +363,17 @@ class ProxTableReader(DataSourceReader):
             )
             del_sets.append((keys, set(joined.to_pylist())))
         pf = pq.ParquetFile(partition.path)
+        row_groups = self.matching_row_groups(pf, partition)
+        if row_groups is not None and not row_groups:
+            return  # every group provably excludes the pushed ranges
         present = set(pf.schema_arrow.names)
         read_cols = [n for n in partition.phys_names if n in present]
-        for batch in pf.iter_batches(columns=read_cols):
+        it = (
+            pf.iter_batches(columns=read_cols)
+            if row_groups is None
+            else pf.iter_batches(columns=read_cols, row_groups=row_groups)
+        )
+        for batch in it:
             n = batch.num_rows
             arrays = []
             for fld, phys in zip(target, partition.phys_names):

@@ -500,6 +500,73 @@ def test_reader_resolves_shallow_clone_foreign_entries(spark, tmp_path):
     assert a.filter(F.col("source") == "local").count() == 1
 
 
+def test_row_group_skipping_inside_surviving_files(spark, tmp_path):
+    """Pushed ranges prune ROW GROUPS inside a file that survived the
+    manifest prune (a point probe decodes only groups whose footer
+    min/max admit the key), and the filtered read stays row-identical
+    to the JVM path."""
+    from pyspark.sql.datasource import EqualTo
+
+    import pyarrow.parquet as pq
+
+    from prox_spark.table import read_table
+    from prox_spark.table_ds import (
+        ProxTableReader,
+        _abs,
+        manifest_py,
+        register,
+    )
+
+    register(spark)
+    t = str(tmp_path / "rgtbl")
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "source")
+        .repartitionByRange(1, "doc_id")
+        .sortWithinPartitions("doc_id")
+    )
+    # one file, many small row groups -> the manifest prune keeps the
+    # file, the row-group prune must bite inside it
+    (
+        docs.write.format("prox_table")
+        .mode("overwrite")
+        .option("stat_cols", "doc_id")
+        .save(t)
+    )
+    mm = manifest_py(t)
+    assert len(mm["files"]) == 1
+    fpath = _abs(t, mm["files"][0])
+    # rewrite the single file with tiny row groups (pyarrow-level, the
+    # manifest entry is unchanged — same path, same bytes semantics)
+    tbl = pq.read_table(fpath)
+    pq.write_table(tbl, fpath, row_group_size=64)
+    pf = pq.ParquetFile(fpath)
+    assert pf.metadata.num_row_groups > 3
+
+    rd = ProxTableReader({}, manifest_py(t), t)
+    rd.pushFilters([EqualTo(("doc_id",), 5)])
+    parts = rd.partitions()
+    assert len(parts) == 1
+    kept = rd.matching_row_groups(pf, parts[0])
+    assert kept is not None and 0 < len(kept) < pf.metadata.num_row_groups
+    # ...and the end-to-end filtered read is still exact
+    a = (
+        spark.read.format("prox_table")
+        .load(t)
+        .filter(F.col("doc_id") == 5)
+    )
+    b = read_table(spark, t).filter(F.col("doc_id") == 5)
+    assert _diff(a, b) == 0 and a.count() == 1
+    # an impossible range reads nothing but stays a valid plan
+    assert (
+        spark.read.format("prox_table")
+        .load(t)
+        .filter(F.col("doc_id") == -42)
+        .count()
+        == 0
+    )
+
+
 def test_non_table_path_raises(spark, tmp_path):
     from prox_spark.table_ds import register
 
