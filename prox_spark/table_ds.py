@@ -435,19 +435,106 @@ def _snapshot_doc(v: int, new_files: list[str], stats: dict, sizes: dict,
     }
 
 
+def _chunk_ranges_py(files: list[str], stats: dict,
+                     stat_cols: list[str]) -> dict | None:
+    """``table._chunk_ranges`` verbatim: per-chunk min/max over member
+    footer stats; a column degrades to None if ANY member lacks them."""
+    if not stat_cols:
+        return None
+    out: dict = {}
+    for c in stat_cols:
+        lo = hi = None
+        ok = True
+        for f in files:
+            fst = stats.get(f)
+            st = fst.get(c) if fst else None
+            if st is None:
+                ok = False
+                break
+            try:
+                lo = st[0] if lo is None else min(lo, st[0])
+                hi = st[1] if hi is None else max(hi, st[1])
+            except TypeError:
+                ok = False
+                break
+        out[c] = [lo, hi] if ok and lo is not None else None
+    return out
+
+
+def _write_chunks_py(table_path: str, files: list[str], stats: dict,
+                     born: dict, sizes: dict, stat_cols: list[str],
+                     chunk_size: int) -> tuple[list[dict], list[str]]:
+    """Write immutable manifest-chunk files for ``files`` (the
+    ``table._write_chunk`` layout, pure python); returns (snapshot
+    entries, written rel paths) — invisible until a published snapshot
+    references them, so a lost CAS leaves only vacuum-able orphans."""
+    import uuid
+
+    root = _local(table_path)
+    cdir = os.path.join(root, MANIFEST_DIR, "chunks")
+    os.makedirs(cdir, exist_ok=True)
+    entries: list[dict] = []
+    written: list[str] = []
+    ordered = sorted(files)
+    for i in range(0, len(ordered), chunk_size):
+        members = ordered[i:i + chunk_size]
+        rel = f"{MANIFEST_DIR}/chunks/mc-{uuid.uuid4().hex}.json"
+        doc = {
+            "files": members,
+            "stats": {f: stats.get(f) for f in members},
+            "born": {f: born[f] for f in members if f in born},
+            "sizes": {f: sizes[f] for f in members if f in sizes},
+        }
+        with open(os.path.join(root, rel), "w") as fh:
+            json.dump(doc, fh)
+        entry = {"file": rel, "n": len(members)}
+        ranges = _chunk_ranges_py(members, stats, stat_cols)
+        if ranges is not None:
+            entry["ranges"] = ranges
+        entries.append(entry)
+        written.append(rel)
+    return entries, written
+
+
 def _append_doc(cur: dict, v: int, new_files: list[str], stats: dict,
-                sizes: dict, stat_cols: list[str],
-                schema_json: dict) -> dict:
-    """Pure-append next-version doc: carry EVERY current file (the
-    ``update_key_ranges={}`` rule — an append makes no claim about
-    rows it didn't read, so concurrent commits never conflict);
-    deletes target only pre-existing files and renames self-limit by
-    birth version, so both carry verbatim."""
-    if "chunks" in cur or cur.get("constraints"):
+                sizes: dict, stat_cols: list[str], schema_json: dict,
+                table_path: str | None = None) -> tuple[dict, list[str]]:
+    """Pure-append next-version doc (plus any chunk files written for
+    it): carry EVERY current file (the ``update_key_ranges={}`` rule —
+    an append makes no claim about rows it didn't read, so concurrent
+    commits never conflict); deletes target only pre-existing files
+    and renames self-limit by birth version, so both carry verbatim.
+    A CHUNKED (v2) table appends by carrying every chunk entry by
+    reference and packing the new files into fresh chunk files —
+    per-commit metadata write cost stays O(new files), exactly
+    ``table._build_layout``'s contract."""
+    if cur.get("constraints"):
         raise ValueError(
-            "table state changed under the append (chunked/constrained); "
+            "prox_table writer does not enforce CHECK constraints; "
             "use table.commit_delta"
         )
+    if "chunks" in cur:
+        from prox_spark.table import CHUNK_SIZE
+
+        entries, written = _write_chunks_py(
+            table_path, new_files, stats, dict.fromkeys(new_files, v),
+            sizes, stat_cols, CHUNK_SIZE,
+        )
+        raw_entries = [
+            {k: e[k] for k in ("file", "n", "ranges") if k in e}
+            for e in cur["chunks"]
+        ]
+        doc = {
+            "version": v,
+            "chunks": [*raw_entries, *entries],
+            "stat_cols": stat_cols,
+            "schema": schema_json,
+        }
+        for k in ("deletes", "renames", "dropped_cols", "index_of",
+                  "cluster_curve", "stream_batches"):
+            if cur.get(k):
+                doc[k] = cur[k]
+        return doc, written
     keep = list(cur.get("files") or [])
     cur_stats = cur.get("stats") or {}
     cur_born = cur.get("born") or {}
@@ -474,7 +561,7 @@ def _append_doc(cur: dict, v: int, new_files: list[str], stats: dict,
               "cluster_curve", "stream_batches"):
         if cur.get(k):
             doc[k] = cur[k]
-    return doc
+    return doc, []
 
 
 def _publish_cas(table_path: str, doc: dict, v: int) -> bool:
@@ -523,11 +610,6 @@ class _ProxWriteCore:
             prev = None
         self.prev_version = int(prev["version"]) if prev else 0
         if prev is not None:
-            if "chunks" in prev:
-                raise ValueError(
-                    "prox_table writer does not support chunked "
-                    "manifests yet; use table.commit_delta"
-                )
             if prev.get("constraints"):
                 raise ValueError(
                     "prox_table writer does not enforce CHECK "
@@ -608,9 +690,12 @@ class ProxTableArrowWriter(_ProxWriteCore, DataSourceArrowWriter):
     applies to them), overwrite publishes a full snapshot. Per-file
     footer stats are gathered TASK-SIDE (the file is local to the
     task that wrote it — no driver metadata loop), so a 10k-task
-    write commits without serializing on footer IO. v1 writer scope
-    (refused loudly, use commit_delta instead): chunked manifests,
-    CHECK constraints, schema evolution on append."""
+    write commits without serializing on footer IO. Appends to a
+    CHUNKED (v2) table carry every chunk entry by reference and pack
+    only the new files into fresh chunk files — per-commit metadata
+    write cost stays O(new files) at the 10^7-file regime. Writer
+    scope (refused loudly, use commit_delta instead): CHECK
+    constraints, schema evolution on append."""
 
     def commit(self, messages):
         new_files, sizes, stats = _gather_messages(messages)
@@ -620,14 +705,25 @@ class ProxTableArrowWriter(_ProxWriteCore, DataSourceArrowWriter):
             except ValueError:
                 cur = None
             v = (int(cur["version"]) if cur else 0) + 1
+            chunk_orphans: list[str] = []
             if self.overwrite or cur is None:
                 doc = _snapshot_doc(v, new_files, stats, sizes,
                                     self.stat_cols, self.schema_json)
             else:
-                doc = _append_doc(cur, v, new_files, stats, sizes,
-                                  self.stat_cols, self.schema_json)
+                doc, chunk_orphans = _append_doc(
+                    cur, v, new_files, stats, sizes,
+                    self.stat_cols, self.schema_json, self.table_path,
+                )
             if _publish_cas(self.table_path, doc, v):
                 return
+            # lost the race: drop this attempt's chunk files (their
+            # recorded born version is stale) and rebuild against the
+            # winner's manifest
+            for rel in chunk_orphans:
+                try:
+                    os.unlink(os.path.join(self.table_path, rel))
+                except FileNotFoundError:
+                    pass
         raise OSError(
             f"commit to {self.table_path} lost the publish race "
             f"{self._MAX_CAS_RETRIES} times"
@@ -677,12 +773,15 @@ class ProxTableStreamWriter(_ProxWriteCore, DataSourceStreamArrowWriter):
                 self._drop_batch_files(messages)
                 return
             v = (int(cur["version"]) if cur else 0) + 1
+            chunk_orphans: list[str] = []
             if cur is None:
                 doc = _snapshot_doc(v, new_files, stats, sizes,
                                     self.stat_cols, self.schema_json)
             else:
-                doc = _append_doc(cur, v, new_files, stats, sizes,
-                                  self.stat_cols, self.schema_json)
+                doc, chunk_orphans = _append_doc(
+                    cur, v, new_files, stats, sizes,
+                    self.stat_cols, self.schema_json, self.table_path,
+                )
             # the fence and the data publish in ONE manifest rename —
             # no crash window where one landed without the other
             doc["stream_batches"] = {
@@ -690,6 +789,11 @@ class ProxTableStreamWriter(_ProxWriteCore, DataSourceStreamArrowWriter):
             }
             if _publish_cas(self.table_path, doc, v):
                 return
+            for rel in chunk_orphans:
+                try:
+                    os.unlink(os.path.join(self.table_path, rel))
+                except FileNotFoundError:
+                    pass
         raise OSError(
             f"stream commit to {self.table_path} lost the publish race "
             f"{self._MAX_CAS_RETRIES} times"

@@ -500,6 +500,57 @@ def test_reader_resolves_shallow_clone_foreign_entries(spark, tmp_path):
     assert a.filter(F.col("source") == "local").count() == 1
 
 
+def test_writer_appends_to_chunked_table(spark, tmp_path, monkeypatch):
+    """A writer append to a chunked (v2) table carries every existing
+    chunk entry BY REFERENCE (verbatim, never re-read) and packs only
+    the new files into fresh chunk files — and the JVM reader sees
+    exactly the union."""
+    import prox_spark.table as T
+    from prox_spark.table import commit_delta, read_manifest, read_table
+    from prox_spark.table_ds import manifest_py, register
+
+    monkeypatch.setattr(T, "CHUNK_THRESHOLD", 4)
+    monkeypatch.setattr(T, "CHUNK_SIZE", 2)
+    register(spark)
+    t = str(tmp_path / "chunkw")
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "source")
+    T.commit_snapshot(spark, t, docs.filter(F.col("doc_id") < 200),
+                      stat_cols=["doc_id"], n_files=4)
+    m = read_manifest(spark, t)
+    commit_delta(spark, t,
+                 docs.filter((F.col("doc_id") >= 200)
+                             & (F.col("doc_id") < 400)),
+                 list(m["files"]), stat_cols=["doc_id"], n_files=4)
+    before = manifest_py(t)
+    assert "chunks" in before
+    prev_entries = [e["file"] for e in before["chunks"]]
+    (
+        docs.filter(F.col("doc_id") >= 400)
+        .repartitionByRange(2, "doc_id")
+        .write.format("prox_table")
+        .mode("append")
+        .save(t)
+    )
+    after = manifest_py(t)
+    assert "chunks" in after
+    got_entries = [e["file"] for e in after["chunks"]]
+    # old entries carried verbatim, in order, plus >=1 fresh one
+    assert got_entries[: len(prev_entries)] == prev_entries
+    assert len(got_entries) > len(prev_entries)
+    # every fresh entry carries a doc_id range for chunk pruning
+    for e in after["chunks"][len(prev_entries):]:
+        assert e.get("ranges", {}).get("doc_id")
+    assert _diff(read_table(spark, t), docs) == 0
+    # born rides in the chunk files: the appended files' birth version
+    assert all(
+        after["born"][f] == after["version"]
+        for f in after["files"]
+        if f not in set(before["files"])
+    )
+
+
 def test_row_group_skipping_inside_surviving_files(spark, tmp_path):
     """Pushed ranges prune ROW GROUPS inside a file that survived the
     manifest prune (a point probe decodes only groups whose footer
