@@ -496,6 +496,15 @@ def _write_chunks_py(table_path: str, files: list[str], stats: dict,
     return entries, written
 
 
+# table-level metadata that survives EVERY routine commit
+# (table.commit_delta's carry list): constraints keep enforcing,
+# a clone's origin stays releasable, MV lineage and the IVF quantizer
+# ride until their owners override them
+_CARRY_ALWAYS = ("constraints", "cloned_from", "mv_of", "quantizer")
+_CARRY_APPEND = ("deletes", "renames", "dropped_cols", "index_of",
+                 "cluster_curve", "stream_batches", *_CARRY_ALWAYS)
+
+
 def _append_doc(cur: dict, v: int, new_files: list[str], stats: dict,
                 sizes: dict, stat_cols: list[str], schema_json: dict,
                 table_path: str | None = None) -> tuple[dict, list[str]]:
@@ -508,11 +517,6 @@ def _append_doc(cur: dict, v: int, new_files: list[str], stats: dict,
     reference and packing the new files into fresh chunk files —
     per-commit metadata write cost stays O(new files), exactly
     ``table._build_layout``'s contract."""
-    if cur.get("constraints"):
-        raise ValueError(
-            "prox_table writer does not enforce CHECK constraints; "
-            "use table.commit_delta"
-        )
     if "chunks" in cur:
         from prox_spark.table import CHUNK_SIZE
 
@@ -530,8 +534,7 @@ def _append_doc(cur: dict, v: int, new_files: list[str], stats: dict,
             "stat_cols": stat_cols,
             "schema": schema_json,
         }
-        for k in ("deletes", "renames", "dropped_cols", "index_of",
-                  "cluster_curve", "stream_batches"):
+        for k in _CARRY_APPEND:
             if cur.get(k):
                 doc[k] = cur[k]
         return doc, written
@@ -557,8 +560,7 @@ def _append_doc(cur: dict, v: int, new_files: list[str], stats: dict,
             **sizes,
         },
     }
-    for k in ("deletes", "renames", "dropped_cols", "index_of",
-              "cluster_curve", "stream_batches"):
+    for k in _CARRY_APPEND:
         if cur.get(k):
             doc[k] = cur[k]
     return doc, []
@@ -610,11 +612,6 @@ class _ProxWriteCore:
             prev = None
         self.prev_version = int(prev["version"]) if prev else 0
         if prev is not None:
-            if prev.get("constraints"):
-                raise ValueError(
-                    "prox_table writer does not enforce CHECK "
-                    "constraints; use table.commit_delta"
-                )
             if not self.overwrite:
                 declared = StructType.fromJson(prev["schema"])
                 want = {f.name: f.dataType for f in declared.fields}
@@ -676,6 +673,65 @@ class _ProxWriteCore:
             ignore_errors=True,
         )
 
+    def enforce_constraints(self, new_files: list[str]) -> None:
+        """CHECK-constraint enforcement on the commit's NEW bytes
+        (``table.commit_delta`` semantics: SQL CHECK — NULL passes,
+        only IS FALSE rows violate), run before any manifest publish.
+        The Python-DataSource commit executes in a worker process
+        with no SparkSession, so validation runs through DuckDB over
+        the written parquet (ANSI predicates — the dialect the
+        format's constraints use; an expression DuckDB cannot parse
+        fails LOUDLY rather than publishing unvalidated bytes). A
+        violation removes the written files and raises the counts."""
+        try:
+            cur = manifest_py(self.table_path)
+        except ValueError:
+            return
+        constraints = cur.get("constraints") or []
+        if not constraints or not new_files:
+            return
+        import duckdb
+
+        paths = [os.path.join(self.table_path, f) for f in new_files]
+        exprs = {c["name"]: c["expr"] for c in constraints}
+        sel = ", ".join(
+            f'count(*) FILTER (({e}) IS FALSE) AS "{n}"'
+            for n, e in exprs.items()
+        )
+        try:
+            con = duckdb.connect()
+            row = con.execute(
+                f"SELECT {sel} FROM read_parquet(?)", [paths]
+            ).fetchone()
+            names = list(exprs)
+            counts = dict(zip(names, row))
+        except Exception as ex:
+            for f in new_files:
+                try:
+                    os.unlink(os.path.join(self.table_path, f))
+                except FileNotFoundError:
+                    pass
+            raise ValueError(
+                f"{self.table_path} declares CHECK constraints this "
+                f"writer could not validate ({type(ex).__name__}: {ex}); "
+                "use table.commit_delta"
+            ) from ex
+        bad = {n: int(v) for n, v in counts.items() if v}
+        if bad:
+            for f in new_files:
+                try:
+                    os.unlink(os.path.join(self.table_path, f))
+                except FileNotFoundError:
+                    pass
+            raise ValueError(
+                f"commit to {self.table_path} violates CHECK "
+                "constraint(s) "
+                + ", ".join(
+                    f"{n} ({exprs[n]}): {v} row(s)"
+                    for n, v in sorted(bad.items())
+                )
+            )
+
 
 class ProxTableArrowWriter(_ProxWriteCore, DataSourceArrowWriter):
     """The batch WRITE half of the connector: each task streams its
@@ -699,6 +755,7 @@ class ProxTableArrowWriter(_ProxWriteCore, DataSourceArrowWriter):
 
     def commit(self, messages):
         new_files, sizes, stats = _gather_messages(messages)
+        self.enforce_constraints(new_files)
         for _ in range(self._MAX_CAS_RETRIES):
             try:
                 cur = manifest_py(self.table_path)
@@ -759,6 +816,7 @@ class ProxTableStreamWriter(_ProxWriteCore, DataSourceStreamArrowWriter):
 
     def commit(self, messages, batchId: int):  # noqa: N803 — Spark API
         new_files, sizes, stats = _gather_messages(messages)
+        self.enforce_constraints(new_files)
         for _ in range(self._MAX_CAS_RETRIES):
             try:
                 cur = manifest_py(self.table_path)

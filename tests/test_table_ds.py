@@ -618,6 +618,53 @@ def test_row_group_skipping_inside_surviving_files(spark, tmp_path):
     )
 
 
+def test_writer_enforces_check_constraints(spark, tmp_path):
+    """A writer append to a CHECK-constrained table validates the new
+    bytes before any manifest publish (commit_delta semantics: NULL
+    passes, IS FALSE violates) — a violating append lands nothing and
+    names the counts; a clean one publishes and CARRIES the
+    constraint entry forward."""
+    import pytest as _pytest
+
+    from prox_spark.table import (
+        add_constraint,
+        commit_snapshot,
+        read_manifest,
+        read_table,
+        table_versions,
+    )
+    from prox_spark.table_ds import register
+
+    register(spark)
+    t = str(tmp_path / "ctbl")
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "n_chars")
+    commit_snapshot(spark, t, docs, stat_cols=["doc_id"], n_files=2)
+    add_constraint(spark, t, "pos_len", "n_chars > 0")
+    head = table_versions(spark, t)[-1]
+    bad = spark.range(3).select(
+        (F.col("id") + 8_000_000).alias("doc_id"),
+        F.lit(-5).cast(dict(docs.dtypes)["n_chars"]).alias("n_chars"),
+    )
+    with _pytest.raises(Exception, match="pos_len"):
+        bad.write.format("prox_table").mode("append").save(t)
+    assert table_versions(spark, t)[-1] == head  # nothing landed
+    assert read_table(spark, t).filter(
+        F.col("doc_id") >= 8_000_000
+    ).count() == 0
+    good = spark.range(3).select(
+        (F.col("id") + 8_000_000).alias("doc_id"),
+        F.lit(7).cast(dict(docs.dtypes)["n_chars"]).alias("n_chars"),
+    )
+    good.write.format("prox_table").mode("append").save(t)
+    m = read_manifest(spark, t)
+    assert any(c["name"] == "pos_len" for c in m["constraints"])
+    assert read_table(spark, t).filter(
+        F.col("doc_id") >= 8_000_000
+    ).count() == 3
+
+
 def test_non_table_path_raises(spark, tmp_path):
     from prox_spark.table_ds import register
 
