@@ -613,18 +613,59 @@ class _ProxWriteCore:
         self.prev_version = int(prev["version"]) if prev else 0
         if prev is not None:
             if not self.overwrite:
+                merge = str(
+                    options.get("merge_schema", "false")
+                ).lower() == "true"
                 declared = StructType.fromJson(prev["schema"])
                 want = {f.name: f.dataType for f in declared.fields}
                 got = {f.name: f.dataType for f in schema.fields}
-                if want != got:
+                mismatched = [
+                    n for n in set(want) & set(got) if want[n] != got[n]
+                ]
+                added = [f for f in schema.fields if f.name not in want]
+                if mismatched or (added and not merge) or (
+                    not added and want != got and not merge
+                ):
                     raise ValueError(
                         f"append schema {sorted(got)} does not match the "
-                        f"declared table schema {sorted(want)}; evolve "
-                        "via table.commit_delta"
+                        f"declared table schema {sorted(want)}"
+                        + ("" if mismatched else
+                           "; set option('merge_schema', 'true') to add "
+                           "the new column(s)")
                     )
-                # the declared schema stays the table's: field order is
-                # the table's contract, parquet resolves by name
-                self.schema_json = prev["schema"]
+                if added:
+                    # ADD-COLUMN evolution (Delta mergeSchema parity):
+                    # the declared schema becomes declared + added; old
+                    # files read the new columns as typed nulls, zero
+                    # rewrite. Names that are a live rename SOURCE or a
+                    # dropped-but-unswept column are refused — the same
+                    # resurrection guards commit_delta enforces (which
+                    # can prove footers clean; this writer cannot, so
+                    # it stays conservative).
+                    names = {f.name for f in added}
+                    src = [
+                        r["from"] for r in prev.get("renames") or []
+                        if r["from"] in names
+                    ]
+                    dropped = [
+                        e["col"] for e in prev.get("dropped_cols") or []
+                        if e["col"] in names
+                    ]
+                    if src or dropped:
+                        raise ValueError(
+                            f"column(s) {sorted(src + dropped)} were "
+                            "renamed-from or dropped; run compact_table "
+                            "before reusing the name (commit_delta's "
+                            "resurrection guard)"
+                        )
+                    merged = StructType([*declared.fields, *added])
+                    self.schema_struct = merged
+                    self.schema_json = merged.jsonValue()
+                else:
+                    # the declared schema stays the table's: field
+                    # order is the table's contract, parquet resolves
+                    # by name
+                    self.schema_json = prev["schema"]
         if self.overwrite or prev is None:
             opt = options.get("stat_cols")
             inherited = (prev or {}).get("stat_cols") or []

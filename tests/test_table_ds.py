@@ -665,6 +665,49 @@ def test_writer_enforces_check_constraints(spark, tmp_path):
     ).count() == 3
 
 
+def test_writer_merge_schema_append(spark, tmp_path):
+    """option('merge_schema','true') on append: new columns extend the
+    declared schema (old files read them as typed nulls, zero
+    rewrite); without the option the mismatch refuses; a type CHANGE
+    on a common column always refuses."""
+    import pytest as _pytest
+
+    from prox_spark.table import read_table
+    from prox_spark.table_ds import register
+
+    register(spark)
+    t = str(tmp_path / "evolve")
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "source")
+    docs.write.format("prox_table").mode("overwrite").option(
+        "stat_cols", "doc_id"
+    ).save(t)
+    extra = spark.range(2).select(
+        (F.col("id") + 5_000_000).alias("doc_id"),
+        F.lit("new").alias("source"),
+        F.lit(3).cast("int").alias("tier"),
+    )
+    with _pytest.raises(Exception, match="merge_schema"):
+        extra.write.format("prox_table").mode("append").save(t)
+    extra.write.format("prox_table").mode("append").option(
+        "merge_schema", "true"
+    ).save(t)
+    got = read_table(spark, t)
+    assert got.columns == ["doc_id", "source", "tier"]
+    assert got.filter(F.col("tier").isNotNull()).count() == 2
+    assert got.filter(F.col("tier").isNull()).count() == docs.count()
+    # a type change on a common column refuses even with merge_schema
+    bad = spark.range(1).select(
+        F.lit("oops").alias("doc_id"), F.lit("x").alias("source"),
+        F.lit(1).cast("int").alias("tier"),
+    )
+    with _pytest.raises(Exception, match="does not match"):
+        bad.write.format("prox_table").mode("append").option(
+            "merge_schema", "true"
+        ).save(t)
+
+
 def test_non_table_path_raises(spark, tmp_path):
     from prox_spark.table_ds import register
 
