@@ -195,15 +195,13 @@ def _overlaps(fstats: dict | None, key_ranges: dict[str, tuple]) -> bool:
 
 
 class _TableFilePartition(InputPartition):
-    """One live data file: absolute path, the physical column name per
-    declared field (rename resolution done driver-side), and the
-    applicable equality-delete entries as (delete_file_abs, keys)."""
+    """A PACK of live data files scanned by one task. Each descriptor
+    is (abs path, physical column name per declared field — rename
+    resolution done driver-side, applicable equality-delete entries
+    as (delete_file_abs, keys))."""
 
-    def __init__(self, path: str, phys_names: list[str],
-                 deletes: list[tuple[str, list[str]]]):
-        self.path = path
-        self.phys_names = phys_names
-        self.deletes = deletes
+    def __init__(self, files: list[tuple[str, list[str], list]]):
+        self.files = files
 
 
 def _filter_ranges(filters) -> dict[str, tuple]:
@@ -242,12 +240,24 @@ def _filter_ranges(filters) -> dict[str, tuple]:
     }
 
 
+# one scan task reads up to this many bytes of packed small files —
+# Spark's own spark.sql.files.maxPartitionBytes default, applied to
+# the manifest's recorded sizes so a 10^6-small-file table doesn't
+# schedule 10^6 tasks (big files still get a task each; a file with
+# no recorded size conservatively fills its own partition)
+DEFAULT_MAX_PARTITION_BYTES = 128 * 1024 * 1024
+
+
 class ProxTableReader(DataSourceReader):
     def __init__(self, options, manifest: dict, table_path: str):
         self.table_path = table_path
         self.manifest = manifest
         self.schema_struct = StructType.fromJson(manifest["schema"])
         self.key_ranges: dict[str, tuple] = {}
+        self.max_partition_bytes = int(
+            options.get("max_partition_bytes",
+                        DEFAULT_MAX_PARTITION_BYTES)
+        )
 
     def pushFilters(self, filters):
         filters = list(filters)
@@ -272,7 +282,8 @@ class ProxTableReader(DataSourceReader):
         renames = list(m.get("renames") or [])
         born = m.get("born") or {}
         deletes = m.get("deletes") or []
-        parts = []
+        sizes = m.get("sizes") or {}
+        descs = []
         for f in files:
             # rename resolution: declared name walked backwards
             # through every entry applying to this file's birth
@@ -292,12 +303,29 @@ class ProxTableReader(DataSourceReader):
                 for d in deletes
                 if f in set(d["targets"])
             ]
-            parts.append(
-                _TableFilePartition(_abs(self.table_path, f), phys, dels)
+            descs.append(
+                (
+                    (_abs(self.table_path, f), phys, dels),
+                    sizes.get(f),
+                )
             )
+        # greedy size packing: consecutive small files share one task
+        # up to the byte budget; unknown sizes fill their own
+        parts: list[_TableFilePartition] = []
+        pack: list = []
+        budget = 0
+        for desc, size in descs:
+            cost = self.max_partition_bytes if size is None else int(size)
+            if pack and budget + cost > self.max_partition_bytes:
+                parts.append(_TableFilePartition(pack))
+                pack, budget = [], 0
+            pack.append(desc)
+            budget += cost
+        if pack:
+            parts.append(_TableFilePartition(pack))
         return parts
 
-    def matching_row_groups(self, pf, partition) -> list[int] | None:
+    def matching_row_groups(self, pf, phys_names) -> list[int] | None:
         """ROW-GROUP skipping inside a file that survived the manifest
         prune: the harvested filter ranges re-check against each row
         group's own footer min/max (the same ``_overlaps`` rule one
@@ -311,7 +339,7 @@ class ProxTableReader(DataSourceReader):
         name_map = dict(
             zip(
                 [f.name for f in self.schema_struct.fields],
-                partition.phys_names,
+                phys_names,
             )
         )
         md = pf.metadata
@@ -352,53 +380,70 @@ class ProxTableReader(DataSourceReader):
             # partitions() came back empty (every file pruned)
             return
         target = to_arrow_schema(self.schema_struct)
-        # applicable delete key sets, canonicalized to a string-joined
-        # composite key (tiny files — deletion batches are small by
-        # nature; loaded once per task, never shuffled)
-        del_sets: list[tuple[list[str], set]] = []
-        for dfile, keys in partition.deletes:
-            dt = pq.read_table(dfile, columns=keys)
-            joined = pc.binary_join_element_wise(
-                *[pc.cast(dt[k], pa.string()) for k in keys], "\x1f"
-            )
-            del_sets.append((keys, set(joined.to_pylist())))
-        pf = pq.ParquetFile(partition.path)
-        row_groups = self.matching_row_groups(pf, partition)
-        if row_groups is not None and not row_groups:
-            return  # every group provably excludes the pushed ranges
-        present = set(pf.schema_arrow.names)
-        read_cols = [n for n in partition.phys_names if n in present]
-        it = (
-            pf.iter_batches(columns=read_cols)
-            if row_groups is None
-            else pf.iter_batches(columns=read_cols, row_groups=row_groups)
-        )
-        for batch in it:
-            n = batch.num_rows
-            arrays = []
-            for fld, phys in zip(target, partition.phys_names):
-                if phys in present:
-                    arrays.append(pc.cast(batch.column(phys), fld.type))
-                else:
-                    # pre-evolution file: the added column reads as
-                    # typed nulls, no rewrite ever happened
-                    arrays.append(pa.nulls(n, fld.type))
-            out = pa.RecordBatch.from_arrays(arrays, schema=target)
-            for keys, keyset in del_sets:
-                if not keyset:
-                    continue
+        # per-delete-file key-set cache: packed files often share the
+        # same applicable delete entries (tiny files — deletion
+        # batches are small by nature; loaded once per task, never
+        # shuffled)
+        del_cache: dict[tuple, set] = {}
+
+        def del_set(dfile: str, keys: list[str]) -> set:
+            ck = (dfile, tuple(keys))
+            if ck not in del_cache:
+                dt = pq.read_table(dfile, columns=keys)
                 joined = pc.binary_join_element_wise(
-                    *[
-                        pc.cast(out.column(target.names.index(k)), pa.string())
-                        for k in keys
-                    ],
-                    "\x1f",
+                    *[pc.cast(dt[k], pa.string()) for k in keys], "\x1f"
                 )
-                mask = pc.invert(
-                    pc.is_in(joined, value_set=pa.array(sorted(keyset)))
+                del_cache[ck] = set(joined.to_pylist())
+            return del_cache[ck]
+
+        for path, phys_names, deletes in partition.files:
+            del_sets = [
+                (keys, del_set(dfile, keys)) for dfile, keys in deletes
+            ]
+            pf = pq.ParquetFile(path)
+            row_groups = self.matching_row_groups(pf, phys_names)
+            if row_groups is not None and not row_groups:
+                continue  # every group provably excludes the ranges
+            present = set(pf.schema_arrow.names)
+            read_cols = [n for n in phys_names if n in present]
+            it = (
+                pf.iter_batches(columns=read_cols)
+                if row_groups is None
+                else pf.iter_batches(
+                    columns=read_cols, row_groups=row_groups
                 )
-                out = out.filter(mask)
-            yield out
+            )
+            for batch in it:
+                n = batch.num_rows
+                arrays = []
+                for fld, phys in zip(target, phys_names):
+                    if phys in present:
+                        arrays.append(pc.cast(batch.column(phys), fld.type))
+                    else:
+                        # pre-evolution file: the added column reads
+                        # as typed nulls, no rewrite ever happened
+                        arrays.append(pa.nulls(n, fld.type))
+                out = pa.RecordBatch.from_arrays(arrays, schema=target)
+                for keys, keyset in del_sets:
+                    if not keyset:
+                        continue
+                    joined = pc.binary_join_element_wise(
+                        *[
+                            pc.cast(
+                                out.column(target.names.index(k)),
+                                pa.string(),
+                            )
+                            for k in keys
+                        ],
+                        "\x1f",
+                    )
+                    mask = pc.invert(
+                        pc.is_in(
+                            joined, value_set=pa.array(sorted(keyset))
+                        )
+                    )
+                    out = out.filter(mask)
+                yield out
 
 
 class _ProxWriteMessage(WriterCommitMessage):

@@ -74,11 +74,27 @@ def test_latest_covers_evolution_delete_rename(spark, tbl):
     ).first()[0] is not None  # rename resolved for pre-rename files
 
 
-def test_one_task_per_live_file(spark, tbl):
+def test_partition_packing_by_byte_budget(spark, tbl):
+    """Scan tasks pack small files up to max_partition_bytes (Spark's
+    maxPartitionBytes behavior over the manifest's recorded sizes):
+    the default budget collapses this tiny table to one task; a 1-byte
+    budget degenerates to one task per live file; both read the same
+    rows."""
+    from prox_spark.table import read_table
     from prox_spark.table_ds import manifest_py
 
-    df = spark.read.format("prox_table").load(tbl)
-    assert df.rdd.getNumPartitions() == len(manifest_py(tbl)["files"])
+    n_files = len(manifest_py(tbl)["files"])
+    assert n_files > 1
+    packed = spark.read.format("prox_table").load(tbl)
+    assert packed.rdd.getNumPartitions() == 1
+    per_file = (
+        spark.read.format("prox_table")
+        .option("max_partition_bytes", "1")
+        .load(tbl)
+    )
+    assert per_file.rdd.getNumPartitions() == n_files
+    assert _diff(packed, per_file) == 0
+    assert _diff(packed, read_table(spark, tbl)) == 0
 
 
 def test_pushed_filter_prunes_same_files_as_jvm_point_lookup(spark, tbl):
@@ -598,7 +614,7 @@ def test_row_group_skipping_inside_surviving_files(spark, tmp_path):
     rd.pushFilters([EqualTo(("doc_id",), 5)])
     parts = rd.partitions()
     assert len(parts) == 1
-    kept = rd.matching_row_groups(pf, parts[0])
+    kept = rd.matching_row_groups(pf, parts[0].files[0][1])
     assert kept is not None and 0 < len(kept) < pf.metadata.num_row_groups
     # ...and the end-to-end filtered read is still exact
     a = (
