@@ -852,6 +852,14 @@ class ProxTableArrowWriter(_ProxWriteCore, DataSourceArrowWriter):
             if self.overwrite or cur is None:
                 doc = _snapshot_doc(v, new_files, stats, sizes,
                                     self.stat_cols, self.schema_json)
+                # table-level metadata survives a full rewrite too
+                # (commit_delta carries these unconditionally):
+                # constraints keep enforcing, a clone's origin stays
+                # releasable; renames/deletes/dropped_cols clear — no
+                # old file remains for them to apply to
+                for k in _CARRY_ALWAYS:
+                    if cur and cur.get(k):
+                        doc[k] = cur[k]
             else:
                 doc, chunk_orphans = _append_doc(
                     cur, v, new_files, stats, sizes,

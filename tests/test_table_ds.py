@@ -679,6 +679,14 @@ def test_writer_enforces_check_constraints(spark, tmp_path):
     assert read_table(spark, t).filter(
         F.col("doc_id") >= 8_000_000
     ).count() == 3
+    # ...and an OVERWRITE both enforces and CARRIES the constraint
+    # (commit_delta parity: table-level metadata survives rewrites)
+    with _pytest.raises(Exception, match="pos_len"):
+        bad.write.format("prox_table").mode("overwrite").save(t)
+    good.write.format("prox_table").mode("overwrite").save(t)
+    m2 = read_manifest(spark, t)
+    assert any(c["name"] == "pos_len" for c in m2["constraints"])
+    assert read_table(spark, t).count() == 3
 
 
 def test_writer_merge_schema_append(spark, tmp_path):
