@@ -211,11 +211,35 @@ def serve_quantile_by(
     ≤k-rows-per-group sample plus a read-time fold of an insert-only
     uncovered window; a window with delete echoes falls through (a
     hash sample cannot retract). Returns ``(frame, path_or_None)``
-    with columns (keys..., est_q); the fallback is the exact
-    interpolated percentile over the base (same schema)."""
+    with columns (keys..., est_q) for a scalar ``q``, or the LONG form
+    (keys..., q, est_q) when ``q`` is a list/tuple — every requested
+    quantile interpolates over the sample in ONE pass (percentile
+    takes the whole array). The fallback is the exact interpolated
+    percentile over the base (same schema either way)."""
     from prox_spark.queries.search import postings_feed
 
     keys = list(keys)
+    multi = isinstance(q, (list, tuple))
+    q_list = [float(x) for x in q] if multi else [float(q)]
+    q_arr = "array(" + ", ".join(repr(x) for x in q_list) + ")"
+
+    def _quantile_agg(df, vexpr: str):
+        if not multi:
+            return df.groupBy(*keys).agg(
+                F.round(
+                    F.expr(f"percentile({vexpr}, {q_list[0]!r})"), 6
+                ).alias("est_q")
+            )
+        out = (
+            df.groupBy(*keys)
+            .agg(F.expr(f"percentile({vexpr}, {q_arr})").alias("_e"))
+            .select(
+                *keys, F.posexplode("_e").alias("_i", "_est")
+            )
+            .withColumn("q", F.expr(q_arr)[F.col("_i")])
+            .select(*keys, "q", F.round("_est", 6).alias("est_q"))
+        )
+        return out
     for ent in list_artifacts(spark, registry_path):
         if (
             ent["kind"] != "quantile_sketch"
@@ -244,27 +268,11 @@ def serve_quantile_by(
                     sk.unionByName(_qsk_u_frame(feed, key, col, keys)),
                     keys, k,
                 )
-            out = sk.groupBy(*keys).agg(
-                F.round(F.expr(f"percentile(v, {float(q)!r})"), 6).alias(
-                    "est_q"
-                )
-            )
-            if keys:
-                out = out.select(*keys, "est_q")
-            else:
-                out = out.select("est_q")
-            return out, art
+            return _quantile_agg(sk, "v"), art
         except Exception:  # noqa: BLE001 — unreadable sketch: fall back
             continue
-    exact = (
-        read_table(spark, base_path)
-        .groupBy(*keys)
-        .agg(
-            F.round(
-                F.expr(f"percentile(cast({col} as double), {float(q)!r})"),
-                6,
-            ).alias("est_q")
-        )
+    exact = _quantile_agg(
+        read_table(spark, base_path), f"cast({col} as double)"
     )
     return exact, None
 
@@ -726,7 +734,8 @@ def serve_aggregate(
     if quantile is not None:
         col, q = quantile
         return serve_quantile_by(
-            spark, registry_path, base_path, col, float(q), keys
+            spark, registry_path, base_path, col,
+            q if isinstance(q, (list, tuple)) else float(q), keys,
         )
 
     candidates = [

@@ -953,6 +953,25 @@ def test_quantile_sketch_serves_folds_and_recomputes(spark):
     )
     assert hit4 == gq and out4.columns == ["est_q"]
     assert out4.count() == 1
+    # MULTI-quantile: one sample pass serves every requested q, long
+    # form (keys..., q, est_q), each row equal to its scalar twin
+    out5, hit5 = serve_aggregate(
+        spark, reg, base, ["src"], [],
+        quantile=("n", [0.25, 0.5, 0.75]),
+    )
+    assert hit5 == qsk and out5.columns == ["src", "q", "est_q"]
+    rows5 = {(r["src"], r["q"]): r["est_q"] for r in out5.collect()}
+    assert len(rows5) == 4 * 3  # 4 sources x 3 quantiles
+    for qq in (0.25, 0.5, 0.75):
+        single, _ = serve_quantile_by(spark, reg, base, "n", qq, ["src"])
+        for r in single.collect():
+            assert rows5[(r["src"], qq)] == r["est_q"]
+    # multi-q exact fallback keeps the same long-form schema
+    out6, hit6 = serve_quantile_by(
+        spark, reg, base, "doc_id", [0.1, 0.9], ["src"]
+    )
+    assert hit6 is None and out6.columns == ["src", "q", "est_q"]
+    assert out6.count() == 8
 
 
 def test_nd_pairs_maintenance_handles_updates(spark):
