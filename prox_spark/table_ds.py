@@ -213,10 +213,15 @@ def _filter_ranges(filters) -> dict[str, tuple]:
 
     def bound(col: str, lo, hi):
         cur = ranges.setdefault(col, [None, None])
-        if lo is not None and (cur[0] is None or lo > cur[0]):
-            cur[0] = lo
-        if hi is not None and (cur[1] is None or hi < cur[1]):
-            cur[1] = hi
+        try:
+            if lo is not None and (cur[0] is None or lo > cur[0]):
+                cur[0] = lo
+            if hi is not None and (cur[1] is None or hi < cur[1]):
+                cur[1] = hi
+        except TypeError:
+            # incomparable values across predicates on one column:
+            # give up pruning on it (Spark re-applies the filters)
+            ranges[col] = [None, None]
 
     for f in filters:
         attr = getattr(f, "attribute", None)
