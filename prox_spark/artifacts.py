@@ -55,7 +55,7 @@ from prox_spark.table import is_manifest_table, read_manifest, read_table
 _SCHEMA = "artifact string, kind string, base string, params string"
 KINDS = (
     "mv", "join_mv", "value_index", "bounded_postings", "ivf", "postings",
-    "kmv", "nd_pairs", "quantile_sketch",
+    "kmv", "nd_pairs", "quantile_sketch", "cms",
 )
 
 # KMV sketch size (q209's constant): k minimum md5-derived unit-interval
@@ -153,11 +153,19 @@ def _qsk_u_frame(df, key: str, val: str, keys: list[str] = ()):
 def _qsk_topk(values, keys: list[str], k: int = QSK_K):
     """The per-group (or global) k sample rows with the smallest u,
     DISTRIBUTED — the _kmv_topk shape carrying the value column.
-    Rows dedupe on (keys, u): one row key appears once per fold
-    (re-inserted keys arrive via delete echoes, which recompute)."""
+    Rows dedupe on (keys, u) with a DETERMINISTIC tie-break (max v):
+    re-inserted keys normally arrive via delete echoes (recompute
+    path), but an insert-only window CAN re-append a key with a new
+    value — u hashes only the key, so the stored and feed rows
+    collide on u and an arbitrary-keep would make the served
+    estimate nondeterministic."""
     from pyspark.sql import Window
 
-    values = values.select(*keys, "u", "v").dropDuplicates([*keys, "u"])
+    values = (
+        values.select(*keys, "u", "v")
+        .groupBy(*keys, "u")
+        .agg(F.max("v").alias("v"))
+    )
     if not keys:
         return values.orderBy("u").limit(k)
     w = Window.partitionBy(*keys).orderBy("u")
@@ -277,6 +285,228 @@ def serve_quantile_by(
     return exact, None
 
 
+# CMS heavy-hitter artifact: q174's D×W md5-bucketed counter grid
+# (parametrized width) PLUS a capacity-bounded CANDIDATE list, stored
+# in ONE manifest table so grid, candidates, and coverage replace
+# atomically. Grid rows carry d ∈ [0, D); candidate rows ride as
+# d = -2 with the item in ``tok``. The grid is elementwise-additive
+# (folding a window is union + re-sum — the q189 streaming-merge
+# argument), and every estimate is min over D md5 buckets — exact
+# integer arithmetic, so served values are oracle-reproducible.
+# Candidate maintenance is the standard CMS+heap heavy-hitter recipe:
+# after each fold, keep the ``cand_k`` items with the largest grid
+# estimates among (stored candidates ∪ the window's distinct items).
+# An evicted item's true count is ≤ the cand_k-th estimate at
+# eviction time (estimates never under-count), the usual guarantee;
+# a corpus whose item vocabulary fits in cand_k loses nothing.
+CMS_SERVE_D = 4
+CMS_SERVE_W = 16
+CMS_CAND_K = 64
+
+
+def _cms_items(df, col: str, tokens: bool):
+    """One ``tok`` string row per counted occurrence: the column's
+    value, or (``tokens``) its lowercased whitespace tokens — q174's
+    tokenization, applied to an arbitrary text column."""
+    if tokens:
+        return df.select(
+            F.explode(
+                F.expr(f"split(lower(trim({col})), '\\\\s+')")
+            ).alias("tok")
+        )
+    return df.select(F.col(col).cast("string").alias("tok"))
+
+
+def _cms_counts(items):
+    return items.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+
+def _cms_grid(cnt, d: int, w: int):
+    """(d, bucket, c) grid rows from per-item counts: one partial-agg
+    per hash row over the vocabulary aggregate (equivalent to
+    per-occurrence increments), ≤ d×w rows total."""
+    from functools import reduce
+
+    from prox_spark.queries.text import _cms_bucket_spark
+
+    rows = [
+        cnt.select(
+            F.lit(dd).cast("int").alias("d"),
+            F.expr(_cms_bucket_spark(dd, w)).cast("long").alias("bucket"),
+            F.col("cnt").alias("c"),
+        )
+        for dd in range(d)
+    ]
+    return (
+        reduce(lambda a, b: a.unionByName(b), rows)
+        .groupBy("d", "bucket")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+
+
+def _cms_estimates(toks, grid, d: int, w: int):
+    """(tok, est_cnt): min over the D bucket counters each tok hashes
+    to — ≥ the true count by construction (the q174 probe). The grid
+    is ≤ d×w rows (kilobytes at any corpus size): a safe broadcast."""
+    from prox_spark.queries.text import _cms_bucket_spark
+
+    probes = toks.select(
+        "tok",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(dd).cast("int").alias("d"),
+                    F.expr(_cms_bucket_spark(dd, w))
+                    .cast("long")
+                    .alias("bucket"),
+                )
+                for dd in range(d)
+            ])
+        ).alias("p"),
+    ).select("tok", "p.d", "p.bucket")
+    return (
+        probes.join(F.broadcast(grid), ["d", "bucket"])
+        .groupBy("tok")
+        .agg(F.min("c").cast("long").alias("est_cnt"))
+    )
+
+
+def _cms_topc(toks, grid, d: int, w: int, cand_k: int):
+    """The cand_k candidate toks with the largest grid estimates
+    (ties by tok) — a true distributed top-k (TakeOrderedAndProject)
+    over a (candidates ∪ window-vocabulary)-bounded input."""
+    return (
+        _cms_estimates(toks.distinct(), grid, d, w)
+        .orderBy(F.desc("est_cnt"), F.asc("tok"))
+        .limit(int(cand_k))
+        .select("tok")
+    )
+
+
+def _cms_artifact_frame(grid, cands):
+    g = grid.select(
+        "d", "bucket", "c", F.lit(None).cast("string").alias("tok")
+    )
+    c = cands.select(
+        F.lit(-2).cast("int").alias("d"),
+        F.lit(0).cast("long").alias("bucket"),
+        F.lit(0).cast("long").alias("c"),
+        F.col("tok").cast("string").alias("tok"),
+    )
+    return g.unionByName(c)
+
+
+def build_cms_sketch(
+    spark: SparkSession,
+    base_path: str,
+    col: str,
+    sketch_path: str,
+    d: int = CMS_SERVE_D,
+    w: int = CMS_SERVE_W,
+    cand_k: int = CMS_CAND_K,
+    tokens: bool = False,
+) -> None:
+    """Materialize the CMS heavy-hitter sketch of ``base_path.col``
+    (column values, or its whitespace tokens with ``tokens``) as a
+    manifest table — grid + candidates + covered base version
+    (``index_of`` lineage) in ONE commit. One vocabulary partial-agg
+    over the base; the artifact is ≤ d×w + cand_k rows regardless of
+    corpus size."""
+    from prox_spark.table import commit_snapshot
+
+    head = int(read_manifest(spark, base_path)["version"])
+    cnt = _cms_counts(
+        _cms_items(read_table(spark, base_path), col, tokens)
+    ).persist()  # grid + candidate branches share ONE corpus scan
+    try:
+        grid = _cms_grid(cnt, d, w)
+        cands = _cms_topc(cnt.select("tok"), grid, d, w, cand_k)
+        commit_snapshot(
+            spark, sketch_path, _cms_artifact_frame(grid, cands),
+            extra_meta={"index_of": {"base": base_path, "version": head}},
+        )
+    finally:
+        cnt.unpersist()
+
+
+def serve_topk(
+    spark: SparkSession,
+    registry_path: str,
+    base_path: str,
+    col: str,
+    k: int,
+    tokens: bool = False,
+):
+    """Registry-routed HEAVY HITTERS: serve the top-``k`` most
+    frequent items of ``base_path.col`` (column values, or its
+    whitespace tokens with ``tokens``) from a registered ``cms``
+    artifact — stored candidates probed against the stored grid, plus
+    a read-time additive fold of an insert-only uncovered window; a
+    window with delete echoes falls through (candidate eviction is
+    not retractable). Returns ``(frame, sketch_path_or_None)`` with
+    columns (tok, est_cnt), ranked est_cnt DESC, tok ASC; the
+    fallback is the exact top-k count (same schema — an exact count
+    IS a valid CMS estimate)."""
+    from prox_spark.queries.search import postings_feed
+
+    tokens = bool(tokens)
+    for ent in list_artifacts(spark, registry_path):
+        if (
+            ent["kind"] != "cms"
+            or ent["base"] != base_path
+            or ent["params"].get("col") != col
+            or bool(ent["params"].get("tokens")) != tokens
+        ):
+            continue
+        art = ent["artifact"]
+        p = ent["params"]
+        d = int(p.get("d", CMS_SERVE_D))
+        w = int(p.get("w", CMS_SERVE_W))
+        try:
+            covered = _covered_version(spark, ent, art)
+            head = int(read_manifest(spark, base_path)["version"])
+            stored = read_table(spark, art)
+            grid = stored.filter(F.col("d") >= 0).select(
+                "d", "bucket", "c"
+            )
+            cands = stored.filter(F.col("d") == -2).select("tok")
+            if head > covered:
+                feed = postings_feed(
+                    spark, base_path, covered, head, text_col=col,
+                    since=int(p.get("since", covered)),
+                )
+                if feed.filter(
+                    F.col("_change_type") == "delete"
+                ).limit(1).count():
+                    continue  # deletes: eviction cannot retract
+                bcnt = _cms_counts(_cms_items(feed, col, tokens))
+                grid = (
+                    grid.unionByName(_cms_grid(bcnt, d, w))
+                    .groupBy("d", "bucket")
+                    .agg(F.sum("c").cast("long").alias("c"))
+                )
+                cands = cands.unionByName(
+                    bcnt.select("tok")
+                ).distinct()
+            return (
+                _cms_estimates(cands, grid, d, w)
+                .orderBy(F.desc("est_cnt"), F.asc("tok"))
+                .limit(int(k)),
+                art,
+            )
+        except Exception:  # noqa: BLE001 — unreadable sketch: fall back
+            continue
+    exact = _cms_counts(
+        _cms_items(read_table(spark, base_path), col, tokens)
+    ).withColumnRenamed("cnt", "est_cnt")
+    return (
+        exact.orderBy(F.desc("est_cnt"), F.asc("tok")).limit(int(k)),
+        None,
+    )
+
+
 def _kmv_estimate(rows: list[float], k: int) -> float:
     """(k−1)/u_k when the sketch is full; a sketch holding fewer than
     k values has seen EVERY distinct value — the exact count."""
@@ -360,7 +590,8 @@ def register_artifact(
         raise ValueError(f"unknown artifact kind {kind!r}; one of {KINDS}")
     params = dict(params or {})
     if (
-        kind in ("bounded_postings", "postings", "kmv", "quantile_sketch")
+        kind in ("bounded_postings", "postings", "kmv", "quantile_sketch",
+                 "cms")
         and "since" not in params
     ):
         # freeze the rename-resolution window's low bound at
@@ -606,6 +837,78 @@ def _maintain_one(spark: SparkSession, ent: dict) -> dict:
         )
         return {"status": "refreshed", "covered": head, "mode": mode,
                 "params_update": {"covered": head}}
+    if kind == "cms":
+        from prox_spark.queries.search import postings_feed
+        from prox_spark.table import commit_delta
+
+        col = params["col"]
+        tokens = bool(params.get("tokens"))
+        d = int(params.get("d", CMS_SERVE_D))
+        w = int(params.get("w", CMS_SERVE_W))
+        cand_k = int(params.get("cand_k", CMS_CAND_K))
+        covered = _covered_version(spark, ent, art)
+        head = int(read_manifest(spark, base)["version"])
+        if head == covered:
+            return {"status": "noop", "covered": covered}
+        feed = postings_feed(
+            spark, base, covered, head, text_col=col,
+            since=int(params.get("since", covered)),
+        )
+        mode = "fold"
+        if feed.filter(F.col("_change_type") == "delete").limit(1).count():
+            # the grid could subtract (CMS is linear), but an EVICTED
+            # candidate cannot be restored when rivals shrink:
+            # recompute from the head — still ≤ d×w + cand_k rows out
+            mode = "recompute"
+            cnt = _cms_counts(
+                _cms_items(
+                    read_table(spark, base, version=head), col, tokens
+                )
+            ).persist()
+            try:
+                grid = _cms_grid(cnt, d, w)
+                cands = _cms_topc(cnt.select("tok"), grid, d, w, cand_k)
+                fresh = _cms_artifact_frame(grid, cands)
+                prev = read_manifest(spark, art)
+                commit_delta(
+                    spark, art, fresh, [],
+                    base_version=int(prev["version"]),
+                    index_of={"base": base, "version": head},
+                )
+            finally:
+                cnt.unpersist()
+        else:
+            stored = read_table(spark, art)
+            bcnt = _cms_counts(_cms_items(feed, col, tokens)).persist()
+            try:
+                grid = (
+                    stored.filter(F.col("d") >= 0)
+                    .select("d", "bucket", "c")
+                    .unionByName(_cms_grid(bcnt, d, w))
+                    .groupBy("d", "bucket")
+                    .agg(F.sum("c").cast("long").alias("c"))
+                )
+                # the CMS+heap step: re-rank stored candidates ∪ the
+                # window's vocabulary by the FOLDED grid's estimates
+                pool = (
+                    stored.filter(F.col("d") == -2)
+                    .select("tok")
+                    .unionByName(bcnt.select("tok"))
+                    .distinct()
+                )
+                cands = _cms_topc(pool, grid, d, w, cand_k)
+                fresh = _cms_artifact_frame(grid, cands)
+                prev = read_manifest(spark, art)
+                # grid + candidates + bumped coverage in ONE rename
+                commit_delta(
+                    spark, art, fresh, [],
+                    base_version=int(prev["version"]),
+                    index_of={"base": base, "version": head},
+                )
+            finally:
+                bcnt.unpersist()
+        return {"status": "refreshed", "covered": head, "mode": mode,
+                "params_update": {"covered": head}}
     if kind == "ivf":
         k = int(params.get("k", 8))
         threshold = float(params.get("imbalance", 3.0))
@@ -684,7 +987,7 @@ def vacuum_with_registry(
                     pins.add(int(meta["version"]))
             elif (
                 kind in ("bounded_postings", "postings", "kmv", "nd_pairs",
-                         "quantile_sketch")
+                         "quantile_sketch", "cms")
                 and ent["base"] == base_path
             ):
                 meta_path = (

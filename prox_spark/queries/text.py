@@ -3036,22 +3036,22 @@ CMS_W = 16    # counters per row (vocab here is tiny; small W makes collisions r
 CMS_TOPK = 20
 
 
-def _cms_bucket_spark(d: int) -> str:
+def _cms_bucket_spark(d: int, w: int | None = None) -> str:
     hx = " + ".join(
         f"(locate(substring(md5(concat('{d}|', tok)), {i + 1}, 1), "
         f"'0123456789abcdef') - 1) * {16 ** (3 - i)}"
         for i in range(4)
     )
-    return f"cast({hx} as long) % {CMS_W}"
+    return f"cast({hx} as long) % {CMS_W if w is None else int(w)}"
 
 
-def _cms_bucket_duck(d: int) -> str:
+def _cms_bucket_duck(d: int, w: int | None = None) -> str:
     hx = " + ".join(
         f"(strpos('0123456789abcdef', substring(md5('{d}|' || tok), {i + 1}, 1)) - 1)"
         f" * {16 ** (3 - i)}"
         for i in range(4)
     )
-    return f"CAST({hx} AS BIGINT) % {CMS_W}"
+    return f"CAST({hx} AS BIGINT) % {CMS_W if w is None else int(w)}"
 
 
 # per-process cache of the persisted vocab-count frame (see q174 body)
@@ -4394,6 +4394,12 @@ def q206_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # caller's own count/collect on the returned frame must not
     # replay the assignment scans (nor pay a Python-RDD round-trip,
     # which createDataFrame(rows) would)
+    schema = (
+        "split string, n_docs bigint, n_clusters bigint, "
+        "cross_split_pairs bigint, naive_cross_pairs bigint"
+    )
+    if not per_split:  # empty corpus: VALUES () would be a parse error
+        return spark.createDataFrame([], schema)
     vals = ", ".join(
         f"('{r['split']}', CAST({int(r['n_docs'])} AS BIGINT), "
         f"CAST({int(r['n_clusters'])} AS BIGINT), "

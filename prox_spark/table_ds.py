@@ -178,16 +178,20 @@ def _abs(table_path: str, entry: str) -> str:
 
 
 def _overlaps(fstats: dict | None, key_ranges: dict[str, tuple]) -> bool:
-    """``table._overlaps`` verbatim: disjointness on ANY column proves
-    the file holds no matching tuple; unknown stats never prune."""
+    """``table._overlaps`` semantics with explicit one-sided bounds:
+    ``(lo, None)`` means [lo, +inf), ``(None, hi)`` means (-inf, hi].
+    Disjointness on ANY column proves the file holds no matching
+    tuple; unknown stats never prune."""
     if fstats is None:
         return True
     for col, (lo, hi) in key_ranges.items():
         fr = fstats.get(col)
-        if fr is None or lo is None:
+        if fr is None:
             continue
         try:
-            if fr[1] < lo or fr[0] > hi:
+            if (lo is not None and fr[1] < lo) or (
+                hi is not None and fr[0] > hi
+            ):
                 return False
         except TypeError:
             continue
@@ -239,9 +243,14 @@ def _filter_ranges(filters) -> dict[str, tuple]:
                 bound(col, min(f.value), max(f.value))
             except TypeError:
                 continue
+    # one-sided intervals STAY one-sided — (lo, None) = [lo, +inf),
+    # (None, hi) = (-inf, hi]; collapsing them to point intervals
+    # would prune files that entirely MATCH the predicate (e.g. a
+    # lone GreaterThan(col, 5) must not drop a file with stats (6, 9))
     return {
-        c: (lo if lo is not None else hi, hi if hi is not None else lo)
+        c: (lo, hi)
         for c, (lo, hi) in ranges.items()
+        if lo is not None or hi is not None
     }
 
 
@@ -360,11 +369,13 @@ class ProxTableReader(DataSourceReader):
             admit = True
             for col, (lo, hi) in self.key_ranges.items():
                 phys = name_map.get(col)
-                if phys is None or phys not in rg_stats or lo is None:
+                if phys is None or phys not in rg_stats:
                     continue
                 mn, mx = rg_stats[phys]
                 try:
-                    if mx < lo or mn > hi:
+                    if (lo is not None and mx < lo) or (
+                        hi is not None and mn > hi
+                    ):
                         admit = False
                         break
                 except TypeError:  # incomparable stat types
@@ -1006,6 +1017,14 @@ class ProxTableDataSource(DataSource):
         return ProxTableArrowWriter(self.options, schema, overwrite)
 
     def streamWriter(self, schema, overwrite) -> ProxTableStreamWriter:
+        if overwrite:
+            # outputMode complete/update asks for truncate semantics;
+            # this sink only appends (batch-id fenced) — appending
+            # every micro-batch's full state would silently duplicate
+            raise ValueError(
+                "prox_table streaming sink is append-only: use "
+                "outputMode('append'), not complete/update"
+            )
         return ProxTableStreamWriter(self.options, schema)
 
 

@@ -1213,3 +1213,26 @@ def test_grouped_kmv_serves_per_group(spark):
     assert r2[kmv]["mode"] == "recompute"
     got4, hit4 = served()
     assert hit4 == kmv and got4 == fresh()
+
+
+def test_qsk_topk_duplicate_key_tiebreak_deterministic(spark):
+    """An insert-only fold can re-append a row key with a NEW value;
+    the stored sample row and the feed row then share u (u hashes the
+    key only). The sample must keep ONE deterministically-chosen v
+    (max), not an arbitrary partition-order survivor."""
+    from prox_spark.artifacts import _qsk_topk
+
+    dup = spark.createDataFrame(
+        [("a", 0.25, 10.0), ("a", 0.25, 3.0), ("a", 0.75, 5.0),
+         ("b", 0.5, 7.0), ("b", 0.5, 9.0)],
+        "g string, u double, v double",
+    )
+    for _ in range(3):  # stable across replans/partitionings
+        got = sorted(
+            map(tuple, _qsk_topk(dup.repartition(5), ["g"], 4).collect())
+        )
+        assert got == [("a", 0.25, 10.0), ("a", 0.75, 5.0),
+                       ("b", 0.5, 9.0)]
+    # global (no keys) path too
+    got = sorted(map(tuple, _qsk_topk(dup.select("u", "v"), [], 4).collect()))
+    assert got == [(0.25, 10.0), (0.5, 9.0), (0.75, 5.0)]

@@ -147,6 +147,51 @@ def test_filtered_read_correct_under_pruning(spark, tbl):
     assert _diff(a, b) == 0
 
 
+def test_one_sided_pushed_filter_keeps_matching_files(spark, tbl):
+    """A LONE >, >=, <, <= pushed through format() must stay a
+    one-sided interval — collapsing it to a point interval prunes
+    files that entirely MATCH (a file with stats (6, 9) under
+    doc_id > 5)."""
+    from pyspark.sql.datasource import GreaterThan, LessThanOrEqual
+
+    from prox_spark.table import read_table
+    from prox_spark.table_ds import (
+        ProxTableReader,
+        _filter_ranges,
+        _overlaps,
+        manifest_py,
+    )
+
+    # unit: the harvested interval keeps its open side, and a file
+    # wholly above a lone lower bound is NOT pruned
+    assert _filter_ranges([GreaterThan(("doc_id",), 5)]) == {
+        "doc_id": (5, None)
+    }
+    assert _filter_ranges([LessThanOrEqual(("doc_id",), 5)]) == {
+        "doc_id": (None, 5)
+    }
+    assert _overlaps({"doc_id": (6, 9)}, {"doc_id": (5, None)})
+    assert not _overlaps({"doc_id": (6, 9)}, {"doc_id": (None, 5)})
+    assert not _overlaps({"doc_id": (1, 4)}, {"doc_id": (5, None)})
+
+    # end-to-end parity: pruned format() read == read_table, and the
+    # lone upper bound really prunes the high (appended) files
+    for cond in [
+        F.col("doc_id") > 5,
+        F.col("doc_id") >= 100,
+        F.col("doc_id") < 300,
+        F.col("doc_id") <= 200,
+    ]:
+        a = spark.read.format("prox_table").load(tbl).filter(cond)
+        b = read_table(spark, tbl).filter(cond)
+        assert _diff(a, b) == 0, str(cond)
+    mm = manifest_py(tbl)
+    rd = ProxTableReader({}, mm, tbl)
+    full = rd.pruned_files()
+    list(rd.pushFilters([LessThanOrEqual(("doc_id",), 200)]))
+    assert 0 < len(rd.pruned_files()) < len(full)
+
+
 def test_branch_ref_read(spark, tbl):
     from prox_spark.table import (
         commit_delta,
@@ -293,6 +338,22 @@ def test_writer_concurrent_appends_both_land(spark, tmp_path):
     assert not errs, errs
     assert table_versions(spark, t) == [1, 2, 3]
     assert _diff(read_table(spark, t), docs) == 0
+
+
+def test_stream_sink_rejects_truncate_output_modes(spark, tmp_path):
+    """The sink is append-only: outputMode complete/update (truncate
+    semantics, overwrite=True at streamWriter) must raise rather than
+    silently append every micro-batch's full state."""
+    from pyspark.sql.types import StructType
+
+    from prox_spark.table_ds import ProxTableDataSource
+
+    ds = ProxTableDataSource({"path": str(tmp_path / "nosuch")})
+    schema = StructType.fromDDL("doc_id BIGINT")
+    with pytest.raises(ValueError, match="append-only"):
+        ds.streamWriter(schema, True)
+    # append mode still constructs
+    assert ds.streamWriter(schema, False) is not None
 
 
 def test_stream_sink_exactly_once(spark, tmp_path):
