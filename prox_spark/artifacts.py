@@ -1021,6 +1021,7 @@ def serve_aggregate(
     maxs: list[str] = (),
     avgs: list[str] = (),
     quantile: tuple[str, float] | None = None,
+    topk: tuple | None = None,
 ):
     """Registry-integrated auto-rewrite: discover the base's
     registered views and route a count/sum(/min/max/avg) aggregate to
@@ -1029,9 +1030,12 @@ def serve_aggregate(
     AVG derives exactly from any covering count+sum view); direct base
     aggregate otherwise. Returns ``(frame, matched_mv_or_None)``.
     A ``quantile=(col, q)`` request routes through a registered
-    quantile sketch (:func:`serve_quantile_by`); approx-distinct
-    requests route separately through :func:`serve_distinct` /
-    :func:`serve_distinct_by` (KMV sketch artifacts)."""
+    quantile sketch (:func:`serve_quantile_by`); a ``topk=(col, k)``
+    — or ``(col, k, tokens)`` — frequency/heavy-hitter request routes
+    through a registered CMS artifact (:func:`serve_topk`);
+    approx-distinct requests route separately through
+    :func:`serve_distinct` / :func:`serve_distinct_by` (KMV sketch
+    artifacts)."""
     from prox_spark.mv import rewrite_aggregate
 
     if quantile is not None:
@@ -1039,6 +1043,12 @@ def serve_aggregate(
         return serve_quantile_by(
             spark, registry_path, base_path, col,
             q if isinstance(q, (list, tuple)) else float(q), keys,
+        )
+    if topk is not None:
+        col, k, *rest = topk
+        return serve_topk(
+            spark, registry_path, base_path, col, int(k),
+            tokens=bool(rest[0]) if rest else False,
         )
 
     candidates = [

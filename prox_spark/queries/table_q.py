@@ -4457,6 +4457,202 @@ ORDER BY source
 """
 
 
+# --- q227: registry-served heavy hitters (CMS + candidate list) ------------
+
+_SERVED_TOPK_CACHE: dict[str, tuple] = {}
+
+TOPK_GATE_K = 15
+TOPK_GATE_W = 16
+TOPK_GATE_D = 4
+TOPK_CAND_K = 64
+_Q227_SUFFIX = " zq227tok zq227tok"
+
+
+def _served_topk(spark: SparkSession, sf_dir: str) -> tuple:
+    """Staged once per process: the q220/q224 serving-lifecycle shape
+    for FREQUENCY/TOP-K — a ``cms`` artifact (q174's md5-bucketed D×W
+    grid + a capacity-bounded candidate list,
+    ``artifacts.build_cms_sketch``) registered on a committed base,
+    driven through an insert-only window (FOLD: grids add
+    elementwise; candidates re-rank under the folded grid) and an
+    upsert window with delete echoes (RECOMPUTE: an evicted candidate
+    cannot be restored when rivals shrink), then served via
+    ``serve_topk``. Returns (rows, topk_served, fold_seen,
+    recompute_seen, total_tokens)."""
+    from prox_spark.artifacts import (
+        build_cms_sketch,
+        maintain_artifacts,
+        register_artifact,
+        serve_topk,
+    )
+    from prox_spark.table import (
+        commit_delta,
+        commit_snapshot,
+        read_manifest,
+        read_table,
+    )
+    from prox_spark.upsert import upsert_parquet
+
+    from ._staging import staged
+
+    def build(scratch: str) -> tuple:
+        base, reg, cms = (
+            f"{scratch}/base", f"{scratch}/reg", f"{scratch}/cms"
+        )
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "source", "text"
+        )
+        commit_snapshot(
+            spark, base, docs.filter(F.col("doc_id") % 10 <= 8),
+            stat_cols=["doc_id"], n_files=4,
+        )
+        build_cms_sketch(
+            spark, base, "text", cms,
+            d=TOPK_GATE_D, w=TOPK_GATE_W, cand_k=TOPK_CAND_K,
+            tokens=True,
+        )
+        register_artifact(
+            spark, reg, "cms", base, cms,
+            {"col": "text", "tokens": True, "d": TOPK_GATE_D,
+             "w": TOPK_GATE_W, "cand_k": TOPK_CAND_K},
+        )
+        # insert-only window: the grid folds additively (never rescans)
+        prev = read_manifest(spark, base)
+        commit_delta(
+            spark, base, docs.filter(F.col("doc_id") % 10 > 8),
+            list(prev["files"]), update_key_ranges={},
+        )
+        r1 = maintain_artifacts(spark, reg)
+        fold_seen = r1[cms].get("mode") == "fold"
+        # upsert window: delete echoes force the bounded recompute —
+        # and introduce a brand-new token the rebuilt candidate list
+        # must pick up
+        upsert_parquet(
+            spark, base,
+            docs.filter(F.col("doc_id") % 6 == 2)
+            .withColumn("text", F.concat("text", F.lit(_Q227_SUFFIX))),
+            ["doc_id"],
+        )
+        r2 = maintain_artifacts(spark, reg)
+        recompute_seen = r2[cms].get("mode") == "recompute"
+
+        served, hit = serve_topk(
+            spark, reg, base, "text", TOPK_GATE_K, tokens=True,
+        )
+        toks = read_table(spark, base).select(
+            F.explode(
+                F.expr("split(lower(trim(text)), '\\\\s+')")
+            ).alias("tok")
+        )
+        cnt = toks.groupBy("tok").agg(
+            F.count(F.lit(1)).cast("long").alias("true_cnt")
+        )
+        total = toks.count()
+        rows = served.join(cnt, "tok").collect()
+        return rows, hit == cms, bool(fold_seen), bool(recompute_seen), int(total)
+
+    return staged(_SERVED_TOPK_CACHE, sf_dir, "prox_servetopk_", build)
+
+
+def q227_registry_served_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REGISTRY-SERVED HEAVY HITTERS — the last serve_aggregate verb:
+    the serving lattice (count/sum/min/max/avg q220, distinct
+    q220/q222, quantiles q224) completed with FREQUENCY/TOP-K, served
+    from a maintained ``cms`` artifact instead of scanning the base.
+    The artifact is q174's D×W md5-bucketed counter grid plus a
+    capacity-bounded candidate list (the standard CMS+heap
+    heavy-hitter recipe) in ONE manifest table, so grid, candidates,
+    and covered version replace atomically. Insert windows FOLD (grid
+    addition is elementwise — the q189 associativity argument — and
+    candidates re-rank under the folded grid; work ∝ window
+    vocabulary, state ≤ d×w + cand_k rows at any corpus size);
+    windows with delete echoes RECOMPUTE (the grid could subtract —
+    CMS is linear — but an evicted candidate cannot be restored when
+    rivals shrink). Estimates are min-over-D-buckets exact integer
+    arithmetic on md5 hashes, so the oracle rebuilds the SAME grid
+    from raw parquet and reproduces every served count bit-for-bit
+    (q174's idiom). Pins: ``topk_served`` (the request actually
+    routed through the registry), ``fold_seen`` / ``recompute_seen``
+    (both maintenance modes exercised), ``in_band`` (estimate ≥ true
+    — the CMS invariant — and overestimate within the 2N/W sketch
+    bound)."""
+    rows, served_ok, fold_seen, recompute_seen, total = _served_topk(
+        spark, sf_dir
+    )
+    out = spark.createDataFrame(
+        [
+            (
+                r["tok"],
+                int(r["est_cnt"]),
+                int(r["true_cnt"]),
+                int(r["est_cnt"] - r["true_cnt"]),
+                bool(
+                    r["est_cnt"] >= r["true_cnt"]
+                    and (r["est_cnt"] - r["true_cnt"]) * TOPK_GATE_W
+                    <= 2 * total
+                ),
+            )
+            for r in rows
+        ],
+        "tok string, est_cnt bigint, true_cnt bigint, "
+        "overestimate bigint, in_band boolean",
+    )
+    return (
+        out.withColumn("topk_served", F.lit(bool(served_ok)))
+        .withColumn("fold_seen", F.lit(bool(fold_seen)))
+        .withColumn("recompute_seen", F.lit(bool(recompute_seen)))
+        .orderBy(F.desc("est_cnt"), F.asc("tok"))
+    )
+
+
+def _oracle_q227() -> str:
+    from prox_spark.queries.text import _cms_bucket_duck
+
+    buckets = " UNION ALL ".join(
+        f"SELECT {d} AS d, {_cms_bucket_duck(d, TOPK_GATE_W)} AS bucket,"
+        " cnt FROM cnt"
+        for d in range(TOPK_GATE_D)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT tok, {d} AS d, {_cms_bucket_duck(d, TOPK_GATE_W)}"
+        " AS bucket FROM cnt"
+        for d in range(TOPK_GATE_D)
+    )
+    return f"""
+WITH final AS (
+  SELECT CASE WHEN doc_id % 6 = 2 THEN text || '{_Q227_SUFFIX}'
+              ELSE text END AS text
+  FROM documents
+), toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM final
+), cnt AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok
+), grid AS (
+  SELECT d, bucket, CAST(sum(cnt) AS BIGINT) AS c
+  FROM ({buckets}) GROUP BY d, bucket
+), est AS (
+  SELECT p.tok, CAST(min(g.c) AS BIGINT) AS est_cnt
+  FROM ({probe_rows}) p JOIN grid g USING (d, bucket)
+  GROUP BY p.tok
+), top AS (
+  SELECT tok, est_cnt FROM est
+  ORDER BY est_cnt DESC, tok ASC LIMIT {TOPK_GATE_K}
+), tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks)
+SELECT t.tok, t.est_cnt, c.cnt AS true_cnt,
+       CAST(t.est_cnt - c.cnt AS BIGINT) AS overestimate,
+       (t.est_cnt >= c.cnt
+        AND (t.est_cnt - c.cnt) * {TOPK_GATE_W} <= 2 * tot.n) AS in_band,
+       TRUE AS topk_served,
+       TRUE AS fold_seen,
+       TRUE AS recompute_seen
+FROM top t JOIN cnt c USING (tok) CROSS JOIN tot
+ORDER BY t.est_cnt DESC, t.tok ASC
+"""
+
+
 QUERIES = {
     "q114_snapshot_diff": q114_snapshot_diff,
     "q118_incremental_agg": q118_incremental_agg,
@@ -4494,6 +4690,7 @@ QUERIES = {
     "q224_registry_served_quantiles": q224_registry_served_quantiles,
     "q225_datasource_table_write": q225_datasource_table_write,
     "q226_datasource_stream_sink": q226_datasource_stream_sink,
+    "q227_registry_served_topk": q227_registry_served_topk,
 }
 
 
@@ -4537,4 +4734,5 @@ def oracles() -> dict[str, str]:
         "q224_registry_served_quantiles": _oracle_q224(),
         "q225_datasource_table_write": ORACLE_Q225,
         "q226_datasource_stream_sink": ORACLE_Q226,
+        "q227_registry_served_topk": _oracle_q227(),
     }

@@ -1236,3 +1236,103 @@ def test_qsk_topk_duplicate_key_tiebreak_deterministic(spark):
     # global (no keys) path too
     got = sorted(map(tuple, _qsk_topk(dup.select("u", "v"), [], 4).collect()))
     assert got == [(0.25, 10.0), (0.5, 9.0), (0.75, 5.0)]
+
+
+def test_cms_sketch_serves_folds_recomputes_and_bounds_eviction(spark):
+    """The CMS heavy-hitter artifact: a stale sketch folds insert
+    windows at read time; maintenance folds inserts and recomputes on
+    delete echoes; a delete window with a stale sketch falls back to
+    exact; estimates never under-count; and with a candidate capacity
+    SMALLER than the vocabulary, every served top-k estimate still
+    dominates the evicted items' true counts (the CMS+heap
+    guarantee)."""
+    from prox_spark.artifacts import (
+        build_cms_sketch,
+        serve_aggregate,
+        serve_topk,
+    )
+    from prox_spark.upsert import delete_keys
+
+    s = _scratch()
+    base, reg, cms = f"{s}/base", f"{s}/reg", f"{s}/cms"
+    # src values skewed: s0 twice as frequent as s1 etc. via id%4
+    commit_snapshot(
+        spark, base, _docs(spark, 0, 200).select("doc_id", "src"),
+        stat_cols=["doc_id"], n_files=2,
+    )
+    build_cms_sketch(spark, base, "src", cms, cand_k=8)
+    register_artifact(
+        spark, reg, "cms", base, cms, {"col": "src", "cand_k": 8}
+    )
+
+    def truth():
+        return {
+            r["tok"]: r["cnt"]
+            for r in read_table(spark, base)
+            .groupBy(F.col("src").alias("tok"))
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .collect()
+        }
+
+    def check_served(got, hit, want_hit):
+        assert hit == want_hit
+        t = truth()
+        for r in got:
+            assert r["est_cnt"] >= t.get(r["tok"], 0), r
+
+    got0, hit0 = serve_topk(spark, reg, base, "src", 3)
+    check_served(got0.collect(), hit0, cms)
+    # stale sketch + insert window: read-time fold, still dominating
+    prev = read_manifest(spark, base)
+    commit_delta(
+        spark, base, _docs(spark, 200, 260).select("doc_id", "src"),
+        list(prev["files"]), update_key_ranges={},
+    )
+    got1, hit1 = serve_topk(spark, reg, base, "src", 3)
+    check_served(got1.collect(), hit1, cms)
+    r1 = maintain_artifacts(spark, reg)
+    assert r1[cms]["status"] == "refreshed" and r1[cms]["mode"] == "fold"
+    # the serve_aggregate verb routes to the same artifact
+    got_v, hit_v = serve_aggregate(
+        spark, reg, base, [], [], topk=("src", 3)
+    )
+    assert hit_v == cms
+    assert [r["tok"] for r in got_v.collect()] == [
+        r["tok"] for r in got1.collect()
+    ]
+    # delete window: stale sketch cannot answer -> exact fallback
+    delete_keys(
+        spark, base,
+        spark.range(0, 260, 2).select(F.col("id").alias("doc_id")),
+        ["doc_id"],
+    )
+    got2, hit2 = serve_topk(spark, reg, base, "src", 3)
+    t = truth()
+    want = sorted(t.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert hit2 is None
+    assert [(r["tok"], r["est_cnt"]) for r in got2.collect()] == want
+    # maintenance recomputes; sketch serves again and dominates truth
+    r2 = maintain_artifacts(spark, reg)
+    assert r2[cms]["mode"] == "recompute"
+    got3, hit3 = serve_topk(spark, reg, base, "src", 3)
+    check_served(got3.collect(), hit3, cms)
+    # eviction bound: capacity 2 < vocabulary 4 — the served top-2
+    # estimates must each dominate every evicted item's true count
+    cms2 = f"{s}/cms2"
+    build_cms_sketch(spark, base, "src", cms2, cand_k=2)
+    register_artifact(
+        spark, reg, "cms", base, cms2, {"col": "src", "cand_k": 2}
+    )
+    # two artifacts now match (col=src); drop the first registration
+    from prox_spark.upsert import delete_keys as _dk
+
+    _dk(spark, reg, spark.createDataFrame([(cms,)], "artifact string"),
+        ["artifact"])
+    got4, hit4 = serve_topk(spark, reg, base, "src", 2)
+    rows4 = got4.collect()
+    assert hit4 == cms2 and len(rows4) == 2
+    served_toks = {r["tok"] for r in rows4}
+    floor = min(r["est_cnt"] for r in rows4)
+    for tok, cnt in truth().items():
+        if tok not in served_toks:
+            assert cnt <= floor, (tok, cnt, floor)
