@@ -28,70 +28,72 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 # Registry order matters: the correctness driver checks the first ~50
-# entries per round. Union coverage across rounds 1-10 is 220 of 220
-# (every query has a green driver row), so round 11 rotates by
-# STALENESS (recomputed from the CORRECTNESS_r01..r10 files) plus one
-# touched-query re-gate: the FOUR queries new this round lead (never
-# driver-gated), then q206 (its implementation materially changed
-# this round — served pair artifact + flipped counter broadcasts —
-# so its green r10 row no longer covers the current code), then the
-# round-6 cohort (stalest: last driver-checked four rounds ago), then
-# the round-7 cohort in name order up to the 50-slot cap. Exactly 50.
+# entries per round. Union coverage across rounds 1-11 is 226 of 226
+# (every pre-existing query has a green driver row), so round 12
+# rotates by STALENESS (recomputed from CORRECTNESS_r01..r11) plus
+# touched-query re-gates: the TWO queries new this round lead (never
+# driver-gated), then the five whose implementations materially
+# changed this round (q223: one-sided pushdown pruning fix; q224:
+# deterministic quantile-sample tie-break; q225/q226: writer txn
+# staging + sink output-mode guard; q206: empty-corpus guard), then
+# the round-7 cohort (stalest: last driver-checked five rounds ago —
+# the PROX KPI/star-schema parity core among them), then the round-8
+# cohort in name order up to the 50-slot cap. Exactly 50.
 _FRONT = [
     # new this round (never driver-gated)
+    "q227_registry_served_topk",
+    "q228_datasource_multi_table_txn",
+    # materially changed this round: re-gate
     "q223_datasource_table_read",
     "q224_registry_served_quantiles",
     "q225_datasource_table_write",
     "q226_datasource_stream_sink",
-    # materially changed this round: re-gate
     "q206_leakage_free_split",
-    # stalest driver rows next: the round-6 cohort (all 20)...
-    "q73_group_percentiles",
-    "q74_top_customer_per_nation",
-    "q79_grouping_sets",
-    "q89_rank_functions",
-    "q90_late_order_priority",
-    "q91_dormant_rich_customers",
-    "q94_nation_revenue_share",
-    "q95_brand_supplier_counts",
-    "q96_large_quantity_orders",
-    "q98_hll_rollup",
-    "q181_bigram_fluency",
-    "q182_tagged_rollback",
-    "q183_files_metadata",
-    "q184_incremental_minmax",
-    "q185_dup_span_removal",
-    "q186_audio_fingerprint_dedup",
-    "q187_content_index_lookup",
-    "q188_zorder_table_probes",
-    "q189_streaming_cms",
-    "q190_incremental_join",
-    # ...then the round-7 cohort in name order, up to the 50 cap
-    "q105_simhash_neardup",
-    "q115_segment_dedup",
-    "q116_sequence_packing",
-    "q119_point_in_time_join",
-    "q120_bpe_pair_counts",
-    "q122_quality_prune",
-    "q124_dedup_pipeline",
-    "q134_image_resize",
-    "q135_frame_sample",
-    "q136_streaming_neardup_store",
-    "q152_cdc_apply",
-    "q191_table_stream_view",
-    "q192_multi_table_txn",
-    "q193_dedup_data_card",
-    "q194_streaming_lsh_index",
-    "q195_top_principal_component",
-    "q30_exact_dedup",
-    "q31_text_stats",
-    "q32_regex_token_count",
-    "q33_quality_score",
-    "q34_fingerprint",
-    "q35_jaccard_pairs",
-    "q36_minhash_lsh",
-    "q37_langid",
-    "q38_simhash",
+    # stalest driver rows next: the round-7 cohort (all 25)...
+    "q40_cosine_topk",
+    "q41_lsh_ann",
+    "q42_embed_neardup",
+    "q43_media_features",
+    "q44_stateful_user_totals",
+    "q45_ivf_ann",
+    "q51_kpi_bookings_per_location_service",
+    "q52_kpi_avg_rating_per_provider",
+    "q53_kpi_monthly_revenue_per_provider",
+    "q54_kpi_pct_ai_generated",
+    "q55_kpi_top5_booked_categories_week",
+    "q56_kpi_top5_providers_by_bookings",
+    "q57_kpi_top5_disputed_providers",
+    "q58_kpi_top_rated_providers",
+    "q59_gold_fact_booking",
+    "q60_gold_dim_user",
+    "q61_gold_dim_service",
+    "q62_gold_dim_location",
+    "q63_gold_dim_review",
+    "q64_gold_dim_dispute",
+    "q69_streaming_hourly_stats",
+    "q77_stream_static_enrich",
+    "q78_stream_stream_join",
+    "q85_label_centroids",
+    "q88_vector_stats",
+    # ...then the round-8 cohort in name order, up to the 50 cap
+    "q65_hash_split",
+    "q66_source_mixture",
+    "q67_decontaminate",
+    "q72_dup_clusters",
+    "q75_tfidf_top_terms",
+    "q76_ngram_decontaminate",
+    "q80_pii_redact",
+    "q81_repetition_stats",
+    "q82_chunk_split_udtf",
+    "q127_pagerank",
+    "q128_variant_props",
+    "q129_corpus_shuffle",
+    "q130_heavy_hitters",
+    "q131_zorder_scan",
+    "q132_auto_skew_revenue",
+    "q133_shard_assignment",
+    "q137_curation_capstone",
+    "q138_jsonl_scan",
 ]
 
 

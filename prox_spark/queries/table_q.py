@@ -4653,6 +4653,135 @@ ORDER BY t.est_cnt DESC, t.tok ASC
 """
 
 
+# --- q228: DataSource writers composed into one multi-table txn ------------
+
+_DS_TXN_CACHE: dict[str, tuple] = {}
+
+
+def _ds_txn_workspace(spark: SparkSession, sf_dir: str) -> tuple:
+    """Staged once per process: q192's corpus + derived-table
+    lifecycle with every table write going through
+    ``df.write.format("prox_table")`` — the writers record their
+    (table → version) pins into the workspace staging area
+    (``.option("txn_workspace", ws).option("txn_stage", label)``) and
+    ONE ``txn_publish_staged`` per stage flips visibility for the
+    whole set:
+
+    - stage s1: corpus v1 (doc_id%10 ∉ {7,8}) + its per-source count
+      table v1, published as txn 1;
+    - stage s2: corpus append %10==7 (v2) + count-table overwrite
+      covering v2, published as txn 2;
+    - stage s3: corpus append %10==8 (v3) commits and stages its pin,
+      but the writer "crashes" before the publish — the torn state
+      per-table atomicity can't prevent, left invisible.
+
+    Returns (ws, corpus, counts, staged_pending)."""
+    from prox_spark.queries._staging import staged
+    from prox_spark.table_ds import TXN_STAGING_DIR, register
+    from prox_spark.txn import txn_publish_staged
+
+    def build(scratch: str) -> tuple:
+        register(spark)
+        ws = f"{scratch}/ws"
+        t = f"{scratch}/docs"
+        a = f"{scratch}/src_counts"
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "source"
+        )
+
+        def w(df, path, mode, stage):
+            (
+                df.write.format("prox_table").mode(mode)
+                .option("txn_workspace", ws)
+                .option("txn_stage", stage)
+                .option("stat_cols", "doc_id" if path == t else "source")
+                .save(path)
+            )
+
+        def counts(pred):
+            return (
+                docs.filter(pred)
+                .groupBy("source")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+            )
+
+        ten = F.col("doc_id") % 10
+        w(docs.filter(~ten.isin(7, 8)), t, "overwrite", "s1")
+        w(counts(~ten.isin(7, 8)), a, "overwrite", "s1")
+        txn_publish_staged(spark, ws, "s1")
+        w(docs.filter(ten == 7), t, "append", "s2")
+        w(counts(ten != 8), a, "overwrite", "s2")
+        txn_publish_staged(spark, ws, "s2")
+        # the crashed writer: corpus v3 committed + pin staged, no
+        # publish — its record must survive as recovery evidence
+        w(docs.filter(ten == 8), t, "append", "s3")
+        sdir = os.path.join(ws, TXN_STAGING_DIR, "s3")
+        staged_pending = bool(
+            os.path.isdir(sdir)
+            and any(n.startswith("pin-") for n in os.listdir(sdir))
+        )
+        return ws, t, a, staged_pending
+
+    return staged(_DS_TXN_CACHE, sf_dir, "prox_dstxn_", build)
+
+
+def q228_datasource_multi_table_txn(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MULTI-TABLE ATOMIC COMMIT THROUGH THE CONNECTOR — q192's
+    both-or-neither guarantee extended to sets of tables written
+    entirely via ``df.write.format("prox_table")``: each writer's CAS
+    publish also records its (table → version) pin under the
+    workspace staging area (``txn_workspace``/``txn_stage`` options,
+    pure-python tmp-write + rename in the sessionless commit worker),
+    and one ``txn.txn_publish_staged`` folds a stage's pins into a
+    single transaction-log rename. The gate evolves a corpus and its
+    per-source count table through two published stages plus one
+    CRASHED third write (corpus version committed and staged, never
+    published) and reads per-source counts through the TXN VIEW:
+    leaked %10==8 rows, or a pinned count table inconsistent with the
+    pinned corpus, break the hash. Pins: ``index_consistent`` (the
+    txn-pinned count table EQUALS a recount of the txn-pinned
+    corpus), ``crashed_invisible`` (the corpus head moved past the
+    pin — the orphan exists and is excluded, not merely absent),
+    ``staged_pending`` (the crashed stage's pin record survives as
+    the roll-forward evidence: retrying its publish is recovery)."""
+    from prox_spark.txn import txn_read, txn_state
+
+    ws, t, a, staged_pending = _ds_txn_workspace(spark, sf_dir)
+    state = txn_state(spark, ws)
+    view = (
+        txn_read(spark, ws, t)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    pinned = txn_read(spark, ws, a).select("source", "n_docs")
+    consistent = (
+        view.exceptAll(pinned).count() == 0
+        and pinned.exceptAll(view).count() == 0
+    )
+    from prox_spark.table import read_manifest
+
+    crashed_invisible = read_manifest(spark, t)["version"] > state[t]
+    return (
+        view.withColumn("index_consistent", F.lit(bool(consistent)))
+        .withColumn("crashed_invisible", F.lit(bool(crashed_invisible)))
+        .withColumn("staged_pending", F.lit(bool(staged_pending)))
+        .orderBy("source")
+    )
+
+
+ORACLE_Q228 = """
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       TRUE AS index_consistent, TRUE AS crashed_invisible,
+       TRUE AS staged_pending
+FROM documents
+WHERE doc_id % 10 <> 8
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "q114_snapshot_diff": q114_snapshot_diff,
     "q118_incremental_agg": q118_incremental_agg,
@@ -4691,6 +4820,7 @@ QUERIES = {
     "q225_datasource_table_write": q225_datasource_table_write,
     "q226_datasource_stream_sink": q226_datasource_stream_sink,
     "q227_registry_served_topk": q227_registry_served_topk,
+    "q228_datasource_multi_table_txn": q228_datasource_multi_table_txn,
 }
 
 
@@ -4735,4 +4865,5 @@ def oracles() -> dict[str, str]:
         "q225_datasource_table_write": ORACLE_Q225,
         "q226_datasource_stream_sink": ORACLE_Q226,
         "q227_registry_served_topk": _oracle_q227(),
+        "q228_datasource_multi_table_txn": ORACLE_Q228,
     }

@@ -71,6 +71,9 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 MANIFEST_DIR = "_manifests"
+# workspace staging area for writer-recorded (table → version) pins,
+# published atomically by txn.txn_publish_staged
+TXN_STAGING_DIR = "_txn_staging"
 
 
 def _local(path: str) -> str:
@@ -736,6 +739,39 @@ class _ProxWriteCore:
             )
         else:
             self.stat_cols = list(prev.get("stat_cols") or [])
+        # multi-table txn staging (txn.py composition): after a
+        # successful CAS publish the writer records its (table →
+        # version) pin under the workspace's staging area; ONE
+        # txn.txn_publish_staged then pins every table written with
+        # the same stage label atomically (q192's both-or-neither for
+        # format() writers). Until that publish, the committed
+        # versions are invisible to txn readers — a crash before it
+        # leaves only vacuum-retirable orphans.
+        self.txn_workspace = options.get("txn_workspace")
+        self.txn_stage = options.get("txn_stage", "default")
+
+    def record_txn_stage(self, version: int) -> None:
+        """Write this commit's (table → version) pin into the
+        workspace staging area — pure-python tmp-write + rename (the
+        commit worker has no SparkSession), unique filename so racing
+        writers never collide."""
+        import uuid
+
+        if not self.txn_workspace:
+            return
+        sdir = os.path.join(
+            _local(self.txn_workspace), TXN_STAGING_DIR,
+            str(self.txn_stage),
+        )
+        os.makedirs(sdir, exist_ok=True)
+        tmp = os.path.join(sdir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            json.dump(
+                {"table": self.table_path, "version": int(version)}, fh
+            )
+        os.rename(tmp, os.path.join(
+            sdir, f"pin-{uuid.uuid4().hex}.json"
+        ))
 
     # -- executor side ------------------------------------------------
     def write(self, iterator):
@@ -882,6 +918,7 @@ class ProxTableArrowWriter(_ProxWriteCore, DataSourceArrowWriter):
                     self.stat_cols, self.schema_json, self.table_path,
                 )
             if _publish_cas(self.table_path, doc, v):
+                self.record_txn_stage(v)
                 return
             # lost the race: drop this attempt's chunk files (their
             # recorded born version is stale) and rebuild against the

@@ -188,6 +188,53 @@ def txn_commit(
             prev_state = mid_state
 
 
+def txn_publish_staged(
+    spark: SparkSession,
+    workspace: str,
+    stage: str = "default",
+    *,
+    clean: bool = True,
+) -> int:
+    """Publish every (table → version) pin the ``prox_table``
+    DataSource writers recorded under ``workspace``'s staging area
+    for ``stage`` — format() writers run
+    ``.option("txn_workspace", ws).option("txn_stage", label)`` and
+    their commits drop pin records; this call folds them into ONE
+    :func:`txn_commit`, giving the q192 both-or-neither guarantee to
+    sets of tables written entirely through
+    ``df.write.format("prox_table")``. A table written more than once
+    in the stage pins its HIGHEST staged version (the writes
+    composed). The staging records are removed after a successful
+    publish (``clean``); a crash before this call leaves only the
+    records plus orphan table versions, both invisible to txn readers.
+    Returns the new txn id; raises when the stage is empty."""
+    import os
+    import shutil
+
+    from prox_spark.table_ds import TXN_STAGING_DIR, _local
+
+    sdir = os.path.join(_local(workspace), TXN_STAGING_DIR, str(stage))
+    pins: dict[str, int] = {}
+    names = sorted(os.listdir(sdir)) if os.path.isdir(sdir) else []
+    for name in names:
+        if not (name.startswith("pin-") and name.endswith(".json")):
+            continue
+        with open(os.path.join(sdir, name)) as fh:
+            rec = json.load(fh)
+        t, v = rec["table"], int(rec["version"])
+        pins[t] = max(v, pins.get(t, 0))
+    if not pins:
+        raise ValueError(
+            f"no staged writer pins under {workspace!r} stage {stage!r}; "
+            "write with .option('txn_workspace', ws)"
+            ".option('txn_stage', label) first"
+        )
+    n = txn_commit(spark, workspace, pins)
+    if clean:
+        shutil.rmtree(sdir, ignore_errors=True)
+    return n
+
+
 def txn_read(
     spark: SparkSession, workspace: str, table_path: str,
     txn: int | None = None,

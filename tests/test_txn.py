@@ -220,3 +220,50 @@ def test_publish_revalidates_pins_after_rename(spark, tmp_path, monkeypatch):
     monkeypatch.undo()
     # the half-published doc was rolled back: the workspace is empty
     assert txn_state(spark, ws) == {}
+
+
+def test_datasource_writer_stages_pins_for_one_publish(spark, tmp_path):
+    """format("prox_table") writers with txn_workspace/txn_stage
+    record (table -> version) pins; txn_publish_staged folds a
+    stage's pins into ONE txn: both-or-neither visibility for
+    connector-written sets, max-version composition for repeated
+    writes to one table, loud empty-stage failure, and staged-but-
+    unpublished pins stay invisible to txn readers."""
+    from prox_spark.table_ds import register
+    from prox_spark.txn import txn_publish_staged
+
+    register(spark)
+    ws = str(tmp_path / "ws")
+    t = str(tmp_path / "docs")
+    a = str(tmp_path / "agg")
+    docs = _docs(spark, 0, 100)
+
+    def w(df, path, mode, stage):
+        (
+            df.write.format("prox_table").mode(mode)
+            .option("txn_workspace", ws).option("txn_stage", stage)
+            .save(path)
+        )
+
+    with pytest.raises(ValueError, match="no staged writer pins"):
+        txn_publish_staged(spark, ws, "s1")
+    # two writes to t in one stage: the pin composes to the LAST
+    w(docs.filter(F.col("doc_id") < 40), t, "overwrite", "s1")
+    w(docs.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 80)),
+      t, "append", "s1")
+    w(docs.filter(F.col("doc_id") < 80).groupBy().count(), a,
+      "overwrite", "s1")
+    n1 = txn_publish_staged(spark, ws, "s1")
+    assert n1 == 1
+    st = txn_state(spark, ws)
+    assert st[t] == 2 and st[a] == 1
+    assert txn_read(spark, ws, t).count() == 80
+    # a staged-but-unpublished second stage is invisible...
+    w(docs.filter(F.col("doc_id") >= 80), t, "append", "s2")
+    assert txn_read(spark, ws, t).count() == 80
+    # ...and the staged record makes the publish retryable (recovery)
+    n2 = txn_publish_staged(spark, ws, "s2")
+    assert n2 == 2 and txn_read(spark, ws, t).count() == 100
+    # cleaned after publish: a re-publish of the same stage is empty
+    with pytest.raises(ValueError, match="no staged writer pins"):
+        txn_publish_staged(spark, ws, "s2")
