@@ -799,3 +799,71 @@ def test_non_table_path_raises(spark, tmp_path):
     register(spark)
     with pytest.raises(Exception, match="manifest"):
         spark.read.format("prox_table").load(str(tmp_path / "nope")).count()
+
+
+def test_partition_packing_at_10k_file_scale():
+    """Task packing at metadata scale, pure-unit (partitions() plans
+    from the manifest alone — no IO): a 10^4-small-file table must
+    schedule ~total_bytes/budget tasks, NOT 10^4; files with no
+    recorded size conservatively fill their own task; and a huge file
+    never shares one."""
+    from prox_spark.table_ds import ProxTableReader
+
+    n = 10_000
+    files = [f"data/part-{i:05d}.parquet" for i in range(n)]
+    manifest = {
+        "version": 1,
+        "files": files,
+        "schema": {
+            "type": "struct",
+            "fields": [{
+                "name": "doc_id", "type": "long",
+                "nullable": True, "metadata": {},
+            }],
+        },
+        "sizes": dict.fromkeys(files, 100 * 1024),  # 100 KB each
+        "stats": {},
+    }
+    rd = ProxTableReader({}, manifest, "/nosuch")
+    parts = rd.partitions()
+    total = n * 100 * 1024
+    want = -(-total // rd.max_partition_bytes)  # ceil
+    assert len(parts) <= want + 1, (len(parts), want)
+    assert len(parts) < n / 100  # ≪ file count
+    assert sum(len(p.files) for p in parts) == n  # nothing dropped
+    # unknown-size file: its own partition (conservative)
+    manifest["sizes"].pop(files[0])
+    parts2 = ProxTableReader({}, manifest, "/nosuch").partitions()
+    assert len(parts2) <= want + 2
+    # a file bigger than the budget never packs with neighbours
+    manifest["sizes"][files[1]] = 512 * 1024 * 1024
+    parts3 = ProxTableReader({}, manifest, "/nosuch").partitions()
+    assert any(len(p.files) == 1 for p in parts3)
+
+
+def test_chunked_read_packs_tasks_below_file_count(spark, tmp_path, monkeypatch):
+    """End-to-end over a CHUNKED (v2) table of many tiny files: the
+    format() scan packs them into far fewer tasks than files under
+    the byte budget, and the packed read is row-identical to
+    read_table."""
+    import prox_spark.table as T
+    from prox_spark.table import read_table
+    from prox_spark.table_ds import ProxTableReader, manifest_py, register
+
+    monkeypatch.setattr(T, "CHUNK_THRESHOLD", 8)
+    monkeypatch.setattr(T, "CHUNK_SIZE", 4)
+    register(spark)
+    t = str(tmp_path / "many")
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "source", "n_chars")
+    T.commit_snapshot(spark, t, docs, stat_cols=["doc_id"], n_files=40)
+    mm = manifest_py(t)
+    assert "chunks" in mm and len(mm["files"]) >= 30
+    rd = ProxTableReader({}, mm, t)
+    parts = rd.partitions()
+    assert len(parts) <= max(2, len(mm["files"]) // 10), (
+        len(parts), len(mm["files"]),
+    )
+    a = spark.read.format("prox_table").load(t)
+    assert _diff(a, read_table(spark, t)) == 0

@@ -115,6 +115,15 @@ QUERIES = [
     "q206_leakage_free_split",
     "q223_datasource_table_read",
     "q224_registry_served_quantiles",
+    # round 12: the connector WRITE paths, measured cache-free (the
+    # staged build IS the write under test — an override clears the
+    # per-process staging cache so both scales time the full
+    # write-through-format() lifecycle): q225 batch writer (task-side
+    # encode + stats + CAS commit ∝ rows), q226 streaming sink (per-
+    # batch append + fence; stream startup is the fixed cost diluting
+    # the exponent).
+    "q225_datasource_table_write",
+    "q226_datasource_stream_sink",
 ]
 # queries whose builder caches an intermediate per (app, sf_dir): warm
 # the DEST side too, so both scales time the same post-cache work
@@ -240,9 +249,30 @@ def main() -> None:
 
         return _N(sf_dir)
 
+    # connector write paths: clear the staging cache per measurement so
+    # the timed work is the write lifecycle itself at each scale
+    def _measure_uncached(qname, cache_name):
+        from prox_spark.queries import table_q as TQ
+
+        def make(spark_, sf_dir):
+            class _N:
+                def count(self):
+                    getattr(TQ, cache_name).clear()
+                    return all_queries()[qname](spark_, sf_dir).count()
+
+            return _N()
+
+        return make
+
     overrides = {
         "q163_bpe_train": _measure_q163,
         "q195_top_principal_component": _measure_q195,
+        "q225_datasource_table_write": _measure_uncached(
+            "q225_datasource_table_write", "_DS_WRITE_CACHE"
+        ),
+        "q226_datasource_stream_sink": _measure_uncached(
+            "q226_datasource_stream_sink", "_DS_STREAM_CACHE"
+        ),
     }
     out: dict = {}
     for name in QUERIES:
