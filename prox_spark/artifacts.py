@@ -304,35 +304,38 @@ CMS_SERVE_W = 16
 CMS_CAND_K = 64
 
 
-def _cms_items(df, col: str, tokens: bool):
-    """One ``tok`` string row per counted occurrence: the column's
-    value, or (``tokens``) its lowercased whitespace tokens — q174's
-    tokenization, applied to an arbitrary text column."""
+def _cms_items(df, col: str, tokens: bool, keys: list[str] = ()):
+    """One ``tok`` string row per counted occurrence (with its group
+    keys): the column's value, or (``tokens``) its lowercased
+    whitespace tokens — q174's tokenization, applied to an arbitrary
+    text column."""
     if tokens:
         return df.select(
+            *keys,
             F.explode(
                 F.expr(f"split(lower(trim({col})), '\\\\s+')")
-            ).alias("tok")
+            ).alias("tok"),
         )
-    return df.select(F.col(col).cast("string").alias("tok"))
+    return df.select(*keys, F.col(col).cast("string").alias("tok"))
 
 
-def _cms_counts(items):
-    return items.groupBy("tok").agg(
+def _cms_counts(items, keys: list[str] = ()):
+    return items.groupBy(*keys, "tok").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
 
 
-def _cms_grid(cnt, d: int, w: int):
-    """(d, bucket, c) grid rows from per-item counts: one partial-agg
-    per hash row over the vocabulary aggregate (equivalent to
-    per-occurrence increments), ≤ d×w rows total."""
+def _cms_grid(cnt, d: int, w: int, keys: list[str] = ()):
+    """(keys..., d, bucket, c) grid rows from per-item counts: one
+    partial-agg per hash row over the vocabulary aggregate
+    (equivalent to per-occurrence increments), ≤ d×w rows per group."""
     from functools import reduce
 
     from prox_spark.queries.text import _cms_bucket_spark
 
     rows = [
         cnt.select(
+            *keys,
             F.lit(dd).cast("int").alias("d"),
             F.expr(_cms_bucket_spark(dd, w)).cast("long").alias("bucket"),
             F.col("cnt").alias("c"),
@@ -341,18 +344,22 @@ def _cms_grid(cnt, d: int, w: int):
     ]
     return (
         reduce(lambda a, b: a.unionByName(b), rows)
-        .groupBy("d", "bucket")
+        .groupBy(*keys, "d", "bucket")
         .agg(F.sum("c").cast("long").alias("c"))
     )
 
 
-def _cms_estimates(toks, grid, d: int, w: int):
-    """(tok, est_cnt): min over the D bucket counters each tok hashes
-    to — ≥ the true count by construction (the q174 probe). The grid
-    is ≤ d×w rows (kilobytes at any corpus size): a safe broadcast."""
+def _cms_estimates(toks, grid, d: int, w: int, keys: list[str] = ()):
+    """(keys..., tok, est_cnt): min over the D bucket counters each
+    tok hashes to — ≥ the true count by construction (the q174
+    probe). The GLOBAL grid is ≤ d×w rows (kilobytes at any corpus
+    size): a safe broadcast. A grouped grid is groups × d×w — corpus-
+    derived, so it stays un-hinted and AQE broadcasts only when it
+    genuinely fits."""
     from prox_spark.queries.text import _cms_bucket_spark
 
     probes = toks.select(
+        *keys,
         "tok",
         F.explode(
             F.array(*[
@@ -365,31 +372,47 @@ def _cms_estimates(toks, grid, d: int, w: int):
                 for dd in range(d)
             ])
         ).alias("p"),
-    ).select("tok", "p.d", "p.bucket")
+    ).select(*keys, "tok", "p.d", "p.bucket")
+    g = grid if keys else F.broadcast(grid)
     return (
-        probes.join(F.broadcast(grid), ["d", "bucket"])
-        .groupBy("tok")
+        probes.join(g, [*keys, "d", "bucket"])
+        .groupBy(*keys, "tok")
         .agg(F.min("c").cast("long").alias("est_cnt"))
     )
 
 
-def _cms_topc(toks, grid, d: int, w: int, cand_k: int):
-    """The cand_k candidate toks with the largest grid estimates
-    (ties by tok) — a true distributed top-k (TakeOrderedAndProject)
-    over a (candidates ∪ window-vocabulary)-bounded input."""
+def _cms_topc(toks, grid, d: int, w: int, cand_k: int,
+              keys: list[str] = ()):
+    """The cand_k candidate toks (per group) with the largest grid
+    estimates (ties by tok) — globally a true distributed top-k
+    (TakeOrderedAndProject); grouped, a per-group row_number over a
+    (candidates ∪ window-vocabulary)-bounded input."""
+    est = _cms_estimates(toks.distinct(), grid, d, w, keys)
+    if not keys:
+        return (
+            est.orderBy(F.desc("est_cnt"), F.asc("tok"))
+            .limit(int(cand_k))
+            .select("tok")
+        )
+    from pyspark.sql import Window
+
+    wnd = Window.partitionBy(*keys).orderBy(
+        F.desc("est_cnt"), F.asc("tok")
+    )
     return (
-        _cms_estimates(toks.distinct(), grid, d, w)
-        .orderBy(F.desc("est_cnt"), F.asc("tok"))
-        .limit(int(cand_k))
-        .select("tok")
+        est.withColumn("_rn", F.row_number().over(wnd))
+        .filter(F.col("_rn") <= int(cand_k))
+        .select(*keys, "tok")
     )
 
 
-def _cms_artifact_frame(grid, cands):
+def _cms_artifact_frame(grid, cands, keys: list[str] = ()):
     g = grid.select(
-        "d", "bucket", "c", F.lit(None).cast("string").alias("tok")
+        *keys, "d", "bucket", "c",
+        F.lit(None).cast("string").alias("tok"),
     )
     c = cands.select(
+        *keys,
         F.lit(-2).cast("int").alias("d"),
         F.lit(0).cast("long").alias("bucket"),
         F.lit(0).cast("long").alias("c"),
@@ -407,24 +430,30 @@ def build_cms_sketch(
     w: int = CMS_SERVE_W,
     cand_k: int = CMS_CAND_K,
     tokens: bool = False,
+    keys: list[str] = (),
 ) -> None:
     """Materialize the CMS heavy-hitter sketch of ``base_path.col``
     (column values, or its whitespace tokens with ``tokens``) as a
     manifest table — grid + candidates + covered base version
-    (``index_of`` lineage) in ONE commit. One vocabulary partial-agg
-    over the base; the artifact is ≤ d×w + cand_k rows regardless of
-    corpus size."""
+    (``index_of`` lineage) in ONE commit, GLOBAL or GROUPED by
+    ``keys`` (the q222/q224 per-group shape). One vocabulary
+    partial-agg over the base; the artifact is ≤ d×w + cand_k rows
+    per group regardless of corpus size."""
     from prox_spark.table import commit_snapshot
 
+    keys = list(keys)
     head = int(read_manifest(spark, base_path)["version"])
     cnt = _cms_counts(
-        _cms_items(read_table(spark, base_path), col, tokens)
+        _cms_items(read_table(spark, base_path), col, tokens, keys),
+        keys,
     ).persist()  # grid + candidate branches share ONE corpus scan
     try:
-        grid = _cms_grid(cnt, d, w)
-        cands = _cms_topc(cnt.select("tok"), grid, d, w, cand_k)
+        grid = _cms_grid(cnt, d, w, keys)
+        cands = _cms_topc(
+            cnt.select(*keys, "tok"), grid, d, w, cand_k, keys
+        )
         commit_snapshot(
-            spark, sketch_path, _cms_artifact_frame(grid, cands),
+            spark, sketch_path, _cms_artifact_frame(grid, cands, keys),
             extra_meta={"index_of": {"base": base_path, "version": head}},
         )
     finally:
@@ -438,26 +467,47 @@ def serve_topk(
     col: str,
     k: int,
     tokens: bool = False,
+    keys: list[str] = (),
 ):
     """Registry-routed HEAVY HITTERS: serve the top-``k`` most
     frequent items of ``base_path.col`` (column values, or its
-    whitespace tokens with ``tokens``) from a registered ``cms``
-    artifact — stored candidates probed against the stored grid, plus
-    a read-time additive fold of an insert-only uncovered window; a
-    window with delete echoes falls through (candidate eviction is
-    not retractable). Returns ``(frame, sketch_path_or_None)`` with
-    columns (tok, est_cnt), ranked est_cnt DESC, tok ASC; the
+    whitespace tokens with ``tokens``) — globally or PER GROUP with
+    ``keys`` — from a registered ``cms`` artifact: stored candidates
+    probed against the stored grid, plus a read-time additive fold of
+    an insert-only uncovered window; a window with delete echoes
+    falls through (candidate eviction is not retractable). Returns
+    ``(frame, sketch_path_or_None)`` with columns (keys..., tok,
+    est_cnt), ranked est_cnt DESC, tok ASC within each group; the
     fallback is the exact top-k count (same schema — an exact count
     IS a valid CMS estimate)."""
     from prox_spark.queries.search import postings_feed
 
     tokens = bool(tokens)
+    keys = list(keys)
+
+    def _rank(est):
+        if not keys:
+            return est.orderBy(
+                F.desc("est_cnt"), F.asc("tok")
+            ).limit(int(k))
+        from pyspark.sql import Window
+
+        wnd = Window.partitionBy(*keys).orderBy(
+            F.desc("est_cnt"), F.asc("tok")
+        )
+        return (
+            est.withColumn("_rn", F.row_number().over(wnd))
+            .filter(F.col("_rn") <= int(k))
+            .drop("_rn")
+        )
+
     for ent in list_artifacts(spark, registry_path):
         if (
             ent["kind"] != "cms"
             or ent["base"] != base_path
             or ent["params"].get("col") != col
             or bool(ent["params"].get("tokens")) != tokens
+            or list(ent["params"].get("keys") or []) != keys
         ):
             continue
         art = ent["artifact"]
@@ -469,9 +519,9 @@ def serve_topk(
             head = int(read_manifest(spark, base_path)["version"])
             stored = read_table(spark, art)
             grid = stored.filter(F.col("d") >= 0).select(
-                "d", "bucket", "c"
+                *keys, "d", "bucket", "c"
             )
-            cands = stored.filter(F.col("d") == -2).select("tok")
+            cands = stored.filter(F.col("d") == -2).select(*keys, "tok")
             if head > covered:
                 feed = postings_feed(
                     spark, base_path, covered, head, text_col=col,
@@ -481,30 +531,28 @@ def serve_topk(
                     F.col("_change_type") == "delete"
                 ).limit(1).count():
                     continue  # deletes: eviction cannot retract
-                bcnt = _cms_counts(_cms_items(feed, col, tokens))
+                bcnt = _cms_counts(
+                    _cms_items(feed, col, tokens, keys), keys
+                )
                 grid = (
-                    grid.unionByName(_cms_grid(bcnt, d, w))
-                    .groupBy("d", "bucket")
+                    grid.unionByName(_cms_grid(bcnt, d, w, keys))
+                    .groupBy(*keys, "d", "bucket")
                     .agg(F.sum("c").cast("long").alias("c"))
                 )
                 cands = cands.unionByName(
-                    bcnt.select("tok")
+                    bcnt.select(*keys, "tok")
                 ).distinct()
             return (
-                _cms_estimates(cands, grid, d, w)
-                .orderBy(F.desc("est_cnt"), F.asc("tok"))
-                .limit(int(k)),
+                _rank(_cms_estimates(cands, grid, d, w, keys)),
                 art,
             )
         except Exception:  # noqa: BLE001 — unreadable sketch: fall back
             continue
     exact = _cms_counts(
-        _cms_items(read_table(spark, base_path), col, tokens)
+        _cms_items(read_table(spark, base_path), col, tokens, keys),
+        keys,
     ).withColumnRenamed("cnt", "est_cnt")
-    return (
-        exact.orderBy(F.desc("est_cnt"), F.asc("tok")).limit(int(k)),
-        None,
-    )
+    return _rank(exact), None
 
 
 def _kmv_estimate(rows: list[float], k: int) -> float:
@@ -843,6 +891,7 @@ def _maintain_one(spark: SparkSession, ent: dict) -> dict:
 
         col = params["col"]
         tokens = bool(params.get("tokens"))
+        keys = list(params.get("keys") or [])
         d = int(params.get("d", CMS_SERVE_D))
         w = int(params.get("w", CMS_SERVE_W))
         cand_k = int(params.get("cand_k", CMS_CAND_K))
@@ -858,17 +907,22 @@ def _maintain_one(spark: SparkSession, ent: dict) -> dict:
         if feed.filter(F.col("_change_type") == "delete").limit(1).count():
             # the grid could subtract (CMS is linear), but an EVICTED
             # candidate cannot be restored when rivals shrink:
-            # recompute from the head — still ≤ d×w + cand_k rows out
+            # recompute from the head — still ≤ d×w + cand_k rows per
+            # group out
             mode = "recompute"
             cnt = _cms_counts(
                 _cms_items(
-                    read_table(spark, base, version=head), col, tokens
-                )
+                    read_table(spark, base, version=head), col, tokens,
+                    keys,
+                ),
+                keys,
             ).persist()
             try:
-                grid = _cms_grid(cnt, d, w)
-                cands = _cms_topc(cnt.select("tok"), grid, d, w, cand_k)
-                fresh = _cms_artifact_frame(grid, cands)
+                grid = _cms_grid(cnt, d, w, keys)
+                cands = _cms_topc(
+                    cnt.select(*keys, "tok"), grid, d, w, cand_k, keys
+                )
+                fresh = _cms_artifact_frame(grid, cands, keys)
                 prev = read_manifest(spark, art)
                 commit_delta(
                     spark, art, fresh, [],
@@ -879,25 +933,27 @@ def _maintain_one(spark: SparkSession, ent: dict) -> dict:
                 cnt.unpersist()
         else:
             stored = read_table(spark, art)
-            bcnt = _cms_counts(_cms_items(feed, col, tokens)).persist()
+            bcnt = _cms_counts(
+                _cms_items(feed, col, tokens, keys), keys
+            ).persist()
             try:
                 grid = (
                     stored.filter(F.col("d") >= 0)
-                    .select("d", "bucket", "c")
-                    .unionByName(_cms_grid(bcnt, d, w))
-                    .groupBy("d", "bucket")
+                    .select(*keys, "d", "bucket", "c")
+                    .unionByName(_cms_grid(bcnt, d, w, keys))
+                    .groupBy(*keys, "d", "bucket")
                     .agg(F.sum("c").cast("long").alias("c"))
                 )
                 # the CMS+heap step: re-rank stored candidates ∪ the
                 # window's vocabulary by the FOLDED grid's estimates
                 pool = (
                     stored.filter(F.col("d") == -2)
-                    .select("tok")
-                    .unionByName(bcnt.select("tok"))
+                    .select(*keys, "tok")
+                    .unionByName(bcnt.select(*keys, "tok"))
                     .distinct()
                 )
-                cands = _cms_topc(pool, grid, d, w, cand_k)
-                fresh = _cms_artifact_frame(grid, cands)
+                cands = _cms_topc(pool, grid, d, w, cand_k, keys)
+                fresh = _cms_artifact_frame(grid, cands, keys)
                 prev = read_manifest(spark, art)
                 # grid + candidates + bumped coverage in ONE rename
                 commit_delta(
@@ -1048,7 +1104,7 @@ def serve_aggregate(
         col, k, *rest = topk
         return serve_topk(
             spark, registry_path, base_path, col, int(k),
-            tokens=bool(rest[0]) if rest else False,
+            tokens=bool(rest[0]) if rest else False, keys=keys,
         )
 
     candidates = [

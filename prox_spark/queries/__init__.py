@@ -43,6 +43,7 @@ _FRONT = [
     # new this round (never driver-gated)
     "q227_registry_served_topk",
     "q228_datasource_multi_table_txn",
+    "q229_grouped_topk_serving",
     # materially changed this round: re-gate
     "q223_datasource_table_read",
     "q224_registry_served_quantiles",
@@ -93,7 +94,6 @@ _FRONT = [
     "q132_auto_skew_revenue",
     "q133_shard_assignment",
     "q137_curation_capstone",
-    "q138_jsonl_scan",
 ]
 
 

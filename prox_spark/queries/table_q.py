@@ -4653,6 +4653,208 @@ ORDER BY t.est_cnt DESC, t.tok ASC
 """
 
 
+# --- q229: grouped heavy-hitter serving (per-group CMS top-k) --------------
+
+_SERVED_GTOPK_CACHE: dict[str, tuple] = {}
+
+GTOPK_K = 5
+GTOPK_W = 16
+GTOPK_D = 4
+GTOPK_CAND_K = 64
+_Q229_SUFFIX = " zq229tok"
+
+
+def _served_grouped_topk(spark: SparkSession, sf_dir: str) -> tuple:
+    """Staged once per process: q227's heavy-hitter lifecycle in the
+    PER-GROUP shape (the q222/q224 grouped idiom) — a ``cms``
+    artifact grouped by source (one D×W grid and one candidate list
+    per group), driven through an insert-only window (FOLD) and an
+    upsert window with delete echoes (RECOMPUTE), served per group
+    via ``serve_topk(..., keys=["source"])``. Returns (rows,
+    grouped_served, fold_seen, recompute_seen, totals_by_source)."""
+    from prox_spark.artifacts import (
+        build_cms_sketch,
+        maintain_artifacts,
+        register_artifact,
+        serve_topk,
+    )
+    from prox_spark.table import (
+        commit_delta,
+        commit_snapshot,
+        read_manifest,
+        read_table,
+    )
+    from prox_spark.upsert import upsert_parquet
+
+    from ._staging import staged
+
+    def build(scratch: str) -> tuple:
+        base, reg, cms = (
+            f"{scratch}/base", f"{scratch}/reg", f"{scratch}/cms"
+        )
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "source", "text"
+        )
+        commit_snapshot(
+            spark, base, docs.filter(F.col("doc_id") % 10 <= 8),
+            stat_cols=["doc_id"], n_files=4,
+        )
+        build_cms_sketch(
+            spark, base, "text", cms,
+            d=GTOPK_D, w=GTOPK_W, cand_k=GTOPK_CAND_K,
+            tokens=True, keys=["source"],
+        )
+        register_artifact(
+            spark, reg, "cms", base, cms,
+            {"col": "text", "tokens": True, "keys": ["source"],
+             "d": GTOPK_D, "w": GTOPK_W, "cand_k": GTOPK_CAND_K},
+        )
+        prev = read_manifest(spark, base)
+        commit_delta(
+            spark, base, docs.filter(F.col("doc_id") % 10 > 8),
+            list(prev["files"]), update_key_ranges={},
+        )
+        r1 = maintain_artifacts(spark, reg)
+        fold_seen = r1[cms].get("mode") == "fold"
+        upsert_parquet(
+            spark, base,
+            docs.filter(F.col("doc_id") % 6 == 2)
+            .withColumn("text", F.concat("text", F.lit(_Q229_SUFFIX))),
+            ["doc_id"],
+        )
+        r2 = maintain_artifacts(spark, reg)
+        recompute_seen = r2[cms].get("mode") == "recompute"
+
+        served, hit = serve_topk(
+            spark, reg, base, "text", GTOPK_K,
+            tokens=True, keys=["source"],
+        )
+        toks = read_table(spark, base).select(
+            "source",
+            F.explode(
+                F.expr("split(lower(trim(text)), '\\\\s+')")
+            ).alias("tok"),
+        )
+        cnt = toks.groupBy("source", "tok").agg(
+            F.count(F.lit(1)).cast("long").alias("true_cnt")
+        )
+        totals = {
+            r["source"]: int(r["n"])
+            for r in toks.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        rows = served.join(cnt, ["source", "tok"]).collect()
+        return (
+            rows, hit == cms, bool(fold_seen), bool(recompute_seen),
+            totals,
+        )
+
+    return staged(_SERVED_GTOPK_CACHE, sf_dir, "prox_servegtopk_", build)
+
+
+def q229_grouped_topk_serving(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GROUPED heavy-hitter serving — q227's CMS top-k in the
+    per-group shape the rest of the serving lattice already has
+    (grouped distinct q222, grouped quantiles q224): "top tokens PER
+    SOURCE" served from one registered artifact holding a D×W grid
+    and a capacity-bounded candidate list PER GROUP (state ∝ groups ×
+    (d×w + cand_k) rows — kilobytes per group at any corpus size; the
+    grouped grid is corpus-derived so probe joins stay un-hinted and
+    AQE broadcasts only when it genuinely fits). Same fold/recompute
+    maintenance and atomic coverage as every artifact; estimates are
+    md5-deterministic so the oracle rebuilds each group's grid and
+    reproduces every served count bit-for-bit. Pins:
+    ``grouped_served``, ``fold_seen``/``recompute_seen``, ``in_band``
+    (per-group 2N_g/W bound, exact integer arithmetic)."""
+    rows, served_ok, fold_seen, recompute_seen, totals = (
+        _served_grouped_topk(spark, sf_dir)
+    )
+    out = spark.createDataFrame(
+        [
+            (
+                r["source"],
+                r["tok"],
+                int(r["est_cnt"]),
+                int(r["true_cnt"]),
+                bool(
+                    r["est_cnt"] >= r["true_cnt"]
+                    and (r["est_cnt"] - r["true_cnt"]) * GTOPK_W
+                    <= 2 * totals[r["source"]]
+                ),
+            )
+            for r in rows
+        ],
+        "source string, tok string, est_cnt bigint, true_cnt bigint, "
+        "in_band boolean",
+    )
+    return (
+        out.withColumn("grouped_served", F.lit(bool(served_ok)))
+        .withColumn("fold_seen", F.lit(bool(fold_seen)))
+        .withColumn("recompute_seen", F.lit(bool(recompute_seen)))
+        .orderBy("source", F.desc("est_cnt"), F.asc("tok"))
+    )
+
+
+def _oracle_q229() -> str:
+    from prox_spark.queries.text import _cms_bucket_duck
+
+    buckets = " UNION ALL ".join(
+        f"SELECT source, {d} AS d, {_cms_bucket_duck(d, GTOPK_W)}"
+        " AS bucket, cnt FROM cnt"
+        for d in range(GTOPK_D)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT source, tok, {d} AS d, {_cms_bucket_duck(d, GTOPK_W)}"
+        " AS bucket FROM cnt"
+        for d in range(GTOPK_D)
+    )
+    return f"""
+WITH final AS (
+  SELECT source,
+         CASE WHEN doc_id % 6 = 2 THEN text || '{_Q229_SUFFIX}'
+              ELSE text END AS text
+  FROM documents
+), toks AS (
+  SELECT source,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM final
+), cnt AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM toks GROUP BY source, tok
+), grid AS (
+  SELECT source, d, bucket, CAST(sum(cnt) AS BIGINT) AS c
+  FROM ({buckets}) GROUP BY source, d, bucket
+), est AS (
+  SELECT p.source, p.tok, CAST(min(g.c) AS BIGINT) AS est_cnt
+  FROM ({probe_rows}) p
+  JOIN grid g USING (source, d, bucket)
+  GROUP BY p.source, p.tok
+), top AS (
+  SELECT source, tok, est_cnt,
+         row_number() OVER (
+           PARTITION BY source ORDER BY est_cnt DESC, tok ASC
+         ) AS rn
+  FROM est
+), tot AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY source
+)
+SELECT t.source, t.tok, t.est_cnt, c.cnt AS true_cnt,
+       (t.est_cnt >= c.cnt
+        AND (t.est_cnt - c.cnt) * {GTOPK_W} <= 2 * x.n) AS in_band,
+       TRUE AS grouped_served,
+       TRUE AS fold_seen,
+       TRUE AS recompute_seen
+FROM top t
+JOIN cnt c ON t.source = c.source AND t.tok = c.tok
+JOIN tot x ON t.source = x.source
+WHERE t.rn <= {GTOPK_K}
+ORDER BY t.source, t.est_cnt DESC, t.tok ASC
+"""
+
+
 # --- q228: DataSource writers composed into one multi-table txn ------------
 
 _DS_TXN_CACHE: dict[str, tuple] = {}
@@ -4821,6 +5023,7 @@ QUERIES = {
     "q226_datasource_stream_sink": q226_datasource_stream_sink,
     "q227_registry_served_topk": q227_registry_served_topk,
     "q228_datasource_multi_table_txn": q228_datasource_multi_table_txn,
+    "q229_grouped_topk_serving": q229_grouped_topk_serving,
 }
 
 
@@ -4866,4 +5069,5 @@ def oracles() -> dict[str, str]:
         "q226_datasource_stream_sink": ORACLE_Q226,
         "q227_registry_served_topk": _oracle_q227(),
         "q228_datasource_multi_table_txn": ORACLE_Q228,
+        "q229_grouped_topk_serving": _oracle_q229(),
     }
