@@ -952,6 +952,17 @@ class ProxTableStreamWriter(_ProxWriteCore, DataSourceStreamArrowWriter):
     def __init__(self, options, schema: StructType):
         super().__init__(options, schema, overwrite=False)
         self.writer_id = options.get("writer_id", "stream")
+        if self.txn_workspace:
+            # txn staging is a BATCH composition (stage N writes, one
+            # publish); a stream appending a pin per micro-batch with
+            # no publisher would accumulate staging records that never
+            # become visible — refuse rather than silently ignore
+            raise ValueError(
+                "prox_table streaming sink does not support "
+                "txn_workspace; batch-id fencing already makes stream "
+                "appends exactly-once (use txn staging with batch "
+                "writes)"
+            )
 
     def _drop_batch_files(self, messages) -> None:
         new_files, _, _ = _gather_messages(messages)

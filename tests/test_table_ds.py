@@ -867,3 +867,18 @@ def test_chunked_read_packs_tasks_below_file_count(spark, tmp_path, monkeypatch)
     )
     a = spark.read.format("prox_table").load(t)
     assert _diff(a, read_table(spark, t)) == 0
+
+
+def test_stream_sink_rejects_txn_workspace(spark, tmp_path):
+    """txn staging is a batch composition; a stream would accumulate
+    pins nothing publishes — the sink refuses the option loudly."""
+    from pyspark.sql.types import StructType
+
+    from prox_spark.table_ds import ProxTableDataSource
+
+    ds = ProxTableDataSource({
+        "path": str(tmp_path / "t"),
+        "txn_workspace": str(tmp_path / "ws"),
+    })
+    with pytest.raises(ValueError, match="txn_workspace"):
+        ds.streamWriter(StructType.fromDDL("doc_id BIGINT"), False)
