@@ -4549,9 +4549,27 @@ def _served_topk(spark: SparkSession, sf_dir: str) -> tuple:
         )
         total = toks.count()
         rows = served.join(cnt, "tok").collect()
-        return rows, hit == cms, bool(fold_seen), bool(recompute_seen), int(total)
+        return (
+            rows, hit == cms, bool(fold_seen), bool(recompute_seen),
+            int(total), base, reg,
+        )
 
     return staged(_SERVED_TOPK_CACHE, sf_dir, "prox_servetopk_", build)
+
+
+def q227_serve_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAZY registry serve plan behind q227 (staged artifacts,
+    zero recompute), exposed so the plan audit and test_plans can
+    assert the probe shape: the ≤ d×w-row GLOBAL grid is an explicit
+    broadcast into the candidate probes (kilobytes at any corpus
+    size — the one CMS frame that is always broadcast-safe)."""
+    from prox_spark.artifacts import serve_topk
+
+    t = _served_topk(spark, sf_dir)
+    base, reg = t[5], t[6]
+    return serve_topk(
+        spark, reg, base, "text", TOPK_GATE_K, tokens=True
+    )[0]
 
 
 def q227_registry_served_topk(
@@ -4580,7 +4598,7 @@ def q227_registry_served_topk(
     bound)."""
     rows, served_ok, fold_seen, recompute_seen, total = _served_topk(
         spark, sf_dir
-    )
+    )[:5]
     out = spark.createDataFrame(
         [
             (
@@ -4747,10 +4765,25 @@ def _served_grouped_topk(spark: SparkSession, sf_dir: str) -> tuple:
         rows = served.join(cnt, ["source", "tok"]).collect()
         return (
             rows, hit == cms, bool(fold_seen), bool(recompute_seen),
-            totals,
+            totals, base, reg,
         )
 
     return staged(_SERVED_GTOPK_CACHE, sf_dir, "prox_servegtopk_", build)
+
+
+def q229_serve_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAZY grouped serve plan behind q229, exposed for plan
+    assertions: the per-group grid is CORPUS-DERIVED (groups × d×w
+    rows), so the probe join carries NO broadcast hint — AQE
+    broadcasts only when the built side genuinely fits, exactly the
+    q206 discipline for corpus-sized frames."""
+    from prox_spark.artifacts import serve_topk
+
+    t = _served_grouped_topk(spark, sf_dir)
+    base, reg = t[5], t[6]
+    return serve_topk(
+        spark, reg, base, "text", GTOPK_K, tokens=True, keys=["source"]
+    )[0]
 
 
 def q229_grouped_topk_serving(
@@ -4770,7 +4803,7 @@ def q229_grouped_topk_serving(
     ``grouped_served``, ``fold_seen``/``recompute_seen``, ``in_band``
     (per-group 2N_g/W bound, exact integer arithmetic)."""
     rows, served_ok, fold_seen, recompute_seen, totals = (
-        _served_grouped_topk(spark, sf_dir)
+        _served_grouped_topk(spark, sf_dir)[:5]
     )
     out = spark.createDataFrame(
         [

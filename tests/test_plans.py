@@ -484,3 +484,22 @@ def test_q170_semdedup_pairs_confined_to_clusters(spark):
     # member count = 3). Any more would be a corpus cross join.
     assert tree.count("BroadcastNestedLoopJoin") <= 3
     assert "cid" in plan
+
+
+def test_topk_serving_broadcast_discipline(spark):
+    """The CMS serving probes: the GLOBAL grid (≤ d×w rows, kilobytes
+    at any corpus size) is the one explicitly-broadcast frame
+    (q227); the GROUPED grid is corpus-derived (groups × d×w) and
+    must carry NO broadcast hint — AQE decides (q229), the q206
+    discipline for corpus-sized frames."""
+    import re
+
+    from prox_spark.queries.table_q import q227_serve_plan, q229_serve_plan
+
+    with _no_auto_broadcast(spark):
+        g = _plan(q227_serve_plan(spark, SF_DIR))
+        assert len(set(re.findall(r"\((\d+)\) BroadcastExchange", g))) == 1
+        spark.catalog.clearCache()
+        grp = _plan(q229_serve_plan(spark, SF_DIR))
+        assert "BroadcastExchange" not in grp
+        spark.catalog.clearCache()

@@ -163,6 +163,18 @@ def _twin_q206(spark, sf_dir):
     return q206_audit_plan(spark, sf_dir)
 
 
+def _twin_q227(spark, sf_dir):
+    from prox_spark.queries.table_q import q227_serve_plan
+
+    return q227_serve_plan(spark, sf_dir)
+
+
+def _twin_q229(spark, sf_dir):
+    from prox_spark.queries.table_q import q229_serve_plan
+
+    return q229_serve_plan(spark, sf_dir)
+
+
 AUDIT_TWINS = {
     "q206_leakage_free_split#counters": _twin_q206,
     "q72_dup_clusters#round": _twin_q72,
@@ -170,6 +182,10 @@ AUDIT_TWINS = {
     "q150_weighted_pagerank#round": _twin_q150,
     "q160_triangle_count#closing": _twin_q160,
     "q163_bpe_train#round": _twin_q163,
+    # lazy registry serve plans (the gate queries return localized
+    # frames; the probe-join shape is audited through these)
+    "q227_registry_served_topk#serve": _twin_q227,
+    "q229_grouped_topk_serving#serve": _twin_q229,
 }
 
 # node names as they appear at the head of a tree line (join nodes are
