@@ -257,6 +257,49 @@ def _filter_ranges(filters) -> dict[str, tuple]:
     }
 
 
+def _filter_in_sets(filters) -> dict[str, list]:
+    """Harvest per-column value SETS from pushed ``In`` filters
+    (top-level columns only): a sparse membership list like
+    ``doc_id IN (1, 10^6)`` prunes per VALUE, where the [min, max]
+    envelope would keep every file in between. Multiple In filters on
+    one column intersect."""
+    sets: dict[str, set] = {}
+    for f in filters:
+        attr = getattr(f, "attribute", None)
+        if not attr or len(attr) != 1 or not isinstance(f, In):
+            continue
+        if not f.value:
+            continue
+        col = attr[0]
+        vals = set(f.value)
+        sets[col] = sets[col] & vals if col in sets else vals
+    return {c: sorted(v) for c, v in sets.items()}
+
+
+def _set_overlaps(fstats: dict | None, key_sets: dict[str, list]) -> bool:
+    """Could a file with footer stats ``fstats`` contain ANY of the
+    listed values on every constrained column? Unknown stats never
+    prune; incomparable values count as possible (conservative)."""
+    if fstats is None:
+        return True
+    for col, vals in key_sets.items():
+        fr = fstats.get(col)
+        if fr is None:
+            continue
+        hit = False
+        for v in vals:
+            try:
+                if fr[0] <= v <= fr[1]:
+                    hit = True
+                    break
+            except TypeError:
+                hit = True  # incomparable: cannot rule the value out
+                break
+        if not hit:
+            return False
+    return True
+
+
 # one scan task reads up to this many bytes of packed small files —
 # Spark's own spark.sql.files.maxPartitionBytes default, applied to
 # the manifest's recorded sizes so a 10^6-small-file table doesn't
@@ -271,6 +314,7 @@ class ProxTableReader(DataSourceReader):
         self.manifest = manifest
         self.schema_struct = StructType.fromJson(manifest["schema"])
         self.key_ranges: dict[str, tuple] = {}
+        self.key_sets: dict[str, list] = {}
         self.max_partition_bytes = int(
             options.get("max_partition_bytes",
                         DEFAULT_MAX_PARTITION_BYTES)
@@ -279,6 +323,7 @@ class ProxTableReader(DataSourceReader):
     def pushFilters(self, filters):
         filters = list(filters)
         self.key_ranges = _filter_ranges(filters)
+        self.key_sets = _filter_in_sets(filters)
         # every filter is returned UNSUPPORTED: pruning only shrinks
         # the file list (a superset of matching rows is always read),
         # so Spark must re-apply the exact predicates row-side
@@ -286,11 +331,13 @@ class ProxTableReader(DataSourceReader):
 
     def pruned_files(self) -> list[str]:
         files = self.manifest.get("files", [])
-        if not self.key_ranges:
+        if not self.key_ranges and not self.key_sets:
             return list(files)
         stats = self.manifest.get("stats") or {}
         return [
-            f for f in files if _overlaps(stats.get(f), self.key_ranges)
+            f for f in files
+            if _overlaps(stats.get(f), self.key_ranges)
+            and _set_overlaps(stats.get(f), self.key_sets)
         ]
 
     def partitions(self):
@@ -351,7 +398,7 @@ class ProxTableReader(DataSourceReader):
         (no pushed ranges). Declared filter columns map through the
         partition's rename resolution; a group with absent stats on a
         column is conservatively kept."""
-        if not self.key_ranges:
+        if not self.key_ranges and not self.key_sets:
             return None
         name_map = dict(
             zip(
@@ -383,6 +430,17 @@ class ProxTableReader(DataSourceReader):
                         break
                 except TypeError:  # incomparable stat types
                     continue
+            if admit and self.key_sets:
+                # per-value In-list skipping: the group survives only
+                # if SOME listed value can fall inside its min/max
+                admit = _set_overlaps(
+                    {
+                        col: rg_stats[phys]
+                        for col in self.key_sets
+                        if (phys := name_map.get(col)) in rg_stats
+                    },
+                    self.key_sets,
+                )
             if admit:
                 keep.append(rg)
         return keep

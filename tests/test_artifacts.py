@@ -595,7 +595,11 @@ def test_maintenance_races_live_base_writers(spark):
     anywhere in the race would break the equality)."""
     import threading
 
-    from prox_spark.artifacts import build_kmv_sketch, build_quantile_sketch
+    from prox_spark.artifacts import (
+        build_cms_sketch,
+        build_kmv_sketch,
+        build_quantile_sketch,
+    )
     from prox_spark.mv import create_mv, mv_info
     from prox_spark.queries.search import _tokens_tf, maintained_postings
     from prox_spark.queries.similarity import build_nd_pair_index
@@ -605,7 +609,7 @@ def test_maintenance_races_live_base_writers(spark):
     s = _scratch()
     base, reg = f"{s}/base", f"{s}/reg"
     mv, vidx, pidx = f"{s}/mv", f"{s}/vidx", f"{s}/pidx"
-    kmv, qsk = f"{s}/kmv", f"{s}/qsk"
+    kmv, qsk, cms = f"{s}/kmv", f"{s}/qsk", f"{s}/cms"
     emb_base, ndp, ndb = f"{s}/emb", f"{s}/ndp", f"{s}/ndb"
     commit_snapshot(spark, base, _docs(spark, 0, 200),
                     stat_cols=["doc_id"], n_files=4)
@@ -615,6 +619,7 @@ def test_maintenance_races_live_base_writers(spark):
                     stat_cols=["term"], n_files=2)
     build_kmv_sketch(spark, base, "digest", kmv, keys=["src"])
     build_quantile_sketch(spark, base, "doc_id", "n", qsk, keys=["src"])
+    build_cms_sketch(spark, base, "src", cms, cand_k=8)
     emb = spark.read.parquet(
         "/root/testdata/sf0.001/embeddings.parquet"
     ).select("vec_id", "embedding")
@@ -629,9 +634,11 @@ def test_maintenance_races_live_base_writers(spark):
                       {"col": "digest", "keys": ["src"]})
     register_artifact(spark, reg, "quantile_sketch", base, qsk,
                       {"key": "doc_id", "val": "n", "keys": ["src"]})
+    register_artifact(spark, reg, "cms", base, cms,
+                      {"col": "src", "cand_k": 8})
     register_artifact(spark, reg, "nd_pairs", emb_base, ndp,
                       {"buckets": ndb})
-    arts = {mv, vidx, pidx, kmv, qsk, ndp}
+    arts = {mv, vidx, pidx, kmv, qsk, cms, ndp}
 
     barrier = threading.Barrier(2)
     maint_results: list[dict] = []
@@ -702,7 +709,7 @@ def test_maintenance_races_live_base_writers(spark):
     assert int(mv_info(spark, mv)["version"]) == head
     assert int(read_manifest(spark, vidx)["index_of"]["version"]) == head
     for art, want_head in ((pidx, head), (kmv, head), (qsk, head),
-                           (ndp, emb_head)):
+                           (cms, head), (ndp, emb_head)):
         assert int(
             read_manifest(spark, art)["index_of"]["version"]
         ) == want_head, art
@@ -729,6 +736,11 @@ def test_maintenance_races_live_base_writers(spark):
     assert sorted(map(tuple, read_table(spark, qsk).collect())) == sorted(
         map(tuple, read_table(spark, qsk2).collect())
     )
+    cms2 = f"{s}/cms2"
+    build_cms_sketch(spark, base, "src", cms2, cand_k=8)
+    assert sorted(
+        map(tuple, read_table(spark, cms).collect())
+    ) == sorted(map(tuple, read_table(spark, cms2).collect()))
     final_docs = read_table(spark, base).select("doc_id", "text")
     want_postings = sorted(
         map(

@@ -882,3 +882,39 @@ def test_stream_sink_rejects_txn_workspace(spark, tmp_path):
     })
     with pytest.raises(ValueError, match="txn_workspace"):
         ds.streamWriter(StructType.fromDDL("doc_id BIGINT"), False)
+
+
+def test_in_list_prunes_per_value_not_envelope(spark, tbl):
+    """A sparse membership probe (doc_id IN (3, 1000003)) must prune
+    per VALUE: the [min, max] envelope spans the whole table and
+    keeps every file; the value-set check keeps only the files whose
+    range can hold one of the listed keys — and the read stays
+    row-identical to read_table."""
+    from pyspark.sql.datasource import In
+
+    from prox_spark.table import read_table
+    from prox_spark.table_ds import (
+        ProxTableReader,
+        _set_overlaps,
+        manifest_py,
+    )
+
+    assert _set_overlaps({"doc_id": (0, 9)}, {"doc_id": [3, 1000003]})
+    assert not _set_overlaps(
+        {"doc_id": (100, 400)}, {"doc_id": [3, 1000003]}
+    )
+    mm = manifest_py(tbl)
+    rd = ProxTableReader({}, mm, tbl)
+    full = rd.pruned_files()
+    list(rd.pushFilters([In(("doc_id",), (3, 1000003))]))
+    got = rd.pruned_files()
+    # the envelope [3, 1000003] covers every file; per-value pruning
+    # must do strictly better
+    assert 0 < len(got) < len(full)
+    a = (
+        spark.read.format("prox_table")
+        .load(tbl)
+        .filter(F.col("doc_id").isin(3, 1000003))
+    )
+    b = read_table(spark, tbl).filter(F.col("doc_id").isin(3, 1000003))
+    assert _diff(a, b) == 0 and a.count() == 2
