@@ -28,7 +28,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 # Registry order matters: the correctness driver checks the first ~50
-# entries per round. Union coverage across rounds 1-11 is 226 of 226
+# entries per round. Union coverage across rounds 1-11 is 224 of 224
 # (every pre-existing query has a green driver row), so round 12
 # rotates by STALENESS (recomputed from CORRECTNESS_r01..r11) plus
 # touched-query re-gates: the TWO queries new this round lead (never

@@ -1348,3 +1348,37 @@ def test_cms_sketch_serves_folds_recomputes_and_bounds_eviction(spark):
     for tok, cnt in truth().items():
         if tok not in served_toks:
             assert cnt <= floor, (tok, cnt, floor)
+
+
+def test_vacuum_with_registry_preserves_cms_fold(spark):
+    """The cms kind's covered version pins the vacuum suffix like the
+    other sketch kinds: after an aggressive registry-guided vacuum,
+    the next maintenance still FOLDS (the feed window survived) and
+    the folded sketch equals a fresh build at the head."""
+    from prox_spark.artifacts import build_cms_sketch, vacuum_with_registry
+    from prox_spark.upsert import upsert_parquet
+
+    s = _scratch()
+    base, cms, reg = f"{s}/base", f"{s}/cms", f"{s}/reg"
+    commit_snapshot(spark, base, _docs(spark, 0, 60),
+                    stat_cols=["doc_id"], n_files=2)
+    build_cms_sketch(spark, base, "src", cms, cand_k=8)
+    register_artifact(spark, reg, "cms", base, cms,
+                      {"col": "src", "cand_k": 8})
+    for lo in (60, 90, 120):  # pure appends: fold-eligible windows
+        prev = read_manifest(spark, base)
+        commit_delta(
+            spark, base, _docs(spark, lo, lo + 30).select(
+                "doc_id", "src", "n", "text", "digest"
+            ),
+            list(prev["files"]), update_key_ranges={},
+        )
+    vacuum_with_registry(spark, base, reg, keep_last=1,
+                         retention_minutes=0.0)
+    r = maintain_artifacts(spark, reg)
+    assert r[cms]["status"] == "refreshed" and r[cms]["mode"] == "fold", r
+    cms2 = f"{s}/cms2"
+    build_cms_sketch(spark, base, "src", cms2, cand_k=8)
+    assert sorted(
+        map(tuple, read_table(spark, cms).collect())
+    ) == sorted(map(tuple, read_table(spark, cms2).collect()))
