@@ -41,6 +41,11 @@ Kinds:
   (max cell / mean cell) and fire prox_spark.queries.similarity
   recluster_index only past ``params["imbalance"]``; params: ``k``,
   ``imbalance`` (default 3.0).
+- ``kmv`` / ``quantile_sketch`` / ``cms``: deterministic mergeable
+  sketches (distinct / quantiles / heavy-hitter frequencies) — insert
+  windows FOLD, delete echoes RECOMPUTE, coverage replaces atomically
+  with the sketch; served via serve_distinct(_by) /
+  serve_aggregate(quantile=) / serve_topk / serve_aggregate(topk=).
 """
 
 from __future__ import annotations
