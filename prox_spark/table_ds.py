@@ -2,10 +2,10 @@
 ``spark.read.format("prox_table")`` / ``spark.sql`` entry point that
 Delta and Iceberg readers provide for their formats.
 
-The streaming READ half of this connector already exists
-(``table_stream.py``, q191/q197); this module completes the batch
-read (q223), batch write (q225), and streaming sink (q226) using the
-same Spark 4 ``pyspark.sql.datasource`` API proven in
+This module provides the batch read (q223), batch write (q225),
+streaming sink (q226), and — delegating to the change reader in
+``table_stream.py`` (q191/q197) — the streaming READ (q230), using
+the same Spark 4 ``pyspark.sql.datasource`` API proven in
 ``datasource.py`` (q140/q141). The reference has no table format at
 all (its storage layer is S3 parquet prefixes + a Glue catalog,
 reference ``transformations_script.py:51-58``); this is
@@ -21,6 +21,9 @@ queryable and writable without library imports:
     register_sql(spark, "docs", path)   # then: spark.sql("... FROM docs")
     df.write.format("prox_table").mode("append").save(path)  # CAS commit
     df.writeStream.format("prox_table").start(path)  # fenced appends
+    spark.readStream.format("prox_table").load(path)  # table-as-stream
+    (spark.readStream.format("prox_table")             # signed CDF rows
+     .option("readChangeFeed", "true").load(path))
 
 Full read semantics are replicated, not approximated — the module
 shares the manifest layout with ``table.py`` and applies, per file:
@@ -1111,13 +1114,76 @@ class ProxTableDataSource(DataSource):
             self._path = path
         return self._manifest, self._path
 
+    def _cdf(self) -> bool:
+        return (
+            str(self.options.get("readchangefeed", "false")).lower()
+            == "true"
+        )
+
     def schema(self) -> StructType:
         manifest, _ = self._resolve()
-        return StructType.fromJson(manifest["schema"])
+        st = StructType.fromJson(manifest["schema"])
+        if self._cdf():
+            # change-feed STREAM schema (readStream + readChangeFeed):
+            # relax nullability — old commits back-fill NULL for
+            # later-added columns, and a non-nullable Arrow vector fed
+            # a null crashes the JVM reader — then append the two feed
+            # columns (same contract as prox_table_changes)
+            from pyspark.sql.types import LongType, StringType, StructField
+
+            from prox_spark.table_stream import (
+                CHANGE_TYPE_COL,
+                COMMIT_VERSION_COL,
+            )
+
+            st = StructType(
+                [
+                    StructField(f.name, f.dataType, True, f.metadata)
+                    for f in st.fields
+                ]
+            )
+            st = st.add(CHANGE_TYPE_COL, StringType()).add(
+                COMMIT_VERSION_COL, LongType()
+            )
+        return st
 
     def reader(self, schema) -> ProxTableReader:
+        if self._cdf():
+            raise ValueError(
+                "readChangeFeed is a streaming option "
+                "(spark.readStream.format('prox_table')); for a batch "
+                "change feed use prox_spark.cdf.read_table_changes"
+            )
         manifest, path = self._resolve()
         return ProxTableReader(self.options, manifest, path)
+
+    def streamReader(self, schema: StructType):
+        """Delta-parity TABLE-AS-STREAM through the SAME format name:
+        ``spark.readStream.format("prox_table").load(path)`` streams
+        each committed version's appended rows as a micro-batch
+        (``readChangeFeed=true`` upgrades to the signed change feed) —
+        delegates to the proven change reader
+        (:class:`prox_spark.table_stream.TableChangesStreamReader`,
+        q191/q197's engine), so offsets are table versions, pacing /
+        checkpoint recovery / data-loss and schema-drift guards are
+        shared, and the connector matrix closes: read+write ×
+        batch+stream under one ``format()``."""
+        from prox_spark.table_stream import TableChangesStreamReader
+
+        for pin in ("version", "timestamp_ms"):
+            if self.options.get(pin) is not None:
+                raise ValueError(
+                    f"prox_table streaming read does not support {pin} "
+                    "(a stream follows the live log); use "
+                    "startingVersion to begin after a known version"
+                )
+        if self.options.get("ref", "main") != "main":
+            raise ValueError(
+                "prox_table streaming read follows main only — branch "
+                "manifests are outside the change log; fast_forward "
+                "the branch into main to stream its commits"
+            )
+        return TableChangesStreamReader(schema, dict(self.options))
 
     def writer(self, schema, overwrite: bool) -> ProxTableArrowWriter:
         return ProxTableArrowWriter(self.options, schema, overwrite)

@@ -918,3 +918,154 @@ def test_in_list_prunes_per_value_not_envelope(spark, tbl):
     )
     b = read_table(spark, tbl).filter(F.col("doc_id").isin(3, 1000003))
     assert _diff(a, b) == 0 and a.count() == 2
+
+
+def test_stream_reader_rows_mode_resumes_from_checkpoint(spark, tmp_path):
+    """readStream.format('prox_table') (Delta table-as-stream parity):
+    run 1 delivers v1's rows; a version committed while the stream is
+    DOWN is delivered exactly once by the resumed run — the union is
+    row-identical to a batch read of the head, with no change-feed
+    columns in rows mode."""
+    from prox_spark.table import (
+        commit_delta,
+        commit_snapshot,
+        read_manifest,
+        read_table,
+    )
+    from prox_spark.table_ds import register
+
+    register(spark)
+    t = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "source", "n_chars")
+    commit_snapshot(
+        spark, t, docs.filter(F.col("doc_id") % 10 <= 5),
+        stat_cols=["doc_id"], n_files=2,
+    )
+
+    def run():
+        q = (
+            spark.readStream.format("prox_table")
+            .load(t)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(300)
+        finally:
+            q.stop()
+
+    run()
+    first = spark.read.parquet(out)
+    assert "_change_type" not in first.columns  # rows mode
+    assert _diff(first, read_table(spark, t)) == 0
+    prev = read_manifest(spark, t)
+    commit_delta(
+        spark, t, docs.filter(F.col("doc_id") % 10 > 5),
+        list(prev["files"]), update_key_ranges={},
+    )
+    run()  # resumes from the checkpoint: delivers ONLY the new version
+    got = spark.read.parquet(out)
+    assert got.count() == docs.count()  # re-delivery would inflate this
+    assert _diff(got, read_table(spark, t)) == 0
+
+
+def test_stream_reader_change_feed_mode(spark, tmp_path):
+    """option('readChangeFeed', 'true') through the unified format:
+    commits stream as SIGNED rows with the feed columns — the append
+    arrives as inserts, a merge-on-read delete as delete rows."""
+    from prox_spark.table import (
+        commit_delete_file,
+        commit_snapshot,
+        read_manifest,
+    )
+    from prox_spark.table_ds import register
+
+    register(spark)
+    t = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "source", "n_chars")
+    commit_snapshot(spark, t, docs, stat_cols=["doc_id"], n_files=2)
+    keys = spark.createDataFrame([(3,), (7,)], "doc_id BIGINT")
+    commit_delete_file(
+        spark, t, keys, ["doc_id"], list(read_manifest(spark, t)["files"])
+    )
+    sdf = (
+        spark.readStream.format("prox_table")
+        .option("readChangeFeed", "true")
+        .load(t)
+    )
+    assert sdf.columns[-2:] == ["_change_type", "_commit_version"]
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(300)
+    finally:
+        q.stop()
+    got = spark.read.parquet(out)
+    n = docs.count()
+    assert got.filter(F.col("_change_type") == "insert").count() == n
+    deleted = got.filter(F.col("_change_type") == "delete")
+    assert sorted(r.doc_id for r in deleted.collect()) == [3, 7]
+    assert deleted.select("_commit_version").distinct().first()[0] == 2
+
+
+def test_stream_reader_rejects_pins_and_batch_cdf(spark, tmp_path):
+    """Streams follow the live log: version/timestamp_ms pins and
+    branch refs raise at streamReader construction; readChangeFeed on
+    a BATCH read raises with a pointer to cdf.read_table_changes."""
+    from pyspark.errors.exceptions.captured import (
+        AnalysisException,
+        PythonException,
+    )
+
+    from prox_spark.table import commit_snapshot
+    from prox_spark.table_ds import ProxTableDataSource, register
+
+    register(spark)
+    t = str(tmp_path / "src")
+    commit_snapshot(
+        spark, t,
+        spark.createDataFrame([(1, "a")], "doc_id BIGINT, source STRING"),
+        stat_cols=["doc_id"],
+    )
+    # direct construction: the guard message is ours, not wrapped
+    for opts in (
+        {"path": t, "version": "1"},
+        {"path": t, "timestamp_ms": "1"},
+        {"path": t, "ref": "exp"},
+    ):
+        with pytest.raises(ValueError, match="prox_table streaming"):
+            ProxTableDataSource(opts).streamReader(None)
+    # end-to-end: a pinned stream dies at/before start
+    with pytest.raises((AnalysisException, PythonException, Exception)):
+        (
+            spark.readStream.format("prox_table")
+            .option("version", "1")
+            .load(t)
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "c"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(60)
+        )
+    with pytest.raises(Exception, match="read_table_changes"):
+        (
+            spark.read.format("prox_table")
+            .option("readChangeFeed", "true")
+            .load(t)
+            .count()
+        )
