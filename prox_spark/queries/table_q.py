@@ -5017,6 +5017,168 @@ ORDER BY source
 """
 
 
+# --- q230: the connector loop closed (write → stream-read → stream-sink) ---
+
+_DS_LOOP_CACHE: dict[str, tuple] = {}
+
+
+def _ds_loop_tables(spark: SparkSession, sf_dir: str) -> tuple:
+    """Staged once per process: every connector surface chained into
+    ONE lifecycle with no library read/write anywhere in the data
+    path — (1) the batch writer creates source table T (doc_id%10≤5,
+    v1); (2) ``readStream.format("prox_table").load(T)`` feeds
+    ``writeStream.format("prox_table").start(S)`` and drains (run 1
+    lands v1's rows in S as a fenced batch); (3) while the stream is
+    DOWN the batch writer appends %10∈{6,7,8} to T (v2 — %10==9 never
+    written, so a leak past the manifest log would surface); (4) the
+    resumed run delivers exactly v2's rows (checkpointed version
+    offsets composing with the sink's batch-id fence — re-delivery or
+    a skipped version both break the count); (5) a
+    ``readChangeFeed=true`` stream over T folds signed per-batch
+    counts, whose insert total must equal T's final row count.
+    Returns (sink_path, resumed, rows_mode, cdf_ok)."""
+    from prox_spark.table import read_table, table_versions
+    from prox_spark.table_ds import register
+
+    from ._staging import staged
+
+    def build(scratch: str) -> tuple:
+        register(spark)
+        t = f"{scratch}/src"
+        s = f"{scratch}/sink"
+        ckpt = f"{scratch}/ckpt"
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "source", "n_chars"
+        )
+        ten = F.col("doc_id") % 10
+        (
+            docs.filter(ten <= 5)
+            .repartitionByRange(2, "doc_id")
+            .write.format("prox_table")
+            .mode("overwrite")
+            .option("stat_cols", "doc_id")
+            .save(t)
+        )
+        rows_mode = True
+
+        def run() -> None:
+            nonlocal rows_mode
+            sdf = spark.readStream.format("prox_table").load(t)
+            rows_mode = rows_mode and "_change_type" not in sdf.columns
+            q = (
+                sdf.writeStream.format("prox_table")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start(s)
+            )
+            try:
+                if not q.awaitTermination(600):
+                    raise RuntimeError("stream did not drain within 600s")
+            finally:
+                q.stop()
+
+        run()
+        (
+            docs.filter(ten.isin(6, 7, 8))
+            .repartitionByRange(2, "doc_id")
+            .write.format("prox_table")
+            .mode("append")
+            .save(t)
+        )
+        run()
+        resumed = len(table_versions(spark, s)) >= 2
+        # the signed twin: a change-feed stream over T through the
+        # SAME format name; its insert total must equal T's row count
+        # (and nothing may arrive signed as a delete)
+        tally: list = []
+
+        def fold(bdf: DataFrame, _bid: int) -> None:
+            tally.extend(
+                bdf.groupBy("_change_type")
+                .agg(F.count(F.lit(1)).cast("long").alias("n"))
+                .collect()
+            )
+
+        q = (
+            spark.readStream.format("prox_table")
+            .option("readChangeFeed", "true")
+            .load(t)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", f"{scratch}/ckpt_cdf")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(600):
+                raise RuntimeError("cdf stream did not drain within 600s")
+        finally:
+            q.stop()
+        ins = sum(r.n for r in tally if r._change_type == "insert")
+        dels = sum(r.n for r in tally if r._change_type == "delete")
+        cdf_ok = bool(
+            ins == read_table(spark, t).count() and dels == 0
+        )
+        return s, bool(resumed), bool(rows_mode), cdf_ok
+
+    return staged(_DS_LOOP_CACHE, sf_dir, "prox_dsloop_", build)
+
+
+def q230_datasource_stream_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TABLE-AS-STREAM THROUGH THE UNIFIED CONNECTOR — the format
+    matrix closes: ``readStream.format("prox_table")`` (Delta
+    streaming-read parity on the SAME format name as q223's batch
+    read, q225's writer, q226's sink; ``table_ds.streamReader``
+    delegates to q191's proven change reader, so offsets-as-versions,
+    checkpoint recovery, pacing, and the data-loss/schema-drift
+    guards are shared code). The gate chains the whole loop — batch
+    writer → stream read → stream sink, two runs with a version
+    committed while the stream is DOWN — and reads the SINK table
+    back through the batch reader: a re-delivered version, a skipped
+    version, an unfenced replay, or change-feed columns leaking into
+    rows mode all break the hash. Pins: ``resumed`` (the sink holds
+    ≥2 fenced batches — the second run really consumed only the
+    missed version), ``rows_mode`` (no feed columns in the default
+    stream), ``cdf_ok`` (a readChangeFeed=true stream over the same
+    table accounts every row as an insert, none as a delete).
+
+    Scale shape: offset resolution is driver-side metadata over NEW
+    manifests only; each micro-batch reads just the files its version
+    added, and the sink appends one fenced manifest per batch — the
+    standing table-to-table replication pattern (Delta's
+    readStream→writeStream idiom) that keeps a derived 100 TB table
+    fresh for the cost of the delta."""
+    t, resumed, rows_mode, cdf_ok = _ds_loop_tables(spark, sf_dir)
+    return (
+        spark.read.format("prox_table")
+        .load(t)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .withColumn("resumed", F.lit(bool(resumed)))
+        .withColumn("rows_mode", F.lit(bool(rows_mode)))
+        .withColumn("cdf_ok", F.lit(bool(cdf_ok)))
+        .orderBy("source")
+    )
+
+
+ORACLE_Q230 = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       TRUE AS resumed,
+       TRUE AS rows_mode,
+       TRUE AS cdf_ok
+FROM documents
+WHERE doc_id % 10 <= 8
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "q114_snapshot_diff": q114_snapshot_diff,
     "q118_incremental_agg": q118_incremental_agg,
@@ -5057,6 +5219,7 @@ QUERIES = {
     "q227_registry_served_topk": q227_registry_served_topk,
     "q228_datasource_multi_table_txn": q228_datasource_multi_table_txn,
     "q229_grouped_topk_serving": q229_grouped_topk_serving,
+    "q230_datasource_stream_source": q230_datasource_stream_source,
 }
 
 
@@ -5103,4 +5266,5 @@ def oracles() -> dict[str, str]:
         "q227_registry_served_topk": _oracle_q227(),
         "q228_datasource_multi_table_txn": ORACLE_Q228,
         "q229_grouped_topk_serving": _oracle_q229(),
+        "q230_datasource_stream_source": ORACLE_Q230,
     }
