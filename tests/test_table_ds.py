@@ -1069,3 +1069,33 @@ def test_stream_reader_rejects_pins_and_batch_cdf(spark, tmp_path):
             .load(t)
             .count()
         )
+
+
+def test_stream_reader_delegates_pacing_to_change_engine(spark, tmp_path):
+    """streamReader IS the proven change reader — offset/pacing options
+    (startingVersion, maxVersionsPerBatch) pass through the unified
+    format unchanged, so q191's pacing-floor guarantees apply."""
+    from prox_spark.table import commit_delta, commit_snapshot, read_manifest
+    from prox_spark.table_ds import ProxTableDataSource
+    from prox_spark.table_stream import TableChangesStreamReader
+
+    t = str(tmp_path / "src")
+    docs = spark.range(0, 30).selectExpr("id AS doc_id", "id % 3 AS v")
+    commit_snapshot(
+        spark, t, docs.filter("doc_id < 10"), stat_cols=["doc_id"]
+    )
+    for lo in (10, 20):
+        prev = read_manifest(spark, t)
+        commit_delta(
+            spark, t,
+            docs.filter(f"doc_id >= {lo} AND doc_id < {lo + 10}"),
+            list(prev["files"]), update_key_ranges={},
+        )
+    ds = ProxTableDataSource(
+        {"path": t, "startingversion": "1", "maxversionsperbatch": "1"}
+    )
+    rd = ds.streamReader(ds.schema())
+    assert isinstance(rd, TableChangesStreamReader)
+    assert rd.initialOffset() == {"version": 1}
+    assert rd.latestOffset() == {"version": 2}  # paced: one version/batch
+    assert rd.latestOffset() == {"version": 3}

@@ -124,6 +124,12 @@ QUERIES = [
     # the exponent).
     "q225_datasource_table_write",
     "q226_datasource_stream_sink",
+    # round 12: the unified-format streaming read — the warm pass runs
+    # the connector loop (write → stream-replicate → sink), so the
+    # timed path is the batch format() agg over the replicated sink
+    # table: one task per live file, expected ~linear with fixed-cost
+    # dilution (the q223 regime).
+    "q230_datasource_stream_source",
 ]
 # queries whose builder caches an intermediate per (app, sf_dir): warm
 # the DEST side too, so both scales time the same post-cache work
@@ -143,6 +149,9 @@ WARM_DEST = {
     "q206_leakage_free_split",
     "q223_datasource_table_read",
     "q224_registry_served_quantiles",
+    # round 12: the loop fixture (three stream startups) is staging,
+    # not the serving claim — warm both scales
+    "q230_datasource_stream_source",
 }
 MAX_EXPONENT = 1.6
 
