@@ -18,6 +18,8 @@ queryable and writable without library imports:
           .option("version", "3").option("ref", "exp").load(path))
     df = (spark.read.format("prox_table")                    # AS OF
           .option("timestamp_ms", "1786880000000").load(path))
+    df = (spark.read.format("prox_table")                    # tag pin
+          .option("tag", "train-v1").load(path))
     register_sql(spark, "docs", path)   # then: spark.sql("... FROM docs")
     df.write.format("prox_table").mode("append").save(path)  # CAS commit
     df.writeStream.format("prox_table").start(path)  # fenced appends
@@ -171,6 +173,20 @@ def version_at_timestamp_py(
             "(earlier ones may have been vacuumed)"
         )
     return best
+
+
+def tag_version_py(table_path: str, name: str) -> int:
+    """Pure-Python twin of ``table.tag_version``: resolve an immutable
+    tag (``_manifests/tag.{name}.json``) to its pinned main version."""
+    root = _local(table_path)
+    p = os.path.join(root, MANIFEST_DIR, f"tag.{name}.json")
+    try:
+        with open(p) as f:
+            return int(json.load(f)["version"])
+    except FileNotFoundError:
+        raise ValueError(
+            f"tag {name!r} does not exist on {table_path}"
+        ) from None
 
 
 def _is_foreign(entry: str) -> bool:
@@ -1082,7 +1098,8 @@ class ProxTableStreamWriter(_ProxWriteCore, DataSourceStreamArrowWriter):
 
 class ProxTableDataSource(DataSource):
     """``format("prox_table")`` — options: ``path`` (via ``.load``),
-    ``version`` (pin a historical snapshot), ``ref`` (branch)."""
+    ``version`` / ``timestamp_ms`` / ``tag`` (mutually exclusive
+    snapshot pins), ``ref`` (branch)."""
 
     @classmethod
     def name(cls) -> str:
@@ -1099,10 +1116,19 @@ class ProxTableDataSource(DataSource):
             ref = self.options.get("ref", "main")
             v = self.options.get("version")
             ts = self.options.get("timestamp_ms")
-            if v is not None and ts is not None:
+            tag = self.options.get("tag")
+            if sum(x is not None for x in (v, ts, tag)) > 1:
                 raise ValueError(
-                    "prox_table: version and timestamp_ms are exclusive"
+                    "prox_table: version, timestamp_ms, and tag are "
+                    "mutually exclusive snapshot pins"
                 )
+            if tag is not None:
+                if ref != "main":
+                    raise ValueError(
+                        "prox_table: tags pin main versions — tag and "
+                        "ref are exclusive"
+                    )
+                v = tag_version_py(path, tag)
             if ts is not None:
                 # TIMESTAMP AS OF (Delta parity): resolve against the
                 # manifests' publish times, same clock as
@@ -1170,7 +1196,7 @@ class ProxTableDataSource(DataSource):
         batch+stream under one ``format()``."""
         from prox_spark.table_stream import TableChangesStreamReader
 
-        for pin in ("version", "timestamp_ms"):
+        for pin in ("version", "timestamp_ms", "tag"):
             if self.options.get(pin) is not None:
                 raise ValueError(
                     f"prox_table streaming read does not support {pin} "
@@ -1225,7 +1251,8 @@ def activate(spark) -> None:
 
 
 def register_sql(spark, name: str, table_path: str,
-                 version: int | None = None, ref: str = "main") -> None:
+                 version: int | None = None, ref: str = "main",
+                 tag: str | None = None) -> None:
     """Expose a committed table to ``spark.sql`` as a temp view read
     through the format() path — the no-imports query surface."""
     register(spark)
@@ -1234,4 +1261,6 @@ def register_sql(spark, name: str, table_path: str,
         r = r.option("version", str(version))
     if ref != "main":
         r = r.option("ref", ref)
+    if tag is not None:
+        r = r.option("tag", tag)
     r.load(table_path).createOrReplaceTempView(name)

@@ -1099,3 +1099,53 @@ def test_stream_reader_delegates_pacing_to_change_engine(spark, tmp_path):
     assert rd.initialOffset() == {"version": 1}
     assert rd.latestOffset() == {"version": 2}  # paced: one version/batch
     assert rd.latestOffset() == {"version": 3}
+
+
+def test_reader_tag_pin(spark, tmp_path):
+    """option('tag', name): Iceberg-style immutable-ref read — resolves
+    through the pure-python tag record to the same rows as
+    read_table(version=tag_version); exclusive with the other pins and
+    rejected for streams."""
+    from prox_spark.table import (
+        commit_delta,
+        commit_snapshot,
+        create_tag,
+        read_manifest,
+        read_table,
+        tag_version,
+    )
+    from prox_spark.table_ds import ProxTableDataSource, register
+
+    register(spark)
+    t = str(tmp_path / "tbl")
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "source")
+    commit_snapshot(
+        spark, t, docs.filter(F.col("doc_id") % 2 == 0),
+        stat_cols=["doc_id"],
+    )
+    create_tag(spark, t, "train-v1")
+    prev = read_manifest(spark, t)
+    commit_delta(
+        spark, t, docs.filter(F.col("doc_id") % 2 == 1),
+        list(prev["files"]), update_key_ranges={},
+    )
+    tagged = spark.read.format("prox_table").option("tag", "train-v1").load(t)
+    v = tag_version(spark, t, "train-v1")
+    assert _diff(tagged, read_table(spark, t, version=v)) == 0
+    assert tagged.count() < read_table(spark, t).count()
+    with pytest.raises(Exception, match="does not exist"):
+        spark.read.format("prox_table").option("tag", "nope").load(t).count()
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        ProxTableDataSource(
+            {"path": t, "tag": "train-v1", "version": "1"}
+        ).schema()
+    with pytest.raises(ValueError, match="exclusive"):
+        ProxTableDataSource(
+            {"path": t, "tag": "train-v1", "ref": "exp"}
+        ).schema()
+    with pytest.raises(ValueError, match="streaming"):
+        ProxTableDataSource(
+            {"path": t, "tag": "train-v1"}
+        ).streamReader(None)
