@@ -117,6 +117,9 @@ SKIP = {
     # building; the read side is _read_files' audited shape
     "q226_datasource_stream_sink",  # runs real stream passes while
     # building; the read side is _read_files' audited shape
+    "q230_datasource_stream_source",  # runs three real stream passes
+    # while building (the connector loop); the serving read is the
+    # prox_table DS scan + groupBy — q223's audited shape
 }
 
 
