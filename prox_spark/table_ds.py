@@ -26,6 +26,9 @@ queryable and writable without library imports:
     spark.readStream.format("prox_table").load(path)  # table-as-stream
     (spark.readStream.format("prox_table")             # signed CDF rows
      .option("readChangeFeed", "true").load(path))
+    (spark.read.format("prox_table")                   # batch CDF range
+     .option("readChangeFeed", "true")
+     .option("startingVersion", "2").load(path))
 
 Full read semantics are replicated, not approximated — the module
 shares the manifest layout with ``table.py`` and applies, per file:
@@ -1096,6 +1099,58 @@ class ProxTableStreamWriter(_ProxWriteCore, DataSourceStreamArrowWriter):
         self._drop_batch_files(messages)
 
 
+class ProxTableChangesBatchReader(DataSourceReader):
+    """The BATCH half of ``readChangeFeed`` through the connector:
+    plans the same signed per-file partitions as the streaming change
+    reader for the ``(startingVersion, endingVersion]`` range and
+    decodes them with the same code (insert/delete classification,
+    merge-on-read semi-joins, NULL back-fill, rename guards — one
+    engine, two triggers). Row semantics match
+    ``prox_spark.cdf.read_table_changes(start, end)``: commits AFTER
+    ``startingVersion`` (default 0 = the whole history: every live row
+    as an insert plus the full delete trail) through ``endingVersion``
+    (default head). Both endpoints must still be resolvable — a feed
+    with a vacuumed middle raises (via the engine's data-loss guard)
+    rather than silently mis-stating the delta."""
+
+    def __init__(self, schema: StructType, options: dict):
+        from prox_spark.table_stream import (
+            TableChangesStreamReader,
+            _list_versions,
+        )
+
+        opts = {k.lower(): v for k, v in options.items()}
+        path = opts["path"]
+        versions = _list_versions(path)
+        if not versions:
+            raise ValueError(f"{path} is not a manifest table")
+        self._start = int(opts.get("startingversion", 0))
+        self._end = int(opts.get("endingversion", versions[-1]))
+        if self._start > self._end:
+            raise ValueError(
+                f"prox_table readChangeFeed: startingVersion "
+                f"{self._start} > endingVersion {self._end}"
+            )
+        if self._end not in versions:
+            raise ValueError(
+                f"endingVersion {self._end} not in {versions} for {path}"
+            )
+        self._rd = TableChangesStreamReader(schema, dict(options))
+
+    def partitions(self):
+        parts = self._rd.partitions(
+            {"version": self._start}, {"version": self._end}
+        )
+        # the API needs ≥1 partition; an empty range (start == end, or
+        # only data_change=false maintenance commits) reads as zero rows
+        return parts or [InputPartition(0)]
+
+    def read(self, partition: InputPartition):
+        if not hasattr(partition, "paths"):  # empty-range sentinel
+            return iter(())
+        return self._rd.read(partition)
+
+
 class ProxTableDataSource(DataSource):
     """``format("prox_table")`` — options: ``path`` (via ``.load``),
     ``version`` / ``timestamp_ms`` / ``tag`` (mutually exclusive
@@ -1173,13 +1228,27 @@ class ProxTableDataSource(DataSource):
             )
         return st
 
-    def reader(self, schema) -> ProxTableReader:
+    def reader(self, schema):
         if self._cdf():
-            raise ValueError(
-                "readChangeFeed is a streaming option "
-                "(spark.readStream.format('prox_table')); for a batch "
-                "change feed use prox_spark.cdf.read_table_changes"
-            )
+            # batch CDF read (Delta parity: spark.read + readChangeFeed
+            # + startingVersion/endingVersion) — signed rows of commits
+            # AFTER startingVersion through endingVersion (default
+            # head), planned and decoded by the SAME change engine as
+            # the stream
+            for pin in ("version", "timestamp_ms", "tag"):
+                if self.options.get(pin) is not None:
+                    raise ValueError(
+                        f"prox_table: {pin} does not compose with "
+                        "readChangeFeed — the feed range is addressed "
+                        "by startingVersion/endingVersion"
+                    )
+            if self.options.get("ref", "main") != "main":
+                raise ValueError(
+                    "prox_table readChangeFeed follows main only; for a "
+                    "branch change feed use "
+                    "prox_spark.cdf.read_table_changes(ref=)"
+                )
+            return ProxTableChangesBatchReader(schema, dict(self.options))
         manifest, path = self._resolve()
         return ProxTableReader(self.options, manifest, path)
 

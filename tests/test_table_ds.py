@@ -1025,8 +1025,9 @@ def test_stream_reader_change_feed_mode(spark, tmp_path):
 
 def test_stream_reader_rejects_pins_and_batch_cdf(spark, tmp_path):
     """Streams follow the live log: version/timestamp_ms pins and
-    branch refs raise at streamReader construction; readChangeFeed on
-    a BATCH read raises with a pointer to cdf.read_table_changes."""
+    branch refs raise at streamReader construction; snapshot pins and
+    branch refs do not compose with a BATCH readChangeFeed either
+    (the feed range is addressed by startingVersion/endingVersion)."""
     from pyspark.errors.exceptions.captured import (
         AnalysisException,
         PythonException,
@@ -1062,13 +1063,18 @@ def test_stream_reader_rejects_pins_and_batch_cdf(spark, tmp_path):
             .start()
             .awaitTermination(60)
         )
-    with pytest.raises(Exception, match="read_table_changes"):
+    with pytest.raises(Exception, match="does not compose"):
         (
             spark.read.format("prox_table")
             .option("readChangeFeed", "true")
+            .option("version", "1")
             .load(t)
             .count()
         )
+    with pytest.raises(ValueError, match="main only"):
+        ProxTableDataSource(
+            {"path": t, "readchangefeed": "true", "ref": "exp"}
+        ).reader(None)
 
 
 def test_stream_reader_delegates_pacing_to_change_engine(spark, tmp_path):
@@ -1149,3 +1155,66 @@ def test_reader_tag_pin(spark, tmp_path):
         ProxTableDataSource(
             {"path": t, "tag": "train-v1"}
         ).streamReader(None)
+
+
+def test_batch_change_feed_parity_with_cdf(spark, tmp_path):
+    """spark.read + readChangeFeed (Delta batch-CDF parity): the signed
+    rows for (startingVersion, endingVersion] are row-identical to
+    cdf.read_table_changes over the same range — one change engine,
+    batch and stream triggers."""
+    from prox_spark.cdf import read_table_changes
+    from prox_spark.table import (
+        commit_delete_file,
+        commit_delta,
+        commit_snapshot,
+        read_manifest,
+    )
+    from prox_spark.table_ds import register
+
+    register(spark)
+    t = str(tmp_path / "tbl")
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "source", "n_chars")
+    commit_snapshot(
+        spark, t, docs.filter(F.col("doc_id") % 3 == 0),
+        stat_cols=["doc_id"], n_files=2,
+    )
+    prev = read_manifest(spark, t)
+    commit_delta(
+        spark, t, docs.filter(F.col("doc_id") % 3 == 1),
+        list(prev["files"]), update_key_ranges={},
+    )
+    keys = spark.createDataFrame([(3,), (6,), (9,)], "doc_id BIGINT")
+    commit_delete_file(
+        spark, t, keys, ["doc_id"], list(read_manifest(spark, t)["files"])
+    )
+
+    def feed(start, end=None):
+        r = (
+            spark.read.format("prox_table")
+            .option("readChangeFeed", "true")
+            .option("startingVersion", str(start))
+        )
+        if end is not None:
+            r = r.option("endingVersion", str(end))
+        return r.load(t)
+
+    # whole history
+    assert _diff(feed(0), read_table_changes(spark, t, 0)) == 0
+    # a middle slice: only v2's inserts
+    assert _diff(feed(1, 2), read_table_changes(spark, t, 1, 2)) == 0
+    # the delete commit alone: exactly the 3 deleted keys, signed
+    d = feed(2)
+    assert _diff(d, read_table_changes(spark, t, 2)) == 0
+    assert d.count() == 3
+    assert set(
+        r.doc_id for r in d.filter(F.col("_change_type") == "delete").collect()
+    ) == {3, 6, 9}
+    # empty range reads as zero rows, feed schema intact
+    e = feed(3)
+    assert e.count() == 0
+    assert e.columns[-2:] == ["_change_type", "_commit_version"]
+    # bad range raises
+    with pytest.raises(Exception, match="startingVersion"):
+        feed(5, 2).count()
