@@ -161,12 +161,17 @@ def main() -> None:
         compact["q"] = " ".join(f"{k}:{v}" for k, v in q.items())
         line = json.dumps(compact, separators=(",", ":"))
     if len(line) >= 1950:
-        # still too many queries: degrade to a totals-only line rather
-        # than discarding the whole run — BENCH_DETAIL.json carries
-        # every per-query number
-        compact.pop("q")
-        compact["queries_omitted"] = len(medians)
-        line = json.dumps(compact, separators=(",", ":"))
+        # still too long: keep as many per-query tokens as fit (the
+        # registry order leads with the round's gate window, so those
+        # survive) and say how many were dropped — BENCH_DETAIL.json
+        # carries every per-query number either way
+        tokens = compact.pop("q").split(" ")
+        for i in range(len(tokens), -1, -1):
+            compact["q"] = " ".join(tokens[:i])
+            compact["q_omitted"] = len(tokens) - i
+            line = json.dumps(compact, separators=(",", ":"))
+            if len(line) < 1950:
+                break
     # left-pad so the driver's 2000-char tail window lands inside the
     # padding: the captured tail is then whitespace + complete JSON,
     # which json.loads accepts whether the driver parses the raw tail
