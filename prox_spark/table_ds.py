@@ -20,6 +20,8 @@ queryable and writable without library imports:
           .option("timestamp_ms", "1786880000000").load(path))
     df = (spark.read.format("prox_table")                    # tag pin
           .option("tag", "train-v1").load(path))
+    df = (spark.read.format("prox_table")             # scan projection
+          .option("columns", "doc_id,source").load(path))
     register_sql(spark, "docs", path)   # then: spark.sql("... FROM docs")
     df.write.format("prox_table").mode("append").save(path)  # CAS commit
     df.writeStream.format("prox_table").start(path)  # fenced appends
@@ -330,11 +332,60 @@ def _set_overlaps(fstats: dict | None, key_sets: dict[str, list]) -> bool:
 DEFAULT_MAX_PARTITION_BYTES = 128 * 1024 * 1024
 
 
+def _parse_columns(opt: str | None) -> list[str] | None:
+    if opt is None:
+        return None
+    cols: list[str] = []
+    for c in opt.split(","):
+        c = c.strip()
+        if c and c not in cols:
+            cols.append(c)
+    return cols
+
+
+def _narrow_schema(st: StructType, cols: list[str]) -> StructType:
+    """Explicit projection pushdown: the Python DataSource API has no
+    column pruning, so a full-scan format() read decodes every column
+    of every file — option('columns', 'a,b') narrows the declared
+    schema (user order) so tasks decode only what the query needs."""
+    from pyspark.sql.types import StructField  # noqa: F401 (doc import)
+
+    have = {f.name: f for f in st.fields}
+    unknown = [c for c in cols if c not in have]
+    if unknown:
+        raise ValueError(
+            f"prox_table: columns {unknown} not in the table schema "
+            f"{sorted(have)}"
+        )
+    return StructType([have[c] for c in cols])
+
+
 class ProxTableReader(DataSourceReader):
     def __init__(self, options, manifest: dict, table_path: str):
         self.table_path = table_path
         self.manifest = manifest
         self.schema_struct = StructType.fromJson(manifest["schema"])
+        cols = _parse_columns(options.get("columns"))
+        if cols is not None:
+            self.schema_struct = _narrow_schema(self.schema_struct, cols)
+            missing = sorted(
+                {
+                    k
+                    for d in manifest.get("deletes") or []
+                    for k in d["keys"]
+                }
+                - set(cols)
+            )
+            if missing:
+                # the merge-on-read anti-filter needs the delete-key
+                # columns in the decoded batch; silently reading them
+                # would widen the schema, silently skipping them would
+                # resurrect deleted rows — refuse loudly instead
+                raise ValueError(
+                    f"prox_table: pending merge-on-read deletes key on "
+                    f"{missing}; include them in option('columns') or "
+                    "compact_table to fold the deletes first"
+                )
         self.key_ranges: dict[str, tuple] = {}
         self.key_sets: dict[str, list] = {}
         self.max_partition_bytes = int(
@@ -1204,6 +1255,15 @@ class ProxTableDataSource(DataSource):
     def schema(self) -> StructType:
         manifest, _ = self._resolve()
         st = StructType.fromJson(manifest["schema"])
+        cols = _parse_columns(self.options.get("columns"))
+        if cols is not None:
+            if self._cdf():
+                raise ValueError(
+                    "prox_table: columns does not compose with "
+                    "readChangeFeed (the feed's schema is the table's "
+                    "plus the feed columns)"
+                )
+            st = _narrow_schema(st, cols)
         if self._cdf():
             # change-feed STREAM schema (readStream + readChangeFeed):
             # relax nullability — old commits back-fill NULL for
@@ -1272,6 +1332,12 @@ class ProxTableDataSource(DataSource):
                     "(a stream follows the live log); use "
                     "startingVersion to begin after a known version"
                 )
+        if self.options.get("columns") is not None:
+            raise ValueError(
+                "prox_table streaming read does not support columns "
+                "(the stream pins the table's full schema contract); "
+                "select() on the stream DataFrame instead"
+            )
         if self.options.get("ref", "main") != "main":
             raise ValueError(
                 "prox_table streaming read follows main only — branch "
@@ -1321,9 +1387,13 @@ def activate(spark) -> None:
 
 def register_sql(spark, name: str, table_path: str,
                  version: int | None = None, ref: str = "main",
-                 tag: str | None = None) -> None:
+                 tag: str | None = None,
+                 columns: list[str] | None = None) -> None:
     """Expose a committed table to ``spark.sql`` as a temp view read
-    through the format() path — the no-imports query surface."""
+    through the format() path — the no-imports query surface.
+    ``columns`` narrows the view to a scan-side projection (the
+    Python DS API has no automatic column pruning, so a view that
+    only ever serves a column subset should declare it here)."""
     register(spark)
     r = spark.read.format("prox_table")
     if version is not None:
@@ -1332,4 +1402,6 @@ def register_sql(spark, name: str, table_path: str,
         r = r.option("ref", ref)
     if tag is not None:
         r = r.option("tag", tag)
+    if columns is not None:
+        r = r.option("columns", ",".join(columns))
     r.load(table_path).createOrReplaceTempView(name)

@@ -1218,3 +1218,85 @@ def test_batch_change_feed_parity_with_cdf(spark, tmp_path):
     # bad range raises
     with pytest.raises(Exception, match="startingVersion"):
         feed(5, 2).count()
+
+
+def test_columns_projection_option(spark, tmp_path):
+    """option('columns', 'a,b') — explicit projection pushdown (the
+    Python DS API has no automatic column pruning): tasks decode only
+    the listed columns, parity with read_table().select(), filter
+    pruning still composes, and pending merge-on-read deletes whose
+    keys the projection drops are refused loudly (silently skipping
+    the anti-filter would resurrect deleted rows)."""
+    from prox_spark.table import (
+        commit_delete_file,
+        commit_snapshot,
+        compact_table,
+        read_manifest,
+        read_table,
+    )
+    from prox_spark.table_ds import register, register_sql
+
+    register(spark)
+    t = str(tmp_path / "tbl")
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "source", "n_chars")
+    commit_snapshot(spark, t, docs, stat_cols=["doc_id"], n_files=3)
+
+    proj = (
+        spark.read.format("prox_table")
+        .option("columns", "source,doc_id")
+        .load(t)
+    )
+    assert proj.columns == ["source", "doc_id"]  # user order
+    assert _diff(proj, read_table(spark, t).select("source", "doc_id")) == 0
+    # pushed filter on a projected stat column still prunes + matches
+    a = proj.filter(F.col("doc_id") == 3)
+    assert a.count() == 1 and a.first().source is not None
+    with pytest.raises(Exception, match="not in the table schema"):
+        (
+            spark.read.format("prox_table")
+            .option("columns", "nope")
+            .load(t)
+            .count()
+        )
+    # a pending MoR delete keyed on doc_id: projecting it away refuses
+    keys = spark.createDataFrame([(3,)], "doc_id BIGINT")
+    commit_delete_file(
+        spark, t, keys, ["doc_id"], list(read_manifest(spark, t)["files"])
+    )
+    with pytest.raises(Exception, match="merge-on-read deletes key on"):
+        (
+            spark.read.format("prox_table")
+            .option("columns", "source")
+            .load(t)
+            .count()
+        )
+    # including the key keeps the anti-filter exact...
+    ok = (
+        spark.read.format("prox_table")
+        .option("columns", "doc_id,source")
+        .load(t)
+    )
+    assert ok.filter(F.col("doc_id") == 3).count() == 0
+    # ...and compaction folds the deletes, unlocking the narrow read
+    compact_table(spark, t)
+    narrow = (
+        spark.read.format("prox_table").option("columns", "source").load(t)
+    )
+    assert narrow.columns == ["source"]
+    assert narrow.count() == read_table(spark, t).count()
+    # register_sql carries the projection
+    register_sql(spark, "docs_narrow", t, columns=["source"])
+    assert spark.sql("SELECT * FROM docs_narrow").columns == ["source"]
+    # streams and change feeds refuse the option
+    from prox_spark.table_ds import ProxTableDataSource
+
+    with pytest.raises(ValueError, match="does not support columns"):
+        ProxTableDataSource(
+            {"path": t, "columns": "source"}
+        ).streamReader(None)
+    with pytest.raises(ValueError, match="does not compose"):
+        ProxTableDataSource(
+            {"path": t, "columns": "source", "readchangefeed": "true"}
+        ).schema()
