@@ -31,7 +31,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # entries per round. Union coverage across rounds 1-11 is 224 of 224
 # (every pre-existing query has a green driver row), so round 12
 # rotates by STALENESS (recomputed from CORRECTNESS_r01..r11) plus
-# touched-query re-gates: the FOUR queries new this round lead (never
+# touched-query re-gates: the FIVE queries new this round lead (never
 # driver-gated), then the five whose implementations materially
 # changed this round (q223: one-sided pushdown pruning fix; q224:
 # deterministic quantile-sample tie-break; q225/q226: writer txn
@@ -41,6 +41,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # cohort in name order up to the 50-slot cap. Exactly 50.
 _FRONT = [
     # new this round (never driver-gated)
+    "q231_datasource_change_feed",
     "q230_datasource_stream_source",
     "q227_registry_served_topk",
     "q228_datasource_multi_table_txn",
@@ -93,7 +94,6 @@ _FRONT = [
     "q130_heavy_hitters",
     "q131_zorder_scan",
     "q132_auto_skew_revenue",
-    "q133_shard_assignment",
 ]
 
 

@@ -5179,6 +5179,157 @@ ORDER BY source
 """
 
 
+# --- q231: batch change feed through the connector --------------------------
+
+_CDF_AUDIT_CACHE: dict[str, tuple] = {}
+
+
+def _cdf_connector_audit(spark: SparkSession, sf_dir: str) -> tuple:
+    """Staged once per process (q230's cdf_ok precedent — the audit is
+    a one-time cross-engine comparison, not the serving claim): over
+    the q196 lifecycle table, compare the connector's batch change
+    feed against ``cdf.read_table_changes`` with one-pass
+    order-insensitive signatures (count + summed 48-bit md5 prefix
+    over every column — an exceptAll row-diff would re-scan each feed
+    twice through the Python DS), and pin range addressing: the
+    (2, 3] connector read must equal the full feed's
+    _commit_version == 3 slice. Returns (table, head, engine_match,
+    slice_match)."""
+    from prox_spark.cdf import read_table_changes
+    from prox_spark.queries._staging import staged
+    from prox_spark.table_ds import register
+
+    def build(_scratch: str) -> tuple:
+        register(spark)
+        table, head = _cdf_table(spark, sf_dir)
+
+        def connector_feed(start: int, end: int) -> DataFrame:
+            return (
+                spark.read.format("prox_table")
+                .option("readChangeFeed", "true")
+                .option("startingVersion", str(start))
+                .option("endingVersion", str(end))
+                .load(table)
+            )
+
+        def _sig(df: DataFrame):
+            h = F.sum(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "\x1f",
+                                F.col("doc_id").cast("string"),
+                                F.col("source"),
+                                F.col("n_chars").cast("string"),
+                                F.col("_change_type"),
+                                F.col("_commit_version").cast("string"),
+                            )
+                        ),
+                        1,
+                        12,
+                    ),
+                    16,
+                    10,
+                ).cast("decimal(28,0)")
+            )
+            return df.agg(
+                F.count(F.lit(1)).alias("n"), h.alias("h")
+            ).first()
+
+        feed = connector_feed(0, head).persist()
+        try:
+            engine_match = _sig(feed) == _sig(
+                read_table_changes(spark, table, 0, head)
+            )
+            slice_match = _sig(connector_feed(2, 3)) == _sig(
+                feed.filter(F.col("_commit_version") == 3)
+            )
+        finally:
+            feed.unpersist()
+        return table, head, bool(engine_match), bool(slice_match)
+
+    return staged(_CDF_AUDIT_CACHE, sf_dir, "prox_cdfaudit_", build)
+
+
+def q231_datasource_change_feed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BATCH CDF THROUGH THE CONNECTOR — Delta's
+    ``spark.read.option("readChangeFeed","true")`` parity on
+    ``format("prox_table")``: the q196 lifecycle (append → merge-on-
+    read delete → upsert rewrite → data_change=false compaction) read
+    as signed rows with NO library imports, planned and decoded by the
+    SAME change engine as the q230 stream (``table_ds.
+    ProxTableChangesBatchReader`` delegating to the q191 reader — one
+    engine, two triggers). The gate folds the whole-history feed to
+    the final per-source state like q196; a missed delete, a rewrite
+    echo, or a compaction leak breaks the hash. Pins:
+    ``engine_match`` (the connector feed carries the same row content
+    as ``cdf.read_table_changes`` over the same range — count +
+    order-insensitive md5-sum signature, one pass per side — so the
+    two CDF implementations agree commit by commit), ``slice_match``
+    (range addressing via startingVersion/endingVersion returns
+    exactly the full feed's (2, 3] slice — the MoR delete commit).
+    Both audits run ONCE per process in staging (q230's idiom); the
+    timed path is the connector feed scan + signed fold.
+
+    Scale shape: q196's — per version only added/removed/targeted
+    files are opened (work ∝ commit volume), per-file partitions give
+    file-level task parallelism, and the signed fold is one partial
+    agg."""
+    table, head, engine_match, slice_match = _cdf_connector_audit(
+        spark, sf_dir
+    )
+    feed = (
+        spark.read.format("prox_table")
+        .option("readChangeFeed", "true")
+        .option("endingVersion", str(head))
+        .load(table)
+        .persist()
+    )
+    try:
+        sign = F.when(
+            F.col("_change_type") == "insert", F.lit(1)
+        ).otherwise(F.lit(-1))
+        out = (
+            feed.groupBy("source")
+            .agg(
+                F.sum(sign).cast("long").alias("d_docs"),
+                F.sum(sign * F.col("n_chars")).cast("long").alias(
+                    "d_chars"
+                ),
+            )
+            .filter(F.col("d_docs") != 0)
+            .withColumn("engine_match", F.lit(bool(engine_match)))
+            .withColumn("slice_match", F.lit(bool(slice_match)))
+            .orderBy("source")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        feed.unpersist()
+
+
+ORACLE_Q231 = """
+WITH final AS (
+  SELECT source,
+         CASE WHEN doc_id % 10 = 3 THEN n_chars + 1000 ELSE n_chars END
+           AS n_chars
+  FROM documents
+  WHERE doc_id % 10 <= 7 AND doc_id % 5 <> 0
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS d_docs,
+       CAST(sum(n_chars) AS BIGINT) AS d_chars,
+       TRUE AS engine_match,
+       TRUE AS slice_match
+FROM final
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "q114_snapshot_diff": q114_snapshot_diff,
     "q118_incremental_agg": q118_incremental_agg,
@@ -5220,6 +5371,7 @@ QUERIES = {
     "q228_datasource_multi_table_txn": q228_datasource_multi_table_txn,
     "q229_grouped_topk_serving": q229_grouped_topk_serving,
     "q230_datasource_stream_source": q230_datasource_stream_source,
+    "q231_datasource_change_feed": q231_datasource_change_feed,
 }
 
 
@@ -5267,4 +5419,5 @@ def oracles() -> dict[str, str]:
         "q228_datasource_multi_table_txn": ORACLE_Q228,
         "q229_grouped_topk_serving": _oracle_q229(),
         "q230_datasource_stream_source": ORACLE_Q230,
+        "q231_datasource_change_feed": ORACLE_Q231,
     }
