@@ -58,7 +58,11 @@ def main() -> None:
     # chunk manifests, ~0.5 s) instead of rep 1 carrying the build.
     # The other staged fixtures are sub-second serving reads already
     # (r11's q86/q189/q206/q215 amortization).
-    from prox_spark.queries.table_q import _chunked_table, _ds_loop_tables
+    from prox_spark.queries.table_q import (
+        _cdf_connector_audit,
+        _chunked_table,
+        _ds_loop_tables,
+    )
 
     _chunked_table(spark, sf_dir)
     # q230's connector-loop fixture (batch write → two stream runs →
@@ -66,6 +70,10 @@ def main() -> None:
     # startups, fixture construction not query work): prestage for the
     # same reason, so timed reps measure the format() serving read.
     _ds_loop_tables(spark, sf_dir)
+    # q231's cross-engine CDF audit (lifecycle table + signature
+    # comparison, once per process) — q231 leads the registry, so
+    # without this rep 1 would carry the staging
+    _cdf_connector_audit(spark, sf_dir)
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     samples: dict[str, list[float]] = {name: [] for name in qs}

@@ -120,6 +120,10 @@ SKIP = {
     "q230_datasource_stream_source",  # runs three real stream passes
     # while building (the connector loop); the serving read is the
     # prox_table DS scan + groupBy — q223's audited shape
+    "q231_datasource_change_feed",  # stages the q196 lifecycle +
+    # cross-engine audit while building and returns a localized
+    # frame; the feed scan is the stream change reader's audited
+    # per-file partition shape
 }
 
 
