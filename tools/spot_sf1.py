@@ -130,6 +130,11 @@ QUERIES = [
     # table: one task per live file, expected ~linear with fixed-cost
     # dilution (the q223 regime).
     "q230_datasource_stream_source",
+    # round 12 (queued for the r13 measurement): batch CDF through
+    # the connector — the warm pass stages the lifecycle + the
+    # cross-engine audit, so the timed path is the connector feed
+    # scan + signed fold: work ∝ commit volume, expected ~linear.
+    "q231_datasource_change_feed",
 ]
 # queries whose builder caches an intermediate per (app, sf_dir): warm
 # the DEST side too, so both scales time the same post-cache work
@@ -152,6 +157,7 @@ WARM_DEST = {
     # round 12: the loop fixture (three stream startups) is staging,
     # not the serving claim — warm both scales
     "q230_datasource_stream_source",
+    "q231_datasource_change_feed",
 }
 MAX_EXPONENT = 1.6
 
