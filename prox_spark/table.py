@@ -70,6 +70,7 @@ large commits are gathered executor-side.
 from __future__ import annotations
 
 import json
+import os
 import re
 import threading
 import uuid
@@ -613,6 +614,47 @@ def _build_layout(spark: SparkSession, table_path: str, cur: dict,
     return {"chunks": carried}, written
 
 
+def _cas_publish(jvm, fs, tmp, final) -> bool:
+    """Atomically promote ``tmp`` to ``final`` iff no other writer holds
+    that name; returns False on a lost race. ``tmp`` (and its local
+    checksum twin) is always consumed.
+
+    The classic ``exists() + rename()`` idiom is NOT a CAS on local
+    filesystems: Hadoop's local rename maps to ``File.renameTo`` →
+    POSIX ``rename(2)``, which silently REPLACES an existing
+    destination — two racing publishers can both pass the exists()
+    check, both rename, and both report success while one document
+    vanishes (reproduced by tests/test_txn.py's threaded race). Local
+    paths therefore publish via ``os.link``, which fails atomically on
+    an existing target (the ``table_ds._publish_cas`` primitive).
+    HDFS-like filesystems keep exists+rename: their rename is atomic
+    and refuses an existing destination."""
+    scheme = final.toUri().getScheme()
+    if scheme in (None, "file"):
+        src = tmp.toUri().getPath()
+        dst = final.toUri().getPath()
+        try:
+            os.link(src, dst)
+            ok = True
+        except OSError:
+            ok = False
+        # consume the tmp file and the .crc twin ChecksumFileSystem wrote
+        d, name = os.path.split(src)
+        for p in (src, os.path.join(d, f".{name}.crc")):
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
+        return ok
+    if fs.exists(final):
+        fs.delete(tmp, False)
+        return False
+    if fs.rename(tmp, final):
+        return True
+    fs.delete(tmp, False)
+    return False
+
+
 def _write_manifest(spark: SparkSession, table_path: str, v: int,
                     manifest: dict, ref: str = "main") -> None:
     jvm, fs, _ = _fs(spark, table_path)
@@ -627,13 +669,13 @@ def _write_manifest(spark: SparkSession, table_path: str, v: int,
     final = jvm.org.apache.hadoop.fs.Path(
         f"{table_path}/{MANIFEST_DIR}/{_mprefix(ref)}{v:08d}.json"
     )
-    if fs.exists(final) or not fs.rename(tmp, final):
+    if not _cas_publish(jvm, fs, tmp, final):
         # a racing writer published v first: fail the CAS loudly and
         # leave the winner's commit untouched. Only the tmp manifest
-        # is dropped here — the caller owns the orphan data dir, so a
-        # rebase-and-retry can re-publish the already-written files
-        # without a second write job (see commit_delta's CAS loop).
-        fs.delete(tmp, False)
+        # is dropped (by _cas_publish) — the caller owns the orphan
+        # data dir, so a rebase-and-retry can re-publish the already-
+        # written files without a second write job (see commit_delta's
+        # CAS loop).
         raise CommitConflictError(
             f"concurrent commit of version {v} for {table_path} (ref {ref!r})"
         )
@@ -1554,8 +1596,7 @@ def create_tag(
     out = fs.create(tmp, False)
     out.write(bytearray(json.dumps({"name": name, "version": v}), "utf-8"))
     out.close()
-    if fs.exists(final) or not fs.rename(tmp, final):
-        fs.delete(tmp, False)
+    if not _cas_publish(jvm, fs, tmp, final):
         raise ValueError(f"tag {name!r} already exists on {table_path}")
     # RE-VALIDATE after publish: a vacuum that already passed its tag
     # re-list may have dropped this version between our validation and

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from prox_spark.table import (
     CommitConflictError,
+    _cas_publish,
     _fs,
     _manifest_versions,
     read_table,
@@ -140,7 +141,7 @@ def txn_commit(
         final = jvm.org.apache.hadoop.fs.Path(
             f"{workspace}/{TXN_DIR}/txn-{n:08d}.json"
         )
-        if not fs.exists(final) and fs.rename(tmp, final):
+        if _cas_publish(jvm, fs, tmp, final):
             # RE-VALIDATE after publish (the create_tag recipe): a
             # vacuum whose extra_pins were computed before this txn
             # existed can sweep a pinned version between the pre-publish
@@ -161,7 +162,7 @@ def txn_commit(
                     "the table commits"
                 )
             return n
-        fs.delete(tmp, False)
+        # lost the CAS (tmp consumed by _cas_publish): rebase and retry
         attempts += 1
         if attempts > max_retries:
             raise CommitConflictError(
