@@ -45,12 +45,24 @@ DAMP_NUM, DAMP_DEN = 85, 100  # damping 0.85 as an exact ratio
 
 
 def _rank_round(
-    ed: DataFrame, nodes: DataFrame, ranks: DataFrame, base: int, w: str | None
+    ed: DataFrame,
+    nodes: DataFrame,
+    ranks: DataFrame,
+    base: int,
+    w: str | None,
+    symmetric: bool = False,
 ) -> DataFrame:
     """ONE rank-propagation round (shared by the fixpoint loop and the
     plan-audit twin, so audited plan shape == executed plan shape):
     join the dst-partitioned edge frame with the broadcast rank frame,
-    sum shares per dst, re-anchor on the node list."""
+    sum shares per dst, re-anchor on the node list.
+
+    ``symmetric=True`` asserts every node has >= 1 in-edge (true for
+    any symmetrized edge list: in-degree == out-degree >= 1), so the
+    inflow aggregation's key set IS the node set and the re-anchor
+    left-join is an identity — skipping it removes one join (and its
+    broadcast build) per round with bit-identical ranks (coalesce
+    never fires: no node is missing from inflow)."""
     share = F.expr(f"(rank * {w}) div out") if w else F.expr("rank div out")
     inflow = (
         ed.join(F.broadcast(ranks), ed.src == ranks.node)
@@ -58,6 +70,13 @@ def _rank_round(
         .groupBy("dst")
         .agg(F.sum("share").alias("inflow"))
     )
+    if symmetric:
+        return inflow.select(
+            F.col("dst").alias("node"),
+            (
+                F.lit(base) + F.expr(f"({DAMP_NUM} * inflow) div {DAMP_DEN}")
+            ).alias("rank"),
+        )
     return nodes.join(inflow, nodes.node == inflow.dst, "left").select(
         "node",
         (
@@ -68,7 +87,7 @@ def _rank_round(
 
 
 def pagerank_round_audit_frame(
-    edges: DataFrame, weight_col: str | None = None
+    edges: DataFrame, weight_col: str | None = None, symmetric: bool = False
 ) -> DataFrame:
     """AUDIT TWIN: the DataFrame of one PageRank round built LAZILY —
     no checkpoints, no counts — so tools/plan_audit.py can count the
@@ -77,7 +96,8 @@ def pagerank_round_audit_frame(
     Plan shape is identical to the executed round because both call
     :func:`_rank_round`; only the materialization boundaries differ
     (the audit frame carries the edge/degree build that checkpointing
-    amortizes across rounds in the real run)."""
+    amortizes across rounds in the real run). Pass ``symmetric`` as
+    the executed call site does so the audited round matches."""
     w = weight_col
     cols = ["src", "dst"] + ([w] if w else [])
     e = edges.select(*cols)
@@ -86,11 +106,14 @@ def pagerank_round_audit_frame(
     ed = e.join(deg, "src").repartition("dst")
     nodes = deg.select(F.col("src").alias("node"))
     ranks = nodes.withColumn("rank", F.lit(MASS))
-    return _rank_round(ed, nodes, ranks, 0, w)
+    return _rank_round(ed, nodes, ranks, 0, w, symmetric=symmetric)
 
 
 def pagerank(
-    edges: DataFrame, iters: int = 5, weight_col: str | None = None
+    edges: DataFrame,
+    iters: int = 5,
+    weight_col: str | None = None,
+    symmetric: bool = False,
 ) -> DataFrame:
     """Integer-arithmetic PageRank over a directed edge list
     ``(src, dst[, weight])``; returns ``(node, rank)`` with rank in
@@ -109,22 +132,31 @@ def pagerank(
     ``iters`` is a fixed count, not a convergence test: oracle twins
     unroll the same number of rounds, and a data-dependent stop would
     make the result depend on float tolerances.
+
+    ``symmetric=True`` (valid for any symmetrized edge list, where
+    every node has an in-edge) drops the per-round re-anchor join on
+    the node list — see :func:`_rank_round`; ranks are bit-identical.
     """
     spark = edges.sparkSession
     w = weight_col if weight_col is not None else None
     cols = ["src", "dst"] + ([w] if w else [])
-    # materialize the edge list ONCE: every iteration re-reads it, so
-    # its lineage (the upstream join/distinct that built it) must not
-    # replay per round
-    e = edges.select(*cols).localCheckpoint(eager=True)
-    # degrees checkpointed too: both the edge-frame join and the node
-    # list derive from it, and it is nodes-sized (tiny); edge/node
-    # counts fall out of it for free instead of extra passes over e
+    # pin the edge list: degrees and the dst-partitioned edge frame
+    # both derive from it, and its lineage (the upstream join/distinct
+    # that built it) must not replay. A lazy persist (populated by the
+    # stats job below) replaces the r11 eager localCheckpoint — same
+    # single materialization, one fewer job.
+    e = edges.select(*cols).persist()
     out_expr = F.sum(w).alias("out") if w else F.count(F.lit(1)).alias("out")
-    deg = e.groupBy("src").agg(out_expr).localCheckpoint(eager=True)
-    # e is already materialized, so the count is a cheap metadata-ish
-    # job (and with weights, sum(out) would be weight mass, not edges)
-    n_edges = e.count()
+    # degrees carry an out-edge COUNT alongside the (possibly
+    # weighted) out-mass so ONE aggregate job yields n_nodes AND
+    # n_edges — replacing the separate e.count() + deg.count() jobs
+    # (r12 guide §1.2: fewer passes; the values are identical —
+    # sum(cnt) over deg IS the directed edge-row count)
+    deg = e.groupBy("src").agg(out_expr, F.count(F.lit(1)).alias("cnt")).persist()
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"), F.sum("cnt").alias("n_edges")
+    ).collect()[0]
+    n_nodes, n_edges = int(stats["n_nodes"]), int(stats["n_edges"])
     width = max(
         1, min(spark.sparkContext.defaultParallelism, n_edges // 250_000 + 1)
     )
@@ -137,9 +169,13 @@ def pagerank(
     # (queries/text.py:619) at ~250k rows (~6 MB) per partition — edge
     # rows are three BIGINTs, so finer slicing just buys per-round
     # task-scheduling overhead.
-    ed = e.join(deg, "src").repartition(width, "dst").localCheckpoint(eager=True)
+    ed = (
+        e.join(deg.select("src", "out"), "src")
+        .repartition(width, "dst")
+        .localCheckpoint(eager=True)
+    )
+    e.unpersist()
     nodes = deg.select(F.col("src").alias("node"))
-    n_nodes = deg.count()
     init = MASS // n_nodes
     base = (15 * init) // 100
     ranks = nodes.withColumn("rank", F.lit(init))
@@ -154,7 +190,12 @@ def pagerank(
         # into one iters-deep nested DAG that the final action replays
         # whole — rank propagation has no per-round convergence action
         # to force materialization, unlike the CC fixpoint's count()
-        ranks = _rank_round(ed, nodes, ranks, base, w).localCheckpoint(eager=True)
+        ranks = _rank_round(
+            ed, nodes, ranks, base, w, symmetric=symmetric
+        ).localCheckpoint(eager=True)
+    # every round is checkpoint-backed by now, so the degree cache is
+    # no longer referenced by the returned frame
+    deg.unpersist()
     return ranks
 
 
@@ -170,15 +211,18 @@ def _tri_normalize(edges: DataFrame) -> DataFrame:
     )
 
 
-def _tri_orient(e: DataFrame) -> DataFrame:
+def _tri_orient(e: DataFrame, deg: DataFrame | None = None) -> DataFrame:
     """Orient each edge from its lower to its higher endpoint in the
     total order (degree, id); carries the destination's degree so the
-    wedge join can compare that order without another lookup."""
-    deg = (
-        e.select(F.explode(F.array("a", "b")).alias("node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
+    wedge join can compare that order without another lookup. Pass a
+    pre-built (node, deg) frame to reuse one degree computation for
+    both join branches (the executor persists it — node-sized)."""
+    if deg is None:
+        deg = (
+            e.select(F.explode(F.array("a", "b")).alias("node"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
     a_first = (F.col("deg_a") < F.col("deg_b")) | (
@@ -249,14 +293,25 @@ def triangle_count(edges: DataFrame) -> tuple[int, int, int, int]:
     broadcast (both sides are edge-sized).
     """
     e = _tri_normalize(edges).persist()
+    deg = (
+        e.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .persist()
+    )
     try:
-        n_edges = e.count()
-        n_nodes = (
-            e.select(F.explode(F.array("a", "b")).alias("node"))
-            .distinct()
-            .count()
-        )
-        oriented = _tri_orient(e).persist()
+        # ONE stats job over the (node-sized) degree frame replaces the
+        # r11 e.count() + explode-distinct-count pair: node count is
+        # deg's row count, and every normalized edge contributes
+        # exactly 2 to sum(deg), so n_edges = sum(deg) div 2 (guide
+        # §1.2 — fewer passes; the job also materializes e and deg for
+        # the orientation join below)
+        stats = deg.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("deg").alias("td")
+        ).collect()[0]
+        n_nodes = int(stats["n"])
+        n_edges = int(stats["td"] or 0) // 2
+        oriented = _tri_orient(e, deg).persist()
         try:
             n_wedges = (
                 oriented.groupBy("src")
@@ -270,4 +325,5 @@ def triangle_count(edges: DataFrame) -> tuple[int, int, int, int]:
             oriented.unpersist()
     finally:
         e.unpersist()
+        deg.unpersist()
     return int(n_nodes), int(n_edges), int(n_wedges), int(n_triangles)

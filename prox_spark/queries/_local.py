@@ -1,0 +1,62 @@
+"""Driver-local tiny frames as pure-JVM VALUES relations.
+
+``spark.createDataFrame(rows)`` materializes through a Python-RDD
+scan: every job that touches the frame runs a Python-worker task just
+to unpickle a handful of driver-known rows. On the virtualized bench
+kernel a fresh worker fork inside a large JVM measured 0.4-6 s
+(flaky; the ``_spread_py`` pathology), and frames that sit under a
+global sort pay the scan twice (range-sampler + sort). A SQL VALUES
+literal builds the same rows as a JVM LocalRelation — no RDD, no
+Python worker, constant-folded into the plan.
+
+Only scalar column types are supported on purpose:
+
+- ints/strings render exactly;
+- floats are rendered with ``repr``, which is Python's shortest
+  round-trip form and parses back to the identical IEEE double in
+  Java's ``Double.parseDouble`` — still, prefer int/string frames for
+  hash-gated values (all current callers are int/string).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _sql_literal(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, str):
+        escaped = v.replace("\\", "\\\\").replace("'", "\\'")
+        return f"'{escaped}'"
+    raise TypeError(f"values_df supports scalars only, got {type(v)}")
+
+
+def values_df(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """``createDataFrame(rows, schema)`` twin for scalar schemas,
+    built as a VALUES relation. ``schema`` is the same DDL string
+    ("a BIGINT, b STRING"); an explicit per-column CAST pins each
+    column to the declared type exactly like createDataFrame does.
+    Empty ``rows`` yields a typed empty frame (the q206 idiom)."""
+    cols = []
+    for field in schema.split(","):
+        parts = field.strip().split()
+        cols.append((parts[0], " ".join(parts[1:])))
+    sel = ", ".join(f"CAST({name} AS {typ}) AS {name}" for name, typ in cols)
+    if not rows:
+        names = ", ".join(name for name, _ in cols)
+        casts = ", ".join(f"CAST(NULL AS {typ}) AS {name}" for name, typ in cols)
+        return spark.sql(f"SELECT {casts} FROM (VALUES (1)) WHERE 1 = 0")
+    body = ", ".join(
+        "(" + ", ".join(_sql_literal(v) for v in row) + ")" for row in rows
+    )
+    names = ", ".join(name for name, _ in cols)
+    return spark.sql(
+        f"SELECT {sel} FROM (VALUES {body}) AS t({names})"
+    )

@@ -366,7 +366,17 @@ def q151_gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = b.agg(F.min("bkt").alias("b0"), F.max("bkt").alias("b1"))
     grid = bounds.select(F.explode(F.sequence("b0", "b1")).alias("bkt"))
     w_prev = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, W.currentRow)
-    w_next = W.orderBy("bkt").rowsBetween(W.currentRow, W.unboundedFollowing)
+    # the "next known" carry is a RUNNING frame over the reverse bucket
+    # order, not a [currentRow, unboundedFollowing) frame: Spark
+    # evaluates unbounded-FOLLOWING frames by re-aggregating the
+    # remainder of the partition for every row — O(grid²), measured as
+    # a 2.5 s single task at sf0.1 (8640 buckets) — while the running
+    # frame is incremental O(grid). Buckets are unique per row, so
+    # last-non-null over descending bkt ≡ first-non-null at-or-after:
+    # bit-identical anchors (guide §1.2/§2.5 — fix the straggler task)
+    w_next = W.orderBy(F.desc("bkt")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
     # one struct-valued carry per direction (2 window passes, not 4):
     # the (bucket, value) anchor travels together
     known = F.when(
@@ -376,7 +386,7 @@ def q151_gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     filled = (
         grid.join(per_bucket, "bkt", "left")
         .withColumn("prev", F.last(known, ignorenulls=True).over(w_prev))
-        .withColumn("nxt", F.first(known, ignorenulls=True).over(w_next))
+        .withColumn("nxt", F.last(known, ignorenulls=True).over(w_next))
         .select(
             "bkt",
             "n_events",
@@ -710,10 +720,18 @@ def q84_user_running_totals_pandas(spark: SparkSession, sf_dir: str) -> DataFram
     out = ev.groupBy("user_id").applyInPandas(
         running, "user_id long, event_id long, rn long, running_value double"
     )
+    # materialization barrier BEFORE the global sort: orderBy's range
+    # partitioner samples its child, and the child here is the Python
+    # grouped-map stage — without the barrier every row crosses the
+    # Arrow boundary TWICE (sampling pass + sort pass; two ~1.3 s
+    # 8-task Python jobs measured at sf0.1, guide §4). The lazy local
+    # checkpoint runs pandas once and lets both passes read cached
+    # partitions; values are unchanged.
     return (
         out.select(
             "user_id", "event_id", "rn", F.round("running_value", 2).alias("running_value")
         )
+        .localCheckpoint(eager=False)
         .orderBy("user_id", "rn")
     )
 

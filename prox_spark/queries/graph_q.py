@@ -60,7 +60,9 @@ def q127_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit). Suppliers serve many customers, so the top of the
     ranking is the supplier side — the 'important hosts' a crawl
     curation would keep."""
-    ranks = pagerank(_interaction_edges(spark, sf_dir), iters=PR_ITERS)
+    ranks = pagerank(
+        _interaction_edges(spark, sf_dir), iters=PR_ITERS, symmetric=True
+    )
     return (
         ranks.select(
             F.col("node").alias("node_id"),
@@ -173,7 +175,10 @@ def q150_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     unweighted walk, suppliers with heavy repeat business pull ahead
     of breadth-only suppliers — the distinction domain-level curation
     actually wants."""
-    ranks = pagerank(_weighted_edges(spark, sf_dir), iters=PR_ITERS, weight_col="w")
+    ranks = pagerank(
+        _weighted_edges(spark, sf_dir), iters=PR_ITERS, weight_col="w",
+        symmetric=True,
+    )
     return (
         ranks.select(
             F.col("node").alias("node_id"),
@@ -288,7 +293,10 @@ def q160_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_nodes, n_edges, n_wedges, n_triangles = triangle_count(
         _part_co_edges(spark, sf_dir)
     )
-    return spark.createDataFrame(
+    from prox_spark.queries._local import values_df
+
+    return values_df(
+        spark,
         [(n_nodes, n_edges, n_wedges, n_triangles)],
         "n_nodes BIGINT, n_edges BIGINT, n_wedges BIGINT, n_triangles BIGINT",
     )

@@ -181,7 +181,9 @@ def q200_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda a, b: a.unionByName(b),
         [read_table_point(spark, postings, {"term": t}) for t in terms],
     )
-    q_terms = spark.createDataFrame(BM25_QUERIES, "query_id long, term string")
+    from prox_spark.queries._local import values_df
+
+    q_terms = values_df(spark, BM25_QUERIES, "query_id long, term string")
     out = _bm25_score(
         spark,
         probed,
@@ -694,7 +696,9 @@ def q203_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda a, b: a.unionByName(b),
         [read_table_point(spark, postings, {"term": t}) for t in terms],
     )
-    q_terms = spark.createDataFrame(BM25_QUERIES, "query_id long, term string")
+    from prox_spark.queries._local import values_df
+
+    q_terms = values_df(spark, BM25_QUERIES, "query_id long, term string")
     cand = _bm25_score(
         spark,
         probed,

@@ -2297,13 +2297,6 @@ def _sdiv_duck(a: str, d: str) -> str:
     )
 
 
-# per-process cache of (n, persisted scatter matrix) keyed by
-# (app, sf_dir): the returned plan reads THROUGH the cached frame (an
-# unpersist before return would silently recompute the whole gram
-# pipeline on the caller's first action), and bench reps reuse one copy
-_PCA_C_CACHE: dict = {}
-
-
 def q195_top_principal_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal component of the embedding corpus by POWER
     ITERATION in exact BIGINT arithmetic — the spectral-analysis
@@ -2334,23 +2327,26 @@ def q195_top_principal_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ONE Arrow pass that matmuls each partition's batch in numpy
     int64 (exact) and emits ≤ d²+d+1 partial rows per partition —
     work ∝ N·d², the PCA lower bound, with the only shuffle being the
-    d²-key final agg; each iteration broadcasts the d-row vector
-    against the d²-row C and collects the d-row result (lineage
-    truncated per round — chaining it lazily re-executes all prior
-    rounds). Driver traffic is d longs per round. At 100 TB the
-    per-partition matmul is the combiner and d² stays tiny."""
-    cache_key = (spark.sparkContext.applicationId, sf_dir)
-    if cache_key in _PCA_C_CACHE:
-        n, stats = _PCA_C_CACHE[cache_key]
-        if not (stats.storageLevel.useMemory or stats.storageLevel.useDisk):
-            stats = stats.persist()
-            _PCA_C_CACHE[cache_key] = (n, stats)
-        return _pca_iterate(spark, _pca_c_from_stats(n, stats))
-    ei = _emb(spark, sf_dir).select(
+    d²-key final agg. The iteration itself runs DRIVER-side on the
+    collected d²-row stats (the same bounded kilobytes the headroom
+    proof already collects — d is the model dimension, never corpus-
+    sized), in exact Python ints proven BIGINT-safe by that proof:
+    three 64×64 matvecs are microseconds on one core, where the r11
+    distributed form paid ~15 Spark jobs (3 matvec collects + their
+    AQE stages) to move the same kilobytes. At 100 TB the Arrow
+    combiner pass is unchanged and still the entire cost."""
+    # read the embeddings DIRECTLY (no _spread repartition): the Arrow
+    # combiner below runs per SCAN partition — at 100 TB that is
+    # thousands of parallel map tasks with zero shuffle before them,
+    # and at bench scale it removes a full exchange of the embedding
+    # bytes plus 32 near-empty Python dispatches (guide §2.4)
+    ei = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         F.expr(
-            f"transform(dd, x -> cast(floor(x * {PCA_SCALE_E} + 0.5) as bigint))"
+            "transform(cast(embedding as array<double>), "
+            f"x -> cast(floor(x * {PCA_SCALE_E} + 0.5) as bigint))"
         ).alias("ei"),
     )
+
     # ONE Arrow pass computes everything the scatter matrix needs —
     # the row count (j1 = −1), the column sums (j1 = −2), and the gram
     # matrix — accumulated PER PARTITION as numpy int64 (matmul and
@@ -2360,53 +2356,56 @@ def q195_top_principal_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 100 TB shape: a vectorized per-partition combiner, never an
     # 8M-row struct explode (a HOF outer product measured 5x slower —
     # higher-order functions don't codegen) and never a corpus
-    # self-join.
-    import pandas as pd  # noqa: PLC0415 - worker-side import
-
+    # self-join. mapInArrow + a zero-copy list-flatten/reshape replace
+    # the r11 per-row np.asarray comprehension (guide §4.2: hand whole
+    # batches to vectorized native code — the per-row path was ~2 s of
+    # the query at sf0.1).
     def _stats(batches):
         import numpy as np
+        import pyarrow as pa
 
         G = None
         cnt = 0
-        for pdf in batches:
-            E = np.asarray(
-                [np.asarray(r, dtype=np.int64) for r in pdf["ei"]]
-            )
-            if E.size == 0:
+        for batch in batches:
+            col = batch.column(0)
+            nrows = len(col)
+            if nrows == 0:
                 continue
-            cnt += E.shape[0]
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            E = flat.astype(np.int64, copy=False).reshape(nrows, -1)
+            cnt += nrows
             P = np.concatenate([E.T @ E, E.sum(axis=0)[None, :]])
             G = P if G is None else G + P
         if G is not None:
             d = G.shape[1]
             idx = np.arange(d * d)
-            yield pd.DataFrame(
+            yield pa.record_batch(
                 {
                     "j1": np.concatenate(
-                        [idx // d, np.full(d, -2), [-1]]
+                        [idx // d, np.full(d, -2), np.array([-1])]
                     ),
-                    "j2": np.concatenate([idx % d, np.arange(d), [0]]),
-                    "g": np.concatenate(
-                        [G[:d].reshape(-1), G[d], [cnt]]
+                    "j2": np.concatenate(
+                        [idx % d, np.arange(d), np.array([0])]
                     ),
+                    "g": np.concatenate([G[:d].reshape(-1), G[d], [cnt]]),
                 }
             )
 
     stats = (
-        ei.mapInPandas(_stats, "j1 long, j2 long, g long")
+        ei.mapInArrow(_stats, "j1 long, j2 long, g long")
         .groupBy("j1", "j2")
         .agg(F.sum("g").cast("long").alias("g"))
-        .persist()
     )
     # the stats frame is d² + d + 1 longs — kilobytes — so the headroom
-    # proof runs on an exact driver-side copy (Python ints don't wrap)
+    # proof AND the iteration run on an exact driver-side copy (Python
+    # ints don't wrap; the proof guarantees the engines' BIGINT twin —
+    # the oracle's unrolled SQL — computes the identical values)
     stat_rows = [
         (int(r["j1"]), int(r["j2"]), int(r["g"])) for r in stats.collect()
     ]
     n = next(g for j1, _, g in stat_rows if j1 == -1)
     _assert_pca_headroom(n, stat_rows)
-    _PCA_C_CACHE[cache_key] = (n, stats)
-    return _pca_iterate(spark, _pca_c_from_stats(n, stats))
+    return _pca_iterate_local(spark, n, stat_rows)
 
 
 def _assert_pca_headroom(n: int, stat_rows: list[tuple]) -> None:
@@ -2443,60 +2442,42 @@ def _assert_pca_headroom(n: int, stat_rows: list[tuple]) -> None:
         )
 
 
-def _pca_c_from_stats(n: int, stats: DataFrame) -> DataFrame:
-    """C = N·G − s·sᵀ assembled from the cached stats frame (gram rows
-    at j1 ≥ 0, column sums at j1 = −2) — a d²-row plan over cached
-    kilobytes."""
-    s = stats.filter(F.col("j1") == -2).select(
-        F.col("j2").alias("j"), F.col("g").alias("s")
-    )
-    return (
-        stats.filter(F.col("j1") >= 0)
-        .join(F.broadcast(s.select(F.col("j").alias("j1"), F.col("s").alias("s1"))), "j1")
-        .join(F.broadcast(s.select(F.col("j").alias("j2"), F.col("s").alias("s2"))), "j2")
-        .select(
-            "j1", "j2",
-            (F.lit(int(n)) * F.col("g") - F.col("s1") * F.col("s2")).alias("c"),
-        )
-    )
-
-
-def _pca_iterate(spark: SparkSession, c: DataFrame) -> DataFrame:
-    """The power-iteration back half over the scatter matrix: PCA_T
-    matvec rounds, each broadcasting the d-row vector against the
-    d²-row C. The d-row result vector is COLLECTED each round and
-    re-broadcast as a local relation — chaining it lazily would make
-    round t's job re-execute rounds 0..t−1 (lineage growth, the
-    q127-PageRank localCheckpoint problem, solved here by a 64-row
-    collect instead). Renormalization to max |v| = PCA_SCALE_V runs
-    driver-side in exact Python ints with the SAME sign-aware
-    truncation the engines' CASE wrapper encodes (Python's // floors
-    for negatives, so it routes through sign·(|w|//m) too)."""
-    vals = None  # None = v0 (all PCA_SCALE_V); else {j: v}
+def _pca_iterate_local(
+    spark: SparkSession, n: int, stat_rows: list[tuple]
+) -> DataFrame:
+    """The power-iteration back half, DRIVER-side over the collected
+    stats: C = N·G − s·sᵀ assembled as exact Python ints (d² entries —
+    bounded by the model dimension), then PCA_T matvec rounds with the
+    SAME sign-aware truncating renormalization the engines' CASE
+    wrapper encodes. The headroom proof (run by the caller) guarantees
+    every intermediate fits BIGINT, so the engines' distributed/SQL
+    twins — including the oracle's unrolled SQL — compute bit-equal
+    values; Python ints cannot wrap at all. The r11 distributed form
+    spent ~15 Spark jobs shuffling these kilobytes (guide §5: the
+    driver should do no *data* work — d² is metadata-sized, like the
+    headroom proof that already collected it)."""
+    s = {j2: g for j1, j2, g in stat_rows if j1 == -2}
+    d = len(s)
+    C: dict[int, list[int]] = {j1: [0] * d for j1 in range(d)}
+    for j1, j2, g in stat_rows:
+        if j1 >= 0:
+            C[j1][j2] = n * g - s[j1] * s[j2]
+    v = [PCA_SCALE_V] * d
     for _ in range(PCA_T):
-        if vals is None:
-            wk = F.lit(int(PCA_SCALE_V)).cast("long")
-            joined = c.withColumn("vk", wk)
-        else:
-            v_df = spark.createDataFrame(
-                [(int(j), int(x)) for j, x in sorted(vals.items())],
-                "j2 long, vk long",
-            )
-            joined = c.join(F.broadcast(v_df), "j2")
-        rows = (
-            joined.groupBy("j1")
-            .agg(F.sum(F.col("c") * F.col("vk")).cast("long").alias("w"))
-            .collect()
-        )
-        m = max(abs(int(r["w"])) for r in rows)
-        vals = {
-            int(r["j1"]): _sdiv_py(int(r["w"]) * PCA_SCALE_V, m)
-            for r in rows
-        }
-    return spark.createDataFrame(
-        [(j, v) for j, v in sorted(vals.items())],
-        "dim long, component long",
-    ).orderBy("dim")
+        w = [sum(C[j1][j2] * v[j2] for j2 in range(d)) for j1 in range(d)]
+        m = max(abs(x) for x in w)
+        v = [_sdiv_py(x * PCA_SCALE_V, m) for x in w]
+    # a pure-JVM VALUES relation, NOT createDataFrame: parallelizing 64
+    # Python rows scans through a Python-RDD, whose task must spawn a
+    # fresh Python worker inside the by-now-large JVM — measured 0.4-6 s
+    # of flaky fork cost on the virtualized kernel (the _spread_py
+    # pathology) for 64 rows of driver-known data
+    rows = ", ".join(f"({j}, {int(v[j])})" for j in range(d))
+    return spark.sql(
+        "SELECT CAST(dim AS BIGINT) AS dim, "
+        "CAST(component AS BIGINT) AS component "
+        f"FROM (VALUES {rows}) AS t(dim, component) ORDER BY dim"
+    )
 
 
 def _sdiv_py(a: int, d: int) -> int:

@@ -1163,7 +1163,9 @@ def q76_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts and the corpus pass stays map-side (no corpus shuffle
     at all). Output: per contaminated doc, how many distinct eval
     shingles it shares and how many eval docs it touches."""
-    ev = spark.createDataFrame(list(EVAL_DOCS), "eval_id string, text string")
+    from prox_spark.queries._local import values_df
+
+    ev = values_df(spark, list(EVAL_DOCS), "eval_id string, text string")
     ev_shingles = (
         ev.withColumn("tokens", F.expr(TOKENS_SPARK))
         .withColumn("shingles", F.array_distinct(F.expr(SHINGLES_SPARK)))
@@ -2512,7 +2514,9 @@ def q137_curation_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tokens.alias("n_tokens"),
         F.round(0.5 * len_score + 0.5 * (1.0 - stop_ratio), 6).alias("q"),
     )
-    phrases = spark.createDataFrame([(p,) for p in CONTAM_PHRASES], "phrase string")
+    from prox_spark.queries._local import values_df
+
+    phrases = values_df(spark, [(p,) for p in CONTAM_PHRASES], "phrase string")
     contam = (
         docs.crossJoin(F.broadcast(phrases))
         .filter(F.expr("contains(lower(text), phrase)"))
@@ -3571,9 +3575,9 @@ def _bloom_hit_expr(bits: int, k: int) -> str:
 
 
 def _eval_shingles(spark: SparkSession) -> DataFrame:
-    ev = spark.createDataFrame(
-        list(BLOOM_EVAL_DOCS), "eval_id string, text string"
-    )
+    from prox_spark.queries._local import values_df
+
+    ev = values_df(spark, list(BLOOM_EVAL_DOCS), "eval_id string, text string")
     return (
         ev.withColumn("tokens", F.expr(TOKENS_SPARK))
         .withColumn("shingles", F.array_distinct(F.expr(SHINGLES_SPARK)))

@@ -51,6 +51,30 @@ def test_pagerank_hub_outranks_leaves(spark):
     assert hub + sum(ranks.values()) <= MASS
 
 
+def test_pagerank_symmetric_path_is_bit_identical(spark):
+    """The r12 optimization: symmetric=True skips the per-round
+    re-anchor join. On a symmetrized edge list (every node has an
+    in-edge) the ranks must be bit-identical to the general path and
+    to the pure-Python model — weighted and unweighted."""
+    pairs = [(0, 1), (0, 2), (0, 3), (3, 4), (4, 5), (5, 3), (2, 6)]
+    edges = _sym(pairs)
+    df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+    fast = {r.node: r.rank for r in pagerank(df, iters=5, symmetric=True).collect()}
+    assert fast == _py_pagerank(edges, 5)
+
+    wpairs = [(0, 1, 5), (0, 2, 1), (2, 3, 7), (3, 0, 2)]
+    wedges = wpairs + [(b, a, w) for a, b, w in wpairs]
+    wdf = spark.createDataFrame(wedges, "src BIGINT, dst BIGINT, w BIGINT")
+    slow = {
+        r.node: r.rank for r in pagerank(wdf, iters=5, weight_col="w").collect()
+    }
+    wfast = {
+        r.node: r.rank
+        for r in pagerank(wdf, iters=5, weight_col="w", symmetric=True).collect()
+    }
+    assert wfast == slow
+
+
 def test_weighted_pagerank_matches_integer_model(spark):
     from prox_spark.graph import pagerank
 

@@ -137,14 +137,14 @@ def _twin_q127(spark, sf_dir):
     from prox_spark.graph import pagerank_round_audit_frame
     from prox_spark.queries.graph_q import _interaction_edges
 
-    return pagerank_round_audit_frame(_interaction_edges(spark, sf_dir))
+    return pagerank_round_audit_frame(_interaction_edges(spark, sf_dir), symmetric=True)
 
 
 def _twin_q150(spark, sf_dir):
     from prox_spark.graph import pagerank_round_audit_frame
     from prox_spark.queries.graph_q import _weighted_edges
 
-    return pagerank_round_audit_frame(_weighted_edges(spark, sf_dir), "w")
+    return pagerank_round_audit_frame(_weighted_edges(spark, sf_dir), "w", symmetric=True)
 
 
 # declared single-round twins for the iterative builders: the loop BODY's
