@@ -359,19 +359,16 @@ def q153_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feed = cls.join(v2, "doc_id", "left").select(
         "doc_id", "source", "text", "change"
-    ).cache()  # staged 4x below: pin so the diff plan runs once
+    )
     n_batch = 4
     feed_dir = f"{scratch}/feed"
-    try:
-        for i in range(n_batch):
-            (
-                feed.filter(F.col("doc_id") % n_batch == i)
-                .coalesce(1)
-                .write.mode("append")
-                .parquet(feed_dir)
-            )
-    finally:
-        feed.unpersist()
+    # ONE write job stages all n_batch feed files (hash-partitioned on
+    # the key — each doc_id lands in exactly one file, which is the
+    # only property the micro-batches need: each key changes once, so
+    # the composed apply is batch-assignment-independent). The r11
+    # form ran four sequential filter+coalesce(1) writes off a cached
+    # diff — 4 jobs plus a cache pin (guide §1.2: fewer passes).
+    feed.repartition(n_batch, "doc_id").write.parquet(feed_dir)
     feed_schema = spark.read.parquet(feed_dir).schema
 
     def _apply(batch_df: DataFrame, _batch_id: int) -> None:
@@ -2232,7 +2229,13 @@ def q199_incremental_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prox_spark.table import read_table
 
     t, head = _card_cdc_table(spark, sf_dir)
-    v1 = read_table(spark, t, version=1).select("doc_id", "source", "text")
+    v1 = (
+        read_table(spark, t, version=1)
+        .select("doc_id", "source", "text")
+        # three consumers (self-maintainable arm + two contrib passes):
+        # pin one snapshot read + md5 pass instead of three
+        .persist()
+    )
     feed = read_table_changes(spark, t, 1, head)
     sgn = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
         F.lit(-1)
@@ -2255,12 +2258,14 @@ def q199_incremental_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # group-dependent arm: recompute ONLY the touched digest groups
-    touched = f.select("digest").distinct()
+    touched = f.select("digest").distinct().persist()
     v1d = v1.withColumn("digest", F.md5("text"))
     v2d = (
         read_table(spark, t)
         .select("doc_id", "source", "text")
         .withColumn("digest", F.md5("text"))
+        # two consumers (new-contrib pass + the bounded-flag distinct)
+        .persist()
     )
 
     def contrib(df: DataFrame, only_touched: bool) -> DataFrame:

@@ -835,7 +835,17 @@ def min_label_clusters(
         # collect of the (cached) edge list, exact union-find, labels
         # parallelized back — replaces rounds of fixpoint jobs
         labels = _driver_union_find([(r[0], r[1]) for r in pairs.collect()])
-        out = spark.createDataFrame(labels, "doc_id BIGINT, label BIGINT")
+        if len(labels) <= 20_000:
+            # pure-JVM VALUES relation: a Python-RDD createDataFrame
+            # pays a Python-worker scan per downstream materialization
+            # (twice under a global sort — range sampler + sort), the
+            # q84/q195 pathology; 20k rows keeps the SQL text well
+            # under parser pain
+            from prox_spark.queries._local import values_df
+
+            out = values_df(spark, labels, "doc_id BIGINT, label BIGINT")
+        else:
+            out = spark.createDataFrame(labels, "doc_id BIGINT, label BIGINT")
         pairs.unpersist()
         return out
     # size the fixpoint's shuffle width to the EDGE count, not the
@@ -3697,6 +3707,15 @@ def _dup_gram_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.posexplode(F.expr(grams_expr)).alias("pos0", "gram"),
         )
         .select("doc_id", "n_tokens", (F.col("pos0") + 1).alias("p"), "gram")
+        # pin the extracted digest frame: BOTH consumers below (the
+        # duplicate-vocabulary agg and the attach-back join) read it,
+        # and without the pin the tokenize + per-gram md5 extraction —
+        # the dominant compute of the span-dedup family — runs twice
+        # per evaluation (guide §5: reuse beats recompute; the frame
+        # is the narrow digest projection, never raw text, and
+        # MEMORY_AND_DISK spills rather than OOMs at scale; at 100 TB
+        # the same decision is materialize-once vs re-hash-the-corpus)
+        .persist()
     )
     dup_grams = (
         docs.groupBy("gram")
@@ -4003,6 +4022,9 @@ def q185_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "source",
             F.size("tokens").cast("long").alias("n_tokens"), "tokens",
         )
+        # pinned: consumed twice (token explode below + the final
+        # passthrough join) — one tokenize pass instead of two
+        .persist()
     )
     toks = base.select(
         "doc_id", F.posexplode("tokens").alias("i0", "tok")
