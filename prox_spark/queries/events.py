@@ -683,7 +683,9 @@ ORDER BY event_id
 
 # --- q84: per-user running totals via applyInPandas (grouped map) ----------
 
-def q84_user_running_totals_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q84_user_running_totals_pandas(
+    spark: SparkSession, sf_dir: str, _audit: bool = False
+) -> DataFrame:
     """Per-user running (count, value) totals through ``applyInPandas``
     — the batch grouped-MAP Python surface (whole group in, whole group
     out), for per-key logic too imperative for window functions. The
@@ -720,6 +722,14 @@ def q84_user_running_totals_pandas(spark: SparkSession, sf_dir: str) -> DataFram
     out = ev.groupBy("user_id").applyInPandas(
         running, "user_id long, event_id long, rn long, running_value double"
     )
+    rounded = out.select(
+        "user_id", "event_id", "rn", F.round("running_value", 2).alias("running_value")
+    )
+    if _audit:
+        # plan-audit twin: the un-checkpointed frame, so tests can see
+        # the FlatMapGroupsInPandas node (a checkpoint truncates the
+        # visible plan at an RDD scan)
+        return rounded.orderBy("user_id", "rn")
     # materialization barrier BEFORE the global sort: orderBy's range
     # partitioner samples its child, and the child here is the Python
     # grouped-map stage — without the barrier every row crosses the
@@ -727,13 +737,7 @@ def q84_user_running_totals_pandas(spark: SparkSession, sf_dir: str) -> DataFram
     # 8-task Python jobs measured at sf0.1, guide §4). The lazy local
     # checkpoint runs pandas once and lets both passes read cached
     # partitions; values are unchanged.
-    return (
-        out.select(
-            "user_id", "event_id", "rn", F.round("running_value", 2).alias("running_value")
-        )
-        .localCheckpoint(eager=False)
-        .orderBy("user_id", "rn")
-    )
+    return rounded.localCheckpoint(eager=False).orderBy("user_id", "rn")
 
 
 ORACLE_Q84 = """

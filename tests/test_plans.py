@@ -215,8 +215,10 @@ def test_q76_broadcasts_only_eval_side(spark):
     with _no_auto_broadcast(spark):
         plan = _plan(q76_ngram_decontaminate(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
-    # one node each ("formatted" prints every node twice: tree + detail)
-    assert plan.count("BroadcastExchange") == plan.count("Scan ExistingRDD") == 2
+    # one node each ("formatted" prints every node twice: tree + detail);
+    # the eval side is a pure-JVM VALUES relation (LocalTableScan) since
+    # the r12 values_df conversion — never a parquet scan
+    assert plan.count("BroadcastExchange") == plan.count("LocalTableScan") == 2
 
 
 def test_python_surface_single_stage_each(spark):
@@ -230,7 +232,11 @@ def test_python_surface_single_stage_each(spark):
     assert plan.count("ArrowEvalPythonUDTF (") == 1
     plan = _plan(q83_source_token_totals(spark, SF_DIR))
     assert plan.count("ArrowAggregatePython (") == 1
-    plan = _plan(q84_user_running_totals_pandas(spark, SF_DIR))
+    # audit twin: the shipping q84 puts a localCheckpoint barrier before
+    # the global sort (so the range sampler does not re-run the pandas
+    # stage), which truncates the visible plan at an RDD scan — the
+    # un-checkpointed twin shows the single pandas node
+    plan = _plan(q84_user_running_totals_pandas(spark, SF_DIR, _audit=True))
     assert plan.count("FlatMapGroupsInPandas (") == 1
 
 
