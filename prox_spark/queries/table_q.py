@@ -1367,11 +1367,40 @@ def q183_files_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_born: dict[int, list[str]] = {}
     for r in fm.collect():
         by_born.setdefault(int(r["born"]), []).append(r["file"])
+    # ONE scan job counts every generation's rows: read all live files
+    # together and group by the file's birth version resolved from the
+    # metadata's own (file -> born) record via the scanned file path —
+    # replacing one count job per generation (r12, guide §1.2: fewer
+    # passes; the per-file row count is what each count computed anyway)
+    file_born = {
+        f"{path}/{f}": v for v, fs in by_born.items() for f in fs
+    }
+    # _metadata.file_path is a URI (file:/...), so resolve each row's
+    # birth version by suffix-matching the manifest's RELATIVE file
+    # path (generation dir + name — basenames alone collide across
+    # generations)
+    born_expr = None
+    for v, fs in sorted(by_born.items()):
+        for f in fs:
+            cond = F.col("_metadata.file_path").endswith("/" + f)
+            born_expr = (
+                F.when(cond, F.lit(v))
+                if born_expr is None
+                else born_expr.when(cond, F.lit(v))
+            )
+    counted = (
+        spark.read.parquet(*sorted(file_born))
+        .select(born_expr.alias("born"))
+        .groupBy("born")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
     rows = [
-        (v, spark.read.parquet(*[f"{path}/{f}" for f in fs]).count())
-        for v, fs in sorted(by_born.items())
+        (int(r["born"]), int(r["n_rows"]))
+        for r in counted.collect()
     ]
-    rows_df = spark.createDataFrame(rows, "born long, n_rows long")
+    from prox_spark.queries._local import values_df
+
+    rows_df = values_df(spark, sorted(rows), "born long, n_rows long")
     return (
         meta.join(rows_df, "born")
         .select("born", "n_files", "total_bytes", "n_rows")
@@ -1593,6 +1622,10 @@ def q187_content_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("digest")
         .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("doc_id"))
         .filter(F.col("n") == 1)
+        # pinned: THREE consumers (bounds agg, midpoint agg, probe
+        # filter) — without the pin the documents scan + md5 + digest
+        # agg replayed once per consumer (r12: fewer passes, guide §5)
+        .persist()
     )
     lo, hi = base.agg(F.min("doc_id"), F.max("doc_id")).first()
     mid = base.filter(F.col("doc_id") > (lo + hi) // 2).agg(
@@ -1603,36 +1636,46 @@ def q187_content_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         int(r["doc_id"]): r["digest"]
         for r in base.filter(F.col("doc_id").isin(probe_ids)).collect()
     }
-    fresh_digest = spark.range(1).select(
-        F.md5(F.lit(CIDX_FRESH_TEXT))
-    ).first()[0]
+    # a constant's md5 needs no Spark job — hashlib computes the same
+    # 32-char hex digest the md5() SQL function would
+    import hashlib
+
+    fresh_digest = hashlib.md5(CIDX_FRESH_TEXT.encode("utf-8")).hexdigest()
     probes[CIDX_FRESH_ID] = fresh_digest
 
-    out_rows = []
-    pruned = True
-    for pid in sorted(probes):
+    # the four probes are INDEPENDENT point lookups: overlap them from
+    # a small thread pool (guide §2.6 — Spark schedules concurrent jobs
+    # FIFO and back-fills idle cores) instead of paying four serial
+    # (manifest-probe + read + collect) driver round-trips
+    from concurrent.futures import ThreadPoolExecutor
+
+    def probe(pid: int) -> tuple:
         dg = probes[pid]
         m, targets, n_live = indexed_point_files(
             spark, table, index, v, "digest", dg
         )
-        pruned = pruned and len(targets) < n_live
         found = (
             _read_files(spark, table, m, targets)
             .filter(F.col("digest") == F.lit(dg))
             .collect()
         )
-        out_rows.append(
-            (
-                min(int(r["doc_id"]) for r in found),
-                dg,
-                len(found),
-            )
+        return (
+            (min(int(r["doc_id"]) for r in found), dg, len(found)),
+            len(targets) < n_live,
         )
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        results = list(pool.map(probe, sorted(probes)))
+    out_rows = [r for r, _ in results]
+    pruned = all(p for _, p in results)
     fresh_found = any(r[0] == CIDX_FRESH_ID and r[2] == 1 for r in out_rows)
+    from prox_spark.queries._local import values_df
+
+    # 4 driver-known rows: a pure-JVM VALUES relation instead of a
+    # Python-RDD-backed createDataFrame (the values_df rationale —
+    # no Python-worker scan under the final sort)
     return (
-        spark.createDataFrame(
-            out_rows, "doc_id long, digest string, n_copies long"
-        )
+        values_df(spark, out_rows, "doc_id long, digest string, n_copies long")
         .withColumn("pruned", F.lit(bool(pruned)))
         .withColumn("fresh_found", F.lit(bool(fresh_found)))
         .orderBy("doc_id")
@@ -2073,24 +2116,42 @@ def q196_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
             F.lit(-1)
         )
-        # v3 slice: must be pure deletes of exactly the % 5 = 0 keys
-        v3 = feed.filter(F.col("_commit_version") == 3)
-        mor = v3.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum((F.col("_change_type") == "delete").cast("int")).alias("d"),
-            F.sum((F.col("doc_id") % 5 == 0).cast("int")).alias("k"),
-        ).first()
-        expected = (
-            spark.read.parquet(f"{sf_dir}/documents.parquet")
-            .filter((F.col("doc_id") % 10 <= 7) & (F.col("doc_id") % 5 == 0))
-            .count()
+        # ONE scalar job for every probe the flags need: the v3
+        # (merge-on-read delete) slice stats, the v5 (compaction)
+        # row count, and the expected-delete count from the base
+        # parquet — conditional aggregates + a 1-row cross join
+        # replace three separate driver actions (r12, guide §1.2)
+        v3 = F.col("_commit_version") == 3
+        mor = (
+            feed.agg(
+                F.sum(F.when(v3, 1).otherwise(0)).alias("n"),
+                F.sum(
+                    F.when(
+                        v3 & (F.col("_change_type") == "delete"), 1
+                    ).otherwise(0)
+                ).alias("d"),
+                F.sum(
+                    F.when(v3 & (F.col("doc_id") % 5 == 0), 1).otherwise(0)
+                ).alias("k"),
+                F.sum(
+                    F.when(F.col("_commit_version") == 5, 1).otherwise(0)
+                ).alias("c5"),
+            )
+            .crossJoin(
+                spark.read.parquet(f"{sf_dir}/documents.parquet")
+                .filter(
+                    (F.col("doc_id") % 10 <= 7) & (F.col("doc_id") % 5 == 0)
+                )
+                .agg(F.count(F.lit(1)).alias("expected"))
+            )
+            .first()
         )
         mor_precise = bool(
-            mor["n"] == expected and mor["d"] == mor["n"] and mor["k"] == mor["n"]
+            mor["n"] == mor["expected"]
+            and mor["d"] == mor["n"]
+            and mor["k"] == mor["n"]
         )
-        compaction_silent = (
-            feed.filter(F.col("_commit_version") == 5).count() == 0
-        )
+        compaction_silent = bool(mor["c5"] == 0)
         out = (
             feed.groupBy("source")
             .agg(
@@ -2107,9 +2168,17 @@ def q196_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # localize the sources-sized result while the feed pin is alive
         # — returning the lazy plan would re-derive the whole feed on
-        # the caller's first action, after the unpersist below
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        # the caller's first action, after the unpersist below. VALUES
+        # relation, not createDataFrame: no Python-RDD scan (r12)
+        from prox_spark.queries._local import values_df
+
+        rows = [tuple(r) for r in out.collect()]
+        return values_df(
+            spark,
+            rows,
+            "source string, d_docs bigint, d_chars bigint, "
+            "mor_precise boolean, compaction_silent boolean",
+        )
     finally:
         feed.unpersist()
 
@@ -2292,8 +2361,22 @@ def q199_incremental_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_c = contrib(v2d, only_touched=True).select(
         "source", F.col("c_dup").alias("w_dup"), F.col("c_cln").alias("w_cln")
     )
-    bounded = bool(
-        touched.count() < v2d.select("digest").distinct().count()
+    # the bounded-recompute flag folds into the ONE final job as a
+    # cross-joined 1-row scalar instead of two separate driver count
+    # jobs (r12, guide §1.2: fewer passes — both counts read frames
+    # the plan already pins)
+    bounds = (
+        touched.agg(F.count(F.lit(1)).alias("n_touched"))
+        .crossJoin(
+            v2d.select("digest")
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("n_groups"))
+        )
+        .select(
+            (F.col("n_touched") < F.col("n_groups")).alias(
+                "recompute_bounded"
+            )
+        )
     )
 
     z = F.lit(0)
@@ -2318,7 +2401,7 @@ def q199_incremental_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_clean"),
         )
         .filter(F.col("n_docs") > 0)
-        .withColumn("recompute_bounded", F.lit(bounded))
+        .crossJoin(F.broadcast(bounds))
         .orderBy("source")
     )
     return merged

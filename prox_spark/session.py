@@ -45,6 +45,15 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # parallelismFirst deliberately stays at its default (true):
+        # respecting the 64 MB advisory size on kilobyte shuffles
+        # coalesces every post-shuffle stage to ONE task, which
+        # serializes CPU-dense small-byte work — measured r12: q209
+        # 2.21→4.61 s, q144 2.00→3.42 s, q19 1.29→2.35 s with
+        # parallelismFirst=false, far exceeding the ~0.14 s/query
+        # scheduling saving it buys on shuffle-light aggregates. At
+        # cluster scale (post-shuffle bytes >> advisory) the two
+        # settings converge, so there is nothing to parameterize.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
