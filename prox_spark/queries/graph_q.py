@@ -26,6 +26,10 @@ def _interaction_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT axis: customer c -> 2c, supplier s -> 2s+1 (even/odd)."""
     cat = testdata_catalog(spark, sf_dir)
     orders = cat.table("orders").select("o_orderkey", "o_custkey")
+    # NOT spread (r12 A/B, noop sink): the broadcast join + distinct
+    # already parallelize past the single-split scan here — adding the
+    # round-robin exchange measured ~0.1 s SLOWER (1.15 vs 1.28 s);
+    # contrast _part_co_edges where the self-join fan-out wins from it
     li = cat.table("lineitem").select("l_orderkey", "l_suppkey")
     pairs = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
@@ -141,6 +145,7 @@ def _weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     host linking another 500 times is not the same as linking once."""
     cat = testdata_catalog(spark, sf_dir)
     orders = cat.table("orders").select("o_orderkey", "o_custkey")
+    # not spread — see _interaction_edges
     li = cat.table("lineitem").select("l_orderkey", "l_suppkey")
     pairs = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
@@ -258,8 +263,13 @@ def _part_co_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     toward a clique and any downstream graph algorithm inherits the
     blow-up (measured: the unthresholded supplier projection at sf0.1
     is near-complete, 135M oriented wedges; this graph has thousands)."""
+    from prox_spark.queries.text import _spread
+
     cat = testdata_catalog(spark, sf_dir)
-    li = cat.table("lineitem").select("l_orderkey", "l_partkey")
+    # spread rationale: see _interaction_edges — here the single-split
+    # scan serializes the per-order pair fan-out (a measured 1.5 s
+    # single-task stage); both self-join branches reuse one exchange
+    li = _spread(cat.table("lineitem").select("l_orderkey", "l_partkey"))
     l2 = li.select(
         F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2")
     )
@@ -271,8 +281,11 @@ def _part_co_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey").alias("o"),
         )
         .groupBy("src", "dst")
-        .agg(F.countDistinct("o").alias("support"))
-        .filter(F.col("support") >= CO_SUPPORT)
+        # ">= CO_SUPPORT (=2) distinct orders" == min != max over the
+        # order key — map-side partial min/max instead of the
+        # countDistinct expansion (r12, guide §2.3)
+        .agg(F.min("o").alias("o0"), F.max("o").alias("o1"))
+        .filter(F.col("o0") != F.col("o1"))
         .select("src", "dst")
     )
 

@@ -1717,10 +1717,16 @@ def q144_approx_quantile_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     TRUE — a sketch drifting beyond 5% fails the hash gate. GK is
     deterministic for a fixed input ordering per group; the accuracy
     parameter (10000) keeps the band comfortable."""
-    li = _t(spark, sf_dir, "lineitem")
+    from prox_spark.queries.text import _spread
+
+    # spread the fact side: the single-row-group bench file scans as
+    # ~1 non-empty split, so BOTH percentile partial aggregates (each
+    # buffers and merges every group member it sees) ran on one core;
+    # a no-op at real scale (guide §2.5 input parallelism)
+    li = _spread(_t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice"))
     agg = (
         li.join(
-            _t(spark, sf_dir, "orders"),
+            _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
             li.l_orderkey == F.col("o_orderkey"),
         )
         .groupBy("o_orderpriority")
