@@ -35,7 +35,48 @@ def _sql_literal(v) -> str:
     if isinstance(v, str):
         escaped = v.replace("\\", "\\\\").replace("'", "\\'")
         return f"'{escaped}'"
-    raise TypeError(f"values_df supports scalars only, got {type(v)}")
+    # nested values (r12): arrays render as array(...) literals and
+    # struct-like values (tuple/Row) as named_struct with positional
+    # field names — the declared-type CAST in values_df re-types both
+    # (Spark casts struct fields positionally), so callers can pass
+    # collected Rows / embedding lists without a Python-RDD scan
+    if isinstance(v, list):
+        return "array(" + ", ".join(_sql_literal(x) for x in v) + ")"
+    if isinstance(v, tuple):
+        body = ", ".join(
+            f"'f{i}', {_sql_literal(x)}" for i, x in enumerate(v)
+        )
+        return f"named_struct({body})"
+    raise TypeError(f"values_df supports scalars/arrays/structs only, got {type(v)}")
+
+
+def _split_fields(schema: str) -> list[str]:
+    """Split a DDL column list on TOP-LEVEL commas only, so nested
+    types (array<struct<a:int, b:double>>) survive."""
+    fields, depth, cur = [], 0, []
+    for ch in schema:
+        if ch == "<" or ch == "(":
+            depth += 1
+        elif ch == ">" or ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            fields.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        fields.append("".join(cur))
+    return fields
+
+
+def values_df_like(spark: SparkSession, rows, schema) -> DataFrame:
+    """values_df with the DDL derived from a StructType — the drop-in
+    for ``createDataFrame(collected_rows, df.schema)`` localizations
+    (collected Rows are tuples, so they render directly)."""
+    ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in schema.fields
+    )
+    return values_df(spark, [tuple(r) for r in rows], ddl)
 
 
 def values_df(spark: SparkSession, rows, schema: str) -> DataFrame:
@@ -45,9 +86,9 @@ def values_df(spark: SparkSession, rows, schema: str) -> DataFrame:
     column to the declared type exactly like createDataFrame does.
     Empty ``rows`` yields a typed empty frame (the q206 idiom)."""
     cols = []
-    for field in schema.split(","):
-        parts = field.strip().split()
-        cols.append((parts[0], " ".join(parts[1:])))
+    for field in _split_fields(schema):
+        parts = field.strip().split(None, 1)
+        cols.append((parts[0], parts[1]))
     sel = ", ".join(f"CAST({name} AS {typ}) AS {name}" for name, typ in cols)
     if not rows:
         names = ", ".join(name for name, _ in cols)

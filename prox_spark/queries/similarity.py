@@ -164,7 +164,9 @@ def _plane_buckets(
     no aggregation to survive anymore."""
     spark = emb.sparkSession
     n_tables = max(t for t, _, _ in plane_rows) + 1
-    planes = spark.createDataFrame(plane_rows, "t int, b int, plane array<double>")
+    from prox_spark.queries._local import values_df
+
+    planes = values_df(spark, plane_rows, "t int, b int, plane array<double>")
     plane_arr = planes.groupBy().agg(
         F.array_sort(F.collect_list(F.struct("t", "b", "plane"))).alias("pl")
     )
@@ -776,8 +778,11 @@ def build_ivf_index(
     directories — the scan never touches the other (K - nprobe)/K of
     the corpus (asserted in tests/test_kmeans.py)."""
     spark = emb.sparkSession
-    cent_arr = spark.createDataFrame(
-        [(sorted(cents),)], "cents array<struct<cid:int, cdd:array<double>>>"
+    from prox_spark.queries._local import values_df
+
+    cent_arr = values_df(
+        spark, [(sorted(cents),)],
+        "cents array<struct<cid:int, cdd:array<double>>>",
     )
     d2 = "aggregate(zip_with(dd, c.cdd, (x, y) -> (x - y) * (x - y)), cast(0.0 as double), (acc, x) -> acc + x)"
     assigned = (
@@ -830,8 +835,11 @@ def kmeans_fit(
         for r in emb.filter(F.col("vec_id") < k).select("vec_id", "dd").collect()
     ]
     for _ in range(max_iters):
-        cent_arr = spark.createDataFrame(
-            [(sorted(cents),)], "cents array<struct<cid:int, cdd:array<double>>>"
+        from prox_spark.queries._local import values_df
+
+        cent_arr = values_df(
+            spark, [(sorted(cents),)],
+            "cents array<struct<cid:int, cdd:array<double>>>",
         )
         # squared L2 distance fold; argmin via array_sort on (dist, cid)
         d2 = "aggregate(zip_with(dd, c.cdd, (x, y) -> (x - y) * (x - y)), cast(0.0 as double), (acc, x) -> acc + x)"
@@ -874,7 +882,10 @@ def _assign_to_cents(
     and probe recall collapses (measured: 0.80 → 0.52 on the
     embeddings corpus)."""
     spark = df.sparkSession
-    cent_arr = spark.createDataFrame(
+    from prox_spark.queries._local import values_df
+
+    cent_arr = values_df(
+        spark,
         [(sorted(
             (c, v, float(sum(x * x for x in v) ** 0.5)) for c, v in cents
         ),)],
@@ -1172,7 +1183,9 @@ def _subspace_dists_df(
 def _subspace_dists(
     emb: DataFrame, rows: list[tuple[int, int, list[float]]], n_sub: int, dsub: int
 ) -> DataFrame:
-    cb = emb.sparkSession.createDataFrame(rows, "m int, k int, cvec array<double>")
+    from prox_spark.queries._local import values_df
+
+    cb = values_df(emb.sparkSession, rows, "m int, k int, cvec array<double>")
     return _subspace_dists_df(emb, cb, n_sub, dsub)
 
 
@@ -1811,7 +1824,9 @@ def q161_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     append_only = base_files < set(m2["files"])  # strict superset: all kept + new
 
     index = read_table(spark, work)
-    probes = spark.createDataFrame(probe_rows, probes_df.schema)
+    from prox_spark.queries._local import values_df_like
+
+    probes = values_df_like(spark, probe_rows, probes_df.schema)
     scored = (
         index.join(F.broadcast(probes), "cid")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -1928,7 +1943,9 @@ def q162_ivf_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero_rewrite = set(after["files"]) == before and bool(after.get("deletes"))
 
     index = read_table(spark, work)  # deleted ids masked on read
-    probes = spark.createDataFrame(probe_rows, probes_df.schema)
+    from prox_spark.queries._local import values_df_like
+
+    probes = values_df_like(spark, probe_rows, probes_df.schema)
     scored = (
         index.join(F.broadcast(probes), "cid")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -2549,7 +2566,10 @@ def _probe_recall(
     content (queries: vec_id < N_QUERIES)."""
     idx_df = idx_df.persist()
     try:
-        cent_arr = spark.createDataFrame(
+        from prox_spark.queries._local import values_df
+
+        cent_arr = values_df(
+            spark,
             [(sorted(
                 (c, v, float(sum(x * x for x in v) ** 0.5))
                 for c, v in cents

@@ -1975,9 +1975,18 @@ def q190_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             a1.join(a2.select("doc_id"), "doc_id", "left_anti")
             .select("source", F.lit(-1).alias("sa"))
         )
+        # pinned: TWO consumers (the ΔA⋈B₁ and ΔA⋈ΔB terms) — one
+        # pass over the two snapshot anti-joins instead of two (r12)
+        .persist()
     )
-    b1 = spark.createDataFrame(list(DIM_V1), "source string, region string")
-    b2 = spark.createDataFrame(list(DIM_V2), "source string, region string")
+    # driver-known dims as pure-JVM VALUES relations: the Python-RDD
+    # createDataFrame paid a fresh-worker scan per materialization —
+    # three measured 0.5-0.8 s zero-CPU single-task stages (r12, the
+    # values_df rationale)
+    from prox_spark.queries._local import values_df
+
+    b1 = values_df(spark, list(DIM_V1), "source string, region string")
+    b2 = values_df(spark, list(DIM_V2), "source string, region string")
     db = (
         b2.exceptAll(b1).select("source", "region", F.lit(1).alias("sb"))
         .unionByName(
@@ -3813,8 +3822,10 @@ def _served_stats(spark: SparkSession, sf_dir: str) -> tuple:
         )
         est, kmv_hit = serve_distinct(spark, reg, base, "text")
         rows = served.collect()
+        from prox_spark.queries._local import values_df_like
+
         return (
-            spark.createDataFrame(rows, served.schema),
+            values_df_like(spark, rows, served.schema),
             float(est),
             mv_hit == mv,
             kmv_hit == kmv,
@@ -3944,8 +3955,10 @@ def _grouped_distinct(spark: SparkSession, sf_dir: str) -> tuple:
             spark, reg, base, "text", ["source"]
         )
         rows = served.collect()
+        from prox_spark.queries._local import values_df_like
+
         return (
-            spark.createDataFrame(rows, served.schema),
+            values_df_like(spark, rows, served.schema),
             hit == kmv, bool(fold_seen), bool(recompute_seen),
         )
 
@@ -5394,7 +5407,9 @@ def q231_datasource_change_feed(
             .orderBy("source")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        from prox_spark.queries._local import values_df_like
+
+        return values_df_like(spark, rows, out.schema)
     finally:
         feed.unpersist()
 

@@ -1049,9 +1049,9 @@ def q67_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts (it is genuinely tiny — eval phrases, not a corpus), so
     the scan is one map-side pass over documents; output is the narrow
     (doc, phrase) hit list."""
-    phrases = spark.createDataFrame(
-        [(p,) for p in CONTAM_PHRASES], "phrase string"
-    )
+    from prox_spark.queries._local import values_df
+
+    phrases = values_df(spark, [(p,) for p in CONTAM_PHRASES], "phrase string")
     docs = _docs(spark, sf_dir)
     return (
         docs.crossJoin(F.broadcast(phrases))
@@ -1101,6 +1101,10 @@ def q75_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "n_tokens", F.explode("tokens").alias("term"))
         .groupBy("doc_id", "n_tokens", "term")
         .agg(F.count(F.lit(1)).alias("n_occ"))
+        # pinned: TWO consumers (document-frequency agg + the scored
+        # attach) — without the pin the tokenize + explode + (doc,
+        # term) agg ran twice (r12, guide §5; an 18 s-cpu stage)
+        .persist()
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -1767,6 +1771,10 @@ def q115_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pos", "seg"),
     ).withColumn("h", F.md5("seg"))
+    # pinned: TWO subtrees consume the segment frame (the common-
+    # vocabulary agg and the mark join's probe side) — one tokenize +
+    # segmentation + md5 pass instead of two (r12, guide §5)
+    segs = segs.persist()
     # ">= SEG_DUP_DOCS (=2) distinct docs" == min != max over doc_id:
     # min/max partial-aggregate map-side where countDistinct ships
     # every (h, doc_id) pair through its distinct expansion (the
@@ -4187,6 +4195,10 @@ def q181_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("tokens") >= 2)
         .select("doc_id", F.explode(F.expr(bigrams_expr)).alias("o"))
         .select("doc_id", F.col("o.pfx").alias("pfx"), F.col("o.bg").alias("bg"))
+        # pinned: THREE consumers (c_uv model, c_u model, the scored
+        # attach) — without the pin the tokenize + zip_with + explode
+        # pass ran once per consumer (r12, guide §5)
+        .persist()
     )
     c_bg = occ.groupBy("bg").agg(F.count(F.lit(1)).alias("c_uv"))
     c_pfx = occ.groupBy("pfx").agg(F.count(F.lit(1)).alias("c_u"))
