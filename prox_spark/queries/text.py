@@ -1665,6 +1665,11 @@ def q105_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("m1"),
             F.min(F.when(F.col("rn") == 2, F.col("doc_id"))).alias("m2"),
         )
+        # pinned: THREE consumers (band table, neighbor attach, final
+        # expand) — the window + group agg replayed per consumer above
+        # the reused simhash exchange (r12, guide §5); distinct-hash
+        # sized, tiny
+        .persist()
     )
     band = F.explode(
         F.expr(
@@ -3236,7 +3241,9 @@ def q177_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         (F.size(F.expr(TOKENS_SPARK)).cast("long") / DRIFT_BUCKET)
         .cast("long").alias("bucket"),
-    )
+    # pinned: TWO consumers (per-source and corpus histograms) — one
+    # tokenize pass instead of two (r12, guide §5)
+    ).persist()
     src = lens.groupBy("source", "bucket").agg(
         F.count(F.lit(1)).cast("long").alias("a")
     )
@@ -3331,6 +3338,9 @@ def q164_rare_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = (
         _docs(spark, sf_dir)
         .select("source", F.explode(F.expr(TOKENS_SPARK)).alias("tok"))
+        # pinned: TWO consumers (vocabulary agg + frequency attach) —
+        # one tokenize + explode pass instead of two (r12, guide §5)
+        .persist()
     )
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("gc"))
     return (
