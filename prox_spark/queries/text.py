@@ -4063,7 +4063,10 @@ def q185_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.explode(F.expr(f"sequence(p, p + {DUPGRAM_N - 1})")).alias("idx"),
         )
-        .distinct()
+        # NO distinct: the sole consumer is the LEFT ANTI join below,
+        # whose semantics ignore right-side duplicates — the dedup was
+        # a full extra shuffle + aggregate of the exploded index rows
+        # for nothing (r12, guide §2.4 remove shuffles outright)
     )
     cleaned = (
         toks.join(covered, ["doc_id", "idx"], "left_anti")
