@@ -165,21 +165,31 @@ def q200_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     index actually skipped files: every probe must have opened fewer
     files than the table holds."""
     from prox_spark.table import (
-        point_lookup_files,
+        _read_files,
         read_manifest,
-        read_table_point,
+        split_files_by_key_ranges,
     )
 
     postings, dl_path, stats_path = _bm25_index(spark, sf_dir)
     terms = sorted({t for _, t in BM25_QUERIES})
-    n_total = len(read_manifest(spark, postings)["files"])
-    files_pruned = all(
-        len(point_lookup_files(spark, postings, {"term": t})) < n_total
-        for t in terms
-    )
+    # ONE manifest read serves every term's prune AND scan (r12: the
+    # per-term point_lookup_files + read_table_point pair re-read the
+    # manifest twice per term — 13 driver FS round-trips per call;
+    # per-term pruning itself is pure in-memory stats math)
+    m = read_manifest(spark, postings)
+    n_total = len(m["files"])
+    per_term = {
+        t: split_files_by_key_ranges(m, {"term": (t, t)})[0] for t in terms
+    }
+    files_pruned = all(len(fs) < n_total for fs in per_term.values())
     probed = reduce(
         lambda a, b: a.unionByName(b),
-        [read_table_point(spark, postings, {"term": t}) for t in terms],
+        [
+            _read_files(spark, postings, m, fs).filter(
+                F.col("term") == F.lit(t)
+            )
+            for t, fs in per_term.items()
+        ],
     )
     from prox_spark.queries._local import values_df
 

@@ -245,7 +245,13 @@ def bounded_bm25(
         )
 
     def score(probed: DataFrame) -> DataFrame:
-        qdf = spark.createDataFrame(
+        from prox_spark.queries._local import values_df
+
+        # VALUES relation: the Python-RDD createDataFrame paid a
+        # Python-worker scan per pass (this runs twice per serving
+        # call — r12, the values_df rationale)
+        qdf = values_df(
+            spark,
             [(q, t, by_term.get(t, (0, 0))[0]) for q, t in queries],
             "query_id long, term string, df long",
         )
