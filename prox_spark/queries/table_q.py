@@ -1461,8 +1461,11 @@ def q184_incremental_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     path, _ = stage_cdc_table()
     from prox_spark.table import read_table
 
-    v1 = read_table(spark, path, version=1).select("doc_id", "source")
-    v2 = read_table(spark, path, version=2).select("doc_id", "source")
+    # pinned: v1 feeds the anti-joins and the base aggregate, v2 the
+    # anti-joins and the affected-group recompute — unpinned, each
+    # branch re-ran the snapshot read (r12, guide §5)
+    v1 = read_table(spark, path, version=1).select("doc_id", "source").persist()
+    v2 = read_table(spark, path, version=2).select("doc_id", "source").persist()
     ins = v2.join(v1.select("doc_id"), "doc_id", "left_anti")
     dels = v1.join(v2.select("doc_id"), "doc_id", "left_anti")
     base = v1.groupBy("source").agg(
@@ -1491,6 +1494,9 @@ def q184_incremental_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(False),
             ),
         )
+        # pinned: the maintained and affected branches both read this
+        # sources-sized frame — one 3-way join instead of two (r12)
+        .persist()
     )
     maintained = j.filter(~F.col("needs")).select(
         "source",
@@ -1784,15 +1790,25 @@ def q188_zorder_table_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return len(files) < n_live, int(agg["n_rows"]), float(agg["sum_qty"])
 
-    p_pruned, p_rows, p_qty = probe("l_partkey", int(pk))
-    s_pruned, s_rows, s_qty = probe("l_suppkey", int(sk))
+    # the two probes are independent point lookups — overlap them
+    # (guide §2.6), and return the 2 driver-known rows as a VALUES
+    # relation (r12)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fp = pool.submit(probe, "l_partkey", int(pk))
+        fs = pool.submit(probe, "l_suppkey", int(sk))
+        p_pruned, p_rows, p_qty = fp.result()
+        s_pruned, s_rows, s_qty = fs.result()
     rows = [
         ("partkey", int(pk), p_rows, p_qty),
         ("suppkey", int(sk), s_rows, s_qty),
     ]
+    from prox_spark.queries._local import values_df
+
     return (
-        spark.createDataFrame(
-            rows, "probe string, key long, n_rows long, sum_qty double"
+        values_df(
+            spark, rows, "probe string, key long, n_rows long, sum_qty double"
         )
         .withColumn("pruned", F.lit(bool(p_pruned and s_pruned)))
         .orderBy("probe")
