@@ -2386,23 +2386,22 @@ def q199_incremental_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_c = contrib(v2d, only_touched=True).select(
         "source", F.col("c_dup").alias("w_dup"), F.col("c_cln").alias("w_cln")
     )
-    # the bounded-recompute flag folds into the ONE final job as a
-    # cross-joined 1-row scalar instead of two separate driver count
-    # jobs (r12, guide §1.2: fewer passes — both counts read frames
-    # the plan already pins)
-    bounds = (
+    # ONE scalar job (was two counts) computes the bounded flag AND —
+    # deliberately BEFORE the main action — materializes both persists
+    # it reads (touched + v2d). A fully lazy in-plan fold was measured
+    # SLOWER (2.69→4.06 s bench): without this barrier the three
+    # contrib branches race the cold caches and each re-runs the
+    # snapshot build (the q105 cache-race hazard).
+    b = (
         touched.agg(F.count(F.lit(1)).alias("n_touched"))
         .crossJoin(
             v2d.select("digest")
             .distinct()
             .agg(F.count(F.lit(1)).alias("n_groups"))
         )
-        .select(
-            (F.col("n_touched") < F.col("n_groups")).alias(
-                "recompute_bounded"
-            )
-        )
+        .first()
     )
+    bounded = bool(b["n_touched"] < b["n_groups"])
 
     z = F.lit(0)
     merged = (
@@ -2426,7 +2425,7 @@ def q199_incremental_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_clean"),
         )
         .filter(F.col("n_docs") > 0)
-        .crossJoin(F.broadcast(bounds))
+        .withColumn("recompute_bounded", F.lit(bounded))
         .orderBy("source")
     )
     return merged
