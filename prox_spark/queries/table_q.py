@@ -2386,22 +2386,16 @@ def q199_incremental_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_c = contrib(v2d, only_touched=True).select(
         "source", F.col("c_dup").alias("w_dup"), F.col("c_cln").alias("w_cln")
     )
-    # ONE scalar job (was two counts) computes the bounded flag AND —
-    # deliberately BEFORE the main action — materializes both persists
-    # it reads (touched + v2d). A fully lazy in-plan fold was measured
-    # SLOWER (2.69→4.06 s bench): without this barrier the three
-    # contrib branches race the cold caches and each re-runs the
-    # snapshot build (the q105 cache-race hazard).
-    b = (
-        touched.agg(F.count(F.lit(1)).alias("n_touched"))
-        .crossJoin(
-            v2d.select("digest")
-            .distinct()
-            .agg(F.count(F.lit(1)).alias("n_groups"))
-        )
-        .first()
+    # Two separate eager counts, ON PURPOSE (r12 negative result):
+    # they double as cache-priming barriers — each materializes one
+    # of the pinned frames (touched / v2d) BEFORE the main action.
+    # A fully lazy in-plan fold measured 2.69→4.06 s (the three
+    # contrib branches race the cold caches and re-run the snapshot
+    # build — the q105 cache-race hazard), and a single combined
+    # scalar job still read ~0.5 s above this form in-suite.
+    bounded = bool(
+        touched.count() < v2d.select("digest").distinct().count()
     )
-    bounded = bool(b["n_touched"] < b["n_groups"])
 
     z = F.lit(0)
     merged = (
