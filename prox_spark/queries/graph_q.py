@@ -265,6 +265,7 @@ def _part_co_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     is near-complete, 135M oriented wedges; this graph has thousands)."""
     from prox_spark.queries.text import _spread
 
+    assert CO_SUPPORT == 2, "min!=max rewrite requires CO_SUPPORT == 2"
     cat = testdata_catalog(spark, sf_dir)
     # spread rationale: see _interaction_edges — here the single-split
     # scan serializes the per-order pair fan-out (a measured 1.5 s
@@ -281,9 +282,11 @@ def _part_co_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey").alias("o"),
         )
         .groupBy("src", "dst")
-        # ">= CO_SUPPORT (=2) distinct orders" == min != max over the
+        # ">= CO_SUPPORT distinct orders" == min != max over the
         # order key — map-side partial min/max instead of the
-        # countDistinct expansion (r12, guide §2.3)
+        # countDistinct expansion (r12, guide §2.3). Valid exactly
+        # for a threshold of 2 (ADVICE r12: fail loudly here if the
+        # constant — still interpolated into the oracle — ever moves)
         .agg(F.min("o").alias("o0"), F.max("o").alias("o1"))
         .filter(F.col("o0") != F.col("o1"))
         .select("src", "dst")

