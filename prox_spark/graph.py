@@ -138,6 +138,33 @@ def pagerank(
     the node list — see :func:`_rank_round`; ranks are bit-identical.
     """
     spark = edges.sparkSession
+    # AQE OFF for the fixpoint, restored on exit (r13, guide §1.2):
+    # the loop body is a stable, tiny plan (checkpoint-backed edge scan
+    # + broadcast join + pre-partitioned agg) that AQE re-plans every
+    # round for no benefit, materializing each shuffle/broadcast stage
+    # as its own tracked job — measured 29 jobs / ~3 s of inter-job
+    # driver gaps per query at sf0.1. Statically planned, each round
+    # is one job (A/B 5-rep medians: q127 3.42→3.27 s, q150
+    # 3.46→2.68 s; ranks bit-identical — exact integer arithmetic is
+    # plan-shape-independent). At cluster scale the loop's plans are
+    # still fixed-shape (the one data-sized choice, broadcast-vs-SMJ,
+    # is pinned by the explicit broadcast hint), so AQE has nothing to
+    # adapt here either.
+    _prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _pagerank_body(edges, iters, weight_col, symmetric)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", _prev_aqe)
+
+
+def _pagerank_body(
+    edges: DataFrame,
+    iters: int,
+    weight_col: str | None,
+    symmetric: bool,
+) -> DataFrame:
+    spark = edges.sparkSession
     w = weight_col if weight_col is not None else None
     cols = ["src", "dst"] + ([w] if w else [])
     # pin the edge list: degrees and the dst-partitioned edge frame
@@ -176,6 +203,14 @@ def pagerank(
     )
     e.unpersist()
     nodes = deg.select(F.col("src").alias("node"))
+    if not symmetric:
+        # the re-anchor left join references `nodes` EVERY round, and
+        # deg unpersists before the caller's first action — without a
+        # barrier each round's plan would replay the full upstream
+        # edge build through the dead cache (ADVICE r12). One eager
+        # node-sized checkpoint pins it. The symmetric path never
+        # reads `nodes` inside the loop, so it skips the job.
+        nodes = nodes.localCheckpoint(eager=True)
     init = MASS // n_nodes
     base = (15 * init) // 100
     # the initial rank frame checkpoints EAGERLY (one node-sized job)

@@ -98,6 +98,24 @@ def test_weighted_pagerank_matches_integer_model(spark):
     assert got == rank
 
 
+def test_pagerank_restores_aqe_conf(spark):
+    """r13: pagerank disables AQE for its fixpoint (stable tiny plans;
+    AQE's per-stage materialization jobs dominated the loop) and must
+    restore the session conf on BOTH the normal and the error path —
+    a leaked 'false' would change every later query's planning."""
+    key = "spark.sql.adaptive.enabled"
+    assert spark.conf.get(key) == "true"
+    df = spark.createDataFrame(_sym([(0, 1), (1, 2)]), "src BIGINT, dst BIGINT")
+    pagerank(df, iters=2, symmetric=True).collect()
+    assert spark.conf.get(key) == "true"
+    bad = spark.createDataFrame([(1, 2)], "src BIGINT, wrong BIGINT")
+    try:
+        pagerank(bad, iters=1)
+    except Exception:
+        pass
+    assert spark.conf.get(key) == "true"
+
+
 def test_triangle_count_known_graphs(spark):
     from prox_spark.graph import triangle_count
 
