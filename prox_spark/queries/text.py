@@ -1101,10 +1101,18 @@ def q75_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "n_tokens", F.explode("tokens").alias("term"))
         .groupBy("doc_id", "n_tokens", "term")
         .agg(F.count(F.lit(1)).alias("n_occ"))
-        # pinned: TWO consumers (document-frequency agg + the scored
-        # attach) — without the pin the tokenize + explode + (doc,
-        # term) agg ran twice (r12, guide §5; an 18 s-cpu stage)
-        .persist()
+        # EAGER localCheckpoint, not the r12 persist: two subtrees
+        # (document-frequency agg + the scored attach) consume tf
+        # inside ONE action, and a lazy pin let both branches race the
+        # cold cache — the tokenize + explode + (doc, term) agg ran
+        # twice anyway (profiled; the r12 pin's in-suite number was
+        # correspondingly flat-to-negative). The eager barrier blocks
+        # until tf is materialized once, then both consumers read the
+        # stored partitions (A/B 5-rep medians: pin 1.89 s, unpinned
+        # 1.99 s, barrier 1.78 s; a window-over-term fusion measured
+        # 1.87 s and adds a hot-key skew hazard AQE can't split —
+        # r13, guide §5)
+        .localCheckpoint(eager=True)
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -4222,10 +4230,13 @@ def q181_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("tokens") >= 2)
         .select("doc_id", F.explode(F.expr(bigrams_expr)).alias("o"))
         .select("doc_id", F.col("o.pfx").alias("pfx"), F.col("o.bg").alias("bg"))
-        # pinned: THREE consumers (c_uv model, c_u model, the scored
-        # attach) — without the pin the tokenize + zip_with + explode
-        # pass ran once per consumer (r12, guide §5)
-        .persist()
+        # EAGER localCheckpoint, not the r12 persist: THREE subtrees
+        # (c_uv model, c_u model, the scored attach) consume occ inside
+        # one action, and a lazy pin let the branches race the cold
+        # cache — the tokenize + zip_with + explode pass still ran per
+        # consumer (the q75 adjudication, r13 guide §5). The barrier
+        # materializes occ exactly once before the consumers plan.
+        .localCheckpoint(eager=True)
     )
     c_bg = occ.groupBy("bg").agg(F.count(F.lit(1)).alias("c_uv"))
     c_pfx = occ.groupBy("pfx").agg(F.count(F.lit(1)).alias("c_u"))
