@@ -9,13 +9,16 @@ global sort pay the scan twice (range-sampler + sort). A SQL VALUES
 literal builds the same rows as a JVM LocalRelation — no RDD, no
 Python worker, constant-folded into the plan.
 
-Only scalar column types are supported on purpose:
+Supported value types (r12 added nested, r13 non-finite floats):
 
-- ints/strings render exactly;
-- floats are rendered with ``repr``, which is Python's shortest
-  round-trip form and parses back to the identical IEEE double in
-  Java's ``Double.parseDouble`` — still, prefer int/string frames for
-  hash-gated values (all current callers are int/string).
+- ints/strings/bools/None render exactly;
+- floats render with ``repr`` — Python's shortest round-trip form,
+  which parses back to the identical IEEE double in Java's
+  ``Double.parseDouble``; NaN/±Infinity render as their CAST forms;
+- lists render as ``array(...)`` literals, tuples (e.g. collected
+  Rows) as positional ``named_struct`` re-typed by the declared CAST;
+- date/datetime/Decimal/dict raise TypeError — keep createDataFrame
+  for frames with temporal/decimal/map columns.
 """
 
 from __future__ import annotations
@@ -31,6 +34,15 @@ def _sql_literal(v) -> str:
     if isinstance(v, int):
         return str(v)
     if isinstance(v, float):
+        # non-finite floats have no bare SQL token (ADVICE r12):
+        # render the cast forms Spark's parser accepts; repr() covers
+        # every finite double exactly (shortest round-trip form)
+        if v != v:
+            return "CAST('NaN' AS DOUBLE)"
+        if v == float("inf"):
+            return "CAST('Infinity' AS DOUBLE)"
+        if v == float("-inf"):
+            return "CAST('-Infinity' AS DOUBLE)"
         return repr(v)
     if isinstance(v, str):
         escaped = v.replace("\\", "\\\\").replace("'", "\\'")
@@ -47,7 +59,13 @@ def _sql_literal(v) -> str:
             f"'f{i}', {_sql_literal(x)}" for i, x in enumerate(v)
         )
         return f"named_struct({body})"
-    raise TypeError(f"values_df supports scalars/arrays/structs only, got {type(v)}")
+    # date/datetime/Decimal/dict values would render as invalid or
+    # silently mistyped tokens — reject them loudly (ADVICE r12);
+    # callers with temporal/decimal/map columns keep createDataFrame
+    raise TypeError(
+        f"values_df supports int/float/str/bool/None scalars, lists and "
+        f"tuples (structs) only, got {type(v)}: {v!r}"
+    )
 
 
 def _split_fields(schema: str) -> list[str]:

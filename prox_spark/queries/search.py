@@ -484,7 +484,11 @@ def postings_index_batch(batch_df: DataFrame, batch_id: int,
         }
         if int(batch_id) in applied:
             return
-    marker = sp.createDataFrame(
+    from prox_spark.queries._local import values_df
+
+    # VALUES, not createDataFrame: no Python-RDD scan per micro-batch
+    marker = values_df(
+        sp,
         [(_BATCH_MARKER, int(batch_id), -1)],
         "term string, doc_id long, tf long",
     )

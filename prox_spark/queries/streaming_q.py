@@ -675,8 +675,11 @@ def cms_merge_batch(batch_df: DataFrame, batch_id: int, store: str) -> None:
         }
         if int(batch_id) in applied:
             return
-    marker = sp.createDataFrame(
-        [(-1, int(batch_id), 1)], "d int, bucket long, c long"
+    from prox_spark.queries._local import values_df
+
+    # VALUES, not createDataFrame: no Python-RDD scan per micro-batch
+    marker = values_df(
+        sp, [(-1, int(batch_id), 1)], "d int, bucket long, c long"
     )
     partial = _cms_partial(batch_df).unionByName(marker)
     merged = (
@@ -827,7 +830,10 @@ def _fold_view(sp, store: str, part: DataFrame, batch_id: int) -> None:
         }
         if f"__b{int(batch_id)}" in applied:
             return
-    marker = sp.createDataFrame(
+    from prox_spark.queries._local import values_df
+
+    marker = values_df(
+        sp,
         [(f"__b{int(batch_id)}", -1, -1)],
         "region string, n_docs long, sum_chars long",
     )
@@ -1206,8 +1212,11 @@ def lsh_index_batch(
         .withColumn("shingles", F.array_distinct(F.expr(SHINGLES_SPARK)))
         .select("doc_id", "shingles")
     )
-    marker = sp.createDataFrame(
-        [(-1, str(int(batch_id)), -1)], "band int, band_sig string, doc_id long"
+    from prox_spark.queries._local import values_df
+
+    marker = values_df(
+        sp, [(-1, str(int(batch_id)), -1)],
+        "band int, band_sig string, doc_id long",
     )
     rows = lsh_band_rows(shingled).select("band", "band_sig", "doc_id")
     if is_manifest_table(sp, index_path):
@@ -1427,8 +1436,10 @@ def semantic_index_batch(
         F.col("_commit_version").cast("long").alias("ver"),
     )
     rows = rows.unionByName(tombstones)
-    marker = sp.createDataFrame(
-        [(-1, int(batch_id), [], -1.0, -1)],
+    from prox_spark.queries._local import values_df
+
+    marker = values_df(
+        sp, [(-1, int(batch_id), [], -1.0, -1)],
         "cid long, vec_id long, dd array<double>, nrm double, ver long",
     )
     if is_manifest_table(sp, index_path):
