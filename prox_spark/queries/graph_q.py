@@ -269,8 +269,15 @@ def _part_co_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = testdata_catalog(spark, sf_dir)
     # spread rationale: see _interaction_edges — here the single-split
     # scan serializes the per-order pair fan-out (a measured 1.5 s
-    # single-task stage); both self-join branches reuse one exchange
-    li = _spread(cat.table("lineitem").select("l_orderkey", "l_partkey"))
+    # single-task stage). EAGER localCheckpoint: the two self-join
+    # branches did NOT reuse the spread exchange (profiled r13: two
+    # identical 0.6 s scan+exchange map stages per run — the
+    # round-robin repartition defeats ReuseExchange canonicalization);
+    # the barrier materializes the projected scan once and both
+    # branches read the stored partitions
+    li = _spread(
+        cat.table("lineitem").select("l_orderkey", "l_partkey")
+    ).localCheckpoint(eager=True)
     l2 = li.select(
         F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2")
     )
