@@ -2346,9 +2346,13 @@ def q199_incremental_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1 = (
         read_table(spark, t, version=1)
         .select("doc_id", "source", "text")
-        # three consumers (self-maintainable arm + two contrib passes):
-        # pin one snapshot read + md5 pass instead of three
-        .persist()
+        # EAGER barrier, not a pin: three consumers (self-maintainable
+        # arm + two contrib passes) all materialize inside the final
+        # action and raced the r12 persist's cold cache — the snapshot
+        # read still ran per branch (the q75 adjudication, r13 §5).
+        # The two counts below only pre-materialize touched/v2d, never
+        # v1, so v1 needs its own barrier.
+        .localCheckpoint(eager=True)
     )
     feed = read_table_changes(spark, t, 1, head)
     sgn = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(

@@ -251,6 +251,11 @@ def q35_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (never an all-pairs cross join), then one pair-count shuffle and two
     broadcast size joins. At 100 TB the exploded (shingle, doc) postings
     would be bucketed by shingle hash; the plan shape is unchanged."""
+    # cache, NOT an eager checkpoint barrier: r13 A/B'd the barrier
+    # (q75 pattern) and it LOST here — 1.76->1.87 s (q147 1.05->1.23,
+    # q36 1.34->1.51): the shingle extraction is cheap enough that the
+    # branches racing the cold cache cost less than the barrier's
+    # extra job + store/read round-trip. Kept as the measured winner.
     arr = _doc_shingle_arrays(spark, sf_dir).cache()
     sh = arr.select("doc_id", F.explode("shingles").alias("shingle"))
     a = sh.alias("a")
@@ -332,6 +337,9 @@ def _minhash_candidate_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs joined back to their shingle arrays, with the exact overlap
     (n_inter, n1, n2) computed — the similarity METRIC (Jaccard vs
     containment) is the caller's one-line decision."""
+    # cache, NOT an eager checkpoint barrier (r13 A/B: the barrier
+    # lost ~10% here — see q35's note; the extraction is too cheap to
+    # amortize the barrier's extra job at this scale)
     arr = _doc_shingle_arrays(spark, sf_dir).cache()
     # materialize the signature/band table: it is tiny (n_docs * n_bands
     # short rows) and caching prevents the optimizer from inlining the
