@@ -379,13 +379,19 @@ def q153_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(feed_dir)
     )
-    q = (
-        stream.writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", f"{scratch}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    finished = q.awaitTermination(120)
+    from prox_spark.queries.streaming_q import _stream_partitions
+
+    # size the per-batch merge joins to the stream scope (r13): each
+    # micro-batch's apply_changes otherwise planned its anti-join at
+    # the session-wide 32 shuffle partitions for a 4-file feed
+    with _stream_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", f"{scratch}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(120)
     exc = q.exception()
     if exc is not None:
         raise exc

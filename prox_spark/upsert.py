@@ -811,6 +811,25 @@ def apply_changes(
     if scope is None:
         raise ValueError(f"no table at {table_path}")
     changed_keys = changes.select(*keys).distinct()
+    if rows is not None:
+        # the key tuples are already on the driver: a VALUES relation
+        # (pure-JVM LocalRelation — NOT the createDataFrame Python-RDD
+        # scan an earlier round measured as a loss here) spares the
+        # anti-join a second scan of the feed lineage per applied
+        # batch (r13, guide §1.2). Temporal/decimal keys fall back to
+        # the distributed distinct.
+        from prox_spark.queries._local import values_df_like
+
+        try:
+            changed_keys = values_df_like(
+                spark,
+                # dedupe preserving collected order (sorted() would
+                # trip over NULL keys)
+                list(dict.fromkeys(tuple(r[k] for k in keys) for r in rows)),
+                changes.select(*keys).schema,
+            )
+        except TypeError:
+            pass
     survivors = scope.touched.join(changed_keys, keys, "left_anti")
     upserts = (
         changes.filter(F.col(op_col) != "delete")
