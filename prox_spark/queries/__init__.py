@@ -28,72 +28,68 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 # Registry order matters: the correctness driver checks the first ~50
-# entries per round. Union coverage across rounds 1-11 is 224 of 224
-# (every pre-existing query has a green driver row), so round 12
-# rotates by STALENESS (recomputed from CORRECTNESS_r01..r11) plus
-# touched-query re-gates: the FIVE queries new this round lead (never
-# driver-gated), then the five whose implementations materially
-# changed this round (q223: one-sided pushdown pruning fix; q224:
-# deterministic quantile-sample tie-break; q225/q226: writer txn
-# staging + sink output-mode guard; q206: empty-corpus guard), then
-# the round-7 cohort (stalest: last driver-checked five rounds ago —
-# the PROX KPI/star-schema parity core among them), then the round-8
-# cohort in name order up to the 50-slot cap. Exactly 50.
+# entries per round. Union coverage across rounds 1-12 is 229 of 229
+# (every query has a green driver row), so round 13 rotates by
+# STALENESS plus touched-query re-gates: the round-8 cohort leads
+# (stalest: last driver-checked five rounds ago — the r12 verdict's
+# rotation plan), then the queries whose implementations materially
+# changed in this optimization round (one-pass rewrites, VALUES
+# serving frames, checkpoint barriers — every one oracle-verified at
+# sf0.01 in-session, re-gated here by the driver), up to the 50 cap.
+# Exactly 50.
 _FRONT = [
-    # new this round (never driver-gated)
-    "q231_datasource_change_feed",
-    "q230_datasource_stream_source",
+    # the round-8 cohort (all 34 — stalest driver rows)
+    "q133_shard_assignment",
+    "q137_curation_capstone",
+    "q138_jsonl_scan",
+    "q139_orc_scan",
+    "q140_python_datasource",
+    "q141_python_stream_source",
+    "q142_polymorphic_udtf",
+    "q143_xml_scan",
+    "q144_approx_quantile_band",
+    "q145_temperature_mixture",
+    "q146_winsorized_stats",
+    "q147_containment_pairs",
+    "q148_source_concentration",
+    "q149_log_length_histogram",
+    "q150_weighted_pagerank",
+    "q151_gap_fill_interp",
+    "q153_streaming_cdc_apply",
+    "q154_point_lookup",
+    "q155_png_pixel_decode",
+    "q156_interval_overlap_join",
+    "q196_change_feed",
+    "q197_stream_changefeed_view",
+    "q198_streaming_semantic_index",
+    "q199_incremental_data_card",
+    "q200_bm25_search",
+    "q201_incremental_text_index",
+    "q202_shallow_clone",
+    "q203_hybrid_retrieval",
+    "q204_check_constraints",
+    "q205_streaming_text_index",
+    "q207_materialized_view",
+    "q208_join_materialized_view",
+    "q209_kmv_distinct",
+    "q210_streaming_mv",
+    # materially changed this round (r13 optimization): re-gate
+    "q183_files_metadata",
+    "q177_length_drift",
+    "q115_segment_dedup",
+    "q180_dup_span_coverage",
+    "q185_dup_span_removal",
+    "q193_dedup_data_card",
     "q227_registry_served_topk",
     "q228_datasource_multi_table_txn",
     "q229_grouped_topk_serving",
-    # materially changed this round: re-gate
-    "q223_datasource_table_read",
     "q224_registry_served_quantiles",
-    "q225_datasource_table_write",
-    "q226_datasource_stream_sink",
-    "q206_leakage_free_split",
-    # stalest driver rows next: the round-7 cohort (all 25)...
-    "q40_cosine_topk",
-    "q41_lsh_ann",
-    "q42_embed_neardup",
-    "q43_media_features",
-    "q44_stateful_user_totals",
-    "q45_ivf_ann",
-    "q51_kpi_bookings_per_location_service",
-    "q52_kpi_avg_rating_per_provider",
-    "q53_kpi_monthly_revenue_per_provider",
-    "q54_kpi_pct_ai_generated",
-    "q55_kpi_top5_booked_categories_week",
-    "q56_kpi_top5_providers_by_bookings",
-    "q57_kpi_top5_disputed_providers",
-    "q58_kpi_top_rated_providers",
-    "q59_gold_fact_booking",
-    "q60_gold_dim_user",
-    "q61_gold_dim_service",
-    "q62_gold_dim_location",
-    "q63_gold_dim_review",
-    "q64_gold_dim_dispute",
-    "q69_streaming_hourly_stats",
-    "q77_stream_static_enrich",
-    "q78_stream_stream_join",
-    "q85_label_centroids",
-    "q88_vector_stats",
-    # ...then the round-8 cohort in name order, up to the 50 cap
-    "q65_hash_split",
-    "q66_source_mixture",
-    "q67_decontaminate",
-    "q72_dup_clusters",
-    "q75_tfidf_top_terms",
-    "q76_ngram_decontaminate",
-    "q80_pii_redact",
-    "q81_repetition_stats",
-    "q82_chunk_split_udtf",
     "q127_pagerank",
-    "q128_variant_props",
-    "q129_corpus_shuffle",
-    "q130_heavy_hitters",
-    "q131_zorder_scan",
-    "q132_auto_skew_revenue",
+    "q160_triangle_count",
+    "q75_tfidf_top_terms",
+    "q181_bigram_fluency",
+    "q152_cdc_apply",
+    "q189_streaming_cms",
 ]
 
 
