@@ -1520,9 +1520,11 @@ def q184_incremental_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(False),
             ),
         )
-        # pinned: the maintained and affected branches both read this
-        # sources-sized frame — one 3-way join instead of two (r12)
-        .persist()
+        # EAGER barrier (r13): the maintained and affected branches
+        # raced the r12 pin's cold cache inside one action; the frame
+        # is sources-sized, so the checkpoint job is tiny and it also
+        # pre-materializes the v1/v2 caches for the recompute branch
+        .localCheckpoint(eager=True)
     )
     maintained = j.filter(~F.col("needs")).select(
         "source",
@@ -2017,9 +2019,10 @@ def q190_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             a1.join(a2.select("doc_id"), "doc_id", "left_anti")
             .select("source", F.lit(-1).alias("sa"))
         )
-        # pinned: TWO consumers (the ΔA⋈B₁ and ΔA⋈ΔB terms) — one
-        # pass over the two snapshot anti-joins instead of two (r12)
-        .persist()
+        # EAGER barrier (r13): the ΔA⋈B₁ and ΔA⋈ΔB terms raced the
+        # r12 pin's cold cache inside one action — the snapshot
+        # anti-joins still ran twice (the q75 adjudication)
+        .localCheckpoint(eager=True)
     )
     # driver-known dims as pure-JVM VALUES relations: the Python-RDD
     # createDataFrame paid a fresh-worker scan per materialization —

@@ -1681,11 +1681,12 @@ def q105_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("m1"),
             F.min(F.when(F.col("rn") == 2, F.col("doc_id"))).alias("m2"),
         )
-        # pinned: THREE consumers (band table, neighbor attach, final
-        # expand) — the window + group agg replayed per consumer above
-        # the reused simhash exchange (r12, guide §5); distinct-hash
-        # sized, tiny
-        .persist()
+        # EAGER barrier (r13): three lazy consumers (band table,
+        # neighbor attach, final expand) raced the r12 pin's cold
+        # cache inside one action; the frame is distinct-hash sized —
+        # the checkpoint job is tiny and the window + group agg runs
+        # exactly once
+        .localCheckpoint(eager=True)
     )
     band = F.explode(
         F.expr(
@@ -3370,8 +3371,12 @@ def q164_rare_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = (
         _docs(spark, sf_dir)
         .select("source", F.explode(F.expr(TOKENS_SPARK)).alias("tok"))
-        # pinned: TWO consumers (vocabulary agg + frequency attach) —
-        # one tokenize + explode pass instead of two (r12, guide §5)
+        # pinned (NOT the r13 eager-checkpoint barrier): the barrier
+        # A/B'd 0.98 -> 1.44 s — this frame is the exploded per-token
+        # corpus, and materializing the explosion to storage costs far
+        # more than the racing branches' second tokenize pass. Same
+        # verdict as the q35/q36 shingle cache: cheap extraction,
+        # heavy frame => lazy cache wins (r13, guide §5)
         .persist()
     )
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("gc"))
@@ -4352,13 +4357,11 @@ def q209_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "m", F.expr(_u48_expr(_HEXV_SPARK)).alias("u"))
         .select("source", "u")
         .distinct()
-        # pinned: FOUR consumers (the top-k window, the n_exact agg,
-        # and the merge-property probes below) — without the pin the
-        # docs scan + md5 + distinct replayed once per consumer
-        # (measured r12: 2.21 s -> the pin removes ~3 redundant
-        # corpus passes; guide §5 reuse-beats-recompute, and the
-        # pinned frame is the narrow (source, u) projection)
-        .persist()
+        # EAGER barrier (r13): four consumers raced the r12 pin's
+        # cold cache inside one action (the q75 adjudication); the
+        # checkpoint materializes the narrow (source, u) projection
+        # exactly once
+        .localCheckpoint(eager=True)
     )
     w = Window.partitionBy("source").orderBy("u")
     sk = (
