@@ -4085,8 +4085,9 @@ def q185_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "source",
             F.size("tokens").cast("long").alias("n_tokens"), "tokens",
         )
-        # pinned: consumed twice (token explode below + the final
-        # passthrough join) — one tokenize pass instead of two
+        # pinned (r13 A/B'd the eager-checkpoint barrier: 2.30 ->
+        # 2.38 s, flat-to-worse — the tokens-array payload makes the
+        # checkpoint write as dear as the duplicated tokenize)
         .persist()
     )
     toks = base.select(
