@@ -2555,30 +2555,32 @@ def q137_curation_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tokens = F.size("tokens").cast("long")
     stop_ratio = F.round(n_stop / n_tokens, 6)
     len_score = F.round(F.least(n_tokens, F.lit(50)) / 50.0, 6)
+    # the contamination verdict rides the SAME map-side pass as the
+    # quality score: "joins any phrase" == exists() over the
+    # driver-known phrase array — the r12 form ran a second full
+    # corpus scan through a broadcast crossJoin + distinct + join for
+    # a per-row boolean (r13, guide §1.2/§2.4: one pass, two shuffles
+    # removed; identical verdict per doc)
+    phrases_arr = "array({})".format(
+        ", ".join("'{}'".format(p.replace("'", "\\'")) for p in CONTAM_PHRASES)
+    )
+    cont_expr = F.expr(
+        f"exists({phrases_arr}, p -> contains(lower(text), p))"
+    )
     scored = toks.select(
         "doc_id",
         "source",
         n_tokens.alias("n_tokens"),
         F.round(0.5 * len_score + 0.5 * (1.0 - stop_ratio), 6).alias("q"),
-    )
-    from prox_spark.queries._local import values_df
-
-    phrases = values_df(spark, [(p,) for p in CONTAM_PHRASES], "phrase string")
-    contam = (
-        docs.crossJoin(F.broadcast(phrases))
-        .filter(F.expr("contains(lower(text), phrase)"))
-        .select("doc_id")
-        .distinct()
-        .withColumn("cont", F.lit(True))
+        cont_expr.alias("cont"),
     )
     tagged = (
         scored.join(dup_rm, "doc_id", "left")
-        .join(contam, "doc_id", "left")
         .withColumn("lowq", F.col("q") < CAPSTONE_QBAR)
         .withColumn(
             "kept",
             ~F.coalesce(F.col("dup"), F.lit(False))
-            & ~F.coalesce(F.col("cont"), F.lit(False))
+            & ~F.col("cont")
             & ~F.col("lowq"),
         )
     )
