@@ -700,15 +700,28 @@ def q203_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector table — at 100 TB that join is served by id point-lookups
     into the vector table, never a re-scan per query; cosine is the
     q40 fold on precomputed norms."""
-    from prox_spark.table import read_table_point
-
     from .similarity import DOT_SPARK, _emb_n
 
     postings, dl_path, stats_path = _bm25_index(spark, sf_dir)
     terms = sorted({t for _, t in BM25_QUERIES})
+    # ONE manifest read serves every term's prune AND scan — the q200
+    # r12 fix, applied here too (the per-term read_table_point pair
+    # re-read the manifest per term: ~10 driver FS round-trips per
+    # call for in-memory stats math; r13, guide §1.2/§6)
+    from prox_spark.table import _read_files, read_manifest, split_files_by_key_ranges
+
+    m = read_manifest(spark, postings)
+    per_term = {
+        t: split_files_by_key_ranges(m, {"term": (t, t)})[0] for t in terms
+    }
     probed = reduce(
         lambda a, b: a.unionByName(b),
-        [read_table_point(spark, postings, {"term": t}) for t in terms],
+        [
+            _read_files(spark, postings, m, fs).filter(
+                F.col("term") == F.lit(t)
+            )
+            for t, fs in per_term.items()
+        ],
     )
     from prox_spark.queries._local import values_df
 
